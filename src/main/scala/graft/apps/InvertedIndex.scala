@@ -1,0 +1,39 @@
+package graft.apps
+
+import graft.text.Tokenize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted index — the reference's second application (`map_id`/`reduce_id`):
+  * word -> {doc: count}.
+  *
+  * Two forms:
+  *  - `flat`: (word, doc, cnt) — the oracle-checkable relational form;
+  *  - `postings`: word -> MAP<doc, cnt> with postings canonically sorted by
+  *    doc (the reference printed dict insertion order, which is
+  *    nondeterministic; we canonicalize).
+  *
+  * The two-level groupBy means the wide shuffle happens on (word, doc) with
+  * map-side partial counts; the second groupBy(word) only moves one row per
+  * (word, doc) pair — at corpus scale this is the cheap step because
+  * postings lists, not raw tokens, cross the wire.
+  */
+object InvertedIndex {
+
+  /** (word, doc, cnt): per-document term frequencies, totally ordered. */
+  def flat(docs: DataFrame, textCol: String = "text", docCol: String = "source"): DataFrame =
+    Tokenize.tokenize(docs, textCol, docCol)
+      .groupBy("word", "doc")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word", "doc")
+
+  /** word -> MAP<doc, cnt>, postings sorted by doc name. */
+  def postings(docs: DataFrame, textCol: String = "text", docCol: String = "source"): DataFrame =
+    Tokenize.tokenize(docs, textCol, docCol)
+      .groupBy("word", "doc")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("word")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("doc"), col("cnt")))))
+        .as("postings"))
+      .orderBy("word")
+}
