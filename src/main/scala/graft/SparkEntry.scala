@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.apps.{InvertedIndex, WordCount}
 import graft.core.MapReduce
+import graft.rel.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +48,27 @@ object SparkEntry {
         docs.filter(col("source") === "src0")
           .unionByName(docs.filter(col("source") === "src1")))
     }),
+    // ---- relational surface (SURVEY.md §2.2) ----
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q_filter_project" -> ((s, d) => Relational.filterProject(Tables.lineitem(s, d))),
+    "q_join_agg" -> ((s, d) =>
+      Relational.ordersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_join_broadcast" -> ((s, d) =>
+      Relational.customersPerRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_semi_join" -> ((s, d) =>
+      Relational.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_anti_join" -> ((s, d) =>
+      Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
+    "q_count_distinct" -> ((s, d) => Relational.supplierStats(Tables.lineitem(s, d))),
+    "q_topk" -> ((s, d) => Relational.topOrders(Tables.orders(s, d))),
+    "q_window_rank" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
+    "q_window_running" -> ((s, d) => Relational.runningUserSpend(Tables.events(s, d))),
+    "q_rollup" -> ((s, d) => Relational.returnFlagRollup(Tables.lineitem(s, d))),
+    "q_date_agg" -> ((s, d) => Relational.ordersPerMonth(Tables.orders(s, d))),
+    "q_case_bands" -> ((s, d) => Relational.orderValueBands(Tables.orders(s, d))),
+    "q_string_fns" -> ((s, d) => Relational.partTypeHeads(Tables.part(s, d))),
+    "q_events_window" -> ((s, d) => Relational.hourlyEventStats(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,5 +94,92 @@ object SparkEntry {
       s"""WITH tok AS ($tokSql)
          |SELECT word, count(*) AS cnt FROM tok
          |WHERE doc IN ('src0', 'src1') GROUP BY word ORDER BY word""".stripMargin,
+    // ---- relational surface; money math mirrored in exact integer cents ----
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |         * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+        |  sum(l_quantity)/count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_price,
+        |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 48 AND l_discount <= 0.01
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS running_spend,
+        |  count(*) OVER w AS running_n
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_date_agg" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q_case_bands" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS band, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+    "q_string_fns" ->
+      """SELECT string_split(p_type, ' ')[1] AS type_head, upper(p_brand) AS brand,
+        |  count(*) AS n
+        |FROM part GROUP BY 1, 2 ORDER BY type_head, brand""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
   )
 }

@@ -9,7 +9,15 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot decode
+    * natively (SPARK-40819): read nanos as long, truncate to micros — the
+    * same floor DuckDB applies when it loads nanos into its micro-precision
+    * TIMESTAMP, so oracle comparisons agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -1,0 +1,181 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface of the engine over the TPC-H-ish test tables:
+  * scan / filter / project / equi-join / broadcast-join / semi / anti /
+  * agg / distinct / window / rollup / sort / limit.
+  *
+  * Everything is a declarative DataFrame plan — predicate pushdown, column
+  * pruning, partial aggregation, AQE and join-strategy selection all come
+  * from Catalyst. Scale notes per operator are in the Scaladoc.
+  *
+  * Money math note: the test tables keep money as 2-decimal DOUBLEs.
+  * Summing raw doubles is order-dependent (Spark sums per-partition, the
+  * DuckDB oracle sums in its own order), so every money aggregate here is
+  * computed on exact integer cents (`round(x*100)::long`) and converted to
+  * dollars once at the end — deterministic on both engines, and on a
+  * 1000-executor cluster where partial-sum order is arbitrary.
+  */
+object Relational {
+
+  /** Exact integer cents from a 2-decimal double. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** TPC-H Q1-style pricing summary (scan → filter-free full agg). The
+    * groupBy keys are low-cardinality, so the shuffle moves only
+    * |groups| × |partitions| partial rows — scale-safe by construction. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          * (lit(100L) + cents(col("l_tax")))).cast("double") / 1000000.0).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0 / count(lit(1)))
+          .as("avg_price"),
+        (sum(cents(col("l_discount"))).cast("double") / 100.0 / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection — predicates and the 4-column read schema are
+    * pushed into the parquet scan (verify with .explain: PushedFilters). */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") >= 48 && col("l_discount") <= lit(0.01))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Large-to-large equi-join (orders ⋈ customer) + aggregation. Both sides
+    * scale with SF → shuffled hash join on the key; AQE handles skew. */
+  def ordersPerSegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** Dimension joins: nation and region are tiny at any SF — broadcast
+    * explicitly so no shuffle of the fact side ever happens. */
+  def customersPerRegion(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  /** Semi join: customers having at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** DISTINCT — a shuffle on the full projection; keep the projection
+    * narrow so the exchange is narrow. */
+  def distinctSegments(customer: DataFrame): DataFrame =
+    customer.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** Exact + approximate distinct aggregation. approx_count_distinct (HLL++)
+    * is the 100 TB path: one pass, fixed memory, no per-key shuffle. */
+  def supplierStats(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Global top-k — Spark's sort-limit is computed as a per-partition
+    * top-k then a single k-row merge on the driver: no global sort. */
+  def topOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Ranking window: top-3 orders per customer. Fully tie-broken ordering
+    * (totalprice desc, orderkey) keeps row_number deterministic. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-total window over an event stream (rows-frame running sum in
+    * exact cents; deterministic accumulation order via (ts, event_id)). */
+  def runningUserSpend(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id"),
+        (sum(cents(col("value"))).over(w).cast("double") / 100.0).as("running_spend"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ROLLUP grouping sets (returnflag → returnflag×linestatus → grand). */
+  def returnFlagRollup(lineitem: DataFrame): DataFrame =
+    lineitem.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Date bucketing: orders per calendar month. */
+  def ordersPerMonth(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
+      .orderBy("y", "m")
+
+  /** CASE-expression bucketing of order value. */
+  def orderValueBands(orders: DataFrame): DataFrame =
+    orders.select(
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+      .orderBy("band")
+
+  /** String functions over part: head word of p_type, upper-cased brand. */
+  def partTypeHeads(part: DataFrame): DataFrame =
+    part.select(
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        upper(col("p_brand")).as("brand"))
+      .groupBy("type_head", "brand").agg(count(lit(1)).as("n"))
+      .orderBy("type_head", "brand")
+
+  /** Tumbling 1-hour event windows (batch form; the same transform runs
+    * under readStream with a watermark — see graft.streaming). Window
+    * start is surfaced as epoch seconds: integer, engine-portable. */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events.groupBy(
+        unix_timestamp(window(col("ts"), "1 hour").getField("start")).as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+}
