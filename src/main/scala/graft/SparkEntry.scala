@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.apps.{InvertedIndex, WordCount}
 import graft.core.MapReduce
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.rel.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,6 +70,40 @@ object SparkEntry {
     "q_case_bands" -> ((s, d) => Relational.orderValueBands(Tables.orders(s, d))),
     "q_string_fns" -> ((s, d) => Relational.partTypeHeads(Tables.part(s, d))),
     "q_events_window" -> ((s, d) => Relational.hourlyEventStats(Tables.events(s, d))),
+    "q_sessions" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    // ---- extensions: deduplication ----
+    "dedup_exact" -> ((s, d) => Dedup.exactKeepIds(Tables.documents(s, d))),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashFlat(Tables.documents(s, d), 3, 8, Dedup.polyHash)
+        .select(col("doc_id"), col("h_idx").cast("long").as("h_idx"), col("minhash"))),
+    "dedup_lsh_bands" -> ((s, d) =>
+      Dedup.lshBandStats(Tables.documents(s, d), 3, 8, 4, Dedup.polyHash)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), 30, Dedup.polyHash)),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3)
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
+    "dedup_minhash_neardups" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(Tables.documents(s, d), 0.3, 3, 64, 16)),
+    // ---- extensions: similarity search ----
+    "sim_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
+    "sim_cosine_pairs" -> ((s, d) =>
+      Similarity.topCosinePairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 500), 50)),
+    "sim_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), 0L until 8L, 5, 8)),
+    // ---- extensions: text analysis ----
+    "text_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextStats.languageId(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
+    // ---- extensions: multimodal columns ----
+    "mm_features" -> ((s, d) =>
+      Multimodal.featuresQuery(s, Tables.documents(s, d))),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -181,5 +216,90 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM e)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS session_value
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    // ---- extensions ----
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_minhash" -> OracleSql.minhashFlat(8),
+    "dedup_lsh_bands" -> OracleSql.lshBands(8, 4),
+    "dedup_simhash" -> OracleSql.simhash(30),
+    "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50),
+    "sim_topk" -> OracleSql.simTopK(8, 5),
+    "sim_cosine_pairs" -> OracleSql.cosineTopPairs(500, 50),
+    "text_stats" ->
+      s"""WITH ${OracleSql.toksCte},
+         |raw AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
+         |      (a, b) -> a + b) AS n_token_chars,
+         |    length(text)::BIGINT AS n_raw_chars
+         |  FROM toks JOIN documents USING (doc_id))
+         |SELECT doc_id, n_tokens, n_distinct, n_token_chars, n_raw_chars,
+         |  CAST(n_token_chars AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS avg_token_len,
+         |  CAST(n_distinct AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS ttr
+         |FROM raw ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH ${OracleSql.toksCte},
+         |raw AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+'))::BIGINT AS n_bpeish,
+         |    len(list_filter(toks, t -> t IN (${OracleSql.stopwordList})))::BIGINT AS n_stopwords,
+         |    len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$')))::BIGINT AS n_digit_tokens,
+         |    len(list_filter(toks, t -> length(t) >= 10))::BIGINT AS n_long_tokens
+         |  FROM toks JOIN documents USING (doc_id)),
+         |r2 AS (
+         |  SELECT *,
+         |    CAST(n_stopwords AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS stopword_ratio,
+         |    CAST(n_digit_tokens AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS digit_ratio
+         |  FROM raw)
+         |SELECT doc_id, n_tokens, n_bpeish, n_stopwords, n_digit_tokens, n_long_tokens,
+         |  stopword_ratio, digit_ratio,
+         |  (n_tokens >= 10 AND stopword_ratio >= 0.01 AND digit_ratio <= 0.5) AS quality_ok
+         |FROM r2 ORDER BY doc_id""".stripMargin,
+    "text_langid" -> OracleSql.langId,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${OracleSql.poly("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH ${OracleSql.toksCte},
+         |tok AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, word, tf, df,
+         |    tf * CAST(round(ln(n.n / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT) AS score_scaled
+         |  FROM tf JOIN df USING (word), n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_scaled DESC, word) AS rn FROM scored)
+         |SELECT doc_id, word, tf, df, score_scaled, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  octet_length(encode(text))::BIGINT % 640 + 1 AS width,
+        |  (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS height,
+        |  CASE WHEN substr(text, 1, 1) < 'n' THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_offset
+        |FROM documents, unnest(range(0, octet_length(encode(text)), 100)) AS u(o)
+        |ORDER BY media_id, frame_offset""".stripMargin,
   )
 }

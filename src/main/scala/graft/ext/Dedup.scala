@@ -1,0 +1,255 @@
+package graft.ext
+
+import graft.text.Tokenize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large text corpora: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup groups on a 256-bit content hash, so the shuffle carries
+  *    (hash, id) pairs — never the document text;
+  *  - MinHash signatures are built with ONE aggregation over shingle rows
+  *    (map-side partial min), giving one fixed-width row per document;
+  *  - LSH banding turns all-pairs comparison into an equi-join on
+  *    (band, band_hash) — candidates only, never n²;
+  *  - SimHash near-dup search uses the pigeonhole block trick: pairs within
+  *    Hamming distance d must agree exactly on one of d+1 blocks, again an
+  *    equi-join.
+  *
+  * Hash choice: every op takes a `baseHash` column function. The default is
+  * Spark's codegen'd `xxhash64` (production path). The DuckDB-oracle-checked
+  * queries pass [[polyHash]] — a 31-ary rolling hash any engine can
+  * reproduce — so correctness is verified end-to-end against SQL, while the
+  * production default keeps the better-mixed 64-bit hash.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L // base-hash modulus (prime, < 2^30)
+  val P2: Long = 2038074743L // signature-hash modulus (prime, < 2^31)
+
+  /** Portable rolling hash: fold chars, h = (h*31 + ascii(c)) mod P.
+    * Reproducible in any engine with a sequential list fold. */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (h, c) => (h * 31 + ascii(c)) % P)
+
+  /** Default production hash. */
+  def xxHash(s: Column): Column = xxhash64(s)
+
+  // ------------------------------------------------------------------
+  // exact dedup
+
+  /** IDs retained after exact dedup: min id per content hash. The text
+    * itself never crosses the shuffle. */
+  def exactKeepIds(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+      .orderBy(idCol)
+
+  /** The deduplicated table itself (first row per content hash wins,
+    * deterministically by id). */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------------
+  // shingling
+
+  /** k-token shingles (distinct), preserving duplicate tokens inside the
+    * window; documents shorter than k collapse to one whole-doc shingle. */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      array_distinct(transform(sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(k))))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** (id, shingle) rows for a document table. */
+  def shingleRows(docs: DataFrame, k: Int = 3,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(shingles(Tokenize.tokensArray(col(textCol)), k)).as("shingle"))
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+
+  /** Affine re-hash family over the base hash: h_i(x) = (a_i·x + b_i) mod P2.
+    * Seeds are a fixed deterministic family shared with the SQL oracle. */
+  def seedFamily(numHashes: Int): Seq[(Int, Long, Long)] =
+    (0 until numHashes).map(i => (i, 2L * i + 1, (314159L * (i + 1)) % P2))
+
+  /** MinHash signatures in flat form: (id, h_idx, minhash) — one
+    * aggregation, map-side partial min, |docs|×numHashes output rows. */
+  def minhashFlat(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+                  baseHash: Column => Column = xxHash,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seeds = broadcast(seedFamily(numHashes).toDF("h_idx", "a", "b"))
+    shingleRows(docs, k, textCol, idCol)
+      .withColumn("bh", pmod(baseHash(col("shingle")), lit(P)))
+      .crossJoin(seeds)
+      .groupBy(col(idCol), col("h_idx"))
+      .agg(min((col("a") * col("bh") + col("b")) % P2).as("minhash"))
+      .orderBy(col(idCol), col("h_idx"))
+  }
+
+  /** Signature as one array column per doc (internal for banding). */
+  def minhashSignature(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                       baseHash: Column => Column = xxHash,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashFlat(docs, k, numHashes, baseHash, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("h_idx"), col("minhash")))).as("s"))
+      .select(col(idCol), transform(col("s"), x => x.getField("minhash")).as("sig"))
+
+  /** LSH banding: (band, band_hash, id) — docs sharing a band bucket are
+    * near-dup candidates. band_hash folds the band's r minhash values. */
+  def lshBands(sig: DataFrame, bands: Int, idCol: String = "doc_id"): DataFrame = {
+    val r = size(col("sig")) / bands
+    sig.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => aggregate(slice(col("sig"), b * r + 1, r), lit(0L),
+            (h, v) => (h * 31 + pmod(v, lit(P))) % P))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .select("band", "band_hash", idCol)
+  }
+
+  /** Per-band bucket statistics (distinct buckets, docs per band) — a
+    * cheap observable of LSH health that stays oracle-checkable even when
+    * the corpus has no near-dups (candidate pairs would be empty). */
+  def lshBandStats(docs: DataFrame, k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 4,
+                   baseHash: Column => Column = xxHash,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashFlat(docs, k, numHashes, baseHash, textCol, idCol)
+      .groupBy(col(idCol), floor(col("h_idx") / rowsPerBand).cast("long").as("band"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("h_idx"), col("minhash")))),
+          x => x.getField("minhash")),
+        lit(0L), (h, v) => (h * 31 + pmod(v, lit(P))) % P).as("band_hash"))
+      .groupBy("band")
+      .agg(countDistinct(col("band_hash")).as("n_buckets"), count(lit(1)).as("n_docs"))
+      .orderBy("band")
+
+  /** Candidate near-dup pairs from LSH buckets (a < b, distinct). */
+  def minhashCandidates(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, baseHash: Column => Column = xxHash,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bandsDf = lshBands(
+      minhashSignature(docs, k, numHashes, baseHash, textCol, idCol), bands, idCol)
+    val a = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("a"))
+    val b = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b"))
+    a.join(b, Seq("band", "band_hash")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** MinHash near-duplicates: LSH candidates verified with exact shingle
+    * Jaccard ≥ threshold. The verify join touches candidate docs only. */
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.7, k: Int = 3,
+                            numHashes: Int = 64, bands: Int = 16,
+                            baseHash: Column => Column = xxHash,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cands = minhashCandidates(docs, k, numHashes, bands, baseHash, textCol, idCol)
+    jaccardOfPairs(cands, shingleRows(docs, k, textCol, idCol), idCol)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Exact Jaccard for given (a, b) pairs from shingle rows. */
+  def jaccardOfPairs(pairs: DataFrame, shingleRows: DataFrame,
+                     idCol: String = "doc_id"): DataFrame = {
+    val sizes = shingleRows.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingleRows.select(col(idCol).as("a"), col("shingle")), "a")
+      .join(shingleRows.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("sb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // exact n-gram Jaccard (no approximation; inverted shingle join)
+
+  /** All-pairs exact n-gram Jaccard via the shingle inverted index: only
+    * docs that SHARE a shingle ever meet (equi-join), so cost scales with
+    * co-occurrence, not n². `maxDf` drops ultra-common shingles (stopword
+    * shingles), which is both a quality and a skew guard at scale. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, maxDf: Long = Long.MaxValue,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleRows(docs, k, textCol, idCol)
+    val filtered = if (maxDf == Long.MaxValue) sh else {
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(broadcast(df.filter(col("df") <= maxDf)), "shingle").select(col(idCol), col("shingle"))
+    }
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col(idCol).as("a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("b"), col("shingle"))
+    a.join(b, "shingle").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("sb")), "b")
+      .select(col("a"), col("b"), col("inter"), col("sa"), col("sb"),
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+
+  /** Per-document SimHash over token hashes: bit i of the fingerprint is
+    * the sign of Σ_tokens (±1 by bit i of the token hash). One aggregation
+    * with `numBits` partial sums — map-side combinable. */
+  def simhash(docs: DataFrame, numBits: Int = 30,
+              baseHash: Column => Column = xxHash,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(Tokenize.tokensArray(col(textCol))).as("word"))
+      .withColumn("bh", pmod(baseHash(col("word")), lit(P)))
+    val bitSums = (0 until numBits).map { i =>
+      sum(when(shiftrightunsigned(col("bh"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"s$i")
+    }
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until numBits).map(i =>
+          when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .orderBy(col(idCol))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist using the
+    * pigeonhole block join: split the fingerprint into maxDist+1 blocks —
+    * any pair within distance maxDist agrees exactly on ≥1 block. */
+  def simhashPairs(docs: DataFrame, numBits: Int = 30, maxDist: Int = 3,
+                   baseHash: Column => Column = xxHash,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val blocks = maxDist + 1
+    val blockBits = numBits / blocks
+    val sh = simhash(docs, numBits, baseHash, textCol, idCol)
+    val blocked = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftrightunsigned(col("simhash"), b * blockBits)
+          .bitwiseAND((1L << blockBits) - 1)): _*)))
+      .withColumnRenamed("pos", "block")
+      .withColumnRenamed("col", "block_val")
+    val a = blocked.select(col("block"), col("block_val"),
+      col(idCol).as("a"), col("simhash").as("sim_a"))
+    val b = blocked.select(col("block"), col("block_val"),
+      col(idCol).as("b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("block", "block_val")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import graft.text.Tokenize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language identification, document fingerprinting, and
+  * TF-IDF.
+  *
+  * Every op is a per-document column expression or a single aggregation —
+  * embarrassingly parallel, no cross-document shuffle except TF-IDF's
+  * document-frequency join (broadcast: |vocabulary| rows).
+  */
+object TextStats {
+
+  /** Per-document token statistics. All ratios are integer-exact divisions
+    * done once in double — deterministic across engines. */
+  def tokenStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Tokenize.tokensArray(col(textCol))
+    docs.select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("n_token_chars"),
+        length(col(textCol)).cast("long").as("n_raw_chars"))
+      .withColumn("avg_token_len",
+        col("n_token_chars").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+      .withColumn("ttr", // type-token ratio: lexical diversity
+        col("n_distinct").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+      .orderBy(idCol)
+  }
+
+  /** A BPE-ish subword proxy count: maximal runs of letters, of digits, or
+    * of other non-space chars each count as one piece (the regex family
+    * real BPE pretokenizers use, minus lookarounds so RE2 oracles agree). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+"), lit(0)))
+      .cast("long")
+
+  /** Fixed stopword list shared with the quality/language oracles. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "on")
+
+  /** Per-document quality signals: length, stopword ratio, digit-token
+    * ratio, token-length shape — the usual cheap pre-training filters. */
+  def qualityScores(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Tokenize.tokensArray(col(textCol))
+    val nTok = size(toks).cast("long")
+    docs.select(
+        col(idCol),
+        nTok.as("n_tokens"),
+        bpeishCount(col(textCol)).as("n_bpeish"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("n_stopwords"),
+        size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit_tokens"),
+        size(filter(toks, t => length(t) >= 10)).cast("long").as("n_long_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+      .withColumn("digit_ratio",
+        col("n_digit_tokens").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 10 && col("stopword_ratio") >= 0.01 && col("digit_ratio") <= 0.5)
+      .orderBy(idCol)
+  }
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic and shared verbatim with the SQL oracle. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "to", "and", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai"))
+
+  /** Language ID: score = number of tokens hitting each language's marker
+    * list; argmax with alphabetical tie-break (stable across engines). */
+  def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Tokenize.tokensArray(col(textCol))
+    val scored = docs.select(
+      (col(idCol) +: LangMarkers.map { case (lang, words) =>
+        size(filter(toks, t => t.isin(words: _*))).cast("long").as(s"score_$lang")
+      }): _*)
+    // argmax via greatest + first matching CASE (alphabetical tie-break)
+    val best = greatest(LangMarkers.map(m => col(s"score_${m._1}")): _*)
+    // first language (alphabetical) reaching the max wins the tie-break
+    val predLtr = LangMarkers.map(_._1).reverse.foldLeft(lit("und")) { (els, lang) =>
+      when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(els)
+    }
+    scored.select(col(idCol), predLtr.as("pred_lang"),
+        (LangMarkers.map(m => col(s"score_${m._1}"))).reduce(_ + _).as("total_hits"))
+      .orderBy(idCol)
+  }
+
+  /** Rolling-hash document fingerprint over the raw text characters —
+    * h = fold (h*31 + ascii(c)) mod P. Content-addressing that any engine
+    * can recompute (same fold as Dedup.polyHash). */
+  def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), Dedup.polyHash(col(textCol)).as("fingerprint"))
+      .orderBy(idCol)
+
+  /** TF-IDF: top-k terms per document.
+    *
+    * Ranking uses an integer-scaled idf (`round(ln(N/df)*1e6)`) so the
+    * ordering is exact integer arithmetic — no cross-engine floating-point
+    * ambiguity in who makes the top-k. The df table is |vocabulary| rows →
+    * broadcast to the tf side; no shuffle of the token stream.
+    */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = Tokenize.tokenize(docs, textCol, idCol).withColumnRenamed("doc", idCol)
+    val tf = tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val scored = tf.join(broadcast(df), "word")
+      .withColumn("idf_micro",
+        round(log(lit(n.toDouble) / col("df").cast("double")) * 1e6).cast("long"))
+      .withColumn("score_scaled", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_scaled").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("df"), col("score_scaled"), col("rn"))
+      .orderBy(col(idCol), col("rn"))
+  }
+}

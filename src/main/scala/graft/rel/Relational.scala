@@ -167,6 +167,26 @@ object Relational {
       .groupBy("type_head", "brand").agg(count(lit(1)).as("n"))
       .orderBy("type_head", "brand")
 
+  /** Sessionization: split each user's event stream at >gapMinutes idle
+    * gaps (lag + running sum of break flags), then aggregate per session.
+    * The same semantics run incrementally under Structured Streaming via
+    * flatMapGroupsWithState — see graft.streaming.EventsStream. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withColumn("gap_ms", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("brk", when(col("gap_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(running))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("duration_ms"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("session_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Tumbling 1-hour event windows (batch form; the same transform runs
     * under readStream with a watermark — see graft.streaming). Window
     * start is surfaced as epoch seconds: integer, engine-portable. */
