@@ -73,15 +73,21 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Approximate top-k: candidates share the LSH bucket with the query;
-    * exact cosine ranks within candidates. Recall improves with fewer
-    * planes (bigger buckets) — tested against brute force in ScalaTest. */
+  /** Approximate top-k with multi-probe: each query probes its own bucket
+    * plus every bucket at Hamming distance 1 (one flipped hyperplane) —
+    * the standard recall/cost dial. Candidates come from an equi-join on
+    * the bucket key; exact cosine ranks within candidates. Recall is
+    * tested against brute force in ScalaTest. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), numPlanes))
+    val probes = array(
+      (col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1L), p)))): _*)
     val queries = broadcast(
       bucketed.filter(col(idCol).isin(queryIds: _*))
-        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("bucket")))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+          explode(probes).as("bucket")))
     val scored = bucketed.join(queries, "bucket")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),

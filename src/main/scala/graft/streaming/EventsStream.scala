@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.rel.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine.
+  *
+  * The batch transforms in [[Relational]] are plain DataFrame functions, so
+  * they run unchanged on a `readStream` source; this module adds the
+  * streaming-only pieces: watermarks for state cleanup, and a stateful
+  * sessionizer via `flatMapGroupsWithState` (the custom-state path for
+  * semantics window functions can't express incrementally).
+  *
+  * At scale: state is partitioned by the grouping key across executors;
+  * the watermark bounds state size; `maxFilesPerTrigger`-style source
+  * options bound per-batch work.
+  */
+object EventsStream {
+
+  /** Schema of the events table as read by the streaming source (ts is
+    * already converted from parquet nanos by the batch loader contract;
+    * the stream reads the raw long and converts identically). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) surfaces as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet of one sf directory. The
+    * streaming file source requires a directory of files; the test data
+    * ships one file per table, so stage a symlink-only directory. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val stageDir = Paths.get(
+      s"/tmp/graft_stream_${src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9]", "_")}")
+    Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked hourly windowed aggregation — the streaming form of
+    * Relational.hourlyEventStats. Late events beyond 2 hours are dropped
+    * and window state is reclaimed. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Relational.cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** One closed user session emitted by the stateful sessionizer. */
+  final case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long,
+                           n_events: Long, session_value_cents: Long)
+
+  private final case class SessionState(startMs: Long, lastMs: Long, n: Long, cents: Long)
+
+  /** Event-time sessionization with a gap timeout, as incremental state:
+    * the streaming analogue of Relational.sessionize. Each user's open
+    * session lives in GroupState; an event past the gap closes and emits
+    * the previous session. `flush` (tests) also emits the open session. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapMinutes: Int = 30, flushOpen: Boolean = false) = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), Relational.cents(col("value")).as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          // events within one micro-batch arrive unordered: sort by time
+          val sorted = rows.toSeq.sortBy(_._2)
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { case (_, ms, cents) =>
+            st match {
+              case null =>
+                st = SessionState(ms, ms, 1, cents)
+              case s if ms - s.lastMs > gapMs =>
+                closed += Session(userId, s.startMs, s.lastMs, s.n, s.cents)
+                st = SessionState(ms, ms, 1, cents)
+              case s =>
+                st = SessionState(s.startMs, ms, s.n + 1, s.cents + cents)
+            }
+          }
+          if (st != null) {
+            if (flushOpen) { closed += Session(userId, st.startMs, st.lastMs, st.n, st.cents); state.remove() }
+            else state.update(st)
+          }
+          closed.result().iterator
+      }
+  }
+}

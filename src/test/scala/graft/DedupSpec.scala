@@ -1,0 +1,69 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.DataFrame
+
+/** Dedup correctness on a planted corpus: exact copies, near-duplicates
+  * (small edits), and unrelated docs. Approximate ops are gated on
+  * invariants (identical docs always caught; unrelated never paired). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches the " +
+      "birds fly south for the winter season every single year without fail"
+
+  private lazy val corpus: DataFrame = Seq(
+    (0L, base),
+    (1L, base), // exact duplicate of 0
+    (2L, base.replace("lazy", "sleepy")), // near-dup of 0 (1-token edit)
+    (3L, base.replace("quick", "swift").replace("winter", "summer")), // near-dup, 2 edits
+    (4L, "completely different content about spark catalyst optimizer rules " +
+      "and whole stage code generation for large scale data processing")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content group") {
+    assert(Dedup.exactKeepIds(corpus).as[Long].collect().toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("exactDedup returns full deduplicated rows") {
+    val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH catches exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(corpus, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "identical docs must always collide")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "1-edit near-dup")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc never pairs")
+  }
+
+  test("exact jaccard: identical docs = 1.0, unrelated ~ 0") {
+    val j = Dedup.ngramJaccardPairs(corpus)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j.getOrElse((0L, 4L), 0.0) == 0.0)
+    assert(j((0L, 2L)) > 0.7 && j((0L, 2L)) < 1.0)
+  }
+
+  test("simhash: identical hamming 0; near-dups within pair distance") {
+    val sims = Dedup.simhash(corpus, numBits = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L))
+    val d02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    val d04 = java.lang.Long.bitCount(sims(0L) ^ sims(4L))
+    assert(d02 < d04, s"near-dup distance $d02 should be < unrelated $d04")
+    val pairs = Dedup.simhashPairs(corpus, numBits = 30, maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("minhash signature is invariant under repartitioning") {
+    val s1 = Dedup.minhashFlat(corpus, numHashes = 8).collect().toSeq
+    val s2 = Dedup.minhashFlat(corpus.repartition(7), numHashes = 8)
+      .collect().toSeq
+    assert(s1 == s2)
+  }
+}
