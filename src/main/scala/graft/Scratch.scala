@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Dev-only profiling entry (not part of the driver contract). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+    time("docs")(docs.count())
+    time("tokenize")(graft.text.Tokenize.tokenize(docs).count())
+    time("shingleRows")(Dedup.shingleRows(docs).count())
+    time("shingleRows+poly")(Dedup.shingleRows(docs)
+      .select(Dedup.polyHash(col("shingle")).as("bh")).filter(col("bh") > 0).count())
+    time("minhashFlat poly 8")(Dedup.minhashFlat(docs, 3, 8, Dedup.polyHash).count())
+    time("minhashFlat xx 8")(Dedup.minhashFlat(docs, 3, 8).count())
+    time("minhashSig xx 64")(Dedup.minhashSignature(docs, 3, 64).count())
+    time("lshBandStats poly")(Dedup.lshBandStats(docs, 3, 8, 4, Dedup.polyHash).count())
+    time("ngramJaccard")(Dedup.ngramJaccardPairs(docs, 3).count())
+    time("minhashCandidates")(Dedup.minhashCandidates(docs).count())
+    time("neardups")(Dedup.minhashNearDuplicates(docs, 0.3).count())
+    val media = graft.ext.Multimodal.asMediaTable(docs)
+    time("mm media")(media.count())
+    time("mm features")(graft.ext.Multimodal.extractFeatures(media).count())
+    time("mm featuresQuery")(graft.ext.Multimodal.featuresQuery(spark, docs).count())
+    spark.stop()
+  }
+}

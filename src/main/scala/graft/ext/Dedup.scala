@@ -30,10 +30,11 @@ object Dedup {
   val P: Long = 1000000007L // base-hash modulus (prime, < 2^30)
   val P2: Long = 2038074743L // signature-hash modulus (prime, < 2^31)
 
-  /** Portable rolling hash: fold chars, h = (h*31 + ascii(c)) mod P.
-    * Reproducible in any engine with a sequential list fold. */
-  def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L), (h, c) => (h * 31 + ascii(c)) % P)
+  /** Portable rolling hash: fold codepoints, h = (h*31 + cp) mod P.
+    * Reproducible in any engine with a sequential list fold; compiled to a
+    * tight codegen loop (see graft.functions.PolyHash — ~10× over the
+    * equivalent interpreted `aggregate(split(...))` fold). */
+  def polyHash(s: Column): Column = graft.functions.poly_hash(s)
 
   /** Default production hash. */
   def xxHash(s: Column): Column = xxhash64(s)
@@ -60,17 +61,21 @@ object Dedup {
   // shingling
 
   /** k-token shingles (distinct), preserving duplicate tokens inside the
-    * window; documents shorter than k collapse to one whole-doc shingle. */
-  def shingles(tokens: Column, k: Int): Column =
+    * window; documents shorter than k collapse to one whole-doc shingle.
+    * Declarative SPEC form over a token array (mirrored by the oracle);
+    * the hot path uses the codegen'd single-pass kernel below. */
+  def shinglesSpec(tokens: Column, k: Int): Column =
     when(size(tokens) >= k,
       array_distinct(transform(sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", slice(tokens, i + 1, lit(k))))))
       .otherwise(array(concat_ws(" ", tokens)))
 
-  /** (id, shingle) rows for a document table. */
+  /** (id, shingle) rows for a document table — one codegen'd pass from
+    * raw text to distinct shingles (tokenize + normalize + slide). */
   def shingleRows(docs: DataFrame, k: Int = 3,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), explode(shingles(Tokenize.tokensArray(col(textCol)), k)).as("shingle"))
+    docs.select(col(idCol),
+      explode(graft.functions.token_shingles(col(textCol), k)).as("shingle"))
 
   // ------------------------------------------------------------------
   // MinHash + LSH
@@ -80,30 +85,37 @@ object Dedup {
   def seedFamily(numHashes: Int): Seq[(Int, Long, Long)] =
     (0 until numHashes).map(i => (i, 2L * i + 1, (314159L * (i + 1)) % P2))
 
-  /** MinHash signatures in flat form: (id, h_idx, minhash) — one
-    * aggregation, map-side partial min, |docs|×numHashes output rows. */
-  def minhashFlat(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
-                  baseHash: Column => Column = xxHash,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val seeds = broadcast(seedFamily(numHashes).toDF("h_idx", "a", "b"))
+  /** One aggregation computing every minhash as its own min column:
+    * (id, mh0 … mh{H-1}). All H minima ride ONE shuffle of one row per
+    * (partition, doc) — no seed join, map-side partial min. */
+  private def minhashAgg(docs: DataFrame, k: Int, numHashes: Int,
+                         baseHash: Column => Column,
+                         textCol: String, idCol: String): DataFrame = {
+    val mins = seedFamily(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("bh") + lit(b)) % P2).as(s"mh$i")
+    }
     shingleRows(docs, k, textCol, idCol)
       .withColumn("bh", pmod(baseHash(col("shingle")), lit(P)))
-      .crossJoin(seeds)
-      .groupBy(col(idCol), col("h_idx"))
-      .agg(min((col("a") * col("bh") + col("b")) % P2).as("minhash"))
-      .orderBy(col(idCol), col("h_idx"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
   }
+
+  /** MinHash signatures in flat form: (id, h_idx, minhash). */
+  def minhashFlat(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+                  baseHash: Column => Column = xxHash,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashAgg(docs, k, numHashes, baseHash, textCol, idCol)
+      .select(col(idCol),
+        posexplode(array((0 until numHashes).map(i => col(s"mh$i")): _*)))
+      .select(col(idCol), col("pos").cast("long").as("h_idx"), col("col").as("minhash"))
+      .orderBy(idCol, "h_idx")
 
   /** Signature as one array column per doc (internal for banding). */
   def minhashSignature(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                        baseHash: Column => Column = xxHash,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    minhashFlat(docs, k, numHashes, baseHash, textCol, idCol)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("h_idx"), col("minhash")))).as("s"))
-      .select(col(idCol), transform(col("s"), x => x.getField("minhash")).as("sig"))
+    minhashAgg(docs, k, numHashes, baseHash, textCol, idCol)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
 
   /** LSH banding: (band, band_hash, id) — docs sharing a band bucket are
     * near-dup candidates. band_hash folds the band's r minhash values. */
@@ -124,13 +136,9 @@ object Dedup {
   def lshBandStats(docs: DataFrame, k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 4,
                    baseHash: Column => Column = xxHash,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    minhashFlat(docs, k, numHashes, baseHash, textCol, idCol)
-      .groupBy(col(idCol), floor(col("h_idx") / rowsPerBand).cast("long").as("band"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("h_idx"), col("minhash")))),
-          x => x.getField("minhash")),
-        lit(0L), (h, v) => (h * 31 + pmod(v, lit(P))) % P).as("band_hash"))
-      .groupBy("band")
+    lshBands(minhashSignature(docs, k, numHashes, baseHash, textCol, idCol),
+        numHashes / rowsPerBand, idCol)
+      .groupBy(col("band").cast("long").as("band"))
       .agg(countDistinct(col("band_hash")).as("n_buckets"), count(lit(1)).as("n_docs"))
       .orderBy("band")
 
@@ -158,13 +166,16 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Exact Jaccard for given (a, b) pairs from shingle rows. */
+  /** Exact Jaccard for given (a, b) pairs from shingle rows. Shingles are
+    * joined by 64-bit hash, not string — a fixed-8-byte exchange key
+    * instead of variable-length text (collision odds ~n²/2^64). */
   def jaccardOfPairs(pairs: DataFrame, shingleRows: DataFrame,
                      idCol: String = "doc_id"): DataFrame = {
-    val sizes = shingleRows.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val hashed = shingleRows.select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
-      .join(shingleRows.select(col(idCol).as("a"), col("shingle")), "a")
-      .join(shingleRows.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .join(hashed.select(col(idCol).as("a"), col("sh_h")), "a")
+      .join(hashed.select(col(idCol).as("b"), col("sh_h")), Seq("b", "sh_h"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     pairs.join(inter, Seq("a", "b"), "left")
       .na.fill(0L, Seq("inter"))
@@ -185,14 +196,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, maxDf: Long = Long.MaxValue,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shingleRows(docs, k, textCol, idCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
     val filtered = if (maxDf == Long.MaxValue) sh else {
-      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      sh.join(broadcast(df.filter(col("df") <= maxDf)), "shingle").select(col(idCol), col("shingle"))
+      val df = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      sh.join(broadcast(df.filter(col("df") <= maxDf)), "sh_h").select(col(idCol), col("sh_h"))
     }
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = filtered.select(col(idCol).as("a"), col("shingle"))
-    val b = filtered.select(col(idCol).as("b"), col("shingle"))
-    a.join(b, "shingle").filter(col("a") < col("b"))
+    val a = filtered.select(col(idCol).as("a"), col("sh_h"))
+    val b = filtered.select(col(idCol).as("b"), col("sh_h"))
+    a.join(b, "sh_h").filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sa")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("sb")), "b")

@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product — the engine's codegen'd expression (strict left-to-right
+    * accumulation, bit-identical to a sequential list fold). */
+  def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
 
-  /** L2 norm via the same fold. */
+  /** L2 norm via the same accumulation order. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two float-array columns, computed in double. */
@@ -37,17 +37,29 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** (id, v double[], n2 = v·v) — squared norms computed once per row so
+    * pair scoring does one dot product instead of three. The final score
+    * `dot/(sqrt(n2a)*sqrt(n2b))` is bit-identical to recomputing norms
+    * per pair. */
+  private def withNorm2(embeddings: DataFrame, idCol: String, vecCol: String,
+                        outId: String): DataFrame =
+    embeddings.select(col(idCol).as(outId), col(vecCol).cast("array<double>").as(s"v_$outId"))
+      .withColumn(s"n2_$outId", dot(col(s"v_$outId"), col(s"v_$outId")))
+
+  private def pairScore(x: String, y: String): Column =
+    dot(col(s"v_$x"), col(s"v_$y")) / (sqrt(col(s"n2_$x")) * sqrt(col(s"n2_$y")))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (query rows themselves excluded). Ties broken by vec_id. */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
     val queries = broadcast(
-      embeddings.filter(col(idCol).isin(queryIds: _*))
-        .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val scored = embeddings.crossJoin(queries)
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("qvec"), col(vecCol)).as("score"))
+      withNorm2(embeddings.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, "query_id"))
+    val scored = corpus.crossJoin(queries)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairScore("query_id", "neighbor_id").as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -55,23 +67,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component: planes are derived
-    * from a hash of (plane, dim), mapped into [-1, 1] — no RNG state, so
-    * every executor and every engine derives the same planes. */
+  /** Deterministic pseudo-random hyperplane component: derived from a hash
+    * of (plane, dim) mapped into [-1, 1] — no RNG state, so every executor
+    * (and every run) derives the same planes. */
   private def planeComponent(plane: Column, dim: Column): Column =
     (pmod(xxhash64(plane, dim), lit(2000003L)).cast("double") / 1000001.5d) - 1.0d
 
-  /** Sign-pattern LSH bucket id for a vector: bit p = sign(v · plane_p). */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
-    val vd = vec.cast("array<double>")
-    (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (x, j) => x * planeComponent(lit(p), j)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  /** Materialize the hash-derived hyperplanes once (driver-side, one tiny
+    * local eval of the same expressions) so per-row bucketing runs through
+    * the codegen'd dot product instead of an interpreted fold per plane. */
+  private def materializePlanes(spark: org.apache.spark.sql.SparkSession,
+                                numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    import spark.implicits._
+    val flat = (0 until numPlanes).flatMap(p => (0 until dim).map(j => (p, j)))
+      .toDF("p", "j")
+      .select(col("p"), col("j"),
+        planeComponent(col("p"), col("j").cast("long")).as("c"))
+      .as[(Int, Int, Double)].collect()
+    flat.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
   }
+
+  /** Sign-pattern LSH bucket id for a vector: bit p = sign(v · plane_p). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      when(dot(vec, typedLit(pl)) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
 
   /** Approximate top-k with multi-probe: each query probes its own bucket
     * plus every bucket at Hamming distance 1 (one flipped hyperplane) —
@@ -80,18 +101,21 @@ object Similarity {
     * tested against brute force in ScalaTest. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), numPlanes))
+    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
+    val bucketed = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
+      .withColumn("bucket", lshBucket(col("v_neighbor_id"), planes))
     val probes = array(
       (col("bucket") +: (0 until numPlanes).map(p =>
         col("bucket").bitwiseXOR(shiftleft(lit(1L), p)))): _*)
     val queries = broadcast(
-      bucketed.filter(col(idCol).isin(queryIds: _*))
-        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-          explode(probes).as("bucket")))
+      bucketed.filter(col("neighbor_id").isin(queryIds: _*))
+        .select(col("neighbor_id").as("query_id"), col("v_neighbor_id").as("v_query_id"),
+          col("n2_neighbor_id").as("n2_query_id"), explode(probes).as("bucket")))
     val scored = bucketed.join(queries, "bucket")
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("qvec"), col(vecCol)).as("score"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairScore("query_id", "neighbor_id").as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -103,10 +127,10 @@ object Similarity {
     * non-empty form of near-dup pair mining. */
   def topCosinePairs(embeddings: DataFrame, limit: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val a = withNorm2(embeddings, idCol, vecCol, "a")
+    val b = withNorm2(embeddings, idCol, vecCol, "b")
     a.crossJoin(b).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("score"))
+      .select(col("a"), col("b"), pairScore("a", "b").as("score"))
       .orderBy(col("score").desc, col("a"), col("b"))
       .limit(limit)
   }
@@ -116,10 +140,10 @@ object Similarity {
     * [[lshTopK]]-style bucketing for web-scale corpora. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val a = withNorm2(embeddings, idCol, vecCol, "a")
+    val b = withNorm2(embeddings, idCol, vecCol, "b")
     a.crossJoin(b).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("score"))
+      .select(col("a"), col("b"), pairScore("a", "b").as("score"))
       .filter(col("score") >= threshold)
       .orderBy("a", "b")
   }

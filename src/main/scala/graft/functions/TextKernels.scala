@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text kernels, shared by interpreted eval and generated code
+  * (Scala object methods are static-callable from Janino codegen).
+  *
+  * Semantics are EXACTLY the engine's declarative tokenizer (see
+  * graft.text.Tokenize): split on Java-regex `\s+` whitespace, drop
+  * split-empties, lowercase, delete every non-letter/digit codepoint
+  * (`[^\p{L}\p{N}]+`), KEEP tokens that normalize to "". The equivalence
+  * is pinned by FunctionsSpec against the higher-order-function
+  * formulation, which in turn is what the DuckDB oracle mirrors.
+  */
+object TextKernels {
+
+  /** Java regex \s — the 6 ASCII whitespace chars. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** \p{N}: Nd, Nl, No. */
+  @inline private def isNumberCat(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** Normalize one raw token: lowercase (same String-level mapping Spark's
+    * `lower` uses), then keep only \p{L}\p{N} codepoints. */
+  private def normalize(tok: String): String = {
+    val lower = tok.toLowerCase
+    val sb = new java.lang.StringBuilder(lower.length)
+    var i = 0
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      if (Character.isLetter(cp) || isNumberCat(cp)) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  private def tokenList(s: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val n = s.length
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val ws = i == n || isWs(s.charAt(i))
+      if (ws) {
+        if (start >= 0) { out.add(normalize(s.substring(start, i))); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    out
+  }
+
+  /** text -> array<string> of normalized tokens. */
+  def tokenize(u: UTF8String): ArrayData = {
+    val toks = tokenList(u.toString)
+    val arr = new Array[Any](toks.size)
+    var i = 0
+    while (i < toks.size) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** text -> distinct k-token shingles (first-occurrence order); documents
+    * shorter than k collapse to one whole-text shingle. */
+  def shingles(u: UTF8String, k: Int): ArrayData = {
+    val toks = tokenList(u.toString)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.size < k) {
+      seen.add(String.join(" ", toks))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + k <= toks.size) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.get(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Column expression: tokenize(text) — the codegen fast path of
+  * graft.text.Tokenize.tokensArray. */
+case class TokenizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeText =
+    copy(child = newChild)
+}
+
+/** Column expression: distinct k-token shingles straight from text (one
+  * pass, no intermediate token array churn). */
+case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}

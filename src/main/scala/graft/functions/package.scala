@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.{bridge => ExpressionUtils}
+
+/** Column-API entry points for the engine's custom Catalyst expressions,
+  * plus SQL registration for `spark.sql(...)` users. */
+package object functions {
+
+  /** Codegen'd rolling hash (see [[PolyHash]]). */
+  def poly_hash(c: Column): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
+
+  /** Codegen'd double-array dot product (see [[DotProduct]]). */
+  def dot_product(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd tokenizer (see [[TokenizeText]]). */
+  def tokenize_text(c: Column): Column =
+    ExpressionUtils.column(TokenizeText(ExpressionUtils.expression(c)))
+
+  /** Codegen'd distinct k-shingles from raw text (see [[TokenShingles]]). */
+  def token_shingles(c: Column, k: Int): Column =
+    ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(c), k))
+
+  /** Register both as SQL functions on a session (idempotent). */
+  def registerSql(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  }
+}

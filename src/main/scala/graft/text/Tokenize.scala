@@ -29,11 +29,19 @@ object Tokenize {
   def normalize(tok: Column): Column =
     regexp_replace(lower(tok), DeleteClass, "")
 
-  /** text -> array<string> of normalized tokens (empty tokens kept). */
-  def tokensArray(text: Column): Column =
+  /** The declarative (higher-order-function) formulation — the executable
+    * SPEC of the tokenizer, mirrored by the DuckDB oracle. Interpreted
+    * per row, so the hot path below compiles the same semantics instead;
+    * FunctionsSpec pins their equivalence. */
+  def tokensArraySpec(text: Column): Column =
     transform(
       filter(split(text, "\\s+"), t => length(t) > 0),
       t => normalize(t))
+
+  /** text -> array<string> of normalized tokens (empty tokens kept) —
+    * codegen'd single-pass kernel. */
+  def tokensArray(text: Column): Column =
+    graft.functions.tokenize_text(text)
 
   /** Explode a document table into one row per token.
     *

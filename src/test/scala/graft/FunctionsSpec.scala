@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{dot_product, poly_hash}
+import org.apache.spark.sql.functions._
+
+/** The codegen'd custom expressions must be bit-identical to the
+  * declarative higher-order-function folds they replace (which are in turn
+  * mirrored by the DuckDB oracle's list_reduce). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poly_hash == interpreted char fold (ascii + unicode + empty)") {
+    val df = Seq("hello world", "protégé", "", "a", "430zip 202", "x".repeat(500))
+      .toDF("s")
+    val got = df.select(
+        poly_hash(col("s")).as("fast"),
+        aggregate(split(col("s"), ""), lit(0L),
+          (h, c) => (h * 31 + ascii(c)) % 1000000007L).as("slow"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (fast, slow) => assert(fast == slow) }
+  }
+
+  test("poly_hash registered for SQL") {
+    graft.functions.registerSql(spark)
+    val r = spark.sql("SELECT poly_hash('hi') AS h").as[Long].head()
+    assert(r == (('h'.toLong * 31 + 'i') % 1000000007L))
+  }
+
+  test("dot_product == sequential zip_with/aggregate fold, bit-identical") {
+    val df = Seq((Array(0.1, 0.2, 0.3, 1e-17), Array(3.0, 2.0, 1.0, 1.0)))
+      .toDF("a", "b")
+    val got = df.select(
+        dot_product(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0d),
+          (acc, x) => acc + x).as("slow"))
+      .as[(Double, Double)].head()
+    assert(java.lang.Double.doubleToLongBits(got._1) ==
+      java.lang.Double.doubleToLongBits(got._2))
+  }
+
+  test("tokenize_text kernel == declarative tokenizer spec") {
+    val texts = Seq("Hello, World!", "foo — bar", "protégé.", "430zip 202",
+      "foo_bar", "  a\t\tb\nc  ", "", "x", "the quick brown fox",
+      "MIXED CaseAnd\fControls")
+    val df = texts.toDF("text")
+    val got = df.select(
+        graft.functions.tokenize_text(col("text")).as("fast"),
+        graft.text.Tokenize.tokensArraySpec(col("text")).as("slow"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.zip(texts).foreach { case ((fast, slow), t) =>
+      assert(fast == slow, s"mismatch on '$t'") }
+  }
+
+  test("token_shingles kernel == declarative shingle spec") {
+    val texts = Seq("a b c d e", "one two", "", "x y z x y z x y z",
+      "The. QUICK! brown-fox jumps")
+    val df = texts.toDF("text")
+    val got = df.select(
+        graft.functions.token_shingles(col("text"), 3).as("fast"),
+        graft.ext.Dedup.shinglesSpec(
+          graft.text.Tokenize.tokensArraySpec(col("text")), 3).as("slow"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.zip(texts).foreach { case ((fast, slow), t) =>
+      assert(fast == slow, s"mismatch on '$t'") }
+  }
+
+  test("expressions survive codegen in a grouped plan") {
+    val df = Seq(("k1", "abc"), ("k1", "def"), ("k2", "abc")).toDF("k", "s")
+    val out = df.groupBy("k").agg(min(poly_hash(col("s"))).as("m"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val h = (s: String) => s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(out == Seq(("k1", math.min(h("abc"), h("def"))), ("k2", h("abc"))))
+  }
+}
