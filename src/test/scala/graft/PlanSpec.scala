@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the scale properties claimed in the Scaladoc must
+  * actually appear in the optimized plans — filters and projections reach
+  * the parquet scan, small dims broadcast, aggregates have map-side
+  * partials, top-k never does a global sort. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def q(name: String): String =
+    plan(SparkEntry.queries(name)(spark, sf))
+
+  test("filter + projection are pushed into the parquet scan") {
+    val p = q("q_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("IsNotNull(l_quantity)"), p.takeRight(800))
+    // read schema pruned to the 5 referenced columns, not the full table
+    assert(p.contains("l_orderkey") && !p.contains("l_shipdate"))
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side") {
+    val p = q("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.takeRight(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("aggregations carry a map-side partial") {
+    val p = q("wc_word_count")
+    // partial + final pair of hash aggregates around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.takeRight(500))
+    assert(p.contains("Exchange"))
+  }
+
+  test("global top-k is TakeOrderedAndProject, not a total sort") {
+    val p = q("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.takeRight(500))
+  }
+
+  test("semi/anti joins plan as join, not subquery re-scan") {
+    assert(q("q_semi_join").contains("LeftSemi"))
+    assert(q("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the tokenizer pipeline") {
+    val df = SparkEntry.queries("wc_word_count")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the `*(n)` star marks a WholeStageCodegen span; it must cover the
+    // Generate(tokenizetext) + partial HashAggregate pipeline
+    assert(p.contains("*(1) Generate explode(tokenizetext"), p)
+    assert(p.contains("*(1) HashAggregate"), p)
+  }
+
+  test("brute-force topk broadcasts the query side") {
+    val p = q("sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.takeRight(800))
+  }
+}
