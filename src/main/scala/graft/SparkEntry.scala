@@ -71,6 +71,15 @@ object SparkEntry {
     "q_string_fns" -> ((s, d) => Relational.partTypeHeads(Tables.part(s, d))),
     "q_events_window" -> ((s, d) => Relational.hourlyEventStats(Tables.events(s, d))),
     "q_sessions" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    "q_json" -> ((s, d) => Relational.eventPropStats(Tables.events(s, d))),
+    "q_cube" -> ((s, d) => Relational.returnFlagCube(Tables.lineitem(s, d))),
+    "q_intersect" -> ((s, d) =>
+      Relational.richActiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_except" -> ((s, d) =>
+      Relational.richInactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_date_parts" -> ((s, d) => Relational.orderDateParts(Tables.orders(s, d))),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(Tables.lineitem(s, d))),
+    "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
     // ---- extensions: deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exactKeepIds(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) =>
@@ -231,6 +240,30 @@ object SparkEntry {
         |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS session_value
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q_json" ->
+      """SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q_date_parts" ->
+      """SELECT quarter(o_orderdate) AS q, day(o_orderdate) AS dom, count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY q, dom""".stripMargin,
+    "ii_postings_str" ->
+      s"""WITH tok AS ($tokSql),
+         |tf AS (SELECT word, doc, count(*) AS cnt FROM tok GROUP BY word, doc)
+         |SELECT word, string_agg(doc || ':' || cnt, ',' ORDER BY doc) AS postings
+         |FROM tf GROUP BY word ORDER BY word""".stripMargin,
     // ---- extensions ----
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",

@@ -27,6 +27,19 @@ object InvertedIndex {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word", "doc")
 
+  /** Canonical string form of the postings map ("doc:cnt,doc:cnt" sorted
+    * by doc) — the oracle-checkable rendering of the map-valued result. */
+  def postingsString(docs: DataFrame, textCol: String = "text", docCol: String = "source"): DataFrame =
+    Tokenize.tokenize(docs, textCol, docCol)
+      .groupBy("word", "doc")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("word")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("doc"), col("cnt")))),
+          e => concat(e.getField("doc"), lit(":"), e.getField("cnt"))))
+        .as("postings"))
+      .orderBy("word")
+
   /** word -> MAP<doc, cnt>, postings sorted by doc name. */
   def postings(docs: DataFrame, textCol: String = "text", docCol: String = "source"): DataFrame =
     Tokenize.tokenize(docs, textCol, docCol)

@@ -134,6 +134,51 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** JSON scalar functions over the events.props column: extract a field,
+    * cast, bucket, aggregate. */
+  def eventPropStats(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("k_mod")
+
+  /** CUBE grouping sets over (returnflag, linestatus). */
+  def returnFlagCube(lineitem: DataFrame): DataFrame =
+    lineitem.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** INTERSECT (set semantics): high-balance customers that have orders. */
+  def richActiveCustomers(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.filter(col("c_acctbal") > 5000).select("c_custkey")
+      .intersect(orders.select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** EXCEPT (set semantics): high-balance customers with no orders. */
+  def richInactiveCustomers(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.filter(col("c_acctbal") > 5000).select("c_custkey")
+      .except(orders.select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Date-part scalar functions: quarter / month / day-of-month buckets. */
+  def orderDateParts(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("q", "dom")
+
+  /** Exact vs approximate (HLL++) distinct — the fixed-memory sketch is
+    * the 100 TB path for distinct cardinalities. No SQL oracle (sketch
+    * internals are engine-specific); ScalaTest bounds the relative error. */
+  def approxDistinctParts(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP grouping sets (returnflag → returnflag×linestatus → grand). */
   def returnFlagRollup(lineitem: DataFrame): DataFrame =
     lineitem.rollup("l_returnflag", "l_linestatus")
