@@ -32,6 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity: the reference's two applications ----
     "wc_word_count" -> ((s, d) => WordCount.wordCount(Tables.documents(s, d))),
+    "wc_word_count_salted" -> ((s, d) => WordCount.wordCountSalted(Tables.documents(s, d))),
     "wc_formatted" -> ((s, d) => WordCount.formatted(Tables.documents(s, d))),
     "ii_flat" -> ((s, d) => InvertedIndex.flat(Tables.documents(s, d))),
     "ii_postings" -> ((s, d) => InvertedIndex.postings(Tables.documents(s, d))),
@@ -117,6 +118,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "wc_word_count" ->
+      s"""WITH tok AS ($tokSql)
+         |SELECT word, count(*) AS cnt FROM tok GROUP BY word ORDER BY word""".stripMargin,
+    "wc_word_count_salted" ->
       s"""WITH tok AS ($tokSql)
          |SELECT word, count(*) AS cnt FROM tok GROUP BY word ORDER BY word""".stripMargin,
     "wc_formatted" ->

@@ -21,6 +21,28 @@ object WordCount {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
 
+  /** Skew-resistant two-phase variant: pre-aggregate on (word, salt) so a
+    * pathologically hot token ("the" at web scale) spreads over
+    * `saltBuckets` reducers before the final combine. Results are
+    * identical to [[wordCount]] — counts are associative — so it shares
+    * the same oracle; only the exchange layout differs. */
+  def wordCountSalted(docs: DataFrame, saltBuckets: Int = 16,
+                      textCol: String = "text", docCol: String = "source"): DataFrame =
+    Tokenize.tokenize(docs, textCol, docCol)
+      .withColumn("salt", pmod(xxhash64(col("doc"), monotonically_increasing_id()), lit(saltBuckets)))
+      .groupBy("word", "salt")
+      .agg(count(lit(1)).as("c1"))
+      .groupBy("word")
+      .agg(sum(col("c1")).as("cnt"))
+      .orderBy("word")
+
+  /** Partition-local sort (reference op 8): cluster by word, sorted runs
+    * inside each partition, no global exchange beyond the clustering. */
+  def clusteredSorted(docs: DataFrame): DataFrame =
+    Tokenize.tokenize(docs)
+      .repartition(col("word"))
+      .sortWithinPartitions("word", "doc")
+
   /** The reference's text sink format: one line `word - [cnt]`.
     * Canonical form (totally ordered, no final-flush bug). */
   def formatted(docs: DataFrame): DataFrame =

@@ -1,0 +1,70 @@
+package graft
+
+import graft.apps.{InvertedIndex, WordCount}
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck invariants from SURVEY.md §5.2: conservation laws of the
+  * map/reduce apps and dedup idempotence, over generated corpora. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word = Gen.oneOf("the", "cat", "dog", "spark", "430zip", "protégé", "")
+  private val doc = for {
+    n <- Gen.choose(0, 40)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+  private val corpusGen = for {
+    n <- Gen.choose(1, 8)
+    docs <- Gen.listOfN(n, doc)
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t, s"src${i % 3}") }
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("word-count total == token count for any corpus") {
+    check("wc-conservation", Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val total = WordCount.wordCount(df)
+        .agg(coalesce(sum("cnt"), lit(0L))).as[Long].head()
+      total == graft.text.Tokenize.tokenize(df).count()
+    })
+  }
+
+  test("inverted-index row sums == word counts (postings conservation)") {
+    check("ii-conservation", Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val fromIndex = InvertedIndex.flat(df)
+        .groupBy("word").agg(sum("cnt").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val direct = WordCount.wordCount(df).as[(String, Long)].collect().toMap
+      fromIndex == direct
+    })
+  }
+
+  test("exact dedup is idempotent and never grows") {
+    check("dedup-idempotent", Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val once = Dedup.exactDedup(df)
+      val twice = Dedup.exactDedup(once)
+      val a = once.select("doc_id").as[Long].collect().sorted.toSeq
+      val b = twice.select("doc_id").as[Long].collect().sorted.toSeq
+      a == b && a.length <= rows.length
+    })
+  }
+
+  test("identical docs always share minhash signatures") {
+    check("minhash-identical", Prop.forAll(doc.suchThat(_.trim.nonEmpty)) { t =>
+      val df = Seq((0L, t, "a"), (1L, t, "b")).toDF("doc_id", "text", "source")
+      val sigs = Dedup.minhashFlat(df, numHashes = 4)
+        .select("doc_id", "h_idx", "minhash")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq)
+      sigs(0L) == sigs(1L)
+    })
+  }
+}

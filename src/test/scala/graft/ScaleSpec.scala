@@ -1,0 +1,63 @@
+package graft
+
+import graft.apps.WordCount
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Scale-technique demonstrations verified for CORRECTNESS here and for
+  * plan shape where observable: salting, partition-local sort, bucketed
+  * co-located joins. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted word count == plain word count") {
+    val docs = Tables.documents(spark, sf)
+    val plain = WordCount.wordCount(docs).as[(String, Long)].collect().toSeq
+    val salted = WordCount.wordCountSalted(docs, 16).as[(String, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("clusteredSorted: each partition is sorted and word-clustered") {
+    val parts = WordCount.clusteredSorted(Tables.documents(spark, sf))
+      .mapPartitions { it =>
+        val rows = it.map(r => (r.getString(0), r.getString(1))).toSeq
+        Iterator.single((rows == rows.sorted, rows.map(_._1).distinct))
+      }.collect()
+    assert(parts.forall(_._1), "a partition was not sorted")
+    // clustering: no word appears in two partitions
+    val allWords = parts.flatMap(_._2)
+    assert(allWords.length == allWords.distinct.length, "word split across partitions")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+    try {
+      val j = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.explainString(ExplainMode.fromString("simple"))
+      // the join itself must not re-shuffle either bucketed side
+      val joinPart = plan.substring(plan.indexOf("Join"))
+      assert(!joinPart.contains("Exchange hashpartitioning(o_custkey") &&
+        !joinPart.contains("Exchange hashpartitioning(c_custkey"), plan)
+      // and it must agree with the unbucketed join
+      val expect = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(j.as[(String, Long)].collect().toMap == expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
