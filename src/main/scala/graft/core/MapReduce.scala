@@ -39,13 +39,24 @@ object MapReduce {
   def reducerNames: Set[String] = reducers.keySet.toSet
 
   /** Run a registered (mapper, reducer) pair — the analogue of
-    * `GET /run_mapred/<files>/<map_fn>/<reduce_fn>`. Key column must be
-    * named `key` in the mapper output. */
-  def run(input: DataFrame, mapFn: String, reduceFn: String): DataFrame = {
+    * `GET /run_mapred/<files>/<map_num>/<reducers>/<map_fn>/<reduce_fn>`.
+    * Key column must be named `key` in the mapper output.
+    *
+    * `mapParallelism`/`reduceParallelism` mirror the reference's
+    * map_num/reduce_num knobs: map-side input splits and reduce-side
+    * shuffle partitions. 0 (default) leaves both to Catalyst/AQE, which
+    * is the right call except in benchmarking experiments. */
+  def run(input: DataFrame, mapFn: String, reduceFn: String,
+          mapParallelism: Int = 0, reduceParallelism: Int = 0): DataFrame = {
     val m = mappers.getOrElse(mapFn, sys.error(s"unknown mapper: $mapFn"))
     val r = reducers.getOrElse(reduceFn, sys.error(s"unknown reducer: $reduceFn"))
-    val mapped = m.apply(input)
-    r.post(mapped.groupBy("key").agg(r.aggs.head, r.aggs.tail: _*)).orderBy("key")
+    val in = if (mapParallelism > 0) input.repartition(mapParallelism) else input
+    val mapped = m.apply(in)
+    val grouped =
+      if (reduceParallelism > 0)
+        mapped.repartition(reduceParallelism, col("key")).groupBy("key")
+      else mapped.groupBy("key")
+    r.post(grouped.agg(r.aggs.head, r.aggs.tail: _*)).orderBy("key")
   }
 
   // ---- the reference's two shipped applications, expressed on the registry

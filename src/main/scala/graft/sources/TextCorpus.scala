@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Front-end matching the reference's user-facing I/O: read raw UTF-8 text
+  * files into the engine's document shape, and write the `word - [value]`
+  * text sink. The colon-separated-file-list + whole-file-read protocol of
+  * the reference becomes multi-path `spark.read.text` with per-line rows
+  * (equivalent under whitespace tokenization) and provenance from
+  * `input_file_name()`. */
+object TextCorpus {
+
+  /** Read text files (any mix of paths/globs) as (text, source) rows;
+    * `source` is the originating file name (the reference's doc id). */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.textFile(paths: _*)
+      .select(col("value").as("text"),
+        element_at(split(input_file_name(), "/"), -1).as("source"))
+
+  /** Write the reference's final.txt shape: `word - [value]` lines,
+    * totally ordered (the canonical fix of its nondeterministic append
+    * order and final-flush bug). */
+  def writeFormatted(df: DataFrame, path: String): Unit =
+    df.select(format_string("%s - [%s]", col(df.columns.head),
+        col(df.columns(1))).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+
+  /** The whole reference pipeline in one call: files → word count →
+    * formatted sink. */
+  def wordCountJob(spark: SparkSession, inputs: Seq[String], output: String): Unit =
+    writeFormatted(graft.apps.WordCount.wordCount(read(spark, inputs)), output)
+}

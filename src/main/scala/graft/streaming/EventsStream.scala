@@ -59,6 +59,14 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: first event per (user_id, event_type) within
+    * the watermark horizon — `dropDuplicates` with bounded state, the
+    * streaming face of the batch dedup suite. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+
   /** One closed user session emitted by the stateful sessionizer. */
   final case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                            n_events: Long, session_value_cents: Long)

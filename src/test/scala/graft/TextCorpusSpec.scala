@@ -1,0 +1,57 @@
+package graft
+
+import graft.core.MapReduce
+import graft.sources.TextCorpus
+import java.nio.file.Files
+
+/** End-to-end reference pipeline: raw text files in, `word - [n]` lines
+  * out, matching hand-computed counts; plus the parallelism knobs. */
+class TextCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordCountJob: files -> formatted final output") {
+    val dir = Files.createTempDirectory("graft_corpus")
+    Files.writeString(dir.resolve("a.txt"), "the cat sat\non the mat\n")
+    Files.writeString(dir.resolve("b.txt"), "The DOG!\n")
+    val out = dir.resolve("out").toString
+    TextCorpus.wordCountJob(spark, Seq(s"$dir/a.txt", s"$dir/b.txt"), out)
+    val lines = spark.read.textFile(out).collect().toSeq
+    assert(lines.contains("the - [3]"))
+    assert(lines.contains("dog - [1]"))
+    assert(lines.size == 6) // the cat sat on mat dog
+  }
+
+  test("read tags rows with originating file name") {
+    val dir = Files.createTempDirectory("graft_corpus2")
+    Files.writeString(dir.resolve("x.txt"), "alpha beta\n")
+    val rows = TextCorpus.read(spark, Seq(s"$dir/x.txt"))
+      .as[(String, String)].collect()
+    assert(rows.forall(_._2 == "x.txt"))
+  }
+
+  test("registry parallelism knobs do not change results") {
+    val corpus = Seq(("a.txt", "x y z x"), ("b.txt", "y z"))
+      .toDF("source", "text")
+    val base = MapReduce.run(corpus, "map_wc", "reduce_wc")
+      .as[(String, Long)].collect().toSeq
+    val knobbed = MapReduce.run(corpus, "map_wc", "reduce_wc",
+      mapParallelism = 5, reduceParallelism = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(knobbed == base)
+  }
+
+  test("streaming dedup emits one row per key") {
+    val stream = graft.streaming.EventsStream.dedupStream(
+      graft.streaming.EventsStream.readEvents(spark, "/root/testdata/sf0.001"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .groupBy("user_id", "event_type").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+      assert(got == 0, "duplicate (user_id, event_type) emitted")
+      assert(spark.table("dedup_out").count() > 0)
+    } finally q.stop()
+  }
+}
