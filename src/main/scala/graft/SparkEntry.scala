@@ -73,6 +73,10 @@ object SparkEntry {
     "q_events_window" -> ((s, d) => Relational.hourlyEventStats(Tables.events(s, d))),
     "q_sessions" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_json" -> ((s, d) => Relational.eventPropStats(Tables.events(s, d))),
+    "q_asof_join" -> ((s, d) =>
+      rel.TemporalJoins.latestOrderPerEvent(Tables.events(s, d), Tables.orders(s, d))),
+    "q_range_join" -> ((s, d) =>
+      rel.TemporalJoins.eventsNearOrders(Tables.events(s, d), Tables.orders(s, d))),
     "q_cube" -> ((s, d) => Relational.returnFlagCube(Tables.lineitem(s, d))),
     "q_intersect" -> ((s, d) =>
       Relational.richActiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
@@ -248,6 +252,22 @@ object SparkEntry {
       """SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey,
+        |  epoch_ms(o.o_orderdate) AS order_date_ms
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN events
+        |  ON o_custkey = user_id
+        | AND ts >= o_orderdate AND ts <= o_orderdate + INTERVAL 1 DAY
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
