@@ -1,0 +1,48 @@
+package graft
+
+import graft.apps.WordCount
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Golden-parity spot check (SURVEY §5.2.4): the reference's checked-in
+  * word-count golden (`final_wc.txt`, 4,477 words / 28,634 tokens from one
+  * real 2020 run) round-trips through this engine exactly.
+  *
+  * The original input corpus is not checked into the reference, so the
+  * check is the inverse derivation: rebuild a corpus realizing the golden
+  * multiset, run the engine's word count, and require the exact multiset
+  * back. This pins (a) count conservation on the reference's real
+  * vocabulary, and (b) tokenizer idempotence on every word the reference's
+  * Unicode normalizer produced — `protégé`, bare `é`, `430zip`, digits.
+  * Golden quirks normalized per SURVEY §2.1: the file is Latin-1 and has
+  * exactly reduce_num=50 bracket-less lines from the final-flush bug.
+  */
+class GoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goldenPath = "/root/reference/final_wc.txt"
+  private val line = """^(\S*) - \[?(\d+)\]?$""".r
+
+  test("final_wc.txt multiset round-trips through wordCount") {
+    assume(Files.exists(Paths.get(goldenPath)))
+    val golden: Map[String, Long] =
+      new String(Files.readAllBytes(Paths.get(goldenPath)), StandardCharsets.ISO_8859_1)
+        .linesIterator.filter(_.nonEmpty).map {
+          case line(w, n) => w -> n.toLong
+          case other => fail(s"unparseable golden line: '$other'")
+        }.toMap
+    assert(golden.size == 4477)
+    assert(golden.values.sum == 28634L)
+    assert(golden.contains("protégé") && golden.contains("à") && golden.contains("430zip"))
+
+    // realize the multiset as a corpus (chunked into docs of ~2k tokens)
+    val tokens = golden.iterator.flatMap { case (w, n) => Iterator.fill(n.toInt)(w) }.toSeq
+    val docs = tokens.grouped(2000).zipWithIndex
+      .map { case (ts, i) => (ts.mkString(" "), s"doc$i") }.toSeq
+      .toDF("text", "source")
+
+    val got = WordCount.wordCount(docs).as[(String, Long)].collect().toMap
+    assert(got == golden)
+  }
+}
