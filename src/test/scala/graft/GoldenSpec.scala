@@ -45,4 +45,42 @@ class GoldenSpec extends SparkSpec {
     val got = WordCount.wordCount(docs).as[(String, Long)].collect().toMap
     assert(got == golden)
   }
+
+  private val idGoldenPath = "/root/reference/sample_output_gcp_id.txt"
+  private val idLine = """^(\S*) - \[?\{(.*)\}\]?$""".r
+  private val entry = """'([^']+)': (\d+)""".r
+
+  test("sample_output_gcp_id.txt postings round-trip through invertedIndex") {
+    assume(Files.exists(Paths.get(idGoldenPath)))
+    // golden: word -> {doc -> cnt} over the reference's real 3-doc corpus.
+    // NOTE: unlike final_wc.txt (clean Latin-1), this golden is UTF-8 and
+    // the reference's own transport corrupted accents to U+FFFD in 5 words
+    // (`blas�`, `prot�g�`, ...) — its normalizer would have
+    // stripped � had it been in the input, so the corruption is
+    // downstream of compute. Those 5 words are excluded; accent handling
+    // itself is pinned by the wc golden above.
+    val all: Map[(String, String), Long] =
+      new String(Files.readAllBytes(Paths.get(idGoldenPath)), StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).flatMap {
+          case idLine(w, dict) =>
+            entry.findAllMatchIn(dict).map(m => (w, m.group(1)) -> m.group(2).toLong)
+          case other => fail(s"unparseable golden line: '$other'")
+        }.toMap
+    assert(all.map(_._1._1).toSet.size == 9687) // 9,687 distinct words
+    val golden = all.filterNot(_._1._1.contains('�'))
+    assert(all.size - golden.size <= 6)
+    val docNames = golden.keysIterator.map(_._2).toSet
+    assert(docNames == Set("FlyingFish.txt", "JekyllHyde.txt", "ChristmasCarol.txt"))
+
+    // realize per-doc corpora from the postings and invert them back
+    val docs = docNames.toSeq.sorted.map { d =>
+      val text = golden.collect { case ((w, `d`), n) =>
+        Iterator.fill(n.toInt)(w).mkString(" ") }.mkString(" ")
+      (text, d)
+    }.toDF("text", "source")
+    val got = graft.apps.InvertedIndex.flat(docs)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == golden)
+  }
 }
