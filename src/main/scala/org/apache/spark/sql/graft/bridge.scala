@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply the function injections of an extensions module to a live
+    * session's registry (test seam — production path is
+    * `spark.sql.extensions` at session build time). */
+  def applyFunctionExtensions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                              spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -26,6 +26,17 @@ class FunctionsSpec extends SparkSpec {
     assert(r == (('h'.toLong * 31 + 'i') % 1000000007L))
   }
 
+  test("GraftExtensions injects all four functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.bridge.applyFunctionExtensions(ext, spark)
+    val r = spark.sql(
+      """SELECT poly_hash('hi') AS h, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |size(tokenize_text('a b')) AS t, size(token_shingles('a b c d', 3)) AS s
+        |""".stripMargin).as[(Long, Double, Int, Int)].head()
+    assert(r == ((('h'.toLong * 31 + 'i') % 1000000007L, 11.0, 2, 2)))
+  }
+
   test("dot_product == sequential zip_with/aggregate fold, bit-identical") {
     val df = Seq((Array(0.1, 0.2, 0.3, 1e-17), Array(3.0, 2.0, 1.0, 1.0)))
       .toDF("a", "b")
