@@ -29,6 +29,16 @@ object Scratch {
     time("ngramJaccard")(Dedup.ngramJaccardPairs(docs, 3).count())
     time("minhashCandidates")(Dedup.minhashCandidates(docs).count())
     time("neardups")(Dedup.minhashNearDuplicates(docs, 0.3).count())
+    // 10x self-union with offset ids: 50k docs, every doc duplicated 10x —
+    // a true near-dup stress (LSH buckets of 10, 45 pairs each)
+    val docs10 = (0 until 10).map(i => docs.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text"))).reduce(_ unionByName _)
+    time("10x wc")(graft.apps.WordCount.wordCount(
+      docs10.withColumn("source", col("doc_id").cast("string"))).count())
+    time("10x minhashCandidates")(Dedup.minhashCandidates(docs10).count())
+    time("10x neardups>=0.9")(Dedup.minhashNearDuplicates(docs10, 0.9).count())
+    time("10x simhashPairs")(Dedup.simhashPairs(docs10, 30, 3).count())
+    time("10x exact dedup")(Dedup.exactKeepIds(docs10).count())
     val media = graft.ext.Multimodal.asMediaTable(docs)
     time("mm media")(media.count())
     time("mm features")(graft.ext.Multimodal.extractFeatures(media).count())

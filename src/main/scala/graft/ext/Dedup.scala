@@ -155,16 +155,44 @@ object Dedup {
   }
 
   /** MinHash near-duplicates: LSH candidates verified with exact shingle
-    * Jaccard ≥ threshold. The verify join touches candidate docs only. */
+    * Jaccard ≥ threshold.
+    *
+    * Scale design: exact-equal texts (the dominant duplicate class in web
+    * corpora) are collapsed to one representative by content hash BEFORE
+    * the LSH/verify machinery runs — signatures, banding and the shingle
+    * verify join all touch distinct texts only. Pairs are then expanded
+    * back: within-group pairs are Jaccard 1.0 by construction; cross-group
+    * pairs inherit their representatives' Jaccard. */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.7, k: Int = 3,
                             numHashes: Int = 64, bands: Int = 16,
                             baseHash: Column => Column = xxHash,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val cands = minhashCandidates(docs, k, numHashes, bands, baseHash, textCol, idCol)
-    jaccardOfPairs(cands, shingleRows(docs, k, textCol, idCol), idCol)
+    val groups = docs.groupBy(sha2(col(textCol), 256).as("__h"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"), min(col(idCol)).as("rep"))
+      .select("ids", "rep")
+    val reps = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val cands = minhashCandidates(reps, k, numHashes, bands, baseHash, textCol, idCol)
+    val repPairs = jaccardOfPairs(cands, shingleRows(reps, k, textCol, idCol), idCol)
       .filter(col("jaccard") >= threshold)
-      .orderBy("a", "b")
+    val repIds = broadcastIfSmall(groups)
+    val cross = repPairs
+      .join(repIds.select(col("rep").as("a"), col("ids").as("ids_a")), "a")
+      .join(repIds.select(col("rep").as("b"), col("ids").as("ids_b")), "b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("jaccard"))
+    val same = groups.filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"), lit(1.0d).as("jaccard"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("jaccard"))
+    same.unionByName(cross).orderBy("a", "b")
   }
+
+  /** Duplicate-group tables are usually tiny relative to the corpus;
+    * broadcast them when joining back (falls back to shuffle otherwise —
+    * Spark drops oversized broadcast hints with a warning, so this is a
+    * hint, not a requirement). */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** Exact Jaccard for given (a, b) pairs from shingle rows. Shingles are
     * joined by 64-bit hash, not string — a fixed-8-byte exchange key
@@ -238,30 +266,53 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** All (a, b) pairs of a sorted id array (a < b), as structs. */
+  private def pairsOfSorted(ids: Column): Column =
+    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
+      transform(slice(ids, i + 2, size(ids)),
+        x => struct(element_at(ids, i + 1).as("a"), x.as("b")))))
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist using the
     * pigeonhole block join: split the fingerprint into maxDist+1 blocks —
-    * any pair within distance maxDist agrees exactly on ≥1 block. */
-  def simhashPairs(docs: DataFrame, numBits: Int = 30, maxDist: Int = 3,
+    * any pair within distance maxDist agrees exactly on ≥1 block.
+    *
+    * Scale design: the join runs over DISTINCT fingerprints (exact-equal
+    * docs — the common near-dup case — collapse to one row first), and
+    * doc-level pairs are expanded afterwards from the per-fingerprint id
+    * lists. Identical corpora of n copies cost one n-row list, not an
+    * n²-row join. */
+  def simhashPairs(docs: DataFrame, numBits: Int = 48, maxDist: Int = 3,
                    baseHash: Column => Column = xxHash,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val blocks = maxDist + 1
     val blockBits = numBits / blocks
-    val sh = simhash(docs, numBits, baseHash, textCol, idCol)
-    val blocked = sh.select(col(idCol), col("simhash"),
+    val fps = simhash(docs, numBits, baseHash, textCol, idCol)
+      .groupBy("simhash").agg(sort_array(collect_list(col(idCol))).as("ids"))
+    // Hamming-0: pairs inside one fingerprint group
+    val same = fps.filter(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"), lit(0).as("hamming"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("hamming"))
+    // Hamming 1..maxDist: block join over distinct fingerprints only
+    val blocked = fps.select(col("simhash"), col("ids"),
       posexplode(array((0 until blocks).map(b =>
         shiftrightunsigned(col("simhash"), b * blockBits)
           .bitwiseAND((1L << blockBits) - 1)): _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
-    val a = blocked.select(col("block"), col("block_val"),
-      col(idCol).as("a"), col("simhash").as("sim_a"))
-    val b = blocked.select(col("block"), col("block_val"),
-      col(idCol).as("b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("block", "block_val")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
+    val l = blocked.select(col("block"), col("block_val"),
+      col("simhash").as("sim_a"), col("ids").as("ids_a"))
+    val r = blocked.select(col("block"), col("block_val"),
+      col("simhash").as("sim_b"), col("ids").as("ids_b"))
+    val cross = l.join(r, Seq("block", "block_val"))
+      .filter(col("sim_a") < col("sim_b"))
+      .select(col("sim_a"), col("sim_b"), col("ids_a"), col("ids_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") > 0 && col("hamming") <= maxDist)
       .distinct()
-      .filter(col("hamming") <= maxDist)
-      .orderBy("a", "b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("hamming"))
+    same.unionByName(cross).orderBy("a", "b")
   }
 }
