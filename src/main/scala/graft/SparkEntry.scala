@@ -84,6 +84,7 @@ object SparkEntry {
       Relational.richInactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     "q_date_parts" -> ((s, d) => Relational.orderDateParts(Tables.orders(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(Tables.lineitem(s, d))),
+    "q_percentiles" -> ((s, d) => Relational.docLengthPercentiles(Tables.documents(s, d))),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
     // ---- extensions: deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exactKeepIds(Tables.documents(s, d))),
@@ -280,6 +281,11 @@ object SparkEntry {
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |EXCEPT SELECT o_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_date_parts" ->
       """SELECT quarter(o_orderdate) AS q, day(o_orderdate) AS dom, count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY q, dom""".stripMargin,

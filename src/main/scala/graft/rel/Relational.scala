@@ -169,6 +169,19 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("q", "dom")
 
+  /** Exact interpolated percentiles of document length per language.
+    * (`percentile` = sort-based exact quantile; for 100 TB use
+    * `percentile_approx` — same plan shape, fixed memory.) */
+  def docLengthPercentiles(documents: DataFrame): DataFrame =
+    documents.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
   /** Exact vs approximate (HLL++) distinct — the fixed-memory sketch is
     * the 100 TB path for distinct cardinalities. No SQL oracle (sketch
     * internals are engine-specific); ScalaTest bounds the relative error. */

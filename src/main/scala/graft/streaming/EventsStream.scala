@@ -59,6 +59,22 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases within 30 minutes after an
+    * error by the same user. Both sides watermarked so join state is
+    * bounded; the time band makes the state horizon explicit. */
+  def purchasesAfterErrors(events: DataFrame, bandMinutes: Int = 30): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+    purchases.join(errors,
+      expr(s"""user_id = err_user AND
+              |ts >= err_ts AND ts <= err_ts + interval $bandMinutes minutes""".stripMargin))
+      .select(col("user_id"), col("event_id"), col("ts"), col("err_ts"), col("value"))
+  }
+
   /** Streaming exact dedup: first event per (user_id, event_type) within
     * the watermark horizon — `dropDuplicates` with bounded state, the
     * streaming face of the batch dedup suite. */

@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch range join") {
+    val stream = EventsStream.purchasesAfterErrors(
+      EventsStream.readEvents(spark, dir), bandMinutes = 30)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out")
+        .select("user_id", "event_id", "err_ts").as[(Long, Long, java.sql.Timestamp)]
+        .collect().toSet
+      val ev = Tables.events(spark, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      val batch = ev.filter(col("event_type") === "purchase")
+        .join(errors, expr(
+          "user_id = err_user AND ts >= err_ts AND ts <= err_ts + interval 30 minutes"))
+        .select("user_id", "event_id", "err_ts").as[(Long, Long, java.sql.Timestamp)]
+        .collect().toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer == batch sessionize") {
     val stream = EventsStream.sessionizeStream(
       spark, EventsStream.readEvents(spark, dir), gapMinutes = 30, flushOpen = true)
