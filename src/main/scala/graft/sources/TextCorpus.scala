@@ -31,4 +31,17 @@ object TextCorpus {
     * formatted sink. */
   def wordCountJob(spark: SparkSession, inputs: Seq[String], output: String): Unit =
     writeFormatted(graft.apps.WordCount.wordCount(read(spark, inputs)), output)
+
+  /** files → inverted index → `word - [{doc: cnt, …}]` formatted sink
+    * (canonical doc-sorted rendering of the reference's id output). */
+  def invertedIndexJob(spark: SparkSession, inputs: Seq[String], output: String): Unit = {
+    val postings = graft.apps.InvertedIndex.postingsString(read(spark, inputs))
+    writeFormatted(postings, output)
+  }
+
+  /** Partitioned parquet sink: the lake-layout write (one directory per
+    * partition value, pruned at read time by partition filters). */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

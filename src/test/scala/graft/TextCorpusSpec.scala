@@ -40,6 +40,35 @@ class TextCorpusSpec extends SparkSpec {
     assert(knobbed == base)
   }
 
+  test("partitioned parquet sink prunes at read time") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("graft_part").resolve("docs").toString
+    TextCorpus.writePartitioned(docs, out, Seq("lang"))
+    val langs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(langs.length == 5, langs.mkString(","))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // partition filter prunes to one directory
+    val one = back.filter(org.apache.spark.sql.functions.col("lang") === "de")
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(one.count() == docs.filter(org.apache.spark.sql.functions.col("lang") === "de").count())
+  }
+
+  test("GraftSession builds with injected SQL functions") {
+    val s = GraftSession.build("local[2]", 2)
+    assert(s.sql("SELECT poly_hash('x')").head().getLong(0) == 'x'.toLong)
+  }
+
+  test("invertedIndexJob writes canonical postings lines") {
+    val dir = Files.createTempDirectory("graft_corpus3")
+    Files.writeString(dir.resolve("a.txt"), "x y\n")
+    Files.writeString(dir.resolve("b.txt"), "y\n")
+    val out = dir.resolve("out").toString
+    TextCorpus.invertedIndexJob(spark, Seq(s"$dir/a.txt", s"$dir/b.txt"), out)
+    val lines = spark.read.textFile(out).collect().toSet
+    assert(lines == Set("x - [a.txt:1]", "y - [a.txt:1,b.txt:1]"))
+  }
+
   test("streaming dedup emits one row per key") {
     val stream = graft.streaming.EventsStream.dedupStream(
       graft.streaming.EventsStream.readEvents(spark, "/root/testdata/sf0.001"))
