@@ -119,6 +119,9 @@ object SparkEntry {
       Multimodal.featuresQuery(s, Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, d)))),
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.featuresQuery(s, Tables.documents(s, d)).drop("kind", "n_bytes", "format"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -364,5 +367,20 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_offset
         |FROM documents, unnest(range(0, octet_length(encode(text)), 100)) AS u(o)
         |ORDER BY media_id, frame_offset""".stripMargin,
+    "mm_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    octet_length(encode(text))::BIGINT % 640 + 1 AS width,
+        |    (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS height
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |  CASE WHEN greatest(width, height) > 256
+        |       THEN CAST(floor(width * 256 / greatest(width, height)) AS BIGINT)
+        |       ELSE width END AS new_width,
+        |  CASE WHEN greatest(width, height) > 256
+        |       THEN CAST(floor(height * 256 / greatest(width, height)) AS BIGINT)
+        |       ELSE height END AS new_height,
+        |  greatest(width, height) > 256 AS resized
+        |FROM f ORDER BY media_id""".stripMargin,
   )
 }

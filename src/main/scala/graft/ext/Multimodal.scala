@@ -57,6 +57,23 @@ object Multimodal {
     }
   }
 
+  /** Resize plan for decoded assets: clamp the longer edge to `maxDim`
+    * preserving aspect ratio (integer arithmetic — the real resampler is
+    * the stubbed codec; the geometry planning and schema are the real
+    * pipeline surface). */
+  def resizePlan(features: DataFrame, maxDim: Int = 256): DataFrame = {
+    val longEdge = greatest(col("width"), col("height"))
+    val needs = longEdge > maxDim
+    features.select(
+        col("media_id"), col("width"), col("height"),
+        when(needs, floor(col("width") * maxDim / longEdge).cast("long"))
+          .otherwise(col("width")).as("new_width"),
+        when(needs, floor(col("height") * maxDim / longEdge).cast("long"))
+          .otherwise(col("height")).as("new_height"),
+        needs.as("resized"))
+      .orderBy("media_id")
+  }
+
   /** Deterministic frame sampling stub for video-kind assets: pick every
     * `stride`-th byte offset as a "frame" index — exercises the explode
     * shape (1 asset row -> n frame rows) a real sampler produces. */
