@@ -43,7 +43,7 @@ object TextKernels {
     sb.toString
   }
 
-  private def tokenList(s: String): java.util.ArrayList[String] = {
+  private def tokenListGeneric(s: String): java.util.ArrayList[String] = {
     val out = new java.util.ArrayList[String]()
     val n = s.length
     var i = 0
@@ -58,9 +58,52 @@ object TextKernels {
     out
   }
 
+  /** ASCII fast path: tokenize straight off the UTF-8 bytes — no String
+    * decode, no codepoint walk. Applicable iff every byte is ASCII
+    * (0x00-0x7F), where lowercase is +32 on A-Z and the keep-set is
+    * [a-z0-9]; semantics identical to the generic path (pinned by
+    * FunctionsSpec on mixed corpora). */
+  private def tokenListAscii(bytes: Array[Byte]): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val n = bytes.length
+    val buf = new Array[Byte](n)
+    var bl = 0
+    var inTok = false
+    var i = 0
+    while (i <= n) {
+      val c: Int = if (i == n) ' ' else bytes(i) & 0xFF
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      if (ws) {
+        if (inTok) {
+          out.add(new String(buf, 0, bl, java.nio.charset.StandardCharsets.US_ASCII))
+          bl = 0; inTok = false
+        }
+      } else {
+        inTok = true
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+          buf(bl) = lc.toByte; bl += 1
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def isAllAscii(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) return false; i += 1 }
+    true
+  }
+
+  private def tokenListU(u: UTF8String): java.util.ArrayList[String] = {
+    val bytes = u.getBytes
+    if (isAllAscii(bytes)) tokenListAscii(bytes) else tokenListGeneric(u.toString)
+  }
+
   /** text -> array<string> of normalized tokens. */
   def tokenize(u: UTF8String): ArrayData = {
-    val toks = tokenList(u.toString)
+    val toks = tokenListU(u)
     val arr = new Array[Any](toks.size)
     var i = 0
     while (i < toks.size) { arr(i) = UTF8String.fromString(toks.get(i)); i += 1 }
@@ -70,7 +113,7 @@ object TextKernels {
   /** text -> distinct k-token shingles (first-occurrence order); documents
     * shorter than k collapse to one whole-text shingle. */
   def shingles(u: UTF8String, k: Int): ArrayData = {
-    val toks = tokenList(u.toString)
+    val toks = tokenListU(u)
     val seen = new java.util.LinkedHashSet[String]()
     if (toks.size < k) {
       seen.add(String.join(" ", toks))
