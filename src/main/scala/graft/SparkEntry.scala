@@ -114,6 +114,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextStats.languageId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
+    "text_bigrams" -> ((s, d) => TextStats.topNgrams(Tables.documents(s, d), 2, 20)),
     // ---- extensions: multimodal columns ----
     "mm_features" -> ((s, d) =>
       Multimodal.featuresQuery(s, Tables.documents(s, d))),
@@ -356,6 +357,14 @@ object SparkEntry {
          |    ORDER BY score_scaled DESC, word) AS rn FROM scored)
          |SELECT doc_id, word, tf, df, score_scaled, rn FROM ranked
          |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "text_bigrams" ->
+      s"""WITH ${OracleSql.toksCte},
+         |grams AS (
+         |  SELECT g FROM toks, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS u(g))
+         |SELECT g AS ngram, count(*) AS cnt FROM grams
+         |GROUP BY g ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         |  octet_length(encode(text))::BIGINT AS n_bytes,
