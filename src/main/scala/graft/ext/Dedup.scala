@@ -226,8 +226,10 @@ object Dedup {
     val sh = shingleRows(docs, k, textCol, idCol)
       .select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
     val filtered = if (maxDf == Long.MaxValue) sh else {
+      // NOT broadcast: the kept-shingle set is nearly the full vocabulary
+      // (only hot shingles are dropped) — let AQE pick the join strategy
       val df = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
-      sh.join(broadcast(df.filter(col("df") <= maxDf)), "sh_h").select(col(idCol), col("sh_h"))
+      sh.join(df.filter(col("df") <= maxDf), "sh_h").select(col(idCol), col("sh_h"))
     }
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = filtered.select(col(idCol).as("a"), col("sh_h"))

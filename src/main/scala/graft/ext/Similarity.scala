@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
@@ -49,6 +48,21 @@ object Similarity {
   private def pairScore(x: String, y: String): Column =
     dot(col(s"v_$x"), col(s"v_$y")) / (sqrt(col(s"n2_$x")) * sqrt(col(s"n2_$y")))
 
+  /** Per-query top-k with bounded shuffle: a TopKAggregator partial keeps
+    * ≤ k candidates per (partition, query) map-side, so the exchange
+    * carries k·|partitions|·|queries| rows — never the full scored set.
+    * Ordering identical to `row_number over (score desc, id)`. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.core.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.core.Scored])
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (query rows themselves excluded). Ties broken by vec_id. */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
@@ -60,11 +74,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         pairScore("query_id", "neighbor_id").as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component: derived from a hash
@@ -116,11 +126,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         pairScore("query_id", "neighbor_id").as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    // no dedup needed: each corpus vector lives in exactly one bucket, and
+    // probe values are distinct, so a candidate pair appears at most once
+    topKPerQuery(scored, k)
   }
 
   /** Top-N most-similar pairs by cosine (a < b) — the bounded, always
