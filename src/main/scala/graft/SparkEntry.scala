@@ -108,6 +108,7 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 500), 50)),
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), 0L until 8L, 5, 8)),
+    "sim_label_stats" -> ((s, d) => Similarity.labelStats(Tables.embeddings(s, d))),
     // ---- extensions: text analysis ----
     "text_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),
@@ -306,6 +307,17 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.simhash(30),
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50),
     "sim_topk" -> OracleSql.simTopK(8, 5),
+    "sim_label_stats" ->
+      """WITH n AS (
+        |  SELECT label, len(embedding)::BIGINT AS dim,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, len(embedding)+1),
+        |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+        |      (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, max(dim) AS dim,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "sim_cosine_pairs" -> OracleSql.cosineTopPairs(500, 50),
     "text_stats" ->
       s"""WITH ${OracleSql.toksCte},

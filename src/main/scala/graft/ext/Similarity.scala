@@ -131,6 +131,19 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Array-column statistics per label: vector count, dimension, and the
+    * norm envelope (min/max — order-independent double aggregates, unlike
+    * a sum of norms, so results are engine-portable). */
+  def labelStats(embeddings: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col("label"),
+        size(col(vecCol)).cast("long").as("dim"),
+        norm(col(vecCol).cast("array<double>")).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+      .orderBy("label")
+
   /** Top-N most-similar pairs by cosine (a < b) — the bounded, always
     * non-empty form of near-dup pair mining. */
   def topCosinePairs(embeddings: DataFrame, limit: Int,
