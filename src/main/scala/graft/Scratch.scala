@@ -39,6 +39,9 @@ object Scratch {
     time("10x neardups>=0.9")(Dedup.minhashNearDuplicates(docs10, 0.9).count())
     time("10x simhashPairs")(Dedup.simhashPairs(docs10, 30, 3).count())
     time("10x exact dedup")(Dedup.exactKeepIds(docs10).count())
+    time("10x ngram maxDf=200")(Dedup.ngramJaccardPairs(docs10, 3, maxDf = 200).count())
+    time("range_join again")(graft.rel.TemporalJoins.eventPairsWithin(
+      Tables.events(spark, "/root/testdata/sf0.1")).count())
     val media = graft.ext.Multimodal.asMediaTable(docs)
     time("mm media")(media.count())
     time("mm features")(graft.ext.Multimodal.extractFeatures(media).count())

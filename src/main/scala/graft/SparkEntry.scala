@@ -76,7 +76,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) =>
       rel.TemporalJoins.latestOrderPerEvent(Tables.events(s, d), Tables.orders(s, d))),
     "q_range_join" -> ((s, d) =>
-      rel.TemporalJoins.eventsNearOrders(Tables.events(s, d), Tables.orders(s, d))),
+      rel.TemporalJoins.eventPairsWithin(Tables.events(s, d))),
     "q_cube" -> ((s, d) => Relational.returnFlagCube(Tables.lineitem(s, d))),
     "q_intersect" -> ((s, d) =>
       Relational.richActiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
@@ -268,12 +268,12 @@ object SparkEntry {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
     "q_range_join" ->
-      """SELECT o_orderpriority, count(*) AS n_pairs,
-        |  count(DISTINCT o_orderkey) AS n_orders
-        |FROM orders JOIN events
-        |  ON o_custkey = user_id
-        | AND ts >= o_orderdate AND ts <= o_orderdate + INTERVAL 1 DAY
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+      """SELECT a.event_type AS a_type, count(*) AS n_pairs,
+        |  count(DISTINCT a.event_id) AS n_lead_events
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
+        |GROUP BY 1 ORDER BY a_type""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -51,16 +51,21 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
-  /** Banded range join: events within `days` after an order by the same
-    * user, aggregated per order priority. Equi on the key, band as a join
-    * filter. */
-  def eventsNearOrders(events: DataFrame, orders: DataFrame, days: Int = 1): DataFrame =
-    orders.join(events,
-        col("o_custkey") === col("user_id") &&
-          col("ts") >= col("o_orderdate") &&
-          col("ts") <= col("o_orderdate") + expr(s"INTERVAL $days DAYS"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
-      .orderBy("o_orderpriority")
+  /** Banded range join: ordered pairs of events by the same user within
+    * `minutes` of each other. Equi on the key, band as a join filter —
+    * per-key candidate count bounds the blowup, never |L|×|R|. */
+  def eventPairsWithin(events: DataFrame, minutes: Int = 30): DataFrame = {
+    val a = events.select(col("user_id"), col("event_id").as("a_id"),
+      col("ts").as("a_ts"), col("event_type").as("a_type"))
+    val b = events.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("a_ts") < col("b_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $minutes MINUTES"),
+        "inner")
+      .groupBy(col("a_type"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("a_id")).as("n_lead_events"))
+      .orderBy("a_type")
+  }
 }

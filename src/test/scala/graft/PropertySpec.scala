@@ -57,6 +57,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("TopKAggregator == sort-take under any partitioning") {
+    val scores = for {
+      n <- Gen.choose(0, 60)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 20L), Gen.choose(-5.0, 5.0)))
+    } yield xs.zipWithIndex.map { case ((q, s), i) => (q, i.toLong, s) }
+    check("topk", Prop.forAll(scores, Gen.choose(1, 7), Gen.choose(1, 5)) {
+      (rows, k, parts) =>
+        val topk = org.apache.spark.sql.functions.udaf(
+          new graft.core.TopKAggregator(k),
+          org.apache.spark.sql.Encoders.product[graft.core.Scored])
+        val df = rows.toDF("query_id", "neighbor_id", "score").repartition(parts)
+        val got = df.groupBy("query_id")
+          .agg(topk(col("score"), col("neighbor_id")).as("top"))
+          .select(col("query_id"), explode(col("top")).as("s"))
+          .select(col("query_id"), col("s.id"), col("s.score"))
+          .as[(Long, Long, Double)].collect().toSet
+        val want = rows.groupBy(_._1).flatMap { case (q, rs) =>
+          rs.map(r => (r._3, r._2)).sortBy(t => (-t._1, t._2)).take(k)
+            .map(t => (q, t._2, t._1))
+        }.toSet
+        got == want
+    })
+  }
+
   test("identical docs always share minhash signatures") {
     check("minhash-identical", Prop.forAll(doc.suchThat(_.trim.nonEmpty)) { t =>
       val df = Seq((0L, t, "a"), (1L, t, "b")).toDF("doc_id", "text", "source")
