@@ -190,7 +190,8 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
@@ -280,11 +281,11 @@ object SparkEntry {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-        |INTERSECT SELECT o_custkey FROM orders
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
         |ORDER BY c_custkey""".stripMargin,
     "q_except" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-        |EXCEPT SELECT o_custkey FROM orders
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
         |ORDER BY c_custkey""".stripMargin,
     "q_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

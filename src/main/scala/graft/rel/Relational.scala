@@ -81,9 +81,13 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")
 
-  /** Anti join: customers with no orders (NOT EXISTS). */
-  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
-    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+  /** Anti join: customers with no order above `minTotal` (NOT EXISTS).
+    * (Every customer has SOME order in the test data, so the unfiltered
+    * anti join would be provably empty — a vacuous demo.) */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             minTotal: Double = 400000): DataFrame =
+    customer.join(orders.filter(col("o_totalprice") > minTotal),
+        customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
 
@@ -149,16 +153,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
-  /** INTERSECT (set semantics): high-balance customers that have orders. */
+  /** INTERSECT (set semantics): high-balance customers with a big order
+    * (> 400k) — the complement of [[richInactiveCustomers]]. */
   def richActiveCustomers(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.filter(col("c_acctbal") > 5000).select("c_custkey")
-      .intersect(orders.select(col("o_custkey").as("c_custkey")))
+      .intersect(orders.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
-  /** EXCEPT (set semantics): high-balance customers with no orders. */
+  /** EXCEPT (set semantics): high-balance customers minus those with a
+    * big order (> 400k) — non-vacuous on the test data. */
   def richInactiveCustomers(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.filter(col("c_acctbal") > 5000).select("c_custkey")
-      .except(orders.select(col("o_custkey").as("c_custkey")))
+      .except(orders.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
   /** Date-part scalar functions: quarter / month / day-of-month buckets. */

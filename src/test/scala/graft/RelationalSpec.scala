@@ -22,6 +22,7 @@ class RelationalSpec extends SparkSpec {
   test("intersect + except partition the high-balance customers") {
     val c = Tables.customer(spark, sf)
     val o = Tables.orders(spark, sf)
+    // both sides use the same big-order predicate, so they partition rich
     val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey").distinct().count()
     val active = Relational.richActiveCustomers(c, o).count()
     val inactive = Relational.richInactiveCustomers(c, o).count()
