@@ -100,6 +100,8 @@ object SparkEntry {
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
     "dedup_minhash_neardups" -> ((s, d) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, d), 0.3, 3, 64, 16)),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Tables.documents(s, d), 0.3)),
     // ---- extensions: similarity search ----
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),

@@ -188,6 +188,56 @@ object Dedup {
     same.unionByName(cross).orderBy("a", "b")
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node ends up labeled with the smallest
+    * id reachable from it. Converges in O(component diameter) rounds
+    * (near-dup clusters are shallow); each round is one join + one
+    * aggregation, checkpointed to keep lineage flat. */
+  def clusterPairs(nodes: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src").as(idCol)).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), idCol)
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clustering end-to-end: MinHash+LSH pairs → transitive
+    * clusters → (doc_id, cluster_id), cluster_id = min doc id of the
+    * component. Exact duplicates land in the same cluster via their
+    * Jaccard-1.0 pairs. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.7,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashNearDuplicates(docs, threshold, textCol = textCol, idCol = idCol)
+      .select("a", "b")
+    clusterPairs(docs.select(col(idCol)), pairs, idCol).orderBy(idCol)
+  }
+
+  /** The dedup decision: one retained id per near-dup cluster. */
+  def nearDupKeepIds(docs: DataFrame, threshold: Double = 0.7,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    nearDupClusters(docs, threshold, textCol, idCol)
+      .groupBy("cluster_id").agg(min(col(idCol)).as(idCol))
+      .select(idCol).orderBy(idCol)
+
   /** Duplicate-group tables are usually tiny relative to the corpus;
     * broadcast them when joining back (falls back to shuffle otherwise —
     * Spark drops oversized broadcast hints with a warning, so this is a

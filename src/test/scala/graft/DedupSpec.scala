@@ -60,6 +60,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("near-dup clustering is transitive and keeps one id per cluster") {
+    // chain: 0≡1 (exact), 1~2 (1 edit), 2~3 (edits) — one component even
+    // though 0 and 3 may never pair directly; 4 isolated
+    val clusters = Dedup.nearDupClusters(corpus, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L)
+    assert(clusters(3L) == 0L, "transitive chain must merge")
+    assert(clusters(4L) == 4L, "isolated doc keeps its own cluster")
+    val kept = Dedup.nearDupKeepIds(corpus, threshold = 0.5)
+      .as[Long].collect().toSeq
+    assert(kept == Seq(0L, 4L))
+  }
+
   test("minhash signature is invariant under repartitioning") {
     val s1 = Dedup.minhashFlat(corpus, numHashes = 8).collect().toSeq
     val s2 = Dedup.minhashFlat(corpus.repartition(7), numHashes = 8)
