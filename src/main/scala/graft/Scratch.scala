@@ -40,6 +40,7 @@ object Scratch {
     time("10x simhashPairs")(Dedup.simhashPairs(docs10, 30, 3).count())
     time("10x exact dedup")(Dedup.exactKeepIds(docs10).count())
     time("10x ngram maxDf=200")(Dedup.ngramJaccardPairs(docs10, 3, maxDf = 200).count())
+    time("clusters sf0.1")(Dedup.nearDupClusters(docs, 0.3).count())
     time("range_join again")(graft.rel.TemporalJoins.eventPairsWithin(
       Tables.events(spark, "/root/testdata/sf0.1")).count())
     val media = graft.ext.Multimodal.asMediaTable(docs)

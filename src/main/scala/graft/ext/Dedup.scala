@@ -195,10 +195,18 @@ object Dedup {
     * aggregation, checkpointed to keep lineage flat. */
   def clusterPairs(nodes: DataFrame, pairs: DataFrame,
                    idCol: String = "doc_id", maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
-    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).persist()
+    // materialize the pair list once and truncate its (potentially huge)
+    // minhash lineage — iterative plans over cached-but-deep lineage are a
+    // classic Spark trap (cache lookup misses re-run the whole pipeline
+    // per round). localCheckpoint is the local-mode form; a cluster
+    // deployment would use a reliable checkpoint dir.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    // propagation only touches edge-incident nodes; everything else is
+    // trivially its own singleton cluster and joins back at the end
+    var labels = edges.select(col("src").as(idCol)).distinct()
+      .select(col(idCol), col(idCol).as("cluster_id")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -209,15 +217,15 @@ object Dedup {
         .select(col(idCol),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), idCol)
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
-    labels
+    nodes.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
   /** Near-dup clustering end-to-end: MinHash+LSH pairs → transitive
