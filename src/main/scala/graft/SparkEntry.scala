@@ -57,6 +57,9 @@ object SparkEntry {
       Relational.ordersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "q_join_broadcast" -> ((s, d) =>
       Relational.customersPerRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_multi_join" -> ((s, d) =>
+      Relational.localSupplierRevenue(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_semi_join" -> ((s, d) =>
       Relational.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_anti_join" -> ((s, d) =>
@@ -185,6 +188,17 @@ object SparkEntry {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_multi_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer

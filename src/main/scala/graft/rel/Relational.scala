@@ -74,6 +74,26 @@ object Relational {
         (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("sum_acctbal"))
       .orderBy("r_name", "n_name")
 
+  /** Q5-style six-table join: local-supplier revenue per nation — the
+    * classic join-reorder workout. Facts (lineitem, orders) shuffle on
+    * their keys; dims (supplier, nation, region) broadcast; the
+    * c_nationkey = s_nationkey constraint closes the cycle. */
+  def localSupplierRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                           supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+      .orderBy("r_name", "n_name")
+
   /** Semi join: customers having at least one order (EXISTS). */
   def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
