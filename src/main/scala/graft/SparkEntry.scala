@@ -114,6 +114,8 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), 0L until 8L, 5, 8)),
     "sim_label_stats" -> ((s, d) => Similarity.labelStats(Tables.embeddings(s, d))),
+    "sim_ivf" -> ((s, d) =>
+      ext.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 8L, 5, 16, 4)),
     // ---- extensions: text analysis ----
     "text_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),

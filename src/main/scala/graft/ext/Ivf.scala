@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor: partition the corpus into
+  * `nlist` Voronoi cells around k-means centroids, then search only the
+  * `nprobe` cells nearest each query.
+  *
+  * Scale design: centroids are tiny (nlist × dim doubles) and live on the
+  * driver/broadcast; corpus assignment is a per-row argmin over literal
+  * centroid vectors through the codegen'd dot product — one narrow pass,
+  * no shuffle. Search joins queries to cells by cell id (equi-join), so
+  * cost scales with cell occupancy × nprobe, not |corpus|.
+  *
+  * Training is Lloyd's algorithm with deterministic seeding (the `nlist`
+  * lowest-id vectors): assignment pass + per-dimension mean, both as
+  * DataFrame aggregations; centroids are collected per round (k × dim
+  * values — driver-sized by construction).
+  */
+object Ivf {
+
+  import Similarity.dot
+
+  /** Squared-distance rank surrogate for fixed v: |c|² − 2·v·c (the |v|²
+    * term is constant per row, so argmin is unchanged). */
+  private def cellOf(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2.0d) * dot(vec, typedLit(c))).as("d"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Train `nlist` centroids with `iters` Lloyd rounds. Returns
+    * (cell_id, centroid vector) pairs, driver-side. */
+  def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val vecs = embeddings
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    var centroids: Seq[(Int, Seq[Double])] = vecs.orderBy(col(idCol)).limit(nlist)
+      .select("v").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cell", cellOf(col("v"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+        .select(col("cell"), transform(col("s"), x => x.getField("m")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      // empty cells keep their previous centroid
+      val byCell = means.toMap
+      centroids = centroids.map { case (cid, c) => (cid, byCell.getOrElse(cid, c)) }
+    }
+    centroids
+  }
+
+  /** IVF top-k: probe the `nprobe` cells nearest each query, exact cosine
+    * within candidates, bounded top-k aggregation. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(embeddings, nlist, iters, idCol, vecCol)
+    val corpus = embeddings
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v_neighbor_id"))
+      .withColumn("n2_neighbor_id", dot(col("v_neighbor_id"), col("v_neighbor_id")))
+      .withColumn("cell", cellOf(col("v_neighbor_id"), centroids))
+    // each query explodes to its nprobe nearest cells
+    val probeCells = array_sort(array(centroids.map { case (cid, c) =>
+      struct((lit(c.map(x => x * x).sum) - lit(2.0d) * dot(col("v_query_id"), typedLit(c))).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    val queries = broadcast(
+      embeddings.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("v_query_id"))
+        .withColumn("n2_query_id", dot(col("v_query_id"), col("v_query_id")))
+        .withColumn("cell", explode(transform(slice(probeCells, 1, nprobe), x => x.getField("cid")))))
+    val scored = corpus.join(queries, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_query_id"), col("v_neighbor_id")) /
+          (sqrt(col("n2_query_id")) * sqrt(col("n2_neighbor_id")))).as("score"))
+    val topk = udaf(new graft.core.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.core.Scored])
+    scored.groupBy("query_id")
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+}

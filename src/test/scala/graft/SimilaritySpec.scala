@@ -40,6 +40,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ann == ann2)
   }
 
+  test("ivf: centroids partition the corpus; recall lifts over probe fraction") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val nlist = 8
+    val nprobe = 2
+    val brute = Similarity.bruteForceTopK(emb, ids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.ext.Ivf.ivfTopK(emb, ids, 10, nlist, nprobe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing 2 of 8 cells; Voronoi locality must beat the random baseline
+    assert(recall > nprobe.toDouble / nlist,
+      s"recall $recall shows no lift over cell fraction ${nprobe.toDouble / nlist}")
+    assert(ivf.size == ids.size * 10, "every query must fill k results")
+  }
+
   test("near-dup pairs symmetric under id swap and bounded by 1") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(2.0f, 4.0f, 6.0f)),
