@@ -54,6 +54,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink lands the streamed aggregates") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val stream = EventsStream.hourlyStats(EventsStream.readEvents(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }.start()
+    try {
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("hour_start", "event_type", "n", "sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = Relational.hourlyEventStats(Tables.events(spark, dir))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(landed.nonEmpty && landed.subsetOf(batch))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer == batch sessionize") {
     val stream = EventsStream.sessionizeStream(
       spark, EventsStream.readEvents(spark, dir), gapMinutes = 30, flushOpen = true)
