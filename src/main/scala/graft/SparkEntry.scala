@@ -105,6 +105,8 @@ object SparkEntry {
       Dedup.minhashNearDuplicates(Tables.documents(s, d), 0.3, 3, 64, 16)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Tables.documents(s, d), 0.3)),
+    "pipeline_clean_corpus" -> ((s, d) =>
+      ext.TrainingPipeline.cleanCorpus(Tables.documents(s, d), 0.3).select("doc_id", "lang", "source")),
     // ---- extensions: similarity search ----
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),

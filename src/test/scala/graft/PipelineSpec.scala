@@ -1,0 +1,36 @@
+package graft
+
+import graft.ext.TrainingPipeline
+import org.apache.spark.sql.DataFrame
+
+/** End-to-end corpus-cleaning composite: stage accounting must be
+  * internally consistent and the planted junk/dup docs must fall out. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    "the quick brown fox jumps over the lazy dog while the cat watches the birds fly south"
+
+  private lazy val corpus: DataFrame = Seq(
+    (0L, good, "en", "s0"),
+    (1L, good, "en", "s1"), // exact dup of 0
+    (2L, good.replace("lazy", "sleepy"), "en", "s2"), // near dup of 0
+    (3L, "short junk", "en", "s3"), // fails quality gate (n_tokens < 10)
+    (4L, "completely different content about catalyst optimizer rules and the " +
+      "code generation of large scale engines", "en", "s4")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("cleanCorpus keeps one representative per cluster, drops junk") {
+    val kept = TrainingPipeline.cleanCorpus(corpus, nearDupThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(0L, 4L))
+  }
+
+  test("stage report is internally consistent") {
+    val r = TrainingPipeline.stageReport(corpus, nearDupThreshold = 0.5)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (nIn, nQ, nExact, nFinal, qDrop, ndDrop) = r
+    assert(nIn == 5 && nQ == 4 && nExact == 3 && nFinal == 2)
+    assert(qDrop == nIn - nQ && ndDrop == nExact - nFinal)
+  }
+}
