@@ -4,7 +4,8 @@ import graft.text.Tokenize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Inverted index — the reference's second application (`map_id`/`reduce_id`):
+/** Inverted index — the reference's second application (`map_id`/`reduce_id`,
+  * reference `MapReduce.py:25-41`):
   * word -> {doc: count}.
   *
   * Two forms:

@@ -4,7 +4,8 @@ import graft.text.Tokenize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Word count — the reference's first application (`map_wc`/`reduce_wc`).
+/** Word count — the reference's first application (`map_wc`/`reduce_wc`,
+  * reference `MapReduce.py:25-30` mapper and `MapReduce.py:42-49` reducer).
   *
   * One declarative plan: tokenize -> groupBy(word) -> count. Catalyst
   * inserts the partial (map-side) aggregate before the exchange, which the

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Front-end matching the reference's user-facing I/O: read raw UTF-8 text
-  * files into the engine's document shape, and write the `word - [value]`
-  * text sink. The colon-separated-file-list + whole-file-read protocol of
+  * files into the engine's document shape (reference `master.py:54-64`), and
+  * write the `word - [value]` text sink (reference `KeyValueStore.py:27-32`,
+  * `MapReduce.py:161-162`). The colon-separated-file-list + whole-file-read protocol of
   * the reference becomes multi-path `spark.read.text` with per-line rows
   * (equivalent under whitespace tokenization) and provenance from
   * `input_file_name()`. */

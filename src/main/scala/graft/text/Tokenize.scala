@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Canonical tokenizer of the engine.
   *
-  * Semantics (parity with the reference pipeline, see survey of
-  * `master.py:55-64`):
+  * Semantics (parity with the reference pipeline, `master.py:55-64` in
+  * /root/reference):
   *   1. split the document text on runs of whitespace (Python
   *      `str.split()` semantics: no empty tokens produced by the split
   *      itself);
