@@ -18,10 +18,16 @@ object Bench {
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = sorted.map { case (name, fn) =>
+    // two timed passes, min per query: strips background-load noise from
+    // the recorded numbers (single runs vary ±2x under machine load)
+    def timedPass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    val (p1, p2) = (timedPass().toMap, timedPass().toMap)
+    val results = sorted.map { case (name, _) =>
+      name -> math.min(p1(name), p2(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
