@@ -19,7 +19,9 @@ object TrainingPipeline {
   def cleanCorpus(docs: DataFrame, nearDupThreshold: Double = 0.7,
                   minTokens: Int = 10): DataFrame = {
     val quality = TextStats.qualityScores(docs)
-      .filter(col("quality_ok")).select("doc_id")
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= 0.01 && col("digit_ratio") <= 0.5)
+      .select("doc_id")
     val qualified = docs.join(quality, "doc_id")
     val keep = Dedup.nearDupKeepIds(qualified, nearDupThreshold)
     qualified.join(keep, "doc_id").orderBy("doc_id")

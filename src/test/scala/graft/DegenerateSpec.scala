@@ -1,0 +1,59 @@
+package graft
+
+import graft.apps.{InvertedIndex, WordCount}
+import graft.ext.{Dedup, Similarity, TextStats, TrainingPipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Degenerate inputs must degrade to empty/sane results, never throw:
+  * empty tables, null text, single-document corpora. */
+class DegenerateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val empty: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType))))
+
+  private lazy val withNull = Seq(
+    (1L, "real text here for the test", "en", "s"),
+    (2L, null.asInstanceOf[String], "en", "s")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("empty corpus: wc, ii, dedup, clustering all yield empty") {
+    assert(WordCount.wordCount(empty).count() == 0)
+    assert(InvertedIndex.flat(empty).count() == 0)
+    assert(Dedup.exactKeepIds(empty).count() == 0)
+    assert(Dedup.minhashFlat(empty).count() == 0)
+    assert(Dedup.nearDupClusters(empty).count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty).count() == 0)
+    assert(TextStats.tfIdfTopK(empty).count() == 0)
+  }
+
+  test("null text rows are dropped, not fatal") {
+    // tokenization drops the null row; per-doc stats carry null metrics
+    assert(WordCount.wordCount(withNull).agg(
+      org.apache.spark.sql.functions.sum("cnt")).as[Long].head() == 6)
+    val stats = TextStats.tokenStats(withNull).collect()
+    assert(stats.length == 2)
+    assert(TrainingPipeline.cleanCorpus(withNull, minTokens = 1).count() == 1)
+  }
+
+  test("single-document corpus: no pairs, one cluster, valid stats") {
+    val one = Seq((7L, "a b c d e f g h i j k l", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    assert(Dedup.ngramJaccardPairs(one).count() == 0)
+    assert(Dedup.simhashPairs(one).count() == 0)
+    val cl = Dedup.nearDupClusters(one).as[(Long, Long)].collect()
+    assert(cl.toSeq == Seq((7L, 7L)))
+  }
+
+  test("empty embeddings: topk and pairs yield empty") {
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.bruteForceTopK(emptyEmb, Seq(1L), 5).count() == 0)
+    assert(Similarity.topCosinePairs(emptyEmb, 10).count() == 0)
+  }
+}
