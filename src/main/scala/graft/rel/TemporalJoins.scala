@@ -1,7 +1,6 @@
 package graft.rel
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal joins: as-of (latest right row at or before each left time)
@@ -29,10 +28,15 @@ object TemporalJoins {
                    leftId: String, leftKey: Column, rightKey: Column,
                    leftTime: Column, rightTime: Column): DataFrame = {
     val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime, "left")
-    val w = Window.partitionBy(col(leftId)).orderBy(rightTime.desc_nulls_last)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // argmax by right time as max_by: a declarative aggregate with a
+    // map-side partial, instead of a ranking window that would shuffle and
+    // sort every candidate row. Unmatched left rows keep a null struct
+    // (max_by skips null ordering keys), preserving ASOF LEFT semantics.
+    val leftCols = left.columns
+    val rightCols = right.columns
+    joined.groupBy(leftCols.map(col): _*)
+      .agg(max_by(struct(rightCols.map(col): _*), rightTime).as("__best"))
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
   /** Latest order at or before each event, per user — the engine's as-of
