@@ -360,15 +360,18 @@ object SparkEntry {
          |    len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+'))::BIGINT AS n_bpeish,
          |    len(list_filter(toks, t -> t IN (${OracleSql.stopwordList})))::BIGINT AS n_stopwords,
          |    len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$')))::BIGINT AS n_digit_tokens,
-         |    len(list_filter(toks, t -> length(t) >= 10))::BIGINT AS n_long_tokens
+         |    len(list_filter(toks, t -> length(t) >= 10))::BIGINT AS n_long_tokens,
+         |    len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::BIGINT AS n_punct_chars,
+         |    length(text)::BIGINT AS n_chars_total
          |  FROM toks JOIN documents USING (doc_id)),
          |r2 AS (
          |  SELECT *,
          |    CAST(n_stopwords AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS stopword_ratio,
-         |    CAST(n_digit_tokens AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS digit_ratio
+         |    CAST(n_digit_tokens AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS digit_ratio,
+         |    CAST(n_punct_chars AS DOUBLE) / CAST(nullif(n_chars_total, 0) AS DOUBLE) AS punct_ratio
          |  FROM raw)
          |SELECT doc_id, n_tokens, n_bpeish, n_stopwords, n_digit_tokens, n_long_tokens,
-         |  stopword_ratio, digit_ratio,
+         |  n_punct_chars, n_chars_total, stopword_ratio, digit_ratio, punct_ratio,
          |  (n_tokens >= 10 AND stopword_ratio >= 0.01 AND digit_ratio <= 0.5) AS quality_ok
          |FROM r2 ORDER BY doc_id""".stripMargin,
     "text_langid" -> OracleSql.langId,

@@ -53,11 +53,16 @@ object TextStats {
         bpeishCount(col(textCol)).as("n_bpeish"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("n_stopwords"),
         size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit_tokens"),
-        size(filter(toks, t => length(t) >= 10)).cast("long").as("n_long_tokens"))
+        size(filter(toks, t => length(t) >= 10)).cast("long").as("n_long_tokens"),
+        size(regexp_extract_all(col(textCol), lit("[^\\p{L}\\p{N}\\s]"), lit(0)))
+          .cast("long").as("n_punct_chars"),
+        length(col(textCol)).cast("long").as("n_chars_total"))
       .withColumn("stopword_ratio",
         col("n_stopwords").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
       .withColumn("digit_ratio",
         col("n_digit_tokens").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+      .withColumn("punct_ratio",
+        col("n_punct_chars").cast("double") / nullif(col("n_chars_total"), lit(0)).cast("double"))
       .withColumn("quality_ok",
         col("n_tokens") >= 10 && col("stopword_ratio") >= 0.01 && col("digit_ratio") <= 0.5)
       .orderBy(idCol)
