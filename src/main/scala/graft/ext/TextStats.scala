@@ -96,6 +96,36 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Character-trigram profiles per language, derived deterministically
+    * from the marker lexicons (padded words -> sliding 3-grams). */
+  lazy val LangTrigramProfiles: Seq[(String, Seq[String])] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> words.flatMap { w =>
+        val padded = s" $w "
+        (0 to padded.length - 3).map(i => padded.substring(i, i + 3))
+      }.distinct.sorted
+    }
+
+  /** Language ID by character n-gram profile overlap — the classic
+    * n-gram heuristic (the lexicon variant above is its word-level
+    * cousin and carries the SQL oracle). Score = |doc trigram set ∩
+    * language profile|; argmax, alphabetical tie-break. */
+  def languageIdNgram(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val grams = array_distinct(transform(sequence(lit(1), greatest(length(padded) - 2, lit(1))),
+      i => padded.substr(i, lit(3))))
+    val scored = docs.select(
+      (col(idCol) +: LangTrigramProfiles.map { case (lang, profile) =>
+        size(array_intersect(grams, typedLit(profile))).cast("long").as(s"ng_$lang")
+      }): _*)
+    val best = greatest(LangTrigramProfiles.map(p => col(s"ng_${p._1}")): _*)
+    val pred = LangTrigramProfiles.map(_._1).reverse.foldLeft(lit("und")) { (els, lang) =>
+      when(col(s"ng_$lang") === best && best > 0, lit(lang)).otherwise(els)
+    }
+    scored.select(col(idCol), pred.as("pred_lang"), best.as("best_score"))
+      .orderBy(idCol)
+  }
+
   /** Rolling-hash document fingerprint over the raw text characters —
     * h = fold (h*31 + ascii(c)) mod P. Content-addressing that any engine
     * can recompute (same fold as Dedup.polyHash). */

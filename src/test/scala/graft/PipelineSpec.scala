@@ -26,6 +26,19 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Seq(0L, 4L))
   }
 
+  test("char-ngram language id agrees with lexicon id on markered text") {
+    val df = Seq(
+      (1L, "the cat is a friend of the dog and the bird", "s"),
+      (2L, "der hund ist nicht das problem und die katze", "s")
+    ).toDF("doc_id", "text", "source")
+    val lex = graft.ext.TextStats.languageId(df)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    val ngram = graft.ext.TextStats.languageIdNgram(df)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(lex(1L) == "en" && lex(2L) == "de")
+    assert(ngram(1L) == "en" && ngram(2L) == "de")
+  }
+
   test("stage report is internally consistent") {
     val r = TrainingPipeline.stageReport(corpus, nearDupThreshold = 0.5)
       .as[(Long, Long, Long, Long, Long, Long)].head()
