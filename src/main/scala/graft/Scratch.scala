@@ -40,6 +40,21 @@ object Scratch {
     time("10x simhashPairs")(Dedup.simhashPairs(docs10, 30, 3).count())
     time("10x exact dedup")(Dedup.exactKeepIds(docs10).count())
     time("10x ngram maxDf=200")(Dedup.ngramJaccardPairs(docs10, 3, maxDf = 200).count())
+    // apples-to-apples vs BASELINE.md: the reference's exact workload size
+    locally {
+      val line = """^(\S*) - \[?(\d+)\]?$""".r
+      val golden = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/final_wc.txt")),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+        .linesIterator.filter(_.nonEmpty).collect { case line(w, n) => (w, n.toInt) }.toSeq
+      val toks = golden.flatMap { case (w, n) => Seq.fill(n)(w) }
+      import spark.implicits._
+      val corpus = toks.grouped(600).zipWithIndex
+        .map { case (t, i) => (t.mkString(" "), s"d$i") }.toSeq.toDF("text", "source")
+      corpus.count() // materialize input
+      time("baseline-scale wc (28.6k tokens)")(
+        graft.apps.WordCount.wordCount(corpus).count())
+    }
     time("clusters sf0.1")(Dedup.nearDupClusters(docs, 0.3).count())
     time("range_join again")(graft.rel.TemporalJoins.eventPairsWithin(
       Tables.events(spark, "/root/testdata/sf0.1")).count())
