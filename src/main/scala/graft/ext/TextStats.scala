@@ -136,17 +136,11 @@ object TextStats {
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):
     * top-k n-grams with total occurrence counts. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
-                textCol: String = "text"): DataFrame = {
-    val toks = Tokenize.tokensArray(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(explode(grams).as("ngram"))
+                textCol: String = "text"): DataFrame =
+    docs.select(explode(graft.functions.token_ngrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
-  }
 
   /** TF-IDF: top-k terms per document.
     *

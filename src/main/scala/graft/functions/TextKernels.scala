@@ -110,6 +110,29 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** text -> ALL k-token n-grams in order (non-distinct — frequency
+    * counting wants every occurrence; dedup shingling wants [[shingles]]).
+    * Documents shorter than k yield no n-grams. */
+  def ngrams(u: UTF8String, k: Int): ArrayData = {
+    val toks = tokenListU(u)
+    if (toks.size < k) return new GenericArrayData(new Array[Any](0))
+    val arr = new Array[Any](toks.size - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + k <= toks.size) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** text -> distinct k-token shingles (first-occurrence order); documents
     * shorter than k collapse to one whole-text shingle. */
   def shingles(u: UTF8String, k: Int): ArrayData = {
@@ -149,6 +172,17 @@ case class TokenizeText(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenize($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenizeText =
+    copy(child = newChild)
+}
+
+/** Column expression: all k-token n-grams (non-distinct) from text. */
+case class TokenNgrams(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngrams(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.ngrams($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
     copy(child = newChild)
 }
 

@@ -23,6 +23,10 @@ package object functions {
   def token_shingles(c: Column, k: Int): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(c), k))
 
+  /** Codegen'd non-distinct k-grams from raw text (see [[TokenNgrams]]). */
+  def token_ngrams(c: Column, k: Int): Column =
+    ExpressionUtils.column(TokenNgrams(ExpressionUtils.expression(c), k))
+
   /** Register both as SQL functions on a session (idempotent). */
   def registerSql(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
