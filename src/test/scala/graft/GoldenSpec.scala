@@ -46,6 +46,25 @@ class GoldenSpec extends SparkSpec {
     assert(got == golden)
   }
 
+  test("sample_test_case_2 (two-doc union) multiset round-trips") {
+    val p = "/root/reference/sample_test_case_2_final_wc.txt"
+    assume(Files.exists(Paths.get(p)))
+    val golden: Map[String, Long] =
+      new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.ISO_8859_1)
+        .linesIterator.filter(_.nonEmpty).map {
+          case line(w, n) => w -> n.toLong
+          case other => fail(s"unparseable golden line: '$other'")
+        }.toMap
+    assert(golden.size == 7650)
+    // realize as TWO source documents and count through the union path
+    val tokens = golden.iterator.flatMap { case (w, n) => Iterator.fill(n.toInt)(w) }.toSeq
+    val (h1, h2) = tokens.splitAt(tokens.size / 2)
+    val docs = Seq((h1.mkString(" "), "docA"), (h2.mkString(" "), "docB"))
+      .toDF("text", "source")
+    val got = WordCount.wordCount(docs).as[(String, Long)].collect().toMap
+    assert(got == golden)
+  }
+
   private val idGoldenPath = "/root/reference/sample_output_gcp_id.txt"
   private val idLine = """^(\S*) - \[?\{(.*)\}\]?$""".r
   private val entry = """'([^']+)': (\d+)""".r
