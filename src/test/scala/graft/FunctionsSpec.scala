@@ -75,6 +75,29 @@ class FunctionsSpec extends SparkSpec {
       assert(fast == slow, s"mismatch on '$t'") }
   }
 
+  test("token_ngrams kernel == declarative non-distinct n-gram spec") {
+    val texts = Seq("a b c d e", "x y", "", "w w w w", "One! two THREE four")
+    val df = texts.toDF("text")
+    val spec = {
+      val toks = graft.text.Tokenize.tokensArraySpec(col("text"))
+      when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val got = df.select(
+        graft.functions.token_ngrams(col("text"), 2).as("fast"), spec.as("slow"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.zip(texts).foreach { case ((fast, slow), t) =>
+      assert(fast == slow, s"mismatch on '$t'") }
+  }
+
+  test("registry rejects unknown mapper/reducer names") {
+    val df = Seq(("s", "t")).toDF("source", "text")
+    intercept[RuntimeException](graft.core.MapReduce.run(df, "nope", "reduce_wc"))
+    intercept[RuntimeException](graft.core.MapReduce.run(df, "map_wc", "nope"))
+  }
+
   test("expressions survive codegen in a grouped plan") {
     val df = Seq(("k1", "abc"), ("k1", "def"), ("k2", "abc")).toDF("k", "s")
     val out = df.groupBy("k").agg(min(poly_hash(col("s"))).as("m"))
