@@ -125,6 +125,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
     "text_bigrams" -> ((s, d) => TextStats.topNgrams(Tables.documents(s, d), 2, 20)),
+    "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
     // ---- extensions: multimodal columns ----
     "mm_features" -> ((s, d) =>
       Multimodal.featuresQuery(s, Tables.documents(s, d))),
@@ -393,6 +394,11 @@ object SparkEntry {
          |    ORDER BY score_scaled DESC, word) AS rn FROM scored)
          |SELECT doc_id, word, tf, df, score_scaled, rn FROM ranked
          |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    "text_vocab" ->
+      s"""WITH tok AS ($tokSql),
+         |counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id, word, cnt
+         |FROM counts ORDER BY word_id""".stripMargin,
     "text_bigrams" ->
       s"""WITH ${OracleSql.toksCte},
          |grams AS (

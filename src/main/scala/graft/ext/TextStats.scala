@@ -133,6 +133,23 @@ object TextStats {
     docs.select(col(idCol), Dedup.polyHash(col(textCol)).as("fingerprint"))
       .orderBy(idCol)
 
+  /** Vocabulary with stable dictionary ids: tokens ranked by frequency
+    * (count desc, word asc — fully deterministic), optionally truncated to
+    * the top `maxSize`. The id assignment is a global sort over the
+    * |vocabulary|-sized aggregate — tiny next to the token stream. */
+  def vocabulary(docs: DataFrame, maxSize: Int = Int.MaxValue,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = docs
+      .select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word"))
+    val ranked = counts.withColumn("word_id", row_number().over(w).cast("long") - 1)
+    (if (maxSize == Int.MaxValue) ranked else ranked.filter(col("word_id") < maxSize))
+      .select("word_id", "word", "cnt")
+      .orderBy("word_id")
+  }
+
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):
     * top-k n-grams with total occurrence counts. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
