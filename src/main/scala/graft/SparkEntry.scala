@@ -126,6 +126,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
     "text_bigrams" -> ((s, d) => TextStats.topNgrams(Tables.documents(s, d), 2, 20)),
     "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
+    "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
     // ---- extensions: multimodal columns ----
     "mm_features" -> ((s, d) =>
       Multimodal.featuresQuery(s, Tables.documents(s, d))),
@@ -399,6 +400,17 @@ object SparkEntry {
          |counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
          |SELECT row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id, word, cnt
          |FROM counts ORDER BY word_id""".stripMargin,
+    "text_encode" ->
+      s"""WITH ${OracleSql.toksCte},
+         |tokpos AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS word
+         |  FROM toks, unnest(range(1, len(toks)+1)) AS r(i)),
+         |counts AS (SELECT word, count(*) AS cnt FROM tokpos GROUP BY word),
+         |vocab AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id
+         |          FROM counts)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, coalesce(word_id, -1) AS word_id
+         |FROM tokpos LEFT JOIN vocab USING (word)
+         |ORDER BY doc_id, pos""".stripMargin,
     "text_bigrams" ->
       s"""WITH ${OracleSql.toksCte},
          |grams AS (

@@ -150,6 +150,39 @@ object TextStats {
       .orderBy("word_id")
   }
 
+  /** Encode each document as its token-id sequence under [[vocabulary]] —
+    * the final tokenize-for-training step. Out-of-vocabulary tokens (when
+    * maxSize truncates) map to -1. The vocab is broadcast (it is the small
+    * side by construction); order is preserved via position-sorted
+    * re-assembly, so no window shuffle over the token stream. */
+  def encodeDocuments(docs: DataFrame, maxSize: Int = Int.MaxValue,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = broadcast(vocabulary(docs, maxSize, textCol, idCol)
+      .select(col("word"), col("word_id")))
+    docs.select(col(idCol), posexplode(Tokenize.tokensArray(col(textCol))))
+      .withColumnRenamed("col", "word")
+      .join(vocab, Seq("word"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("word_id"), lit(-1L)).as("word_id"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("word_id")))).as("s"))
+      .select(col(idCol), transform(col("s"), x => x.getField("word_id")).as("token_ids"))
+      .orderBy(idCol)
+  }
+
+  /** Flat (doc_id, pos, word_id) form of [[encodeDocuments]] — the
+    * relational rendering the SQL oracle checks. */
+  def encodeDocumentsFlat(docs: DataFrame, maxSize: Int = Int.MaxValue,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = broadcast(vocabulary(docs, maxSize, textCol, idCol)
+      .select(col("word"), col("word_id")))
+    docs.select(col(idCol), posexplode(Tokenize.tokensArray(col(textCol))))
+      .withColumnRenamed("col", "word")
+      .join(vocab, Seq("word"), "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("word_id"), lit(-1L)).as("word_id"))
+      .orderBy(idCol, "pos")
+  }
+
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):
     * top-k n-grams with total occurrence counts. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,

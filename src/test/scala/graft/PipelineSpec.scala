@@ -39,6 +39,18 @@ class PipelineSpec extends SparkSpec {
     assert(ngram(1L) == "en" && ngram(2L) == "de")
   }
 
+  test("document encoding round-trips through the vocabulary") {
+    val df = Seq((1L, "b a c a b a", "s")).toDF("doc_id", "text", "source")
+    // freq ranks: a(3)->0, b(2)->1, c(1)->2
+    val ids = graft.ext.TextStats.encodeDocuments(df)
+      .select("token_ids").as[Seq[Long]].head()
+    assert(ids == Seq(1L, 0L, 2L, 0L, 1L, 0L))
+    // truncation maps OOV to -1
+    val truncated = graft.ext.TextStats.encodeDocuments(df, maxSize = 2)
+      .select("token_ids").as[Seq[Long]].head()
+    assert(truncated == Seq(1L, 0L, -1L, 0L, 1L, 0L))
+  }
+
   test("stage report is internally consistent") {
     val r = TrainingPipeline.stageReport(corpus, nearDupThreshold = 0.5)
       .as[(Long, Long, Long, Long, Long, Long)].head()
