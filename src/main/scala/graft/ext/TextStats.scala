@@ -133,54 +133,62 @@ object TextStats {
     docs.select(col(idCol), Dedup.polyHash(col(textCol)).as("fingerprint"))
       .orderBy(idCol)
 
-  /** Vocabulary with stable dictionary ids: tokens ranked by frequency
-    * (count desc, word asc — fully deterministic), optionally truncated to
-    * the top `maxSize`. The id assignment is a global sort over the
-    * |vocabulary|-sized aggregate — tiny next to the token stream. */
-  def vocabulary(docs: DataFrame, maxSize: Int = Int.MaxValue,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Frequency-ranked vocabulary without the presentation sort (join
+    * consumers don't need row order and shouldn't pay the exchange). */
+  private def rankedVocab(docs: DataFrame, maxSize: Int, textCol: String): DataFrame = {
     val counts = docs
       .select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("word"))
     val ranked = counts.withColumn("word_id", row_number().over(w).cast("long") - 1)
-    (if (maxSize == Int.MaxValue) ranked else ranked.filter(col("word_id") < maxSize))
+    if (maxSize == Int.MaxValue) ranked else ranked.filter(col("word_id") < maxSize)
+  }
+
+  /** Vocabulary with stable dictionary ids: tokens ranked by frequency
+    * (count desc, word asc — fully deterministic), optionally truncated to
+    * the top `maxSize`. The id assignment is a global sort over the
+    * |vocabulary|-sized aggregate — tiny next to the token stream. */
+  def vocabulary(docs: DataFrame, maxSize: Int = Int.MaxValue,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    rankedVocab(docs, maxSize, textCol)
       .select("word_id", "word", "cnt")
       .orderBy("word_id")
-  }
 
-  /** Encode each document as its token-id sequence under [[vocabulary]] —
-    * the final tokenize-for-training step. Out-of-vocabulary tokens (when
-    * maxSize truncates) map to -1. The vocab is broadcast (it is the small
-    * side by construction); order is preserved via position-sorted
-    * re-assembly, so no window shuffle over the token stream. */
-  def encodeDocuments(docs: DataFrame, maxSize: Int = Int.MaxValue,
-                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vocab = broadcast(vocabulary(docs, maxSize, textCol, idCol)
-      .select(col("word"), col("word_id")))
-    docs.select(col(idCol), posexplode(Tokenize.tokensArray(col(textCol))))
-      .withColumnRenamed("col", "word")
-      .join(vocab, Seq("word"), "left")
-      .select(col(idCol), col("pos"), coalesce(col("word_id"), lit(-1L)).as("word_id"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("word_id")))).as("s"))
-      .select(col(idCol), transform(col("s"), x => x.getField("word_id")).as("token_ids"))
-      .orderBy(idCol)
-  }
-
-  /** Flat (doc_id, pos, word_id) form of [[encodeDocuments]] — the
-    * relational rendering the SQL oracle checks. */
+  /** Flat (doc_id, pos, word_id) token-id encoding under [[vocabulary]] —
+    * the relational form the SQL oracle checks. Out-of-vocabulary tokens
+    * (when maxSize truncates) map to -1. The vocab is broadcast only when
+    * maxSize bounds it; with an unbounded dictionary the join strategy is
+    * left to Catalyst/AQE (a web-scale distinct-token table must not be
+    * forced onto the driver). `idCol` must be unique per document. */
   def encodeDocumentsFlat(docs: DataFrame, maxSize: Int = Int.MaxValue,
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val vocab = broadcast(vocabulary(docs, maxSize, textCol, idCol)
-      .select(col("word"), col("word_id")))
+    val v = rankedVocab(docs, maxSize, textCol).select(col("word"), col("word_id"))
+    val vocab = if (maxSize == Int.MaxValue) v else broadcast(v)
     docs.select(col(idCol), posexplode(Tokenize.tokensArray(col(textCol))))
       .withColumnRenamed("col", "word")
       .join(vocab, Seq("word"), "left")
       .select(col(idCol), col("pos").cast("long").as("pos"),
         coalesce(col("word_id"), lit(-1L)).as("word_id"))
       .orderBy(idCol, "pos")
+  }
+
+  /** Token-id sequence per document (array form of
+    * [[encodeDocumentsFlat]]). Documents that tokenize to zero tokens
+    * (empty/whitespace/null text) are KEPT with an empty token_ids array —
+    * a training pipeline must not silently lose rows. `idCol` must be
+    * unique per document (duplicate ids would interleave sequences). */
+  def encodeDocuments(docs: DataFrame, maxSize: Int = Int.MaxValue,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val encoded = encodeDocumentsFlat(docs, maxSize, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("word_id")))).as("s"))
+      .select(col(idCol), transform(col("s"), x => x.getField("word_id")).as("token_ids"))
+    docs.select(col(idCol))
+      .join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"))
+      .orderBy(idCol)
   }
 
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):

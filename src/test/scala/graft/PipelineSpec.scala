@@ -49,6 +49,11 @@ class PipelineSpec extends SparkSpec {
     val truncated = graft.ext.TextStats.encodeDocuments(df, maxSize = 2)
       .select("token_ids").as[Seq[Long]].head()
     assert(truncated == Seq(1L, 0L, -1L, 0L, 1L, 0L))
+    // empty-tokenizing docs are kept with an empty sequence, not dropped
+    val withEmpty = Seq((1L, "a b", "s"), (2L, "   ", "s")).toDF("doc_id", "text", "source")
+    val enc = graft.ext.TextStats.encodeDocuments(withEmpty)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(enc(2L) == Seq.empty && enc(1L).size == 2)
   }
 
   test("stage report is internally consistent") {
