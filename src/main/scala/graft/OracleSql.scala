@@ -7,11 +7,12 @@ import graft.ext.{Dedup, TextStats}
   * family, same fold order for doubles) so results match bit-for-bit. */
 object OracleSql {
 
-  /** Normalized token ARRAY per doc (mirror of Tokenize.tokensArray). */
+  /** Normalized token ARRAY per doc (mirror of Tokenize.tokensArray).
+    * Whitespace is the explicit Java-`\s` set (RE2's `\s` lacks \x0B). */
   val toksCte: String =
     """toks AS (
       |  SELECT doc_id, list_transform(
-      |           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''),
+      |           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> t <> ''),
       |           t -> lower(regexp_replace(t, '[^\p{L}\p{N}]+', '', 'g'))) AS toks
       |  FROM documents)""".stripMargin
 
@@ -83,10 +84,11 @@ object OracleSql {
        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
        |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
 
-  /** Cosine in double with the engine's exact fold order. */
+  /** Cosine in double with the engine's exact fold order (common-prefix
+    * zip semantics for unequal dimensions, like DotProduct). */
   def cosineExpr(a: String, b: String): String = {
     def dot(x: String, y: String): String =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), " +
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, least(len($x), len($y))+1), " +
         s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }

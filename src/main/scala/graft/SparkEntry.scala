@@ -22,11 +22,13 @@ object SparkEntry {
     WordCount.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
 
   /** Shared DuckDB CTE: the canonical tokenizer (§1.4 rules) as SQL.
-    * RE2 has no `(?U)` flag but supports the explicit Unicode classes. */
+    * RE2 has no `(?U)` flag but supports the explicit Unicode classes.
+    * Whitespace is the explicit Java-`\s` set — RE2's `\s` lacks
+    * vertical tab (\x0B), which Java and the engine kernel include. */
   private val tokSql =
     """SELECT lower(regexp_replace(t, '[^\p{L}\p{N}]+', '', 'g')) AS word,
       |       source AS doc
-      |FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS u(t)
+      |FROM documents, unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS u(t)
       |WHERE t <> ''""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -223,6 +223,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterPairs did not converge in $maxIter rounds ($changed labels still " +
+          "moving) — components wider than maxIter hops are split; raise maxIter")
     nodes.select(col(idCol))
       .join(labels, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))

@@ -43,7 +43,10 @@ object Multimodal {
       n_bytes = n,
       width = n % 640 + 1,
       height = (n * 7) % 480 + 1,
-      format = if (r.payload.nonEmpty && r.payload(0) < 'n'.toByte) "png" else "jpeg")
+      // unsigned byte compare, matching the oracle's binary-collation
+      // substr(text,1,1) < 'n' (UTF-8 lead bytes >= 0x80 sort AFTER 'n';
+      // empty text sorts before)
+      format = if (r.payload.isEmpty || (r.payload(0) & 0xFF) < 'n'.toInt) "png" else "jpeg")
   }
 
   /** Partition-wise decode: one decoder context per partition, streamed
@@ -79,7 +82,9 @@ object Multimodal {
     * shape (1 asset row -> n frame rows) a real sampler produces. */
   def sampleFrames(media: DataFrame, stride: Int = 100): DataFrame =
     media.select(col("media_id"),
-        explode(sequence(lit(0L), length(col("payload")).cast("long") - 1, lit(stride.toLong)))
+        explode(when(length(col("payload")) > 0,
+            sequence(lit(0L), length(col("payload")).cast("long") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<bigint>")))
           .as("frame_offset"))
       .orderBy("media_id", "frame_offset")
 

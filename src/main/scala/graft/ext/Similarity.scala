@@ -111,7 +111,17 @@ object Similarity {
     * tested against brute force in ScalaTest. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    val dimRow = embeddings.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) { // empty corpus: empty result with the right shape
+      val spark = embeddings.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
+    }
+    val dim = dimRow.head.getInt(0)
     val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
     val bucketed = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
       .withColumn("bucket", lshBucket(col("v_neighbor_id"), planes))

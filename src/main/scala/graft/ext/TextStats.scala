@@ -212,10 +212,13 @@ object TextStats {
     val tok = Tokenize.tokenize(docs, textCol, idCol).withColumnRenamed("doc", idCol)
     val tf = tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = docs.count()
+    // N folded into the plan as a 1-row broadcast aggregate — no eager
+    // count() job at DataFrame-construction time
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
       .withColumn("idf_micro",
-        round(log(lit(n.toDouble) / col("df").cast("double")) * 1e6).cast("long"))
+        round(log(col("n_docs") / col("df").cast("double")) * 1e6).cast("long"))
       .withColumn("score_scaled", col("tf") * col("idf_micro"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_scaled").desc, col("word"))

@@ -27,11 +27,21 @@ package object functions {
   def token_ngrams(c: Column, k: Int): Column =
     ExpressionUtils.column(TokenNgrams(ExpressionUtils.expression(c), k))
 
-  /** Register both as SQL functions on a session (idempotent). */
+  /** Register ALL custom functions on a session (idempotent) — must stay
+    * in sync with GraftExtensions' injections. */
   def registerSql(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "tokenize_text", exprs => TokenizeText(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_shingles", exprs => TokenShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_ngrams", exprs => TokenNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

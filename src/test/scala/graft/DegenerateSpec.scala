@@ -48,6 +48,17 @@ class DegenerateSpec extends SparkSpec {
     assert(cl.toSeq == Seq((7L, 7L)))
   }
 
+  test("empty payload: frame sampling yields no frames, decode still runs") {
+    val docs = Seq((1L, "", "s"), (2L, "abc", "s")).toDF("doc_id", "text", "source")
+    val media = graft.ext.Multimodal.asMediaTable(docs)
+    val frames = graft.ext.Multimodal.sampleFrames(media)
+      .as[(Long, Long)].collect().toSeq
+    assert(frames == Seq((2L, 0L)))
+    val feats = graft.ext.Multimodal.extractFeatures(media)
+      .collect().map(f => f.media_id -> f.format).toMap
+    assert(feats(1L) == "png") // '' sorts before 'n', matching the oracle
+  }
+
   test("empty embeddings: topk and pairs yield empty") {
     val emptyEmb = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -55,5 +66,6 @@ class DegenerateSpec extends SparkSpec {
         StructField("embedding", ArrayType(FloatType)))))
     assert(Similarity.bruteForceTopK(emptyEmb, Seq(1L), 5).count() == 0)
     assert(Similarity.topCosinePairs(emptyEmb, 10).count() == 0)
+    assert(Similarity.lshTopK(emptyEmb, Seq(1L), 5).count() == 0)
   }
 }
