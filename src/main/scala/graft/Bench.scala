@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,23 +17,28 @@ object Bench {
     // cluster, not a cold single-shot JVM.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     sorted.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
     }
     // two timed passes, min per query: strips background-load noise from
-    // the recorded numbers (single runs vary ±2x under machine load)
-    def timedPass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
+    // the recorded numbers (single runs vary ±2x under machine load).
+    // A failing query is recorded ok=false — a regression must never
+    // masquerade as a fast time.
+    def timedPass(): Map[String, (Double, Boolean)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val (p1, p2) = (timedPass().toMap, timedPass().toMap)
+      val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
+      name -> (((System.nanoTime() - t0) / 1e9, ok))
+    }.toMap
+    val (p1, p2) = (timedPass(), timedPass())
     val results = sorted.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      (name, math.min(p1(name)._1, p2(name)._1), p1(name)._2 && p2(name)._2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(!_._3)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,18 +71,29 @@ object OracleSql {
        |SELECT doc_id, $assemble AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  /** Exact n-gram Jaccard top pairs (mirror of dedup_ngram_jaccard). */
-  def ngramJaccardTop(limit: Int): String =
-    s"""WITH $shinglesCte,
-       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  /** Exact n-gram Jaccard top pairs (mirror of dedup_ngram_jaccard).
+    * `maxDf` mirrors the engine's hot-shingle guard: shingles appearing in
+    * more than maxDf documents are dropped BEFORE sizes and intersections
+    * are computed (Long.MaxValue = no guard). */
+  def ngramJaccardTop(limit: Int, maxDf: Long = Long.MaxValue): String = {
+    val shRel = if (maxDf == Long.MaxValue) "sh" else "shf"
+    val dfCte = if (maxDf == Long.MaxValue) "" else
+      s""",
+         |shf AS (
+         |  SELECT sh.doc_id, sh.sh FROM sh
+         |  JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) d
+         |    ON d.sh = sh.sh AND d.df <= $maxDf)""".stripMargin
+    s"""WITH $shinglesCte$dfCte,
+       |sz AS (SELECT doc_id, count(*) AS sz FROM $shRel GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  FROM $shRel x JOIN $shRel y ON x.sh = y.sh AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2)
        |SELECT a, b, inter, sa.sz AS sa, sb.sz AS sb,
        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
        |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
+  }
 
   /** Cosine in double with the engine's exact fold order (common-prefix
     * zip semantics for unequal dimensions, like DotProduct). */

@@ -37,14 +37,19 @@ object SparkEntry {
     "wc_word_count_salted" -> ((s, d) => WordCount.wordCountSalted(Tables.documents(s, d))),
     "wc_formatted" -> ((s, d) => WordCount.formatted(Tables.documents(s, d))),
     "ii_flat" -> ((s, d) => InvertedIndex.flat(Tables.documents(s, d))),
-    "ii_postings" -> ((s, d) => InvertedIndex.postings(Tables.documents(s, d))),
+    // MapType itself can't be hashed by the driver's comparator; declare
+    // the canonical JSON rendering (doc-sorted entries). The MAP-typed
+    // API (InvertedIndex.postings) stays covered by AppsSpec.
+    "ii_postings" -> ((s, d) => InvertedIndex.postingsJson(Tables.documents(s, d))),
     // ---- parity: pluggable map/reduce registry (reference's dispatch) ----
     "mr_registry_wc" -> ((s, d) =>
       MapReduce.run(Tables.documents(s, d), "map_wc", "reduce_wc")),
     "mr_registry_id_flat" -> ((s, d) =>
       MapReduce.runFlat(Tables.documents(s, d), "map_id")),
     "mr_registry_id" -> ((s, d) =>
-      MapReduce.run(Tables.documents(s, d), "map_id", "reduce_id")),
+      MapReduce.run(Tables.documents(s, d), "map_id", "reduce_id")
+        .select(col("key"),
+          InvertedIndex.postingsToJson(col("postings")).as("postings_json"))),
     // ---- parity: multi-source union (reference's multi-file concat) ----
     "union_sources" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -100,15 +105,20 @@ object SparkEntry {
       Dedup.lshBandStats(Tables.documents(s, d), 3, 8, 4, Dedup.polyHash)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), 30, Dedup.polyHash)),
+    // maxDf: finite hot-shingle guard (skew + quality at web scale),
+    // mirrored exactly by the oracle's df filter
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, maxDf = 1000L)
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
+    // polyHash (not the default xxhash64) so the LSH candidate generation
+    // is reproducible in SQL — these three are fully oracle-checked
     "dedup_minhash_neardups" -> ((s, d) =>
-      Dedup.minhashNearDuplicates(Tables.documents(s, d), 0.3, 3, 64, 16)),
+      Dedup.minhashNearDuplicates(Tables.documents(s, d), 0.3, 3, 64, 16, Dedup.polyHash)),
     "dedup_clusters" -> ((s, d) =>
-      Dedup.nearDupClusters(Tables.documents(s, d), 0.3)),
+      Dedup.nearDupClusters(Tables.documents(s, d), 0.3, Dedup.polyHash)),
     "pipeline_clean_corpus" -> ((s, d) =>
-      ext.TrainingPipeline.cleanCorpus(Tables.documents(s, d), 0.3).select("doc_id", "lang", "source")),
+      ext.TrainingPipeline.cleanCorpus(Tables.documents(s, d), 0.3, baseHash = Dedup.polyHash)
+        .select("doc_id", "lang", "source")),
     // ---- extensions: similarity search ----
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
@@ -324,13 +334,26 @@ object SparkEntry {
          |tf AS (SELECT word, doc, count(*) AS cnt FROM tok GROUP BY word, doc)
          |SELECT word, string_agg(doc || ':' || cnt, ',' ORDER BY doc) AS postings
          |FROM tf GROUP BY word ORDER BY word""".stripMargin,
+    // canonical JSON rendering of the postings map ({"doc":cnt,…}, doc
+    // order, no spaces — matches Spark's to_json byte-for-byte on string
+    // keys/long values)
+    "ii_postings" ->
+      s"""WITH tok AS ($tokSql),
+         |tf AS (SELECT word, doc, count(*) AS cnt FROM tok GROUP BY word, doc)
+         |SELECT word, '{' || string_agg('"' || doc || '":' || cnt, ',' ORDER BY doc) || '}' AS postings_json
+         |FROM tf GROUP BY word ORDER BY word""".stripMargin,
+    "mr_registry_id" ->
+      s"""WITH tok AS ($tokSql),
+         |tf AS (SELECT word AS key, doc, count(*) AS cnt FROM tok GROUP BY word, doc)
+         |SELECT key, '{' || string_agg('"' || doc || '":' || cnt, ',' ORDER BY doc) || '}' AS postings_json
+         |FROM tf GROUP BY key ORDER BY key""".stripMargin,
     // ---- extensions ----
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
     "dedup_minhash" -> OracleSql.minhashFlat(8),
     "dedup_lsh_bands" -> OracleSql.lshBands(8, 4),
     "dedup_simhash" -> OracleSql.simhash(30),
-    "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50),
+    "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
     "sim_topk" -> OracleSql.simTopK(8, 5),
     "sim_label_stats" ->
       """WITH n AS (

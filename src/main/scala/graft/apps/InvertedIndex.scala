@@ -50,4 +50,17 @@ object InvertedIndex {
       .agg(map_from_entries(array_sort(collect_list(struct(col("doc"), col("cnt")))))
         .as("postings"))
       .orderBy("word")
+
+  /** Canonical JSON rendering of a MAP<doc, cnt> postings column:
+    * entries re-sorted by doc so the string is deterministic regardless of
+    * the map's internal entry order. */
+  def postingsToJson(postings: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(map_from_entries(array_sort(map_entries(postings))))
+
+  /** [[postings]] with the map rendered as canonical JSON (`{"doc":cnt,…}`
+    * in doc order) — the hashable form of the map-valued result that any
+    * engine can reproduce as a string. */
+  def postingsJson(docs: DataFrame, textCol: String = "text", docCol: String = "source"): DataFrame =
+    postings(docs, textCol, docCol)
+      .select(col("word"), postingsToJson(col("postings")).as("postings_json"))
 }

@@ -26,11 +26,18 @@ object WordCount {
     * pathologically hot token ("the" at web scale) spreads over
     * `saltBuckets` reducers before the final combine. Results are
     * identical to [[wordCount]] — counts are associative — so it shares
-    * the same oracle; only the exchange layout differs. */
+    * the same oracle; only the exchange layout differs.
+    *
+    * The salt is derived from deterministic row content — (provenance,
+    * token position) — never from a nondeterministic expression: if a map
+    * output is lost and recomputed after some reducers completed, the
+    * recomputed rows must route to the SAME reducers or counts double/drop
+    * under stage retry. */
   def wordCountSalted(docs: DataFrame, saltBuckets: Int = 16,
                       textCol: String = "text", docCol: String = "source"): DataFrame =
-    Tokenize.tokenize(docs, textCol, docCol)
-      .withColumn("salt", pmod(xxhash64(col("doc"), monotonically_increasing_id()), lit(saltBuckets)))
+    docs.select(col(docCol).as("doc"), posexplode(Tokenize.tokensArray(col(textCol))))
+      .select(col("col").as("word"),
+        pmod(xxhash64(col("doc"), col("pos")), lit(saltBuckets)).as("salt"))
       .groupBy("word", "salt")
       .agg(count(lit(1)).as("c1"))
       .groupBy("word")

@@ -174,7 +174,13 @@ object Dedup {
     val cands = minhashCandidates(reps, k, numHashes, bands, baseHash, textCol, idCol)
     val repPairs = jaccardOfPairs(cands, shingleRows(reps, k, textCol, idCol), idCol)
       .filter(col("jaccard") >= threshold)
-    val repIds = broadcastIfSmall(groups)
+    // No broadcast hint: `groups` is one row per DISTINCT text — near
+    // corpus-sized for a mostly-unique web corpus, far past the 8 GB hard
+    // broadcast limit at 100 TB (an explicit broadcast() hint is honored
+    // regardless of autoBroadcastJoinThreshold and fails the job, it does
+    // not fall back). The join keys are fixed-width rep ids; Catalyst/AQE
+    // picks broadcast on its own whenever the stats say `groups` is small.
+    val repIds = groups
     val cross = repPairs
       .join(repIds.select(col("rep").as("a"), col("ids").as("ids_a")), "a")
       .join(repIds.select(col("rep").as("b"), col("ids").as("ids_b")), "b")
@@ -237,24 +243,21 @@ object Dedup {
     * component. Exact duplicates land in the same cluster via their
     * Jaccard-1.0 pairs. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.7,
+                      baseHash: Column => Column = xxHash,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pairs = minhashNearDuplicates(docs, threshold, textCol = textCol, idCol = idCol)
+    val pairs = minhashNearDuplicates(docs, threshold, baseHash = baseHash,
+        textCol = textCol, idCol = idCol)
       .select("a", "b")
     clusterPairs(docs.select(col(idCol)), pairs, idCol).orderBy(idCol)
   }
 
   /** The dedup decision: one retained id per near-dup cluster. */
   def nearDupKeepIds(docs: DataFrame, threshold: Double = 0.7,
+                     baseHash: Column => Column = xxHash,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    nearDupClusters(docs, threshold, textCol, idCol)
+    nearDupClusters(docs, threshold, baseHash, textCol, idCol)
       .groupBy("cluster_id").agg(min(col(idCol)).as(idCol))
       .select(idCol).orderBy(idCol)
-
-  /** Duplicate-group tables are usually tiny relative to the corpus;
-    * broadcast them when joining back (falls back to shuffle otherwise —
-    * Spark drops oversized broadcast hints with a warning, so this is a
-    * hint, not a requirement). */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** Exact Jaccard for given (a, b) pairs from shingle rows. Shingles are
     * joined by 64-bit hash, not string — a fixed-8-byte exchange key

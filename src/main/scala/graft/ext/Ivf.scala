@@ -41,6 +41,7 @@ object Ivf {
     var centroids: Seq[(Int, Seq[Double])] = vecs.orderBy(col(idCol)).limit(nlist)
       .select("v").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    if (centroids.isEmpty) return Seq.empty // empty corpus: nothing to train
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cell", cellOf(col("v"), centroids))
       val means = assigned
@@ -64,6 +65,8 @@ object Ivf {
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = trainCentroids(embeddings, nlist, iters, idCol, vecCol)
+    if (centroids.isEmpty) // empty corpus: empty result with the right shape
+      return Similarity.emptyTopK(embeddings.sparkSession)
     val corpus = embeddings
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v_neighbor_id"))
       .withColumn("n2_neighbor_id", dot(col("v_neighbor_id"), col("v_neighbor_id")))

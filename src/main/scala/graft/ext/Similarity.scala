@@ -109,18 +109,21 @@ object Similarity {
     * the standard recall/cost dial. Candidates come from an equi-join on
     * the bucket key; exact cosine ranks within candidates. Recall is
     * tested against brute force in ScalaTest. */
+  /** Empty (query_id, neighbor_id, score, rank) result — the shape every
+    * top-k search op returns on an empty corpus. */
+  private[ext] def emptyTopK(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
+
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dimRow = embeddings.select(size(col(vecCol))).head(1)
-    if (dimRow.isEmpty) { // empty corpus: empty result with the right shape
-      val spark = embeddings.sparkSession
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
-    }
+    if (dimRow.isEmpty) // empty corpus: empty result with the right shape
+      return emptyTopK(embeddings.sparkSession)
     val dim = dimRow.head.getInt(0)
     val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
     val bucketed = withNorm2(embeddings, idCol, vecCol, "neighbor_id")

@@ -17,13 +17,20 @@ object TrainingPipeline {
   /** Cleaned corpus: documents that pass the quality gate and are the
     * retained representative of their near-dup cluster. */
   def cleanCorpus(docs: DataFrame, nearDupThreshold: Double = 0.7,
-                  minTokens: Int = 10): DataFrame = {
+                  minTokens: Int = 10,
+                  baseHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                    = Dedup.xxHash): DataFrame = {
     val quality = TextStats.qualityScores(docs)
       .filter(col("n_tokens") >= minTokens &&
         col("stopword_ratio") >= 0.01 && col("digit_ratio") <= 0.5)
       .select("doc_id")
-    val qualified = docs.join(quality, "doc_id")
-    val keep = Dedup.nearDupKeepIds(qualified, nearDupThreshold)
+    // qualified feeds BOTH the near-dup machinery (which is iterative) and
+    // the final join — materialize it once so the quality gate isn't
+    // recomputed per consumer, and so the clustering loop starts from flat
+    // lineage. (localCheckpoint is the local-mode form; a cluster
+    // deployment would use a reliable checkpoint dir.)
+    val qualified = docs.join(quality, "doc_id").localCheckpoint(true)
+    val keep = Dedup.nearDupKeepIds(qualified, nearDupThreshold, baseHash)
     qualified.join(keep, "doc_id").orderBy("doc_id")
   }
 
@@ -33,9 +40,11 @@ object TrainingPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     val total = docs.count()
-    val quality = TextStats.qualityScores(docs).filter(col("quality_ok")).select("doc_id")
+    // four counting actions share the gate — materialize it once
+    val quality = TextStats.qualityScores(docs).filter(col("quality_ok"))
+      .select("doc_id").localCheckpoint(true)
     val nQuality = quality.count()
-    val qualified = docs.join(quality, "doc_id")
+    val qualified = docs.join(quality, "doc_id").localCheckpoint(true)
     val nExact = Dedup.exactKeepIds(qualified).count()
     val nFinal = Dedup.nearDupKeepIds(qualified, nearDupThreshold).count()
     Seq((total, nQuality, nExact, nFinal,

@@ -116,7 +116,11 @@ object EventsStream {
                 closed += Session(userId, s.startMs, s.lastMs, s.n, s.cents)
                 st = SessionState(ms, ms, 1, cents)
               case s =>
-                st = SessionState(s.startMs, ms, s.n + 1, s.cents + cents)
+                // max, not overwrite: an out-of-order event from a later
+                // micro-batch (ms < lastMs) must not move the session end
+                // backwards, or the next in-order event could spuriously
+                // split the session measured from the regressed end.
+                st = SessionState(s.startMs, math.max(s.lastMs, ms), s.n + 1, s.cents + cents)
             }
           }
           if (st != null) {

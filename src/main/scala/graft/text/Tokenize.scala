@@ -7,9 +7,14 @@ import org.apache.spark.sql.functions._
   *
   * Semantics (parity with the reference pipeline, `master.py:55-64` in
   * /root/reference):
-  *   1. split the document text on runs of whitespace (Python
-  *      `str.split()` semantics: no empty tokens produced by the split
-  *      itself);
+  *   1. split the document text on runs of whitespace, no empty tokens
+  *      produced by the split itself. The split class is Java `\s`
+  *      (space, \t, \n, \x0B, \f, \r) — Python `str.split()` parity
+  *      therefore holds for ASCII-whitespace corpora (which all reference
+  *      corpora and goldens are). Unicode-only whitespace (NBSP, U+2028,
+  *      \x1c-\x1f, …) is intentionally NOT split on, so the engine
+  *      kernel, the declarative spec and the DuckDB oracle all agree on
+  *      one explicit character class;
   *   2. lowercase each token;
   *   3. delete every character that is not a Unicode letter or digit
   *      (Python `re.sub('[\\W_]+', '')` with Unicode `\\W`; Java needs an
