@@ -24,7 +24,7 @@ object Ivf {
 
   /** Squared-distance rank surrogate for fixed v: |c|² − 2·v·c (the |v|²
     * term is constant per row, so argmin is unchanged). */
-  private def cellOf(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+  private[ext] def cellOf(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     array_min(array(centroids.map { case (cid, c) =>
       struct(
         (lit(c.map(x => x * x).sum) - lit(2.0d) * dot(vec, typedLit(c))).as("d"),

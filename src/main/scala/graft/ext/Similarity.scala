@@ -157,10 +157,143 @@ object Similarity {
         min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
       .orderBy("label")
 
+  /** Scored candidate pairs (a < b) from LSH buckets: each vector lands in
+    * exactly one sign-pattern bucket; the LEFT side probes its own bucket
+    * plus every bucket within Hamming distance `maxHamming`, the RIGHT
+    * side carries its bucket only — so a pair whose buckets differ in
+    * d ≤ maxHamming planes meets on exactly one probe (no dedup needed),
+    * and the all-pairs crossJoin never materializes.
+    *
+    * Scale rule: candidate volume within a bucket is ~(n/2^planes)², so
+    * `numPlanes` must grow with the corpus — keep 2^numPlanes ≳ n/1000
+    * (e.g. 20 planes at 10⁹ vectors) and the per-bucket work stays flat
+    * while probe fan-out grows only quadratically in numPlanes. */
+  private def bucketedScoredPairs(embeddings: DataFrame, numPlanes: Int, maxHamming: Int,
+                                  idCol: String, vecCol: String): DataFrame = {
+    require(numPlanes <= 20, "probe enumeration is exponential in numPlanes")
+    val dimRow = embeddings.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) { // empty corpus: empty (a, b, score) result
+      val spark = embeddings.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    }
+    val dim = dimRow.head.getInt(0)
+    val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
+    val base = withNorm2(embeddings, idCol, vecCol, "a")
+      .withColumn("bucket", lshBucket(col("v_a"), planes))
+    val masks = (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+    val left = base.select(col("a"), col("v_a"), col("n2_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val right = base.select(col("a").as("b"), col("v_a").as("v_b"),
+      col("n2_a").as("n2_b"), col("bucket").as("probe"))
+    left.join(right, "probe")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), pairScore("a", "b").as("score"))
+  }
+
+  /** EXACT thresholded pair mining with IVF cell-pair pruning — the
+    * scale-safe replacement for an all-pairs crossJoin that still returns
+    * the mathematically exact answer (an approximate plan could not: the
+    * top pairs of a moderate-similarity corpus spread across LSH buckets,
+    * measured at 14+/50 misses for sign-LSH at any practical probe dial).
+    *
+    * Geometry: on the unit sphere, cos(a,b) ≥ t ⇔ ‖â−b̂‖ ≤ √(2−2t). Assign
+    * every (normalized) vector to its nearest of `nlist` k-means cells and
+    * record each cell's radius; by the triangle inequality a pair from
+    * cells (i, j) can only qualify when d(cᵢ,cⱼ) − rᵢ − rⱼ ≤ √(2−2t). Cell
+    * pairs failing that bound are pruned on the DRIVER (nlist² checks);
+    * survivors become a broadcast (ci, cj) list and candidates come from
+    * two equi-joins on cell id — never a CartesianProduct (asserted in
+    * PlanSpec). Scoring inside candidates uses the raw vectors and the
+    * same strict fold as the oracle, so surviving scores are bit-exact;
+    * pruning decisions carry a 1e-9 slack so float error can't drop a
+    * boundary pair. Cost scales with how clustered the corpus is (pruning
+    * is what an exact answer costs — sub-quadratic work for every corpus
+    * whose near-dup mass is clustered, which is what `nlist` dials). */
+  private def cellPrunedScoredPairs(embeddings: DataFrame, minCosine: Double, nlist: Int,
+                                    idCol: String, vecCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // normalized copies drive the geometry; raw vectors + norms score
+    val base = withNorm2(embeddings, idCol, vecCol, "a")
+      .withColumn("vhat", transform(col("v_a"), x => x / sqrt(col("n2_a"))))
+      .localCheckpoint(true) // reused by training, assignment and both join sides
+    val centroids = Ivf.trainCentroids(
+      base.select(col("a").as(idCol), col("vhat").as(vecCol)), nlist, iters = 2, idCol, vecCol)
+    if (centroids.isEmpty) { // empty corpus: empty (a, b, score) result
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    }
+    val assigned = base.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
+    // per-cell radius: max ‖v̂ − c_cell‖ over members (one aggregation)
+    val cvecs = centroids.sortBy(_._1).map(_._2)
+    val cn2 = cvecs.map(c => c.map(x => x * x).sum)
+    val ownC = element_at(typedLit(cvecs), col("cell") + 1)
+    val d2 = lit(1.0) + element_at(typedLit(cn2), col("cell") + 1) -
+      lit(2.0) * dot(col("vhat"), ownC)
+    val radius = assigned
+      .select(col("cell"), sqrt(greatest(d2, lit(0.0))).as("r"))
+      .groupBy("cell").agg(max(col("r")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // driver-side cell-pair pruning (nlist × nlist distance checks)
+    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine)) + 1e-9
+    def dist(x: Seq[Double], y: Seq[Double]): Double =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    val cids = centroids.map(_._1)
+    val cellPairs = for {
+      i <- cids; j <- cids if i <= j
+      if dist(cvecs(i), cvecs(j)) - radius.getOrElse(i, 0.0) - radius.getOrElse(j, 0.0) <= maxDist
+    } yield (i, j)
+    val cellPairsDf = broadcast(cellPairs.toDF("ci", "cj"))
+    val x = assigned.select(col("a"), col("v_a"), col("n2_a"), col("cell"))
+    val y = assigned.select(col("a").as("b"), col("v_a").as("v_b"),
+      col("n2_a").as("n2_b"), col("cell").as("cell_y"))
+    x.join(cellPairsDf, col("cell") === col("ci"))
+      .join(y, col("cell_y") === col("cj"))
+      .filter(col("cell") < col("cell_y") || (col("cell") === col("cell_y") && col("a") < col("b")))
+      .select(least(col("a"), col("b")).as("pa"), greatest(col("a"), col("b")).as("pb"),
+        pairScore("a", "b").as("score"))
+      .withColumnRenamed("pa", "a").withColumnRenamed("pb", "b")
+  }
+
   /** Top-N most-similar pairs by cosine (a < b) — the bounded, always
-    * non-empty form of near-dup pair mining. */
-  def topCosinePairs(embeddings: DataFrame, limit: Int,
+    * non-empty form of near-dup pair mining. EXACT, without an all-pairs
+    * crossJoin: a cheap LSH-bucketed pass seeds a threshold (the Nth-best
+    * candidate score is a valid lower bound on the true Nth score — seed
+    * quality affects only pruning efficiency, never correctness), then
+    * [[cellPrunedScoredPairs]] finds every pair at or above it exactly
+    * and the true top-N is selected from those. */
+  def topCosinePairs(embeddings: DataFrame, limit: Int, nlist: Int = 16,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val seed = bucketedScoredPairs(embeddings, numPlanes = 6, maxHamming = 1, idCol, vecCol)
+      .orderBy(col("score").desc).limit(limit).collect()
+    val t = if (seed.length < limit) -1.0 else seed.map(_.getDouble(2)).min
+    cellPrunedScoredPairs(embeddings, t, nlist, idCol, vecCol)
+      .filter(col("score") >= t)
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(limit)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
+    * EXACT via [[cellPrunedScoredPairs]]; the higher the threshold, the
+    * stronger the cell-pair pruning (near-dup mining is the cheap case). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, nlist: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cellPrunedScoredPairs(embeddings, threshold, nlist, idCol, vecCol)
+      .filter(col("score") >= threshold)
+      .orderBy("a", "b")
+
+  /** Exact all-pairs top-N by cosine — O(n²) crossJoin; the small-n oracle
+    * cross-check for [[topCosinePairs]], never the production path. */
+  def topCosinePairsExact(embeddings: DataFrame, limit: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = withNorm2(embeddings, idCol, vecCol, "a")
     val b = withNorm2(embeddings, idCol, vecCol, "b")
     a.crossJoin(b).filter(col("a") < col("b"))
@@ -169,11 +302,10 @@ object Similarity {
       .limit(limit)
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
-    * Exact all-pairs form — the oracle-checked baseline; swap in
-    * [[lshTopK]]-style bucketing for web-scale corpora. */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Exact all-pairs thresholded near-dup pairs — the small-n cross-check
+    * for [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsExact(embeddings: DataFrame, threshold: Double,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = withNorm2(embeddings, idCol, vecCol, "a")
     val b = withNorm2(embeddings, idCol, vecCol, "b")
     a.crossJoin(b).filter(col("a") < col("b"))

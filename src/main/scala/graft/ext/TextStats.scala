@@ -134,21 +134,50 @@ object TextStats {
       .orderBy(idCol)
 
   /** Frequency-ranked vocabulary without the presentation sort (join
-    * consumers don't need row order and shouldn't pay the exchange). */
+    * consumers don't need row order and shouldn't pay the exchange).
+    *
+    * Id assignment is TWO-PHASE global ranking, not the classic
+    * `row_number() OVER (ORDER BY cnt DESC, word)` — that window has no
+    * partition key, so Spark plans it as a single-partition sort and the
+    * whole dictionary funnels through one task (a web-scale corpus has a
+    * 10⁸–10⁹-row distinct-token table; one core / OOM). Instead:
+    *   1. range-repartition by the rank order, so partition i holds a
+    *      contiguous rank slice (boundaries from Spark's range sampler —
+    *      deterministic seed, and any boundary placement yields the same
+    *      final ids);
+    *   2. rank locally inside each slice (window keyed by the partition
+    *      id — a distributed hash exchange);
+    *   3. make local ranks global by adding each partition's exclusive
+    *      prefix-sum of slice sizes — |partitions| rows, combined with a
+    *      triangular self-join so NO single-partition exchange appears
+    *      anywhere in the plan (asserted in PlanSpec).
+    */
   private def rankedVocab(docs: DataFrame, maxSize: Int, textCol: String): DataFrame = {
     val counts = docs
       .select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("word"))
-    val ranked = counts.withColumn("word_id", row_number().over(w).cast("long") - 1)
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = counts
+      .repartitionByRange(nParts, col("cnt").desc, col("word").asc)
+      .withColumn("__pid", spark_partition_id())
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("cnt").desc, col("word"))
+    val local = parted.withColumn("__rn", row_number().over(localW).cast("long"))
+    val sizes = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val offsets = sizes.as("x")
+      .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__offset"))
+    val ranked = local.join(broadcast(offsets), "__pid")
+      .withColumn("word_id", col("__offset") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__offset")
     if (maxSize == Int.MaxValue) ranked else ranked.filter(col("word_id") < maxSize)
   }
 
   /** Vocabulary with stable dictionary ids: tokens ranked by frequency
     * (count desc, word asc — fully deterministic), optionally truncated to
-    * the top `maxSize`. The id assignment is a global sort over the
-    * |vocabulary|-sized aggregate — tiny next to the token stream. */
+    * the top `maxSize`. Id assignment is the distributed two-phase ranking
+    * of [[rankedVocab]] — no single-partition stage at any corpus size. */
   def vocabulary(docs: DataFrame, maxSize: Int = Int.MaxValue,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     rankedVocab(docs, maxSize, textCol)

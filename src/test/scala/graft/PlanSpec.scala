@@ -64,4 +64,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.takeRight(800))
   }
+
+  test("cosine pair mining never plans a cartesian product") {
+    // candidates come from equi-joins on LSH buckets / IVF cell pairs; the
+    // all-pairs crossJoin exists only in the *Exact small-n cross-checks
+    val p = q("sim_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), p.takeRight(1200))
+  }
+
+  test("vocabulary id assignment has no single-partition exchange") {
+    // the two-phase ranking must never funnel the dictionary through one
+    // task: no SinglePartition exchange anywhere (the presentation sort is
+    // a range exchange; the local ranking window is hash-partitioned)
+    val docs = Tables.documents(spark, sf)
+    val vocab = graft.ext.TextStats.vocabulary(docs)
+    assert(!plan(vocab).contains("SinglePartition"), plan(vocab).takeRight(1500))
+    val enc = graft.ext.TextStats.encodeDocumentsFlat(docs)
+    assert(!plan(enc).contains("SinglePartition"), plan(enc).takeRight(1500))
+  }
 }

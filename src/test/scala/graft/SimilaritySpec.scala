@@ -56,6 +56,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == ids.size * 10, "every query must fill k results")
   }
 
+  test("cell-pruned pair mining is EXACT vs the all-pairs baseline") {
+    // the scale path (LSH-seeded threshold + IVF cell-pair pruning) must
+    // return the identical top-N — not approximately — because pruning
+    // only discards pairs provably below the bound
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.topCosinePairsExact(emb, 30)
+      .as[(Long, Long, Double)].collect().toSeq
+    val pruned = Similarity.topCosinePairs(emb, 30)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pruned == exact)
+    val ndExact = Similarity.cosineNearDupPairsExact(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ndPruned = Similarity.cosineNearDupPairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ndPruned == ndExact)
+  }
+
   test("near-dup pairs symmetric under id swap and bounded by 1") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(2.0f, 4.0f, 6.0f)),
