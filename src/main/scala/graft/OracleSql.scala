@@ -95,6 +95,112 @@ object OracleSql {
        |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
   }
 
+  /** Raw SQL fragments for interpolated builders (interpolated
+    * triple-quoted strings process \x/\p escapes; plain ones don't). */
+  private val wsSplit = """regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')"""
+  private val normTok = """t -> lower(regexp_replace(t, '[^\p{L}\p{N}]+', '', 'g'))"""
+
+  /** The full MinHash near-duplicate CTE chain over `docsRel` (mirror of
+    * Dedup.minhashNearDuplicates with polyHash, k=3, H=64, bands=16):
+    * exact-dup collapse → shingles → minhash → LSH bands → candidates →
+    * exact-Jaccard verify ≥ threshold → pair expansion back to doc ids.
+    * Ends with CTEs `same` and `crossx`, each (a, b, jaccard). */
+  def nearDupChain(docsRel: String, threshold: Double): String = {
+    val seedRows = Dedup.seedFamily(64)
+      .map { case (i, a, b) => s"($i::BIGINT, $a::BIGINT, $b::BIGINT)" }
+      .mkString(", ")
+    s"""groups AS (
+       |  SELECT list_sort(list(doc_id)) AS ids, min(doc_id) AS rep
+       |  FROM $docsRel GROUP BY text),
+       |reps AS (SELECT d.doc_id, d.text FROM $docsRel d JOIN groups g ON d.doc_id = g.rep),
+       |rtoks AS (
+       |  SELECT doc_id, list_transform(
+       |           list_filter($wsSplit, t -> t <> ''),
+       |           $normTok) AS toks
+       |  FROM reps),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM rtoks,
+       |  unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks)-1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    ELSE [array_to_string(toks, ' ')] END) AS u(sh)),
+       |bh AS (SELECT doc_id, ${poly("sh")} AS bh FROM sh),
+       |mh AS (SELECT doc_id, s.i AS h_idx, min((s.a * bh.bh + s.b) % ${Dedup.P2}) AS minhash
+       |       FROM bh, (VALUES $seedRows) AS s(i, a, b) GROUP BY doc_id, s.i),
+       |bands AS (SELECT doc_id, h_idx // 4 AS band,
+       |    list_reduce(list_prepend(0::BIGINT, list(minhash ORDER BY h_idx)),
+       |      (h, v) -> (h*31 + (v % ${Dedup.P})) % ${Dedup.P}) AS band_hash
+       |  FROM mh GROUP BY doc_id, h_idx // 4),
+       |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS inter FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+       |  GROUP BY c.a, c.b),
+       |repPairs AS (
+       |  SELECT i.a, i.b, CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+       |  FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= $threshold),
+       |same AS (SELECT u1.x AS a, u2.y AS b, 1.0::DOUBLE AS jaccard
+       |  FROM groups, unnest(ids) AS u1(x), unnest(ids) AS u2(y) WHERE u1.x < u2.y),
+       |crossx AS (
+       |  SELECT least(u1.x, u2.y) AS a, greatest(u1.x, u2.y) AS b, p.jaccard
+       |  FROM repPairs p
+       |  JOIN groups ga ON ga.rep = p.a
+       |  JOIN groups gb ON gb.rep = p.b,
+       |  unnest(ga.ids) AS u1(x), unnest(gb.ids) AS u2(y))""".stripMargin
+  }
+
+  /** dedup_minhash_neardups oracle: the verified near-dup pair list. */
+  def minhashNearDups(threshold: Double): String =
+    s"""WITH ${nearDupChain("documents", threshold)}
+       |SELECT a, b, jaccard FROM same
+       |UNION ALL SELECT a, b, jaccard FROM crossx
+       |ORDER BY a, b""".stripMargin
+
+  /** Recursive min-label connected components over the near-dup pairs of
+    * `docsRel`; ends with CTE `labels` (id, cluster_id) covering only
+    * edge-incident nodes (singletons coalesce to their own id outside). */
+  private def clusterLabelCtes(docsRel: String, threshold: Double): String =
+    s"""${nearDupChain(docsRel, threshold)},
+       |pairs AS (SELECT a, b FROM same UNION ALL SELECT a, b FROM crossx),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
+       |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** dedup_clusters oracle: transitive near-dup components, min-id label. */
+  def nearDupClusters(threshold: Double): String =
+    s"""WITH RECURSIVE ${clusterLabelCtes("documents", threshold)}
+       |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id ORDER BY doc_id""".stripMargin
+
+  /** pipeline_clean_corpus oracle: quality gate → near-dup clusters over
+    * the qualified set → keep the min-id representative per cluster. */
+  def pipelineCleanCorpus(threshold: Double): String =
+    s"""WITH RECURSIVE qtoks AS (
+       |  SELECT doc_id, list_transform(
+       |           list_filter($wsSplit, t -> t <> ''),
+       |           $normTok) AS toks
+       |  FROM documents),
+       |qstats AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |    len(list_filter(toks, t -> t IN ($stopwordList)))::BIGINT AS n_stop,
+       |    len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$')))::BIGINT AS n_digit
+       |  FROM qtoks),
+       |qids AS (SELECT doc_id FROM qstats
+       |  WHERE n_tokens >= 10
+       |    AND CAST(n_stop AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) >= 0.01
+       |    AND CAST(n_digit AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) <= 0.5),
+       |qualified AS (SELECT d.* FROM documents d JOIN qids q USING (doc_id)),
+       |${clusterLabelCtes("qualified", threshold)},
+       |clusters AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id
+       |  FROM qualified q LEFT JOIN labels l ON l.id = q.doc_id),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM clusters GROUP BY cluster_id)
+       |SELECT q.doc_id, q.lang, q.source FROM qualified q JOIN keep USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Cosine in double with the engine's exact fold order (common-prefix
     * zip semantics for unequal dimensions, like DotProduct). */
   def cosineExpr(a: String, b: String): String = {

@@ -354,6 +354,9 @@ object SparkEntry {
     "dedup_lsh_bands" -> OracleSql.lshBands(8, 4),
     "dedup_simhash" -> OracleSql.simhash(30),
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
+    "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
+    "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
+    "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),
     "sim_label_stats" ->
       """WITH n AS (
