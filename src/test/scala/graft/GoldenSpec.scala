@@ -69,6 +69,49 @@ class GoldenSpec extends SparkSpec {
   private val idLine = """^(\S*) - \[?\{(.*)\}\]?$""".r
   private val entry = """'([^']+)': (\d+)""".r
 
+  /** Parse an inverted-index golden, rebuild a corpus realizing its
+    * postings, run the engine's inverted index, require the exact
+    * postings back. Pins the reference's full 4-config test matrix
+    * (`test_interface.py:6`, `test_config_{3,4}.py`). */
+  private def idRoundTrip(path: String, charset: java.nio.charset.Charset,
+                          expectWords: Int, expectDocs: Set[String]): Unit = {
+    val golden: Map[(String, String), Long] =
+      new String(Files.readAllBytes(Paths.get(path)), charset)
+        .linesIterator.filter(_.nonEmpty).flatMap {
+          case idLine(w, dict) =>
+            entry.findAllMatchIn(dict).map(m => (w, m.group(1)) -> m.group(2).toLong)
+          case other => fail(s"unparseable golden line: '$other'")
+        }.toMap
+    assert(golden.map(_._1._1).toSet.size == expectWords)
+    assert(golden.keysIterator.map(_._2).toSet == expectDocs)
+    val docs = expectDocs.toSeq.sorted.map { d =>
+      val text = golden.collect { case ((w, `d`), n) =>
+        Iterator.fill(n.toInt)(w).mkString(" ") }.mkString(" ")
+      (text, d)
+    }.toDF("text", "source")
+    val got = graft.apps.InvertedIndex.flat(docs)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == golden)
+  }
+
+  test("sample_test_case_3_final_id.txt (3-doc id config) round-trips") {
+    // Latin-1 like final_wc.txt, accents intact (blasé, protégé,
+    // schweitzerkäse) — no mojibake exclusions; 50 bracket-less lines
+    // from the reduce_num=50 final-flush bug handled by the parser.
+    val p = "/root/reference/sample_test_case_3_final_id.txt"
+    assume(Files.exists(Paths.get(p)))
+    idRoundTrip(p, StandardCharsets.ISO_8859_1, 9687,
+      Set("FlyingFish.txt", "JekyllHyde.txt", "ChristmasCarol.txt"))
+  }
+
+  test("sample_test_case_4_final_id.txt (2-doc id config) round-trips") {
+    val p = "/root/reference/sample_test_case_4_final_id.txt"
+    assume(Files.exists(Paths.get(p)))
+    idRoundTrip(p, StandardCharsets.ISO_8859_1, 7960,
+      Set("FlyingFish.txt", "ChristmasCarol.txt"))
+  }
+
   test("sample_output_gcp_id.txt postings round-trip through invertedIndex") {
     assume(Files.exists(Paths.get(idGoldenPath)))
     // golden: word -> {doc -> cnt} over the reference's real 3-doc corpus.

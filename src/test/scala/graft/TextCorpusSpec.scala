@@ -69,6 +69,24 @@ class TextCorpusSpec extends SparkSpec {
     assert(lines == Set("x - [a.txt:1]", "y - [a.txt:1,b.txt:1]"))
   }
 
+  test("JobRunner: the reference's interface.py journey end-to-end") {
+    // test_config-style invocation: files, map_num, reduce_num, fns, output
+    val dir = Files.createTempDirectory("graft_cli")
+    Files.writeString(dir.resolve("a.txt"), "the cat sat\non the mat\n")
+    Files.writeString(dir.resolve("b.txt"), "the dog\n")
+    val wcOut = dir.resolve("wc").toString
+    JobRunner.run(spark, Seq(s"$dir/a.txt", s"$dir/b.txt"),
+      mapNum = 5, reduceNum = 3, "map_wc", "reduce_wc", wcOut)
+    val wc = spark.read.textFile(wcOut).collect().toSet
+    assert(wc.contains("the - [3]") && wc.contains("dog - [1]") && wc.size == 6)
+    val idOut = dir.resolve("id").toString
+    JobRunner.run(spark, Seq(s"$dir/a.txt", s"$dir/b.txt"),
+      mapNum = 0, reduceNum = 0, "map_id", "reduce_id", idOut)
+    val id = spark.read.textFile(idOut).collect().toSet
+    assert(id.contains("""the - [{"a.txt":2,"b.txt":1}]"""), id.mkString("; "))
+    assert(id.contains("""dog - [{"b.txt":1}]"""))
+  }
+
   test("streaming dedup emits one row per key") {
     val stream = graft.streaming.EventsStream.dedupStream(
       graft.streaming.EventsStream.readEvents(spark, "/root/testdata/sf0.001"))
