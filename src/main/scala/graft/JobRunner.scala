@@ -53,12 +53,20 @@ object JobRunner {
   def main(args: Array[String]): Unit = {
     if (args.length != 6) { System.err.println(usage); sys.exit(2) }
     val Array(files, mapNum, reduceNum, mapFn, reduceFn, output) = args
-    if (!MapReduce.mapperNames.contains(mapFn) || !MapReduce.reducerNames.contains(reduceFn)) {
-      System.err.println(s"unknown map/reduce fn\n$usage"); sys.exit(2)
-    }
+    // validate everything BEFORE paying session startup: registry names,
+    // numeric parallelism knobs, non-empty file list
+    val fileList = files.split(':').toSeq.filter(_.nonEmpty)
+    val nums = (mapNum.toIntOption, reduceNum.toIntOption)
+    val problem =
+      if (!MapReduce.mapperNames.contains(mapFn)) Some(s"unknown map fn '$mapFn'")
+      else if (!MapReduce.reducerNames.contains(reduceFn)) Some(s"unknown reduce fn '$reduceFn'")
+      else if (nums._1.isEmpty || nums._2.isEmpty)
+        Some(s"map_num/reduce_num must be integers, got '$mapNum'/'$reduceNum'")
+      else if (fileList.isEmpty) Some("no input files given")
+      else None
+    problem.foreach { p => System.err.println(s"$p\n$usage"); sys.exit(2) }
     val spark = GraftSession.build()
-    try run(spark, files.split(':').toSeq.filter(_.nonEmpty),
-      mapNum.toInt, reduceNum.toInt, mapFn, reduceFn, output)
+    try run(spark, fileList, nums._1.get, nums._2.get, mapFn, reduceFn, output)
     finally spark.stop()
   }
 }

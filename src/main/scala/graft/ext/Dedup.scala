@@ -198,9 +198,15 @@ object Dedup {
     * min-label propagation: every node ends up labeled with the smallest
     * id reachable from it. Converges in O(component diameter) rounds
     * (near-dup clusters are shallow); each round is one join + one
-    * aggregation, checkpointed to keep lineage flat. */
+    * aggregation, checkpointed to keep lineage flat.
+    *
+    * `maxIter` is a safety valve, not a tuning knob: the declared contract
+    * (and the WITH RECURSIVE oracle) is the exact fixpoint, so the default
+    * comfortably exceeds any plausible near-dup component diameter — a
+    * paraphrase chain deeper than 100 hops means the threshold, not the
+    * iteration cap, is wrong. Non-convergence still warns. */
   def clusterPairs(nodes: DataFrame, pairs: DataFrame,
-                   idCol: String = "doc_id", maxIter: Int = 10): DataFrame = {
+                   idCol: String = "doc_id", maxIter: Int = 100): DataFrame = {
     // materialize the pair list once and truncate its (potentially huge)
     // minhash lineage — iterative plans over cached-but-deep lineage are a
     // classic Spark trap (cache lookup misses re-run the whole pipeline

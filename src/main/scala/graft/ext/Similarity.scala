@@ -104,11 +104,6 @@ object Similarity {
       when(dot(vec, typedLit(pl)) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** Approximate top-k with multi-probe: each query probes its own bucket
-    * plus every bucket at Hamming distance 1 (one flipped hyperplane) —
-    * the standard recall/cost dial. Candidates come from an equi-join on
-    * the bucket key; exact cosine ranks within candidates. Recall is
-    * tested against brute force in ScalaTest. */
   /** Empty (query_id, neighbor_id, score, rank) result — the shape every
     * top-k search op returns on an empty corpus. */
   private[ext] def emptyTopK(spark: org.apache.spark.sql.SparkSession): DataFrame =
@@ -119,6 +114,20 @@ object Similarity {
         org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
 
+  /** Empty (a, b, score) result — the shape pair mining returns on an
+    * empty corpus. */
+  private def emptyPairs(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+
+  /** Approximate top-k with multi-probe: each query probes its own bucket
+    * plus every bucket at Hamming distance 1 (one flipped hyperplane) —
+    * the standard recall/cost dial. Candidates come from an equi-join on
+    * the bucket key; exact cosine ranks within candidates. Recall is
+    * tested against brute force in ScalaTest. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dimRow = embeddings.select(size(col(vecCol))).head(1)
@@ -172,17 +181,12 @@ object Similarity {
                                   idCol: String, vecCol: String): DataFrame = {
     require(numPlanes <= 20, "probe enumeration is exponential in numPlanes")
     val dimRow = embeddings.select(size(col(vecCol))).head(1)
-    if (dimRow.isEmpty) { // empty corpus: empty (a, b, score) result
-      val spark = embeddings.sparkSession
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
-    }
+    if (dimRow.isEmpty) // empty corpus: empty (a, b, score) result
+      return emptyPairs(embeddings.sparkSession)
     val dim = dimRow.head.getInt(0)
     val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
     val base = withNorm2(embeddings, idCol, vecCol, "a")
+      .filter(col("n2_a") > 0) // zero-norm: no direction, NaN scores — excluded
       .withColumn("bucket", lshBucket(col("v_a"), planes))
     val masks = (0L until (1L << numPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= maxHamming)
@@ -218,19 +222,20 @@ object Similarity {
                                     idCol: String, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // normalized copies drive the geometry; raw vectors + norms score
+    // normalized copies drive the geometry; raw vectors + norms score.
+    // Zero-norm vectors have no direction (cosine undefined) — excluded
+    // here AND in the *Exact cross-checks, or their NaNs would poison cell
+    // radii / score ordering and silently drop valid pairs.
     val base = withNorm2(embeddings, idCol, vecCol, "a")
-      .withColumn("vhat", transform(col("v_a"), x => x / sqrt(col("n2_a"))))
+      .filter(col("n2_a") > 0)
+      .withColumn("__rinv", lit(1.0) / sqrt(col("n2_a"))) // one sqrt per row, not per element
+      .withColumn("vhat", transform(col("v_a"), x => x * col("__rinv")))
+      .drop("__rinv")
       .localCheckpoint(true) // reused by training, assignment and both join sides
     val centroids = Ivf.trainCentroids(
       base.select(col("a").as(idCol), col("vhat").as(vecCol)), nlist, iters = 2, idCol, vecCol)
-    if (centroids.isEmpty) { // empty corpus: empty (a, b, score) result
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
-    }
+    if (centroids.isEmpty) // empty corpus: empty (a, b, score) result
+      return emptyPairs(spark)
     val assigned = base.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
     // per-cell radius: max ‖v̂ − c_cell‖ over members (one aggregation)
     val cvecs = centroids.sortBy(_._1).map(_._2)
@@ -291,11 +296,13 @@ object Similarity {
       .orderBy("a", "b")
 
   /** Exact all-pairs top-N by cosine — O(n²) crossJoin; the small-n oracle
-    * cross-check for [[topCosinePairs]], never the production path. */
+    * cross-check for [[topCosinePairs]], never the production path.
+    * Zero-norm vectors excluded (cosine undefined), matching the pruned
+    * path. */
   def topCosinePairsExact(embeddings: DataFrame, limit: Int,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = withNorm2(embeddings, idCol, vecCol, "a")
-    val b = withNorm2(embeddings, idCol, vecCol, "b")
+    val a = withNorm2(embeddings, idCol, vecCol, "a").filter(col("n2_a") > 0)
+    val b = withNorm2(embeddings, idCol, vecCol, "b").filter(col("n2_b") > 0)
     a.crossJoin(b).filter(col("a") < col("b"))
       .select(col("a"), col("b"), pairScore("a", "b").as("score"))
       .orderBy(col("score").desc, col("a"), col("b"))
@@ -306,8 +313,8 @@ object Similarity {
     * for [[cosineNearDupPairs]]. */
   def cosineNearDupPairsExact(embeddings: DataFrame, threshold: Double,
                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = withNorm2(embeddings, idCol, vecCol, "a")
-    val b = withNorm2(embeddings, idCol, vecCol, "b")
+    val a = withNorm2(embeddings, idCol, vecCol, "a").filter(col("n2_a") > 0)
+    val b = withNorm2(embeddings, idCol, vecCol, "b").filter(col("n2_b") > 0)
     a.crossJoin(b).filter(col("a") < col("b"))
       .select(col("a"), col("b"), pairScore("a", "b").as("score"))
       .filter(col("score") >= threshold)

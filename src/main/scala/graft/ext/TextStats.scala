@@ -152,7 +152,9 @@ object TextStats {
     *      triangular self-join so NO single-partition exchange appears
     *      anywhere in the plan (asserted in PlanSpec).
     */
-  private def rankedVocab(docs: DataFrame, maxSize: Int, textCol: String): DataFrame = {
+  /** Phase 1-2 of the ranking as a pure plan (exposed for the PlanSpec
+    * shape assertion): range-partitioned slices with local ranks. */
+  private[graft] def localRankedVocab(docs: DataFrame, textCol: String): DataFrame = {
     val counts = docs
       .select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -162,7 +164,15 @@ object TextStats {
       .withColumn("__pid", spark_partition_id())
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(col("cnt").desc, col("word"))
-    val local = parted.withColumn("__rn", row_number().over(localW).cast("long"))
+    parted.withColumn("__rn", row_number().over(localW).cast("long"))
+  }
+
+  private def rankedVocab(docs: DataFrame, maxSize: Int, textCol: String): DataFrame = {
+    // materialize the ranked slices ONCE: the offsets branch and the final
+    // join must observe the same range-partitioner boundaries (the sampler
+    // is seeded per RDD instantiation — correctness may not hinge on
+    // exchange-reuse kicking in)
+    val local = localRankedVocab(docs, textCol).localCheckpoint(true)
     val sizes = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offsets = sizes.as("x")
       .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")

@@ -116,11 +116,13 @@ object EventsStream {
                 closed += Session(userId, s.startMs, s.lastMs, s.n, s.cents)
                 st = SessionState(ms, ms, 1, cents)
               case s =>
-                // max, not overwrite: an out-of-order event from a later
-                // micro-batch (ms < lastMs) must not move the session end
-                // backwards, or the next in-order event could spuriously
-                // split the session measured from the regressed end.
-                st = SessionState(s.startMs, math.max(s.lastMs, ms), s.n + 1, s.cents + cents)
+                // min/max, not overwrite: an out-of-order event from a
+                // later micro-batch must neither move the session end
+                // backwards (the next in-order event could spuriously
+                // split the session measured from the regressed end) nor
+                // leave the start after the earliest merged event.
+                st = SessionState(math.min(s.startMs, ms), math.max(s.lastMs, ms),
+                  s.n + 1, s.cents + cents)
             }
           }
           if (st != null) {

@@ -75,8 +75,12 @@ class PlanSpec extends SparkSpec {
   test("vocabulary id assignment has no single-partition exchange") {
     // the two-phase ranking must never funnel the dictionary through one
     // task: no SinglePartition exchange anywhere (the presentation sort is
-    // a range exchange; the local ranking window is hash-partitioned)
+    // a range exchange; the local ranking window is hash-partitioned).
+    // The ranking subplan is checked pre-materialization (rankedVocab
+    // checkpoints it), then the assembled queries end-to-end.
     val docs = Tables.documents(spark, sf)
+    val ranking = graft.ext.TextStats.localRankedVocab(docs, "text")
+    assert(!plan(ranking).contains("SinglePartition"), plan(ranking).takeRight(1500))
     val vocab = graft.ext.TextStats.vocabulary(docs)
     assert(!plan(vocab).contains("SinglePartition"), plan(vocab).takeRight(1500))
     val enc = graft.ext.TextStats.encodeDocumentsFlat(docs)
