@@ -254,4 +254,30 @@ object OracleSql {
 
   /** Stopword list as SQL literal. */
   val stopwordList: String = TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** text_scrub oracle: same RE2 patterns, global replace, same order
+    * (urls → emails → whitespace collapse → trim). */
+  def textScrub: String = {
+    val url = TextStats.UrlRe
+    val email = TextStats.EmailRe
+    val ws = """[ \t\n\x0B\f\r]+"""
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(regexp_replace(regexp_replace(
+       |      text, '$url', ' ', 'g'), '$email', ' ', 'g'), '$ws', ' ', 'g')) AS clean_text
+       |  FROM documents)
+       |SELECT doc_id, clean_text,
+       |  len(regexp_extract_all(text, '$url'))::BIGINT AS n_urls,
+       |  len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+       |  (length(text) - length(clean_text))::BIGINT AS n_chars_removed
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** pipeline_split oracle: the same id-hash bucket assignment. */
+  def assignSplits(trainPct: Int, valPct: Int): String =
+    s"""SELECT doc_id, ${poly("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+       |  CASE WHEN ${poly("CAST(doc_id AS VARCHAR)")} % 100 < $trainPct THEN 'train'
+       |       WHEN ${poly("CAST(doc_id AS VARCHAR)")} % 100 < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -94,6 +94,10 @@ object SparkEntry {
       Relational.richInactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     "q_date_parts" -> ((s, d) => Relational.orderDateParts(Tables.orders(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(Tables.lineitem(s, d))),
+    "q_outer_join" -> ((s, d) =>
+      Relational.userActivityFullOuter(Tables.orders(s, d), Tables.events(s, d))),
+    "q_pivot" -> ((s, d) => Relational.eventTypePivot(Tables.events(s, d))),
+    "q_ntile" -> ((s, d) => Relational.priceQuartilesByYear(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Relational.docLengthPercentiles(Tables.documents(s, d))),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
     // ---- extensions: deduplication ----
@@ -119,6 +123,8 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, d) =>
       ext.TrainingPipeline.cleanCorpus(Tables.documents(s, d), 0.3, baseHash = Dedup.polyHash)
         .select("doc_id", "lang", "source")),
+    "pipeline_split" -> ((s, d) =>
+      ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
     // ---- extensions: similarity search ----
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
@@ -137,6 +143,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
     "text_bigrams" -> ((s, d) => TextStats.topNgrams(Tables.documents(s, d), 2, 20)),
+    "text_scrub" -> ((s, d) => TextStats.scrub(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
     "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
     // ---- extensions: multimodal columns ----
@@ -329,6 +336,30 @@ object SparkEntry {
     "q_date_parts" ->
       """SELECT quarter(o_orderdate) AS q, day(o_orderdate) AS dom, count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY q, dom""".stripMargin,
+    "q_outer_join" ->
+      """SELECT coalesce(o.uid, e.uid) AS uid,
+        |  coalesce(o.n_orders, 0) AS n_orders, coalesce(e.n_events, 0) AS n_events
+        |FROM (SELECT o_custkey AS uid, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY 1) e
+        |  ON o.uid = e.uid
+        |ORDER BY uid""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ntile" ->
+      """WITH q AS (
+        |  SELECT year(o_orderdate) AS y, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY year(o_orderdate)
+        |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT y, quartile, count(*) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM q GROUP BY y, quartile ORDER BY y, quartile""".stripMargin,
     "ii_postings_str" ->
       s"""WITH tok AS ($tokSql),
          |tf AS (SELECT word, doc, count(*) AS cnt FROM tok GROUP BY word, doc)
@@ -355,6 +386,8 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.simhash(30),
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
     "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
+    "text_scrub" -> OracleSql.textScrub,
+    "pipeline_split" -> OracleSql.assignSplits(98, 1),
     "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),

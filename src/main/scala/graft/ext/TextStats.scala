@@ -230,6 +230,28 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** URL / email scrub regexes — shared verbatim with the DuckDB oracle
+    * (RE2-compatible: no lookarounds; explicit ASCII whitespace class). */
+  val UrlRe: String = "https?://[^ \\t\\n\\x0B\\f\\r]+"
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val WsRun: String = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Pre-training text scrubbing: strip URLs and emails, collapse
+    * whitespace runs, and account for what was removed — a per-document
+    * column pipeline (zero shuffle; the usual first pass before quality
+    * scoring and dedup). */
+  def scrub(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+      col(textCol), UrlRe, " "), EmailRe, " "), WsRun, " "))
+    docs.select(
+        col(idCol),
+        cleaned.as("clean_text"),
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        (length(col(textCol)) - length(cleaned)).cast("long").as("n_chars_removed"))
+      .orderBy(idCol)
+  }
+
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):
     * top-k n-grams with total occurrence counts. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,

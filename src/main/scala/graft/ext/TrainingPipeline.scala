@@ -34,6 +34,27 @@ object TrainingPipeline {
     qualified.join(keep, "doc_id").orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test assignment by hashing the stable
+    * document id into 100 buckets — reproducible across runs, engines and
+    * cluster sizes (never `rand()`: a resampled split silently leaks val
+    * into train on any retry). polyHash keeps it SQL-reproducible. */
+  def assignSplits(docs: DataFrame, trainPct: Int = 98, valPct: Int = 1,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    docs.select(col(idCol),
+        pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy(idCol)
+  }
+
+  /** Deterministic pct% sample by the same id-hash mechanism — the
+    * debugging/eval subset that is stable across pipeline runs. */
+  def sampleByHash(docs: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame =
+    docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pct)
+
   /** Per-stage accounting (one row): how many documents each stage
     * removed — the numbers a data curator reports. */
   def stageReport(docs: DataFrame, nearDupThreshold: Double = 0.7): DataFrame = {

@@ -284,4 +284,50 @@ object Relational {
         count(lit(1)).as("n"),
         (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"))
       .orderBy("hour_start", "event_type")
+
+  /** FULL OUTER join of two aggregated activity views: customers with
+    * orders but no events, users with events but no orders, and the
+    * matched middle all surface — pre-aggregation keeps the outer join on
+    * one row per key (never row-multiplying at scale). */
+  def userActivityFullOuter(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders.groupBy(col("o_custkey").as("uid"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = events.groupBy(col("user_id").as("uid"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("uid"), "full_outer")
+      .select(col("uid"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("uid")
+  }
+
+  /** The five event types this dataset emits — the explicit pivot column
+    * list (an explicit list keeps the pivot single-pass; omitting it
+    * costs a distinct-values job first). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: one row per user, one count column per event type. */
+  def eventTypePivot(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("user_id")
+
+  /** NTILE quartiles of order value within each year: the window is
+    * partitioned by year, so the sort distributes (no global single-
+    * partition ntile — the scale trap this op usually hides). Quartile
+    * edges are exact raw doubles (min/max pass through, no accumulation). */
+  def priceQuartilesByYear(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("y"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(year(col("o_orderdate")).as("y"),
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("y", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("y", "quartile")
+  }
 }

@@ -56,6 +56,38 @@ class PipelineSpec extends SparkSpec {
     assert(enc(2L) == Seq.empty && enc(1L).size == 2)
   }
 
+  test("deterministic splits: stable, exhaustive, and sample ⊂ corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = TrainingPipeline.assignSplits(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    val s2 = TrainingPipeline.assignSplits(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(s1 == s2, "split assignment must be reproducible")
+    assert(s1.map(_._1).toSet.size == s1.size, "one row per doc")
+    assert(s1.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    assert(s1.count(_._3 == "train") > s1.size / 2, "train is the bulk split")
+    // the hash sample is exactly the ids whose bucket clears the cutoff
+    val sampled = TrainingPipeline.sampleByHash(docs, 10)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = s1.filter(_._2 < 10).map(_._1).toSet
+    assert(sampled == expected)
+  }
+
+  test("scrub strips urls/emails and collapses whitespace, with accounting") {
+    val df = Seq(
+      (1L, "see https://example.com/a?b=c and mail bob@example.org  now", "s"),
+      (2L, "plain  text\twith   runs", "s")
+    ).toDF("doc_id", "text", "source")
+    val byId = graft.ext.TextStats.scrub(df)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(byId(1L)._1 == "see and mail now")
+    assert(byId(1L)._2 == 1 && byId(1L)._3 == 1)
+    assert(byId(2L)._1 == "plain text with runs" && byId(2L)._2 == 0)
+    assert(byId(2L)._4 == df.filter($"doc_id" === 2L).select("text").head().getString(0).length
+      - "plain text with runs".length)
+  }
+
   test("stage report is internally consistent") {
     val r = TrainingPipeline.stageReport(corpus, nearDupThreshold = 0.5)
       .as[(Long, Long, Long, Long, Long, Long)].head()
