@@ -225,14 +225,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl")), "dst")
         .groupBy(col("src").as(idCol)).agg(min(col("nl")).as("nmin"))
+      // carry the previous label through the checkpoint so the convergence
+      // check is a filter over materialized rows, not another join
       val next = labels.join(neighborMin, Seq(idCol), "left")
-        .select(col(idCol),
+        .select(col(idCol), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), idCol)
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
+      labels = next.select(col(idCol), col("cluster_id"))
       iter += 1
     }
     if (changed > 0)
