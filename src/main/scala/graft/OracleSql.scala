@@ -273,6 +273,39 @@ object OracleSql {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** text_tfidf_pairs oracle: integer-scaled tf-idf weights, exact BIGINT
+    * dot/norm sums, one final double division (same shape as the engine). */
+  def tfIdfCosinePairs(limit: Int, maxDf: Long): String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word HAVING count(*) <= $maxDf),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |weights AS (
+       |  SELECT doc_id, word,
+       |    tf * CAST(round(ln(n.n / CAST(df AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+       |  FROM tf JOIN df USING (word), n
+       |  WHERE tf * CAST(round(ln(n.n / CAST(df AS DOUBLE)) * 1000.0) AS BIGINT) <> 0),
+       |norm2 AS (SELECT doc_id, sum(w * w) AS n2 FROM weights GROUP BY doc_id),
+       |dots AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+       |  FROM weights x JOIN weights y ON x.word = y.word AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d.a, d.b,
+       |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS score
+       |FROM dots d JOIN norm2 na ON na.doc_id = d.a JOIN norm2 nb ON nb.doc_id = d.b
+       |ORDER BY score DESC, a, b LIMIT $limit""".stripMargin
+
+  /** pipeline_stratified oracle: per-stratum hash-rank quota. */
+  def stratifiedSample(strataCol: String, perStratum: Int): String =
+    s"""WITH r AS (
+       |  SELECT doc_id, $strataCol,
+       |    row_number() OVER (PARTITION BY $strataCol
+       |      ORDER BY ${poly("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, $strataCol FROM r WHERE rk <= $perStratum
+       |ORDER BY $strataCol, doc_id""".stripMargin
+
   /** pipeline_split oracle: the same id-hash bucket assignment. */
   def assignSplits(trainPct: Int, valPct: Int): String =
     s"""SELECT doc_id, ${poly("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,

@@ -125,6 +125,9 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
+    "pipeline_stratified" -> ((s, d) =>
+      ext.TrainingPipeline.stratifiedSample(Tables.documents(s, d), "lang", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")),
     // ---- extensions: similarity search ----
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
@@ -144,6 +147,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
     "text_bigrams" -> ((s, d) => TextStats.topNgrams(Tables.documents(s, d), 2, 20)),
     "text_scrub" -> ((s, d) => TextStats.scrub(Tables.documents(s, d))),
+    "text_tfidf_pairs" -> ((s, d) =>
+      TextStats.tfIdfCosinePairs(Tables.documents(s, d), 50, maxDf = 1000L)),
     "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
     "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
     // ---- extensions: multimodal columns ----
@@ -387,7 +392,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
     "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
     "text_scrub" -> OracleSql.textScrub,
+    "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),
     "pipeline_split" -> OracleSql.assignSplits(98, 1),
+    "pipeline_stratified" -> OracleSql.stratifiedSample("lang", 20),
     "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),

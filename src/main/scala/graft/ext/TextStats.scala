@@ -261,6 +261,51 @@ object TextStats {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Top-N most-similar document pairs by TF-IDF cosine — sparse-vector
+    * similarity over the shared-word inverted index: only documents that
+    * SHARE a (surviving) word ever meet, so cost scales with word
+    * co-occurrence, never n².
+    *
+    * Exactness: weights are integer-scaled (`tf · round(ln(N/df)·1e3)`),
+    * so dot products and squared norms are exact BIGINT sums — immune to
+    * float addition order across engines/partitions; only the final
+    * `dot / (√n2a·√n2b)` runs in double, in the same shape as the oracle.
+    * Bounds: with tf ≤ 10⁶ and ln(N/df)·1e3 ≤ 3·10⁴, per-term products
+    * stay < 10²¹/term-count — far from BIGINT overflow for any real
+    * document.
+    *
+    * Scale guards: `maxDf` drops ubiquitous words (they dominate join
+    * fan-out and carry near-zero idf anyway), and exact zero-idf words
+    * (df = N) are dropped — both mirrored by the oracle. */
+  def tfIdfCosinePairs(docs: DataFrame, limit: Int, maxDf: Long = Long.MaxValue,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = Tokenize.tokenize(docs, textCol, idCol).withColumnRenamed("doc", idCol)
+    val tf = tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // no broadcast hint: |vocabulary| can be web-scale — AQE decides
+    val weights = tf.join(df, "word")
+      .crossJoin(broadcast(n)) // 1 row, always safe
+      .withColumn("w", col("tf") *
+        round(log(col("n_docs") / col("df").cast("double")) * 1e3).cast("long"))
+      .filter(col("w") =!= 0)
+      .select(col(idCol), col("word"), col("w"))
+    val norm2 = weights.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+    val a = weights.select(col(idCol).as("a"), col("word"), col("w").as("wa"))
+    val b = weights.select(col(idCol).as("b"), col("word"), col("w").as("wb"))
+    val dots = a.join(b, "word").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norm2.select(col(idCol).as("a"), col("n2").as("n2a")), "a")
+      .join(norm2.select(col(idCol).as("b"), col("n2").as("n2b")), "b")
+      .select(col("a"), col("b"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(limit)
+  }
+
   /** TF-IDF: top-k terms per document.
     *
     * Ranking uses an integer-scaled idf (`round(ln(N/df)*1e6)`) so the

@@ -55,6 +55,21 @@ object TrainingPipeline {
   def sampleByHash(docs: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame =
     docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pct)
 
+  /** Deterministic stratified sample: within each stratum, rank rows by
+    * id-hash (tie-break id) and keep the first `perStratum` — a
+    * reproducible per-class quota (the balanced-eval-set builder). The
+    * rank window is partitioned by the stratum, so the sort distributes;
+    * no global single-partition stage. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, perStratum: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(Dedup.polyHash(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perStratum)
+      .drop("__rk")
+  }
+
   /** Per-stage accounting (one row): how many documents each stage
     * removed — the numbers a data curator reports. */
   def stageReport(docs: DataFrame, nearDupThreshold: Double = 0.7): DataFrame = {

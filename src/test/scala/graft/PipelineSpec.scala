@@ -88,6 +88,32 @@ class PipelineSpec extends SparkSpec {
       - "plain text with runs".length)
   }
 
+  test("stratified sample fills the per-stratum quota deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TrainingPipeline.stratifiedSample(docs, "lang", 7)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) => assert(got(lang) == math.min(7L, n)) }
+    val again = TrainingPipeline.stratifiedSample(docs, "lang", 7)
+      .select("doc_id").as[Long].collect().toSet
+    val first = TrainingPipeline.stratifiedSample(docs, "lang", 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == first, "stratified sample must be reproducible")
+  }
+
+  test("tf-idf cosine pairs: identical docs score ~1 and rank first") {
+    val df = Seq(
+      (1L, "catalyst plans the shuffle exchange with partial aggregation", "s"),
+      (2L, "catalyst plans the shuffle exchange with partial aggregation", "s"),
+      (3L, "entirely unrelated prose about gardens and weather patterns", "s"),
+      (4L, "catalyst plans nothing here but shares some words", "s")
+    ).toDF("doc_id", "text", "source")
+    val top = graft.ext.TextStats.tfIdfCosinePairs(df, 3)
+      .as[(Long, Long, Double)].collect()
+    assert(top.head._1 == 1L && top.head._2 == 2L && top.head._3 > 0.999)
+    assert(top.forall(p => p._3 <= 1.0 + 1e-12))
+  }
+
   test("stage report is internally consistent") {
     val r = TrainingPipeline.stageReport(corpus, nearDupThreshold = 0.5)
       .as[(Long, Long, Long, Long, Long, Long)].head()
