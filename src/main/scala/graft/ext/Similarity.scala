@@ -127,7 +127,14 @@ object Similarity {
     * plus every bucket at Hamming distance 1 (one flipped hyperplane) —
     * the standard recall/cost dial. Candidates come from an equi-join on
     * the bucket key; exact cosine ranks within candidates. Recall is
-    * tested against brute force in ScalaTest. */
+    * tested against brute force in ScalaTest.
+    *
+    * Bucket-count scaling rule: expected bucket occupancy is n/2^planes
+    * and per-query candidate work is (planes+1)·n/2^planes, so grow
+    * `numPlanes` with the corpus — numPlanes ≈ log2(n) − 10 keeps ~1k
+    * vectors per bucket (e.g. 8 planes at 256k vectors, 20 planes at
+    * 10⁹); recall lost to narrower buckets is bought back with more
+    * Hamming probes, not fewer planes. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dimRow = embeddings.select(size(col(vecCol))).head(1)

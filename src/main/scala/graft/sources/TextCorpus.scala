@@ -40,6 +40,25 @@ object TextCorpus {
     writeFormatted(postings, output)
   }
 
+  /** Read a JSONL corpus (one document object per line) into the document
+    * shape. `spark.read.json` infers schema distributed; pass an explicit
+    * columns mapping when the corpus is huge to skip the inference pass. */
+  def readJsonl(spark: SparkSession, paths: Seq[String],
+                textField: String = "text", idField: String = "doc_id"): DataFrame =
+    spark.read.json(paths: _*)
+      .select(col(idField).cast("long").as("doc_id"), col(textField).cast("string").as("text"))
+
+  /** Read a CSV corpus (header row) into the document shape. */
+  def readCsv(spark: SparkSession, paths: Seq[String],
+              textField: String = "text", idField: String = "doc_id"): DataFrame =
+    spark.read.option("header", "true").csv(paths: _*)
+      .select(col(idField).cast("long").as("doc_id"), col(textField).cast("string").as("text"))
+
+  /** JSONL sink (one JSON object per line) — the interchange format most
+    * training-data pipelines emit. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Partitioned parquet sink: the lake-layout write (one directory per
     * partition value, pruned at read time by partition filters). */
   def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,

@@ -65,6 +65,32 @@ class GoldenSpec extends SparkSpec {
     assert(got == golden)
   }
 
+  test("sample_test_case_1 (single-doc config) == gcp_wc run; round-trips") {
+    // the checked-in test_case_1 golden (UTF-8) and the real GCP wc run
+    // (Latin-1) are the same FlyingFish word count — assert that, then
+    // round-trip the multiset once
+    val p1 = Paths.get("/root/reference/sample_test_case_1_final_wc.txt")
+    val p2 = Paths.get("/root/reference/sample_output_gcp_wc.txt")
+    assume(Files.exists(p1) && Files.exists(p2))
+    def parse(p: java.nio.file.Path, cs: java.nio.charset.Charset): Map[String, Long] =
+      new String(Files.readAllBytes(p), cs).linesIterator.filter(_.nonEmpty).map {
+        case line(w, n) => w -> n.toLong
+        case other => fail(s"unparseable golden line: '$other'")
+      }.toMap
+    val g1 = parse(p1, StandardCharsets.UTF_8)
+    val g2 = parse(p2, StandardCharsets.ISO_8859_1)
+    // identical counts except 2 accented words the UTF-8 transport
+    // corrupted to U+FFFD in test_case_1 (same bug as gcp_id); the clean
+    // Latin-1 gcp_wc carries them intact
+    assert(g1.filterNot(_._1.contains('�')) == g2.filter(e => !Set("schweitzerkäse", "blasé")(e._1)),
+      "test_case_1 and the gcp_wc run must agree modulo mojibake")
+    assert(g2.size == 5324 && g2.values.sum == 38828L)
+    val tokens = g2.iterator.flatMap { case (w, n) => Iterator.fill(n.toInt)(w) }.toSeq
+    val docs = Seq((tokens.mkString(" "), "FlyingFish.txt")).toDF("text", "source")
+    val got = WordCount.wordCount(docs).as[(String, Long)].collect().toMap
+    assert(got == g2)
+  }
+
   private val idGoldenPath = "/root/reference/sample_output_gcp_id.txt"
   private val idLine = """^(\S*) - \[?\{(.*)\}\]?$""".r
   private val entry = """'([^']+)': (\d+)""".r

@@ -69,6 +69,19 @@ class TextCorpusSpec extends SparkSpec {
     assert(lines == Set("x - [a.txt:1]", "y - [a.txt:1,b.txt:1]"))
   }
 
+  test("jsonl and csv corpora round-trip through the document shape") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_fmt")
+    TextCorpus.writeJsonl(docs, s"$dir/j")
+    val backJ = TextCorpus.readJsonl(spark, Seq(s"$dir/j"))
+    assert(backJ.count() == docs.count())
+    assert(backJ.exceptAll(docs).isEmpty && docs.exceptAll(backJ).isEmpty)
+    docs.write.option("header", "true").csv(s"$dir/c")
+    val backC = TextCorpus.readCsv(spark, Seq(s"$dir/c"))
+    assert(backC.count() == docs.count())
+  }
+
   test("JobRunner: the reference's interface.py journey end-to-end") {
     // test_config-style invocation: files, map_num, reduce_num, fns, output
     val dir = Files.createTempDirectory("graft_cli")
