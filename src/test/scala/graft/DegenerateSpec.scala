@@ -59,6 +59,30 @@ class DegenerateSpec extends SparkSpec {
     assert(feats(1L) == "png") // '' sorts before 'n', matching the oracle
   }
 
+  test("empty corpus: scrub, splits, stratified, tfidf pairs all yield empty") {
+    assert(TextStats.scrub(empty).count() == 0)
+    assert(TextStats.tfIdfCosinePairs(empty, 10).count() == 0)
+    assert(TrainingPipeline.assignSplits(empty).count() == 0)
+    assert(TrainingPipeline.sampleByHash(empty, 10).count() == 0)
+    assert(TrainingPipeline.stratifiedSample(empty, "lang", 5).count() == 0)
+    assert(graft.ext.Ivf.ivfTopK(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))), Seq(1L), 5).count() == 0)
+  }
+
+  test("zero-norm embeddings are excluded from pair mining, not NaN-poisoned") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), // no direction
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 1e-6f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topCosinePairs(emb, 2).as[(Long, Long, Double)].collect()
+    val exact = Similarity.topCosinePairsExact(emb, 2).as[(Long, Long, Double)].collect()
+    assert(top.toSeq == exact.toSeq)
+    assert(top.head._1 == 1L && top.head._2 == 2L, top.mkString(";"))
+    assert(!top.exists(p => p._3.isNaN))
+  }
+
   test("empty embeddings: topk and pairs yield empty") {
     val emptyEmb = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
