@@ -96,6 +96,10 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(Tables.lineitem(s, d))),
     "q_outer_join" -> ((s, d) =>
       Relational.userActivityFullOuter(Tables.orders(s, d), Tables.events(s, d))),
+    "q_sql_correlated" -> ((s, d) =>
+      Relational.ordersAboveCustomerAvg(Tables.orders(s, d))),
+    "q_window_range" -> ((s, d) =>
+      Relational.trailingEventWindow(Tables.events(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventTypePivot(Tables.events(s, d))),
     "q_ntile" -> ((s, d) => Relational.priceQuartilesByYear(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Relational.docLengthPercentiles(Tables.documents(s, d))),
@@ -341,6 +345,16 @@ object SparkEntry {
     "q_date_parts" ->
       """SELECT quarter(o_orderdate) AS q, day(o_orderdate) AS dom, count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY q, dom""".stripMargin,
+    // engine-vs-engine on the IDENTICAL SQL string (spark.sql surface)
+    "q_sql_correlated" -> Relational.CorrelatedSql,
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_trailing,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS trailing_value
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_outer_join" ->
       """SELECT coalesce(o.uid, e.uid) AS uid,
         |  coalesce(o.n_orders, 0) AS n_orders, coalesce(e.n_events, 0) AS n_events

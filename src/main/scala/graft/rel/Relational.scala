@@ -314,6 +314,44 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy("user_id")
 
+  /** The SQL-surface demonstration: a correlated scalar subquery run
+    * through `spark.sql` over a temp view — Catalyst decorrelates it into
+    * an aggregate + join (no per-row re-scan). The SAME string is the
+    * DuckDB oracle, so the comparison is engine-vs-engine on identical
+    * SQL; money math in integer cents (sum·count cross-multiply instead
+    * of a float average) keeps it bit-exact. */
+  val CorrelatedSql: String =
+    """SELECT o_custkey, count(*) AS n_above
+      |FROM orders o
+      |WHERE CAST(round(o.o_totalprice*100) AS BIGINT) *
+      |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |    > (SELECT sum(CAST(round(i.o_totalprice*100) AS BIGINT))
+      |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Orders priced above their customer's average — via [[CorrelatedSql]]
+    * on the engine's SQL entry point. */
+  def ordersAboveCustomerAvg(orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders")
+    orders.sparkSession.sql(CorrelatedSql)
+  }
+
+  /** Value-based RANGE window frame: per event, how many of the same
+    * user's events (and value sum) fall in the trailing 30 minutes —
+    * frame bounds in event-time milliseconds, not row counts. Partitioned
+    * by user, so the frame scan distributes. */
+  def trailingEventWindow(events: DataFrame, minutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-minutes * 60000L, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        cents(col("value")).as("cents"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("trailing_value", (sum(col("cents")).over(w).cast("double") / 100.0))
+      .select(col("user_id"), col("event_id"), col("n_trailing"), col("trailing_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** NTILE quartiles of order value within each year: the window is
     * partitioned by year, so the sort distributes (no global single-
     * partition ntile — the scale trap this op usually hides). Quartile
