@@ -88,17 +88,21 @@ object Dedup {
   /** One aggregation computing every minhash as its own min column:
     * (id, mh0 … mh{H-1}). All H minima ride ONE shuffle of one row per
     * (partition, doc) — no seed join, map-side partial min. */
-  private def minhashAgg(docs: DataFrame, k: Int, numHashes: Int,
-                         baseHash: Column => Column,
-                         textCol: String, idCol: String): DataFrame = {
+  private def minhashAggFromShingles(sh: DataFrame, numHashes: Int,
+                                     baseHash: Column => Column,
+                                     idCol: String): DataFrame = {
     val mins = seedFamily(numHashes).map { case (i, a, b) =>
       min((lit(a) * col("bh") + lit(b)) % P2).as(s"mh$i")
     }
-    shingleRows(docs, k, textCol, idCol)
-      .withColumn("bh", pmod(baseHash(col("shingle")), lit(P)))
+    sh.withColumn("bh", pmod(baseHash(col("shingle")), lit(P)))
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
   }
+
+  private def minhashAgg(docs: DataFrame, k: Int, numHashes: Int,
+                         baseHash: Column => Column,
+                         textCol: String, idCol: String): DataFrame =
+    minhashAggFromShingles(shingleRows(docs, k, textCol, idCol), numHashes, baseHash, idCol)
 
   /** MinHash signatures in flat form: (id, h_idx, minhash). */
   def minhashFlat(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
@@ -171,8 +175,18 @@ object Dedup {
       .agg(sort_array(collect_list(col(idCol))).as("ids"), min(col(idCol)).as("rep"))
       .select("ids", "rep")
     val reps = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
-    val cands = minhashCandidates(reps, k, numHashes, bands, baseHash, textCol, idCol)
-    val repPairs = jaccardOfPairs(cands, shingleRows(reps, k, textCol, idCol), idCol)
+    // the rep shingle set feeds BOTH the signature/banding chain and the
+    // exact-Jaccard verify — materialize it once (also flattens the
+    // lineage the clustering loop above this op iterates over)
+    val sh = shingleRows(reps, k, textCol, idCol).localCheckpoint(true)
+    val sig = minhashAggFromShingles(sh, numHashes, baseHash, idCol)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    val bandsDf = lshBands(sig, bands, idCol)
+    val ca = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("a"))
+    val cb = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b"))
+    val cands = ca.join(cb, Seq("band", "band_hash")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val repPairs = jaccardOfPairs(cands, sh, idCol)
       .filter(col("jaccard") >= threshold)
     // No broadcast hint: `groups` is one row per DISTINCT text — near
     // corpus-sized for a mostly-unique web corpus, far past the 8 GB hard
