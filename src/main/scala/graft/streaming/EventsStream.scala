@@ -87,7 +87,13 @@ object EventsStream {
   final case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                            n_events: Long, session_value_cents: Long)
 
-  private final case class SessionState(startMs: Long, lastMs: Long, n: Long, cents: Long)
+  /** Open-session state. MUST be public: `state.update` serializes it
+    * through generated code that needs public access to the constructor —
+    * as `private`, every pipeline that carries an open session across
+    * micro-batches dies with a Janino compile error (only surfaced by the
+    * multi-batch out-of-order test; single-batch flushOpen runs never
+    * call update). */
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, cents: Long)
 
   /** Event-time sessionization with a gap timeout, as incremental state:
     * the streaming analogue of Relational.sessionize. Each user's open

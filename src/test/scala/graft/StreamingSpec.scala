@@ -72,6 +72,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: out-of-order events across micro-batches never split or shrink a session") {
+    // late events from a later micro-batch must clamp, not overwrite,
+    // session bounds: without min/max the regressed end makes the next
+    // in-order event look past the gap and spuriously splits the session
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream // moved in Spark 4.1
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(3600_000L + m * 60_000L)
+    val src = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = src.toDF.toDF("user_id", "ts", "value")
+    val stream = EventsStream.sessionizeStream(spark, events, gapMinutes = 30)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ooo_sessions").start()
+    try {
+      src.addData((1L, ts(60), 1.0), (1L, ts(70), 1.0)); q.processAllAvailable()
+      src.addData((1L, ts(58), 1.0), (1L, ts(99), 1.0)); q.processAllAvailable()
+      src.addData((1L, ts(180), 1.0)); q.processAllAvailable() // closes it
+      val sessions = spark.table("ooo_sessions")
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(sessions == Seq((1L, ts(58).getTime, ts(99).getTime, 4L)),
+        sessions.mkString("; "))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer == batch sessionize") {
     val stream = EventsStream.sessionizeStream(
       spark, EventsStream.readEvents(spark, dir), gapMinutes = 30, flushOpen = true)
