@@ -223,13 +223,21 @@ object OracleSql {
        |SELECT query_id, neighbor_id, score, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding near-dup top pairs on a bounded id range. */
-  def cosineTopPairs(maxId: Long, limit: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId)
+  /** Embedding near-dup top pairs on a bounded id range. Zero-norm
+    * vectors excluded (cosine undefined), mirroring the engine — without
+    * the filter they'd surface as NULL-scored rows here while the engine
+    * drops them. */
+  def cosineTopPairs(maxId: Long, limit: Int): String = {
+    def selfDot(x: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($x)+1), " +
+        s"i -> $x[i]::DOUBLE * $x[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id < $maxId AND ${selfDot("embedding")} > 0)
        |SELECT x.vec_id AS a, y.vec_id AS b,
        |  ${cosineExpr("x.embedding", "y.embedding")} AS score
        |FROM e x JOIN e y ON x.vec_id < y.vec_id
        |ORDER BY score DESC, a, b LIMIT $limit""".stripMargin
+  }
 
   /** Language-ID scores (mirror of TextStats.languageId). */
   def langId: String = {

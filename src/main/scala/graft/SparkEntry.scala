@@ -131,7 +131,9 @@ object SparkEntry {
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
     "pipeline_stratified" -> ((s, d) =>
       ext.TrainingPipeline.stratifiedSample(Tables.documents(s, d), "lang", 20)
-        .select("doc_id", "lang").orderBy("lang", "doc_id")),
+        .select("doc_id", "lang")
+        // nulls LAST to match DuckDB's ASC default (Spark defaults first)
+        .orderBy(col("lang").asc_nulls_last, col("doc_id"))),
     // ---- extensions: similarity search ----
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),

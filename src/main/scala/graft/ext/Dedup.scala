@@ -146,17 +146,21 @@ object Dedup {
       .agg(countDistinct(col("band_hash")).as("n_buckets"), count(lit(1)).as("n_docs"))
       .orderBy("band")
 
-  /** Candidate near-dup pairs from LSH buckets (a < b, distinct). */
-  def minhashCandidates(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16, baseHash: Column => Column = xxHash,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val bandsDf = lshBands(
-      minhashSignature(docs, k, numHashes, baseHash, textCol, idCol), bands, idCol)
+  /** Candidate pairs (a < b, distinct) from a banded signature table. */
+  private def candidatesFromSignatures(sig: DataFrame, bands: Int, idCol: String): DataFrame = {
+    val bandsDf = lshBands(sig, bands, idCol)
     val a = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("a"))
     val b = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b"))
     a.join(b, Seq("band", "band_hash")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Candidate near-dup pairs from LSH buckets (a < b, distinct). */
+  def minhashCandidates(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, baseHash: Column => Column = xxHash,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    candidatesFromSignatures(
+      minhashSignature(docs, k, numHashes, baseHash, textCol, idCol), bands, idCol)
 
   /** MinHash near-duplicates: LSH candidates verified with exact shingle
     * Jaccard ≥ threshold.
@@ -181,11 +185,7 @@ object Dedup {
     val sh = shingleRows(reps, k, textCol, idCol).localCheckpoint(true)
     val sig = minhashAggFromShingles(sh, numHashes, baseHash, idCol)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
-    val bandsDf = lshBands(sig, bands, idCol)
-    val ca = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("a"))
-    val cb = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b"))
-    val cands = ca.join(cb, Seq("band", "band_hash")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cands = candidatesFromSignatures(sig, bands, idCol)
     val repPairs = jaccardOfPairs(cands, sh, idCol)
       .filter(col("jaccard") >= threshold)
     // No broadcast hint: `groups` is one row per DISTINCT text — near

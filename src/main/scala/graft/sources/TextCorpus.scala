@@ -41,17 +41,25 @@ object TextCorpus {
   }
 
   /** Read a JSONL corpus (one document object per line) into the document
-    * shape. `spark.read.json` infers schema distributed; pass an explicit
-    * columns mapping when the corpus is huge to skip the inference pass. */
+    * shape. Without `schema`, `spark.read.json` runs a distributed
+    * schema-inference pass over every file first — pass an explicit
+    * schema for huge corpora to skip it. */
   def readJsonl(spark: SparkSession, paths: Seq[String],
-                textField: String = "text", idField: String = "doc_id"): DataFrame =
-    spark.read.json(paths: _*)
+                textField: String = "text", idField: String = "doc_id",
+                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.json(paths: _*)
       .select(col(idField).cast("long").as("doc_id"), col(textField).cast("string").as("text"))
+  }
 
-  /** Read a CSV corpus (header row) into the document shape. */
+  /** Read a CSV corpus (header row) into the document shape. multiLine +
+    * quote-escape so text containing embedded newlines/quotes (any real
+    * corpus) parses as one record instead of silently splitting. */
   def readCsv(spark: SparkSession, paths: Seq[String],
               textField: String = "text", idField: String = "doc_id"): DataFrame =
-    spark.read.option("header", "true").csv(paths: _*)
+    spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(paths: _*)
       .select(col(idField).cast("long").as("doc_id"), col(textField).cast("string").as("text"))
 
   /** JSONL sink (one JSON object per line) — the interchange format most

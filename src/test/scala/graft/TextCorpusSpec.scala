@@ -77,9 +77,16 @@ class TextCorpusSpec extends SparkSpec {
     val backJ = TextCorpus.readJsonl(spark, Seq(s"$dir/j"))
     assert(backJ.count() == docs.count())
     assert(backJ.exceptAll(docs).isEmpty && docs.exceptAll(backJ).isEmpty)
-    docs.write.option("header", "true").csv(s"$dir/c")
+    docs.write.option("header", "true").option("escape", "\"").csv(s"$dir/c")
     val backC = TextCorpus.readCsv(spark, Seq(s"$dir/c"))
     assert(backC.count() == docs.count())
+    assert(backC.exceptAll(docs).isEmpty && docs.exceptAll(backC).isEmpty)
+    // embedded newlines/quotes must survive the round-trip as one record
+    val tricky = Seq((1L, "line one\nline \"two\", quoted")).toDF("doc_id", "text")
+    tricky.write.option("header", "true").option("escape", "\"").csv(s"$dir/t")
+    val backT = TextCorpus.readCsv(spark, Seq(s"$dir/t"))
+    assert(backT.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "line one\nline \"two\", quoted")))
   }
 
   test("JobRunner: the reference's interface.py journey end-to-end") {
