@@ -65,6 +65,14 @@ class PlanSpec extends SparkSpec {
       p.takeRight(800))
   }
 
+  test("correlated scalar subqueries decorrelate to joins") {
+    // Catalyst must rewrite the per-row subqueries into aggregate+join —
+    // a plan that re-ran the subquery per outer row would be quadratic
+    val p = q("q_sql_correlated")
+    assert(p.contains("Join"), p.takeRight(800))
+    assert(!p.contains("ScalarSubquery"), p.takeRight(800))
+  }
+
   test("cosine pair mining never plans a cartesian product") {
     // candidates come from equi-joins on LSH buckets / IVF cell pairs; the
     // all-pairs crossJoin exists only in the *Exact small-n cross-checks

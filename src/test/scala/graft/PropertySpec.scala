@@ -91,4 +91,27 @@ class PropertySpec extends SparkSpec {
       sigs(0L) == sigs(1L)
     })
   }
+
+  test("scrub is idempotent: scrubbing clean text changes nothing") {
+    val messy = Gen.oneOf(
+      "see https://x.io/a and bob@x.io", "a  b\tc", "", "   ", "plain words only")
+    check("scrub-idempotent", Prop.forAll(Gen.listOfN(3, messy)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = graft.ext.TextStats.scrub(df)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val twice = graft.ext.TextStats.scrub(once)
+      twice.filter(col("n_urls") =!= 0 || col("n_emails") =!= 0 ||
+        col("n_chars_removed") =!= 0).count() == 0
+    })
+  }
+
+  test("splits partition every doc into exactly one of train/val/test") {
+    check("splits-partition", Prop.forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val s = graft.ext.TrainingPipeline.assignSplits(df)
+      s.count() == df.count() &&
+        s.filter(!col("split").isin("train", "val", "test")).count() == 0 &&
+        s.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0
+    })
+  }
 }
