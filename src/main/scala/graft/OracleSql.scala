@@ -71,6 +71,55 @@ object OracleSql {
        |SELECT doc_id, $assemble AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  /** (doc_id, g) word n-gram rows, NON-distinct (mirror of
+    * graft.functions.token_ngrams: documents shorter than `n` tokens
+    * yield no grams). Composes after [[toksCte]] in the same WITH. */
+  def ngramsCte(n: Int, name: String = "grams"): String = {
+    val joins = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""$name AS (
+       |  SELECT doc_id, g FROM toks, unnest(CASE WHEN len(toks) >= $n
+       |    THEN list_transform(range(1, len(toks) - ${n - 2}), i -> $joins)
+       |    ELSE [] END) AS u(g))""".stripMargin
+  }
+
+  /** Benchmark-decontamination report (mirror of pipeline_decontaminate):
+    * eval set = doc_id % mod == 0, train = the rest; n-gram overlap. */
+  def decontaminate(n: Int, mod: Int): String =
+    s"""WITH $toksCte,
+       |${ngramsCte(n)},
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $mod = 0),
+       |hits AS (
+       |  SELECT t.doc_id, count(DISTINCT t.g) AS n_contaminated
+       |  FROM grams t JOIN ev USING (g)
+       |  WHERE t.doc_id % $mod <> 0 GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       |  coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % $mod <> 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-document repetition signals (mirror of text_repetition). The
+    * engine computes top-gram multiplicity with a per-row fold; SQL gets
+    * the same numbers with plain grouped aggregation. */
+  def repetition: String =
+    s"""WITH $toksCte,
+       |${ngramsCte(2, "g2")},
+       |${ngramsCte(3, "g3")},
+       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+       |t2 AS (SELECT doc_id, max(c) AS top, sum(c) AS n FROM c2 GROUP BY 1),
+       |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+       |t3 AS (SELECT doc_id, max(c) AS top, sum(c) AS n FROM c3 GROUP BY 1)
+       |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       |  1.0::DOUBLE - (len(list_distinct(t.toks))::DOUBLE /
+       |    nullif(len(t.toks), 0)::DOUBLE) AS dup_token_frac,
+       |  coalesce(t2.top, 0)::BIGINT AS top_bigram_cnt,
+       |  t2.top::DOUBLE / nullif(t2.n, 0)::DOUBLE AS top_bigram_frac,
+       |  coalesce(t3.top, 0)::BIGINT AS top_trigram_cnt,
+       |  t3.top::DOUBLE / nullif(t3.n, 0)::DOUBLE AS top_trigram_frac
+       |FROM toks t LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact n-gram Jaccard top pairs (mirror of dedup_ngram_jaccard).
     * `maxDf` mirrors the engine's hot-shingle guard: shingles appearing in
     * more than maxDf documents are dropped BEFORE sizes and intersections

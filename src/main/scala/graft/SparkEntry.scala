@@ -101,6 +101,7 @@ object SparkEntry {
     "q_window_range" -> ((s, d) =>
       Relational.trailingEventWindow(Tables.events(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventTypePivot(Tables.events(s, d))),
+    "q_unpivot" -> ((s, d) => Relational.eventTypeUnpivot(Tables.events(s, d))),
     "q_ntile" -> ((s, d) => Relational.priceQuartilesByYear(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Relational.docLengthPercentiles(Tables.documents(s, d))),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
@@ -129,6 +130,14 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
+    // benchmark decontamination: docs with doc_id % 19 == 0 stand in for
+    // the eval/benchmark set; the report covers the remaining train docs
+    "pipeline_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ext.TrainingPipeline.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(19)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(19)) === 0), n = 4)
+    }),
     "pipeline_stratified" -> ((s, d) =>
       ext.TrainingPipeline.stratifiedSample(Tables.documents(s, d), "lang", 20)
         .select("doc_id", "lang")
@@ -155,6 +164,7 @@ object SparkEntry {
     "text_scrub" -> ((s, d) => TextStats.scrub(Tables.documents(s, d))),
     "text_tfidf_pairs" -> ((s, d) =>
       TextStats.tfIdfCosinePairs(Tables.documents(s, d), 50, maxDf = 1000L)),
+    "text_repetition" -> ((s, d) => TextStats.repetitionStats(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
     "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
     // ---- extensions: multimodal columns ----
@@ -372,6 +382,9 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS "view"
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ntile" ->
       """WITH q AS (
         |  SELECT year(o_orderdate) AS y, o_totalprice,
@@ -410,6 +423,8 @@ object SparkEntry {
     "text_scrub" -> OracleSql.textScrub,
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),
     "pipeline_split" -> OracleSql.assignSplits(98, 1),
+    "pipeline_decontaminate" -> OracleSql.decontaminate(4, 19),
+    "text_repetition" -> OracleSql.repetition,
     "pipeline_stratified" -> OracleSql.stratifiedSample("lang", 20),
     "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),

@@ -252,6 +252,55 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Highest multiplicity of any element in the array: sort, then fold a
+    * (prev, run, best) state over the runs. Per-row and shuffle-free by
+    * design — an interpreted higher-order fold over one document's grams
+    * costs microseconds, while the groupBy(doc, gram) alternative would
+    * shuffle the corpus' entire n-gram stream. */
+  private def maxMultiplicity(grams: Column): Column =
+    aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(st.getField("run") === 0L || x === st.getField("prev"),
+          st.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Per-document repetition signals — the Gopher-style quality filters
+    * for machine-generated / boilerplate text: duplicate-token fraction
+    * and the share of the single most frequent word 2-gram / 3-gram.
+    * Documents shorter than the gram size have zero grams and a null
+    * fraction (nothing to be repetitive about).
+    *
+    * Everything is a per-document column expression — zero cross-document
+    * shuffle at any corpus size. Fractions are one double division over
+    * exact integer counts, in the same shape as the SQL oracle. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Tokenize.tokensArray(col(textCol))
+    val bigrams = graft.functions.token_ngrams(col(textCol), 2)
+    val trigrams = graft.functions.token_ngrams(col(textCol), 3)
+    docs.select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        maxMultiplicity(bigrams).as("top_bigram_cnt"),
+        size(trigrams).cast("long").as("n_trigrams"),
+        maxMultiplicity(trigrams).as("top_trigram_cnt"))
+      .select(col(idCol), col("n_tokens"),
+        (lit(1.0d) - col("n_distinct").cast("double") /
+          nullif(col("n_tokens"), lit(0)).cast("double")).as("dup_token_frac"),
+        col("top_bigram_cnt"),
+        (col("top_bigram_cnt").cast("double") /
+          nullif(col("n_bigrams"), lit(0)).cast("double")).as("top_bigram_frac"),
+        col("top_trigram_cnt"),
+        (col("top_trigram_cnt").cast("double") /
+          nullif(col("n_trigrams"), lit(0)).cast("double")).as("top_trigram_frac"))
+      .orderBy(idCol)
+  }
+
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):
     * top-k n-grams with total occurrence counts. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,

@@ -70,6 +70,50 @@ object TrainingPipeline {
       .drop("__rk")
   }
 
+  /** Per-document benchmark-contamination report: how many DISTINCT word
+    * `n`-grams of each training document also appear anywhere in the
+    * benchmark/eval set (the standard test-set decontamination check —
+    * e.g. the 13-gram overlap rule of GPT-3 appendix C, here with
+    * configurable `n`).
+    *
+    * Scale design: the benchmark side is distinct n-grams of the EVAL
+    * set — benchmark suites are MBs by construction, so it broadcasts
+    * (set `broadcastEval = false` if the eval side is itself corpus-sized
+    * and let AQE pick the strategy). The training side dedups n-grams
+    * per document with `array_distinct` INSIDE the row (no shuffle of
+    * n-gram text); after the broadcast join only (id, count) partials
+    * ride the final aggregation shuffle. Documents shorter than `n`
+    * tokens have no n-grams and are trivially clean. */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame, n: Int = 4,
+                          broadcastEval: Boolean = true,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = benchmark
+      .select(explode(graft.functions.token_ngrams(col(textCol), n)).as("ngram"))
+      .distinct()
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    val hits = train
+      .select(col(idCol),
+        explode(array_distinct(graft.functions.token_ngrams(col(textCol), n))).as("ngram"))
+      .join(evalSide, Seq("ngram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("is_contaminated", col("n_contaminated") > 0)
+      .orderBy(idCol)
+  }
+
+  /** The decontaminated corpus: training documents sharing NO word
+    * `n`-gram with the benchmark set (anti-join on the contamination
+    * hits — the keep path of [[contaminationReport]]). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 4,
+                    broadcastEval: Boolean = true,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val contaminated = contaminationReport(train, benchmark, n, broadcastEval, textCol, idCol)
+      .filter(col("is_contaminated")).select(idCol)
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Per-stage accounting (one row): how many documents each stage
     * removed — the numbers a data curator reports. */
   def stageReport(docs: DataFrame, nearDupThreshold: Double = 0.7): DataFrame = {

@@ -314,6 +314,16 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy("user_id")
 
+  /** UNPIVOT (melt): the wide per-user event-type count matrix back to
+    * long (user_id, event_type, cnt) rows — the inverse surface of
+    * [[eventTypePivot]] via the Dataset `unpivot` operator. Zero-count
+    * cells are dropped (the long form of a sparse matrix). */
+  def eventTypeUnpivot(events: DataFrame): DataFrame =
+    eventTypePivot(events)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray, "event_type", "cnt")
+      .filter(col("cnt") > 0)
+      .orderBy("user_id", "event_type")
+
   /** The SQL-surface demonstration: a correlated scalar subquery run
     * through `spark.sql` over a temp view — Catalyst decorrelates it into
     * an aggregate + join (no per-row re-scan). The SAME string is the

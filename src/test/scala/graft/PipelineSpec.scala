@@ -114,6 +114,56 @@ class PipelineSpec extends SparkSpec {
     assert(top.forall(p => p._3 <= 1.0 + 1e-12))
   }
 
+  test("decontamination flags exactly the n-gram-overlapping train docs") {
+    val benchmark = Seq(
+      (100L, "what is the boiling point of water at sea level", "b")
+    ).toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "trivia dump the boiling point of water is well known", "s"), // shares a 4-gram
+      (2L, "entirely unrelated prose about compilers and codegen loops", "s"), // clean
+      (3L, "boiling point facts", "s"), // shorter than n: trivially clean
+      (4L, "at sea level the pressure is one atmosphere exactly", "s") // shares "at sea level ..."? only 3 tokens overlap
+    ).toDF("doc_id", "text", "source")
+    val report = TrainingPipeline.contaminationReport(train, benchmark, n = 4)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(report(1L)._2, "doc 1 shares 'the boiling point of' (+ more)")
+    assert(report(1L)._1 >= 2, "distinct overlapping 4-grams counted")
+    assert(!report(2L)._2 && report(2L)._1 == 0)
+    assert(!report(3L)._2, "3-token doc has no 4-grams")
+    assert(!report(4L)._2, "3-token overlap is below the 4-gram bar")
+    val clean = TrainingPipeline.decontaminate(train, benchmark, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L, 4L))
+  }
+
+  test("repetition stats: hand-computed fractions and short-doc nulls") {
+    val df = Seq(
+      (1L, "a a a b", "s"), // bigrams: aa,aa,ab → top 2/3; trigrams: aaa,aab → top 1/2
+      (2L, "x", "s"), // no bigrams/trigrams
+      (3L, "spark plans queries and spark plans joins", "s")
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.ext.TextStats.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getLong(1) == 4 && r1.getDouble(2) == 0.5) // 2 distinct of 4
+    assert(r1.getLong(3) == 2 && math.abs(r1.getDouble(4) - 2.0 / 3.0) < 1e-15)
+    assert(r1.getLong(5) == 1 && r1.getDouble(6) == 0.5)
+    val r2 = rows(2L)
+    assert(r2.getLong(3) == 0 && r2.isNullAt(4), "no bigrams → null fraction")
+    val r3 = rows(3L)
+    assert(r3.getLong(3) == 2, "'spark plans' repeats") // 7 tokens → 6 bigrams
+    assert(math.abs(r3.getDouble(4) - 2.0 / 6.0) < 1e-15)
+  }
+
+  test("unpivot(pivot(events)) == direct long-form aggregation") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val viaPivot = graft.rel.Relational.eventTypeUnpivot(events)
+      .as[(Long, String, Long)].collect().toSet
+    val direct = events.groupBy("user_id", "event_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaPivot == direct)
+  }
+
   test("stage report is internally consistent") {
     val r = TrainingPipeline.stageReport(corpus, nearDupThreshold = 0.5)
       .as[(Long, Long, Long, Long, Long, Long)].head()
