@@ -154,6 +154,8 @@ object SparkEntry {
     "sim_label_stats" -> ((s, d) => Similarity.labelStats(Tables.embeddings(s, d))),
     "sim_ivf" -> ((s, d) =>
       ext.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 8L, 5, 16, 4)),
+    "sim_pq" -> ((s, d) =>
+      ext.Pq.pqTopK(Tables.embeddings(s, d), 0L until 8L, 5, m = 4, ksub = 16)),
     // ---- extensions: text analysis ----
     "text_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),

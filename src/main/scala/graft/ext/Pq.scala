@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest neighbor: split the
+  * embedding dimension into `m` subspaces, k-means each subspace into
+  * `ksub` centroids (the codebooks), and store every corpus vector as `m`
+  * small codes. Queries score candidates with asymmetric distance
+  * computation (ADC): the query keeps its full precision and a per-query
+  * lookup table turns each code into a partial dot product, so scoring a
+  * corpus row is `m` table lookups instead of a `dim`-wide dot product.
+  *
+  * Scale design: codebooks are m × ksub × (dim/m) doubles — driver-sized
+  * by construction, like IVF centroids. The corpus is ENCODED ONCE into
+  * m·log2(ksub) bits per vector (a 32× compression for float32 at the
+  * defaults) in one narrow pass with no shuffle; searches scan codes, not
+  * raw vectors, so the working set a 100 TB search touches shrinks by the
+  * same factor. Query tables are |Q|·m·ksub doubles, broadcast. The final
+  * top-k rides the same bounded TopKAggregator as every other search op.
+  *
+  * This is an approximation (quantization error moves scores), so the
+  * declared query is rows-only; the ScalaTest spec checks recall against
+  * brute force, the codebook/encode invariants, and determinism.
+  */
+object Pq {
+
+  import Similarity.dot
+
+  /** One codebook per subspace: Lloyd's on the sliced sub-vectors with
+    * the same deterministic seeding as IVF (the `ksub` lowest-id rows of
+    * each subspace).
+    *
+    * All `m` subspaces train JOINTLY: the corpus explodes once into
+    * (subspace, sub-vector) rows and every Lloyd round is ONE assignment
+    * job + ONE mean aggregation over all subspaces — `iters` corpus
+    * scans total, not `m · iters` (the per-subspace-sequential layout
+    * would rescan a 100 TB corpus m times per round). */
+  def trainCodebooks(embeddings: DataFrame, m: Int, ksub: Int, iters: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Double])]] = {
+    val dimRow = embeddings.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) return Seq.empty
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val w = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val subs = embeddings.select(col(idCol).as("id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(v, s * w + 1, w).as("sub"))): _*)).as("x"))
+      .select(col("id"), col("x.s").as("s"), col("x.sub").as("sub"))
+      .localCheckpoint(true) // scanned once per round; flat lineage across rounds
+    val seedW = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("id")
+    var books: Map[Int, Seq[(Int, Seq[Double])]] = subs
+      .withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") <= ksub)
+      .select("s", "__rn", "sub").collect()
+      .map(r => (r.getInt(0), r.getInt(1) - 1, r.getSeq[Double](2)))
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+    for (_ <- 0 until iters) {
+      // per-subspace argmin, dispatched on the subspace id in one pass
+      val cell = (0 until m).map(s => (s, Ivf.cellOf(col("sub"), books(s))))
+        .foldLeft(lit(null).cast("int")) { case (els, (s, e)) =>
+          when(col("s") === s, e).otherwise(els) }
+      val means = subs.withColumn("cell", cell)
+        .select(col("s"), col("cell"), posexplode(col("sub")))
+        .groupBy("s", "cell", "pos").agg(avg(col("col")).as("mv"))
+        .groupBy("s", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("st"))
+        .select(col("s"), col("cell"), transform(col("st"), x => x.getField("mv")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      // empty cells keep their previous centroid
+      books = books.map { case (s, cents) =>
+        val upd = means.collect { case (`s`, cid, c) => cid -> c }.toMap
+        s -> cents.map { case (cid, c) => (cid, upd.getOrElse(cid, c)) }
+      }
+    }
+    (0 until m).map(books)
+  }
+
+  /** The compressed corpus: (id, codes) with one nearest-centroid code per
+    * subspace — a per-row argmin through the codegen'd dot product, no
+    * shuffle. */
+  def encode(embeddings: DataFrame, codebooks: Seq[Seq[(Int, Seq[Double])]],
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.size
+    val v = col(vecCol).cast("array<double>")
+    val w = codebooks.head.head._2.size
+    val codes = array(codebooks.zipWithIndex.map { case (cents, s) =>
+      Ivf.cellOf(slice(v, s * w + 1, w), cents)
+    }: _*)
+    embeddings.select(col(idCol), codes.as("codes"))
+  }
+
+  /** PQ-ADC top-k: approximate cosine from table lookups —
+    * dot(q, x̃) = Σ_s table_q[s][code_s] and ‖x̃‖² = Σ_s ‖c_{s,code_s}‖²,
+    * where x̃ is the reconstruction of x from its codes. */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+             m: Int = 4, ksub: Int = 16, iters: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = trainCodebooks(embeddings, m, ksub, iters, idCol, vecCol)
+    if (books.isEmpty) // empty corpus: empty result with the right shape
+      return Similarity.emptyTopK(spark)
+    val w = books.head.head._2.size
+    val coded = encode(embeddings, books, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    // reconstruction norms are query-independent: a plan literal
+    val n2tab: Seq[Seq[Double]] =
+      books.map(_.sortBy(_._1).map(_._2.map(x => x * x).sum))
+    // per-query ADC tables, built driver-side from the driver-sized
+    // codebooks and the (small, broadcast) query set
+    val qdf = embeddings.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol).cast("array<double>")).collect()
+      .map { r =>
+        val (qid, qv) = (r.getLong(0), r.getSeq[Double](1))
+        val tables = books.zipWithIndex.map { case (cents, s) =>
+          val qs = qv.slice(s * w, (s + 1) * w)
+          cents.sortBy(_._1).map { case (_, c) =>
+            qs.zip(c).map { case (a, b) => a * b }.sum }
+        }
+        (qid, tables, qv.map(x => x * x).sum)
+      }.toSeq.toDF("query_id", "tables", "n2_query")
+    def lookupSum(tabs: Column): Column =
+      aggregate(zip_with(col("codes"), tabs, (code, tab) => element_at(tab, code + 1)),
+        lit(0.0d), _ + _)
+    val scored = coded.crossJoin(broadcast(qdf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adot", lookupSum(col("tables")))
+      .withColumn("n2a", lookupSum(typedLit(n2tab)))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("adot") / (sqrt(col("n2_query")) * sqrt(col("n2a")))).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+}

@@ -52,7 +52,7 @@ object Similarity {
     * ≤ k candidates per (partition, query) map-side, so the exchange
     * carries k·|partitions|·|queries| rows — never the full scored set.
     * Ordering identical to `row_number over (score desc, id)`. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[ext] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.core.TopKAggregator(k),
       org.apache.spark.sql.Encoders.product[graft.core.Scored])
     scored.groupBy("query_id")
