@@ -73,6 +73,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalarSubquery"), p.takeRight(800))
   }
 
+  test("decontamination broadcasts the benchmark n-gram side") {
+    // the eval/benchmark n-gram set is the small side by construction —
+    // the train-side n-gram stream must meet it in a BroadcastHashJoin,
+    // never shuffle its n-gram text to a SortMergeJoin
+    val p = q("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.takeRight(800))
+    assert(!p.contains("SortMergeJoin"), p.takeRight(800))
+  }
+
   test("cosine pair mining never plans a cartesian product") {
     // candidates come from equi-joins on LSH buckets / IVF cell pairs; the
     // all-pairs crossJoin exists only in the *Exact small-n cross-checks
