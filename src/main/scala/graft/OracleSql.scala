@@ -370,4 +370,92 @@ object OracleSql {
        |       WHEN ${poly("CAST(doc_id AS VARCHAR)")} % 100 < ${trainPct + valPct} THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** pipeline_mixture oracle: the same per-stratum id-hash keep-rates. */
+  def mixtureSample(ratesPct: Seq[(String, Int)], defaultPct: Int,
+                    strataCol: String = "lang"): String = {
+    val cases = ratesPct.map { case (s, p) => s"WHEN $strataCol = '$s' THEN $p" }
+      .mkString(" ")
+    s"""SELECT doc_id, $strataCol FROM documents
+       |WHERE ${poly("CAST(doc_id AS VARCHAR)")} % 100 <
+       |  CASE $cases ELSE $defaultPct END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Self dot product with the engine's exact fold order. */
+  private def selfDot(x: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($x)+1), " +
+      s"i -> $x[i]::DOUBLE * $x[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  /** dedup_embedding oracle: exact thresholded cosine pairs on a bounded
+    * id range (all-pairs — oracle only), then recursive min-label
+    * components; zero-norm vectors pair with nothing and keep their own
+    * id, like every other singleton. */
+  def embeddingClusters(maxId: Long, threshold: Double): String =
+    s"""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings
+       |            WHERE vec_id < $maxId),
+       |e AS (SELECT vec_id, embedding FROM base WHERE ${selfDot("embedding")} > 0),
+       |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |  WHERE ${cosineExpr("x.embedding", "y.embedding")} >= $threshold),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT g.src, rc.r FROM edges g JOIN reach rc ON rc.id = g.dst),
+       |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT b.vec_id, coalesce(l.cluster_id, b.vec_id) AS cluster_id
+       |FROM base b LEFT JOIN labels l ON l.id = b.vec_id ORDER BY vec_id""".stripMargin
+
+  /** Raw regex/list fragments for the Gopher-rule oracle (plain strings:
+    * interpolated triple-quoted strings process \x/\p escapes). */
+  private val rawWords = """list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')"""
+  private val symbolPattern = """#|\.\.\.|…"""
+  private val bulletPattern = """^[ \t]*[-*•]"""
+  private val ellipsisPattern = """(\.\.\.|…)$"""
+  private val letterPattern = """[\p{L}]"""
+
+  /** text_gopher oracle: the same rule battery over RAW whitespace words
+    * and chr(10)-split lines. Integer counts everywhere; each ratio is a
+    * single guarded double division, mirroring the engine's shape. */
+  def gopherQuality(minWords: Int, maxWords: Int,
+                    minMeanWordLen: Double, maxMeanWordLen: Double,
+                    maxSymbolRatio: Double, maxBulletRatio: Double,
+                    maxEllipsisRatio: Double, minAlphaRatio: Double,
+                    minStopwords: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, $rawWords AS ws, string_split(text, chr(10)) AS ls, text
+       |  FROM documents),
+       |raw AS (
+       |  SELECT doc_id,
+       |    len(ws)::BIGINT AS n_words,
+       |    coalesce(list_sum(list_transform(ws, x -> length(x)::BIGINT)), 0)::BIGINT
+       |      AS sum_word_len,
+       |    len(regexp_extract_all(text, '$symbolPattern'))::BIGINT AS n_symbols,
+       |    len(ls)::BIGINT AS n_lines,
+       |    len(list_filter(ls, l -> regexp_matches(l, '$bulletPattern')))::BIGINT
+       |      AS n_bullet_lines,
+       |    len(list_filter(ls, l -> regexp_matches(l, '$ellipsisPattern')))::BIGINT
+       |      AS n_ellipsis_lines,
+       |    len(list_filter(ws, x -> regexp_matches(x, '$letterPattern')))::BIGINT
+       |      AS n_alpha_words,
+       |    len(list_filter(ws, x -> lower(x) IN ($stopwordList)))::BIGINT AS n_stopwords
+       |  FROM w),
+       |r2 AS (
+       |  SELECT *,
+       |    CAST(sum_word_len AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS mean_word_len,
+       |    CAST(n_symbols AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS symbol_ratio,
+       |    CAST(n_bullet_lines AS DOUBLE) / CAST(nullif(n_lines, 0) AS DOUBLE) AS bullet_ratio,
+       |    CAST(n_ellipsis_lines AS DOUBLE) / CAST(nullif(n_lines, 0) AS DOUBLE) AS ellipsis_ratio,
+       |    CAST(n_alpha_words AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS alpha_ratio
+       |  FROM raw)
+       |SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines, n_bullet_lines,
+       |  n_ellipsis_lines, n_alpha_words, n_stopwords, mean_word_len, symbol_ratio,
+       |  bullet_ratio, ellipsis_ratio, alpha_ratio,
+       |  (n_words >= $minWords AND n_words <= $maxWords
+       |   AND mean_word_len >= $minMeanWordLen AND mean_word_len <= $maxMeanWordLen
+       |   AND symbol_ratio <= $maxSymbolRatio
+       |   AND bullet_ratio <= $maxBulletRatio AND ellipsis_ratio <= $maxEllipsisRatio
+       |   AND alpha_ratio >= $minAlphaRatio AND n_stopwords >= $minStopwords) AS passes
+       |FROM r2 ORDER BY doc_id""".stripMargin
 }

@@ -104,6 +104,10 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) => Relational.eventTypeUnpivot(Tables.events(s, d))),
     "q_ntile" -> ((s, d) => Relational.priceQuartilesByYear(Tables.orders(s, d))),
     "q_percentiles" -> ((s, d) => Relational.docLengthPercentiles(Tables.documents(s, d))),
+    "q_profile" -> ((s, d) => Relational.columnProfile(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_stats_agg" -> ((s, d) => Relational.statsByReturnFlag(Tables.lineitem(s, d))),
+    "q_events_hopping" -> ((s, d) => Relational.hoppingEventCounts(Tables.events(s, d))),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
     // ---- extensions: deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exactKeepIds(Tables.documents(s, d))),
@@ -125,6 +129,12 @@ object SparkEntry {
       Dedup.minhashNearDuplicates(Tables.documents(s, d), 0.3, 3, 64, 16, Dedup.polyHash)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Tables.documents(s, d), 0.3, Dedup.polyHash)),
+    // semantic (embedding-space) near-dup dedup; id range bounded so the
+    // all-pairs oracle stays n² on 500 vectors, threshold picked where
+    // this corpus has real cluster structure (~60 pairs)
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDupClusters(
+        Tables.embeddings(s, d).filter(col("vec_id") < 500), 0.4)),
     "pipeline_clean_corpus" -> ((s, d) =>
       ext.TrainingPipeline.cleanCorpus(Tables.documents(s, d), 0.3, baseHash = Dedup.polyHash)
         .select("doc_id", "lang", "source")),
@@ -138,6 +148,9 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(19)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(19)) === 0), n = 4)
     }),
+    "pipeline_mixture" -> ((s, d) =>
+      ext.TrainingPipeline.mixtureSample(Tables.documents(s, d), Seq("en" -> 75, "zh" -> 40), 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
     "pipeline_stratified" -> ((s, d) =>
       ext.TrainingPipeline.stratifiedSample(Tables.documents(s, d), "lang", 20)
         .select("doc_id", "lang")
@@ -159,6 +172,7 @@ object SparkEntry {
     // ---- extensions: text analysis ----
     "text_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),
+    "text_gopher" -> ((s, d) => TextStats.gopherQualityFlags(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextStats.languageId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
@@ -428,7 +442,47 @@ object SparkEntry {
     "pipeline_decontaminate" -> OracleSql.decontaminate(4, 19),
     "text_repetition" -> OracleSql.repetition,
     "pipeline_stratified" -> OracleSql.stratifiedSample("lang", 20),
+    "pipeline_mixture" -> OracleSql.mixtureSample(Seq("en" -> 75, "zh" -> 40), 20),
     "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
+    "dedup_embedding" -> OracleSql.embeddingClusters(500, 0.4),
+    "text_gopher" -> OracleSql.gopherQuality(50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2),
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_value, CAST(max($c) AS DOUBLE) AS max_value
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_stats_agg" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+        |    sum(CAST(round(l_quantity) AS BIGINT)*CAST(round(l_quantity) AS BIGINT)) AS sq2,
+        |    sum(CAST(round(l_extendedprice) AS BIGINT)) AS sp,
+        |    sum(CAST(round(l_extendedprice) AS BIGINT)*CAST(round(l_extendedprice) AS BIGINT)) AS sp2,
+        |    sum(CAST(round(l_quantity) AS BIGINT)*CAST(round(l_extendedprice) AS BIGINT)) AS sqp,
+        |    quantile_cont(l_quantity, 0.5) AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sqrt((CAST(n AS DOUBLE)*CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+        |  (CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE)*CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE)*CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)))
+        |    AS corr_qty_price,
+        |  median_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_events_hopping" ->
+      """WITH w AS (
+        |  SELECT (epoch_ms(ts) // 900000 - k) * 900000 AS ws_ms, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events, unnest([0, 1, 2, 3]) AS u(k))
+        |SELECT ws_ms, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS DOUBLE)/100.0 AS value_sum
+        |FROM w GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin,
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),
     "sim_label_stats" ->

@@ -272,6 +272,22 @@ object Dedup {
     clusterPairs(docs.select(col(idCol)), pairs, idCol).orderBy(idCol)
   }
 
+  /** Embedding-cosine near-duplicate clustering — the semantic-dedup
+    * family member: two documents are near-dups when their embeddings'
+    * cosine is at or above `threshold`, regardless of surface text.
+    * Exact thresholded pairs come from IVF cell-pair pruning (never an
+    * all-pairs crossJoin — [[Similarity.cosineNearDupPairs]]), then the
+    * same transitive min-label components as the MinHash path. Every
+    * vector gets a cluster_id (zero-norm vectors have no direction, pair
+    * with nothing, and stay singletons). Dedup decision = keep the min id
+    * per cluster, exactly like [[nearDupKeepIds]]. */
+  def embeddingNearDupClusters(embeddings: DataFrame, threshold: Double, nlist: Int = 16,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(embeddings, threshold, nlist, idCol, vecCol)
+      .select("a", "b")
+    clusterPairs(embeddings.select(col(idCol)), pairs, idCol).orderBy(idCol)
+  }
+
   /** The dedup decision: one retained id per near-dup cluster. */
   def nearDupKeepIds(docs: DataFrame, threshold: Double = 0.7,
                      baseHash: Column => Column = xxHash,

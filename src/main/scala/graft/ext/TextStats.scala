@@ -301,6 +301,65 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Gopher-style document-quality rule flags — the publicly documented
+    * heuristic battery of Rae et al. 2021 ("Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1), the
+    * de-facto standard pre-training quality gate:
+    *
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *  - symbol-to-word ratio (`#` / `...` occurrences per word) ≤ max
+    *  - fraction of bullet-point lines ≤ max, ellipsis-ending lines ≤ max
+    *  - fraction of words containing a letter ≥ min
+    *  - at least `minStopwords` stopword hits
+    *
+    * "Words" here are RAW whitespace-split tokens (no normalization) —
+    * length and symbol signals must see the original text; only the
+    * stopword test lowercases. Every signal is a per-document projection
+    * (no shuffle); `passes` is the conjunction, null-safe for empty
+    * documents (word-count bound fails first). Thresholds are parameters
+    * because corpora differ; defaults follow the paper. */
+  def gopherQualityFlags(docs: DataFrame,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+                         minAlphaRatio: Double = 0.8, minStopwords: Int = 2,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val lines = split(col(textCol), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    docs.select(
+        col(idCol),
+        nWords.as("n_words"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")).as("sum_word_len"),
+        size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\.|…"), lit(0)))
+          .cast("long").as("n_symbols"),
+        nLines.as("n_lines"),
+        size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))).cast("long").as("n_bullet_lines"),
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("long").as("n_ellipsis_lines"),
+        size(filter(words, w => w.rlike("[\\p{L}]"))).cast("long").as("n_alpha_words"),
+        size(filter(words, w => lower(w).isin(Stopwords: _*))).cast("long").as("n_stopwords"))
+      .withColumn("mean_word_len",
+        col("sum_word_len").cast("double") / nullif(col("n_words"), lit(0)).cast("double"))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / nullif(col("n_words"), lit(0)).cast("double"))
+      .withColumn("bullet_ratio",
+        col("n_bullet_lines").cast("double") / nullif(col("n_lines"), lit(0)).cast("double"))
+      .withColumn("ellipsis_ratio",
+        col("n_ellipsis_lines").cast("double") / nullif(col("n_lines"), lit(0)).cast("double"))
+      .withColumn("alpha_ratio",
+        col("n_alpha_words").cast("double") / nullif(col("n_words"), lit(0)).cast("double"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") <= maxBulletRatio && col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_ratio") >= minAlphaRatio && col("n_stopwords") >= minStopwords)
+      .orderBy(idCol)
+  }
+
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):
     * top-k n-grams with total occurrence counts. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus-cleaning composite a pre-training data pipeline
@@ -54,6 +54,23 @@ object TrainingPipeline {
     * debugging/eval subset that is stable across pipeline runs. */
   def sampleByHash(docs: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame =
     docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pct)
+
+  /** Deterministic weighted mixture sampling: per-stratum keep-rates (in
+    * percent) applied through the stable id-hash — the domain-reweighting
+    * step that turns a raw crawl into a training mixture ("keep 75% of
+    * en, 40% of zh, 20% of everything else"). Pure per-row filter: no
+    * shuffle, no RNG state, identical keep-set on any retry or cluster
+    * size, and composable with [[assignSplits]] because both hash the
+    * same stable id. Unknown / null strata fall to `defaultPct`. */
+  def mixtureSample(docs: DataFrame, ratesPct: Seq[(String, Int)], defaultPct: Int,
+                    strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require((defaultPct +: ratesPct.map(_._2)).forall(p => p >= 0 && p <= 100),
+      "rates are percentages in [0, 100]")
+    val pct = ratesPct.foldRight(lit(defaultPct): Column) { case ((stratum, p), els) =>
+      when(col(strataCol) === stratum, lit(p)).otherwise(els)
+    }
+    docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pct)
+  }
 
   /** Deterministic stratified sample: within each stratum, rank rows by
     * id-hash (tie-break id) and keep the first `perStratum` — a

@@ -378,4 +378,75 @@ object Relational {
         max(col("o_totalprice")).as("max_price"))
       .orderBy("y", "quartile")
   }
+
+  /** Data-profiling summary: per column, row/null/distinct counts and the
+    * min/max envelope — the first query a pipeline runs against an
+    * unfamiliar table. ONE scan: all per-column aggregates run in a
+    * single global aggregation (count-distinct expands the row Nx
+    * map-side, but the table is still read once), then the wide result
+    * row is unpivoted driver-free into (col_name, ...) rows. min/max are
+    * order-independent pass-throughs, so doubles are engine-exact. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"), col(s"${c}__max").as("max_value"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_name")
+  }
+
+  /** Statistical aggregates per return flag: sample standard deviation,
+    * Pearson correlation and the interpolated median — computed from
+    * EXACT integer power sums (quantities and whole-dollar prices are
+    * integers, so sums/sums-of-squares/cross-sums are overflow-checked
+    * longs), combined in one fixed double expression at the end. Unlike
+    * the built-in `stddev`/`corr` (Welford-style merge whose low bits
+    * depend on partition boundaries), this formulation is bit-identical
+    * on any partitioning and any engine that evaluates the same final
+    * expression — the portable form of a second-moment aggregate. */
+  def statsByReturnFlag(lineitem: DataFrame): DataFrame = {
+    val q = round(col("l_quantity")).cast("long")
+    val p = round(col("l_extendedprice")).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val agg = lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(q * q).as("sq2"),
+        sum(p).as("sp"), sum(p * p).as("sp2"),
+        sum(q * p).as("sqp"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
+    agg.select(col("l_returnflag"), col("n"),
+        sqrt((d(col("n")) * d(col("sq2")) - d(col("sq")) * d(col("sq"))) /
+          (d(col("n")) * (d(col("n")) - 1.0))).as("stddev_qty"),
+        ((d(col("n")) * d(col("sqp")) - d(col("sq")) * d(col("sp"))) /
+          (sqrt(d(col("n")) * d(col("sq2")) - d(col("sq")) * d(col("sq"))) *
+            sqrt(d(col("n")) * d(col("sp2")) - d(col("sp")) * d(col("sp")))))
+          .as("corr_qty_price"),
+        col("median_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Hopping (sliding) event-time windows: count and purchase value per
+    * [size=1h, hop=15min] window and event type — each event lands in
+    * size/hop = 4 overlapping windows. Spark's `window()` generates the
+    * per-row window set inline (a projection, not a join against a
+    * window table), then a plain hash aggregation on (window, type);
+    * epoch-aligned starts make the result engine-portable as millis. */
+  def hoppingEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(unix_millis(col("window.start")).as("ws_ms"), col("event_type"),
+        col("n"), (col("value_cents").cast("double") / 100.0).as("value_sum"))
+      .orderBy("ws_ms", "event_type")
 }

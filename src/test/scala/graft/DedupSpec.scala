@@ -79,4 +79,34 @@ class DedupSpec extends SparkSpec {
       .collect().toSeq
     assert(s1 == s2)
   }
+
+  test("embedding clusters match the exact all-pairs clustering; structure is non-trivial") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 300)
+    val got = Dedup.embeddingNearDupClusters(emb, 0.4)
+      .as[(Long, Long)].collect().toSeq
+    val exactPairs = graft.ext.Similarity
+      .cosineNearDupPairsExact(emb, 0.4).select("a", "b")
+    val want = Dedup.clusterPairs(emb.select(col("vec_id")), exactPairs, "vec_id")
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // the threshold was picked where this corpus actually clusters: at
+    // least one multi-member component, and not everything in one blob
+    val sizes = got.groupBy(_._2).map(_._2.size)
+    assert(sizes.exists(_ > 1) && sizes.size > 1)
+  }
+
+  test("embedding clusters: zero-norm vectors stay singletons, identical vectors merge") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)), // identical direction → cosine 1
+      (2L, Array(0.0f, 0.0f, 0.0f)), // zero norm: no direction, pairs with nothing
+      (3L, Array(-3.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val clusters = Dedup.embeddingNearDupClusters(df, 0.9, nlist = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L)
+    assert(clusters(2L) == 2L && clusters(3L) == 3L)
+  }
 }

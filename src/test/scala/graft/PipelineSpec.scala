@@ -171,4 +171,45 @@ class PipelineSpec extends SparkSpec {
     assert(nIn == 5 && nQ == 4 && nExact == 3 && nFinal == 2)
     assert(qDrop == nIn - nQ && ndDrop == nExact - nFinal)
   }
+
+  test("mixtureSample: rate 100 keeps all, 0 keeps none, samples nest monotonically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val en = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val all = TrainingPipeline
+      .mixtureSample(docs, Seq("en" -> 100, "zh" -> 0), 50)
+    assert(all.filter(org.apache.spark.sql.functions.col("lang") === "en").count() == en.count())
+    assert(all.filter(org.apache.spark.sql.functions.col("lang") === "zh").count() == 0)
+    // determinism + nesting: the 20% keep-set is a subset of the 60% one
+    // (same hash, higher cutoff) — the property that makes mixture dials
+    // safe to tune without resampling the world
+    val k20 = TrainingPipeline.mixtureSample(docs, Nil, 20)
+      .select("doc_id").as[Long].collect().toSet
+    val k60 = TrainingPipeline.mixtureSample(docs, Nil, 60)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k20.subsetOf(k60))
+    assert(k20 == TrainingPipeline.mixtureSample(docs, Nil, 20)
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("gopher rules flag each documented failure mode") {
+    val fifty = Seq.fill(12)("the quick brown fox jumps").mkString(" ") // 60 words, len 4.3
+    val df = Seq(
+      (0L, fifty),                                  // passes everything
+      (1L, "the quick fox"),                        // too few words
+      (2L, fifty.replace("quick", "####### ###")),  // symbol-heavy
+      (3L, Seq.fill(12)("schnell braun springt hund katze").mkString(" ")), // no stopwords
+      (4L, Seq.fill(60)("- bullet item here\n").mkString)                   // all bullet lines
+    ).toDF("doc_id", "text")
+    val rows = graft.ext.TextStats.gopherQualityFlags(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Boolean]("passes"))
+    assert(!rows(1L).getAs[Boolean]("passes") && rows(1L).getAs[Long]("n_words") == 3L)
+    assert(!rows(2L).getAs[Boolean]("passes"))
+    assert(rows(2L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!rows(3L).getAs[Boolean]("passes") && rows(3L).getAs[Long]("n_stopwords") == 0L)
+    assert(!rows(4L).getAs[Boolean]("passes"))
+    assert(rows(4L).getAs[Double]("bullet_ratio") > 0.9)
+    // the ratio denominators: words vs lines are independent counters
+    assert(rows(4L).getAs[Long]("n_lines") >= 60L)
+  }
 }

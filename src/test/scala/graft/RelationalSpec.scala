@@ -34,4 +34,43 @@ class RelationalSpec extends SparkSpec {
     val bad = s.filter(col("duration_ms") < 0 || col("n_events") < 1).count()
     assert(bad == 0)
   }
+
+  test("columnProfile matches direct per-column aggregates, counts nulls") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, 5.0), (2.0, null), (4.0, 7.5)
+    ).toDF("x", "y")
+    val prof = Relational.columnProfile(df, Seq("x", "y"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(prof == Seq(("x", 4L, 0L, 3L, 1.0, 4.0), ("y", 2L, 2L, 2L, 5.0, 7.5)))
+  }
+
+  test("statsByReturnFlag agrees with Spark's builtin stddev/corr/median") {
+    val li = Tables.lineitem(spark, sf)
+    val got = Relational.statsByReturnFlag(li)
+      .select("l_returnflag", "stddev_qty", "corr_qty_price", "median_qty")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val want = li
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(round(col("l_quantity"))).as("sd"),
+        corr(round(col("l_quantity")), round(col("l_extendedprice"))).as("co"),
+        percentile(col("l_quantity"), lit(0.5)).as("md"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (sd, co, md)) =>
+      assert(math.abs(sd - want(k)._1) < 1e-9 * math.abs(sd))
+      assert(math.abs(co - want(k)._2) < 1e-9 + 1e-6 * math.abs(co))
+      assert(md == want(k)._3)
+    }
+  }
+
+  test("hopping windows: every event lands in exactly size/hop = 4 windows") {
+    val ev = Tables.events(spark, sf)
+    val hop = Relational.hoppingEventCounts(ev)
+    assert(hop.agg(sum(col("n"))).head.getLong(0) == 4L * ev.count())
+    // epoch-aligned starts: all multiples of the 15-minute hop
+    assert(hop.filter(pmod(col("ws_ms"), lit(900000L)) =!= 0).count() == 0)
+  }
 }
