@@ -382,6 +382,31 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** text_chunks oracle: same chunk grid (starts = multiples of stride
+    * below the token count), same inclusive list slicing. */
+  def chunkDocuments(chunkSize: Int, stride: Int): String =
+    s"""WITH $toksCte,
+       |s AS (SELECT doc_id, toks, u.s AS start_pos
+       |      FROM toks, unnest(range(0, len(toks), $stride)) AS u(s))
+       |SELECT doc_id, (start_pos // $stride)::BIGINT AS chunk_id,
+       |  start_pos::BIGINT AS start_pos,
+       |  len(list_slice(toks, start_pos + 1, start_pos + $chunkSize))::BIGINT AS n_chunk_tokens,
+       |  array_to_string(list_slice(toks, start_pos + 1, start_pos + $chunkSize), ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** pipeline_pack oracle: plain global window cumsum (the oracle may
+    * single-partition; the engine must not). */
+  def packSequences(targetTokens: Long): String =
+    s"""WITH $toksCte,
+       |t AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM toks),
+       |c AS (SELECT doc_id, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cum::BIGINT AS cum_tokens,
+       |  ((cum - n_tokens) // $targetTokens)::BIGINT AS bin_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Self dot product with the engine's exact fold order. */
   private def selfDot(x: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($x)+1), " +

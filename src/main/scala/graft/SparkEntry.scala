@@ -106,6 +106,7 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => Relational.docLengthPercentiles(Tables.documents(s, d))),
     "q_profile" -> ((s, d) => Relational.columnProfile(Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_grouping_sets" -> ((s, d) => Relational.flagStatusGroupingSets(Tables.lineitem(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.statsByReturnFlag(Tables.lineitem(s, d))),
     "q_events_hopping" -> ((s, d) => Relational.hoppingEventCounts(Tables.events(s, d))),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
@@ -151,6 +152,8 @@ object SparkEntry {
     "pipeline_mixture" -> ((s, d) =>
       ext.TrainingPipeline.mixtureSample(Tables.documents(s, d), Seq("en" -> 75, "zh" -> 40), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "pipeline_pack" -> ((s, d) =>
+      ext.TrainingPipeline.packSequences(Tables.documents(s, d), 2048)),
     "pipeline_stratified" -> ((s, d) =>
       ext.TrainingPipeline.stratifiedSample(Tables.documents(s, d), "lang", 20)
         .select("doc_id", "lang")
@@ -173,6 +176,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),
     "text_gopher" -> ((s, d) => TextStats.gopherQualityFlags(Tables.documents(s, d))),
+    "text_chunks" -> ((s, d) => TextStats.chunkDocuments(Tables.documents(s, d), 32, 24)),
     "text_langid" -> ((s, d) => TextStats.languageId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
@@ -446,6 +450,9 @@ object SparkEntry {
     "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
     "dedup_embedding" -> OracleSql.embeddingClusters(500, 0.4),
     "text_gopher" -> OracleSql.gopherQuality(50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2),
+    "text_chunks" -> OracleSql.chunkDocuments(32, 24),
+    "pipeline_pack" -> OracleSql.packSequences(2048),
+    "q_grouping_sets" -> rel.Relational.GroupingSetsSql,
     "q_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count($c) AS n_rows,

@@ -360,6 +360,33 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Fixed-size token chunking with stride — the context-window splitting
+    * step that turns long documents into training sequences (chunk k
+    * covers tokens [k·stride, k·stride + chunkSize)); stride < chunkSize
+    * gives the standard overlapping windows. Pure per-document projection
+    * + explode: the token array never leaves its row until the final
+    * chunk rows emerge, so there is no shuffle at any corpus size.
+    * Empty documents produce no chunks. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = Tokenize.tokensArray(col(textCol))
+    val n = size(toks)
+    docs.select(col(idCol), toks.as("__toks"), n.as("__n"))
+      .select(col(idCol), col("__toks"),
+        explode(when(col("__n") > 0,
+            sequence(lit(0), col("__n") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start_pos"))
+      .select(col(idCol),
+        (col("start_pos") / stride).cast("long").as("chunk_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        slice(col("__toks"), col("start_pos") + 1, lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"), col("start_pos"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+      .orderBy(idCol, "chunk_id")
+  }
+
   /** Corpus-wide n-gram frequencies (NON-distinct, unlike dedup shingles):
     * top-k n-grams with total occurrence counts. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,

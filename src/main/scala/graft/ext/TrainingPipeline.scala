@@ -72,6 +72,56 @@ object TrainingPipeline {
     docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pct)
   }
 
+  /** Greedy contiguous sequence packing: walk documents in stable id
+    * order, accumulate token counts, and cut a new bin every time the
+    * running total crosses `targetTokens` — bin = ⌊exclusive-prefix-sum /
+    * target⌋, the deterministic packing a sequence-length-bounded trainer
+    * uses to batch variable-length documents.
+    *
+    * The global prefix sum is the scale hazard: a bare
+    * `Window.orderBy(id)` plans as ONE partition holding the whole
+    * corpus. This is the two-phase form instead — range-repartition by
+    * id, per-partition running sums, then a broadcast of |partitions|
+    * offsets (same machinery as the vocabulary ranking; PlanSpec asserts
+    * no SinglePartition exchange). */
+  /** Pre-checkpoint half of [[packSequences]]: range-partitioned
+    * per-partition running sums (exposed so PlanSpec can assert the
+    * subplan has no SinglePartition exchange before materialization). */
+  private[graft] def localCumsum(base: DataFrame, idCol: String, nParts: Int): DataFrame = {
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.repartitionByRange(nParts, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local", sum(col("n_tokens")).over(localW))
+  }
+
+  def packSequences(docs: DataFrame, targetTokens: Long = 2048,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val base = docs.select(col(idCol),
+      size(graft.text.Tokenize.tokensArray(col(textCol))).cast("long").as("n_tokens"))
+    // materialize ONCE: the offsets branch and the final projection must
+    // observe the same range-partitioner boundaries (sampled per RDD
+    // instantiation)
+    val local = localCumsum(base, idCol, nParts).localCheckpoint(true)
+    val sizes = local.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__n"))
+    val offsets = sizes.as("x")
+      .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .select(col(idCol), col("n_tokens"),
+        (col("__offset") + col("__local")).as("cum_tokens"))
+      // `div` is long division (Spark's `/` on longs is DOUBLE division);
+      // counts are non-negative so truncation == floor, matching the
+      // oracle's `//`
+      .withColumn("bin_id", expr(s"(cum_tokens - n_tokens) div $targetTokens"))
+      .orderBy(idCol)
+  }
+
   /** Deterministic stratified sample: within each stratum, rank rows by
     * id-hash (tie-break id) and keep the first `perStratum` — a
     * reproducible per-class quota (the balanced-eval-set builder). The

@@ -379,6 +379,23 @@ object Relational {
       .orderBy("y", "quartile")
   }
 
+  /** Explicit GROUPING SETS (beyond ROLLUP/CUBE): per-flag totals,
+    * per-status totals, and the grand total in one pass — Spark plans one
+    * Expand + one aggregation, not three scans. The SAME string runs on
+    * DuckDB as the oracle (engine-vs-engine on identical SQL); explicit
+    * NULLS FIRST pins the cross-engine ordering of the subtotal rows. */
+  val GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Subtotals via [[GroupingSetsSql]] on the engine's SQL entry point. */
+  def flagStatusGroupingSets(lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem")
+    lineitem.sparkSession.sql(GroupingSetsSql)
+  }
+
   /** Data-profiling summary: per column, row/null/distinct counts and the
     * min/max envelope — the first query a pipeline runs against an
     * unfamiliar table. ONE scan: all per-column aggregates run in a

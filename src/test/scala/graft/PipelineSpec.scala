@@ -191,6 +191,44 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("chunkDocuments: stride grid, clamped tail, empty docs emit nothing") {
+    val df = Seq(
+      (1L, "a b c d e"), // 5 tokens, chunk 3 stride 2 → starts 0, 2, 4
+      (2L, "")           // empty: no chunks
+    ).toDF("doc_id", "text")
+    val rows = graft.ext.TextStats.chunkDocuments(df, chunkSize = 3, stride = 2)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 0L, 0L, 3L, "a b c"),
+      (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 1L, "e")))
+    // overlap: consecutive chunks share chunkSize - stride tokens
+    assert(rows(0)._5.endsWith("c") && rows(1)._5.startsWith("c"))
+  }
+
+  test("packSequences equals the naive single-partition cumsum; bins respect the target") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TrainingPipeline.packSequences(docs, targetTokens = 500)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val naive = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.text.Tokenize.tokensArray(
+            org.apache.spark.sql.functions.col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", org.apache.spark.sql.functions.sum("n_tokens")
+        .over(Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("bin_id", org.apache.spark.sql.functions
+        .expr("(cum_tokens - n_tokens) div 500"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == naive)
+    // bins are contiguous, nondecreasing, and every bin's exclusive start
+    // lies below (k+1)·target (the greedy cut rule)
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    got.foreach { case (_, n, cum, bin) => assert(cum - n < (bin + 1) * 500) }
+  }
+
   test("gopher rules flag each documented failure mode") {
     val fifty = Seq.fill(12)("the quick brown fox jumps").mkString(" ") // 60 words, len 4.3
     val df = Seq(

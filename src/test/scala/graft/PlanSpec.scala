@@ -103,4 +103,18 @@ class PlanSpec extends SparkSpec {
     val enc = graft.ext.TextStats.encodeDocumentsFlat(docs)
     assert(!plan(enc).contains("SinglePartition"), plan(enc).takeRight(1500))
   }
+
+  test("sequence packing's global prefix sum has no single-partition exchange") {
+    // the naive Window.orderBy(id) cumsum would plan SinglePartition; the
+    // two-phase form must not (the output presentation sort is a range
+    // exchange, which is fine)
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.{col, size}
+    val base = docs.select(col("doc_id"),
+      size(graft.text.Tokenize.tokensArray(col("text"))).cast("long").as("n_tokens"))
+    val pre = graft.ext.TrainingPipeline.localCumsum(base, "doc_id", 8)
+    assert(!plan(pre).contains("SinglePartition"), plan(pre).takeRight(1500))
+    val packed = graft.ext.TrainingPipeline.packSequences(docs, 2048)
+    assert(!plan(packed).contains("SinglePartition"), plan(packed).takeRight(1500))
+  }
 }
