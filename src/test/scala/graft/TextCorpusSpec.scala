@@ -51,6 +51,9 @@ class TextCorpusSpec extends SparkSpec {
     // partition filter prunes to one directory
     val one = back.filter(org.apache.spark.sql.functions.col("lang") === "de")
     val scanned = one.queryExecution.executedPlan.toString
+    // the predicate must reach the scan as a PARTITION filter (directory
+    // pruning), not a post-scan data filter
+    assert(scanned.contains("PartitionFilters") && scanned.contains("(lang"), scanned.take(2000))
     assert(one.count() == docs.filter(org.apache.spark.sql.functions.col("lang") === "de").count())
   }
 
