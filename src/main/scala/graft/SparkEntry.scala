@@ -154,6 +154,17 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")),
     "pipeline_pack" -> ((s, d) =>
       ext.TrainingPipeline.packSequences(Tables.documents(s, d), 2048)),
+    // incremental ingest: even-id docs stand in for the new batch, ids not
+    // divisible by 3 for the already-ingested corpus — the overlap (even,
+    // non-multiple-of-3 ids) makes the batch ~2/3 duplicates, exercising
+    // both the bloom fast path and the verify join
+    "pipeline_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ext.Incremental.newDocuments(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
     "pipeline_stratified" -> ((s, d) =>
       ext.TrainingPipeline.stratifiedSample(Tables.documents(s, d), "lang", 20)
         .select("doc_id", "lang")
@@ -452,6 +463,13 @@ object SparkEntry {
     "text_gopher" -> OracleSql.gopherQuality(50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2),
     "text_chunks" -> OracleSql.chunkDocuments(32, 24),
     "pipeline_pack" -> OracleSql.packSequences(2048),
+    // exact membership semantics: the bloom prefilter must not change the
+    // answer, so the oracle is the plain anti-join the bloom accelerates
+    "pipeline_ingest" ->
+      """SELECT i.doc_id, i.n_chars FROM documents i
+        |WHERE i.doc_id % 2 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0 AND c.text = i.text)
+        |ORDER BY i.doc_id""".stripMargin,
     "q_grouping_sets" -> rel.Relational.GroupingSetsSql,
     "q_profile" -> {
       def one(c: String) =

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Incremental corpus ingestion: which documents in a new batch are not
+  * already in the corpus?
+  *
+  * The naive plan is an anti-join of the batch against the corpus — at
+  * 100 TB that shuffles (a hash of) EVERY corpus row on every ingest. The
+  * scale design here is the standard two-phase membership check:
+  *
+  *  1. Build a compact Bloom filter over the corpus-side 64-bit content
+  *     hashes with ONE distributed aggregate (Spark's own
+  *     `BloomFilterAggregate`, the sketch behind runtime row-level
+  *     filtering). Only the fixed-size bitmap travels to the driver —
+  *     ~1.2 GB for 10^9 docs at 1% fpp, and in a production deployment it
+  *     is built once and persisted alongside the corpus, not rebuilt per
+  *     batch.
+  *  2. Screen the incoming batch with the codegen'd `might_contain`
+  *     predicate (the bitmap ships as a literal in the plan, broadcast to
+  *     executors once). Rows the filter rejects are DEFINITELY new — they
+  *     bypass the join entirely. Only bloom hits (true duplicates plus an
+  *     fpp-sized sliver of false positives) proceed to an exact
+  *     hash-keyed anti-join verify.
+  *
+  * The result is EXACT for any fpp: the bloom only decides who must be
+  * verified, never who is dropped. For a mostly-novel batch (the common
+  * crawl-ingest case) the expensive join sees a few percent of the rows.
+  */
+object Incremental {
+
+  /** Serialized Bloom filter over `xxhash64(textCol)` of the corpus, or
+    * None for an empty corpus. `expectedItems` sizes the bitmap (~1.2
+    * bytes/item at fpp 0.01); overshooting wastes memory, undershooting
+    * only raises the false-positive (= needless-verify) rate. */
+  def corpusBloom(corpus: DataFrame, textCol: String = "text",
+                  expectedItems: Long = 1000000L, fpp: Double = 0.01): Option[Array[Byte]] = {
+    val numBits = math.max(64L, (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      bridge.expression(xxhash64(col(textCol))), Literal(expectedItems), Literal(numBits))
+    val row = corpus.select(bridge.column(agg.toAggregateExpression()).as("bf")).head()
+    // BloomFilterAggregate evaluates to null over zero rows
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
+  /** Documents in `incoming` whose text does not appear in `corpus`.
+    * Exact — the bloom prefilter only routes rows between the no-join
+    * fast path and the anti-join verify path. */
+  def newDocuments(corpus: DataFrame, incoming: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    corpusBloom(corpus, textCol, expectedItems, fpp) match {
+      case None => incoming // empty corpus: everything is new
+      case Some(bytes) =>
+        val mightContain = bridge.column(new BloomFilterMightContain(
+          Literal(bytes, BinaryType), bridge.expression(xxhash64(col(textCol)))))
+        val definitelyNew = incoming.filter(!mightContain)
+        // verify join keyed on a content hash — document text never
+        // crosses the shuffle (same trick as Dedup.exactKeepIds)
+        val candidates = incoming.filter(mightContain)
+          .withColumn("__sha", sha2(col(textCol), 256))
+        val corpusKeys = corpus.select(sha2(col(textCol), 256).as("__sha"))
+        val verifiedNew = candidates
+          .join(corpusKeys, Seq("__sha"), "left_anti")
+          .drop("__sha")
+        definitelyNew.unionByName(verifiedNew)
+    }
+  }
+
+  /** Bloom-hit subset of `incoming` (true duplicates + false positives) —
+    * the rows that would reach the verify join. Exposed for pruning
+    * accounting and tests. */
+  def bloomCandidates(corpus: DataFrame, incoming: DataFrame,
+                      textCol: String = "text",
+                      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    corpusBloom(corpus, textCol, expectedItems, fpp) match {
+      case None => incoming.limit(0)
+      case Some(bytes) =>
+        incoming.filter(bridge.column(new BloomFilterMightContain(
+          Literal(bytes, BinaryType), bridge.expression(xxhash64(col(textCol))))))
+    }
+}

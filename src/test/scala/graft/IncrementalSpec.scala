@@ -1,0 +1,70 @@
+package graft
+
+import graft.ext.Incremental
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered incremental ingest: the filter routes rows between
+  * the no-join fast path and the verify join but must never change the
+  * answer — including under a deliberately undersized (high-fpp) bloom. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus: DataFrame = Seq(
+    (0L, "alpha beta gamma", "s0"),
+    (1L, "delta epsilon zeta", "s1"),
+    (2L, "eta theta iota", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  private lazy val incoming: DataFrame = Seq(
+    (10L, "alpha beta gamma", "s3"),   // dup of 0
+    (11L, "kappa lambda mu", "s4"),    // new
+    (12L, "eta theta iota", "s5"),     // dup of 2
+    (13L, "nu xi omicron", "s6")       // new
+  ).toDF("doc_id", "text", "source")
+
+  test("newDocuments drops exact duplicates, keeps novel docs") {
+    val got = Incremental.newDocuments(corpus, incoming)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+  }
+
+  test("result is exact even with a pathologically undersized bloom") {
+    // 1 expected item / 50% fpp: nearly everything becomes a candidate,
+    // but the verify join keeps the answer identical
+    val got = Incremental.newDocuments(corpus, incoming,
+        expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+  }
+
+  test("bloom candidates include every true duplicate (no false negatives)") {
+    val cands = Incremental.bloomCandidates(corpus, incoming)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(10L, 12L).subsetOf(cands))
+    // with a well-sized bloom the pruning is real: novel rows mostly
+    // skip the join (fpp 1% on 4 rows -> expect no false positives)
+    assert(cands == Set(10L, 12L))
+  }
+
+  test("empty corpus: every incoming doc is new; empty batch: empty result") {
+    val emptyCorpus = corpus.limit(0)
+    val allNew = Incremental.newDocuments(emptyCorpus, incoming)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(allNew == Seq(10L, 11L, 12L, 13L))
+    assert(Incremental.newDocuments(corpus, incoming.limit(0)).count() == 0L)
+    assert(Incremental.corpusBloom(emptyCorpus).isEmpty)
+  }
+
+  test("bloom path agrees with the plain anti-join on the test corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corp = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val bloomed = Incremental.newDocuments(corp, batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val exact = batch.join(corp.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bloomed == exact)
+    assert(bloomed.nonEmpty && bloomed.size < batch.count())
+  }
+}
