@@ -108,6 +108,14 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_grouping_sets" -> ((s, d) => Relational.flagStatusGroupingSets(Tables.lineitem(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.statsByReturnFlag(Tables.lineitem(s, d))),
+    // z-order clustering key over (customer, exact-cents price): the
+    // lake-layout sort key for 2-D data skipping
+    "q_zorder" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("__cents", round(col("o_totalprice") * 100).cast("long"))
+      ext.Zorder.zValues(o, col("o_custkey"), col("__cents"))
+        .select(col("o_orderkey"), col("zvalue")).orderBy("o_orderkey")
+    }),
     "q_events_hopping" -> ((s, d) => Relational.hoppingEventCounts(Tables.events(s, d))),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
     // ---- extensions: deduplication ----
@@ -481,6 +489,21 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // same quantize shape both sides: BIGINT (c-min)*65535 exact, one
+    // double division, floor — identical IEEE result in both engines;
+    // the interleave is generated term-for-term from the same bit fan
+    "q_zorder" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey AS x,
+         |             CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+         |b AS (SELECT min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax FROM o),
+         |q AS (SELECT o_orderkey,
+         |  CASE WHEN xmax = xmin THEN 0
+         |       ELSE CAST(floor((x - xmin) * 65535 / (xmax - xmin)) AS BIGINT) END AS qx,
+         |  CASE WHEN ymax = ymin THEN 0
+         |       ELSE CAST(floor((y - ymin) * 65535 / (ymax - ymin)) AS BIGINT) END AS qy
+         |  FROM o, b)
+         |SELECT o_orderkey, ${ext.Zorder.interleaveSql("qx", "qy")} AS zvalue
+         |FROM q ORDER BY o_orderkey""".stripMargin,
     "q_stats_agg" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(*) AS n,
