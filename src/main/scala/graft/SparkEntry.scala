@@ -112,7 +112,7 @@ object SparkEntry {
     // lake-layout sort key for 2-D data skipping
     "q_zorder" -> ((s, d) => {
       val o = Tables.orders(s, d)
-        .withColumn("__cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("__cents", Relational.cents(col("o_totalprice")))
       ext.Zorder.zValues(o, col("o_custkey"), col("__cents"))
         .select(col("o_orderkey"), col("zvalue")).orderBy("o_orderkey")
     }),
@@ -481,7 +481,7 @@ object SparkEntry {
     "q_grouping_sets" -> rel.Relational.GroupingSetsSql,
     "q_profile" -> {
       def one(c: String) =
-        s"""SELECT '$c' AS col_name, count($c) AS n_rows,
+        s"""SELECT '$c' AS col_name, count($c) AS n_non_null,
            |  count(*) - count($c) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS DOUBLE) AS min_value, CAST(max($c) AS DOUBLE) AS max_value

@@ -37,15 +37,32 @@ object Incremental {
   /** Serialized Bloom filter over `xxhash64(textCol)` of the corpus, or
     * None for an empty corpus. `expectedItems` sizes the bitmap (~1.2
     * bytes/item at fpp 0.01); overshooting wastes memory, undershooting
-    * only raises the false-positive (= needless-verify) rate. */
+    * only raises the false-positive (= needless-verify) rate.
+    *
+    * `BloomFilterAggregate` silently clamps its size to the
+    * runtime-row-filter confs (default 4M items / 64Mbit — sized for
+    * join pruning, not corpus membership), which would quietly destroy
+    * the fpp for any real corpus; the confs are raised to the requested
+    * capacity for the build and restored after. */
   def corpusBloom(corpus: DataFrame, textCol: String = "text",
                   expectedItems: Long = 1000000L, fpp: Double = 0.01): Option[Array[Byte]] = {
     val numBits = math.max(64L, (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val agg = new BloomFilterAggregate(
-      bridge.expression(xxhash64(col(textCol))), Literal(expectedItems), Literal(numBits))
-    val row = corpus.select(bridge.column(agg.toAggregateExpression()).as("bf")).head()
-    // BloomFilterAggregate evaluates to null over zero rows
-    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+    val conf = corpus.sparkSession.conf
+    val bumps = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = bumps.map { case (k, _) => k -> conf.getOption(k) }
+    bumps.foreach { case (k, needed) =>
+      if (conf.getOption(k).map(_.toLong).getOrElse(0L) < needed)
+        conf.set(k, needed.toString)
+    }
+    try {
+      val agg = new BloomFilterAggregate(
+        bridge.expression(xxhash64(col(textCol))), Literal(expectedItems), Literal(numBits))
+      val row = corpus.select(bridge.column(agg.toAggregateExpression()).as("bf")).head()
+      // BloomFilterAggregate evaluates to null over zero rows
+      if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
   /** Documents in `incoming` whose text does not appear in `corpus`.

@@ -49,14 +49,16 @@ object Pq {
           struct(lit(s).as("s"), slice(v, s * w + 1, w).as("sub"))): _*)).as("x"))
       .select(col("id"), col("x.s").as("s"), col("x.sub").as("sub"))
       .localCheckpoint(true) // scanned once per round; flat lineage across rounds
-    val seedW = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("id")
-    var books: Map[Int, Seq[(Int, Seq[Double])]] = subs
-      .withColumn("__rn", row_number().over(seedW))
-      .filter(col("__rn") <= ksub)
-      .select("s", "__rn", "sub").collect()
-      .map(r => (r.getInt(0), r.getInt(1) - 1, r.getSeq[Double](2)))
-      .groupBy(_._1).map { case (s, rows) =>
-        s -> rows.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+    // seeds are the ksub lowest-id documents' sub-vectors — the same set
+    // for every subspace, so ONE no-shuffle TakeOrdered over the original
+    // table (sliced driver-side) replaces a corpus-wide window sorted on
+    // m skewed partitions
+    val seedRows = embeddings.select(col(idCol).as("id"), v.as("vec"))
+      .orderBy("id").limit(ksub).collect()
+    var books: Map[Int, Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      s -> seedRows.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).slice(s * w, s * w + w)) }.toSeq
+    }.toMap
     for (_ <- 0 until iters) {
       // per-subspace argmin, dispatched on the subspace id in one pass
       val cell = (0 until m).map(s => (s, Ivf.cellOf(col("sub"), books(s))))
@@ -125,10 +127,12 @@ object Pq {
     def lookupSum(tabs: Column): Column =
       aggregate(zip_with(col("codes"), tabs, (code, tab) => element_at(tab, code + 1)),
         lit(0.0d), _ + _)
-    val scored = coded.crossJoin(broadcast(qdf))
+    // n2a depends only on the codes — compute it once per corpus row
+    // BEFORE the query crossJoin, not |Q| times after
+    val scored = coded.withColumn("n2a", lookupSum(typedLit(n2tab)))
+      .crossJoin(broadcast(qdf))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adot", lookupSum(col("tables")))
-      .withColumn("n2a", lookupSum(typedLit(n2tab)))
       .select(col("query_id"), col("neighbor_id"),
         (col("adot") / (sqrt(col("n2_query")) * sqrt(col("n2a")))).as("score"))
     Similarity.topKPerQuery(scored, k)

@@ -21,15 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Zorder {
 
-  /** Interleave the low `bits` bits of two non-negative longs: bit i of
-    * `x` lands at position 2i, bit i of `y` at 2i+1. Monotone in each
-    * coordinate with the other fixed, so the z of a box's min/max corners
-    * bounds the z of every point inside — the property pruning relies on. */
+  /** Interleave the low `bits` bits of two longs: bit i of `x` lands at
+    * position 2i, bit i of `y` at 2i+1. Monotone in each coordinate with
+    * the other fixed, so the z of a box's min/max corners bounds the z of
+    * every point inside — the property pruning relies on. Out-of-domain
+    * coordinates SATURATE to the domain edge (never bit-alias): a
+    * saturated point still sorts to the correct curve end, and readers
+    * saturating their box corners identically keep pruning sound. */
   def zInterleave(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val top = lit((1L << bits) - 1)
+    val cx = greatest(lit(0L), least(x.cast("long"), top))
+    val cy = greatest(lit(0L), least(y.cast("long"), top))
     (0 until bits).map { i =>
-      shiftleft(x.bitwiseAND(lit(1L << i)), i)
-        .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
+      shiftleft(cx.bitwiseAND(lit(1L << i)), i)
+        .bitwiseOR(shiftleft(cy.bitwiseAND(lit(1L << i)), i + 1))
     }.reduce(_.bitwiseOR(_))
   }
 
@@ -66,6 +72,8 @@ object Zorder {
     * quantization (ids, enum codes, day numbers). */
   def writeClustered(df: DataFrame, path: String, xCol: Column, yCol: Column,
                      bits: Int = 16, bucketBits: Int = 4): Unit = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"bucketBits must be in [1, ${2 * bits}]")
     val shift = 2 * bits - bucketBits
     val z = df.withColumn("zvalue", zInterleave(xCol, yCol, bits))
       .withColumn("zbucket", shiftrightunsigned(col("zvalue"), shift))
@@ -79,16 +87,22 @@ object Zorder {
     * [z(x1,y1) >> shift, z(x2,y2) >> shift] can hold matches. */
   def boxBuckets(x1: Long, y1: Long, x2: Long, y2: Long,
                  bits: Int = 16, bucketBits: Int = 4): (Long, Long) = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"bucketBits must be in [1, ${2 * bits}]")
     val shift = 2 * bits - bucketBits
     (zOf(x1, y1, bits) >>> shift, zOf(x2, y2, bits) >>> shift)
   }
 
   /** Driver-side scalar twin of [[zInterleave]] (for planning bucket
-    * ranges without a Spark job). */
-  def zOf(x: Long, y: Long, bits: Int = 16): Long =
+    * ranges without a Spark job) — saturates identically. */
+  def zOf(x: Long, y: Long, bits: Int = 16): Long = {
+    val top = (1L << bits) - 1
+    val cx = math.max(0L, math.min(x, top))
+    val cy = math.max(0L, math.min(y, top))
     (0 until bits).map { i =>
-      ((x & (1L << i)) << i) | ((y & (1L << i)) << (i + 1))
+      ((cx & (1L << i)) << i) | ((cy & (1L << i)) << (i + 1))
     }.reduce(_ | _)
+  }
 
   /** The matching DuckDB expression for [[zInterleave]] over columns
     * `qx`/`qy` — the oracle reproduces the interleave term-for-term. */

@@ -414,7 +414,7 @@ object Relational {
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
-      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_rows"),
+      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_non_null"),
         col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
         col(s"${c}__min").as("min_value"), col(s"${c}__max").as("max_value"))
     }
