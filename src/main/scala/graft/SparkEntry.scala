@@ -117,6 +117,19 @@ object SparkEntry {
         .select(col("o_orderkey"), col("zvalue")).orderBy("o_orderkey")
     }),
     "q_events_hopping" -> ((s, d) => Relational.hoppingEventCounts(Tables.events(s, d))),
+    "q_gap_fill" -> ((s, d) => Relational.gapFillEvents(Tables.events(s, d))),
+    // two-path skew join: orders with >7 lineitems take the salted path,
+    // the rest the plain shuffle join; result identical to a plain join
+    "q_skew_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+      rel.SkewJoin.skewAwareJoin(li, ord, "l_orderkey", 7L, 4,
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(sum(Relational.cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
     // ---- extensions: deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exactKeepIds(Tables.documents(s, d))),
@@ -489,6 +502,31 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // the skew machinery must be invisible in the result: the oracle is
+    // the plain join
+    "q_skew_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // portable gaps-and-islands forward fill — identical shape both sides
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+        |             epoch_ms(ts) - (epoch_ms(ts) % 21600000) AS slot_ms, value
+        |           FROM events),
+        |b AS (SELECT user_id, min(slot_ms) AS lo, max(slot_ms) AS hi FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(range(lo, hi + 21600000, 21600000)) AS slot_ms FROM b),
+        |obs AS (SELECT user_id, slot_ms, max(value) AS slot_max FROM e GROUP BY user_id, slot_ms),
+        |j AS (SELECT grid.user_id, grid.slot_ms, obs.slot_max FROM grid
+        |      LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.slot_ms = obs.slot_ms),
+        |g2 AS (SELECT *, count(slot_max) OVER (PARTITION BY user_id ORDER BY slot_ms
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j)
+        |SELECT user_id, slot_ms,
+        |  max(slot_max) OVER (PARTITION BY user_id, grp) AS filled,
+        |  slot_max IS NOT NULL AS observed
+        |FROM g2 ORDER BY user_id, slot_ms""".stripMargin,
     // same quantize shape both sides: BIGINT (c-min)*65535 exact, one
     // double division, floor — identical IEEE result in both engines;
     // the interleave is generated term-for-term from the same bit fan

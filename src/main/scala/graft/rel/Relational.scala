@@ -466,4 +466,39 @@ object Relational {
       .select(unix_millis(col("window.start")).as("ws_ms"), col("event_type"),
         col("n"), (col("value_cents").cast("double") / 100.0).as("value_sum"))
       .orderBy("ws_ms", "event_type")
+
+  /** Gap-fill + forward-fill: regularize each user's event stream onto a
+    * fixed time grid (every `stepMinutes` from their first to their last
+    * observed slot) and carry the last observed slot value forward
+    * through empty slots — the resampling step before any time-series
+    * feature extraction.
+    *
+    * Scale shape: the grid is generated per user with `sequence` (one
+    * row per user in, span/step rows out — never a global calendar
+    * crossJoin), and the forward fill is the portable gaps-and-islands
+    * form (a running non-null count splits each user into groups with
+    * exactly one observation; `max` over the group broadcasts it) — all
+    * windows are partitioned by user, so nothing funnels through a
+    * single task. Values pass through untouched (max per slot), keeping
+    * doubles engine-exact. */
+  def gapFillEvents(events: DataFrame, stepMinutes: Int = 360): DataFrame = {
+    val stepMs = stepMinutes * 60000L
+    val ms = unix_millis(col("ts"))
+    val e = events.select(col("user_id"), (ms - pmod(ms, lit(stepMs))).as("slot_ms"),
+      col("value"))
+    val grid = e.groupBy("user_id")
+      .agg(min(col("slot_ms")).as("__lo"), max(col("slot_ms")).as("__hi"))
+      .select(col("user_id"),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepMs))).as("slot_ms"))
+    val obs = e.groupBy("user_id", "slot_ms").agg(max(col("value")).as("slot_max"))
+    val byUser = Window.partitionBy("user_id").orderBy("slot_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "slot_ms"), "left")
+      .withColumn("__grp", count(col("slot_max")).over(byUser))
+      .withColumn("filled",
+        max(col("slot_max")).over(Window.partitionBy(col("user_id"), col("__grp"))))
+      .select(col("user_id"), col("slot_ms"), col("filled"),
+        col("slot_max").isNotNull.as("observed"))
+      .orderBy("user_id", "slot_ms")
+  }
 }
