@@ -118,6 +118,10 @@ object SparkEntry {
     }),
     "q_events_hopping" -> ((s, d) => Relational.hoppingEventCounts(Tables.events(s, d))),
     "q_gap_fill" -> ((s, d) => Relational.gapFillEvents(Tables.events(s, d))),
+    "q_histogram" -> ((s, d) =>
+      Relational.histogram(Tables.lineitem(s, d), col("l_extendedprice"), 20)),
+    "q_funnel" -> ((s, d) =>
+      Relational.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     // two-path skew join: orders with >7 lineitems take the salted path,
     // the rest the plain shuffle join; result identical to a plain join
     "q_skew_join" -> ((s, d) => {
@@ -510,6 +514,28 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_histogram" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM c)
+        |SELECT CASE WHEN hi = lo THEN 0
+        |            ELSE least(19, CAST(floor((v - lo) * 20 / (hi - lo + 1)) AS BIGINT)) END AS bin,
+        |       count(*) AS n
+        |FROM c, b GROUP BY bin ORDER BY bin""".stripMargin,
+    // staged strictly-after mins; epoch-ms comparisons match the engine
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(epoch_ms(ts)) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s0.t GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.t GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        |) ORDER BY step_idx""".stripMargin,
     // portable gaps-and-islands forward fill — identical shape both sides
     "q_gap_fill" ->
       """WITH e AS (SELECT user_id,

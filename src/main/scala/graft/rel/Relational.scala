@@ -467,6 +467,51 @@ object Relational {
         col("n"), (col("value_cents").cast("double") / 100.0).as("value_sum"))
       .orderBy("ws_ms", "event_type")
 
+  /** Fixed-width histogram over exact cents: bounds in ONE aggregate
+    * (single row, broadcast back — the fact table never shuffles), bin
+    * index by the portable integer-scale/floor shape, then a count per
+    * bin. Empty bins are omitted (a profiling report, not a chart). */
+  def histogram(df: DataFrame, valueCol: Column, bins: Int): DataFrame = {
+    require(bins >= 1, "need at least one bin")
+    val c = cents(valueCol)
+    val b = df.agg(min(c).as("__lo"), max(c).as("__hi"))
+    df.crossJoin(broadcast(b))
+      .select(when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(lit((bins - 1).toLong),
+          floor((c - col("__lo")) * bins / (col("__hi") - col("__lo") + 1)).cast("long")))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** Ordered conversion funnel: a user reaches step i only with an event
+    * of that type STRICTLY AFTER their step i-1 time (first qualifying
+    * occurrence). Returns one row per step with the surviving user count.
+    *
+    * Each stage is a per-user min-aggregate joined to the previous
+    * stage's (user, time) — all shuffles are keyed on user_id, so stages
+    * co-partition and the events table is scanned once per step, never
+    * self-joined all-pairs. Times compare as epoch millis so the
+    * semantics are identical across engines regardless of native
+    * timestamp precision. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ms = unix_millis(col("ts"))
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(ms).as("__t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .select(col("user_id"), ms.as("__ms"))
+        .join(prev, "user_id")
+        .filter(col("__ms") > col("__t"))
+        .groupBy("user_id").agg(min(col("__ms")).as("__t"))
+    }
+    stages.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("step_idx")
+  }
+
   /** Gap-fill + forward-fill: regularize each user's event stream onto a
     * fixed time grid (every `stepMinutes` from their first to their last
     * observed slot) and carry the last observed slot value forward

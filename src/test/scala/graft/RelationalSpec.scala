@@ -9,6 +9,33 @@ class RelationalSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("histogram bins partition all rows; edges land in first/last bin") {
+    import spark.implicits._
+    // values 0.00 .. 0.99 in cents -> 10 bins of exactly 10
+    val df = (0 until 100).map(i => i / 100.0).toDF("v")
+    val h = Relational.histogram(df, col("v"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(h == (0L until 10L).map(b => (b, 10L)))
+    // degenerate: constant column -> one bin with everything
+    val one = Relational.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), col("v"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 3L)))
+  }
+
+  test("funnel requires strict ordering of steps per user") {
+    import spark.implicits._
+    def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
+    val df = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"), // full funnel
+      (2L, ts(0), "view"), (2L, ts(1), "click"),                          // stops at click
+      (3L, ts(5), "view"), (3L, ts(1), "click"),                          // click BEFORE view
+      (4L, ts(0), "click"), (4L, ts(1), "purchase")                       // never viewed
+    ).toDF("user_id", "ts", "event_type")
+    val got = Relational.funnel(df, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
   test("approx_count_distinct within configured 2% rsd of exact") {
     val rows = Relational.approxDistinctParts(Tables.lineitem(spark, sf))
       .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
