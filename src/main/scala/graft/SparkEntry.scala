@@ -122,6 +122,8 @@ object SparkEntry {
       Relational.histogram(Tables.lineitem(s, d), col("l_extendedprice"), 20)),
     "q_funnel" -> ((s, d) =>
       Relational.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
+    "q_retention" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
+    "q_transitions" -> ((s, d) => Relational.eventTransitions(Tables.events(s, d))),
     // two-path skew join: orders with >7 lineitems take the salted path,
     // the rest the plain shuffle join; result identical to a plain join
     "q_skew_join" -> ((s, d) => {
@@ -536,6 +538,23 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
         |) ORDER BY step_idx""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT f.cohort_week, e.wk - f.cohort_week AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_transitions" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |t AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |      FROM o)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM t WHERE prev IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     // portable gaps-and-islands forward fill — identical shape both sides
     "q_gap_fill" ->
       """WITH e AS (SELECT user_id,

@@ -512,6 +512,37 @@ object Relational {
     }.reduce(_ unionByName _).orderBy("step_idx")
   }
 
+  /** Weekly retention cohorts: users grouped by the epoch-week of their
+    * first event; one row per (cohort, weeks-since-cohort) with the
+    * distinct users still active. Two user-keyed shuffles (first-event
+    * agg, then the cohort join rides the same key) plus the final small
+    * (cohort, offset) aggregation — no calendar table, no crossJoin. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekMs = 604800000L
+    val e = events.select(col("user_id"),
+      floor(unix_millis(col("ts")) / weekMs).cast("long").as("wk"))
+    val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Event-type transition counts (first-order Markov edges): per user,
+    * consecutive events ordered by (epoch-ms, event_id — the stable
+    * tiebreak) form (from, to) pairs; one count per ordered pair. The
+    * window is user-partitioned, so the sort distributes. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("__ms"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("__ms"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Gap-fill + forward-fill: regularize each user's event stream onto a
     * fixed time grid (every `stepMinutes` from their first to their last
     * observed slot) and carry the last observed slot value forward

@@ -36,6 +36,33 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
   }
 
+  test("retention cohorts count distinct users per (cohort, offset)") {
+    import spark.implicits._
+    val week = 604800000L
+    def ts(w: Long) = new java.sql.Timestamp(w * week + 1000L)
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(3)), // cohort 0, active weeks 0/1/3
+      (2L, ts(0)), (2L, ts(1)),              // cohort 0, weeks 0/1
+      (3L, ts(2))                            // cohort 2, week 0 only
+    ).toDF("user_id", "ts")
+    val got = Relational.retentionCohorts(df)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 2L), (0L, 3L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("event transitions pair consecutive events per user in time order") {
+    import spark.implicits._
+    def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
+    val df = Seq(
+      (10L, 1L, ts(0), "view"), (11L, 1L, ts(1), "click"), (12L, 1L, ts(2), "view"),
+      (13L, 2L, ts(0), "view"), (14L, 2L, ts(1), "click"),
+      (15L, 3L, ts(5), "error") // single event: no transition
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Relational.eventTransitions(df)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("click", "view", 1L), ("view", "click", 2L)))
+  }
+
   test("approx_count_distinct within configured 2% rsd of exact") {
     val rows = Relational.approxDistinctParts(Tables.lineitem(spark, sf))
       .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
