@@ -483,4 +483,46 @@ object OracleSql {
        |   AND bullet_ratio <= $maxBulletRatio AND ellipsis_ratio <= $maxEllipsisRatio
        |   AND alpha_ratio >= $minAlphaRatio AND n_stopwords >= $minStopwords) AS passes
        |FROM r2 ORDER BY doc_id""".stripMargin
+
+  /** Full BPE-trainer replay (mirror of graft.ext.Bpe.train): word freqs
+    * from the shared tokenizer, then per round a weighted adjacent-pair
+    * count, the (cnt desc, a, b) argmax, and the canonical greedy merge
+    * walk as a per-word recursive index scan. Generated per round like
+    * the engine's loop. */
+  def bpeMerges(rounds: Int): String = {
+    def m(r: Int) = s"(SELECT a FROM M$r)"
+    def mb(r: Int) = s"(SELECT b FROM M$r)"
+    // every non-recursive CTE is MATERIALIZED: DuckDB otherwise inlines
+    // CTEs at each reference, and the per-round scalar subqueries would
+    // re-expand the whole upstream chain exponentially (observed as fd
+    // exhaustion on the base parquet scan)
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"S${r - 1}"
+      s"""P$r AS MATERIALIZED (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $prev, unnest(range(1, array_length(l))) t(i) GROUP BY a, b),
+         |M$r AS MATERIALIZED (SELECT a, b, cnt FROM P$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |R$r AS (
+         |  SELECT word, freq, l, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS acc FROM $prev
+         |  UNION ALL
+         |  SELECT word, freq, l,
+         |    i + CASE WHEN i < array_length(l) AND l[i] = ${m(r)} AND l[i+1] = ${mb(r)}
+         |        THEN 2 ELSE 1 END,
+         |    list_append(acc, CASE WHEN i < array_length(l) AND l[i] = ${m(r)}
+         |        AND l[i+1] = ${mb(r)} THEN l[i] || l[i+1] ELSE l[i] END)
+         |  FROM R$r WHERE i <= array_length(l)),
+         |S$r AS MATERIALIZED (SELECT word, freq, acc AS l FROM R$r WHERE i = array_length(l) + 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT $r AS rnd, a AS lhs, b AS rhs, a || b AS merged, cnt FROM M$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $toksCte,
+       |tok AS MATERIALIZED (SELECT unnest(toks) AS word FROM toks),
+       |S0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |              list_append(string_split_regex(word, ''), '_') AS l
+       |       FROM tok WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+       |$roundCtes
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY rnd""".stripMargin
+  }
 }

@@ -123,6 +123,7 @@ object SparkEntry {
     "q_funnel" -> ((s, d) =>
       Relational.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     "q_retention" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
+    "text_bpe" -> ((s, d) => ext.Bpe.mergeTable(Tables.documents(s, d), 8)),
     "q_transitions" -> ((s, d) => Relational.eventTransitions(Tables.events(s, d))),
     // two-path skew join: orders with >7 lineitems take the salted path,
     // the rest the plain shuffle join; result identical to a plain join
@@ -538,6 +539,7 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
         |) ORDER BY step_idx""".stripMargin,
+    "text_bpe" -> OracleSql.bpeMerges(8),
     "q_retention" ->
       """WITH e AS (SELECT user_id,
         |             CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS wk FROM events),
