@@ -489,7 +489,23 @@ object OracleSql {
     * count, the (cnt desc, a, b) argmax, and the canonical greedy merge
     * walk as a per-word recursive index scan. Generated per round like
     * the engine's loop. */
-  def bpeMerges(rounds: Int): String = {
+  def bpeMerges(rounds: Int): String =
+    s"""${bpeChain(rounds)}
+       |SELECT * FROM (
+       |  ${(1 to rounds).map(r =>
+            s"SELECT $r AS rnd, a AS lhs, b AS rhs, a || b AS merged, cnt FROM M$r")
+            .mkString("\n  UNION ALL ")}
+       |) ORDER BY rnd""".stripMargin
+
+  /** Subword usage after training: final segmentations weighted by word
+    * frequency (mirror of Bpe.subwordFrequencies). */
+  def bpeSubwords(rounds: Int): String =
+    s"""${bpeChain(rounds)}
+       |SELECT sym AS subword, CAST(sum(freq) AS BIGINT) AS n
+       |FROM S$rounds, unnest(l) u(sym)
+       |GROUP BY subword ORDER BY subword""".stripMargin
+
+  private def bpeChain(rounds: Int): String = {
     def m(r: Int) = s"(SELECT a FROM M$r)"
     def mb(r: Int) = s"(SELECT b FROM M$r)"
     // every non-recursive CTE is MATERIALIZED: DuckDB otherwise inlines
@@ -512,17 +528,11 @@ object OracleSql {
          |  FROM R$r WHERE i <= array_length(l)),
          |S$r AS MATERIALIZED (SELECT word, freq, acc AS l FROM R$r WHERE i = array_length(l) + 1)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map { r =>
-      s"SELECT $r AS rnd, a AS lhs, b AS rhs, a || b AS merged, cnt FROM M$r"
-    }.mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE $toksCte,
        |tok AS MATERIALIZED (SELECT unnest(toks) AS word FROM toks),
        |S0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |              list_append(string_split_regex(word, ''), '_') AS l
        |       FROM tok WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
-       |$roundCtes
-       |SELECT * FROM (
-       |  $out
-       |) ORDER BY rnd""".stripMargin
+       |$roundCtes""".stripMargin
   }
 }

@@ -124,6 +124,7 @@ object SparkEntry {
       Relational.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))),
     "q_retention" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     "text_bpe" -> ((s, d) => ext.Bpe.mergeTable(Tables.documents(s, d), 8)),
+    "text_bpe_vocab" -> ((s, d) => ext.Bpe.subwordFrequencies(Tables.documents(s, d), 8)),
     "q_transitions" -> ((s, d) => Relational.eventTransitions(Tables.events(s, d))),
     // two-path skew join: orders with >7 lineitems take the salted path,
     // the rest the plain shuffle join; result identical to a plain join
@@ -540,6 +541,7 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
         |) ORDER BY step_idx""".stripMargin,
     "text_bpe" -> OracleSql.bpeMerges(8),
+    "text_bpe_vocab" -> OracleSql.bpeSubwords(8),
     "q_retention" ->
       """WITH e AS (SELECT user_id,
         |             CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS wk FROM events),

@@ -105,4 +105,16 @@ object Bpe {
     val (m, _) = train(docs, rounds)
     m.toDF().orderBy("rnd")
   }
+
+  /** Corpus-level subword frequencies after training: each word's final
+    * segmentation weighted by its frequency — the vocabulary-coverage
+    * report (and the lookup table an encoder would broadcast: encoding a
+    * 100 TB token stream is a join against this vocab-sized table, not a
+    * re-derivation per token). */
+  def subwordFrequencies(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, words) = train(docs, rounds)
+    words.select(explode(col("l")).as("subword"), col("freq"))
+      .groupBy("subword").agg(sum(col("freq")).as("n"))
+      .orderBy("subword")
+  }
 }

@@ -46,6 +46,14 @@ class BpeSpec extends SparkSpec {
     assert(w1.select("l").as[Seq[String]].collect().head == Seq("ab_"))
   }
 
+  test("subword frequencies account for every token occurrence") {
+    val corpus = docs(("low " * 5) + ("lower " * 2))
+    val freqs = Bpe.subwordFrequencies(corpus, 2)
+      .as[(String, Long)].collect().toMap
+    // after (l,o) and (lo,w): low -> [low, _], lower -> [low, e, r, _]
+    assert(freqs == Map("low" -> 7L, "_" -> 7L, "e" -> 2L, "r" -> 2L))
+  }
+
   test("non-ascii words are excluded from the training alphabet") {
     val corpus = docs("über über low low")
     val words = Bpe.initialWords(corpus).select("word").as[String].collect().toSeq
