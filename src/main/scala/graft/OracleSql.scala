@@ -484,6 +484,27 @@ object OracleSql {
        |   AND alpha_ratio >= $minAlphaRatio AND n_stopwords >= $minStopwords) AS passes
        |FROM r2 ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM scoring (mirror of graft.ext.LmScore.scoreDocuments):
+    * add-one-smoothed ln P(b|a), integer-scaled, summed per document.
+    * Same division/ln/round shape as the engine for bit parity. */
+  val lmScore: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+       |uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS uc FROM tok GROUP BY w),
+       |${ngramsCte(2)},
+       |bi AS MATERIALIZED (SELECT g, CAST(count(*) AS BIGINT) AS bc FROM grams GROUP BY g),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |s AS (
+       |  SELECT grams.doc_id,
+       |    CAST(round(ln(CAST(bi.bc + 1 AS DOUBLE) / CAST(uni.uc + v.v AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS lp
+       |  FROM grams
+       |  CROSS JOIN v
+       |  JOIN bi ON grams.g = bi.g
+       |  JOIN uni ON string_split(grams.g, ' ')[1] = uni.w)
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logp_scaled
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Full BPE-trainer replay (mirror of graft.ext.Bpe.train): word freqs
     * from the shared tokenizer, then per round a weighted adjacent-pair
     * count, the (cnt desc, a, b) argmax, and the canonical greedy merge

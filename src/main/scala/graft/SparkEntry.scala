@@ -125,6 +125,15 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     "text_bpe" -> ((s, d) => ext.Bpe.mergeTable(Tables.documents(s, d), 8)),
     "text_bpe_vocab" -> ((s, d) => ext.Bpe.subwordFrequencies(Tables.documents(s, d), 8)),
+    "text_lm_score" -> ((s, d) => ext.LmScore.scoreDocuments(Tables.documents(s, d))),
+    // incremental count maintenance: batch = doc_id % 4 == 0; the merged
+    // totals must equal a full recount of the whole corpus
+    "pipeline_merge_counts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ext.Incremental.mergeCounts(
+        WordCount.wordCount(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+        WordCount.wordCount(docs.filter(pmod(col("doc_id"), lit(4)) === 0)))
+    }),
     "q_transitions" -> ((s, d) => Relational.eventTransitions(Tables.events(s, d))),
     // two-path skew join: orders with >7 lineitems take the salted path,
     // the rest the plain shuffle join; result identical to a plain join
@@ -542,6 +551,11 @@ object SparkEntry {
         |) ORDER BY step_idx""".stripMargin,
     "text_bpe" -> OracleSql.bpeMerges(8),
     "text_bpe_vocab" -> OracleSql.bpeSubwords(8),
+    "text_lm_score" -> OracleSql.lmScore,
+    // associativity is the check: merged batch+corpus counts == recount
+    "pipeline_merge_counts" ->
+      s"""WITH tok AS ($tokSql)
+         |SELECT word, count(*) AS cnt FROM tok GROUP BY word ORDER BY word""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id,
         |             CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS wk FROM events),

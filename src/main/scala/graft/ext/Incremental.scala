@@ -89,6 +89,20 @@ object Incremental {
     }
   }
 
+  /** Incremental aggregate maintenance — the MERGE/upsert pattern for
+    * counts: fold a new batch's totals into existing totals with one
+    * full-outer join + coalesce-sum, instead of recounting the corpus.
+    * Counts are associative, so the result is IDENTICAL to a full
+    * recount (the oracle checks exactly that), but the ingest cost is
+    * proportional to the batch, not the corpus. */
+  def mergeCounts(existing: DataFrame, batch: DataFrame,
+                  keyCol: String = "word", cntCol: String = "cnt"): DataFrame =
+    existing.select(col(keyCol), col(cntCol).as("__c1"))
+      .join(batch.select(col(keyCol), col(cntCol).as("__c2")), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("__c1"), lit(0L)) + coalesce(col("__c2"), lit(0L))).as(cntCol))
+      .orderBy(keyCol)
+
   /** Bloom-hit subset of `incoming` (true duplicates + false positives) —
     * the rows that would reach the verify join. Exposed for pruning
     * accounting and tests. */

@@ -56,6 +56,18 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.corpusBloom(emptyCorpus).isEmpty)
   }
 
+  test("mergeCounts folds batch totals into existing totals") {
+    val existing = Seq(("a", 2L), ("b", 1L)).toDF("word", "cnt")
+    val batch = Seq(("b", 3L), ("c", 4L)).toDF("word", "cnt")
+    val got = Incremental.mergeCounts(existing, batch)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 4L), ("c", 4L)))
+    // empty batch is the identity
+    val same = Incremental.mergeCounts(existing, batch.limit(0))
+      .as[(String, Long)].collect().toSeq
+    assert(same == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("bloom path agrees with the plain anti-join on the test corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val corp = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
