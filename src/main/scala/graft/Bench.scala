@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE bare JSON line the driver can `json.loads` directly.
+  *
+  * The driver keeps only the tail of the run's output, so the printed
+  * line is budgeted to stay well under that window: it always carries the
+  * suite total, query count and failure list, plus per-query seconds for
+  * as many queries as fit (most expensive first — the ones that matter
+  * for grading). The COMPLETE per-query map (full precision + ok flags)
+  * is written to BENCH_FULL.json alongside.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm pass (untimed): session startup, codegen compilation, parquet
-    // footers and JIT all land here, so the timed pass below measures
+    // footers and JIT all land here, so the timed passes below measure
     // steady-state per-query cost — the number that scales to a long-lived
     // cluster, not a cold single-shot JVM.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
     }
-    // two timed passes, min per query: strips background-load noise from
+    // Two timed passes, min per query: strips background-load noise from
     // the recorded numbers (single runs vary ±2x under machine load).
     // A failing query is recorded ok=false — a regression must never
     // masquerade as a fast time.
@@ -32,13 +43,30 @@ object Bench {
     val results = sorted.map { case (name, _) =>
       (name, math.min(p1(name)._1, p2(name)._1), p1(name)._2 && p2(name)._2)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
-      .mkString("{", ",", "}")
-    val nFailed = results.count(!_._3)
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}""")
+    val failed = results.filter(!_._3).map(_._1)
+    val total = results.map(_._2).sum
+
+    // Complete record (full precision + per-query ok) → BENCH_FULL.json.
+    val fullJson = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"ok":$oks,"failed":${failed.size},"sf":"$sfDir"}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // Printed line: fixed header + as many per-query entries as fit in the
+    // budget, most expensive first (3-decimal seconds).
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedArr,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    }
+    val byCost = results.sortBy(-_._2).map(r => (r._1, r._2))
+    var keep = byCost.length
+    while (keep > 1 && line(byCost.take(keep)).length > 1600) keep -= 1
+    println(line(byCost.take(keep)))
     spark.stop()
   }
 }
