@@ -556,4 +556,73 @@ object OracleSql {
        |       FROM tok WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
        |$roundCtes""".stripMargin
   }
+
+  /** Span-level exact dedup (mirror of Dedup.spanDedup): the window
+    * row_number form is fine oracle-side (small n); the engine uses the
+    * skew-safe min-struct aggregation with identical semantics. */
+  def spanDedup(w: Int): String =
+    s"""WITH $toksCte,
+       |sp AS (
+       |  SELECT doc_id, i AS span_no,
+       |    array_to_string(toks[(i*$w+1):((i+1)*$w)], ' ') AS span
+       |  FROM toks, unnest(range(0, (len(toks)+${w - 1})//$w)) AS u(i)),
+       |k AS (SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) = 1 AS kept
+       |      FROM sp),
+       |agg AS (SELECT doc_id, count(*) AS n_spans,
+       |          sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |          coalesce(string_agg(span, ' ' ORDER BY span_no) FILTER (kept), '') AS clean_text
+       |        FROM k GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       |       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       |       coalesce(a.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Character-distribution entropy (mirror of TextStats.charEntropy):
+    * same integer-scaled ln terms, one final double division. */
+  val charEntropy: String =
+    """WITH c AS (
+      |  SELECT doc_id, list_filter(string_split(text, ''), ch -> ch <> '') AS cs
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, len(cs)::BIGINT AS n_chars,
+      |    len(list_distinct(cs))::BIGINT AS n_distinct_chars,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(
+      |        list_transform(list_distinct(cs), ch -> len(list_filter(cs, y -> y = ch))::BIGINT),
+      |        cnt -> cnt * CAST(round(ln(cnt) * 1000000.0) AS BIGINT))),
+      |      (a, b) -> a + b) AS sum_clnc_scaled
+      |  FROM c)
+      |SELECT doc_id, n_chars, n_distinct_chars, sum_clnc_scaled,
+      |  CASE WHEN n_chars > 0
+      |       THEN (n_chars * CAST(round(ln(n_chars) * 1000000.0) AS BIGINT)
+      |             - sum_clnc_scaled)::DOUBLE / (n_chars::DOUBLE * 1000000.0)
+      |       ELSE 0.0 END AS entropy
+      |FROM e ORDER BY doc_id""".stripMargin
+
+  /** Deterministic training-order shuffle (mirror of
+    * TrainingPipeline.shuffleShards): same seeded rolling hash, same
+    * per-shard dense rank. */
+  def shuffleShards(nShards: Int, seed: String): String =
+    s"""WITH h AS (SELECT doc_id, ${poly(s"'$seed:' || doc_id")} AS shuffle_key FROM documents)
+       |SELECT doc_id, shuffle_key % $nShards AS shard,
+       |  row_number() OVER (PARTITION BY shuffle_key % $nShards
+       |                     ORDER BY shuffle_key, doc_id) - 1 AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+
+  /** Per-dimension embedding stats (mirror of Similarity.dimStats): exact
+    * integer power sums, one double expression for mean/std. */
+  val dimStats: String =
+    """WITH x AS (
+      |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+      |a AS (
+      |  SELECT dim, count(*) AS n, min(s) AS min_scaled, max(s) AS max_scaled,
+      |    sum(s)::BIGINT AS sum_scaled, sum(s*s)::BIGINT AS sum_sq_scaled
+      |  FROM x GROUP BY dim)
+      |SELECT dim, n, min_scaled, max_scaled, sum_scaled, sum_sq_scaled,
+      |  sum_scaled::DOUBLE / (n::DOUBLE * 1000000.0) AS mean,
+      |  sqrt((n::DOUBLE * sum_sq_scaled::DOUBLE - sum_scaled::DOUBLE * sum_scaled::DOUBLE)
+      |       / (n::DOUBLE * (n::DOUBLE - 1.0))) / 1000000.0 AS std
+      |FROM a ORDER BY dim""".stripMargin
 }

@@ -236,6 +236,16 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextStats.repetitionStats(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
     "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
+    // span-level exact dedup: sub-document granularity (repeated 3-token
+    // spans collapse to their first corpus occurrence)
+    "dedup_spans" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d), 3)),
+    "text_entropy" -> ((s, d) => TextStats.charEntropy(Tables.documents(s, d))),
+    "pipeline_shuffle" -> ((s, d) =>
+      ext.TrainingPipeline.shuffleShards(Tables.documents(s, d), 8)),
+    "sim_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
+    "q_mode" -> ((s, d) => Relational.modeQuantity(Tables.lineitem(s, d))),
+    "q_regex_extract" -> ((s, d) => Relational.partNameWords(Tables.part(s, d), 25)),
+    "q_approx_quantile" -> ((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
     // ---- extensions: multimodal columns ----
     "mm_features" -> ((s, d) =>
       Multimodal.featuresQuery(s, Tables.documents(s, d))),
@@ -481,7 +491,22 @@ object SparkEntry {
          |tf AS (SELECT word AS key, doc, count(*) AS cnt FROM tok GROUP BY word, doc)
          |SELECT key, '{' || string_agg('"' || doc || '":' || cnt, ',' ORDER BY doc) || '}' AS postings_json
          |FROM tf GROUP BY key ORDER BY key""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS mode_n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY mode_n DESC, l_quantity) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_quantity, mode_n
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM part, unnest(regexp_extract_all(p_name, '[a-z]+')) AS u(w)
+        |GROUP BY w ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
     // ---- extensions ----
+    "dedup_spans" -> OracleSql.spanDedup(3),
+    "text_entropy" -> OracleSql.charEntropy,
+    "pipeline_shuffle" -> OracleSql.shuffleShards(8, "graft"),
+    "sim_dim_stats" -> OracleSql.dimStats,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
     "dedup_minhash" -> OracleSql.minhashFlat(8),

@@ -58,6 +58,59 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // span-level exact dedup (sub-document granularity)
+
+  /** Span-level exact dedup: the span-quantized form of exact-substring
+    * deduplication (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"). Each document is cut into consecutive
+    * non-overlapping `spanTokens`-token spans; only the corpus-wide FIRST
+    * occurrence (ordered by (doc_id, span_no)) of each exact span text
+    * survives, and each document is reassembled from its surviving spans.
+    * This removes repeated boilerplate passages *inside* otherwise-unique
+    * documents — the duplication class whole-document dedup can't see.
+    *
+    * Scale design: the first-occurrence winner per span is a
+    * `groupBy(span).agg(min(struct(id, span_no)))` — partial aggregation
+    * combines map-side, so a boilerplate span with 10⁸ occurrences
+    * reduces to one row per input partition before the shuffle (a window
+    * `row_number` over the span partition would instead sort the full
+    * occurrence list through one task — the classic hot-key trap). The
+    * mark-kept step is then an equi-join on the span text, and document
+    * reassembly is one doc_id-keyed aggregation. No n² stage anywhere.
+    *
+    * @return (doc_id, n_spans, n_kept, clean_text), one row per input
+    *         document (empty documents kept with clean_text = "")
+    */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 3,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = spanTokens
+    val spans = docs
+      .select(col(idCol), Tokenize.tokensArray(col(textCol)).as("__toks"))
+      .withColumn("__n_spans", ((size(col("__toks")) + (w - 1)) / w).cast("long"))
+      .withColumn("span_no", explode(when(col("__n_spans") > 0,
+        sequence(lit(0L), col("__n_spans") - 1)).otherwise(lit(Array.empty[Long]))))
+      .select(col(idCol), col("span_no"),
+        array_join(slice(col("__toks"), (col("span_no") * w + 1).cast("int"), lit(w)), " ")
+          .as("span"))
+    val firstOcc = spans.groupBy("span")
+      .agg(min(struct(col(idCol), col("span_no"))).as("__first"))
+    val marked = spans.join(firstOcc, "span")
+      .withColumn("__kept", struct(col(idCol), col("span_no")) === col("__first"))
+    val perDoc = marked.groupBy(idCol).agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("__kept"), struct(col("span_no"), col("span"))))),
+        s => s.getField("span"))).as("clean_text"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(idCol)
+  }
+
+  // ------------------------------------------------------------------
   // shingling
 
   /** k-token shingles (distinct), preserving duplicate tokens inside the

@@ -327,4 +327,34 @@ object Similarity {
       .filter(col("score") >= threshold)
       .orderBy("a", "b")
   }
+
+  /** Per-dimension statistics of an embedding column — the feature-scaling
+    * precursor (mean/std per dimension for whitening or normalization
+    * audits). One `posexplode` then a dim-keyed aggregation: the shuffle
+    * carries only per-partition partial sums per dimension (dim count ≈
+    * vector width, so the reduce side is tiny at any corpus size).
+    *
+    * Sums are integer-scaled (`round(v·1e6)` BIGINT) so accumulation is
+    * exact and order-independent; mean/std derive from the exact power
+    * sums with one double expression each — the same construction as the
+    * portable stats aggregate, deterministic across engines.
+    */
+  def dimStats(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val nD: Column => Column = _.cast("double")
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__s"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min(col("__s")).as("min_scaled"),
+        max(col("__s")).as("max_scaled"),
+        sum(col("__s")).as("sum_scaled"),
+        sum(col("__s") * col("__s")).as("sum_sq_scaled"))
+      .withColumn("mean", nD(col("sum_scaled")) / (nD(col("n")) * 1e6))
+      .withColumn("std", sqrt(
+        (nD(col("n")) * nD(col("sum_sq_scaled")) - nD(col("sum_scaled")) * nD(col("sum_scaled")))
+          / (nD(col("n")) * (nD(col("n")) - 1.0))) / 1e6)
+      .orderBy("dim")
+  }
 }

@@ -468,4 +468,33 @@ object TextStats {
       .select(col(idCol), col("word"), col("tf"), col("df"), col("score_scaled"), col("rn"))
       .orderBy(col(idCol), col("rn"))
   }
+
+  /** Character-distribution Shannon entropy per document — the cheap
+    * gibberish/compressibility quality signal (low entropy = repeated
+    * characters/padding, high = encrypted or binary junk).
+    *
+    * H = (n·ln n − Σᵢ cᵢ·ln cᵢ) / n over per-character counts cᵢ. The ln
+    * terms are integer-scaled (`round(ln(x)·1e6)`) so the numerator is
+    * exact BIGINT arithmetic and the single final division is the only
+    * floating-point step — deterministic across engines. Pure per-row
+    * column expressions: zero shuffle at any corpus size.
+    */
+  def charEntropy(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def lnScaled(x: Column): Column = round(log(x.cast("double")) * 1e6).cast("long")
+    val cs = filter(split(col(textCol), ""), c => length(c) > 0)
+    docs
+      .select(col(idCol), cs.as("__cs"))
+      .withColumn("n_chars", size(col("__cs")).cast("long"))
+      .withColumn("n_distinct_chars", size(array_distinct(col("__cs"))).cast("long"))
+      .withColumn("sum_clnc_scaled", aggregate(
+        transform(array_distinct(col("__cs")),
+          ch => size(filter(col("__cs"), y => y === ch)).cast("long")),
+        lit(0L), (acc, cnt) => acc + cnt * lnScaled(cnt)))
+      .withColumn("entropy", when(col("n_chars") > 0,
+        (col("n_chars") * lnScaled(col("n_chars")) - col("sum_clnc_scaled")).cast("double")
+          / (col("n_chars").cast("double") * 1e6)).otherwise(lit(0.0)))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        col("sum_clnc_scaled"), col("entropy"))
+      .orderBy(idCol)
+  }
 }

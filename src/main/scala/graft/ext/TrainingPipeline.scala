@@ -199,4 +199,28 @@ object TrainingPipeline {
       .toDF("n_input", "n_quality_pass", "n_after_exact_dedup", "n_retained",
         "n_quality_dropped", "n_neardup_dropped")
   }
+
+  /** Deterministic global training-order shuffle: every document gets a
+    * pseudo-random but reproducible position, expressed as (shard, pos).
+    * The shuffle key is a seeded content-independent hash of the id (the
+    * portable rolling hash, so any engine can replay the exact order);
+    * shard = key mod nShards, and pos is the dense rank within the shard.
+    *
+    * Scale design: ranking is windowed PER SHARD — nShards concurrent
+    * sorts of ~N/nShards rows each, never a global single-partition
+    * row_number. A trainer consuming shard files in (shard, pos) order
+    * reads the same permutation every run; changing the seed reshuffles.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int, seed: String = "graft",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = Dedup.polyHash(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val byShard = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    docs.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(byShard).cast("long") - 1)
+      .select(col(idCol), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
 }

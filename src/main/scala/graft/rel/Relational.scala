@@ -577,4 +577,40 @@ object Relational {
         col("slot_max").isNotNull.as("observed"))
       .orderBy("user_id", "slot_ms")
   }
+
+  /** Exact per-group mode with a deterministic tiebreak (smallest value
+    * wins a count tie). The heavy reduction is the partial-agg count over
+    * (group, value); the winner pick is a window over that already-tiny
+    * aggregate — the window never sees base-table rows. */
+  def modeQuantity(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("mode_n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("mode_n").desc, col("l_quantity").asc)
+    counts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"), col("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Regexp extraction as a table-generating function: pull every
+    * lowercase word out of part names, count corpus-wide, top k. The
+    * extraction is a codegen'd per-row expression; the count is the
+    * standard partial-agg shuffle; top-k is TakeOrderedAndProject. */
+  def partNameWords(part: DataFrame, k: Int = 25): DataFrame =
+    part.select(explode(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+
+  /** Approximate percentiles via Spark's mergeable quantile sketch
+    * (GK/KLL-family): one pass, fixed sketch size per partition, merged on
+    * the reduce side — the only way percentiles scale to 100 TB without a
+    * global sort. Approximate by construction → rows-only in the driver
+    * harness; RelationalSpec bounds the rank error against the exact
+    * percentiles. */
+  def approxPriceQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+      .orderBy("l_returnflag", "q_idx")
 }

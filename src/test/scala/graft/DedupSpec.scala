@@ -109,4 +109,29 @@ class DedupSpec extends SparkSpec {
     assert(clusters(0L) == 0L && clusters(1L) == 0L)
     assert(clusters(2L) == 2L && clusters(3L) == 3L)
   }
+
+  test("span dedup: repeated spans collapse to first occurrence, docs reassemble in order") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // 2 full spans, both first
+      (1L, "alpha beta gamma one two three"), // span 0 repeats doc 0's span 0
+      (2L, ""), // empty doc must survive with 0 spans
+      (3L, "x y z w"), // ragged tail span "w"
+      (4L, "p q r p q r") // within-doc repetition
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, "alpha beta gamma delta epsilon zeta"),
+      (1L, 2L, 1L, "one two three"),
+      (2L, 0L, 0L, ""),
+      (3L, 2L, 2L, "x y z w"),
+      (4L, 2L, 1L, "p q r")))
+  }
+
+  test("span dedup plans as partial aggregation, not a span-partitioned window sort") {
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val plan = Dedup.spanDedup(docs, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "first-occurrence pick must be min-struct agg (map-side combinable), not a window")
+  }
 }

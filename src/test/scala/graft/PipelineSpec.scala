@@ -250,4 +250,39 @@ class PipelineSpec extends SparkSpec {
     // the ratio denominators: words vs lines are independent counters
     assert(rows(4L).getAs[Long]("n_lines") >= 60L)
   }
+
+  test("char entropy: hand-computed values, integer-scaled terms, empty doc") {
+    val docs = Seq((0L, "aab"), (1L, ""), (2L, "zzzz")).toDF("doc_id", "text")
+    val rows = ext.TextStats.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // "aab": n=3, counts {a:2, b:1} → sum = 2·round(ln2·1e6) = 1386294,
+    // H = (3·round(ln3·1e6) − 1386294) / 3e6
+    assert(rows(0L).getAs[Long]("n_chars") == 3L)
+    assert(rows(0L).getAs[Long]("n_distinct_chars") == 2L)
+    assert(rows(0L).getAs[Long]("sum_clnc_scaled") == 1386294L)
+    assert(math.abs(rows(0L).getAs[Double]("entropy") - 0.636514) < 1e-6)
+    // empty doc: zero chars, entropy pinned to 0
+    assert(rows(1L).getAs[Long]("n_chars") == 0L)
+    assert(rows(1L).getAs[Double]("entropy") == 0.0)
+    // single repeated char: H = 0 exactly (n·ln n − n·ln n)
+    assert(rows(2L).getAs[Double]("entropy") == 0.0)
+  }
+
+  test("shuffle shards: deterministic, dense per-shard positions, full coverage") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = ext.TrainingPipeline.shuffleShards(docs, 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = ext.TrainingPipeline.shuffleShards(docs, 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "same seed must reproduce the same permutation")
+    assert(a.map(_._1).toSet == (0L until 100L).toSet, "every doc placed exactly once")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    a.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted == (0L until rs.size.toLong), "dense per-shard positions")
+    }
+    // a different seed yields a different permutation
+    val c = ext.TrainingPipeline.shuffleShards(docs, 8, seed = "other")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a != c)
+  }
 }

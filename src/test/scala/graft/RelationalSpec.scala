@@ -127,4 +127,28 @@ class RelationalSpec extends SparkSpec {
     // epoch-aligned starts: all multiples of the 15-minute hop
     assert(hop.filter(pmod(col("ws_ms"), lit(900000L)) =!= 0).count() == 0)
   }
+
+  test("mode: deterministic smallest-value tiebreak on count ties") {
+    import spark.implicits._
+    val li = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0),
+        ("B", 3.0), ("B", 3.0), ("B", 2.0), ("B", 2.0))
+      .toDF("l_returnflag", "l_quantity")
+    val m = Relational.modeQuantity(li)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(m == Seq(("A", 1.0, 2L), ("B", 2.0, 2L))) // B ties 2↔3, smaller wins
+  }
+
+  test("approx quantiles stay within sketch rank-error bound of exact") {
+    import spark.implicits._
+    val n = 1000
+    val li = (1 to n).map(v => ("A", v.toDouble)).toDF("l_returnflag", "l_extendedprice")
+    val approx = Relational.approxPriceQuantiles(li)
+      .as[(String, Int, Double)].collect().map { case (_, i, v) => i -> v }.toMap
+    // accuracy=10000 ⇒ rank error ≤ n/accuracy < 1 rank on 1000 rows
+    for ((idx, p) <- Seq(0 -> 0.5, 1 -> 0.9, 2 -> 0.99)) {
+      val targetRank = (p * n).toInt
+      assert(math.abs(approx(idx) - targetRank.toDouble) <= 1.0,
+        s"p=$p approx=${approx(idx)} target≈$targetRank")
+    }
+  }
 }

@@ -120,4 +120,22 @@ class SimilaritySpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((0L, 1L))) // colinear vectors; others below threshold
   }
+
+  test("dimStats: exact scaled sums and hand-computed mean/std per dimension") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)), (2L, Array(5.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.dimStats(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    val d0 = rows(0L)
+    assert(d0.getAs[Long]("n") == 3L)
+    assert(d0.getAs[Long]("min_scaled") == 1000000L)
+    assert(d0.getAs[Long]("max_scaled") == 5000000L)
+    assert(d0.getAs[Long]("sum_scaled") == 9000000L)
+    assert(d0.getAs[Long]("sum_sq_scaled") == 35000000000000L) // 1+9+25 in 1e12 units
+    assert(math.abs(d0.getAs[Double]("mean") - 3.0) < 1e-9)
+    assert(math.abs(d0.getAs[Double]("std") - 2.0) < 1e-9) // sample std of {1,3,5}
+    assert(math.abs(rows(1L).getAs[Double]("mean") - 4.0) < 1e-9)
+    assert(math.abs(rows(1L).getAs[Double]("std") - 2.0) < 1e-9)
+  }
 }
