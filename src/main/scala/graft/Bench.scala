@@ -47,21 +47,26 @@ object Bench {
     val total = results.map(_._2).sum
 
     // Complete record (full precision + per-query ok) → BENCH_FULL.json.
+    // "failed" is the SAME shape (name array) as the printed stdout line;
+    // the count gets its own key so no consumer can misparse the two.
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"ok":$oks,"failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"ok":$oks,"n_failed":${failed.size},"failed":$failedArr,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // Printed line: fixed header + as many per-query entries as fit in the
-    // budget, most expensive first (3-decimal seconds).
-    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // budget, most expensive first (3-decimal seconds). Locale.ROOT keeps
+    // the decimal point a '.' under any JVM default locale — a comma would
+    // break the driver's strict json.loads.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.sortBy(_._1)
-        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedArr,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedArr,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     val byCost = results.sortBy(-_._2).map(r => (r._1, r._2))
     var keep = byCost.length

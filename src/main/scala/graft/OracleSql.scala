@@ -610,19 +610,34 @@ object OracleSql {
        |                     ORDER BY shuffle_key, doc_id) - 1 AS pos
        |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** [[shuffleShards]] with nShards derived from the corpus size exactly as
+    * TrainingPipeline.shuffleShardsAuto does: ceil(N / rowsPerShard). */
+  def shuffleShardsAuto(rowsPerShard: Long, seed: String): String =
+    s"""WITH p AS (
+       |  SELECT greatest(1, (count(*) + $rowsPerShard - 1) // $rowsPerShard) AS ns
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${poly(s"'$seed:' || doc_id")} AS shuffle_key FROM documents)
+       |SELECT doc_id, shuffle_key % (SELECT ns FROM p) AS shard,
+       |  row_number() OVER (PARTITION BY shuffle_key % (SELECT ns FROM p)
+       |                     ORDER BY shuffle_key, doc_id) - 1 AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+
   /** Per-dimension embedding stats (mirror of Similarity.dimStats): exact
-    * integer power sums, one double expression for mean/std. */
+    * integer power sums, one double expression for mean/std. The squared
+    * sum accumulates exactly (HUGEINT here, DECIMAL(38,0) in Spark) and is
+    * rendered as DOUBLE on both sides — same nearest-double of the same
+    * exact integer. */
   val dimStats: String =
     """WITH x AS (
       |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s
       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
       |a AS (
       |  SELECT dim, count(*) AS n, min(s) AS min_scaled, max(s) AS max_scaled,
-      |    sum(s)::BIGINT AS sum_scaled, sum(s*s)::BIGINT AS sum_sq_scaled
+      |    sum(s)::BIGINT AS sum_scaled, sum(s*s)::DOUBLE AS sum_sq_scaled
       |  FROM x GROUP BY dim)
       |SELECT dim, n, min_scaled, max_scaled, sum_scaled, sum_sq_scaled,
       |  sum_scaled::DOUBLE / (n::DOUBLE * 1000000.0) AS mean,
-      |  sqrt((n::DOUBLE * sum_sq_scaled::DOUBLE - sum_scaled::DOUBLE * sum_scaled::DOUBLE)
+      |  sqrt((n::DOUBLE * sum_sq_scaled - sum_scaled::DOUBLE * sum_scaled::DOUBLE)
       |       / (n::DOUBLE * (n::DOUBLE - 1.0))) / 1000000.0 AS std
       |FROM a ORDER BY dim""".stripMargin
 }

@@ -241,7 +241,7 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d), 3)),
     "text_entropy" -> ((s, d) => TextStats.charEntropy(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) =>
-      ext.TrainingPipeline.shuffleShards(Tables.documents(s, d), 8)),
+      ext.TrainingPipeline.shuffleShardsAuto(Tables.documents(s, d), rowsPerShard = 64)),
     "sim_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
     "q_mode" -> ((s, d) => Relational.modeQuantity(Tables.lineitem(s, d))),
     "q_regex_extract" -> ((s, d) => Relational.partNameWords(Tables.part(s, d), 25)),
@@ -505,7 +505,7 @@ object SparkEntry {
     // ---- extensions ----
     "dedup_spans" -> OracleSql.spanDedup(3),
     "text_entropy" -> OracleSql.charEntropy,
-    "pipeline_shuffle" -> OracleSql.shuffleShards(8, "graft"),
+    "pipeline_shuffle" -> OracleSql.shuffleShardsAuto(64, "graft"),
     "sim_dim_stats" -> OracleSql.dimStats,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",

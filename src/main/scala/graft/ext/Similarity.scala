@@ -338,9 +338,17 @@ object Similarity {
     * exact and order-independent; mean/std derive from the exact power
     * sums with one double expression each — the same construction as the
     * portable stats aggregate, deterministic across engines.
+    *
+    * The squared-term sum is accumulated in DECIMAL(38,0), not BIGINT: each
+    * term is ~1e12 for unit-scale values, so a BIGINT running sum overflows
+    * at ~9.2M vectors — DECIMAL(38,0) is exact to ~1e26 vectors. It is
+    * RENDERED as a double (`sum_sq_scaled`): the exact integer rounds to
+    * the nearest IEEE double identically in any engine, keeping the column
+    * hash-comparable without exposing engine-specific wide-int types.
     */
   def dimStats(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val nD: Column => Column = _.cast("double")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     embeddings
       .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"),
@@ -350,11 +358,14 @@ object Similarity {
         min(col("__s")).as("min_scaled"),
         max(col("__s")).as("max_scaled"),
         sum(col("__s")).as("sum_scaled"),
-        sum(col("__s") * col("__s")).as("sum_sq_scaled"))
+        sum((col("__s") * col("__s")).cast(dec38)).as("__sq"))
+      .withColumn("sum_sq_scaled", nD(col("__sq")))
       .withColumn("mean", nD(col("sum_scaled")) / (nD(col("n")) * 1e6))
       .withColumn("std", sqrt(
-        (nD(col("n")) * nD(col("sum_sq_scaled")) - nD(col("sum_scaled")) * nD(col("sum_scaled")))
+        (nD(col("n")) * col("sum_sq_scaled") - nD(col("sum_scaled")) * nD(col("sum_scaled")))
           / (nD(col("n")) * (nD(col("n")) - 1.0))) / 1e6)
+      .select(col("dim"), col("n"), col("min_scaled"), col("max_scaled"),
+        col("sum_scaled"), col("sum_sq_scaled"), col("mean"), col("std"))
       .orderBy("dim")
   }
 }

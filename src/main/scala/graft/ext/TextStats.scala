@@ -478,18 +478,38 @@ object TextStats {
     * exact BIGINT arithmetic and the single final division is the only
     * floating-point step — deterministic across engines. Pure per-row
     * column expressions: zero shuffle at any corpus size.
+    *
+    * Per-document cost is O(n log n): sort the char array once, then a
+    * single run-length fold accumulates both the Σ cᵢ·ln cᵢ term and the
+    * distinct-char count — no per-distinct-character rescans, so long
+    * CJK/mixed-script documents (large alphabets) stay linear-ish rather
+    * than O(distinct × n).
     */
   def charEntropy(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def lnScaled(x: Column): Column = round(log(x.cast("double")) * 1e6).cast("long")
     val cs = filter(split(col(textCol), ""), c => length(c) > 0)
+    // One fold over the SORTED chars: equal chars are adjacent, so a run
+    // boundary (ch != prev) flushes run·ln(run) and bumps the distinct
+    // count; the finish lambda flushes the last run.
+    def flush(run: Column, sum: Column): Column =
+      when(run > 0L, sum + run * lnScaled(run)).otherwise(sum)
+    val folded = aggregate(
+      array_sort(col("__cs")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("sum"), lit(0L).as("nd")),
+      (acc, ch) => struct(
+        ch.as("prev"),
+        when(ch === acc("prev"), acc("run") + 1L).otherwise(lit(1L)).as("run"),
+        when(ch === acc("prev"), acc("sum"))
+          .otherwise(flush(acc("run"), acc("sum"))).as("sum"),
+        when(ch === acc("prev"), acc("nd")).otherwise(acc("nd") + 1L).as("nd")),
+      acc => struct(flush(acc("run"), acc("sum")).as("sum"), acc("nd").as("nd")))
     docs
       .select(col(idCol), cs.as("__cs"))
       .withColumn("n_chars", size(col("__cs")).cast("long"))
-      .withColumn("n_distinct_chars", size(array_distinct(col("__cs"))).cast("long"))
-      .withColumn("sum_clnc_scaled", aggregate(
-        transform(array_distinct(col("__cs")),
-          ch => size(filter(col("__cs"), y => y === ch)).cast("long")),
-        lit(0L), (acc, cnt) => acc + cnt * lnScaled(cnt)))
+      .withColumn("__f", folded)
+      .withColumn("n_distinct_chars", col("__f.nd"))
+      .withColumn("sum_clnc_scaled", col("__f.sum"))
       .withColumn("entropy", when(col("n_chars") > 0,
         (col("n_chars") * lnScaled(col("n_chars")) - col("sum_clnc_scaled")).cast("double")
           / (col("n_chars").cast("double") * 1e6)).otherwise(lit(0.0)))

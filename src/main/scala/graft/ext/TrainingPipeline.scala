@@ -210,6 +210,11 @@ object TrainingPipeline {
     * sorts of ~N/nShards rows each, never a global single-partition
     * row_number. A trainer consuming shard files in (shard, pos) order
     * reads the same permutation every run; changing the seed reshuffles.
+    *
+    * nShards must scale with the corpus or each per-shard sort becomes the
+    * hot partition it was meant to avoid: pick nShards ≈ N / rowsPerShard
+    * (see [[shuffleShardsAuto]]) so per-shard sorts stay bounded at any N,
+    * and at least the cluster parallelism so all cores sort concurrently.
     */
   def shuffleShards(docs: DataFrame, nShards: Int, seed: String = "graft",
                     idCol: String = "doc_id"): DataFrame = {
@@ -222,5 +227,19 @@ object TrainingPipeline {
       .withColumn("pos", row_number().over(byShard).cast("long") - 1)
       .select(col(idCol), col("shard"), col("pos"))
       .orderBy("shard", "pos")
+  }
+
+  /** [[shuffleShards]] with the shard count derived from the corpus size:
+    * nShards = ceil(N / rowsPerShard), so per-shard sort size is bounded by
+    * rowsPerShard no matter how large the corpus grows. The count() is a
+    * metadata-scale action (one long), and the derivation is pure integer
+    * arithmetic any engine can replay — the output stays deterministic. */
+  def shuffleShardsAuto(docs: DataFrame, rowsPerShard: Long, seed: String = "graft",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    val n = docs.count()
+    val nShards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard)
+    require(nShards <= Int.MaxValue, s"nShards $nShards exceeds Int range")
+    shuffleShards(docs, nShards.toInt, seed, idCol)
   }
 }

@@ -132,7 +132,8 @@ class SimilaritySpec extends SparkSpec {
     assert(d0.getAs[Long]("min_scaled") == 1000000L)
     assert(d0.getAs[Long]("max_scaled") == 5000000L)
     assert(d0.getAs[Long]("sum_scaled") == 9000000L)
-    assert(d0.getAs[Long]("sum_sq_scaled") == 35000000000000L) // 1+9+25 in 1e12 units
+    // 1+9+25 in 1e12 units; exact decimal sum rendered as a double
+    assert(d0.getAs[Double]("sum_sq_scaled") == 35000000000000.0)
     assert(math.abs(d0.getAs[Double]("mean") - 3.0) < 1e-9)
     assert(math.abs(d0.getAs[Double]("std") - 2.0) < 1e-9) // sample std of {1,3,5}
     assert(math.abs(rows(1L).getAs[Double]("mean") - 4.0) < 1e-9)
