@@ -272,6 +272,24 @@ object OracleSql {
        |SELECT query_id, neighbor_id, score, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Inner-product (MIPS) top-k (mirror of sim_mips): same fold order as
+    * the engine's dot product, ranked by the raw dot — no normalization. */
+  def simMips(maxQueryId: Long, k: Int): String = {
+    def dotE(x: String, y: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, least(len($x), len($y))+1), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${dotE("q.qvec", "e.embedding")} AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Embedding near-dup top pairs on a bounded id range. Zero-norm
     * vectors excluded (cosine undefined), mirroring the engine — without
     * the filter they'd surface as NULL-scored rows here while the engine

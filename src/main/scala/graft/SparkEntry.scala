@@ -254,6 +254,12 @@ object SparkEntry {
     "mm_resize" -> ((s, d) =>
       Multimodal.resizePlan(
         Multimodal.featuresQuery(s, Tables.documents(s, d)).drop("kind", "n_bytes", "format"))),
+    "mm_dedup" -> ((s, d) =>
+      Multimodal.exactPayloadDedup(Multimodal.asMediaTable(Tables.documents(s, d)))),
+    "sim_mips" -> ((s, d) =>
+      Similarity.mipsTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
+    "q_array_agg" -> ((s, d) => Relational.orderQuantityProfile(Tables.lineitem(s, d))),
+    "q_time_weighted" -> ((s, d) => Relational.timeWeightedValue(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -774,5 +780,30 @@ object SparkEntry {
         |       ELSE height END AS new_height,
         |  greatest(width, height) > 256 AS resized
         |FROM f ORDER BY media_id""".stripMargin,
+    "mm_dedup" ->
+      """SELECT min(doc_id) AS media_id, sha256(text) AS payload_sha,
+        |  count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY media_id""".stripMargin,
+    "sim_mips" -> OracleSql.simMips(8, 5),
+    "q_array_agg" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT) DESC) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, len(qs)::BIGINT AS n_items, qs[1] AS max_qty,
+        |  list_reduce(list_prepend(0::BIGINT, qs[1:3]), (a, b) -> a + b) AS top3_sum,
+        |  array_to_string(qs, ',') AS qtys_desc
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "q_time_weighted" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |g AS (SELECT user_id, vc,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dt
+        |  FROM x)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |  (sum(vc * dt)::DOUBLE / sum(dt)::DOUBLE) / 100.0 AS twa_value
+        |FROM g WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -91,4 +91,18 @@ object Multimodal {
   /** End-to-end features query (sorted, oracle-checkable). */
   def featuresQuery(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(asMediaTable(docs)).toDF().orderBy("media_id")
+
+  /** Exact duplicate media by payload digest: one row per distinct BYTE
+    * content, keeping the smallest media_id as representative with the
+    * copy count — byte-identical re-crawls/re-uploads, the dominant
+    * duplicate class for binary assets.
+    *
+    * Scale design: the shuffle carries only (sha256, id) — the payload
+    * bytes themselves never cross the wire, so this works unchanged when
+    * payloads are multi-MB images or video segments. */
+  def exactPayloadDedup(media: DataFrame): DataFrame =
+    media.groupBy(sha2(col("payload"), 256).as("payload_sha"))
+      .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_copies"))
+      .select("media_id", "payload_sha", "n_copies")
+      .orderBy("media_id")
 }

@@ -77,6 +77,29 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): [[bruteForceTopK]] ranked by
+    * raw dot product instead of cosine — the retrieval scoring for
+    * embeddings whose norm carries signal (recommendation scores, learned
+    * rerankers). Same bounded-shuffle plan: queries broadcast, one corpus
+    * scan, TopKAggregator partials keep ≤ k rows per (partition, query).
+    *
+    * Scale note: the approximate path for MIPS is norm augmentation —
+    * append sqrt(M² − ‖v‖²) to each corpus vector and 0 to each query
+    * (Bachrach et al. 2014, "Speeding Up the Xbox Recommender") — which
+    * turns inner-product ranking into cosine ranking, so [[lshTopK]] and
+    * the IVF path apply unchanged at corpus scale. */
+  def mipsTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
+    val queries = broadcast(
+      withNorm2(embeddings.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, "query_id"))
+    val scored = corpus.crossJoin(queries)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("v_query_id"), col("v_neighbor_id")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component: derived from a hash
     * of (plane, dim) mapped into [-1, 1] — no RNG state, so every executor
     * (and every run) derives the same planes. */

@@ -613,4 +613,51 @@ object Relational {
         array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
       .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("q_idx", "q_value")))
       .orderBy("l_returnflag", "q_idx")
+
+  /** Array-column aggregation surface: per order, the full sorted quantity
+    * vector plus derived scalars — list agg (`collect_list`), array sort,
+    * slice, fold (`aggregate`) and rendering (`array_join`) in one plan.
+    * The array is rendered as CSV text because arrays are per-order small
+    * but engine-specific as a column type; the CSV string is portable.
+    *
+    * Scale: one hash-shuffle on the order key; each group's array is
+    * bounded by lines-per-order (≤ 7 in TPC-H-shaped data), so no group
+    * ever outgrows an executor. */
+  def orderQuantityProfile(lineitem: DataFrame, topN: Int = 3): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("q")), asc = false).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast("long").as("n_items"),
+        element_at(col("qs"), 1).as("max_qty"),
+        aggregate(slice(col("qs"), 1, topN), lit(0L), _ + _).as("top3_sum"),
+        array_join(col("qs"), ",").as("qtys_desc"))
+      .orderBy("l_orderkey")
+
+  /** Time-weighted average of `value` per user: each observation is held
+    * until the next event, weighted by the hold duration. The classic
+    * irregular-time-series aggregate (billing, utilization, price TWAP).
+    *
+    * Determinism/scale: durations are exact epoch-microsecond BIGINTs and
+    * values exact integer cents; the value·duration products accumulate in
+    * DECIMAL(38,0) (a BIGINT sum would overflow near 10⁴ user-years of
+    * µs·cents mass), with ONE double division at the end. Lead + agg are
+    * both user-partitioned — no global stage. */
+  def timeWeightedValue(events: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("v_cents"))
+      .withColumn("dt_us",
+        unix_micros(lead(col("ts"), 1).over(byUser)) - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum((col("v_cents") * col("dt_us")).cast(dec38)).as("__w"),
+        sum(col("dt_us")).as("__t"))
+      .select(col("user_id"), col("n_intervals"),
+        ((col("__w").cast("double") / col("__t").cast("double")) / 100.0).as("twa_value"))
+      .orderBy("user_id")
+  }
 }

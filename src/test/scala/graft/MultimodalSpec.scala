@@ -39,4 +39,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_._1 == 2L).map(_._2) == Seq(0L, 100L, 200L, 300L, 400L, 500L, 600L))
     assert(frames.filter(_._1 == 3L).map(_._2) == Seq(0L))
   }
+
+  test("payload dedup groups byte-identical assets, keeps min id") {
+    val dup = Seq(
+      (10L, "same bytes", "s1"), (7L, "same bytes", "s2"), (3L, "other", "s3")
+    ).toDF("doc_id", "text", "source")
+    val rows = Multimodal.exactPayloadDedup(Multimodal.asMediaTable(dup))
+      .select("media_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((3L, 1L), (7L, 2L)))
+    // digest is over bytes, not metadata: differing sources still collapse
+    val sha = Multimodal.exactPayloadDedup(Multimodal.asMediaTable(dup))
+      .filter(col("media_id") === 7L).select("payload_sha").as[String].head()
+    assert(sha.length == 64 && sha == sha.toLowerCase)
+  }
 }

@@ -151,4 +151,33 @@ class RelationalSpec extends SparkSpec {
         s"p=$p approx=${approx(idx)} target≈$targetRank")
     }
   }
+
+  test("order quantity profile: sorted array, slice fold, csv rendering") {
+    import spark.implicits._
+    val li = Seq((1L, 5.0), (1L, 9.0), (1L, 2.0), (1L, 9.0), (2L, 4.0))
+      .toDF("l_orderkey", "l_quantity")
+    val rows = Relational.orderQuantityProfile(li)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // order 1: sorted desc 9,9,5,2; top3 = 23; order 2: single item
+    assert(rows == Seq((1L, 4L, 9L, 23L, "9,9,5,2"), (2L, 1L, 4L, 4L, "4")))
+  }
+
+  test("time-weighted average holds each value until the next event") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: value 10 held 60s, value 20 held 180s -> twa = (10*60+20*180)/240 = 17.5
+    // the last event has no successor and contributes nothing
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, 20.0),
+      (3L, ts("2024-01-01 00:04:00"), 1L, 999.0),
+      (4L, ts("2024-01-01 00:00:00"), 2L, 7.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val rows = Relational.timeWeightedValue(ev)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.size == 1) // user 2 has a single event: no interval at all
+    val (user, n, twa) = rows.head
+    assert(user == 1L && n == 2L && math.abs(twa - 17.5) < 1e-12)
+  }
 }

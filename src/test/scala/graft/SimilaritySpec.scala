@@ -18,6 +18,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1)._1 == 2L && math.abs(top(1)._2) < 1e-15)
   }
 
+  test("mips ranks by raw dot product, not cosine") {
+    // vec 1 points the same way as the query but is LONG; vec 2 is a unit
+    // vector almost perfectly aligned. Cosine would pick 2 first; inner
+    // product must pick 1.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(10.0f, 1.0f)),
+      (2L, Array(1.0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(df, Seq(0L), k = 2)
+      .select("neighbor_id", "score").as[(Long, Double)].collect().toSeq
+    assert(mips == Seq((1L, 10.0), (2L, 1.0)))
+    val cos = Similarity.bruteForceTopK(df, Seq(0L), k = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(cos.head == 2L)
+  }
+
   test("lsh recall lifts over the random-candidate baseline and is deterministic") {
     // the synthetic embeddings are near-isotropic (top-10 cosine ~0.3), so
     // absolute ANN recall is data-limited; the meaningful check is LIFT:
