@@ -260,6 +260,22 @@ object SparkEntry {
       Similarity.mipsTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
     "q_array_agg" -> ((s, d) => Relational.orderQuantityProfile(Tables.lineitem(s, d))),
     "q_time_weighted" -> ((s, d) => Relational.timeWeightedValue(Tables.events(s, d))),
+    // bucketed-lake co-located join: both sides pre-bucketed on the key,
+    // so the sort-merge join runs with ZERO Exchange (PlanSpec proves it);
+    // the result is identical to the plain join the oracle runs
+    "lake_bucket_join" -> ((s, d) => {
+      val joined = ext.Lake.bucketedJoin(s, Tables.orders(s, d),
+        Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Relational.cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
+    "pipeline_domain_cap" -> ((s, d) =>
+      ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
+    "q_heavy_hitters" -> ((s, d) =>
+      TextStats.heavyHitters(Tables.documents(s, d), permille = 5)),
+    "q_winsorize" -> ((s, d) => Relational.winsorizedBalances(Tables.customer(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -805,5 +821,37 @@ object SparkEntry {
         |SELECT user_id, count(*)::BIGINT AS n_intervals,
         |  (sum(vc * dt)::DOUBLE / sum(dt)::DOUBLE) / 100.0 AS twa_value
         |FROM g WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the bucketed layout changes the PLAN, never the answer: the oracle
+    // is the plain join
+    "lake_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "pipeline_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rank_in_domain FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rank_in_domain
+        |  FROM documents)
+        |WHERE rank_in_domain <= 40 ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH tok AS ($tokSql),
+         |c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |t AS (SELECT count(*) AS total FROM tok)
+         |SELECT word, cnt FROM c, t
+         |WHERE cnt * 1000 >= total * 5 ORDER BY cnt DESC, word""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment,
+        |    CAST(ceil(quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.05)) AS BIGINT) AS lo,
+        |    CAST(floor(quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.95)) AS BIGINT) AS hi
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c.c_mktsegment, count(*) AS n_customers,
+        |  min(b.lo) AS lo_cents, min(b.hi) AS hi_cents,
+        |  sum(least(greatest(CAST(round(c_acctbal*100) AS BIGINT), b.lo), b.hi))::DOUBLE
+        |    / count(*) AS win_avg_cents
+        |FROM customer c JOIN b USING (c_mktsegment)
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -64,17 +64,20 @@ object Pq {
       val cell = (0 until m).map(s => (s, Ivf.cellOf(col("sub"), books(s))))
         .foldLeft(lit(null).cast("int")) { case (els, (s, e)) =>
           when(col("s") === s, e).otherwise(els) }
-      val means = subs.withColumn("cell", cell)
+      // ONE shuffle per round: the (s, cell, pos) mean aggregation. The
+      // result is m·ksub·w rows — the size of the codebooks themselves,
+      // driver-sized by construction — so the centroid arrays assemble
+      // driver-side instead of through a second collect_list shuffle.
+      val meanRows = subs.withColumn("cell", cell)
         .select(col("s"), col("cell"), posexplode(col("sub")))
         .groupBy("s", "cell", "pos").agg(avg(col("col")).as("mv"))
-        .groupBy("s", "cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("st"))
-        .select(col("s"), col("cell"), transform(col("st"), x => x.getField("mv")).as("c"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+      val byCell: Map[(Int, Int), Seq[Double]] = meanRows.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
       // empty cells keep their previous centroid
       books = books.map { case (s, cents) =>
-        val upd = means.collect { case (`s`, cid, c) => cid -> c }.toMap
-        s -> cents.map { case (cid, c) => (cid, upd.getOrElse(cid, c)) }
+        s -> cents.map { case (cid, c) => (cid, byCell.getOrElse((s, cid), c)) }
       }
     }
     (0 until m).map(books)

@@ -396,6 +396,33 @@ object TextStats {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Exact heavy hitters: tokens accounting for at least `permille`/1000
+    * of ALL token occurrences — the corpus-frequency screen a tokenizer
+    * or stopword-list builder runs first.
+    *
+    * Scale shape: one partial-agg shuffle keyed on the word (identical to
+    * word count — only (word, partial-count) pairs cross the wire), plus
+    * ONE scalar total computed by a narrow no-shuffle scan
+    * (`sum(size(tokens))` — never a second pass over the grouped counts,
+    * which would recompute the aggregation). The single-row total
+    * broadcasts into the filter, so the threshold is evaluated
+    * map-side on the aggregated counts. Support thresholds are integral
+    * per-mille and the comparison is pure BIGINT (`cnt·1000 ≥ total·p`) —
+    * no float ratio to disagree across engines. */
+  def heavyHitters(docs: DataFrame, permille: Int = 5,
+                   textCol: String = "text"): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille must be in [0, 1000]")
+    val counts = docs
+      .select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = docs.agg(
+      sum(size(Tokenize.tokensArray(col(textCol)))).cast("long").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 1000 >= col("__total") * permille)
+      .select(col("word"), col("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** Top-N most-similar document pairs by TF-IDF cosine — sparse-vector
     * similarity over the shared-word inverted index: only documents that
     * SHARE a (surviving) word ever meet, so cost scales with word

@@ -137,6 +137,31 @@ object TrainingPipeline {
       .drop("__rk")
   }
 
+  /** Per-domain document cap: keep at most `maxPerDomain` documents from
+    * each domain (source/host), preferring longer documents and breaking
+    * ties on the stable id — the anti-monoculture quota a crawl pipeline
+    * applies so no single host dominates the training mixture (the
+    * C4/RefinedWeb-style per-domain limit).
+    *
+    * Scale shape: ONE rank window partitioned by the domain — millions of
+    * concurrent per-domain sorts, never a global ordering. A pathological
+    * mega-domain makes one hot partition; the mitigation at that shape is
+    * pre-filtering such domains by count (they exceed any cap by orders
+    * of magnitude) before ranking the remainder. Deterministic: the
+    * (length, id) order has no RNG, so retries and engines agree on the
+    * keep-set. */
+  def domainCap(docs: DataFrame, maxPerDomain: Int, domainCol: String = "source",
+                lenCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(lenCol).desc, col(idCol))
+    docs.select(col(idCol), col(domainCol), col(lenCol))
+      .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+      .filter(col("rank_in_domain") <= maxPerDomain)
+      .orderBy(idCol)
+  }
+
   /** Per-document benchmark-contamination report: how many DISTINCT word
     * `n`-grams of each training document also appear anywhere in the
     * benchmark/eval set (the standard test-set decontamination check —

@@ -452,6 +452,39 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Winsorized (percentile-clipped) account balances per market segment:
+    * clip every balance into [p_lo, p_hi] of its segment, then report the
+    * clipped mean — the outlier-robust aggregate a feature pipeline uses
+    * where a raw mean would be dominated by a few extreme rows.
+    *
+    * Two passes by construction (exact percentiles need the data before
+    * the clip can be planned): pass 1 computes per-segment bounds (a few
+    * rows — broadcast back), pass 2 clips and aggregates. At 100 TB,
+    * swap `percentile` for `percentile_approx` (same plan shape, fixed
+    * memory) if the per-segment sort is too heavy.
+    *
+    * Exactness: interpolated percentile bounds are snapped to integer
+    * cents (ceil on the low bound, floor on the high — both engines snap
+    * identically), so every clipped value is an exact BIGINT and the sum
+    * is immune to double addition order across partitions; the only
+    * float op left is the final division, one fixed expression. */
+  def winsorizedBalances(customer: DataFrame,
+                         lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val c = cents(col("c_acctbal"))
+    val bounds = customer.groupBy(col("c_mktsegment"))
+      .agg(ceil(percentile(c, lit(lo))).cast("long").as("lo_cents"),
+        floor(percentile(c, lit(hi))).cast("long").as("hi_cents"))
+    customer.select(col("c_mktsegment"), c.as("__c"))
+      .join(broadcast(bounds), "c_mktsegment")
+      .withColumn("__w", least(greatest(col("__c"), col("lo_cents")), col("hi_cents")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("lo_cents")).as("lo_cents"), min(col("hi_cents")).as("hi_cents"),
+        (sum(col("__w")) / count(lit(1))).as("win_avg_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Hopping (sliding) event-time windows: count and purchase value per
     * [size=1h, hop=15min] window and event type — each event lands in
     * size/hop = 4 overlapping windows. Spark's `window()` generates the

@@ -268,6 +268,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("entropy") == 0.0)
   }
 
+  test("domainCap keeps at most N per domain, longest first, id tiebreak") {
+    val docs = Seq(
+      (1L, "s0", 10L), (2L, "s0", 30L), (3L, "s0", 30L), (4L, "s0", 5L),
+      (5L, "s1", 1L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = ext.TrainingPipeline.domainCap(docs, 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // s0: 30-char docs win, id 2 ranks before id 3; 10 and 5 fall out
+    assert(got == Seq((2L, "s0", 30L, 1L), (3L, "s0", 30L, 2L), (5L, "s1", 1L, 1L)))
+  }
+
+  test("heavy hitters: exact per-mille threshold, includes boundary, desc order") {
+    // 10 tokens total: 'a'x5 (500‰), 'b'x3 (300‰), 'c'x2 (200‰)
+    val docs = Seq((0L, "a a a a a b b"), (1L, "b c c")).toDF("doc_id", "text")
+    val at300 = ext.TextStats.heavyHitters(docs, permille = 300)
+      .as[(String, Long)].collect().toSeq
+    assert(at300 == Seq(("a", 5L), ("b", 3L)), "300‰ keeps the boundary token b")
+    val at301 = ext.TextStats.heavyHitters(docs, permille = 301)
+      .as[(String, Long)].collect().toSeq
+    assert(at301 == Seq(("a", 5L)))
+    assert(ext.TextStats.heavyHitters(docs, permille = 0).count() == 3)
+  }
+
   test("shuffle shards: deterministic, dense per-shard positions, full coverage") {
     val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = ext.TrainingPipeline.shuffleShards(docs, 8)

@@ -180,4 +180,20 @@ class RelationalSpec extends SparkSpec {
     val (user, n, twa) = rows.head
     assert(user == 1L && n == 2L && math.abs(twa - 17.5) < 1e-12)
   }
+
+  test("winsorized mean clips outliers to the snapped percentile bounds") {
+    import spark.implicits._
+    // one segment, balances 1..9 plus a 10_000.00 outlier (all in dollars)
+    val cust = ((1 to 9).map(_.toDouble) :+ 10000.0).zipWithIndex
+      .map { case (b, i) => (i.toLong, "SEG", b) }
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    // quartiles (binary-exact fractions): pos25 = 2.25 -> 325 cents,
+    // pos75 = 6.75 -> 775 cents
+    val Array(row) = Relational.winsorizedBalances(cust, 0.25, 0.75).collect()
+    assert(row.getString(0) == "SEG" && row.getLong(1) == 10L)
+    assert(row.getLong(2) == 325L && row.getLong(3) == 775L)
+    // clipped cents: 325x3, 400..700, 775x3 (the 10k outlier clips too)
+    val expect = (325L * 3 + (4 to 7).map(_ * 100L).sum + 775L * 3).toDouble / 10
+    assert(math.abs(row.getDouble(4) - expect) < 1e-9)
+  }
 }
