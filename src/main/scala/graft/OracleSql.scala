@@ -272,6 +272,39 @@ object OracleSql {
        |SELECT query_id, neighbor_id, score, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Exact cosine radius search (mirror of sim_radius). */
+  def simRadius(maxQueryId: Long, threshold: Double): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosineExpr("q.qvec", "e.embedding")} AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, score FROM scored
+       |WHERE score >= $threshold ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Directed shingle containment above a threshold (mirror of
+    * dedup_containment; shingle-set join on the raw shingle strings —
+    * the engine joins on xxhash64 of them, collision-free at any
+    * realistic corpus size). */
+  def containment(maxDf: Long, threshold: Double): String =
+    s"""WITH $shinglesCte,
+       |df AS (SELECT sh AS shv, count(*) AS df FROM sh GROUP BY sh),
+       |kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON df.shv = s.sh
+       |         WHERE df.df <= $maxDf),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id),
+       |d AS (SELECT a AS src, b AS dst, inter FROM inter
+       |      UNION ALL SELECT b AS src, a AS dst, inter FROM inter)
+       |SELECT d.src, d.dst, d.inter, s.sz AS s_src,
+       |  d.inter::DOUBLE / s.sz AS containment
+       |FROM d JOIN sz s ON s.doc_id = d.src
+       |WHERE d.inter::DOUBLE / s.sz >= $threshold
+       |ORDER BY src, dst""".stripMargin
+
   /** Inner-product (MIPS) top-k (mirror of sim_mips): same fold order as
     * the engine's dot product, ranked by the raw dot — no normalization. */
   def simMips(maxQueryId: Long, k: Int): String = {

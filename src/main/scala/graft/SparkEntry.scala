@@ -276,6 +276,14 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) =>
       TextStats.heavyHitters(Tables.documents(s, d), permille = 5)),
     "q_winsorize" -> ((s, d) => Relational.winsorizedBalances(Tables.customer(s, d))),
+    "sim_radius" -> ((s, d) =>
+      Similarity.radiusSearch(Tables.embeddings(s, d), 0L until 8L, 0.35)),
+    // directed containment with a REAL hot-shingle guard (maxDf=100) —
+    // the asymmetric quote/boilerplate detector
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), k = 3, threshold = 0.6,
+        maxDf = 100L)),
+    "q_outliers" -> ((s, d) => Relational.priceOutliers(Tables.orders(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -853,5 +861,20 @@ object SparkEntry {
         |    / count(*) AS win_avg_cents
         |FROM customer c JOIN b USING (c_mktsegment)
         |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sim_radius" -> OracleSql.simRadius(8, 0.35),
+    "dedup_containment" -> OracleSql.containment(100L, 0.6),
+    "q_outliers" ->
+      """WITH x AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders),
+        |s AS (SELECT o_orderpriority, count(*) AS n, sum(c) AS s1,
+        |    sum(c::HUGEINT * c::HUGEINT) AS s2 FROM x GROUP BY o_orderpriority),
+        |st AS (SELECT o_orderpriority, s1::DOUBLE / n::DOUBLE AS mean,
+        |    sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE) / n::DOUBLE) AS std
+        |  FROM s)
+        |SELECT x.o_orderkey, x.o_orderpriority, x.c AS price_cents,
+        |  (x.c::DOUBLE - mean) / std AS zscore
+        |FROM x JOIN st USING (o_orderpriority)
+        |WHERE std > 0 AND (x.c::DOUBLE - mean) / std > 3.0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -398,6 +398,42 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Directed shingle containment C(src→dst) = |S(src)∩S(dst)| / |S(src)|
+    * over distinct k-shingles — the asymmetric near-dup signal. Symmetric
+    * Jaccard dilutes a short document quoted inside a long one (the
+    * intersection is tiny next to the union); containment of the SHORT
+    * side stays near 1.0, which is exactly the boilerplate/quotation/
+    * excerpt case a corpus cleaner wants to catch.
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: the inverted shingle
+    * index equi-joins only documents that share a shingle (never n²),
+    * `maxDf` guards hot boilerplate shingles, and each co-occurring pair
+    * is scored once then emitted in both directions. */
+  def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                       maxDf: Long = Long.MaxValue,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleRows(docs, k, textCol, idCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
+    val filtered = if (maxDf == Long.MaxValue) sh else {
+      val df = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      sh.join(df.filter(col("df") <= maxDf), "sh_h").select(col(idCol), col("sh_h"))
+    }
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col(idCol).as("a"), col("sh_h"))
+    val b = filtered.select(col(idCol).as("b"), col("sh_h"))
+    val inter = a.join(b, "sh_h").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val directed = inter
+      .select(col("a").as("src"), col("b").as("dst"), col("inter"))
+      .unionByName(inter.select(col("b").as("src"), col("a").as("dst"), col("inter")))
+    directed
+      .join(sizes.select(col(idCol).as("src"), col("sz").as("s_src")), "src")
+      .select(col("src"), col("dst"), col("inter"), col("s_src"),
+        (col("inter").cast("double") / col("s_src")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("src", "dst")
+  }
+
   // ------------------------------------------------------------------
   // SimHash
 

@@ -77,6 +77,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact radius (range) search: every corpus vector within cosine ≥
+    * `threshold` of each query — the "all sufficiently-similar" form of
+    * retrieval (dedup sweeps, recall-complete candidate generation),
+    * where top-k's fixed cutoff would truncate dense neighborhoods and
+    * pad sparse ones.
+    *
+    * Scale shape: queries broadcast with precomputed norms, ONE corpus
+    * scan, and the threshold filter runs map-side — only qualifying
+    * (query, neighbor, score) rows ever leave the scan stage, so output
+    * size is the result size, not |corpus|·|queries|. At corpus scale the
+    * same exact filter runs after LSH/IVF candidate generation
+    * ([[lshTopK]] / [[Ivf]]) instead of the full scan. */
+  def radiusSearch(embeddings: DataFrame, queryIds: Seq[Long], threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
+    val queries = broadcast(
+      withNorm2(embeddings.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, "query_id"))
+    corpus.crossJoin(queries)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairScore("query_id", "neighbor_id").as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Exact maximum-inner-product top-k (MIPS): [[bruteForceTopK]] ranked by
     * raw dot product instead of cosine — the retrieval scoring for
     * embeddings whose norm carries signal (recommendation scores, learned

@@ -485,6 +485,37 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Per-group z-score outliers: orders whose total price sits more than
+    * `sigmas` population standard deviations above their priority class's
+    * mean — the anomaly screen run before training on transactional
+    * features.
+    *
+    * Exactness at any scale: group moments come from integer power sums —
+    * s1 as BIGINT, s2 in DECIMAL(38,0) (cents² terms reach ~2.5·10¹⁵, so
+    * a BIGINT s2 would overflow around 3,700 rows per group; decimal
+    * accumulation is exact to 10³⁸) — so mean/std are partition-order-
+    * independent, unlike Welford-merge `stddev`. The tiny per-group stats
+    * table broadcasts back; flagging is a map-side filter with one fixed
+    * double expression both engines evaluate identically. */
+  def priceOutliers(orders: DataFrame, sigmas: Double = 3.0): DataFrame = {
+    val c = cents(col("o_totalprice"))
+    val dec = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val stats = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(dec * dec).as("s2"))
+      .select(col("o_orderpriority"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double"))
+          / col("n").cast("double")).as("std"))
+    orders.select(col("o_orderkey"), col("o_orderpriority"), c.as("price_cents"))
+      .join(broadcast(stats), "o_orderpriority")
+      .filter(col("std") > 0 &&
+        (col("price_cents").cast("double") - col("mean")) / col("std") > sigmas)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
+        ((col("price_cents").cast("double") - col("mean")) / col("std")).as("zscore"))
+      .orderBy("o_orderkey")
+  }
+
   /** Hopping (sliding) event-time windows: count and purchase value per
     * [size=1h, hop=15min] window and event type — each event lands in
     * size/hop = 4 overlapping windows. Spark's `window()` generates the

@@ -75,6 +75,24 @@ object EventsStream {
       .select(col("user_id"), col("event_id"), col("ts"), col("err_ts"), col("value"))
   }
 
+  /** Native session-window aggregation: Spark's built-in `session_window`
+    * (merging-window state, gap-based) — the declarative counterpart of
+    * the custom [[sessionizeStream]] state machine. Prefer this form when
+    * per-session outputs are plain aggregates; drop to
+    * flatMapGroupsWithState only for semantics the merging windows can't
+    * express (e.g. emitting mid-session deltas). Works identically over a
+    * batch DataFrame (the watermark is a no-op there), which is what the
+    * parity test exploits. */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Relational.cents(col("value"))).as("session_value_cents"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"), col("session_value_cents"))
+
   /** Streaming exact dedup: first event per (user_id, event_type) within
     * the watermark horizon — `dropDuplicates` with bounded state, the
     * streaming face of the batch dedup suite. */

@@ -128,6 +128,21 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 1L, "p q r")))
   }
 
+  test("containment is asymmetric: quoted-short side hits 1.0, long side dilutes") {
+    // A's 3 shingles all appear in B (A is an excerpt of B); B has 8
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val all = Dedup.containmentPairs(docs, k = 3, threshold = 0.0)
+      .select("src", "dst", "inter", "s_src", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(all == Seq((0L, 1L, 3L, 3L, 1.0), (1L, 0L, 3L, 8L, 0.375)))
+    val strict = Dedup.containmentPairs(docs, k = 3, threshold = 0.5)
+      .select("src").as[Long].collect().toSeq
+    assert(strict == Seq(0L), "only the contained excerpt direction survives 0.5")
+  }
+
   test("span dedup plans as partial aggregation, not a span-partitioned window sort") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     val plan = Dedup.spanDedup(docs, 3).queryExecution.executedPlan.toString

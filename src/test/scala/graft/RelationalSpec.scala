@@ -181,6 +181,20 @@ class RelationalSpec extends SparkSpec {
     assert(user == 1L && n == 2L && math.abs(twa - 17.5) < 1e-12)
   }
 
+  test("z-score outliers: hand-computed flag at the exact boundary") {
+    import spark.implicits._
+    // nine $1.00 rows and one $10.00: mean 190c, pop std 270c, z = 3.0
+    val orders = ((1 to 9).map(i => (i.toLong, "P1", 1.0)) :+ (10L, "P1", 10.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val flagged = Relational.priceOutliers(orders, sigmas = 2.0)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(flagged.size == 1)
+    val (key, _, cents, z) = flagged.head
+    assert(key == 10L && cents == 1000L && math.abs(z - 3.0) < 1e-12)
+    // strict >: z = 3.0 is NOT an outlier at sigmas = 3.0
+    assert(Relational.priceOutliers(orders, sigmas = 3.0).count() == 0)
+  }
+
   test("winsorized mean clips outliers to the snapped percentile bounds") {
     import spark.implicits._
     // one segment, balances 1..9 plus a 10_000.00 outlier (all in dollars)

@@ -156,4 +156,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(rows(1L).getAs[Double]("mean") - 4.0) < 1e-9)
     assert(math.abs(rows(1L).getAs[Double]("std") - 2.0) < 1e-9)
   }
+
+  test("radius search returns exactly the brute-force neighbors above threshold") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val th = 0.3
+    val radius = Similarity.radiusSearch(emb, 0L until 4L, th)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // oracle: full top-k (k = corpus size) filtered at the same threshold
+    val full = Similarity.bruteForceTopK(emb, 0L until 4L, n)
+      .filter(col("score") >= th)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(radius.nonEmpty && radius == full)
+  }
 }

@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window streaming agg == batch session_window") {
+    val stream = EventsStream.sessionWindowStats(EventsStream.readEvents(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_win_out").start()
+    try {
+      q.processAllAvailable()
+      // append emits sessions closed by the watermark; on a finite source
+      // that's all but the trailing ones — a subset of the batch result
+      val got = spark.table("sess_win_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = EventsStream.sessionWindowStats(Tables.events(spark, dir))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty, "no sessions closed")
+      assert(got.subsetOf(batch), "streamed sessions disagree with batch")
+      // and the custom state machine agrees with the native operator on
+      // (user, start, n, cents) for every batch-computed session
+      val custom = EventsStream.sessionizeStream(spark,
+          Tables.events(spark, dir), flushOpen = true)
+        .collect().map(s => (s.user_id, s.session_start_ms, s.n_events, s.session_value_cents))
+        .toSet
+      assert(batch == custom, "session_window and flatMapGroupsWithState disagree")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink lands the streamed aggregates") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val stream = EventsStream.hourlyStats(EventsStream.readEvents(spark, dir))
