@@ -400,23 +400,25 @@ object TextStats {
     * of ALL token occurrences — the corpus-frequency screen a tokenizer
     * or stopword-list builder runs first.
     *
-    * Scale shape: one partial-agg shuffle keyed on the word (identical to
-    * word count — only (word, partial-count) pairs cross the wire), plus
-    * ONE scalar total computed by a narrow no-shuffle scan
-    * (`sum(size(tokens))` — never a second pass over the grouped counts,
-    * which would recompute the aggregation). The single-row total
-    * broadcasts into the filter, so the threshold is evaluated
-    * map-side on the aggregated counts. Support thresholds are integral
-    * per-mille and the comparison is pure BIGINT (`cnt·1000 ≥ total·p`) —
-    * no float ratio to disagree across engines. */
+    * Scale shape: ONE corpus scan — a partial-agg shuffle keyed on the
+    * word (identical to word count: only (word, partial-count) pairs
+    * cross the wire), materialized once so the scalar total derives from
+    * the vocabulary-sized counts table instead of a second pass over the
+    * corpus (at 100 TB, re-scanning the corpus for `sum(size(tokens))`
+    * would double the dominant cost; the counts table is vocabulary-sized
+    * — orders of magnitude smaller). The single-row total broadcasts into
+    * the filter, evaluated map-side on the aggregated counts. Support
+    * thresholds are integral per-mille and the comparison is pure BIGINT
+    * (`cnt·1000 ≥ total·p`) — no float ratio to disagree across
+    * engines. */
   def heavyHitters(docs: DataFrame, permille: Int = 5,
                    textCol: String = "text"): DataFrame = {
     require(permille >= 0 && permille <= 1000, "permille must be in [0, 1000]")
     val counts = docs
       .select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = docs.agg(
-      sum(size(Tokenize.tokensArray(col(textCol)))).cast("long").as("__total"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("cnt")).as("__total"))
     counts.crossJoin(broadcast(total))
       .filter(col("cnt") * 1000 >= col("__total") * permille)
       .select(col("word"), col("cnt"))

@@ -71,6 +71,25 @@ class DegenerateSpec extends SparkSpec {
         StructField("embedding", ArrayType(FloatType))))), Seq(1L), 5).count() == 0)
   }
 
+  test("empty corpus: heavy hitters, containment, domain cap all yield empty") {
+    assert(TextStats.heavyHitters(empty).count() == 0)
+    assert(Dedup.containmentPairs(empty).count() == 0)
+    assert(TrainingPipeline.domainCap(
+      empty.withColumn("n_chars", org.apache.spark.sql.functions.lit(0L)), 5).count() == 0)
+    val emptyOrders = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderpriority", StringType),
+        StructField("o_totalprice", DoubleType))))
+    assert(graft.rel.Relational.priceOutliers(emptyOrders).count() == 0)
+  }
+
+  test("constant group: zero variance never divides by zero in outliers") {
+    val orders = Seq((1L, "P", 5.0), (2L, "P", 5.0), (3L, "P", 5.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    assert(graft.rel.Relational.priceOutliers(orders).count() == 0)
+  }
+
   test("zero-norm embeddings are excluded from pair mining, not NaN-poisoned") {
     val emb = Seq(
       (0L, Array(0.0f, 0.0f)), // no direction
