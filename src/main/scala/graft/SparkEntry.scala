@@ -284,6 +284,15 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.documents(s, d), k = 3, threshold = 0.6,
         maxDf = 100L)),
     "q_outliers" -> ((s, d) => Relational.priceOutliers(Tables.orders(s, d))),
+    // probabilistic sketch (rows-only): fixed-memory token counts; the
+    // exact twin q_heavy_hitters carries the oracle, the spec pins the
+    // CMS error bounds
+    "text_cms_counts" -> ((s, d) =>
+      TextStats.cmsHeavyHitters(Tables.documents(s, d), permille = 5)),
+    // k-means assignments as a first-class clustering output (rows-only:
+    // float centroids have no SQL oracle; specs pin determinism +
+    // partition invariants)
+    "sim_kmeans" -> ((s, d) => ext.Ivf.kmeansAssign(Tables.embeddings(s, d), 16)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -43,20 +43,43 @@ object Ivf {
       .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     if (centroids.isEmpty) return Seq.empty // empty corpus: nothing to train
     for (_ <- 0 until iters) {
+      // ONE shuffle per round: the (cell, pos) mean aggregation. Its
+      // result is nlist·dim rows — the size of the centroids themselves —
+      // so the centroid arrays assemble driver-side instead of through a
+      // second collect_list shuffle.
       val assigned = vecs.withColumn("cell", cellOf(col("v"), centroids))
-      val means = assigned
+      val meanRows = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
-        .select(col("cell"), transform(col("s"), x => x.getField("m")).as("c"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
+      val byCell: Map[Int, Seq[Double]] = meanRows.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
       // empty cells keep their previous centroid
-      val byCell = means.toMap
       centroids = centroids.map { case (cid, c) => (cid, byCell.getOrElse(cid, c)) }
     }
     centroids
+  }
+
+  /** K-means clustering as a first-class output: the (vector, cell)
+    * assignment table plus per-cell occupancy — the grouping a semantic
+    * dedup or diversity-sampling stage consumes directly (cluster, then
+    * cap or dedup within clusters). Same deterministic training as the
+    * IVF index (lowest-id seeds, fixed rounds); assignment is the
+    * codegen'd per-row argmin — one narrow pass, no shuffle beyond the
+    * occupancy count. */
+  def kmeansAssign(embeddings: DataFrame, nlist: Int, iters: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(embeddings, nlist, iters, idCol, vecCol)
+    if (centroids.isEmpty)
+      return embeddings.select(col(idCol), lit(0).as("cell"),
+        lit(0L).as("cell_size")).limit(0)
+    val assigned = embeddings.select(col(idCol),
+      cellOf(col(vecCol).cast("array<double>"), centroids).as("cell"))
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    assigned.join(broadcast(sizes), "cell")
+      .select(col(idCol), col("cell"), col("cell_size"))
+      .orderBy(idCol)
   }
 
   /** IVF top-k: probe the `nprobe` cells nearest each query, exact cosine

@@ -425,6 +425,40 @@ object TextStats {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  /** Count-min-sketch token-count estimates for the heavy-hitter set —
+    * the fixed-memory path for when even the distinct-token table is too
+    * large to aggregate exactly. The sketch is w×d counters regardless of
+    * vocabulary size, built by Spark's own mergeable `count_min_sketch`
+    * aggregate (map-side partials merge by counter addition, so ONE
+    * narrow pass + a fixed-size reduce replaces the word-keyed shuffle).
+    *
+    * CMS guarantees estimate ≥ true count always, and estimate ≤ true +
+    * eps·N with probability `confidence`; counter merge is commutative,
+    * so estimates are deterministic on any partitioning. The candidate
+    * words scored here come from the exact [[heavyHitters]] — in a
+    * pipeline where exact counting is infeasible the candidates come from
+    * a sampled pre-pass or a known watchlist; the sketch itself never
+    * needs them until query time. Declared rows-only (a probabilistic
+    * sketch has no SQL oracle); the spec pins both error-bound sides. */
+  def cmsHeavyHitters(docs: DataFrame, permille: Int = 5, eps: Double = 1e-4,
+                      confidence: Double = 0.99, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long)].toDF("word", "cnt", "cms_estimate")
+    val row = docs.select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
+      .agg(expr(s"count_min_sketch(word, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), 42)").as("sk")).head()
+    if (row.isNullAt(0)) return empty
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val scored = heavyHitters(docs, permille, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      .toSeq
+    if (scored.isEmpty) empty
+    else scored.toDF("word", "cnt", "cms_estimate")
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** Top-N most-similar document pairs by TF-IDF cosine — sparse-vector
     * similarity over the shared-word inverted index: only documents that
     * SHARE a (surviving) word ever meet, so cost scales with word

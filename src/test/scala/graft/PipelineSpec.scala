@@ -291,6 +291,22 @@ class PipelineSpec extends SparkSpec {
     assert(ext.TextStats.heavyHitters(docs, permille = 0).count() == 3)
   }
 
+  test("CMS estimates: never under, within eps*N over, deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = ext.TextStats.cmsHeavyHitters(docs, permille = 5, eps = 0.01)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val total = ext.TextStats.heavyHitters(docs, permille = 0)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].head()
+    rows.foreach { case (w, cnt, est) =>
+      assert(est >= cnt, s"CMS must never underestimate ($w: $est < $cnt)")
+      assert(est <= cnt + (0.01 * total).toLong + 1, s"$w estimate off: $est vs $cnt")
+    }
+    val again = ext.TextStats.cmsHeavyHitters(docs, permille = 5, eps = 0.01)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == again, "fixed seed + commutative merge => deterministic")
+  }
+
   test("shuffle shards: deterministic, dense per-shard positions, full coverage") {
     val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = ext.TrainingPipeline.shuffleShards(docs, 8)

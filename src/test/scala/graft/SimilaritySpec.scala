@@ -157,6 +157,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(rows(1L).getAs[Double]("std") - 2.0) < 1e-9)
   }
 
+  test("kmeans assignments: full coverage, bounded cells, deterministic, consistent sizes") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val a = graft.ext.Ivf.kmeansAssign(emb, 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(a.size == n, "every vector assigned exactly once")
+    assert(a.map(_._2).distinct.size <= 8)
+    // cell_size column agrees with the actual occupancy
+    val occ = a.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(a.forall { case (_, cell, sz) => occ(cell) == sz })
+    val b = graft.ext.Ivf.kmeansAssign(emb, 8).as[(Long, Int, Long)].collect().toSeq
+    assert(a == b, "deterministic seeding must reproduce assignments")
+  }
+
   test("radius search returns exactly the brute-force neighbors above threshold") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count().toInt
