@@ -673,6 +673,26 @@ object OracleSql {
        |                     ORDER BY shuffle_key, doc_id) - 1 AS pos
        |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Weighted source interleaving (mirror of
+    * TrainingPipeline.interleaveBySource): same seeded rolling hash, same
+    * per-source rank, same exact (k+1)·(LCM/weight) BIGINT key. */
+  def interleave(weights: Seq[(String, Int)], defaultWeight: Int, seed: String): String = {
+    val all = (defaultWeight +: weights.map(_._2)).distinct
+    val lcm = all.foldLeft(1L) { (acc, w) =>
+      acc / BigInt(acc).gcd(BigInt(w)).toLong * w }
+    val weightCase = weights
+      .map { case (s, p) => s"WHEN source = '$s' THEN ${lcm / p}" }
+      .mkString("CASE ", " ", s" ELSE ${lcm / defaultWeight} END")
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${poly(s"'$seed:' || doc_id")}, doc_id) - 1 AS pos_in_source
+       |  FROM documents)
+       |SELECT doc_id, source, pos_in_source,
+       |  (pos_in_source + 1) * ($weightCase) AS interleave_key
+       |FROM r ORDER BY interleave_key, source, doc_id""".stripMargin
+  }
+
   /** Per-dimension embedding stats (mirror of Similarity.dimStats): exact
     * integer power sums, one double expression for mean/std. The squared
     * sum accumulates exactly (HUGEINT here, DECIMAL(38,0) in Spark) and is

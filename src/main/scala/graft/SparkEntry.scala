@@ -293,6 +293,10 @@ object SparkEntry {
     // float centroids have no SQL oracle; specs pin determinism +
     // partition invariants)
     "sim_kmeans" -> ((s, d) => ext.Ivf.kmeansAssign(Tables.embeddings(s, d), 16)),
+    "pipeline_interleave" -> ((s, d) =>
+      ext.TrainingPipeline.interleaveBySource(Tables.documents(s, d),
+        Seq("src0" -> 3, "src1" -> 2))),
+    "q_percent_rank" -> ((s, d) => Relational.quantityDistribution(Tables.lineitem(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -885,5 +889,16 @@ object SparkEntry {
         |FROM x JOIN st USING (o_orderpriority)
         |WHERE std > 0 AND (x.c::DOUBLE - mean) / std > 3.0
         |ORDER BY o_orderkey""".stripMargin,
+    "pipeline_interleave" ->
+      OracleSql.interleave(Seq("src0" -> 3, "src1" -> 2), 1, "graft"),
+    "q_percent_rank" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, qty, n,
+        |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY qty) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY qty) AS cume
+        |FROM g ORDER BY l_returnflag, qty""".stripMargin,
   )
 }

@@ -162,6 +162,40 @@ object TrainingPipeline {
       .orderBy(idCol)
   }
 
+  /** Weighted source interleaving: the training-order schedule that reads
+    * sources in proportion to their weights (weight 3 : 1 means three
+    * docs of the first source for every one of the second — the
+    * data-mixing schedule of multi-corpus training runs), expressed as a
+    * deterministic sort key instead of a stateful scheduler.
+    *
+    * Each document gets a stable per-source position k (rank by seeded
+    * id-hash within its source), and the schedule key is
+    * (k+1)·(LCM/weight) — a pure BIGINT multiply, because every weight
+    * divides the LCM, so the interleaving is EXACT (no float ratios) and
+    * identical on any engine or partitioning. Reading rows in
+    * (interleave_key, source, doc_id) order yields the weighted
+    * round-robin. Rank windows are per-source — concurrent sorts, no
+    * global stage; the output presentation sort is a range exchange. */
+  def interleaveBySource(docs: DataFrame, weights: Seq[(String, Int)],
+                         defaultWeight: Int = 1, seed: String = "graft",
+                         sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(defaultWeight > 0 && weights.forall(_._2 > 0), "weights must be positive")
+    val all = (defaultWeight +: weights.map(_._2)).distinct
+    val lcm = all.foldLeft(1L) { (acc, w) =>
+      acc / BigInt(acc).gcd(BigInt(w)).toLong * w }
+    val weightCol = weights.foldRight(lit(defaultWeight): Column) {
+      case ((s, p), els) => when(col(sourceCol) === s, lit(p)).otherwise(els)
+    }
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(Dedup.polyHash(concat(lit(seed + ":"), col(idCol).cast("string"))), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("pos_in_source", row_number().over(rankW).cast("long") - 1)
+      .withColumn("interleave_key",
+        (col("pos_in_source") + 1) * (lit(lcm) / weightCol).cast("long"))
+      .orderBy("interleave_key", sourceCol, idCol)
+  }
+
   /** Per-document benchmark-contamination report: how many DISTINCT word
     * `n`-grams of each training document also appear anywhere in the
     * benchmark/eval set (the standard test-set decontamination check —

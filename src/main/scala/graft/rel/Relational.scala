@@ -452,6 +452,22 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Quantity distribution per return flag: `percent_rank` and
+    * `cume_dist` over the DISTINCT quantity grid — the normalized-rank
+    * view a feature-scaling stage uses. Aggregating to the grid first
+    * keeps the window input at |distinct values| per group (bounded, e.g.
+    * 50 quantities), so the per-group sort never sees the fact table. */
+  def quantityDistribution(lineitem: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    lineitem
+      .groupBy(col("l_returnflag"), round(col("l_quantity")).cast("long").as("qty"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("l_returnflag", "qty")
+  }
+
   /** Winsorized (percentile-clipped) account balances per market segment:
     * clip every balance into [p_lo, p_hi] of its segment, then report the
     * clipped mean — the outlier-robust aggregate a feature pipeline uses

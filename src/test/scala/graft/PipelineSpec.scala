@@ -291,6 +291,28 @@ class PipelineSpec extends SparkSpec {
     assert(ext.TextStats.heavyHitters(docs, permille = 0).count() == 3)
   }
 
+  test("interleave: weighted round-robin ratio holds in every prefix window") {
+    // 60 docs of 'a' (weight 3) and 20 of 'b' (weight 1): any long-enough
+    // prefix of the schedule should read ~3 a's per b
+    val docs = ((0L until 60L).map(i => (i, "a")) ++ (60L until 80L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val order = ext.TrainingPipeline.interleaveBySource(docs, Seq("a" -> 3, "b" -> 1))
+      .select("source").as[String].collect().toSeq
+    assert(order.size == 80)
+    // exact schedule: key(a,k) = (k+1)*1, key(b,k) = (k+1)*3 -> in any
+    // prefix ending at a b, #a >= 3*#b - 3 and <= 3*#b + 3
+    order.indices.filter(order(_) == "b").foreach { i =>
+      val nb = order.take(i + 1).count(_ == "b")
+      val na = i + 1 - nb
+      assert(math.abs(na - 3 * nb) <= 3, s"prefix $i: $na a's vs $nb b's")
+    }
+    val again = ext.TrainingPipeline.interleaveBySource(docs, Seq("a" -> 3, "b" -> 1))
+      .select("doc_id").as[Long].collect().toSeq
+    val first = ext.TrainingPipeline.interleaveBySource(docs, Seq("a" -> 3, "b" -> 1))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again == first, "schedule must be deterministic")
+  }
+
   test("CMS estimates: never under, within eps*N over, deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = ext.TextStats.cmsHeavyHitters(docs, permille = 5, eps = 0.01)

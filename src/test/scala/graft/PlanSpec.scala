@@ -104,6 +104,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan(enc).contains("SinglePartition"), plan(enc).takeRight(1500))
   }
 
+  test("group-stats operators broadcast the tiny stats side back to the fact scan") {
+    // per-group bounds/moments are a handful of rows; the re-join must
+    // never shuffle the fact table on the group key
+    val o = q("q_outliers")
+    assert(o.contains("BroadcastHashJoin"), o.takeRight(800))
+    assert(!o.contains("SortMergeJoin"), o.takeRight(800))
+    val w = q("q_winsorize")
+    assert(w.contains("BroadcastHashJoin"), w.takeRight(800))
+    assert(!w.contains("SortMergeJoin"), w.takeRight(800))
+    // the heavy-hitter scalar total rides a broadcast nested-loop join
+    val h = q("q_heavy_hitters")
+    assert(h.contains("BroadcastNestedLoopJoin") || h.contains("BroadcastHashJoin"),
+      h.takeRight(800))
+  }
+
   test("sequence packing's global prefix sum has no single-partition exchange") {
     // the naive Window.orderBy(id) cumsum would plan SinglePartition; the
     // two-phase form must not (the output presentation sort is a range

@@ -181,6 +181,18 @@ class RelationalSpec extends SparkSpec {
     assert(user == 1L && n == 2L && math.abs(twa - 17.5) < 1e-12)
   }
 
+  test("percent_rank/cume_dist: hand-computed over a tiny distinct grid") {
+    import spark.implicits._
+    // flag A: quantities 1,1,2,5 -> grid (1:n2),(2:n1),(5:n1)
+    val li = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0), ("A", 5.0), ("B", 7.0))
+      .toDF("l_returnflag", "l_quantity")
+    val rows = Relational.quantityDistribution(li)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      ("A", 1L, 2L, 0.0, 1.0 / 3), ("A", 2L, 1L, 0.5, 2.0 / 3),
+      ("A", 5L, 1L, 1.0, 1.0), ("B", 7L, 1L, 0.0, 1.0)))
+  }
+
   test("z-score outliers: hand-computed flag at the exact boundary") {
     import spark.implicits._
     // nine $1.00 rows and one $10.00: mean 190c, pop std 270c, z = 3.0
