@@ -297,6 +297,22 @@ object SparkEntry {
       ext.TrainingPipeline.interleaveBySource(Tables.documents(s, d),
         Seq("src0" -> 3, "src1" -> 2))),
     "q_percent_rank" -> ((s, d) => Relational.quantityDistribution(Tables.lineitem(s, d))),
+    // snapshot diff between the corpus and a deterministically-derived
+    // "next crawl" (drops id%7, edits id%5, adds one doc per id%13)
+    "pipeline_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldVer = docs.select("doc_id", "text")
+      val newVer = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("doc_id").cast("string")).as("text")))
+      ext.Incremental.snapshotDiff(oldVer, newVer)
+    }),
+    "q_dq_checks" -> ((s, d) =>
+      Relational.dataQualityReport(Tables.orders(s, d), Tables.customer(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -900,5 +916,31 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY qty) AS pct_rank,
         |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY qty) AS cume
         |FROM g ORDER BY l_returnflag, qty""".stripMargin,
+    "pipeline_diff" ->
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new ' || doc_id FROM documents
+        |  WHERE doc_id % 13 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN sha256(o.text) <> sha256(n.text) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice < 0) AS n_negative_price,
+        |  (SELECT count(*) FROM orders
+        |     WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS n_bad_status,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS n_orphan_orders""".stripMargin,
   )
 }

@@ -103,6 +103,28 @@ object Incremental {
         (coalesce(col("__c1"), lit(0L)) + coalesce(col("__c2"), lit(0L))).as(cntCol))
       .orderBy(keyCol)
 
+  /** Corpus snapshot diff: per-document added/removed/changed/unchanged
+    * status between two corpus versions — the audit an incremental
+    * pipeline runs before promoting a new snapshot (how much churn did
+    * this crawl introduce?).
+    *
+    * Scale shape: both sides reduce to (id, content-hash) at the scan —
+    * document text never crosses the shuffle — and meet in ONE full-outer
+    * equi-join on the id. Status is a map-side projection after the
+    * join. */
+  def snapshotDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val o = oldCorpus.select(col(idCol), sha2(col(textCol), 256).as("__ho"))
+    val n = newCorpus.select(col(idCol), sha2(col(textCol), 256).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(idCol)
+  }
+
   /** Bloom-hit subset of `incoming` (true duplicates + false positives) —
     * the rows that would reach the verify join. Exposed for pruning
     * accounting and tests. */

@@ -452,6 +452,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** One-row data-quality report over orders: the validation gate an
+    * ingest pipeline runs before promoting a batch — row count, null-key
+    * and domain violations, referential orphans (orders whose customer is
+    * missing), and negative amounts.
+    *
+    * Scale shape: each check is a map-side conditional partial inside ONE
+    * aggregation over the fact scan; the referential check is a left-anti
+    * join against the (broadcastable) key side counted in the same pass
+    * shape. Single-row frames combine by broadcast crossJoin — nothing
+    * corpus-sized is ever collected. */
+  def dataQualityReport(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val base = orders.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_custkey"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("n_negative_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("n_bad_status"))
+    val orphans = orders
+      .join(customer.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_orders"))
+    base.crossJoin(broadcast(orphans))
+  }
+
   /** Quantity distribution per return flag: `percent_rank` and
     * `cume_dist` over the DISTINCT quantity grid — the normalized-rank
     * view a feature-scaling stage uses. Aggregating to the grid first

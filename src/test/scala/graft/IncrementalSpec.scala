@@ -79,4 +79,12 @@ class IncrementalSpec extends SparkSpec {
     assert(bloomed == exact)
     assert(bloomed.nonEmpty && bloomed.size < batch.count())
   }
+
+  test("snapshot diff classifies added/removed/changed/unchanged correctly") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
+    val got = Incremental.snapshotDiff(oldV, newV)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
+  }
 }

@@ -181,6 +181,22 @@ class RelationalSpec extends SparkSpec {
     assert(user == 1L && n == 2L && math.abs(twa - 17.5) < 1e-12)
   }
 
+  test("data-quality report counts each planted violation once") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, Some(10L), "O", 5.0), (2L, Some(10L), "F", -1.0), // negative price
+      (3L, None: Option[Long], "P", 2.0), // null custkey (also not an orphan hit)
+      (4L, Some(99L), "X", 3.0) // bad status AND orphan customer
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val cust = Seq(10L).toDF("c_custkey")
+    val Array(r) = graft.rel.Relational.dataQualityReport(orders, cust).collect()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    // null custkey: NOT IN yields null -> not counted as bad status;
+    // left-anti counts the null-key row as unmatched (Spark join semantics)
+    assert(r.getLong(3) == 1L)
+    assert(r.getLong(4) == 2L) // orders 3 (null key) and 4 (missing key)
+  }
+
   test("percent_rank/cume_dist: hand-computed over a tiny distinct grid") {
     import spark.implicits._
     // flag A: quantities 1,1,2,5 -> grid (1:n2),(2:n1),(5:n1)
