@@ -200,6 +200,38 @@ object OracleSql {
        |  unnest(ga.ids) AS u1(x), unnest(gb.ids) AS u2(y))""".stripMargin
   }
 
+  /** Cross-corpus near-dups (mirror of dedup_cross_corpus): the same
+    * shingle→minhash→band chain over all documents, candidates restricted
+    * to (even-id corpus) × (odd-id batch), exact-Jaccard verified. */
+  def crossNearDups(threshold: Double, numHashes: Int = 64, bands: Int = 16): String = {
+    val rpb = numHashes / bands
+    val seedRows = Dedup.seedFamily(numHashes)
+      .map { case (i, a, b) => s"($i::BIGINT, $a::BIGINT, $b::BIGINT)" }
+      .mkString(", ")
+    s"""WITH $shinglesCte,
+       |bh AS (SELECT doc_id, ${poly("sh")} AS bh FROM sh),
+       |mh AS (SELECT doc_id, s.i AS h_idx, min((s.a * bh.bh + s.b) % ${Dedup.P2}) AS minhash
+       |       FROM bh, (VALUES $seedRows) AS s(i, a, b) GROUP BY doc_id, s.i),
+       |bands AS (SELECT doc_id, h_idx // $rpb AS band,
+       |    list_reduce(list_prepend(0::BIGINT, list(minhash ORDER BY h_idx)),
+       |      (h, v) -> (h*31 + (v % ${Dedup.P})) % ${Dedup.P}) AS band_hash
+       |  FROM mh GROUP BY doc_id, h_idx // $rpb),
+       |cands AS (SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS batch_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash
+       |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.corpus_id, c.batch_id, count(*) AS inter FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.corpus_id
+       |  JOIN sh sb ON sb.doc_id = c.batch_id AND sb.sh = sa.sh
+       |  GROUP BY 1, 2)
+       |SELECT i.corpus_id, i.batch_id, i.inter, sa.sz AS s_corpus, sb.sz AS s_batch,
+       |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.corpus_id JOIN sz sb ON sb.doc_id = i.batch_id
+       |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= $threshold
+       |ORDER BY corpus_id, batch_id""".stripMargin
+  }
+
   /** dedup_minhash_neardups oracle: the verified near-dup pair list. */
   def minhashNearDups(threshold: Double): String =
     s"""WITH ${nearDupChain("documents", threshold)}

@@ -313,6 +313,15 @@ object SparkEntry {
     }),
     "q_dq_checks" -> ((s, d) =>
       Relational.dataQualityReport(Tables.orders(s, d), Tables.customer(s, d))),
+    // fuzzy incremental dedup: even-id docs play the corpus, odd-id docs
+    // the incoming batch; polyHash so the LSH chain replays in SQL
+    "dedup_cross_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        0.3, 3, 64, 16, Dedup.polyHash)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -942,5 +951,6 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |    AS n_orphan_orders""".stripMargin,
+    "dedup_cross_corpus" -> OracleSql.crossNearDups(0.3),
   )
 }

@@ -398,6 +398,52 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate detection: which batch documents
+    * near-duplicate ANY corpus document — the fuzzy form of incremental
+    * ingest dedup (and of test-set decontamination when `corpus` is the
+    * benchmark suite). Exact membership ([[Incremental]]) misses
+    * paraphrases and near-copies; this catches them at the MinHash
+    * threshold.
+    *
+    * Scale shape: signatures/bands are per-document, so each side
+    * computes them independently (the corpus side is computed ONCE and
+    * persisted in a real deployment — only the batch side is new work per
+    * ingest); the sides meet in an equi-join on (band, band_hash), so
+    * cost scales with bucket co-occupancy across the sides, never
+    * |corpus|·|batch|. The exact-Jaccard verify join is keyed on shingle
+    * hashes — document text never crosses the shuffle. Compose
+    * [[exactKeepIds]] in front when the batch is internally duplicated. */
+  def crossCorpusNearDups(corpus: DataFrame, batch: DataFrame, threshold: Double = 0.7,
+                          k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                          baseHash: Column => Column = xxHash,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // each side's shingles feed both the signature chain and the verify
+    // join — materialize once per side
+    val shC = shingleRows(corpus, k, textCol, idCol).localCheckpoint(true)
+    val shB = shingleRows(batch, k, textCol, idCol).localCheckpoint(true)
+    def bandSide(sh: DataFrame, out: String) = {
+      val sig = minhashAggFromShingles(sh, numHashes, baseHash, idCol)
+        .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      lshBands(sig, bands, idCol).select(col("band"), col("band_hash"), col(idCol).as(out))
+    }
+    val cands = bandSide(shC, "corpus_id")
+      .join(bandSide(shB, "batch_id"), Seq("band", "band_hash"))
+      .select("corpus_id", "batch_id").distinct()
+    val hc = shC.select(col(idCol).as("corpus_id"), xxhash64(col("shingle")).as("sh_h"))
+    val hb = shB.select(col(idCol).as("batch_id"), xxhash64(col("shingle")).as("sh_h"))
+    val szC = hc.groupBy("corpus_id").agg(count(lit(1)).as("s_corpus"))
+    val szB = hb.groupBy("batch_id").agg(count(lit(1)).as("s_batch"))
+    cands.join(hc, "corpus_id").join(hb, Seq("batch_id", "sh_h"))
+      .groupBy("corpus_id", "batch_id").agg(count(lit(1)).as("inter"))
+      .join(szC, "corpus_id").join(szB, "batch_id")
+      .select(col("corpus_id"), col("batch_id"), col("inter"),
+        col("s_corpus"), col("s_batch"),
+        (col("inter").cast("double") / (col("s_corpus") + col("s_batch") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("corpus_id", "batch_id")
+  }
+
   /** Directed shingle containment C(src→dst) = |S(src)∩S(dst)| / |S(src)|
     * over distinct k-shingles — the asymmetric near-dup signal. Symmetric
     * Jaccard dilutes a short document quoted inside a long one (the

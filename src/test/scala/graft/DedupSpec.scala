@@ -128,6 +128,25 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 1L, "p q r")))
   }
 
+  test("cross-corpus near-dups: planted paraphrase found, unrelated doc clean") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches birds"
+    val corpus = Seq((0L, base),
+      (2L, "entirely different content about catalyst optimizer rule execution order"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base.replace("lazy", "sleepy")), // near-dup of corpus doc 0
+      (3L, "unrelated third topic with completely fresh vocabulary and phrasing")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusNearDups(corpus, batch, 0.4)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSeq
+    assert(hits == Seq((0L, 1L)))
+    // exact duplicate across sides scores jaccard 1.0
+    val exact = Dedup.crossCorpusNearDups(corpus, Seq((9L, base)).toDF("doc_id", "text"), 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(exact.size == 1 && exact.head._1 == 0L && exact.head._2 == 9L
+      && exact.head._6 == 1.0)
+  }
+
   test("containment is asymmetric: quoted-short side hits 1.0, long side dilutes") {
     // A's 3 shingles all appear in B (A is an excerpt of B); B has 8
     val docs = Seq(
