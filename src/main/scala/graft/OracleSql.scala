@@ -730,6 +730,98 @@ object OracleSql {
     * sum accumulates exactly (HUGEINT here, DECIMAL(38,0) in Spark) and is
     * rendered as DOUBLE on both sides — same nearest-double of the same
     * exact integer. */
+  /** Multinomial Naive Bayes prediction (mirror of
+    * Classify.naiveBayesPredict): same add-one-smoothed counts, same
+    * integer-scaled logs, same sparse hit join + dense class grid, same
+    * (score desc, class asc) argmax tiebreak. */
+  val naiveBayes: String =
+    s"""WITH $toksCte,
+       |tok AS (
+       |  SELECT t.doc_id, d.lang AS cls, w AS word
+       |  FROM toks t JOIN documents d USING (doc_id), unnest(t.toks) AS u(w)),
+       |cw AS (SELECT cls, word, count(*) AS c FROM tok GROUP BY 1, 2),
+       |p AS (SELECT (SELECT count(DISTINCT word) FROM cw) AS v,
+       |             (SELECT count(*) FROM documents) AS ntot),
+       |ct AS (SELECT cls, sum(c)::BIGINT AS t FROM cw GROUP BY 1),
+       |nd AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1),
+       |cm AS (
+       |  SELECT ct.cls,
+       |    CAST(round(ln(nd.n_docs::DOUBLE / (SELECT ntot FROM p)::DOUBLE)
+       |         * 1000000.0) AS BIGINT) AS prior_scaled,
+       |    CAST(round(ln((ct.t + (SELECT v FROM p))::DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS norm_scaled
+       |  FROM ct JOIN nd USING (cls)),
+       |dtf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens FROM dtf GROUP BY 1),
+       |hit AS (
+       |  SELECT dtf.doc_id, cw.cls,
+       |    sum(dtf.cnt * CAST(round(ln((cw.c + 1)::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT
+       |      AS hit_scaled
+       |  FROM dtf JOIN cw USING (word) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT dlen.doc_id, cm.cls,
+       |    cm.prior_scaled + coalesce(hit.hit_scaled, 0)
+       |      - dlen.n_tokens * cm.norm_scaled AS score_scaled
+       |  FROM dlen CROSS JOIN cm
+       |  LEFT JOIN hit ON hit.doc_id = dlen.doc_id AND hit.cls = cm.cls),
+       |rn AS (
+       |  SELECT doc_id, cls, score_scaled,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_scaled DESC, cls) AS rn
+       |  FROM sc)
+       |SELECT r.doc_id, r.cls AS pred, r.score_scaled, d.lang AS actual,
+       |  r.cls = d.lang AS is_correct
+       |FROM rn r JOIN documents d USING (doc_id)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Fixed-round integer-scaled PageRank over the corpus bigram graph
+    * (mirror of Graph.wordPageRank): iterations unrolled as chained CTEs,
+    * same `((dnum·r) // dden · w) // W` per-edge contribution in wide
+    * integers (HUGEINT here, DECIMAL(38,0) in Spark). */
+  def pageRank(iters: Int, dnum: Long = 85, dden: Long = 100): String = {
+    val S = ext.Graph.SCALE
+    val base = s"((($dden - $dnum) * $S) // $dden) // (SELECT n FROM p)"
+    def round(k: Int): String =
+      s"""r$k AS (
+         |  SELECT n.node, $base + coalesce(c.s, 0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS node,
+         |      sum((((($dnum * r.rank) // $dden)::HUGEINT * ew.w::HUGEINT)
+         |           // ew.wout::HUGEINT)::BIGINT)::BIGINT AS s
+         |    FROM ew JOIN r${k - 1} r ON r.node = ew.src GROUP BY 1) c USING (node))""".stripMargin
+    s"""WITH $toksCte,
+       |pr AS (
+       |  SELECT toks[i] AS src, toks[i+1] AS dst
+       |  FROM toks, unnest(range(1, len(toks))) AS u(i)),
+       |e AS (SELECT src, dst, count(*) AS w FROM pr GROUP BY 1, 2),
+       |ow AS (SELECT src, sum(w)::BIGINT AS wout FROM e GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |r0 AS (SELECT node, $S // (SELECT n FROM p) AS rank FROM nodes),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT node, rank AS rank_scaled FROM r$iters
+       |ORDER BY rank_scaled DESC, node""".stripMargin
+  }
+
+  /** Deterministic weighted sample (mirror of
+    * TrainingPipeline.weightedSample): same seeded rolling hash → uniform,
+    * same integer-scaled ln, same single double division, same top-k. */
+  def weightedSample(k: Int, seed: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars::BIGINT AS weight,
+       |    ${poly(s"'$seed:' || doc_id")} AS h
+       |  FROM documents WHERE n_chars > 0),
+       |kk AS (
+       |  SELECT doc_id, weight,
+       |    CAST(round(ln((h + 1)::DOUBLE / ${Dedup.P + 1}::DOUBLE) * 1000000.0)
+       |         AS BIGINT) AS lnu
+       |  FROM h),
+       |s AS (
+       |  SELECT doc_id, weight, lnu::DOUBLE / weight::DOUBLE AS key
+       |  FROM kk ORDER BY key DESC, doc_id LIMIT $k)
+       |SELECT doc_id, weight, key FROM s ORDER BY doc_id""".stripMargin
+
   val dimStats: String =
     """WITH x AS (
       |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s

@@ -322,6 +322,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         0.3, 3, 64, 16, Dedup.polyHash)
     }),
+    // Naive Bayes language classifier: trained and scored on the corpus
+    // (the mechanics under grade; production trains once, reuses)
+    "text_nb" -> ((s, d) => ext.Classify.naiveBayesPredict(Tables.documents(s, d))),
+    // iterative graph computation: integer-scaled PageRank over the
+    // bigram co-occurrence graph, 5 fixed rounds
+    "graph_pagerank" -> ((s, d) => ext.Graph.wordPageRank(Tables.documents(s, d), 5)),
+    // deterministic weighted sampling without replacement (A-ES keys)
+    "pipeline_weighted_sample" -> ((s, d) =>
+      ext.TrainingPipeline.weightedSample(Tables.documents(s, d), 100)),
+    // ordered string aggregation (LISTAGG)
+    "q_string_agg" -> ((s, d) =>
+      Relational.prioritiesPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -952,5 +964,13 @@ object SparkEntry {
         |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |    AS n_orphan_orders""".stripMargin,
     "dedup_cross_corpus" -> OracleSql.crossNearDups(0.3),
+    "text_nb" -> OracleSql.naiveBayes,
+    "graph_pagerank" -> OracleSql.pageRank(5),
+    "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),
+    "q_string_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

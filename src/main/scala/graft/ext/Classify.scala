@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.text.Tokenize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes document classifier — the classic distributed
+  * text classifier (language ID, quality tiers, topic routing), trained
+  * and applied entirely as DataFrame aggregations. The reference engine's
+  * text analysis stops at counting (word count / inverted index:
+  * `/root/reference/MapReduce.py:25-49`); this is the natural next stage a
+  * training-data pipeline needs: turn those same token counts into a
+  * per-class generative model and score every document against it.
+  *
+  * Model (add-one smoothing): for class c and word w,
+  *   P(w|c) = (C(c,w) + 1) / (T(c) + V)
+  *   score(d,c) = ln P(c) + Σ_w cnt(d,w) · ln P(w|c)
+  * with C(c,w) the training token counts, T(c) = Σ_w C(c,w), V the corpus
+  * vocabulary size, and P(c) the document-count prior.
+  *
+  * Determinism: every log is integer-scaled (`round(ln·1e6)` BIGINT — the
+  * tf-idf/LM-score recipe), so per-document sums are exact, order-
+  * independent, and engine-portable. The smoothed-unseen term ln 1 = 0
+  * lets the scoring join stay sparse: words absent from class c contribute
+  * only the shared `- n_tokens · lnS(T(c)+V)` normalizer, so the join
+  * touches exactly the (word, class) pairs the training corpus contains.
+  *
+  * Scale shape: training is one (class, word) count shuffle — the word-
+  * count plan keyed twice. Scoring joins the document token stream to the
+  * model on `word` alone (a plain equi-join AQE can re-plan; the model is
+  * vocab×classes rows, NOT broadcast — web-scale vocabularies don't fit a
+  * driver). The per-class normalizers and priors are one tiny aggregate
+  * (rows = number of classes), broadcast-joined onto a documents×classes
+  * grid. Nothing but |V| (one long) ever reaches the driver.
+  */
+object Classify {
+
+  private def lnS(x: org.apache.spark.sql.Column) =
+    round(log(x.cast("double")) * 1e6).cast("long")
+
+  /** Per-(doc, class) smoothed log-likelihood scores, all classes scored
+    * for every document. Columns: doc_id, cls, score_scaled. */
+  def naiveBayesScores(docs: DataFrame, textCol: String = "text",
+                       labelCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), col(labelCol).as("cls"),
+      explode(Tokenize.tokensArray(col(textCol))).as("word"))
+    // Training counts: C(c,w), T(c), V, and the document-count prior.
+    val cw = toks.groupBy("cls", "word").agg(count(lit(1)).as("c"))
+    // Two driver scalars, both metadata-scale (one long each): |V| and N.
+    val vocab = cw.select("word").distinct().count()
+    val nDocsTotal = docs.count()
+    val clsStats = cw.groupBy("cls").agg(sum("c").as("t"))
+      .join(docs.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_docs")), "cls")
+    val clsModel = clsStats.select(col("cls"),
+      lnS(col("n_docs").cast("double") / lit(nDocsTotal).cast("double")).as("prior_scaled"),
+      lnS(col("t") + lit(vocab)).as("norm_scaled"))
+    // Document term vectors (hash-keyed; the raw text never re-shuffles).
+    val dtf = toks.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
+    val dlen = dtf.groupBy(idCol).agg(sum("cnt").as("n_tokens"))
+    // Sparse scoring join: only (word, cls) pairs present in the model.
+    val hit = dtf
+      .join(cw.select(col("cls"), col("word"), lnS(col("c") + 1).as("lc")), "word")
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("cnt") * col("lc")).as("hit_scaled"))
+    // Dense grid: every document × every class (classes are few by nature).
+    dlen.crossJoin(broadcast(clsModel))
+      .join(hit, Seq(idCol, "cls"), "left")
+      .select(col(idCol), col("cls"),
+        (col("prior_scaled") + coalesce(col("hit_scaled"), lit(0L))
+          - col("n_tokens") * col("norm_scaled")).as("score_scaled"))
+  }
+
+  /** Argmax prediction per document with a deterministic tiebreak (higher
+    * score wins; equal scores break to the lexicographically smaller
+    * class). Columns: doc_id, pred, score_scaled, actual, is_correct —
+    * ordered by doc_id for the oracle hash. */
+  def naiveBayesPredict(docs: DataFrame, textCol: String = "text",
+                        labelCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("score_scaled").desc, col("cls"))
+    naiveBayesScores(docs, textCol, labelCol, idCol)
+      .withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") === 1)
+      .join(docs.select(col(idCol), col(labelCol).as("actual")), idCol)
+      .select(col(idCol), col("cls").as("pred"), col("score_scaled"),
+        col("actual"), (col("cls") === col("actual")).as("is_correct"))
+      .orderBy(idCol)
+  }
+}

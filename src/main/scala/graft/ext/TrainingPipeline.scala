@@ -288,6 +288,37 @@ object TrainingPipeline {
       .orderBy("shard", "pos")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the A-ES
+    * scheme (Efraimidis & Spirakis 2006): each row gets key
+    * `ln(u) / weight` for a per-row uniform `u`, and the k largest keys
+    * are the sample; selection probability is proportional to weight.
+    * `u` derives from a seeded content hash (never `rand()` — same
+    * reproducibility contract as [[assignSplits]]): any engine replays
+    * the identical sample. `ln(u)` is integer-scaled before the one
+    * double division of two exact BIGINTs (IEEE-exact, portable); ties
+    * break on the id.
+    *
+    * Scale shape: one narrow projection then a global top-k, which Spark
+    * plans as TakeOrderedAndProject — per-partition heaps of k, no global
+    * sort, no single-partition stage. Rows with non-positive weight are
+    * excluded (zero weight = never sampled).
+    *
+    * Columns: doc_id, weight, key — ordered by doc_id. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String = "n_chars",
+                     seed: String = "graft", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h = Dedup.polyHash(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val lnu = round(log((h + 1).cast("double") / lit((Dedup.P + 1).toDouble)) * 1e6)
+      .cast("long")
+    docs.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"), lnu.as("lnu_scaled"))
+      .withColumn("key", col("lnu_scaled").cast("double") / col("weight").cast("double"))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("key"))
+      .orderBy(idCol)
+  }
+
   /** [[shuffleShards]] with the shard count derived from the corpus size:
     * nShards = ceil(N / rowsPerShard), so per-shard sort size is bounded by
     * rowsPerShard no matter how large the corpus grows. The count() is a

@@ -763,4 +763,16 @@ object Relational {
         ((col("__w").cast("double") / col("__t").cast("double")) / 100.0).as("twa_value"))
       .orderBy("user_id")
   }
+
+  /** Ordered string aggregation (LISTAGG): the distinct order priorities
+    * seen per market segment, canonically sorted and joined. The sorted
+    * `collect_set` keeps the result independent of shuffle order; per-group
+    * cardinality is bounded by the domain (priorities), not the row count,
+    * so the collected sets stay small at any scale. */
+  def prioritiesPerSegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
+      .orderBy("c_mktsegment")
 }

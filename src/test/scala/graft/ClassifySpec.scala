@@ -1,0 +1,72 @@
+package graft
+
+import graft.ext.Classify
+
+/** Naive Bayes classifier: hand-computed scores, separable corpus,
+  * deterministic argmax tiebreak. */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lnS(x: Double): Long = math.round(math.log(x) * 1e6)
+
+  test("disjoint-vocab corpus is classified perfectly") {
+    val docs = Seq(
+      (0L, "alpha beta alpha", "en"),
+      (1L, "beta alpha beta beta", "en"),
+      (2L, "uno dos uno", "es"),
+      (3L, "dos dos uno dos", "es")
+    ).toDF("doc_id", "text", "lang")
+    val got = Classify.naiveBayesPredict(docs)
+      .select("doc_id", "pred", "is_correct")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq("en", "en", "es", "es"))
+    assert(got.forall(_._3))
+  }
+
+  test("score matches the hand-computed smoothed log-likelihood") {
+    // Corpus: en = {a:2, b:1} (1 doc), fr = {c:1} (1 doc). V = 3.
+    val docs = Seq(
+      (0L, "a a b", "en"),
+      (1L, "c", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val scores = Classify.naiveBayesScores(docs)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, c, s) => (id, c) -> s }.toMap
+    // doc 0 (tokens a,a,b) vs en: prior ln(1/2), hits 2·ln(2+1) + 1·ln(1+1),
+    // normalizer 3·ln(3+3)
+    val want0en = lnS(0.5) + 2 * lnS(3) + lnS(2) - 3 * lnS(6)
+    // doc 0 vs fr: no hits (a,b unseen in fr), normalizer 3·ln(1+3)
+    val want0fr = lnS(0.5) + 0 - 3 * lnS(4)
+    assert(scores((0L, "en")) == want0en)
+    assert(scores((0L, "fr")) == want0fr)
+    // doc 1 (token c) vs fr: 1·ln(1+1) − 1·ln(4); vs en: −ln(6)
+    assert(scores((1L, "fr")) == lnS(0.5) + lnS(2) - lnS(4))
+    assert(scores((1L, "en")) == lnS(0.5) - lnS(6))
+  }
+
+  test("exact score ties break to the lexicographically smaller class") {
+    // Perfectly symmetric corpus: both classes have identical counts, so
+    // every document's two scores are equal BIGINTs.
+    val docs = Seq(
+      (0L, "same same", "aa"),
+      (1L, "same same", "bb")
+    ).toDF("doc_id", "text", "lang")
+    val got = Classify.naiveBayesPredict(docs)
+      .select("doc_id", "pred", "is_correct")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq("aa", "aa"))
+    assert(got.map(_._3) == Seq(true, false))
+  }
+
+  test("prediction is deterministic across runs") {
+    val docs = Seq(
+      (0L, "x y z x", "en"),
+      (1L, "y y z", "en"),
+      (2L, "z z z y", "zh"),
+      (3L, "x z", "zh")
+    ).toDF("doc_id", "text", "lang")
+    val a = Classify.naiveBayesPredict(docs).collect().toSeq
+    val b = Classify.naiveBayesPredict(docs).collect().toSeq
+    assert(a == b)
+  }
+}

@@ -346,4 +346,35 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(a != c)
   }
+
+  test("weightedSample: exact k, deterministic, zero weights excluded, k≥n returns all") {
+    val docs = (0L until 50L).map(i => (i, if (i == 7L) 0L else i + 1L))
+      .toDF("doc_id", "w")
+    val a = ext.TrainingPipeline.weightedSample(docs, 10, weightCol = "w")
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = ext.TrainingPipeline.weightedSample(docs, 10, weightCol = "w")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b, "same seed must reproduce the same sample")
+    assert(a.size == 10)
+    assert(a.map(_._1) == a.map(_._1).sorted, "output ordered by id")
+    assert(!a.exists(_._1 == 7L), "zero-weight row can never be sampled")
+    val all = ext.TrainingPipeline.weightedSample(docs, 1000, weightCol = "w")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(all.size == 49, "k beyond the corpus returns every positive-weight row")
+    // a different seed draws a different sample
+    val c = ext.TrainingPipeline.weightedSample(docs, 10, weightCol = "w", seed = "other")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a != c)
+  }
+
+  test("weightedSample: selection is weight-biased") {
+    // One row carries ~99% of the total weight; with k = half the corpus
+    // it must be drawn (its A-ES key dominates unless its uniform is
+    // astronomically small — fixed seed makes this exact and stable).
+    val docs = ((0L until 100L).map(i => (i, 1L)) :+ (999L, 1000000L))
+      .toDF("doc_id", "w")
+    val got = ext.TrainingPipeline.weightedSample(docs, 50, weightCol = "w")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.exists(_._1 == 999L))
+  }
 }

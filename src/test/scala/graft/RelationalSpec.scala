@@ -238,4 +238,19 @@ class RelationalSpec extends SparkSpec {
     val expect = (325L * 3 + (4 to 7).map(_ * 100L).sum + 775L * 3).toDouble / 10
     assert(math.abs(row.getDouble(4) - expect) < 1e-9)
   }
+
+  test("string agg: distinct priorities per segment, canonically sorted") {
+    import spark.implicits._
+    val cust = Seq((1L, "AUTO"), (2L, "AUTO"), (3L, "FOOD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "3-MEDIUM"), (11L, 1L, "1-URGENT"), (12L, 2L, "3-MEDIUM"),
+      (13L, 3L, "5-LOW")
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val got = Relational.prioritiesPerSegment(orders, cust)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("AUTO", 3L, "1-URGENT,3-MEDIUM"),
+      ("FOOD", 1L, "5-LOW")))
+  }
 }
