@@ -804,6 +804,35 @@ object OracleSql {
        |ORDER BY rank_scaled DESC, node""".stripMargin
   }
 
+  /** BM25 ranked retrieval (mirror of TextStats.bm25): identical double
+    * expression shape on exact integer inputs, per-term scores integer-
+    * scaled BEFORE the per-document sum. Float constants are serialized
+    * from the same Scala doubles Spark folds in, so both engines evaluate
+    * bit-identical literals. */
+  def bm25(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, w AS word FROM toks, unnest(toks) AS u(w)),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |corpus AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl FROM dl),
+       |qtf AS (SELECT * FROM tf WHERE word IN ($inList)),
+       |df AS (SELECT word, count(*) AS df FROM qtf GROUP BY 1),
+       |s AS (
+       |  SELECT q.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + ((c.n_docs - d.df)::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5))
+       |      * ((q.tf::DOUBLE * ${k1 + 1.0}) /
+       |         (q.tf::DOUBLE + $k1 * ((1.0 - $b) + ($b * l.dl::DOUBLE) /
+       |            (c.total_dl::DOUBLE / c.n_docs::DOUBLE))))
+       |      * 1000000.0) AS BIGINT) AS term_scaled
+       |  FROM qtf q JOIN df d USING (word) JOIN dl l USING (doc_id) CROSS JOIN corpus c),
+       |g AS (SELECT doc_id, count(*) AS n_hits, sum(term_scaled)::BIGINT AS score_scaled
+       |      FROM s GROUP BY 1)
+       |SELECT doc_id, n_hits, score_scaled FROM g
+       |ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Deterministic weighted sample (mirror of
     * TrainingPipeline.weightedSample): same seeded rolling hash → uniform,
     * same integer-scaled ln, same single double division, same top-k. */

@@ -334,6 +334,9 @@ object SparkEntry {
     // ordered string aggregation (LISTAGG)
     "q_string_agg" -> ((s, d) =>
       Relational.prioritiesPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
+    // BM25 ranked retrieval for a fixed lexical query
+    "text_bm25" -> ((s, d) =>
+      TextStats.bm25(Tables.documents(s, d), Seq("spark", "query", "vector"), 25)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -972,5 +975,6 @@ object SparkEntry {
         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "text_bm25" -> OracleSql.bm25(Seq("spark", "query", "vector"), 25),
   )
 }

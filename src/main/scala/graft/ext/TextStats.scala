@@ -504,6 +504,50 @@ object TextStats {
       .limit(limit)
   }
 
+  /** BM25 ranked retrieval for a fixed term query — the standard lexical
+    * relevance score (Robertson/Spärck Jones; the Lucene-style
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf keeps every term non-negative).
+    * Returns the top-k documents by total BM25 with an id tiebreak.
+    *
+    * Determinism: each (doc, term) partial score is computed by an
+    * identical IEEE double expression on exact integer inputs (tf, dl, df,
+    * N are BIGINTs; avgdl is one exact-int division), then integer-scaled
+    * (`round(·1e6)`) BEFORE the per-document sum — so the sum is exact
+    * BIGINT arithmetic, independent of row order and engine.
+    *
+    * Scale shape: tf/dl are the word-count shuffles; the query-term df
+    * table has |terms| rows (broadcast), corpus N/avgdl is a 1-row
+    * aggregate folded in by crossJoin(broadcast) — no eager count() —
+    * and the final top-k is TakeOrderedAndProject. The token stream is
+    * never joined against the full vocabulary. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tok = Tokenize.tokenize(docs, textCol, idCol).withColumnRenamed("doc", idCol)
+    val tf = tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val qtf = tf.filter(col("word").isin(terms: _*))
+    val df = qtf.groupBy("word").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val denom = tfd + lit(k1) *
+      ((lit(1.0) - lit(b)) + (lit(b) * col("dl").cast("double")) / avgdl)
+    val term = idf * ((tfd * lit(k1 + 1.0)) / denom)
+    qtf.join(broadcast(df), "word")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus)) // 1 row, always safe
+      .withColumn("term_scaled", round(term * 1e6).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"), sum("term_scaled").as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col(idCol))
+      .limit(k)
+  }
+
   /** TF-IDF: top-k terms per document.
     *
     * Ranking uses an integer-scaled idf (`round(ln(N/df)*1e6)`) so the
