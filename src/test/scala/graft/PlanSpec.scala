@@ -132,4 +132,28 @@ class PlanSpec extends SparkSpec {
     val packed = graft.ext.TrainingPipeline.packSequences(docs, 2048)
     assert(!plan(packed).contains("SinglePartition"), plan(packed).takeRight(1500))
   }
+
+  test("weighted sample and BM25 plan their top-k as TakeOrderedAndProject") {
+    val ws = q("pipeline_weighted_sample")
+    assert(ws.contains("TakeOrderedAndProject"), ws.takeRight(800))
+    assert(!ws.contains("SinglePartition"), ws.takeRight(800))
+    val bm = q("text_bm25")
+    assert(bm.contains("TakeOrderedAndProject"), bm.takeRight(800))
+  }
+
+  test("PageRank rounds use node-keyed joins, never a cartesian/NLJ product") {
+    val p = q("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    // the class of joins in a round: equi-joins on src/node keys
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p.takeRight(800))
+  }
+
+  test("Naive Bayes broadcasts only the class grid, and never collects the model") {
+    // the dense doc×class grid is the broadcast side (classes are few);
+    // the model join key is `word` — a plain equi-join, not a cartesian
+    val p = q("text_nb")
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.takeRight(800))
+  }
 }
