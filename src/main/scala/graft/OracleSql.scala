@@ -833,6 +833,25 @@ object OracleSql {
        |ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Token-budget selection (mirror of TrainingPipeline.tokenBudget):
+    * same BIGINT permille quality key, same (q desc, id) rank order, same
+    * prefix-sum cut — the window cumsum here equals the engine's two-phase
+    * distributed form exactly. */
+  def tokenBudget(budgetTokens: Long): String =
+    s"""WITH $toksCte,
+       |b AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |    (len(list_filter(toks, t -> t IN ($stopwordList)))::BIGINT * 1000)
+       |      // len(toks)::BIGINT AS q_permille
+       |  FROM toks WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, n_tokens, q_permille,
+       |    sum(n_tokens) OVER (ORDER BY q_permille DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+       |  FROM b)
+       |SELECT doc_id, n_tokens, q_permille, cum_tokens FROM c
+       |WHERE cum_tokens <= $budgetTokens ORDER BY doc_id""".stripMargin
+
   /** Deterministic weighted sample (mirror of
     * TrainingPipeline.weightedSample): same seeded rolling hash → uniform,
     * same integer-scaled ln, same single double division, same top-k. */

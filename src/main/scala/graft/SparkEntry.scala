@@ -337,6 +337,9 @@ object SparkEntry {
     // BM25 ranked retrieval for a fixed lexical query
     "text_bm25" -> ((s, d) =>
       TextStats.bm25(Tables.documents(s, d), Seq("spark", "query", "vector"), 25)),
+    // quality-ranked greedy selection under a global token budget
+    "pipeline_token_budget" -> ((s, d) =>
+      ext.TrainingPipeline.tokenBudget(Tables.documents(s, d), 15000L)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -976,5 +979,6 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "text_bm25" -> OracleSql.bm25(Seq("spark", "query", "vector"), 25),
+    "pipeline_token_budget" -> OracleSql.tokenBudget(15000L),
   )
 }

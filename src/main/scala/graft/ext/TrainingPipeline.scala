@@ -288,6 +288,57 @@ object TrainingPipeline {
       .orderBy("shard", "pos")
   }
 
+  /** Quality-ranked token-budget selection — "take the best documents
+    * until N tokens": rank the corpus by a deterministic quality key
+    * (stopword density in integer permille — the cheap prose-ness signal;
+    * id tiebreak) and keep the maximal PREFIX whose running token count
+    * fits the budget. Greedy prefix, not a knapsack: the first document
+    * that would cross the budget is dropped along with everything ranked
+    * below it, which keeps the cut reproducible and rank-monotonic.
+    *
+    * Scale shape: the running total uses the same two-phase global prefix
+    * sum as [[packSequences]] — range-repartition on the rank key,
+    * per-partition window cumsum, then per-partition offsets broadcast
+    * back — so there is NO single-partition stage at any corpus size. The
+    * quality key is exact BIGINT arithmetic (permille, `div`), portable to
+    * any engine.
+    *
+    * Columns: doc_id, n_tokens, q_permille, cum_tokens — ordered by
+    * doc_id. */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val toks = graft.text.Tokenize.tokensArray(col(textCol))
+    val base = docs.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(TextStats.Stopwords: _*)))
+          .cast("long").as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("q_permille", expr("(n_stop * 1000) div n_tokens"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("q_permille").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // materialize once: the offsets branch and the final projection must
+    // observe the same sampled range boundaries (the packSequences rule)
+    val local = base
+      .repartitionByRange(nParts, col("q_permille").desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local", sum(col("n_tokens")).over(localW))
+      .localCheckpoint(true)
+    val sizes = local.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__n"))
+    val offsets = sizes.as("x")
+      .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("cum_tokens", col("__offset") + col("__local"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("n_tokens"), col("q_permille"), col("cum_tokens"))
+      .orderBy(idCol)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the A-ES
     * scheme (Efraimidis & Spirakis 2006): each row gets key
     * `ln(u) / weight` for a per-row uniform `u`, and the k largest keys

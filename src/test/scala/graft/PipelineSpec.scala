@@ -367,6 +367,36 @@ class PipelineSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("tokenBudget: quality-ranked prefix, exact budget edge, no-fit drop") {
+    // stopword densities (permille): d0 "the a of" = 1000, d1 "the cat" = 500,
+    // d2 "cat sat mat dog" = 0; rank order d0, d1, d2
+    val docs = Seq(
+      (0L, "the a of"),       // 3 tokens, q=1000
+      (1L, "the cat"),        // 2 tokens, q=500
+      (2L, "cat sat mat dog") // 4 tokens, q=0
+    ).toDF("doc_id", "text")
+    // budget 5: d0 (cum 3) + d1 (cum 5, exactly the budget) kept; d2 would
+    // reach 9 and is dropped
+    val got = ext.TrainingPipeline.tokenBudget(docs, 5L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 1000L, 3L), (1L, 2L, 500L, 5L)))
+    // a budget below the first document keeps nothing
+    assert(ext.TrainingPipeline.tokenBudget(docs, 2L).count() == 0)
+    // a budget covering everything keeps the corpus
+    assert(ext.TrainingPipeline.tokenBudget(docs, 100L).count() == 3)
+  }
+
+  test("tokenBudget: equal quality breaks ties by id; deterministic across runs") {
+    val docs = (0L until 20L).map(i => (i, "the word")).toDF("doc_id", "text") // all q=500
+    val a = ext.TrainingPipeline.tokenBudget(docs, 9L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val b = ext.TrainingPipeline.tokenBudget(docs, 9L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    // 2 tokens each: ids 0..3 fit (cum 8), id 4 would hit 10 > 9
+    assert(a.map(_._1) == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("weightedSample: selection is weight-biased") {
     // One row carries ~99% of the total weight; with k = half the corpus
     // it must be drawn (its A-ES key dominates unless its uniform is
