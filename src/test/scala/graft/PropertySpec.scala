@@ -114,4 +114,52 @@ class PropertySpec extends SparkSpec {
         s.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0
     })
   }
+
+  test("weighted samples nest: the k-sample is a prefix of the (k+2)-sample") {
+    // A-ES top-k by a fixed key order ⇒ samples are nested in k
+    val weighted = for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+    } yield ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    check("weighted-sample-nesting", Prop.forAll(weighted, Gen.choose(1, 10)) { (rows, k) =>
+      val df = rows.toDF("doc_id", "w")
+      val small = graft.ext.TrainingPipeline.weightedSample(df, k, weightCol = "w")
+        .select("doc_id").as[Long].collect().toSet
+      val big = graft.ext.TrainingPipeline.weightedSample(df, k + 2, weightCol = "w")
+        .select("doc_id").as[Long].collect().toSet
+      small.subsetOf(big) && small.size == math.min(k, rows.size)
+    })
+  }
+
+  test("token budget keeps a rank-prefix and is monotonic in the budget") {
+    check("token-budget-prefix", Prop.forAll(corpusGen, Gen.choose(1L, 60L)) { (rows, budget) =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val small = graft.ext.TrainingPipeline.tokenBudget(df, budget)
+        .select("doc_id").as[Long].collect().toSet
+      val big = graft.ext.TrainingPipeline.tokenBudget(df, budget + 10)
+        .select("doc_id").as[Long].collect().toSet
+      // monotone: a bigger budget never loses a kept doc; the kept total
+      // never exceeds the budget
+      val kept = graft.ext.TrainingPipeline.tokenBudget(df, budget)
+        .agg(coalesce(sum("n_tokens"), lit(0L))).as[Long].head()
+      small.subsetOf(big) && kept <= budget
+    })
+  }
+
+  test("PageRank conserves mass when no node dangles") {
+    // closed graphs (every node has out-edges): total rank stays SCALE
+    // within integer-division slack of a few units per node per round
+    val cycleGen = for {
+      n <- Gen.choose(2, 12)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    } yield ws.zipWithIndex.map { case (w, i) =>
+      (s"n$i", s"n${(i + 1) % n}", w) }
+    check("pagerank-mass", Prop.forAll(cycleGen) { edges =>
+      val df = edges.toDF("src", "dst", "w")
+      val total = graft.ext.Graph.pageRank(df, iters = 4)
+        .agg(sum("rank_scaled")).as[Long].head()
+      val slack = edges.size.toLong * 5 * 4 // n nodes × rounds × div losses
+      math.abs(total - graft.ext.Graph.SCALE) <= slack
+    })
+  }
 }
