@@ -833,6 +833,20 @@ object OracleSql {
        |ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Corpus data card (mirror of TrainingPipeline.dataCard): one ROLLUP
+    * aggregation over (lang), GROUPING() as the total-row flag, sha256
+    * digests for the exact-dup signal. */
+  val dataCard: String =
+    s"""WITH $toksCte,
+       |b AS (
+       |  SELECT d.lang, len(t.toks)::BIGINT AS nt, d.n_chars, sha256(d.text) AS h
+       |  FROM documents d JOIN toks t USING (doc_id))
+       |SELECT lang, GROUPING(lang) = 1 AS is_total, count(*) AS n_docs,
+       |  sum(nt)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS n_chars,
+       |  count(DISTINCT h) AS n_distinct_texts
+       |FROM b GROUP BY ROLLUP (lang)
+       |ORDER BY is_total, lang""".stripMargin
+
   /** Token-budget selection (mirror of TrainingPipeline.tokenBudget):
     * same BIGINT permille quality key, same (q desc, id) rank order, same
     * prefix-sum cut — the window cumsum here equals the engine's two-phase

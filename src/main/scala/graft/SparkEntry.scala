@@ -340,6 +340,9 @@ object SparkEntry {
     // quality-ranked greedy selection under a global token budget
     "pipeline_token_budget" -> ((s, d) =>
       ext.TrainingPipeline.tokenBudget(Tables.documents(s, d), 15000L)),
+    // one-scan corpus data card (per-lang + total, rollup grouping sets)
+    "pipeline_datacard" -> ((s, d) =>
+      ext.TrainingPipeline.dataCard(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -980,5 +983,6 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "text_bm25" -> OracleSql.bm25(Seq("spark", "query", "vector"), 25),
     "pipeline_token_budget" -> OracleSql.tokenBudget(15000L),
+    "pipeline_datacard" -> OracleSql.dataCard,
   )
 }

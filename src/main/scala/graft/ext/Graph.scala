@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  val SCALE: Long = 1000000000000L // 1e12: initial total rank mass
+  /** Total rank mass. 1e15 keeps per-node resolution ≈ SCALE/N ≥ 10⁶ even
+    * at a billion nodes, while the largest intermediate (`dampNum · rank`
+    * when all mass concentrates on one node) stays ≤ 8.5e16 — safely
+    * inside BIGINT on both engines. */
+  val SCALE: Long = 1000000000000000L
 
   /** Directed bigram edges with corpus-frequency weights:
     * (src, dst, w) — one `groupBy` over the adjacent-token stream. */

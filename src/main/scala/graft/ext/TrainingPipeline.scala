@@ -288,6 +288,32 @@ object TrainingPipeline {
       .orderBy("shard", "pos")
   }
 
+  /** Corpus data card — the release-notes summary of a training corpus:
+    * document/token/char volume and the exact-duplicate signal
+    * (distinct content hashes vs rows), per language AND as a grand
+    * total, in ONE scan. `rollup(lang)` plans a single aggregation pass
+    * producing both granularities (Spark expands grouping sets map-side;
+    * the shuffle is keyed on (lang, grouping-id) — no second scan, no
+    * union of two jobs). The dedup signal hashes the text first so the
+    * shuffle carries 32-byte digests, never document bodies.
+    *
+    * Columns: lang (NULL on the total row), is_total, n_docs, n_tokens,
+    * n_chars, n_distinct_texts — ordered total-last by language. */
+  def dataCard(docs: DataFrame, textCol: String = "text",
+               langCol: String = "lang"): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        size(graft.text.Tokenize.tokensArray(col(textCol))).cast("long").as("__nt"),
+        col("n_chars"),
+        sha2(col(textCol), 256).as("__h"))
+      .rollup("lang")
+      .agg((grouping(col("lang")) === 1).as("is_total"),
+        count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct(col("__h")).as("n_distinct_texts"))
+      .select("lang", "is_total", "n_docs", "n_tokens", "n_chars", "n_distinct_texts")
+      .orderBy(col("is_total"), col("lang"))
+
   /** Quality-ranked token-budget selection — "take the best documents
     * until N tokens": rank the corpus by a deterministic quality key
     * (stopword density in integer permille — the cheap prose-ness signal;

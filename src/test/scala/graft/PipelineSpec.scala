@@ -367,6 +367,23 @@ class PipelineSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("dataCard: per-lang rows + total row agree with direct aggregates") {
+    val docs = Seq(
+      (0L, "the cat", "en", 7L),
+      (1L, "the cat", "en", 7L), // exact dup of doc 0
+      (2L, "le chat noir", "fr", 12L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = ext.TrainingPipeline.dataCard(docs)
+      .as[(String, Boolean, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("en", false, 2L, 4L, 14L, 1L), // 2 docs, 4 tokens, dup collapses to 1 text
+      ("fr", false, 1L, 3L, 12L, 1L),
+      (null, true, 3L, 7L, 26L, 2L)))
+    // single aggregation pass: the plan reads the table once (one scan node)
+    val p = ext.TrainingPipeline.dataCard(docs).queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("union"), p)
+  }
+
   test("tokenBudget: quality-ranked prefix, exact budget edge, no-fit drop") {
     // stopword densities (permille): d0 "the a of" = 1000, d1 "the cat" = 500,
     // d2 "cat sat mat dog" = 0; rank order d0, d1, d2
