@@ -26,6 +26,10 @@ object OracleSql {
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |    ELSE [array_to_string(toks, ' ')] END) AS u(sh))""".stripMargin
 
+  /** SQL string-literal escape (doubled quotes) for caller-supplied
+    * values interpolated into oracle text. */
+  private def sqlStr(s: String): String = s.replace("'", "''")
+
   /** Rolling hash of a string expression (mirror of Dedup.polyHash). */
   def poly(expr: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr, ''), " +
@@ -687,7 +691,7 @@ object OracleSql {
     * TrainingPipeline.shuffleShards): same seeded rolling hash, same
     * per-shard dense rank. */
   def shuffleShards(nShards: Int, seed: String): String =
-    s"""WITH h AS (SELECT doc_id, ${poly(s"'$seed:' || doc_id")} AS shuffle_key FROM documents)
+    s"""WITH h AS (SELECT doc_id, ${poly(s"'${sqlStr(seed)}:' || doc_id")} AS shuffle_key FROM documents)
        |SELECT doc_id, shuffle_key % $nShards AS shard,
        |  row_number() OVER (PARTITION BY shuffle_key % $nShards
        |                     ORDER BY shuffle_key, doc_id) - 1 AS pos
@@ -699,7 +703,7 @@ object OracleSql {
     s"""WITH p AS (
        |  SELECT greatest(1, (count(*) + $rowsPerShard - 1) // $rowsPerShard) AS ns
        |  FROM documents),
-       |h AS (SELECT doc_id, ${poly(s"'$seed:' || doc_id")} AS shuffle_key FROM documents)
+       |h AS (SELECT doc_id, ${poly(s"'${sqlStr(seed)}:' || doc_id")} AS shuffle_key FROM documents)
        |SELECT doc_id, shuffle_key % (SELECT ns FROM p) AS shard,
        |  row_number() OVER (PARTITION BY shuffle_key % (SELECT ns FROM p)
        |                     ORDER BY shuffle_key, doc_id) - 1 AS pos
@@ -713,12 +717,12 @@ object OracleSql {
     val lcm = all.foldLeft(1L) { (acc, w) =>
       acc / BigInt(acc).gcd(BigInt(w)).toLong * w }
     val weightCase = weights
-      .map { case (s, p) => s"WHEN source = '$s' THEN ${lcm / p}" }
+      .map { case (s, p) => s"WHEN source = '${sqlStr(s)}' THEN ${lcm / p}" }
       .mkString("CASE ", " ", s" ELSE ${lcm / defaultWeight} END")
     s"""WITH r AS (
        |  SELECT doc_id, source,
        |    row_number() OVER (PARTITION BY source
-       |      ORDER BY ${poly(s"'$seed:' || doc_id")}, doc_id) - 1 AS pos_in_source
+       |      ORDER BY ${poly(s"'${sqlStr(seed)}:' || doc_id")}, doc_id) - 1 AS pos_in_source
        |  FROM documents)
        |SELECT doc_id, source, pos_in_source,
        |  (pos_in_source + 1) * ($weightCase) AS interleave_key
@@ -752,7 +756,11 @@ object OracleSql {
        |      AS norm_scaled
        |  FROM ct JOIN nd USING (cls)),
        |dtf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
-       |dlen AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens FROM dtf GROUP BY 1),
+       |dlen AS (
+       |  SELECT d.doc_id, coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, sum(cnt)::BIGINT AS n_tokens FROM dtf GROUP BY 1) t
+       |  USING (doc_id)),
        |hit AS (
        |  SELECT dtf.doc_id, cw.cls,
        |    sum(dtf.cnt * CAST(round(ln((cw.c + 1)::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT
@@ -810,7 +818,7 @@ object OracleSql {
     * from the same Scala doubles Spark folds in, so both engines evaluate
     * bit-identical literals. */
   def bm25(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val inList = terms.map(t => s"'${sqlStr(t)}'").mkString(", ")
     s"""WITH $toksCte,
        |tok AS (SELECT doc_id, w AS word FROM toks, unnest(toks) AS u(w)),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -845,7 +853,7 @@ object OracleSql {
        |  sum(nt)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS n_chars,
        |  count(DISTINCT h) AS n_distinct_texts
        |FROM b GROUP BY ROLLUP (lang)
-       |ORDER BY is_total, lang""".stripMargin
+       |ORDER BY is_total, lang NULLS FIRST""".stripMargin
 
   /** Token-budget selection (mirror of TrainingPipeline.tokenBudget):
     * same BIGINT permille quality key, same (q desc, id) rank order, same
@@ -872,7 +880,7 @@ object OracleSql {
   def weightedSample(k: Int, seed: String): String =
     s"""WITH h AS (
        |  SELECT doc_id, n_chars::BIGINT AS weight,
-       |    ${poly(s"'$seed:' || doc_id")} AS h
+       |    ${poly(s"'${sqlStr(seed)}:' || doc_id")} AS h
        |  FROM documents WHERE n_chars > 0),
        |kk AS (
        |  SELECT doc_id, weight,

@@ -46,7 +46,11 @@ object Classify {
     val toks = docs.select(col(idCol), col(labelCol).as("cls"),
       explode(Tokenize.tokensArray(col(textCol))).as("word"))
     // Training counts: C(c,w), T(c), V, and the document-count prior.
+    // Both count tables are materialized ONCE (vocab scalar, class
+    // normalizers, and the scoring join all branch off them) so the
+    // corpus is tokenized a single time, not once per consumer.
     val cw = toks.groupBy("cls", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // Two driver scalars, both metadata-scale (one long each): |V| and N.
     val vocab = cw.select("word").distinct().count()
     val nDocsTotal = docs.count()
@@ -57,7 +61,12 @@ object Classify {
       lnS(col("t") + lit(vocab)).as("norm_scaled"))
     // Document term vectors (hash-keyed; the raw text never re-shuffles).
     val dtf = toks.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
-    val dlen = dtf.groupBy(idCol).agg(sum("cnt").as("n_tokens"))
+      .localCheckpoint(true)
+    // Every document scores, including zero-token ones (n_tokens = 0 →
+    // score degenerates to the class prior, argmax = max-prior class).
+    val dlen = docs.select(col(idCol))
+      .join(dtf.groupBy(idCol).agg(sum("cnt").as("n_tokens")), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens"))
     // Sparse scoring join: only (word, cls) pairs present in the model.
     val hit = dtf
       .join(cw.select(col("cls"), col("word"), lnS(col("c") + 1).as("lc")), "word")

@@ -63,7 +63,7 @@ object Graph {
     require(n > 0, "pageRank needs a non-empty edge set")
     val base = ((dampDen - dampNum) * SCALE / dampDen) / n // teleport share
     var ranks = nodes.select(col("node"), lit(SCALE / n).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesW
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -73,6 +73,9 @@ object Graph {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      // cut the rank-vector lineage periodically: without this, round k's
+      // plan nests all k-1 predecessors and analysis time grows with depth
+      if (i % 10 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("rank").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))

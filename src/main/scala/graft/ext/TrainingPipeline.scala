@@ -84,16 +84,35 @@ object TrainingPipeline {
     * id, per-partition running sums, then a broadcast of |partitions|
     * offsets (same machinery as the vocabulary ranking; PlanSpec asserts
     * no SinglePartition exchange). */
-  /** Pre-checkpoint half of [[packSequences]]: range-partitioned
-    * per-partition running sums (exposed so PlanSpec can assert the
-    * subplan has no SinglePartition exchange before materialization). */
-  private[graft] def localCumsum(base: DataFrame, idCol: String, nParts: Int): DataFrame = {
+  /** Pre-checkpoint half of the two-phase prefix sum: range-partitioned
+    * per-partition running sums of `n_tokens` in `orderCols` order
+    * (exposed so PlanSpec can assert the subplan has no SinglePartition
+    * exchange before materialization). Shared by [[packSequences]] and
+    * [[tokenBudget]] — one implementation of "the packSequences rule". */
+  private[graft] def localCumsum(base: DataFrame, orderCols: Seq[Column],
+                                 nParts: Int): DataFrame = {
     val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(idCol)
+      .partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    base.repartitionByRange(nParts, col(idCol).asc)
+    base.repartitionByRange(nParts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", sum(col("n_tokens")).over(localW))
+  }
+
+  private[graft] def localCumsum(base: DataFrame, idCol: String, nParts: Int): DataFrame =
+    localCumsum(base, Seq(col(idCol).asc), nParts)
+
+  /** Second half of the two-phase prefix sum: global offset per range
+    * partition (a P×P triangle join over P partition-size rows — driver-
+    * scale), broadcast back onto the materialized local sums. */
+  private def withGlobalCumsum(local: DataFrame): DataFrame = {
+    val sizes = local.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__n"))
+    val offsets = sizes.as("x")
+      .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("cum_tokens", col("__offset") + col("__local"))
   }
 
   def packSequences(docs: DataFrame, targetTokens: Long = 2048,
@@ -107,14 +126,8 @@ object TrainingPipeline {
     // observe the same range-partitioner boundaries (sampled per RDD
     // instantiation)
     val local = localCumsum(base, idCol, nParts).localCheckpoint(true)
-    val sizes = local.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__n"))
-    val offsets = sizes.as("x")
-      .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
-      .groupBy(col("x.__pid").as("__pid"))
-      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__offset"))
-    local.join(broadcast(offsets), "__pid")
-      .select(col(idCol), col("n_tokens"),
-        (col("__offset") + col("__local")).as("cum_tokens"))
+    withGlobalCumsum(local)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
       // `div` is long division (Spark's `/` on longs is DOUBLE division);
       // counts are non-negative so truncation == floor, matching the
       // oracle's `//`
@@ -298,12 +311,13 @@ object TrainingPipeline {
     * shuffle carries 32-byte digests, never document bodies.
     *
     * Columns: lang (NULL on the total row), is_total, n_docs, n_tokens,
-    * n_chars, n_distinct_texts — ordered total-last by language. */
+    * n_chars, n_distinct_texts — ordered total-last by language (NULLS
+    * FIRST within languages, pinned explicitly so any engine agrees). */
   def dataCard(docs: DataFrame, textCol: String = "text",
-               langCol: String = "lang"): DataFrame =
+               langCol: String = "lang", charsCol: String = "n_chars"): DataFrame =
     docs.select(col(langCol).as("lang"),
         size(graft.text.Tokenize.tokensArray(col(textCol))).cast("long").as("__nt"),
-        col("n_chars"),
+        col(charsCol).as("n_chars"),
         sha2(col(textCol), 256).as("__h"))
       .rollup("lang")
       .agg((grouping(col("lang")) === 1).as("is_total"),
@@ -312,7 +326,7 @@ object TrainingPipeline {
         sum("n_chars").as("n_chars"),
         countDistinct(col("__h")).as("n_distinct_texts"))
       .select("lang", "is_total", "n_docs", "n_tokens", "n_chars", "n_distinct_texts")
-      .orderBy(col("is_total"), col("lang"))
+      .orderBy(col("is_total"), col("lang").asc_nulls_first)
 
   /** Quality-ranked token-budget selection — "take the best documents
     * until N tokens": rank the corpus by a deterministic quality key
@@ -343,23 +357,11 @@ object TrainingPipeline {
           .cast("long").as("n_stop"))
       .filter(col("n_tokens") > 0)
       .withColumn("q_permille", expr("(n_stop * 1000) div n_tokens"))
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(col("q_permille").desc, col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // materialize once: the offsets branch and the final projection must
     // observe the same sampled range boundaries (the packSequences rule)
-    val local = base
-      .repartitionByRange(nParts, col("q_permille").desc, col(idCol).asc)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__local", sum(col("n_tokens")).over(localW))
+    val local = localCumsum(base, Seq(col("q_permille").desc, col(idCol).asc), nParts)
       .localCheckpoint(true)
-    val sizes = local.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__n"))
-    val offsets = sizes.as("x")
-      .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
-      .groupBy(col("x.__pid").as("__pid"))
-      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__offset"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn("cum_tokens", col("__offset") + col("__local"))
+    withGlobalCumsum(local)
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col("n_tokens"), col("q_permille"), col("cum_tokens"))
       .orderBy(idCol)

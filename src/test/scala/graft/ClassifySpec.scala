@@ -58,6 +58,22 @@ class ClassifySpec extends SparkSpec {
     assert(got.map(_._3) == Seq(true, false))
   }
 
+  test("zero-token documents still score: prediction is the max-prior class") {
+    val docs = Seq(
+      (0L, "alpha beta", "en"),
+      (1L, "uno", "es"),
+      (2L, "gamma", "en"),
+      (3L, "   ", "es") // whitespace-only: zero tokens
+    ).toDF("doc_id", "text", "lang")
+    val got = Classify.naiveBayesPredict(docs)
+      .select("doc_id", "pred")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 4, "every document gets a prediction")
+    // en has 2 docs vs es 2... priors tie at 2/4 each; the doc-3 score is
+    // prior − 0·norm for both classes → tiebreak to "en"
+    assert(got(3L) == "en")
+  }
+
   test("prediction is deterministic across runs") {
     val docs = Seq(
       (0L, "x y z x", "en"),
