@@ -892,6 +892,24 @@ object OracleSql {
        |  FROM kk ORDER BY key DESC, doc_id LIMIT $k)
        |SELECT doc_id, weight, key FROM s ORDER BY doc_id""".stripMargin
 
+  /** Int8 scalar quantization (mirror of Similarity.quantizeInt8): same
+    * integer-domain entry, same exact per-dim max-|s|, same one-double
+    * rounding, same dim-ordered CSV rendering. */
+  val quantizeInt8: String =
+    """WITH x AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |    CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+      |m AS (SELECT dim, max(abs(s))::BIGINT AS maxabs FROM x GROUP BY 1),
+      |c AS (
+      |  SELECT x.vec_id, x.dim,
+      |    CASE WHEN m.maxabs = 0 THEN 0
+      |         ELSE CAST(round(x.s::DOUBLE * 127.0 / m.maxabs::DOUBLE) AS BIGINT)
+      |    END AS code
+      |  FROM x JOIN m USING (dim))
+      |SELECT vec_id, array_to_string(list(code ORDER BY dim), ',') AS codes_csv
+      |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val dimStats: String =
     """WITH x AS (
       |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s

@@ -343,6 +343,8 @@ object SparkEntry {
     // one-scan corpus data card (per-lang + total, rollup grouping sets)
     "pipeline_datacard" -> ((s, d) =>
       ext.TrainingPipeline.dataCard(Tables.documents(s, d))),
+    // int8 scalar quantization of the embedding corpus (4x compression)
+    "sim_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -984,5 +986,6 @@ object SparkEntry {
     "text_bm25" -> OracleSql.bm25(Seq("spark", "query", "vector"), 25),
     "pipeline_token_budget" -> OracleSql.tokenBudget(15000L),
     "pipeline_datacard" -> OracleSql.dataCard,
+    "sim_quantize" -> OracleSql.quantizeInt8,
   )
 }

@@ -416,4 +416,40 @@ object Similarity {
         col("sum_scaled"), col("sum_sq_scaled"), col("mean"), col("std"))
       .orderBy("dim")
   }
+
+  /** Symmetric per-dimension int8 scalar quantization — the standard
+    * embedding-storage compression (4× over float32; PQ's cheaper
+    * sibling): each dimension scales by its corpus max-|value| into
+    * [-127, 127]. Dequantization is `code · maxabs_d / 127`.
+    *
+    * Determinism: values enter the integer domain first (the dimStats
+    * `round(v·1e6)` scaling), per-dim max-|s| is an exact BIGINT, and the
+    * code is `round(s·127.0 / maxabs)` — one double multiply/divide on
+    * exact integers, identical in any engine. An all-zero dimension
+    * (maxabs = 0) codes to 0.
+    *
+    * Scale shape: one posexplode → dim-keyed aggregate (rows = vector
+    * width — tiny at any corpus size, so it broadcasts back), then a
+    * per-vector re-assembly keyed on the id. Codes render as a CSV string
+    * so the result is hash-comparable across engines.
+    *
+    * Columns: vec_id, codes_csv — ordered by vec_id. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val s = embeddings
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__s"))
+    val scales = s.groupBy("dim").agg(max(abs(col("__s"))).as("__maxabs"))
+    val code = when(col("__maxabs") === 0L, lit(0L)).otherwise(
+      round(col("__s").cast("double") * 127.0 / col("__maxabs").cast("double"))
+        .cast("long"))
+    s.join(broadcast(scales), "dim")
+      .select(col(idCol), col("dim"), code.as("__c"))
+      .groupBy(idCol)
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("dim"), col("__c")))),
+          x => x.getField("__c").cast("string"))).as("codes_csv"))
+      .orderBy(idCol)
+  }
 }

@@ -183,4 +183,31 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(radius.nonEmpty && radius == full)
   }
+
+  test("int8 quantization: codes bounded, extremes hit ±127, zero dim codes 0, round-trip error bounded") {
+    val emb = Seq(
+      (0L, Array(1.0f, -2.0f, 0.0f)),
+      (1L, Array(-0.5f, 4.0f, 0.0f)),
+      (2L, Array(0.25f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb)
+      .as[(Long, String)].collect().toMap
+    val codes = got.map { case (k, v) => k -> v.split(",").map(_.toLong).toSeq }
+    assert(codes.values.forall(_.forall(c => c >= -127 && c <= 127)))
+    // per-dim extremes quantize to exactly ±127; the zero dim codes to 0
+    assert(codes(0L) == Seq(127L, -64L, 0L))  // dim0 max |1.0|; dim1: -2/4*127
+    assert(codes(1L) == Seq(-64L, 127L, 0L)) // dim0: -.5/1*127=-63.5→-64 (half away from 0)
+    assert(codes(2L)(1) == math.round(1.0 / 4.0 * 127.0))
+    // round-trip: |dequant - v| <= maxabs/254 (half a quantization step)
+    val dims = Seq(1.0, 4.0, 0.0) // per-dim maxabs
+    val orig = Map(0L -> Seq(1.0, -2.0, 0.0), 1L -> Seq(-0.5, 4.0, 0.0), 2L -> Seq(0.25, 1.0, 0.0))
+    for ((id, cs) <- codes; d <- cs.indices if dims(d) > 0) {
+      val deq = cs(d).toDouble * dims(d) / 127.0
+      assert(math.abs(deq - orig(id)(d)) <= dims(d) / 254.0 + 1e-9,
+        s"vec $id dim $d: $deq vs ${orig(id)(d)}")
+    }
+    // deterministic
+    assert(Similarity.quantizeInt8(emb).collect().toSeq ==
+      Similarity.quantizeInt8(emb).collect().toSeq)
+  }
 }
