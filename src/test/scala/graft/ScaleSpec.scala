@@ -13,6 +13,28 @@ class ScaleSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("new operators are invariant under input repartitioning") {
+    // a distributed operator's result must never depend on how the input
+    // happens to be partitioned — the strongest determinism property a
+    // cluster run exercises
+    val docs = Tables.documents(spark, sf)
+    val skewed = docs.repartition(7, col("lang"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+    assert(rows(graft.ext.Classify.naiveBayesPredict(docs)) ==
+      rows(graft.ext.Classify.naiveBayesPredict(skewed)))
+    assert(rows(graft.ext.Graph.wordPageRank(docs, 3)) ==
+      rows(graft.ext.Graph.wordPageRank(skewed, 3)))
+    assert(rows(graft.ext.TrainingPipeline.weightedSample(docs, 20)) ==
+      rows(graft.ext.TrainingPipeline.weightedSample(skewed, 20)))
+    assert(rows(graft.ext.TrainingPipeline.tokenBudget(docs, 2000)) ==
+      rows(graft.ext.TrainingPipeline.tokenBudget(skewed, 2000)))
+    assert(rows(graft.ext.TrainingPipeline.dataCard(docs)) ==
+      rows(graft.ext.TrainingPipeline.dataCard(skewed)))
+    val emb = Tables.embeddings(spark, sf)
+    assert(rows(graft.ext.Similarity.quantizeInt8(emb)) ==
+      rows(graft.ext.Similarity.quantizeInt8(emb.repartition(5))))
+  }
+
   test("salted word count == plain word count") {
     val docs = Tables.documents(spark, sf)
     val plain = WordCount.wordCount(docs).as[(String, Long)].collect().toSeq
