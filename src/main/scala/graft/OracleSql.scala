@@ -874,6 +874,24 @@ object OracleSql {
        |SELECT doc_id, n_tokens, q_permille, cum_tokens FROM c
        |WHERE cum_tokens <= $budgetTokens ORDER BY doc_id""".stripMargin
 
+  /** Bigram-graph degree profile (mirror of Graph.wordDegreeStats). */
+  val degreeStats: String =
+    s"""WITH $toksCte,
+       |pr AS (
+       |  SELECT toks[i] AS src, toks[i+1] AS dst
+       |  FROM toks, unnest(range(1, len(toks))) AS u(i)),
+       |e AS (SELECT src, dst, count(*) AS w FROM pr GROUP BY 1, 2),
+       |o AS (SELECT src AS node, count(DISTINCT dst) AS out_degree,
+       |        sum(w)::BIGINT AS out_strength FROM e GROUP BY 1),
+       |i AS (SELECT dst AS node, count(DISTINCT src) AS in_degree,
+       |        sum(w)::BIGINT AS in_strength FROM e GROUP BY 1)
+       |SELECT node,
+       |  coalesce(out_degree, 0) AS out_degree,
+       |  coalesce(out_strength, 0) AS out_strength,
+       |  coalesce(in_degree, 0) AS in_degree,
+       |  coalesce(in_strength, 0) AS in_strength
+       |FROM o FULL OUTER JOIN i USING (node) ORDER BY node""".stripMargin
+
   /** Deterministic weighted sample (mirror of
     * TrainingPipeline.weightedSample): same seeded rolling hash → uniform,
     * same integer-scaled ln, same single double division, same top-k. */

@@ -345,6 +345,9 @@ object SparkEntry {
       ext.TrainingPipeline.dataCard(Tables.documents(s, d))),
     // int8 scalar quantization of the embedding corpus (4x compression)
     "sim_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // degree/strength profile of the bigram graph (the pre-flight report
+    // for any iterative graph computation)
+    "graph_degrees" -> ((s, d) => ext.Graph.wordDegreeStats(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -987,5 +990,6 @@ object SparkEntry {
     "pipeline_token_budget" -> OracleSql.tokenBudget(15000L),
     "pipeline_datacard" -> OracleSql.dataCard,
     "sim_quantize" -> OracleSql.quantizeInt8,
+    "graph_degrees" -> OracleSql.degreeStats,
   )
 }

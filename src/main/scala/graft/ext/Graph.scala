@@ -84,4 +84,24 @@ object Graph {
   /** The declared query: PageRank of the corpus bigram graph. */
   def wordPageRank(docs: DataFrame, iters: Int = 5): DataFrame =
     pageRank(bigramEdges(docs), iters)
+
+  /** Per-node degree/strength profile of the weighted digraph — the
+    * sanity report run before any iterative graph computation (skew,
+    * dangling nodes, and supernodes all show up here first). One
+    * aggregation per direction (node-keyed shuffles over the edge list),
+    * full-outer joined on the node; nodes missing a direction fill 0.
+    * Columns: node, out_degree, out_strength, in_degree, in_strength. */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(countDistinct("dst").as("out_degree"), sum("w").as("out_strength"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(countDistinct("src").as("in_degree"), sum("w").as("in_strength"))
+    out.join(in, Seq("node"), "full_outer")
+      .na.fill(0L, Seq("out_degree", "out_strength", "in_degree", "in_strength"))
+      .orderBy("node")
+  }
+
+  /** The declared query: degree profile of the corpus bigram graph. */
+  def wordDegreeStats(docs: DataFrame): DataFrame =
+    degreeStats(bigramEdges(docs))
 }

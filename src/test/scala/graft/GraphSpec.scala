@@ -66,6 +66,19 @@ class GraphSpec extends SparkSpec {
     assert(ranks("b") > ranks("c"))
   }
 
+  test("degree stats: hand-computed profile, zero-fill for one-directional nodes") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L)
+    ).toDF("src", "dst", "w")
+    val got = Graph.degreeStats(edges)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 4L, 1L, 2L),  // out: b,c (3+1); in: from b (2)
+      ("b", 1L, 2L, 1L, 3L),
+      ("c", 0L, 0L, 1L, 1L))) // pure sink: out zero-filled
+  }
+
   test("declared corpus query ranks every word and orders by rank") {
     val docs = Seq((0L, "the cat sat on the mat"), (1L, "the dog")).toDF("doc_id", "text")
     val out = Graph.wordPageRank(docs, iters = 3)
