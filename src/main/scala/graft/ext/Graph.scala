@@ -60,7 +60,8 @@ object Graph {
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count() // driver scalar: node count (metadata-scale)
-    require(n > 0, "pageRank needs a non-empty edge set")
+    if (n == 0) // empty edge set: empty result with the right shape
+      return nodes.select(col("node"), lit(0L).as("rank_scaled"))
     val base = ((dampDen - dampNum) * SCALE / dampDen) / n // teleport share
     var ranks = nodes.select(col("node"), lit(SCALE / n).as("rank"))
     for (i <- 1 to iters) {

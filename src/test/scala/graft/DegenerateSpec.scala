@@ -110,5 +110,19 @@ class DegenerateSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(emptyEmb, Seq(1L), 5).count() == 0)
     assert(Similarity.topCosinePairs(emptyEmb, 10).count() == 0)
     assert(Similarity.lshTopK(emptyEmb, Seq(1L), 5).count() == 0)
+    assert(Similarity.quantizeInt8(emptyEmb).count() == 0)
+  }
+
+  test("empty corpus: classifier, graph, sampling, budget, retrieval all degrade sanely") {
+    assert(graft.ext.Classify.naiveBayesPredict(empty).count() == 0)
+    assert(graft.ext.Graph.wordPageRank(empty).count() == 0)
+    assert(graft.ext.Graph.degreeStats(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "w")).count() == 0)
+    assert(TrainingPipeline.weightedSample(empty, 5, weightCol = "doc_id").count() == 0)
+    assert(TrainingPipeline.tokenBudget(empty, 100).count() == 0)
+    assert(TextStats.bm25(empty, Seq("x"), 5).count() == 0)
+    // single-token docs: a bigram graph cannot form; PageRank stays empty
+    val oneTok = Seq((1L, "word"), (2L, "another")).toDF("doc_id", "text")
+    assert(graft.ext.Graph.wordPageRank(oneTok).count() == 0)
   }
 }
