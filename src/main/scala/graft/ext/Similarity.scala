@@ -436,10 +436,13 @@ object Similarity {
     * Columns: vec_id, codes_csv — ordered by vec_id. */
   def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
+    // materialized once: the per-dim scales subjob and the coding join
+    // both read it, so the corpus is exploded a single time
     val s = embeddings
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col(idCol), col("dim"),
         round(col("v").cast("double") * 1e6).cast("long").as("__s"))
+      .localCheckpoint(true)
     val scales = s.groupBy("dim").agg(max(abs(col("__s"))).as("__maxabs"))
     val code = when(col("__maxabs") === 0L, lit(0L)).otherwise(
       round(col("__s").cast("double") * 127.0 / col("__maxabs").cast("double"))

@@ -30,6 +30,8 @@ class ScaleSpec extends SparkSpec {
       rows(graft.ext.TrainingPipeline.tokenBudget(skewed, 2000)))
     assert(rows(graft.ext.TrainingPipeline.dataCard(docs)) ==
       rows(graft.ext.TrainingPipeline.dataCard(skewed)))
+    assert(rows(graft.ext.Graph.wordDegreeStats(docs)) ==
+      rows(graft.ext.Graph.wordDegreeStats(skewed)))
     val emb = Tables.embeddings(spark, sf)
     assert(rows(graft.ext.Similarity.quantizeInt8(emb)) ==
       rows(graft.ext.Similarity.quantizeInt8(emb.repartition(5))))
