@@ -841,6 +841,21 @@ object OracleSql {
        |ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Next-event training examples (mirror of
+    * TrainingPipeline.nextEventExamples): same user-partitioned lag
+    * window, same (ts, event_id) total order, same full-context gate. */
+  def nextEventExamples(k: Int): String = {
+    val parts = (k to 1 by -1)
+      .map(j => s"lag(event_type, $j) OVER w").mkString(" || ',' || ")
+    s"""SELECT user_id, event_id AS example_id,
+       |  $parts AS context,
+       |  event_type AS label
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |QUALIFY lag(event_type, $k) OVER w IS NOT NULL
+       |ORDER BY example_id""".stripMargin
+  }
+
   /** Corpus data card (mirror of TrainingPipeline.dataCard): one ROLLUP
     * aggregation over (lang), GROUPING() as the total-row flag, sha256
     * digests for the exact-dup signal. */

@@ -348,6 +348,9 @@ object SparkEntry {
     // degree/strength profile of the bigram graph (the pre-flight report
     // for any iterative graph computation)
     "graph_degrees" -> ((s, d) => ext.Graph.wordDegreeStats(Tables.documents(s, d))),
+    // sliding-window next-event training examples over the event stream
+    "pipeline_examples" -> ((s, d) =>
+      ext.TrainingPipeline.nextEventExamples(Tables.events(s, d), 3)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -991,5 +994,6 @@ object SparkEntry {
     "pipeline_datacard" -> OracleSql.dataCard,
     "sim_quantize" -> OracleSql.quantizeInt8,
     "graph_degrees" -> OracleSql.degreeStats,
+    "pipeline_examples" -> OracleSql.nextEventExamples(3),
   )
 }

@@ -301,6 +301,35 @@ object TrainingPipeline {
       .orderBy("shard", "pos")
   }
 
+  /** Supervised next-event training examples — the sliding-window dataset
+    * builder behind next-action/session models: for each user's
+    * time-ordered event stream, emit one (k-event context, next event)
+    * pair per position with a full context. The classic sequence-dataset
+    * construction, here as pure window functions.
+    *
+    * Scale shape: everything is user-partitioned (`lag` windows over
+    * (ts, event_id) — a total order within each user), so construction
+    * distributes with one user-keyed shuffle and no global stage. Only
+    * full-width contexts are kept (the first k events of a stream have
+    * none), making the output deterministic and engine-portable; the
+    * context renders as CSV for hash comparison.
+    *
+    * Columns: user_id, example_id (the labeled event's id), context,
+    * label — ordered by example_id. */
+  def nextEventExamples(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"context length must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ctx = (k to 1 by -1).map(j => lag(col("event_type"), j).over(w))
+    events.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("context", concat_ws(",", ctx: _*))
+      .withColumn("__full", ctx.head.isNotNull)
+      .filter(col("__full"))
+      .select(col("user_id"), col("event_id").as("example_id"),
+        col("context"), col("event_type").as("label"))
+      .orderBy("example_id")
+  }
+
   /** Corpus data card — the release-notes summary of a training corpus:
     * document/token/char volume and the exact-duplicate signal
     * (distinct content hashes vs rows), per language AND as a grand

@@ -367,6 +367,22 @@ class PipelineSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("nextEventExamples: full-context sliding windows per user, time-ordered") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      (10L, ts(1), 1L, "a"), (11L, ts(2), 1L, "b"),
+      (12L, ts(3), 1L, "c"), (13L, ts(4), 1L, "d"), (14L, ts(5), 1L, "e"),
+      (20L, ts(1), 2L, "x"), (21L, ts(2), 2L, "y") // too short for k=3
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = ext.TrainingPipeline.nextEventExamples(events, 3)
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 13L, "a,b,c", "d"),
+      (1L, 14L, "b,c,d", "e")))
+    // k=1: every event after the first becomes an example
+    assert(ext.TrainingPipeline.nextEventExamples(events, 1).count() == 5)
+  }
+
   test("dataCard: per-lang rows + total row agree with direct aggregates") {
     val docs = Seq(
       (0L, "the cat", "en", 7L),
