@@ -841,6 +841,22 @@ object OracleSql {
        |ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Deterministic negative sampling (mirror of
+    * TrainingPipeline.negativeSamples): same seeded hash, same dense-id
+    * `r + (r >= id)` self-exclusion. */
+  def negativeSamples(k: Int, seed: String): String =
+    s"""WITH p AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |s AS (SELECT doc_id, j AS slot
+       |      FROM documents, unnest(range(0, $k)) AS u(j)),
+       |h AS (
+       |  SELECT doc_id, slot,
+       |    ${poly(s"'${sqlStr(seed)}:neg:' || doc_id || ':' || slot")}
+       |      % ((SELECT n FROM p) - 1) AS r
+       |  FROM s)
+       |SELECT doc_id, slot,
+       |  CASE WHEN r >= doc_id THEN r + 1 ELSE r END AS neg_id
+       |FROM h ORDER BY doc_id, slot""".stripMargin
+
   /** Next-event training examples (mirror of
     * TrainingPipeline.nextEventExamples): same user-partitioned lag
     * window, same (ts, event_id) total order, same full-context gate. */

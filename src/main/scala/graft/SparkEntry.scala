@@ -351,6 +351,9 @@ object SparkEntry {
     // sliding-window next-event training examples over the event stream
     "pipeline_examples" -> ((s, d) =>
       ext.TrainingPipeline.nextEventExamples(Tables.events(s, d), 3)),
+    // deterministic contrastive negatives (k per anchor, self-excluding)
+    "pipeline_negatives" -> ((s, d) =>
+      ext.TrainingPipeline.negativeSamples(Tables.documents(s, d), 4)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -995,5 +998,6 @@ object SparkEntry {
     "sim_quantize" -> OracleSql.quantizeInt8,
     "graph_degrees" -> OracleSql.degreeStats,
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
+    "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),
   )
 }

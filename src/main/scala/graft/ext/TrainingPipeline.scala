@@ -330,6 +330,35 @@ object TrainingPipeline {
       .orderBy("example_id")
   }
 
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random negatives per anchor document, drawn uniformly from
+    * the other documents by a seeded content hash (never `rand()` — the
+    * [[assignSplits]] reproducibility contract). The dense-id trick
+    * `r ∈ [0, N-2]; neg = r + (r ≥ id)` guarantees `neg ≠ id` with a
+    * uniform distribution and NO rejection loop.
+    *
+    * Scale shape: pure per-row projection after a slot explode — zero
+    * shuffles; N is one metadata-scale driver scalar. Requires dense ids
+    * `0..N-1` (the test corpus's layout); sparse ids first pass through a
+    * deterministic rank (the [[shuffleShards]] machinery) to compact.
+    *
+    * Columns: doc_id, slot, neg_id — ordered by (doc_id, slot). */
+  def negativeSamples(docs: DataFrame, k: Int, seed: String = "graft",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"negatives per anchor must be >= 1, got $k")
+    val n = docs.count()
+    require(n >= 2, "negative sampling needs at least two documents")
+    val h = Dedup.polyHash(concat(lit(seed + ":neg:"), col(idCol).cast("string"),
+      lit(":"), col("slot").cast("string")))
+    docs.select(col(idCol),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("slot"))
+      .withColumn("__r", pmod(h, lit(n - 1)))
+      .select(col(idCol), col("slot"),
+        when(col("__r") >= col(idCol), col("__r") + 1)
+          .otherwise(col("__r")).as("neg_id"))
+      .orderBy(idCol, "slot")
+  }
+
   /** Corpus data card — the release-notes summary of a training corpus:
     * document/token/char volume and the exact-duplicate signal
     * (distinct content hashes vs rows), per language AND as a grand

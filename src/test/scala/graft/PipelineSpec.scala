@@ -383,6 +383,25 @@ class PipelineSpec extends SparkSpec {
     assert(ext.TrainingPipeline.nextEventExamples(events, 1).count() == 5)
   }
 
+  test("negativeSamples: k per anchor, never the anchor, in range, deterministic") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = ext.TrainingPipeline.negativeSamples(docs, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = ext.TrainingPipeline.negativeSamples(docs, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "same seed must reproduce the same negatives")
+    assert(a.size == 40 * 4)
+    assert(a.forall { case (id, _, neg) => neg != id && neg >= 0 && neg < 40 })
+    // slots are dense per anchor
+    a.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted == Seq(0L, 1L, 2L, 3L))
+    }
+    // a different seed draws different negatives
+    val c = ext.TrainingPipeline.negativeSamples(docs, 4, seed = "other")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a != c)
+  }
+
   test("dataCard: per-lang rows + total row agree with direct aggregates") {
     val docs = Seq(
       (0L, "the cat", "en", 7L),
