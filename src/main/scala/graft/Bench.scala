@@ -46,14 +46,33 @@ object Bench {
     val failed = results.filter(!_._3).map(_._1)
     val total = results.map(_._2).sum
 
+    // Regression gate: the committed BENCH_FULL.json still holds the
+    // PREVIOUS run's per-query seconds at this point (we overwrite it
+    // below), so any query now >1.5x slower — and slow enough to matter,
+    // >0.3s — is flagged in a "regressed" array on both output lines.
+    // Catches a dedup_embedding-style regression in-round instead of at
+    // judging time.
+    val prev: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")), java.nio.charset.StandardCharsets.UTF_8)
+      """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption).toMap
+    } catch { case NonFatal(_) => Map.empty }
+    val regressed = results.collect {
+      case (name, sec, _) if prev.get(name).exists(p => sec > p * 1.5 && sec > 0.3) => name
+    }
+    if (regressed.nonEmpty)
+      System.err.println(s"[bench] regressed >1.5x vs previous run: ${regressed.mkString(", ")}")
+
     // Complete record (full precision + per-query ok) → BENCH_FULL.json.
     // "failed" is the SAME shape (name array) as the printed stdout line;
     // the count gets its own key so no consumer can misparse the two.
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressedArr = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"ok":$oks,"n_failed":${failed.size},"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"ok":$oks,"n_failed":${failed.size},"failed":$failedArr,"regressed":$regressedArr,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -66,7 +85,7 @@ object Bench {
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedArr,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedArr,"regressed":$regressedArr,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     val byCost = results.sortBy(-_._2).map(r => (r._1, r._2))
     var keep = byCost.length

@@ -806,8 +806,8 @@ object OracleSql {
        |ew AS (SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow USING (src)),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |p AS (SELECT count(*)::BIGINT AS n FROM nodes),
-       |r0 AS (SELECT node, $S // (SELECT n FROM p) AS rank FROM nodes),
-       |${(1 to iters).map(round).mkString(",\n")}
+       |${(s"r0 AS (SELECT node, $S // (SELECT n FROM p) AS rank FROM nodes)" +:
+            (1 to iters).map(round)).mkString(",\n")}
        |SELECT node, rank AS rank_scaled FROM r$iters
        |ORDER BY rank_scaled DESC, node""".stripMargin
   }
@@ -859,7 +859,8 @@ object OracleSql {
 
   /** Next-event training examples (mirror of
     * TrainingPipeline.nextEventExamples): same user-partitioned lag
-    * window, same (ts, event_id) total order, same full-context gate. */
+    * window, same (ts, event_id) total order, same NULL-type drop and
+    * full-context gate. */
   def nextEventExamples(k: Int): String = {
     val parts = (k to 1 by -1)
       .map(j => s"lag(event_type, $j) OVER w").mkString(" || ',' || ")
@@ -867,6 +868,7 @@ object OracleSql {
        |  $parts AS context,
        |  event_type AS label
        |FROM events
+       |WHERE event_type IS NOT NULL
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        |QUALIFY lag(event_type, $k) OVER w IS NOT NULL
        |ORDER BY example_id""".stripMargin

@@ -987,9 +987,13 @@ object SparkEntry {
     "text_nb" -> OracleSql.naiveBayes,
     "graph_pagerank" -> OracleSql.pageRank(5),
     "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),
+    // FILTER mirrors Spark collect_set's NULL-skipping (DuckDB list() would
+    // otherwise keep NULL as an element); coalesce covers the all-NULL group
     "q_string_agg" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+        |  coalesce(array_to_string(list_sort(
+        |    list(DISTINCT o_orderpriority) FILTER (o_orderpriority IS NOT NULL)), ','), '')
+        |    AS priorities
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "text_bm25" -> OracleSql.bm25(Seq("spark", "query", "vector"), 25),

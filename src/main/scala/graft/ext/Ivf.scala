@@ -34,10 +34,17 @@ object Ivf {
   /** Train `nlist` centroids with `iters` Lloyd rounds. Returns
     * (cell_id, centroid vector) pairs, driver-side. */
   def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 5,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
-    val vecs = embeddings
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] =
+    trainCentroidsOn(embeddings
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true), nlist, iters, idCol)
+
+  /** Lloyd rounds over an ALREADY-MATERIALIZED (idCol, v: array<double>)
+    * frame — callers that hold a checkpointed normalized corpus (the
+    * cell-pruned pair miner) train directly on it instead of paying a
+    * second corpus materialization for a projection of the same rows. */
+  private[ext] def trainCentroidsOn(vecs: DataFrame, nlist: Int, iters: Int,
+                                    idCol: String): Seq[(Int, Seq[Double])] = {
     var centroids: Seq[(Int, Seq[Double])] = vecs.orderBy(col(idCol)).limit(nlist)
       .select("v").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq

@@ -287,8 +287,11 @@ object Similarity {
       .withColumn("vhat", transform(col("v_a"), x => x * col("__rinv")))
       .drop("__rinv")
       .localCheckpoint(true) // reused by training, assignment and both join sides
-    val centroids = Ivf.trainCentroids(
-      base.select(col("a").as(idCol), col("vhat").as(vecCol)), nlist, iters = 2, idCol, vecCol)
+    // train straight on the checkpointed rows (vhat is already double[]):
+    // routing through the public trainCentroids would materialize the
+    // corpus a second time for the same data
+    val centroids = Ivf.trainCentroidsOn(
+      base.select(col("a"), col("vhat").as("v")), nlist, iters = 2, "a")
     if (centroids.isEmpty) // empty corpus: empty (a, b, score) result
       return emptyPairs(spark)
     val assigned = base.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
@@ -329,7 +332,11 @@ object Similarity {
     * candidate score is a valid lower bound on the true Nth score — seed
     * quality affects only pruning efficiency, never correctness), then
     * [[cellPrunedScoredPairs]] finds every pair at or above it exactly
-    * and the true top-N is selected from those. */
+    * and the true top-N is selected from those.
+    *
+    * Bounded collect: the seed pass pulls at most `limit` (score, a, b)
+    * rows to the driver — the requested result size, never a
+    * corpus-scaled set. */
   def topCosinePairs(embeddings: DataFrame, limit: Int, nlist: Int = 16,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val seed = bucketedScoredPairs(embeddings, numPlanes = 6, maxHamming = 1, idCol, vecCol)

@@ -439,7 +439,12 @@ object TextStats {
     * pipeline where exact counting is infeasible the candidates come from
     * a sampled pre-pass or a known watchlist; the sketch itself never
     * needs them until query time. Declared rows-only (a probabilistic
-    * sketch has no SQL oracle); the spec pins both error-bound sides. */
+    * sketch has no SQL oracle); the spec pins both error-bound sides.
+    *
+    * Bounded collect: the candidate set pulled to the driver is capped by
+    * the support threshold — at most 1000/permille words can each hold
+    * ≥ permille/1000 of the corpus mass (≤ 200 rows at the default 5‰),
+    * independent of corpus size. */
   def cmsHeavyHitters(docs: DataFrame, permille: Int = 5, eps: Double = 1e-4,
                       confidence: Double = 0.99, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession

@@ -314,6 +314,13 @@ object TrainingPipeline {
     * none), making the output deterministic and engine-portable; the
     * context renders as CSV for hash comparison.
     *
+    * NULL-typed events are dropped up front (an unlabeled event is neither
+    * a valid label nor a valid context element). The filter also makes the
+    * full-context gate exact: with no NULL types in the stream, `lag(k)
+    * IS NOT NULL` ⇔ "k prior events exist" — without it, Spark's
+    * `concat_ws` (skips interior NULLs) and an SQL `||` chain (nulls the
+    * whole string) would disagree on streams containing NULL types.
+    *
     * Columns: user_id, example_id (the labeled event's id), context,
     * label — ordered by example_id. */
   def nextEventExamples(events: DataFrame, k: Int = 3): DataFrame = {
@@ -322,6 +329,7 @@ object TrainingPipeline {
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val ctx = (k to 1 by -1).map(j => lag(col("event_type"), j).over(w))
     events.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isNotNull)
       .withColumn("context", concat_ws(",", ctx: _*))
       .withColumn("__full", ctx.head.isNotNull)
       .filter(col("__full"))
@@ -339,15 +347,23 @@ object TrainingPipeline {
     *
     * Scale shape: pure per-row projection after a slot explode — zero
     * shuffles; N is one metadata-scale driver scalar. Requires dense ids
-    * `0..N-1` (the test corpus's layout); sparse ids first pass through a
-    * deterministic rank (the [[shuffleShards]] machinery) to compact.
+    * `0..N-1` (validated below — the no-self-hit and in-range guarantees
+    * depend on it); sparse ids first pass through a deterministic rank
+    * (the [[shuffleShards]] machinery) to compact.
     *
     * Columns: doc_id, slot, neg_id — ordered by (doc_id, slot). */
   def negativeSamples(docs: DataFrame, k: Int, seed: String = "graft",
                       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"negatives per anchor must be >= 1, got $k")
-    val n = docs.count()
+    // one metadata-scale aggregate validates the dense-id contract the
+    // r + (r >= id) trick relies on: ids must be exactly 0..N-1
+    val Array(stats) = docs.agg(count(lit(1)),
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).collect()
+    val n = stats.getLong(0)
     require(n >= 2, "negative sampling needs at least two documents")
+    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+      s"negativeSamples requires dense ids 0..${n - 1} (got min=${stats.getLong(1)}, " +
+        s"max=${stats.getLong(2)}); compact sparse ids via a deterministic rank first")
     val h = Dedup.polyHash(concat(lit(seed + ":neg:"), col(idCol).cast("string"),
       lit(":"), col("slot").cast("string")))
     docs.select(col(idCol),

@@ -768,7 +768,9 @@ object Relational {
     * seen per market segment, canonically sorted and joined. The sorted
     * `collect_set` keeps the result independent of shuffle order; per-group
     * cardinality is bounded by the domain (priorities), not the row count,
-    * so the collected sets stay small at any scale. */
+    * so the collected sets stay small at any scale. NULL priorities are
+    * excluded from the list (collect_set skips NULLs; the oracle mirrors
+    * that with a FILTER clause) but still count toward n_orders. */
   def prioritiesPerSegment(orders: DataFrame, customer: DataFrame): DataFrame =
     orders.join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
