@@ -356,14 +356,18 @@ object TrainingPipeline {
                       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"negatives per anchor must be >= 1, got $k")
     // one metadata-scale aggregate validates the dense-id contract the
-    // r + (r >= id) trick relies on: ids must be exactly 0..N-1
+    // r + (r >= id) trick relies on: count + min/max alone would accept a
+    // duplicate-plus-gap id set (0,1,1,3), so the distinct count is part
+    // of the same pass — together they prove ids are exactly 0..N-1
     val Array(stats) = docs.agg(count(lit(1)),
-      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).collect()
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long"),
+      countDistinct(col(idCol))).collect()
     val n = stats.getLong(0)
     require(n >= 2, "negative sampling needs at least two documents")
-    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1 && stats.getLong(3) == n,
       s"negativeSamples requires dense ids 0..${n - 1} (got min=${stats.getLong(1)}, " +
-        s"max=${stats.getLong(2)}); compact sparse ids via a deterministic rank first")
+        s"max=${stats.getLong(2)}, distinct=${stats.getLong(3)} of $n rows); " +
+        "compact sparse ids via a deterministic rank first")
     val h = Dedup.polyHash(concat(lit(seed + ":neg:"), col(idCol).cast("string"),
       lit(":"), col("slot").cast("string")))
     docs.select(col(idCol),

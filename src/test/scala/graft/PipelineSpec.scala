@@ -402,6 +402,19 @@ class PipelineSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("negativeSamples rejects non-dense ids, including duplicate-plus-gap") {
+    // count + min/max alone would accept (0,1,1,3); the distinct-count
+    // check in the same aggregate must catch it
+    val dupGap = Seq(0L, 1L, 1L, 3L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      ext.TrainingPipeline.negativeSamples(dupGap, 2)
+    }
+    val gapped = Seq(0L, 2L, 3L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      ext.TrainingPipeline.negativeSamples(gapped, 2)
+    }
+  }
+
   test("dataCard: per-lang rows + total row agree with direct aggregates") {
     val docs = Seq(
       (0L, "the cat", "en", 7L),

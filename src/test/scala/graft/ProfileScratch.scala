@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Temporary profiling harness (not part of the deliverable). */
+/** Dev-only profiling harness — lives in the TEST source set so it never
+  * ships in the production jar. Run with
+  * `sbt "Test/runMain graft.ProfileScratch"` (env: SPARK_GRAFT_SF_DIR). */
 object ProfileScratch {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
