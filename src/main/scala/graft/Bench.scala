@@ -40,29 +40,56 @@ object Bench {
       name -> (((System.nanoTime() - t0) / 1e9, ok))
     }.toMap
     val (p1, p2) = (timedPass(), timedPass())
-    val results = sorted.map { case (name, _) =>
+    val firstPass = sorted.map { case (name, _) =>
       (name, math.min(p1(name)._1, p2(name)._1), p1(name)._2 && p2(name)._2)
     }
-    val failed = results.filter(!_._3).map(_._1)
-    val total = results.map(_._2).sum
 
     // Regression gate: the committed BENCH_FULL.json still holds the
     // PREVIOUS run's per-query seconds at this point (we overwrite it
-    // below), so any query now >1.5x slower — and slow enough to matter,
-    // >0.3s — is flagged in a "regressed" array on both output lines.
-    // Catches a dedup_embedding-style regression in-round instead of at
-    // judging time.
-    val prev: Map[String, Double] = try {
+    // below), so a materially slower query is flagged in a "regressed"
+    // array on both output lines — catching a dedup_embedding-style
+    // regression in-round instead of at judging time. Round-5 lessons
+    // baked in (the gate fired on sim_ann_lsh over a 0.26s min-of-2
+    // swing on a sub-second query, with no code change on that path):
+    //  (a) the previous map is parsed from the "queries" object ONLY, so
+    //      top-level keys (value/n/n_failed) can never pollute it;
+    //  (b) a previous run at a different SF is not comparable — skip;
+    //  (c) a provisional flag earns the query a third timed pass
+    //      (min-of-3) before it can be reported;
+    //  (d) deltas under an absolute 0.5s noise floor are never flagged —
+    //      sub-second queries swing that much under machine load.
+    val (prevSf, prev): (String, Map[String, Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")), java.nio.charset.StandardCharsets.UTF_8)
-      """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
-        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption).toMap
-    } catch { case NonFatal(_) => Map.empty }
+      val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      (sf, """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qs)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption).toMap)
+    } catch { case NonFatal(_) => ("", Map.empty) }
+    def isRegression(sec: Double, prevSec: Double): Boolean =
+      sec > prevSec * 1.5 && sec - prevSec > 0.5
+    val comparable = prevSf == sfDir
+    val provisional = firstPass.collect {
+      case (name, sec, _) if comparable && prev.get(name).exists(isRegression(sec, _)) => name
+    }.toSet
+    val results = if (provisional.isEmpty) firstPass else {
+      val fns = SparkEntry.queries
+      firstPass.map {
+        case (name, sec, ok) if provisional(name) =>
+          val t0 = System.nanoTime()
+          val ok3 = try { fns(name)(spark, sfDir).count(); true }
+                    catch { case NonFatal(_) => false }
+          (name, math.min(sec, (System.nanoTime() - t0) / 1e9), ok && ok3)
+        case r => r
+      }
+    }
+    val failed = results.filter(!_._3).map(_._1)
+    val total = results.map(_._2).sum
     val regressed = results.collect {
-      case (name, sec, _) if prev.get(name).exists(p => sec > p * 1.5 && sec > 0.3) => name
+      case (name, sec, _) if comparable && prev.get(name).exists(isRegression(sec, _)) => name
     }
     if (regressed.nonEmpty)
-      System.err.println(s"[bench] regressed >1.5x vs previous run: ${regressed.mkString(", ")}")
+      System.err.println(s"[bench] regressed >1.5x (+0.5s min-of-3) vs previous run: ${regressed.mkString(", ")}")
 
     // Complete record (full precision + per-query ok) → BENCH_FULL.json.
     // "failed" is the SAME shape (name array) as the printed stdout line;
