@@ -593,46 +593,79 @@ object OracleSql {
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Full BPE-trainer replay (mirror of graft.ext.Bpe.train): word freqs
-    * from the shared tokenizer, then per round a weighted adjacent-pair
-    * count, the (cnt desc, a, b) argmax, and the canonical greedy merge
-    * walk as a per-word recursive index scan. Generated per round like
-    * the engine's loop. */
-  def bpeMerges(rounds: Int): String =
-    s"""${bpeChain(rounds)}
-       |SELECT * FROM (
-       |  ${(1 to rounds).map(r =>
-            s"SELECT $r AS rnd, a AS lhs, b AS rhs, a || b AS merged, cnt FROM M$r")
-            .mkString("\n  UNION ALL ")}
+    * from the shared tokenizer, then per SCAN a weighted adjacent-pair
+    * count, the top-K candidate walk with the batched greedy
+    * taboo-selection (same K = OverscanFactor·batch, same fixed budget
+    * schedule, same (cnt desc, a, b) tie order as the engine), and the
+    * canonical greedy merge walk as a per-word recursive index scan.
+    * Generated per scan like the engine's loop; rnd is the global merge
+    * order across scans. */
+  def bpeMerges(merges: Int, batch: Int = graft.ext.Bpe.DefaultBatch): String = {
+    val scans = (merges + batch - 1) / batch
+    s"""${bpeChain(merges, batch)}
+       |SELECT CAST(row_number() OVER (ORDER BY scan, j) AS INTEGER) AS rnd,
+       |  lhs, rhs, lhs || rhs AS merged, cnt
+       |FROM (
+       |  ${(1 to scans).map(r =>
+              s"SELECT $r AS scan, j, pa[j] AS lhs, pb[j] AS rhs, pc[j] AS cnt " +
+              s"FROM M$r, unnest(range(1, len(pa) + 1)) t(j)")
+              .mkString("\n  UNION ALL ")}
        |) ORDER BY rnd""".stripMargin
+  }
 
   /** Subword usage after training: final segmentations weighted by word
     * frequency (mirror of Bpe.subwordFrequencies). */
-  def bpeSubwords(rounds: Int): String =
-    s"""${bpeChain(rounds)}
+  def bpeSubwords(merges: Int, batch: Int = graft.ext.Bpe.DefaultBatch): String = {
+    val scans = (merges + batch - 1) / batch
+    s"""${bpeChain(merges, batch)}
        |SELECT sym AS subword, CAST(sum(freq) AS BIGINT) AS n
-       |FROM S$rounds, unnest(l) u(sym)
+       |FROM S$scans, unnest(l) u(sym)
        |GROUP BY subword ORDER BY subword""".stripMargin
+  }
 
-  private def bpeChain(rounds: Int): String = {
-    def m(r: Int) = s"(SELECT a FROM M$r)"
-    def mb(r: Int) = s"(SELECT b FROM M$r)"
+  private def bpeChain(merges: Int, batch: Int): String = {
+    val scans = (merges + batch - 1) / batch
+    val k = graft.ext.Bpe.OverscanFactor * batch
     // every non-recursive CTE is MATERIALIZED: DuckDB otherwise inlines
-    // CTEs at each reference, and the per-round scalar subqueries would
+    // CTEs at each reference, and the per-scan scalar subqueries would
     // re-expand the whole upstream chain exponentially (observed as fd
     // exhaustion on the base parquet scan)
-    val roundCtes = (1 to rounds).map { r =>
+    val roundCtes = (1 to scans).map { r =>
       val prev = s"S${r - 1}"
+      val budget = math.min(batch, merges - batch * (r - 1))
+      // greedy taboo admission: under budget, and lhs/rhs/concat all
+      // unseen among previously admitted candidates' {lhs, rhs, concat}
+      val ok = s"len(g.pa) < $budget AND NOT list_contains(g.taboo, c.a) " +
+        "AND NOT list_contains(g.taboo, c.b) AND NOT list_contains(g.taboo, c.a || c.b)"
+      // the ' ' key separator cannot collide: symbols match ^[a-z0-9_]+$
+      val hit = s"list_contains((SELECT keys FROM M$r), l[i] || ' ' || l[i+1])"
       s"""P$r AS MATERIALIZED (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM $prev, unnest(range(1, array_length(l))) t(i) GROUP BY a, b),
-         |M$r AS MATERIALIZED (SELECT a, b, cnt FROM P$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |C$r AS MATERIALIZED (
+         |  SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+         |  FROM P$r ORDER BY cnt DESC, a, b LIMIT $k),
+         |G$r AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS taboo,
+         |    CAST([] AS VARCHAR[]) AS pa, CAST([] AS VARCHAR[]) AS pb,
+         |    CAST([] AS BIGINT[]) AS pc
+         |  UNION ALL
+         |  SELECT c.rn,
+         |    CASE WHEN $ok THEN g.taboo || [c.a, c.b, c.a || c.b] ELSE g.taboo END,
+         |    CASE WHEN $ok THEN list_append(g.pa, c.a) ELSE g.pa END,
+         |    CASE WHEN $ok THEN list_append(g.pb, c.b) ELSE g.pb END,
+         |    CASE WHEN $ok THEN list_append(g.pc, c.cnt) ELSE g.pc END
+         |  FROM G$r g JOIN C$r c ON c.rn = g.rn + 1),
+         |M$r AS MATERIALIZED (
+         |  SELECT pa, pb, pc,
+         |    list_transform(range(1, len(pa) + 1), j -> pa[j] || ' ' || pb[j]) AS keys
+         |  FROM G$r ORDER BY rn DESC LIMIT 1),
          |R$r AS (
          |  SELECT word, freq, l, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS acc FROM $prev
          |  UNION ALL
          |  SELECT word, freq, l,
-         |    i + CASE WHEN i < array_length(l) AND l[i] = ${m(r)} AND l[i+1] = ${mb(r)}
-         |        THEN 2 ELSE 1 END,
-         |    list_append(acc, CASE WHEN i < array_length(l) AND l[i] = ${m(r)}
-         |        AND l[i+1] = ${mb(r)} THEN l[i] || l[i+1] ELSE l[i] END)
+         |    i + CASE WHEN i < array_length(l) AND $hit THEN 2 ELSE 1 END,
+         |    list_append(acc, CASE WHEN i < array_length(l) AND $hit
+         |        THEN l[i] || l[i+1] ELSE l[i] END)
          |  FROM R$r WHERE i <= array_length(l)),
          |S$r AS MATERIALIZED (SELECT word, freq, acc AS l FROM R$r WHERE i = array_length(l) + 1)""".stripMargin
     }.mkString(",\n")

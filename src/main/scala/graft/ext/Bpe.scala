@@ -9,30 +9,63 @@ import org.apache.spark.sql.functions._
   * trains with (Sennrich et al. 2016).
   *
   * Scale design: the corpus is scanned ONCE, for word frequencies (the
-  * same partial-agg shuffle as word count). Every merge round then runs
-  * on the DISTINCT-WORD table — vocab-sized (10^5–10^6 rows at web
-  * scale), orders of magnitude smaller than the token stream — so an
-  * iteration costs one pair-count aggregation (weighted by word
-  * frequency) plus a TakeOrdered(1) argmax, never a corpus rescan. The
-  * word table is localCheckpointed per round to keep lineage flat across
-  * the iteration (a cluster deployment would use a reliable checkpoint).
+  * same partial-agg shuffle as word count). Training then runs on the
+  * DISTINCT-WORD table — vocab-sized (10^5–10^6 rows at web scale),
+  * orders of magnitude smaller than the token stream. Merges are learned
+  * in BATCHES: each scan costs one pair-count aggregation (weighted by
+  * word frequency) plus ONE driver-sized TakeOrdered(K) collect, and
+  * applies up to `batch` mutually independent merges in a single pass,
+  * so a `T`-merge vocabulary costs `ceil(T/batch)` driver round-trips —
+  * NOT `T`. A 32k-merge production vocabulary at `batch`=256 is 125
+  * scans of a vocab-sized table, a driver-feasible schedule; the
+  * sequential form (`batch`=1) would be 32k round-trips. The word table
+  * is localCheckpointed once per scan to keep lineage flat (a cluster
+  * deployment would use a reliable checkpoint).
+  *
+  * Batch selection is greedy over candidates ordered by (count desc,
+  * lhs, rhs): a candidate is admitted only if its lhs, rhs AND its
+  * concatenation are all disjoint from every previously admitted
+  * candidate's {lhs, rhs, lhs+rhs} set. Disjointness makes the batch
+  * independent — no admitted merge can create, destroy or consume
+  * another's pair occurrences — so applying the batch in one pass is
+  * EXACTLY equivalent to applying the same merges sequentially in
+  * selection order (BpeSpec proves this on the classic corpus), and
+  * every admitted candidate's count is its true corpus count. The
+  * schedule differs from fully-sequential BPE only in that a batch
+  * cannot chain onto a symbol it just created (e.g. es→est in one scan);
+  * chains form across consecutive scans instead — the standard trade in
+  * scalable BPE trainers. Candidates are drawn from the top
+  * K = [[OverscanFactor]]·batch pairs so taboo skips cannot starve a
+  * batch; the walk depth is part of the deterministic contract (the
+  * DuckDB oracle replays the identical K, budget schedule, taboo rule
+  * and tie order).
   *
   * Merge application is the canonical greedy left-to-right scan
   * (non-overlapping: `a a a a` + merge (a,a) → `aa aa`), expressed as a
   * sequential fold over the symbol array with a one-symbol lookback —
-  * pure Column code, evaluated on the small word table only.
+  * pure Column code, evaluated on the small word table only. With a
+  * batch of disjoint rules, at most one rule can match at any position
+  * and a rule's output is never re-examined within the pass.
   *
   * The initial alphabet is restricted to `[a-z0-9]+` words: alphabet
   * control is standard BPE practice, and it pins char-splitting to a
   * range where every engine agrees (the DuckDB oracle replays the full
-  * trainer — pair counts, argmax tiebreak, greedy walk — in recursive
-  * SQL).
+  * trainer — pair counts, batched greedy selection, greedy walk — in
+  * recursive SQL).
   */
 object Bpe {
 
   /** End-of-word marker symbol (cannot collide: tokenizer output never
     * contains `_`). */
   val EndMark = "_"
+
+  /** Default merges applied per corpus-table scan. */
+  val DefaultBatch = 4
+
+  /** Candidate walk depth per scan is OverscanFactor·batch: taboo
+    * collisions skip candidates, so the walk must look past the top
+    * `batch` pairs. Part of the cross-engine deterministic contract. */
+  val OverscanFactor = 8
 
   final case class Merge(rnd: Int, lhs: String, rhs: String, merged: String, cnt: Long)
 
@@ -44,7 +77,7 @@ object Bpe {
         concat(split(col("word"), ""), array(lit(EndMark))).as("l"))
 
   /** Adjacent-pair frequencies over the word table, weighted by word
-    * frequency — one small shuffle per round. */
+    * frequency — one small shuffle per scan. */
   def pairCounts(words: DataFrame): DataFrame =
     words.select(col("freq"),
         explode(transform(slice(col("l"), lit(1), size(col("l")) - 1),
@@ -53,17 +86,42 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** Canonical greedy merge pass: one-symbol lookback fold. `pend` holds
-    * the previous unmerged symbol; a (pend=a, s=b) hit emits the merged
-    * symbol and clears the lookback so a merged symbol never re-pairs
-    * within the same pass. */
-  private def applyMerge(syms: Column, a: String, b: String): Column = {
+  /** Greedy independent-subset selection over rank-ordered candidates:
+    * admit while under budget and while the candidate's lhs, rhs and
+    * concatenation avoid every admitted candidate's {lhs, rhs, lhs+rhs}.
+    * Pure driver code over at most OverscanFactor·batch rows. */
+  private[graft] def selectBatch(cands: Seq[(String, String, Long)],
+                                 budget: Int): Seq[(String, String, Long)] = {
+    val taboo = scala.collection.mutable.HashSet.empty[String]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = cands.iterator
+    while (picked.size < budget && it.hasNext) {
+      val c @ (a, b, _) = it.next()
+      val m = a + b
+      if (!taboo(a) && !taboo(b) && !taboo(m)) {
+        picked += c
+        taboo ++= Seq(a, b, m)
+      }
+    }
+    picked.toSeq
+  }
+
+  /** Canonical greedy merge pass for a batch of DISJOINT rules: one-symbol
+    * lookback fold. `pend` holds the previous unmerged symbol; a
+    * (pend, s) hit on any rule emits the concatenated symbol and clears
+    * the lookback, so a merged symbol never re-pairs within the pass.
+    * Rule disjointness (see [[selectBatch]]) guarantees at most one rule
+    * matches at each position. */
+  private[graft] def applyMerges(syms: Column, rules: Seq[(String, String)]): Column = {
+    require(rules.nonEmpty, "applyMerges needs at least one rule")
     val zero = struct(array().cast("array<string>").as("acc"),
       lit(null).cast("string").as("pend"))
     val step = (st: Column, s: Column) => {
-      val hit = st.getField("pend") === lit(a) && s === lit(b)
+      val hit = rules.map { case (a, b) =>
+        st.getField("pend") === lit(a) && s === lit(b)
+      }.reduce(_ || _)
       struct(
-        when(hit, concat(st.getField("acc"), array(lit(a + b))))
+        when(hit, concat(st.getField("acc"), array(concat(st.getField("pend"), s))))
           .otherwise(when(st.getField("pend").isNull, st.getField("acc"))
             .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
           .as("acc"),
@@ -75,34 +133,47 @@ object Bpe {
     aggregate(syms, zero, step, finish)
   }
 
-  /** Run `rounds` merge rounds; returns the learned merges and the word
-    * table in its final segmentation. Ties break on (count desc, lhs,
-    * rhs) — fully deterministic. */
-  def train(docs: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
-    require(rounds >= 1, "need at least one merge round")
+  /** Learn up to `merges` merges in `ceil(merges/batch)` scans; returns
+    * the learned merges (rnd = global merge order) and the word table in
+    * its final segmentation. The scan schedule is FIXED — scan `r` has
+    * budget `min(batch, merges − batch·(r−1))` and a scan whose taboo
+    * skips leave it under budget is not compensated later — so the
+    * schedule is a pure function of (corpus, merges, batch), replayable
+    * by the oracle. Ties break on (count desc, lhs, rhs) — fully
+    * deterministic. `batch = 1` is exactly the classic sequential
+    * trainer (argmax per scan). */
+  def train(docs: DataFrame, merges: Int,
+            batch: Int = DefaultBatch): (Seq[Merge], DataFrame) = {
+    require(merges >= 1, "need at least one merge")
+    require(batch >= 1, "batch must be >= 1")
     var words = initialWords(docs).localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val scans = (merges + batch - 1) / batch
+    val k = OverscanFactor * batch
     var r = 1
     var dry = false
-    while (r <= rounds && !dry) {
+    while (r <= scans && !dry) {
+      val budget = math.min(batch, merges - batch * (r - 1))
       val top = pairCounts(words)
-        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
-      if (top.isEmpty) dry = true
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(k).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2))).toSeq
+      val picked = selectBatch(top, budget)
+      if (picked.isEmpty) dry = true
       else {
-        val (a, b, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += Merge(r, a, b, a + b, cnt)
-        words = words.withColumn("l", applyMerge(col("l"), a, b)).localCheckpoint(true)
+        picked.foreach { case (a, b, cnt) => out += Merge(out.size + 1, a, b, a + b, cnt) }
+        words = words.withColumn("l",
+          applyMerges(col("l"), picked.map(p => (p._1, p._2)))).localCheckpoint(true)
       }
       r += 1
     }
-    (merges.toSeq, words)
+    (out.toSeq, words)
   }
 
   /** The learned merge table — the trainer's user-facing artifact. */
-  def mergeTable(docs: DataFrame, rounds: Int): DataFrame = {
+  def mergeTable(docs: DataFrame, merges: Int, batch: Int = DefaultBatch): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (m, _) = train(docs, rounds)
+    val (m, _) = train(docs, merges, batch)
     m.toDF().orderBy("rnd")
   }
 
@@ -111,8 +182,9 @@ object Bpe {
     * report (and the lookup table an encoder would broadcast: encoding a
     * 100 TB token stream is a join against this vocab-sized table, not a
     * re-derivation per token). */
-  def subwordFrequencies(docs: DataFrame, rounds: Int): DataFrame = {
-    val (_, words) = train(docs, rounds)
+  def subwordFrequencies(docs: DataFrame, merges: Int,
+                         batch: Int = DefaultBatch): DataFrame = {
+    val (_, words) = train(docs, merges, batch)
     words.select(explode(col("l")).as("subword"), col("freq"))
       .groupBy("subword").agg(sum(col("freq")).as("n"))
       .orderBy("subword")

@@ -3,22 +3,63 @@ package graft
 import graft.ext.Bpe
 import org.apache.spark.sql.functions._
 
-/** BPE trainer: hand-computed merges on the classic corpus, canonical
-  * greedy (non-overlapping) merge application, determinism. */
+/** BPE trainer: hand-computed merges on the classic corpus (sequential
+  * batch=1 AND batched), canonical greedy (non-overlapping) merge
+  * application, batched-pass ≡ sequential-application equivalence,
+  * determinism. */
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
   private def docs(text: String) =
     Seq((1L, text, "s")).toDF("doc_id", "text", "source")
 
-  test("classic corpus learns (l,o) -> (lo,w) -> (low,_) first") {
+  /** Sennrich-style corpus: rich enough that one scan has real taboo
+    * skips. Pair counts: (e,s)=(s,t)=(t,_)=9, (w,e)=8, (l,o)=(o,w)=7,
+    * (e,w)=(n,e)=6, (w,_)=5, (d,e)=(i,d)=(w,i)=3, (e,r)=(r,_)=2. */
+  private def sennrich =
+    docs(("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3))
+
+  test("batch=1 (sequential): classic corpus learns (l,o) -> (lo,w) -> (low,_)") {
     // low×5, lower×2, newest×2: pair (l,o)=7 ties (o,w)=7, lhs tiebreak
     val corpus = docs(("low " * 5) + ("lower " * 2) + ("newest " * 2))
-    val (merges, _) = Bpe.train(corpus, 3)
+    val (merges, _) = Bpe.train(corpus, 3, batch = 1)
     assert(merges.map(m => (m.rnd, m.lhs, m.rhs, m.merged, m.cnt)) == Seq(
       (1, "l", "o", "lo", 7L),
       (2, "lo", "w", "low", 7L),
       (3, "low", "_", "low_", 5L)))
+  }
+
+  test("batched selection walks (cnt desc, a, b) with the taboo rule") {
+    // one scan, budget 4: (e,s) admitted; (s,t) and (t-chain blockers)
+    // skipped via shared symbols; greedy lands on hand-computed picks
+    val (merges, _) = Bpe.train(sennrich, 4, batch = 4)
+    assert(merges.map(m => (m.rnd, m.lhs, m.rhs, m.merged, m.cnt)) == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "t", "_", "t_", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "i", "d", "id", 3L)))
+  }
+
+  test("merges chain ACROSS scans; rnd is global merge order") {
+    // scan 2 recounts on the rewritten table: (es,t_)=9 chains onto
+    // scan 1's outputs, then (lo,w)=7
+    val (merges, _) = Bpe.train(sennrich, 6, batch = 4)
+    assert(merges.map(m => (m.rnd, m.merged, m.cnt)) == Seq(
+      (1, "es", 9L), (2, "t_", 9L), (3, "lo", 7L), (4, "id", 3L),
+      (5, "est_", 9L), (6, "low", 7L)))
+  }
+
+  test("one batched pass == applying the same merges sequentially in order") {
+    // the disjointness rule makes the batch independent: a single
+    // multi-rule applyMerges pass must equal one-rule-at-a-time passes
+    val rules = Seq(("e", "s"), ("t", "_"), ("l", "o"), ("i", "d"))
+    val base = Bpe.initialWords(sennrich).localCheckpoint(true)
+    val batched = base.withColumn("l", Bpe.applyMerges(col("l"), rules))
+      .select("word", "l").as[(String, Seq[String])].collect().toMap
+    val sequential = rules.foldLeft(base) { (df, rule) =>
+      df.withColumn("l", Bpe.applyMerges(col("l"), Seq(rule)))
+    }.select("word", "l").as[(String, Seq[String])].collect().toMap
+    assert(batched == sequential)
   }
 
   test("greedy merge is non-overlapping left-to-right (aaaa -> aa aa)") {
@@ -28,12 +69,20 @@ class BpeSpec extends SparkSpec {
     assert(syms == Seq("aa", "aa", "_"))
   }
 
-  test("merged symbols re-pair across rounds (aaaa fully collapses)") {
+  test("batch=1: merged symbols re-pair across rounds (aaaa fully collapses)") {
     // round 2: (aa,aa) and (aa,_) tie at 1; '_' < 'a' so (aa,_) wins
-    val (merges, words) = Bpe.train(docs("aaaa"), 3)
+    val (merges, words) = Bpe.train(docs("aaaa"), 3, batch = 1)
     assert(merges.map(_.merged) == Seq("aa", "aa_", "aaaa_"))
     val syms = words.select("l").as[Seq[String]].collect().head
     assert(syms == Seq("aaaa_"))
+  }
+
+  test("fixed scan schedule: an under-budget scan is not compensated") {
+    // 'aaaa' offers one admissible pair per scan; merges=3 batch=4 is a
+    // single scan, so only (a,a) is learned — the documented trade for
+    // the ceil(T/B) driver-round bound
+    val (merges, _) = Bpe.train(docs("aaaa"), 3, batch = 4)
+    assert(merges.map(_.merged) == Seq("aa"))
   }
 
   test("trainer is deterministic and drains when no pairs remain") {
@@ -46,12 +95,22 @@ class BpeSpec extends SparkSpec {
     assert(w1.select("l").as[Seq[String]].collect().head == Seq("ab_"))
   }
 
-  test("subword frequencies account for every token occurrence") {
+  test("batch=1: subword frequencies account for every token occurrence") {
     val corpus = docs(("low " * 5) + ("lower " * 2))
-    val freqs = Bpe.subwordFrequencies(corpus, 2)
+    val freqs = Bpe.subwordFrequencies(corpus, 2, batch = 1)
       .as[(String, Long)].collect().toMap
     // after (l,o) and (lo,w): low -> [low, _], lower -> [low, e, r, _]
     assert(freqs == Map("low" -> 7L, "_" -> 7L, "e" -> 2L, "r" -> 2L))
+  }
+
+  test("batched subword frequencies account for every token occurrence") {
+    val corpus = docs(("low " * 5) + ("lower " * 2))
+    // one scan, budget 2: (l,o)=7 admitted, (o,w)=7 blocked on o,
+    // (w,_)=5 admitted -> low = [lo, w_], lower = [lo, w, e, r, _]
+    val freqs = Bpe.subwordFrequencies(corpus, 2, batch = 4)
+      .as[(String, Long)].collect().toMap
+    assert(freqs == Map("lo" -> 7L, "w_" -> 5L, "w" -> 2L,
+      "e" -> 2L, "r" -> 2L, "_" -> 2L))
   }
 
   test("non-ascii words are excluded from the training alphabet") {
