@@ -375,7 +375,28 @@ object Dedup {
   /** All-pairs exact n-gram Jaccard via the shingle inverted index: only
     * docs that SHARE a shingle ever meet (equi-join), so cost scales with
     * co-occurrence, not n². `maxDf` drops ultra-common shingles (stopword
-    * shingles), which is both a quality and a skew guard at scale. */
+    * shingles), which is both a quality and a skew guard at scale.
+    *
+    * DECISION (hot-shingle semantics): with `maxDf` set, scores are
+    * defined over the FILTERED shingle universe — pairs sharing ONLY
+    * dropped shingles never meet, and surviving pairs' Jaccard counts
+    * exclude the dropped shingles from both intersection and union. This
+    * dropping is INTENDED, not a workaround. The alternative — keeping
+    * hot shingles exact by routing them through a salted two-path join
+    * (the [[graft.rel.SkewJoin]] machinery, as `q_skew_join` does) — was
+    * considered and rejected: salting fixes PARTITION skew, but a shingle
+    * with document frequency df emits ~df²/2 candidate pairs in the
+    * OUTPUT no matter how the join is partitioned. At corpus scale a
+    * boilerplate shingle with df=10⁸ yields ~10¹⁶ pairs — the quadratic
+    * blow-up is in the result set itself, so no join strategy makes
+    * `maxDf=∞` affordable, and the pairs it would add are exactly the
+    * zero-signal ones (sharing boilerplate is not evidence of
+    * duplication). Production web-corpus dedup pipelines drop hot
+    * shingles for the same combined cost/quality reason. The default
+    * remains `maxDf=∞` (fully exact) so small/clean corpora — and the
+    * DuckDB oracle — pay no semantic surprise; corpus-scale callers set
+    * `maxDf`. DedupSpec pins both behaviors on a planted hot-shingle
+    * fixture. [[containmentPairs]] shares these semantics. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, maxDf: Long = Long.MaxValue,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shingleRows(docs, k, textCol, idCol)

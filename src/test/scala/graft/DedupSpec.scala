@@ -48,6 +48,36 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 2L)) > 0.7 && j((0L, 2L)) < 1.0)
   }
 
+  test("maxDf hot-shingle semantics: boilerplate-only pairs drop; real near-dups survive") {
+    // every doc carries the same boilerplate tail (its interior 3-shingles
+    // have df=6); bodies: 0~1 near-identical, 2..5 mutually unrelated
+    val boiler = " please subscribe to our newsletter for weekly updates and offers"
+    val hot = Seq(
+      (0L, base + boiler),
+      (1L, base.replace("lazy", "sleepy") + boiler),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa" + boiler),
+      (3L, "one two three four five six seven eight nine ten eleven" + boiler),
+      (4L, "red orange yellow green blue indigo violet colors rainbow sky" + boiler),
+      (5L, "north south east west compass map route travel journey distance" + boiler)
+    ).toDF("doc_id", "text")
+    // exact (maxDf=inf): boilerplate alone is enough to pair unrelated docs
+    val exact = Dedup.ngramJaccardPairs(hot)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact.contains((2L, 3L)) && exact((2L, 3L)) > 0.0,
+      "with maxDf=inf, boilerplate-only overlap must produce a (low) score")
+    // filtered universe: df=6 boilerplate shingles dropped at maxDf=5 —
+    // unrelated pairs never meet, the true near-dup still scores high
+    val filtered = Dedup.ngramJaccardPairs(hot, maxDf = 5L)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(filtered.contains((0L, 1L)) && filtered((0L, 1L)) > 0.7,
+      "near-dup pair must survive the hot-shingle filter with a high score")
+    for (p <- Seq((2L, 3L), (2L, 4L), (3L, 5L), (4L, 5L)))
+      assert(!filtered.contains(p),
+        s"pair $p shares only dropped boilerplate shingles and must not meet")
+  }
+
   test("simhash: identical hamming 0; near-dups within pair distance") {
     val sims = Dedup.simhash(corpus, numBits = 30)
       .as[(Long, Long)].collect().toMap
