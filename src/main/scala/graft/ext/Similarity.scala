@@ -87,8 +87,10 @@ object Similarity {
     * scan, and the threshold filter runs map-side — only qualifying
     * (query, neighbor, score) rows ever leave the scan stage, so output
     * size is the result size, not |corpus|·|queries|. At corpus scale the
-    * same exact filter runs after LSH/IVF candidate generation
-    * ([[lshTopK]] / [[Ivf]]) instead of the full scan. */
+    * same exact filter runs after LSH/IVF candidate generation instead of
+    * the full scan — concretely: the `candidates` overload below scores a
+    * pre-built (query_id, neighbor_id) set from [[lshCandidates]] (or an
+    * IVF cell-assignment join). */
   def radiusSearch(embeddings: DataFrame, queryIds: Seq[Long], threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val corpus = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
@@ -102,6 +104,39 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** [[radiusSearch]] over a PRE-BUILT candidate set — the corpus-scale
+    * composition: generate (query_id, neighbor_id) candidates with
+    * [[lshCandidates]] (or an IVF cell join), then run the identical
+    * exact cosine filter over candidates only. Equal to the full scan
+    * whenever the candidate set covers every qualifying pair (spec-proved
+    * on a planted clustered fixture); recall below that is the candidate
+    * generator's dial, never the scorer's.
+    *
+    * Scale shape: two id-keyed equi-joins attach vectors+norms to the
+    * candidate rows, so cost scales with |candidates|, and the query set
+    * may itself be corpus-sized — no broadcast, no crossJoin. (No default
+    * args: Scala allows them on one overload only.) */
+  def radiusSearch(embeddings: DataFrame, candidates: DataFrame, threshold: Double,
+                   idCol: String, vecCol: String): DataFrame =
+    scoreCandidates(embeddings, candidates, idCol, vecCol,
+      pairScore("query_id", "neighbor_id"))
+      .filter(col("score") >= threshold)
+      .orderBy("query_id", "neighbor_id")
+
+  /** Attach vectors + norms to (query_id, neighbor_id) candidate rows and
+    * score each pair exactly: the shared tail of the composition
+    * overloads. Self-pairs are dropped here so every candidate generator
+    * gets the same contract as the full-scan forms. */
+  private def scoreCandidates(embeddings: DataFrame, candidates: DataFrame,
+                              idCol: String, vecCol: String, score: Column): DataFrame = {
+    val q = withNorm2(embeddings, idCol, vecCol, "query_id")
+    val c = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
+    candidates.select(col("query_id"), col("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+  }
+
   /** Exact maximum-inner-product top-k (MIPS): [[bruteForceTopK]] ranked by
     * raw dot product instead of cosine — the retrieval scoring for
     * embeddings whose norm carries signal (recommendation scores, learned
@@ -111,8 +146,9 @@ object Similarity {
     * Scale note: the approximate path for MIPS is norm augmentation —
     * append sqrt(M² − ‖v‖²) to each corpus vector and 0 to each query
     * (Bachrach et al. 2014, "Speeding Up the Xbox Recommender") — which
-    * turns inner-product ranking into cosine ranking, so [[lshTopK]] and
-    * the IVF path apply unchanged at corpus scale. */
+    * turns inner-product ranking into cosine ranking, so [[lshCandidates]]
+    * and the IVF path apply unchanged at corpus scale; the `candidates`
+    * overload below then rescores with the RAW dot product. */
   def mipsTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val corpus = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
@@ -124,6 +160,18 @@ object Similarity {
         dot(col("v_query_id"), col("v_neighbor_id")).as("score"))
     topKPerQuery(scored, k)
   }
+
+  /** [[mipsTopK]] over a PRE-BUILT candidate set — same composition as
+    * the `radiusSearch` candidates overload: candidates from
+    * [[lshCandidates]] on norm-augmented vectors (or an IVF cell join),
+    * exact raw-dot rescoring + bounded TopKAggregator ranking here.
+    * Equal to the full scan whenever candidates cover each query's true
+    * top-k (spec-proved on the planted fixture). No default args: Scala
+    * allows them on one overload only. */
+  def mipsTopK(embeddings: DataFrame, candidates: DataFrame, k: Int,
+               idCol: String, vecCol: String): DataFrame =
+    topKPerQuery(scoreCandidates(embeddings, candidates, idCol, vecCol,
+      dot(col("v_query_id"), col("v_neighbor_id"))), k)
 
   /** Deterministic pseudo-random hyperplane component: derived from a hash
     * of (plane, dim) mapped into [-1, 1] — no RNG state, so every executor
@@ -206,6 +254,38 @@ object Similarity {
     // no dedup needed: each corpus vector lives in exactly one bucket, and
     // probe values are distinct, so a candidate pair appears at most once
     topKPerQuery(scored, k)
+  }
+
+  /** LSH candidate GENERATION for a query set: the multi-probe bucket
+    * join of [[lshTopK]], emitting bare (query_id, neighbor_id) pairs
+    * instead of scoring them — the input the `radiusSearch`/`mipsTopK`
+    * candidates overloads consume. Splitting generation from exact
+    * rescoring is the corpus-scale shape: candidates are built once per
+    * query batch and can feed several scorers (radius sweep, MIPS, a
+    * custom filter) without re-bucketing.
+    *
+    * Each corpus vector lives in exactly one bucket and probe values are
+    * distinct, so a pair appears at most once — no dedup shuffle. Same
+    * `numPlanes` scaling rule as [[lshTopK]]. */
+  def lshCandidates(embeddings: DataFrame, queryIds: Seq[Long], numPlanes: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dimRow = embeddings.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) // empty corpus: empty (query_id, neighbor_id) result
+      return emptyTopK(embeddings.sparkSession).select("query_id", "neighbor_id")
+    val dim = dimRow.head.getInt(0)
+    val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
+    val bucketed = embeddings
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val probes = array(
+      (col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1L), p)))): _*)
+    val queries = broadcast(
+      bucketed.filter(col("neighbor_id").isin(queryIds: _*))
+        .select(col("neighbor_id").as("query_id"), explode(probes).as("bucket")))
+    bucketed.join(queries, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
   }
 
   /** Array-column statistics per label: vector count, dimension, and the

@@ -57,6 +57,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ann == ann2)
   }
 
+  test("candidates overloads: exact filter after LSH == full scan on clustered fixture") {
+    // 3 tight clusters along axes in dim 8 (1e-6 perturbations): cluster
+    // mates share an LSH bucket, cross-cluster cosine ~ 0 — so the LSH
+    // candidate set covers every qualifying pair and the composition must
+    // equal the full scan EXACTLY (same pairs, bit-identical scores)
+    val rows = for {
+      c <- 0 until 3
+      m <- 0 until 4
+    } yield {
+      val v = Array.tabulate(8)(j =>
+        (if (j == c) 1.0 else 0.0) + (if (j == 4 + (c + m) % 4) 1e-6 * (m + 1) else 0.0))
+      ((c * 4 + m).toLong, v.map(_.toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qIds = Seq(0L, 4L, 8L)
+    val cands = Similarity.lshCandidates(emb, qIds, numPlanes = 4)
+
+    val fullR = Similarity.radiusSearch(emb, qIds, 0.9)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val compR = Similarity.radiusSearch(emb, cands, 0.9, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(fullR.nonEmpty && fullR.map(p => (p._1, p._2)) ==
+      qIds.flatMap(q => (q until q + 4).filter(_ != q).map((q, _))).sorted,
+      "each query must reach exactly its 3 cluster mates above the threshold")
+    assert(compR == fullR, "candidate composition must equal the full radius scan")
+
+    val fullM = Similarity.mipsTopK(emb, qIds, 3)
+      .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    val compM = Similarity.mipsTopK(emb, cands, 3, "vec_id", "embedding")
+      .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    assert(compM == fullM, "candidate composition must equal the full MIPS scan")
+  }
+
   test("ivf: centroids partition the corpus; recall lifts over probe fraction") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
