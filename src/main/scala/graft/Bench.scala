@@ -39,7 +39,16 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
       name -> (((System.nanoTime() - t0) / 1e9, ok))
     }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
+    // Between passes (outside every per-query timer): give the JVM a GC so
+    // Spark's ContextCleaner can release the previous pass's unreferenced
+    // localCheckpoint blocks — its own periodic GC fires every 30 min,
+    // which never happens inside a ~70s suite, so without this each pass
+    // measures queries against the block-manager garbage of the last one.
+    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
+    reclaim()
+    val p1 = timedPass()
+    reclaim()
+    val p2 = timedPass()
     val firstPass = sorted.map { case (name, _) =>
       (name, math.min(p1(name)._1, p2(name)._1), p1(name)._2 && p2(name)._2)
     }

@@ -262,10 +262,16 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list by iterative
-    * min-label propagation: every node ends up labeled with the smallest
-    * id reachable from it. Converges in O(component diameter) rounds
-    * (near-dup clusters are shallow); each round is one join + one
-    * aggregation, checkpointed to keep lineage flat.
+    * min-label propagation WITH pointer jumping: each round relaxes over
+    * edges (neighbor min) and then compresses one level (label ←
+    * label[label]), so the reachable-min horizon roughly doubles per
+    * round and convergence is O(log diameter) rounds, not O(diameter) —
+    * profiling showed the per-round fixed cost (one checkpoint + one
+    * convergence count) dominates at any corpus size where components
+    * fit the threshold, so halving rounds is the lever that matters both
+    * at bench scale and on a cluster (each skipped round is a full
+    * barrier). Each round is two joins + one aggregation, checkpointed
+    * to keep lineage flat.
     *
     * `maxIter` is a safety valve, not a tuning knob: the declared contract
     * (and the WITH RECURSIVE oracle) is the exact fixpoint, so the default
@@ -292,12 +298,22 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl")), "dst")
         .groupBy(col("src").as(idCol)).agg(min(col("nl")).as("nmin"))
-      // carry the previous label through the checkpoint so the convergence
-      // check is a filter over materialized rows, not another join
-      val next = labels.join(neighborMin, Seq(idCol), "left")
+      val relaxed = labels.join(neighborMin, Seq(idCol), "left")
         .select(col(idCol), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("mid"))
+      // pointer jumping: follow the relaxed label one more hop (labels
+      // are node ids, so label-of-label is a self-lookup). Reachability
+      // is transitive, labels are monotone non-increasing and bounded by
+      // the component min, so compression never overshoots the fixpoint —
+      // it only gets there in ~log(diameter) rounds. The left join +
+      // coalesce keeps nodes whose label already is a component min.
+      // carry the previous label through the checkpoint so the convergence
+      // check is a filter over materialized rows, not another join
+      val lookup = relaxed.select(col(idCol).as("__hop_id"), col("mid").as("__hop"))
+      val next = relaxed.join(lookup, col("mid") === col("__hop_id"), "left")
+        .select(col(idCol), col("old"),
+          coalesce(col("__hop"), col("mid")).as("cluster_id"))
         .localCheckpoint(true)
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select(col(idCol), col("cluster_id"))

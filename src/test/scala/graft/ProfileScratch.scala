@@ -45,6 +45,42 @@ object ProfileScratch {
     time("clusterPairs") {
       ext.Dedup.clusterPairs(emb.select(col("vec_id")), pairs, "vec_id").count()
     }
+    // round structure of the propagation: replicate clusterPairs inline
+    // with per-round timing to see where the seconds go
+    locally {
+      val idCol = "vec_id"
+      val p = time("  pairs checkpoint") {
+        pairs.select(col("a"), col("b")).localCheckpoint(true)
+      }
+      val edges = p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      var labels = time("  labels init") {
+        edges.select(col("src").as(idCol)).distinct()
+          .select(col(idCol), col(idCol).as("cluster_id")).localCheckpoint(true)
+      }
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 100) {
+        val t0 = System.nanoTime()
+        val neighborMin = edges
+          .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl")), "dst")
+          .groupBy(col("src").as(idCol)).agg(min(col("nl")).as("nmin"))
+        val relaxed = labels.join(neighborMin, Seq(idCol), "left")
+          .select(col(idCol), col("cluster_id").as("old"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+              .as("mid"))
+        val lookup = relaxed.select(col(idCol).as("__hop_id"), col("mid").as("__hop"))
+        val next = relaxed.join(lookup, col("mid") === col("__hop_id"), "left")
+          .select(col(idCol), col("old"),
+            coalesce(col("__hop"), col("mid")).as("cluster_id"))
+          .localCheckpoint(true)
+        val tCkpt = (System.nanoTime() - t0) / 1e9
+        changed = next.filter(col("cluster_id") =!= col("old")).count()
+        labels = next.select(col(idCol), col("cluster_id"))
+        iter += 1
+        println(f"[profile]   round $iter: changed=$changed ckpt=$tCkpt%.3f total=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
     spark.stop()
   }
 }
