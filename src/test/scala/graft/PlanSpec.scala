@@ -89,6 +89,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.takeRight(1200))
   }
 
+  test("candidate-set ANN composition plans equi-joins, never a cartesian product") {
+    // the corpus-scale form: candidates are id pairs, vectors attach via
+    // two id-keyed joins — no crossJoin, no corpus broadcast required
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cands = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "neighbor_id")
+    val p = plan(graft.ext.Similarity.radiusSearch(emb, cands, 0.5, "vec_id", "embedding"))
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    val pm = plan(graft.ext.Similarity.mipsTopK(emb, cands, 5, "vec_id", "embedding"))
+    assert(!pm.contains("CartesianProduct"), pm.takeRight(800))
+  }
+
   test("vocabulary id assignment has no single-partition exchange") {
     // the two-phase ranking must never funnel the dictionary through one
     // task: no SinglePartition exchange anywhere (the presentation sort is
