@@ -67,9 +67,14 @@ object Bench {
     //      (min-of-3) before it can be reported;
     //  (d) deltas under an absolute 0.5s noise floor are never flagged —
     //      sub-second queries swing that much under machine load.
+    // BENCH_BASELINE (optional) pins the comparison to a fixed file —
+    // e.g. a known-good round artifact — instead of ratcheting to the
+    // immediately preceding run (where one noisy-fast run would inflate
+    // the next run's flags).
+    val baselinePath = sys.env.getOrElse("BENCH_BASELINE", "BENCH_FULL.json")
     val (prevSf, prev): (String, Map[String, Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_FULL.json")), java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Paths.get(baselinePath)), java.nio.charset.StandardCharsets.UTF_8)
       val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
       val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
       (sf, """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qs)

@@ -623,6 +623,32 @@ object OracleSql {
        |GROUP BY subword ORDER BY subword""".stripMargin
   }
 
+  /** Corpus encoding with the trained vocabulary (mirror of
+    * Bpe.encodeCorpus): in-alphabet tokens join the final segmentation
+    * table in token order; per doc the token/subword counts and the
+    * space-joined segmented stream. */
+  def bpeEncode(merges: Int, batch: Int = graft.ext.Bpe.DefaultBatch): String = {
+    val scans = (merges + batch - 1) / batch
+    s"""${bpeChain(merges, batch)},
+       |tokpos AS (
+       |  SELECT doc_id, toks[i] AS word, i AS tok_no
+       |  FROM toks, unnest(range(1, len(toks) + 1)) AS t(i)
+       |  WHERE regexp_matches(toks[i], '^[a-z0-9]+$$')),
+       |enc AS (
+       |  SELECT t.doc_id, t.tok_no, array_to_string(s.l, ' ') AS seg,
+       |    array_length(s.l)::BIGINT AS ns
+       |  FROM tokpos t JOIN S$scans s ON t.word = s.word),
+       |eagg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ns)::BIGINT AS n_subwords,
+       |    string_agg(seg, ' ' ORDER BY tok_no) AS segmented
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(a.n_subwords, 0)::BIGINT AS n_subwords,
+       |  coalesce(a.segmented, '') AS segmented
+       |FROM documents d LEFT JOIN eagg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def bpeChain(merges: Int, batch: Int): String = {
     val scans = (merges + batch - 1) / batch
     val k = graft.ext.Bpe.OverscanFactor * batch

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     "text_bpe" -> ((s, d) => ext.Bpe.mergeTable(Tables.documents(s, d), 8)),
     "text_bpe_vocab" -> ((s, d) => ext.Bpe.subwordFrequencies(Tables.documents(s, d), 8)),
+    "text_bpe_encode" -> ((s, d) => ext.Bpe.encodeCorpus(Tables.documents(s, d), 8)),
     "text_lm_score" -> ((s, d) => ext.LmScore.scoreDocuments(Tables.documents(s, d))),
     // incremental count maintenance: batch = doc_id % 4 == 0; the merged
     // totals must equal a full recount of the whole corpus
@@ -676,6 +677,7 @@ object SparkEntry {
         |) ORDER BY step_idx""".stripMargin,
     "text_bpe" -> OracleSql.bpeMerges(8),
     "text_bpe_vocab" -> OracleSql.bpeSubwords(8),
+    "text_bpe_encode" -> OracleSql.bpeEncode(8),
     "text_lm_score" -> OracleSql.lmScore,
     // associativity is the check: merged batch+corpus counts == recount
     "pipeline_merge_counts" ->

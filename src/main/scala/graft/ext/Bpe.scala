@@ -181,12 +181,52 @@ object Bpe {
     * segmentation weighted by its frequency — the vocabulary-coverage
     * report (and the lookup table an encoder would broadcast: encoding a
     * 100 TB token stream is a join against this vocab-sized table, not a
-    * re-derivation per token). */
+    * re-derivation per token — [[encodeCorpus]] is that join, concrete). */
   def subwordFrequencies(docs: DataFrame, merges: Int,
                          batch: Int = DefaultBatch): DataFrame = {
     val (_, words) = train(docs, merges, batch)
     words.select(explode(col("l")).as("subword"), col("freq"))
       .groupBy("subword").agg(sum(col("freq")).as("n"))
       .orderBy("subword")
+  }
+
+  /** Encode the corpus with the vocabulary trained on it — the step that
+    * turns a cleaned corpus into model input. Every in-alphabet token
+    * (the trainer's `[a-z0-9]+` universe) joins the trained
+    * word→segmentation table and renders as its subword sequence;
+    * per document the result is the in-alphabet token count, the subword
+    * count, and the full segmented stream (subwords space-joined in
+    * token order — [[EndMark]] closes each word, so the rendering is
+    * lossless). Documents with no in-alphabet token keep a (0, 0, '')
+    * row.
+    *
+    * Scale shape: training costs [[train]] (ceil(merges/batch) scans of
+    * the distinct-word table); encoding itself is ONE equi-join of the
+    * corpus token stream against the VOCAB-SIZED word table plus one
+    * doc-keyed aggregation — a 100 TB stream encodes without any
+    * per-token re-derivation. The word table is left unhinted: it is
+    * broadcastable at typical vocab sizes and AQE picks that up from
+    * stats; an explicit hint would hard-fail on an unusually wide vocab
+    * instead of degrading to a shuffle join. Token order is recovered
+    * from `posexplode` positions inside the per-doc aggregation — no
+    * window, no global sort. */
+  def encodeCorpus(docs: DataFrame, merges: Int, batch: Int = DefaultBatch,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (_, words) = train(docs, merges, batch)
+    val seg = words.select(col("word"), array_join(col("l"), " ").as("seg"),
+      size(col("l")).cast("long").as("ns"))
+    val toks = docs.select(col(idCol),
+        posexplode(graft.text.Tokenize.tokensArray(col(textCol))).as(Seq("tok_no", "word")))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val enc = toks.join(seg, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ns")).as("n_subwords"),
+        array_join(transform(array_sort(collect_list(struct(col("tok_no"), col("seg")))),
+          x => x.getField("seg")), " ").as("segmented"))
+    docs.select(col(idCol)).join(enc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("segmented"), lit("")).as("segmented"))
+      .orderBy(idCol)
   }
 }

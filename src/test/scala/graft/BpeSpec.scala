@@ -113,6 +113,22 @@ class BpeSpec extends SparkSpec {
       "e" -> 2L, "r" -> 2L, "_" -> 2L))
   }
 
+  test("encodeCorpus renders every token's segmentation in order, OOV-safe") {
+    // batch=1, 2 merges on low×5 lower×2: (l,o) then (lo,w) — so
+    // low = [low, _], lower = [low, e, r, _]
+    val corpus = Seq(
+      (1L, ("low " * 5) + ("lower " * 2), "s"),
+      (2L, "lower low", "s"),
+      (3L, "!!! ???", "s") // normalizes to out-of-alphabet tokens only
+    ).toDF("doc_id", "text", "source")
+    val got = Bpe.encodeCorpus(corpus, 2, batch = 1)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, 18L, ("low _ " * 5) + ("low e r _ " * 2).trim),
+      (2L, 2L, 6L, "low e r _ low _"),
+      (3L, 0L, 0L, "")))
+  }
+
   test("non-ascii words are excluded from the training alphabet") {
     val corpus = docs("über über low low")
     val words = Bpe.initialWords(corpus).select("word").as[String].collect().toSeq
