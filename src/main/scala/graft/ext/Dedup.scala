@@ -262,16 +262,19 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list by iterative
-    * min-label propagation WITH pointer jumping: each round relaxes over
-    * edges (neighbor min) and then compresses one level (label ←
-    * label[label]), so the reachable-min horizon roughly doubles per
-    * round and convergence is O(log diameter) rounds, not O(diameter) —
-    * profiling showed the per-round fixed cost (one checkpoint + one
-    * convergence count) dominates at any corpus size where components
-    * fit the threshold, so halving rounds is the lever that matters both
-    * at bench scale and on a cluster (each skipped round is a full
-    * barrier). Each round is two joins + one aggregation, checkpointed
-    * to keep lineage flat.
+    * min-label propagation WITH adaptive pointer jumping: every round
+    * relaxes over edges (neighbor min); from round 3 on, a surviving
+    * frontier additionally compresses one level (label ← label[label]),
+    * so the reachable-min horizon roughly doubles per round and deep
+    * chains converge in 2 + O(log diameter) rounds instead of
+    * O(diameter). The first two rounds stay plain because the common
+    * near-dup shape — stars around an exact-dup nucleus — converges
+    * there already, and a jump is an extra self-join those graphs would
+    * pay for nothing (measured: always-jumping cut the deep-chain
+    * embedding fixture 6→4 rounds but added ~20% to the shallow minhash
+    * composites). Profiling showed the per-round fixed cost (one
+    * checkpoint + one convergence count, a full barrier on a cluster)
+    * dominates, so round count is the lever that matters at every scale.
     *
     * `maxIter` is a safety valve, not a tuning knob: the declared contract
     * (and the WITH RECURSIVE oracle) is the exact fixpoint, so the default
@@ -302,19 +305,22 @@ object Dedup {
         .select(col(idCol), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("mid"))
-      // pointer jumping: follow the relaxed label one more hop (labels
-      // are node ids, so label-of-label is a self-lookup). Reachability
-      // is transitive, labels are monotone non-increasing and bounded by
-      // the component min, so compression never overshoots the fixpoint —
-      // it only gets there in ~log(diameter) rounds. The left join +
-      // coalesce keeps nodes whose label already is a component min.
-      // carry the previous label through the checkpoint so the convergence
-      // check is a filter over materialized rows, not another join
-      val lookup = relaxed.select(col(idCol).as("__hop_id"), col("mid").as("__hop"))
-      val next = relaxed.join(lookup, col("mid") === col("__hop_id"), "left")
-        .select(col(idCol), col("old"),
-          coalesce(col("__hop"), col("mid")).as("cluster_id"))
-        .localCheckpoint(true)
+      // pointer jumping (round 3+): follow the relaxed label one more hop
+      // (labels are node ids, so label-of-label is a self-lookup).
+      // Reachability is transitive, labels are monotone non-increasing
+      // and bounded by the component min, so compression never overshoots
+      // the fixpoint — it only gets there in ~log(diameter) rounds. The
+      // left join + coalesce keeps nodes whose label already is a
+      // component min. The previous label rides along through the
+      // checkpoint so the convergence check is a filter over materialized
+      // rows, not another join.
+      val jumped = if (iter < 2) relaxed.withColumnRenamed("mid", "cluster_id") else {
+        val lookup = relaxed.select(col(idCol).as("__hop_id"), col("mid").as("__hop"))
+        relaxed.join(lookup, col("mid") === col("__hop_id"), "left")
+          .select(col(idCol), col("old"),
+            coalesce(col("__hop"), col("mid")).as("cluster_id"))
+      }
+      val next = jumped.localCheckpoint(true)
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select(col(idCol), col("cluster_id"))
       iter += 1

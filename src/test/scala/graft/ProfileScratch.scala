@@ -69,11 +69,13 @@ object ProfileScratch {
           .select(col(idCol), col("cluster_id").as("old"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
               .as("mid"))
-        val lookup = relaxed.select(col(idCol).as("__hop_id"), col("mid").as("__hop"))
-        val next = relaxed.join(lookup, col("mid") === col("__hop_id"), "left")
-          .select(col(idCol), col("old"),
-            coalesce(col("__hop"), col("mid")).as("cluster_id"))
-          .localCheckpoint(true)
+        val jumped = if (iter < 2) relaxed.withColumnRenamed("mid", "cluster_id") else {
+          val lookup = relaxed.select(col(idCol).as("__hop_id"), col("mid").as("__hop"))
+          relaxed.join(lookup, col("mid") === col("__hop_id"), "left")
+            .select(col(idCol), col("old"),
+              coalesce(col("__hop"), col("mid")).as("cluster_id"))
+        }
+        val next = jumped.localCheckpoint(true)
         val tCkpt = (System.nanoTime() - t0) / 1e9
         changed = next.filter(col("cluster_id") =!= col("old")).count()
         labels = next.select(col(idCol), col("cluster_id"))
