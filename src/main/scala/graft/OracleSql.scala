@@ -519,6 +519,22 @@ object OracleSql {
        |SELECT b.vec_id, coalesce(l.cluster_id, b.vec_id) AS cluster_id
        |FROM base b LEFT JOIN labels l ON l.id = b.vec_id ORDER BY vec_id""".stripMargin
 
+  /** pipeline_decon_embedding oracle: exact cross-side thresholded
+    * cosine (all-pairs n·m — oracle only; the engine cell-prunes).
+    * Eval side = vec_id < evalMax; corpus side = [evalMax, corpusMax).
+    * Zero-norm vectors on either side pair with nothing. */
+  def crossSemanticPairs(evalMax: Long, corpusMax: Long, threshold: Double): String =
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings
+       |            WHERE vec_id < $evalMax AND ${selfDot("embedding")} > 0),
+       |co AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE vec_id >= $evalMax AND vec_id < $corpusMax
+       |         AND ${selfDot("embedding")} > 0),
+       |s AS (SELECT c.vec_id AS corpus_id, e.vec_id AS eval_id,
+       |        ${cosineExpr("c.embedding", "e.embedding")} AS score
+       |      FROM co c CROSS JOIN ev e)
+       |SELECT corpus_id, eval_id, score FROM s WHERE score >= $threshold
+       |ORDER BY corpus_id, eval_id""".stripMargin
+
   /** Raw regex/list fragments for the Gopher-rule oracle (plain strings:
     * interpolated triple-quoted strings process \x/\p escapes). */
   private val rawWords = """list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), w -> w <> '')"""

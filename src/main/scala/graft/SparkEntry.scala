@@ -180,6 +180,15 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
+    // SEMANTIC decontamination: eval set = vec_id < 50, corpus bounded to
+    // [50, 550) so the all-pairs oracle stays n·m; threshold 0.4 flags a
+    // dozen cross-side paraphrase-level matches on this corpus
+    "pipeline_decon_embedding" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.crossCosinePairs(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 550),
+        emb.filter(col("vec_id") < 50), 0.4)
+    }),
     // benchmark decontamination: docs with doc_id % 19 == 0 stand in for
     // the eval/benchmark set; the report covers the remaining train docs
     "pipeline_decontaminate" -> ((s, d) => {
@@ -624,6 +633,7 @@ object SparkEntry {
     "pipeline_mixture" -> OracleSql.mixtureSample(Seq("en" -> 75, "zh" -> 40), 20),
     "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
     "dedup_embedding" -> OracleSql.embeddingClusters(500, 0.4),
+    "pipeline_decon_embedding" -> OracleSql.crossSemanticPairs(50, 550, 0.4),
     "text_gopher" -> OracleSql.gopherQuality(50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2),
     "text_chunks" -> OracleSql.chunkDocuments(32, 24),
     "pipeline_pack" -> OracleSql.packSequences(2048),

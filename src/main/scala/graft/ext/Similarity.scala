@@ -353,20 +353,56 @@ object Similarity {
     * boundary pair. Cost scales with how clustered the corpus is (pruning
     * is what an exact answer costs — sub-quadratic work for every corpus
     * whose near-dup mass is clustered, which is what `nlist` dials). */
+  /** Normalized, checkpointed side for cell-pruned exact pair mining:
+    * (out, v_out, n2_out, vhat). Zero-norm vectors have no direction
+    * (cosine undefined) — excluded here AND in the *Exact cross-checks,
+    * or their NaNs would poison cell radii / score ordering and silently
+    * drop valid pairs. One sqrt per row, not per element. */
+  private def normalizedSide(df: DataFrame, idCol: String, vecCol: String,
+                             out: String): DataFrame =
+    withNorm2(df, idCol, vecCol, out)
+      .filter(col(s"n2_$out") > 0)
+      .withColumn("__rinv", lit(1.0) / sqrt(col(s"n2_$out")))
+      .withColumn("vhat", transform(col(s"v_$out"), x => x * col("__rinv")))
+      .drop("__rinv")
+      .localCheckpoint(true) // reused by training, assignment and join sides
+
+  /** Per-cell radius max ‖v̂ − c_cell‖ over an assigned (cell, vhat)
+    * frame — one aggregation, nlist rows to the driver. */
+  private def cellRadii(assigned: DataFrame, cvecs: Seq[Seq[Double]],
+                        cn2: Seq[Double]): Map[Int, Double] = {
+    val ownC = element_at(typedLit(cvecs), col("cell") + 1)
+    val d2 = lit(1.0) + element_at(typedLit(cn2), col("cell") + 1) -
+      lit(2.0) * dot(col("vhat"), ownC)
+    assigned.select(col("cell"), sqrt(greatest(d2, lit(0.0))).as("r"))
+      .groupBy("cell").agg(max(col("r")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Driver-side cell-pair pruning (nlist × nlist distance checks): by
+    * the triangle inequality a pair from cells (i, j) can only reach
+    * cosine ≥ minCosine when d(cᵢ,cⱼ) − rᵢ − rⱼ ≤ √(2−2·minCosine); the
+    * 1e-9 slack keeps float error from dropping a boundary pair.
+    * `orderedOnly` emits i ≤ j (same-table mining); the cross-corpus
+    * form needs both orientations. */
+  private def prunedCellPairs(cvecs: IndexedSeq[Seq[Double]], radius: Map[Int, Double],
+                              minCosine: Double, orderedOnly: Boolean): Seq[(Int, Int)] = {
+    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine)) + 1e-9
+    def dist(x: Seq[Double], y: Seq[Double]): Double =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    val cids = cvecs.indices
+    for {
+      i <- cids; j <- cids if !orderedOnly || i <= j
+      if dist(cvecs(i), cvecs(j)) - radius.getOrElse(i, 0.0) - radius.getOrElse(j, 0.0) <= maxDist
+    } yield (i, j)
+  }
+
   private def cellPrunedScoredPairs(embeddings: DataFrame, minCosine: Double, nlist: Int,
                                     idCol: String, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // normalized copies drive the geometry; raw vectors + norms score.
-    // Zero-norm vectors have no direction (cosine undefined) — excluded
-    // here AND in the *Exact cross-checks, or their NaNs would poison cell
-    // radii / score ordering and silently drop valid pairs.
-    val base = withNorm2(embeddings, idCol, vecCol, "a")
-      .filter(col("n2_a") > 0)
-      .withColumn("__rinv", lit(1.0) / sqrt(col("n2_a"))) // one sqrt per row, not per element
-      .withColumn("vhat", transform(col("v_a"), x => x * col("__rinv")))
-      .drop("__rinv")
-      .localCheckpoint(true) // reused by training, assignment and both join sides
+    // normalized copies drive the geometry; raw vectors + norms score
+    val base = normalizedSide(embeddings, idCol, vecCol, "a")
     // train straight on the checkpointed rows (vhat is already double[]):
     // routing through the public trainCentroids would materialize the
     // corpus a second time for the same data
@@ -375,25 +411,10 @@ object Similarity {
     if (centroids.isEmpty) // empty corpus: empty (a, b, score) result
       return emptyPairs(spark)
     val assigned = base.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
-    // per-cell radius: max ‖v̂ − c_cell‖ over members (one aggregation)
-    val cvecs = centroids.sortBy(_._1).map(_._2)
+    val cvecs = centroids.sortBy(_._1).map(_._2).toIndexedSeq
     val cn2 = cvecs.map(c => c.map(x => x * x).sum)
-    val ownC = element_at(typedLit(cvecs), col("cell") + 1)
-    val d2 = lit(1.0) + element_at(typedLit(cn2), col("cell") + 1) -
-      lit(2.0) * dot(col("vhat"), ownC)
-    val radius = assigned
-      .select(col("cell"), sqrt(greatest(d2, lit(0.0))).as("r"))
-      .groupBy("cell").agg(max(col("r")).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    // driver-side cell-pair pruning (nlist × nlist distance checks)
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine)) + 1e-9
-    def dist(x: Seq[Double], y: Seq[Double]): Double =
-      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
-    val cids = centroids.map(_._1)
-    val cellPairs = for {
-      i <- cids; j <- cids if i <= j
-      if dist(cvecs(i), cvecs(j)) - radius.getOrElse(i, 0.0) - radius.getOrElse(j, 0.0) <= maxDist
-    } yield (i, j)
+    val radius = cellRadii(assigned, cvecs, cn2)
+    val cellPairs = prunedCellPairs(cvecs, radius, minCosine, orderedOnly = true)
     val cellPairsDf = broadcast(cellPairs.toDF("ci", "cj"))
     val x = assigned.select(col("a"), col("v_a"), col("n2_a"), col("cell"))
     val y = assigned.select(col("a").as("b"), col("v_a").as("v_b"),
@@ -436,6 +457,66 @@ object Similarity {
     cellPrunedScoredPairs(embeddings, threshold, nlist, idCol, vecCol)
       .filter(col("score") >= threshold)
       .orderBy("a", "b")
+
+  /** EXACT cross-corpus thresholded cosine pairs — SEMANTIC test-set
+    * decontamination: which training-corpus vectors are embedding-space
+    * near-dups of an eval-set vector (paraphrased benchmark leakage that
+    * the n-gram decontaminator cannot see). Returns every (corpus_id,
+    * eval_id, score) with cosine ≥ `threshold`, exactly.
+    *
+    * Same geometry as [[cosineNearDupPairs]], across two tables: both
+    * sides normalize once (checkpointed), k-means cells train on the
+    * union, per-cell radii bound the triangle-inequality pruning, and
+    * surviving cell pairs — BOTH orientations, the sides are asymmetric —
+    * become a broadcast list feeding two equi-joins on cell id. Never a
+    * |corpus|·|eval| crossJoin; cost scales with cross-side cell
+    * co-occupancy, which is what a high threshold dials down. In a
+    * deployment the eval side is fixed: its normalization, assignment and
+    * radii are computed once and reused across ingest batches. Zero-norm
+    * vectors have no direction and are never flagged. */
+  def crossCosinePairs(corpus: DataFrame, evalSet: DataFrame, threshold: Double,
+                       nlist: Int = 16, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cSide = normalizedSide(corpus, idCol, vecCol, "corpus_id")
+    val eSide = normalizedSide(evalSet, idCol, vecCol, "eval_id")
+    val unionHat = cSide.select(col("corpus_id").as("id"), col("vhat").as("v"))
+      .unionByName(eSide.select(col("eval_id").as("id"), col("vhat").as("v")))
+    val centroids = Ivf.trainCentroidsOn(unionHat, nlist, iters = 2, "id")
+    if (centroids.isEmpty) // both sides empty: empty result, right shape
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("eval_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    val aC = cSide.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
+    val aE = eSide.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
+    val cvecs = centroids.sortBy(_._1).map(_._2).toIndexedSeq
+    val cn2 = cvecs.map(c => c.map(x => x * x).sum)
+    val radius = cellRadii(
+      aC.select(col("cell"), col("vhat")).unionByName(aE.select(col("cell"), col("vhat"))),
+      cvecs, cn2)
+    val cellPairs = prunedCellPairs(cvecs, radius, threshold, orderedOnly = false)
+    val cellPairsDf = broadcast(cellPairs.toDF("ci", "cj"))
+    aC.drop("vhat").join(cellPairsDf, col("cell") === col("ci"))
+      .join(aE.drop("vhat").withColumnRenamed("cell", "cell_y"), col("cell_y") === col("cj"))
+      .select(col("corpus_id"), col("eval_id"),
+        pairScore("corpus_id", "eval_id").as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy("corpus_id", "eval_id")
+  }
+
+  /** The decontamination decision: corpus rows with NO eval-set match at
+    * the threshold (anti-join against the flagged id set). Zero-norm
+    * corpus vectors match nothing and are kept. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame, threshold: Double,
+                            nlist: Int = 16, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val flagged = crossCosinePairs(corpus, evalSet, threshold, nlist, idCol, vecCol)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 
   /** Exact all-pairs top-N by cosine — O(n²) crossJoin; the small-n oracle
     * cross-check for [[topCosinePairs]], never the production path.

@@ -82,6 +82,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.takeRight(800))
   }
 
+  test("semantic decontamination never plans a cartesian product") {
+    val p = q("pipeline_decon_embedding")
+    assert(!p.contains("CartesianProduct"), p.takeRight(1200))
+  }
+
   test("cosine pair mining never plans a cartesian product") {
     // candidates come from equi-joins on LSH buckets / IVF cell pairs; the
     // all-pairs crossJoin exists only in the *Exact small-n cross-checks

@@ -161,6 +161,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ndPruned == ndExact)
   }
 
+  test("cross-corpus pairs are EXACT vs the naive cross join; decontaminate drops exactly the flagged ids") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val evalSet = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val t = 0.3
+    val got = Similarity.crossCosinePairs(corpus, evalSet, t)
+      .as[(Long, Long, Double)].collect().toSeq
+    // naive baseline: full cross join, same pairScore arithmetic via the
+    // public brute-force radius machinery per eval id would be O(n·m) too;
+    // build it directly from collected vectors for an independent check
+    val vs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // iterate as Seq: a for over the Map itself would yield a Map and
+    // silently collapse multiple eval matches of the same corpus id
+    val naive = (for {
+      (cid, cv) <- vs.toSeq if cid >= 10 && cv.exists(_ != 0.0)
+      (eid, ev) <- vs.toSeq if eid < 10 && ev.exists(_ != 0.0)
+      s = cos(cv, ev) if s >= t
+    } yield (cid, eid)).toSet
+    assert(got.nonEmpty, "fixture must produce at least one cross-side pair")
+    assert(got.map(p => (p._1, p._2)).toSet == naive,
+      "cell-pruned cross-corpus pairs must equal the exhaustive cross join")
+    assert(got.forall(p => p._3 >= t && p._3 <= 1.0 + 1e-12))
+    // keep path: anti-join of exactly the flagged corpus ids
+    val kept = Similarity.semanticDecontaminate(corpus, evalSet, t)
+      .select("vec_id").as[Long].collect().toSet
+    val flagged = got.map(_._1).toSet
+    assert(kept == corpus.select("vec_id").as[Long].collect().toSet -- flagged)
+  }
+
   test("near-dup pairs symmetric under id swap and bounded by 1") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(2.0f, 4.0f, 6.0f)),
