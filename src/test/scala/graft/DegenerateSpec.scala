@@ -111,6 +111,25 @@ class DegenerateSpec extends SparkSpec {
     assert(Similarity.topCosinePairs(emptyEmb, 10).count() == 0)
     assert(Similarity.lshTopK(emptyEmb, Seq(1L), 5).count() == 0)
     assert(Similarity.quantizeInt8(emptyEmb).count() == 0)
+    assert(Similarity.lshCandidates(emptyEmb, Seq(1L)).count() == 0)
+  }
+
+  test("semantic decontamination degrades sanely on empty sides") {
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // empty eval set: nothing flagged, everything kept
+    assert(Similarity.crossCosinePairs(emb, emptyEmb, 0.5).count() == 0)
+    assert(Similarity.semanticDecontaminate(emb, emptyEmb, 0.5).count() == 2)
+    // empty corpus: nothing to flag or keep
+    assert(Similarity.crossCosinePairs(emptyEmb, emb, 0.5).count() == 0)
+    assert(Similarity.semanticDecontaminate(emptyEmb, emb, 0.5).count() == 0)
+    // both empty: right shape, zero rows
+    val both = Similarity.crossCosinePairs(emptyEmb, emptyEmb, 0.5)
+    assert(both.columns.toSeq == Seq("corpus_id", "eval_id", "score") && both.count() == 0)
   }
 
   test("empty corpus: classifier, graph, sampling, budget, retrieval all degrade sanely") {
