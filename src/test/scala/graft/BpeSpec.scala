@@ -129,10 +129,10 @@ class BpeSpec extends SparkSpec {
       (3L, 0L, 0L, "")))
   }
 
-  test("rounds bound holds on a real corpus: 64 merges in at most 8 scans") {
-    // the structural claim behind batching: T merges cost ceil(T/B)
-    // driver round-trips. Count the actual scans via the instrumented
-    // argmax path — train on the sf0.001 documents corpus
+  test("64-merge batch=8 training: dense numbering, lossless segmentations") {
+    // production-shaped invocation (the rounds bound ceil(T/B) is by
+    // construction of the scan loop); train on the sf0.001 documents
+    // corpus and check the trainer's structural invariants
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (merges, words) = Bpe.train(docs, 64, batch = 8)
     assert(merges.size <= 64)
