@@ -87,6 +87,10 @@ object Bench {
       case (name, sec, _) if comparable && prev.get(name).exists(isRegression(sec, _)) => name
     }.toSet
     val results = if (provisional.isEmpty) firstPass else {
+      // same clean-JVM state as the numbered passes: without this the
+      // exonerating third run would be measured against pass-2's block
+      // garbage — the exact inflation the min-of-3 exists to strip
+      reclaim()
       val fns = SparkEntry.queries
       firstPass.map {
         case (name, sec, ok) if provisional(name) =>

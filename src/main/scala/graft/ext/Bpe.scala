@@ -209,24 +209,28 @@ object Bpe {
     * stats; an explicit hint would hard-fail on an unusually wide vocab
     * instead of degrading to a shuffle join. Token order is recovered
     * from `posexplode` positions inside the per-doc aggregation — no
-    * window, no global sort. */
-  def encodeCorpus(docs: DataFrame, merges: Int, batch: Int = DefaultBatch,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    * window, no global sort.
+    *
+    * Input contract: the documents shape `(doc_id, text, source)`, same
+    * as the whole trainer family ([[train]] tokenizes `text` via the
+    * word-count path) — no column parameters, so the encoder can never
+    * silently train on one column and encode another. */
+  def encodeCorpus(docs: DataFrame, merges: Int, batch: Int = DefaultBatch): DataFrame = {
     val (_, words) = train(docs, merges, batch)
     val seg = words.select(col("word"), array_join(col("l"), " ").as("seg"),
       size(col("l")).cast("long").as("ns"))
-    val toks = docs.select(col(idCol),
-        posexplode(graft.text.Tokenize.tokensArray(col(textCol))).as(Seq("tok_no", "word")))
+    val toks = docs.select(col("doc_id"),
+        posexplode(graft.text.Tokenize.tokensArray(col("text"))).as(Seq("tok_no", "word")))
       .filter(col("word").rlike("^[a-z0-9]+$"))
     val enc = toks.join(seg, "word")
-      .groupBy(idCol)
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("ns")).as("n_subwords"),
         array_join(transform(array_sort(collect_list(struct(col("tok_no"), col("seg")))),
           x => x.getField("seg")), " ").as("segmented"))
-    docs.select(col(idCol)).join(enc, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+    docs.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
         coalesce(col("segmented"), lit("")).as("segmented"))
-      .orderBy(idCol)
+      .orderBy("doc_id")
   }
 }

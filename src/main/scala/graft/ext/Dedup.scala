@@ -306,16 +306,20 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("mid"))
       // pointer jumping (round 3+): follow the relaxed label one more hop
-      // (labels are node ids, so label-of-label is a self-lookup).
-      // Reachability is transitive, labels are monotone non-increasing
-      // and bounded by the component min, so compression never overshoots
-      // the fixpoint — it only gets there in ~log(diameter) rounds. The
-      // left join + coalesce keeps nodes whose label already is a
-      // component min. The previous label rides along through the
-      // checkpoint so the convergence check is a filter over materialized
-      // rows, not another join.
+      // through the PREVIOUS round's checkpointed labels (labels are node
+      // ids, so label-of-label is a lookup; using the materialized frame
+      // keeps the lookup side a cheap checkpoint scan — a self-join on
+      // the uncached `relaxed` would re-execute the relaxation join
+      // twice). labels_prev[x] ≤ x for every node (initialized to own id,
+      // monotone non-increasing), reachability is transitive, and labels
+      // are bounded by the component min, so the hop never overshoots the
+      // fixpoint and deep chains still collapse geometrically — one round
+      // behind the self-compressed form. The left join + coalesce keeps
+      // nodes whose label already is a component min. The previous label
+      // rides along through the checkpoint so the convergence check is a
+      // filter over materialized rows, not another join.
       val jumped = if (iter < 2) relaxed.withColumnRenamed("mid", "cluster_id") else {
-        val lookup = relaxed.select(col(idCol).as("__hop_id"), col("mid").as("__hop"))
+        val lookup = labels.select(col(idCol).as("__hop_id"), col("cluster_id").as("__hop"))
         relaxed.join(lookup, col("mid") === col("__hop_id"), "left")
           .select(col(idCol), col("old"),
             coalesce(col("__hop"), col("mid")).as("cluster_id"))

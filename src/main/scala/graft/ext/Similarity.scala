@@ -125,14 +125,19 @@ object Similarity {
 
   /** Attach vectors + norms to (query_id, neighbor_id) candidate rows and
     * score each pair exactly: the shared tail of the composition
-    * overloads. Self-pairs are dropped here so every candidate generator
-    * gets the same contract as the full-scan forms. */
+    * overloads. Self-pairs are dropped AND the candidate set is deduped
+    * here — the docstrings invite mixing candidate generators (LSH ∪ IVF
+    * ∪ custom), and a duplicated pair would otherwise occupy two top-k
+    * slots or emit twice from the radius form, breaking the full-scan
+    * equivalence. (When candidates are already unique the distinct rides
+    * the same exchange the scoring joins need anyway.) */
   private def scoreCandidates(embeddings: DataFrame, candidates: DataFrame,
                               idCol: String, vecCol: String, score: Column): DataFrame = {
     val q = withNorm2(embeddings, idCol, vecCol, "query_id")
     val c = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
     candidates.select(col("query_id"), col("neighbor_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .join(q, "query_id").join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), score.as("score"))
   }
@@ -232,10 +237,25 @@ object Similarity {
     * 10⁹); recall lost to narrower buckets is bought back with more
     * Hamming probes, not fewer planes. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, numPlanes: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshProbeJoined(embeddings, queryIds, numPlanes, idCol, vecCol) match {
+      case None => emptyTopK(embeddings.sparkSession) // empty corpus
+      case Some(joined) => topKPerQuery(
+        joined.select(col("query_id"), col("neighbor_id"),
+          pairScore("query_id", "neighbor_id").as("score")), k)
+    }
+
+  /** The multi-probe LSH bucket join [[lshTopK]] and [[lshCandidates]]
+    * share: corpus side bucketed once (carrying vectors + norms for
+    * downstream scoring — Catalyst prunes them when the caller keeps
+    * only the id pair), query side broadcast with its own bucket plus
+    * every Hamming-1 probe. No dedup needed: each corpus vector lives in
+    * exactly one bucket and probe values are distinct, so a candidate
+    * pair appears at most once. None on an empty corpus. */
+  private def lshProbeJoined(embeddings: DataFrame, queryIds: Seq[Long], numPlanes: Int,
+                             idCol: String, vecCol: String): Option[DataFrame] = {
     val dimRow = embeddings.select(size(col(vecCol))).head(1)
-    if (dimRow.isEmpty) // empty corpus: empty result with the right shape
-      return emptyTopK(embeddings.sparkSession)
+    if (dimRow.isEmpty) return None
     val dim = dimRow.head.getInt(0)
     val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
     val bucketed = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
@@ -247,13 +267,8 @@ object Similarity {
       bucketed.filter(col("neighbor_id").isin(queryIds: _*))
         .select(col("neighbor_id").as("query_id"), col("v_neighbor_id").as("v_query_id"),
           col("n2_neighbor_id").as("n2_query_id"), explode(probes).as("bucket")))
-    val scored = bucketed.join(queries, "bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        pairScore("query_id", "neighbor_id").as("score"))
-    // no dedup needed: each corpus vector lives in exactly one bucket, and
-    // probe values are distinct, so a candidate pair appears at most once
-    topKPerQuery(scored, k)
+    Some(bucketed.join(queries, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id")))
   }
 
   /** LSH candidate GENERATION for a query set: the multi-probe bucket
@@ -264,29 +279,16 @@ object Similarity {
     * query batch and can feed several scorers (radius sweep, MIPS, a
     * custom filter) without re-bucketing.
     *
-    * Each corpus vector lives in exactly one bucket and probe values are
-    * distinct, so a pair appears at most once — no dedup shuffle. Same
-    * `numPlanes` scaling rule as [[lshTopK]]. */
+    * Same bucket join, probe policy and `numPlanes` scaling rule as
+    * [[lshTopK]] — one shared implementation, so the two can never
+    * diverge. */
   def lshCandidates(embeddings: DataFrame, queryIds: Seq[Long], numPlanes: Int = 8,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dimRow = embeddings.select(size(col(vecCol))).head(1)
-    if (dimRow.isEmpty) // empty corpus: empty (query_id, neighbor_id) result
-      return emptyTopK(embeddings.sparkSession).select("query_id", "neighbor_id")
-    val dim = dimRow.head.getInt(0)
-    val planes = materializePlanes(embeddings.sparkSession, numPlanes, dim)
-    val bucketed = embeddings
-      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-    val probes = array(
-      (col("bucket") +: (0 until numPlanes).map(p =>
-        col("bucket").bitwiseXOR(shiftleft(lit(1L), p)))): _*)
-    val queries = broadcast(
-      bucketed.filter(col("neighbor_id").isin(queryIds: _*))
-        .select(col("neighbor_id").as("query_id"), explode(probes).as("bucket")))
-    bucketed.join(queries, "bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
-  }
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshProbeJoined(embeddings, queryIds, numPlanes, idCol, vecCol) match {
+      case None => // empty corpus: empty (query_id, neighbor_id) result
+        emptyTopK(embeddings.sparkSession).select("query_id", "neighbor_id")
+      case Some(joined) => joined.select("query_id", "neighbor_id")
+    }
 
   /** Array-column statistics per label: vector count, dimension, and the
     * norm envelope (min/max — order-independent double aggregates, unlike
@@ -481,15 +483,15 @@ object Similarity {
     import spark.implicits._
     val cSide = normalizedSide(corpus, idCol, vecCol, "corpus_id")
     val eSide = normalizedSide(evalSet, idCol, vecCol, "eval_id")
-    val unionHat = cSide.select(col("corpus_id").as("id"), col("vhat").as("v"))
-      .unionByName(eSide.select(col("eval_id").as("id"), col("vhat").as("v")))
+    // the training union's seed order must stay TOTAL even when the two
+    // independently-keyed tables share id values — a side bit folded into
+    // the ordering id keeps seeding deterministic (ids must fit 62 bits;
+    // ANSI mode throws on overflow rather than silently wrapping)
+    val unionHat = cSide.select((col("corpus_id") * 2).as("id"), col("vhat").as("v"))
+      .unionByName(eSide.select((col("eval_id") * 2 + 1).as("id"), col("vhat").as("v")))
     val centroids = Ivf.trainCentroidsOn(unionHat, nlist, iters = 2, "id")
     if (centroids.isEmpty) // both sides empty: empty result, right shape
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("eval_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+      return emptyPairs(spark).toDF("corpus_id", "eval_id", "score")
     val aC = cSide.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
     val aE = eSide.withColumn("cell", Ivf.cellOf(col("vhat"), centroids))
     val cvecs = centroids.sortBy(_._1).map(_._2).toIndexedSeq
