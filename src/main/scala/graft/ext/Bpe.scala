@@ -142,6 +142,55 @@ object Bpe {
     * by the oracle. Ties break on (count desc, lhs, rhs) — fully
     * deterministic. `batch = 1` is exactly the classic sequential
     * trainer (argmax per scan). */
+  /** A trained tokenizer — the fit-once / encode-every-ingest-batch
+    * deployment shape: [[fit]] captures the merge log, and [[encode]]
+    * applies it to ANY corpus. New-corpus words absent from the training
+    * vocabulary (OOV) are segmented by REPLAYING the merge list over the
+    * new corpus's distinct-word table in disjoint batches —
+    * `ceil(merges/batch)`-ish pure-column [[applyMerges]] passes, zero
+    * driver round-trips, no corpus rescan. Because a disjoint batch
+    * applies exactly like its merges applied one-at-a-time (the
+    * BpeSpec-proved equivalence), ANY internally-disjoint grouping of
+    * the merge list replays faithfully; on its own training corpus the
+    * replay reproduces the trained segmentations exactly (spec-pinned).
+    */
+  final class Model private[Bpe] (val merges: Seq[Merge],
+                                  private val replayBatches: Seq[Seq[(String, String)]]) {
+
+    /** Segment a (word, freq, l) symbol table by replaying the learned
+      * merge schedule — vocab-sized work, no corpus scan. */
+    private[Bpe] def segment(words: DataFrame): DataFrame =
+      replayBatches.foldLeft(words) { (w, rules) =>
+        w.withColumn("l", applyMerges(col("l"), rules))
+      }
+
+    /** Encode any documents corpus (same `(doc_id, text, source)`
+      * contract as [[encodeCorpus]]) with THIS vocabulary. */
+    def encode(docs: DataFrame): DataFrame =
+      encodeSegmented(docs, segment(initialWords(docs)))
+  }
+
+  /** Train a [[Model]]: [[train]] plus the greedy disjoint regrouping of
+    * the merge log the encoder replays (a group closes when it reaches
+    * `batch` merges or the next merge's {lhs, rhs, merged} symbols
+    * collide with the group's). */
+  def fit(docs: DataFrame, merges: Int, batch: Int = DefaultBatch): Model = {
+    val (log, _) = train(docs, merges, batch)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Merge]]
+    var cur = Vector.empty[Merge]
+    var taboo = Set.empty[String]
+    log.foreach { m =>
+      val syms = Set(m.lhs, m.rhs, m.merged)
+      if (cur.size == batch || syms.exists(taboo)) {
+        groups += cur; cur = Vector.empty; taboo = Set.empty
+      }
+      cur :+= m
+      taboo ++= syms
+    }
+    if (cur.nonEmpty) groups += cur
+    new Model(log, groups.map(g => g.map(m => (m.lhs, m.rhs)).toSeq).toSeq)
+  }
+
   def train(docs: DataFrame, merges: Int,
             batch: Int = DefaultBatch): (Seq[Merge], DataFrame) = {
     require(merges >= 1, "need at least one merge")
@@ -217,6 +266,14 @@ object Bpe {
     * silently train on one column and encode another. */
   def encodeCorpus(docs: DataFrame, merges: Int, batch: Int = DefaultBatch): DataFrame = {
     val (_, words) = train(docs, merges, batch)
+    encodeSegmented(docs, words)
+  }
+
+  /** The encoding tail [[encodeCorpus]] and [[Model.encode]] share: the
+    * corpus token stream equi-joins a (word, l) segmentation table, then
+    * one doc-keyed aggregation rebuilds each document's subword stream
+    * in token order. */
+  private def encodeSegmented(docs: DataFrame, words: DataFrame): DataFrame = {
     val seg = words.select(col("word"), array_join(col("l"), " ").as("seg"),
       size(col("l")).cast("long").as("ns"))
     val toks = docs.select(col("doc_id"),

@@ -148,6 +148,33 @@ class BpeSpec extends SparkSpec {
     assert(bad.isEmpty, s"segmentations must concatenate back to the word: ${bad.take(3).toSeq}")
   }
 
+  test("fit(corpus).encode(corpus) reproduces encodeCorpus exactly") {
+    val corpus = Seq(
+      (1L, ("low " * 5) + ("lower " * 2) + ("newest " * 6), "s"),
+      (2L, "newest lower low", "s")
+    ).toDF("doc_id", "text", "source")
+    val direct = Bpe.encodeCorpus(corpus, 6, batch = 4)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val model = Bpe.fit(corpus, 6, batch = 4)
+    val replayed = model.encode(corpus)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(replayed == direct,
+      "schedule replay must reproduce the trained segmentations")
+  }
+
+  test("a fitted model encodes UNSEEN words by merge replay (OOV support)") {
+    // train on low/lower only: batch=1 merges (l,o), (lo,w)
+    val trainCorpus = docs(("low " * 5) + ("lower " * 2))
+    val model = Bpe.fit(trainCorpus, 2, batch = 1)
+    // 'lowest' never seen: replay (l,o) then (lo,w) -> low e s t _
+    // 'löwe' is out-of-alphabet -> excluded from encoding entirely
+    val newBatch = Seq((7L, "lowest low löwe", "s")).toDF("doc_id", "text", "source")
+    val got = model.encode(newBatch)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // lowest -> [low, e, s, t, _] (5) + low -> [low, _] (2) = 7 subwords
+    assert(got == Seq((7L, 2L, 7L, "low e s t _ low _")))
+  }
+
   test("non-ascii words are excluded from the training alphabet") {
     val corpus = docs("über über low low")
     val words = Bpe.initialWords(corpus).select("word").as[String].collect().toSeq
