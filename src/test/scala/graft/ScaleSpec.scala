@@ -37,6 +37,24 @@ class ScaleSpec extends SparkSpec {
       rows(graft.ext.Similarity.quantizeInt8(emb.repartition(5))))
   }
 
+  test("round-6 operators are invariant under input repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    val skewed = docs.repartition(7, col("lang"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+    // batched BPE: argmax candidates ride a total (cnt, a, b) order, so
+    // the learned schedule must not see partitioning at all
+    assert(rows(graft.ext.Bpe.mergeTable(docs, 6)) ==
+      rows(graft.ext.Bpe.mergeTable(skewed, 6)))
+    assert(rows(graft.ext.Bpe.encodeCorpus(docs, 6)) ==
+      rows(graft.ext.Bpe.encodeCorpus(skewed, 6)))
+    val emb = Tables.embeddings(spark, sf)
+    val evalSide = emb.filter(col("vec_id") < 10)
+    val corpusSide = emb.filter(col("vec_id") >= 10)
+    assert(rows(graft.ext.Similarity.crossCosinePairs(corpusSide, evalSide, 0.3)) ==
+      rows(graft.ext.Similarity.crossCosinePairs(
+        corpusSide.repartition(5), evalSide.repartition(3), 0.3)))
+  }
+
   test("salted word count == plain word count") {
     val docs = Tables.documents(spark, sf)
     val plain = WordCount.wordCount(docs).as[(String, Long)].collect().toSeq
