@@ -23,6 +23,22 @@ object ProfileScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // clean_corpus decomposition: quality gate -> exact dedup -> minhash
+    // near-dup keep-one; the keep-one is the clusterPairs consumer
+    val docsAll = Tables.documents(spark, sfDir)
+    time("warm clean_corpus") {
+      ext.TrainingPipeline.cleanCorpus(docsAll, 0.3, baseHash = ext.Dedup.polyHash).count()
+    }
+    time("clean_corpus #1") {
+      ext.TrainingPipeline.cleanCorpus(docsAll, 0.3, baseHash = ext.Dedup.polyHash).count()
+    }
+    time("  nearDupKeepIds alone") {
+      ext.Dedup.nearDupKeepIds(docsAll, 0.3, ext.Dedup.polyHash).count()
+    }
+    time("  minhash pairs alone") {
+      ext.Dedup.minhashNearDuplicates(docsAll, 0.3, baseHash = ext.Dedup.polyHash).count()
+    }
+
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 500)
 
     // warm: full query once
