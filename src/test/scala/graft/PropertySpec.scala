@@ -146,6 +146,66 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("BPE selectBatch: greedy, budget-bounded, pairwise-disjoint, order-respecting") {
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "d")
+    val cand = for { a <- sym; b <- sym; c <- Gen.choose(1L, 99L) } yield (a, b, c)
+    val gen = for {
+      n <- Gen.choose(0, 20)
+      cands <- Gen.listOfN(n, cand)
+      budget <- Gen.choose(1, 6)
+    } yield (cands.distinct, budget)
+    check("select-batch", Prop.forAll(gen) { case (cands, budget) =>
+      // shrinking may push budget below the generator's range — guard
+      budget < 1 || {
+        val picked = graft.ext.Bpe.selectBatch(cands, budget)
+        // disjointness is BETWEEN picks ((a,a) is a legal single merge):
+        // no two picks may share any of {lhs, rhs, lhs+rhs}
+        val sets = picked.map(p => Set(p._1, p._2, p._1 + p._2))
+        val disjoint = sets.combinations(2).forall { case Seq(x, y) => (x & y).isEmpty }
+        picked.size <= budget && disjoint &&
+          (cands.isEmpty || picked.headOption.contains(cands.head)) && // greedy start
+          picked.forall(cands.contains) &&
+          // selection preserves candidate order
+          picked.map(cands.indexOf) == picked.map(cands.indexOf).sorted
+      }
+    })
+  }
+
+  test("BPE applyMerges == the naive greedy lookback scan for any disjoint batch") {
+    // the pure-Scala reference of the canonical non-overlapping pass; the
+    // Column fold must agree on every (word, disjoint-rule-set) input
+    def naive(syms: Seq[String], rules: Set[(String, String)]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pend: Option[String] = None
+      syms.foreach { s =>
+        pend match {
+          case Some(p) if rules((p, s)) => out += (p + s); pend = None
+          case Some(p) => out += p; pend = Some(s)
+          case None => pend = Some(s)
+        }
+      }
+      pend.foreach(out += _)
+      out.toSeq
+    }
+    val sym = Gen.oneOf("a", "b", "c")
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      word <- Gen.listOfN(n, sym)
+      m <- Gen.choose(1, 8)
+      cands <- Gen.listOfN(m, for { a <- sym; b <- sym } yield (a, b, 1L))
+      budget <- Gen.choose(1, 3)
+    } yield (word, graft.ext.Bpe.selectBatch(cands.distinct, budget))
+    check("apply-merges", Prop.forAll(gen) { case (word, picked) =>
+      picked.isEmpty || {
+        val rules = picked.map(p => (p._1, p._2))
+        val got = Seq(Tuple1(word)).toDF("l")
+          .select(graft.ext.Bpe.applyMerges(col("l"), rules).as("l"))
+          .as[Seq[String]].head()
+        got == naive(word, rules.toSet)
+      }
+    })
+  }
+
   test("PageRank conserves mass when no node dangles") {
     // closed graphs (every node has out-edges): total rank stays SCALE
     // within integer-division slack of a few units per node per round
