@@ -23,6 +23,36 @@ object ProfileScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // sim_pq decomposition: joint-subspace Lloyd training vs encode+ADC
+    locally {
+      val embAll = Tables.embeddings(spark, sfDir)
+      time("warm sim_pq") {
+        ext.Pq.pqTopK(embAll, 0L until 8L, 5, m = 4, ksub = 16).count()
+      }
+      time("sim_pq #1") {
+        ext.Pq.pqTopK(embAll, 0L until 8L, 5, m = 4, ksub = 16).count()
+      }
+      val books = time("  trainCodebooks(iters=5)") {
+        ext.Pq.trainCodebooks(embAll, 4, 16, 5)
+      }
+      time("  trainCodebooks(iters=2)") {
+        ext.Pq.trainCodebooks(embAll, 4, 16, 2)
+      }
+      time("  encode+score (given books)") {
+        ext.Pq.encode(embAll, books).count()
+      }
+      // recall vs iteration count: is round 5 buying anything?
+      val brute = ext.Similarity.bruteForceTopK(embAll, 0L until 8L, 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (it <- Seq(1, 2, 3, 5)) {
+        val ann = ext.Pq.pqTopK(embAll, 0L until 8L, 5, m = 4, ksub = 16, iters = it)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[profile]   pq recall iters=$it: ${(brute & ann).size.toDouble / brute.size}%.3f")
+      }
+    }
+
     // clean_corpus decomposition: quality gate -> exact dedup -> minhash
     // near-dup keep-one; the keep-one is the clusterPairs consumer
     val docsAll = Tables.documents(spark, sfDir)
