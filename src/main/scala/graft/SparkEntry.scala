@@ -227,8 +227,12 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), 0L until 8L, 5, 8)),
     "sim_label_stats" -> ((s, d) => Similarity.labelStats(Tables.embeddings(s, d))),
+    // iters=2: measured (ProfileScratch) — top-5 recall at nprobe=4/16 is
+    // 1.000 at 1-2 Lloyd rounds and DROPS to 0.95-0.975 at 3-5 (tighter
+    // cells spread true neighbors past the probe budget), so extra
+    // rounds cost time and recall here; library default stays 5
     "sim_ivf" -> ((s, d) =>
-      ext.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 8L, 5, 16, 4)),
+      ext.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 8L, 5, 16, 4, iters = 2)),
     // iters=3: measured on this corpus (ProfileScratch), PQ recall is
     // flat across 1..5 Lloyd rounds (0.175-0.225, noise band) — the
     // near-isotropic synthetic embeddings plateau immediately, so the

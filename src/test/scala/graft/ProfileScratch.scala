@@ -51,6 +51,14 @@ object ProfileScratch {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         println(f"[profile]   pq recall iters=$it: ${(brute & ann).size.toDouble / brute.size}%.3f")
       }
+      for (it <- Seq(1, 2, 3, 5)) {
+        val t0 = System.nanoTime()
+        val ann = ext.Ivf.ivfTopK(embAll, 0L until 8L, 5, 16, 4, iters = it)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[profile]   ivf recall iters=$it: ${(brute & ann).size.toDouble / brute.size}%.3f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      }
     }
 
     // clean_corpus decomposition: quality gate -> exact dedup -> minhash
