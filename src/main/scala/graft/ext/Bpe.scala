@@ -67,6 +67,10 @@ object Bpe {
     * `batch` pairs. Part of the cross-engine deterministic contract. */
   val OverscanFactor = 8
 
+  /** Replay groups between localCheckpoints in [[Model.segment]] — bounds
+    * both expression-tree depth and live checkpoint storage. */
+  val SegmentCheckpointEvery = 16
+
   final case class Merge(rnd: Int, lhs: String, rhs: String, merged: String, cnt: Long)
 
   /** (word, freq, symbol-array) table: chars + end marker. */
@@ -111,15 +115,28 @@ object Bpe {
     * (pend, s) hit on any rule emits the concatenated symbol and clears
     * the lookback, so a merged symbol never re-pairs within the pass.
     * Rule disjointness (see [[selectBatch]]) guarantees at most one rule
-    * matches at each position. */
+    * matches at each position.
+    *
+    * Rule dispatch is O(1) and INDEPENDENT of the batch size: membership
+    * is one hash-set probe ([[graft.functions.InLiteralSet]]) on the pair
+    * key `pend + ' ' + s`. The space separator cannot collide — symbols
+    * match `^[a-z0-9_]+$` — and keying the PAIR (not the bare
+    * concatenation) keeps the split point unambiguous: rules ("ab","c")
+    * and ("a","bc") share the concatenation "abc", and batch disjointness
+    * only excludes both RULES from one batch, not the colliding adjacent
+    * (pend, s) pair from the data. A null `pend` (start of word / just
+    * merged) null-propagates through the key to a no-hit, same as the
+    * former OR-chain. This unblocks production batch sizes (e.g. 256
+    * merges/scan): the old per-symbol OR-chain was O(batch) comparisons
+    * and a 256-way disjunction in one expression tree. */
   private[graft] def applyMerges(syms: Column, rules: Seq[(String, String)]): Column = {
     require(rules.nonEmpty, "applyMerges needs at least one rule")
+    val keys = rules.map { case (a, b) => a + " " + b }
     val zero = struct(array().cast("array<string>").as("acc"),
       lit(null).cast("string").as("pend"))
     val step = (st: Column, s: Column) => {
-      val hit = rules.map { case (a, b) =>
-        st.getField("pend") === lit(a) && s === lit(b)
-      }.reduce(_ || _)
+      val hit = graft.functions.in_literal_set(
+        concat(st.getField("pend"), lit(" "), s), keys)
       struct(
         when(hit, concat(st.getField("acc"), array(concat(st.getField("pend"), s))))
           .otherwise(when(st.getField("pend").isNull, st.getField("acc"))
@@ -158,11 +175,31 @@ object Bpe {
                                   private val replayBatches: Seq[Seq[(String, String)]]) {
 
     /** Segment a (word, freq, l) symbol table by replaying the learned
-      * merge schedule — vocab-sized work, no corpus scan. */
-    private[Bpe] def segment(words: DataFrame): DataFrame =
-      replayBatches.foldLeft(words) { (w, rules) =>
-        w.withColumn("l", applyMerges(col("l"), rules))
+      * merge schedule — vocab-sized work, no corpus scan. Every
+      * [[SegmentCheckpointEvery]] replay groups the frame is
+      * localCheckpointed (and the superseded checkpoint unpersisted, so
+      * live storage stays O(1) generations): an unbounded fold would
+      * nest one `aggregate` lambda per group into a single expression
+      * tree, and a 32k-merge model replays ~128+ groups — analyzer cost
+      * and tree size grow with the chain, the checkpoint resets both. A
+      * short chain (the common small-model case) stays one lazy plan. */
+    private[Bpe] def segment(words: DataFrame): DataFrame = {
+      var cur = words
+      var lastCp: DataFrame = null
+      var sinceCp = 0
+      replayBatches.foreach { rules =>
+        cur = cur.withColumn("l", applyMerges(col("l"), rules))
+        sinceCp += 1
+        if (sinceCp == SegmentCheckpointEvery) {
+          val cp = cur.localCheckpoint(true)
+          if (lastCp != null) org.apache.spark.sql.graft.bridge.freeCheckpoint(lastCp)
+          lastCp = cp
+          cur = cp
+          sinceCp = 0
+        }
       }
+      cur
+    }
 
     /** Encode any documents corpus (same `(doc_id, text, source)`
       * contract as [[encodeCorpus]]) with THIS vocabulary. */
@@ -175,7 +212,11 @@ object Bpe {
     * `batch` merges or the next merge's {lhs, rhs, merged} symbols
     * collide with the group's). */
   def fit(docs: DataFrame, merges: Int, batch: Int = DefaultBatch): Model = {
-    val (log, _) = train(docs, merges, batch)
+    val (log, trainedWords) = train(docs, merges, batch)
+    // the Model replays the merge log — it never reads the trained word
+    // table, so release its checkpoint instead of pinning it for the
+    // model's lifetime
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(trainedWords)
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Merge]]
     var cur = Vector.empty[Merge]
     var taboo = Set.empty[String]
@@ -210,8 +251,16 @@ object Bpe {
       if (picked.isEmpty) dry = true
       else {
         picked.foreach { case (a, b, cnt) => out += Merge(out.size + 1, a, b, a + b, cnt) }
-        words = words.withColumn("l",
+        // free the superseded generation once the new checkpoint has
+        // materialized (eager=true): live storage is O(1) generations of
+        // the vocab-sized table, not O(scans) — a 125-scan production run
+        // must not rely on driver GC to release checkpoint blocks.
+        // (plain Dataset.unpersist cannot release checkpoint blocks —
+        // see bridge.freeCheckpoint)
+        val next = words.withColumn("l",
           applyMerges(col("l"), picked.map(p => (p._1, p._2)))).localCheckpoint(true)
+        org.apache.spark.sql.graft.bridge.freeCheckpoint(words)
+        words = next
       }
       r += 1
     }

@@ -326,6 +326,11 @@ object Dedup {
       }
       val next = jumped.localCheckpoint(true)
       changed = next.filter(col("cluster_id") =!= col("old")).count()
+      // free the superseded generation's blocks now that `next` is
+      // materialized: live storage stays O(1) label generations instead
+      // of O(rounds). Dataset.unpersist cannot do this for checkpoints —
+      // see bridge.freeCheckpoint.
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(labels)
       labels = next.select(col(idCol), col("cluster_id"))
       iter += 1
     }

@@ -64,6 +64,7 @@ object Graph {
       return nodes.select(col("node"), lit(0L).as("rank_scaled"))
     val base = ((dampDen - dampNum) * SCALE / dampDen) / n // teleport share
     var ranks = nodes.select(col("node"), lit(SCALE / n).as("rank"))
+    var lastRanksCp: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = edgesW
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -75,8 +76,19 @@ object Graph {
         .select(col("node"),
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
       // cut the rank-vector lineage periodically: without this, round k's
-      // plan nests all k-1 predecessors and analysis time grows with depth
-      if (i % 10 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+      // plan nests all k-1 predecessors and analysis time grows with depth.
+      // The superseded rank checkpoint is freed once the new one has
+      // materialized, so live storage is O(1) generations over any
+      // iteration count (bridge.freeCheckpoint — Dataset.unpersist cannot
+      // release checkpoint blocks; freeing only the TRACKED previous cp,
+      // never `ranks` itself, keeps the shared nodes/edgesW checkpoints
+      // that appear in the rank plan's leaves untouched).
+      if (i % 10 == 0 && i < iters) {
+        val cp = ranks.localCheckpoint(true)
+        if (lastRanksCp != null) org.apache.spark.sql.graft.bridge.freeCheckpoint(lastRanksCp)
+        lastRanksCp = cp
+        ranks = cp
+      }
     }
     ranks.select(col("node"), col("rank").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))

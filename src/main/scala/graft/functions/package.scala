@@ -27,6 +27,11 @@ package object functions {
   def token_ngrams(c: Column, k: Int): Column =
     ExpressionUtils.column(TokenNgrams(ExpressionUtils.expression(c), k))
 
+  /** O(1) membership of a string column in a literal key set (see
+    * [[InLiteralSet]]). */
+  def in_literal_set(c: Column, keys: Seq[String]): Column =
+    ExpressionUtils.column(InLiteralSet(ExpressionUtils.expression(c), keys))
+
   /** Register ALL custom functions on a session (idempotent) — must stay
     * in sync with GraftExtensions' injections. */
   def registerSql(spark: SparkSession): Unit = {

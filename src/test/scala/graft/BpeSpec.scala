@@ -180,4 +180,56 @@ class BpeSpec extends SparkSpec {
     val words = Bpe.initialWords(corpus).select("word").as[String].collect().toSeq
     assert(words == Seq("low"))
   }
+
+  test("dispatch keys the PAIR, not the concatenation: (ab,c) must not hit rule (a,bc)") {
+    // rules ("a","bc") and the adjacent data pair ("ab","c") share the
+    // concatenation "abc"; batch disjointness excludes the two RULES from
+    // one batch but cannot exclude the colliding pair from the data — a
+    // concat-keyed lookup would merge here, the pair-keyed one must not
+    val df = Seq(Tuple1(Seq("ab", "c", "x", "a", "bc"))).toDF("l")
+    val got = df.select(Bpe.applyMerges(col("l"), Seq(("a", "bc"))).as("l"))
+      .as[Seq[String]].head()
+    assert(got == Seq("ab", "c", "x", "abc"))
+  }
+
+  test("applyMerges takes a 128-rule batch in one pass (dispatch is batch-size-independent)") {
+    // production-shaped batch: the old OR-chain dispatch built a 128-way
+    // disjunction per symbol; the hash-set probe must analyze and apply a
+    // wide batch with hits resolved exactly like the one-rule-at-a-time
+    // reference
+    val rules = (0 until 128).map(i => (s"u$i", s"v$i"))
+    val syms = (0 until 128).flatMap(i =>
+      if (i % 3 == 0) Seq(s"u$i", s"v$i") // hit
+      else if (i % 3 == 1) Seq(s"u$i", "z") // lhs without rhs
+      else Seq(s"v$i", s"u$i")) // reversed: no hit
+    val expected = (0 until 128).flatMap(i =>
+      if (i % 3 == 0) Seq(s"u${i}v$i")
+      else if (i % 3 == 1) Seq(s"u$i", "z")
+      else Seq(s"v$i", s"u$i"))
+    val got = Seq(Tuple1(syms)).toDF("l")
+      .select(Bpe.applyMerges(col("l"), rules).as("l"))
+      .as[Seq[String]].head()
+    assert(got == expected)
+  }
+
+  test("Model.segment checkpoints long replay chains and still replays exactly") {
+    // force the replay chain past SegmentCheckpointEvery groups: batch=1
+    // puts every merge in its own replay group, so 20 merges = 20 groups
+    // > 16 — the checkpointed segment path must reproduce encodeCorpus
+    // (same corpus, same schedule) exactly, and the superseded replay
+    // checkpoints must be freed as the chain advances
+    val corpus = docs(("low " * 5) + ("lower " * 4) + ("newest " * 6) +
+      ("widest " * 3) + ("binding " * 2) + ("finding " * 2))
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val model = Bpe.fit(corpus, 20, batch = 1)
+    assert(model.merges.size == 20)
+    val direct = Bpe.encodeCorpus(corpus, 20, batch = 1)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val replayed = model.encode(corpus).as[(Long, Long, Long, String)].collect().toSeq
+    assert(replayed == direct)
+    // fit's train loop + segment's chain each keep O(1) generations: at
+    // most the final train table and the last segment checkpoint survive
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.size <= 2, s"replay must free superseded checkpoints, found ${leaked.size} live")
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.functions._
+
+/** Storage discipline of the iterative loops: superseded localCheckpoint
+  * generations must be FREED, not left to driver GC. Pins (a) the fact
+  * that makes bridge.freeCheckpoint necessary — Dataset.unpersist cannot
+  * release checkpoint blocks; (b) that freeCheckpoint does; (c) its
+  * conservative no-op on multi-leaf plans; (d) the O(1)-generations bound
+  * of Bpe.train end-to-end. */
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("Dataset.unpersist does NOT release localCheckpoint blocks (why freeCheckpoint exists)") {
+    val before = persistedIds
+    val cp = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    val added = persistedIds -- before
+    assert(added.nonEmpty, "localCheckpoint should register a persistent RDD")
+    cp.unpersist(blocking = true)
+    assert((persistedIds -- before) == added,
+      "unpersist() routes through the CacheManager and must leave checkpoint blocks pinned")
+    bridge.freeCheckpoint(cp) // clean up for the remaining tests
+  }
+
+  test("freeCheckpoint releases the blocks, also through a projection") {
+    val before = persistedIds
+    val cp = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert((persistedIds -- before).nonEmpty)
+    bridge.freeCheckpoint(cp.select(col("x") * 2 as "y")) // projection over the checkpoint
+    assert((persistedIds -- before).isEmpty,
+      "freeCheckpoint must unpersist the LogicalRDD behind a projected checkpoint frame")
+  }
+
+  test("freeCheckpoint is a no-op on a multi-leaf plan (cannot free a join input)") {
+    val before = persistedIds
+    val cp = Seq((1, "a"), (2, "b")).toDF("k", "v").localCheckpoint(true)
+    val other = Seq((1, 10L), (2, 20L)).toDF("k", "w")
+    bridge.freeCheckpoint(cp.join(other, "k"))
+    assert((persistedIds -- before).nonEmpty,
+      "a join plan containing a checkpoint leaf must be left alone")
+    bridge.freeCheckpoint(cp)
+    assert((persistedIds -- before).isEmpty)
+  }
+
+  test("Bpe.train leaves exactly one live generation of the word table") {
+    val docs = Seq((1L, ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3), "s"))
+      .toDF("doc_id", "text", "source")
+    val before = persistedIds
+    val (merges, words) = ext.Bpe.train(docs, 6, batch = 2) // 3 scans
+    assert(merges.size == 6)
+    assert((persistedIds -- before).size == 1,
+      "after a multi-scan train, only the FINAL word-table generation may hold blocks")
+    words.count() // the survivor must still be readable
+    bridge.freeCheckpoint(words)
+  }
+}
