@@ -7,14 +7,19 @@ import graft.ext.{Dedup, TextStats}
   * family, same fold order for doubles) so results match bit-for-bit. */
 object OracleSql {
 
-  /** Normalized token ARRAY per doc (mirror of Tokenize.tokensArray).
-    * Whitespace is the explicit Java-`\s` set (RE2's `\s` lacks \x0B). */
-  val toksCte: String =
-    """toks AS (
-      |  SELECT doc_id, list_transform(
-      |           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> t <> ''),
-      |           t -> lower(regexp_replace(t, '[^\p{L}\p{N}]+', '', 'g'))) AS toks
-      |  FROM documents)""".stripMargin
+  /** Normalized token ARRAY per doc (mirror of Tokenize.tokensArray),
+    * parameterized over the source relation/CTE for derived-corpus
+    * queries. Whitespace is the explicit Java-`\s` set (RE2's `\s` lacks
+    * \x0B). */
+  def toksCteFor(table: String, name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, list_transform(
+       |           list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''),
+       |           t -> lower(regexp_replace(t, '[^\\p{L}\\p{N}]+', '', 'g'))) AS toks
+       |  FROM $table)""".stripMargin
+
+  /** The default tokenizer CTE over the `documents` table. */
+  val toksCte: String = toksCteFor("documents", "toks")
 
   /** Distinct 3-token shingles per doc (mirror of Dedup.shingleRows k=3). */
   val shinglesCte: String =
@@ -662,6 +667,73 @@ object OracleSql {
        |  coalesce(a.n_subwords, 0)::BIGINT AS n_subwords,
        |  coalesce(a.segmented, '') AS segmented
        |FROM documents d LEFT JOIN eagg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Fit-once / encode-any-batch deployment shape (mirror of
+    * `Bpe.fit(documents).encode(derived)`): the FULL trainer replay on
+    * `documents` (same [[bpeChain]] as the other BPE oracles), then the
+    * learned merge log applied to a DERIVED corpus — each document's text
+    * concatenated with its vowel-rotated form, so the new corpus contains
+    * both in-vocabulary and OOV words — and the encode join/aggregation
+    * of [[bpeEncode]] over the re-segmented word table.
+    *
+    * The replay here is SEQUENTIAL: one greedy-walk pass per learned
+    * merge, in global merge order. The engine replays in disjoint greedy
+    * GROUPS (Bpe.fit's regrouping), but a disjoint batch applies exactly
+    * like its merges applied one-at-a-time in order — the
+    * BpeSpec-proved equivalence the whole batched trainer rests on — so
+    * the sequential oracle is bit-identical without having to reproduce
+    * the (data-dependent) group boundaries in SQL. A missing merge rank
+    * (corpus dried up early) null-propagates to a no-op pass. */
+  def bpeModelEncode(merges: Int, batch: Int = graft.ext.Bpe.DefaultBatch): String = {
+    val scans = (merges + batch - 1) / batch
+    val mergeRows = (1 to scans).map(r =>
+        s"SELECT $r AS scan, j, pa[j] AS lhs, pb[j] AS rhs " +
+        s"FROM M$r, unnest(range(1, len(pa) + 1)) t(j)")
+      .mkString("\n  UNION ALL ")
+    val replayCtes = (1 to merges).map { k =>
+      val hit = s"l[i] = (SELECT lhs FROM mlog WHERE rnd = $k) " +
+        s"AND l[i+1] = (SELECT rhs FROM mlog WHERE rnd = $k)"
+      s"""RW$k AS (
+         |  SELECT word, l, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS acc FROM W${k - 1}
+         |  UNION ALL
+         |  SELECT word, l,
+         |    i + CASE WHEN i < array_length(l) AND $hit THEN 2 ELSE 1 END,
+         |    list_append(acc, CASE WHEN i < array_length(l) AND $hit
+         |        THEN l[i] || l[i+1] ELSE l[i] END)
+         |  FROM RW$k WHERE i <= array_length(l)),
+         |W$k AS MATERIALIZED (SELECT word, acc AS l FROM RW$k WHERE i = array_length(l) + 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeChain(merges, batch)},
+       |mlog AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY scan, j) AS INTEGER) AS rnd, lhs, rhs
+       |  FROM ($mergeRows)),
+       |docs2 AS MATERIALIZED (
+       |  SELECT doc_id, text || ' ' || translate(text, 'aeiou', 'eioua') AS text
+       |  FROM documents),
+       |${toksCteFor("docs2", "toks2")},
+       |W0 AS MATERIALIZED (
+       |  SELECT word, list_append(string_split_regex(word, ''), '_') AS l
+       |  FROM (SELECT DISTINCT w AS word FROM toks2, unnest(toks) AS u(w)
+       |        WHERE regexp_matches(w, '^[a-z0-9]+$$'))),
+       |$replayCtes,
+       |tokpos2 AS (
+       |  SELECT doc_id, toks[i] AS word, i AS tok_no
+       |  FROM toks2, unnest(range(1, len(toks) + 1)) AS t(i)
+       |  WHERE regexp_matches(toks[i], '^[a-z0-9]+$$')),
+       |enc2 AS (
+       |  SELECT t.doc_id, t.tok_no, array_to_string(s.l, ' ') AS seg,
+       |    array_length(s.l)::BIGINT AS ns
+       |  FROM tokpos2 t JOIN W$merges s ON t.word = s.word),
+       |eagg2 AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ns)::BIGINT AS n_subwords,
+       |    string_agg(seg, ' ' ORDER BY tok_no) AS segmented
+       |  FROM enc2 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(a.n_subwords, 0)::BIGINT AS n_subwords,
+       |  coalesce(a.segmented, '') AS segmented
+       |FROM documents d LEFT JOIN eagg2 a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
 

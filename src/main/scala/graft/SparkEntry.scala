@@ -126,6 +126,18 @@ object SparkEntry {
     "text_bpe" -> ((s, d) => ext.Bpe.mergeTable(Tables.documents(s, d), 8)),
     "text_bpe_vocab" -> ((s, d) => ext.Bpe.subwordFrequencies(Tables.documents(s, d), 8)),
     "text_bpe_encode" -> ((s, d) => ext.Bpe.encodeCorpus(Tables.documents(s, d), 8)),
+    // the production ingest shape: fit ONCE on the corpus, encode a NEW
+    // batch with the frozen vocabulary — the derived corpus (each doc
+    // concatenated with its vowel-rotated form) contains both in-vocab
+    // and OOV words, so the merge-log replay path is exercised, not just
+    // the trained-word join. Oracle replays the same merge log
+    // sequentially (≡ the engine's disjoint-group replay, BpeSpec).
+    "text_bpe_model_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val derived = docs.withColumn("text",
+        concat(col("text"), lit(" "), translate(col("text"), "aeiou", "eioua")))
+      ext.Bpe.fit(docs, 8).encode(derived)
+    }),
     "text_lm_score" -> ((s, d) => ext.LmScore.scoreDocuments(Tables.documents(s, d))),
     // incremental count maintenance: batch = doc_id % 4 == 0; the merged
     // totals must equal a full recount of the whole corpus
@@ -697,6 +709,7 @@ object SparkEntry {
     "text_bpe" -> OracleSql.bpeMerges(8),
     "text_bpe_vocab" -> OracleSql.bpeSubwords(8),
     "text_bpe_encode" -> OracleSql.bpeEncode(8),
+    "text_bpe_model_encode" -> OracleSql.bpeModelEncode(8),
     "text_lm_score" -> OracleSql.lmScore,
     // associativity is the check: merged batch+corpus counts == recount
     "pipeline_merge_counts" ->
