@@ -481,14 +481,25 @@ object Similarity {
                        vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the seed-order encoding below ((id*2)/(id*2+1)) needs an integral
+    // id — fail up front with the real requirement instead of leaving a
+    // fractional/string id to surface as a cast error or (worse) a
+    // silently precision-lossy double ordering deep in training
+    Seq(corpus -> "corpus", evalSet -> "evalSet").foreach { case (df, side) =>
+      val dt = df.schema(idCol).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType).contains(dt),
+        s"crossCosinePairs: $side.$idCol must be an integral type (got $dt); " +
+        "the deterministic seed order encodes ids as id*2 / id*2+1")
+    }
     val cSide = normalizedSide(corpus, idCol, vecCol, "corpus_id")
     val eSide = normalizedSide(evalSet, idCol, vecCol, "eval_id")
     // the training union's seed order must stay TOTAL even when the two
     // independently-keyed tables share id values — a side bit folded into
     // the ordering id keeps seeding deterministic (ids must fit 62 bits;
     // ANSI mode throws on overflow rather than silently wrapping)
-    val unionHat = cSide.select((col("corpus_id") * 2).as("id"), col("vhat").as("v"))
-      .unionByName(eSide.select((col("eval_id") * 2 + 1).as("id"), col("vhat").as("v")))
+    val unionHat = cSide.select((col("corpus_id").cast("long") * 2).as("id"), col("vhat").as("v"))
+      .unionByName(eSide.select((col("eval_id").cast("long") * 2 + 1).as("id"), col("vhat").as("v")))
     val centroids = Ivf.trainCentroidsOn(unionHat, nlist, iters = 2, "id")
     if (centroids.isEmpty) // both sides empty: empty result, right shape
       return emptyPairs(spark).toDF("corpus_id", "eval_id", "score")

@@ -195,6 +195,19 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == corpus.select("vec_id").as[Long].collect().toSet -- flagged)
   }
 
+  test("crossCosinePairs rejects a non-integral id column up front with the real requirement") {
+    // the seed-order encoding (id*2 / id*2+1) needs an integral id; a
+    // string id must fail fast with a message naming that, not surface
+    // as a cast error (or precision-lossy double ordering) mid-training
+    val strIds = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.crossCosinePairs(strIds, strIds, 0.5)
+    }
+    assert(e.getMessage.contains("must be an integral type"))
+    assert(e.getMessage.contains("StringType"))
+  }
+
   test("near-dup pairs symmetric under id swap and bounded by 1") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(2.0f, 4.0f, 6.0f)),
