@@ -313,6 +313,52 @@ object OracleSql {
        |SELECT query_id, neighbor_id, score, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Snapped-integer k-means (mirror of Ivf.kmeansAssignSnapped): the
+    * identical quantization (floor(x*1e6) + 8e6), seeds (nlist lowest
+    * vec_ids), per-round argmin on d = |c|^2 − 2 w·c with lowest-cell
+    * tie-break, and round-half-up integer centroid snap
+    * (2s + n) // (2n) — exact BIGINT arithmetic end-to-end, so the
+    * unrolled `iters` Lloyd rounds reproduce the engine's assignments
+    * bit-for-bit. `//` runs on non-negative operands only (the +8e6
+    * shift), where DuckDB floor-division == Spark `div` truncation.
+    * Empty cells keep the previous centroid via the LEFT JOIN coalesce. */
+  def kmeansSnapped(nlist: Int, iters: Int): String = {
+    def assignCte(name: String, cFrom: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY sum(c.c * c.c - 2 * v.w[c.pos] * c.c), c.cell) AS rn
+         |    FROM V v, $cFrom c GROUP BY v.vec_id, c.cell)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(s"A$r", s"C${r - 1}")},
+         |S$r AS (
+         |  SELECT a.cell, t.pos, sum(v.w[t.pos])::BIGINT AS s, count(*)::BIGINT AS n
+         |  FROM A$r a JOIN V v USING (vec_id), unnest(range(1, len(v.w) + 1)) t(pos)
+         |  GROUP BY a.cell, t.pos),
+         |C$r AS MATERIALIZED (
+         |  SELECT c0.cell, c0.pos, coalesce((2 * s.s + s.n) // (2 * s.n), c0.c) AS c
+         |  FROM C${r - 1} c0 LEFT JOIN S$r s ON c0.cell = s.cell AND c0.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH V AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT) + 8000000) AS w
+       |  FROM embeddings),
+       |C0 AS MATERIALIZED (
+       |  SELECT cell, t.pos, w[t.pos] AS c
+       |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, w
+       |        FROM (SELECT vec_id, w FROM V ORDER BY vec_id LIMIT $nlist)),
+       |       unnest(range(1, len(w) + 1)) t(pos)),
+       |$rounds,
+       |${assignCte("AF", s"C$iters")},
+       |SZ AS (SELECT cell, count(*)::BIGINT AS cell_size FROM AF GROUP BY cell)
+       |SELECT a.vec_id, a.cell, s.cell_size
+       |FROM AF a JOIN SZ s USING (cell)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Exact cosine radius search (mirror of sim_radius). */
   def simRadius(maxQueryId: Long, threshold: Double): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings

@@ -320,10 +320,13 @@ object SparkEntry {
     // CMS error bounds
     "text_cms_counts" -> ((s, d) =>
       TextStats.cmsHeavyHitters(Tables.documents(s, d), permille = 5)),
-    // k-means assignments as a first-class clustering output (rows-only:
-    // float centroids have no SQL oracle; specs pin determinism +
-    // partition invariants)
-    "sim_kmeans" -> ((s, d) => ext.Ivf.kmeansAssign(Tables.embeddings(s, d), 16)),
+    // k-means assignments as a first-class clustering output. The
+    // snapped-integer variant (floor(x*1e6)+8e6 quantization, integer
+    // centroid snap) keeps every Lloyd round in EXACT arithmetic, so the
+    // DuckDB oracle replays the identical 5-round schedule and the query
+    // hash-matches — the float-mean path (kept for IVF cell training)
+    // cannot, its avg(double) is accumulation-order-dependent
+    "sim_kmeans" -> ((s, d) => ext.Ivf.kmeansAssignSnapped(Tables.embeddings(s, d), 16)),
     "pipeline_interleave" -> ((s, d) =>
       ext.TrainingPipeline.interleaveBySource(Tables.documents(s, d),
         Seq("src0" -> 3, "src1" -> 2))),
@@ -1034,6 +1037,10 @@ object SparkEntry {
     "pipeline_token_budget" -> OracleSql.tokenBudget(15000L),
     "pipeline_datacard" -> OracleSql.dataCard,
     "sim_quantize" -> OracleSql.quantizeInt8,
+    // snapped-integer k-means: exact arithmetic end-to-end, so the
+    // unrolled Lloyd replay hash-matches (nlist and iters must mirror
+    // the queries entry)
+    "sim_kmeans" -> OracleSql.kmeansSnapped(16, 5),
     "graph_degrees" -> OracleSql.degreeStats,
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
     "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),

@@ -89,6 +89,108 @@ object Ivf {
       .orderBy(idCol)
   }
 
+  // ---- integer-snapped (cross-engine exact) k-means -------------------
+  //
+  // The float-mean Lloyd above is fine for IVF cell TRAINING (declared
+  // approximate, recall-bounded), but its avg(double) centroid update is
+  // accumulation-order-dependent, so another engine cannot reproduce the
+  // assignments bit-for-bit. The snapped variant quantizes once up front
+  // and then stays in EXACT integer arithmetic end-to-end, making the
+  // whole clustering a deterministic function of (corpus, nlist, iters)
+  // that a SQL oracle replays exactly:
+  //
+  //  - vectors snap to w_d = floor(x_d * 1e6) + 8e6 (BIGINT-valued).
+  //    floor (not round) because floor(double) is identical in every
+  //    engine while round's half-case is not; the +8e6 shift keeps every
+  //    value non-negative for |x| <= 8, and shifting all dims by a
+  //    constant changes NO squared distance and commutes with the mean,
+  //    so cluster structure is untouched — it exists purely so the
+  //    centroid-snap division below runs on non-negative operands, where
+  //    Spark's `div` (truncate) and SQL floor-division agree.
+  //  - assignment argmin uses d = |c|^2 - 2 w.c (the |w|^2 term is
+  //    per-row constant): every product <= 64 * (9e6)^2 ~ 5.2e15 < 2^53,
+  //    so the codegen'd double dot product is EXACT integer arithmetic;
+  //    ties break to the lowest cell id in both engines.
+  //  - the centroid update sums w_d per (cell, dim) as BIGINT and snaps
+  //    the mean to round-half-up integer via (2s + n) div (2n); empty
+  //    cells keep their previous centroid.
+  //
+  // Quantization at 1e-6 resolution is the DEFINED metric of this
+  // operator (inputs are float32 with ~1e-7 relative precision, so the
+  // snap is at the data's own noise floor), not an approximation of a
+  // float path: the exact-match oracle holds at any scale because both
+  // engines compute the same integers, not because floats happen to
+  // agree. Long-sum headroom: per-(cell,dim) sums stay exact to ~1e12
+  // rows per cell (9e6 * 1e12 < 2^63).
+
+  private[ext] val SnapScale = 1000000L
+  private[ext] val SnapShift = 8000000L
+
+  /** Quantize a float-array column to integral-valued doubles (exact in
+    * double up to 2^53 — see header note). */
+  private[ext] def snapVec(vec: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => floor(x * lit(SnapScale.toDouble)) + lit(SnapShift.toDouble))
+
+  /** Argmin cell over snapped centroids: d = |c|^2 − 2 w·c, exact. */
+  private[ext] def cellOfSnapped(w: Column, centroids: Seq[(Int, Seq[Long])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      val cn2 = c.map(x => x * x).sum.toDouble // exact: < 2^53
+      struct(
+        (lit(cn2) - lit(2.0d) * dot(w, typedLit(c.map(_.toDouble)))).as("d"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Lloyd rounds in snapped-integer arithmetic; seeds are the `nlist`
+    * lowest-id vectors (snapped). Same per-round shape as the float
+    * trainer: one (cell, pos) aggregation shuffle, nlist·dim rows back
+    * to the driver. */
+  private[ext] def trainCentroidsSnapped(vecs: DataFrame, nlist: Int, iters: Int,
+                                         idCol: String): Seq[(Int, Seq[Long])] = {
+    var centroids: Seq[(Int, Seq[Long])] = vecs.orderBy(col(idCol)).limit(nlist)
+      .select("w").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).map(_.toLong).toSeq) }.toSeq
+    if (centroids.isEmpty) return Seq.empty
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cell", cellOfSnapped(col("w"), centroids))
+      val rows = assigned
+        .select(col("cell"), posexplode(col("w")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getInt(1), (2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3)))))
+      val byCell: Map[Int, Seq[Long]] = rows.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      centroids = centroids.map { case (cid, c) => (cid, byCell.getOrElse(cid, c)) }
+    }
+    centroids
+  }
+
+  /** [[kmeansAssign]] in snapped-integer arithmetic: bit-identical
+    * assignments in any engine that replays the same integer recipe —
+    * the cross-engine-exact clustering a graded pipeline stage should
+    * use. Output shape matches kmeansAssign: (id, cell, cell_size). */
+  def kmeansAssignSnapped(embeddings: DataFrame, nlist: Int, iters: Int = 5,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = embeddings.select(col(idCol), snapVec(col(vecCol)).as("w"))
+      .localCheckpoint(true)
+    val centroids = trainCentroidsSnapped(vecs, nlist, iters, idCol)
+    // training is done with the checkpointed projection; the returned
+    // plan re-snaps from the raw table instead (one narrow codegen'd
+    // pass) so it stays lazy and transparent — and the training
+    // checkpoint can be released NOW rather than held by the result
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(vecs)
+    if (centroids.isEmpty)
+      return embeddings.select(col(idCol), lit(0).as("cell"),
+        lit(0L).as("cell_size")).limit(0)
+    val assigned = embeddings.select(col(idCol),
+      cellOfSnapped(snapVec(col(vecCol)), centroids).as("cell"))
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    assigned.join(broadcast(sizes), "cell")
+      .select(col(idCol), col("cell"), col("cell_size"))
+      .orderBy(idCol)
+  }
+
   /** IVF top-k: probe the `nprobe` cells nearest each query, exact cosine
     * within candidates, bounded top-k aggregation. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,

@@ -165,6 +165,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p.takeRight(800))
   }
 
+  test("snapped kmeans: narrow literal-centroid assignment, broadcast sizes, no cartesian") {
+    // centroids are driver-sized literals baked into the argmin
+    // expression, so the assignment pass must plan as a scan + project —
+    // the only join is the tiny per-cell size table, broadcast back
+    val p = q("sim_kmeans")
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    assert(p.contains("BroadcastHashJoin"), p.takeRight(800))
+    assert(!p.contains("SortMergeJoin"), p.takeRight(800))
+  }
+
   test("Naive Bayes broadcasts only the class grid, and never collects the model") {
     // the dense doc×class grid is the broadcast side (classes are few);
     // the model join key is `word` — a plain equi-join, not a cartesian

@@ -251,6 +251,40 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "deterministic seeding must reproduce assignments")
   }
 
+  test("snapped kmeans equals a pure-Scala exact replay, is deterministic, sizes consistent") {
+    // the snapped variant's whole point is bit-exact reproducibility in
+    // ANY engine that replays the integer recipe — so replay it in plain
+    // Scala (floor-quantize, lowest-id seeds, argmin on |c|^2 - 2 w.c
+    // with lowest-cell ties, (2s+n)/(2n) centroid snap) and demand
+    // EXACT assignment equality, not statistical agreement
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = graft.ext.Ivf.kmeansAssignSnapped(emb, 8, iters = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    val w = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => id -> v.map(x => math.floor(x * 1e6).toLong + 8000000L) }
+    var cents: Vector[Seq[Long]] = w.take(8).map(_._2).toVector
+    def assign(x: Seq[Long]): Int = cents.zipWithIndex.map { case (c, i) =>
+      (c.map(y => y * y).sum - 2L * x.zip(c).map { case (a, b) => a * b }.sum, i)
+    }.min._2
+    for (_ <- 0 until 3) {
+      val byCell = w.groupBy { case (_, x) => assign(x) }
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        byCell.get(i).fold(c) { members =>
+          val n = members.size.toLong
+          c.indices.map { d => (2 * members.map(_._2(d)).sum + n) / (2 * n) }
+        }
+      }
+    }
+    val expected = w.map { case (id, x) => id -> assign(x) }.toMap
+    assert(got.map(r => r._1 -> r._2).toMap == expected)
+    val sizes = got.groupBy(_._2).map { case (c, rs) => c -> rs.size.toLong }
+    assert(got.forall(r => sizes(r._2) == r._3))
+    val again = graft.ext.Ivf.kmeansAssignSnapped(emb, 8, iters = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("radius search returns exactly the brute-force neighbors above threshold") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count().toInt
