@@ -322,7 +322,30 @@ object OracleSql {
     * bit-for-bit. `//` runs on non-negative operands only (the +8e6
     * shift), where DuckDB floor-division == Spark `div` truncation.
     * Empty cells keep the previous centroid via the LEFT JOIN coalesce. */
-  def kmeansSnapped(nlist: Int, iters: Int): String = {
+  def kmeansSnapped(nlist: Int, iters: Int): String =
+    s"""${kmeansChain(nlist, iters)},
+       |SZ AS (SELECT cell, count(*)::BIGINT AS cell_size FROM AF GROUP BY cell)
+       |SELECT a.vec_id, a.cell, s.cell_size
+       |FROM AF a JOIN SZ s USING (cell)
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** Cluster-capped diversity selection (mirror of
+    * TrainingPipeline.diversityCap): the snapped k-means assignment
+    * chain, then keep the `cap` lowest ids per cell. */
+  def diversityCap(nlist: Int, iters: Int, cap: Int): String =
+    s"""${kmeansChain(nlist, iters)}
+       |SELECT vec_id, cell, rank_in_cell FROM (
+       |  SELECT vec_id, cell,
+       |    CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS BIGINT)
+       |      AS rank_in_cell
+       |  FROM AF)
+       |WHERE rank_in_cell <= $cap
+       |ORDER BY vec_id""".stripMargin
+
+  /** The shared snapped-k-means training chain: quantized vectors `V`,
+    * seed centroids `C0`, `iters` unrolled Lloyd rounds, and the final
+    * assignment `AF(vec_id, cell)`. */
+  private def kmeansChain(nlist: Int, iters: Int): String = {
     def assignCte(name: String, cFrom: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
@@ -352,11 +375,7 @@ object OracleSql {
        |        FROM (SELECT vec_id, w FROM V ORDER BY vec_id LIMIT $nlist)),
        |       unnest(range(1, len(w) + 1)) t(pos)),
        |$rounds,
-       |${assignCte("AF", s"C$iters")},
-       |SZ AS (SELECT cell, count(*)::BIGINT AS cell_size FROM AF GROUP BY cell)
-       |SELECT a.vec_id, a.cell, s.cell_size
-       |FROM AF a JOIN SZ s USING (cell)
-       |ORDER BY a.vec_id""".stripMargin
+       |${assignCte("AF", s"C$iters")}""".stripMargin
   }
 
   /** Exact cosine radius search (mirror of sim_radius). */

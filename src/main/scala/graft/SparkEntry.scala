@@ -327,6 +327,12 @@ object SparkEntry {
     // hash-matches — the float-mean path (kept for IVF cell training)
     // cannot, its avg(double) is accumulation-order-dependent
     "sim_kmeans" -> ((s, d) => ext.Ivf.kmeansAssignSnapped(Tables.embeddings(s, d), 16)),
+    // embedding-space diversity cap over the exact clustering: at most 24
+    // vectors per cell, lowest-id keep — the SemDeDup-style
+    // cluster-then-cap selection, hash-matched because the snapped
+    // k-means underneath is
+    "pipeline_diversity" -> ((s, d) =>
+      ext.TrainingPipeline.diversityCap(Tables.embeddings(s, d), nlist = 16, capPerCell = 24)),
     "pipeline_interleave" -> ((s, d) =>
       ext.TrainingPipeline.interleaveBySource(Tables.documents(s, d),
         Seq("src0" -> 3, "src1" -> 2))),
@@ -1041,6 +1047,7 @@ object SparkEntry {
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)
     "sim_kmeans" -> OracleSql.kmeansSnapped(16, 5),
+    "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
     "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),

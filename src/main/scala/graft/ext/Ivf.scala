@@ -166,12 +166,13 @@ object Ivf {
     centroids
   }
 
-  /** [[kmeansAssign]] in snapped-integer arithmetic: bit-identical
-    * assignments in any engine that replays the same integer recipe —
-    * the cross-engine-exact clustering a graded pipeline stage should
-    * use. Output shape matches kmeansAssign: (id, cell, cell_size). */
-  def kmeansAssignSnapped(embeddings: DataFrame, nlist: Int, iters: Int = 5,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Train snapped centroids and return the raw (id, cell) assignment —
+    * the shared core of [[kmeansAssignSnapped]] and
+    * [[TrainingPipeline.diversityCap]]; consumers that don't need the
+    * occupancy column or the presentation sort build on this so those
+    * stages never enter their plans. Empty corpus → empty frame. */
+  private[ext] def snappedAssignment(embeddings: DataFrame, nlist: Int, iters: Int,
+                                     idCol: String, vecCol: String): DataFrame = {
     val vecs = embeddings.select(col(idCol), snapVec(col(vecCol)).as("w"))
       .localCheckpoint(true)
     val centroids = trainCentroidsSnapped(vecs, nlist, iters, idCol)
@@ -181,10 +182,18 @@ object Ivf {
     // checkpoint can be released NOW rather than held by the result
     org.apache.spark.sql.graft.bridge.freeCheckpoint(vecs)
     if (centroids.isEmpty)
-      return embeddings.select(col(idCol), lit(0).as("cell"),
-        lit(0L).as("cell_size")).limit(0)
-    val assigned = embeddings.select(col(idCol),
+      return embeddings.select(col(idCol), lit(0).as("cell")).limit(0)
+    embeddings.select(col(idCol),
       cellOfSnapped(snapVec(col(vecCol)), centroids).as("cell"))
+  }
+
+  /** [[kmeansAssign]] in snapped-integer arithmetic: bit-identical
+    * assignments in any engine that replays the same integer recipe —
+    * the cross-engine-exact clustering a graded pipeline stage should
+    * use. Output shape matches kmeansAssign: (id, cell, cell_size). */
+  def kmeansAssignSnapped(embeddings: DataFrame, nlist: Int, iters: Int = 5,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = snappedAssignment(embeddings, nlist, iters, idCol, vecCol)
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
     assigned.join(broadcast(sizes), "cell")
       .select(col(idCol), col("cell"), col("cell_size"))

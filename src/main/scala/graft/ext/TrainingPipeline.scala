@@ -175,6 +175,44 @@ object TrainingPipeline {
       .orderBy(idCol)
   }
 
+  /** Embedding-space diversity cap: cluster the corpus with the
+    * cross-engine-exact snapped k-means ([[Ivf.kmeansAssignSnapped]])
+    * and keep at most `capPerCell` vectors per cluster (lowest ids —
+    * deterministic, no RNG). The semantic counterpart of [[domainCap]]:
+    * where the domain cap stops one HOST from dominating the mixture,
+    * this stops one REGION of embedding space (boilerplate families,
+    * template spam, near-identical content the URL can't reveal) from
+    * dominating it — the cluster-then-cap recipe of semantic
+    * de-duplication / diversity-sampling pipelines (SemDeDup-style).
+    *
+    * Scale shape: assignment is the narrow literal-centroid argmin; the
+    * cap is a BOUNDED per-cell top-k aggregation (≤ capPerCell rows per
+    * (partition, cell) cross the shuffle — `TopKAggregator`), NOT a
+    * row_number window partitioned by cell: with nlist cells and a
+    * corpus-scale input, a cell-partitioned window would sort the whole
+    * corpus through nlist hot partitions. Exactness carries over from
+    * the snapped clustering, so the keep-set is bit-identical in any
+    * engine replaying the integer recipe. */
+  def diversityCap(embeddings: DataFrame, nlist: Int, capPerCell: Int,
+                   iters: Int = 5, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(capPerCell > 0, s"capPerCell must be positive, got $capPerCell")
+    // raw assignment only: the occupancy join and presentation sort of
+    // kmeansAssignSnapped would be dead weight ahead of the cap agg
+    val assigned = Ivf.snappedAssignment(embeddings, nlist, iters, idCol, vecCol)
+    // keep the capPerCell LOWEST ids: TopKAggregator ranks score desc /
+    // id asc, so score = -id makes rank k the k-th-lowest id (ids are
+    // < 2^53, exact in the double score)
+    val topk = udaf(new graft.core.TopKAggregator(capPerCell),
+      org.apache.spark.sql.Encoders.product[graft.core.Scored])
+    assigned.groupBy("cell")
+      .agg(topk(negate(col(idCol).cast("double")), col(idCol)).as("top"))
+      .select(col("cell"), posexplode(col("top")))
+      .select(col("col.id").as(idCol), col("cell"),
+        (col("pos") + 1).cast("long").as("rank_in_cell"))
+      .orderBy(idCol)
+  }
+
   /** Weighted source interleaving: the training-order schedule that reads
     * sources in proportion to their weights (weight 3 : 1 means three
     * docs of the first source for every one of the second — the

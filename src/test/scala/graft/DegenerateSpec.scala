@@ -112,6 +112,24 @@ class DegenerateSpec extends SparkSpec {
     assert(Similarity.lshTopK(emptyEmb, Seq(1L), 5).count() == 0)
     assert(Similarity.quantizeInt8(emptyEmb).count() == 0)
     assert(Similarity.lshCandidates(emptyEmb, Seq(1L)).count() == 0)
+    assert(graft.ext.Ivf.kmeansAssignSnapped(emptyEmb, 8).count() == 0)
+    assert(graft.ext.TrainingPipeline.diversityCap(emptyEmb, 8, 3).count() == 0)
+  }
+
+  test("snapped kmeans with fewer vectors than cells: full coverage, cap beyond size keeps all") {
+    val emb = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // nlist=8 but only 2 vectors: every vector still gets a cell and the
+    // size accounting stays consistent
+    val a = graft.ext.Ivf.kmeansAssignSnapped(emb, 8, iters = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(a.map(_._1).sorted == Seq(10L, 20L))
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // capPerCell larger than any cell: nothing dropped, ranks start at 1
+    val d = graft.ext.TrainingPipeline.diversityCap(emb, 8, capPerCell = 5, iters = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(d.map(_._1).sorted == Seq(10L, 20L))
+    assert(d.forall(_._3 == 1L) || d.map(_._3).sorted == Seq(1L, 2L))
   }
 
   test("semantic decontamination degrades sanely on empty sides") {

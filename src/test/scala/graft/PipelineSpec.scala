@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.TrainingPipeline
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** End-to-end corpus-cleaning composite: stage accounting must be
   * internally consistent and the planted junk/dup docs must fall out. */
@@ -277,6 +278,29 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     // s0: 30-char docs win, id 2 ranks before id 3; 10 and 5 fall out
     assert(got == Seq((2L, "s0", 30L, 1L), (3L, "s0", 30L, 2L), (5L, "s1", 1L, 1L)))
+  }
+
+  test("diversityCap equals the window formulation; caps and ranks hold") {
+    // the bounded TopKAggregator path must keep EXACTLY the capPerCell
+    // lowest ids per cell with contiguous ranks — i.e. be interchangeable
+    // with the row_number-window formulation it replaces for scale
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cap = 7
+    val got = graft.ext.TrainingPipeline.diversityCap(emb, nlist = 8, capPerCell = cap, iters = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    val windowed = graft.ext.Ivf.kmeansAssignSnapped(emb, 8, iters = 3)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("rank_in_cell", row_number().over(w).cast("long"))
+      .filter(col("rank_in_cell") <= cap)
+      .orderBy("vec_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == windowed)
+    val byCell = got.groupBy(_._2)
+    assert(byCell.values.forall(_.size <= cap))
+    assert(byCell.values.forall(rs => rs.map(_._3).sorted == (1L to rs.size)))
+    assert(byCell.exists(_._2.size == cap), "fixture must saturate at least one cell")
   }
 
   test("heavy hitters: exact per-mille threshold, includes boundary, desc order") {

@@ -175,6 +175,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.takeRight(800))
   }
 
+  test("diversity cap plans a bounded per-cell aggregation, not a cell-partitioned window") {
+    // with nlist cells, a row_number window partitioned by cell would
+    // funnel the whole corpus through nlist hot partitions; the
+    // TopKAggregator path must plan as a partial-then-final object agg
+    val p = q("pipeline_diversity")
+    assert(!p.contains("Window"), p.takeRight(1200))
+    assert(p.contains("ObjectHashAggregate"), p.takeRight(1200))
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+  }
+
   test("Naive Bayes broadcasts only the class grid, and never collects the model") {
     // the dense doc×class grid is the broadcast side (classes are few);
     // the model join key is `word` — a plain equi-join, not a cartesian
