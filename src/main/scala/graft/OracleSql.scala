@@ -528,6 +528,22 @@ object OracleSql {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe split (mirror of assignSplitsByCluster): near-dup
+    * cluster labels via the recursive component chain, then the
+    * assignSplits hash applied to the CLUSTER id, so every cluster
+    * member gets the same split. */
+  def assignSplitsByCluster(trainPct: Int, valPct: Int, threshold: Double): String = {
+    val b = s"${poly("CAST(cluster_id AS VARCHAR)")} % 100"
+    s"""WITH RECURSIVE ${clusterLabelCtes("documents", threshold)},
+       |clusters AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+       |SELECT doc_id, cluster_id, $b AS bucket,
+       |  CASE WHEN $b < $trainPct THEN 'train'
+       |       WHEN $b < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM clusters ORDER BY doc_id""".stripMargin
+  }
+
   /** pipeline_mixture oracle: the same per-stratum id-hash keep-rates. */
   def mixtureSample(ratesPct: Seq[(String, Int)], defaultPct: Int,
                     strataCol: String = "lang"): String = {

@@ -192,6 +192,12 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
+    // leakage-safe variant: split buckets hash the near-dup CLUSTER id
+    // (threshold/hash match dedup_clusters, where this corpus has real
+    // cluster structure), so near-duplicates never straddle train/val
+    "pipeline_split_safe" -> ((s, d) =>
+      ext.TrainingPipeline.assignSplitsByCluster(Tables.documents(s, d),
+        nearDupThreshold = 0.3, baseHash = Dedup.polyHash)),
     // SEMANTIC decontamination: eval set = vec_id < 50, corpus bounded to
     // [50, 550) so the all-pairs oracle stays n·m; threshold 0.4 flags a
     // dozen cross-side paraphrase-level matches on this corpus
@@ -657,6 +663,7 @@ object SparkEntry {
     "text_scrub" -> OracleSql.textScrub,
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),
     "pipeline_split" -> OracleSql.assignSplits(98, 1),
+    "pipeline_split_safe" -> OracleSql.assignSplitsByCluster(98, 1, 0.3),
     "pipeline_decontaminate" -> OracleSql.decontaminate(4, 19),
     "text_repetition" -> OracleSql.repetition,
     "pipeline_stratified" -> OracleSql.stratifiedSample("lang", 20),

@@ -50,6 +50,37 @@ object TrainingPipeline {
       .orderBy(idCol)
   }
 
+  /** Leakage-safe train/val/test split: the deterministic id-hash split
+    * of [[assignSplits]], but at near-dup CLUSTER granularity — every
+    * member of a near-dup cluster hashes the same `cluster_id`, so two
+    * near-duplicate documents can never land on opposite sides of a
+    * split boundary. Per-document splitting silently leaks eval content:
+    * a near-copy of a val document sitting in train is memorization the
+    * eval can't detect; splitting on the cluster label is the standard
+    * guard (the held-out set is disjoint from train at near-dup
+    * granularity, not just id granularity).
+    *
+    * Scale shape: the cluster labels are the pointer-jumped min-label
+    * components of the LSH near-dup graph ([[Dedup.nearDupClusters]] —
+    * band equi-joins, O(log diameter) label rounds); the split decision
+    * itself is a per-row hash with no additional shuffle. Deterministic:
+    * same corpus, same threshold → same splits on any engine or
+    * partitioning. */
+  def assignSplitsByCluster(docs: DataFrame, trainPct: Int = 98, valPct: Int = 1,
+                            nearDupThreshold: Double = 0.7,
+                            baseHash: Column => Column = Dedup.xxHash,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val clusters = Dedup.nearDupClusters(docs, nearDupThreshold, baseHash, textCol, idCol)
+    clusters.select(col(idCol), col("cluster_id"),
+        pmod(Dedup.polyHash(col("cluster_id").cast("string")), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy(idCol)
+  }
+
   /** Deterministic pct% sample by the same id-hash mechanism — the
     * debugging/eval subset that is stable across pipeline runs. */
   def sampleByHash(docs: DataFrame, pct: Int, idCol: String = "doc_id"): DataFrame =

@@ -27,6 +27,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Seq(0L, 4L))
   }
 
+  test("cluster split: near-dups share a split, singletons match the plain split") {
+    // the leakage guard itself: docs 0/1/2 are one near-dup cluster and
+    // MUST land in the same split regardless of their own id hashes;
+    // singleton clusters (3, 4) hash their own id, so they must agree
+    // with the per-document assignSplits they generalize
+    val s = TrainingPipeline.assignSplitsByCluster(corpus, nearDupThreshold = 0.5)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val byId = s.map(r => r._1 -> r).toMap
+    assert(s.map(_._1).sorted == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(Seq(0L, 1L, 2L).map(byId(_)._2).distinct == Seq(0L)) // one cluster, min-id label
+    assert(Seq(0L, 1L, 2L).map(byId(_)._4).distinct.size == 1)  // one split
+    val plain = TrainingPipeline.assignSplits(corpus)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    Seq(3L, 4L).foreach { id => assert(byId(id)._4 == plain(id)) }
+    // every cluster maps to exactly one split on the bigger fixture too
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val big = TrainingPipeline.assignSplitsByCluster(docs, nearDupThreshold = 0.3,
+        baseHash = graft.ext.Dedup.polyHash)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(big.groupBy(_._2).values.forall(_.map(_._4).distinct.size == 1))
+    assert(big.exists(r => r._2 != r._1), "fixture must have at least one real cluster")
+  }
+
   test("char-ngram language id agrees with lexicon id on markered text") {
     val df = Seq(
       (1L, "the cat is a friend of the dog and the bird", "s"),

@@ -55,6 +55,25 @@ class ScaleSpec extends SparkSpec {
         corpusSide.repartition(5), evalSide.repartition(3), 0.3)))
   }
 
+  test("round-7 operators are invariant under input repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+    val emb = Tables.embeddings(spark, sf)
+    // snapped k-means: integer sums are order-independent and the argmin
+    // is per-row, so neither centroids nor assignments may see the split
+    assert(rows(graft.ext.Ivf.kmeansAssignSnapped(emb, 8, iters = 3)) ==
+      rows(graft.ext.Ivf.kmeansAssignSnapped(emb.repartition(5), 8, iters = 3)))
+    assert(rows(graft.ext.TrainingPipeline.diversityCap(emb, 8, 7, iters = 3)) ==
+      rows(graft.ext.TrainingPipeline.diversityCap(emb.repartition(5), 8, 7, iters = 3)))
+    // fit/encode split: the frozen model must encode identically however
+    // the NEW batch is partitioned (and however the fit corpus was)
+    val derived = docs.withColumn("text",
+      concat(col("text"), lit(" "), translate(col("text"), "aeiou", "eioua")))
+    val m1 = graft.ext.Bpe.fit(docs, 6)
+    val m2 = graft.ext.Bpe.fit(docs.repartition(7, col("lang")), 6)
+    assert(rows(m1.encode(derived)) == rows(m2.encode(derived.repartition(5))))
+  }
+
   test("salted word count == plain word count") {
     val docs = Tables.documents(spark, sf)
     val plain = WordCount.wordCount(docs).as[(String, Long)].collect().toSeq
