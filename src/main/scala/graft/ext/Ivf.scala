@@ -120,8 +120,12 @@ object Ivf {
   // snap is at the data's own noise floor), not an approximation of a
   // float path: the exact-match oracle holds at any scale because both
   // engines compute the same integers, not because floats happen to
-  // agree. Long-sum headroom: per-(cell,dim) sums stay exact to ~1e12
-  // rows per cell (9e6 * 1e12 < 2^63).
+  // agree. Long-sum headroom: the snap computes 2s + n, so the binding
+  // bound is 2 * 9e6 * rows < 2^63 — ~5e11 rows per cell. Both halves
+  // fail LOUDLY past it, never silently wrong: the distributed sum
+  // under Spark ANSI throws on Long overflow, and the driver-side snap
+  // uses multiplyExact/addExact; the fix at that scale is a
+  // DECIMAL(38,0) sum.
 
   private[ext] val SnapScale = 1000000L
   private[ext] val SnapShift = 8000000L
@@ -158,7 +162,13 @@ object Ivf {
         .groupBy("cell", "pos")
         .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
         .collect()
-        .map(r => (r.getInt(0), (r.getInt(1), (2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3)))))
+        .map { r =>
+          // driver-side snap: exact ops so the ~5e11-rows-per-cell bound
+          // (see header) fails loudly instead of wrapping Long arithmetic
+          val (s, n) = (r.getLong(2), r.getLong(3))
+          val snapped = Math.addExact(Math.multiplyExact(2L, s), n) / (2 * n)
+          (r.getInt(0), (r.getInt(1), snapped))
+        }
       val byCell: Map[Int, Seq[Long]] = rows.groupBy(_._1)
         .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
       centroids = centroids.map { case (cid, c) => (cid, byCell.getOrElse(cid, c)) }
