@@ -46,6 +46,28 @@ class CheckpointSpec extends SparkSpec {
     assert((persistedIds -- before).isEmpty)
   }
 
+  test("clusterPairs leaves O(1) live checkpoints however many rounds it runs") {
+    // a 9-node chain forces several propagation rounds; at the end only
+    // the pair list and the FINAL label generation may hold blocks (both
+    // are leaves of the returned lazy plan — superseded generations must
+    // have been freed round-by-round)
+    val nodes = (0L to 8L).toDF("doc_id")
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = persistedIds
+    val out = ext.Dedup.clusterPairs(nodes, pairs, "doc_id")
+    assert(out.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert((persistedIds -- before).size <= 2,
+      "only the pair checkpoint and the final label generation may survive")
+  }
+
+  test("snapped kmeans frees its training checkpoint before returning") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val before = persistedIds
+    assert(ext.Ivf.kmeansAssignSnapped(emb, 8, iters = 2).count() == 500)
+    assert((persistedIds -- before).isEmpty,
+      "the snapped-vector training table must be released; the result plan re-snaps from the raw table")
+  }
+
   test("Bpe.train leaves exactly one live generation of the word table") {
     val docs = Seq((1L, ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3), "s"))
       .toDF("doc_id", "text", "source")
