@@ -590,7 +590,29 @@ object OracleSql {
     * components; zero-norm vectors pair with nothing and keep their own
     * id, like every other singleton. */
   def embeddingClusters(maxId: Long, threshold: Double): String =
-    s"""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings
+    s"""WITH RECURSIVE ${embeddingClusterCtes(maxId, threshold)}
+       |SELECT vec_id, cluster_id FROM eclusters ORDER BY vec_id""".stripMargin
+
+  /** pipeline_split_safe_emb oracle: the embedding-cluster chain, then
+    * the assignSplits hash applied to the CLUSTER id (mirror of
+    * assignSplitsByEmbeddingCluster). */
+  def assignSplitsByEmbeddingCluster(trainPct: Int, valPct: Int,
+                                     maxId: Long, threshold: Double): String = {
+    val b = s"${poly("CAST(cluster_id AS VARCHAR)")} % 100"
+    s"""WITH RECURSIVE ${embeddingClusterCtes(maxId, threshold)}
+       |SELECT vec_id, cluster_id, $b AS bucket,
+       |  CASE WHEN $b < $trainPct THEN 'train'
+       |       WHEN $b < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM eclusters ORDER BY vec_id""".stripMargin
+  }
+
+  /** Shared embedding-cosine component chain: exact thresholded pairs on
+    * a bounded id range (all-pairs — oracle only), recursive min-label
+    * components, `eclusters(vec_id, cluster_id)` with singletons
+    * labeled by their own id. */
+  private def embeddingClusterCtes(maxId: Long, threshold: Double): String =
+    s"""base AS (SELECT vec_id, embedding FROM embeddings
        |            WHERE vec_id < $maxId),
        |e AS (SELECT vec_id, embedding FROM base WHERE ${selfDot("embedding")} > 0),
        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
@@ -601,9 +623,9 @@ object OracleSql {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT g.src, rc.r FROM edges g JOIN reach rc ON rc.id = g.dst),
-       |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-       |SELECT b.vec_id, coalesce(l.cluster_id, b.vec_id) AS cluster_id
-       |FROM base b LEFT JOIN labels l ON l.id = b.vec_id ORDER BY vec_id""".stripMargin
+       |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |eclusters AS (SELECT b.vec_id, coalesce(l.cluster_id, b.vec_id) AS cluster_id
+       |  FROM base b LEFT JOIN labels l ON l.id = b.vec_id)""".stripMargin
 
   /** pipeline_decon_embedding oracle: exact cross-side thresholded
     * cosine (all-pairs n·m — oracle only; the engine cell-prunes).

@@ -198,6 +198,12 @@ object SparkEntry {
     "pipeline_split_safe" -> ((s, d) =>
       ext.TrainingPipeline.assignSplitsByCluster(Tables.documents(s, d),
         nearDupThreshold = 0.3, baseHash = Dedup.polyHash)),
+    // semantic-granularity variant: clusters from embedding cosine (same
+    // bounded-id/threshold regime as dedup_embedding so the all-pairs
+    // oracle stays n²), catching paraphrase leakage the LSH split can't
+    "pipeline_split_safe_emb" -> ((s, d) =>
+      ext.TrainingPipeline.assignSplitsByEmbeddingCluster(
+        Tables.embeddings(s, d).filter(col("vec_id") < 500), threshold = 0.4)),
     // SEMANTIC decontamination: eval set = vec_id < 50, corpus bounded to
     // [50, 550) so the all-pairs oracle stays n·m; threshold 0.4 flags a
     // dozen cross-side paraphrase-level matches on this corpus
@@ -664,6 +670,7 @@ object SparkEntry {
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),
     "pipeline_split" -> OracleSql.assignSplits(98, 1),
     "pipeline_split_safe" -> OracleSql.assignSplitsByCluster(98, 1, 0.3),
+    "pipeline_split_safe_emb" -> OracleSql.assignSplitsByEmbeddingCluster(98, 1, 500, 0.4),
     "pipeline_decontaminate" -> OracleSql.decontaminate(4, 19),
     "text_repetition" -> OracleSql.repetition,
     "pipeline_stratified" -> OracleSql.stratifiedSample("lang", 20),

@@ -69,9 +69,29 @@ object TrainingPipeline {
   def assignSplitsByCluster(docs: DataFrame, trainPct: Int = 98, valPct: Int = 1,
                             nearDupThreshold: Double = 0.7,
                             baseHash: Column => Column = Dedup.xxHash,
-                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    clusterSplit(Dedup.nearDupClusters(docs, nearDupThreshold, baseHash, textCol, idCol),
+      trainPct, valPct, idCol)
+
+  /** [[assignSplitsByCluster]] at SEMANTIC granularity: cluster labels
+    * come from embedding-cosine near-dup components
+    * ([[Dedup.embeddingNearDupClusters]] — IVF cell-pruned exact pairs,
+    * never all-pairs), so a paraphrase of an eval document can't sit in
+    * train even when its surface text shares no shingles with the
+    * original — the leakage mode the text-LSH split can't see. Same
+    * deterministic cluster-id hash; same output shape. */
+  def assignSplitsByEmbeddingCluster(embeddings: DataFrame, trainPct: Int = 98,
+                                     valPct: Int = 1, threshold: Double = 0.9,
+                                     nlist: Int = 16, idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): DataFrame =
+    clusterSplit(Dedup.embeddingNearDupClusters(embeddings, threshold, nlist, idCol, vecCol),
+      trainPct, valPct, idCol)
+
+  /** Shared split-decision tail: hash the CLUSTER id into percent
+    * buckets, band into train/val/test. */
+  private def clusterSplit(clusters: DataFrame, trainPct: Int, valPct: Int,
+                           idCol: String): DataFrame = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
-    val clusters = Dedup.nearDupClusters(docs, nearDupThreshold, baseHash, textCol, idCol)
     clusters.select(col(idCol), col("cluster_id"),
         pmod(Dedup.polyHash(col("cluster_id").cast("string")), lit(100L)).as("bucket"))
       .withColumn("split",

@@ -50,6 +50,23 @@ class PipelineSpec extends SparkSpec {
     assert(big.exists(r => r._2 != r._1), "fixture must have at least one real cluster")
   }
 
+  test("embedding-cluster split: every semantic cluster maps to exactly one split") {
+    // the paraphrase-leakage guard: members of an embedding-cosine
+    // near-dup cluster share a split, and the fixture has real clusters
+    // at this threshold (same regime as dedup_embedding)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 500)
+    val s = TrainingPipeline.assignSplitsByEmbeddingCluster(emb, threshold = 0.4)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(s.size == 500)
+    assert(s.groupBy(_._2).values.forall(_.map(_._4).distinct.size == 1))
+    assert(s.exists(r => r._2 != r._1), "fixture must have at least one real cluster")
+    // cluster labels must agree with the clustering operator itself
+    val labels = graft.ext.Dedup.embeddingNearDupClusters(emb, 0.4)
+      .as[(Long, Long)].collect().toMap
+    assert(s.forall(r => labels(r._1) == r._2))
+  }
+
   test("char-ngram language id agrees with lexicon id on markered text") {
     val df = Seq(
       (1L, "the cat is a friend of the dog and the bird", "s"),
