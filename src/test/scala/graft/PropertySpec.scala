@@ -206,6 +206,46 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("snapped kmeans == pure-Scala integer replay for any corpus, dials, partitioning") {
+    // the cross-engine-exactness claim, property-tested: for random
+    // float vectors, any nlist/iters, any input partitioning, the
+    // engine's assignments must equal a from-scratch Scala replay of the
+    // integer recipe (floor-quantize, lowest-id seeds, |c|^2 - 2 w.c
+    // argmin with lowest-cell ties, (2s+n)/(2n) snap, empty cells keep
+    // their centroid)
+    val vecGen = Gen.listOfN(4, Gen.choose(-1.0, 1.0)).map(_.map(_.toFloat))
+    val embGen = for {
+      n <- Gen.choose(0, 18)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    check("kmeans-snapped",
+      Prop.forAll(embGen, Gen.choose(1, 5), Gen.choose(1, 3), Gen.choose(1, 4)) {
+        (rows, nlist, iters, parts) =>
+          val df = rows.toDF("vec_id", "embedding").repartition(parts)
+          val got = graft.ext.Ivf.kmeansAssignSnapped(df, nlist, iters)
+            .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+          val w = rows.sortBy(_._1).map { case (id, v) =>
+            id -> v.toSeq.map(x => math.floor(x.toDouble * 1e6).toLong + 8000000L) }
+          var cents = w.take(nlist).map(_._2).toVector
+          def assign(x: Seq[Long]): Int = cents.zipWithIndex.map { case (c, i) =>
+            (c.map(y => y * y).sum - 2L * x.zip(c).map { case (a, b) => a * b }.sum, i)
+          }.min._2
+          if (cents.isEmpty) got.isEmpty
+          else {
+            for (_ <- 0 until iters) {
+              val byCell = w.groupBy { case (_, x) => assign(x) }
+              cents = cents.zipWithIndex.map { case (c, i) =>
+                byCell.get(i).fold(c) { ms =>
+                  val n = ms.size.toLong
+                  c.indices.map(d => (2 * ms.map(_._2(d)).sum + n) / (2 * n))
+                }
+              }
+            }
+            got == w.map { case (id, x) => id -> assign(x) }.toMap
+          }
+      })
+  }
+
   test("PageRank conserves mass when no node dangles") {
     // closed graphs (every node has out-edges): total rank stays SCALE
     // within integer-division slack of a few units per node per round
