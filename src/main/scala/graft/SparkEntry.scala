@@ -363,6 +363,23 @@ object SparkEntry {
             concat(lit("new "), col("doc_id").cast("string")).as("text")))
       ext.Incremental.snapshotDiff(oldVer, newVer)
     }),
+    // SCD2 history over three derived snapshots: v1 lacks id%7 docs
+    // (created later), v2 edits id%5, v3 drops id%11 (deletions) and
+    // further edits id%3 — creates, edits, deletes, and stable runs all
+    // exercised
+    "pipeline_scd2" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val t2 = when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val v2 = docs.select(col("doc_id"), t2.as("text"), lit(2L).as("version"))
+      val v3 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(t2, lit(" v3"))).otherwise(t2).as("text"),
+          lit(3L).as("version"))
+      ext.Incremental.scdHistory(v1.unionByName(v2).unionByName(v3))
+    }),
     "q_dq_checks" -> ((s, d) =>
       Relational.dataQualityReport(Tables.orders(s, d), Tables.customer(s, d))),
     // fuzzy incremental dedup: even-id docs play the corpus, odd-id docs
@@ -1030,6 +1047,30 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_scd2" ->
+      """WITH v2t AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t2
+        |  FROM documents),
+        |allv AS (
+        |  SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM v2t WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, t2, 2 FROM v2t
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN t2 || ' v3' ELSE t2 END, 3
+        |  FROM v2t WHERE doc_id % 11 <> 0),
+        |c AS (SELECT doc_id, version,
+        |    CASE WHEN lag(text) OVER (PARTITION BY doc_id ORDER BY version)
+        |              IS DISTINCT FROM text THEN 1 ELSE 0 END AS chg
+        |  FROM allv),
+        |s AS (SELECT doc_id, version,
+        |    sum(chg) OVER (PARTITION BY doc_id ORDER BY version) AS seg
+        |  FROM c),
+        |runs AS (SELECT doc_id, seg,
+        |    min(version)::BIGINT AS valid_from, max(version)::BIGINT AS valid_to
+        |  FROM s GROUP BY doc_id, seg)
+        |SELECT doc_id, valid_from, valid_to,
+        |  valid_to = (SELECT max(version) FROM allv) AS is_current
+        |FROM runs ORDER BY doc_id, valid_from""".stripMargin,
     "q_dq_checks" ->
       """SELECT
         |  (SELECT count(*) FROM orders) AS n_orders,

@@ -125,6 +125,42 @@ object Incremental {
       .orderBy(idCol)
   }
 
+  /** SCD2-style document history: collapse a stack of corpus snapshots
+    * `(id, version, text)` into validity intervals — one row per
+    * unchanged run of a document's content, `[valid_from, valid_to]` in
+    * version numbers, `is_current` when the run reaches the newest
+    * version the document appears in AND that is the newest version
+    * overall (deleted documents' last runs are not current). The
+    * provenance table an incremental lake keeps so any historical
+    * training mixture can be reproduced ("corpus as of version k" =
+    * rows with valid_from <= k <= valid_to).
+    *
+    * Scale shape: text reduces to a 64-bit content hash at the scan
+    * (used ONLY for same/different comparisons inside the plan, so the
+    * hash function never needs to match another engine's); run
+    * detection is lag + running-sum windows partitioned BY DOCUMENT —
+    * millions of concurrent tiny windows, never a global sort; the
+    * newest version is a 1-row broadcast. */
+  def scdHistory(versions: DataFrame, idCol: String = "doc_id",
+                 verCol: String = "version", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(verCol))
+    val hashed = versions.select(col(idCol), col(verCol),
+      xxhash64(col(textCol)).as("__h"))
+    val seg = hashed
+      .withColumn("__chg",
+        when(lag(col("__h"), 1).over(w).isNull ||
+          lag(col("__h"), 1).over(w) =!= col("__h"), 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__chg")).over(w))
+    val runs = seg.groupBy(col(idCol), col("__seg"))
+      .agg(min(col(verCol)).as("valid_from"), max(col(verCol)).as("valid_to"))
+    val newest = versions.agg(max(col(verCol)).as("__vmax"))
+    runs.join(broadcast(newest))
+      .select(col(idCol), col("valid_from"), col("valid_to"),
+        (col("valid_to") === col("__vmax")).as("is_current"))
+      .orderBy(col(idCol), col("valid_from"))
+  }
+
   /** Bloom-hit subset of `incoming` (true duplicates + false positives) —
     * the rows that would reach the verify join. Exposed for pruning
     * accounting and tests. */

@@ -87,4 +87,31 @@ class IncrementalSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
   }
+
+  test("scd2 history: hand-computed runs for edit, create+delete, late-edit, stable") {
+    // doc 1: edited at v3         -> [1,2] old, [3,3] current
+    // doc 2: created v2, gone v3  -> [2,2] never current
+    // doc 3: edited at v2         -> [1,1] old, [2,3] current
+    // doc 4: never changes        -> [1,3] current
+    val versions = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"),
+      (2L, 2L, "x"),
+      (3L, 1L, "p"), (3L, 2L, "q"), (3L, 3L, "q"),
+      (4L, 1L, "s"), (4L, 2L, "s"), (4L, 3L, "s")
+    ).toDF("doc_id", "version", "text")
+    val got = Incremental.scdHistory(versions)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, false), (1L, 3L, 3L, true),
+      (2L, 2L, 2L, false),
+      (3L, 1L, 1L, false), (3L, 2L, 3L, true),
+      (4L, 1L, 3L, true)))
+    // reconstruction property: "corpus as of version k" row counts match
+    // the snapshot sizes the history was built from
+    (1L to 3L).foreach { k =>
+      val asOf = got.count(r => r._2 <= k && k <= r._3)
+      val direct = versions.filter(col("version") === k).count()
+      assert(asOf == direct, s"as-of $k")
+    }
+  }
 }
