@@ -116,6 +116,17 @@ class DegenerateSpec extends SparkSpec {
     assert(graft.ext.TrainingPipeline.diversityCap(emptyEmb, 8, 3).count() == 0)
   }
 
+  test("scd2 history: empty snapshot stack yields empty, single version is one current run") {
+    val emptyV = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("version", LongType), StructField("text", StringType))))
+    assert(graft.ext.Incremental.scdHistory(emptyV).count() == 0)
+    val one = Seq((7L, 1L, "x")).toDF("doc_id", "version", "text")
+    assert(graft.ext.Incremental.scdHistory(one)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq == Seq((7L, 1L, 1L, true)))
+  }
+
   test("snapped kmeans with fewer vectors than cells: full coverage, cap beyond size keeps all") {
     val emb = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")

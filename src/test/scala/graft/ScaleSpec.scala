@@ -72,6 +72,13 @@ class ScaleSpec extends SparkSpec {
     val m1 = graft.ext.Bpe.fit(docs, 6)
     val m2 = graft.ext.Bpe.fit(docs.repartition(7, col("lang")), 6)
     assert(rows(m1.encode(derived)) == rows(m2.encode(derived.repartition(5))))
+    // scd2: run collapse is per-document; the snapshot stack's physical
+    // layout must not leak into intervals
+    val versions = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      .unionByName(docs.select(col("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"), lit(2L).as("version")))
+    assert(rows(graft.ext.Incremental.scdHistory(versions)) ==
+      rows(graft.ext.Incremental.scdHistory(versions.repartition(9))))
   }
 
   test("salted word count == plain word count") {
