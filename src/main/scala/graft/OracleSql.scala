@@ -153,6 +153,32 @@ object OracleSql {
        |ORDER BY jaccard DESC, a, b LIMIT $limit""".stripMargin
   }
 
+  /** Exact threshold Jaccard pairs (mirror of dedup_jaccard_prefix).
+    * Deliberately the PLAIN full inverted join + threshold filter — the
+    * engine's prefix-filtered candidate generation is an internal pruning
+    * strategy whose contract is exact output equivalence with this naive
+    * formulation, so the oracle must NOT mirror the pruning. */
+  def ngramJaccardThreshold(threshold: Double, maxDf: Long = Long.MaxValue): String = {
+    val shRel = if (maxDf == Long.MaxValue) "sh" else "shf"
+    val dfCte = if (maxDf == Long.MaxValue) "" else
+      s""",
+         |shf AS (
+         |  SELECT sh.doc_id, sh.sh FROM sh
+         |  JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) d
+         |    ON d.sh = sh.sh AND d.df <= $maxDf)""".stripMargin
+    s"""WITH $shinglesCte$dfCte,
+       |sz AS (SELECT doc_id, count(*) AS sz FROM $shRel GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM $shRel x JOIN $shRel y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, inter, sa.sz AS sa, sb.sz AS sb,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Raw SQL fragments for interpolated builders (interpolated
     * triple-quoted strings process \x/\p escapes; plain ones don't). */
   private val wsSplit = """regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')"""

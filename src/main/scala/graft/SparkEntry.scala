@@ -175,6 +175,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, maxDf = 1000L)
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
+    // prefix-filtered exact threshold Jaccard: the oracle is the NAIVE
+    // full inverted join — output equivalence is the pruning's contract
+    "dedup_jaccard_prefix" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), 0.3, 3)
+        .orderBy("a", "b")),
     // polyHash (not the default xxhash64) so the LSH candidate generation
     // is reproducible in SQL — these three are fully oracle-checked
     "dedup_minhash_neardups" -> ((s, d) =>
@@ -682,6 +687,7 @@ object SparkEntry {
     "dedup_lsh_bands" -> OracleSql.lshBands(8, 4),
     "dedup_simhash" -> OracleSql.simhash(30),
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
+    "dedup_jaccard_prefix" -> OracleSql.ngramJaccardThreshold(0.3),
     "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
     "text_scrub" -> OracleSql.textScrub,
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),

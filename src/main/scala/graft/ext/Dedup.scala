@@ -454,6 +454,70 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Exact threshold Jaccard pairs via PREFIX FILTERING (the PPJoin
+    * family: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): identical
+    * output to `ngramJaccardPairs(...).filter(jaccard >= t)`, but the
+    * candidate join indexes only each document's PREFIX — its
+    * `sz - ceil(t·sz) + 1` rarest shingles under a global (df, hash)
+    * order — instead of every shingle.
+    *
+    * Why this is exact: order all shingles globally; let m = the smallest
+    * shared shingle of a pair with J ≥ t. If m were outside A's prefix,
+    * the whole intersection would fit in A's suffix of size ceil(t·|A|)−1,
+    * but J ≥ t forces |A∩B| ≥ ceil(t·|A|) — contradiction. Same for B. So
+    * every qualifying pair meets in the prefix-index equi-join, and the
+    * verify stage (exact intersection count over the FULL shingle sets)
+    * removes false candidates. Both float dials are relaxed by 1e-9
+    * toward MORE candidates, so float rounding can only cost pruning,
+    * never a pair.
+    *
+    * Scale: candidate generation cost is driven by prefix co-occurrence —
+    * rarest-first ordering puts high-df (boilerplate) shingles at the
+    * END of each document's ordering, so they rarely enter any prefix;
+    * at t=0.8 the index holds ~20% of the shingle rows and hot shingles
+    * contribute ~0 candidate pairs (vs df²/2 in the full inverted join).
+    * The per-doc ordering is one aggregation (sort_array over the doc's
+    * own shingles — bounded by document length, no window over the
+    * corpus); a size-ratio filter (J ≥ t ⇒ min·sz ≥ t·max·sz) prunes
+    * before the verify join. `maxDf` composes as in [[ngramJaccardPairs]]
+    * with identical dropped-shingle semantics. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double, k: Int = 3,
+                         maxDf: Long = Long.MaxValue,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val sh = shingleRows(docs, k, textCol, idCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh_h"))
+    val filtered = (if (maxDf == Long.MaxValue) sh else {
+      val df = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      sh.join(df.filter(col("df") <= maxDf), "sh_h").select(col(idCol), col("sh_h"))
+    }).localCheckpoint(true) // feeds ordering, prefixes, AND verify — compute once
+    val dfs = filtered.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    // per-doc rarest-first ordering; prefix length relaxed by 1e-9 so a
+    // float ceil landing one above the true rational can only ADD a slot
+    val prefixes = filtered.join(dfs, "sh_h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh_h")))).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      .select(col(idCol), col("sz"), explode(slice(col("ordered"), lit(1), col("plen"))).as("p"))
+      .select(col(idCol), col("sz"), col("p.sh_h").as("sh_h"))
+    val cands = prefixes.select(col(idCol).as("a"), col("sz").as("sa"), col("sh_h"))
+      .join(prefixes.select(col(idCol).as("b"), col("sz").as("sb"), col("sh_h")), "sh_h")
+      .filter(col("a") < col("b") &&
+        least(col("sa"), col("sb")).cast("double") >=
+          lit(threshold) * greatest(col("sa"), col("sb")) - lit(1e-9))
+      .select("a", "b", "sa", "sb").distinct()
+    val ha = filtered.select(col(idCol).as("a"), col("sh_h"))
+    val hb = filtered.select(col(idCol).as("b"), col("sh_h"))
+    cands.join(ha, "a").join(hb, Seq("b", "sh_h"))
+      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("inter"))
+      .select(col("a"), col("b"), col("inter"), col("sa"), col("sb"),
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Cross-corpus near-duplicate detection: which batch documents
     * near-duplicate ANY corpus document — the fuzzy form of incremental
     * ingest dedup (and of test-set decontamination when `corpus` is the

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.Dedup
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Dedup correctness on a planted corpus: exact copies, near-duplicates
   * (small edits), and unrelated docs. Approximate ops are gated on
@@ -46,6 +47,43 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 1L)) == 1.0)
     assert(j.getOrElse((0L, 4L), 0.0) == 0.0)
     assert(j((0L, 2L)) > 0.7 && j((0L, 2L)) < 1.0)
+  }
+
+  test("prefix-filtered jaccard == naive inverted join at every threshold") {
+    // output-equivalence is the pruning's whole contract — check it at
+    // thresholds spanning tiny prefixes (0.9) to near-full index (0.1),
+    // on the planted corpus (exact copies, near-dups, unrelated docs)
+    def naive(t: Double, maxDf: Long) = Dedup.ngramJaccardPairs(corpus, maxDf = maxDf)
+      .filter(col("jaccard") >= t)
+      .select("a", "b", "inter", "sa", "sb", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); maxDf <- Seq(Long.MaxValue, 5L)) {
+      val pruned = Dedup.prefixJaccardPairs(corpus, t, maxDf = maxDf)
+        .select("a", "b", "inter", "sa", "sb", "jaccard")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(pruned == naive(t, maxDf), s"divergence at t=$t maxDf=$maxDf")
+    }
+    // and the exact-copy pair survives the tightest threshold
+    assert(Dedup.prefixJaccardPairs(corpus, 1.0)
+      .select("a", "b").as[(Long, Long)].collect().toSet.contains((0L, 1L)))
+  }
+
+  test("prefix index is smaller than the full index and shrinks as t rises") {
+    // not just correct — actually pruning: count indexed (doc, shingle)
+    // rows the candidate join sees at a high vs low threshold
+    def prefixRows(t: Double): Long = {
+      val sh = Dedup.shingleRows(corpus).select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+      val dfs = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      sh.join(dfs, "sh_h").groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("sh_h")))).as("ordered"))
+        .select(explode(slice(col("ordered"), lit(1),
+          (size(col("ordered")) - ceil(lit(t) * size(col("ordered")) - lit(1e-9)) + 1).cast("int"))))
+        .count()
+    }
+    val full = Dedup.shingleRows(corpus).count()
+    val p08 = prefixRows(0.8)
+    assert(p08 < full, s"prefix index ($p08) must be smaller than full index ($full)")
+    assert(p08 < prefixRows(0.2), "higher threshold must index fewer rows")
   }
 
   test("maxDf hot-shingle semantics: boilerplate-only pairs drop; real near-dups survive") {
