@@ -82,6 +82,11 @@ object SparkEntry {
     "q_string_fns" -> ((s, d) => Relational.partTypeHeads(Tables.part(s, d))),
     "q_events_window" -> ((s, d) => Relational.hourlyEventStats(Tables.events(s, d))),
     "q_sessions" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    // ---- streaming, driver-graded: these rows go through the REAL
+    // micro-batch engine (writeStream → memory sink, AvailableNow) and
+    // must still hash-match the batch SQL oracle ----
+    "stream_events_window" -> ((s, d) => streaming.EventsStream.hourlyStatsLanded(s, d)),
+    "stream_dedup" -> ((s, d) => streaming.EventsStream.dedupKeysLanded(s, d)),
     "q_json" -> ((s, d) => Relational.eventPropStats(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) =>
       rel.TemporalJoins.latestOrderPerEvent(Tables.events(s, d), Tables.orders(s, d))),
@@ -555,6 +560,15 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // the streaming run must land exactly what the batch SQL computes
+    "stream_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,

@@ -101,6 +101,55 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drain a finite streaming DataFrame through the REAL streaming engine
+    * (micro-batch runner, state store, watermark machinery) into a memory
+    * sink and return the landed table. This is what lets streaming
+    * transforms be driver-graded against the batch SQL oracle instead of
+    * only spec-asserted: the rows the oracle sees went through
+    * `writeStream`, not a batch shortcut.
+    *
+    * Scale contract: the memory sink is for BOUNDED aggregate outputs
+    * (hours × event-types, distinct key sets) — corpus-sized streams land
+    * via the `foreachBatch` parquet sink (StreamingSpec covers it); this
+    * helper is the grading harness, not the production sink. Query names
+    * are uniquified so repeated invocations (bench passes) never collide
+    * with a registered temp view from an earlier run. */
+  def drainToTable(spark: SparkSession, stream: DataFrame,
+                   name: String, mode: String): DataFrame = {
+    val qn = s"graft_stream_${name}_${runSeq.incrementAndGet()}"
+    val q = stream.writeStream.outputMode(mode).format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
+  /** Graded query: hourly windowed aggregation through the streaming
+    * engine, complete mode (a finite source drains fully, so the landed
+    * table holds every window — exactly the batch result). */
+  def hourlyStatsLanded(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark, hourlyStats(readEvents(spark, sfDir)),
+      "hourly", "complete")
+      .orderBy("hour_start", "event_type")
+
+  /** Graded query: streaming exact dedup — the distinct (user, event_type)
+    * key set via `dropDuplicates` state. Keys are projected AFTER the
+    * dedup so the output is the deterministic key set (which concrete row
+    * wins the first-seen race varies with partition order; the key set
+    * does not). Plain `dropDuplicates` (not WithinWatermark): state is one
+    * row per DISTINCT key — bounded by key cardinality, not stream length
+    * — and global exactness is the point of the query; use
+    * dropDuplicatesWithinWatermark only when a bounded re-emit horizon is
+    * acceptable. */
+  def dedupKeysLanded(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark,
+      readEvents(spark, sfDir).dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      "dedup", "append")
+      .orderBy("user_id", "event_type")
+
   /** One closed user session emitted by the stateful sessionizer. */
   final case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                            n_events: Long, session_value_cents: Long)

@@ -78,6 +78,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("landed complete-mode window agg == batch, exactly (the graded form)") {
+    // complete mode on a drained finite source must hold EVERY window —
+    // set equality, not the append-mode subset relation
+    val got = EventsStream.hourlyStatsLanded(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Relational.hourlyEventStats(Tables.events(spark, dir))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // repeated invocation must not collide on the memory-sink view name
+    val again = EventsStream.hourlyStatsLanded(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(again == batch)
+  }
+
+  test("landed streaming dedup == batch distinct key set") {
+    val got = EventsStream.dedupKeysLanded(spark, dir)
+      .as[(Long, String)].collect().toSet
+    val batch = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch parquet sink lands the streamed aggregates") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val stream = EventsStream.hourlyStats(EventsStream.readEvents(spark, dir))
