@@ -161,6 +161,36 @@ object Incremental {
       .orderBy(col(idCol), col("valid_from"))
   }
 
+  /** MERGE INTO semantics (the lakehouse CDC-apply): fold a change log
+    * `(id, seq, op ∈ {upsert, delete}, payload…)` onto a keyed base
+    * table. Per id the HIGHEST-seq change wins (a delete followed by a
+    * later upsert re-inserts; an upsert of an absent id inserts; ids
+    * without changes pass through untouched) — exactly what
+    * `MERGE INTO base USING latest-change-per-key` computes in a SQL
+    * lakehouse.
+    *
+    * Scale shape: the winner per id is ONE aggregation (`max_by` over the
+    * change log — map-side partial, no window over the log), then ONE
+    * full-outer equi-join with the base on the id. Ingest cost is
+    * proportional to |changes| + one co-partitioned pass over the base;
+    * with both sides bucketed by id ([[Lake.writeBucketed]]) the join is
+    * exchange-free. Ties on (id, seq) are resolved by the total order
+    * (seq, op, payload…), so reruns are deterministic even on a
+    * degenerate log; producers should still emit unique seqs per id. */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+                   payloadCols: Seq[String], idCol: String = "doc_id",
+                   seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val winner = changes.groupBy(col(idCol))
+      .agg(max(struct((col(seqCol) +: col(opCol) +: payloadCols.map(col)): _*)).as("__w"))
+      .select(col(idCol) +: col(s"__w.$opCol").as("__op") +:
+        payloadCols.map(c => col(s"__w.$c").as(s"__new_$c")): _*)
+    base.join(winner, Seq(idCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "delete")
+      .select(col(idCol) +: payloadCols.map(c =>
+        when(col("__op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)): _*)
+      .orderBy(idCol)
+  }
+
   /** Bloom-hit subset of `incoming` (true duplicates + false positives) —
     * the rows that would reach the verify join. Exposed for pruning
     * accounting and tests. */

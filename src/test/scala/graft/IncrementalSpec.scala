@@ -80,6 +80,58 @@ class IncrementalSpec extends SparkSpec {
     assert(bloomed.nonEmpty && bloomed.size < batch.count())
   }
 
+  test("cdc apply: latest-wins upsert, delete, re-insert, fresh insert, passthrough") {
+    val changes = Seq(
+      // doc 0: edited at seq 1, edited again at seq 2 -> seq 2 wins
+      (0L, 1L, "upsert", "zero v1", "s0"),
+      (0L, 2L, "upsert", "zero v2", "s0"),
+      // doc 1: deleted
+      (1L, 1L, "delete", null.asInstanceOf[String], null.asInstanceOf[String]),
+      // doc 2: deleted then re-inserted at a later seq
+      (2L, 1L, "delete", null.asInstanceOf[String], null.asInstanceOf[String]),
+      (2L, 2L, "upsert", "two is back", "s2"),
+      // doc 99: upsert of an id absent from the base = insert
+      (99L, 1L, "upsert", "fresh", "s9")
+    ).toDF("doc_id", "seq", "op", "text", "source")
+    val got = Incremental.applyChanges(corpus, changes, Seq("text", "source"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (0L, "zero v2", "s0"),
+      (2L, "two is back", "s2"),
+      (99L, "fresh", "s9")))
+    // note: doc 1 gone, doc 0 took the HIGHER seq, doc 2 re-inserted;
+    // and the only base row without changes passes through untouched:
+    val withPassthrough = Incremental.applyChanges(
+      corpus, changes.filter(col("doc_id") =!= 1L), Seq("text", "source"))
+      .as[(Long, String, String)].collect().toSet
+    assert(withPassthrough.contains((1L, "delta epsilon zeta", "s1")))
+  }
+
+  test("cdc apply: empty change log is identity; result is repartition-invariant") {
+    val empty = Seq.empty[(Long, Long, String, String, String)]
+      .toDF("doc_id", "seq", "op", "text", "source")
+    val id = Incremental.applyChanges(corpus, empty, Seq("text", "source"))
+      .as[(Long, String, String)].collect().toSet
+    assert(id == corpus.as[(Long, String, String)].collect().toSet)
+    val changes = Seq(
+      (0L, 1L, "upsert", "zero v1", "s0"),
+      (1L, 1L, "delete", null.asInstanceOf[String], null.asInstanceOf[String]),
+      (7L, 3L, "upsert", "seven", "s7")
+    ).toDF("doc_id", "seq", "op", "text", "source")
+    val a = Incremental.applyChanges(corpus, changes, Seq("text", "source"))
+      .as[(Long, String, String)].collect().toSet
+    val b = Incremental.applyChanges(
+      corpus.repartition(7), changes.repartition(5), Seq("text", "source"))
+      .as[(Long, String, String)].collect().toSet
+    assert(a == b)
+    // applying the same log twice is idempotent (upserts are absolute,
+    // not deltas): apply(apply(base)) == apply(base)
+    val once = Incremental.applyChanges(corpus, changes, Seq("text", "source"))
+    val twice = Incremental.applyChanges(once, changes, Seq("text", "source"))
+      .as[(Long, String, String)].collect().toSet
+    assert(twice == a)
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged correctly") {
     val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newV = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")

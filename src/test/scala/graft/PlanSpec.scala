@@ -106,6 +106,25 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("CartesianProduct"), pm.takeRight(800))
   }
 
+  test("prefix-filtered jaccard plans equi-joins only, no cartesian, no corpus window") {
+    // candidate generation is a self-equi-join of the prefix index; the
+    // per-doc ordering is an aggregation, never a window over the corpus
+    val p = q("dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct"), p.takeRight(1200))
+    assert(!p.contains("Window"), p.takeRight(1200))
+  }
+
+  test("cdc apply: one aggregation + one full-outer equi-join, no window over the log") {
+    val p = q("pipeline_cdc_apply")
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    assert(!p.contains("Window"), p.takeRight(800))
+    assert(p.contains("FullOuter"), p.takeRight(800))
+    // winner-per-key is an aggregation (SortAggregate: max over a struct
+    // has no mutable hash buffer) and still carries a map-side partial
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p.takeRight(800))
+    assert(p.contains("partial_max") || p.contains("Partial"), p.takeRight(2000))
+  }
+
   test("vocabulary id assignment has no single-partition exchange") {
     // the two-phase ranking must never funnel the dictionary through one
     // task: no SinglePartition exchange anywhere (the presentation sort is
