@@ -283,6 +283,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
     "text_bigrams" -> ((s, d) => TextStats.topNgrams(Tables.documents(s, d), 2, 20)),
+    "text_pmi" -> ((s, d) => TextStats.pmiCollocations(Tables.documents(s, d), 50, 5)),
     "text_scrub" -> ((s, d) => TextStats.scrub(Tables.documents(s, d))),
     "text_tfidf_pairs" -> ((s, d) =>
       TextStats.tfIdfCosinePairs(Tables.documents(s, d), 50, maxDf = 1000L)),
@@ -970,6 +971,27 @@ object SparkEntry {
          |    ELSE [] END) AS u(g))
          |SELECT g AS ngram, count(*) AS cnt FROM grams
          |GROUP BY g ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+    // PMI mirror: the probability ratio is ONE double expression with the
+    // identical association as the engine; round at 1e-6 absorbs libm ulps
+    "text_pmi" ->
+      s"""WITH ${OracleSql.toksCte},
+         |grams AS (
+         |  SELECT g FROM toks, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS u(g)),
+         |bi AS (SELECT g AS bigram, count(*) AS cab FROM grams GROUP BY g),
+         |uni AS (SELECT w AS word, count(*) AS c
+         |        FROM toks, unnest(toks) AS u(w) GROUP BY w),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS w_total,
+         |               (SELECT CAST(sum(cab) AS BIGINT) FROM bi) AS b_total)
+         |SELECT bigram, cab, ua.c AS ca, ub.c AS cb,
+         |  round(ln((CAST(cab AS DOUBLE) * w_total * w_total) /
+         |           (CAST(b_total AS DOUBLE) * ua.c * ub.c)) * 1e6) / 1e6 AS pmi
+         |FROM bi, tot
+         |JOIN uni ua ON ua.word = string_split(bigram, ' ')[1]
+         |JOIN uni ub ON ub.word = string_split(bigram, ' ')[2]
+         |WHERE cab >= 5
+         |ORDER BY cab DESC, bigram LIMIT 50""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

@@ -396,6 +396,49 @@ object TextStats {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** PMI collocations: pointwise mutual information of adjacent token
+    * bigrams, PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = c(ab)/B
+    * over bigram occurrences and p(a) = c(a)/W over token occurrences —
+    * the classic collocation-discovery statistic (phrases like proper
+    * names score high; chance co-occurrences of frequent words score ~0
+    * or negative). `minCount` suppresses the unstable low-count tail
+    * (PMI's known bias toward hapax pairs).
+    *
+    * Scale shape: TWO corpus scans total (one for bigram counts, one for
+    * unigram counts), each a word-keyed partial-agg shuffle identical to
+    * word count; both totals derive from the vocabulary-sized counts
+    * tables (never a corpus re-scan) and broadcast as single rows; the
+    * bigram→unigram attachments are two equi-joins on the token (both
+    * sides vocabulary-sized). Exactness: the probability ratio is ONE
+    * double expression with fixed association mirrored by the oracle,
+    * and the final PMI is rounded at 1e-6 so last-ulp libm differences
+    * between engines cannot surface. */
+  def pmiCollocations(docs: DataFrame, topK: Int = 50, minCount: Long = 5,
+                      textCol: String = "text"): DataFrame = {
+    val bi = docs.select(explode(graft.functions.token_ngrams(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    val uni = docs.select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val totals = uni.agg(sum(col("c")).as("w_total"))
+      .crossJoin(bi.agg(sum(col("cab")).as("b_total")))
+    // tokens never contain spaces (the tokenizer strips non-letter/number
+    // chars), so the bigram splits unambiguously on its single space
+    val ratio = (col("cab").cast("double") * col("w_total") * col("w_total")) /
+      (col("b_total").cast("double") * col("ca") * col("cb"))
+    bi.filter(col("cab") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("word").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("word").as("b"), col("c").as("cb")), "b")
+      .select(col("bigram"), col("cab"), col("ca"), col("cb"),
+        (round(log(ratio) * 1e6) / 1e6).as("pmi"))
+      .orderBy(col("cab").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Exact heavy hitters: tokens accounting for at least `permille`/1000
     * of ALL token occurrences — the corpus-frequency screen a tokenizer
     * or stopword-list builder runs first.

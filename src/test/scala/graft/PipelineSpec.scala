@@ -292,6 +292,35 @@ class PipelineSpec extends SparkSpec {
     assert(rows(4L).getAs[Long]("n_lines") >= 60L)
   }
 
+  test("pmi collocations: hand-computed fixture, collocation beats chance pair") {
+    // corpus: "x y" always adjacent (a true collocation); "p"/"q" frequent
+    // but never adjacent to each other except once (chance-level)
+    val docs = Seq(
+      (0L, "x y p q"), (1L, "x y q p"), (2L, "x y p p q q"), (3L, "p x y q")
+    ).toDF("doc_id", "text")
+    val rows = ext.TextStats.pmiCollocations(docs, topK = 100, minCount = 1)
+      .collect().map(r => r.getAs[String]("bigram") -> r).toMap
+    // totals: W = 18 tokens, B = 14 bigrams; c(x y)=4, c(x)=4, c(y)=4
+    val xy = rows("x y")
+    assert(xy.getAs[Long]("cab") == 4L && xy.getAs[Long]("ca") == 4L
+      && xy.getAs[Long]("cb") == 4L)
+    val expected = math.round(math.log(4.0 * 18 * 18 / (14.0 * 4 * 4)) * 1e6) / 1e6
+    assert(xy.getAs[Double]("pmi") == expected)
+    // the always-adjacent pair outranks every chance co-occurrence
+    for ((g, r) <- rows if g != "x y")
+      assert(r.getAs[Double]("pmi") < xy.getAs[Double]("pmi"),
+        s"$g should score below the planted collocation")
+    // minCount suppresses the hapax tail
+    val filtered = ext.TextStats.pmiCollocations(docs, topK = 100, minCount = 4)
+      .select("bigram").as[String].collect().toSeq
+    assert(filtered == Seq("x y"))
+    // repartition invariance: counts and pmi identical under reshuffling
+    val a = ext.TextStats.pmiCollocations(docs, 100, 1).collect().map(_.toString).sorted.toSeq
+    val b = ext.TextStats.pmiCollocations(docs.repartition(7), 100, 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("char entropy: hand-computed values, integer-scaled terms, empty doc") {
     val docs = Seq((0L, "aab"), (1L, ""), (2L, "zzzz")).toDF("doc_id", "text")
     val rows = ext.TextStats.charEntropy(docs).collect()
