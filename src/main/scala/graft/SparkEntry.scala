@@ -296,6 +296,9 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextStats.charEntropy(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) =>
       ext.TrainingPipeline.shuffleShardsAuto(Tables.documents(s, d), rowsPerShard = 64)),
+    // DPO/RLHF data prep: best-vs-worst quality pair per (source, lang)
+    "pipeline_preference_pairs" -> ((s, d) =>
+      ext.TrainingPipeline.preferencePairs(Tables.documents(s, d))),
     "sim_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
     "q_mode" -> ((s, d) => Relational.modeQuantity(Tables.lineitem(s, d))),
     "q_regex_extract" -> ((s, d) => Relational.partNameWords(Tables.part(s, d), 25)),
@@ -723,6 +726,33 @@ object SparkEntry {
     "dedup_spans" -> OracleSql.spanDedup(3),
     "text_entropy" -> OracleSql.charEntropy,
     "pipeline_shuffle" -> OracleSql.shuffleShardsAuto(64, "graft"),
+    // chosen = argmax (score, -id); rejected = argmin (score, id) —
+    // the window ORDER BY mirrors the engine's struct-max tie-breaks
+    "pipeline_preference_pairs" ->
+      s"""WITH ${OracleSql.toksCte},
+         |s AS (
+         |  SELECT d.source, d.lang, d.doc_id,
+         |    CAST(len(list_filter(t.toks, x -> x IN (${OracleSql.stopwordList}))) AS DOUBLE)
+         |      / CAST(len(t.toks) AS DOUBLE) AS score
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |  WHERE len(t.toks) > 0),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY source, lang
+         |                       ORDER BY score DESC, doc_id ASC) AS rc,
+         |    row_number() OVER (PARTITION BY source, lang
+         |                       ORDER BY score ASC, doc_id ASC) AS rr
+         |  FROM s),
+         |g AS (SELECT source, lang, count(*) AS n_docs FROM s GROUP BY 1, 2)
+         |SELECT g.source, g.lang, g.n_docs,
+         |  c.doc_id AS chosen_id, w.doc_id AS rejected_id,
+         |  c.score AS chosen_score, w.score AS rejected_score,
+         |  c.score - w.score AS margin
+         |FROM g
+         |JOIN r c ON c.source = g.source AND c.lang = g.lang AND c.rc = 1
+         |JOIN r w ON w.source = g.source AND w.lang = g.lang AND w.rr = 1
+         |WHERE c.score - w.score > 0
+         |ORDER BY g.source, g.lang""".stripMargin,
     "sim_dim_stats" -> OracleSql.dimStats,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",

@@ -578,4 +578,47 @@ object TrainingPipeline {
     require(nShards <= Int.MaxValue, s"nShards $nShards exceeds Int range")
     shuffleShards(docs, nShards.toInt, seed, idCol)
   }
+
+  /** Preference-pair construction (the DPO/RLHF data-prep shape): within
+    * each group, pair the highest-scoring document (chosen) with the
+    * lowest-scoring one (rejected), emitting ids, scores, and the margin.
+    * The score here is the stopword ratio — the cheap fluency proxy from
+    * [[TextStats.qualityScores]]; any per-document scalar slots in the
+    * same way. Groups whose best and worst tie (margin 0, including
+    * single-doc groups) are dropped: a pair that doesn't discriminate
+    * teaches nothing.
+    *
+    * Determinism: ties on the score break toward the SMALLER doc id on
+    * both ends — chosen is argmax of (score, -id), rejected argmin of
+    * (score, id) — so the output is a pure function of the corpus.
+    *
+    * Scale shape: one narrow scan computes the score per row (no
+    * shuffle), then ONE grouped aggregation carries both argmax and
+    * argmin as max/min of 2-field structs — map-side partial, no window
+    * over the corpus, never a self-join. Zero-token documents are
+    * excluded up front (their ratio is undefined). */
+  def preferencePairs(docs: DataFrame, groupCols: Seq[String] = Seq("source", "lang"),
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.text.Tokenize.tokensArray(col(textCol))
+    val scored = docs
+      .select(groupCols.map(col) ++ Seq(
+        col(idCol),
+        size(filter(toks, t => t.isin(TextStats.Stopwords: _*))).cast("long").as("__stop"),
+        size(toks).cast("long").as("__ntok")): _*)
+      .filter(col("__ntok") > 0)
+      .withColumn("__score", col("__stop").cast("double") / col("__ntok").cast("double"))
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("__score").as("s"), (-col(idCol)).as("nid"))).as("__best"),
+        min(struct(col("__score").as("s"), col(idCol).as("id"))).as("__worst"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_docs"),
+        (-col("__best.nid")).as("chosen_id"),
+        col("__worst.id").as("rejected_id"),
+        col("__best.s").as("chosen_score"),
+        col("__worst.s").as("rejected_score"),
+        (col("__best.s") - col("__worst.s")).as("margin")): _*)
+      .filter(col("margin") > 0)
+      .orderBy(groupCols.map(col): _*)
+  }
 }

@@ -292,6 +292,39 @@ class PipelineSpec extends SparkSpec {
     assert(rows(4L).getAs[Long]("n_lines") >= 60L)
   }
 
+  test("preference pairs: argmax/argmin per group with deterministic tie-breaks") {
+    val docs = Seq(
+      // group (s0, en): scores 2/4=0.5 (doc 0), 1/4=0.25 (doc 1), 0/3=0 (doc 2)
+      (0L, "the a cats dogs", "en", "s0"),
+      (1L, "the cats dogs birds", "en", "s0"),
+      (2L, "cats dogs birds", "en", "s0"),
+      // group (s1, en): both docs tie at 1/3 -> margin 0 -> dropped
+      (3L, "the cats dogs", "en", "s1"),
+      (4L, "the birds fish", "en", "s1"),
+      // group (s2, en): single doc -> margin 0 -> dropped
+      (5L, "the end", "en", "s2"),
+      // group (s3, en): tie on BEST score between docs 6 and 7 -> chosen
+      // is the smaller id; doc 8 is the clear worst
+      (6L, "the a b", "en", "s3"),
+      (7L, "the of c", "en", "s3"),
+      (8L, "x y z", "en", "s3")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = ext.TrainingPipeline.preferencePairs(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("s0", "s3"), "margin-0 groups must be dropped")
+    assert(rows("s0").getAs[Long]("chosen_id") == 0L)
+    assert(rows("s0").getAs[Long]("rejected_id") == 2L)
+    assert(rows("s0").getAs[Long]("n_docs") == 3L)
+    assert(rows("s0").getAs[Double]("margin") == 0.5)
+    assert(rows("s3").getAs[Long]("chosen_id") == 6L, "best-score tie -> smaller id")
+    assert(rows("s3").getAs[Long]("rejected_id") == 8L)
+    // repartition invariance
+    val a = ext.TrainingPipeline.preferencePairs(docs).collect().map(_.toString).toSeq
+    val b = ext.TrainingPipeline.preferencePairs(docs.repartition(5))
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("pmi collocations: hand-computed fixture, collocation beats chance pair") {
     // corpus: "x y" always adjacent (a true collocation); "p"/"q" frequent
     // but never adjacent to each other except once (chance-level)

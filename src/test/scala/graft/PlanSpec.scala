@@ -125,6 +125,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("Partial"), p.takeRight(2000))
   }
 
+  test("preference pairs: grouped struct-argmax aggregation, no window, no self-join") {
+    val p = q("pipeline_preference_pairs")
+    assert(!p.contains("Window"), p.takeRight(800))
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    // both ends of the pair ride ONE corpus scan (formatted explain names
+    // each scan twice: once in the tree, once as the node-detail header)
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.takeRight(1200))
+  }
+
   test("vocabulary id assignment has no single-partition exchange") {
     // the two-phase ranking must never funnel the dictionary through one
     // task: no SinglePartition exchange anywhere (the presentation sort is
