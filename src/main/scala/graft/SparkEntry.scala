@@ -459,6 +459,10 @@ object SparkEntry {
     // degree/strength profile of the bigram graph (the pre-flight report
     // for any iterative graph computation)
     "graph_degrees" -> ((s, d) => ext.Graph.wordDegreeStats(Tables.documents(s, d))),
+    // degree-ordered-orientation triangle census; the oracle is the NAIVE
+    // lexicographic triple-join — a different algorithm, so agreement is
+    // the correctness argument
+    "graph_triangles" -> ((s, d) => ext.Graph.wordTriangles(Tables.documents(s, d), 20)),
     // sliding-window next-event training examples over the event stream
     "pipeline_examples" -> ((s, d) =>
       ext.TrainingPipeline.nextEventExamples(Tables.events(s, d), 3)),
@@ -1232,6 +1236,28 @@ object SparkEntry {
     "sim_kmeans" -> OracleSql.kmeansSnapped(16, 5),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
+    "graph_triangles" ->
+      s"""WITH ${OracleSql.toksCte},
+         |grams AS (
+         |  SELECT g FROM toks, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS u(g)),
+         |ed AS (SELECT string_split(g, ' ')[1] AS src, string_split(g, ' ')[2] AS dst
+         |       FROM grams),
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM ed WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |corners AS (
+         |  SELECT x AS node FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |SELECT node, count(*)::BIGINT AS n_triangles
+         |FROM corners GROUP BY node
+         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
     "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),
   )

@@ -79,6 +79,51 @@ class GraphSpec extends SparkSpec {
       ("c", 0L, 0L, 1L, 1L))) // pure sink: out zero-filled
   }
 
+  test("triangles: K4 census, star has none, orientation == naive triple-join") {
+    // K4 on {a,b,c,d}: 4 triangles, every node in exactly 3
+    val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+      .map { case (s, t) => (s, t, 1L) }.toDF("src", "dst", "w")
+    val got = Graph.triangleCounts(k4).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // a star supernode has maximal degree but zero triangles — and the
+    // orientation bounds its wedge fan-out (all edges point INTO the hub)
+    val star = (1 to 9).map(i => ("hub", s"n$i", 1L)).toDF("src", "dst", "w")
+    assert(Graph.triangleCounts(star).count() == 0L)
+    // direction and duplication must not matter: reversed + repeated
+    // edges canonicalize to the same undirected simple graph
+    val messy = Seq(("b","a",3L),("a","b",1L),("c","a",1L),("b","c",2L),("c","c",9L))
+      .toDF("src", "dst", "w")
+    val tri = Graph.triangleCounts(messy).as[(String, Long)].collect().toMap
+    assert(tri == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangles: orientation algorithm == naive triple-join on a random graph") {
+    // pseudo-random (deterministic) graph: edge {i,j} present iff
+    // (i*31 + j*17) % 5 == 0 over 24 nodes — dense enough for hundreds
+    // of triangles, including high-degree nodes
+    val edges = (for {
+      i <- 0 until 24; j <- (i + 1) until 24
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (s"v%02d".format(i), s"v%02d".format(j), 1L)).toDF("src", "dst", "w")
+    val got = Graph.triangleCounts(edges, k = 1000)
+      .as[(String, Long)].collect().toMap
+    // naive reference: lexicographic triple-join over canonical edges
+    val und = Graph.undirectedEdges(edges)
+    val e1 = und.select(col("a").as("x"), col("b").as("y"))
+    val e2 = und.select(col("a").as("y"), col("b").as("z"))
+    val e3 = und.select(col("a").as("x"), col("b").as("z"))
+    val tris = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    val naive = tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(naive.nonEmpty, "fixture must actually contain triangles")
+    assert(got == naive)
+    // repartition invariance
+    val again = Graph.triangleCounts(edges.repartition(7), k = 1000)
+      .as[(String, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("declared corpus query ranks every word and orders by rank") {
     val docs = Seq((0L, "the cat sat on the mat"), (1L, "the dog")).toDF("doc_id", "text")
     val out = Graph.wordPageRank(docs, iters = 3)
