@@ -181,9 +181,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, maxDf = 1000L)
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)),
     // prefix-filtered exact threshold Jaccard: the oracle is the NAIVE
-    // full inverted join — output equivalence is the pruning's contract
+    // full inverted join — output equivalence is the pruning's contract.
+    // t=0.8 is the operator's measured regime (high-threshold near-dup
+    // mining; see the prefixJaccardPairs Scaladoc for the ProfileScratch
+    // numbers): at low t the prefix keeps most of the index and the
+    // plain inverted join (dedup_ngram_jaccard) is the right tool
     "dedup_jaccard_prefix" -> ((s, d) =>
-      Dedup.prefixJaccardPairs(Tables.documents(s, d), 0.3, 3)
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), 0.8, 3)
         .orderBy("a", "b")),
     // polyHash (not the default xxhash64) so the LSH candidate generation
     // is reproducible in SQL — these three are fully oracle-checked
@@ -764,7 +768,7 @@ object SparkEntry {
     "dedup_lsh_bands" -> OracleSql.lshBands(8, 4),
     "dedup_simhash" -> OracleSql.simhash(30),
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
-    "dedup_jaccard_prefix" -> OracleSql.ngramJaccardThreshold(0.3),
+    "dedup_jaccard_prefix" -> OracleSql.ngramJaccardThreshold(0.8),
     "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
     "text_scrub" -> OracleSql.textScrub,
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),

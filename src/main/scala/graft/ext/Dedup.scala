@@ -473,14 +473,28 @@ object Dedup {
     *
     * Scale: candidate generation cost is driven by prefix co-occurrence —
     * rarest-first ordering puts high-df (boilerplate) shingles at the
-    * END of each document's ordering, so they rarely enter any prefix;
-    * at t=0.8 the index holds ~20% of the shingle rows and hot shingles
-    * contribute ~0 candidate pairs (vs df²/2 in the full inverted join).
-    * The per-doc ordering is one aggregation (sort_array over the doc's
-    * own shingles — bounded by document length, no window over the
+    * END of each document's ordering, so they rarely enter any prefix
+    * and contribute ~0 candidate pairs (vs df²/2 in the full inverted
+    * join). The per-doc ordering is one aggregation (sort_array over the
+    * doc's own shingles — bounded by document length, no window over the
     * corpus); a size-ratio filter (J ≥ t ⇒ min·sz ≥ t·max·sz) prunes
     * before the verify join. `maxDf` composes as in [[ngramJaccardPairs]]
-    * with identical dropped-shingle semantics. */
+    * with identical dropped-shingle semantics.
+    *
+    * MEASURED regime boundary (ProfileScratch `jaccard`, sf0.1): on the
+    * benign synthetic corpus the naive inverted join is NOT
+    * co-occurrence-bound, and it counts intersections inline while this
+    * operator pays a separate candidate-restricted verify join — naive
+    * wins there (2.0s vs 2.3s at t=0.8; 1.9s vs 8.4s at t=0.3, where the
+    * prefix keeps ~70% of the index and prunes nothing). On a
+    * boilerplate-heavy corpus — every doc sharing a hot template tail,
+    * the web-corpus norm — the ranking inverts at only 2k docs: prefix
+    * 1.1s vs naive 4.6s, and the gap grows as df² since each hot shingle
+    * emits ~df²/2 naive candidates but never enters a prefix. Use this
+    * operator for high thresholds over boilerplate-contaminated corpora
+    * (or any corpus where `maxDf` would be unacceptable because dropped
+    * shingles must still count toward scores); use the plain inverted
+    * join for low thresholds on clean corpora. */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double, k: Int = 3,
                          maxDf: Long = Long.MaxValue,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -23,6 +23,41 @@ object ProfileScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `jaccard` arg: run ONLY the prefix-vs-naive threshold-join study
+    if (args.headOption.contains("jaccard")) {
+      val docs = Tables.documents(spark, sfDir)
+      time("warmup (naive t=0.5)") {
+        ext.Dedup.ngramJaccardPairs(docs).filter(col("jaccard") >= 0.5).count()
+      }
+      for (t <- Seq(0.3, 0.5, 0.8)) {
+        val n = time(f"naive  full-join  t=$t%.1f") {
+          ext.Dedup.ngramJaccardPairs(docs).filter(col("jaccard") >= t).count()
+        }
+        val p = time(f"prefix filtered   t=$t%.1f") {
+          ext.Dedup.prefixJaccardPairs(docs, t).count()
+        }
+        require(n == p, s"prefix != naive at t=$t: $n vs $p")
+      }
+      // the regime the prefix filter exists for: boilerplate-heavy docs.
+      // Every doc shares a hot template tail, so the naive inverted join
+      // emits ~n²/2 candidate pairs per hot shingle; the prefix ordering
+      // puts those shingles last, so they never enter any prefix.
+      val boiler = " all rights reserved subscribe to our newsletter for weekly updates and exclusive offers today"
+      val hot = docs.limit(2000)
+        .withColumn("text", concat(col("text"), lit(boiler)))
+        .localCheckpoint(true)
+      for (t <- Seq(0.8)) {
+        val p = time(f"BOILERPLATE prefix   t=$t%.1f (2k docs)") {
+          ext.Dedup.prefixJaccardPairs(hot, t).count()
+        }
+        val n = time(f"BOILERPLATE naive    t=$t%.1f (2k docs)") {
+          ext.Dedup.ngramJaccardPairs(hot).filter(col("jaccard") >= t).count()
+        }
+        require(n == p, s"prefix != naive on boilerplate at t=$t: $n vs $p")
+      }
+      spark.stop(); return
+    }
+
     // sim_pq decomposition: joint-subspace Lloyd training vs encode+ADC
     locally {
       val embAll = Tables.embeddings(spark, sfDir)
