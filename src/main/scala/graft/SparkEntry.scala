@@ -87,6 +87,8 @@ object SparkEntry {
     // must still hash-match the batch SQL oracle ----
     "stream_events_window" -> ((s, d) => streaming.EventsStream.hourlyStatsLanded(s, d)),
     "stream_dedup" -> ((s, d) => streaming.EventsStream.dedupKeysLanded(s, d)),
+    "stream_join" -> ((s, d) => streaming.EventsStream.purchasesAfterErrorsLanded(s, d)),
+    "stream_sessions" -> ((s, d) => streaming.EventsStream.sessionWindowLanded(s, d)),
     "q_json" -> ((s, d) => Relational.eventPropStats(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) =>
       rel.TemporalJoins.latestOrderPerEvent(Tables.events(s, d), Tables.orders(s, d))),
@@ -609,6 +611,34 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // session_window's interval is end-EXCLUSIVE: an event at exactly
+    // last_ts + gap starts a NEW session, hence >= in the island test
+    // (q_sessions' custom sessionizer uses strict >, a deliberate
+    // semantic difference documented there)
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(CASE WHEN gap_ms >= 1800000 THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM e)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS session_value_cents
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    "stream_join" ->
+      """SELECT p.user_id, p.event_id,
+        |  epoch_ms(p.ts)::BIGINT AS ts_ms, epoch_ms(e.ts)::BIGINT AS err_ts_ms
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id AND e.event_type = 'error'
+        | AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.user_id, p.event_id, err_ts_ms""".stripMargin,
     "q_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,

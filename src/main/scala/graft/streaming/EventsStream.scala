@@ -150,6 +150,29 @@ object EventsStream {
       "dedup", "append")
       .orderBy("user_id", "event_type")
 
+  /** Graded query: the stream-stream interval join, drained. Append mode
+    * emits each match exactly once; with the 1h watermark comfortably
+    * covering the 30min band, no match is evicted before its partner
+    * arrives on a drained finite source, so the landed rows equal the
+    * batch range join exactly (StreamingSpec asserts set equality). */
+  def purchasesAfterErrorsLanded(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark,
+      purchasesAfterErrors(readEvents(spark, sfDir), bandMinutes = 30)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("err_ts")).as("err_ts_ms")),
+      "join", "append")
+      .orderBy("user_id", "event_id", "err_ts_ms")
+
+  /** Graded query: gap-based sessionization through the streaming
+    * engine's merging session-window state, drained in complete mode so
+    * the landed table holds every session (append would withhold the
+    * trailing ones the final watermark never passes). */
+  def sessionWindowLanded(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark, sessionWindowStats(readEvents(spark, sfDir)),
+      "sessions", "complete")
+      .orderBy("user_id", "session_start_ms")
+
   /** One closed user session emitted by the stateful sessionizer. */
   final case class Session(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                            n_events: Long, session_value_cents: Long)

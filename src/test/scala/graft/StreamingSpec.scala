@@ -103,6 +103,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("landed complete-mode session windows == batch session windows, exactly") {
+    val got = EventsStream.sessionWindowLanded(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventsStream.sessionWindowStats(Tables.events(spark, dir))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("landed stream-stream join == batch range join, exactly") {
+    val got = EventsStream.purchasesAfterErrorsLanded(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(errors, expr(
+        "user_id = err_user AND ts >= err_ts AND ts <= err_ts + interval 30 minutes"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), unix_millis(col("err_ts")).as("err_ts_ms"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch parquet sink lands the streamed aggregates") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val stream = EventsStream.hourlyStats(EventsStream.readEvents(spark, dir))
