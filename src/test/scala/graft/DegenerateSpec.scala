@@ -84,6 +84,38 @@ class DegenerateSpec extends SparkSpec {
     assert(graft.rel.Relational.priceOutliers(emptyOrders).count() == 0)
   }
 
+  test("round-8 ops degrade sanely on empty and degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    // prefix-filtered jaccard: empty corpus, and a single doc (no pairs)
+    assert(Dedup.prefixJaccardPairs(empty, 0.5).count() == 0)
+    val one = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardPairs(one, 0.5).count() == 0)
+    // pmi: empty corpus and a one-token corpus (no bigrams) yield empty
+    assert(TextStats.pmiCollocations(empty, 10, 1).count() == 0)
+    assert(TextStats.pmiCollocations(Seq((1L, "word")).toDF("doc_id", "text"), 10, 1)
+      .count() == 0)
+    // preference pairs: empty corpus, and an all-empty-text corpus
+    // (every doc excluded by the zero-token guard)
+    assert(TrainingPipeline.preferencePairs(empty).count() == 0)
+    val blank = Seq((1L, "", "en", "s"), (2L, "", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TrainingPipeline.preferencePairs(blank).count() == 0)
+    // triangles: empty edges, and a pure path graph (no triangles)
+    val noEdges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(graft.ext.Graph.triangleCounts(noEdges).count() == 0)
+    val path = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    assert(graft.ext.Graph.triangleCounts(path).count() == 0)
+    // cdc apply: empty base + inserts-only log builds the table from scratch
+    val emptyBase = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val log = Seq((1L, 1L, "upsert", "t", "s"),
+      (2L, 1L, "delete", null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "seq", "op", "text", "source")
+    val built = graft.ext.Incremental.applyChanges(emptyBase, log, Seq("text", "source"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(built == Seq((1L, "t", "s")), "delete of an absent id is a no-op")
+  }
+
   test("constant group: zero variance never divides by zero in outliers") {
     val orders = Seq((1L, "P", 5.0), (2L, "P", 5.0), (3L, "P", 5.0))
       .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
