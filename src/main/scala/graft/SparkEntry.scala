@@ -305,6 +305,9 @@ object SparkEntry {
     // DPO/RLHF data prep: best-vs-worst quality pair per (source, lang)
     "pipeline_preference_pairs" -> ((s, d) =>
       ext.TrainingPipeline.preferencePairs(Tables.documents(s, d))),
+    // curriculum schedule: global quality rank via two-phase prefix sum
+    "pipeline_curriculum" -> ((s, d) =>
+      ext.TrainingPipeline.curriculumPhases(Tables.documents(s, d), 4)),
     "sim_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
     "q_mode" -> ((s, d) => Relational.modeQuantity(Tables.lineitem(s, d))),
     "q_regex_extract" -> ((s, d) => Relational.partNameWords(Tables.part(s, d), 25)),
@@ -764,6 +767,19 @@ object SparkEntry {
     "dedup_spans" -> OracleSql.spanDedup(3),
     "text_entropy" -> OracleSql.charEntropy,
     "pipeline_shuffle" -> OracleSql.shuffleShardsAuto(64, "graft"),
+    "pipeline_curriculum" ->
+      s"""WITH ${OracleSql.toksCte},
+         |s AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(list_filter(t.toks, x -> x IN (${OracleSql.stopwordList}))) AS DOUBLE)
+         |      / CAST(len(t.toks) AS DOUBLE) AS score
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |  WHERE len(t.toks) > 0),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s),
+         |n AS (SELECT count(*) AS n FROM s)
+         |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
+         |  CAST(((rank - 1) * 4) // n AS BIGINT) AS phase
+         |FROM r, n ORDER BY doc_id""".stripMargin,
     // chosen = argmax (score, -id); rejected = argmin (score, id) —
     // the window ORDER BY mirrors the engine's struct-max tie-breaks
     "pipeline_preference_pairs" ->

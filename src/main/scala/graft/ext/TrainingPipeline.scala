@@ -579,6 +579,42 @@ object TrainingPipeline {
     shuffleShards(docs, nShards.toInt, seed, idCol)
   }
 
+  /** Curriculum phase assignment: rank the WHOLE corpus by a quality
+    * score (easiest/cleanest first — stopword ratio as the fluency proxy,
+    * ties toward the smaller id) and cut the ranking into `phases` equal
+    * consecutive buckets: phase = ((rank−1)·phases) div N. The ordering a
+    * curriculum-learning schedule feeds the trainer.
+    *
+    * Scale shape: a GLOBAL rank is the hazard — `Window.orderBy(score)`
+    * plans the entire corpus into one partition. This reuses the
+    * two-phase prefix-sum machinery ([[localCumsum]]/[[packSequences]]'
+    * rule) with a constant 1 as the summand: range-repartition by
+    * (score desc, id), per-partition running COUNTS, then a broadcast of
+    * |partitions| offsets turns local counts into the exact global rank.
+    * N arrives as a broadcast single row off the materialized local sums
+    * — no second corpus scan, no SinglePartition exchange (plan-asserted). */
+  def curriculumPhases(docs: DataFrame, phases: Int = 4,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phases > 0, "phases must be positive")
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val toks = graft.text.Tokenize.tokensArray(col(textCol))
+    val base = docs.select(col(idCol),
+        size(filter(toks, t => t.isin(TextStats.Stopwords: _*))).cast("long").as("__stop"),
+        size(toks).cast("long").as("__ntok"))
+      .filter(col("__ntok") > 0)
+      .withColumn("score", col("__stop").cast("double") / col("__ntok").cast("double"))
+      .withColumn("n_tokens", lit(1L)) // prefix-sum of 1s == global rank
+    val local = localCumsum(base, Seq(col("score").desc, col(idCol).asc), nParts)
+      .localCheckpoint(true)
+    val total = local.agg(sum(col("n_tokens")).as("__n"))
+    withGlobalCumsum(local)
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("score"), col("cum_tokens").as("rank"),
+        expr(s"((cum_tokens - 1) * $phases) div __n").as("phase"))
+      .orderBy(idCol)
+  }
+
   /** Preference-pair construction (the DPO/RLHF data-prep shape): within
     * each group, pair the highest-scoring document (chosen) with the
     * lowest-scoring one (rejected), emitting ids, scores, and the margin.

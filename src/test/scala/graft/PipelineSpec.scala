@@ -292,6 +292,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows(4L).getAs[Long]("n_lines") >= 60L)
   }
 
+  test("curriculum phases: rank is the window permutation, buckets contiguous and balanced") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = ext.TrainingPipeline.curriculumPhases(docs, phases = 4)
+    val rows = got.select("doc_id", "score", "rank", "phase")
+      .as[(Long, Double, Long, Long)].collect()
+    val n = rows.length
+    assert(n > 0)
+    // rank is exactly the permutation the naive global window produces
+    val naiveRank = rows.sortBy(r => (-r._2, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+    assert(rows.forall(r => naiveRank(r._1) == r._3), "two-phase rank != window rank")
+    // phases partition the rank range contiguously into near-equal buckets
+    assert(rows.forall(r => r._4 == (r._3 - 1) * 4 / n))
+    val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // repartition invariance: the assignment is a pure function of the corpus
+    val again = ext.TrainingPipeline.curriculumPhases(docs.repartition(13), phases = 4)
+      .select("doc_id", "rank", "phase").as[(Long, Long, Long)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._3, r._4)).toSet)
+  }
+
   test("preference pairs: argmax/argmin per group with deterministic tie-breaks") {
     val docs = Seq(
       // group (s0, en): scores 2/4=0.5 (doc 0), 1/4=0.25 (doc 1), 0/3=0 (doc 2)

@@ -164,6 +164,24 @@ class PlanSpec extends SparkSpec {
       h.takeRight(800))
   }
 
+  test("curriculum's global rank has no single-partition exchange") {
+    // a bare Window.orderBy(score) would plan SinglePartition; the
+    // two-phase count prefix sum must not. The pre-checkpoint subplan is
+    // the load-bearing check (the materialized query's lineage is cut).
+    import org.apache.spark.sql.functions.{col, lit, size, filter => afilter}
+    val docs = Tables.documents(spark, sf)
+    val toks = graft.text.Tokenize.tokensArray(col("text"))
+    val base = docs.select(col("doc_id"),
+        (size(afilter(toks, t => t.isin(graft.ext.TextStats.Stopwords: _*))).cast("double") /
+          size(toks).cast("double")).as("score"))
+      .withColumn("n_tokens", lit(1L))
+    val pre = graft.ext.TrainingPipeline.localCumsum(
+      base, Seq(col("score").desc, col("doc_id").asc), 8)
+    assert(!plan(pre).contains("SinglePartition"), plan(pre).takeRight(1500))
+    val full = q("pipeline_curriculum")
+    assert(!full.contains("CartesianProduct"), full.takeRight(800))
+  }
+
   test("sequence packing's global prefix sum has no single-partition exchange") {
     // the naive Window.orderBy(id) cumsum would plan SinglePartition; the
     // two-phase form must not (the output presentation sort is a range
