@@ -42,6 +42,12 @@ object Plans {
     "text_bpe_model_encode" -> "frozen-vocab replay: new corpus's word table re-segmented (vocab-sized), token stream equi-joins it; no training scan",
     "pipeline_diversity" -> "per-cell cap is a bounded TopKAggregator partial agg — no cell-partitioned window funneling the corpus through nlist partitions",
     "pipeline_scd2" -> "doc-keyed run-collapse windows (millions of tiny partitions, no global sort); newest-version is a 1-row broadcast join",
+    "dedup_jaccard_prefix" -> "prefix-index self-equi-join for candidates + candidate-restricted verify join; per-doc ordering is an aggregation, no corpus window, no CartesianProduct",
+    "pipeline_cdc_apply" -> "winner-per-key is one max-struct partial agg; one full-outer equi-join applies it — no window over the change log",
+    "pipeline_preference_pairs" -> "both pair ends ride one grouped max/min-struct aggregation over one corpus scan; no window, no self-join",
+    "pipeline_curriculum" -> "two-phase count prefix sum: range exchange + pid-keyed window + broadcast offsets; no SinglePartition stage in the rank path (the N-total aggregates to ONE row, like every scalar-total query)",
+    "graph_triangles" -> "degree-ordered orientation: node-keyed equi-joins only; wedge fan-out bounded by rank, no CartesianProduct",
+    "text_pmi" -> "two word-keyed count shuffles; totals broadcast as single rows; unigram attachment via vocabulary-sized equi-joins",
   )
 
   def main(args: Array[String]): Unit = {

@@ -102,6 +102,7 @@ object EventsStream {
       .dropDuplicates("user_id", "event_type")
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val lastView = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drain a finite streaming DataFrame through the REAL streaming engine
     * (micro-batch runner, state store, watermark machinery) into a memory
@@ -119,6 +120,11 @@ object EventsStream {
   def drainToTable(spark: SparkSession, stream: DataFrame,
                    name: String, mode: String): DataFrame = {
     val qn = s"graft_stream_${name}_${runSeq.incrementAndGet()}"
+    // drop the previous drain's view for this query so repeated bench
+    // passes don't accumulate memory-sink row sets for the session's
+    // lifetime (an already-returned DataFrame keeps its own resolved
+    // plan, so dropping the catalog entry never breaks a prior consumer)
+    Option(lastView.put(name, qn)).foreach(spark.catalog.dropTempView(_))
     val q = stream.writeStream.outputMode(mode).format("memory").queryName(qn)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
