@@ -26,6 +26,69 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, s"$name: ${res.status}")
   }
 
+  test("cdc apply == pure-Scala MERGE model for any change log") {
+    // model: group changes by id, winner = max by (seq, op, text, source)
+    // (null sorts lowest, matching Spark struct ordering on seq ties);
+    // result = base overridden/eliminated/extended by winners
+    val baseGen = for {
+      n <- Gen.choose(0, 6)
+      ids <- Gen.pick(n, 0L until 10L)
+    } yield ids.toList.map(i => (i, s"base$i", s"s${i % 3}"))
+    val changeGen = for {
+      n <- Gen.choose(0, 12)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 12L)
+        seq <- Gen.choose(1L, 4L)
+        del <- Gen.oneOf(true, false)
+        txt <- Gen.oneOf("a", "b", "zz")
+      } yield if (del) (id, seq, "delete", null.asInstanceOf[String], null.asInstanceOf[String])
+              else (id, seq, "upsert", txt, s"s$seq"))
+    } yield rows
+    check("cdc-model", Prop.forAll(baseGen, changeGen) { (base, changes) =>
+      val got = graft.ext.Incremental.applyChanges(
+          base.toDF("doc_id", "text", "source"),
+          changes.toDF("doc_id", "seq", "op", "text", "source"),
+          Seq("text", "source"))
+        .as[(Long, String, String)].collect().toSet
+      def key(c: (Long, Long, String, String, String)) =
+        (c._2, c._3, Option(c._4).getOrElse(""), Option(c._5).getOrElse(""))
+      val winners = changes.groupBy(_._1).view.mapValues(_.maxBy(key)).toMap
+      val want = (base.map(b => b._1 -> (b._2, b._3)).toMap ++
+          winners.collect { case (id, c) if c._3 == "upsert" => id -> (c._4, c._5) })
+        .filter { case (id, _) => !winners.get(id).exists(_._3 == "delete") }
+        .map { case (id, (t, s)) => (id, t, s) }.toSet
+      got == want
+    })
+  }
+
+  test("prefix-filtered jaccard == scala set-Jaccard for any corpus and threshold") {
+    check("prefix-jaccard", Prop.forAll(corpusGen, Gen.oneOf(0.2, 0.5, 0.9)) { (rows, t) =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val got = Dedup.prefixJaccardPairs(df, t)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      // reference: 3-token shingle sets per doc in plain Scala
+      def shingles(text: String): Set[String] = {
+        val toks = text.split("[\\s]+").filter(_.nonEmpty)
+          .map(_.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", "")).filter(_.nonEmpty)
+        // zero-token docs collapse to the single EMPTY shingle — the
+        // engine (and its oracle CTE) do exactly this, so two blank
+        // docs legitimately pair at jaccard 1.0
+        if (toks.length < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = rows.map(r => r._1 -> shingles(r._2)).toMap
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        if inter > 0
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= t
+      } yield (a, b) -> j).toMap
+      got == want
+    })
+  }
+
   test("word-count total == token count for any corpus") {
     check("wc-conservation", Prop.forAll(corpusGen) { rows =>
       val df = rows.toDF("doc_id", "text", "source")
