@@ -339,6 +339,35 @@ object OracleSql {
        |SELECT query_id, neighbor_id, score, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** k-NN majority-vote classification (mirror of sim_knn_classify):
+    * the simTopK chain, label attach, vote count, and the argmax with
+    * (votes desc, label asc) — the engine's max-struct tie-break. */
+  def knnClassify(maxQueryId: Long, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosineExpr("q.qvec", "e.embedding")} AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM scored),
+       |nn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $k),
+       |votes AS (
+       |  SELECT nn.query_id, CAST(e.label AS BIGINT) AS nlabel,
+       |    count(*)::BIGINT AS votes
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT query_id, nlabel, votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, nlabel) AS rn,
+       |    CAST(sum(votes) OVER (PARTITION BY query_id) AS BIGINT) AS k_used
+       |  FROM votes)
+       |SELECT w.query_id, w.nlabel AS pred_label, w.votes, w.k_used,
+       |  CAST(t.label AS BIGINT) AS true_label
+       |FROM w JOIN embeddings t ON t.vec_id = w.query_id
+       |WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   /** Snapped-integer k-means (mirror of Ivf.kmeansAssignSnapped): the
     * identical quantization (floor(x*1e6) + 8e6), seeds (nlist lowest
     * vec_ids), per-round argmin on d = |c|^2 − 2 w·c with lowest-cell

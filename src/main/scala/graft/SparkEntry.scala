@@ -261,6 +261,8 @@ object SparkEntry {
     // ---- extensions: similarity search ----
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
+    "sim_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(Tables.embeddings(s, d), 0L until 8L, 5)),
     "sim_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 500), 50)),
@@ -966,6 +968,7 @@ object SparkEntry {
         |FROM w GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin,
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),
+    "sim_knn_classify" -> OracleSql.knnClassify(8, 5),
     "sim_label_stats" ->
       """WITH n AS (
         |  SELECT label, len(embedding)::BIGINT AS dim,

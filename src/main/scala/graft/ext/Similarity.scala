@@ -77,6 +77,37 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** k-NN majority-vote classification: predict each query vector's label
+    * from its `k` exact nearest neighbors (query excluded) — the
+    * composition a label-propagation / weak-supervision pipeline runs to
+    * extend sparse labels over an embedded corpus. Vote ties break toward
+    * the SMALLER label, neighbor-set ties at the rank-k boundary toward
+    * the smaller neighbor id (both deterministic, both mirrored by the
+    * oracle). Output carries the vote count and the query's true label so
+    * the same frame doubles as a leave-one-out accuracy report.
+    *
+    * Scale shape: inherits [[bruteForceTopK]]'s broadcast-queries × one
+    * corpus scan (swap in the candidate-set overloads for corpus-scale
+    * query sets); the label attach is an id-keyed equi-join and the vote
+    * argmax is one max-struct aggregation — no window over the corpus. */
+  def knnClassify(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(embeddings, queryIds, k, idCol, vecCol)
+    val labels = embeddings.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("nlabel"))
+    nn.join(labels, "neighbor_id")
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("nlabel")).as("neg"))).as("__w"),
+        sum(col("votes")).as("k_used"))
+      .select(col("query_id"), (-col("__w.neg")).as("pred_label"),
+        col("__w.votes").as("votes"), col("k_used"))
+      .join(embeddings.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("true_label")), "query_id")
+      .orderBy("query_id")
+  }
+
   /** Exact radius (range) search: every corpus vector within cosine ≥
     * `threshold` of each query — the "all sufficiently-similar" form of
     * retrieval (dedup sweeps, recall-complete candidate generation),

@@ -18,6 +18,38 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1)._1 == 2L && math.abs(top(1)._2) < 1e-15)
   }
 
+  test("knn classify: majority vote, deterministic tie-breaks, true label attached") {
+    // 2-D fixture around the x-axis query: two label-1 neighbors hug it,
+    // two label-2 vectors sit mid-distance, one label-1 is near-orthogonal
+    // (so k=4 excludes it, making the vote tie 2-2)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 9),   // query; its own label must NOT vote
+      (1L, Array(1.0f, 0.1f), 1),
+      (2L, Array(1.0f, -0.1f), 1),
+      (3L, Array(0.05f, 1.0f), 1),  // 5th-nearest: only k=5 sees it
+      (4L, Array(0.5f, 0.5f), 2),
+      (5L, Array(0.4f, 0.6f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(df, Seq(0L), k = 5).collect().head
+    assert(r.getAs[Long]("pred_label") == 1L)
+    assert(r.getAs[Long]("votes") == 3L)
+    assert(r.getAs[Long]("k_used") == 5L)
+    assert(r.getAs[Long]("true_label") == 9L)
+    // vote tie at k=4 (2 vs 2): the SMALLER label wins deterministically
+    val tie = Similarity.knnClassify(df, Seq(0L), k = 4).collect().head
+    assert(tie.getAs[Long]("votes") == 2L)
+    assert(tie.getAs[Long]("pred_label") == 1L, "vote tie must break to the smaller label")
+    // leave-one-out over a clustered corpus: prediction matches the
+    // cluster label for every member (sanity at more than one query)
+    val clustered = (0L until 6L).map(i => (i, Array(1.0f, i * 0.01f), 7)) ++
+      (6L until 12L).map(i => (i, Array(-1.0f, i * 0.01f), 8))
+    val loo = Similarity.knnClassify(clustered.toDF("vec_id", "embedding", "label"),
+      0L until 12L, k = 3)
+      .select("query_id", "pred_label", "true_label")
+      .as[(Long, Long, Long)].collect()
+    assert(loo.length == 12 && loo.forall(r => r._2 == r._3))
+  }
+
   test("mips ranks by raw dot product, not cosine") {
     // vec 1 points the same way as the query but is LONG; vec 2 is a unit
     // vector almost perfectly aligned. Cosine would pick 2 first; inner
