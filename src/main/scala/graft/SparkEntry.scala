@@ -31,6 +31,24 @@ object SparkEntry {
       |FROM documents, unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS u(t)
       |WHERE t <> ''""".stripMargin
 
+  /** The three derived corpus snapshots the SCD2 queries share: v1 lacks
+    * id%7 docs (created later), v2 edits id%5, v3 drops id%11 (deletions)
+    * and further edits id%3 — creates, edits, deletes, and stable runs
+    * all exercised. */
+  private def scd2Snapshots(docs: DataFrame): DataFrame = {
+    val d = docs.select("doc_id", "text")
+    val t2 = when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    val v1 = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"), lit(1L).as("version"))
+    val v2 = d.select(col("doc_id"), t2.as("text"), lit(2L).as("version"))
+    val v3 = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(t2, lit(" v3"))).otherwise(t2).as("text"),
+        lit(3L).as("version"))
+    v1.unionByName(v2).unionByName(v3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity: the reference's two applications ----
     "wc_word_count" -> ((s, d) => WordCount.wordCount(Tables.documents(s, d))),
@@ -416,23 +434,15 @@ object SparkEntry {
         .unionByName(c2back).unionByName(c2ins)
       ext.Incremental.applyChanges(docs, changes, Seq("text", "source"))
     }),
-    // SCD2 history over three derived snapshots: v1 lacks id%7 docs
-    // (created later), v2 edits id%5, v3 drops id%11 (deletions) and
-    // further edits id%3 — creates, edits, deletes, and stable runs all
-    // exercised
-    "pipeline_scd2" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val t2 = when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-        .otherwise(col("text"))
-      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), col("text"), lit(1L).as("version"))
-      val v2 = docs.select(col("doc_id"), t2.as("text"), lit(2L).as("version"))
-      val v3 = docs.filter(col("doc_id") % 11 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 3 === 0, concat(t2, lit(" v3"))).otherwise(t2).as("text"),
-          lit(3L).as("version"))
-      ext.Incremental.scdHistory(v1.unionByName(v2).unionByName(v3))
-    }),
+    // SCD2 history over the three derived snapshots (see scd2Snapshots)
+    "pipeline_scd2" -> ((s, d) =>
+      ext.Incremental.scdHistory(scd2Snapshots(Tables.documents(s, d)))),
+    // time travel closes the SCD2 loop: reconstructing "corpus as of
+    // version 2" from the run-compressed history must equal the directly
+    // built v2 snapshot — the oracle IS that direct snapshot, a different
+    // derivation entirely
+    "pipeline_scd2_asof" -> ((s, d) =>
+      ext.Incremental.corpusAsOf(scd2Snapshots(Tables.documents(s, d)), 2L)),
     "q_dq_checks" -> ((s, d) =>
       Relational.dataQualityReport(Tables.orders(s, d), Tables.customer(s, d))),
     // fuzzy incremental dedup: even-id docs play the corpus, odd-id docs
@@ -1232,6 +1242,13 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN w ON b.doc_id = w.doc_id
         |WHERE w.op IS NULL OR w.op <> 'delete'
         |ORDER BY doc_id""".stripMargin,
+    // the as-of oracle is the DIRECT v2 snapshot — not a replay of the
+    // history chain — so reconstruction is checked against an
+    // independent derivation
+    "pipeline_scd2_asof" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_scd2" ->
       """WITH v2t AS (SELECT doc_id, text,
         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t2

@@ -161,6 +161,28 @@ object Incremental {
       .orderBy(col(idCol), col("valid_from"))
   }
 
+  /** Time travel over [[scdHistory]]: reconstruct the corpus as it stood
+    * at version `k` — the validity-interval filter the Scaladoc above
+    * promises, made callable. A run's text is the text of its FIRST
+    * version (content is constant inside a run by construction), so the
+    * reconstruction joins the interval rows live at `k` back to the
+    * versions table on (id, valid_from). IncrementalSpec and the
+    * `pipeline_scd2_asof` oracle both check the strong form: for every
+    * k, reconstruction == the directly-built snapshot k.
+    *
+    * Scale shape: the history is run-compressed (one row per unchanged
+    * run, usually ≪ one row per version), the `k`-filter runs map-side
+    * on it, and the text attach is ONE composite-key equi-join. */
+  def corpusAsOf(versions: DataFrame, k: Long, idCol: String = "doc_id",
+                 verCol: String = "version", textCol: String = "text"): DataFrame =
+    scdHistory(versions, idCol, verCol, textCol)
+      .filter(col("valid_from") <= k && lit(k) <= col("valid_to"))
+      .select(col(idCol), col("valid_from"))
+      .join(versions.select(col(idCol), col(verCol).as("valid_from"), col(textCol)),
+        Seq(idCol, "valid_from"))
+      .select(col(idCol), col(textCol))
+      .orderBy(idCol)
+
   /** MERGE INTO semantics (the lakehouse CDC-apply): fold a change log
     * `(id, seq, op ∈ {upsert, delete}, payload…)` onto a keyed base
     * table. Per id the HIGHEST-seq change wins (a delete followed by a

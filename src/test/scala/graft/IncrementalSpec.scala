@@ -165,5 +165,14 @@ class IncrementalSpec extends SparkSpec {
       val direct = versions.filter(col("version") === k).count()
       assert(asOf == direct, s"as-of $k")
     }
+    // strong form via the callable reconstruction: full (id, text) set
+    // equality with each directly-built snapshot, every version
+    (1L to 3L).foreach { k =>
+      val rebuilt = Incremental.corpusAsOf(versions, k)
+        .as[(Long, String)].collect().toSet
+      val direct = versions.filter(col("version") === k)
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(rebuilt == direct, s"corpusAsOf($k) != direct snapshot")
+    }
   }
 }
