@@ -1260,10 +1260,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN t2 || ' v3' ELSE t2 END, 3
         |  FROM v2t WHERE doc_id % 11 <> 0),
+        |gr AS (SELECT version, row_number() OVER (ORDER BY version) AS grk
+        |       FROM (SELECT DISTINCT version FROM allv)),
+        |av AS (SELECT a.*, gr.grk FROM allv a JOIN gr USING (version)),
         |c AS (SELECT doc_id, version,
         |    CASE WHEN lag(text) OVER (PARTITION BY doc_id ORDER BY version)
-        |              IS DISTINCT FROM text THEN 1 ELSE 0 END AS chg
-        |  FROM allv),
+        |              IS DISTINCT FROM text
+        |           OR grk - lag(grk) OVER (PARTITION BY doc_id ORDER BY version) > 1
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM av),
         |s AS (SELECT doc_id, version,
         |    sum(chg) OVER (PARTITION BY doc_id ORDER BY version) AS seg
         |  FROM c),

@@ -271,7 +271,10 @@ object Bpe {
   def mergeTable(docs: DataFrame, merges: Int, batch: Int = DefaultBatch): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (m, _) = train(docs, merges, batch)
+    val (m, trainedWords) = train(docs, merges, batch)
+    // only the merge log is returned — release the trained word table's
+    // checkpoint as fit() does, instead of pinning it per invocation
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(trainedWords)
     m.toDF().orderBy("rnd")
   }
 

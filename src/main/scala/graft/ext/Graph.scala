@@ -160,6 +160,10 @@ object Graph {
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddst").as("ddst"))
       .localCheckpoint(true)
+    // `und` fed degrees + orientation, both now folded into `oriented`'s
+    // materialized blocks — release it rather than pinning a dead
+    // generation per invocation (the result plan reads only `oriented`)
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(und)
     val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
       .join(oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw")), "src")
       .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))

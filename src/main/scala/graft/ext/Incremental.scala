@@ -133,7 +133,11 @@ object Incremental {
     * overall (deleted documents' last runs are not current). The
     * provenance table an incremental lake keeps so any historical
     * training mixture can be reproduced ("corpus as of version k" =
-    * rows with valid_from <= k <= valid_to).
+    * rows with valid_from <= k <= valid_to). A run continues only
+    * across CONSECUTIVE global versions with unchanged content: a
+    * document absent from an intermediate snapshot was deleted there,
+    * so its re-appearance — even bit-identical — starts a NEW run
+    * rather than spanning the gap.
     *
     * Scale shape: text reduces to a 64-bit content hash at the scan
     * (used ONLY for same/different comparisons inside the plan, so the
@@ -145,12 +149,23 @@ object Incremental {
                  verCol: String = "version", textCol: String = "text"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(verCol))
+    // Global version ranks: a run may only continue across CONSECUTIVE
+    // global versions. Without this, a document deleted at version k and
+    // re-added UNCHANGED at k+j would merge into one interval spanning
+    // the gap — and as-of reconstruction inside the gap would resurrect
+    // it. The rank table is one row per snapshot (driver-scale); its
+    // global row_number window is over that tiny frame, not the corpus.
+    val granks = versions.select(col(verCol)).distinct()
+      .withColumn("__gr", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(verCol))))
     val hashed = versions.select(col(idCol), col(verCol),
       xxhash64(col(textCol)).as("__h"))
+      .join(broadcast(granks), Seq(verCol))
     val seg = hashed
       .withColumn("__chg",
         when(lag(col("__h"), 1).over(w).isNull ||
-          lag(col("__h"), 1).over(w) =!= col("__h"), 1L).otherwise(0L))
+          lag(col("__h"), 1).over(w) =!= col("__h") ||
+          col("__gr") - lag(col("__gr"), 1).over(w) > 1L, 1L).otherwise(0L))
       .withColumn("__seg", sum(col("__chg")).over(w))
     val runs = seg.groupBy(col(idCol), col("__seg"))
       .agg(min(col(verCol)).as("valid_from"), max(col(verCol)).as("valid_to"))

@@ -108,9 +108,12 @@ object Ivf {
   //    centroid-snap division below runs on non-negative operands, where
   //    Spark's `div` (truncate) and SQL floor-division agree.
   //  - assignment argmin uses d = |c|^2 - 2 w.c (the |w|^2 term is
-  //    per-row constant): every product <= 64 * (9e6)^2 ~ 5.2e15 < 2^53,
-  //    so the codegen'd double dot product is EXACT integer arithmetic;
-  //    ties break to the lowest cell id in both engines.
+  //    per-row constant): while dim * max_snapped^2 <= 2^53 every
+  //    partial sum (both engines' summation orders) is EXACT integer
+  //    arithmetic in double — e.g. 64-dim unit-norm: 64 * (9e6)^2 ~
+  //    5.2e15 < 2^53. snappedAssignment ENFORCES this bound (and the
+  //    x >= -8 shift domain) on the actual data and fails loudly past
+  //    it; ties break to the lowest cell id in both engines.
   //  - the centroid update sums w_d per (cell, dim) as BIGINT and snaps
   //    the mean to round-half-up integer via (2s + n) div (2n); empty
   //    cells keep their previous centroid.
@@ -185,6 +188,26 @@ object Ivf {
                                      idCol: String, vecCol: String): DataFrame = {
     val vecs = embeddings.select(col(idCol), snapVec(col(vecCol)).as("w"))
       .localCheckpoint(true)
+    // the header's exactness argument is a BOUND, not a property of the
+    // formulas: every |c|^2 / w.c partial sum (and the oracle's mixed-sign
+    // prefix sums — per-term magnitude <= wmax^2) is exact in double iff
+    // dim * wmax^2 <= 2^53, and the shift keeps operands non-negative only
+    // for inputs >= -8. Check BOTH here, on the actual data, so a 768-dim
+    // or out-of-domain corpus fails LOUDLY instead of silently drifting
+    // from the oracle (one tiny agg on the already-checkpointed frame).
+    val bound = vecs.agg(
+      max(size(col("w"))), min(array_min(col("w"))), max(array_max(col("w"))))
+      .head()
+    if (!bound.isNullAt(0)) {
+      val (dim, wmin, wmax) = (bound.getInt(0), bound.getDouble(1), bound.getDouble(2))
+      require(wmin >= 0.0,
+        s"snapped coordinate $wmin < 0: input magnitude exceeds the |x| <= 8 shift domain")
+      require(dim.toDouble * wmax * wmax <= 9.007199254740992e15,
+        f"exact-integer bound exceeded: dim($dim) * max_snapped($wmax%.0f)^2 = " +
+          f"${dim.toDouble * wmax * wmax}%.3g > 2^53 — assignments would leave the " +
+          "exact double-integer range and silently diverge from the SQL oracle; " +
+          "reduce dimensionality/magnitude or use the float-path kmeansAssign")
+    }
     val centroids = trainCentroidsSnapped(vecs, nlist, iters, idCol)
     // training is done with the checkpointed projection; the returned
     // plan re-snaps from the raw table instead (one narrow codegen'd

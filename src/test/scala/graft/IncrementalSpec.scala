@@ -149,7 +149,10 @@ class IncrementalSpec extends SparkSpec {
       (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"),
       (2L, 2L, "x"),
       (3L, 1L, "p"), (3L, 2L, "q"), (3L, 3L, "q"),
-      (4L, 1L, "s"), (4L, 2L, "s"), (4L, 3L, "s")
+      (4L, 1L, "s"), (4L, 2L, "s"), (4L, 3L, "s"),
+      // doc 5: deleted at v2, re-added UNCHANGED at v3 — the gap must
+      // split the runs; one spanning interval would resurrect it at v2
+      (5L, 1L, "z"), (5L, 3L, "z")
     ).toDF("doc_id", "version", "text")
     val got = Incremental.scdHistory(versions)
       .as[(Long, Long, Long, Boolean)].collect().toSeq
@@ -157,7 +160,8 @@ class IncrementalSpec extends SparkSpec {
       (1L, 1L, 2L, false), (1L, 3L, 3L, true),
       (2L, 2L, 2L, false),
       (3L, 1L, 1L, false), (3L, 2L, 3L, true),
-      (4L, 1L, 3L, true)))
+      (4L, 1L, 3L, true),
+      (5L, 1L, 1L, false), (5L, 3L, 3L, true)))
     // reconstruction property: "corpus as of version k" row counts match
     // the snapshot sizes the history was built from
     (1L to 3L).foreach { k =>
