@@ -48,6 +48,8 @@ object Plans {
     "pipeline_curriculum" -> "two-phase count prefix sum: range exchange + pid-keyed window + broadcast offsets; no SinglePartition stage in the rank path (the N-total aggregates to ONE row, like every scalar-total query)",
     "graph_triangles" -> "degree-ordered orientation: node-keyed equi-joins only; wedge fan-out bounded by rank, no CartesianProduct",
     "text_pmi" -> "two word-keyed count shuffles; totals broadcast as single rows; unigram attachment via vocabulary-sized equi-joins",
+    "sim_knn_classify" -> "broadcast queries x one corpus scan; id-keyed label join; vote argmax is one max-struct aggregation, no window",
+    "pipeline_scd2_asof" -> "map-side interval filter on the run-compressed history + ONE composite-key equi-join attaches run texts",
   )
 
   def main(args: Array[String]): Unit = {
