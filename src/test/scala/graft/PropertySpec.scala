@@ -26,6 +26,53 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, s"$name: ${res.status}")
   }
 
+  test("scd2 history + as-of == pure-Scala run model for any snapshot stack") {
+    // random stacks: random subsets of docs present per version, random
+    // edits — gaps (delete-then-restore, changed or unchanged), creates,
+    // deletes, and stable runs all arise. The model: global ranks over
+    // the stack's DISTINCT versions; a run continues only across
+    // consecutive ranks with equal text; is_current == run reaches the
+    // global max version. corpusAsOf(k) == the direct snapshot, every k.
+    val stackGen = for {
+      nv <- Gen.choose(1, 4)
+      versions <- Gen.pick(nv, 1L to 6L)
+      rows <- Gen.sequence[List[Option[(Long, Long, String)]], Option[(Long, Long, String)]](
+        (for (d <- 0L until 5L; v <- versions.sorted) yield for {
+          present <- Gen.oneOf(true, true, false)
+          txt <- Gen.oneOf("a", "b", "c")
+        } yield if (present) Some((d, v, txt)) else None).toList)
+    } yield rows.flatten
+    check("scd2-model", Prop.forAll(stackGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("doc_id", "version", "text")
+        val got = graft.ext.Incremental.scdHistory(df)
+          .as[(Long, Long, Long, Boolean)].collect().toSet
+        val vers = rows.map(_._2).distinct.sorted
+        val rank = vers.zipWithIndex.toMap
+        val vmax = vers.max
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (d, rs) =>
+          val sorted = rs.sortBy(_._2)
+          val runs = sorted.foldLeft(List.empty[(Long, Long, String)]) {
+            case (acc, (_, v, t)) => acc match {
+              case (from, to, pt) :: rest
+                if pt == t && rank(v) - rank(to) == 1 => (from, v, t) :: rest
+              case _ => (v, v, t) :: acc
+            }
+          }
+          runs.map { case (from, to, _) => (d, from, to, to == vmax) }
+        }.toSet
+        val historyOk = got == want
+        val asOfOk = vers.forall { k =>
+          val rebuilt = graft.ext.Incremental.corpusAsOf(df, k)
+            .as[(Long, String)].collect().toSet
+          val direct = rows.filter(_._2 == k).map(r => (r._1, r._3)).toSet
+          rebuilt == direct
+        }
+        historyOk && asOfOk
+      }
+    })
+  }
+
   test("cdc apply == pure-Scala MERGE model for any change log") {
     // model: group changes by id, winner = max by (seq, op, text, source)
     // (null sorts lowest, matching Spark struct ordering on seq ties);
