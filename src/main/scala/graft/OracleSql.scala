@@ -433,6 +433,32 @@ object OracleSql {
        |${assignCte("AF", s"C$iters")}""".stripMargin
   }
 
+  /** Nearest-centroid confusion matrix (mirror of
+    * Classify.centroidConfusion): identical quantization, round-half-up
+    * per-label centroid snap, exact d = |c|² − 2w·c argmin with
+    * lowest-label tie-break, then (true, pred) counts. */
+  val centroidConfusion: String =
+    s"""WITH V AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS INTEGER) AS lbl,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT) + 8000000) AS w
+       |  FROM embeddings),
+       |C AS MATERIALIZED (
+       |  SELECT lbl, t.pos, (2 * sum(v.w[t.pos])::BIGINT + count(*)) // (2 * count(*)) AS c
+       |  FROM V v, unnest(range(1, len(v.w) + 1)) t(pos)
+       |  GROUP BY lbl, t.pos),
+       |P AS (
+       |  SELECT vec_id, pred FROM (
+       |    SELECT v.vec_id, c.lbl AS pred,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY sum(c.c * c.c - 2 * v.w[c.pos] * c.c), c.lbl) AS rn
+       |    FROM V v, C c GROUP BY v.vec_id, c.lbl)
+       |  WHERE rn = 1)
+       |SELECT CAST(v.lbl AS BIGINT) AS true_label, CAST(p.pred AS BIGINT) AS pred_label,
+       |  count(*)::BIGINT AS n
+       |FROM V v JOIN P p USING (vec_id)
+       |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin
+
   /** Exact cosine radius search (mirror of sim_radius). */
   def simRadius(maxQueryId: Long, threshold: Double): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings

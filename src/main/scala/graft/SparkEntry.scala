@@ -281,6 +281,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
     "sim_knn_classify" -> ((s, d) =>
       Similarity.knnClassify(Tables.embeddings(s, d), 0L until 8L, 5)),
+    // exact snapped-integer Rocchio: whole-corpus confusion matrix
+    "sim_centroid_confusion" -> ((s, d) =>
+      ext.Classify.centroidConfusion(Tables.embeddings(s, d))),
     "sim_cosine_pairs" -> ((s, d) =>
       Similarity.topCosinePairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 500), 50)),
@@ -979,6 +982,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),
     "sim_knn_classify" -> OracleSql.knnClassify(8, 5),
+    "sim_centroid_confusion" -> OracleSql.centroidConfusion,
     "sim_label_stats" ->
       """WITH n AS (
         |  SELECT label, len(embedding)::BIGINT AS dim,

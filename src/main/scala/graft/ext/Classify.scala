@@ -96,4 +96,46 @@ object Classify {
         col("actual"), (col("cls") === col("actual")).as("is_correct"))
       .orderBy(idCol)
   }
+
+  /** Nearest-centroid (Rocchio) classification over labeled embeddings,
+    * in the snapped-integer arithmetic of [[Ivf.kmeansAssignSnapped]]:
+    * per-label centroids are round-half-up integer means of the snapped
+    * vectors, assignment is the exact d = |c|² − 2w·c argmin (ties to the
+    * lowest label), and the output is the leave-nothing-out CONFUSION
+    * MATRIX (true_label, pred_label, n) — the compact quality report a
+    * labeled-embedding pipeline tracks per snapshot. Everything is exact
+    * integer arithmetic inside the [[Ivf.requireExactBound]] guard, so
+    * the matrix is bit-identical in any engine replaying the recipe.
+    *
+    * Scale shape: training is ONE (label, pos) aggregation (map-side
+    * partial; labels×dim rows to the driver — bounded by the label
+    * cardinality, which a classifier presumes small); assignment is a
+    * narrow literal-centroid projection over one corpus scan; the matrix
+    * is one (true, pred) count shuffle of label²-bounded cardinality. */
+  def centroidConfusion(embeddings: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val vecs = embeddings.select(col(labelCol).cast("int").as("lbl"),
+      Ivf.snapVec(col(vecCol)).as("w"))
+    Ivf.requireExactBound(vecs)
+    val rows = vecs.select(col("lbl"), posexplode(col("w")))
+      .groupBy("lbl", "pos")
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val (s, n) = (r.getLong(2), r.getLong(3))
+        (r.getInt(0), (r.getInt(1), Math.addExact(Math.multiplyExact(2L, s), n) / (2 * n)))
+      }
+    val centroids: Seq[(Int, Seq[Long])] = rows.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      .toSeq.sortBy(_._1)
+    if (centroids.isEmpty)
+      return embeddings.sparkSession.emptyDataFrame
+        .select(lit(0L).as("true_label"), lit(0L).as("pred_label"), lit(0L).as("n"))
+        .limit(0)
+    vecs.select(col("lbl").cast("long").as("true_label"),
+        Ivf.cellOfSnapped(col("w"), centroids).cast("long").as("pred_label"))
+      .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
 }

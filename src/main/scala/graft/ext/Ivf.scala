@@ -133,6 +133,29 @@ object Ivf {
   private[ext] val SnapScale = 1000000L
   private[ext] val SnapShift = 8000000L
 
+  /** The header's exactness argument is a BOUND, not a property of the
+    * formulas: every |c|^2 / w·c partial sum (and the oracle's mixed-sign
+    * prefix sums — per-term magnitude <= wmax^2) is exact in double iff
+    * dim * wmax^2 <= 2^53, and the shift keeps operands non-negative only
+    * for inputs >= -8. Checked on the ACTUAL data (one tiny agg over the
+    * snapped frame's `w` column), so a 768-dim or out-of-domain corpus
+    * fails LOUDLY instead of silently drifting from the oracle. */
+  private[ext] def requireExactBound(vecs: DataFrame): Unit = {
+    val bound = vecs.agg(
+      max(size(col("w"))), min(array_min(col("w"))), max(array_max(col("w"))))
+      .head()
+    if (!bound.isNullAt(0)) {
+      val (dim, wmin, wmax) = (bound.getInt(0), bound.getDouble(1), bound.getDouble(2))
+      require(wmin >= 0.0,
+        s"snapped coordinate $wmin < 0: input magnitude exceeds the |x| <= 8 shift domain")
+      require(dim.toDouble * wmax * wmax <= 9.007199254740992e15,
+        f"exact-integer bound exceeded: dim($dim) * max_snapped($wmax%.0f)^2 = " +
+          f"${dim.toDouble * wmax * wmax}%.3g > 2^53 — assignments would leave the " +
+          "exact double-integer range and silently diverge from the SQL oracle; " +
+          "reduce dimensionality/magnitude or use the float-path kmeansAssign")
+    }
+  }
+
   /** Quantize a float-array column to integral-valued doubles (exact in
     * double up to 2^53 — see header note). */
   private[ext] def snapVec(vec: Column): Column =
@@ -188,26 +211,7 @@ object Ivf {
                                      idCol: String, vecCol: String): DataFrame = {
     val vecs = embeddings.select(col(idCol), snapVec(col(vecCol)).as("w"))
       .localCheckpoint(true)
-    // the header's exactness argument is a BOUND, not a property of the
-    // formulas: every |c|^2 / w.c partial sum (and the oracle's mixed-sign
-    // prefix sums — per-term magnitude <= wmax^2) is exact in double iff
-    // dim * wmax^2 <= 2^53, and the shift keeps operands non-negative only
-    // for inputs >= -8. Check BOTH here, on the actual data, so a 768-dim
-    // or out-of-domain corpus fails LOUDLY instead of silently drifting
-    // from the oracle (one tiny agg on the already-checkpointed frame).
-    val bound = vecs.agg(
-      max(size(col("w"))), min(array_min(col("w"))), max(array_max(col("w"))))
-      .head()
-    if (!bound.isNullAt(0)) {
-      val (dim, wmin, wmax) = (bound.getInt(0), bound.getDouble(1), bound.getDouble(2))
-      require(wmin >= 0.0,
-        s"snapped coordinate $wmin < 0: input magnitude exceeds the |x| <= 8 shift domain")
-      require(dim.toDouble * wmax * wmax <= 9.007199254740992e15,
-        f"exact-integer bound exceeded: dim($dim) * max_snapped($wmax%.0f)^2 = " +
-          f"${dim.toDouble * wmax * wmax}%.3g > 2^53 — assignments would leave the " +
-          "exact double-integer range and silently diverge from the SQL oracle; " +
-          "reduce dimensionality/magnitude or use the float-path kmeansAssign")
-    }
+    requireExactBound(vecs)
     val centroids = trainCentroidsSnapped(vecs, nlist, iters, idCol)
     // training is done with the checkpointed projection; the returned
     // plan re-snaps from the raw table instead (one narrow codegen'd

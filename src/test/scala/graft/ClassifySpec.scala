@@ -85,4 +85,36 @@ class ClassifySpec extends SparkSpec {
     val b = Classify.naiveBayesPredict(docs).collect().toSeq
     assert(a == b)
   }
+
+  test("centroid confusion: separated clusters are diagonal, planted outlier crosses") {
+    // two tight clusters on opposite axes; vector 5 carries label 0 but
+    // sits in cluster 1's region -> exactly one off-diagonal cell
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0), (2L, Array(1.1f, -0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.0f, 1.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Classify.centroidConfusion(emb)
+      .as[(Long, Long, Long)].collect().toSet
+    // label-0 centroid is dragged by the outlier but stays x-dominant;
+    // vectors 0-2 classify 0, vectors 3-5 classify 1
+    assert(got == Set((0L, 0L, 3L), (0L, 1L, 1L), (1L, 1L, 2L)))
+    // counts conserve the corpus and the matrix is repartition-invariant
+    assert(got.toSeq.map(_._3).sum == 6L)
+    val again = Classify.centroidConfusion(emb.repartition(7))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
+  test("centroid confusion: empty input yields empty matrix; bound guard fires loudly") {
+    val empty = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Classify.centroidConfusion(empty).count() == 0)
+    // out-of-domain magnitude (|x| > 8) must throw the documented
+    // requirement, not silently mis-assign
+    val wild = Seq((0L, Array(-9.5f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Classify.centroidConfusion(wild).collect()
+    }
+    assert(e.getMessage.contains("shift domain"))
+  }
 }
