@@ -111,12 +111,27 @@ object Classify {
     * partial; labels×dim rows to the driver — bounded by the label
     * cardinality, which a classifier presumes small); assignment is a
     * narrow literal-centroid projection over one corpus scan; the matrix
-    * is one (true, pred) count shuffle of label²-bounded cardinality. */
+    * is one (true, pred) count shuffle of label²-bounded cardinality.
+    *
+    * The "labels are few" assumption is ENFORCED, not assumed: the
+    * driver collect is labels×dim rows, so a high-cardinality column
+    * passed by mistake (a doc id, a hash) would OOM the driver. The
+    * guard is one tiny count-distinct aggregation; raise `maxLabels`
+    * deliberately if a genuinely huge label space is intended (and size
+    * the driver for maxLabels×dim rows when you do). */
   def centroidConfusion(embeddings: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        labelCol: String = "label"): DataFrame = {
+                        labelCol: String = "label",
+                        maxLabels: Int = 1000): DataFrame = {
     val vecs = embeddings.select(col(labelCol).cast("int").as("lbl"),
       Ivf.snapVec(col(vecCol)).as("w"))
+    val nLabels = vecs.agg(countDistinct(col("lbl"))).head().getLong(0)
+    require(nLabels <= maxLabels,
+      s"centroidConfusion: $nLabels distinct labels in '$labelCol' exceeds " +
+        s"maxLabels=$maxLabels — centroid training collects labels*dim rows to " +
+        "the driver, so this looks like a high-cardinality column (an id?) " +
+        "passed as the label; pass the real class column, or raise maxLabels " +
+        "deliberately if the label space is genuinely this large")
     Ivf.requireExactBound(vecs)
     val rows = vecs.select(col("lbl"), posexplode(col("w")))
       .groupBy("lbl", "pos")

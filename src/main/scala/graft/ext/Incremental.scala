@@ -217,7 +217,17 @@ object Incremental {
   def applyChanges(base: DataFrame, changes: DataFrame,
                    payloadCols: Seq[String], idCol: String = "doc_id",
                    seqCol: String = "seq", opCol: String = "op"): DataFrame = {
-    val winner = changes.groupBy(col(idCol))
+    // A malformed op (op='update', a typo, a null) must fail LOUDLY at the
+    // scan, not silently fold into an upsert and corrupt the base table.
+    // The check is a zero-shuffle map-side expression over the log.
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyChanges: illegal $opCol value '"),
+          coalesce(col(opCol).cast("string"), lit("null")),
+          lit(s"' for $idCol="), coalesce(col(idCol).cast("string"), lit("null")),
+          lit("' — every change must carry op ∈ {upsert, delete}")))))
+    val winner = checked.groupBy(col(idCol))
       .agg(max(struct((col(seqCol) +: col(opCol) +: payloadCols.map(col)): _*)).as("__w"))
       .select(col(idCol) +: col(s"__w.$opCol").as("__op") +:
         payloadCols.map(c => col(s"__w.$c").as(s"__new_$c")): _*)

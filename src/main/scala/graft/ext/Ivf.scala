@@ -145,6 +145,10 @@ object Ivf {
       max(size(col("w"))), min(array_min(col("w"))), max(array_max(col("w"))))
       .head()
     if (!bound.isNullAt(0)) {
+      require(!bound.isNullAt(1) && !bound.isNullAt(2),
+        "exact-integer bound undefined: every embedding array is empty (dim 0) — " +
+          "a zero-dimensional corpus has no cells to assign; filter empty vectors out " +
+          "or fix the upstream embedding column")
       val (dim, wmin, wmax) = (bound.getInt(0), bound.getDouble(1), bound.getDouble(2))
       require(wmin >= 0.0,
         s"snapped coordinate $wmin < 0: input magnitude exceeds the |x| <= 8 shift domain")

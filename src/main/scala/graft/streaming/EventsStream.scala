@@ -123,8 +123,14 @@ object EventsStream {
     // drop the previous drain's view for this query so repeated bench
     // passes don't accumulate memory-sink row sets for the session's
     // lifetime (an already-returned DataFrame keeps its own resolved
-    // plan, so dropping the catalog entry never breaks a prior consumer)
-    Option(lastView.put(name, qn)).foreach(spark.catalog.dropTempView(_))
+    // plan, so dropping the catalog entry never breaks a prior consumer).
+    // compute() makes the swap-and-drop atomic PER NAME: two concurrent
+    // drains of the same logical name can no longer drop a view the
+    // other just registered out from under an in-flight grading read.
+    lastView.compute(name, (_, prev) => {
+      if (prev != null) spark.catalog.dropTempView(prev)
+      qn
+    })
     val q = stream.writeStream.outputMode(mode).format("memory").queryName(qn)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

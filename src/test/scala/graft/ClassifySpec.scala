@@ -117,4 +117,18 @@ class ClassifySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("shift domain"))
   }
+
+  test("centroid confusion: high-cardinality label column fails fast, not OOM") {
+    // a caller passing an id-like column as the label must get a readable
+    // requirement failure BEFORE the labels*dim driver collect
+    val emb = (0L until 50L).map(i => (i, Array(0.1f, 0.2f), i.toInt))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Classify.centroidConfusion(emb, maxLabels = 10)
+    }
+    assert(e.getMessage.contains("50 distinct labels"))
+    assert(e.getMessage.contains("maxLabels=10"))
+    // at or under the cap the same corpus trains fine
+    assert(Classify.centroidConfusion(emb, maxLabels = 50).count() > 0)
+  }
 }

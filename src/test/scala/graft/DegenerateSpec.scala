@@ -148,6 +148,18 @@ class DegenerateSpec extends SparkSpec {
     assert(graft.ext.TrainingPipeline.diversityCap(emptyEmb, 8, 3).count() == 0)
   }
 
+  test("all-empty embedding arrays: exact-bound guard fails loudly, not with an NPE") {
+    // dim-0 vectors make max(size)=0 non-null while array_min/max are
+    // null; the guard must raise its documented requirement, not throw a
+    // bare NullPointerException from getDouble on a null field
+    val dimZero = Seq((1L, Array.empty[Float]), (2L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Ivf.kmeansAssignSnapped(dimZero, 2, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("every embedding array is empty"))
+  }
+
   test("scd2 history: empty snapshot stack yields empty, single version is one current run") {
     val emptyV = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

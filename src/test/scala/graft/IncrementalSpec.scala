@@ -132,6 +132,25 @@ class IncrementalSpec extends SparkSpec {
     assert(twice == a)
   }
 
+  test("cdc apply: malformed op value fails loudly instead of corrupting the base") {
+    val bad = Seq(
+      (0L, 1L, "update", "zero v1", "s0") // 'update' is not a legal op
+    ).toDF("doc_id", "seq", "op", "text", "source")
+    val e = intercept[Exception] {
+      Incremental.applyChanges(corpus, bad, Seq("text", "source")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("illegal op value 'update'") || m.contains("RAISE_ERROR")))
+    val nullOp = Seq(
+      (0L, 1L, null.asInstanceOf[String], "zero v1", "s0")
+    ).toDF("doc_id", "seq", "op", "text", "source")
+    intercept[Exception] {
+      Incremental.applyChanges(corpus, nullOp, Seq("text", "source")).collect()
+    }
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged correctly") {
     val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newV = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
