@@ -19,6 +19,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -130,7 +131,10 @@ object Bench {
       }
     }
     val failed = results.filter(!_._3).map(_._1)
-    val total = results.map(_._2).sum
+    // The headline total counts SUCCESSFUL queries only: a failing query
+    // aborts in ~0.06s, so summing it in would make a broken round look
+    // faster than a working one and cross-round totals incomparable.
+    val total = results.filter(_._3).map(_._2).sum
     val regressed = results.collect {
       case (name, sec, _) if comparable && prev.get(name).exists(isRegression(sec, _)) => name
     }

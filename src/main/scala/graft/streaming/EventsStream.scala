@@ -20,20 +20,19 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Schema of the events table as read by the streaming source (ts is
-    * already converted from parquet nanos by the batch loader contract;
-    * the stream reads the raw long and converts identically). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) surfaces as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming source over the events parquet of one sf directory. The
     * streaming file source requires a directory of files; the test data
-    * ships one file per table, so stage a symlink-only directory. */
+    * ships one file per table, so stage a symlink-only directory.
+    *
+    * The stream schema is DERIVED from a batch footer read — never pinned
+    * to one physical parquet type. events.ts has shipped as
+    * TIMESTAMP(NANOS), naive TIMESTAMP(MICROS), and UTC micros across
+    * testdata generations; [[graft.Tables.rawEvents]] surfaces whichever
+    * the footer holds (setting the nanos-as-long legacy flag only when
+    * actually needed) and [[graft.Tables.normalizeTs]] converts the stream
+    * to the same session-zoned micro-precision TimestampType contract the
+    * batch loader guarantees, so every downstream transform sees one ts
+    * type regardless of who wrote the file. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$sfDir/events.parquet")
@@ -42,9 +41,9 @@ object EventsStream {
     Files.createDirectories(stageDir)
     val link = stageDir.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val surfaced = graft.Tables.rawEvents(spark, sfDir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(surfaced).parquet(stageDir.toString))
   }
 
   /** Watermarked hourly windowed aggregation — the streaming form of
