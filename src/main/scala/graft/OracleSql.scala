@@ -1292,6 +1292,164 @@ object OracleSql {
       |SELECT vec_id, array_to_string(list(code ORDER BY dim), ',') AS codes_csv
       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** IVF top-k on the snapped index (mirror of Ivf.ivfTopKSnapped): the
+    * shared snapped-k-means chain trains centroids and assigns corpus
+    * cells; each query ranks cells by the same exact integer distance
+    * (d asc, cell asc) and probes the `nprobe` nearest; rescoring inside
+    * candidates is the raw double cosine with the engine's fold order.
+    * BIGINT sums land in HUGEINT here — exact, agreeing with Spark's
+    * exact-double integers under the requireExactBound domain. */
+  def ivfSnapped(nlist: Int, nprobe: Int, iters: Int, maxQueryId: Long, k: Int): String =
+    s"""${kmeansChain(nlist, iters)},
+       |Q AS (SELECT vec_id AS query_id, w FROM V WHERE vec_id < $maxQueryId),
+       |P AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY sum(c.c * c.c - 2 * q.w[c.pos] * c.c), c.cell) AS rn
+       |    FROM Q q, C$iters c GROUP BY q.query_id, c.cell)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM P p JOIN AF a USING (cell) WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${cosineExpr("qe.embedding", "ne.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Snapped-PQ top-k (mirror of Pq.pqTopKSnapped): per-subspace Lloyd in
+    * the same shifted BIGINT recipe (composite (s, cell) key, seeds = the
+    * ksub lowest vec_ids' subvectors), final codes via the same argmin,
+    * and ADC scoring in UNSHIFTED integer space — sum of per-subspace
+    * table entries over each row's codes, divided by the exact integer
+    * norms. `subDim` = dim / m (the testdata's 64-dim embeddings). */
+  def pqSnapped(m: Int, ksub: Int, iters: Int, subDim: Int, maxQueryId: Long, k: Int): String = {
+    val sh = "8000000"
+    def assign(name: String, cFrom: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, s, cell FROM (
+         |    SELECT v.vec_id, v.s, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.s
+         |        ORDER BY sum(c.c * c.c - 2 * v.sub[c.pos] * c.c), c.cell) AS rn
+         |    FROM SUBV v JOIN $cFrom c ON c.s = v.s
+         |    GROUP BY v.vec_id, v.s, c.cell)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assign(s"A$r", s"C${r - 1}")},
+         |S$r AS (
+         |  SELECT a.s, a.cell, t.pos, sum(v.sub[t.pos])::BIGINT AS sm, count(*)::BIGINT AS n
+         |  FROM A$r a JOIN SUBV v ON v.vec_id = a.vec_id AND v.s = a.s,
+         |       unnest(range(1, len(v.sub) + 1)) t(pos)
+         |  GROUP BY a.s, a.cell, t.pos),
+         |C$r AS MATERIALIZED (
+         |  SELECT c0.s, c0.cell, c0.pos, coalesce((2 * s1.sm + s1.n) // (2 * s1.n), c0.c) AS c
+         |  FROM C${r - 1} c0 LEFT JOIN S$r s1
+         |    ON c0.s = s1.s AND c0.cell = s1.cell AND c0.pos = s1.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH V AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT) + $sh) AS w
+       |  FROM embeddings),
+       |SUBV AS MATERIALIZED (
+       |  SELECT vec_id, t.s, list_slice(w, t.s * $subDim + 1, (t.s + 1) * $subDim) AS sub
+       |  FROM V, unnest(range(0, $m)) t(s)),
+       |C0 AS MATERIALIZED (
+       |  SELECT s, cell, t.pos, sub[t.pos] AS c
+       |  FROM (SELECT sv.s, CAST(row_number() OVER (PARTITION BY sv.s ORDER BY sv.vec_id) - 1
+       |                          AS INTEGER) AS cell, sv.sub
+       |        FROM SUBV sv
+       |        JOIN (SELECT vec_id FROM V ORDER BY vec_id LIMIT $ksub) seeds USING (vec_id)),
+       |       unnest(range(1, len(sub) + 1)) t(pos)),
+       |$rounds,
+       |${assign("AF", s"C$iters")},
+       |N2A AS (SELECT s, cell, sum(($sh - c) * ($sh - c)) AS n2 FROM C$iters GROUP BY s, cell),
+       |RN2 AS (
+       |  SELECT af.vec_id, sum(n.n2) AS n2a
+       |  FROM AF af JOIN N2A n ON n.s = af.s AND n.cell = af.cell GROUP BY af.vec_id),
+       |Q AS (SELECT vec_id AS query_id, s, sub FROM SUBV WHERE vec_id < $maxQueryId),
+       |T AS MATERIALIZED (
+       |  SELECT q.query_id, c.s, c.cell,
+       |    sum((q.sub[c.pos] - $sh) * (c.c - $sh)) AS t
+       |  FROM Q q JOIN C$iters c ON c.s = q.s GROUP BY q.query_id, c.s, c.cell),
+       |N2Q AS (
+       |  SELECT q.query_id,
+       |    sum((q.sub[t.pos] - $sh) * (q.sub[t.pos] - $sh)) AS n2q
+       |  FROM Q q, unnest(range(1, len(q.sub) + 1)) t(pos) GROUP BY q.query_id),
+       |scored AS (
+       |  SELECT t.query_id, af.vec_id AS neighbor_id,
+       |    CAST(sum(t.t) AS DOUBLE)
+       |      / (sqrt(CAST(max(nq.n2q) AS DOUBLE)) * sqrt(CAST(max(r.n2a) AS DOUBLE))) AS score
+       |  FROM AF af
+       |  JOIN T t ON t.s = af.s AND t.cell = af.cell
+       |  JOIN RN2 r ON r.vec_id = af.vec_id
+       |  JOIN N2Q nq ON nq.query_id = t.query_id
+       |  WHERE af.vec_id <> t.query_id
+       |  GROUP BY t.query_id, af.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The engine's hash-derived LSH hyperplanes, computed by the SAME
+    * catalyst expression the engine evaluates (XxHash64 over (plane,
+    * dim), pmod into [-1, 1]) — driver-side here, embedded as literals
+    * in the oracle SQL so DuckDB needs no xxhash64 of its own. */
+  private def lshPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { j =>
+        val h = new XxHash64(Seq(Literal(p), Literal(j.toLong)))
+          .eval(null).asInstanceOf[Long]
+        val m = ((h % 2000003L) + 2000003L) % 2000003L
+        m.toDouble / 1000001.5d - 1.0d
+      }
+    }
+  }
+
+  /** Multi-probe LSH top-k (mirror of Similarity.lshTopK): sign-pattern
+    * buckets over the hash-derived hyperplanes (identical planes — see
+    * [[lshPlanes]]), each query probing its own bucket plus every
+    * Hamming-1 neighbor, exact double cosine inside candidates. The
+    * bucket sign test runs on the same strict-fold dot product, so the
+    * candidate set — not just the scores — matches the engine exactly. */
+  def lshTopK(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String = {
+    val planes = lshPlanes(numPlanes, dim)
+    def dotPlane(v: String, pl: Seq[Double]): String = {
+      val arr = pl.mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, least(len($v), $dim)+1), " +
+        s"i -> $v[i]::DOUBLE * ($arr::DOUBLE[])[i])), (acc, x) -> acc + x)"
+    }
+    val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN ${dotPlane("embedding", pl)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("b.bucket" +: (0 until numPlanes).map(p =>
+      s"xor(b.bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""WITH B AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ($bucketExpr)::BIGINT AS bucket
+       |  FROM embeddings),
+       |QP AS (
+       |  SELECT b.vec_id AS query_id, b.embedding AS qvec, p.probe AS bucket
+       |  FROM B b, unnest($probeList) p(probe)
+       |  WHERE b.vec_id < $maxQueryId),
+       |scored AS (
+       |  SELECT qp.query_id, b.vec_id AS neighbor_id,
+       |    ${cosineExpr("qp.qvec", "b.embedding")} AS score
+       |  FROM B b JOIN QP qp USING (bucket)
+       |  WHERE b.vec_id <> qp.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   val dimStats: String =
     """WITH x AS (
       |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s

@@ -293,16 +293,19 @@ object SparkEntry {
     // iters=2: measured (ProfileScratch) — top-5 recall at nprobe=4/16 is
     // 1.000 at 1-2 Lloyd rounds and DROPS to 0.95-0.975 at 3-5 (tighter
     // cells spread true neighbors past the probe budget), so extra
-    // rounds cost time and recall here; library default stays 5
+    // rounds cost time and recall here; library default stays 5.
+    // Snapped variant: identical shape, integer-exact index → the
+    // candidate set (and so the result) is oracle-replayable.
     "sim_ivf" -> ((s, d) =>
-      ext.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 8L, 5, 16, 4, iters = 2)),
+      ext.Ivf.ivfTopKSnapped(Tables.embeddings(s, d), 0L until 8L, 5, 16, 4, iters = 2)),
     // iters=3: measured on this corpus (ProfileScratch), PQ recall is
     // flat across 1..5 Lloyd rounds (0.175-0.225, noise band) — the
     // near-isotropic synthetic embeddings plateau immediately, so the
     // benchmark exercises a measured-adequate setting; the library
-    // default stays at the conservative 5
+    // default stays at the conservative 5. Snapped variant: exact
+    // integer codebooks + unshifted-integer ADC → oracle-replayable.
     "sim_pq" -> ((s, d) =>
-      ext.Pq.pqTopK(Tables.embeddings(s, d), 0L until 8L, 5, m = 4, ksub = 16, iters = 3)),
+      ext.Pq.pqTopKSnapped(Tables.embeddings(s, d), 0L until 8L, 5, m = 4, ksub = 16, iters = 3)),
     // ---- extensions: text analysis ----
     "text_stats" -> ((s, d) => TextStats.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),
@@ -1313,6 +1316,12 @@ object SparkEntry {
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)
     "sim_kmeans" -> OracleSql.kmeansSnapped(16, 5),
+    // snapped-index ANN: candidate sets from exact integer recipes, raw
+    // double-cosine rescoring with the engine's fold order — exact-match
+    // gradeable (params must mirror the queries entries)
+    "sim_ivf" -> OracleSql.ivfSnapped(16, 4, 2, 8L, 5),
+    "sim_pq" -> OracleSql.pqSnapped(4, 16, 3, 16, 8L, 5),
+    "sim_ann_lsh" -> OracleSql.lshTopK(8, 64, 8L, 5),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
     "graph_triangles" ->

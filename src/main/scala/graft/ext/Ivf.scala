@@ -241,6 +241,57 @@ object Ivf {
       .orderBy(idCol)
   }
 
+  /** [[ivfTopK]] with the INDEX side in snapped-integer arithmetic:
+    * centroid training, corpus cell assignment, and the per-query probe
+    * ranking all run on the exact integer recipe of
+    * [[kmeansAssignSnapped]], so the CANDIDATE SET is a deterministic
+    * function of (corpus, nlist, nprobe, iters) any engine reproduces
+    * bit-for-bit; rescoring inside candidates is the raw double cosine
+    * with the engine's strict fold order — the same score arithmetic the
+    * hash-matched brute-force query already shares with the oracle. Net:
+    * still an ANN (the probe set bounds recall exactly like ivfTopK), but
+    * exact-match gradeable instead of rows-only.
+    *
+    * Scale shape identical to ivfTopK: driver-sized centroids, one narrow
+    * assignment pass, equi-join on cell id, bounded top-k. */
+  def ivfTopKSnapped(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = embeddings.select(col(idCol), snapVec(col(vecCol)).as("w"))
+      .localCheckpoint(true)
+    requireExactBound(vecs)
+    val centroids = trainCentroidsSnapped(vecs, nlist, iters, idCol)
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(vecs)
+    if (centroids.isEmpty) // empty corpus: empty result with the right shape
+      return Similarity.emptyTopK(embeddings.sparkSession)
+    val corpus = embeddings
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v_neighbor_id"))
+      .withColumn("n2_neighbor_id", dot(col("v_neighbor_id"), col("v_neighbor_id")))
+      .withColumn("cell", cellOfSnapped(snapVec(col("v_neighbor_id")), centroids))
+    // probe ranking on the same exact integer distances as the assignment:
+    // array_sort on (d, cid) structs == order by d, cell — ties to the
+    // lowest cell id in both engines
+    val probeCells = array_sort(array(centroids.map { case (cid, c) =>
+      val cn2 = c.map(x => x * x).sum.toDouble // exact: requireExactBound holds
+      struct(
+        (lit(cn2) - lit(2.0d) * dot(col("w_query"), typedLit(c.map(_.toDouble)))).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    val queries = broadcast(
+      embeddings.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("v_query_id"))
+        .withColumn("n2_query_id", dot(col("v_query_id"), col("v_query_id")))
+        .withColumn("w_query", snapVec(col("v_query_id")))
+        .withColumn("cell", explode(transform(slice(probeCells, 1, nprobe), x => x.getField("cid"))))
+        .drop("w_query"))
+    val scored = corpus.join(queries, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v_query_id"), col("v_neighbor_id")) /
+          (sqrt(col("n2_query_id")) * sqrt(col("n2_neighbor_id")))).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** IVF top-k: probe the `nprobe` cells nearest each query, exact cosine
     * within candidates, bounded top-k aggregation. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,

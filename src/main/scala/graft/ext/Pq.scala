@@ -97,6 +97,117 @@ object Pq {
     embeddings.select(col(idCol), codes.as("codes"))
   }
 
+  // ---- integer-snapped (cross-engine exact) PQ ------------------------
+  //
+  // Same contract as Ivf's snapped k-means: quantize once up front
+  // (w_d = floor(x_d * 1e6) + 8e6), train the per-subspace codebooks in
+  // exact BIGINT Lloyd rounds (the shift keeps the round-half-up mean
+  // snap on non-negative operands), and score ADC in the UNSHIFTED
+  // integer space (u = w − 8e6): encode argmins are shift-invariant
+  // (constant offsets cancel in squared distances), while dot products
+  // are not — scoring must subtract the shift or every cosine collapses
+  // toward 1. All sums stay below 2^53 under the requireExactBound
+  // domain, so adot / (√n2q · √n2a) is a deterministic double any engine
+  // reproduces bit-for-bit. Quantization at 1e-6 is the operator's
+  // DEFINED metric (the data's own float32 noise floor), not an
+  // approximation of the float path.
+
+  /** Per-subspace codebooks in snapped-integer Lloyd rounds — the
+    * cross-engine-exact twin of [[trainCodebooks]]; identical joint
+    * training shape (one assignment job + one mean aggregation per round
+    * across all m subspaces). */
+  private[ext] def trainCodebooksSnapped(embeddings: DataFrame, m: Int, ksub: Int, iters: Int,
+                                         idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Long])]] = {
+    val dimRow = embeddings.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) return Seq.empty
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val w = dim / m
+    val snapped = Ivf.snapVec(col(vecCol))
+    val subs = embeddings.select(col(idCol).as("id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(snapped, s * w + 1, w).as("sub"))): _*)).as("x"))
+      .select(col("id"), col("x.s").as("s"), col("x.sub").as("sub"))
+      .localCheckpoint(true)
+    Ivf.requireExactBound(subs.select(col("sub").as("w")))
+    val seedRows = embeddings.select(col(idCol).as("id"), snapped.as("wv"))
+      .orderBy("id").limit(ksub).collect()
+    var books: Map[Int, Seq[(Int, Seq[Long])]] = (0 until m).map { s =>
+      s -> seedRows.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).slice(s * w, s * w + w).map(_.toLong).toSeq) }.toSeq
+    }.toMap
+    for (_ <- 0 until iters) {
+      val cell = (0 until m).map(s => (s, Ivf.cellOfSnapped(col("sub"), books(s))))
+        .foldLeft(lit(null).cast("int")) { case (els, (s, e)) =>
+          when(col("s") === s, e).otherwise(els) }
+      val rows = subs.withColumn("cell", cell)
+        .select(col("s"), col("cell"), posexplode(col("sub")))
+        .groupBy("s", "cell", "pos")
+        .agg(sum(col("col").cast("long")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          // driver-side round-half-up snap in overflow-checked ops —
+          // identical to trainCentroidsSnapped's (2s + n) div (2n)
+          val (sm, n) = (r.getLong(3), r.getLong(4))
+          val c = Math.addExact(Math.multiplyExact(2L, sm), n) / (2 * n)
+          ((r.getInt(0), r.getInt(1)), (r.getInt(2), c))
+        }
+      val byCell: Map[(Int, Int), Seq[Long]] = rows.groupBy(_._1)
+        .map { case (key, vs) => key -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      books = books.map { case (s, cents) =>
+        s -> cents.map { case (cid, c) => (cid, byCell.getOrElse((s, cid), c)) }
+      }
+    }
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(subs)
+    (0 until m).map(books)
+  }
+
+  /** [[pqTopK]] on the snapped recipe: deterministic codebooks, encode,
+    * and ADC scoring any engine replays exactly — exact-match gradeable
+    * instead of rows-only, same compression and scan shape as pqTopK. */
+  def pqTopKSnapped(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                    m: Int = 4, ksub: Int = 16, iters: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = trainCodebooksSnapped(embeddings, m, ksub, iters, idCol, vecCol)
+    if (books.isEmpty) // empty corpus: empty result with the right shape
+      return Similarity.emptyTopK(spark)
+    val w = books.head.head._2.size
+    val shift = Ivf.SnapShift
+    val snapped = Ivf.snapVec(col(vecCol))
+    val codes = array(books.zipWithIndex.map { case (cents, s) =>
+      Ivf.cellOfSnapped(slice(snapped, s * w + 1, w), cents)
+    }: _*)
+    val coded = embeddings.select(col(idCol).as("neighbor_id"), codes.as("codes"))
+    // unshifted reconstruction norms: query-independent plan literal
+    val n2tab: Seq[Seq[Double]] = books.map(_.sortBy(_._1).map(_._2.map { x =>
+      val u = x - shift; u * u }.sum.toDouble))
+    // per-query ADC tables in unshifted integer space, driver-side
+    val qdf = embeddings.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), snapped).collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val uq = r.getSeq[Double](1).map(x => x.toLong - shift)
+        val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (cents, s) =>
+          val qs = uq.slice(s * w, (s + 1) * w)
+          cents.sortBy(_._1).map { case (_, c) =>
+            qs.zip(c).map { case (a, b) => a * (b - shift) }.sum.toDouble }
+        }
+        (qid, tables, uq.map(u => u * u).sum.toDouble)
+      }.toSeq.toDF("query_id", "tables", "n2_query")
+    def lookupSum(tabs: Column): Column =
+      aggregate(zip_with(col("codes"), tabs, (code, tab) => element_at(tab, code + 1)),
+        lit(0.0d), _ + _)
+    val scored = coded.withColumn("n2a", lookupSum(typedLit(n2tab)))
+      .crossJoin(broadcast(qdf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adot", lookupSum(col("tables")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("adot") / (sqrt(col("n2_query")) * sqrt(col("n2a")))).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** PQ-ADC top-k: approximate cosine from table lookups —
     * dot(q, x̃) = Σ_s table_q[s][code_s] and ‖x̃‖² = Σ_s ‖c_{s,code_s}‖²,
     * where x̃ is the reconstruction of x from its codes. */
