@@ -779,23 +779,42 @@ object OracleSql {
   /** Bigram-LM scoring (mirror of graft.ext.LmScore.scoreDocuments):
     * add-one-smoothed ln P(b|a), integer-scaled, summed per document.
     * Same division/ln/round shape as the engine for bit parity. */
-  val lmScore: String =
-    s"""WITH $toksCte,
+  /** The CTE chain behind [[lmScore]], ending in
+    * `lms(doc_id, n_bigrams, sum_logp_scaled)` — composable by the
+    * curriculum/preference oracles that rank on the LM signal. */
+  val lmScoreCtes: String =
+    s"""$toksCte,
        |tok AS (SELECT doc_id, unnest(toks) AS w FROM toks),
        |uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS uc FROM tok GROUP BY w),
        |${ngramsCte(2)},
        |bi AS MATERIALIZED (SELECT g, CAST(count(*) AS BIGINT) AS bc FROM grams GROUP BY g),
        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-       |s AS (
+       |lp_terms AS (
        |  SELECT grams.doc_id,
        |    CAST(round(ln(CAST(bi.bc + 1 AS DOUBLE) / CAST(uni.uc + v.v AS DOUBLE))
        |      * 1000000.0) AS BIGINT) AS lp
        |  FROM grams
        |  CROSS JOIN v
        |  JOIN bi ON grams.g = bi.g
-       |  JOIN uni ON string_split(grams.g, ' ')[1] = uni.w)
-       |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logp_scaled
-       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  JOIN uni ON string_split(grams.g, ' ')[1] = uni.w),
+       |lms AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logp_scaled
+       |  FROM lp_terms GROUP BY doc_id)""".stripMargin
+
+  val lmScore: String =
+    s"""WITH $lmScoreCtes
+       |SELECT doc_id, n_bigrams, sum_logp_scaled FROM lms ORDER BY doc_id""".stripMargin
+
+  /** Per-document LM quality score CTE `lmq(doc_id, score)` — the
+    * per-bigram average of the integer-scaled log-likelihood (mirror of
+    * TrainingPipeline.lmQualityScore: one double division over exact
+    * BIGINT inputs). */
+  val lmQualityCtes: String =
+    s"""$lmScoreCtes,
+       |lmq AS (
+       |  SELECT doc_id,
+       |    CAST(sum_logp_scaled AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS score
+       |  FROM lms)""".stripMargin
 
   /** Full BPE-trainer replay (mirror of graft.ext.Bpe.train): word freqs
     * from the shared tokenizer, then per SCAN a weighted adjacent-pair
@@ -1292,6 +1311,40 @@ object OracleSql {
       |SELECT vec_id, array_to_string(list(code ORDER BY dim), ',') AS codes_csv
       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** SCD2 history by FULL recompute over the three derived snapshots
+    * (v1 lacks id%7, v2 edits id%5, v3 drops id%11 and edits id%3) —
+    * the oracle for both pipeline_scd2 (direct derivation) and
+    * pipeline_scd2_extend (incremental CDC fold), which must agree. */
+  val scd2FullRecompute: String =
+    """WITH v2t AS (SELECT doc_id, text,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS t2
+      |  FROM documents),
+      |allv AS (
+      |  SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM v2t WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, t2, 2 FROM v2t
+      |  UNION ALL
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN t2 || ' v3' ELSE t2 END, 3
+      |  FROM v2t WHERE doc_id % 11 <> 0),
+      |gr AS (SELECT version, row_number() OVER (ORDER BY version) AS grk
+      |       FROM (SELECT DISTINCT version FROM allv)),
+      |av AS (SELECT a.*, gr.grk FROM allv a JOIN gr USING (version)),
+      |c AS (SELECT doc_id, version,
+      |    CASE WHEN lag(text) OVER (PARTITION BY doc_id ORDER BY version)
+      |              IS DISTINCT FROM text
+      |           OR grk - lag(grk) OVER (PARTITION BY doc_id ORDER BY version) > 1
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM av),
+      |s AS (SELECT doc_id, version,
+      |    sum(chg) OVER (PARTITION BY doc_id ORDER BY version) AS seg
+      |  FROM c),
+      |runs AS (SELECT doc_id, seg,
+      |    min(version)::BIGINT AS valid_from, max(version)::BIGINT AS valid_to
+      |  FROM s GROUP BY doc_id, seg)
+      |SELECT doc_id, valid_from, valid_to,
+      |  valid_to = (SELECT max(version) FROM allv) AS is_current
+      |FROM runs ORDER BY doc_id, valid_from""".stripMargin
+
   /** IVF top-k on the snapped index (mirror of Ivf.ivfTopKSnapped): the
     * shared snapped-k-means chain trains centroids and assigns corpus
     * cells; each query ranks cells by the same exact integer distance
@@ -1423,7 +1476,11 @@ object OracleSql {
   def lshTopK(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String = {
     val planes = lshPlanes(numPlanes, dim)
     def dotPlane(v: String, pl: Seq[Double]): String = {
-      val arr = pl.mkString("[", ", ", "]")
+      // E-notation, 17 significant digits: DuckDB parses plain decimal
+      // literals through DECIMAL (lossy past ~15 digits — 0.9999999999999999
+      // becomes 1.0) but exponent-form literals directly as DOUBLE, so this
+      // is the only rendering that round-trips the engine's planes exactly
+      val arr = pl.map(x => f"$x%.17E").mkString("[", ", ", "]")
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, least(len($v), $dim)+1), " +
         s"i -> $v[i]::DOUBLE * ($arr::DOUBLE[])[i])), (acc, x) -> acc + x)"
     }

@@ -50,6 +50,9 @@ object Plans {
     "text_pmi" -> "two word-keyed count shuffles; totals broadcast as single rows; unigram attachment via vocabulary-sized equi-joins",
     "sim_knn_classify" -> "broadcast queries x one corpus scan; id-keyed label join; vote argmax is one max-struct aggregation, no window",
     "pipeline_scd2_asof" -> "map-side interval filter on the run-compressed history + ONE composite-key equi-join attaches run texts",
+    "pipeline_scd2_extend" -> "CDC winner is one max-struct partial agg; ONE full-outer equi-join folds it onto current runs; closed runs pass through union-side with no join",
+    "sim_ivf" -> "snapped literal-centroid assignment is a narrow projection; probe cells explode on the broadcast query side; candidates meet in a cell equi-join — no CartesianProduct",
+    "sim_pq" -> "codes are a narrow argmin projection; per-query ADC tables broadcast; scan-side lookup-sum scores ride the corpus scan",
   )
 
   def main(args: Array[String]): Unit = {

@@ -146,7 +146,18 @@ object Incremental {
     * millions of concurrent tiny windows, never a global sort; the
     * newest version is a 1-row broadcast. */
   def scdHistory(versions: DataFrame, idCol: String = "doc_id",
-                 verCol: String = "version", textCol: String = "text"): DataFrame = {
+                 verCol: String = "version", textCol: String = "text"): DataFrame =
+    scdHistoryHashed(versions, idCol, verCol, textCol).drop("content_hash")
+
+  /** [[scdHistory]] carrying each run's 64-bit content hash
+    * (`content_hash`) — the extra column [[extendHistory]] needs to
+    * decide same-vs-changed against an incoming change batch WITHOUT
+    * re-reading any snapshot. The hash is engine-internal (only ever
+    * compared to hashes this engine computed), so it never needs to
+    * match another engine's. Catalyst prunes the hash aggregation out of
+    * the plain scdHistory plan. */
+  def scdHistoryHashed(versions: DataFrame, idCol: String = "doc_id",
+                       verCol: String = "version", textCol: String = "text"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(verCol))
     // Global version ranks: a run may only continue across CONSECUTIVE
@@ -168,11 +179,86 @@ object Incremental {
           col("__gr") - lag(col("__gr"), 1).over(w) > 1L, 1L).otherwise(0L))
       .withColumn("__seg", sum(col("__chg")).over(w))
     val runs = seg.groupBy(col(idCol), col("__seg"))
-      .agg(min(col(verCol)).as("valid_from"), max(col(verCol)).as("valid_to"))
+      .agg(min(col(verCol)).as("valid_from"), max(col(verCol)).as("valid_to"),
+        // content is constant inside a run by construction
+        min(col("__h")).as("content_hash"))
     val newest = versions.agg(max(col(verCol)).as("__vmax"))
     runs.join(broadcast(newest))
       .select(col(idCol), col("valid_from"), col("valid_to"),
-        (col("valid_to") === col("__vmax")).as("is_current"))
+        (col("valid_to") === col("__vmax")).as("is_current"), col("content_hash"))
+      .orderBy(col(idCol), col("valid_from"))
+  }
+
+  /** Incremental SCD2 maintenance: fold a CDC change batch
+    * `(id, seq, op ∈ {upsert, delete}, text)` onto an existing
+    * [[scdHistoryHashed]] table, promoting the corpus to `newVersion` —
+    * WITHOUT re-deriving any snapshot. Per current run:
+    *
+    *  - id untouched by the batch → the document carries forward: its
+    *    run extends (`valid_to` = newVersion, still current);
+    *  - upsert with UNCHANGED content (hash-equal) → same extension (a
+    *    rewrite of identical bytes is not a new version of the doc);
+    *  - upsert with CHANGED content → the old run closes where it was
+    *    (`is_current` drops) and a new `[newVersion, newVersion]` run
+    *    opens with the new content hash;
+    *  - delete → the old run closes; re-insertion later starts a fresh
+    *    run (the same gap rule scdHistory enforces across snapshots);
+    *  - upsert of an id with NO current run (new doc, or previously
+    *    deleted) → a fresh `[newVersion, newVersion]` run.
+    *
+    * The result is IDENTICAL to scdHistoryHashed over the full snapshot
+    * stack with the batch applied as snapshot `newVersion`
+    * (IncrementalSpec checks exactly that, per version step), but the
+    * maintenance cost is |history| + |changes| — no snapshot replay.
+    *
+    * Scale shape: the batch winner is ONE max-struct aggregation (the
+    * [[applyChanges]] pattern, same loud op validation), then ONE
+    * full-outer equi-join of current runs against it; closed runs pass
+    * through untouched. With history and change log bucketed by id the
+    * join is exchange-free. Two loud guards: a history row with
+    * `valid_to >= newVersion` means the caller is replaying the past —
+    * refused row-by-row at the scan (raise_error, no driver action). */
+  def extendHistory(history: DataFrame, changes: DataFrame, newVersion: Long,
+                    idCol: String = "doc_id", seqCol: String = "seq",
+                    opCol: String = "op", textCol: String = "text"): DataFrame = {
+    // EAGER per-row guard (a filter predicate always evaluates — a
+    // when() inside a projection would be skipped on rows whose other
+    // branch wins, letting a replay slip through on carried-forward runs)
+    val guarded = history.filter(
+      when(col("valid_to") < newVersion, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"extendHistory: history already reaches version "),
+          col("valid_to").cast("string"),
+          lit(s" for $idCol="), col(idCol).cast("string"),
+          lit(s" — newVersion $newVersion must be past every recorded run"))).cast("boolean")))
+    val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"extendHistory: illegal $opCol value '"),
+        coalesce(col(opCol).cast("string"), lit("null")),
+        lit(s"' for $idCol="), coalesce(col(idCol).cast("string"), lit("null")),
+        lit("' — every change must carry op ∈ {upsert, delete}"))))
+    val winner = changes.withColumn(opCol, checkedOp)
+      .withColumn("__h", xxhash64(col(textCol)))
+      .groupBy(col(idCol))
+      .agg(max(struct(col(seqCol), col(opCol), col("__h"))).as("__w"))
+      .select(col(idCol), col(s"__w.$opCol").as("__op"), col("__w.__h").as("__newh"))
+    val current = guarded.filter(col("is_current"))
+      .select(col(idCol), col("valid_from"), col("valid_to"), col("content_hash"))
+    val closed = guarded.filter(!col("is_current"))
+    val j = current.join(winner, Seq(idCol), "full_outer")
+    val carries = col("__op").isNull ||
+      (col("__op") === "upsert" && col("__newh") === col("content_hash"))
+    val oldRows = j.filter(col("valid_from").isNotNull)
+      .select(col(idCol), col("valid_from"),
+        when(carries, lit(newVersion)).otherwise(col("valid_to")).as("valid_to"),
+        carries.as("is_current"), col("content_hash"))
+    val newRows = j
+      .filter(col("__op") === "upsert" &&
+        (col("valid_from").isNull || col("__newh") =!= col("content_hash")))
+      .select(col(idCol), lit(newVersion).as("valid_from"),
+        lit(newVersion).as("valid_to"), lit(true).as("is_current"),
+        col("__newh").as("content_hash"))
+    closed.unionByName(oldRows).unionByName(newRows)
       .orderBy(col(idCol), col("valid_from"))
   }
 

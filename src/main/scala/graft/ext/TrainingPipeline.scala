@@ -594,16 +594,28 @@ object TrainingPipeline {
     * N arrives as a broadcast single row off the materialized local sums
     * — no second corpus scan, no SinglePartition exchange (plan-asserted). */
   def curriculumPhases(docs: DataFrame, phases: Int = 4,
-                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    curriculumPhasesScored(stopwordScore(docs, textCol, idCol), phases, idCol)
+
+  /** [[curriculumPhases]] on the bigram LM quality signal
+    * ([[LmScore.scoreDocuments]] averaged per bigram): rank by how
+    * corpus-like each document's word transitions are — the CCNet-style
+    * schedule (cleanest prose first) — instead of the cheap stopword
+    * proxy. Documents too short to have a bigram carry no signal and are
+    * excluded, like zero-token docs under the stopword score. */
+  def curriculumPhasesLm(docs: DataFrame, phases: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    curriculumPhasesScored(lmQualityScore(docs, textCol, idCol), phases, idCol)
+
+  /** The rank/cut core of [[curriculumPhases]] over an ALREADY-SCORED
+    * (id, score) frame — any per-document scalar slots in. Keeps the
+    * two-phase prefix-sum shape (no SinglePartition window). */
+  def curriculumPhasesScored(scored: DataFrame, phases: Int,
+                             idCol: String = "doc_id"): DataFrame = {
     require(phases > 0, "phases must be positive")
-    val spark = docs.sparkSession
+    val spark = scored.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val toks = graft.text.Tokenize.tokensArray(col(textCol))
-    val base = docs.select(col(idCol),
-        size(filter(toks, t => t.isin(TextStats.Stopwords: _*))).cast("long").as("__stop"),
-        size(toks).cast("long").as("__ntok"))
-      .filter(col("__ntok") > 0)
-      .withColumn("score", col("__stop").cast("double") / col("__ntok").cast("double"))
+    val base = scored.select(col(idCol), col("score"))
       .withColumn("n_tokens", lit(1L)) // prefix-sum of 1s == global rank
     val local = localCumsum(base, Seq(col("score").desc, col(idCol).asc), nParts)
       .localCheckpoint(true)
@@ -614,6 +626,27 @@ object TrainingPipeline {
         expr(s"((cum_tokens - 1) * $phases) div __n").as("phase"))
       .orderBy(idCol)
   }
+
+  /** Stopword density as a (id, score) frame — the cheap fluency proxy;
+    * zero-token documents (undefined ratio) are excluded. */
+  private def stopwordScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = graft.text.Tokenize.tokensArray(col(textCol))
+    docs.select(col(idCol),
+        size(filter(toks, t => t.isin(TextStats.Stopwords: _*))).cast("long").as("__stop"),
+        size(toks).cast("long").as("__ntok"))
+      .filter(col("__ntok") > 0)
+      .select(col(idCol),
+        (col("__stop").cast("double") / col("__ntok").cast("double")).as("score"))
+  }
+
+  /** Bigram-LM quality as a (id, score) frame: the per-bigram average of
+    * [[LmScore.scoreDocuments]]'s integer-scaled log-likelihood — one
+    * division over exact BIGINT inputs, so the ordering is engine-
+    * portable. Higher = word transitions more like the corpus. */
+  private[ext] def lmQualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    LmScore.scoreDocuments(docs, textCol)
+      .select(col("doc_id").as(idCol),
+        (col("sum_logp_scaled").cast("double") / col("n_bigrams").cast("double")).as("score"))
 
   /** Preference-pair construction (the DPO/RLHF data-prep shape): within
     * each group, pair the highest-scoring document (chosen) with the
@@ -635,14 +668,37 @@ object TrainingPipeline {
     * excluded up front (their ratio is undefined). */
   def preferencePairs(docs: DataFrame, groupCols: Seq[String] = Seq("source", "lang"),
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // score computed INLINE so group columns and both pair ends ride ONE
+    // corpus scan (plan-asserted) — a join against a separately-scored
+    // frame would scan the corpus twice for a per-row expression
     val toks = graft.text.Tokenize.tokensArray(col(textCol))
     val scored = docs
-      .select(groupCols.map(col) ++ Seq(
-        col(idCol),
+      .select(groupCols.map(col) ++ Seq(col(idCol),
         size(filter(toks, t => t.isin(TextStats.Stopwords: _*))).cast("long").as("__stop"),
         size(toks).cast("long").as("__ntok")): _*)
       .filter(col("__ntok") > 0)
-      .withColumn("__score", col("__stop").cast("double") / col("__ntok").cast("double"))
+      .select(groupCols.map(col) ++ Seq(col(idCol),
+        (col("__stop").cast("double") / col("__ntok").cast("double")).as("score")): _*)
+    preferencePairsScored(scored, groupCols, idCol)
+  }
+
+  /** [[preferencePairs]] on the bigram LM quality signal — chosen is the
+    * most corpus-like document of each group, rejected the least; the
+    * higher-fidelity signal a DPO-prep pipeline actually wants (the
+    * stopword form remains for cheap first passes). */
+  def preferencePairsLm(docs: DataFrame, groupCols: Seq[String] = Seq("source", "lang"),
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    preferencePairsScored(
+      docs.select((groupCols :+ idCol).map(col): _*)
+        .join(lmQualityScore(docs, textCol, idCol), idCol),
+      groupCols, idCol)
+
+  /** The pairing core over an ALREADY-SCORED frame carrying the group
+    * columns, id, and `score`. Same argmax/argmin struct aggregation —
+    * no window, no self-join. */
+  def preferencePairsScored(scored0: DataFrame, groupCols: Seq[String],
+                            idCol: String = "doc_id"): DataFrame = {
+    val scored = scored0.withColumn("__score", col("score"))
     scored.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         max(struct(col("__score").as("s"), (-col(idCol)).as("nid"))).as("__best"),

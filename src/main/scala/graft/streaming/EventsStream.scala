@@ -116,8 +116,33 @@ object EventsStream {
     * helper is the grading harness, not the production sink. Query names
     * are uniquified so repeated invocations (bench passes) never collide
     * with a registered temp view from an earlier run. */
+  /** State partitions for the graded drains. A stateful streaming query
+    * pays a state-store COMMIT (delta file create + fsync + rename) per
+    * store per partition per micro-batch — a stream-stream join carries
+    * FOUR stores per partition, so at the batch session's 32 shuffle
+    * partitions an AvailableNow drain spends seconds on 128 commits of
+    * ~1k rows each (measured: stream_join 6.2s at 32 parts, 2.0s at 4).
+    * State width must track STATE SIZE, not the batch shuffle width:
+    * these graded queries hold bounded state (tens of thousands of
+    * rows), so a handful of partitions is right; a corpus-scale
+    * deployment sizes it as state rows / ~1M-rows-per-partition via the
+    * parameter instead. */
+  val DefaultDrainStateParts = 4
+
+  /** Run `body` with the session's shuffle-partition conf pinned to
+    * `stateParts` (streaming queries capture it at plan time), restoring
+    * the batch setting after. Graded drains run sequentially; a session
+    * running concurrent drains should set the conf per-cluster instead. */
+  private def withStateParts[T](spark: SparkSession, stateParts: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, stateParts.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def drainToTable(spark: SparkSession, stream: DataFrame,
-                   name: String, mode: String): DataFrame = {
+                   name: String, mode: String,
+                   stateParts: Int = DefaultDrainStateParts): DataFrame = {
     val qn = s"graft_stream_${name}_${runSeq.incrementAndGet()}"
     // drop the previous drain's view for this query so repeated bench
     // passes don't accumulate memory-sink row sets for the session's
@@ -130,11 +155,49 @@ object EventsStream {
       if (prev != null) spark.catalog.dropTempView(prev)
       qn
     })
-    val q = stream.writeStream.outputMode(mode).format("memory").queryName(qn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark, stateParts) {
+      val q = stream.writeStream.outputMode(mode).format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
+  }
+
+  /** The PRODUCTION sink path: drain a streaming frame through
+    * `foreachBatch` into append-mode parquet at `path` and return the
+    * landed frame READ BACK FROM DISK — callers grade what the files
+    * hold, not the in-flight rows. This is the lake-landing form for
+    * corpus-sized stream outputs (the memory sink above is only for
+    * bounded grading aggregates); at scale each micro-batch writes its
+    * partitions in parallel and the files accumulate as the table. */
+  def drainToParquet(spark: SparkSession, stream: DataFrame, path: String,
+                     stateParts: Int = DefaultDrainStateParts): DataFrame = {
+    withStateParts(spark, stateParts) {
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(path)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Graded query: the streaming exact-dedup key set landed via the
+    * production `foreachBatch` parquet sink ([[drainToParquet]]) and
+    * read back — the same batch oracle as the memory-sink form, so the
+    * disk round-trip itself is under grade. A fresh temp dir per
+    * invocation keeps repeated bench passes from appending onto an
+    * earlier run's files. */
+  def dedupKeysSunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink_q")
+      .resolve("dedup").toString
+    drainToParquet(spark,
+      readEvents(spark, sfDir).dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")), out)
+      .orderBy("user_id", "event_type")
   }
 
   /** Graded query: hourly windowed aggregation through the streaming

