@@ -73,6 +73,46 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("extendHistory fold == full recompute for any snapshot stack") {
+    // same random-stack shape as the scd2 model test; fold the LAST
+    // version's derived CDC batch (upserts incl. hash-equal no-ops,
+    // deletes for vanished ids) onto the history of the earlier versions
+    // and demand bit-equality with the full recompute — creates, edits,
+    // deletes, gaps and re-inserts all arise from the generator
+    val stackGen = for {
+      nv <- Gen.choose(2, 4)
+      versions <- Gen.pick(nv, 1L to 6L)
+      rows <- Gen.sequence[List[Option[(Long, Long, String)]], Option[(Long, Long, String)]](
+        (for (d <- 0L until 5L; v <- versions.sorted) yield for {
+          present <- Gen.oneOf(true, true, false)
+          txt <- Gen.oneOf("a", "b", "c")
+        } yield if (present) Some((d, v, txt)) else None).toList)
+    } yield rows.flatten
+    check("scd2-extend-model", Prop.forAll(stackGen) { rows =>
+      val vers = rows.map(_._2).distinct.sorted
+      vers.size < 2 || {
+        val df = rows.toDF("doc_id", "version", "text")
+        val last = vers.max
+        val prev = vers(vers.size - 2)
+        val hist = graft.ext.Incremental.scdHistoryHashed(df.filter(col("version") < last))
+        val oldSnap = rows.filter(_._2 == prev).map(r => r._1 -> r._3).toMap
+        val newSnap = rows.filter(_._2 == last).map(r => r._1 -> r._3).toMap
+        val changes = (oldSnap.keySet ++ newSnap.keySet).toSeq.map { d =>
+          newSnap.get(d) match {
+            case Some(t) => (d, 1L, "upsert", t)
+            case None    => (d, 1L, "delete", null: String)
+          }
+        }
+        val extended = graft.ext.Incremental
+          .extendHistory(hist, changes.toDF("doc_id", "seq", "op", "text"), last)
+          .as[(Long, Long, Long, Boolean, Long)].collect().toSet
+        val want = graft.ext.Incremental.scdHistoryHashed(df)
+          .as[(Long, Long, Long, Boolean, Long)].collect().toSet
+        extended == want
+      }
+    })
+  }
+
   test("cdc apply == pure-Scala MERGE model for any change log") {
     // model: group changes by id, winner = max by (seq, op, text, source)
     // (null sorts lowest, matching Spark struct ordering on seq ties);
