@@ -1167,9 +1167,11 @@ object OracleSql {
     * scaled BEFORE the per-document sum. Float constants are serialized
     * from the same Scala doubles Spark folds in, so both engines evaluate
     * bit-identical literals. */
-  def bm25(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+  /** The BM25 scoring chain, ending in `g(doc_id, n_hits, score_scaled)`
+    * — shared by [[bm25]] and the hybrid-RRF oracle. */
+  private def bm25Chain(terms: Seq[String], k1: Double, b: Double): String = {
     val inList = terms.map(t => s"'${sqlStr(t)}'").mkString(", ")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |tok AS (SELECT doc_id, w AS word FROM toks, unnest(toks) AS u(w)),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
@@ -1186,10 +1188,46 @@ object OracleSql {
        |      * 1000000.0) AS BIGINT) AS term_scaled
        |  FROM qtf q JOIN df d USING (word) JOIN dl l USING (doc_id) CROSS JOIN corpus c),
        |g AS (SELECT doc_id, count(*) AS n_hits, sum(term_scaled)::BIGINT AS score_scaled
-       |      FROM s GROUP BY 1)
+       |      FROM s GROUP BY 1)""".stripMargin
+  }
+
+  def bm25(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25Chain(terms, k1, b)}
        |SELECT doc_id, n_hits, score_scaled FROM g
        |ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
-  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (mirror of
+    * Retrieval.hybridTopK): the BM25 chain ranks the lexical list, the
+    * strict-fold cosine ranks the semantic list (query row excluded),
+    * and each list contributes floor(1e12 / (rrfK + rank)) — exact
+    * integer arithmetic, so fusion scores and ordering are
+    * engine-portable (no half-cases exist for 1e12 over this rank
+    * range, and floor has none anyway). */
+  def hybridRrf(terms: Seq[String], queryVecId: Long, k: Int, kEach: Int,
+                rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25Chain(terms, k1, b)},
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_scaled DESC, doc_id)
+       |                      AS BIGINT) AS lex_rank
+       |  FROM (SELECT * FROM g ORDER BY score_scaled DESC, doc_id LIMIT $kEach)),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = $queryVecId),
+       |semscored AS (
+       |  SELECT e.vec_id AS doc_id, ${cosineExpr("q.qvec", "e.embedding")} AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> $queryVecId),
+       |sem AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |                        AS BIGINT) AS sem_rank
+       |    FROM semscored)
+       |  WHERE sem_rank <= $kEach),
+       |f AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+       |    coalesce(CAST(floor(1e12 / ($rrfK + l.lex_rank)) AS BIGINT), 0)
+       |      + coalesce(CAST(floor(1e12 / ($rrfK + s.sem_rank)) AS BIGINT), 0)
+       |      AS rrf_scaled
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf_scaled FROM f
+       |ORDER BY rrf_scaled DESC, doc_id LIMIT $k""".stripMargin
 
   /** Deterministic negative sampling (mirror of
     * TrainingPipeline.negativeSamples): same seeded hash, same dense-id

@@ -502,6 +502,11 @@ object SparkEntry {
     // BM25 ranked retrieval for a fixed lexical query
     "text_bm25" -> ((s, d) =>
       TextStats.bm25(Tables.documents(s, d), Seq("spark", "query", "vector"), 25)),
+    // hybrid retrieval: the BM25 lexical list fused with the cosine
+    // semantic list by reciprocal-rank fusion (exact integer RRF)
+    "text_hybrid_rrf" -> ((s, d) =>
+      ext.Retrieval.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("spark", "query", "vector"), queryVecId = 0L, k = 25, kEach = 50)),
     // quality-ranked greedy selection under a global token budget
     "pipeline_token_budget" -> ((s, d) =>
       ext.TrainingPipeline.tokenBudget(Tables.documents(s, d), 15000L)),
@@ -1310,6 +1315,7 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "text_bm25" -> OracleSql.bm25(Seq("spark", "query", "vector"), 25),
+    "text_hybrid_rrf" -> OracleSql.hybridRrf(Seq("spark", "query", "vector"), 0L, 25, 50),
     "pipeline_token_budget" -> OracleSql.tokenBudget(15000L),
     "pipeline_datacard" -> OracleSql.dataCard,
     "sim_quantize" -> OracleSql.quantizeInt8,
