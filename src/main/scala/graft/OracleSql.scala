@@ -636,6 +636,30 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-weighted mixture (mirror of
+    * TrainingPipeline.temperatureMixture): per-stratum counts, weights
+    * floor(sqrt(n)·1e6) (sqrt is IEEE-exact in both engines), keep-rate
+    * (100·target·w) // (Σw·n) capped at 100 in HUGEINT (mirrors the
+    * engine's BigInt — both truncate on positive operands), then the
+    * same id-hash filter. NULL strata get their own computed rate via
+    * IS NOT DISTINCT FROM. */
+  def temperatureMixture(targetPct: Int, strataCol: String = "lang"): String =
+    s"""WITH c AS (SELECT $strataCol, count(*)::BIGINT AS n FROM documents GROUP BY $strataCol),
+       |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+       |w AS (SELECT $strataCol, n,
+       |        CAST(floor(sqrt(n::DOUBLE) * 1000000.0) AS BIGINT) AS ws FROM c),
+       |sw AS (SELECT sum(ws)::HUGEINT AS sumw FROM w),
+       |p AS (
+       |  SELECT w.$strataCol,
+       |    least(100::HUGEINT,
+       |      (100::HUGEINT * ((t.total * $targetPct) // 100) * w.ws) // (sw.sumw * w.n))
+       |      AS pct
+       |  FROM w, t, sw)
+       |SELECT d.doc_id, d.$strataCol FROM documents d
+       |JOIN p ON p.$strataCol IS NOT DISTINCT FROM d.$strataCol
+       |WHERE ${poly("CAST(d.doc_id AS VARCHAR)")} % 100 < p.pct
+       |ORDER BY d.doc_id""".stripMargin
+
   /** text_chunks oracle: same chunk grid (starts = multiples of stride
     * below the token count), same inclusive list slicing. */
   def chunkDocuments(chunkSize: Int, stride: Int): String =

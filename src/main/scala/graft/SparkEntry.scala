@@ -261,6 +261,11 @@ object SparkEntry {
     "pipeline_mixture" -> ((s, d) =>
       ext.TrainingPipeline.mixtureSample(Tables.documents(s, d), Seq("en" -> 75, "zh" -> 40), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // data-derived mixture: keep-rates ∝ sqrt(stratum size) (temperature
+    // α = 0.5), scaled to a 50% corpus budget — exact integer rate math
+    "pipeline_temperature" -> ((s, d) =>
+      ext.TrainingPipeline.temperatureMixture(Tables.documents(s, d), targetPct = 50)
+        .select("doc_id", "lang").orderBy("doc_id")),
     "pipeline_pack" -> ((s, d) =>
       ext.TrainingPipeline.packSequences(Tables.documents(s, d), 2048)),
     // incremental ingest: even-id docs stand in for the new batch, ids not
@@ -873,6 +878,7 @@ object SparkEntry {
     "text_repetition" -> OracleSql.repetition,
     "pipeline_stratified" -> OracleSql.stratifiedSample("lang", 20),
     "pipeline_mixture" -> OracleSql.mixtureSample(Seq("en" -> 75, "zh" -> 40), 20),
+    "pipeline_temperature" -> OracleSql.temperatureMixture(50),
     "dedup_clusters" -> OracleSql.nearDupClusters(0.3),
     "dedup_embedding" -> OracleSql.embeddingClusters(500, 0.4),
     "pipeline_decon_embedding" -> OracleSql.crossSemanticPairs(50, 550, 0.4),

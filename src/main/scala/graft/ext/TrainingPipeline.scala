@@ -123,6 +123,52 @@ object TrainingPipeline {
     docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pct)
   }
 
+  /** Temperature-weighted mixture: derive each stratum's keep-rate from
+    * the corpus itself — kept_s ∝ n_s^0.5 (temperature α = 0.5, the
+    * standard pretraining reweighting that upsamples small domains and
+    * downsamples head domains) scaled so the expected kept total is
+    * `targetPct`% of the corpus — then apply the rates through the same
+    * stable id-hash as [[mixtureSample]]. α is fixed at 0.5 because
+    * sqrt is IEEE-exact in every engine while a general pow is
+    * libm-dependent; the weights snap to floor(sqrt(n)·1e6) BIGINTs so
+    * the rate arithmetic is order-independent integer math end-to-end
+    * (BigInt here, HUGEINT in the oracle) and the derived percentages
+    * replay bit-for-bit.
+    *
+    * Scale shape: ONE count aggregation (|strata| rows — bounded by the
+    * label space, collected driver-side like every centroid/codebook
+    * table; a loud guard refuses unbounded strata), then a pure per-row
+    * hash filter — no shuffle, no RNG, retry-stable. */
+  def temperatureMixture(docs: DataFrame, targetPct: Int,
+                         strataCol: String = "lang", idCol: String = "doc_id",
+                         maxStrata: Int = 100000): DataFrame = {
+    require(targetPct >= 0 && targetPct <= 100, "targetPct is a percentage in [0, 100]")
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .limit(maxStrata + 1).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getString(0)), r.getLong(1)))
+    require(counts.length <= maxStrata,
+      s"temperatureMixture: over $maxStrata distinct '$strataCol' strata — the rate " +
+        "table is driver-sized by the label space; a near-unique stratum column is " +
+        "a key, not a stratum (raise maxStrata only if the cardinality is intended)")
+    if (counts.isEmpty) return docs.limit(0)
+    val total = counts.map(_._2).sum
+    require(total.toDouble <= 9.007199254740992e15,
+      "corpus row count exceeds the exact-double sqrt domain (2^53)")
+    val target = total * targetPct / 100
+    val weights = counts.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
+    val sumW = weights.map(w => BigInt(w._3)).sum
+    val pcts: Seq[(Option[String], Int)] = weights.toSeq.map { case (s, n, ws) =>
+      val p = (BigInt(100) * BigInt(target) * BigInt(ws)) / (sumW * BigInt(n))
+      (s, p.min(BigInt(100)).toInt)
+    }
+    val pctCol = pcts.foldRight(lit(0): Column) {
+      case ((Some(v), p), els) => when(col(strataCol) === v, lit(p)).otherwise(els)
+      case ((None, p), els)    => when(col(strataCol).isNull, lit(p)).otherwise(els)
+    }
+    docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pctCol)
+  }
+
   /** Greedy contiguous sequence packing: walk documents in stable id
     * order, accumulate token counts, and cut a new bin every time the
     * running total crosses `targetTokens` — bin = ⌊exclusive-prefix-sum /

@@ -232,6 +232,55 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureMixture: sqrt-derived rates match the integer model; head downsampled harder") {
+    // planted skew: 400 "big", 16 "small", 4 docs with NULL stratum —
+    // α=0.5 must keep a LARGER FRACTION of small than of big
+    val df = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 416L).map(i => (i, "small")) ++
+      (416L until 420L).map(i => (i, null: String)))
+      .toDF("doc_id", "lang")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val targetPct = 50
+    // pure-Scala integer model of the rate derivation
+    val counts = Map(Option("big") -> 400L, Option("small") -> 16L, (None: Option[String]) -> 4L)
+    val total = counts.values.sum
+    val target = total * targetPct / 100
+    val w = counts.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val sumW = w.values.map(BigInt(_)).sum
+    val pct = counts.map { case (s, n) =>
+      s -> ((BigInt(100) * BigInt(target) * BigInt(w(s))) / (sumW * BigInt(n))).min(100).toInt }
+    assert(pct(Some("small")) > pct(Some("big")),
+      "temperature must keep a larger fraction of the small stratum")
+    val kept = TrainingPipeline.temperatureMixture(df, targetPct)
+      .select("doc_id", "lang").as[(Long, Option[String])].collect()
+    // every kept doc passes exactly its stratum's modeled rate cutoff
+    def phash(id: Long): Long = {
+      var acc = 0L
+      id.toString.foreach(c => acc = (acc * 31 + c.toLong) % graft.ext.Dedup.P)
+      acc % 100
+    }
+    val expect = ((0L until 400L).map((_, Some("big"))) ++
+      (400L until 416L).map((_, Some("small"))) ++
+      (416L until 420L).map((_, None: Option[String])))
+      .filter { case (id, s) => phash(id) < pct(s) }.toSet
+    assert(kept.map(t => (t._1, t._2)).toSet == expect)
+    // degenerate dials: 0 keeps nothing; at targetPct=100 the SMALL
+    // strata saturate (rate capped at 100 → kept whole) while the head
+    // stratum is still downsampled — temperature reshapes even at full
+    // budget, it is not a passthrough
+    assert(TrainingPipeline.temperatureMixture(df, 0).count() == 0)
+    val full = TrainingPipeline.temperatureMixture(df, 100)
+    assert(full.filter(col("lang") === "small").count() == 16)
+    assert(full.filter(col("lang").isNull).count() == 4)
+    assert(full.filter(col("lang") === "big").count() < 400)
+    // unbounded-strata guard fails loudly instead of collecting a key column
+    val ex = intercept[IllegalArgumentException] {
+      TrainingPipeline.temperatureMixture(
+        df.withColumn("lang", col("doc_id").cast("string")), 50, maxStrata = 100)
+    }
+    assert(ex.getMessage.contains("strata"), ex.getMessage)
+  }
+
   test("chunkDocuments: stride grid, clamped tail, empty docs emit nothing") {
     val df = Seq(
       (1L, "a b c d e"), // 5 tokens, chunk 3 stride 2 → starts 0, 2, 4
