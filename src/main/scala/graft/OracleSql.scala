@@ -568,6 +568,46 @@ object OracleSql {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** text_scrub_pii oracle: the same deterministic id-derived PII
+    * footers injected with identical string ops, then the same RE2
+    * chain in the same order (urls → emails → ips → cards → phones →
+    * whitespace), each category counted on the previous step's text. */
+  def textScrubPii: String = {
+    val (url, email) = (TextStats.UrlRe, TextStats.EmailRe)
+    val (ip, card, phone) = (TextStats.Ipv4Re, TextStats.CardRe, TextStats.PhoneRe)
+    val ws = """[ \t\n\x0B\f\r]+"""
+    s"""WITH inj AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' contact +1 (202) 555-' ||
+       |      lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.' ||
+       |      ((doc_id * 7) % 256)::VARCHAR || '.' || ((doc_id * 13) % 250)::VARCHAR ||
+       |      ' logged' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' card 4111111111' ||
+       |      lpad((doc_id % 100)::VARCHAR, 2, '0') || '1111 used' ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 THEN ' mail user' || doc_id::VARCHAR ||
+       |      '@example.com sent' ELSE '' END AS text
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(text, '$url', ' ', 'g') AS t1
+       |  FROM inj),
+       |c2 AS (SELECT *, regexp_replace(t1, '$email', ' ', 'g') AS t2 FROM c),
+       |c3 AS (SELECT *, regexp_replace(t2, '$ip', ' ', 'g') AS t3 FROM c2),
+       |c4 AS (SELECT *, regexp_replace(t3, '$card', ' ', 'g') AS t4 FROM c3),
+       |c5 AS (SELECT *, regexp_replace(t4, '$phone', ' ', 'g') AS t5 FROM c4)
+       |SELECT doc_id,
+       |  trim(regexp_replace(t5, '$ws', ' ', 'g')) AS clean_text,
+       |  len(regexp_extract_all(text, '$url'))::BIGINT AS n_urls,
+       |  len(regexp_extract_all(t1, '$email'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(t2, '$ip'))::BIGINT AS n_ips,
+       |  len(regexp_extract_all(t3, '$card'))::BIGINT AS n_cards,
+       |  len(regexp_extract_all(t4, '$phone'))::BIGINT AS n_phones,
+       |  (length(text) - length(trim(regexp_replace(t5, '$ws', ' ', 'g'))))::BIGINT
+       |    AS n_chars_removed
+       |FROM c5 ORDER BY doc_id""".stripMargin
+  }
+
   /** text_tfidf_pairs oracle: integer-scaled tf-idf weights, exact BIGINT
     * dot/norm sums, one final double division (same shape as the engine). */
   def tfIdfCosinePairs(limit: Int, maxDf: Long): String =
@@ -684,6 +724,39 @@ object OracleSql {
        |SELECT doc_id, n_tokens, cum::BIGINT AS cum_tokens,
        |  ((cum - n_tokens) // $targetTokens)::BIGINT AS bin_id
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Packed-batch materialization (mirror of
+    * TrainingPipeline.packedBatches): the packSequences bin chain joined
+    * with the vocab-id encoding, per-doc streams EOS(-1)-terminated and
+    * concatenated in doc-id order, rendered CSV. */
+  def packedBatches(targetTokens: Long): String =
+    s"""WITH $toksCte,
+       |t AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM toks),
+       |c AS (SELECT doc_id, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |bins AS (SELECT doc_id, ((cum - n_tokens) // $targetTokens)::BIGINT AS bin_id FROM c),
+       |tokpos AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS word
+       |  FROM toks, unnest(range(1, len(toks)+1)) AS r(i)),
+       |counts AS (SELECT word, count(*) AS cnt FROM tokpos GROUP BY word),
+       |vocab AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id
+       |          FROM counts),
+       |encdoc AS (
+       |  SELECT t.doc_id, list(coalesce(v.word_id, -1) ORDER BY t.pos) AS ids
+       |  FROM tokpos t LEFT JOIN vocab v USING (word) GROUP BY t.doc_id),
+       |rows_ AS (
+       |  SELECT b.bin_id, b.doc_id,
+       |    coalesce(e.ids, []::BIGINT[]) AS ids
+       |  FROM bins b LEFT JOIN encdoc e USING (doc_id)),
+       |eosed AS (
+       |  SELECT bin_id, doc_id, len(ids)::BIGINT AS n,
+       |    list_concat(ids, [-1]::BIGINT[]) AS idse
+       |  FROM rows_)
+       |SELECT bin_id, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+       |  array_to_string(flatten(list(idse ORDER BY doc_id)), ',') AS ids_csv
+       |FROM eosed GROUP BY bin_id ORDER BY bin_id""".stripMargin
 
   /** Self dot product with the engine's exact fold order. */
   private def selfDot(x: String): String =

@@ -53,6 +53,9 @@ object Plans {
     "pipeline_scd2_extend" -> "CDC winner is one max-struct partial agg; ONE full-outer equi-join folds it onto current runs; closed runs pass through union-side with no join",
     "sim_ivf" -> "snapped literal-centroid assignment is a narrow projection; probe cells explode on the broadcast query side; candidates meet in a cell equi-join — no CartesianProduct",
     "sim_pq" -> "codes are a narrow argmin projection; per-query ADC tables broadcast; scan-side lookup-sum scores ride the corpus scan",
+    "text_hybrid_rrf" -> "corpus-scale work stays in the two retriever subplans (broadcast-df BM25, broadcast-query cosine); the RRF fusion joins two kEach-row frames",
+    "pipeline_temperature" -> "rates are plan literals from ONE bounded count agg; the apply path is a map-side hash filter — no shuffle, no RNG",
+    "pipeline_pack_tokens" -> "bin ids via the two-phase prefix sum, token ids via the vocab equi-join; per-bin assembly is one grouped agg with targetTokens-bounded state",
   )
 
   def main(args: Array[String]): Unit = {

@@ -268,6 +268,9 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")),
     "pipeline_pack" -> ((s, d) =>
       ext.TrainingPipeline.packSequences(Tables.documents(s, d), 2048)),
+    // the materialized form: one EOS-terminated token-id stream per bin
+    "pipeline_pack_tokens" -> ((s, d) =>
+      ext.TrainingPipeline.packedBatches(Tables.documents(s, d), 2048)),
     // incremental ingest: even-id docs stand in for the new batch, ids not
     // divisible by 3 for the already-ingested corpus — the overlap (even,
     // non-multiple-of-3 ids) makes the batch ~2/3 duplicates, exercising
@@ -325,6 +328,25 @@ object SparkEntry {
     "text_bigrams" -> ((s, d) => TextStats.topNgrams(Tables.documents(s, d), 2, 20)),
     "text_pmi" -> ((s, d) => TextStats.pmiCollocations(Tables.documents(s, d), 50, 5)),
     "text_scrub" -> ((s, d) => TextStats.scrub(Tables.documents(s, d))),
+    // PII scrub graded on REAL removals: the corpus ships digit-free, so
+    // deterministic id-derived footers (phone, IPv4, card run, email)
+    // are injected first — identical string ops in the oracle — and the
+    // scrubber must remove and account for every one
+    "text_scrub_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val footer = concat(
+        when(id % 5 === 0, concat(lit(" contact +1 (202) 555-"),
+          lpad((id % 10000).cast("string"), 4, "0"), lit(" now"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" from 10."),
+          (id % 256).cast("string"), lit("."), ((id * 7) % 256).cast("string"), lit("."),
+          ((id * 13) % 250).cast("string"), lit(" logged"))).otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" card 4111111111"),
+          lpad((id % 100).cast("string"), 2, "0"), lit("1111 used"))).otherwise(lit("")),
+        when(id % 13 === 0, concat(lit(" mail user"), id.cast("string"),
+          lit("@example.com sent"))).otherwise(lit("")))
+      TextStats.scrubPii(
+        Tables.documents(s, d).withColumn("text", concat(col("text"), footer)))
+    }),
     "text_tfidf_pairs" -> ((s, d) =>
       TextStats.tfIdfCosinePairs(Tables.documents(s, d), 50, maxDf = 1000L)),
     "text_repetition" -> ((s, d) => TextStats.repetitionStats(Tables.documents(s, d))),
@@ -870,6 +892,7 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> OracleSql.ngramJaccardThreshold(0.8),
     "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
     "text_scrub" -> OracleSql.textScrub,
+    "text_scrub_pii" -> OracleSql.textScrubPii,
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),
     "pipeline_split" -> OracleSql.assignSplits(98, 1),
     "pipeline_split_safe" -> OracleSql.assignSplitsByCluster(98, 1, 0.3),
@@ -885,6 +908,7 @@ object SparkEntry {
     "text_gopher" -> OracleSql.gopherQuality(50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2),
     "text_chunks" -> OracleSql.chunkDocuments(32, 24),
     "pipeline_pack" -> OracleSql.packSequences(2048),
+    "pipeline_pack_tokens" -> OracleSql.packedBatches(2048),
     // exact membership semantics: the bloom prefilter must not change the
     // answer, so the oracle is the plain anti-join the bloom accelerates
     "pipeline_ingest" ->

@@ -252,6 +252,40 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** PII scrub regexes — RE2-compatible like [[UrlRe]] (no lookarounds,
+    * ASCII classes, `\b` word boundaries, which RE2 and Java agree on).
+    * Phone is deliberately permissive (international punctuation runs);
+    * the category ORDER below keeps it from eating IPs or card runs. */
+  val Ipv4Re: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val CardRe: String = "\\b[0-9]{13,19}\\b"
+  val PhoneRe: String = "\\+?[0-9][0-9().\\- ]{6,}[0-9]"
+
+  /** [[scrub]] extended with PII categories: IPv4 addresses, 13-19-digit
+    * card-like runs, and phone-like punctuation-digit runs, each
+    * replaced and ACCOUNTED in a fixed order (urls → emails → ips →
+    * cards → phones → whitespace collapse) — each category is counted
+    * on the text AFTER the previous categories were removed, so an IP
+    * or card is never double-counted as a phone. Same zero-shuffle
+    * per-document column pipeline as [[scrub]]. */
+  def scrubPii(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t1 = regexp_replace(col(textCol), UrlRe, " ")
+    val t2 = regexp_replace(t1, EmailRe, " ")
+    val t3 = regexp_replace(t2, Ipv4Re, " ")
+    val t4 = regexp_replace(t3, CardRe, " ")
+    val t5 = regexp_replace(t4, PhoneRe, " ")
+    val cleaned = trim(regexp_replace(t5, WsRun, " "))
+    docs.select(
+        col(idCol),
+        cleaned.as("clean_text"),
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(t1, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t2, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(t3, lit(CardRe), lit(0))).cast("long").as("n_cards"),
+        size(regexp_extract_all(t4, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        (length(col(textCol)) - length(cleaned)).cast("long").as("n_chars_removed"))
+      .orderBy(idCol)
+  }
+
   /** Highest multiplicity of any element in the array: sort, then fold a
     * (prev, run, best) state over the runs. Per-row and shuffle-free by
     * design — an interpreted higher-order fold over one document's grams

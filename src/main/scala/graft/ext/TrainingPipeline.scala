@@ -232,6 +232,37 @@ object TrainingPipeline {
       .orderBy(idCol)
   }
 
+  /** Materialized packed training batches: the [[packSequences]] bins
+    * joined with the vocabulary token-id encoding
+    * ([[TextStats.encodeDocuments]]) and flattened into ONE id stream
+    * per bin — documents in stable id order, each terminated by a -1
+    * EOS marker — the shape a trainer's data loader actually consumes
+    * (packSequences alone only decides who shares a bin). The stream
+    * renders as CSV so the result is oracle-hashable; zero-token
+    * documents survive as a bare EOS.
+    *
+    * Scale shape: the heavy lifting is the two existing chains (the
+    * two-phase prefix-sum binning and the vocab equi-join encoding);
+    * the assembly is one grouped aggregation whose per-group state is a
+    * single bin's ids — bounded by targetTokens, never the corpus. */
+  def packedBatches(docs: DataFrame, targetTokens: Long = 2048,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bins = packSequences(docs, targetTokens, textCol, idCol)
+      .select(col(idCol), col("bin_id"))
+    val enc = TextStats.encodeDocuments(docs, textCol = textCol, idCol = idCol)
+    bins.join(enc, Seq(idCol))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("token_ids")).cast("long")).as("n_tokens"),
+        array_sort(collect_list(struct(col(idCol).as("id"), col("token_ids").as("ids"))))
+          .as("__s"))
+      .select(col("bin_id"), col("n_docs"), col("n_tokens"),
+        concat_ws(",", flatten(transform(col("__s"),
+          d => concat(transform(d.getField("ids"), x => x.cast("string")),
+            array(lit("-1")))))).as("ids_csv"))
+      .orderBy("bin_id")
+  }
+
   /** Deterministic stratified sample: within each stratum, rank rows by
     * id-hash (tie-break id) and keep the first `perStratum` — a
     * reproducible per-class quota (the balanced-eval-set builder). The

@@ -129,6 +129,48 @@ class PipelineSpec extends SparkSpec {
       - "plain text with runs".length)
   }
 
+  test("packedBatches: EOS-terminated id streams per bin, empty docs survive") {
+    // vocab by (cnt desc, word): a=0 (x3), b=1 (x2), c=2 (x1)
+    // token counts: d1=3, d2=0, d3=2, d4=1; target 4 → cum-exclusive
+    // 0,3,3,5 → bins 0,0,0,1
+    val df = Seq(
+      (1L, "a b a"), (2L, "   "), (3L, "b c"), (4L, "a")
+    ).toDF("doc_id", "text")
+    val got = TrainingPipeline.packedBatches(df, targetTokens = 4)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 5L, "0,1,0,-1,-1,1,2,-1"), // d1, d2 (bare EOS), d3
+      (1L, 1L, 1L, "0,-1")))              // d4
+  }
+
+  test("scrubPii removes each category once, in order, with per-step accounting") {
+    val df = Seq(
+      (1L, "call +1 (202) 555-0123 or 555 867 5309 today", "s"),        // two phones
+      (2L, "server 192.168.0.1 and 10.0.0.255 replied", "s"),           // two ips
+      (3L, "card 4111111111111111 charged", "s"),                       // one 16-digit card
+      (4L, "ip 10.0.0.1 then digits 12345678901234 then +1 555-222-3344", "s"), // one of each
+      (5L, "mail a.b+c@ex-ample.org from https://x.io/p?q=1", "s"),     // url + email
+      (6L, "no pii here at all", "s")
+    ).toDF("doc_id", "text", "source")
+    val byId = graft.ext.TextStats.scrubPii(df)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // (id, clean, urls, emails, ips, cards, phones, removed)
+    assert(byId(1L)._7 == 2 && byId(1L)._2 == "call or today")
+    assert(byId(2L)._5 == 2 && byId(2L)._7 == 0,
+      "an IPv4 must be counted as ip, never as phone")
+    assert(byId(3L)._6 == 1 && byId(3L)._7 == 0,
+      "a 16-digit run must be counted as card, never as phone")
+    assert(byId(4L)._5 == 1 && byId(4L)._6 == 1 && byId(4L)._7 == 1)
+    assert(byId(5L)._3 == 1 && byId(5L)._4 == 1)
+    assert(byId(6L) == ((6L, "no pii here at all", 0L, 0L, 0L, 0L, 0L, 0L)))
+    // idempotence: scrubbing the clean text removes nothing further
+    val again = graft.ext.TextStats.scrubPii(
+      graft.ext.TextStats.scrubPii(df).select(col("doc_id"), col("clean_text").as("text")))
+    assert(again.filter(col("n_chars_removed") =!= 0 || col("n_ips") =!= 0 ||
+      col("n_cards") =!= 0 || col("n_phones") =!= 0).count() == 0)
+  }
+
   test("stratified sample fills the per-stratum quota deterministically") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = TrainingPipeline.stratifiedSample(docs, "lang", 7)
