@@ -31,6 +31,27 @@ class DegenerateSpec extends SparkSpec {
     assert(TextStats.tfIdfTopK(empty).count() == 0)
   }
 
+  test("empty corpus: round-10 ops (temperature, pack_tokens, pii scrub, hybrid, extend) degrade sanely") {
+    assert(TrainingPipeline.temperatureMixture(empty, 50).count() == 0)
+    assert(TrainingPipeline.packedBatches(empty).count() == 0)
+    assert(TextStats.scrubPii(empty).count() == 0)
+    val emptyEmb: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(graft.ext.Retrieval.hybridTopK(empty, emptyEmb, Seq("x"), 0L).count() == 0)
+    // empty history + empty changes: extendHistory returns an empty frame
+    val emptyHist = graft.ext.Incremental.scdHistoryHashed(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("version", LongType), StructField("text", StringType)))))
+    val emptyChanges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("seq", LongType),
+        StructField("op", StringType), StructField("text", StringType))))
+    assert(graft.ext.Incremental.extendHistory(emptyHist, emptyChanges, 1L).count() == 0)
+  }
+
   test("null text rows are dropped, not fatal") {
     // tokenization drops the null row; per-doc stats carry null metrics
     assert(WordCount.wordCount(withNull).agg(
