@@ -1642,6 +1642,24 @@ object OracleSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ANN index-quality report (mirror of Similarity.recallReport over
+    * lshTopK vs bruteForceTopK): both deterministic top-k chains as
+    * nested CTEs, hit counting by semi-join, one double division. */
+  def recallLshVsExact(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String =
+    s"""WITH ann AS (
+       |${lshTopK(numPlanes, dim, maxQueryId, k)}),
+       |ex AS (
+       |${simTopK(maxQueryId, k)}),
+       |hits AS (
+       |  SELECT e.query_id, count(*)::BIGINT AS n
+       |  FROM ex e JOIN ann a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id),
+       |ke AS (SELECT query_id, count(*)::BIGINT AS k_exact FROM ex GROUP BY query_id)
+       |SELECT ke.query_id, ke.k_exact, coalesce(h.n, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n, 0)::DOUBLE / ke.k_exact::DOUBLE AS recall
+       |FROM ke LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
+
   val dimStats: String =
     """WITH x AS (
       |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s

@@ -300,6 +300,15 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") < 500), 50)),
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), 0L until 8L, 5, 8)),
+    // index-quality monitoring: recall@5 of the LSH index against exact
+    // brute force on the probe set — both sides deterministic, so the
+    // report itself is exact-match gradeable
+    "sim_recall_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallReport(
+        Similarity.lshTopK(emb, 0L until 8L, 5, 8),
+        Similarity.bruteForceTopK(emb, 0L until 8L, 5))
+    }),
     "sim_label_stats" -> ((s, d) => Similarity.labelStats(Tables.embeddings(s, d))),
     // iters=2: measured (ProfileScratch) — top-5 recall at nprobe=4/16 is
     // 1.000 at 1-2 Lloyd rounds and DROPS to 0.95-0.975 at 3-5 (tighter
@@ -1359,6 +1368,7 @@ object SparkEntry {
     "sim_ivf" -> OracleSql.ivfSnapped(16, 4, 2, 8L, 5),
     "sim_pq" -> OracleSql.pqSnapped(4, 16, 3, 16, 8L, 5),
     "sim_ann_lsh" -> OracleSql.lshTopK(8, 64, 8L, 5),
+    "sim_recall_lsh" -> OracleSql.recallLshVsExact(8, 64, 8L, 5),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
     "graph_triangles" ->

@@ -321,6 +321,32 @@ object Similarity {
       case Some(joined) => joined.select("query_id", "neighbor_id")
     }
 
+  /** Index-quality report: per-query recall@k of an approximate top-k
+    * result against the exact one — the monitoring a production ANN
+    * index runs on a probe set (recall drift is how quantization/bucket
+    * misconfiguration is caught before it poisons retrieval). Both
+    * inputs are (query_id, neighbor_id, …) top-k frames; the report is
+    * |ann ∩ exact| per query with the exact set's size as denominator.
+    * Recall is one double division over exact integer counts —
+    * engine-portable. The left join keeps queries the ANN missed
+    * entirely (n_hits 0), which is precisely the alert case.
+    *
+    * Scale shape: two id-keyed equi-joins over k·|probe set| rows —
+    * driver-bounded by construction, like every probe-set artifact. */
+  def recallReport(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val a = ann.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    e.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("k_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
   /** Array-column statistics per label: vector count, dimension, and the
     * norm envelope (min/max — order-independent double aggregates, unlike
     * a sum of norms, so results are engine-portable). */

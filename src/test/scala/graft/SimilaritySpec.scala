@@ -161,6 +161,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == pq2, "PQ search must be deterministic")
   }
 
+  test("recallReport: hand-computed hits, missed queries surface as zero") {
+    val ann = Seq((1L, 10L), (1L, 11L), (2L, 20L))              // query 3 missing entirely
+      .toDF("query_id", "neighbor_id")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallReport(ann, exact)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)),
+      s"got $got")
+    // composed on real data: recall in [0,1], every probe query reported
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rep = Similarity.recallReport(
+      Similarity.lshTopK(emb, 0L until 5L, 10, 4),
+      Similarity.bruteForceTopK(emb, 0L until 5L, 10))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rep.length == 5 && rep.forall(r => r._4 >= 0.0 && r._4 <= 1.0 && r._2 == 10L))
+  }
+
   test("snapped IVF/PQ: recall lifts hold and results are deterministic") {
     // the exact-match-gradeable variants must keep the ANN quality of
     // their float twins: same recall-lift bars, same k-row fill, and
