@@ -22,45 +22,79 @@ object Tables {
     * TimestampType at microsecond precision (the same floor DuckDB applies
     * when it loads nanos into its micro-precision TIMESTAMP, so oracle
     * comparisons agree). */
-  def events(s: SparkSession, d: String): DataFrame = normalizeTs(rawEvents(s, d))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val (df, nanos) = rawEventsWithNanosFlag(s, d)
+    normalizeTs(df, nanosAsLong = nanos)
+  }
 
   /** The events frame exactly as the parquet reader surfaces it, before
     * the `ts` normalization. The nanos-as-long legacy flag is session-global,
     * so it is set ONLY when the footer actually holds TIMESTAMP(NANOS)
     * (detected by the failed first read) — never as an unconditional side
     * effect that would change how every other file in the session reads. */
-  def rawEvents(s: SparkSession, d: String): DataFrame = {
+  def rawEvents(s: SparkSession, d: String): DataFrame =
+    rawEventsWithNanosFlag(s, d)._1
+
+  /** [[rawEvents]] plus WHETHER the column is TIMESTAMP(NANOS) — the
+    * signal [[normalizeTs]] needs to tell a nanos-as-long column from a
+    * plain un-annotated INT64, which would otherwise be silently divided
+    * by 1000 (the exact corruption class this loader exists to refuse).
+    * The detection reads the parquet FOOTER's logical-type annotation —
+    * never the exception path alone: once the session-global nanos
+    * legacy flag is set (by any earlier nanos load), later nanos files
+    * read without error and an exception-based attestation would be
+    * permanently lost for the rest of the session. */
+  def rawEventsWithNanosFlag(s: SparkSession, d: String): (DataFrame, Boolean) = {
     val path = s"$d/events.parquet"
-    try s.read.parquet(path)
-    catch {
-      case e: Throwable if mentionsNanos(e) =>
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(path)
-    }
+    val nanos = tsIsNanos(s, path)
+    if (nanos) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (s.read.parquet(path), nanos)
   }
 
-  private def mentionsNanos(e: Throwable): Boolean = {
-    var t = e
-    while (t != null) {
-      if (t.getMessage != null && t.getMessage.contains("NANOS")) return true
-      t = if (t.getCause eq t) null else t.getCause
-    }
-    false
+  /** True iff the file's `ts` column carries a TIMESTAMP(NANOS) logical
+    * annotation in its footer. */
+  private def tsIsNanos(s: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), s.sessionState.newHadoopConf()))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      import scala.jdk.CollectionConverters._
+      schema.getFields.asScala.find(_.getName == "ts")
+        .exists(_.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+    } finally reader.close()
   }
 
   /** Normalize a surfaced event-time column to session-zoned TimestampType:
-    * raw long = nanos-as-long → truncate to micros; TIMESTAMP_NTZ →
-    * reinterpret in the session zone (UTC throughout this engine, matching
-    * how DuckDB treats the same naive micros); TimestampType → pass through.
-    * Anything else is a loud error — silently coercing an unknown type is
-    * how wrong answers ship. */
-  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    * raw long WITH the nanos flag (the caller attests the footer held
+    * TIMESTAMP(NANOS)) → truncate to micros; TIMESTAMP_NTZ → reinterpret
+    * in the session zone (UTC throughout this engine, matching how DuckDB
+    * treats the same naive micros); TimestampType → pass through.
+    * Anything else is a loud error — including a LongType column WITHOUT
+    * the nanos attestation: a plain un-annotated INT64 could be seconds,
+    * millis, micros or nanos, and guessing (the old `div 1000`) silently
+    * compresses every timestamp 1000×. Silently coercing an unknown
+    * encoding is how wrong answers ship. */
+  def normalizeTs(df: DataFrame, colName: String = "ts",
+                  nanosAsLong: Boolean = false): DataFrame =
     df.schema(colName).dataType match {
-      case LongType         => df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case LongType if nanosAsLong =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case LongType => throw new IllegalArgumentException(
+        s"events.$colName surfaced as a raw INT64 with no TIMESTAMP annotation — " +
+          "its unit (s/ms/us/ns) is unknowable from the schema; refusing to guess. " +
+          "Re-write the file with a logical timestamp type, or convert explicitly.")
       case TimestampNTZType => df.withColumn(colName, col(colName).cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalArgumentException(
-        s"events.$colName surfaced as unsupported type $other; expected long (nanos), timestamp_ntz, or timestamp")
+        s"events.$colName surfaced as unsupported type $other; expected " +
+          "TIMESTAMP(NANOS)-as-long, timestamp_ntz, or timestamp")
     }
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")

@@ -223,7 +223,11 @@ object Incremental {
                     opCol: String = "op", textCol: String = "text"): DataFrame = {
     // EAGER per-row guard (a filter predicate always evaluates — a
     // when() inside a projection would be skipped on rows whose other
-    // branch wins, letting a replay slip through on carried-forward runs)
+    // branch wins, letting a replay slip through on carried-forward
+    // runs). Materialized ONCE: both the current-runs join branch and
+    // the closed-runs passthrough read `guarded`, and without the
+    // checkpoint each would re-scan (and re-guard) the full history —
+    // the documented |history| + |changes| cost requires one scan.
     val guarded = history.filter(
       when(col("valid_to") < newVersion, lit(true))
         .otherwise(raise_error(concat(
@@ -231,6 +235,7 @@ object Incremental {
           col("valid_to").cast("string"),
           lit(s" for $idCol="), col(idCol).cast("string"),
           lit(s" — newVersion $newVersion must be past every recorded run"))).cast("boolean")))
+      .localCheckpoint(true)
     val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
       .otherwise(raise_error(concat(
         lit(s"extendHistory: illegal $opCol value '"),

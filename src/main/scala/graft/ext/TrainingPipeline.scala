@@ -143,6 +143,10 @@ object TrainingPipeline {
                          strataCol: String = "lang", idCol: String = "doc_id",
                          maxStrata: Int = 100000): DataFrame = {
     require(targetPct >= 0 && targetPct <= 100, "targetPct is a percentage in [0, 100]")
+    require(docs.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
+      s"temperatureMixture: '$strataCol' is ${docs.schema(strataCol).dataType}, not a " +
+        "string column — strata are string labels (cast explicitly if a coded column " +
+        "is genuinely categorical)")
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
       .limit(maxStrata + 1).collect()
       .map(r => (if (r.isNullAt(0)) None else Some(r.getString(0)), r.getLong(1)))
@@ -158,15 +162,19 @@ object TrainingPipeline {
     val weights = counts.map { case (s, n) =>
       (s, n, math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
     val sumW = weights.map(w => BigInt(w._3)).sum
-    val pcts: Seq[(Option[String], Int)] = weights.toSeq.map { case (s, n, ws) =>
+    val pcts: Seq[(String, Int)] = weights.toSeq.map { case (s, n, ws) =>
       val p = (BigInt(100) * BigInt(target) * BigInt(ws)) / (sumW * BigInt(n))
-      (s, p.min(BigInt(100)).toInt)
+      (s.orNull, p.min(BigInt(100)).toInt)
     }
-    val pctCol = pcts.foldRight(lit(0): Column) {
-      case ((Some(v), p), els) => when(col(strataCol) === v, lit(p)).otherwise(els)
-      case ((None, p), els)    => when(col(strataCol).isNull, lit(p)).otherwise(els)
-    }
-    docs.filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < pctCol)
+    // rates apply through a BROADCAST null-safe equi-join, never a
+    // per-stratum when() chain: a literal CaseWhen nested |strata| deep
+    // overflows Catalyst's recursive tree walks long before maxStrata
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = broadcast(pcts.toDF("__stratum", "__pct"))
+    docs.join(rates, col(strataCol) <=> col("__stratum"))
+      .filter(pmod(Dedup.polyHash(col(idCol).cast("string")), lit(100L)) < col("__pct"))
+      .drop("__stratum", "__pct")
   }
 
   /** Greedy contiguous sequence packing: walk documents in stable id

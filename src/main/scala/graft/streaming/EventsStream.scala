@@ -41,9 +41,10 @@ object EventsStream {
     Files.createDirectories(stageDir)
     val link = stageDir.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
-    val surfaced = graft.Tables.rawEvents(spark, sfDir).schema
+    val (raw, nanos) = graft.Tables.rawEventsWithNanosFlag(spark, sfDir)
     graft.Tables.normalizeTs(
-      spark.readStream.schema(surfaced).parquet(stageDir.toString))
+      spark.readStream.schema(raw.schema).parquet(stageDir.toString),
+      nanosAsLong = nanos)
   }
 
   /** Watermarked hourly windowed aggregation — the streaming form of
@@ -188,15 +189,21 @@ object EventsStream {
   /** Graded query: the streaming exact-dedup key set landed via the
     * production `foreachBatch` parquet sink ([[drainToParquet]]) and
     * read back — the same batch oracle as the memory-sink form, so the
-    * disk round-trip itself is under grade. A fresh temp dir per
-    * invocation keeps repeated bench passes from appending onto an
-    * earlier run's files. */
+    * disk round-trip itself is under grade. The landing dir is STABLE
+    * per source and wiped before each drain: repeated bench passes
+    * neither append onto an earlier run's files nor leak one temp dir
+    * per invocation (disk stays bounded at one copy per source). */
   def dedupKeysSunk(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink_q")
-      .resolve("dedup").toString
+    import java.nio.file.{Files, Path, Paths}
+    val out = Paths.get(
+      s"/tmp/graft_stream_sink_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/dedup")
+    if (Files.exists(out)) { // wipe the PREVIOUS drain's landing
+      Files.walk(out).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
     drainToParquet(spark,
       readEvents(spark, sfDir).dropDuplicates("user_id", "event_type")
-        .select(col("user_id"), col("event_type")), out)
+        .select(col("user_id"), col("event_type")), out.toString)
       .orderBy("user_id", "event_type")
   }
 

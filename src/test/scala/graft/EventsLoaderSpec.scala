@@ -105,6 +105,44 @@ class EventsLoaderSpec extends SparkSpec {
       "nanos fixture must floor to the same micros (DuckDB's truncation)")
   }
 
+  test("plain un-annotated INT64 ts is refused loudly, never unit-guessed") {
+    // no logical timestamp annotation: the unit (s/ms/us/ns) is
+    // unknowable from the schema — the loader must refuse, not divide
+    // by 1000 and silently compress every timestamp (the corruption the
+    // nanos-flag plumbing exists to prevent)
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = java.nio.file.Files.createTempDirectory("graft_evfix_raw").toString
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts;
+        |  required int64 user_id;
+        |  required binary event_type (UTF8);
+        |  required double value;
+        |  required binary props (UTF8);
+        |}""".stripMargin)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, us, uid, et, v, p) =>
+      val g = gf.newGroup()
+      g.add("event_id", id); g.add("ts", us)
+      g.add("user_id", uid); g.add("event_type", et)
+      g.add("value", v); g.add("props", p)
+      writer.write(g)
+    }
+    writer.close()
+    val ex = intercept[IllegalArgumentException] { Tables.events(spark, dir) }
+    assert(ex.getMessage.contains("refusing to guess"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.streaming.EventsStream.readEvents(spark, dir)
+    }
+    assert(ex2.getMessage.contains("refusing to guess"), ex2.getMessage)
+  }
+
   test("streaming loader derives its schema from the footer and matches batch") {
     for (dir <- Seq(writeSparkFixture(TimestampType), writeSparkFixture(TimestampNTZType),
                     writeNanosFixture())) {
