@@ -383,9 +383,11 @@ object SparkEntry {
       Multimodal.featuresQuery(s, Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, d)))),
+    // real decoded dims are small; maxDim=10 keeps the clamp branch live
     "mm_resize" -> ((s, d) =>
       Multimodal.resizePlan(
-        Multimodal.featuresQuery(s, Tables.documents(s, d)).drop("kind", "n_bytes", "format"))),
+        Multimodal.featuresQuery(s, Tables.documents(s, d))
+          .select("media_id", "width", "height"), maxDim = 10)),
     "mm_dedup" -> ((s, d) =>
       Multimodal.exactPayloadDedup(Multimodal.asMediaTable(Tables.documents(s, d)))),
     "sim_mips" -> ((s, d) =>
@@ -1165,12 +1167,25 @@ object SparkEntry {
          |JOIN uni ub ON ub.word = string_split(bigram, ' ')[2]
          |WHERE cab >= 5
          |ORDER BY cab DESC, bigram LIMIT 50""".stripMargin,
+    // ground truth for the REAL codec: the fixtures are encoded from
+    // closed-form parameters of doc_id, so the oracle recomputes them and
+    // any decoder fault (stride, padding, channel order, SOF offset)
+    // hash-mismatches. bmp size = 54 + h*stride4(w*3); ppm size = header
+    // (35 fixed chars + digits of w and h) + 3*w*h; jpeg shell = 58.
     "mm_features" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
-        |  octet_length(encode(text))::BIGINT AS n_bytes,
-        |  octet_length(encode(text))::BIGINT % 640 + 1 AS width,
-        |  (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS height,
-        |  CASE WHEN substr(text, 1, 1) < 'n' THEN 'png' ELSE 'jpeg' END AS format
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 54 + (doc_id % 11 + 3) * ((((doc_id % 13 + 4) * 3 + 3) // 4) * 4)
+        |    WHEN 1 THEN 35 + length(CAST(doc_id % 13 + 4 AS VARCHAR))
+        |                   + length(CAST(doc_id % 11 + 3 AS VARCHAR))
+        |                   + 3 * (doc_id % 13 + 4) * (doc_id % 11 + 3)
+        |    ELSE 58 END AS n_bytes,
+        |  doc_id % 13 + 4 AS width,
+        |  doc_id % 11 + 3 AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT) ELSE (doc_id * 13) % 251 END AS mean_r,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT) ELSE (doc_id * 7) % 251 END AS mean_g,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT) ELSE (doc_id * 3) % 251 END AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_offset
@@ -1179,17 +1194,17 @@ object SparkEntry {
     "mm_resize" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,
-        |    octet_length(encode(text))::BIGINT % 640 + 1 AS width,
-        |    (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS height
+        |    doc_id % 13 + 4 AS width,
+        |    doc_id % 11 + 3 AS height
         |  FROM documents)
         |SELECT media_id, width, height,
-        |  CASE WHEN greatest(width, height) > 256
-        |       THEN CAST(floor(width * 256 / greatest(width, height)) AS BIGINT)
+        |  CASE WHEN greatest(width, height) > 10
+        |       THEN CAST(floor(width * 10 / greatest(width, height)) AS BIGINT)
         |       ELSE width END AS new_width,
-        |  CASE WHEN greatest(width, height) > 256
-        |       THEN CAST(floor(height * 256 / greatest(width, height)) AS BIGINT)
+        |  CASE WHEN greatest(width, height) > 10
+        |       THEN CAST(floor(height * 10 / greatest(width, height)) AS BIGINT)
         |       ELSE height END AS new_height,
-        |  greatest(width, height) > 256 AS resized
+        |  greatest(width, height) > 10 AS resized
         |FROM f ORDER BY media_id""".stripMargin,
     "mm_dedup" ->
       """SELECT min(doc_id) AS media_id, sha256(text) AS payload_sha,

@@ -6,25 +6,41 @@ import org.apache.spark.sql.functions._
 /** One media asset: opaque payload bytes + typed metadata. */
 final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte], source: String)
 
-/** Features extracted from one asset by the (stubbed) decoder. */
+/** Features extracted from one asset by the decoder. Channel means are
+  * exact integers for the synthetic fixtures (constant-channel images);
+  * -1 marks "not decoded" (JPEG entropy data needs a DCT pipeline that is
+  * out of scope — only its dimensions are parsed). */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                               width: Long, height: Long, format: String)
+                               width: Long, height: Long, format: String,
+                               mean_r: Long, mean_g: Long, mean_b: Long)
 
 /** Multimodal column handling: images/audio/video modeled as opaque
   * `BINARY` columns with typed metadata, processed by partition-wise
   * decoders.
   *
-  * The Spark-side plumbing is real and tested: schema, typed Dataset,
-  * partition-batched iteration (one decoder init per partition, the shape
-  * a libjpeg/ffmpeg binding needs), and deterministic output. The decode
-  * itself is STUBBED — this container has no image/audio codecs — with a
-  * deterministic fake: features derived arithmetically from the payload
-  * bytes, so the pipeline stays oracle-checkable end-to-end.
+  * The decoder is REAL byte-level parsing of public formats:
+  *   - BMP (Windows BITMAPINFOHEADER, 24bpp uncompressed): little-endian
+  *     header fields, bottom-up rows, 4-byte row stride padding, BGR
+  *     channel order — full pixel decode with per-channel means.
+  *   - PPM (P6 binary): ASCII header with `#` comment lines, maxval,
+  *     then raw RGB triplets — full pixel decode.
+  *   - JPEG: marker-segment scan to the first SOF frame header (SOF0-15
+  *     minus DHT/JPG/DAC) for precision/height/width — the standard way
+  *     to get dimensions without an entropy decoder.
+  * Unknown magic bytes yield format="unknown" with -1 sentinels, never an
+  * exception: at 100 TB a corrupt payload must degrade to a graded row,
+  * not kill the stage.
+  *
+  * Scale design: decode runs inside `mapPartitions` (one decoder context
+  * per partition, streamed — a partition is never materialized), and only
+  * fixed-width features cross the shuffle; payload bytes stay columnar in
+  * the scan.
   */
 object Multimodal {
 
   /** Derive a media table from the documents table: the UTF-8 bytes of
-    * `text` stand in for an encoded image payload. */
+    * `text` stand in for an opaque payload (used by the byte-level ops —
+    * frame sampling, exact payload dedup — that do not decode). */
   def asMediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -32,21 +48,240 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       col("source"))
 
-  /** STUB decoder — deterministic fake of an image header parse.
-    * A real build replaces the body with the codec call; the signature,
-    * batching, and schema stay as-is. */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.payload.length.toLong
-    MediaFeatures(
-      media_id = r.media_id,
-      kind = r.kind,
-      n_bytes = n,
-      width = n % 640 + 1,
-      height = (n * 7) % 480 + 1,
-      // unsigned byte compare, matching the oracle's binary-collation
-      // substr(text,1,1) < 'n' (UTF-8 lead bytes >= 0x80 sort AFTER 'n';
-      // empty text sorts before)
-      format = if (r.payload.isEmpty || (r.payload(0) & 0xFF) < 'n'.toInt) "png" else "jpeg")
+  // ---------------------------------------------------------------------
+  // Deterministic image fixtures: real encoded bytes whose ground truth
+  // (format, dims, channel means, byte size) is a closed-form function of
+  // the id — so a SQL oracle can grade the real decoder end-to-end.
+  // ---------------------------------------------------------------------
+
+  import java.lang.Math.floorMod
+
+  def fxFormat(id: Long): String = floorMod(id, 3) match {
+    case 0 => "bmp"; case 1 => "ppm"; case _ => "jpeg"
+  }
+  def fxW(id: Long): Int = floorMod(id, 13).toInt + 4
+  def fxH(id: Long): Int = floorMod(id, 11).toInt + 3
+  def fxR(id: Long): Int = floorMod(id * 13, 251).toInt
+  def fxG(id: Long): Int = floorMod(id * 7, 251).toInt
+  def fxB(id: Long): Int = floorMod(id * 3, 251).toInt
+
+  /** Encode a real 24bpp uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up, 4-byte-aligned rows). Stride padding is
+    * filled with 0xAB so a decoder that sums padding bytes is caught. */
+  def encodeBmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val size = 54 + h * stride
+    val p = new Array[Byte](size)
+    def u16(o: Int, v: Int): Unit = { p(o) = v.toByte; p(o + 1) = (v >>> 8).toByte }
+    def u32(o: Int, v: Int): Unit = {
+      p(o) = v.toByte; p(o + 1) = (v >>> 8).toByte
+      p(o + 2) = (v >>> 16).toByte; p(o + 3) = (v >>> 24).toByte
+    }
+    p(0) = 'B'; p(1) = 'M'
+    u32(2, size); u32(10, 54)                  // file size, pixel-data offset
+    u32(14, 40); u32(18, w); u32(22, h)        // DIB size, width, height (+h = bottom-up)
+    u16(26, 1); u16(28, 24); u32(30, 0)        // planes, bpp, BI_RGB
+    u32(34, h * stride); u32(38, 2835); u32(42, 2835)
+    var y = 0
+    while (y < h) {
+      val base = 54 + y * stride
+      var x = 0
+      while (x < w) {                          // BMP stores BGR
+        val o = base + x * 3
+        p(o) = b.toByte; p(o + 1) = g.toByte; p(o + 2) = r.toByte
+        x += 1
+      }
+      var q = base + w * 3
+      while (q < base + stride) { p(q) = 0xAB.toByte; q += 1 }
+      y += 1
+    }
+    p
+  }
+
+  /** Encode a real binary PPM (P6) with a comment line in the header. */
+  def encodePpm(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val header = s"P6\n# graft synthetic fixture\n$w $h\n255\n".getBytes("US-ASCII")
+    val p = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, p, 0, header.length)
+    var i = header.length
+    var n = 0
+    while (n < w * h) {                        // PPM stores RGB
+      p(i) = r.toByte; p(i + 1) = g.toByte; p(i + 2) = b.toByte
+      i += 3; n += 1
+    }
+    p
+  }
+
+  /** Encode a structurally valid JPEG shell: SOI, COM, JFIF APP0, SOF0
+    * frame header carrying the real dimensions, EOI. (No entropy-coded
+    * scan — dimension parsing is the graded surface.) Always 58 bytes. */
+  def encodeJpegShell(w: Int, h: Int): Array[Byte] = {
+    val com = "graft fixture".getBytes("US-ASCII") // 13 bytes
+    val b = Array.newBuilder[Byte]
+    def m(hi: Int, lo: Int): Unit = { b += hi.toByte; b += lo.toByte }
+    m(0xFF, 0xD8)                                       // SOI
+    m(0xFF, 0xFE); m(0x00, 2 + com.length); b ++= com   // COM
+    m(0xFF, 0xE0); m(0x00, 16)                          // APP0 JFIF
+    b ++= "JFIF".getBytes("US-ASCII"); b += 0
+    b += 1; b += 1; b += 0                              // v1.1, no units
+    m(0x00, 0x01); m(0x00, 0x01); b += 0; b += 0        // density 1x1, no thumb
+    m(0xFF, 0xC0); m(0x00, 17); b += 8                  // SOF0, len, precision
+    m(h >>> 8, h & 0xFF); m(w >>> 8, w & 0xFF)          // height, width (BE)
+    b += 3                                              // 3 components
+    b += 1; b += 0x22.toByte; b += 0                    // Y  2x2, qtbl 0
+    b += 2; b += 0x11.toByte; b += 1                    // Cb 1x1, qtbl 1
+    b += 3; b += 0x11.toByte; b += 1                    // Cr 1x1, qtbl 1
+    m(0xFF, 0xD9)                                       // EOI
+    b.result()
+  }
+
+  /** The synthetic payload for one id: a real encoded image in one of the
+    * three formats, parameters closed-form in the id. */
+  def syntheticPayload(id: Long): Array[Byte] = fxFormat(id) match {
+    case "bmp"  => encodeBmp(fxW(id), fxH(id), fxR(id), fxG(id), fxB(id))
+    case "ppm"  => encodePpm(fxW(id), fxH(id), fxR(id), fxG(id), fxB(id))
+    case _      => encodeJpegShell(fxW(id), fxH(id))
+  }
+
+  /** Media table whose payloads are REAL encoded image bytes (the decode
+    * fixtures), one per document id. */
+  def syntheticMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRecord(id, "image", syntheticPayload(id), src)
+      })
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------------
+  // Real decoders
+  // ---------------------------------------------------------------------
+
+  private def unknown(r: MediaRecord): MediaFeatures =
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, -1L, -1L, "unknown", -1L, -1L, -1L)
+
+  /** Decode one payload by magic-byte sniffing. Never throws on malformed
+    * bytes — any structural violation degrades to format="unknown". */
+  def decode(r: MediaRecord): MediaFeatures = {
+    val p = r.payload
+    try {
+      if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) decodeBmp(r)
+      else if (p.length >= 2 && p(0) == 'P'.toByte && p(1) == '6'.toByte) decodePpm(r)
+      else if (p.length >= 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) decodeJpeg(r)
+      else unknown(r)
+    } catch { case _: RuntimeException => unknown(r) }
+  }
+
+  /** Real BMP decode: LE header fields, bpp/compression checks, row
+    * stride with padding excluded, bottom-up or top-down sign, BGR order. */
+  private def decodeBmp(r: MediaRecord): MediaFeatures = {
+    val p = r.payload
+    if (p.length < 54) return unknown(r)
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def i32(o: Int): Int =
+      (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) | ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+    val dataOffset = i32(10)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val h = math.abs(hRaw)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return unknown(r)
+    val stride = (w * 3 + 3) / 4 * 4
+    if (dataOffset.toLong + h.toLong * stride > p.length) return unknown(r)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      val base = dataOffset + y * stride
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3
+        sumB += (p(o) & 0xFF); sumG += (p(o + 1) & 0xFF); sumR += (p(o + 2) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    MediaFeatures(r.media_id, r.kind, p.length.toLong, w.toLong, h.toLong, "bmp",
+      sumR / n, sumG / n, sumB / n)
+  }
+
+  /** Real PPM (P6) decode: ASCII header tokens with `#` comments, maxval,
+    * then raw RGB triplets. */
+  private def decodePpm(r: MediaRecord): MediaFeatures = {
+    val p = r.payload
+    var i = 2 // past "P6"
+    def skipWsAndComments(): Unit = {
+      var going = true
+      while (going && i < p.length) {
+        val c = p(i) & 0xFF
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else if (c == '#') { while (i < p.length && p(i) != '\n'.toByte) i += 1 }
+        else going = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      var v = 0; var any = false
+      while (i < p.length && p(i) >= '0'.toByte && p(i) <= '9'.toByte) {
+        v = v * 10 + (p(i) - '0'.toByte); i += 1; any = true
+      }
+      if (!any) throw new RuntimeException("ppm: expected integer")
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    i += 1 // exactly one whitespace byte separates header from raster
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return unknown(r)
+    if (i.toLong + 3L * w * h > p.length) return unknown(r)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var n = 0
+    while (n < w * h) {                        // PPM stores RGB
+      sumR += (p(i) & 0xFF); sumG += (p(i + 1) & 0xFF); sumB += (p(i + 2) & 0xFF)
+      i += 3; n += 1
+    }
+    val cnt = w.toLong * h
+    MediaFeatures(r.media_id, r.kind, p.length.toLong, w.toLong, h.toLong, "ppm",
+      sumR / cnt, sumG / cnt, sumB / cnt)
+  }
+
+  /** SOF marker in a JPEG stream: SOF0-SOF15 carry frame dimensions;
+    * 0xC4 (DHT), 0xC8 (JPG), 0xCC (DAC) reuse the range but are not
+    * frame headers. */
+  private def isSof(m: Int): Boolean =
+    m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+  /** Real JPEG dimension parse: walk marker segments (skipping by each
+    * segment's big-endian length) to the first SOF header; read
+    * precision, height, width. Pixel decode needs an entropy/DCT pipeline
+    * — out of scope; channel means are -1. */
+  private def decodeJpeg(r: MediaRecord): MediaFeatures = {
+    val p = r.payload
+    var i = 2 // past SOI
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xFF) != 0xFF) return unknown(r)
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xFF) == 0xFF) j += 1 // fill bytes
+      if (j >= p.length) return unknown(r)
+      val marker = p(j) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) return unknown(r) // EOI/SOS before any SOF
+      if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) { i = j + 1 }
+      else {
+        if (j + 2 >= p.length) return unknown(r)
+        val len = ((p(j + 1) & 0xFF) << 8) | (p(j + 2) & 0xFF)
+        if (isSof(marker)) {
+          if (j + 7 >= p.length) return unknown(r)
+          val h = ((p(j + 4) & 0xFF) << 8) | (p(j + 5) & 0xFF)
+          val w = ((p(j + 6) & 0xFF) << 8) | (p(j + 7) & 0xFF)
+          return MediaFeatures(r.media_id, r.kind, p.length.toLong, w.toLong, h.toLong,
+            "jpeg", -1L, -1L, -1L)
+        }
+        i = j + 1 + len
+      }
+    }
+    unknown(r)
   }
 
   /** Partition-wise decode: one decoder context per partition, streamed
@@ -55,15 +290,15 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
-      // real decoders initialize native context here, once per partition
-      rows.map(decodeStub)
+      // a native codec binding would initialize its context here, once
+      rows.map(decode)
     }
   }
 
   /** Resize plan for decoded assets: clamp the longer edge to `maxDim`
-    * preserving aspect ratio (integer arithmetic — the real resampler is
-    * the stubbed codec; the geometry planning and schema are the real
-    * pipeline surface). */
+    * preserving aspect ratio (integer arithmetic — geometry planning over
+    * the REAL decoded dimensions; the resampler itself would re-encode
+    * payload bytes downstream of this plan). */
   def resizePlan(features: DataFrame, maxDim: Int = 256): DataFrame = {
     val longEdge = greatest(col("width"), col("height"))
     val needs = longEdge > maxDim
@@ -77,7 +312,7 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Deterministic frame sampling stub for video-kind assets: pick every
+  /** Deterministic frame sampling for video-kind assets: pick every
     * `stride`-th byte offset as a "frame" index — exercises the explode
     * shape (1 asset row -> n frame rows) a real sampler produces. */
   def sampleFrames(media: DataFrame, stride: Int = 100): DataFrame =
@@ -88,9 +323,10 @@ object Multimodal {
           .as("frame_offset"))
       .orderBy("media_id", "frame_offset")
 
-  /** End-to-end features query (sorted, oracle-checkable). */
+  /** End-to-end features query: real image fixtures, real decode
+    * (sorted, oracle-checkable against the closed-form ground truth). */
   def featuresQuery(spark: SparkSession, docs: DataFrame): DataFrame =
-    extractFeatures(asMediaTable(docs)).toDF().orderBy("media_id")
+    extractFeatures(syntheticMediaTable(docs)).toDF().orderBy("media_id")
 
   /** Exact duplicate media by payload digest: one row per distinct BYTE
     * content, keeping the smallest media_id as representative with the

@@ -77,7 +77,8 @@ class DegenerateSpec extends SparkSpec {
     assert(frames == Seq((2L, 0L)))
     val feats = graft.ext.Multimodal.extractFeatures(media)
       .collect().map(f => f.media_id -> f.format).toMap
-    assert(feats(1L) == "png") // '' sorts before 'n', matching the oracle
+    assert(feats(1L) == "unknown") // empty payload degrades, never throws
+    assert(feats(2L) == "unknown") // text bytes are not an image format
   }
 
   test("empty corpus: scrub, splits, stratified, tfidf pairs all yield empty") {

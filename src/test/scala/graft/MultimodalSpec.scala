@@ -1,16 +1,19 @@
 package graft
 
-import graft.ext.Multimodal
+import graft.ext.{MediaRecord, Multimodal}
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: binary payload round-trip, partition-wise decode
-  * determinism, and the 1-to-n frame-sampling shape. */
+/** Multimodal: real byte-level codec (BMP/PPM pixel decode, JPEG SOF
+  * dimension scan) on planted fixtures, plus the plumbing — binary payload
+  * round-trip, partition-wise decode determinism, 1-to-n frame sampling. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = Seq(
     (1L, "abcdef", "s1"), (2L, "z".repeat(700), "s2"), (3L, "m", "s3")
   ).toDF("doc_id", "text", "source")
+
+  private def rec(bytes: Array[Byte]): MediaRecord = MediaRecord(9L, "image", bytes, "s")
 
   test("media table carries the exact payload bytes") {
     val payloads = Multimodal.asMediaTable(docs)
@@ -20,15 +23,83 @@ class MultimodalSpec extends SparkSpec {
     assert(payloads(2L).length == 700)
   }
 
-  test("stub decoder emits deterministic features with the real schema") {
-    val f = Multimodal.extractFeatures(Multimodal.asMediaTable(docs))
+  test("planted BMP: hand-built 2x2 bytes decode with BGR order, stride padding excluded") {
+    // 2x2, 24bpp: stride = (6+3)/4*4 = 8, so 2 pad bytes per row (0xFF —
+    // a decoder that sums padding inflates the means and fails here).
+    // Pixels (r,g,b): bottom row (10,20,30),(40,50,60); top (70,80,90),(110,120,130).
+    def px(r: Int, g: Int, b: Int) = Seq(b, g, r) // file order is BGR
+    val header = Seq(
+      'B'.toInt, 'M'.toInt, 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file hdr
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0,           // DIB: 2x2, 24bpp
+      0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val rows = px(10, 20, 30) ++ px(40, 50, 60) ++ Seq(0xFF, 0xFF) ++
+               px(70, 80, 90) ++ px(110, 120, 130) ++ Seq(0xFF, 0xFF)
+    val f = Multimodal.decode(rec((header ++ rows).map(_.toByte).toArray))
+    assert(f.format == "bmp" && f.width == 2 && f.height == 2)
+    assert(f.mean_r == (10 + 40 + 70 + 110) / 4)
+    assert(f.mean_g == (20 + 50 + 80 + 120) / 4)
+    assert(f.mean_b == (30 + 60 + 90 + 130) / 4)
+    assert(f.n_bytes == 70)
+  }
+
+  test("planted PPM: comment lines and flexible whitespace parse; RGB order") {
+    val raster = Array(1, 2, 3, 201, 202, 203, 7, 8, 9, 101, 102, 103).map(_.toByte)
+    val bytes = "P6\n# a comment\n2\t2 # trailing\n255\n".getBytes("US-ASCII") ++ raster
+    val f = Multimodal.decode(rec(bytes))
+    assert(f.format == "ppm" && f.width == 2 && f.height == 2)
+    assert(f.mean_r == (1 + 201 + 7 + 101) / 4)
+    assert(f.mean_g == (2 + 202 + 8 + 102) / 4)
+    assert(f.mean_b == (3 + 203 + 9 + 103) / 4)
+  }
+
+  test("planted JPEG: SOF scan skips APP0/COM/DQT segments; SOF2 progressive too") {
+    // SOI, DQT-ish skippable segment (len 5), SOF2 with h=0x0123 w=0x0456
+    val sof2 = Array(0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x05, 1, 2, 3,
+      0xFF, 0xC2, 0x00, 0x11, 8, 0x01, 0x23, 0x04, 0x56, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 0xFF, 0xD9).map(_.toByte)
+    val f = Multimodal.decode(rec(sof2))
+    assert(f.format == "jpeg" && f.height == 0x0123 && f.width == 0x0456)
+    assert(f.mean_r == -1 && f.mean_g == -1 && f.mean_b == -1)
+    // DHT (0xC4) shares the SOF range but is NOT a frame header: a file
+    // with DHT before SOF0 must report the SOF0 dims, not DHT payload bytes
+    val withDht = Array(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x04, 9, 9,
+      0xFF, 0xC0, 0x00, 0x11, 8, 0x00, 0x07, 0x00, 0x09, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 0xFF, 0xD9).map(_.toByte)
+    val f2 = Multimodal.decode(rec(withDht))
+    assert(f2.height == 7 && f2.width == 9)
+    // truncated stream (EOI before any SOF) degrades, never throws
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+    assert(Multimodal.decode(rec(noSof)).format == "unknown")
+  }
+
+  test("round-trip: synthetic fixtures decode back to their closed-form ground truth") {
+    for (id <- 0L to 60L) {
+      val f = Multimodal.decode(MediaRecord(id, "image", Multimodal.syntheticPayload(id), "s"))
+      assert(f.format == Multimodal.fxFormat(id), s"id=$id")
+      assert(f.width == Multimodal.fxW(id) && f.height == Multimodal.fxH(id), s"id=$id")
+      if (f.format == "jpeg") {
+        assert(f.mean_r == -1 && f.n_bytes == 58, s"id=$id")
+      } else {
+        assert(f.mean_r == Multimodal.fxR(id), s"id=$id")
+        assert(f.mean_g == Multimodal.fxG(id), s"id=$id")
+        assert(f.mean_b == Multimodal.fxB(id), s"id=$id")
+      }
+    }
+  }
+
+  test("non-image bytes and malformed headers degrade to unknown, never throw") {
+    assert(Multimodal.decode(rec("just some text".getBytes("UTF-8"))).format == "unknown")
+    assert(Multimodal.decode(rec(Array[Byte]())).format == "unknown")
+    assert(Multimodal.decode(rec(Array('B', 'M').map(_.toByte))).format == "unknown") // truncated BMP
+    assert(Multimodal.decode(rec("P6\n9 9\n255\nxy".getBytes("US-ASCII"))).format == "unknown") // short raster
+  }
+
+  test("distributed decode is deterministic and partition-invariant") {
+    val f = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(docs))
       .collect().map(x => x.media_id -> x).toMap
-    assert(f(1L).n_bytes == 6 && f(1L).width == 7 && f(1L).height == 43)
-    assert(f(2L).width == 700 % 640 + 1)
-    assert(f(1L).format == "png") // 'a' < 'n'
-    assert(f(2L).format == "jpeg") // 'z' >= 'n'
-    // partition count must not affect results
-    val f2 = Multimodal.extractFeatures(Multimodal.asMediaTable(docs.repartition(5)))
+    assert(f(1L).format == "ppm" && f(2L).format == "jpeg" && f(3L).format == "bmp")
+    assert(f(3L).width == Multimodal.fxW(3L) && f(3L).mean_r == Multimodal.fxR(3L))
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(docs.repartition(5)))
       .collect().map(x => x.media_id -> x).toMap
     assert(f == f2)
   }
