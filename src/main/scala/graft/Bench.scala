@@ -134,7 +134,11 @@ object Bench {
     // The headline total counts SUCCESSFUL queries only: a failing query
     // aborts in ~0.06s, so summing it in would make a broken round look
     // faster than a working one and cross-round totals incomparable.
+    // `n_ok` rides on both output lines so a consumer comparing totals
+    // across rounds can detect a shrunken denominator (fewer summed
+    // queries) instead of reading a broken round as a fast one.
     val total = results.filter(_._3).map(_._2).sum
+    val nOk = results.count(_._3)
     val regressed = results.collect {
       case (name, sec, _) if comparable && prev.get(name).exists(isRegression(sec, _)) => name
     }
@@ -149,7 +153,7 @@ object Bench {
     val fullJson = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"ok":$oks,"n_failed":${failed.size},"failed":$failedArr,"regressed":$regressedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_ok":$nOk,"queries":$qs,"ok":$oks,"n_failed":${failed.size},"failed":$failedArr,"regressed":$regressedArr,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -162,7 +166,7 @@ object Bench {
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedArr,"regressed":$regressedArr,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"n_ok":$nOk,"queries":$qs,"failed":$failedArr,"regressed":$regressedArr,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     val byCost = results.sortBy(-_._2).map(r => (r._1, r._2))
     var keep = byCost.length

@@ -1614,8 +1614,11 @@ object OracleSql {
       // E-notation, 17 significant digits: DuckDB parses plain decimal
       // literals through DECIMAL (lossy past ~15 digits — 0.9999999999999999
       // becomes 1.0) but exponent-form literals directly as DOUBLE, so this
-      // is the only rendering that round-trips the engine's planes exactly
-      val arr = pl.map(x => f"$x%.17E").mkString("[", ", ", "]")
+      // is the only rendering that round-trips the engine's planes exactly.
+      // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+      // comma decimal separator would render invalid SQL.
+      val arr = pl.map(x => String.format(java.util.Locale.ROOT, "%.17E", Double.box(x)))
+        .mkString("[", ", ", "]")
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, least(len($v), $dim)+1), " +
         s"i -> $v[i]::DOUBLE * ($arr::DOUBLE[])[i])), (acc, x) -> acc + x)"
     }

@@ -512,7 +512,7 @@ object SparkEntry {
           col("doc_id") % 13 === 0)
         .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"), col("text"))
       ext.Incremental.extendHistory(h12, dels.unionByName(edits).unionByName(noops), 3L)
-        .drop("content_hash")
+        .drop("content_hash", "content_len")
     }),
     "q_dq_checks" -> ((s, d) =>
       Relational.dataQualityReport(Tables.orders(s, d), Tables.customer(s, d))),

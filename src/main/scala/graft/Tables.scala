@@ -52,8 +52,25 @@ object Tables {
   }
 
   /** True iff the file's `ts` column carries a TIMESTAMP(NANOS) logical
-    * annotation in its footer. */
+    * annotation in its footer. Memoized per (path, mtime, length): the
+    * footer probe is a driver-side file open, and ~20 events-reading
+    * queries per bench run each paying one is exactly the per-query
+    * orchestration overhead that multiplies at scale. The mtime+length
+    * key keeps the cache honest if the file is rewritten in place. */
+  private val nanosCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
+
   private def tsIsNanos(s: SparkSession, path: String): Boolean = {
+    val f = new java.io.File(path)
+    // a directory-shaped parquet table (or a remote path) has no single
+    // local mtime — fall through to the probe uncached in that rare case
+    if (f.isFile) {
+      val key = (path, f.lastModified(), f.length())
+      nanosCache.computeIfAbsent(key, _ => Boolean.box(tsIsNanosUncached(s, path)))
+    } else tsIsNanosUncached(s, path)
+  }
+
+  private def tsIsNanosUncached(s: SparkSession, path: String): Boolean = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation

@@ -147,7 +147,7 @@ object Incremental {
     * newest version is a 1-row broadcast. */
   def scdHistory(versions: DataFrame, idCol: String = "doc_id",
                  verCol: String = "version", textCol: String = "text"): DataFrame =
-    scdHistoryHashed(versions, idCol, verCol, textCol).drop("content_hash")
+    scdHistoryHashed(versions, idCol, verCol, textCol).drop("content_hash", "content_len")
 
   /** [[scdHistory]] carrying each run's 64-bit content hash
     * (`content_hash`) — the extra column [[extendHistory]] needs to
@@ -169,23 +169,33 @@ object Incremental {
     val granks = versions.select(col(verCol)).distinct()
       .withColumn("__gr", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col(verCol))))
+    // Same-vs-changed is decided on (xxhash64(text), length(text)), never
+    // on the text itself — the whole point of the hashed history is that
+    // no snapshot is re-read. A 64-bit collision ALONE is therefore
+    // undetectable by design (it would merge two different runs); pairing
+    // the hash with the length shrinks the collision surface to
+    // same-length texts for free, since length is already computed by the
+    // scan. The hashes are engine-internal: only ever compared to hashes
+    // this engine computed.
     val hashed = versions.select(col(idCol), col(verCol),
-      xxhash64(col(textCol)).as("__h"))
+      xxhash64(col(textCol)).as("__h"), length(col(textCol)).cast("long").as("__len"))
       .join(broadcast(granks), Seq(verCol))
     val seg = hashed
       .withColumn("__chg",
         when(lag(col("__h"), 1).over(w).isNull ||
           lag(col("__h"), 1).over(w) =!= col("__h") ||
+          lag(col("__len"), 1).over(w) =!= col("__len") ||
           col("__gr") - lag(col("__gr"), 1).over(w) > 1L, 1L).otherwise(0L))
       .withColumn("__seg", sum(col("__chg")).over(w))
     val runs = seg.groupBy(col(idCol), col("__seg"))
       .agg(min(col(verCol)).as("valid_from"), max(col(verCol)).as("valid_to"),
         // content is constant inside a run by construction
-        min(col("__h")).as("content_hash"))
+        min(col("__h")).as("content_hash"), min(col("__len")).as("content_len"))
     val newest = versions.agg(max(col(verCol)).as("__vmax"))
     runs.join(broadcast(newest))
       .select(col(idCol), col("valid_from"), col("valid_to"),
-        (col("valid_to") === col("__vmax")).as("is_current"), col("content_hash"))
+        (col("valid_to") === col("__vmax")).as("is_current"),
+        col("content_hash"), col("content_len"))
       .orderBy(col(idCol), col("valid_from"))
   }
 
@@ -244,25 +254,31 @@ object Incremental {
         lit("' — every change must carry op ∈ {upsert, delete}"))))
     val winner = changes.withColumn(opCol, checkedOp)
       .withColumn("__h", xxhash64(col(textCol)))
+      .withColumn("__len", length(col(textCol)).cast("long"))
       .groupBy(col(idCol))
-      .agg(max(struct(col(seqCol), col(opCol), col("__h"))).as("__w"))
-      .select(col(idCol), col(s"__w.$opCol").as("__op"), col("__w.__h").as("__newh"))
+      .agg(max(struct(col(seqCol), col(opCol), col("__h"), col("__len"))).as("__w"))
+      .select(col(idCol), col(s"__w.$opCol").as("__op"),
+        col("__w.__h").as("__newh"), col("__w.__len").as("__newlen"))
     val current = guarded.filter(col("is_current"))
-      .select(col(idCol), col("valid_from"), col("valid_to"), col("content_hash"))
+      .select(col(idCol), col("valid_from"), col("valid_to"),
+        col("content_hash"), col("content_len"))
     val closed = guarded.filter(!col("is_current"))
     val j = current.join(winner, Seq(idCol), "full_outer")
-    val carries = col("__op").isNull ||
-      (col("__op") === "upsert" && col("__newh") === col("content_hash"))
+    // unchanged = (hash, length) both equal — same collision-narrowing
+    // pair scdHistoryHashed uses for run segmentation
+    val sameContent = col("__newh") === col("content_hash") &&
+      col("__newlen") === col("content_len")
+    val carries = col("__op").isNull || (col("__op") === "upsert" && sameContent)
     val oldRows = j.filter(col("valid_from").isNotNull)
       .select(col(idCol), col("valid_from"),
         when(carries, lit(newVersion)).otherwise(col("valid_to")).as("valid_to"),
-        carries.as("is_current"), col("content_hash"))
+        carries.as("is_current"), col("content_hash"), col("content_len"))
     val newRows = j
       .filter(col("__op") === "upsert" &&
-        (col("valid_from").isNull || col("__newh") =!= col("content_hash")))
+        (col("valid_from").isNull || !sameContent))
       .select(col(idCol), lit(newVersion).as("valid_from"),
         lit(newVersion).as("valid_to"), lit(true).as("is_current"),
-        col("__newh").as("content_hash"))
+        col("__newh").as("content_hash"), col("__newlen").as("content_len"))
     closed.unionByName(oldRows).unionByName(newRows)
       .orderBy(col(idCol), col("valid_from"))
   }

@@ -183,20 +183,27 @@ object EventsStream {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(path)
+    // An empty source drains zero batches and writes NO files; read back
+    // with the stream's own schema (and the dir materialized) so the
+    // empty landing is an empty frame, not a schema-inference error.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    spark.read.schema(stream.schema).parquet(path)
   }
 
   /** Graded query: the streaming exact-dedup key set landed via the
     * production `foreachBatch` parquet sink ([[drainToParquet]]) and
     * read back — the same batch oracle as the memory-sink form, so the
     * disk round-trip itself is under grade. The landing dir is STABLE
-    * per source and wiped before each drain: repeated bench passes
-    * neither append onto an earlier run's files nor leak one temp dir
-    * per invocation (disk stays bounded at one copy per source). */
+    * per (session, source) and wiped before each drain: repeated bench
+    * passes neither append onto an earlier run's files nor leak one temp
+    * dir per invocation (disk stays bounded at one copy per source), and
+    * the applicationId component keeps two concurrent sessions grading
+    * the same sfDir from deleting each other's landing mid-run. */
   def dedupKeysSunk(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Path, Paths}
     val out = Paths.get(
-      s"/tmp/graft_stream_sink_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/dedup")
+      s"/tmp/graft_stream_sink_${spark.sparkContext.applicationId}_" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/dedup")
     if (Files.exists(out)) { // wipe the PREVIOUS drain's landing
       Files.walk(out).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.delete(p))

@@ -224,7 +224,7 @@ class IncrementalSpec extends SparkSpec {
     def hist(upTo: Long) =
       Incremental.scdHistoryHashed(versions.filter(col("version") <= upTo))
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.as[(Long, Long, Long, Boolean, Long)].collect().toSeq
+      df.as[(Long, Long, Long, Boolean, Long, Long)].collect().toSeq
     // step 1→2 and 2→3: fold the derived change log, compare to recompute
     for (k <- Seq(1L, 2L)) {
       val extended = Incremental.extendHistory(hist(k), changesBetween(versions, k, k + 1), k + 1)
