@@ -497,8 +497,10 @@ object SparkEntry {
     // the full three-snapshot recompute — the oracle IS that recompute
     "pipeline_scd2_extend" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // newestVersion attested by construction (the filter keeps v1∪v2),
+      // so the history plan carries no scalar max-version subtree at all
       val h12 = ext.Incremental.scdHistoryHashed(
-        scd2Snapshots(docs).filter(col("version") <= 2))
+        scd2Snapshots(docs).filter(col("version") <= 2), newestVersion = Some(2L))
       val t2 = when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
         .otherwise(col("text"))
       val base = docs.select(col("doc_id"), t2.as("text"))

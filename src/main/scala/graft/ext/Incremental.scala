@@ -157,7 +157,8 @@ object Incremental {
     * match another engine's. Catalyst prunes the hash aggregation out of
     * the plain scdHistory plan. */
   def scdHistoryHashed(versions: DataFrame, idCol: String = "doc_id",
-                       verCol: String = "version", textCol: String = "text"): DataFrame = {
+                       verCol: String = "version", textCol: String = "text",
+                       newestVersion: Option[Long] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(verCol))
     // Global version ranks: a run may only continue across CONSECUTIVE
@@ -191,12 +192,31 @@ object Incremental {
       .agg(min(col(verCol)).as("valid_from"), max(col(verCol)).as("valid_to"),
         // content is constant inside a run by construction
         min(col("__h")).as("content_hash"), min(col("__len")).as("content_len"))
-    val newest = versions.agg(max(col(verCol)).as("__vmax"))
-    runs.join(broadcast(newest))
-      .select(col(idCol), col("valid_from"), col("valid_to"),
-        (col("valid_to") === col("__vmax")).as("is_current"),
-        col("content_hash"), col("content_len"))
-      .orderBy(col(idCol), col("valid_from"))
+    // The newest version is ONE scalar. When the caller statically knows
+    // it (`newestVersion` — e.g. a pipeline that just built snapshot k),
+    // fold it in as a literal: zero extra jobs and NO scalar-agg subtree
+    // in the plan, which downstream re-planning (union branches, AQE)
+    // would otherwise duplicate — round 10's scd2_extend plan carried 4
+    // identical copies. The attestation is trusted: a wrong value
+    // silently mis-marks is_current, so only pass it when the newest
+    // version is known by construction. Without it, the lazy one-row
+    // aggregate + broadcast join keeps the whole derivation lazy at the
+    // cost of that single scalar subtree.
+    newestVersion match {
+      case Some(v) =>
+        runs
+          .select(col(idCol), col("valid_from"), col("valid_to"),
+            (col("valid_to") === lit(v)).as("is_current"),
+            col("content_hash"), col("content_len"))
+          .orderBy(col(idCol), col("valid_from"))
+      case None =>
+        val newest = versions.agg(max(col(verCol)).as("__vmax"))
+        runs.join(broadcast(newest))
+          .select(col(idCol), col("valid_from"), col("valid_to"),
+            (col("valid_to") === col("__vmax")).as("is_current"),
+            col("content_hash"), col("content_len"))
+          .orderBy(col(idCol), col("valid_from"))
+    }
   }
 
   /** Incremental SCD2 maintenance: fold a CDC change batch
