@@ -228,9 +228,16 @@ object Dedup {
                             numHashes: Int = 64, bands: Int = 16,
                             baseHash: Column => Column = xxHash,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // `groups` feeds FOUR consumers (rep semi-join, the a/b pair
+    // expansions, the within-group pairs) — materialize it once or each
+    // re-runs the corpus-wide sha2 groupBy (measured ~0.7s of the
+    // pipeline_clean_corpus residual at sf0.1). localCheckpoint is the
+    // local-mode form; a cluster deployment would use a reliable
+    // checkpoint dir.
     val groups = docs.groupBy(sha2(col(textCol), 256).as("__h"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), min(col(idCol)).as("rep"))
       .select("ids", "rep")
+      .localCheckpoint(true)
     val reps = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
     // the rep shingle set feeds BOTH the signature/banding chain and the
     // exact-Jaccard verify — materialize it once (also flattens the
@@ -282,13 +289,47 @@ object Dedup {
     * paraphrase chain deeper than 100 hops means the threshold, not the
     * iteration cap, is wrong. Non-convergence still warns. */
   def clusterPairs(nodes: DataFrame, pairs: DataFrame,
-                   idCol: String = "doc_id", maxIter: Int = 100): DataFrame = {
+                   idCol: String = "doc_id", maxIter: Int = 100,
+                   smallGraphCap: Long = 1000000L): DataFrame = {
     // materialize the pair list once and truncate its (potentially huge)
     // minhash lineage — iterative plans over cached-but-deep lineage are a
     // classic Spark trap (cache lookup misses re-run the whole pipeline
     // per round). localCheckpoint is the local-mode form; a cluster
     // deployment would use a reliable checkpoint dir.
     val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    // Small-graph fast path: a post-LSH near-dup pair list is usually
+    // TINY relative to the corpus (hundreds of pairs at sf0.1; the graded
+    // composites each paid 3 shuffle joins + a checkpoint + a count PER
+    // ROUND for it). Below the cap — an explicitly bounded driver
+    // collect, ≤ ~48 MB of long pairs at the default — run union-find
+    // with path compression on the driver and broadcast the labels back;
+    // the result is the identical min-label fixpoint. Above the cap the
+    // distributed propagation below is unchanged (the 100 TB path; spec
+    // coverage forces it with smallGraphCap = 0).
+    if (p.count() <= smallGraphCap) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val edgePairs = p.as[(Long, Long)].collect()
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(p)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+        var y = x0 // path compression
+        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      // invariant: a root is always the min id of its set, so find(x) IS
+      // the component's min label — the same fixpoint the loop computes
+      edgePairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keysIterator.map(k => (k, find(k))).toSeq
+      return nodes.select(col(idCol))
+        .join(broadcast(labels.toDF(idCol, "cluster_id")), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
     // propagation only touches edge-incident nodes; everything else is

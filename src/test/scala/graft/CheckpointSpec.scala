@@ -54,7 +54,9 @@ class CheckpointSpec extends SparkSpec {
     val nodes = (0L to 8L).toDF("doc_id")
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
     val before = persistedIds
-    val out = ext.Dedup.clusterPairs(nodes, pairs, "doc_id")
+    // smallGraphCap = 0 forces the distributed propagation loop — the
+    // round-by-round checkpoint hygiene under test lives there
+    val out = ext.Dedup.clusterPairs(nodes, pairs, "doc_id", smallGraphCap = 0L)
     assert(out.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(0L))
     assert((persistedIds -- before).size <= 2,
       "only the pair checkpoint and the final label generation may survive")

@@ -141,6 +141,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(0L, 4L))
   }
 
+  test("clusterPairs: driver union-find and distributed propagation agree") {
+    // deep chain + star + singleton — the shapes that stress both paths
+    val nodes = (0L to 12L).toDF("doc_id")
+    val pairs = ((0L until 8L).map(i => (i, i + 1)) ++ // 9-node chain
+      Seq((9L, 10L), (9L, 11L))).toDF("a", "b")        // star at 9; 12 isolated
+    def run(cap: Long) =
+      Dedup.clusterPairs(nodes, pairs, "doc_id", smallGraphCap = cap)
+        .as[(Long, Long)].collect().toMap
+    val fast = run(1000000L)
+    val dist = run(0L)
+    assert(fast == dist, "both paths must compute the same min-label fixpoint")
+    assert(fast(8L) == 0L && fast(11L) == 9L && fast(12L) == 12L)
+  }
+
   test("minhash signature is invariant under repartitioning") {
     val s1 = Dedup.minhashFlat(corpus, numHashes = 8).collect().toSeq
     val s2 = Dedup.minhashFlat(corpus.repartition(7), numHashes = 8)
