@@ -110,6 +110,9 @@ object SparkEntry {
     // the production foreachBatch→parquet sink path, graded: the landed
     // files (read back from disk) must hold exactly the batch key set
     "stream_sink" -> ((s, d) => streaming.EventsStream.dedupKeysSunk(s, d)),
+    // late-data drop accounting: planted rows beyond the watermark must
+    // be dropped and unfinalized windows withheld (see lateFixtureDir)
+    "stream_late" -> ((s, d) => streaming.EventsStream.lateWindowCountsLanded(s, d)),
     "q_json" -> ((s, d) => Relational.eventPropStats(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) =>
       rel.TemporalJoins.latestOrderPerEvent(Tables.events(s, d), Tables.orders(s, d))),
@@ -709,6 +712,23 @@ object SparkEntry {
     "stream_sink" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // late-data drop accounting: the landed result must be EXACTLY the
+    // kept set's hourly counts — late rows (id%10=8, planted 26+ hours
+    // below the watermark) dropped, the watermark-advancer rows
+    // (id%20=19, windows past the final watermark) withheld, on-time
+    // rows (id%10<8) and the T0+47h carrier batch (id%20=9) kept. The
+    // oracle rebuilds the kept set from the events table with the same
+    // closed-form timestamps the fixture writer used.
+    "stream_late" ->
+      """WITH kept AS (
+        |  SELECT event_id % 48 AS hoff, event_type FROM events WHERE event_id % 10 < 8
+        |  UNION ALL
+        |  SELECT 47 AS hoff, event_type FROM events WHERE event_id % 20 = 9)
+        |SELECT CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+        |         + hoff * INTERVAL 1 HOUR) AS BIGINT) AS hour_start,
+        |  event_type, count(*) AS n
+        |FROM kept
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     // session_window's interval is end-EXCLUSIVE: an event at exactly
     // last_ts + gap starts a NEW session, hence >= in the island test
     // (q_sessions' custom sessionizer uses strict >, a deliberate

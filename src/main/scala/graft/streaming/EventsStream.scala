@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.rel.Relational
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -220,6 +220,112 @@ object EventsStream {
   def hourlyStatsLanded(spark: SparkSession, sfDir: String): DataFrame =
     drainToTable(spark, hourlyStats(readEvents(spark, sfDir)),
       "hourly", "complete")
+      .orderBy("hour_start", "event_type")
+
+  // -------------------------------------------------------------------
+  // Late-data drop accounting (graded): a two-batch fixture plants rows
+  // BEYOND the watermark and the landed output proves they were dropped.
+  // -------------------------------------------------------------------
+
+  /** Epoch seconds of the fixture origin (2024-01-01T00:00:00Z). */
+  val LateT0: Long = 1704067200L
+
+  /** Schema of the late-data fixture batches (engine-written micros). */
+  val lateSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts", TimestampType)))
+
+  /** Stage the three-micro-batch late-data fixture, derived
+    * deterministically from the events table so a SQL oracle can
+    * recompute the ground truth:
+    *
+    *  - batch1 (on-time, ids with id mod 10 < 8): ts = T0 + (id mod 48)
+    *    hours — spans 48 h, so the 1 h watermark derived from its stats
+    *    is T0+46 h.
+    *  - batch2 (watermark carrier, id mod 20 = 9): ts = T0+47 h — its
+    *    window end (T0+48 h) is past any watermark the engine can hold
+    *    at that point, so the rows are kept under every lag reading.
+    *  - batch3 late rows (id mod 10 = 8): ts = T0 + (id mod 20) hours —
+    *    at least 26 h BELOW the batch1-derived watermark; the streaming
+    *    aggregation must drop every one (their windows are long
+    *    finalized).
+    *  - batch3 advancer rows (id mod 20 = 19): ts ≥ T0+50 h — they push
+    *    the final watermark to T0+50 h, which finalizes (= emits, in
+    *    append mode) every kept window while their own windows stay
+    *    in-flight and unemitted.
+    *
+    * The middle batch exists because the micro-batch engine applies a
+    * freshly derived watermark with up to one extra batch of lag
+    * (measured on Spark 4.1: a single AvailableNow backlog run filters
+    * batch N with the event-time stats of batch N-2). The fixture is
+    * correct under ANY lag in {0, 1, 2}: by batch3 the filtering
+    * watermark is T0+46 h under every reading, and batch2's carrier rows
+    * survive every reading.
+    *
+    * The landed result is therefore EXACTLY the kept set's hourly counts
+    * — any failure to drop inflates windows 0-19, any over-drop deflates
+    * them, and any premature emission adds the in-flight windows: all
+    * hash mismatches. Batch order is forced by maxFilesPerTrigger=1 +
+    * file modification times (the file source processes oldest first). */
+  def lateFixtureDir(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(s"/tmp/graft_stream_late_${spark.sparkContext.applicationId}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val b1 = dir.resolve("batch1.parquet")
+    val b2 = dir.resolve("batch2.parquet")
+    val b3 = dir.resolve("batch3.parquet")
+    if (Files.exists(b1) && Files.exists(b2) && Files.exists(b3)) return dir.toString
+    Files.createDirectories(dir)
+    val ev = graft.Tables.events(spark, sfDir).select(col("event_id"), col("event_type"))
+    def ts(secs: Column): Column = timestamp_seconds(secs)
+    val onTime = ev.filter(col("event_id") % 10 < 8)
+      .withColumn("ts", ts(lit(LateT0) + (col("event_id") % 48) * 3600L))
+    val carriers = ev.filter(col("event_id") % 20 === 9)
+      .withColumn("ts", ts(lit(LateT0) + 47L * 3600L))
+    val late = ev.filter(col("event_id") % 10 === 8)
+      .withColumn("ts", ts(lit(LateT0) + (col("event_id") % 20) * 3600L))
+    val advancers = ev.filter(col("event_id") % 20 === 19)
+      .withColumn("ts", ts(lit(LateT0) + 50L * 3600L + (col("event_id") % 2) * 3600L))
+    def writeOne(df: DataFrame, target: java.nio.file.Path, mtimeMs: Long): Unit = {
+      val tmp = dir.resolve(s"_stage_${target.getFileName}")
+      df.select("event_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+      Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(onTime, b1, now - 120000L)
+    writeOne(carriers, b2, now - 60000L)
+    writeOne(late.unionByName(advancers), b3, now)
+    dir.toString
+  }
+
+  /** The late-data fixture as a two-batch stream (one file per
+    * micro-batch, oldest first). */
+  def lateStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(lateSchema).option("maxFilesPerTrigger", "1")
+      .parquet(lateFixtureDir(spark, sfDir))
+
+  /** The watermarked hourly aggregation under grade. */
+  def lateWindowAgg(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"))
+
+  /** Graded query: late rows planted beyond the watermark must be
+    * DROPPED, and only watermark-finalized windows may land (append
+    * mode). The oracle recomputes the kept set — batch1's hourly counts —
+    * from the events table with the same closed-form timestamps. */
+  def lateWindowCountsLanded(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark, lateWindowAgg(lateStream(spark, sfDir)), "late", "append")
       .orderBy("hour_start", "event_type")
 
   /** Graded query: streaming exact dedup — the distinct (user, event_type)

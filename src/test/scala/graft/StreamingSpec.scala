@@ -93,6 +93,39 @@ class StreamingSpec extends SparkSpec {
     assert(again == batch)
   }
 
+  test("late-data accounting: planted late rows drop, kept set lands, in-flight withheld") {
+    import org.apache.spark.sql.functions._
+    // run the graded drain by hand to capture the drop metric
+    val agg = EventsStream.lateWindowAgg(EventsStream.lateStream(spark, dir))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("late_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val landed = spark.table("late_spec")
+      .as[(Long, String, Long)].collect().toSet
+    // batch ground truth: on-time rows at T0+(id%48)h plus the T0+47h
+    // carrier batch; late (id%10=8) and advancer (id%20=19) rows excluded
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    val kept = ev.filter(col("event_id") % 10 < 8)
+      .withColumn("hoff", col("event_id") % 48)
+      .unionByName(ev.filter(col("event_id") % 20 === 9).withColumn("hoff", lit(47L)))
+      .groupBy((lit(EventsStream.LateT0) + col("hoff") * 3600L).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(landed == kept, "landed must be exactly the kept set's hourly counts")
+    // the drop metric counts post-partial-agg group rows: one per
+    // distinct (late window, event_type) the planted rows spanned
+    val expectedDropGroups = ev.filter(col("event_id") % 10 === 8)
+      .select((col("event_id") % 20).as("w"), col("event_type")).distinct().count()
+    val dropped = q.recentProgress.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+    assert(dropped == expectedDropGroups,
+      s"watermark must drop exactly the planted late groups ($expectedDropGroups), got $dropped")
+    // no advancer window may land (their windows end past the final watermark)
+    assert(!landed.exists(_._1 >= EventsStream.LateT0 + 50L * 3600L),
+      "in-flight windows must be withheld in append mode")
+  }
+
   test("landed streaming dedup == batch distinct key set") {
     val got = EventsStream.dedupKeysLanded(spark, dir)
       .as[(Long, String)].collect().toSet
