@@ -1645,14 +1645,15 @@ object OracleSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  /** ANN index-quality report (mirror of Similarity.recallReport over
-    * lshTopK vs bruteForceTopK): both deterministic top-k chains as
-    * nested CTEs, hit counting by semi-join, one double division. */
-  def recallLshVsExact(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String =
+  /** ANN index-quality report (mirror of Similarity.recallReport): any
+    * deterministic ANN top-k SQL vs any exact top-k SQL as nested CTEs,
+    * hit counting by semi-join, one double division. Generic over the
+    * index family — the LSH/IVF/PQ recall monitors all instantiate it. */
+  def recallVsExact(annSql: String, exactSql: String): String =
     s"""WITH ann AS (
-       |${lshTopK(numPlanes, dim, maxQueryId, k)}),
+       |$annSql),
        |ex AS (
-       |${simTopK(maxQueryId, k)}),
+       |$exactSql),
        |hits AS (
        |  SELECT e.query_id, count(*)::BIGINT AS n
        |  FROM ex e JOIN ann a
@@ -1662,6 +1663,9 @@ object OracleSql {
        |SELECT ke.query_id, ke.k_exact, coalesce(h.n, 0)::BIGINT AS n_hits,
        |  coalesce(h.n, 0)::DOUBLE / ke.k_exact::DOUBLE AS recall
        |FROM ke LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
+
+  def recallLshVsExact(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String =
+    recallVsExact(lshTopK(numPlanes, dim, maxQueryId, k), simTopK(maxQueryId, k))
 
   val dimStats: String =
     """WITH x AS (

@@ -312,6 +312,20 @@ object SparkEntry {
         Similarity.lshTopK(emb, 0L until 8L, 5, 8),
         Similarity.bruteForceTopK(emb, 0L until 8L, 5))
     }),
+    // the same production-shaped recall monitor over the other two index
+    // families — recallReport is generic over any (ann, exact) top-k pair
+    "sim_recall_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallReport(
+        ext.Ivf.ivfTopKSnapped(emb, 0L until 8L, 5, 16, 4, iters = 2),
+        Similarity.bruteForceTopK(emb, 0L until 8L, 5))
+    }),
+    "sim_recall_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallReport(
+        ext.Pq.pqTopKSnapped(emb, 0L until 8L, 5, m = 4, ksub = 16, iters = 3),
+        Similarity.bruteForceTopK(emb, 0L until 8L, 5))
+    }),
     "sim_label_stats" -> ((s, d) => Similarity.labelStats(Tables.embeddings(s, d))),
     // iters=2: measured (ProfileScratch) — top-5 recall at nprobe=4/16 is
     // 1.000 at 1-2 Lloyd rounds and DROPS to 0.95-0.975 at 3-5 (tighter
@@ -1406,6 +1420,10 @@ object SparkEntry {
     "sim_pq" -> OracleSql.pqSnapped(4, 16, 3, 16, 8L, 5),
     "sim_ann_lsh" -> OracleSql.lshTopK(8, 64, 8L, 5),
     "sim_recall_lsh" -> OracleSql.recallLshVsExact(8, 64, 8L, 5),
+    "sim_recall_ivf" -> OracleSql.recallVsExact(
+      OracleSql.ivfSnapped(16, 4, 2, 8L, 5), OracleSql.simTopK(8L, 5)),
+    "sim_recall_pq" -> OracleSql.recallVsExact(
+      OracleSql.pqSnapped(4, 16, 3, 16, 8L, 5), OracleSql.simTopK(8L, 5)),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
     "graph_triangles" ->
