@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: time the engine's most expensive corpus-bound operators
+  * at several scale factors (ScaleGen output) and print per-(query,
+  * scale) min-of-reps seconds — the measurement behind SCALING.md.
+  *
+  * The set deliberately uses the UNBOUNDED op forms where the declared
+  * query fixes a probe subset (the embedding near-dup family), so every
+  * timed workload actually grows with the corpus.
+  *
+  * args: dataRoot copies... (e.g. /tmp/graft_scale 1 3 10); env
+  * SCALE_REPS (default 3). */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val root = args.head
+    val copiesList = args.tail.map(_.toInt)
+    val reps = sys.env.getOrElse("SCALE_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "wc_word_count" -> SparkEntry.queries("wc_word_count"),
+      "text_tfidf_pairs" -> SparkEntry.queries("text_tfidf_pairs"),
+      "dedup_ngram_jaccard" -> SparkEntry.queries("dedup_ngram_jaccard"),
+      "dedup_containment" -> SparkEntry.queries("dedup_containment"),
+      "dedup_clusters" -> SparkEntry.queries("dedup_clusters"),
+      "pipeline_split_safe" -> SparkEntry.queries("pipeline_split_safe"),
+      "pipeline_clean_corpus" -> SparkEntry.queries("pipeline_clean_corpus"),
+      "graph_pagerank" -> SparkEntry.queries("graph_pagerank"),
+      "sim_ivf" -> SparkEntry.queries("sim_ivf"),
+      "sim_pq" -> SparkEntry.queries("sim_pq"),
+      // unbounded embedding near-dup clustering (the declared query
+      // bounds its corpus for the all-pairs oracle; scaling needs growth)
+      "emb_neardup_full" -> ((s: SparkSession, d: String) =>
+        ext.Dedup.embeddingNearDupClusters(Tables.embeddings(s, d), 0.4)))
+    for (copies <- copiesList) {
+      val dir = s"$root/x$copies"
+      for ((name, fn) <- qs) {
+        // warm-up run, then timed reps; min strips background noise
+        try {
+          fn(spark, dir).count()
+          val secs = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scale] $name%-24s x$copies%-3d min=${secs.min}%8.3f  runs=${secs.map(s => f"$s%.3f").mkString(",")}")
+        } catch { case e: Exception =>
+          println(s"[scale] $name x$copies FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
