@@ -105,9 +105,9 @@ class PropertySpec extends SparkSpec {
         }
         val extended = graft.ext.Incremental
           .extendHistory(hist, changes.toDF("doc_id", "seq", "op", "text"), last)
-          .as[(Long, Long, Long, Boolean, Long)].collect().toSet
+          .as[(Long, Long, Long, Boolean, Long, Long)].collect().toSet
         val want = graft.ext.Incremental.scdHistoryHashed(df)
-          .as[(Long, Long, Long, Boolean, Long)].collect().toSet
+          .as[(Long, Long, Long, Boolean, Long, Long)].collect().toSet
         extended == want
       }
     })
