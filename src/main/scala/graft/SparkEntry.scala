@@ -407,6 +407,9 @@ object SparkEntry {
           .select("media_id", "width", "height"), maxDim = 10)),
     "mm_dedup" -> ((s, d) =>
       Multimodal.exactPayloadDedup(Multimodal.asMediaTable(Tables.documents(s, d)))),
+    // real WAV (RIFF) audio decode over real encoded fixtures — the audio
+    // face of the multimodal codec (chunk walk, PCM s16le sample decode)
+    "mm_audio" -> ((s, d) => Multimodal.audioQuery(s, Tables.documents(s, d))),
     "sim_mips" -> ((s, d) =>
       Similarity.mipsTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
     "q_array_agg" -> ((s, d) => Relational.orderQuantityProfile(Tables.lineitem(s, d))),
@@ -1246,6 +1249,18 @@ object SparkEntry {
       """SELECT min(doc_id) AS media_id, sha256(text) AS payload_sha,
         |  count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY media_id""".stripMargin,
+    // WAV ground truth: fixtures encoded from closed-form parameters of
+    // doc_id (constant-amplitude PCM s16le), so any chunk-walk / byte-
+    // order / sign-extension fault in the decoder hash-mismatches.
+    // n_bytes = RIFF(12) + fmt(24) + LIST(18) + data hdr(8) + frames*ch*2.
+    "mm_audio" ->
+      """SELECT doc_id AS media_id,
+        |  62 + (50 + doc_id % 100) * (1 + doc_id % 2) * 2 AS n_bytes,
+        |  8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |  1 + doc_id % 2 AS n_channels,
+        |  50 + doc_id % 100 AS n_frames,
+        |  (doc_id * 37) % 1000 AS mean_abs
+        |FROM documents ORDER BY media_id""".stripMargin,
     "sim_mips" -> OracleSql.simMips(8, 5),
     "q_array_agg" ->
       """WITH g AS (

@@ -341,4 +341,116 @@ object Multimodal {
       .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_copies"))
       .select("media_id", "payload_sha", "n_copies")
       .orderBy("media_id")
+
+  // ---------------------------------------------------------------------
+  // Audio: real WAV (RIFF) codec — header/chunk walk + PCM sample decode
+  // ---------------------------------------------------------------------
+
+  /** Features of one PCM WAV asset; -1 sentinels for undecodable bytes. */
+  final case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Long,
+                                 n_channels: Long, n_frames: Long, mean_abs: Long)
+
+  def fxSampleRate(id: Long): Int = 8000 + floorMod(id, 3).toInt * 4000
+  def fxChannels(id: Long): Int = 1 + floorMod(id, 2).toInt
+  def fxFrames(id: Long): Int = 50 + floorMod(id, 100).toInt
+  def fxAmplitude(id: Long): Int = floorMod(id * 37, 1000).toInt
+
+  /** Encode a real PCM s16le WAV: RIFF header, fmt chunk, a skippable
+    * LIST metadata chunk (so the decoder's chunk walk is exercised), data
+    * chunk of constant-amplitude samples. Total = 62 + frames*ch*2. */
+  def encodeWav(sampleRate: Int, channels: Int, frames: Int, amplitude: Int): Array[Byte] = {
+    val dataBytes = frames * channels * 2
+    val total = 62 + dataBytes
+    val p = new Array[Byte](total)
+    var i = 0
+    def ascii(s: String): Unit = { s.foreach { c => p(i) = c.toByte; i += 1 } }
+    def u16(v: Int): Unit = { p(i) = v.toByte; p(i + 1) = (v >>> 8).toByte; i += 2 }
+    def u32(v: Int): Unit = {
+      p(i) = v.toByte; p(i + 1) = (v >>> 8).toByte
+      p(i + 2) = (v >>> 16).toByte; p(i + 3) = (v >>> 24).toByte; i += 4
+    }
+    ascii("RIFF"); u32(total - 8); ascii("WAVE")
+    ascii("fmt "); u32(16); u16(1); u16(channels); u32(sampleRate)
+    u32(sampleRate * channels * 2); u16(channels * 2); u16(16)
+    ascii("LIST"); u32(10); ascii("INFOgraft!")
+    ascii("data"); u32(dataBytes)
+    var n = 0
+    while (n < frames * channels) { u16(amplitude & 0xFFFF); n += 1 }
+    p
+  }
+
+  /** The synthetic audio payload for one id: a real PCM WAV whose ground
+    * truth is closed-form in the id. */
+  def syntheticWav(id: Long): Array[Byte] =
+    encodeWav(fxSampleRate(id), fxChannels(id), fxFrames(id), fxAmplitude(id))
+
+  /** Media table of real WAV payloads, one per document id. */
+  def syntheticAudioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) => MediaRecord(id, "audio", syntheticWav(id), src) })
+      .toDF()
+  }
+
+  private def audioUnknown(r: MediaRecord): AudioFeatures =
+    AudioFeatures(r.media_id, r.payload.length.toLong, -1L, -1L, -1L, -1L)
+
+  /** Real WAV decode: RIFF/WAVE magic, chunk walk with even-byte padding,
+    * fmt parse (PCM s16 only), signed-16 little-endian sample decode with
+    * exact integer mean |amplitude|. Malformed bytes degrade to -1
+    * sentinels, never an exception. */
+  def decodeWav(r: MediaRecord): AudioFeatures = {
+    val p = r.payload
+    try {
+      if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+          p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return audioUnknown(r)
+      def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+      def u32(o: Int): Long =
+        (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) | ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+      var i = 12
+      var sr = -1L; var ch = -1; var bits = -1; var fmtOk = false
+      var frames = -1L; var meanAbs = -1L
+      while (i + 8 <= p.length) {
+        val cid = new String(p, i, 4, "US-ASCII")
+        val len = u32(i + 4)
+        val body = i + 8
+        if (body + len > p.length) return audioUnknown(r)
+        cid match {
+          case "fmt " =>
+            if (len < 16) return audioUnknown(r)
+            val audioFormat = u16(body)
+            ch = u16(body + 2); sr = u32(body + 4); bits = u16(body + 14)
+            fmtOk = audioFormat == 1 && bits == 16 && ch > 0
+          case "data" =>
+            if (!fmtOk) return audioUnknown(r) // data before a valid fmt
+            val nSamples = len / 2
+            if (nSamples % ch != 0) return audioUnknown(r)
+            var sum = 0L; var n = 0L
+            while (n < nSamples) {
+              val v = (u16(body + (n * 2).toInt) << 16) >> 16 // sign-extend s16
+              sum += math.abs(v); n += 1
+            }
+            frames = nSamples / ch
+            meanAbs = if (nSamples == 0) 0L else sum / nSamples
+          case _ => () // skippable chunk (LIST, INFO, cue, ...)
+        }
+        i = body + len.toInt + (len.toInt & 1) // chunks pad to even length
+      }
+      if (!fmtOk || frames < 0) audioUnknown(r)
+      else AudioFeatures(r.media_id, p.length.toLong, sr, ch.toLong, frames, meanAbs)
+    } catch { case _: RuntimeException => audioUnknown(r) }
+  }
+
+  /** Partition-wise audio decode (same streamed shape as the image path). */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(decodeWav))
+  }
+
+  /** End-to-end audio features query: real WAV fixtures, real decode. */
+  def audioQuery(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractAudioFeatures(syntheticAudioTable(docs)).toDF().orderBy("media_id")
 }

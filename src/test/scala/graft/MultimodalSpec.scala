@@ -104,6 +104,41 @@ class MultimodalSpec extends SparkSpec {
     assert(f == f2)
   }
 
+  test("planted WAV: chunk walk skips LIST, pads odd chunks, decodes signed s16le") {
+    // hand-built: RIFF/WAVE, an ODD-length junk chunk (3 bytes -> 1 pad
+    // byte), fmt (PCM, 2ch, 8000Hz, 16bit), data with 2 frames of
+    // (+100,-200),(+300,-400): mean_abs = (100+200+300+400)/4 = 250
+    def le16(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF)
+    def le32(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF)
+    def ascii(s: String) = s.map(_.toInt)
+    val junk = ascii("junk") ++ le32(3) ++ Seq(9, 9, 9, 0) // odd len + pad
+    val fmt = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(32000) ++ le16(4) ++ le16(16)
+    val data = ascii("data") ++ le32(8) ++ le16(100) ++ le16(-200 & 0xFFFF) ++
+      le16(300) ++ le16(-400 & 0xFFFF)
+    val body = junk ++ fmt ++ data
+    val wav = (ascii("RIFF") ++ le32(4 + body.size) ++ ascii("WAVE") ++ body).map(_.toByte).toArray
+    val f = Multimodal.decodeWav(graft.ext.MediaRecord(5L, "audio", wav, "s"))
+    assert(f.sample_rate == 8000 && f.n_channels == 2 && f.n_frames == 2)
+    assert(f.mean_abs == 250, s"sign extension must hold: got ${f.mean_abs}")
+    // truncated data chunk, and data before fmt, both degrade
+    val truncated = wav.dropRight(2)
+    assert(Multimodal.decodeWav(graft.ext.MediaRecord(5L, "audio", truncated, "s")).sample_rate == -1)
+    assert(Multimodal.decodeWav(graft.ext.MediaRecord(5L, "audio", "RIFFxxxxWAVE".getBytes, "s")).n_frames == -1)
+  }
+
+  test("WAV round-trip: synthetic fixtures decode to closed-form ground truth, distributed") {
+    for (id <- 0L to 40L) {
+      val f = Multimodal.decodeWav(graft.ext.MediaRecord(id, "audio", Multimodal.syntheticWav(id), "s"))
+      assert(f.sample_rate == Multimodal.fxSampleRate(id), s"id=$id")
+      assert(f.n_channels == Multimodal.fxChannels(id) && f.n_frames == Multimodal.fxFrames(id), s"id=$id")
+      assert(f.mean_abs == Multimodal.fxAmplitude(id), s"id=$id")
+    }
+    val f = Multimodal.extractAudioFeatures(Multimodal.syntheticAudioTable(docs.repartition(5)))
+      .collect().map(x => x.media_id -> x).toMap
+    assert(f(2L).sample_rate == Multimodal.fxSampleRate(2L) && f(3L).mean_abs == Multimodal.fxAmplitude(3L))
+  }
+
   test("frame sampling explodes one row per stride offset") {
     val frames = Multimodal.sampleFrames(Multimodal.asMediaTable(docs), stride = 100)
       .as[(Long, Long)].collect().toSeq

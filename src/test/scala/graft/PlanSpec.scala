@@ -114,6 +114,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.takeRight(1200))
   }
 
+  test("scd2 extend: no scalar max-version aggregate subtree in the plan") {
+    // the caller-attested newestVersion folds in as a literal; round 10's
+    // plan carried 4 duplicated one-row SinglePartition aggregate pairs
+    val p = q("pipeline_scd2_extend")
+    assert(!p.contains("SinglePartition"),
+      "no one-row scalar exchange may remain: " + p.linesIterator.filter(_.contains("SinglePartition")).mkString("; "))
+  }
+
+  test("small-graph clustering fast path plans a broadcast label join, no iterative loop") {
+    // below the cap the labels come from driver union-find and join back
+    // broadcast: the returned plan must contain no shuffle of the corpus
+    // on the label column and exactly one join
+    val nodes = spark.range(0, 100).selectExpr("id AS doc_id")
+    val pairs = spark.range(0, 30).selectExpr("id AS a", "id + 1 AS b")
+    val df = ext.Dedup.clusterPairs(nodes, pairs, "doc_id")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.takeRight(500))
+    assert(!p.contains("SortMergeJoin"), "label attach must broadcast, not shuffle the corpus")
+  }
+
   test("cdc apply: one aggregation + one full-outer equi-join, no window over the log") {
     val p = q("pipeline_cdc_apply")
     assert(!p.contains("CartesianProduct"), p.takeRight(800))
