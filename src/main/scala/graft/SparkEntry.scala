@@ -410,6 +410,10 @@ object SparkEntry {
     // real WAV (RIFF) audio decode over real encoded fixtures — the audio
     // face of the multimodal codec (chunk walk, PCM s16le sample decode)
     "mm_audio" -> ((s, d) => Multimodal.audioQuery(s, Tables.documents(s, d))),
+    // real PNG decode over real encoded fixtures: CRC-verified chunk walk,
+    // zlib inflate (Inflater), full scanline unfilter across all 5 filter
+    // types, per-channel means for gray/RGB/RGBA
+    "mm_png" -> ((s, d) => Multimodal.pngQuery(s, Tables.documents(s, d))),
     "sim_mips" -> ((s, d) =>
       Similarity.mipsTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
     "q_array_agg" -> ((s, d) => Relational.orderQuantityProfile(Tables.lineitem(s, d))),
@@ -1261,6 +1265,36 @@ object SparkEntry {
         |  50 + doc_id % 100 AS n_frames,
         |  (doc_id * 37) % 1000 AS mean_abs
         |FROM documents ORDER BY media_id""".stripMargin,
+    // PNG ground truth: fixture pixels are the gradient (3x + 7y + off_c)
+    // mod 256, so the oracle recomputes the exact per-channel sums pixel
+    // by pixel — a decoder that mis-reverses any scanline filter (the
+    // encoder cycles all 5) diverges on the graded means. n_bytes is
+    // closed-form because IDAT uses stored-block zlib framing:
+    // 8 (sig) + 25 (IHDR) + 12 + [2 + 5 + raw + 4] (IDAT) + 12 (IEND)
+    // = 68 + raw, raw = h * (1 + w * bpp).
+    "mm_png" ->
+      """WITH par AS (
+        |  SELECT doc_id, doc_id % 12 + 5 AS w, doc_id % 9 + 4 AS h, doc_id % 3 AS m
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, m, u.x, v.y
+        |  FROM par, unnest(range(0, w)) AS u(x), unnest(range(0, h)) AS v(y)),
+        |s AS (
+        |  SELECT doc_id, w, h, m,
+        |    sum((3*x + 7*y + (doc_id*13) % 256) % 256)::BIGINT AS s0,
+        |    sum((3*x + 7*y + (doc_id*7) % 256) % 256)::BIGINT AS s1,
+        |    sum((3*x + 7*y + (doc_id*3) % 256) % 256)::BIGINT AS s2,
+        |    sum((3*x + 7*y + (doc_id*5) % 256) % 256)::BIGINT AS s3
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id AS media_id,
+        |  68 + h * (1 + w * (CASE m WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)) AS n_bytes,
+        |  w AS width, h AS height,
+        |  CASE m WHEN 0 THEN 'gray' WHEN 1 THEN 'rgb' ELSE 'rgba' END AS color_type,
+        |  s0 // (w*h) AS mean_r,
+        |  CASE WHEN m = 0 THEN s0 // (w*h) ELSE s1 // (w*h) END AS mean_g,
+        |  CASE WHEN m = 0 THEN s0 // (w*h) ELSE s2 // (w*h) END AS mean_b,
+        |  CASE WHEN m = 2 THEN s3 // (w*h) ELSE CAST(-1 AS BIGINT) END AS mean_a
+        |FROM s ORDER BY media_id""".stripMargin,
     "sim_mips" -> OracleSql.simMips(8, 5),
     "q_array_agg" ->
       """WITH g AS (
