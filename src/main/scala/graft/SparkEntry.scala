@@ -75,6 +75,14 @@ object SparkEntry {
         docs.filter(col("source") === "src0")
           .unionByName(docs.filter(col("source") === "src1")))
     }),
+    // ---- sources: non-parquet ingestion, graded as a full write→parse
+    // round trip over adversarial content (embedded quotes/commas/
+    // newlines/unicode/NULLs) — the oracle computes the same frame from
+    // parquet, so any escaping fault in either direction mismatches ----
+    "src_csv" -> ((s, d) =>
+      graft.sources.Ingest.csvRoundTrip(s, Tables.documents(s, d), d)),
+    "src_jsonl" -> ((s, d) =>
+      graft.sources.Ingest.jsonlRoundTrip(s, Tables.documents(s, d), d)),
     // ---- relational surface (SURVEY.md §2.2) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q_filter_project" -> ((s, d) => Relational.filterProject(Tables.lineitem(s, d))),
@@ -620,6 +628,23 @@ object SparkEntry {
       s"""WITH tok AS ($tokSql)
          |SELECT word, count(*) AS cnt FROM tok
          |WHERE doc IN ('src0', 'src1') GROUP BY word ORDER BY word""".stripMargin,
+    // the round trip is graded against the frame computed straight from
+    // parquet: identical output means the CSV/JSONL write+parse was
+    // lossless on quotes, separators, record breaks, unicode, and NULLs
+    "src_csv" ->
+      """SELECT doc_id, text,
+        |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
+        |  nullif(lang, 'es') AS lang_or_null,
+        |  n_chars,
+        |  n_chars / 4.0 AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_jsonl" ->
+      """SELECT doc_id, text,
+        |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
+        |  nullif(lang, 'es') AS lang_or_null,
+        |  n_chars,
+        |  n_chars / 4.0 AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // ---- relational surface; money math mirrored in exact integer cents ----
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

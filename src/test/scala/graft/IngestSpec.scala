@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+/** Non-parquet ingestion: CSV and JSONL write→parse round trips must be
+  * lossless on the content that breaks naive delimited-text handling —
+  * embedded quotes, separators, record breaks (LF and CRLF), backslashes,
+  * unicode, and NULLs — and malformed input must fail loudly, not
+  * silently drop rows. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // text values chosen to attack the CSV grammar: quote chars, the field
+  // separator, LF and CRLF record breaks, backslashes (the default Spark
+  // escape char — must NOT be treated as an escape under RFC-4180 "" mode),
+  // and multi-byte unicode
+  private lazy val gnarly = Seq(
+    (1L, "plain words", "en", 11L),
+    (2L, "comma, inside, fields", "de", 21L),
+    (3L, "a \"quoted\" value", "es", 16L),
+    (4L, "line\nbreak and\r\ncrlf", "fr", 20L),
+    (5L, "back\\slash \\\" combo", "en", 19L),
+    (6L, "unicode é—☃ 中文 ✓", "zh", 16L),
+    (7L, "trailing space ", "de", 15L),
+    (8L, "\"leads and trails\"", "es", 18L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "text", "tricky", "lang_or_null", "n_chars", "score")
+      .as[(Long, String, String, Option[String], Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+
+  test("CSV round trip is lossless on quotes, separators, record breaks, unicode, NULLs") {
+    val want = asTuples(Ingest.adversarialFrame(gnarly))
+    val got = asTuples(Ingest.csvRoundTrip(spark, gnarly, "/tmp/ingest_spec_csv"))
+    assert(got == want)
+    // the NULL column really was null after the trip, not the string "null"
+    assert(got.filter(_._4.isEmpty).map(_._1) == Seq(3L, 8L))
+  }
+
+  test("JSONL round trip is lossless on the same adversarial content") {
+    val want = asTuples(Ingest.adversarialFrame(gnarly))
+    val got = asTuples(Ingest.jsonlRoundTrip(spark, gnarly, "/tmp/ingest_spec_jsonl"))
+    assert(got == want)
+  }
+
+  test("reads use the explicit schema, not inference") {
+    val back = Ingest.csvRoundTrip(spark, gnarly, "/tmp/ingest_spec_schema")
+    assert(back.schema == Ingest.roundTripSchema)
+    val backJ = Ingest.jsonlRoundTrip(spark, gnarly, "/tmp/ingest_spec_schema_j")
+    assert(backJ.schema == Ingest.roundTripSchema)
+  }
+
+  test("the writer emits multiple part files (multiLine CSV parallelism is per-file)") {
+    Ingest.csvRoundTrip(spark, gnarly, "/tmp/ingest_spec_parts")
+    val dir = new java.io.File(
+      s"/tmp/graft_ingest_${spark.sparkContext.applicationId}_" +
+        "_tmp_ingest_spec_parts/csv")
+    assert(dir.listFiles().count(_.getName.endsWith(".csv")) > 1)
+  }
+
+  test("malformed JSONL fails loudly under FAILFAST instead of dropping rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest_bad").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-00000.json").toPath,
+      """{"doc_id": 1, "text": "ok"}""" + "\n" + """{"doc_id": BROKEN""" + "\n")
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(Ingest.roundTripSchema)
+        .option("mode", "FAILFAST").json(dir.getAbsolutePath).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+}
