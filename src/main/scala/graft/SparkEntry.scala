@@ -437,6 +437,11 @@ object SparkEntry {
           sum(Relational.cents(col("o_totalprice"))).as("revenue_cents"))
         .orderBy("c_mktsegment")
     }),
+    // lake OPTIMIZE: 64 tiny ingest landings bin-packed (no shuffle —
+    // coalesce) into ~target-size files; graded on exact content
+    // preservation, the one thing compaction must never change
+    "lake_compact" -> ((s, d) =>
+      ext.Lake.compactRoundTrip(s, Tables.documents(s, d), d)),
     "pipeline_domain_cap" -> ((s, d) =>
       ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -1348,6 +1353,11 @@ object SparkEntry {
         |  sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS revenue_cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // compaction changes the LAYOUT, never the answer: the oracle is the
+    // plain projection
+    "lake_compact" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_domain_cap" ->
       """SELECT doc_id, source, n_chars, rank_in_domain FROM (
         |  SELECT doc_id, source, n_chars,

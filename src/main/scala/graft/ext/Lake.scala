@@ -58,4 +58,69 @@ object Lake {
     spark.table(s"graft_bl_$id").hint("merge")
       .join(spark.table(s"graft_br_$id"), key)
   }
+
+  // ---------------------------------------------------------------------
+  // Small-file compaction (OPTIMIZE): the lake maintenance op that keeps
+  // scan parallelism proportional to bytes, not to ingest batch count.
+  // ---------------------------------------------------------------------
+
+  /** What one compaction pass did (for monitoring/accounting). */
+  final case class CompactionStats(filesBefore: Int, bytesBefore: Long, filesAfter: Int)
+
+  /** Rewrite a parquet directory of many small files into
+    * `ceil(bytes / targetBytes)` files of ~target size, content
+    * unchanged.
+    *
+    * Why it matters at 100 TB: streaming/micro-batch ingest lands one
+    * file set per trigger, so a table's file count grows with TIME while
+    * its bytes grow with DATA — after a month, a scan pays footer reads,
+    * driver listing, and task-launch overhead per tiny file and the
+    * planner can no longer form byte-dense splits. Compaction is the
+    * standard OPTIMIZE pass every lakehouse runs (Delta/Iceberg bin-
+    * packing); output file count derives from measured input BYTES.
+    *
+    * Shape: `coalesce(n)`, NOT `repartition(n)` — pure bin-packing needs
+    * no shuffle (each output task concatenates whole input files); a
+    * shuffle would move every byte of the table through the exchange
+    * for zero layout benefit. When compaction should also re-cluster,
+    * that is the z-order path (`ext/Zorder`), which pays the sort
+    * knowingly. Stats come from the file LISTING, not a count() over the
+    * data — compaction never deserializes rows it merely repacks. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): CompactionStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val parts = fs.listStatus(in)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    CompactionStats(parts.length, bytes, after)
+  }
+
+  /** Graded query: fragment the documents table into 64 tiny files (a
+    * stand-in for per-trigger ingest landings), compact to ~1 MiB
+    * targets, and return the compacted table's CONTENT — the oracle is
+    * the same projection straight from parquet, so compaction is graded
+    * on the only thing it must preserve exactly. The landing dir is
+    * stable per (session, sfDir) and wiped per run (same hygiene as the
+    * stream sink). */
+  def compactRoundTrip(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_compact_${spark.sparkContext.applicationId}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base)) fs.delete(base, true)
+    val frag = s"$base/frag"; val packed = s"$base/packed"
+    docs.repartition(64).write.parquet(frag)
+    compact(spark, frag, packed, 1L << 20)
+    spark.read.parquet(packed)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
 }

@@ -38,4 +38,44 @@ class LakeSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), plan.takeRight(1200))
     assert(!plan.contains("hashpartitioning(o_custkey"), plan.takeRight(1200))
   }
+
+  // ---- small-file compaction ----
+
+  test("compact bin-packs files to the byte-derived count and preserves content exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("lake_compact").toString
+    docs.repartition(32).write.parquet(s"$base/frag")
+    val before = new java.io.File(s"$base/frag").listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+    val bytes = before.map(_.length).sum
+    // target = half the total bytes -> exactly 2 output files
+    val stats = ext.Lake.compact(spark, s"$base/frag", s"$base/packed", (bytes + 1) / 2)
+    assert(stats.filesBefore == 32 && stats.bytesBefore == bytes)
+    assert(stats.filesAfter == 2)
+    val got = spark.read.parquet(s"$base/packed")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("compact plans without a shuffle: coalesce, not repartition") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("lake_compact_plan").toString
+    docs.repartition(16).write.parquet(s"$base/frag")
+    // replicate the compaction read+coalesce and check its plan directly
+    val plan = spark.read.parquet(s"$base/frag").coalesce(2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Coalesce"), plan.takeRight(800))
+    assert(!plan.contains("Exchange"), plan.takeRight(800))
+  }
+
+  test("compact of a tiny table still emits at least one file") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("lake_compact_one").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(8).write.parquet(s"$base/frag")
+    val stats = ext.Lake.compact(spark, s"$base/frag", s"$base/packed", 1L << 30)
+    assert(stats.filesAfter == 1)
+    assert(spark.read.parquet(s"$base/packed").count() == 2)
+  }
 }
