@@ -121,6 +121,10 @@ object SparkEntry {
     // late-data drop accounting: planted rows beyond the watermark must
     // be dropped and unfinalized windows withheld (see lateFixtureDir)
     "stream_late" -> ((s, d) => streaming.EventsStream.lateWindowCountsLanded(s, d)),
+    // stream-stream LEFT OUTER interval join: unmatched purchases must
+    // land with null error columns exactly when the watermark proves no
+    // match can arrive — and the in-flight advancer must NOT land
+    "stream_outer_join" -> ((s, d) => streaming.EventsStream.outerJoinLanded(s, d)),
     "q_json" -> ((s, d) => Relational.eventPropStats(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) =>
       rel.TemporalJoins.latestOrderPerEvent(Tables.events(s, d), Tables.orders(s, d))),
@@ -780,6 +784,25 @@ object SparkEntry {
         |  event_type, count(*) AS n
         |FROM kept
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // the outer-join fixture is closed-form in event_id (purchases on the
+    // 29-grid, errors on the 31-grid, users mod 100); the oracle is the
+    // plain batch LEFT JOIN — matched multiplicity AND null emission for
+    // unmatched purchases both under grade. The T0+30d advancer rows are
+    // absent here because the engine must leave them un-emitted (their
+    // watermark horizon never closes before the stream ends).
+    "stream_outer_join" ->
+      """WITH p AS (
+        |  SELECT event_id, (event_id // 10) % 100 AS user_id,
+        |    (1704067200 + (event_id % 29) * 600)::BIGINT AS ts_sec
+        |  FROM events WHERE event_id % 10 = 0),
+        |e AS (
+        |  SELECT (event_id // 10) % 100 AS user_id,
+        |    (1704067200 + (event_id % 31) * 600)::BIGINT AS err_sec
+        |  FROM events WHERE event_id % 10 = 1)
+        |SELECT p.event_id, p.user_id, p.ts_sec, e.err_sec
+        |FROM p LEFT JOIN e ON p.user_id = e.user_id
+        |  AND p.ts_sec >= e.err_sec AND p.ts_sec <= e.err_sec + 1800
+        |ORDER BY p.event_id, e.err_sec""".stripMargin,
     // session_window's interval is end-EXCLUSIVE: an event at exactly
     // last_ts + gap starts a NEW session, hence >= in the island test
     // (q_sessions' custom sessionizer uses strict >, a deliberate

@@ -287,22 +287,30 @@ object EventsStream {
       .withColumn("ts", ts(lit(LateT0) + (col("event_id") % 20) * 3600L))
     val advancers = ev.filter(col("event_id") % 20 === 19)
       .withColumn("ts", ts(lit(LateT0) + 50L * 3600L + (col("event_id") % 2) * 3600L))
-    def writeOne(df: DataFrame, target: java.nio.file.Path, mtimeMs: Long): Unit = {
-      val tmp = dir.resolve(s"_stage_${target.getFileName}")
-      df.select("event_id", "event_type", "ts")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
-      Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-      Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
+    def writeOne(df: DataFrame, target: java.nio.file.Path, mtimeMs: Long): Unit =
+      stageSingleFile(df.select("event_id", "event_type", "ts"), dir, target, mtimeMs)
     val now = System.currentTimeMillis()
     writeOne(onTime, b1, now - 120000L)
     writeOne(carriers, b2, now - 60000L)
     writeOne(late.unionByName(advancers), b3, now)
     dir.toString
+  }
+
+  /** Write `df` (already projected) as exactly ONE parquet file at
+    * `target` with a forced modification time — the unit of micro-batch
+    * staging: the streaming file source processes oldest-mtime first, so
+    * fixture batch order is deterministic. */
+  private def stageSingleFile(df: DataFrame, dir: java.nio.file.Path,
+                              target: java.nio.file.Path, mtimeMs: Long): Unit = {
+    import java.nio.file.Files
+    val tmp = dir.resolve(s"_stage_${target.getFileName}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.delete(p))
+    Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
   /** The late-data fixture as a two-batch stream (one file per
@@ -327,6 +335,105 @@ object EventsStream {
   def lateWindowCountsLanded(spark: SparkSession, sfDir: String): DataFrame =
     drainToTable(spark, lateWindowAgg(lateStream(spark, sfDir)), "late", "append")
       .orderBy("hour_start", "event_type")
+
+  // -------------------------------------------------------------------
+  // Stream-stream LEFT OUTER join (graded): unmatched rows must emit
+  // with nulls — and only once the watermark PROVES no match can still
+  // arrive. A two-batch fixture finalizes every graded row.
+  // -------------------------------------------------------------------
+
+  /** Schema of the outer-join fixture batches. `kind` splits the one
+    * staged stream into the join's two sides. */
+  val outerSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("kind", StringType),
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType)))
+
+  /** Stage the two-batch outer-join fixture, closed-form in event_id so
+    * a SQL oracle recomputes the exact match/no-match ground truth:
+    *
+    *  - batch1 purchases (id mod 10 = 0): user = (id div 10) mod 100,
+    *    ts = T0 + (id mod 29)·10 min; errors (id mod 10 = 1): user =
+    *    (id div 10) mod 100, ts = T0 + (id mod 31)·10 min. The user key
+    *    derives from id div 10 — NOT id mod 100, which would partition
+    *    purchase and error users into disjoint residue classes and make
+    *    every row vacuously unmatched. The co-prime 29/31 grids plus the
+    *    30-min band give every purchase a deterministic mix of 0..n
+    *    matches.
+    *  - batch2 advancers: one purchase-kind and one error-kind row at
+    *    T0 + 30 days under users -1/-2 (matchable by nothing). They push
+    *    the final watermark past every batch1 row's match horizon, so
+    *    the engine must EVICT-AND-EMIT every unmatched batch1 purchase
+    *    with null error columns. The advancer purchase itself stays
+    *    unemitted — its own horizon never closes — which is itself under
+    *    grade: an engine that flushes state at stream end (instead of by
+    *    watermark proof) lands an extra row and hash-mismatches. */
+  def outerFixtureDir(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(s"/tmp/graft_stream_outer_${spark.sparkContext.applicationId}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val b1 = dir.resolve("batch1.parquet")
+    val b2 = dir.resolve("batch2.parquet")
+    if (Files.exists(b1) && Files.exists(b2)) return dir.toString
+    Files.createDirectories(dir)
+    val ev = graft.Tables.events(spark, sfDir).select(col("event_id"))
+    def ts(secs: Column): Column = timestamp_seconds(secs)
+    val purchases = ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), lit("purchase").as("kind"),
+        expr("(event_id div 10) % 100").as("user_id"),
+        ts(lit(LateT0) + (col("event_id") % 29) * 600L).as("ts"))
+    val errors = ev.filter(col("event_id") % 10 === 1)
+      .select(col("event_id"), lit("error").as("kind"),
+        expr("(event_id div 10) % 100").as("user_id"),
+        ts(lit(LateT0) + (col("event_id") % 31) * 600L).as("ts"))
+    val spark2 = spark
+    import spark2.implicits._
+    val advancers = Seq(
+      (-1L, "purchase", -1L), (-2L, "error", -2L)
+    ).toDF("event_id", "kind", "user_id")
+      .select(col("event_id"), col("kind"), col("user_id"),
+        ts(lit(LateT0) + 30L * 86400L).as("ts"))
+    val now = System.currentTimeMillis()
+    stageSingleFile(purchases.unionByName(errors), dir, b1, now - 60000L)
+    stageSingleFile(advancers, dir, b2, now)
+    dir.toString
+  }
+
+  /** The outer-join fixture as a two-batch stream (oldest file first). */
+  def outerStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(outerSchema).option("maxFilesPerTrigger", "1")
+      .parquet(outerFixtureDir(spark, sfDir))
+
+  /** Stream-stream LEFT OUTER interval join: every purchase, with the
+    * errors by the same user in the 30 minutes before it — or nulls if
+    * the watermark proves there were none. Both sides watermarked (join
+    * state is bounded by the band + delay); the time constraint in the
+    * join condition is what lets the engine evict matched state AND
+    * decide when an unmatched left row is safe to emit. */
+  def purchasesWithErrorContext(stream: DataFrame, bandMinutes: Int = 30): DataFrame = {
+    val purchases = stream.filter(col("kind") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val errors = stream.filter(col("kind") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    purchases.join(errors,
+      expr(s"""user_id = err_user AND
+              |ts >= err_ts AND ts <= err_ts + interval $bandMinutes minutes""".stripMargin),
+      "left_outer")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        unix_timestamp(col("err_ts")).as("err_sec"))
+  }
+
+  /** Graded query: the landed outer-join rows. The oracle is the plain
+    * batch LEFT JOIN over the same closed-form fixture — matched
+    * multiplicity, null emission, and no-flush-at-stop all under grade. */
+  def outerJoinLanded(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark, purchasesWithErrorContext(outerStream(spark, sfDir)),
+      "outer", "append")
+      .orderBy("event_id", "err_sec")
 
   /** Graded query: streaming exact dedup — the distinct (user, event_type)
     * key set via `dropDuplicates` state. Keys are projected AFTER the

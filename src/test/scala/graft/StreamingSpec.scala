@@ -221,4 +221,29 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join: nulls emitted by watermark proof, in-flight withheld") {
+    val landed = EventsStream.outerJoinLanded(spark, dir)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // both classes present: matched rows carry err_sec, unmatched carry null
+    val (matched, unmatched) = landed.partition(_._4.isDefined)
+    assert(matched.nonEmpty && unmatched.nonEmpty)
+    // the advancer purchase (event_id -1) must NOT land: its horizon never
+    // closes, so an engine that flushes state at stream end fails here
+    assert(!landed.exists(_._1 == -1L))
+    // exact parity with the batch left join over the same closed-form fixture
+    val ev = Tables.events(spark, dir).select(col("event_id"))
+    val p = ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), expr("(event_id div 10) % 100").as("user_id"),
+        (lit(1704067200L) + (col("event_id") % 29) * 600L).as("ts_sec"))
+    val e = ev.filter(col("event_id") % 10 === 1)
+      .select(expr("(event_id div 10) % 100").as("err_user"),
+        (lit(1704067200L) + (col("event_id") % 31) * 600L).as("err_sec"))
+    val want = p.join(e, col("user_id") === col("err_user") &&
+        col("ts_sec") >= col("err_sec") && col("ts_sec") <= col("err_sec") + 1800L,
+        "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("err_sec"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(landed.sorted == want.sorted)
+  }
 }
