@@ -360,6 +360,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextStats.qualityScores(Tables.documents(s, d))),
     "text_gopher" -> ((s, d) => TextStats.gopherQualityFlags(Tables.documents(s, d))),
     "text_chunks" -> ((s, d) => TextStats.chunkDocuments(Tables.documents(s, d), 32, 24)),
+    // content-defined chunking: every boundary decision (rolling-window
+    // mask hit) is under grade, not just the chunk counts
+    "text_cdc_chunks" -> ((s, d) => TextStats.cdcChunks(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextStats.languageId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
@@ -1014,6 +1017,33 @@ object SparkEntry {
     "pipeline_decon_embedding" -> OracleSql.crossSemanticPairs(50, 550, 0.4),
     "text_gopher" -> OracleSql.gopherQuality(50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2),
     "text_chunks" -> OracleSql.chunkDocuments(32, 24),
+    // CDC ground truth: the rolling-window sum and mask test recomputed
+    // character by character — a boundary placed or missed anywhere
+    // shifts chunk_start/len/sum for the rest of the document
+    "text_cdc_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i, unicode(substr(text, i::INT, 1))::BIGINT AS code
+        |  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+        |  WHERE len(text) > 0),
+        |r AS (
+        |  SELECT doc_id, i, code,
+        |    sum(code) OVER w AS wsum, count(*) OVER w AS wn
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT doc_id, i, code,
+        |    CASE WHEN wn = 8 AND wsum % 16 = 0 THEN 1 ELSE 0 END AS is_b
+        |  FROM r),
+        |g AS (
+        |  SELECT doc_id, i, code,
+        |    coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+        |  FROM m)
+        |SELECT doc_id, cidx::BIGINT AS chunk_idx, min(i)::BIGINT AS chunk_start,
+        |  count(*)::BIGINT AS chunk_len, sum(code)::BIGINT AS chunk_sum
+        |FROM g GROUP BY doc_id, cidx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipeline_pack" -> OracleSql.packSequences(2048),
     "pipeline_pack_tokens" -> OracleSql.packedBatches(2048),
     // exact membership semantics: the bloom prefilter must not change the

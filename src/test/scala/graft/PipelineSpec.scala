@@ -338,6 +338,46 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0)._5.endsWith("c") && rows(1)._5.startsWith("c"))
   }
 
+  test("cdcChunks: boundaries at window-sum mask hits; chunks tile the document exactly") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val rows = graft.ext.TextStats.cdcChunks(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(_._1 == 1L)) // empty doc: no chunks
+    // chunks tile [1, len] contiguously and sums add to the doc's code sum
+    assert(rows.head._3 == 1L)
+    rows.sliding(2).foreach { case Seq(a, b) => assert(b._3 == a._3 + a._4); case _ => () }
+    assert(rows.map(_._4).sum == text.length.toLong)
+    assert(rows.map(_._5).sum == text.codePoints().toArray.map(_.toLong).sum)
+    // every internal boundary is a genuine mask hit of the trailing window
+    val cps = text.codePoints().toArray
+    for (r <- rows.dropRight(1)) {
+      val endIdx = (r._3 + r._4 - 2).toInt // 0-based index of the chunk's last char
+      val wsum = (endIdx - 7 to endIdx).map(cps(_).toLong).sum
+      assert(endIdx >= 7 && wsum % 16 == 0, s"chunk $r closed without a mask hit")
+    }
+  }
+
+  test("cdcChunks is shift-resilient: a prefix edit leaves later chunk identities intact") {
+    // ~400 chars of deterministic varied content: enough chunks that the
+    // realigned suffix dominates the document
+    val base = (1 to 80).map(i => ('a' + i * 7 % 23).toChar.toString * (i % 3 + 1)).mkString(" ")
+    val edited = "XYZ inserted! " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = graft.ext.TextStats.cdcChunks(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // chunk identity = (len, content sum) — what a block-dedup store keys on
+    val keys1 = rows.filter(_._1 == 1L).map(r => (r._4, r._5))
+    val keys2 = rows.filter(_._1 == 2L).map(r => (r._4, r._5))
+    // after re-synchronization the chunk streams coincide: the base doc's
+    // chunks from some small index on all reappear in the edited doc
+    val shared = keys1.indices.find(k => keys2.containsSlice(keys1.drop(k)))
+    assert(shared.isDefined && shared.get <= 2,
+      s"no realignment: base=$keys1 edited=$keys2")
+    // and the realigned suffix is most of the document (not a trivial tail)
+    assert(keys1.drop(shared.get).map(_._1).sum > base.length / 2)
+  }
+
   test("packSequences equals the naive single-partition cumsum; bins respect the target") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
