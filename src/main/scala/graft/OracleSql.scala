@@ -1288,6 +1288,27 @@ object OracleSql {
        |      FROM s GROUP BY 1)""".stripMargin
   }
 
+  /** Feature hashing (mirror of TextStats.hashingTf): the same Horner
+    * fold `(a·31 + code) mod prime` per token — DuckDB `unicode` equals
+    * Spark `ascii` on the tokenizer's output — then bucket by mod and
+    * sign by the next hash bit, so every bucket assignment and every
+    * sign is under grade. */
+  def hashingTf(nBuckets: Int, prime: Long): String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, w AS word FROM toks, unnest(toks) AS u(w) WHERE w <> ''),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        list_transform(range(1, len(word) + 1),
+       |          i -> unicode(substr(word, i::INT, 1))::BIGINT)),
+       |      (a, c) -> (a * 31 + c) % $prime) AS hv
+       |  FROM tok)
+       |SELECT doc_id, hv % $nBuckets AS bucket,
+       |  count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN (hv // $nBuckets) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS signed_sum
+       |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
   def bm25(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String =
     s"""WITH ${bm25Chain(terms, k1, b)}
        |SELECT doc_id, n_hits, score_scaled FROM g

