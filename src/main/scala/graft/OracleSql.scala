@@ -1449,6 +1449,23 @@ object OracleSql {
        |  FROM kk ORDER BY key DESC, doc_id LIMIT $k)
        |SELECT doc_id, weight, key FROM s ORDER BY doc_id""".stripMargin
 
+  /** JL random projection (mirror of Similarity.randomProjection): the
+    * SAME seeded ±1 sign matrix rendered as a VALUES literal (like the
+    * LSH planes), same integer-domain entry, exact BIGINT sums. */
+  def randomProjection(dim: Int, k: Int, seed: Long = 42L): String = {
+    val signs = ext.Similarity.jlSigns(dim, k, seed)
+    val values = (for (c <- 0 until k; d <- 0 until dim)
+      yield s"($d, $c, ${signs(c)(d)})").mkString(", ")
+    s"""WITH x AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s
+       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+       |m(dim, comp, sgn) AS (VALUES $values)
+       |SELECT x.vec_id, m.comp::BIGINT AS comp, sum(m.sgn * x.s)::BIGINT AS proj
+       |FROM x JOIN m USING (dim)
+       |GROUP BY 1, 2 ORDER BY vec_id, comp""".stripMargin
+  }
+
   /** Int8 scalar quantization (mirror of Similarity.quantizeInt8): same
     * integer-domain entry, same exact per-dim max-|s|, same one-double
     * rounding, same dim-ordered CSV rendering. */

@@ -602,6 +602,10 @@ object SparkEntry {
       ext.TrainingPipeline.dataCard(Tables.documents(s, d))),
     // int8 scalar quantization of the embedding corpus (4x compression)
     "sim_quantize" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // JL sign projection: training-free dimensionality reduction in one
+    // codegen'd per-row fold; exact integer math -> hash-graded
+    "sim_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d), dim = 64)),
     // degree/strength profile of the bigram graph (the pre-flight report
     // for any iterative graph computation)
     "graph_degrees" -> ((s, d) => ext.Graph.wordDegreeStats(Tables.documents(s, d))),
@@ -1550,6 +1554,7 @@ object SparkEntry {
     "pipeline_token_budget" -> OracleSql.tokenBudget(15000L),
     "pipeline_datacard" -> OracleSql.dataCard,
     "sim_quantize" -> OracleSql.quantizeInt8,
+    "sim_random_projection" -> OracleSql.randomProjection(64, 8),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)

@@ -672,6 +672,48 @@ object Similarity {
     * so the result is hash-comparable across engines.
     *
     * Columns: vec_id, codes_csv — ordered by vec_id. */
+  /** The deterministic ±1 JL matrix, component-major (`k` rows of `dim`
+    * signs), from a seeded PRNG. A PRNG matrix — not a hash formula: any
+    * per-axis hash combiner (xor, +) makes each sign bit SEPARABLE,
+    * sign(d,c) = f(d)·g(c), which is a rank-1 matrix that collapses every
+    * component onto one direction; even mixed multiplicative hashes of
+    * the pair index leave measurable column correlations. Like the LSH
+    * planes, the literal signs are inlined into both the Spark plan and
+    * the oracle SQL, so determinism is by construction. */
+  def jlSigns(dim: Int, k: Int, seed: Long = 42L): Array[Array[Long]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(k)(Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** Johnson-Lindenstrauss random projection to `k` components
+    * (Achlioptas-style ±1 sign projection): component c of vector v is
+    * Σ_d sign(c,d)·s_d over the exact integer embedding
+    * (`round(v_d·1e6)`) — exact BIGINT arithmetic end-to-end, so the
+    * projection is hash-graded, not tolerance-graded.
+    *
+    * Why it matters at 100 TB: JL projection shrinks a D-dim corpus to k
+    * dims with bounded pairwise-distance distortion using NO training
+    * pass, no codebook, and no state — the cheapest first stage before
+    * LSH/IVF when D is wide. Shape: one codegen'd higher-order fold per
+    * row (`transform` × `aggregate`) over a k×D literal-sign array folded
+    * into the plan as a constant, zero joins, zero shuffles before the
+    * final sort. */
+  def randomProjection(embeddings: DataFrame, dim: Int, k: Int = 8,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       seed: Long = 42L): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    val signs = jlSigns(dim, k, seed)
+    val mat = array(signs.map(row => array(row.map(lit): _*)): _*)
+    val projs = transform(sequence(lit(0), lit(k - 1)), c =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L).cast("long"),
+        (acc, d) => acc + element_at(element_at(mat, c + 1), d + 1) *
+          round(element_at(col(vecCol), d + 1).cast("double") * 1000000.0).cast("long")))
+    embeddings
+      .select(col(idCol), posexplode(projs).as(Seq("comp", "proj")))
+      .select(col(idCol), col("comp").cast("long").as("comp"), col("proj"))
+      .orderBy(idCol, "comp")
+  }
+
   def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     // materialized once: the per-dim scales subjob and the coding join

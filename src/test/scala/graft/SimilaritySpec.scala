@@ -408,4 +408,64 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.quantizeInt8(emb).collect().toSeq ==
       Similarity.quantizeInt8(emb).collect().toSeq)
   }
+
+  test("random projection: hand-computed components on a planted vector") {
+    import spark.implicits._
+    // one 3-dim vector [1.0, 2.0, -1.0] -> s = [1e6, 2e6, -1e6]
+    val emb = Seq((7L, Seq(1.0f, 2.0f, -1.0f))).toDF("vec_id", "embedding")
+    val signs = Similarity.jlSigns(3, 8)
+    val want = (0 until 8).map { c =>
+      (7L, c.toLong,
+        signs(c)(0) * 1000000L + signs(c)(1) * 2000000L + signs(c)(2) * -1000000L)
+    }
+    val got = Similarity.randomProjection(emb, dim = 3, k = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("random projection sign matrix is full-rank with near-balanced, decorrelated columns") {
+    val signs = Similarity.jlSigns(64, 8) // the declared query's matrix
+    // every component column mixes both signs and is roughly balanced
+    for (c <- 0 until 8) {
+      val bal = math.abs(signs(c).sum)
+      assert(bal <= 24, s"component $c sign imbalance $bal")
+    }
+    // pairwise column dot products well below the diagonal (64): the
+    // failure mode of hash-formula matrices is rank collapse — a
+    // separable sign(d,c) = f(d)*g(c) gives |dot| = 64 for every pair
+    for (a <- 0 until 8; b <- 0 until a) {
+      val dot = math.abs((0 until 64).map(d => signs(a)(d) * signs(b)(d)).sum)
+      assert(dot < 40, s"components $a,$b correlated: |dot|=$dot")
+    }
+  }
+
+  test("random projection bounds pairwise-distance distortion, shrinking with k (JL property)") {
+    // distance-correlation is the WRONG metric here: high-dim embeddings
+    // concentrate (all pairwise distances nearly equal), so even a
+    // perfect JL map shows low correlation. The JL guarantee is per-pair
+    // RELATIVE distortion |‖p(a)-p(b)‖²/k / ‖a-b‖² − 1| ~ 1/√k.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(24)
+    val orig = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .map { case (id, v) => id -> v.map(x => math.round(x * 1e6).toDouble).toArray }
+    val ids = orig.keys.toSeq.sorted
+    val pairs = for (i <- ids.indices; j <- 0 until i) yield (ids(i), ids(j))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def meanAbsDistortion(k: Int): Double = {
+      val proj = Similarity.randomProjection(emb, dim = 64, k = k)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (id, rows) =>
+          id -> rows.sortBy(_._2).map(_._3.toDouble).toArray
+        }
+      val ds = pairs.map { case (a, b) => d2(proj(a), proj(b)) / k / d2(orig(a), orig(b)) - 1.0 }
+      assert(ds.forall(d => math.abs(d) < 1.5), "a pair's distance was destroyed, not distorted")
+      ds.map(math.abs).sum / ds.size
+    }
+    val at8 = meanAbsDistortion(8)
+    val at32 = meanAbsDistortion(32)
+    assert(at8 < 0.45, s"k=8 mean |distortion| $at8 (measured 0.35 on this fixture)")
+    assert(at32 < at8, s"distortion must shrink with k: k=8 $at8, k=32 $at32")
+  }
 }
