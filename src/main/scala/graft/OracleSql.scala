@@ -1449,6 +1449,94 @@ object OracleSql {
        |  FROM kk ORDER BY key DESC, doc_id LIMIT $k)
        |SELECT doc_id, weight, key FROM s ORDER BY doc_id""".stripMargin
 
+  /** Contract-hash HyperLogLog (mirror of Sketches.hllDistinct): same
+    * 31-bit multiplicative hash, same integer lowest-set-bit rank (no
+    * log2 — float rounding at power-of-two edges differs across
+    * engines), same grid of empty registers, same one-double estimate
+    * over the exact integer power sum. */
+  def hllDistinct(table: String, groupCol: String, keyCol: String): String = {
+    val alphaLit = String.format(java.util.Locale.ROOT, "%.17E",
+      Double.box(ext.Sketches.HllAlpha * ext.Sketches.HllM * ext.Sketches.HllM *
+        (1L << 26).toDouble))
+    val rankCases = (0 until 25)
+      .map(r => s"WHEN (w & -w) = ${1L << r} THEN ${r + 1}")
+      .mkString("\n         ")
+    s"""WITH h0 AS (
+       |  SELECT $groupCol AS grp, ($keyCol * 2654435761) % 2147483648 AS v
+       |  FROM $table),
+       |h1 AS (SELECT grp, xor(v, v // 65536) AS v FROM h0),
+       |h2 AS (SELECT grp, (v * 2246822519) % 2147483648 AS v FROM h1),
+       |h AS (SELECT grp, xor(v, v // 8192) AS h FROM h2),
+       |r AS (SELECT grp, h % 64 AS register, h // 64 AS w FROM h),
+       |rk AS (
+       |  SELECT grp, register,
+       |    CASE WHEN w = 0 THEN 26
+       |         $rankCases
+       |    END AS rank
+       |  FROM r),
+       |mx AS (SELECT grp, register, max(rank) AS max_rank FROM rk GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT DISTINCT grp, g.register
+       |  FROM h, (SELECT unnest(range(0, 64)) AS register) g),
+       |f AS (
+       |  SELECT grid.grp, grid.register, coalesce(mx.max_rank, 0) AS r
+       |  FROM grid LEFT JOIN mx USING (grp, register)),
+       |agg AS (
+       |  SELECT grp,
+       |    array_to_string(list(r ORDER BY register), ',') AS registers_csv,
+       |    sum((1::BIGINT << (26 - r)::INT))::BIGINT AS pow_sum
+       |  FROM f GROUP BY grp),
+       |ex AS (
+       |  SELECT $groupCol AS grp, count(DISTINCT $keyCol)::BIGINT AS n_distinct_exact
+       |  FROM $table GROUP BY 1)
+       |SELECT agg.grp AS $groupCol, registers_csv, pow_sum,
+       |  CAST(round($alphaLit / pow_sum::DOUBLE * 100.0) AS BIGINT) AS est_scaled,
+       |  n_distinct_exact
+       |FROM agg JOIN ex USING (grp) ORDER BY $groupCol""".stripMargin
+  }
+
+  /** Contract-hash count-min sketch (mirror of Sketches.cmsTokenCounts):
+    * same Horner token hash into 31 bits, same per-row multipliers and
+    * xorshift finalizer, same d×w counter build and min-probe. */
+  def cmsTokenCounts(topK: Int, d: Int = ext.Sketches.CmsD,
+                     w: Int = ext.Sketches.CmsW): String = {
+    def fin(v: String): String = {
+      val a = s"xor(($v), ($v) // 65536)"
+      val b = s"((($a) * 2246822519) % 2147483648)"
+      s"xor(($b), ($b) // 8192)"
+    }
+    val multCase = "CASE r.rw " + ext.Sketches.CmsRowMults.take(d).zipWithIndex
+      .map { case (m, i) => s"WHEN $i THEN $m" }.mkString(" ") + " END"
+    val horner =
+      """list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(word) + 1),
+        |        i -> unicode(substr(word, i::INT, 1))::BIGINT)),
+        |      (a, c) -> (a * 31 + c) % 2147483648)""".stripMargin
+    val cellExpr = s"${fin(s"(hb * mult) % 2147483648")} % $w"
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, t AS word FROM toks, unnest(toks) AS u(t) WHERE t <> ''),
+       |hb AS (SELECT word, $horner AS hb FROM tok),
+       |cells AS (
+       |  SELECT hb, r.rw, $multCase AS mult
+       |  FROM hb, (SELECT unnest(range(0, $d)) AS rw) r),
+       |cc AS (SELECT rw, $cellExpr AS cell FROM cells),
+       |counters AS (SELECT rw, cell, count(*)::BIGINT AS n FROM cc GROUP BY 1, 2),
+       |exact AS (SELECT word, count(*)::BIGINT AS true_count FROM tok GROUP BY 1),
+       |probes AS (SELECT word, true_count FROM exact
+       |           ORDER BY true_count DESC, word LIMIT $topK),
+       |ph AS (SELECT word, true_count, $horner AS hb FROM probes),
+       |pc AS (
+       |  SELECT word, true_count, r.rw, $multCase AS mult, hb
+       |  FROM ph, (SELECT unnest(range(0, $d)) AS rw) r),
+       |pcell AS (SELECT word, true_count, rw, $cellExpr AS cell FROM pc),
+       |est AS (
+       |  SELECT word, true_count, min(n)::BIGINT AS cms_count
+       |  FROM pcell JOIN counters USING (rw, cell) GROUP BY 1, 2)
+       |SELECT word, cms_count, true_count,
+       |  (cms_count - true_count)::BIGINT AS over_count
+       |FROM est ORDER BY true_count DESC, word""".stripMargin
+  }
+
   /** JL random projection (mirror of Similarity.randomProjection): the
     * SAME seeded ±1 sign matrix rendered as a VALUES literal (like the
     * LSH planes), same integer-domain entry, exact BIGINT sums. */

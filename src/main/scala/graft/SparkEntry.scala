@@ -137,6 +137,14 @@ object SparkEntry {
       Relational.richInactiveCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     "q_date_parts" -> ((s, d) => Relational.orderDateParts(Tables.orders(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(Tables.lineitem(s, d))),
+    // HLL with an ENGINE-SPECIFIED hash: sketch state AND estimate are
+    // hash-graded (Spark's built-in sketch above stays rows-only — its
+    // internal hash is an implementation detail)
+    "sketch_hll" -> ((s, d) =>
+      ext.Sketches.hllDistinct(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    // CMS with contract hashes: counter table + top-k probe, graded;
+    // the never-undercount guarantee is visible per row (over_count >= 0)
+    "sketch_cms" -> ((s, d) => ext.Sketches.cmsTokenCounts(Tables.documents(s, d))),
     "q_outer_join" -> ((s, d) =>
       Relational.userActivityFullOuter(Tables.orders(s, d), Tables.events(s, d))),
     "q_sql_correlated" -> ((s, d) =>
@@ -1555,6 +1563,8 @@ object SparkEntry {
     "pipeline_datacard" -> OracleSql.dataCard,
     "sim_quantize" -> OracleSql.quantizeInt8,
     "sim_random_projection" -> OracleSql.randomProjection(64, 8),
+    "sketch_hll" -> OracleSql.hllDistinct("lineitem", "l_returnflag", "l_partkey"),
+    "sketch_cms" -> OracleSql.cmsTokenCounts(20),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ext.Sketches
+import org.apache.spark.sql.functions._
+
+/** Contract-hash sketches: the estimates must actually estimate (HLL
+  * within its standard-error band, CMS never undercounting), and the
+  * sketch states must merge the way a distributed partial aggregation
+  * requires (register-wise max / cell-wise sum). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("HLL estimate lands within the m=64 error band; state is the full register vector") {
+    val rows = Sketches.hllDistinct(Tables.lineitem(spark, sf), "l_returnflag", "l_partkey")
+      .select("l_returnflag", "registers_csv", "pow_sum", "est_scaled", "n_distinct_exact")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq("A", "N", "R"))
+    for ((flag, csv, powSum, estScaled, exact) <- rows) {
+      val regs = csv.split(",").map(_.toLong)
+      assert(regs.length == Sketches.HllM, s"$flag: ${regs.length} registers")
+      // pow_sum is derivable from the registers — internal consistency
+      assert(regs.map(r => 1L << (26 - r).toInt).sum == powSum, flag)
+      // 3 standard errors at m=64 is ~39%
+      val est = estScaled / 100.0
+      assert(math.abs(est - exact) <= 0.39 * exact,
+        s"$flag: est $est vs exact $exact out of band")
+    }
+  }
+
+  test("HLL sketch state merges by register-wise max (the distributed-aggregation property)") {
+    val li = Tables.lineitem(spark, sf).withColumn("g", lit("all"))
+    def regs(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      Sketches.hllDistinct(df, "g", "l_partkey")
+        .select("registers_csv").as[String].head().split(",").map(_.toLong)
+    val whole = regs(li)
+    val partA = regs(li.filter(col("l_orderkey") % 2 === 0))
+    val partB = regs(li.filter(col("l_orderkey") % 2 =!= 0))
+    // keys appear in both halves — merge must still equal the whole
+    assert(partA.zip(partB).map { case (a, b) => math.max(a, b) }.toSeq == whole.toSeq)
+  }
+
+  test("CMS never undercounts — for EVERY word, not just the graded heavy hitters") {
+    val docs = Tables.documents(spark, sf)
+    val nWords = graft.text.Tokenize.tokenize(docs, "text", "doc_id")
+      .filter(col("word") =!= "").select("word").distinct().count().toInt
+    val all = Sketches.cmsTokenCounts(docs, topK = nWords)
+      .select("word", "cms_count", "true_count", "over_count")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(all.size == nWords)
+    assert(all.forall(_._4 >= 0), all.filter(_._4 < 0).take(3).toString)
+    assert(all.forall(r => r._2 == r._3 + r._4))
+    // with w=256 cells over a small vocabulary, most probes are exact
+    assert(all.count(_._4 == 0) > all.size / 2)
+  }
+
+  test("HLL plans as a partial aggregation: register maxes combine before the exchange") {
+    val plan = Sketches.hllDistinct(Tables.lineitem(spark, sf), "l_returnflag", "l_partkey")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.takeRight(600))
+  }
+}
