@@ -83,6 +83,16 @@ object SparkEntry {
       graft.sources.Ingest.csvRoundTrip(s, Tables.documents(s, d), d)),
     "src_jsonl" -> ((s, d) =>
       graft.sources.Ingest.jsonlRoundTrip(s, Tables.documents(s, d), d)),
+    // schema evolution across ingest generations: a column added later is
+    // null-filled for early rows under mergeSchema (the default
+    // one-footer read silently loses it — spec-demonstrated)
+    "src_schema_evolution" -> ((s, d) =>
+      graft.sources.Ingest.schemaEvolutionRoundTrip(s, Tables.documents(s, d), d)),
+    // Hive-partitioned lake layout: the lang predicate prunes at the
+    // directory listing; content (incl. the path-carried partition
+    // column) is the graded claim
+    "lake_partition_prune" -> ((s, d) =>
+      ext.Lake.partitionPrunedRoundTrip(s, Tables.documents(s, d), d)),
     // ---- relational surface (SURVEY.md §2.2) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q_filter_project" -> ((s, d) => Relational.filterProject(Tables.lineitem(s, d))),
@@ -672,6 +682,13 @@ object SparkEntry {
         |  n_chars,
         |  n_chars / 4.0 AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_schema_evolution" ->
+      """SELECT doc_id, text, n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lake_partition_prune" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin,
     // ---- relational surface; money math mirrored in exact integer cents ----
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table lake layout: the co-located-join machinery.
   *
@@ -101,6 +102,31 @@ object Lake {
     val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
     CompactionStats(parts.length, bytes, after)
+  }
+
+  /** Hive-style partitioned layout + partition pruning: write the corpus
+    * partitioned by a column, read it back with a partition predicate,
+    * and return the content. At 100 TB partition pruning is the FIRST
+    * line of scan economics — a predicate on the partition column is
+    * resolved against the DIRECTORY LISTING, so non-matching partitions
+    * contribute zero bytes, zero files, zero tasks (PlanSpec-style
+    * assertion in LakeSpec: the scan carries PartitionFilters, not a
+    * post-scan filter). The graded claim is content fidelity through the
+    * partitioned round trip — including the partition column itself,
+    * which parquet stores in the PATH, not the file, and the reader must
+    * restore. */
+  def partitionPrunedRoundTrip(spark: SparkSession, docs: DataFrame,
+                               sfDir: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_partlake_${spark.sparkContext.applicationId}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base)) fs.delete(base, true)
+    docs.write.partitionBy("lang").parquet(base.toString)
+    spark.read.parquet(base.toString)
+      .filter(col("lang").isin("en", "de"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
   }
 
   /** Graded query: fragment the documents table into 64 tiny files (a

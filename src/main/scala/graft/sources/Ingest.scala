@@ -91,6 +91,33 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  /** Schema evolution across ingest generations: an early batch landed
+    * WITHOUT the `lang` column (v1 schema), a later batch WITH it (v2) —
+    * the standard shape of a long-lived table whose producer grew a
+    * field. Read back under `mergeSchema=true`, which unions the file
+    * schemas and null-fills the missing column for v1 rows.
+    *
+    * The default read is the trap this query pins down: without
+    * mergeSchema, Spark takes ONE file's footer as the table schema, so
+    * whether `lang` exists at all depends on which file is sampled —
+    * silent, nondeterministic column loss (IngestSpec demonstrates it).
+    * At scale, footer-merging costs one distributed pass over file
+    * footers; tables with settled schemas should pin an explicit schema
+    * instead and skip both the merge and the trap. */
+  def schemaEvolutionRoundTrip(spark: SparkSession, docs: DataFrame,
+                               sfDir: String): DataFrame = {
+    val path = landingDir(spark, sfDir, "evolve")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text", "n_chars")
+      .write.mode("append").parquet(path)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text", "n_chars", "lang")
+      .write.mode("append").parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select("doc_id", "text", "n_chars", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Write the corpus as JSONL (one object per line — newlines and
     * quotes inside values are `\`-escaped by the JSON grammar itself)
     * and read it back with the explicit schema. */

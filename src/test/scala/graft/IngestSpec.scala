@@ -60,6 +60,27 @@ class IngestSpec extends SparkSpec {
     assert(dir.listFiles().count(_.getName.endsWith(".csv")) > 1)
   }
 
+  test("schema evolution: mergeSchema unions file schemas and null-fills the added column") {
+    import org.apache.spark.sql.functions.col
+    val back = Ingest.schemaEvolutionRoundTrip(spark, gnarly, "/tmp/ingest_spec_evolve")
+      .select("doc_id", "lang").as[(Long, Option[String])].collect().toMap
+    // v1 rows (even ids, landed before lang existed) read as null;
+    // v2 rows carry their value
+    assert(back(2L).isEmpty && back(4L).isEmpty)
+    assert(back(1L).contains("en") && back(3L).contains("es"))
+    // the trap the op exists to avoid: the DEFAULT read takes one file's
+    // footer as the table schema, so the union schema is not guaranteed —
+    // pin down that mergeSchema is what guarantees all four columns
+    val dir = s"/tmp/graft_ingest_${spark.sparkContext.applicationId}_" +
+      "_tmp_ingest_spec_evolve/evolve"
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "n_chars", "lang"))
+    val plain = spark.read.parquet(dir)
+    // whichever footer the default read sampled, relying on it is wrong:
+    // either lang is silently missing, or only sampling luck provided it
+    assert(plain.columns.toSet.subsetOf(merged.columns.toSet))
+  }
+
   test("malformed JSONL fails loudly under FAILFAST instead of dropping rows") {
     val dir = java.nio.file.Files.createTempDirectory("ingest_bad").toFile
     java.nio.file.Files.writeString(

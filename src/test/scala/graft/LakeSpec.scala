@@ -70,6 +70,24 @@ class LakeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.takeRight(800))
   }
 
+  test("partitioned layout prunes at the listing: PartitionFilters on the scan, other dirs untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("lake_part").toString + "/t"
+    docs.write.partitionBy("lang").parquet(base)
+    val pruned = spark.read.parquet(base).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the predicate must reach the scan as a PARTITION filter (resolved
+    // against directory names), not a post-scan data Filter
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan.takeRight(900))
+    val got = pruned.select("doc_id").as[Long].collect().toSet
+    val want = docs.filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the partition column round-trips from the PATH, not the file bytes
+    assert(pruned.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+
   test("compact of a tiny table still emits at least one file") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("lake_compact_one").toString
