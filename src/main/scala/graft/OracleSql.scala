@@ -1793,6 +1793,57 @@ object OracleSql {
   def recallLshVsExact(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String =
     recallVsExact(lshTopK(numPlanes, dim, maxQueryId, k), simTopK(maxQueryId, k))
 
+  /** DSIR importance selection (mirror of Dsir.importanceSelect): the
+    * same unigram+bigram feature stream over the non-empty normalized
+    * tokens, the same Horner hash into `nBuckets`, add-one-smoothed
+    * target/raw bucket log-ratios scaled to BIGINT per (doc, bucket)
+    * BEFORE the per-document sum (order-free), row_number rank by
+    * (score desc, id). `ln` in both engines is the natural log of
+    * integer-valued doubles — bit-identical on the same libm. */
+  def dsir(nBuckets: Int, prime: Long, selectN: Int, targetLang: String): String =
+    s"""WITH $toksCte,
+       |t2 AS (SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM toks),
+       |feat AS (
+       |  SELECT doc_id, f FROM t2, unnest(
+       |    list_concat(toks,
+       |      CASE WHEN len(toks) >= 2
+       |        THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |        ELSE CAST([] AS VARCHAR[]) END)) AS u(f)),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        list_transform(range(1, len(f) + 1),
+       |          i -> unicode(substr(f, i::INT, 1))::BIGINT)),
+       |      (a, c) -> (a * 31 + c) % $prime) % $nBuckets AS bucket
+       |  FROM feat),
+       |hb AS (
+       |  SELECT h.doc_id, bucket, (d.lang = '${sqlStr(targetLang)}') AS is_target
+       |  FROM h JOIN documents d USING (doc_id)),
+       |db AS (SELECT doc_id, bucket, count(*)::BIGINT AS n FROM hb GROUP BY 1, 2),
+       |gb AS (SELECT bucket, count(*)::BIGINT AS cr,
+       |         sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct
+       |       FROM hb GROUP BY 1),
+       |tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM gb),
+       |contrib AS (
+       |  SELECT doc_id, n,
+       |    CAST(round(n * (ln(ct + 1) - ln(cr + 1) + ln(tr + $nBuckets) - ln(tt + $nBuckets))
+       |      * 1000000.0) AS BIGINT) AS c
+       |  FROM db JOIN gb USING (bucket) CROSS JOIN tot),
+       |perdoc AS (SELECT doc_id, sum(n)::BIGINT AS n_feats, sum(c)::BIGINT AS score_scaled
+       |           FROM contrib GROUP BY 1),
+       |f AS (
+       |  SELECT d.doc_id, (d.lang = '${sqlStr(targetLang)}') AS is_target,
+       |    coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+       |    coalesce(p.score_scaled, 0)::BIGINT AS score_scaled
+       |  FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY score_scaled DESC, doc_id)
+       |            AS BIGINT) AS rank FROM f)
+       |SELECT doc_id, is_target, n_feats, score_scaled, rank,
+       |  rank <= $selectN AS selected
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
   val dimStats: String =
     """WITH x AS (
       |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s

@@ -637,6 +637,12 @@ object SparkEntry {
     // deterministic contrastive negatives (k per anchor, self-excluding)
     "pipeline_negatives" -> ((s, d) =>
       ext.TrainingPipeline.negativeSamples(Tables.documents(s, d), 4)),
+    // DSIR importance resampling: hashed unigram+bigram log-ratio
+    // weights against the English-target distribution, top-N selection
+    // via the two-phase global rank
+    "pipeline_dsir" -> ((s, d) =>
+      ext.Dsir.importanceSelect(Tables.documents(s, d), col("lang") === "en",
+        nBuckets = 256, selectN = 200)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1623,5 +1629,6 @@ object SparkEntry {
          |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
     "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),
+    "pipeline_dsir" -> OracleSql.dsir(256, 1000000007L, 200, "en"),
   )
 }

@@ -692,6 +692,19 @@ object TrainingPipeline {
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     curriculumPhasesScored(lmQualityScore(docs, textCol, idCol), phases, idCol)
 
+  /** Global 1-based rank of an (id, score) frame by (score desc, id
+    * asc), via the two-phase prefix sum — the scale-safe replacement
+    * for a bare `row_number() OVER (ORDER BY …)`, which would plan as
+    * ONE partition holding the whole corpus. Returns (idCol, rank). */
+  private[graft] def globalRank(scored: DataFrame, idCol: String): DataFrame = {
+    val nParts = scored.sparkSession.sessionState.conf.numShufflePartitions
+    val base = scored.select(col(idCol), col("score"))
+      .withColumn("n_tokens", lit(1L)) // prefix-sum of 1s == global rank
+    val local = localCumsum(base, Seq(col("score").desc, col(idCol).asc), nParts)
+      .localCheckpoint(true)
+    withGlobalCumsum(local).select(col(idCol), col("cum_tokens").as("rank"))
+  }
+
   /** The rank/cut core of [[curriculumPhases]] over an ALREADY-SCORED
     * (id, score) frame — any per-document scalar slots in. Keeps the
     * two-phase prefix-sum shape (no SinglePartition window). */
