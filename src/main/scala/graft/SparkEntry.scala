@@ -123,6 +123,9 @@ object SparkEntry {
     // must still hash-match the batch SQL oracle ----
     "stream_events_window" -> ((s, d) => streaming.EventsStream.hourlyStatsLanded(s, d)),
     "stream_dedup" -> ((s, d) => streaming.EventsStream.dedupKeysLanded(s, d)),
+    // windowed top-k heavy hitters: streamed per-(window, user) counts,
+    // per-window read-side rank over the landed table
+    "stream_topk" -> ((s, d) => streaming.EventsStream.topUsersPerHourLanded(s, d)),
     "stream_join" -> ((s, d) => streaming.EventsStream.purchasesAfterErrorsLanded(s, d)),
     "stream_sessions" -> ((s, d) => streaming.EventsStream.sessionWindowLanded(s, d)),
     // the production foreachBatch→parquet sink path, graded: the landed
@@ -803,6 +806,17 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // the streamed counts must land exactly the batch histogram, and the
+    // per-window rank must agree including the (n desc, user_id) tie-break
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |    user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY hour_start
+        |        ORDER BY n DESC, user_id) AS BIGINT) AS rnk FROM c)
+        |SELECT hour_start, user_id, n, rnk FROM r WHERE rnk <= 5
+        |ORDER BY hour_start, rnk""".stripMargin,
     // same oracle through the parquet-sink path: the disk round-trip
     // must not change a single row
     "stream_sink" ->

@@ -246,4 +246,27 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Long])].collect().toSeq
     assert(landed.sorted == want.sorted)
   }
+
+  test("windowed top-k: streamed counts ranked per window == batch top-k") {
+    val k = 5
+    val got = EventsStream.topUsersPerHourLanded(spark, dir, k)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // batch reference: full histogram, rank per window by (n desc, user)
+    val hist = Tables.events(spark, dir)
+      .groupBy(expr("CAST(unix_timestamp(date_trunc('hour', ts)) AS LONG)").as("h"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    val want = hist.groupBy(_._1).toSeq.flatMap { case (h, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+        .map { case ((_, u, n), i) => (h, u, n, i + 1L) }
+    }.sortBy(r => (r._1, r._4))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // every window contributes at most k rows, ranks dense from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == (1L to rows.length.toLong))
+      assert(rows.length <= k)
+    }
+  }
 }
