@@ -126,6 +126,10 @@ object SparkEntry {
     // windowed top-k heavy hitters: streamed per-(window, user) counts,
     // per-window read-side rank over the landed table
     "stream_topk" -> ((s, d) => streaming.EventsStream.topUsersPerHourLanded(s, d)),
+    // streaming CDC -> SCD2: per-micro-batch extendHistory fold; the
+    // landed history must equal the batch full recompute (same oracle
+    // as pipeline_scd2)
+    "stream_scd2" -> ((s, d) => streaming.EventsStream.scd2StreamLanded(s, d)),
     "stream_join" -> ((s, d) => streaming.EventsStream.purchasesAfterErrorsLanded(s, d)),
     "stream_sessions" -> ((s, d) => streaming.EventsStream.sessionWindowLanded(s, d)),
     // the production foreachBatch→parquet sink path, graded: the landed
@@ -1567,6 +1571,8 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_scd2" -> OracleSql.scd2FullRecompute,
+    // the streamed per-batch fold must land exactly the full recompute
+    "stream_scd2" -> OracleSql.scd2FullRecompute,
     // the incremental extension is graded against the SAME full
     // recompute: fold-the-change-log must be indistinguishable from
     // replaying every snapshot

@@ -530,6 +530,99 @@ object EventsStream {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Streaming CDC -> SCD2: the lakehouse maintenance loop run through
+  // the real micro-batch engine. Each micro-batch is one version's CDC
+  // delta; foreachBatch folds it into the dimension history with
+  // Incremental.extendHistory (|history| + |changes| per batch, no
+  // snapshot replay). The graded claim: the streamed fold is
+  // indistinguishable from the batch full recompute over the whole
+  // snapshot stack — the same oracle pipeline_scd2 uses.
+  // -------------------------------------------------------------------
+
+  /** CDC delta batches equivalent to the scd2Snapshots stack, one file
+    * per version (oldest mtime first so micro-batch order is the
+    * version order):
+    *  v1: upsert every v1 document (id % 7 != 0, original text);
+    *  v2: insert the id % 7 == 0 docs, edit the id % 5 == 0 survivors
+    *      (" v2" suffix) — v1 ⊂ v2, so no deletes;
+    *  v3: delete id % 11 == 0, edit id % 3 == 0 survivors (" v3"
+    *      suffix), plus hash-equal NO-OP upserts of the id % 13 == 0
+    *      untouched docs (the unchanged-content carry under grade). */
+  def scd2CdcFixtureDir(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(s"/tmp/graft_stream_scd2_${spark.sparkContext.applicationId}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val b1 = dir.resolve("v1.parquet")
+    val b2 = dir.resolve("v2.parquet")
+    val b3 = dir.resolve("v3.parquet")
+    if (Files.exists(b1) && Files.exists(b2) && Files.exists(b3)) return dir.toString
+    Files.createDirectories(dir)
+    val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val t2 = when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    val sNull = lit(null).cast("string")
+    def change(df: DataFrame, op: String, text: Column, v: Long): DataFrame =
+      df.select(col("doc_id"), lit(1L).as("seq"), lit(op).as("op"),
+        text.as("text"), lit(v).as("version"))
+    val c1 = change(d.filter(col("doc_id") % 7 =!= 0), "upsert", col("text"), 1L)
+    val c2 = change(d.filter(col("doc_id") % 7 === 0), "upsert", t2, 2L)
+      .unionByName(change(d.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0),
+        "upsert", t2, 2L))
+    val c3 = change(d.filter(col("doc_id") % 11 === 0), "delete", sNull, 3L)
+      .unionByName(change(d.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 === 0),
+        "upsert", concat(t2, lit(" v3")), 3L))
+      .unionByName(change(d.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0 &&
+        col("doc_id") % 13 === 0), "upsert", t2, 3L))
+    val now = System.currentTimeMillis()
+    stageSingleFile(c1, dir, b1, now - 120000L)
+    stageSingleFile(c2, dir, b2, now - 60000L)
+    stageSingleFile(c3, dir, b3, now)
+    dir.toString
+  }
+
+  private val scd2ChangeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, seq BIGINT, op STRING, text STRING, version BIGINT")
+
+  /** Graded query: the CDC stream folded into an SCD2 dimension history
+    * one micro-batch at a time. `foreachBatch` applies
+    * [[graft.ext.Incremental.extendHistory]] to the running history
+    * (eagerly checkpointed, so each fold completes before the next
+    * batch's — and dead intermediate checkpoints are freed); the landed
+    * result must be byte-identical to the batch THREE-SNAPSHOT full
+    * recompute, which is exactly the pipeline_scd2 oracle. This is the
+    * production shape of dimension maintenance: the change feed streams
+    * in, the history table is patched in place, no snapshot is ever
+    * re-derived. */
+  def scd2StreamLanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scd2CdcFixtureDir(spark, sfDir)
+    var history = spark.range(0).select(
+      col("id").as("doc_id"), lit(0L).as("valid_from"), lit(0L).as("valid_to"),
+      lit(true).as("is_current"), lit(0L).as("content_hash"), lit(0L).as("content_len"))
+    var dead: DataFrame = null
+    withStateParts(spark, DefaultDrainStateParts) {
+      val q = spark.readStream.schema(scd2ChangeSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (batch.isEmpty) () else {
+          // one file per micro-batch -> version is constant in the batch
+          val v = batch.agg(max(col("version"))).head().getLong(0)
+          val next = graft.ext.Incremental
+            .extendHistory(history, batch.drop("version"), v)
+            .localCheckpoint(true) // eager: the fold is SEQUENCED per batch
+          if (dead != null) dead.unpersist()
+          dead = history
+          history = next
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    history.drop("content_hash", "content_len").orderBy("doc_id", "valid_from")
+  }
+
   /** Watermarked per-hour per-user activity counts — the streaming half
     * of the windowed top-k. State is one count per (window, user); the
     * 2-hour watermark reclaims closed windows. */

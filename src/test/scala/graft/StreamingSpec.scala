@@ -269,4 +269,28 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length <= k)
     }
   }
+
+  test("streaming CDC -> SCD2: per-batch fold == batch full recompute") {
+    val got = EventsStream.scd2StreamLanded(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // batch reference: scdHistory over the equivalent snapshot stack
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val t2 = when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    val v1 = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"), lit(1L).as("version"))
+    val v2 = d.select(col("doc_id"), t2.as("text"), lit(2L).as("version"))
+    val v3 = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(t2, lit(" v3"))).otherwise(t2).as("text"),
+        lit(3L).as("version"))
+    val want = ext.Incremental.scdHistory(v1.unionByName(v2).unionByName(v3))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // re-invocation reuses the staged fixture and folds from scratch
+    val again = EventsStream.scd2StreamLanded(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(again == want)
+  }
 }
