@@ -1793,6 +1793,53 @@ object OracleSql {
   def recallLshVsExact(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String =
     recallVsExact(lshTopK(numPlanes, dim, maxQueryId, k), simTopK(maxQueryId, k))
 
+  /** Shared CDC fixture + MERGE resolution (mirror of the
+    * pipeline_cdc_apply change log): `final` is the post-merge table —
+    * latest seq wins per id, deletes drop, fresh inserts appear. */
+  val cdcFinalCte: String =
+    """base AS (SELECT doc_id, text, source FROM documents),
+      |c AS (
+      |  SELECT doc_id, 1 AS seq, 'delete' AS op,
+      |         NULL::VARCHAR AS text, NULL::VARCHAR AS source
+      |  FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'upsert', text || ' rev1', source
+      |  FROM base WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'upsert', text || ' rev2', source
+      |  FROM base WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'upsert', text || ' back', source
+      |  FROM base WHERE doc_id % 10 <> 0 AND doc_id % 21 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 2, 'upsert', 'fresh ' || doc_id, 'cdc'
+      |  FROM base WHERE doc_id % 13 = 0),
+      |w AS (
+      |  SELECT doc_id, op, text, source FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      |    FROM c) WHERE rn = 1),
+      |final AS (
+      |  SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+      |    CASE WHEN w.op IS NOT NULL THEN w.text ELSE b.text END AS text,
+      |    CASE WHEN w.op IS NOT NULL THEN w.source ELSE b.source END AS source
+      |  FROM base b FULL OUTER JOIN w ON b.doc_id = w.doc_id
+      |  WHERE w.op IS NULL OR w.op <> 'delete')""".stripMargin
+
+  /** MERGE INTO / CDC apply (mirror of Incremental.applyChanges on the
+    * shared change log). */
+  val cdcApply: String =
+    s"""WITH $cdcFinalCte
+       |SELECT doc_id, text, source FROM final ORDER BY doc_id""".stripMargin
+
+  /** Incrementally-maintained per-source aggregate: the oracle is the
+    * FULL RECOMPUTE over the post-merge table — the maintained view must
+    * be indistinguishable from it. */
+  val cdcAggMaintain: String =
+    s"""WITH $cdcFinalCte
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(length(text))::BIGINT AS sum_chars
+       |FROM final GROUP BY source ORDER BY source""".stripMargin
+
   /** DSIR importance selection (mirror of Dsir.importanceSelect): the
     * same unigram+bigram feature stream over the non-empty normalized
     * tokens, the same Horner hash into `nBuckets`, add-one-smoothed

@@ -49,6 +49,34 @@ object SparkEntry {
     v1.unionByName(v2).unionByName(v3)
   }
 
+  /** The shared CDC change log (two batches: deletes, edits, a
+    * delete-then-reinsert, fresh inserts; latest seq wins per id —
+    * change rules are if/else-exclusive per seq so (id, seq) is unique
+    * and the winner is order-independent). Mirrored by
+    * OracleSql.cdcFinalCte. */
+  private def cdcChanges(docs: DataFrame): DataFrame = {
+    val sNull = lit(null).cast("string")
+    val c1del = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+        sNull.as("text"), sNull.as("source"))
+    val c1up = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" rev1")).as("text"), col("source"))
+    val c2rev = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" rev2")).as("text"), col("source"))
+    val c2back = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 21 === 0)
+      .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" back")).as("text"), col("source"))
+    val c2ins = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit(2L).as("seq"),
+        lit("upsert").as("op"),
+        concat(lit("fresh "), col("doc_id").cast("string")).as("text"),
+        lit("cdc").as("source"))
+    c1del.unionByName(c1up).unionByName(c2rev)
+      .unionByName(c2back).unionByName(c2ins)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity: the reference's two applications ----
     "wc_word_count" -> ((s, d) => WordCount.wordCount(Tables.documents(s, d))),
@@ -532,27 +560,15 @@ object SparkEntry {
     // so (id, seq) is unique and the winner is order-independent
     "pipeline_cdc_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-      val sNull = lit(null).cast("string")
-      val c1del = docs.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
-          sNull.as("text"), sNull.as("source"))
-      val c1up = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" rev1")).as("text"), col("source"))
-      val c2rev = docs.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" rev2")).as("text"), col("source"))
-      val c2back = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 21 === 0)
-        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" back")).as("text"), col("source"))
-      val c2ins = docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), lit(2L).as("seq"),
-          lit("upsert").as("op"),
-          concat(lit("fresh "), col("doc_id").cast("string")).as("text"),
-          lit("cdc").as("source"))
-      val changes = c1del.unionByName(c1up).unionByName(c2rev)
-        .unionByName(c2back).unionByName(c2ins)
-      ext.Incremental.applyChanges(docs, changes, Seq("text", "source"))
+      ext.Incremental.applyChanges(docs, cdcChanges(docs), Seq("text", "source"))
+    }),
+    // incrementally-maintained per-source aggregate under the same CDC
+    // log: baseAgg + Δ(changes) must be indistinguishable from the full
+    // recompute over the merged table (the oracle IS that recompute)
+    "lake_incr_agg" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      ext.Incremental.maintainAggregate(
+        docs, ext.Incremental.charAggregate(docs), cdcChanges(docs))
     }),
     // SCD2 history over the three derived snapshots (see scd2Snapshots)
     "pipeline_scd2" -> ((s, d) =>
@@ -1535,34 +1551,8 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
-    "pipeline_cdc_apply" ->
-      """WITH base AS (SELECT doc_id, text, source FROM documents),
-        |c AS (
-        |  SELECT doc_id, 1 AS seq, 'delete' AS op,
-        |         NULL::VARCHAR AS text, NULL::VARCHAR AS source
-        |  FROM base WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 1, 'upsert', text || ' rev1', source
-        |  FROM base WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'upsert', text || ' rev2', source
-        |  FROM base WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'upsert', text || ' back', source
-        |  FROM base WHERE doc_id % 10 <> 0 AND doc_id % 21 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 2, 'upsert', 'fresh ' || doc_id, 'cdc'
-        |  FROM base WHERE doc_id % 13 = 0),
-        |w AS (
-        |  SELECT doc_id, op, text, source FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
-        |    FROM c) WHERE rn = 1)
-        |SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
-        |  CASE WHEN w.op IS NOT NULL THEN w.text ELSE b.text END AS text,
-        |  CASE WHEN w.op IS NOT NULL THEN w.source ELSE b.source END AS source
-        |FROM base b FULL OUTER JOIN w ON b.doc_id = w.doc_id
-        |WHERE w.op IS NULL OR w.op <> 'delete'
-        |ORDER BY doc_id""".stripMargin,
+    "pipeline_cdc_apply" -> OracleSql.cdcApply,
+    "lake_incr_agg" -> OracleSql.cdcAggMaintain,
     // the as-of oracle is the DIRECT v2 snapshot — not a replay of the
     // history chain — so reconstruction is checked against an
     // independent derivation

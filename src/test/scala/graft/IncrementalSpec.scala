@@ -258,4 +258,34 @@ class IncrementalSpec extends SparkSpec {
     val ex2 = intercept[Exception] { Incremental.extendHistory(hist(3L), bad, 4L).collect() }
     assert(ex2.getMessage.contains("illegal op"), ex2.getMessage)
   }
+
+  test("maintainAggregate: delta-maintained view == full recompute, incl. group moves") {
+    val base = Seq(
+      (0L, "aaaa", "s0"), (1L, "bb", "s0"), (2L, "ccc", "s1"), (3L, "dd", "s2"))
+      .toDF("doc_id", "text", "source")
+    val changes = Seq(
+      (0L, 1L, "upsert", "aaaaaa", "s0"),  // grow in place
+      (2L, 1L, "upsert", "ccc", "s0"),     // MOVE s1 -> s0, same text
+      (3L, 1L, "delete", null, null),      // s2 empties -> group drops
+      (9L, 1L, "upsert", "zzzzz", "s9"),   // fresh insert, new group
+      (9L, 2L, "upsert", "zz", "s9"),      // latest seq wins
+      (7L, 1L, "delete", null, null)       // delete of an absent id: no-op
+    ).toDF("doc_id", "seq", "op", "text", "source")
+      .select(col("doc_id"), col("seq"), col("op"),
+        col("text").cast("string"), col("source").cast("string"))
+    val got = Incremental.maintainAggregate(base, Incremental.charAggregate(base), changes)
+      .as[(String, Long, Long)].collect().toSeq
+    // full recompute over the merged table must agree exactly
+    val merged = Incremental.applyChanges(base, changes, Seq("text", "source"))
+    val want = Incremental.charAggregate(merged).orderBy("source")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got == Seq(("s0", 3L, 11L), ("s9", 1L, 2L)), got.toString)
+    // empty change batch: the view is returned unchanged
+    val none = changes.limit(0)
+    val same = Incremental.maintainAggregate(base, Incremental.charAggregate(base), none)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(same == Incremental.charAggregate(base).orderBy("source")
+      .as[(String, Long, Long)].collect().toSeq)
+  }
 }
