@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PolyHash, TokenShingles, TokenizeText}
+import graft.functions.{DotProduct, NfcNormalize, PolyHash, TokenShingles, TokenizeText}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,5 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("token_shingles", classOf[TokenShingles], exprs =>
       TokenShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction(fn("nfc_normalize", classOf[NfcNormalize],
+      exprs => NfcNormalize(exprs.head)))
   }
 }

@@ -660,6 +660,11 @@ object SparkEntry {
     // deterministic contrastive negatives (k per anchor, self-excluding)
     "pipeline_negatives" -> ((s, d) =>
       ext.TrainingPipeline.negativeSamples(Tables.documents(s, d), 4)),
+    // Unicode NFC normalization (custom codegen expression — no Spark
+    // built-in): combining sequences planted into every doc must
+    // compose back, shrinking the codepoint count to the original
+    "text_normalize" -> ((s, d) =>
+      TextStats.normalizeReport(Tables.documents(s, d))),
     // DSIR importance resampling: hashed unigram+bigram log-ratio
     // weights against the English-target distribution, top-N selection
     // via the two-phase global rank
@@ -1640,5 +1645,17 @@ object SparkEntry {
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
     "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),
     "pipeline_dsir" -> OracleSql.dsir(256, 1000000007L, 200, "en"),
+    // chr(769)/chr(776) are the combining acute/diaeresis the engine
+    // plants; DuckDB's nfc_normalize (utf8proc) must agree with the
+    // engine's JDK Normalizer on every composed sequence and count
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS n_orig,
+        |    replace(replace(text, 'e', 'e' || chr(769)), 'a', 'a' || chr(776)) AS dt
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(dt) AS norm_text, n_orig,
+        |  length(dt) AS n_decomposed, length(nfc_normalize(dt)) AS n_norm,
+        |  length(nfc_normalize(dt)) < length(dt) AS composed
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

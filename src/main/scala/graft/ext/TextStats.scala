@@ -782,4 +782,31 @@ object TextStats {
         col("sum_clnc_scaled"), col("entropy"))
       .orderBy(idCol)
   }
+
+  /** Unicode NFC normalization report over a DECOMPOSED variant of the
+    * corpus: every `e`/`a` is replaced by its base + combining accent
+    * (U+0301 / U+0308) — the mixed-encoding state a multi-writer crawl
+    * actually arrives in — and the codegen'd [[graft.functions.nfc_normalize]]
+    * expression must compose the sequences back (é / ä), shrinking the
+    * codepoint count to the original. Canonically-equal-but-
+    * differently-encoded text breaks exact dedup, joins and token
+    * counts; normalization is the per-row zero-shuffle fix. The graded
+    * columns carry the normalized text itself plus the three codepoint
+    * counts, so a mis-composed sequence mismatches both content and
+    * arithmetic. */
+  def normalizeReport(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val decomposed = replace(replace(col(textCol), lit("e"), lit("e\u0301")),
+      lit("a"), lit("a\u0308"))
+    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_orig"),
+        decomposed.as("__d"))
+      .select(col(idCol), col("n_orig"),
+        graft.functions.nfc_normalize(col("__d")).as("norm_text"),
+        length(col("__d")).cast("long").as("n_decomposed"))
+      .withColumn("n_norm", length(col("norm_text")).cast("long"))
+      .withColumn("composed", col("n_norm") < col("n_decomposed"))
+      .select(col(idCol), col("norm_text"), col("n_orig"), col("n_decomposed"),
+        col("n_norm"), col("composed"))
+      .orderBy(idCol)
+  }
 }

@@ -135,6 +135,15 @@ object TextKernels {
 
   /** text -> distinct k-token shingles (first-occurrence order); documents
     * shorter than k collapse to one whole-text shingle. */
+  /** NFC canonical normalization; identity (no allocation, input
+    * returned as-is) when already normalized. */
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def shingles(u: UTF8String, k: Int): ArrayData = {
     val toks = tokenListU(u)
     val seen = new java.util.LinkedHashSet[String]()
@@ -161,6 +170,25 @@ object TextKernels {
     while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(arr)
   }
+}
+
+/** Column expression: Unicode NFC canonical normalization of a string.
+  * Combining sequences compose to their precomposed forms (e +
+  * U+0301 -> é); already-normalized text — the overwhelming bulk of a
+  * real crawl — takes the allocation-free `isNormalized` fast path and
+  * returns the INPUT UTF8String unchanged. Canonical (NFC), not
+  * compatibility (NFKC): ligatures and width variants pass through.
+  * Needed because differently-encoded but canonically-equal strings
+  * break exact dedup, token counts and equi-joins; there is no Spark
+  * built-in for it. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }
 
 /** Column expression: tokenize(text) — the codegen fast path of

@@ -27,6 +27,10 @@ package object functions {
   def token_ngrams(c: Column, k: Int): Column =
     ExpressionUtils.column(TokenNgrams(ExpressionUtils.expression(c), k))
 
+  /** Codegen'd Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfc_normalize(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
   /** O(1) membership of a string column in a literal key set (see
     * [[InLiteralSet]]). */
   def in_literal_set(c: Column, keys: Seq[String]): Column =
@@ -48,5 +52,7 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "token_ngrams", exprs => TokenNgrams(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
   }
 }

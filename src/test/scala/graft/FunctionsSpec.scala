@@ -26,15 +26,42 @@ class FunctionsSpec extends SparkSpec {
     assert(r == (('h'.toLong * 31 + 'i') % 1000000007L))
   }
 
-  test("GraftExtensions injects all four functions") {
+  test("GraftExtensions injects all five functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
     org.apache.spark.sql.graft.bridge.applyFunctionExtensions(ext, spark)
     val r = spark.sql(
       """SELECT poly_hash('hi') AS h, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-        |size(tokenize_text('a b')) AS t, size(token_shingles('a b c d', 3)) AS s
-        |""".stripMargin).as[(Long, Double, Int, Int)].head()
-    assert(r == ((('h'.toLong * 31 + 'i') % 1000000007L, 11.0, 2, 2)))
+        |size(tokenize_text('a b')) AS t, size(token_shingles('a b c d', 3)) AS s,
+        |length(nfc_normalize('e\u0301')) AS n
+        |""".stripMargin).as[(Long, Double, Int, Int, Int)].head()
+    assert(r == ((('h'.toLong * 31 + 'i') % 1000000007L, 11.0, 2, 2, 1)))
+  }
+
+  test("nfc_normalize: composes combining sequences; identity fast path; SQL-registered") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // composition: e + U+0301 -> \u00e9 (one codepoint), idempotent
+    val dec = UTF8String.fromString("cafe\u0301 re\u0301sume\u0301")
+    val composed = graft.functions.TextKernels.nfc(dec)
+    assert(composed.toString == "caf\u00e9 r\u00e9sum\u00e9")
+    assert(composed.numChars() == dec.numChars() - 3)
+    assert(graft.functions.TextKernels.nfc(composed) eq composed,
+      "already-NFC input must return the SAME object (no allocation)")
+    // plain ASCII takes the identity fast path
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.functions.TextKernels.nfc(ascii) eq ascii)
+    // a lone leading combining mark has nothing to compose with
+    assert(graft.functions.TextKernels.nfc(UTF8String.fromString("\u0301x")).toString
+      == "\u0301x")
+    // column API through a real (codegen) plan, null-safe
+    val df = Seq(Some("abc\u0327"), Some("xyz"), None).toDF("s")
+    val out = df.select(graft.functions.nfc_normalize(col("s")).as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("ab\u00e7"), Some("xyz"), None))
+    // SQL registration (temp-function path)
+    graft.functions.registerSql(spark)
+    assert(spark.sql("SELECT nfc_normalize('e\u0301') AS n").as[String].head()
+      == "\u00e9")
   }
 
   test("dot_product == sequential zip_with/aggregate fold, bit-identical") {
