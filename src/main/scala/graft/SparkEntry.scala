@@ -660,6 +660,10 @@ object SparkEntry {
     // deterministic contrastive negatives (k per anchor, self-excluding)
     "pipeline_negatives" -> ((s, d) =>
       ext.TrainingPipeline.negativeSamples(Tables.documents(s, d), 4)),
+    // minority-class oversampling to exact parity: per-doc copy counts
+    // via the group-aware two-phase rank (no per-group window)
+    "pipeline_oversample" -> ((s, d) =>
+      ext.TrainingPipeline.oversampleBalance(Tables.documents(s, d))),
     // Unicode NFC normalization (custom codegen expression — no Spark
     // built-in): combining sequences planted into every doc must
     // compose back, shrinking the codepoint count to the original
@@ -1645,6 +1649,18 @@ object SparkEntry {
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
     "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),
     "pipeline_dsir" -> OracleSql.dsir(256, 1000000007L, 200, "en"),
+    // every group must sum to exactly max-group-size; the within-group
+    // rank (id order) decides who carries the remainder copy
+    "pipeline_oversample" ->
+      """WITH g AS (SELECT doc_id, lang FROM documents),
+        |c AS (SELECT lang, count(*) AS n FROM g GROUP BY 1),
+        |m AS (SELECT max(n) AS m FROM c),
+        |r AS (SELECT doc_id, lang, CAST(row_number() OVER
+        |        (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS grp_rank FROM g)
+        |SELECT r.doc_id, r.lang, r.grp_rank,
+        |  (m.m // c.n + CASE WHEN r.grp_rank <= m.m % c.n THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_copies
+        |FROM r JOIN c USING (lang) CROSS JOIN m ORDER BY doc_id""".stripMargin,
     // chr(769)/chr(776) are the combining acute/diaeresis the engine
     // plants; DuckDB's nfc_normalize (utf8proc) must agree with the
     // engine's JDK Normalizer on every composed sequence and count

@@ -705,6 +705,69 @@ object TrainingPipeline {
     withGlobalCumsum(local).select(col(idCol), col("cum_tokens").as("rank"))
   }
 
+  /** 1-based rank of every row WITHIN its group (ordered by `idCol`),
+    * via a group-aware two-phase prefix sum. The naive
+    * `row_number() OVER (PARTITION BY group)` plans one partition per
+    * group — with a handful of corpus-sized groups (languages, sources)
+    * that is a handful of tasks holding everything. Here the data is
+    * range-partitioned by (group, id) so every partition holds a
+    * bounded contiguous slice; per-slice ranks come from a bounded
+    * window, and the cross-partition offsets are a (P × groups)-row
+    * driver-scale triangle join broadcast back. Returns
+    * (groupCol, idCol, grp_rank). */
+  private[graft] def groupRank(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    // offsets + projection must see ONE partitioner sample -> checkpoint
+    val local = groupRankLocal(df, groupCol, idCol).localCheckpoint(true)
+    val sizes = local.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+    val offsets = sizes.as("x")
+      .join(sizes.as("y"),
+        col(s"y.$groupCol") === col(s"x.$groupCol") && col("y.__pid") < col("x.__pid"),
+        "left")
+      .groupBy(col("x.__pid").as("__pid"), col(s"x.$groupCol").as(groupCol))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), Seq("__pid", groupCol))
+      .select(col(groupCol), col(idCol), (col("__off") + col("__local")).as("grp_rank"))
+  }
+
+  /** Pre-checkpoint half of [[groupRank]] (exposed so PlanSpec can
+    * assert the subplan has no SinglePartition exchange and no
+    * group-count-bounded window partitioning). */
+  private[graft] def groupRankLocal(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid", groupCol).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(groupCol), col(idCol))
+      .repartitionByRange(nParts, col(groupCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local", sum(lit(1L)).over(localW))
+  }
+
+  /** Minority-class oversampling to exact parity: every group (language,
+    * source, …) is brought to the size of the LARGEST group by
+    * deterministic replication — each document gets
+    * ⌊M/n_g⌋ copies plus one extra for the first M mod n_g documents of
+    * its group (in id order, via the scale-safe [[groupRank]]), so every
+    * group sums to exactly M. The training-data shape for class
+    * balancing: a trainer repeats minority-domain documents rather than
+    * starving on them. Only the copy COUNT is materialized — the
+    * replication itself is a downstream `explode(sequence(1, n_copies))`
+    * the loader applies, so nothing corpus-sized is duplicated here. */
+  def oversampleBalance(docs: DataFrame, groupCol: String = "lang",
+                        idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // ONE scalar aggregate for the target size, computed once
+    val target = counts.agg(max(col("__n")).as("__m"))
+    val ranked = groupRank(docs, groupCol, idCol)
+    ranked.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(target))
+      .select(col(idCol), col(groupCol), col("grp_rank"),
+        (expr("__m div __n") +
+          when(col("grp_rank") <= expr("__m % __n"), 1L).otherwise(0L)).as("n_copies"))
+      .orderBy(idCol)
+  }
+
   /** The rank/cut core of [[curriculumPhases]] over an ALREADY-SCORED
     * (id, score) frame — any per-document scalar slots in. Keeps the
     * two-phase prefix-sum shape (no SinglePartition window). */

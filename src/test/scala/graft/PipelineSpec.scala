@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.TrainingPipeline
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** End-to-end corpus-cleaning composite: stage accounting must be
   * internally consistent and the planted junk/dup docs must fall out. */
@@ -463,6 +463,28 @@ class PipelineSpec extends SparkSpec {
     val again = ext.TrainingPipeline.curriculumPhases(docs.repartition(13), phases = 4)
       .select("doc_id", "rank", "phase").as[(Long, Long, Long)].collect().toSet
     assert(again == rows.map(r => (r._1, r._3, r._4)).toSet)
+  }
+
+  test("oversample: exact parity per group, remainder by group rank, invariant") {
+    val docs = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"),      // majority: 3 docs
+      (20L, "b"),                              // singleton: 3 copies
+      (30L, "c"), (31L, "c"))                  // 2 docs: base 1, rem 1
+      .toDF("doc_id", "lang").withColumn("text", lit("t"))
+    val out = ext.TrainingPipeline.oversampleBalance(docs)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // group-aware two-phase rank == the naive per-group window rank
+    val wantRank = Map(10L -> 1L, 11L -> 2L, 12L -> 3L, 20L -> 1L, 30L -> 1L, 31L -> 2L)
+    out.foreach { case (id, _, r, _) => assert(r == wantRank(id), s"rank of $id") }
+    // copies: a -> 1 each; b -> 3; c -> (2, 1): every group sums to M=3
+    val copies = out.map(r => r._1 -> r._4).toMap
+    assert(copies == Map(10L -> 1L, 11L -> 1L, 12L -> 1L, 20L -> 3L, 30L -> 2L, 31L -> 1L))
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._4).sum == 3L, s"group $g must sum to the max group size") }
+    // partitioning invariance
+    val again = ext.TrainingPipeline.oversampleBalance(docs.repartition(7))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(again == out)
   }
 
   test("preference pairs: argmax/argmin per group with deterministic tie-breaks") {

@@ -208,6 +208,22 @@ class PlanSpec extends SparkSpec {
     assert(!full.contains("CartesianProduct"), full.takeRight(800))
   }
 
+  test("group rank has neither a single-partition nor a per-group-partitioned exchange") {
+    // the naive row_number() OVER (PARTITION BY lang) plans
+    // hashpartitioning(lang) — one task per LANGUAGE holding a whole
+    // group; the group-aware two-phase form must range-partition by
+    // (lang, id) instead
+    val docs = Tables.documents(spark, sf)
+    val pre = graft.ext.TrainingPipeline.groupRankLocal(docs, "lang", "doc_id")
+    val p = plan(pre)
+    assert(!p.contains("SinglePartition"), p.takeRight(1500))
+    assert(p.contains("rangepartitioning"), p.takeRight(1500))
+    assert(!p.contains("hashpartitioning(lang"),
+      "window must not repartition by the group column alone: " + p.takeRight(1000))
+    val full = q("pipeline_oversample")
+    assert(!full.contains("CartesianProduct"), full.takeRight(800))
+  }
+
   test("sequence packing's global prefix sum has no single-partition exchange") {
     // the naive Window.orderBy(id) cumsum would plan SinglePartition; the
     // two-phase form must not (the output presentation sort is a range
