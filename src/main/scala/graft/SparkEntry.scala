@@ -660,6 +660,14 @@ object SparkEntry {
     // deterministic contrastive negatives (k per anchor, self-excluding)
     "pipeline_negatives" -> ((s, d) =>
       ext.TrainingPipeline.negativeSamples(Tables.documents(s, d), 4)),
+    // sentence segmentation: terminator-run boundaries, sentinel-split
+    // (lookbehind-free so the RE2 oracle applies the identical pattern).
+    // The synthetic corpus carries no punctuation, so terminators are
+    // planted deterministically first (same surgery in the oracle) —
+    // otherwise every document would be one sentence and the grade moot
+    "text_sentences" -> ((s, d) =>
+      TextStats.sentences(Tables.documents(s, d).withColumn("text",
+        expr("replace(replace(text, ' a ', '! '), ' the ', '. ')")))),
     // minority-class oversampling to exact parity: per-doc copy counts
     // via the group-aware two-phase rank (no per-group window)
     "pipeline_oversample" -> ((s, d) =>
@@ -1661,6 +1669,21 @@ object SparkEntry {
         |  (m.m // c.n + CASE WHEN r.grp_rank <= m.m % c.n THEN 1 ELSE 0 END)::BIGINT
         |    AS n_copies
         |FROM r JOIN c USING (lang) CROSS JOIN m ORDER BY doc_id""".stripMargin,
+    // chr(31) is the same U+001F sentinel the engine plants; the piece
+    // index survives empty-piece filtering on both sides
+    "text_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(replace(text, ' a ', '! '), ' the ', '. ') AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(text, '([.!?]+)[ \t\n\x0B\f\r]+', '\1' || chr(31), 'g'),
+        |    chr(31)) AS ss
+        |  FROM d)
+        |SELECT doc_id, i AS sent_idx, ss[i] AS sentence, length(ss[i]) AS n_chars
+        |FROM m, unnest(range(1, len(ss) + 1)) AS r(i)
+        |WHERE ss[i] <> ''
+        |ORDER BY doc_id, sent_idx""".stripMargin,
     // chr(769)/chr(776) are the combining acute/diaeresis the engine
     // plants; DuckDB's nfc_normalize (utf8proc) must agree with the
     // engine's JDK Normalizer on every composed sequence and count
