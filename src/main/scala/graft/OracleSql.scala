@@ -339,6 +339,31 @@ object OracleSql {
        |SELECT query_id, neighbor_id, score, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Matryoshka two-stage retrieval (mirror of Similarity.matryoshkaTopK):
+    * coarse prefix-dim cosine top-`candidates` (same strict fold over the
+    * sliced lists, same (score desc, id) tie-break), exact full-dim
+    * rescore of exactly those candidates, final top-k. */
+  def matryoshka(maxQueryId: Long, k: Int, prefixDims: Int, candidates: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |           WHERE vec_id < $maxQueryId),
+       |coarse AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosineExpr(s"(q.qvec[1:$prefixDims])", s"(e.embedding[1:$prefixDims])")} AS pscore
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pscore DESC, neighbor_id) AS prank FROM coarse)
+       |  WHERE prank <= $candidates),
+       |rescored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${cosineExpr("q.qvec", "e.embedding")} AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM rescored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** k-NN majority-vote classification (mirror of sim_knn_classify):
     * the simTopK chain, label attach, vote count, and the argmax with
     * (votes desc, label asc) — the engine's max-struct tie-break. */

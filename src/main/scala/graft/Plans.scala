@@ -56,6 +56,9 @@ object Plans {
     "text_hybrid_rrf" -> "corpus-scale work stays in the two retriever subplans (broadcast-df BM25, broadcast-query cosine); the RRF fusion joins two kEach-row frames",
     "pipeline_temperature" -> "rates are plan literals from ONE bounded count agg; the apply path is a map-side hash filter — no shuffle, no RNG",
     "pipeline_pack_tokens" -> "bin ids via the two-phase prefix sum, token ids via the vocab equi-join; per-bin assembly is one grouped agg with targetTokens-bounded state",
+    "pipeline_dsir" -> "bucket histogram (nBuckets rows) + totals (1 row) broadcast; per-doc work is hash-keyed aggs; top-N via the two-phase global rank — no corpus-wide window",
+    "pipeline_oversample" -> "group-aware two-phase rank: range exchange on (group, id) + pid-keyed window; group counts and the 1-row max broadcast — no per-group hash partitioning",
+    "lake_incr_agg" -> "winner-per-key max-struct agg over the CHANGE LOG only; id-keyed lookup join of touched rows into base; the view merge joins |groups| rows — base groups never rescanned",
   )
 
   def main(args: Array[String]): Unit = {

@@ -360,6 +360,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
     "sim_knn_classify" -> ((s, d) =>
       Similarity.knnClassify(Tables.embeddings(s, d), 0L until 8L, 5)),
+    // Matryoshka two-stage retrieval: coarse prefix-dim (16 of 64) pass
+    // keeps 25 candidates; exact full-dim cosine re-ranks to top-5
+    "sim_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
+    // its recall monitor against the exact brute force (same generic
+    // recallReport the LSH/IVF/PQ families use)
+    "sim_recall_mrl" -> ((s, d) =>
+      Similarity.recallReport(
+        Similarity.matryoshkaTopK(Tables.embeddings(s, d), 0L until 8L, 5),
+        Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5))),
     // exact snapped-integer Rocchio: whole-corpus confusion matrix
     "sim_centroid_confusion" -> ((s, d) =>
       ext.Classify.centroidConfusion(Tables.embeddings(s, d))),
@@ -1630,6 +1640,9 @@ object SparkEntry {
       OracleSql.ivfSnapped(16, 4, 2, 8L, 5), OracleSql.simTopK(8L, 5)),
     "sim_recall_pq" -> OracleSql.recallVsExact(
       OracleSql.pqSnapped(4, 16, 3, 16, 8L, 5), OracleSql.simTopK(8L, 5)),
+    "sim_matryoshka" -> OracleSql.matryoshka(8L, 5, 16, 25),
+    "sim_recall_mrl" -> OracleSql.recallVsExact(
+      OracleSql.matryoshka(8L, 5, 16, 25), OracleSql.simTopK(8L, 5)),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
     "graph_triangles" ->

