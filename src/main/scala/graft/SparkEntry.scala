@@ -678,6 +678,10 @@ object SparkEntry {
     "text_sentences" -> ((s, d) =>
       TextStats.sentences(Tables.documents(s, d).withColumn("text",
         expr("replace(replace(text, ' a ', '! '), ' the ', '. ')")))),
+    // T5-style span corruption on a deterministic grid: (input, target)
+    // denoising pairs with sequential sentinels, every mask under grade
+    "pipeline_span_corruption" -> ((s, d) =>
+      ext.TrainingPipeline.spanCorruption(Tables.documents(s, d))),
     // minority-class oversampling to exact parity: per-doc copy counts
     // via the group-aware two-phase rank (no per-group window)
     "pipeline_oversample" -> ((s, d) =>
@@ -1670,6 +1674,31 @@ object SparkEntry {
     "pipeline_examples" -> OracleSql.nextEventExamples(3),
     "pipeline_negatives" -> OracleSql.negativeSamples(4, "graft"),
     "pipeline_dsir" -> OracleSql.dsir(256, 1000000007L, 200, "en"),
+    // 1-based i maps to the engine's 0-based j = i-1; string_agg skips
+    // NULL pieces exactly like the engine's filtered array_join; docs
+    // whose token stream is empty survive via the LEFT JOIN
+    "pipeline_span_corruption" ->
+      s"""WITH ${OracleSql.toksCte},
+        |t2 AS (SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM toks),
+        |p AS (SELECT doc_id, i, toks[i] AS tok
+        |      FROM t2, unnest(range(1, len(toks) + 1)) AS r(i)),
+        |c AS (SELECT doc_id, i,
+        |        CASE WHEN (i-1) % 10 = 3 THEN '<extra_id_' || ((i-1) // 10) || '>'
+        |             WHEN (i-1) % 10 IN (4, 5) THEN NULL ELSE tok END AS in_piece,
+        |        CASE WHEN (i-1) % 10 = 3 THEN '<extra_id_' || ((i-1) // 10) || '> ' || tok
+        |             WHEN (i-1) % 10 IN (4, 5) THEN tok ELSE NULL END AS tgt_piece
+        |      FROM p),
+        |g AS (SELECT doc_id,
+        |        string_agg(in_piece, ' ' ORDER BY i) AS input_text,
+        |        string_agg(tgt_piece, ' ' ORDER BY i) AS target_text,
+        |        sum(CASE WHEN (i-1) % 10 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+        |        sum(CASE WHEN (i-1) % 10 IN (3, 4, 5) THEN 1 ELSE 0 END)::BIGINT AS n_masked
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.input_text, '') AS input_text,
+        |  coalesce(g.target_text, '') AS target_text,
+        |  coalesce(g.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(g.n_masked, 0)::BIGINT AS n_masked
+        |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
     // every group must sum to exactly max-group-size; the within-group
     // rank (id order) decides who carries the remainder copy
     "pipeline_oversample" ->

