@@ -1818,6 +1818,55 @@ object OracleSql {
   def recallLshVsExact(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String =
     recallVsExact(lshTopK(numPlanes, dim, maxQueryId, k), simTopK(maxQueryId, k))
 
+  /** Shared sentence CTE over the planted-boundary corpus (mirror of
+    * TextStats.sentences on the terminator-planted documents): ends
+    * with `s` = (doc_id, sent_idx, sentence). */
+  val sentenceCte: String =
+    """sd AS (
+      |  SELECT doc_id, replace(replace(text, ' a ', '! '), ' the ', '. ') AS text
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, string_split(
+      |    regexp_replace(text, '([.!?]+)[ \t\n\x0B\f\r]+', '\1' || chr(31), 'g'),
+      |    chr(31)) AS ss
+      |  FROM sd),
+      |s AS (
+      |  SELECT doc_id, i AS sent_idx, ss[i] AS sentence
+      |  FROM sm, unnest(range(1, len(ss) + 1)) AS r(i)
+      |  WHERE ss[i] <> '')""".stripMargin
+
+  /** Cross-document boilerplate sentences (mirror of
+    * TextStats.boilerplateSentences over the planted corpus). */
+  def boilerplate(minDocs: Long, topK: Int): String =
+    s"""WITH $sentenceCte
+       |SELECT sentence, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_occurrences
+       |FROM s GROUP BY sentence HAVING count(DISTINCT doc_id) >= $minDocs
+       |ORDER BY n_docs DESC, sentence LIMIT $topK""".stripMargin
+
+  /** Boilerplate removal (mirror of TextStats.stripBoilerplate): the
+    * oracle joins on the raw sentence strings where the engine joins on
+    * xxhash64 of them — agreement is the collision check. */
+  def stripBoilerplate(minDocs: Long): String =
+    s"""WITH $sentenceCte,
+       |b AS (SELECT sentence FROM s GROUP BY sentence
+       |      HAVING count(DISTINCT doc_id) >= $minDocs),
+       |marked AS (
+       |  SELECT s.doc_id, s.sent_idx, s.sentence,
+       |    (b.sentence IS NOT NULL) AS boiler
+       |  FROM s LEFT JOIN b ON b.sentence = s.sentence),
+       |g AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(CASE WHEN NOT boiler THEN sentence END,
+       |      ' ' ORDER BY sent_idx), '') AS clean_text,
+       |    sum(CASE WHEN NOT boiler THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |    sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+       |  FROM marked GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(g.clean_text, '') AS clean_text,
+       |  coalesce(g.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(g.n_dropped, 0)::BIGINT AS n_dropped
+       |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Shared CDC fixture + MERGE resolution (mirror of the
     * pipeline_cdc_apply change log): `final` is the post-merge table —
     * latest seq wins per id, deletes drop, fresh inserts appear. */

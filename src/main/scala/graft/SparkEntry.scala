@@ -77,6 +77,13 @@ object SparkEntry {
       .unionByName(c2back).unionByName(c2ins)
   }
 
+  /** The synthetic corpus carries no punctuation; the sentence-level ops
+    * run over this deterministically terminator-planted variant
+    * (mirrored by OracleSql.sentenceCte). */
+  private def plantedSentenceDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      expr("replace(replace(text, ' a ', '! '), ' the ', '. ')"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity: the reference's two applications ----
     "wc_word_count" -> ((s, d) => WordCount.wordCount(Tables.documents(s, d))),
@@ -676,8 +683,16 @@ object SparkEntry {
     // planted deterministically first (same surgery in the oracle) —
     // otherwise every document would be one sentence and the grade moot
     "text_sentences" -> ((s, d) =>
-      TextStats.sentences(Tables.documents(s, d).withColumn("text",
-        expr("replace(replace(text, ' a ', '! '), ' the ', '. ')")))),
+      TextStats.sentences(plantedSentenceDocs(Tables.documents(s, d)))),
+    // CCNet-style line-level dedup: sentences repeated across >= 2
+    // distinct documents (headers/footers/banners), worst first
+    "text_boilerplate" -> ((s, d) =>
+      TextStats.boilerplateSentences(
+        TextStats.sentences(plantedSentenceDocs(Tables.documents(s, d))))),
+    // and the removal: every document rebuilt from its non-boilerplate
+    // sentences with kept/dropped accounting
+    "text_strip_boilerplate" -> ((s, d) =>
+      TextStats.stripBoilerplate(plantedSentenceDocs(Tables.documents(s, d)))),
     // T5-style span corruption on a deterministic grid: (input, target)
     // denoising pairs with sequential sentinels, every mask under grade
     "pipeline_span_corruption" -> ((s, d) =>
@@ -1726,6 +1741,8 @@ object SparkEntry {
         |FROM m, unnest(range(1, len(ss) + 1)) AS r(i)
         |WHERE ss[i] <> ''
         |ORDER BY doc_id, sent_idx""".stripMargin,
+    "text_boilerplate" -> OracleSql.boilerplate(2, 50),
+    "text_strip_boilerplate" -> OracleSql.stripBoilerplate(2),
     // chr(769)/chr(776) are the combining acute/diaeresis the engine
     // plants; DuckDB's nfc_normalize (utf8proc) must agree with the
     // engine's JDK Normalizer on every composed sequence and count

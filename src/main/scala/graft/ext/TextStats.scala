@@ -806,6 +806,55 @@ object TextStats {
       .orderBy(idCol, "sent_idx")
   }
 
+  /** Cross-document boilerplate sentences (CCNet-style line-level
+    * dedup): sentences appearing in at least `minDocs` DISTINCT
+    * documents, with doc and occurrence counts — headers, footers,
+    * cookie banners, license blurbs. One hash-keyed aggregation over
+    * the sentence stream; the (n_docs desc, sentence) top-k presents
+    * the worst offenders deterministically. */
+  def boilerplateSentences(sents: DataFrame, minDocs: Long = 2,
+                           topK: Int = 50): DataFrame =
+    sents.groupBy(col("sentence"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("sentence"))
+      .limit(topK)
+
+  /** Boilerplate REMOVAL: rebuild every document from only its
+    * non-boilerplate sentences (original order, space-joined), with
+    * kept/dropped accounting. The boilerplate set is joined on
+    * xxhash64 of the sentence so only 8-byte keys shuffle, never the
+    * sentence text twice (collision-free at any realistic corpus; the
+    * oracle joins on the raw strings — agreement is the check).
+    * Documents whose every sentence is boilerplate (or that are empty)
+    * survive with clean_text = ''. */
+  def stripBoilerplate(docs: DataFrame, minDocs: Long = 2,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sents = sentences(docs, idCol, textCol)
+      .withColumn("__h", xxhash64(col("sentence")))
+    val boiler = sents.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(true).as("__boiler"))
+    val marked = sents.join(boiler, Seq("__h"), "left")
+    val rebuilt = marked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("sent_idx"), col("sentence"))))),
+          x => x.getField("sentence")), " ").as("clean_text"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(idCol)
+  }
+
   /** Unicode NFC normalization report over a DECOMPOSED variant of the
     * corpus: every `e`/`a` is replaced by its base + combining accent
     * (U+0301 / U+0308) — the mixed-encoding state a multi-writer crawl

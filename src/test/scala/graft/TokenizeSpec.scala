@@ -60,4 +60,34 @@ class TokenizeSpec extends SparkSpec {
     // newline and tab count as boundary whitespace
     assert(sents("A.\nB!\tC") == Seq((1L, "A.", 2L), (2L, "B!", 2L), (3L, "C", 1L)))
   }
+
+  test("boilerplate: cross-doc repeated sentences flagged, stripped in order") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Cookie banner. Unique zero. Footer text."),
+      (1L, "Cookie banner. Unique one. Footer text."),
+      (2L, "Cookie banner. Unique two here"),
+      (3L, "Cookie banner. Footer text."), // ALL boilerplate -> empty
+      (4L, "")).toDF("doc_id", "text")
+    val sents = graft.ext.TextStats.sentences(docs)
+    val boiler = graft.ext.TextStats.boilerplateSentences(sents)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(boiler == Seq(("Cookie banner.", 4L, 4L), ("Footer text.", 3L, 3L)))
+    val stripped = graft.ext.TextStats.stripBoilerplate(docs)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stripped(0L) == ((0L, "Unique zero.", 1L, 2L)))
+    assert(stripped(1L) == ((1L, "Unique one.", 1L, 2L)))
+    assert(stripped(2L) == ((2L, "Unique two here", 1L, 1L)))
+    assert(stripped(3L) == ((3L, "", 0L, 2L)))
+    assert(stripped(4L) == ((4L, "", 0L, 0L)))
+    // order preservation with >1 kept sentence around a dropped one
+    val multi = Seq((9L, "Keep one. Cookie banner. Keep two. Cookie banner. Keep three"))
+      .toDF("doc_id", "text")
+    val both = docs.select("doc_id", "text").unionByName(multi)
+    val r9 = graft.ext.TextStats.stripBoilerplate(both)
+      .filter(col("doc_id") === 9L)
+      .as[(Long, String, Long, Long)].head()
+    assert(r9 == ((9L, "Keep one. Keep two. Keep three", 3L, 2L)))
+  }
 }
