@@ -11,6 +11,10 @@ package object functions {
   def poly_hash(c: Column): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c)))
 
+  /** [[poly_hash]] with an explicit modulus. */
+  def poly_hash(c: Column, modulus: Long): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(c), modulus))
+
   /** Codegen'd double-array dot product (see [[DotProduct]]). */
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
