@@ -180,6 +180,10 @@ object SparkEntry {
     "q_json" -> ((s, d) => Relational.eventPropStats(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) =>
       rel.TemporalJoins.latestOrderPerEvent(Tables.events(s, d), Tables.orders(s, d))),
+    // nearest-as-of (either direction, banded): closest error around
+    // each purchase; winner via one min_by aggregation, no window
+    "q_asof_nearest" -> ((s, d) =>
+      rel.TemporalJoins.nearestErrorPerPurchase(Tables.events(s, d))),
     "q_range_join" -> ((s, d) =>
       rel.TemporalJoins.eventPairsWithin(Tables.events(s, d))),
     "q_cube" -> ((s, d) => Relational.returnFlagCube(Tables.lineitem(s, d))),
@@ -684,6 +688,10 @@ object SparkEntry {
     // otherwise every document would be one sentence and the grade moot
     "text_sentences" -> ((s, d) =>
       TextStats.sentences(plantedSentenceDocs(Tables.documents(s, d)))),
+    // URL canonicalization + duplicate grouping: the crawl-frontier
+    // dedup pass (case/www/port/fragment/utm/trailing-slash variants
+    // collapse; real query params survive)
+    "dedup_urls" -> ((s, d) => ext.Urls.urlDedup(Tables.documents(s, d))),
     // CCNet-style line-level dedup: sentences repeated across >= 2
     // distinct documents (headers/footers/banners), worst first
     "text_boilerplate" -> ((s, d) =>
@@ -980,6 +988,29 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    // nearest-as-of: the oracle ranks candidates with a window (nulls
+    // last so unmatched purchases survive with null columns) where the
+    // engine uses a min_by aggregation — different derivations agreeing
+    "q_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, event_id AS err_id, ts AS err_ts FROM events
+        |  WHERE event_type = 'error'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS p_ms, e.err_id,
+        |    epoch_ms(e.err_ts) AS err_ts_ms
+        |  FROM p LEFT JOIN e ON e.user_id = p.user_id
+        |    AND e.err_ts >= p.ts - INTERVAL 120 MINUTE
+        |    AND e.err_ts <= p.ts + INTERVAL 120 MINUTE),
+        |r AS (
+        |  SELECT *, abs(err_ts_ms - p_ms) AS diff_ms,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY
+        |      CASE WHEN err_id IS NULL THEN 1 ELSE 0 END,
+        |      abs(err_ts_ms - p_ms), err_ts_ms, err_id) AS rn
+        |  FROM j)
+        |SELECT event_id, user_id, err_id, err_ts_ms, diff_ms
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       """SELECT a.event_type AS a_type, count(*) AS n_pairs,
         |  count(DISTINCT a.event_id) AS n_lead_events
@@ -1741,6 +1772,54 @@ object SparkEntry {
         |FROM m, unnest(range(1, len(ss) + 1)) AS r(i)
         |WHERE ss[i] <> ''
         |ORDER BY doc_id, sent_idx""".stripMargin,
+    // the canonicalization chain re-expressed in DuckDB's regex/list
+    // dialect; rule-by-rule agreement (incl. the pass-through for
+    // non-URLs and empty-query collapse) is the graded claim
+    "dedup_urls" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://example.com/art/' || (doc_id % 7)
+        |                  || '/item/' || (doc_id % 10)
+        |      WHEN 1 THEN 'HTTPS://WWW.Example.COM/art/' || (doc_id % 7)
+        |                  || '/item/' || (doc_id % 10)
+        |      WHEN 2 THEN 'https://example.com:443/art/' || (doc_id % 7)
+        |                  || '/item/' || (doc_id % 10) || '/'
+        |      ELSE 'http://example.org/art/' || (doc_id % 7) || '?id=' || (doc_id % 10)
+        |           || '&utm_source=feed&utm_campaign=x#top'
+        |    END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        |    regexp_replace(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', '') AS nofrag
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'https'
+        |           THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
+        |         WHEN scheme = 'http'
+        |           THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
+        |         ELSE regexp_replace(host0, '^www\.', '') END AS host,
+        |    regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '/+$', '') AS path,
+        |    list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+        |      p -> substr(p, 1, 4) <> 'utm_' AND p <> '') AS kept
+        |  FROM parts),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN scheme = '' THEN url
+        |         ELSE scheme || '://' || host || path ||
+        |           CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |                ELSE '' END END AS canonical_url
+        |  FROM p2),
+        |g AS (SELECT canonical_url, count(*)::BIGINT AS n_dupes,
+        |        min(doc_id) AS keep_id
+        |      FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.url, c.canonical_url, g.n_dupes,
+        |  (c.doc_id = g.keep_id) AS keep
+        |FROM c JOIN g USING (canonical_url) ORDER BY c.doc_id""".stripMargin,
     "text_boilerplate" -> OracleSql.boilerplate(2, 50),
     "text_strip_boilerplate" -> OracleSql.stripBoilerplate(2),
     // chr(769)/chr(776) are the combining acute/diaeresis the engine

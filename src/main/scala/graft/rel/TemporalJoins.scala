@@ -55,6 +55,43 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** Nearest-as-of join (banded, either direction): for each left row,
+    * the single right row with the SMALLEST absolute time distance
+    * within ± `bandMinutes` for the same key — the "closest reading"
+    * join a sensor/attribution pipeline needs when the match may be
+    * before OR after. The band is what keeps it scale-honest: per-key
+    * candidates stay bounded and the equi+band join never goes |L|×|R|
+    * (an unbanded nearest would need a full merge of both streams).
+    * Winner by one min_by aggregation with the deterministic composite
+    * key (|Δt|, right ts, right id) — no window over candidates; the
+    * ordering key is NULLed on unmatched rows so min_by skips them and
+    * LEFT semantics survive.
+    *
+    * Showcase: nearest error around each purchase, same user, ±2 h. */
+  def nearestErrorPerPurchase(events: DataFrame, bandMinutes: Int = 120): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val j = purchases.join(errors,
+      col("user_id") === col("e_user") &&
+        col("err_ts") >= col("ts") - expr(s"INTERVAL $bandMinutes MINUTES") &&
+        col("err_ts") <= col("ts") + expr(s"INTERVAL $bandMinutes MINUTES"),
+      "left")
+    val diff = abs(unix_millis(col("err_ts")) - unix_millis(col("ts")))
+    val ordKey = when(col("err_id").isNull, lit(null))
+      .otherwise(struct(diff.as("d"), unix_millis(col("err_ts")).as("m"),
+        col("err_id").as("k")))
+    j.groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(min_by(struct(col("err_id"),
+        unix_millis(col("err_ts")).as("err_ms"), diff.as("diff_ms")), ordKey).as("__best"))
+      .select(col("event_id"), col("user_id"),
+        col("__best.err_id").as("err_id"), col("__best.err_ms").as("err_ts_ms"),
+        col("__best.diff_ms").as("diff_ms"))
+      .orderBy("event_id")
+  }
+
   /** Banded range join: ordered pairs of events by the same user within
     * `minutes` of each other. Equi on the key, band as a join filter —
     * per-key candidate count bounds the blowup, never |L|×|R|. */

@@ -250,4 +250,45 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "first-occurrence pick must be min-struct agg (map-side combinable), not a window")
   }
+
+  test("url canonicalization: every rule on hand-built cases") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + default port + trailing slash all collapse
+      "HTTPS://WWW.Example.COM:443/A/b/" -> "https://example.com/A/b",
+      // path case is PRESERVED (paths are case-sensitive)
+      "https://example.com/CaseSensitive" -> "https://example.com/CaseSensitive",
+      // http default port
+      "http://example.com:80/x" -> "http://example.com/x",
+      // NON-default port survives
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      // utm_* dropped, real params kept, fragment dropped
+      "https://example.com/a?id=7&utm_source=f&utm_campaign=c#frag" ->
+        "https://example.com/a?id=7",
+      // all params tracking -> whole query collapses
+      "https://example.com/a?utm_source=f" -> "https://example.com/a",
+      // bare host, multiple trailing slashes
+      "https://www.example.com///" -> "https://example.com",
+      // unknown scheme: no port stripping, still lowercased + de-www'd
+      "FTP://WWW.Example.com:21/f" -> "ftp://example.com:21/f",
+      // not a URL at all: passes through unchanged
+      "not a url" -> "not a url",
+      "" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.ext.Urls.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (c, (in, want)) =>
+      assert(c == want, s"canonicalize('$in') = '$c', want '$want'") }
+    // grouping: variants of one page collapse to one keeper
+    val docs = Seq(0L, 1L, 2L, 3L, 70L, 140L).toDF("doc_id")
+    val out = graft.ext.Urls.urlDedup(docs)
+      .as[(Long, String, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // ids 0/70/140: v0/v2/v0 encodings of art/0/item/0 -> one group of 3
+    assert(out(0L)._3 == "https://example.com/art/0/item/0")
+    assert(out(0L)._4 == 3L && out(0L)._5, "smallest id keeps")
+    assert(out(70L)._3 == out(0L)._3 && !out(70L)._5)
+    assert(out(140L)._3 == out(0L)._3 && !out(140L)._5)
+    assert(out(3L)._3 == "http://example.org/art/3?id=3" && out(3L)._4 == 1L)
+  }
 }

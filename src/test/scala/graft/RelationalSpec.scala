@@ -253,4 +253,30 @@ class RelationalSpec extends SparkSpec {
       ("AUTO", 3L, "1-URGENT,3-MEDIUM"),
       ("FOOD", 1L, "5-LOW")))
   }
+
+  test("nearest-as-of: closest either direction, before wins distance ties, band excludes") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, tp: String, sec: Long) =
+      (id, user, tp, new java.sql.Timestamp(1704067200000L + sec * 1000))
+    val events = Seq(
+      ev(0L, 1L, "purchase", 3600),           // errors at ±600s -> BEFORE (3000) wins the tie
+      ev(1L, 1L, "error", 3000),
+      ev(2L, 1L, "error", 4200),
+      ev(3L, 2L, "purchase", 1000),           // only an AFTER error, closer than band
+      ev(4L, 2L, "error", 1500),
+      ev(5L, 3L, "purchase", 0),              // nearest error beyond ±2 h -> unmatched
+      ev(6L, 3L, "error", 7300),
+      ev(7L, 4L, "purchase", 100),            // no errors for this user at all
+      ev(8L, 5L, "error", 50)                 // other user's error must not match
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.rel.TemporalJoins.nearestErrorPerPurchase(events)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3.contains(1L), "equal distance: the earlier (before) error wins")
+    assert(out(0L)._5.contains(600000L))
+    assert(out(3L)._3.contains(4L) && out(3L)._5.contains(500000L), "after-side match")
+    assert(out(5L)._3.isEmpty && out(5L)._4.isEmpty, "beyond the band -> null")
+    assert(out(7L)._3.isEmpty, "no candidate -> null")
+    assert(out.keySet == Set(0L, 3L, 5L, 7L), "every purchase survives, only purchases")
+  }
 }
