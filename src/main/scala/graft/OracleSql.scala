@@ -1456,6 +1456,37 @@ object OracleSql {
        |  coalesce(in_strength, 0) AS in_strength
        |FROM o FULL OUTER JOIN i USING (node) ORDER BY node""".stripMargin
 
+  /** Jaccard node similarity on the hub-pruned co-occurrence graph
+    * (mirror of Graph.wordJaccard): same undirected collapse, same
+    * degree prune BEFORE pair generation, same wedge pair counting,
+    * same one-division Jaccard and (jaccard desc, a, b) top-k. */
+  def wordJaccard(maxDeg: Long, minCommon: Long, k: Int): String =
+    s"""WITH $toksCte,
+       |pr AS (
+       |  SELECT toks[i] AS src, toks[i+1] AS dst
+       |  FROM toks, unnest(range(1, len(toks))) AS u(i)),
+       |e AS (SELECT src, dst FROM pr GROUP BY 1, 2),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |adj AS (
+       |  SELECT a AS node, b AS nbr FROM und
+       |  UNION ALL SELECT b AS node, a AS nbr FROM und),
+       |keepn AS (SELECT node FROM adj GROUP BY node HAVING count(*) <= $maxDeg),
+       |adjk AS (
+       |  SELECT adj.node, adj.nbr FROM adj
+       |  JOIN keepn kn ON kn.node = adj.node
+       |  JOIN keepn kb ON kb.node = adj.nbr),
+       |degk AS (SELECT node, count(*)::BIGINT AS degk FROM adjk GROUP BY node),
+       |pairs AS (
+       |  SELECT l.nbr AS a, r.nbr AS b, count(*)::BIGINT AS n_common
+       |  FROM adjk l JOIN adjk r ON l.node = r.node AND l.nbr < r.nbr
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCommon)
+       |SELECT p.a, p.b, p.n_common, da.degk AS deg_a, db.degk AS deg_b,
+       |  p.n_common::DOUBLE / (da.degk + db.degk - p.n_common)::DOUBLE AS jaccard
+       |FROM pairs p JOIN degk da ON da.node = p.a JOIN degk db ON db.node = p.b
+       |ORDER BY jaccard DESC, p.a, p.b LIMIT $k""".stripMargin
+
   /** Deterministic weighted sample (mirror of
     * TrainingPipeline.weightedSample): same seeded rolling hash → uniform,
     * same integer-scaled ln, same single double division, same top-k. */

@@ -233,6 +233,10 @@ object SparkEntry {
     "text_bpe" -> ((s, d) => ext.Bpe.mergeTable(Tables.documents(s, d), 8)),
     "text_bpe_vocab" -> ((s, d) => ext.Bpe.subwordFrequencies(Tables.documents(s, d), 8)),
     "text_bpe_encode" -> ((s, d) => ext.Bpe.encodeCorpus(Tables.documents(s, d), 8)),
+    // tokenizer fertility per language (subwords per word under the
+    // trained vocabulary) — the cross-lingual tokenizer-quality report
+    "text_bpe_fertility" -> ((s, d) =>
+      ext.Bpe.fertilityReport(Tables.documents(s, d), 8)),
     // the production ingest shape: fit ONCE on the corpus, encode a NEW
     // batch with the frozen vocabulary — the derived corpus (each doc
     // concatenated with its vowel-rotated form) contains both in-vocab
@@ -675,6 +679,9 @@ object SparkEntry {
     // lexicographic triple-join — a different algorithm, so agreement is
     // the correctness argument
     "graph_triangles" -> ((s, d) => ext.Graph.wordTriangles(Tables.documents(s, d), 20)),
+    // Jaccard node similarity (link prediction) on the hub-pruned
+    // co-occurrence graph: wedge fan-out bounded by maxDeg * |E|
+    "graph_jaccard" -> ((s, d) => ext.Graph.wordJaccard(Tables.documents(s, d))),
     // sliding-window next-event training examples over the event stream
     "pipeline_examples" -> ((s, d) =>
       ext.TrainingPipeline.nextEventExamples(Tables.events(s, d), 3)),
@@ -1247,6 +1254,16 @@ object SparkEntry {
     "text_bpe" -> OracleSql.bpeMerges(8),
     "text_bpe_vocab" -> OracleSql.bpeSubwords(8),
     "text_bpe_encode" -> OracleSql.bpeEncode(8),
+    "text_bpe_fertility" ->
+      s"""WITH enc AS (
+         |${OracleSql.bpeEncode(8)}),
+         |j AS (SELECT d.lang, e.n_tokens, e.n_subwords
+         |      FROM enc e JOIN documents d USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_words,
+         |  sum(n_subwords)::BIGINT AS n_subwords,
+         |  sum(n_subwords)::DOUBLE / nullif(sum(n_tokens), 0)::DOUBLE AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bpe_model_encode" -> OracleSql.bpeModelEncode(8),
     "text_lm_score" -> OracleSql.lmScore,
     // associativity is the check: merged batch+corpus counts == recount
@@ -1695,6 +1712,7 @@ object SparkEntry {
       OracleSql.matryoshka(8L, 5, 16, 25), OracleSql.simTopK(8L, 5)),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
+    "graph_jaccard" -> OracleSql.wordJaccard(30, 2, 50),
     "graph_triangles" ->
       s"""WITH ${OracleSql.toksCte},
          |grams AS (

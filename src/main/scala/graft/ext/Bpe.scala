@@ -321,6 +321,25 @@ object Bpe {
     encodeSegmented(docs, words)
   }
 
+  /** Tokenizer fertility report: subwords-per-word and docs/token
+    * volume PER LANGUAGE for a BPE vocabulary trained on the corpus —
+    * the standard tokenizer-quality diagnostic (a vocabulary that
+    * fragments one language into 2× the pieces of another starves it
+    * of effective context). One language-keyed aggregation over the
+    * encode output; fertility is a single exact-long division, so the
+    * double is engine-portable. */
+  def fertilityReport(docs: DataFrame, merges: Int = 8,
+                      batch: Int = DefaultBatch): DataFrame =
+    encodeCorpus(docs, merges, batch)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / nullif(col("n_words"), lit(0L)).cast("double"))
+      .orderBy("lang")
+
   /** The encoding tail [[encodeCorpus]] and [[Model.encode]] share: the
     * corpus token stream equi-joins a (word, l) segmentation table, then
     * one doc-keyed aggregation rebuilds each document's subword stream

@@ -232,4 +232,31 @@ class BpeSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.size <= 2, s"replay must free superseded checkpoints, found ${leaked.size} live")
   }
+
+  test("fertility report: consistent with the encode output, >= 1, per-lang") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "banana bandana banana", "aa"),
+      (1L, "banana cabana", "aa"),
+      (2L, "xylophone quartz", "bb"),
+      (3L, "", "cc")) // zero words -> null fertility, still a row
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", col("lang"))
+    val rep = graft.ext.Bpe.fertilityReport(docs, merges = 4)
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    // direct recomputation from the encode output
+    val enc = graft.ext.Bpe.encodeCorpus(docs, 4)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .as[(Long, Long, Long, String, String)] // doc_id, n_tokens, n_subwords, segmented, lang
+    val want = enc.collect().groupBy(_._5).map { case (l, rows) =>
+      val w = rows.map(_._2).sum; val s = rows.map(_._3).sum
+      (l, rows.length.toLong, w, s,
+        if (w == 0) None else Some(s.toDouble / w.toDouble))
+    }.toSeq.sortBy(_._1)
+    assert(rep == want)
+    rep.filter(_._5.isDefined).foreach { r =>
+      assert(r._5.get >= 1.0, s"fertility of ${r._1} must be >= 1 (pieces >= words)") }
+    assert(rep.map(_._1) == Seq("aa", "bb", "cc"))
+  }
 }

@@ -137,4 +137,27 @@ class GraphSpec extends SparkSpec {
     // "the" has the most inbound mass in this corpus
     assert(rows.head.getString(0) == "the")
   }
+
+  test("jaccard similarity: hand graph, hub prune, tie-break, bounds") {
+    // path graph x-a-y plus x-b-y, x-c-y: x and y share {a,b,c};
+    // hub h connects to everything (degree 7 > maxDeg 5) -> pruned
+    val edges = Seq(
+      ("x", "a"), ("a", "y"), ("x", "b"), ("b", "y"), ("x", "c"), ("c", "y"),
+      ("h", "x"), ("h", "y"), ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e"),
+      ("d", "e")
+    ).toDF("src", "dst").withColumn("w", lit(1L))
+    val out = Graph.jaccardSimilarity(edges, maxDeg = 5, minCommon = 2, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // after pruning h: deg(x)=deg(y)=3 ({a,b,c}); J(x,y) = 3/(3+3-3) = 1
+    assert(out.contains(("x", "y", 3L, 3L, 3L, 1.0)))
+    // equal-jaccard ties order by (a, b): ("a","b") leads
+    assert(out.head == (("a", "b", 2L, 2L, 2L, 1.0)))
+    // pairs through the hub only (e.g. d-e via h) must NOT appear
+    assert(!out.exists(r => Set(r._1, r._2).contains("h")))
+    assert(out.forall(r => r._3 >= 2L && r._6 > 0.0 && r._6 <= 1.0))
+    // a,b,c all share exactly {x, y}: J = 2/(2+2-2) = 1, tie-broken (a,b) asc
+    val ones = out.filter(_._6 == 1.0).map(r => (r._1, r._2))
+    assert(ones == Seq(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")).sorted ||
+      ones.toSet == Set(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")))
+  }
 }
