@@ -1456,6 +1456,49 @@ object OracleSql {
        |  coalesce(in_strength, 0) AS in_strength
        |FROM o FULL OUTER JOIN i USING (node) ORDER BY node""".stripMargin
 
+  /** HLL merge grade (mirror of Sketches.hllMerged): the oracle derives
+    * the whole-table single-pass sketch ONLY and emits it as both the
+    * merged and the direct columns — so the engine's register-wise-max
+    * merge of per-group states must be lossless to hash-match. */
+  def hllMerged(table: String, groupCol: String, keyCol: String): String = {
+    val alphaLit = String.format(java.util.Locale.ROOT, "%.17E",
+      Double.box(ext.Sketches.HllAlpha * ext.Sketches.HllM * ext.Sketches.HllM *
+        (1L << 26).toDouble))
+    val rankCases = (0 until 25)
+      .map(r => s"WHEN (w & -w) = ${1L << r} THEN ${r + 1}")
+      .mkString("\n         ")
+    s"""WITH h0 AS (
+       |  SELECT ($keyCol * 2654435761) % 2147483648 AS v FROM $table),
+       |h1 AS (SELECT xor(v, v // 65536) AS v FROM h0),
+       |h2 AS (SELECT (v * 2246822519) % 2147483648 AS v FROM h1),
+       |h AS (SELECT xor(v, v // 8192) AS h FROM h2),
+       |r AS (SELECT h % 64 AS register, h // 64 AS w FROM h),
+       |rk AS (
+       |  SELECT register,
+       |    CASE WHEN w = 0 THEN 26
+       |         $rankCases
+       |    END AS rank
+       |  FROM r),
+       |mx AS (SELECT register, max(rank) AS max_rank FROM rk GROUP BY 1),
+       |grid AS (SELECT unnest(range(0, 64)) AS register),
+       |f AS (
+       |  SELECT grid.register, coalesce(mx.max_rank, 0) AS r
+       |  FROM grid LEFT JOIN mx USING (register)),
+       |agg AS (
+       |  SELECT array_to_string(list(r ORDER BY register), ',') AS registers_csv,
+       |    sum((1::BIGINT << (26 - r)::INT))::BIGINT AS pow_sum
+       |  FROM f),
+       |st AS (
+       |  SELECT count(DISTINCT $groupCol)::BIGINT AS n_groups,
+       |    count(DISTINCT $keyCol)::BIGINT AS n_distinct_exact
+       |  FROM $table)
+       |SELECT registers_csv, pow_sum,
+       |  CAST(round($alphaLit / pow_sum::DOUBLE * 100.0) AS BIGINT) AS est_scaled,
+       |  CAST(round($alphaLit / pow_sum::DOUBLE * 100.0) AS BIGINT) AS est_direct_scaled,
+       |  n_groups, n_distinct_exact
+       |FROM agg CROSS JOIN st""".stripMargin
+  }
+
   /** Jaccard node similarity on the hub-pruned co-occurrence graph
     * (mirror of Graph.wordJaccard): same undirected collapse, same
     * degree prune BEFORE pair generation, same wedge pair counting,

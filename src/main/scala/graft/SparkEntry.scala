@@ -165,6 +165,12 @@ object SparkEntry {
     // landed history must equal the batch full recompute (same oracle
     // as pipeline_scd2)
     "stream_scd2" -> ((s, d) => streaming.EventsStream.scd2StreamLanded(s, d)),
+    // streaming IVM: the per-source aggregate view patched per
+    // micro-batch (same oracle as the batch lake_incr_agg)
+    "stream_incr_agg" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      streaming.EventsStream.incrAggStreamLanded(s, d, docs, cdcChanges(docs))
+    }),
     "stream_join" -> ((s, d) => streaming.EventsStream.purchasesAfterErrorsLanded(s, d)),
     "stream_sessions" -> ((s, d) => streaming.EventsStream.sessionWindowLanded(s, d)),
     // the production foreachBatch→parquet sink path, graded: the landed
@@ -198,6 +204,10 @@ object SparkEntry {
     // internal hash is an implementation detail)
     "sketch_hll" -> ((s, d) =>
       ext.Sketches.hllDistinct(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    // HLL mergeability: per-group sketch states merged by register-wise
+    // max must equal the single-pass whole-table sketch exactly
+    "sketch_hll_merge" -> ((s, d) =>
+      ext.Sketches.hllMerged(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
     // CMS with contract hashes: counter table + top-k probe, graded;
     // the never-undercount guarantee is visible per row (over_count >= 0)
     "sketch_cms" -> ((s, d) => ext.Sketches.cmsTokenCounts(Tables.documents(s, d))),
@@ -1647,6 +1657,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "pipeline_cdc_apply" -> OracleSql.cdcApply,
     "lake_incr_agg" -> OracleSql.cdcAggMaintain,
+    // the streamed per-batch maintenance must land the same view
+    "stream_incr_agg" -> OracleSql.cdcAggMaintain,
     // the as-of oracle is the DIRECT v2 snapshot — not a replay of the
     // history chain — so reconstruction is checked against an
     // independent derivation
@@ -1691,6 +1703,7 @@ object SparkEntry {
     "sim_quantize" -> OracleSql.quantizeInt8,
     "sim_random_projection" -> OracleSql.randomProjection(64, 8),
     "sketch_hll" -> OracleSql.hllDistinct("lineitem", "l_returnflag", "l_partkey"),
+    "sketch_hll_merge" -> OracleSql.hllMerged("lineitem", "l_returnflag", "l_partkey"),
     "sketch_cms" -> OracleSql.cmsTokenCounts(20),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror

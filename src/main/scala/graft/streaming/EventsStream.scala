@@ -623,6 +623,72 @@ object EventsStream {
     history.drop("content_hash", "content_len").orderBy("doc_id", "valid_from")
   }
 
+  /** CDC fixture for the streaming aggregate maintenance: the SAME
+    * change log pipeline_cdc_apply / lake_incr_agg use, split into its
+    * two sequence batches (one file per micro-batch, seq order =
+    * arrival order). */
+  def cdcBatchFixtureDir(spark: SparkSession, sfDir: String,
+                         changes: DataFrame): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(s"/tmp/graft_stream_cdc_${spark.sparkContext.applicationId}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val b1 = dir.resolve("seq1.parquet")
+    val b2 = dir.resolve("seq2.parquet")
+    if (Files.exists(b1) && Files.exists(b2)) return dir.toString
+    Files.createDirectories(dir)
+    val now = System.currentTimeMillis()
+    stageSingleFile(changes.filter(col("seq") === 1L), dir, b1, now - 60000L)
+    stageSingleFile(changes.filter(col("seq") === 2L), dir, b2, now)
+    dir.toString
+  }
+
+  private val cdcChangeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, seq BIGINT, op STRING, text STRING, source STRING")
+
+  /** Graded query: incrementally-maintained per-source aggregate view,
+    * fed by the CDC stream — each micro-batch patches the materialized
+    * view with [[graft.ext.Incremental.maintainAggregate]] (Δ against
+    * the PRE-batch base) and then folds the batch into the base with
+    * `applyChanges`; both frames eagerly checkpointed so the fold
+    * sequences and dead intermediates are freed. The landed view must
+    * equal the FULL RECOMPUTE over the final merged table — the same
+    * oracle lake_incr_agg faces, now reached through the real
+    * micro-batch engine: the lakehouse serving pattern where the
+    * aggregate view is always fresh and the base is never rescanned. */
+  def incrAggStreamLanded(spark: SparkSession, sfDir: String,
+                          base0: DataFrame, changes: DataFrame): DataFrame = {
+    val dir = cdcBatchFixtureDir(spark, sfDir, changes)
+    var base = base0.localCheckpoint(true)
+    var agg = graft.ext.Incremental.charAggregate(base).localCheckpoint(true)
+    var dead: Seq[DataFrame] = Nil
+    withStateParts(spark, DefaultDrainStateParts) {
+      val q = spark.readStream.schema(cdcChangeSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            // within one batch every id appears at most once (the change
+            // rules are if/else-exclusive per seq), so the winner
+            // resolution inside maintainAggregate is trivially per-row
+            val nextAgg = graft.ext.Incremental
+              .maintainAggregate(base, agg, batch)
+              .localCheckpoint(true)
+            val nextBase = graft.ext.Incremental
+              .applyChanges(base, batch, Seq("text", "source"))
+              .localCheckpoint(true)
+            dead.foreach(_.unpersist())
+            dead = Seq(base, agg)
+            base = nextBase
+            agg = nextAgg
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    agg.orderBy("source")
+  }
+
   /** Watermarked per-hour per-user activity counts — the streaming half
     * of the windowed top-k. State is one count per (window, user); the
     * 2-hour watermark reclaims closed windows. */

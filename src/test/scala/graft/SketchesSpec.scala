@@ -61,4 +61,29 @@ class SketchesSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.takeRight(600))
   }
+
+  test("hll merge: register-wise max of group sketches == single-pass sketch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // keys deliberately OVERLAP across groups: a lossy merge (e.g.
+    // summing estimates instead of maxing registers) would double-count
+    val df = ((0L until 600L).map(k => (k, "g1")) ++
+        (300L until 900L).map(k => (k, "g2")) ++
+        (0L until 100L).map(k => (k, "g3")))
+      .toDF("k", "g")
+    val row = graft.ext.Sketches.hllMerged(df, "g", "k")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    val (csv, powSum, est, estDirect, nGroups, exact) = row
+    assert(est == estDirect, "merged estimate must equal the direct sketch's")
+    assert(nGroups == 3L && exact == 900L)
+    // merged state IS the direct state, not just the estimate
+    val direct = graft.ext.Sketches.hllDistinct(
+        df.withColumn("all", org.apache.spark.sql.functions.lit("x")), "all", "k")
+      .select(col("registers_csv"), col("pow_sum")).as[(String, Long)].head()
+    assert((csv, powSum) == direct)
+    // the naive lossy merge (sum of per-group estimates) overcounts here
+    val perGroup = graft.ext.Sketches.hllDistinct(df, "g", "k")
+      .select(col("est_scaled")).as[Long].collect().sum
+    assert(perGroup > est, "overlapping groups: summed estimates must exceed the union's")
+  }
 }

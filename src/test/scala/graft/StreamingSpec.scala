@@ -293,4 +293,29 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(again == want)
   }
+
+  test("streaming IVM: per-batch maintained view == full recompute over merged base") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    // the same shared CDC change log the batch queries use
+    val changes = {
+      val sNull = lit(null).cast("string")
+      val c1del = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+          sNull.as("text"), sNull.as("source"))
+      val c1up = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" rev1")).as("text"), col("source"))
+      val c2 = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" rev2")).as("text"), col("source"))
+      c1del.unionByName(c1up).unionByName(c2)
+    }
+    val got = EventsStream.incrAggStreamLanded(spark, dir, docs, changes)
+      .as[(String, Long, Long)].collect().toSeq
+    val want = ext.Incremental.charAggregate(
+        ext.Incremental.applyChanges(docs, changes, Seq("text", "source")))
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
