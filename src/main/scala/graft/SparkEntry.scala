@@ -718,6 +718,17 @@ object SparkEntry {
     // sentences with kept/dropped accounting
     "text_strip_boilerplate" -> ((s, d) =>
       TextStats.stripBoilerplate(plantedSentenceDocs(Tables.documents(s, d)))),
+    // token-frequency drift across an ingest cycle: the corpus before
+    // vs after the shared CDC batch, top words by |Δ relative freq|
+    "text_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      TextStats.tokenDrift(docs,
+        ext.Incremental.applyChanges(docs, cdcChanges(docs), Seq("text", "source")))
+    }),
+    // packing-efficiency report: per-bin fill ratios (the padded-compute
+    // waste metric a trainer tracks)
+    "pipeline_pack_stats" -> ((s, d) =>
+      ext.TrainingPipeline.packStats(Tables.documents(s, d), 2048L)),
     // T5-style span corruption on a deterministic grid: (input, target)
     // denoising pairs with sequential sentinels, every mask under grade
     "pipeline_span_corruption" -> ((s, d) =>
@@ -1212,6 +1223,39 @@ object SparkEntry {
         |FROM g GROUP BY doc_id, cidx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipeline_pack" -> OracleSql.packSequences(2048),
+    // old side tokenizes documents, new side tokenizes the CDC-merged
+    // `final` table; both relative frequencies in rounded ppm
+    "text_drift" ->
+      s"""WITH ${OracleSql.cdcFinalCte},
+         |${OracleSql.toksCteFor("documents", "otoks")},
+         |${OracleSql.toksCteFor("final", "ntoks")},
+         |ow AS (SELECT w AS word, count(*)::BIGINT AS old_cnt
+         |       FROM otoks, unnest(toks) AS u(w) WHERE w <> '' GROUP BY 1),
+         |nw AS (SELECT w AS word, count(*)::BIGINT AS new_cnt
+         |       FROM ntoks, unnest(toks) AS u(w) WHERE w <> '' GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(old_cnt) FROM ow) AS ot,
+         |               (SELECT sum(new_cnt) FROM nw) AS nt),
+         |j AS (
+         |  SELECT coalesce(ow.word, nw.word) AS word,
+         |    coalesce(old_cnt, 0)::BIGINT AS old_cnt,
+         |    coalesce(new_cnt, 0)::BIGINT AS new_cnt
+         |  FROM ow FULL OUTER JOIN nw ON ow.word = nw.word),
+         |p AS (
+         |  SELECT word, old_cnt, new_cnt,
+         |    CAST(round(old_cnt * 1000000.0 / ot) AS BIGINT) AS old_ppm,
+         |    CAST(round(new_cnt * 1000000.0 / nt) AS BIGINT) AS new_ppm
+         |  FROM j CROSS JOIN tot)
+         |SELECT word, old_cnt, new_cnt, old_ppm, new_ppm,
+         |  (new_ppm - old_ppm)::BIGINT AS delta_ppm
+         |FROM p ORDER BY abs(new_ppm - old_ppm) DESC, word LIMIT 40""".stripMargin,
+    "pipeline_pack_stats" ->
+      s"""WITH p AS (
+         |${OracleSql.packSequences(2048)})
+         |SELECT bin_id, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS bin_tokens,
+         |  min(doc_id) AS first_doc,
+         |  sum(n_tokens)::DOUBLE / 2048.0 AS fill_ratio
+         |FROM p GROUP BY bin_id ORDER BY bin_id""".stripMargin,
     "pipeline_pack_tokens" -> OracleSql.packedBatches(2048),
     // exact membership semantics: the bloom prefilter must not change the
     // answer, so the oracle is the plain anti-join the bloom accelerates

@@ -806,6 +806,41 @@ object TextStats {
       .orderBy(idCol, "sent_idx")
   }
 
+  /** Token-frequency drift between two corpus snapshots: the top-k
+    * words by absolute change in relative frequency (parts-per-million)
+    * — the ingest-cycle monitoring report that catches a source
+    * suddenly flooding the corpus with boilerplate or losing a
+    * language. Each side is one word-keyed count aggregation plus a
+    * one-row total; ppm is a single rounded division per word, so the
+    * integers are engine-portable; the final top-k plans as
+    * TakeOrderedAndProject. Words absent from one side count 0 there
+    * (the full-outer join keeps appearing/vanishing words visible). */
+  def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 40,
+                 textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, cntName: String): DataFrame =
+      df.select(explode(filter(Tokenize.tokensArray(col(textCol)),
+          t => length(t) > 0)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as(cntName))
+    val oc = counts(oldDocs, "old_cnt")
+    val nc = counts(newDocs, "new_cnt")
+    val totals = oc.agg(sum(col("old_cnt")).as("ot"))
+      .crossJoin(nc.agg(sum(col("new_cnt")).as("nt")))
+    oc.join(nc, Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("old_cnt"), lit(0L)).as("old_cnt"),
+        coalesce(col("new_cnt"), lit(0L)).as("new_cnt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("old_ppm",
+        expr("CAST(round(old_cnt * 1000000.0 / ot) AS BIGINT)"))
+      .withColumn("new_ppm",
+        expr("CAST(round(new_cnt * 1000000.0 / nt) AS BIGINT)"))
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+      .select(col("word"), col("old_cnt"), col("new_cnt"),
+        col("old_ppm"), col("new_ppm"), col("delta_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("word"))
+      .limit(k)
+  }
+
   /** Cross-document boilerplate sentences (CCNet-style line-level
     * dedup): sentences appearing in at least `minDocs` DISTINCT
     * documents, with doc and occurrence counts — headers, footers,

@@ -240,6 +240,22 @@ object TrainingPipeline {
       .orderBy(idCol)
   }
 
+  /** Packing-efficiency report over [[packSequences]]' bins: docs,
+    * token sum and fill ratio per bin — the waste metric a trainer
+    * tracks per dataloader build (low fill = padded compute thrown
+    * away). One bin-keyed aggregation on the pack output; the ratio is
+    * a single exact-long division. */
+  def packStats(docs: DataFrame, targetTokens: Long = 2048,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    packSequences(docs, targetTokens, textCol, idCol)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col(idCol)).as("first_doc"))
+      .withColumn("fill_ratio",
+        col("bin_tokens").cast("double") / lit(targetTokens.toDouble))
+      .orderBy("bin_id")
+
   /** Materialized packed training batches: the [[packSequences]] bins
     * joined with the vocabulary token-id encoding
     * ([[TextStats.encodeDocuments]]) and flattened into ONE id stream

@@ -61,6 +61,21 @@ class TokenizeSpec extends SparkSpec {
     assert(sents("A.\nB!\tC") == Seq((1L, "A.", 2L), (2L, "B!", 2L), (3L, "C", 1L)))
   }
 
+  test("token drift: hand-computed ppm deltas, appearing/vanishing words") {
+    import spark.implicits._
+    val oldC = Seq((0L, "aa aa bb"), (1L, "aa cc")).toDF("doc_id", "text")   // aa:3 bb:1 cc:1, T=5
+    val newC = Seq((0L, "aa bb bb"), (1L, "bb dd")).toDF("doc_id", "text")   // aa:1 bb:3 dd:1, T=5
+    val out = graft.ext.TextStats.tokenDrift(oldC, newC, k = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("aa") == (("aa", 3L, 1L, 600000L, 200000L, -400000L)))
+    assert(m("bb") == (("bb", 1L, 3L, 200000L, 600000L, 400000L)))
+    assert(m("cc") == (("cc", 1L, 0L, 200000L, 0L, -200000L)), "vanished word visible")
+    assert(m("dd") == (("dd", 0L, 1L, 0L, 200000L, 200000L)), "appeared word visible")
+    // ordering: |delta| desc, word asc -> aa before bb (tie), then cc/dd
+    assert(out.map(_._1) == Seq("aa", "bb", "cc", "dd"))
+  }
+
   test("boilerplate: cross-doc repeated sentences flagged, stripped in order") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
