@@ -718,6 +718,10 @@ object SparkEntry {
     // sentences with kept/dropped accounting
     "text_strip_boilerplate" -> ((s, d) =>
       TextStats.stripBoilerplate(plantedSentenceDocs(Tables.documents(s, d)))),
+    // perceptual average-hash over REAL decoded PNG pixels; the oracle
+    // recomputes every bit from the fixtures' closed-form pixel formula
+    "mm_phash" -> ((s, d) =>
+      ext.Multimodal.pngAHashQuery(s, Tables.documents(s, d))),
     // token-frequency drift across an ingest cycle: the corpus before
     // vs after the shared CDC batch, top words by |Δ relative freq|
     "text_drift" -> ((s, d) => {
@@ -1223,6 +1227,27 @@ object SparkEntry {
         |FROM g GROUP BY doc_id, cidx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipeline_pack" -> OracleSql.packSequences(2048),
+    // every aHash bit recomputed from the closed-form pixel value
+    // (3x + 7y + 13·id mod 256) — agreement proves the real decoder
+    // (CRC walk + inflate + unfilter) reconstructed every pixel
+    "mm_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 12 + 5) AS w, (doc_id % 9 + 4) AS h,
+        |    ((doc_id * 13) % 256) AS off
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y, (3*x + 7*y + off) % 256 AS v
+        |  FROM d, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)),
+        |m AS (SELECT doc_id, sum(v) // count(*) AS mean0 FROM px GROUP BY 1),
+        |b AS (
+        |  SELECT p.doc_id, p.w, p.h, p.x, p.y, m.mean0,
+        |    CASE WHEN p.v > m.mean0 THEN '1' ELSE '0' END AS bit
+        |  FROM px p JOIN m USING (doc_id))
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  mean0::BIGINT AS mean0,
+        |  sum(CASE WHEN bit = '1' THEN 1 ELSE 0 END)::BIGINT AS n_ones,
+        |  string_agg(bit, '' ORDER BY y, x) AS ahash
+        |FROM b GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
     // old side tokenizes documents, new side tokenizes the CDC-merged
     // `final` table; both relative frequencies in rounded ppm
     "text_drift" ->

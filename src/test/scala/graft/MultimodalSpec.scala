@@ -262,4 +262,30 @@ class MultimodalSpec extends SparkSpec {
         ((nb, w, h, name, mr, ma)), s"id=$id")
     }
   }
+
+  test("png aHash: closed-form bits, re-encode invariance, malformed sentinels") {
+    import graft.ext.Multimodal
+    for (id <- 0L until 12L) {
+      val got = Multimodal.pngAHash(
+        graft.ext.MediaRecord(id, "image", Multimodal.syntheticPng(id), "s"))
+      val w = Multimodal.fxPngW(id); val h = Multimodal.fxPngH(id)
+      // ground truth straight from the pixel formula
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.fxPngVal(id, 0, x, y)
+      val mean = vals.map(_.toLong).sum / (w * h)
+      val bits = vals.map(v => if (v > mean) '1' else '0').mkString
+      assert(got == Multimodal.PngHash(id, w.toLong, h.toLong, mean,
+        bits.count(_ == '1').toLong, bits), s"id=$id")
+      // a REAL deflate re-encode of the same pixels hashes identically
+      // (the perceptual point: same image, different bytes)
+      val re = Multimodal.encodePng(w, h, Multimodal.fxPngColorType(id),
+        (c, x, y) => Multimodal.fxPngVal(id, c, x, y),
+        y => (y.toLong + id).toInt % 5, deflate = true)
+      assert(Multimodal.pngAHash(graft.ext.MediaRecord(id, "image", re, "s")) == got)
+    }
+    // malformed bytes degrade to sentinels, never throw
+    val bad = Multimodal.pngAHash(
+      graft.ext.MediaRecord(99L, "image", Array[Byte](1, 2, 3), "s"))
+    assert(bad == Multimodal.PngHash(99L, -1L, -1L, -1L, -1L, ""))
+  }
 }
