@@ -705,6 +705,9 @@ object SparkEntry {
     // otherwise every document would be one sentence and the grade moot
     "text_sentences" -> ((s, d) =>
       TextStats.sentences(plantedSentenceDocs(Tables.documents(s, d)))),
+    // fuzzy entity resolution: content-derived blocking + levenshtein
+    // verify (threshold boundary exercised both directions per block)
+    "dedup_fuzzy" -> ((s, d) => ext.Entity.fuzzyPairs(Tables.documents(s, d))),
     // URL canonicalization + duplicate grouping: the crawl-frontier
     // dedup pass (case/www/port/fragment/utm/trailing-slash variants
     // collapse; real query params survive)
@@ -722,6 +725,11 @@ object SparkEntry {
     // recomputes every bit from the fixtures' closed-form pixel formula
     "mm_phash" -> ((s, d) =>
       ext.Multimodal.pngAHashQuery(s, Tables.documents(s, d))),
+    // perceptual dedup: byte-different re-encodes of the same pixels
+    // (planted twins: rotated filter schedule + real Deflater) group by
+    // aHash where sha256 cannot
+    "mm_phash_dedup" -> ((s, d) =>
+      ext.Multimodal.pngAHashDedup(s, Tables.documents(s, d))),
     // token-frequency drift across an ingest cycle: the corpus before
     // vs after the shared CDC batch, top words by |Δ relative freq|
     "text_drift" -> ((s, d) => {
@@ -1248,6 +1256,33 @@ object SparkEntry {
         |  sum(CASE WHEN bit = '1' THEN 1 ELSE 0 END)::BIGINT AS n_ones,
         |  string_agg(bit, '' ORDER BY y, x) AS ahash
         |FROM b GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin,
+    // twin mapping s = id-1 for id%5==4; hashes from the closed-form
+    // pixel formula of the SOURCE id; grouping mirrors the engine's
+    "mm_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END AS s
+        |  FROM documents),
+        |dim AS (
+        |  SELECT doc_id, s, (s % 12 + 5) AS w, (s % 9 + 4) AS h,
+        |    ((s * 13) % 256) AS off
+        |  FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y, (3*x + 7*y + off) % 256 AS v
+        |  FROM dim, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y)),
+        |m AS (SELECT doc_id, sum(v) // count(*) AS mean0 FROM px GROUP BY 1),
+        |hsh AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    string_agg(CASE WHEN p.v > m.mean0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY p.y, p.x) AS ahash,
+        |    sum(CASE WHEN p.v > m.mean0 THEN 1 ELSE 0 END)::BIGINT AS n_ones
+        |  FROM px p JOIN m USING (doc_id) GROUP BY 1, 2, 3),
+        |g AS (SELECT ahash, w, h, count(*)::BIGINT AS n_copies,
+        |        min(doc_id) AS keep_id
+        |      FROM hsh GROUP BY 1, 2, 3)
+        |SELECT hsh.doc_id AS media_id, hsh.w::BIGINT AS width,
+        |  hsh.h::BIGINT AS height, hsh.n_ones, g.n_copies,
+        |  (hsh.doc_id = g.keep_id) AS keep
+        |FROM hsh JOIN g USING (ahash, w, h) ORDER BY media_id""".stripMargin,
     // old side tokenizes documents, new side tokenizes the CDC-merged
     // `final` table; both relative frequencies in rounded ppm
     "text_drift" ->
@@ -1872,6 +1907,24 @@ object SparkEntry {
         |FROM m, unnest(range(1, len(ss) + 1)) AS r(i)
         |WHERE ss[i] <> ''
         |ORDER BY doc_id, sent_idx""".stripMargin,
+    // DuckDB's levenshtein implements the same unit-cost edit distance;
+    // cross-engine agreement on every distance and threshold decision
+    "dedup_fuzzy" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'user-' || (doc_id % 50) || '-record'
+        |      WHEN 1 THEN 'usr-' || (doc_id % 50) || '-record'
+        |      ELSE 'user-' || (doc_id % 50) || '-recrod'
+        |    END AS name
+        |  FROM documents),
+        |b AS (SELECT doc_id, name, regexp_extract(name, '[0-9]+', 0) AS block FROM n)
+        |SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+        |  l.name AS a_name, r.name AS b_name,
+        |  levenshtein(l.name, r.name)::BIGINT AS dist
+        |FROM b l JOIN b r ON l.block = r.block AND l.doc_id < r.doc_id
+        |WHERE levenshtein(l.name, r.name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
     // the canonicalization chain re-expressed in DuckDB's regex/list
     // dialect; rule-by-rule agreement (incl. the pass-through for
     // non-URLs and empty-query collapse) is the graded claim

@@ -772,6 +772,50 @@ object Multimodal {
       .mapPartitions(_.map(pngAHash)).toDF().orderBy("media_id")
   }
 
+  /** The pixel source id behind each asset in the TWINNED fixture:
+    * every id ≡ 4 (mod 5) re-encodes the PREVIOUS id's pixels with a
+    * rotated filter schedule and a real compressing Deflater — same
+    * image, entirely different bytes. */
+  def fxTwinSource(id: Long): Long = if (floorMod(id, 5) == 4) id - 1 else id
+
+  /** PNG table with byte-different pixel-identical twins planted (the
+    * re-crawl/re-encode duplicate class exact payload hashing CANNOT
+    * catch — sha256 differs, the image doesn't). */
+  def twinnedPngTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val s = fxTwinSource(id)
+        val payload =
+          if (s == id) syntheticPng(id)
+          else encodePng(fxPngW(s), fxPngH(s), fxPngColorType(s),
+            (c, x, y) => fxPngVal(s, c, x, y),
+            y => floorMod(y + s + 2, 5).toInt, // rotated schedule: new bytes
+            deflate = true)                    // compressed: new bytes again
+        MediaRecord(id, "image", payload, src)
+      })
+      .toDF()
+  }
+
+  /** Graded query: perceptual dedup by EXACT aHash equality over the
+    * twinned fixture — byte-different re-encodes of the same pixels
+    * group together (their sha256 would not). Grouping key is
+    * (ahash, width, height); keep = smallest id. One hash aggregation —
+    * the aHash string is the shuffle key, never the payload. */
+  def pngAHashDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashed = twinnedPngTable(docs).as[MediaRecord]
+      .mapPartitions(_.map(pngAHash)).toDF()
+    val groups = hashed.groupBy(col("ahash"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("__keep"))
+    hashed.join(groups, Seq("ahash", "width", "height"))
+      .select(col("media_id"), col("width"), col("height"), col("n_ones"),
+        col("n_copies"), (col("media_id") === col("__keep")).as("keep"))
+      .orderBy("media_id")
+  }
+
   /** Partition-wise PNG decode (same streamed shape as the other codecs). */
   def extractPngFeatures(media: DataFrame): Dataset[PngFeatures] = {
     val spark = media.sparkSession

@@ -251,6 +251,34 @@ class DedupSpec extends SparkSpec {
       "first-occurrence pick must be min-struct agg (map-side combinable), not a window")
   }
 
+  test("fuzzy entity pairs: distances, threshold boundary, blocking") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // entity 0's ids: 0 (canonical), 100 (deletion typo), 50
+    // (transposition typo), 150 (canonical re-entry); 3 -> entity 3
+    // (different block, never paired)
+    val docs = Seq(0L, 50L, 100L, 150L, 3L).toDF("doc_id")
+      .withColumn("text", lit("t"))
+    val out = graft.ext.Entity.fuzzyPairs(docs)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    val m = out.map(r => (r._1, r._2) -> r._5).toMap
+    assert(m((0L, 100L)) == 1L, "deletion typo: distance 1")
+    assert(m((0L, 50L)) == 2L, "transposition typo: distance 2")
+    assert(m((0L, 150L)) == 0L, "identical re-entry: distance 0")
+    assert(!m.contains((50L, 100L)), "usr-/recrod pair is distance 3: over threshold")
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L), "cross-block pairs never form")
+    assert(m((100L, 150L)) == 1L && m((50L, 150L)) == 2L)
+    // the engine's distances agree with a reference implementation
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    out.foreach(r => assert(r._5 == lev(r._3, r._4).toLong, s"${r._3} vs ${r._4}"))
+  }
+
   test("url canonicalization: every rule on hand-built cases") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

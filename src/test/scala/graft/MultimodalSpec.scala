@@ -288,4 +288,21 @@ class MultimodalSpec extends SparkSpec {
       graft.ext.MediaRecord(99L, "image", Array[Byte](1, 2, 3), "s"))
     assert(bad == Multimodal.PngHash(99L, -1L, -1L, -1L, -1L, ""))
   }
+
+  test("aHash dedup: byte-different twins group; sha256 provably cannot") {
+    import graft.ext.Multimodal
+    val ids = Seq((3L, "t", "s"), (4L, "t", "s"), (7L, "t", "s")).toDF("doc_id", "text", "source")
+    val payloads = Multimodal.twinnedPngTable(ids)
+      .select("media_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    // twin 4 re-encodes 3's pixels: bytes differ, sha256 differs...
+    assert(!java.util.Arrays.equals(payloads(3L), payloads(4L)))
+    assert(java.security.MessageDigest.getInstance("SHA-256").digest(payloads(3L)).toSeq !=
+      java.security.MessageDigest.getInstance("SHA-256").digest(payloads(4L)).toSeq)
+    // ...but the decoded perceptual hash is identical
+    val out = Multimodal.pngAHashDedup(spark, ids)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(3L)._5 == 2L && out(3L)._6, "3 keeps its twin group")
+    assert(out(4L)._5 == 2L && !out(4L)._6, "twin 4 grouped, dropped")
+    assert(out(7L)._5 == 1L && out(7L)._6, "unrelated image alone")
+  }
 }
