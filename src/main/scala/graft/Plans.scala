@@ -59,6 +59,11 @@ object Plans {
     "pipeline_dsir" -> "bucket histogram (nBuckets rows) + totals (1 row) broadcast; per-doc work is hash-keyed aggs; top-N via the two-phase global rank — no corpus-wide window",
     "pipeline_oversample" -> "group-aware two-phase rank: range exchange on (group, id) + pid-keyed window; group counts and the 1-row max broadcast — no per-group hash partitioning",
     "lake_incr_agg" -> "winner-per-key max-struct agg over the CHANGE LOG only; id-keyed lookup join of touched rows into base; the view merge joins |groups| rows — base groups never rescanned",
+    "graph_jaccard" -> "hub prune BEFORE the wedge self-join bounds pair fan-out by maxDeg·E; node-keyed equi-joins only; top-k is TakeOrderedAndProject",
+    "dedup_fuzzy" -> "content-derived block key makes candidate generation an equi-join; the levenshtein verify is a codegen'd filter inside the join stage — no all-pairs product",
+    "sim_matryoshka" -> "coarse stage touches only the prefix dims of one corpus scan; full-width vectors meet only the candidates' id-keyed join; both top-k stages are bounded partial aggs",
+    "q_asof_nearest" -> "banded equi-join bounds per-key candidates; winner is ONE min_by aggregation with a composite ordering key — no window over candidates",
+    "sketch_hll_merge" -> "per-group states are nBuckets-bounded; register-wise max merge is a 64-row aggregation; corpus touched once",
   )
 
   def main(args: Array[String]): Unit = {

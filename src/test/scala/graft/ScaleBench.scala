@@ -36,6 +36,9 @@ object ScaleBench {
       "graph_pagerank" -> SparkEntry.queries("graph_pagerank"),
       "sim_ivf" -> SparkEntry.queries("sim_ivf"),
       "sim_pq" -> SparkEntry.queries("sim_pq"),
+      "pipeline_dsir" -> SparkEntry.queries("pipeline_dsir"),
+      "graph_jaccard" -> SparkEntry.queries("graph_jaccard"),
+      "dedup_fuzzy" -> SparkEntry.queries("dedup_fuzzy"),
       // unbounded embedding near-dup clustering (the declared query
       // bounds its corpus for the all-pairs oracle; scaling needs growth)
       "emb_neardup_full" -> ((s: SparkSession, d: String) =>
