@@ -19,8 +19,8 @@ object Entity {
     * (distance 1) and a transposition typo (distance 2 from canonical,
     * 3 from the deletion form, so the threshold's boundary is exercised
     * in BOTH directions inside every block). */
-  def syntheticName(docId: Column): Column = {
-    val e = (docId % 50).cast("string")
+  def syntheticName(docId: Column, entities: Long = 50L): Column = {
+    val e = (docId % entities).cast("string")
     when(docId % 3 === 0, concat(lit("user-"), e, lit("-record")))
       .when(docId % 3 === 1, concat(lit("usr-"), e, lit("-record")))
       .otherwise(concat(lit("user-"), e, lit("-recrod")))
@@ -29,11 +29,17 @@ object Entity {
   /** Graded query: all same-block pairs within `maxDist` edits. The
     * block key is the digits EXTRACTED FROM THE NAME (content-derived —
     * no ground-truth leak); per-block candidate counts bound the
-    * quadratic verify. */
+    * quadratic verify. The verify inside a block IS quadratic — that is
+    * every blocked linkage algorithm — so the scale discipline lives in
+    * the block-size distribution: `entities` grows with the corpus in a
+    * real manifest (constant expected block size). A fixed entity count
+    * under 10× the data would grow blocks 10× and pairs 100× — the
+    * scaling harness passes a corpus-proportional `entities` for
+    * exactly that reason. */
   def fuzzyPairs(docs: DataFrame, maxDist: Int = 2,
-                 idCol: String = "doc_id"): DataFrame = {
+                 idCol: String = "doc_id", entities: Long = 50L): DataFrame = {
     val names = docs.select(col(idCol),
-        syntheticName(col(idCol)).as("name"))
+        syntheticName(col(idCol), entities).as("name"))
       .withColumn("block", regexp_extract(col("name"), "[0-9]+", 0))
     names.as("l")
       .join(names.as("r"),

@@ -38,14 +38,23 @@ object ScaleBench {
       "sim_pq" -> SparkEntry.queries("sim_pq"),
       "pipeline_dsir" -> SparkEntry.queries("pipeline_dsir"),
       "graph_jaccard" -> SparkEntry.queries("graph_jaccard"),
-      "dedup_fuzzy" -> SparkEntry.queries("dedup_fuzzy"),
+      // entity count grows with the corpus (constant expected block
+      // size — the real manifest shape); the declared query's fixed 50
+      // would grow blocks linearly and pairs quadratically
+      "dedup_fuzzy" -> ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        ext.Entity.fuzzyPairs(docs, entities = math.max(50L, docs.count() / 100L))
+      }),
       // unbounded embedding near-dup clustering (the declared query
       // bounds its corpus for the all-pairs oracle; scaling needs growth)
       "emb_neardup_full" -> ((s: SparkSession, d: String) =>
         ext.Dedup.embeddingNearDupClusters(Tables.embeddings(s, d), 0.4)))
+    // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
+    val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
+    val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
     for (copies <- copiesList) {
       val dir = s"$root/x$copies"
-      for ((name, fn) <- qs) {
+      for ((name, fn) <- chosen) {
         // warm-up run, then timed reps; min strips background noise
         try {
           fn(spark, dir).count()
