@@ -1206,12 +1206,12 @@ object OracleSql {
     * sum accumulates exactly (HUGEINT here, DECIMAL(38,0) in Spark) and is
     * rendered as DOUBLE on both sides — same nearest-double of the same
     * exact integer. */
-  /** Multinomial Naive Bayes prediction (mirror of
-    * Classify.naiveBayesPredict): same add-one-smoothed counts, same
-    * integer-scaled logs, same sparse hit join + dense class grid, same
-    * (score desc, class asc) argmax tiebreak. */
-  val naiveBayes: String =
-    s"""WITH $toksCte,
+  /** Shared CTE chain ending in `sc(doc_id, cls, score_scaled)` — the NB
+    * per-class integer-scaled scores (mirror of
+    * Classify.naiveBayesScores). Consumed by [[naiveBayes]] (argmax
+    * prediction) and [[nbRoc]]/[[nbAuc]] (one-vs-rest evaluation). */
+  private val nbScoreCtes: String =
+    s"""$toksCte,
        |tok AS (
        |  SELECT t.doc_id, d.lang AS cls, w AS word
        |  FROM toks t JOIN documents d USING (doc_id), unnest(t.toks) AS u(w)),
@@ -1243,7 +1243,14 @@ object OracleSql {
        |    cm.prior_scaled + coalesce(hit.hit_scaled, 0)
        |      - dlen.n_tokens * cm.norm_scaled AS score_scaled
        |  FROM dlen CROSS JOIN cm
-       |  LEFT JOIN hit ON hit.doc_id = dlen.doc_id AND hit.cls = cm.cls),
+       |  LEFT JOIN hit ON hit.doc_id = dlen.doc_id AND hit.cls = cm.cls)""".stripMargin
+
+  /** Multinomial Naive Bayes prediction (mirror of
+    * Classify.naiveBayesPredict): same add-one-smoothed counts, same
+    * integer-scaled logs, same sparse hit join + dense class grid, same
+    * (score desc, class asc) argmax tiebreak. */
+  val naiveBayes: String =
+    s"""WITH $nbScoreCtes,
        |rn AS (
        |  SELECT doc_id, cls, score_scaled,
        |    row_number() OVER (PARTITION BY doc_id
@@ -1253,6 +1260,50 @@ object OracleSql {
        |  r.cls = d.lang AS is_correct
        |FROM rn r JOIN documents d USING (doc_id)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Shared ROC CTE chain over the NB one-vs-rest scores for `posCls`
+    * (mirror of Eval.rocTable): per-distinct-score class counts with
+    * cumulative TP/FP in score-descending order. A null label falls
+    * through the CASE to negative, like Spark's `when`. */
+  private def nbRocCtes(posCls: String): String =
+    s"""$nbScoreCtes,
+       |scored AS (
+       |  SELECT sc.doc_id, sc.score_scaled,
+       |    d.lang = '${sqlStr(posCls)}' AS is_pos
+       |  FROM sc JOIN documents d USING (doc_id)
+       |  WHERE sc.cls = '${sqlStr(posCls)}'),
+       |h AS (
+       |  SELECT score_scaled,
+       |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN is_pos THEN 0 ELSE 1 END)::BIGINT AS n_neg
+       |  FROM scored GROUP BY 1),
+       |roc AS (
+       |  SELECT score_scaled, n_pos, n_neg,
+       |    CAST(sum(n_pos) OVER (ORDER BY score_scaled DESC) AS BIGINT) AS cum_tp,
+       |    CAST(sum(n_neg) OVER (ORDER BY score_scaled DESC) AS BIGINT) AS cum_fp
+       |  FROM h)""".stripMargin
+
+  /** ROC sweep table (mirror of Eval.rocTable on Eval.binaryNbScores). */
+  def nbRoc(posCls: String): String =
+    s"""WITH ${nbRocCtes(posCls)}
+       |SELECT score_scaled, n_pos, n_neg, cum_tp, cum_fp
+       |FROM roc ORDER BY score_scaled DESC""".stripMargin
+
+  /** One-row exact AUC report (mirror of Eval.aucReport): the doubled
+    * Mann–Whitney count expanded to one aggregate pass over the ROC
+    * table; num2/den2 rendered as DECIMAL(38,0) on both engines, the
+    * ratio as the division of the same two exact-integer doubles. */
+  def nbAuc(posCls: String): String =
+    s"""WITH ${nbRocCtes(posCls)}
+       |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       |  CAST(2*sum(n_pos)*sum(n_neg) - 2*sum(n_pos*cum_fp) + sum(n_pos*n_neg)
+       |       AS DECIMAL(38,0)) AS auc_num2,
+       |  CAST(2*sum(n_pos)*sum(n_neg) AS DECIMAL(38,0)) AS auc_den2,
+       |  CAST(2*sum(n_pos)*sum(n_neg) - 2*sum(n_pos*cum_fp) + sum(n_pos*n_neg)
+       |       AS DOUBLE)
+       |    / CAST(2*sum(n_pos)*sum(n_neg) AS DOUBLE) AS auc
+       |FROM roc""".stripMargin
 
   /** Fixed-round integer-scaled PageRank over the corpus bigram graph
     * (mirror of Graph.wordPageRank): iterations unrolled as chained CTEs,

@@ -653,6 +653,14 @@ object SparkEntry {
     // Naive Bayes language classifier: trained and scored on the corpus
     // (the mechanics under grade; production trains once, reuses)
     "text_nb" -> ((s, d) => ext.Classify.naiveBayesPredict(Tables.documents(s, d))),
+    // classifier evaluation at scale: ROC sweep + exact AUC of the NB
+    // 'en'-vs-rest detector — the calibration report a pipeline checks
+    // before trusting a model-based filter to gate the corpus. Cumulative
+    // TP/FP run as the two-phase prefix sum (no corpus-wide partition).
+    "text_nb_roc" -> ((s, d) =>
+      ext.Eval.rocTable(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
+    "text_nb_auc" -> ((s, d) =>
+      ext.Eval.aucReport(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
     // iterative graph computation: integer-scaled PageRank over the
     // bigram co-occurrence graph, 5 fixed rounds
     "graph_pagerank" -> ((s, d) => ext.Graph.wordPageRank(Tables.documents(s, d), 5)),
@@ -1789,6 +1797,8 @@ object SparkEntry {
         |    AS n_orphan_orders""".stripMargin,
     "dedup_cross_corpus" -> OracleSql.crossNearDups(0.3),
     "text_nb" -> OracleSql.naiveBayes,
+    "text_nb_roc" -> OracleSql.nbRoc("en"),
+    "text_nb_auc" -> OracleSql.nbAuc("en"),
     "graph_pagerank" -> OracleSql.pageRank(5),
     "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),
     // FILTER mirrors Spark collect_set's NULL-skipping (DuckDB list() would
