@@ -927,6 +927,37 @@ object OracleSql {
     s"""WITH $lmScoreCtes
        |SELECT doc_id, n_bigrams, sum_logp_scaled FROM lms ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram scoring (mirror of
+    * LmScore.kneserNeyScoreDocuments): D = 3/4 as exact integer math —
+    * `ln(((4c−3)·NT + 3·n1a·n1w) / (4·ca·NT))`, products in HUGEINT
+    * (DECIMAL(38,0) in Spark), the ratio as a division of the same two
+    * nearest-doubles, integer-scaled and summed per document. */
+  val knScore: String =
+    s"""WITH $toksCte,
+       |${ngramsCte(2)},
+       |kb AS MATERIALIZED (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS c,
+       |    string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b
+       |  FROM grams GROUP BY g),
+       |ctx AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca,
+       |               CAST(count(*) AS BIGINT) AS n1a FROM kb GROUP BY a),
+       |cont AS (SELECT b, CAST(count(*) AS BIGINT) AS n1w FROM kb GROUP BY b),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM kb),
+       |terms AS (
+       |  SELECT grams.doc_id,
+       |    CAST(round(ln(
+       |      CAST((4 * kb.c - 3)::HUGEINT * nt.nt
+       |           + 3::HUGEINT * ctx.n1a * cont.n1w AS DOUBLE)
+       |      / CAST(4::HUGEINT * ctx.ca * nt.nt AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS lp
+       |  FROM grams
+       |  CROSS JOIN nt
+       |  JOIN kb ON grams.g = kb.g
+       |  JOIN ctx ON kb.a = ctx.a
+       |  JOIN cont ON kb.b = cont.b)
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_logp_scaled
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-document LM quality score CTE `lmq(doc_id, score)` — the
     * per-bigram average of the integer-scaled log-likelihood (mirror of
     * TrainingPipeline.lmQualityScore: one double division over exact

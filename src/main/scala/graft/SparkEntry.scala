@@ -260,6 +260,10 @@ object SparkEntry {
       ext.Bpe.fit(docs, 8).encode(derived)
     }),
     "text_lm_score" -> ((s, d) => ext.LmScore.scoreDocuments(Tables.documents(s, d))),
+    // interpolated Kneser-Ney bigram scoring (D=3/4 exact rational) —
+    // the actual KenLM-filter smoothing, vs text_lm_score's add-one
+    "text_kn_score" -> ((s, d) =>
+      ext.LmScore.kneserNeyScoreDocuments(Tables.documents(s, d))),
     // incremental count maintenance: batch = doc_id % 4 == 0; the merged
     // totals must equal a full recount of the whole corpus
     "pipeline_merge_counts" -> ((s, d) => {
@@ -1388,6 +1392,7 @@ object SparkEntry {
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bpe_model_encode" -> OracleSql.bpeModelEncode(8),
     "text_lm_score" -> OracleSql.lmScore,
+    "text_kn_score" -> OracleSql.knScore,
     // associativity is the check: merged batch+corpus counts == recount
     "pipeline_merge_counts" ->
       s"""WITH tok AS ($tokSql)

@@ -39,4 +39,50 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_scaled")).as("sum_logp_scaled"))
       .orderBy("doc_id")
   }
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing the actual
+    * CCNet/KenLM perplexity filter uses, upgrading [[scoreDocuments]]'
+    * add-one baseline: `P(b|a) = max(c(a,b)−D,0)/c(a) +
+    * D·N₁₊(a·)/c(a) · N₁₊(·b)/N₁₊(··)` with the standard discount
+    * D = 3/4. Every scored bigram was seen in training (the corpus
+    * scores itself), so c ≥ 1 and the max() never clips; with D exactly
+    * ¾ the probability is the exact rational
+    * `((4c−3)·NT + 3·N₁₊(a·)·N₁₊(·b)) / (4·c(a)·NT)` (NT = distinct
+    * bigram types), whose ln both engines evaluate on the same two
+    * nearest-doubles of the same exact integers — the integer-scaled-log
+    * recipe. Unlike add-one, rare continuations of promiscuous contexts
+    * (high N₁₊) are not over-penalized — the signal KenLM filters rank
+    * on.
+    *
+    * Scale shape: one bigram-count aggregate, two bounded re-aggregations
+    * of it (per-context totals/fan-out, per-continuation fan-in), then
+    * the occurrence stream equi-joins its three statistics and folds per
+    * document. The only driver scalar is NT (one count). The numerator
+    * products run in DECIMAL(38,0): c·NT overflows a long once the
+    * corpus passes ~10⁹ tokens — inside 100 TB territory. */
+  def kneserNeyScoreDocuments(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.token_ngrams(col(textCol), 2)).as("g"))
+    // materialize ONCE: ctx, cont, NT and the scoring join all branch off
+    val bi = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .withColumn("a", split(col("g"), " ").getItem(0))
+      .withColumn("b", split(col("g"), " ").getItem(1))
+      .localCheckpoint(true)
+    val ctx = bi.groupBy("a").agg(sum(col("c")).as("ca"), count(lit(1)).as("n1a"))
+    val cont = bi.groupBy("b").agg(count(lit(1)).as("n1w"))
+    val nTypes = bi.count() // the one driver scalar: N₁₊(··)
+    grams
+      .join(bi, "g")
+      .join(ctx, "a")
+      .join(cont, "b")
+      .withColumn("lp_scaled", round(log(
+        ((lit(4).cast(dec) * col("c") - lit(3).cast(dec)) * lit(nTypes).cast(dec)
+          + lit(3).cast(dec) * col("n1a") * col("n1w")).cast(dec).cast("double")
+          / (lit(4).cast(dec) * col("ca") * lit(nTypes).cast(dec)).cast(dec).cast("double")
+        ) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_scaled")).as("sum_logp_scaled"))
+      .orderBy("doc_id")
+  }
 }
