@@ -293,10 +293,12 @@ object OracleSql {
        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id ORDER BY doc_id""".stripMargin
 
-  /** pipeline_clean_corpus oracle: quality gate → near-dup clusters over
-    * the qualified set → keep the min-id representative per cluster. */
-  def pipelineCleanCorpus(threshold: Double): String =
-    s"""WITH RECURSIVE qtoks AS (
+  /** Shared clean-pipeline CTE prefix (quality gate → near-dup clusters
+    * over the qualified set), ending in
+    * `clusters(doc_id, cluster_id)`. Consumed by [[pipelineCleanCorpus]]
+    * and [[pipelineCleanAudit]]. */
+  private def cleanClusterCtes(threshold: Double): String =
+    s"""qtoks AS (
        |  SELECT doc_id, list_transform(
        |           list_filter($wsSplit, t -> t <> ''),
        |           $normTok) AS toks
@@ -312,9 +314,39 @@ object OracleSql {
        |qualified AS (SELECT d.* FROM documents d JOIN qids q USING (doc_id)),
        |${clusterLabelCtes("qualified", threshold)},
        |clusters AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id
-       |  FROM qualified q LEFT JOIN labels l ON l.id = q.doc_id),
+       |  FROM qualified q LEFT JOIN labels l ON l.id = q.doc_id)""".stripMargin
+
+  /** pipeline_clean_corpus oracle: quality gate → near-dup clusters over
+    * the qualified set → keep the min-id representative per cluster. */
+  def pipelineCleanCorpus(threshold: Double): String =
+    s"""WITH RECURSIVE ${cleanClusterCtes(threshold)},
        |keep AS (SELECT min(doc_id) AS doc_id FROM clusters GROUP BY cluster_id)
        |SELECT q.doc_id, q.lang, q.source FROM qualified q JOIN keep USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** pipeline_clean_audit oracle (mirror of
+    * TrainingPipeline.cleanCorpusAudit): one row per input document with
+    * the first gate that dropped it — quality, exact_dup (byte-identical
+    * to a smaller-id qualified doc), near_dup — or kept, plus the
+    * retained representative. */
+  def pipelineCleanAudit(threshold: Double): String =
+    s"""WITH RECURSIVE ${cleanClusterCtes(threshold)},
+       |krep AS (SELECT cluster_id, min(doc_id) AS kept_id
+       |  FROM clusters GROUP BY cluster_id),
+       |crep AS (SELECT c.doc_id, r.kept_id
+       |  FROM clusters c JOIN krep r USING (cluster_id)),
+       |egrp AS (SELECT text, min(doc_id) AS exact_rep FROM qualified GROUP BY text),
+       |erep AS (SELECT q.doc_id, e.exact_rep
+       |  FROM qualified q JOIN egrp e ON q.text = e.text)
+       |SELECT d.doc_id,
+       |  CASE WHEN c.kept_id IS NULL THEN 'quality'
+       |       WHEN e.exact_rep <> d.doc_id THEN 'exact_dup'
+       |       WHEN c.kept_id <> d.doc_id THEN 'near_dup'
+       |       ELSE 'kept' END AS status,
+       |  c.kept_id
+       |FROM documents d
+       |LEFT JOIN crep c USING (doc_id)
+       |LEFT JOIN erep e USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** Cosine in double with the engine's exact fold order (common-prefix

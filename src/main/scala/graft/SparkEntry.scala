@@ -321,6 +321,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDupClusters(
         Tables.embeddings(s, d).filter(col("vec_id") < 500), 0.4)),
+    // provenance audit of the clean run: one row per INPUT doc with the
+    // first gate that dropped it (quality | exact_dup | near_dup | kept)
+    // and the retained representative — "why was my document dropped"
+    "pipeline_clean_audit" -> ((s, d) =>
+      ext.TrainingPipeline.cleanCorpusAudit(Tables.documents(s, d), 0.3,
+        baseHash = Dedup.polyHash)),
     "pipeline_clean_corpus" -> ((s, d) =>
       ext.TrainingPipeline.cleanCorpus(Tables.documents(s, d), 0.3, baseHash = Dedup.polyHash)
         .select("doc_id", "lang", "source")),
@@ -1474,6 +1480,7 @@ object SparkEntry {
         |  CAST(sum(cents) AS DOUBLE)/100.0 AS value_sum
         |FROM w GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin,
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
+    "pipeline_clean_audit" -> OracleSql.pipelineCleanAudit(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),
     "sim_knn_classify" -> OracleSql.knnClassify(8, 5),
     "sim_centroid_confusion" -> OracleSql.centroidConfusion,

@@ -16,22 +16,70 @@ object TrainingPipeline {
 
   /** Cleaned corpus: documents that pass the quality gate and are the
     * retained representative of their near-dup cluster. */
+  /** The quality gate shared by [[cleanCorpus]] and
+    * [[cleanCorpusAudit]]: ids passing the length/stopword/digit
+    * thresholds. */
+  private def qualityGateIds(docs: DataFrame, minTokens: Int): DataFrame =
+    TextStats.qualityScores(docs)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= 0.01 && col("digit_ratio") <= 0.5)
+      .select("doc_id")
+
   def cleanCorpus(docs: DataFrame, nearDupThreshold: Double = 0.7,
                   minTokens: Int = 10,
                   baseHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column
                     = Dedup.xxHash): DataFrame = {
-    val quality = TextStats.qualityScores(docs)
-      .filter(col("n_tokens") >= minTokens &&
-        col("stopword_ratio") >= 0.01 && col("digit_ratio") <= 0.5)
-      .select("doc_id")
     // qualified feeds BOTH the near-dup machinery (which is iterative) and
     // the final join — materialize it once so the quality gate isn't
     // recomputed per consumer, and so the clustering loop starts from flat
     // lineage. (localCheckpoint is the local-mode form; a cluster
     // deployment would use a reliable checkpoint dir.)
-    val qualified = docs.join(quality, "doc_id").localCheckpoint(true)
+    val qualified = docs.join(qualityGateIds(docs, minTokens), "doc_id").localCheckpoint(true)
     val keep = Dedup.nearDupKeepIds(qualified, nearDupThreshold, baseHash)
     qualified.join(keep, "doc_id").orderBy("doc_id")
+  }
+
+  /** Per-document disposition audit of [[cleanCorpus]] — the provenance
+    * report a pipeline owner reads to answer "why was my document
+    * dropped": one row per INPUT document with
+    * `status ∈ {kept, quality, exact_dup, near_dup}` (first gate that
+    * dropped it, in pipeline order) and `kept_id` = the representative
+    * retained in its place (its near-dup cluster's min id; null for
+    * quality drops, itself when kept). `exact_dup` is split out of the
+    * near-dup mass — byte-identical to a smaller-id qualified document —
+    * because the two classes have different upstream causes (mirrored
+    * crawls vs boilerplate drift) and a real datacard reports them
+    * separately.
+    *
+    * Scale shape: the same quality gate + clustering the clean run
+    * executes (band equi-joins, pointer-jumped components), plus one
+    * content-hash aggregate for the exact split (the text never crosses
+    * that shuffle — sha256 group like [[Dedup.exactKeepIds]]) and
+    * per-row equi-joins to stitch the report. Auditing costs one extra
+    * hash aggregate over the cleaned run, not a new algorithm. */
+  def cleanCorpusAudit(docs: DataFrame, nearDupThreshold: Double = 0.7,
+                       minTokens: Int = 10,
+                       baseHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                         = Dedup.xxHash): DataFrame = {
+    val qualified = docs.join(qualityGateIds(docs, minTokens), "doc_id").localCheckpoint(true)
+    val clusters = Dedup.nearDupClusters(qualified, nearDupThreshold, baseHash)
+    val reps = clusters.groupBy("cluster_id").agg(min(col("doc_id")).as("kept_id"))
+    val clusterRep = clusters.join(reps, "cluster_id").select("doc_id", "kept_id")
+    val exactRep = qualified
+      .groupBy(sha2(col("text"), 256).as("__sha"))
+      .agg(min(col("doc_id")).as("exact_rep"))
+    val exact = qualified.select(col("doc_id"), sha2(col("text"), 256).as("__sha"))
+      .join(exactRep, "__sha").select("doc_id", "exact_rep")
+    docs.select(col("doc_id"))
+      .join(clusterRep, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("kept_id").isNull, lit("quality"))
+          .when(col("exact_rep") =!= col("doc_id"), lit("exact_dup"))
+          .when(col("kept_id") =!= col("doc_id"), lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        col("kept_id"))
+      .orderBy("doc_id")
   }
 
   /** Deterministic train/val/test assignment by hashing the stable

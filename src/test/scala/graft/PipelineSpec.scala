@@ -27,6 +27,24 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Seq(0L, 4L))
   }
 
+  test("cleanCorpusAudit attributes each drop to its first gate") {
+    val audit = TrainingPipeline.cleanCorpusAudit(corpus, nearDupThreshold = 0.5)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(audit == Seq(
+      (0L, "kept", Some(0L)),
+      (1L, "exact_dup", Some(0L)),
+      (2L, "near_dup", Some(0L)),
+      (3L, "quality", None),
+      (4L, "kept", Some(4L))))
+    // the audit's kept set IS the clean run's output, and every kept_id
+    // points at a retained document
+    val kept = TrainingPipeline.cleanCorpus(corpus, nearDupThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(audit.filter(_._2 == "kept").map(_._1) == kept)
+    val keptSet = kept.toSet
+    assert(audit.flatMap(_._3).forall(keptSet))
+  }
+
   test("cluster split: near-dups share a split, singletons match the plain split") {
     // the leakage guard itself: docs 0/1/2 are one near-dup cluster and
     // MUST land in the same split regardless of their own id hashes;
