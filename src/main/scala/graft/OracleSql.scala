@@ -1398,6 +1398,35 @@ object OracleSql {
        |ORDER BY rank_scaled DESC, node""".stripMargin
   }
 
+  /** Fixed-round min-label propagation over the corpus bigram graph
+    * (mirror of Graph.wordLabelPropagation): iterations unrolled as
+    * chained CTEs — each round joins the previous labels over the
+    * symmetric edge list, takes the per-node neighbor min, and folds it
+    * into the node's own label. */
+  def labelProp(iters: Int): String = {
+    def round(k: Int): String =
+      s"""l$k AS (
+         |  SELECT l.node,
+         |    least(l.label, coalesce(m.nl, l.label)) AS label
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT s.dst AS node, min(p.label) AS nl
+         |    FROM sym s JOIN l${k - 1} p ON p.node = s.src GROUP BY 1) m
+         |  USING (node))""".stripMargin
+    s"""WITH $toksCte,
+       |pr AS (
+       |  SELECT toks[i] AS src, toks[i+1] AS dst
+       |  FROM toks, unnest(range(1, len(toks))) AS u(i)),
+       |e AS (SELECT src, dst FROM pr GROUP BY 1, 2),
+       |u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM e WHERE src <> dst GROUP BY 1, 2),
+       |sym AS (SELECT a AS src, b AS dst FROM u
+       |        UNION ALL SELECT b, a FROM u),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |${(s"l0 AS (SELECT node, node AS label FROM nodes)" +:
+            (1 to iters).map(round)).mkString(",\n")}
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
   /** BM25 ranked retrieval (mirror of TextStats.bm25): identical double
     * expression shape on exact integer inputs, per-term scores integer-
     * scaled BEFORE the per-document sum. Float constants are serialized

@@ -674,6 +674,9 @@ object SparkEntry {
     // iterative graph computation: integer-scaled PageRank over the
     // bigram co-occurrence graph, 5 fixed rounds
     "graph_pagerank" -> ((s, d) => ext.Graph.wordPageRank(Tables.documents(s, d), 5)),
+    // k-hop min-label propagation (bounded-round component labeling)
+    "graph_labelprop" -> ((s, d) =>
+      ext.Graph.wordLabelPropagation(Tables.documents(s, d), 4)),
     // deterministic weighted sampling without replacement (A-ES keys)
     "pipeline_weighted_sample" -> ((s, d) =>
       ext.TrainingPipeline.weightedSample(Tables.documents(s, d), 100)),
@@ -1812,6 +1815,7 @@ object SparkEntry {
     "text_nb_roc" -> OracleSql.nbRoc("en"),
     "text_nb_auc" -> OracleSql.nbAuc("en"),
     "graph_pagerank" -> OracleSql.pageRank(5),
+    "graph_labelprop" -> OracleSql.labelProp(4),
     "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),
     // FILTER mirrors Spark collect_set's NULL-skipping (DuckDB list() would
     // otherwise keep NULL as an element); coalesce covers the all-NULL group

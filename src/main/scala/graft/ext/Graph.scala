@@ -126,6 +126,56 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
+  /** Fixed-round synchronous min-label propagation over the undirected
+    * simple graph: every node starts labeled with itself and each round
+    * takes the min of its own and its neighbors' labels, so after k
+    * rounds a node carries the smallest node id within k hops — on any
+    * component of diameter ≤ k this IS the connected-component label.
+    * The bounded-round sibling of `Dedup.clusterPairs`' pointer jumping:
+    * pointer jumping converges in O(log d) adaptive rounds but its
+    * stop-when-stable loop isn't a fixed replayable recipe; fixed-k LPA
+    * is the engine-portable, oracle-gradable form (and the standard
+    * seed/community-spread primitive in its own right).
+    *
+    * Scale shape: each round is one edge-keyed equi-join plus a dst-keyed
+    * min aggregate (partial agg combines map-side, so a supernode's
+    * million incoming labels reduce per input partition before the
+    * shuffle), then a node-keyed left join. Label-vector lineage is cut
+    * on the pageRank cadence. Columns: node, label — ordered by node. */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val und = undirectedEdges(edges)
+    // both directions for propagation; one materialization feeds every round
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var lastCp: DataFrame = null
+    for (i <- 1 to iters) {
+      val neigh = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nl"))
+      labels = labels.join(neigh, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // same O(1)-generations checkpoint rotation as pageRank
+      if (i % 10 == 0 && i < iters) {
+        val cp = labels.localCheckpoint(true)
+        if (lastCp != null) org.apache.spark.sql.graft.bridge.freeCheckpoint(lastCp)
+        lastCp = cp
+        labels = cp
+      }
+    }
+    labels.orderBy("node")
+  }
+
+  /** The declared query: k-hop min-label propagation on the corpus
+    * bigram graph. */
+  def wordLabelPropagation(docs: DataFrame, iters: Int = 4): DataFrame =
+    labelPropagation(bigramEdges(docs), iters)
+
   /** Jaccard node similarity on the HUB-PRUNED undirected graph: for
     * every node pair sharing ≥ `minCommon` neighbors,
     * J = |N(a)∩N(b)| / |N(a)∪N(b)| — the classic link-prediction /

@@ -27,6 +27,38 @@ class GraphSpec extends SparkSpec {
       s"mass $total drifted from ${Graph.SCALE}")
   }
 
+  test("label propagation: hop-bounded min labels on a path graph") {
+    // path a-b-c-d-e (+ isolated self-loop z-z): after k rounds each node
+    // holds the min label within k hops; the self-loop is dropped by the
+    // undirected simplification, so z keeps itself
+    val edges = Seq(("b", "a", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("e", "d", 1L), ("z", "z", 1L)).toDF("src", "dst", "w")
+    def run(k: Int) = Graph.labelPropagation(edges, k)
+      .as[(String, String)].collect().toMap
+    assert(run(0) == Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "d",
+      "e" -> "e", "z" -> "z"))
+    assert(run(1) == Map("a" -> "a", "b" -> "a", "c" -> "b", "d" -> "c",
+      "e" -> "d", "z" -> "z"))
+    assert(run(2) == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "b",
+      "e" -> "c", "z" -> "z"))
+    // k >= diameter: the full component label
+    assert(run(4) == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "a", "z" -> "z"))
+  }
+
+  test("label propagation agrees with pointer-jumped components when k >= diameter") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val edges = Graph.bigramEdges(docs)
+    // the dense word graph has tiny diameter; 6 rounds saturates it
+    val lpa = Graph.labelPropagation(edges, 6).as[(String, String)].collect().toMap
+    val lpa7 = Graph.labelPropagation(edges, 7).as[(String, String)].collect().toMap
+    assert(lpa == lpa7, "labels must be stable once rounds exceed the diameter")
+    // stable labels == connected components: members of one label set are
+    // mutually reachable, so every edge connects equal labels
+    val und = Graph.undirectedEdges(edges).as[(String, String)].collect()
+    assert(und.forall { case (a, b) => lpa(a) == lpa(b) })
+  }
+
   test("a hub fed by two spokes outranks the spokes") {
     val edges = Seq(
       ("s1", "hub", 1L), ("s2", "hub", 1L),
