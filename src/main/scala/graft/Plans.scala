@@ -64,6 +64,10 @@ object Plans {
     "sim_matryoshka" -> "coarse stage touches only the prefix dims of one corpus scan; full-width vectors meet only the candidates' id-keyed join; both top-k stages are bounded partial aggs",
     "q_asof_nearest" -> "banded equi-join bounds per-key candidates; winner is ONE min_by aggregation with a composite ordering key — no window over candidates",
     "sketch_hll_merge" -> "per-group states are nBuckets-bounded; register-wise max merge is a 64-row aggregation; corpus touched once",
+    "text_nb_roc" -> "cumulative TP/FP via the two-phase prefix sum: range exchange + pid-keyed window + broadcast offsets — no corpus-wide SinglePartition sweep",
+    "text_kn_score" -> "three bounded statistic tables (bigram, context, continuation) equi-join the occurrence stream; DECIMAL(38,0) products; no window anywhere",
+    "pipeline_clean_audit" -> "the clean run's gate+cluster subplans reused; exact split is ONE sha256 hash agg (text never crosses that shuffle); report stitched by per-row equi-joins",
+    "graph_labelprop" -> "per-round shape: labels ⋈ checkpointed symmetric edges on src + groupBy(dst) min — node-keyed exchanges only, supernode fan-in combined map-side",
   )
 
   def main(args: Array[String]): Unit = {

@@ -238,6 +238,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan(packed).contains("SinglePartition"), plan(packed).takeRight(1500))
   }
 
+  test("ROC sweep's cumulative TP/FP has no single-partition exchange") {
+    // a bare Window.orderBy(score desc) over the distinct-score frame
+    // would plan SinglePartition; the two-phase form must not (the final
+    // presentation sort is a range exchange, which is fine)
+    import org.apache.spark.sql.functions.col
+    val scored = spark.range(0, 2000).select(
+      col("id").as("doc_id"), (col("id") * 37 % 500).as("score_scaled"),
+      (col("id") % 3 === 0).as("is_pos"))
+    val roc = graft.ext.Eval.rocTable(scored)
+    val p = plan(roc)
+    assert(!p.contains("SinglePartition"), p.takeRight(1500))
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    // AUC folds the table to ONE row — that scalar agg is the allowed
+    // one-row SinglePartition (like every scalar-total query)
+    val auc = plan(graft.ext.Eval.aucReport(scored))
+    assert(!auc.contains("CartesianProduct"), auc.takeRight(800))
+  }
+
+  test("label propagation rounds use node-keyed joins, no product, no window") {
+    import spark.implicits._
+    val edges = (0L until 300L).map(i => (s"n${i % 100}", s"n${(i * 7) % 100}", 1L))
+      .toDF("src", "dst", "w")
+    val p = plan(graft.ext.Graph.labelPropagation(edges, 3))
+    assert(!p.contains("CartesianProduct"), p.takeRight(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.takeRight(800))
+    assert(!p.contains("Window"), "LPA must aggregate, not window: " + p.takeRight(800))
+  }
+
   test("weighted sample and BM25 plan their top-k as TakeOrderedAndProject") {
     val ws = q("pipeline_weighted_sample")
     assert(ws.contains("TakeOrderedAndProject"), ws.takeRight(800))
