@@ -396,6 +396,43 @@ object OracleSql {
        |SELECT query_id, neighbor_id, score, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Binary-quantized Hamming retrieval (mirror of
+    * Similarity.hammingTopK): sign-bit signatures packed into two
+    * 32-bit-halved BIGINTs, XOR+popcount coarse ranking with
+    * (hamming asc, neighbor_id) ties, exact cosine re-rank of the
+    * candidates with (score desc, neighbor_id) ties. */
+  def simHamming(maxQueryId: Long, k: Int, candidates: Int): String = {
+    def half(rel: String, off: Int): String =
+      s"list_sum(list_transform(range(0, 32), i -> CASE WHEN" +
+        s" $rel.embedding[i + $off] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END))"
+    s"""WITH sig AS (
+       |  SELECT vec_id, coalesce(${half("embeddings", 1)}, 0) AS lo,
+       |         coalesce(${half("embeddings", 33)}, 0) AS hi
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+       |       WHERE vec_id < $maxQueryId),
+       |ham AS (
+       |  SELECT qs.query_id, s.vec_id AS neighbor_id,
+       |    (bit_count(xor(s.lo, qs.qlo)) + bit_count(xor(s.hi, qs.qhi)))::BIGINT
+       |      AS hamming
+       |  FROM sig s, qs WHERE s.vec_id <> qs.query_id),
+       |cand AS (SELECT query_id, neighbor_id, hamming FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, neighbor_id) AS crank FROM ham)
+       |  WHERE crank <= $candidates),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < $maxQueryId),
+       |rescored AS (
+       |  SELECT c.query_id, c.neighbor_id, c.hamming,
+       |    ${cosineExpr("q.qvec", "e.embedding")} AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM rescored)
+       |SELECT query_id, neighbor_id, hamming, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** k-NN majority-vote classification (mirror of sim_knn_classify):
     * the simTopK chain, label attach, vote count, and the argmax with
     * (votes desc, label asc) — the engine's max-struct tie-break. */

@@ -399,6 +399,10 @@ object SparkEntry {
     // keeps 25 candidates; exact full-dim cosine re-ranks to top-5
     "sim_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
+    // binary-quantization retrieval: 16-byte sign-bit signatures, coarse
+    // Hamming pass keeps 25 candidates, exact cosine re-ranks to top-5
+    "sim_hamming" -> ((s, d) =>
+      Similarity.hammingTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
     // its recall monitor against the exact brute force (same generic
     // recallReport the LSH/IVF/PQ families use)
     "sim_recall_mrl" -> ((s, d) =>
@@ -1851,6 +1855,7 @@ object SparkEntry {
     "sim_recall_pq" -> OracleSql.recallVsExact(
       OracleSql.pqSnapped(4, 16, 3, 16, 8L, 5), OracleSql.simTopK(8L, 5)),
     "sim_matryoshka" -> OracleSql.matryoshka(8L, 5, 16, 25),
+    "sim_hamming" -> OracleSql.simHamming(8L, 5, 25),
     "sim_recall_mrl" -> OracleSql.recallVsExact(
       OracleSql.matryoshka(8L, 5, 16, 25), OracleSql.simTopK(8L, 5)),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),

@@ -77,6 +77,68 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Binary-quantization signature of a ≤64-dim vector: bit i set iff
+    * component i is strictly positive, packed into two 32-bit-halved
+    * longs (`lo` = dims 1–32, `hi` = dims 33–64; keeping each shift
+    * under 32 sidesteps the engines' differing 1<<63 sign conventions).
+    * 64 floats (256 B) collapse to 16 B — the 16× scan-cost cut that
+    * makes the Hamming coarse pass worth running at corpus scale. */
+  private def binarySig(df: DataFrame, idCol: String, vecCol: String,
+                        out: String): DataFrame = {
+    def half(off: Int) =
+      s"aggregate(transform(slice($vecCol, $off, 32), (x, i) -> " +
+        "IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+    df.select(col(idCol).as(out),
+      expr(half(1)).as(s"lo_$out"), expr(half(33)).as(s"hi_$out"))
+  }
+
+  /** Binary-quantized two-stage retrieval: a COARSE pass ranks the
+    * corpus by Hamming distance between sign-bit signatures (ties to
+    * the smaller neighbor id), keeping `candidates` per query; the
+    * exact full-precision cosine then re-ranks just those candidates —
+    * the binary-quantization recipe production vector stores run when
+    * even int8 vectors are too big to scan. Output carries the coarse
+    * Hamming distance next to the exact score so the two rankings'
+    * disagreement is itself observable.
+    *
+    * Scale shape: the corpus-side scan touches only the 16-byte
+    * signature column (broadcast query signatures × one scan; the
+    * XOR+popcount is codegen'd integer arithmetic); full-width vectors
+    * are read only for the |queries|·candidates winners via id-keyed
+    * equi-joins. Both top-k stages are bounded TopKAggregator partial
+    * aggs — no window over the corpus. */
+  def hammingTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                  candidates: Int = 25,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && candidates >= k, "k must be positive, candidates >= k")
+    val corpusSig = binarySig(embeddings, idCol, vecCol, "neighbor_id")
+    val querySig = broadcast(
+      binarySig(embeddings.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, "query_id"))
+    val ham = corpusSig.crossJoin(querySig)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(expr("lo_neighbor_id ^ lo_query_id")) +
+          bit_count(expr("hi_neighbor_id ^ hi_query_id"))).cast("long").as("hamming"))
+    // negated distance reuses the (score desc, id asc) top-k aggregator:
+    // -hamming desc == hamming asc, ties to the smaller neighbor id
+    val cand = topKPerQuery(
+      ham.select(col("query_id"), col("neighbor_id"),
+        (-col("hamming")).cast("double").as("score")), candidates)
+      .join(ham, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val rescored = cand
+      .join(withNorm2(embeddings, idCol, vecCol, "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(withNorm2(embeddings.filter(col(idCol).isin(queryIds: _*)),
+        idCol, vecCol, "query_id")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairScore("query_id", "neighbor_id").as("score"))
+    topKPerQuery(rescored, k)
+      .join(cand, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Matryoshka (MRL-style) two-stage retrieval: a COARSE pass scores
     * the corpus on only the first `prefixDims` dimensions — the
     * information a Matryoshka-trained embedding front-loads — keeping

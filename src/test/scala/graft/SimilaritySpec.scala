@@ -503,4 +503,38 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(again == mrl.collect().map(_.toString).toSeq)
   }
+
+  test("hamming retrieval: sign-planted vectors, degenerate exactness, repartition invariance") {
+    import spark.implicits._
+    // planted signs: q matches a exactly, disagrees with b on dims 1+3,
+    // with c on every dim -> hamming 0 / 2 / 4 from query 0
+    val rows = Seq(
+      (0L, Array(1f, -1f, 2f, -3f)),   // query
+      (1L, Array(5f, -9f, 1f, -1f)),   // same signs -> hamming 0
+      (2L, Array(-1f, -1f, 2f, 3f)),   // differs dims 1,4 -> hamming 2
+      (3L, Array(-1f, 1f, -2f, 3f))    // all four flipped -> hamming 4
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(rows, Seq(0L), k = 3, candidates = 3)
+      .select("neighbor_id", "hamming").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
+    // candidates = whole corpus -> coarse prunes nothing -> final
+    // ranking IS brute force (proves the re-rank stage)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val qs = 0L until 6L
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(_.toString).toSeq
+    val degenerate = Similarity.hammingTopK(emb, qs, 5, candidates = n)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .collect().map(_.toString).toSeq
+    assert(degenerate == exact)
+    // narrow candidates restrict monotonically and deterministically
+    val ham = Similarity.hammingTopK(emb, qs, 5, candidates = 25)
+    val recall = Similarity.recallReport(ham, Similarity.bruteForceTopK(emb, qs, 5))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall > 0.0, s"mean recall@5 $recall — candidates never reach the truth set")
+    val again = Similarity.hammingTopK(emb.repartition(7), qs, 5, candidates = 25)
+      .collect().map(_.toString).toSeq
+    assert(again == ham.collect().map(_.toString).toSeq)
+  }
 }
