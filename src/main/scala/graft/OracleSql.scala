@@ -1361,6 +1361,21 @@ object OracleSql {
        |FROM rn r JOIN documents d USING (doc_id)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** NB confusion matrix (mirror of Classify.naiveBayesConfusion):
+    * the prediction chain folded to (actual, pred, n). */
+  val nbConfusion: String =
+    s"""WITH $nbScoreCtes,
+       |rn AS (
+       |  SELECT doc_id, cls, score_scaled,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_scaled DESC, cls) AS rn
+       |  FROM sc),
+       |pred AS (
+       |  SELECT r.doc_id, r.cls AS pred, d.lang AS actual
+       |  FROM rn r JOIN documents d USING (doc_id) WHERE rn = 1)
+       |SELECT actual, pred, count(*) AS n FROM pred
+       |GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
+
   /** Shared ROC CTE chain over the NB one-vs-rest scores for `posCls`
     * (mirror of Eval.rocTable): per-distinct-score class counts with
     * cumulative TP/FP in score-descending order. A null label falls

@@ -409,6 +409,10 @@ object SparkEntry {
       Similarity.recallReport(
         Similarity.matryoshkaTopK(Tables.embeddings(s, d), 0L until 8L, 5),
         Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5))),
+    "sim_recall_ham" -> ((s, d) =>
+      Similarity.recallReport(
+        Similarity.hammingTopK(Tables.embeddings(s, d), 0L until 8L, 5),
+        Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5))),
     // exact snapped-integer Rocchio: whole-corpus confusion matrix
     "sim_centroid_confusion" -> ((s, d) =>
       ext.Classify.centroidConfusion(Tables.embeddings(s, d))),
@@ -671,6 +675,8 @@ object SparkEntry {
     // 'en'-vs-rest detector — the calibration report a pipeline checks
     // before trusting a model-based filter to gate the corpus. Cumulative
     // TP/FP run as the two-phase prefix sum (no corpus-wide partition).
+    "text_nb_confusion" -> ((s, d) =>
+      ext.Classify.naiveBayesConfusion(Tables.documents(s, d))),
     "text_nb_roc" -> ((s, d) =>
       ext.Eval.rocTable(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
     "text_nb_auc" -> ((s, d) =>
@@ -1816,6 +1822,7 @@ object SparkEntry {
         |    AS n_orphan_orders""".stripMargin,
     "dedup_cross_corpus" -> OracleSql.crossNearDups(0.3),
     "text_nb" -> OracleSql.naiveBayes,
+    "text_nb_confusion" -> OracleSql.nbConfusion,
     "text_nb_roc" -> OracleSql.nbRoc("en"),
     "text_nb_auc" -> OracleSql.nbAuc("en"),
     "graph_pagerank" -> OracleSql.pageRank(5),
@@ -1858,6 +1865,8 @@ object SparkEntry {
     "sim_hamming" -> OracleSql.simHamming(8L, 5, 25),
     "sim_recall_mrl" -> OracleSql.recallVsExact(
       OracleSql.matryoshka(8L, 5, 16, 25), OracleSql.simTopK(8L, 5)),
+    "sim_recall_ham" -> OracleSql.recallVsExact(
+      OracleSql.simHamming(8L, 5, 25), OracleSql.simTopK(8L, 5)),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,
     "graph_jaccard" -> OracleSql.wordJaccard(30, 2, 50),

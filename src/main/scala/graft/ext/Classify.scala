@@ -97,6 +97,18 @@ object Classify {
       .orderBy(idCol)
   }
 
+  /** Whole-corpus confusion matrix of the NB self-eval:
+    * (actual, pred, n) — the compact per-class quality report tracked
+    * alongside the ROC/AUC sweep (`Eval`), mirroring the shape of the
+    * centroid classifier's matrix. One |classes|²-bounded aggregation
+    * over the prediction frame. */
+  def naiveBayesConfusion(docs: DataFrame, textCol: String = "text",
+                          labelCol: String = "lang", idCol: String = "doc_id"): DataFrame =
+    naiveBayesPredict(docs, textCol, labelCol, idCol)
+      .groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "pred")
+
   /** Nearest-centroid (Rocchio) classification over labeled embeddings,
     * in the snapped-integer arithmetic of [[Ivf.kmeansAssignSnapped]]:
     * per-label centroids are round-half-up integer means of the snapped

@@ -23,6 +23,22 @@ class ClassifySpec extends SparkSpec {
     assert(got.forall(_._3))
   }
 
+  test("confusion matrix cells partition the corpus; diagonal = correct count") {
+    val docs = Seq(
+      (0L, "alpha beta alpha", "en"),
+      (1L, "beta alpha beta beta", "en"),
+      (2L, "uno dos uno", "es"),
+      (3L, "dos dos uno dos", "es"),
+      (4L, "alpha uno", "es") // mixed-vocab doc: may land either way
+    ).toDF("doc_id", "text", "lang")
+    val m = Classify.naiveBayesConfusion(docs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(m.map(_._3).sum == 5L, "cells must partition the corpus")
+    val preds = Classify.naiveBayesPredict(docs)
+      .select("is_correct").as[Boolean].collect()
+    assert(m.filter(r => r._1 == r._2).map(_._3).sum == preds.count(identity))
+  }
+
   test("score matches the hand-computed smoothed log-likelihood") {
     // Corpus: en = {a:2, b:1} (1 doc), fr = {c:1} (1 doc). V = 3.
     val docs = Seq(
