@@ -739,6 +739,9 @@ object SparkEntry {
     // fuzzy entity resolution: content-derived blocking + levenshtein
     // verify (threshold boundary exercised both directions per block)
     "dedup_fuzzy" -> ((s, d) => ext.Entity.fuzzyPairs(Tables.documents(s, d))),
+    // survivorship after linkage: transitive match components collapsed
+    // to one canonical row per entity (modal name, deterministic ties)
+    "dedup_golden" -> ((s, d) => ext.Entity.goldenRecords(Tables.documents(s, d))),
     // URL canonicalization + duplicate grouping: the crawl-frontier
     // dedup pass (case/www/port/fragment/utm/trailing-slash variants
     // collapse; real query params survive)
@@ -1965,6 +1968,38 @@ object SparkEntry {
         |FROM b l JOIN b r ON l.block = r.block AND l.doc_id < r.doc_id
         |WHERE levenshtein(l.name, r.name) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_golden" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'user-' || (doc_id % 50) || '-record'
+        |      WHEN 1 THEN 'usr-' || (doc_id % 50) || '-record'
+        |      ELSE 'user-' || (doc_id % 50) || '-recrod'
+        |    END AS name
+        |  FROM documents),
+        |bl AS (SELECT doc_id, name, regexp_extract(name, '[0-9]+', 0) AS block FROM n),
+        |p AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM bl l JOIN bl r ON l.block = r.block AND l.doc_id < r.doc_id
+        |  WHERE levenshtein(l.name, r.name) <= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |cl AS (SELECT n.doc_id, n.name, coalesce(l.cluster_id, n.doc_id) AS cluster_id
+        |  FROM n LEFT JOIN labels l ON l.id = n.doc_id),
+        |cnts AS (SELECT cluster_id, name, count(*) AS cnt FROM cl GROUP BY 1, 2),
+        |modal AS (SELECT cluster_id, name,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |                       ORDER BY cnt DESC, name) AS rn
+        |  FROM cnts)
+        |SELECT c.cluster_id, c.n_members, m.name AS canonical_name
+        |FROM (SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS n_members
+        |      FROM cnts GROUP BY 1) c
+        |JOIN modal m ON m.cluster_id = c.cluster_id AND m.rn = 1
+        |ORDER BY c.cluster_id""".stripMargin,
     // the canonicalization chain re-expressed in DuckDB's regex/list
     // dialect; rule-by-rule agreement (incl. the pass-through for
     // non-URLs and empty-query collapse) is the graded claim

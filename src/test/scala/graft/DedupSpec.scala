@@ -279,6 +279,29 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r._5 == lev(r._3, r._4).toLong, s"${r._3} vs ${r._4}"))
   }
 
+  test("golden records: transitive merge, modal survivor, deterministic ties") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // entity 0 has 4 member rows: 2× canonical (0, 150), 1× deletion
+    // (100), 1× transposition (50). Note 50↔100 is distance 3 — over the
+    // pair threshold — yet both join the cluster TRANSITIVELY through
+    // the canonical form. Modal name = 'user-0-record' (count 2).
+    val docs = Seq(0L, 50L, 100L, 150L, 3L).toDF("doc_id")
+      .withColumn("text", lit("t"))
+    val got = graft.ext.Entity.goldenRecords(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, "user-0-record"),
+      (3L, 1L, "user-3-record"))) // singleton: its own name survives
+    // tie-break: two variants with equal counts -> lexicographically
+    // smallest survives (entity 0: one canonical + one deletion typo)
+    val tied = Seq(0L, 100L).toDF("doc_id").withColumn("text", lit("t"))
+    val g2 = graft.ext.Entity.goldenRecords(tied)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(g2 == Seq((0L, 2L, "user-0-record")),
+      "'user-0-record' < 'usr-0-record' must win the 1-1 tie")
+  }
+
   test("url canonicalization: every rule on hand-built cases") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
