@@ -268,6 +268,44 @@ object OracleSql {
   }
 
   /** dedup_minhash_neardups oracle: the verified near-dup pair list. */
+  /** LSH index-quality report (mirror of Dedup.lshQualityReport): the
+    * banded candidate chain vs the exact thresholded truth, folded to
+    * one row of counts + precision/recall. */
+  def lshQuality(threshold: Double, numHashes: Int = 64, bands: Int = 16): String = {
+    val rpb = numHashes / bands
+    val seedRows = Dedup.seedFamily(numHashes)
+      .map { case (i, a, b) => s"($i::BIGINT, $a::BIGINT, $b::BIGINT)" }
+      .mkString(", ")
+    s"""WITH $shinglesCte,
+       |bh AS (SELECT doc_id, ${poly("sh")} AS bh FROM sh),
+       |mh AS (SELECT doc_id, s.i AS h_idx, min((s.a * bh.bh + s.b) % ${Dedup.P2}) AS minhash
+       |       FROM bh, (VALUES $seedRows) AS s(i, a, b) GROUP BY doc_id, s.i),
+       |bands AS (SELECT doc_id, h_idx // $rpb AS band,
+       |    list_reduce(list_prepend(0::BIGINT, list(minhash ORDER BY h_idx)),
+       |      (h, v) -> (h*31 + (v % ${Dedup.P})) % ${Dedup.P}) AS band_hash
+       |  FROM mh GROUP BY doc_id, h_idx // $rpb),
+       |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash
+       |    AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |truth AS (SELECT a, b FROM inter JOIN sz sa ON sa.doc_id = a
+       |  JOIN sz sb ON sb.doc_id = b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold),
+       |u AS (SELECT c.a IS NOT NULL AS is_cand, t.a IS NOT NULL AS is_true
+       |  FROM cands c FULL OUTER JOIN truth t ON c.a = t.a AND c.b = t.b)
+       |SELECT CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |  CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS DOUBLE)
+       |    AS candidate_precision,
+       |  CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS DOUBLE) AS pair_recall
+       |FROM u""".stripMargin
+  }
+
   def minhashNearDups(threshold: Double): String =
     s"""WITH ${nearDupChain("documents", threshold)}
        |SELECT a, b, jaccard FROM same

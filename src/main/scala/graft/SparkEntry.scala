@@ -313,6 +313,10 @@ object SparkEntry {
     // is reproducible in SQL — these three are fully oracle-checked
     "dedup_minhash_neardups" -> ((s, d) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, d), 0.3, 3, 64, 16, Dedup.polyHash)),
+    // LSH index-quality report: banded candidates graded against the
+    // exact thresholded truth — the dedup-side recall monitor
+    "dedup_lsh_quality" -> ((s, d) =>
+      Dedup.lshQualityReport(Tables.documents(s, d), 0.8, 3, 64, 16, Dedup.polyHash)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Tables.documents(s, d), 0.3, Dedup.polyHash)),
     // semantic (embedding-space) near-dup dedup; id range bounded so the
@@ -1224,6 +1228,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
     "dedup_jaccard_prefix" -> OracleSql.ngramJaccardThreshold(0.8),
     "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
+    "dedup_lsh_quality" -> OracleSql.lshQuality(0.8),
     "text_scrub" -> OracleSql.textScrub,
     "text_scrub_pii" -> OracleSql.textScrubPii,
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),

@@ -215,6 +215,39 @@ object Dedup {
     candidatesFromSignatures(
       minhashSignature(docs, k, numHashes, baseHash, textCol, idCol), bands, idCol)
 
+  /** LSH index-quality report — the dedup-side sibling of the ANN recall
+    * monitors: banded MinHash candidate generation graded against the
+    * exact thresholded truth (the recall-complete prefix-filtered
+    * Jaccard join). One row:
+    * `(n_true, n_cand, n_hit, candidate_precision, pair_recall)` —
+    * recall is the number a dedup owner watches (true near-dup pairs the
+    * bands never surface are duplicates that SURVIVE dedup); precision
+    * is the verify-join cost multiplier (false candidates still pay the
+    * exact-Jaccard verification).
+    *
+    * Scale shape: both pair generators are the graded production paths
+    * (band equi-joins / prefix-index equi-joins); the comparison itself
+    * is one full-outer equi-join on the pair key folded into a scalar
+    * aggregate — nothing new materializes beyond the two pair lists. */
+  def lshQualityReport(docs: DataFrame, threshold: Double = 0.7, k: Int = 3,
+                       numHashes: Int = 64, bands: Int = 16,
+                       baseHash: Column => Column = xxHash,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cand = minhashCandidates(docs, k, numHashes, bands, baseHash, textCol, idCol)
+      .withColumn("is_cand", lit(1L))
+    val truth = prefixJaccardPairs(docs, threshold, k, Long.MaxValue, textCol, idCol)
+      .select(col("a"), col("b")).withColumn("is_true", lit(1L))
+    cand.join(truth, Seq("a", "b"), "full_outer")
+      .agg(sum(coalesce(col("is_true"), lit(0L))).as("n_true"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"),
+        sum(when(col("is_cand").isNotNull && col("is_true").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .withColumn("candidate_precision",
+        col("n_hit").cast("double") / col("n_cand").cast("double"))
+      .withColumn("pair_recall",
+        col("n_hit").cast("double") / col("n_true").cast("double"))
+  }
+
   /** MinHash near-duplicates: LSH candidates verified with exact shingle
     * Jaccard ≥ threshold.
     *

@@ -279,6 +279,35 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r._5 == lev(r._3, r._4).toLong, s"${r._3} vs ${r._4}"))
   }
 
+  test("LSH quality report: internally consistent, full recall with 64-band config") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                                   // exact dup of 0
+      (2L, base.replace("lazy", "sleepy")),         // near dup of 0
+      (3L, "completely different content about catalyst optimizer rules engine"),
+      (4L, "another unrelated piece of text mentioning shuffles and joins")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    // bands = numHashes -> a single shared minhash buckets a pair:
+    // candidate recall is 1 for any jaccard > 0 pair set
+    val r = graft.ext.Dedup.lshQualityReport(docs, threshold = 0.5,
+        numHashes = 64, bands = 64)
+      .as[(Long, Long, Long, Double, Double)].head()
+    val (nTrue, nCand, nHit, prec, rec) = r
+    assert(nTrue >= 2L, "exact pair (0,1) and near pair must be in the truth")
+    assert(nHit <= math.min(nCand, nTrue))
+    assert(rec == 1.0, s"64-band config must bucket every true pair, got $r")
+    assert(prec == nHit.toDouble / nCand.toDouble)
+    // fewer bands can only shrink the candidate set (monotone knob)
+    val tight = graft.ext.Dedup.lshQualityReport(docs, threshold = 0.5,
+        numHashes = 64, bands = 8)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(tight._2 <= nCand)
+    assert(tight._1 == nTrue, "truth side must not depend on the banding")
+  }
+
   test("golden records: transitive merge, modal survivor, deterministic ties") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
