@@ -143,6 +143,9 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) =>
       Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
+    // governance: quasi-identifier combos shared by < k customers (the
+    // re-identification audit a data release runs before publishing)
+    "q_kanon" -> ((s, d) => Relational.kAnonymityViolations(Tables.customer(s, d))),
     "q_count_distinct" -> ((s, d) => Relational.supplierStats(Tables.lineitem(s, d))),
     "q_topk" -> ((s, d) => Relational.topOrders(Tables.orders(s, d))),
     "q_window_rank" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
@@ -505,6 +508,8 @@ object SparkEntry {
       TextStats.tfIdfCosinePairs(Tables.documents(s, d), 50, maxDf = 1000L)),
     "text_repetition" -> ((s, d) => TextStats.repetitionStats(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
+    // tokenizer health: per-doc OOV rate vs the frozen top-24 dictionary
+    "text_oov" -> ((s, d) => TextStats.oovReport(Tables.documents(s, d), 24)),
     "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
     // span-level exact dedup: sub-document granularity (repeated 3-token
     // spans collapse to their first corpus occurrence)
@@ -904,6 +909,12 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_kanon" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
@@ -1575,6 +1586,25 @@ object SparkEntry {
          |counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
          |SELECT row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id, word, cnt
          |FROM counts ORDER BY word_id""".stripMargin,
+    "text_oov" ->
+      s"""WITH ${OracleSql.toksCte},
+         |tokpos AS (
+         |  SELECT doc_id, toks[i] AS word
+         |  FROM toks, unnest(range(1, len(toks)+1)) AS r(i)),
+         |counts AS (SELECT word, count(*) AS cnt FROM tokpos GROUP BY word),
+         |vocab AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id
+         |          FROM counts),
+         |top AS (SELECT word FROM vocab WHERE word_id < 24),
+         |per AS (
+         |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+         |  FROM tokpos t LEFT JOIN top v USING (word) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(per.n_oov, 0)::BIGINT AS n_oov,
+         |  CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN 0.0::DOUBLE
+         |       ELSE per.n_oov::DOUBLE / per.n_tokens::DOUBLE END AS oov_rate
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "text_encode" ->
       s"""WITH ${OracleSql.toksCte},
          |tokpos AS (

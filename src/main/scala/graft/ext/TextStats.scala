@@ -230,6 +230,31 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Tokenizer-health report against a frozen top-`vocabSize` dictionary:
+    * per-document token and out-of-vocabulary counts with the exact OOV
+    * fraction — the coverage metric tracked next to BPE fertility when a
+    * tokenizer (or its truncation size) changes. Zero-token documents
+    * are kept at rate 0.0 (a health report must not silently lose rows).
+    *
+    * Scale shape: the dictionary is the two-phase-ranked vocabulary
+    * (no SinglePartition stage) truncated to `vocabSize` and broadcast;
+    * per-document work is one token-keyed left join plus a doc-keyed
+    * count aggregation. */
+  def oovReport(docs: DataFrame, vocabSize: Int = 24,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val flat = encodeDocumentsFlat(docs, vocabSize, textCol, idCol)
+    docs.select(col(idCol))
+      .join(flat.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("word_id") === -1L, 1L).otherwise(0L)).as("n_oov")),
+        Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0L, lit(0.0d))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens").cast("double")))
+      .orderBy(idCol)
+  }
+
   /** URL / email scrub regexes — shared verbatim with the DuckDB oracle
     * (RE2-compatible: no lookarounds; explicit ASCII whitespace class). */
   val UrlRe: String = "https?://[^ \\t\\n\\x0B\\f\\r]+"

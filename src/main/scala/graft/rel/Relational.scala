@@ -777,4 +777,22 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
       .orderBy("c_mktsegment")
+
+  /** k-anonymity audit over a quasi-identifier tuple — the governance
+    * check a data release runs before publishing: any combination of
+    * (segment, nation, coarse balance band) shared by fewer than `k`
+    * customers is a re-identification risk, and the release either
+    * generalizes the band or suppresses those rows. Output = the
+    * violating combinations with their sizes (empty output == k-anonymous
+    * at this generalization level). One hash aggregation over the
+    * quasi-identifier key, then a map-side-filterable threshold — the
+    * same shape as any group-count query, at any scale. The band uses
+    * floor (not int cast) so negative balances band downward like the
+    * oracle's. */
+  def kAnonymityViolations(customer: DataFrame, k: Long = 3L): DataFrame =
+    customer.groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy("c_mktsegment", "c_nationkey", "acctbal_band")
 }

@@ -176,6 +176,43 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("oov report: counts consistent with the encoding, vocab-size monotone") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rep = graft.ext.TextStats.oovReport(docs, 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rep.size == docs.count())
+    rep.foreach { case (_, n, oov, rate) =>
+      assert(oov <= n)
+      assert(rate == (if (n == 0) 0.0 else oov.toDouble / n.toDouble))
+    }
+    // the OOV mass must equal the -1 codes of the same-size encoding
+    val minus1 = graft.ext.TextStats.encodeDocumentsFlat(docs, 10)
+      .filter(col("word_id") === -1L).count()
+    assert(rep.map(_._3).sum == minus1)
+    // growing the dictionary can only shrink every document's OOV count
+    val wider = graft.ext.TextStats.oovReport(docs, 20)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    rep.foreach { case (id, _, oov, _) => assert(wider(id) <= oov) }
+  }
+
+  test("k-anonymity: violating combos are exactly the under-k groups") {
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val viol = graft.rel.Relational.kAnonymityViolations(cust, 3)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(viol.forall(_._4 < 3))
+    // recompute group sizes naively and compare the violating set
+    import org.apache.spark.sql.functions.{col, count => cnt, floor, lit}
+    val all = cust.groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("b"))
+      .agg(cnt(lit(1)).as("n")).as[(String, Int, Long, Long)].collect().toSeq
+    assert(viol.toSet == all.filter(_._4 < 3).toSet)
+    // k is monotone: raising it can only add violations
+    val viol5 = graft.rel.Relational.kAnonymityViolations(cust, 5)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(viol.toSet.subsetOf(viol5.toSet))
+  }
+
   test("word-count total == token count for any corpus") {
     check("wc-conservation", Prop.forAll(corpusGen) { rows =>
       val df = rows.toDF("doc_id", "text", "source")
