@@ -903,6 +903,31 @@ object OracleSql {
     s"""WITH RECURSIVE ${embeddingClusterCtes(maxId, threshold)}
        |SELECT vec_id, cluster_id FROM eclusters ORDER BY vec_id""".stripMargin
 
+  /** Hard-negative mining (mirror of Similarity.hardNegatives): the
+    * embedding-cluster chain defines the positive set; negatives are the
+    * exact cosine top-k among vectors OUTSIDE the query's cluster. */
+  def hardNegatives(maxId: Long, maxQueryId: Long, k: Int,
+                    threshold: Double): String =
+    s"""WITH RECURSIVE ${embeddingClusterCtes(maxId, threshold)},
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM base
+       |      WHERE vec_id < $maxQueryId),
+       |cq AS (SELECT vec_id AS query_id, cluster_id AS qcl FROM eclusters
+       |       WHERE vec_id < $maxQueryId),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosineExpr("q.qvec", "e.embedding")} AS score
+       |  FROM base e, q WHERE e.vec_id <> q.query_id),
+       |nonpos AS (
+       |  SELECT s.query_id, s.neighbor_id, s.score
+       |  FROM scored s
+       |  JOIN cq ON cq.query_id = s.query_id
+       |  JOIN eclusters cn ON cn.vec_id = s.neighbor_id
+       |  WHERE cn.cluster_id <> cq.qcl),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, neighbor_id) AS rank FROM nonpos)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** pipeline_split_safe_emb oracle: the embedding-cluster chain, then
     * the assignSplits hash applied to the CLUSTER id (mirror of
     * assignSplitsByEmbeddingCluster). */
@@ -1418,13 +1443,19 @@ object OracleSql {
     * (mirror of Eval.rocTable): per-distinct-score class counts with
     * cumulative TP/FP in score-descending order. A null label falls
     * through the CASE to negative, like Spark's `when`. */
-  private def nbRocCtes(posCls: String): String =
+  /** CTE chain ending in `scored(doc_id, score_scaled, is_pos)` — the
+    * one-vs-rest evaluation frame shared by the ROC/AUC and lift
+    * oracles. */
+  private def nbScoredCtes(posCls: String): String =
     s"""$nbScoreCtes,
        |scored AS (
        |  SELECT sc.doc_id, sc.score_scaled,
        |    d.lang = '${sqlStr(posCls)}' AS is_pos
        |  FROM sc JOIN documents d USING (doc_id)
-       |  WHERE sc.cls = '${sqlStr(posCls)}'),
+       |  WHERE sc.cls = '${sqlStr(posCls)}')""".stripMargin
+
+  private def nbRocCtes(posCls: String): String =
+    s"""${nbScoredCtes(posCls)},
        |h AS (
        |  SELECT score_scaled,
        |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
@@ -1435,6 +1466,23 @@ object OracleSql {
        |    CAST(sum(n_pos) OVER (ORDER BY score_scaled DESC) AS BIGINT) AS cum_tp,
        |    CAST(sum(n_neg) OVER (ORDER BY score_scaled DESC) AS BIGINT) AS cum_fp
        |  FROM h)""".stripMargin
+
+  /** Decile lift table (mirror of Eval.liftTable on Eval.binaryNbScores):
+    * global (score desc, doc_id) rank, bucket = (rank−1)·buckets // N,
+    * per-bucket counts and exact positive rate. */
+  def nbLift(posCls: String, buckets: Int): String =
+    s"""WITH ${nbScoredCtes(posCls)},
+       |r AS (
+       |  SELECT doc_id, is_pos,
+       |    row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rank
+       |  FROM scored),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM scored)
+       |SELECT (rank - 1) * $buckets // (SELECT n FROM tot) AS bucket,
+       |  count(*)::BIGINT AS n,
+       |  sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS pos_rate
+       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** ROC sweep table (mirror of Eval.rocTable on Eval.binaryNbScores). */
   def nbRoc(posCls: String): String =

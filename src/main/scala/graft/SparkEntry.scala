@@ -410,6 +410,12 @@ object SparkEntry {
     // Hamming pass keeps 25 candidates, exact cosine re-ranks to top-5
     "sim_hamming" -> ((s, d) =>
       Similarity.hammingTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
+    // contrastive hard negatives: top-5 cosine among vectors OUTSIDE the
+    // query's semantic near-dup cluster (id range bounded like
+    // dedup_embedding so the oracle's all-pairs chain stays n²-bounded)
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(
+        Tables.embeddings(s, d).filter(col("vec_id") < 500), 0L until 8L, 5, 0.4)),
     // its recall monitor against the exact brute force (same generic
     // recallReport the LSH/IVF/PQ families use)
     "sim_recall_mrl" -> ((s, d) =>
@@ -690,6 +696,8 @@ object SparkEntry {
       ext.Eval.rocTable(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
     "text_nb_auc" -> ((s, d) =>
       ext.Eval.aucReport(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
+    "text_nb_lift" -> ((s, d) =>
+      ext.Eval.liftTable(ext.Eval.binaryNbScores(Tables.documents(s, d)), 10)),
     // iterative graph computation: integer-scaled PageRank over the
     // bigram co-occurrence graph, 5 fixed rounds
     "graph_pagerank" -> ((s, d) => ext.Graph.wordPageRank(Tables.documents(s, d), 5)),
@@ -1863,6 +1871,7 @@ object SparkEntry {
     "text_nb_confusion" -> OracleSql.nbConfusion,
     "text_nb_roc" -> OracleSql.nbRoc("en"),
     "text_nb_auc" -> OracleSql.nbAuc("en"),
+    "text_nb_lift" -> OracleSql.nbLift("en", 10),
     "graph_pagerank" -> OracleSql.pageRank(5),
     "graph_labelprop" -> OracleSql.labelProp(4),
     "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),
@@ -1901,6 +1910,7 @@ object SparkEntry {
       OracleSql.pqSnapped(4, 16, 3, 16, 8L, 5), OracleSql.simTopK(8L, 5)),
     "sim_matryoshka" -> OracleSql.matryoshka(8L, 5, 16, 25),
     "sim_hamming" -> OracleSql.simHamming(8L, 5, 25),
+    "sim_hard_negatives" -> OracleSql.hardNegatives(500L, 8L, 5, 0.4),
     "sim_recall_mrl" -> OracleSql.recallVsExact(
       OracleSql.matryoshka(8L, 5, 16, 25), OracleSql.simTopK(8L, 5)),
     "sim_recall_ham" -> OracleSql.recallVsExact(

@@ -73,6 +73,31 @@ object Eval {
       .orderBy(col("score_scaled").desc)
   }
 
+  /** Decile lift table — the third standard calibration artifact next to
+    * [[rocTable]] and [[aucReport]]: documents ranked by score (desc,
+    * doc_id ties), cut into `buckets` equal rank slices
+    * (`bucket = (rank−1)·buckets // N`), each reporting its size,
+    * positive count and exact positive rate. A well-ordered scorer shows
+    * monotonically falling rates; the top bucket's rate ÷ base rate is
+    * the "lift" a filter owner quotes.
+    *
+    * Scale shape: the global rank is the two-phase prefix sum
+    * (`TrainingPipeline.globalRank` — no corpus-wide window); N is one
+    * scalar count; the fold is a `buckets`-row aggregation. */
+  def liftTable(scored: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ranked = TrainingPipeline.globalRank(
+      scored.select(col("doc_id"), col("score_scaled").as("score")), "doc_id")
+    val n = scored.count() // driver scalar: corpus size
+    scored.join(ranked, "doc_id")
+      .withColumn("bucket", expr(s"((rank - 1) * $buckets) div $n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .orderBy("bucket")
+  }
+
   /** Exact AUC from the [[rocTable]] sweep, as a one-row report:
     * (n_pos, n_neg, auc_num2, auc_den2, auc). AUC is the Mann–Whitney
     * probability P(score⁺ > score⁻) with ties at half weight; doubling

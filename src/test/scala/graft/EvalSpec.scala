@@ -52,6 +52,24 @@ class EvalSpec extends SparkSpec {
     assert(Eval.aucReport(allTied).select("auc").as[Double].head() == 0.5)
   }
 
+  test("lift table: equal slices, conserved counts, perfect scorer front-loads") {
+    // 10 docs, scores = 10-i (no ties): positives at the top 3 ranks
+    val rows = (0L until 10L).map(i => (i, 10L - i, i < 3))
+    val lift = Eval.liftTable(scoredDf(rows: _*), buckets = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(lift.map(_._1) == (0L until 5L))
+    assert(lift.forall(_._2 == 2L), "10 docs over 5 buckets = 2 each")
+    assert(lift.map(_._3) == Seq(2L, 1L, 0L, 0L, 0L),
+      "a perfect scorer concentrates positives in the top buckets")
+    assert(lift.map(_._3).sum == 3L)
+    lift.foreach(r => assert(r._4 == r._3.toDouble / r._2.toDouble))
+    // non-divisible corpus: bucket sizes differ by at most one
+    val lift3 = Eval.liftTable(scoredDf(rows: _*), buckets = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(lift3.map(_._2).sum == 10L)
+    assert(lift3.map(_._2).max - lift3.map(_._2).min <= 1L)
+  }
+
   test("null label counts as negative (CASE fall-through parity)") {
     val scored = Seq((0L, 9L, Some(true)), (1L, 5L, None))
       .toDF("doc_id", "score_scaled", "is_pos")

@@ -504,6 +504,29 @@ class SimilaritySpec extends SparkSpec {
     assert(again == mrl.collect().map(_.toString).toSeq)
   }
 
+  test("hard negatives: never a cluster-mate; degenerate to brute force when nothing clusters") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").filter(col("vec_id") < 300)
+    val qs = 0L until 6L
+    val neg = Similarity.hardNegatives(emb, qs, 5, threshold = 0.4)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(neg.nonEmpty)
+    val labels = graft.ext.Dedup.embeddingNearDupClusters(emb, 0.4)
+      .as[(Long, Long)].collect().toMap
+    neg.foreach { case (q, n, _, _) =>
+      assert(labels(q) != labels(n), s"negative $n shares query $q's cluster")
+    }
+    // a threshold no pair reaches -> every vector is its own cluster ->
+    // the mining IS exact brute force
+    val none = Similarity.hardNegatives(emb, qs, 5, threshold = 1.0)
+      .collect().map(_.toString).toSeq
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(_.toString).toSeq
+    assert(none == exact)
+    // the fixture must have real clusters at 0.4, or the test proves nothing
+    assert(labels.values.toSet.size < labels.size, "fixture must have real clusters")
+  }
+
   test("hamming retrieval: sign-planted vectors, degenerate exactness, repartition invariance") {
     import spark.implicits._
     // planted signs: q matches a exactly, disagrees with b on dims 1+3,
