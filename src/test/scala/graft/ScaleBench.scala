@@ -48,7 +48,15 @@ object ScaleBench {
       // unbounded embedding near-dup clustering (the declared query
       // bounds its corpus for the all-pairs oracle; scaling needs growth)
       "emb_neardup_full" -> ((s: SparkSession, d: String) =>
-        ext.Dedup.embeddingNearDupClusters(Tables.embeddings(s, d), 0.4)))
+        ext.Dedup.embeddingNearDupClusters(Tables.embeddings(s, d), 0.4)),
+      // round-11 additions: label propagation (per-round edge joins),
+      // the ROC sweep (two-phase prefix sum over distinct scores), the
+      // LSH quality report (bands + prefix truth + full-outer fold) and
+      // the clean-run audit (clusters + exact split + stitch joins)
+      "graph_labelprop" -> SparkEntry.queries("graph_labelprop"),
+      "text_nb_roc" -> SparkEntry.queries("text_nb_roc"),
+      "dedup_lsh_quality" -> SparkEntry.queries("dedup_lsh_quality"),
+      "pipeline_clean_audit" -> SparkEntry.queries("pipeline_clean_audit"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
