@@ -2173,6 +2173,22 @@ object OracleSql {
   def recallLshVsExact(numPlanes: Int, dim: Int, maxQueryId: Long, k: Int): String =
     recallVsExact(lshTopK(numPlanes, dim, maxQueryId, k), simTopK(maxQueryId, k))
 
+  /** MRR report (mirror of Similarity.mrrReport): per-query rank of the
+    * exact top-1 inside the ANN list; 0 / 0.0 on a miss. */
+  def mrrVsExact(annSql: String, exactSql: String): String =
+    s"""WITH ann AS (
+       |$annSql),
+       |ex AS (
+       |$exactSql),
+       |t1 AS (SELECT query_id, neighbor_id AS truth_top1 FROM ex WHERE rank = 1)
+       |SELECT t1.query_id, t1.truth_top1,
+       |  coalesce(a.rank, 0)::BIGINT AS hit_rank,
+       |  CASE WHEN a.rank IS NULL THEN 0.0::DOUBLE
+       |       ELSE 1.0::DOUBLE / a.rank::DOUBLE END AS rr
+       |FROM t1 LEFT JOIN ann a
+       |  ON a.query_id = t1.query_id AND a.neighbor_id = t1.truth_top1
+       |ORDER BY t1.query_id""".stripMargin
+
   /** Shared sentence CTE over the planted-boundary corpus (mirror of
     * TextStats.sentences on the terminator-planted documents): ends
     * with `s` = (doc_id, sent_idx, sentence). */

@@ -426,6 +426,11 @@ object SparkEntry {
       Similarity.recallReport(
         Similarity.hammingTopK(Tables.embeddings(s, d), 0L until 8L, 5),
         Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5))),
+    // rank-aware index quality: where the true nearest lands in the list
+    "sim_mrr_ham" -> ((s, d) =>
+      Similarity.mrrReport(
+        Similarity.hammingTopK(Tables.embeddings(s, d), 0L until 8L, 5),
+        Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 8L, 5))),
     // exact snapped-integer Rocchio: whole-corpus confusion matrix
     "sim_centroid_confusion" -> ((s, d) =>
       ext.Classify.centroidConfusion(Tables.embeddings(s, d))),
@@ -516,6 +521,8 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextStats.vocabulary(Tables.documents(s, d))),
     // tokenizer health: per-doc OOV rate vs the frozen top-24 dictionary
     "text_oov" -> ((s, d) => TextStats.oovReport(Tables.documents(s, d), 24)),
+    // Flesch reading ease (vowel-group syllables, terminator-run sentences)
+    "text_readability" -> ((s, d) => TextStats.readability(Tables.documents(s, d))),
     "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
     // span-level exact dedup: sub-document granularity (repeated 3-token
     // spans collapse to their first corpus occurrence)
@@ -1594,6 +1601,28 @@ object SparkEntry {
          |counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
          |SELECT row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id, word, cnt
          |FROM counts ORDER BY word_id""".stripMargin,
+    "text_readability" ->
+      s"""WITH ${OracleSql.toksCte},
+         |tokw AS (SELECT doc_id, w AS word FROM toks, unnest(toks) AS u(w)),
+         |syl AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_words,
+         |    sum(len(regexp_extract_all(word, '[aeiouy]+')))::BIGINT AS n_syllables
+         |  FROM tokw GROUP BY doc_id),
+         |sent AS (
+         |  SELECT doc_id,
+         |    greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))::BIGINT
+         |      AS n_sentences
+         |  FROM documents)
+         |SELECT s.doc_id, s.n_sentences,
+         |  coalesce(y.n_words, 0)::BIGINT AS n_words,
+         |  coalesce(y.n_syllables, 0)::BIGINT AS n_syllables,
+         |  CASE WHEN coalesce(y.n_words, 0) = 0 THEN NULL
+         |       ELSE 206.835::DOUBLE
+         |            - 1.015::DOUBLE * (y.n_words::DOUBLE / s.n_sentences::DOUBLE)
+         |            - 84.6::DOUBLE * (y.n_syllables::DOUBLE / y.n_words::DOUBLE)
+         |  END AS flesch
+         |FROM sent s LEFT JOIN syl y USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "text_oov" ->
       s"""WITH ${OracleSql.toksCte},
          |tokpos AS (
@@ -1914,6 +1943,8 @@ object SparkEntry {
     "sim_recall_mrl" -> OracleSql.recallVsExact(
       OracleSql.matryoshka(8L, 5, 16, 25), OracleSql.simTopK(8L, 5)),
     "sim_recall_ham" -> OracleSql.recallVsExact(
+      OracleSql.simHamming(8L, 5, 25), OracleSql.simTopK(8L, 5)),
+    "sim_mrr_ham" -> OracleSql.mrrVsExact(
       OracleSql.simHamming(8L, 5, 25), OracleSql.simTopK(8L, 5)),
     "pipeline_diversity" -> OracleSql.diversityCap(16, 5, 24),
     "graph_degrees" -> OracleSql.degreeStats,

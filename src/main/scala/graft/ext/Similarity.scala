@@ -480,6 +480,24 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** MRR report — the rank-aware sibling of [[recallReport]] (recall
+    * can't see WHERE in the list the truth lands): for each query, where
+    * the exact top-1 neighbor sits in the ANN list. Columns:
+    * (query_id, truth_top1, hit_rank, rr) with hit_rank 0 / rr 0.0 when
+    * the index misses the true nearest entirely; the mean of `rr` is the
+    * index's MRR. Generic over any two (query_id, neighbor_id, rank)
+    * frames, like the recall monitor. One 1-row-per-query equi-join. */
+  def mrrReport(ann: DataFrame, exact: DataFrame): DataFrame =
+    exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_top1"))
+      .join(ann.select(col("query_id"), col("neighbor_id").as("truth_top1"),
+        col("rank").as("hit_rank")), Seq("query_id", "truth_top1"), "left")
+      .select(col("query_id"), col("truth_top1"),
+        coalesce(col("hit_rank"), lit(0L)).as("hit_rank"),
+        when(col("hit_rank").isNull, lit(0.0d))
+          .otherwise(lit(1.0d) / col("hit_rank").cast("double")).as("rr"))
+      .orderBy("query_id")
+
   /** Array-column statistics per label: vector count, dimension, and the
     * norm envelope (min/max — order-independent double aggregates, unlike
     * a sum of norms, so results are engine-portable). */

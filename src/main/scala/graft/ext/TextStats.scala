@@ -255,6 +255,42 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Flesch reading-ease per document — the classic readability member
+    * of the quality-signal family: `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`, with syllables approximated as `[aeiouy]+`
+    * vowel groups over the normalized tokens (the standard cheap
+    * estimator) and sentences as `[.!?]+` terminator runs in the RAW
+    * text, floored at 1 so a fragment without punctuation still scores.
+    * All three counts are exact integers; the score is one double
+    * expression over them, identical on both engines. Zero-word
+    * documents carry a NULL score (no defined readability), never a
+    * fabricated one.
+    *
+    * Scale shape: one token-keyed aggregation plus a per-row sentence
+    * count — the per-document projection pattern of the rest of the
+    * quality family. */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val syl = docs
+      .select(col(idCol), explode(Tokenize.tokensArray(col(textCol))).as("word"))
+      .withColumn("syl",
+        expr("size(regexp_extract_all(word, '[aeiouy]+', 0))").cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syllables"))
+    docs.select(col(idCol),
+        greatest(lit(1L),
+          expr(s"size(regexp_extract_all(coalesce($textCol, ''), '[.!?]+', 0))")
+            .cast("long")).as("n_sentences"))
+      .join(syl, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_words", "n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
+      .orderBy(idCol)
+  }
+
   /** URL / email scrub regexes — shared verbatim with the DuckDB oracle
     * (RE2-compatible: no lookarounds; explicit ASCII whitespace class). */
   val UrlRe: String = "https?://[^ \\t\\n\\x0B\\f\\r]+"

@@ -196,6 +196,54 @@ class PropertySpec extends SparkSpec {
     rep.foreach { case (id, _, oov, _) => assert(wider(id) <= oov) }
   }
 
+  test("readability: hand-computed Flesch on planted text; zero-word docs score NULL") {
+    val docs = Seq(
+      // "the cat sat. it ran!" -> tokens: the,cat,sat,it,ran (5 words);
+      // vowel groups: the=1 (e), cat=1, sat=1, it=1, ran=1 -> 5 syllables;
+      // sentences: ". " and "!" -> 2 terminator runs
+      (0L, "the cat sat. it ran!"),
+      // punctuation-only "word": survives the whitespace split and
+      // normalizes to the empty token (the tokenizer contract shared
+      // with every oracle CTE) -> 1 word, 0 syllables; a truly empty
+      // doc is the zero-word NULL case
+      (1L, "...!?"),
+      (3L, "  "), // whitespace only: 0 words -> NULL score
+      (2L, "beautiful education") // 2 words; eau-i-u + e-u-a-io -> 4+4? count below
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextStats.readability(docs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s0, w0, y0, f0) = got(0L)
+    assert((s0, w0, y0) == ((2L, 5L, 5L)))
+    assert(f0.contains(206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)))
+    val (_, s1, w1, y1, f1) = got(1L)
+    assert((s1, w1, y1) == ((1L, 1L, 0L)))
+    assert(f1.contains(206.835 - 1.015 * 1.0 - 84.6 * 0.0))
+    val (_, s3, w3, _, f3) = got(3L)
+    assert(s3 == 1L && w3 == 0L && f3.isEmpty)
+    // vowel-group estimator: "beautiful" -> eau,i,u = 3; "education" ->
+    // e,u,a,io = 4; one sentence (no terminator -> floor 1)
+    val (_, s2, w2, y2, f2) = got(2L)
+    assert((s2, w2, y2) == ((1L, 2L, 7L)))
+    assert(f2.contains(206.835 - 1.015 * 2.0 - 84.6 * 3.5))
+  }
+
+  test("mrr report: hit ranks exact, miss scores zero, top-1 index gives MRR 1") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 0.9, 1L), (1L, 11L, 0.8, 2L), (2L, 20L, 0.7, 1L))
+      .toDF("query_id", "neighbor_id", "score", "rank")
+    // index finds query 1's truth at rank 3, misses query 2's entirely
+    val ann = Seq((1L, 12L, 0.95, 1L), (1L, 13L, 0.92, 2L), (1L, 10L, 0.9, 3L),
+      (2L, 21L, 0.6, 1L)).toDF("query_id", "neighbor_id", "score", "rank")
+    val got = graft.ext.Similarity.mrrReport(ann, exact)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 3L, 1.0 / 3.0), (2L, 20L, 0L, 0.0)))
+    // a perfect index: ann == exact -> every rr is 1
+    val perfect = graft.ext.Similarity.mrrReport(exact, exact)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(perfect.forall(_._4 == 1.0))
+  }
+
   test("k-anonymity: violating combos are exactly the under-k groups") {
     val cust = Tables.customer(spark, "/root/testdata/sf0.001")
     val viol = graft.rel.Relational.kAnonymityViolations(cust, 3)
