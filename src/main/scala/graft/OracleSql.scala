@@ -1829,6 +1829,28 @@ object OracleSql {
        |  FROM kk ORDER BY key DESC, doc_id LIMIT $k)
        |SELECT doc_id, weight, key FROM s ORDER BY doc_id""".stripMargin
 
+  /** Per-stratum A-ES sampling (mirror of
+    * TrainingPipeline.weightedSamplePerGroup): the weightedSample key
+    * chain, top-k within each source via a per-group window (the oracle
+    * can afford it; the engine uses the bounded aggregator). */
+  def weightedSamplePerGroup(k: Int, seed: String): String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id, n_chars::BIGINT AS weight,
+       |    ${poly(s"'${sqlStr(seed)}:' || doc_id")} AS h
+       |  FROM documents WHERE n_chars > 0),
+       |kk AS (
+       |  SELECT source, doc_id, weight,
+       |    CAST(round(ln((h + 1)::DOUBLE / ${Dedup.P + 1}::DOUBLE) * 1000000.0)
+       |         AS BIGINT) AS lnu
+       |  FROM h),
+       |s AS (
+       |  SELECT source, doc_id, weight, lnu::DOUBLE / weight::DOUBLE AS key,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY lnu::DOUBLE / weight::DOUBLE DESC, doc_id) AS rn
+       |  FROM kk)
+       |SELECT source, doc_id, weight, key FROM s WHERE rn <= $k
+       |ORDER BY source, doc_id""".stripMargin
+
   /** Contract-hash HyperLogLog (mirror of Sketches.hllDistinct): same
     * 31-bit multiplicative hash, same integer lowest-set-bit rank (no
     * log2 — float rounding at power-of-two edges differs across

@@ -711,6 +711,10 @@ object SparkEntry {
     // k-hop min-label propagation (bounded-round component labeling)
     "graph_labelprop" -> ((s, d) =>
       ext.Graph.wordLabelPropagation(Tables.documents(s, d), 4)),
+    // per-stratum weighted sampling: k best A-ES draws per source, via a
+    // bounded per-group top-k aggregator (no per-group window)
+    "pipeline_group_sample" -> ((s, d) =>
+      ext.TrainingPipeline.weightedSamplePerGroup(Tables.documents(s, d), 20)),
     // deterministic weighted sampling without replacement (A-ES keys)
     "pipeline_weighted_sample" -> ((s, d) =>
       ext.TrainingPipeline.weightedSample(Tables.documents(s, d), 100)),
@@ -1904,6 +1908,7 @@ object SparkEntry {
     "graph_pagerank" -> OracleSql.pageRank(5),
     "graph_labelprop" -> OracleSql.labelProp(4),
     "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),
+    "pipeline_group_sample" -> OracleSql.weightedSamplePerGroup(20, "graft"),
     // FILTER mirrors Spark collect_set's NULL-skipping (DuckDB list() would
     // otherwise keep NULL as an element); coalesce covers the all-NULL group
     "q_string_agg" ->

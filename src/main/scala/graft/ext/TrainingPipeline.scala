@@ -714,6 +714,39 @@ object TrainingPipeline {
       .orderBy(idCol)
   }
 
+  /** Per-stratum deterministic weighted sampling without replacement:
+    * [[weightedSample]]'s A-ES key (replayable hash → exponential-ish
+    * key ∝ weight), but the top-k is taken WITHIN each group — the
+    * "k best examples per source/language" draw a mixture builder runs
+    * when it wants every stratum represented regardless of its share.
+    *
+    * Scale shape: the per-group top-k is a bounded `TopKAggregator`
+    * partial aggregate (k-row state, map-side combinable) — NOT a
+    * per-group `row_number` window, which would hash-partition one task
+    * per group and funnel a corpus-sized stratum through it. Weight
+    * re-attaches by id equi-join. Same (key desc, id) tie order as the
+    * global sampler, so the oracle replays it exactly. */
+  def weightedSamplePerGroup(docs: DataFrame, k: Int, groupCol: String = "source",
+                             weightCol: String = "n_chars", seed: String = "graft",
+                             idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h = Dedup.polyHash(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val lnu = round(log((h + 1).cast("double") / lit((Dedup.P + 1).toDouble)) * 1e6)
+      .cast("long")
+    val keyed = docs.filter(col(weightCol) > 0)
+      .select(col(groupCol), col(idCol),
+        col(weightCol).cast("long").as("weight"), lnu.as("lnu_scaled"))
+      .withColumn("key", col("lnu_scaled").cast("double") / col("weight").cast("double"))
+    val topk = udaf(new graft.core.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.core.Scored])
+    keyed.groupBy(col(groupCol)).agg(topk(col("key"), col(idCol)).as("top"))
+      .select(col(groupCol), explode(col("top")).as("s"))
+      .select(col(groupCol), col("s.id").as(idCol), col("s.score").as("key"))
+      .join(keyed.select(col(idCol), col("weight")), idCol)
+      .select(col(groupCol), col(idCol), col("weight"), col("key"))
+      .orderBy(groupCol, idCol)
+  }
+
   /** [[shuffleShards]] with the shard count derived from the corpus size:
     * nShards = ceil(N / rowsPerShard), so per-shard sort size is bounded by
     * rowsPerShard no matter how large the corpus grows. The count() is a

@@ -350,6 +350,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("per-group sample == the global sampler run on each group alone") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val per = graft.ext.TrainingPipeline.weightedSamplePerGroup(docs, 5)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val groups = per.map(_._1).distinct
+    assert(groups.size > 1, "fixture must have several sources")
+    groups.foreach { g =>
+      val alone = graft.ext.TrainingPipeline
+        .weightedSample(docs.filter(col("source") === g), 5)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(per.filter(_._1 == g).map(r => (r._2, r._3, r._4)) == alone,
+        s"group $g diverges from the global sampler on its own slice")
+    }
+    // k per group, exactly (every fixture source has >= 5 weighted docs)
+    assert(per.groupBy(_._1).values.forall(_.size == 5))
+  }
+
   test("weighted samples nest: the k-sample is a prefix of the (k+2)-sample") {
     // A-ES top-k by a fixed key order ⇒ samples are nested in k
     val weighted = for {
