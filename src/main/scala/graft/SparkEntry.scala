@@ -130,6 +130,14 @@ object SparkEntry {
       ext.Lake.partitionPrunedRoundTrip(s, Tables.documents(s, d), d)),
     // ---- relational surface (SURVEY.md §2.2) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    // named TPC-H anchors: Q3 (selective dims -> fact join -> top-k) and
+    // Q18 (fact agg -> HAVING -> rejoin only the survivors)
+    "q3_shipping_priority" -> ((s, d) =>
+      Relational.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      Relational.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
     "q_filter_project" -> ((s, d) => Relational.filterProject(Tables.lineitem(s, d))),
     "q_join_agg" -> ((s, d) =>
       Relational.ordersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
@@ -928,6 +936,31 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0
+        |    AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+        |SELECT c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0 AS o_totalprice,
+        |  sum_qty
+        |FROM big
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
     "q_kanon" ->
       """SELECT c_mktsegment, c_nationkey,
         |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,

@@ -778,6 +778,51 @@ object Relational {
         array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
       .orderBy("c_mktsegment")
 
+  /** TPC-H Q3 (shipping priority), adapted to this schema: revenue of
+    * BUILDING-segment orders placed before the pivot date whose items
+    * shipped after it, top 10 by revenue. The classic
+    * selective-dims → fact-join → agg → top-k anchor: the segment
+    * filter prunes customer BEFORE the join, both joins are key
+    * equi-joins (AQE picks broadcast when the filtered dims are small),
+    * revenue accumulates in exact cents like q_multi_join, and the
+    * top-10 plans as TakeOrderedAndProject with a fully deterministic
+    * (revenue desc, date, key) tie order. */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame,
+                         pivot: String = "1998-01-01"): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(pivot).cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit(pivot).cast("timestamp"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q18 (large-volume customers), adapted: orders whose total
+    * item quantity exceeds `minQty`, with the customer attached — the
+    * agg-then-HAVING-then-rejoin anchor. The quantity aggregate runs
+    * over the FACT table alone first (map-side partial combine, one
+    * shuffle on the order key), the HAVING threshold filters before
+    * anything joins, and only surviving order keys rejoin the
+    * orders/customer dims — at 100 TB the rejoin input is the few
+    * over-threshold keys, not the fact table. Quantities are integral
+    * by data contract; round-to-long keeps the sum exact and
+    * engine-portable. */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, minQty: Long = 250L): DataFrame =
+    lineitem.groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        (cents(col("o_totalprice")).cast("double") / 100.0).as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+
   /** k-anonymity audit over a quasi-identifier tuple — the governance
     * check a data release runs before publishing: any combination of
     * (segment, nation, coarse balance band) shared by fewer than `k`

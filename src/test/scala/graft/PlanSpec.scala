@@ -266,6 +266,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "LPA must aggregate, not window: " + p.takeRight(800))
   }
 
+  test("TPC-H anchors: Q3 broadcasts filtered dims + top-k; Q18 aggregates before the rejoin") {
+    val p3 = q("q3_shipping_priority")
+    assert(p3.contains("TakeOrderedAndProject"), p3.takeRight(800))
+    assert(p3.contains("BroadcastHashJoin"), p3.takeRight(800))
+    val p18 = q("q18_large_orders")
+    // the HAVING filter must sit on the aggregate, upstream of the joins:
+    // the plan joins the few surviving keys, never the raw fact table
+    assert(p18.contains("(sum_qty"), p18.takeRight(800))
+    assert(!p18.contains("CartesianProduct"), p18.takeRight(800))
+  }
+
   test("weighted sample and BM25 plan their top-k as TakeOrderedAndProject") {
     val ws = q("pipeline_weighted_sample")
     assert(ws.contains("TakeOrderedAndProject"), ws.takeRight(800))
