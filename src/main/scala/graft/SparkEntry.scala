@@ -568,6 +568,8 @@ object SparkEntry {
     // zlib inflate (Inflater), full scanline unfilter across all 5 filter
     // types, per-channel means for gray/RGB/RGBA
     "mm_png" -> ((s, d) => Multimodal.pngQuery(s, Tables.documents(s, d))),
+    // tEXt metadata round trip through the CRC-verified chunk walk
+    "mm_png_text" -> ((s, d) => Multimodal.pngTextQuery(s, Tables.documents(s, d))),
     "sim_mips" -> ((s, d) =>
       Similarity.mipsTopK(Tables.embeddings(s, d), 0L until 8L, 5)),
     "q_array_agg" -> ((s, d) => Relational.orderQuantityProfile(Tables.lineitem(s, d))),
@@ -1804,6 +1806,17 @@ object SparkEntry {
         |  CASE WHEN m = 0 THEN s0 // (w*h) ELSE s2 // (w*h) END AS mean_b,
         |  CASE WHEN m = 2 THEN s3 // (w*h) ELSE CAST(-1 AS BIGINT) END AS mean_a
         |FROM s ORDER BY media_id""".stripMargin,
+    // closed-form ground truth of the planted tEXt chunks; the engine
+    // side must recover exactly these through the real byte round trip
+    "mm_png_text" ->
+      """SELECT media_id, tkey, tvalue FROM (
+        |  SELECT doc_id AS media_id, 'Comment' AS tkey,
+        |    'img-' || doc_id || '-' || ((doc_id % 12) + 5) || 'x'
+        |      || ((doc_id % 9) + 4) AS tvalue
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'Software', 'graft engine' FROM documents)
+        |ORDER BY media_id, tkey""".stripMargin,
     "sim_mips" -> OracleSql.simMips(8, 5),
     "q_array_agg" ->
       """WITH g AS (

@@ -549,7 +549,8 @@ object Multimodal {
     * oracle); `deflate=true` uses a real compressing Deflater (spec
     * cross-check — same pixels, different bytes). */
   def encodePng(w: Int, h: Int, colorType: Int, pixel: (Int, Int, Int) => Int,
-                filterFor: Int => Int, deflate: Boolean): Array[Byte] = {
+                filterFor: Int => Int, deflate: Boolean,
+                texts: Seq[(String, String)] = Nil): Array[Byte] = {
     val bpp = pngBpp(colorType)
     require(bpp > 0, s"unsupported color type $colorType")
     val stride = w * bpp
@@ -580,6 +581,16 @@ object Multimodal {
     writeBe32(ihdr, w); writeBe32(ihdr, h)
     ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
     pngChunk(out, "IHDR", ihdr.toByteArray)
+    // tEXt chunks (keyword NUL text, Latin-1) between IHDR and IDAT, the
+    // canonical placement; CRC'd like every chunk
+    texts.foreach { case (k, v) =>
+      val kb = k.getBytes("ISO-8859-1"); val vb = v.getBytes("ISO-8859-1")
+      val data = new Array[Byte](kb.length + 1 + vb.length)
+      System.arraycopy(kb, 0, data, 0, kb.length)
+      data(kb.length) = 0
+      System.arraycopy(vb, 0, data, kb.length + 1, vb.length)
+      pngChunk(out, "tEXt", data)
+    }
     pngChunk(out, "IDAT", if (deflate) deflateZlib(raw) else storedZlib(raw))
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -656,6 +667,44 @@ object Multimodal {
     * (w, h, colorType, bpp, channel-interleaved pixel bytes, row-major,
     * filter bytes removed), or None for any malformed input. Shared by
     * the feature decoder and the perceptual hash. */
+  /** tEXt metadata extraction through the same CRC-verified chunk walk
+    * as the pixel decoder: (keyword, text) per tEXt chunk, Latin-1 per
+    * the PNG spec, split at the first NUL. Malformed bytes (bad magic,
+    * CRC mismatch, truncation, NUL-less tEXt) → None — a corrupt payload
+    * becomes a graded absence, never an exception. */
+  def pngTextChunks(p: Array[Byte]): Option[Seq[(String, String)]] = {
+    try {
+      if (p.length < 8 || (p(0) & 0xFF) != 0x89 || p(1) != 'P'.toByte ||
+          p(2) != 'N'.toByte || p(3) != 'G'.toByte || (p(4) & 0xFF) != 0x0D ||
+          (p(5) & 0xFF) != 0x0A || (p(6) & 0xFF) != 0x1A || (p(7) & 0xFF) != 0x0A)
+        return None
+      var i = 8
+      var sawIend = false
+      val out = Seq.newBuilder[(String, String)]
+      while (!sawIend && i + 12 <= p.length) {
+        val len = be32(p, i)
+        if (len < 0 || i + 12 + len.toLong > p.length) return None
+        val typ = new String(p, i + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(p, i + 4, 4 + len)
+        if (crc.getValue.toInt != be32(p, i + 8 + len)) return None
+        typ match {
+          case "tEXt" =>
+            var z = i + 8
+            val end = i + 8 + len
+            while (z < end && p(z) != 0) z += 1
+            if (z >= end) return None // keyword must be NUL-terminated
+            out += ((new String(p, i + 8, z - (i + 8), "ISO-8859-1"),
+              new String(p, z + 1, end - z - 1, "ISO-8859-1")))
+          case "IEND" => sawIend = true
+          case _ => ()
+        }
+        i += 12 + len
+      }
+      if (!sawIend) None else Some(out.result())
+    } catch { case _: RuntimeException => None }
+  }
+
   private def pngPixels(p: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
     try {
       if (p.length < 8 || (p(0) & 0xFF) != 0x89 || p(1) != 'P'.toByte ||
@@ -828,4 +877,30 @@ object Multimodal {
     * ground truth). */
   def pngQuery(spark: SparkSession, docs: DataFrame): DataFrame =
     extractPngFeatures(syntheticPngTable(docs)).toDF().orderBy("media_id")
+
+  /** The pixel fixture plus two closed-form tEXt chunks — the metadata
+    * carrier a crawl's image payloads actually arrive with. */
+  def syntheticPngWithText(id: Long): Array[Byte] =
+    encodePng(fxPngW(id), fxPngH(id), fxPngColorType(id),
+      (c, x, y) => fxPngVal(id, c, x, y),
+      y => floorMod(y + id, 5).toInt, deflate = false,
+      texts = Seq(
+        ("Comment", s"img-$id-${fxPngW(id)}x${fxPngH(id)}"),
+        ("Software", "graft engine")))
+
+  /** End-to-end tEXt metadata query: plant closed-form text chunks,
+    * extract them back through the CRC-verified chunk walk — the graded
+    * claim is the real encode→parse round trip, per chunk. Partition-wise
+    * flatMap like every media decode (a corrupt payload contributes no
+    * rows, never an exception). */
+  def pngTextQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        pngTextChunks(syntheticPngWithText(id)).getOrElse(Nil)
+          .map { case (k, v) => (id, k, v) }
+      })
+      .toDF("media_id", "tkey", "tvalue")
+      .orderBy("media_id", "tkey")
+  }
 }
