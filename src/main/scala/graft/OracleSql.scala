@@ -1851,6 +1851,62 @@ object OracleSql {
        |SELECT source, doc_id, weight, key FROM s WHERE rn <= $k
        |ORDER BY source, doc_id""".stripMargin
 
+  /** HLL inclusion–exclusion intersection (mirror of
+    * Sketches.hllIntersect): the same contract-hash sketch per predicate
+    * slice, union by register-wise max, estimates rounded BEFORE the
+    * subtraction like the engine. */
+  def hllIntersect(table: String, keyCol: String,
+                   predA: String, predB: String): String = {
+    val alphaLit = String.format(java.util.Locale.ROOT, "%.17E",
+      Double.box(ext.Sketches.HllAlpha * ext.Sketches.HllM * ext.Sketches.HllM *
+        (1L << 26).toDouble))
+    val rankCases = (0 until 25)
+      .map(r => s"WHEN (w & -w) = ${1L << r} THEN ${r + 1}")
+      .mkString("\n         ")
+    def estOf(p: String) = s"CAST(round($alphaLit / $p::DOUBLE * 100.0) AS BIGINT)"
+    s"""WITH h0 AS (
+       |  SELECT 'a' AS s, ($keyCol * 2654435761) % 2147483648 AS v
+       |  FROM $table WHERE $predA
+       |  UNION ALL
+       |  SELECT 'b', ($keyCol * 2654435761) % 2147483648 FROM $table WHERE $predB),
+       |h1 AS (SELECT s, xor(v, v // 65536) AS v FROM h0),
+       |h2 AS (SELECT s, (v * 2246822519) % 2147483648 AS v FROM h1),
+       |h AS (SELECT s, xor(v, v // 8192) AS h FROM h2),
+       |r AS (SELECT s, h % 64 AS register, h // 64 AS w FROM h),
+       |rk AS (
+       |  SELECT s, register,
+       |    CASE WHEN w = 0 THEN 26
+       |         $rankCases
+       |    END AS rank
+       |  FROM r),
+       |mx AS (SELECT s, register, max(rank) AS max_rank FROM rk GROUP BY 1, 2),
+       |grid AS (SELECT unnest(range(0, 64)) AS register),
+       |fa AS (SELECT g.register, coalesce(m.max_rank, 0) AS r FROM grid g
+       |       LEFT JOIN (SELECT register, max_rank FROM mx WHERE s = 'a') m
+       |       USING (register)),
+       |fb AS (SELECT g.register, coalesce(m.max_rank, 0) AS r FROM grid g
+       |       LEFT JOIN (SELECT register, max_rank FROM mx WHERE s = 'b') m
+       |       USING (register)),
+       |fu AS (SELECT g.register, coalesce(m.max_rank, 0) AS r FROM grid g
+       |       LEFT JOIN (SELECT register, max(max_rank) AS max_rank FROM mx
+       |                  GROUP BY register) m USING (register)),
+       |pa AS (SELECT sum((1::BIGINT << (26 - r)::INT))::BIGINT AS pow_sum_a FROM fa),
+       |pb AS (SELECT sum((1::BIGINT << (26 - r)::INT))::BIGINT AS pow_sum_b FROM fb),
+       |pu AS (SELECT sum((1::BIGINT << (26 - r)::INT))::BIGINT AS pow_sum_u FROM fu),
+       |ex AS (SELECT count(*)::BIGINT AS n_intersect_exact FROM (
+       |  SELECT DISTINCT $keyCol FROM $table WHERE $predA
+       |  INTERSECT
+       |  SELECT DISTINCT $keyCol FROM $table WHERE $predB))
+       |SELECT pow_sum_a, pow_sum_b, pow_sum_u,
+       |  ${estOf("pow_sum_a")} AS est_a_scaled,
+       |  ${estOf("pow_sum_b")} AS est_b_scaled,
+       |  ${estOf("pow_sum_u")} AS est_union_scaled,
+       |  ${estOf("pow_sum_a")} + ${estOf("pow_sum_b")} - ${estOf("pow_sum_u")}
+       |    AS est_intersect_scaled,
+       |  n_intersect_exact
+       |FROM pa, pb, pu, ex""".stripMargin
+  }
+
   /** Contract-hash HyperLogLog (mirror of Sketches.hllDistinct): same
     * 31-bit multiplicative hash, same integer lowest-set-bit rank (no
     * log2 — float rounding at power-of-two edges differs across

@@ -118,6 +118,10 @@ object SparkEntry {
       graft.sources.Ingest.csvRoundTrip(s, Tables.documents(s, d), d)),
     "src_jsonl" -> ((s, d) =>
       graft.sources.Ingest.jsonlRoundTrip(s, Tables.documents(s, d), d)),
+    // dead-letter routing: PERMISSIVE parse of a batch with planted
+    // corrupt lines; quarantine keeps the raw payload for replay
+    "src_dead_letter" -> ((s, d) =>
+      graft.sources.Ingest.deadLetterIngest(s, Tables.documents(s, d), d)),
     // schema evolution across ingest generations: a column added later is
     // null-filled for early rows under mergeSchema (the default
     // one-footer read silently loses it — spec-demonstrated)
@@ -219,6 +223,15 @@ object SparkEntry {
     // max must equal the single-pass whole-table sketch exactly
     "sketch_hll_merge" -> ((s, d) =>
       ext.Sketches.hllMerged(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    // sketch algebra: |A ∩ B| by inclusion-exclusion over two HLL states
+    // (union = lossless register-wise max); exact count graded beside it.
+    // Date slices with partial overlap (keys shipped in the shared year)
+    // so the three sketches genuinely differ
+    "sketch_hll_intersect" -> ((s, d) =>
+      ext.Sketches.hllIntersect(Tables.lineitem(s, d), "l_orderkey",
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))),
     // CMS with contract hashes: counter table + top-k probe, graded;
     // the never-undercount guarantee is visible per row (over_count >= 0)
     "sketch_cms" -> ((s, d) => ext.Sketches.cmsTokenCounts(Tables.documents(s, d))),
@@ -870,6 +883,19 @@ object SparkEntry {
         |  n_chars,
         |  n_chars / 4.0 AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form routing truth: %7==3 rows are quarantined with their
+    // exact raw line; everything else parses clean
+    "src_dead_letter" ->
+      """SELECT
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE doc_id END AS doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE coalesce(lang, 'xx') END AS lang,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'quarantined' ELSE 'clean' END AS status,
+        |  CASE WHEN doc_id % 7 = 3
+        |       THEN 'id-' || doc_id || ',' || coalesce(lang, 'xx') || ',' || n_chars
+        |       ELSE doc_id || ',' || coalesce(lang, 'xx') || ',' || n_chars
+        |  END AS raw
+        |FROM documents ORDER BY raw""".stripMargin,
     "src_jsonl" ->
       """SELECT doc_id, text,
         |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
@@ -1972,6 +1998,9 @@ object SparkEntry {
     "sim_random_projection" -> OracleSql.randomProjection(64, 8),
     "sketch_hll" -> OracleSql.hllDistinct("lineitem", "l_returnflag", "l_partkey"),
     "sketch_hll_merge" -> OracleSql.hllMerged("lineitem", "l_returnflag", "l_partkey"),
+    "sketch_hll_intersect" -> OracleSql.hllIntersect("lineitem", "l_orderkey",
+      "l_shipdate < TIMESTAMP '1997-01-01'",
+      "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"),
     "sketch_cms" -> OracleSql.cmsTokenCounts(20),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror

@@ -125,6 +125,50 @@ object Sketches {
         col("est_direct_scaled"), col("n_groups"), col("n_distinct_exact"))
   }
 
+  /** Inclusion–exclusion set-intersection estimate from two HLL
+    * sketches — sketch algebra's answer to "how much do these two
+    * slices overlap" without rescanning either side:
+    * `est∩ = est_A + est_B − est_∪`, where the union sketch is the
+    * LOSSLESS register-wise max of the two states (the same merge
+    * [[hllMerged]] grades). The subtraction compounds both sketches'
+    * errors — small overlaps can even estimate negative — which is why
+    * the exact intersection count rides in the graded row beside it.
+    * One row: the three pow sums, the three estimates, the
+    * inclusion–exclusion intersection estimate, and the exact count. */
+  def hllIntersect(df: DataFrame, keyCol: String,
+                   predA: org.apache.spark.sql.Column,
+                   predB: org.apache.spark.sql.Column): DataFrame = {
+    val hashed = withHash31(df, keyCol)
+    val perSet = hashed.filter(predA).withColumn("__set", lit("a"))
+      .unionByName(hashed.filter(predB).withColumn("__set", lit("b")))
+      .select(col("__set"), (col("__h") % HllM).as("register"),
+        rank25(expr(s"__h div $HllM")).as("rank"))
+      .groupBy(col("__set"), col("register")).agg(max(col("rank")).as("r"))
+      .localCheckpoint(true) // feeds three sketch folds
+    val grid = df.sparkSession.range(HllM).select(col("id").as("register"))
+    def powSum(regs: DataFrame, out: String): DataFrame =
+      grid.join(regs, Seq("register"), "left")
+        .withColumn("r", coalesce(col("r"), lit(0L)))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - r AS INT))")).as(out))
+    val pa = powSum(perSet.filter(col("__set") === "a").select("register", "r"), "pow_sum_a")
+    val pb = powSum(perSet.filter(col("__set") === "b").select("register", "r"), "pow_sum_b")
+    val pu = powSum(perSet.groupBy(col("register")).agg(max(col("r")).as("r")), "pow_sum_u")
+    val exact = df.filter(predA).select(col(keyCol)).distinct()
+      .join(df.filter(predB).select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("n_intersect_exact"))
+    def est(c: org.apache.spark.sql.Column) =
+      round(lit(HllAlpha * HllM * HllM * (1L << 26).toDouble) /
+        c.cast("double") * 100.0).cast("long")
+    pa.crossJoin(pb).crossJoin(pu).crossJoin(broadcast(exact))
+      .select(col("pow_sum_a"), col("pow_sum_b"), col("pow_sum_u"),
+        est(col("pow_sum_a")).as("est_a_scaled"),
+        est(col("pow_sum_b")).as("est_b_scaled"),
+        est(col("pow_sum_u")).as("est_union_scaled"),
+        (est(col("pow_sum_a")) + est(col("pow_sum_b"))
+          - est(col("pow_sum_u"))).as("est_intersect_scaled"),
+        col("n_intersect_exact"))
+  }
+
   // ---------------------------------------------------------------------
   // Count-min sketch with contract hashes
   // ---------------------------------------------------------------------

@@ -93,4 +93,26 @@ class IngestSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("malformed") ||
       Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
+
+  test("dead-letter routing: exact quarantine membership, raw lines replayable") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Ingest.deadLetterIngest(spark, docs, "/root/testdata/sf0.001")
+      .as[(Option[Long], Option[String], Option[Long], String, String)]
+      .collect().toSeq
+    assert(out.size == docs.count())
+    val (bad, good) = out.partition(_._4 == "quarantined")
+    // membership: exactly the planted %7==3 corruption
+    val expectBad = docs.select("doc_id").as[Long].collect().filter(_ % 7 == 3).toSet
+    assert(bad.map(_._5.stripPrefix("id-").takeWhile(_.isDigit).toLong).toSet == expectBad)
+    // corrupt rows leak no parsed values; clean rows carry all of them
+    assert(bad.forall(r => r._1.isEmpty && r._2.isEmpty && r._3.isEmpty))
+    assert(good.forall(r => r._1.isDefined && r._2.isDefined && r._3.isDefined))
+    // the quarantined raw line is replayable: strip the corruption and it
+    // parses back to the original record
+    bad.foreach { r =>
+      val fixed = r._5.stripPrefix("id-").split(",", 3)
+      assert(fixed.length == 3 && fixed(0).forall(_.isDigit))
+    }
+  }
 }

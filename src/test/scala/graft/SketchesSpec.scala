@@ -41,6 +41,31 @@ class SketchesSpec extends SparkSpec {
     assert(partA.zip(partB).map { case (a, b) => math.max(a, b) }.toSeq == whole.toSeq)
   }
 
+  test("HLL intersection: inclusion-exclusion identity, subset/disjoint limits") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+    val r = graft.ext.Sketches.hllIntersect(li, "l_orderkey",
+        col("l_shipdate") < org.apache.spark.sql.functions.lit("1997-01-01").cast("timestamp"),
+        col("l_shipdate") >= org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (pa, pb, pu, ea, eb, eu, ei, exact) = r
+    assert(ei == ea + eb - eu, "the estimate must BE the inclusion-exclusion identity")
+    // register-wise max can only raise ranks -> union pow sum never exceeds either side
+    assert(pu <= math.min(pa, pb))
+    assert(exact > 0, "slices must genuinely overlap in the fixture")
+    // A ∩ A == A exactly: identical predicates give identical sketches
+    val self = graft.ext.Sketches.hllIntersect(li, "l_orderkey",
+        col("l_returnflag") === "R", col("l_returnflag") === "R")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(self._7 == self._4 && self._3 == self._1)
+    // disjoint slices (key parity): union strictly coarser than either side
+    val disj = graft.ext.Sketches.hllIntersect(li, "l_orderkey",
+        col("l_orderkey") % 2 === 0, col("l_orderkey") % 2 === 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(disj._8 == 0, "parity-disjoint keys cannot intersect")
+    assert(disj._3 < math.min(disj._1, disj._2))
+  }
+
   test("CMS never undercounts — for EVERY word, not just the graded heavy hitters") {
     val docs = Tables.documents(spark, sf)
     val nWords = graft.text.Tokenize.tokenize(docs, "text", "doc_id")
