@@ -108,6 +108,36 @@ object OracleSql {
        |WHERE d.doc_id % $mod <> 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Eval-side contamination (mirror of
+    * TrainingPipeline.evalContamination): per benchmark item, distinct
+    * n-gram total, hit count against train, distinct compromising train
+    * docs, and the hit ratio. */
+  def evalContamination(n: Int, mod: Int): String =
+    s"""WITH $toksCte,
+       |${ngramsCte(n)},
+       |eg AS (SELECT DISTINCT doc_id AS eval_id, g FROM grams
+       |       WHERE doc_id % $mod = 0),
+       |tg AS (SELECT DISTINCT doc_id AS train_id, g FROM grams
+       |       WHERE doc_id % $mod <> 0),
+       |hits AS (
+       |  SELECT eg.eval_id, count(DISTINCT eg.g) AS n_grams_hit,
+       |    count(DISTINCT tg.train_id) AS n_train_docs
+       |  FROM eg JOIN tg USING (g) GROUP BY 1),
+       |totals AS (
+       |  SELECT eval_id, count(*)::BIGINT AS n_grams_total FROM eg GROUP BY 1)
+       |SELECT d.doc_id AS eval_id,
+       |  coalesce(t.n_grams_total, 0)::BIGINT AS n_grams_total,
+       |  coalesce(h.n_grams_hit, 0)::BIGINT AS n_grams_hit,
+       |  coalesce(h.n_train_docs, 0)::BIGINT AS n_train_docs,
+       |  CASE WHEN coalesce(t.n_grams_total, 0) = 0 THEN 0.0::DOUBLE
+       |       ELSE coalesce(h.n_grams_hit, 0)::DOUBLE / t.n_grams_total::DOUBLE
+       |  END AS hit_ratio
+       |FROM documents d
+       |LEFT JOIN totals t ON t.eval_id = d.doc_id
+       |LEFT JOIN hits h ON h.eval_id = d.doc_id
+       |WHERE d.doc_id % $mod = 0
+       |ORDER BY eval_id""".stripMargin
+
   /** Per-document repetition signals (mirror of text_repetition). The
     * engine computes top-gram multiplicity with a per-row fold; SQL gets
     * the same numbers with plain grouped aggregation. */

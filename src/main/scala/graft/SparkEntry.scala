@@ -389,6 +389,13 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(19)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(19)) === 0), n = 4)
     }),
+    // the flip side: per BENCHMARK item, how compromised the eval is
+    "pipeline_eval_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ext.TrainingPipeline.evalContamination(
+        docs.filter(pmod(col("doc_id"), lit(19)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(19)) === 0), n = 4)
+    }),
     "pipeline_mixture" -> ((s, d) =>
       ext.TrainingPipeline.mixtureSample(Tables.documents(s, d), Seq("en" -> 75, "zh" -> 40), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -577,6 +584,8 @@ object SparkEntry {
     // real WAV (RIFF) audio decode over real encoded fixtures — the audio
     // face of the multimodal codec (chunk walk, PCM s16le sample decode)
     "mm_audio" -> ((s, d) => Multimodal.audioQuery(s, Tables.documents(s, d))),
+    // RIFF LIST/INFO metadata round trip — the audio sibling of mm_png_text
+    "mm_wav_info" -> ((s, d) => Multimodal.wavInfoQuery(s, Tables.documents(s, d))),
     // real PNG decode over real encoded fixtures: CRC-verified chunk walk,
     // zlib inflate (Inflater), full scanline unfilter across all 5 filter
     // types, per-channel means for gray/RGB/RGBA
@@ -1327,6 +1336,7 @@ object SparkEntry {
     "pipeline_split_safe" -> OracleSql.assignSplitsByCluster(98, 1, 0.3),
     "pipeline_split_safe_emb" -> OracleSql.assignSplitsByEmbeddingCluster(98, 1, 500, 0.4),
     "pipeline_decontaminate" -> OracleSql.decontaminate(4, 19),
+    "pipeline_eval_contamination" -> OracleSql.evalContamination(4, 19),
     "text_repetition" -> OracleSql.repetition,
     "pipeline_stratified" -> OracleSql.stratifiedSample("lang", 20),
     "pipeline_mixture" -> OracleSql.mixtureSample(Seq("en" -> 75, "zh" -> 40), 20),
@@ -1832,6 +1842,17 @@ object SparkEntry {
         |  CASE WHEN m = 0 THEN s0 // (w*h) ELSE s2 // (w*h) END AS mean_b,
         |  CASE WHEN m = 2 THEN s3 // (w*h) ELSE CAST(-1 AS BIGINT) END AS mean_a
         |FROM s ORDER BY media_id""".stripMargin,
+    // closed-form ground truth of the planted INFO sub-chunks; the engine
+    // must recover exactly these through the real RIFF byte round trip
+    "mm_wav_info" ->
+      """SELECT media_id, ikey, ivalue FROM (
+        |  SELECT doc_id AS media_id, 'IART' AS ikey, 'graft engine' AS ivalue
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'INAM',
+        |    'clip-' || doc_id || '-' || (8000 + (doc_id % 3) * 4000) || 'hz'
+        |  FROM documents)
+        |ORDER BY media_id, ikey""".stripMargin,
     // closed-form ground truth of the planted tEXt chunks; the engine
     // side must recover exactly these through the real byte round trip
     "mm_png_text" ->

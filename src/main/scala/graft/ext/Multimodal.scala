@@ -391,6 +391,107 @@ object Multimodal {
   def syntheticWav(id: Long): Array[Byte] =
     encodeWav(fxSampleRate(id), fxChannels(id), fxFrames(id), fxAmplitude(id))
 
+  /** [[encodeWav]] plus a REAL RIFF LIST/INFO metadata chunk — fourcc
+    * sub-chunks with NUL-terminated Latin-1 text, even-padded, between
+    * fmt and data — the way audio tools actually tag WAVs (the plain
+    * fixture's LIST chunk is opaque filler; this one carries parseable
+    * sub-structure). */
+  def encodeWavWithInfo(sampleRate: Int, channels: Int, frames: Int, amplitude: Int,
+                        info: Seq[(String, String)]): Array[Byte] = {
+    def u16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+    }
+    def u32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+      o.write((v >>> 16) & 0xFF); o.write((v >>> 24) & 0xFF)
+    }
+    def ascii(o: java.io.ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes("US-ASCII"))
+    val infoBody = new java.io.ByteArrayOutputStream()
+    ascii(infoBody, "INFO")
+    info.foreach { case (cc, v) =>
+      require(cc.length == 4, s"RIFF fourcc must be 4 chars, got '$cc'")
+      val vb = v.getBytes("ISO-8859-1")
+      ascii(infoBody, cc)
+      u32(infoBody, vb.length + 1) // value + NUL terminator
+      infoBody.write(vb, 0, vb.length)
+      infoBody.write(0)
+      if ((vb.length + 1) % 2 == 1) infoBody.write(0) // even padding
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    ascii(body, "WAVE")
+    ascii(body, "fmt "); u32(body, 16); u16(body, 1); u16(body, channels)
+    u32(body, sampleRate); u32(body, sampleRate * channels * 2)
+    u16(body, channels * 2); u16(body, 16)
+    ascii(body, "LIST"); u32(body, infoBody.size); body.write(infoBody.toByteArray)
+    if (infoBody.size % 2 == 1) body.write(0)
+    val dataBytes = frames * channels * 2
+    ascii(body, "data"); u32(body, dataBytes)
+    var n = 0
+    while (n < frames * channels) { u16(body, amplitude & 0xFFFF); n += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    ascii(out, "RIFF"); u32(out, body.size); out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  /** The info-tagged audio fixture: closed-form INAM/IART values. */
+  def syntheticWavWithInfo(id: Long): Array[Byte] =
+    encodeWavWithInfo(fxSampleRate(id), fxChannels(id), fxFrames(id), fxAmplitude(id),
+      Seq(("INAM", s"clip-$id-${fxSampleRate(id)}hz"), ("IART", "graft engine")))
+
+  /** LIST/INFO metadata extraction through the RIFF chunk walk:
+    * (fourcc, text) per INFO sub-chunk, text cut at the first NUL,
+    * Latin-1. Malformed bytes → None — a corrupt payload becomes a
+    * graded absence, never an exception. */
+  def wavInfoChunks(p: Array[Byte]): Option[Seq[(String, String)]] = {
+    try {
+      if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+          p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+      def u32(o: Int): Long =
+        (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+          ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+      val out = Seq.newBuilder[(String, String)]
+      var i = 12
+      while (i + 8 <= p.length) {
+        val cid = new String(p, i, 4, "US-ASCII")
+        val len = u32(i + 4)
+        val body = i + 8
+        if (body + len > p.length) return None
+        if (cid == "LIST" && len >= 4 &&
+            new String(p, body, 4, "US-ASCII") == "INFO") {
+          var j = body + 4
+          val end = body + len.toInt
+          while (j + 8 <= end) {
+            val cc = new String(p, j, 4, "US-ASCII")
+            val slen = u32(j + 4).toInt
+            if (j + 8 + slen > end) return None
+            var z = j + 8
+            val sEnd = j + 8 + slen
+            while (z < sEnd && p(z) != 0) z += 1
+            out += ((cc, new String(p, j + 8, z - (j + 8), "ISO-8859-1")))
+            j += 8 + slen + (slen & 1)
+          }
+        }
+        i = body + len.toInt + (len.toInt & 1)
+      }
+      Some(out.result())
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** End-to-end INFO metadata query: plant closed-form sub-chunks,
+    * extract them back through the RIFF walk — the audio sibling of the
+    * PNG tEXt round trip. */
+  def wavInfoQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        wavInfoChunks(syntheticWavWithInfo(id)).getOrElse(Nil)
+          .map { case (k, v) => (id, k, v) }
+      })
+      .toDF("media_id", "ikey", "ivalue")
+      .orderBy("media_id", "ikey")
+  }
+
   /** Media table of real WAV payloads, one per document id. */
   def syntheticAudioTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

@@ -480,6 +480,40 @@ object TrainingPipeline {
       .orderBy(idCol)
   }
 
+  /** EVAL-side contamination report — [[contaminationReport]] flipped:
+    * for each BENCHMARK item, how compromised it is. Per eval document:
+    * its distinct n-gram count, how many of those n-grams appear
+    * anywhere in train, how many distinct train documents share at
+    * least one, and the hit ratio. The report a benchmark owner reads
+    * to decide whether an eval number still means anything — the
+    * train-side report says what to DROP; this one says what the eval
+    * was already worth before the drop.
+    *
+    * Scale shape: the benchmark side is small by nature and broadcasts;
+    * the n-gram join's fan-out is bounded per gram by (train docs
+    * carrying it) × (eval items carrying it — tiny); the two distinct
+    * counts ride one grouped aggregation per eval item. */
+  def evalContamination(train: DataFrame, benchmark: DataFrame, n: Int = 4,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = benchmark.select(col(idCol).as("eval_id"),
+      explode(array_distinct(graft.functions.token_ngrams(col(textCol), n))).as("ngram"))
+    val trainGrams = train.select(col(idCol).as("train_id"),
+      explode(array_distinct(graft.functions.token_ngrams(col(textCol), n))).as("ngram"))
+    val hits = broadcast(evalGrams).join(trainGrams, "ngram")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("ngram")).as("n_grams_hit"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    val totals = benchmark.select(col(idCol).as("eval_id"),
+      size(array_distinct(graft.functions.token_ngrams(col(textCol), n)))
+        .cast("long").as("n_grams_total"))
+    totals.join(hits, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_grams_hit", "n_train_docs"))
+      .withColumn("hit_ratio",
+        when(col("n_grams_total") === 0L, lit(0.0d))
+          .otherwise(col("n_grams_hit").cast("double") / col("n_grams_total").cast("double")))
+      .orderBy("eval_id")
+  }
+
   /** The decontaminated corpus: training documents sharing NO word
     * `n`-gram with the benchmark set (anti-join on the contamination
     * hits — the keep path of [[contaminationReport]]). */

@@ -272,6 +272,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngTextChunks(nulless).isDefined) // sanity: encoder output parses
   }
 
+  test("WAV INFO chunks: round trip, decode invariance, malformed rejection") {
+    val tagged = Multimodal.syntheticWavWithInfo(7L)
+    assert(Multimodal.wavInfoChunks(tagged).contains(Seq(
+      "INAM" -> s"clip-7-${Multimodal.fxSampleRate(7L)}hz",
+      "IART" -> "graft engine")))
+    // the PCM decoder must read IDENTICAL audio features through the
+    // metadata (LIST/INFO is a skippable chunk, padding included)
+    val plain = Multimodal.decodeWav(graft.ext.MediaRecord(7L, "audio",
+      Multimodal.syntheticWav(7L), "s"))
+    val texty = Multimodal.decodeWav(graft.ext.MediaRecord(7L, "audio", tagged, "s"))
+    assert(texty.copy(n_bytes = plain.n_bytes) == plain)
+    // the untagged fixture's LIST filler is NOT a parseable INFO block
+    assert(Multimodal.wavInfoChunks(Multimodal.syntheticWav(7L)).contains(Nil) ||
+      Multimodal.wavInfoChunks(Multimodal.syntheticWav(7L)).exists(_.isEmpty))
+    // truncation and non-RIFF bytes reject
+    assert(Multimodal.wavInfoChunks(tagged.take(tagged.length - 3)).isEmpty)
+    assert(Multimodal.wavInfoChunks("nope".getBytes).isEmpty)
+  }
+
   test("universal decode dispatch sniffs PNG magic and maps to image features") {
     val f = Multimodal.decode(rec(Multimodal.syntheticPng(4L)))
     assert(f.format == "png" && f.width == Multimodal.fxPngW(4L) && f.height == Multimodal.fxPngH(4L))
