@@ -2444,6 +2444,32 @@ object OracleSql {
        |  rank <= $selectN AS selected
        |FROM ranked ORDER BY doc_id""".stripMargin
 
+  /** Per-dimension drift between the even/odd id halves (mirror of
+    * Similarity.dimDrift): the dimStats integer recipe per side, joined
+    * on the dimension. */
+  val dimDrift: String =
+    """WITH x AS (
+      |  SELECT vec_id % 2 = 0 AS a, i - 1 AS dim,
+      |    CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+      |g AS (
+      |  SELECT a, dim, count(*) AS n, sum(s)::BIGINT AS sum_scaled,
+      |    sum(s*s)::DOUBLE AS sq
+      |  FROM x GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a, dim, n, sum_scaled,
+      |    sum_scaled::DOUBLE / (n::DOUBLE * 1000000.0) AS mean,
+      |    sqrt((n::DOUBLE * sq - sum_scaled::DOUBLE * sum_scaled::DOUBLE)
+      |         / (n::DOUBLE * (n::DOUBLE - 1.0))) / 1000000.0 AS std
+      |  FROM g)
+      |SELECT ma.dim, ma.n AS n_a, ma.sum_scaled AS sum_a_scaled,
+      |  ma.mean AS mean_a, ma.std AS std_a,
+      |  mb.n AS n_b, mb.sum_scaled AS sum_b_scaled,
+      |  mb.mean AS mean_b, mb.std AS std_b,
+      |  mb.mean - ma.mean AS mean_shift
+      |FROM m ma JOIN m mb ON ma.dim = mb.dim AND ma.a AND NOT mb.a
+      |ORDER BY ma.dim""".stripMargin
+
   val dimStats: String =
     """WITH x AS (
       |  SELECT i - 1 AS dim, CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS s

@@ -566,6 +566,8 @@ object SparkEntry {
     "pipeline_curriculum" -> ((s, d) =>
       ext.TrainingPipeline.curriculumPhasesLm(Tables.documents(s, d), 4)),
     "sim_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
+    // per-dimension distribution shift between two snapshot halves
+    "sim_dim_drift" -> ((s, d) => Similarity.dimDrift(Tables.embeddings(s, d))),
     "q_mode" -> ((s, d) => Relational.modeQuantity(Tables.lineitem(s, d))),
     "q_regex_extract" -> ((s, d) => Relational.partNameWords(Tables.part(s, d), 25)),
     "q_approx_quantile" -> ((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
@@ -1320,6 +1322,7 @@ object SparkEntry {
          |WHERE c.score - w.score > 0
          |ORDER BY g.source, g.lang""".stripMargin,
     "sim_dim_stats" -> OracleSql.dimStats,
+    "sim_dim_drift" -> OracleSql.dimDrift,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
     "dedup_minhash" -> OracleSql.minhashFlat(8),

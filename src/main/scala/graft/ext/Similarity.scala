@@ -806,6 +806,43 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Per-dimension embedding DRIFT between two snapshots (here the
+    * even/odd id halves; in production yesterday's batch vs today's):
+    * exact integer-scaled sums and counts per side, each side's
+    * mean/std, and the mean shift — the distribution-shift report an
+    * embedding pipeline reads before trusting a refreshed encoder or a
+    * new crawl slice (a drifted dimension breaks every downstream
+    * quantizer/index calibrated on the old range). Same integer-domain
+    * recipe as [[dimStats]], so every double is a function of exact
+    * BIGINT inputs and the row hash-matches across engines.
+    *
+    * Scale shape: one posexplode → (side, dim)-keyed aggregate (rows =
+    * 2 × vector width — tiny at any corpus size), then a dim-keyed
+    * self-join of the two tiny sides. */
+  def dimDrift(embeddings: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val nD: Column => Column = _.cast("double")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sides = embeddings
+      .select((col(idCol) % 2 === 0).as("__a"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("__a"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__s"))
+      .groupBy("__a", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("sum_scaled"),
+        sum((col("__s") * col("__s")).cast(dec38)).as("__sq"))
+      .withColumn("mean", nD(col("sum_scaled")) / (nD(col("n")) * 1e6))
+      .withColumn("std", sqrt(
+        (nD(col("n")) * nD(col("__sq")) - nD(col("sum_scaled")) * nD(col("sum_scaled")))
+          / (nD(col("n")) * (nD(col("n")) - 1.0))) / 1e6)
+    def side(flag: Boolean, suffix: String) =
+      sides.filter(col("__a") === flag).select(col("dim"),
+        col("n").as(s"n_$suffix"), col("sum_scaled").as(s"sum_${suffix}_scaled"),
+        col("mean").as(s"mean_$suffix"), col("std").as(s"std_$suffix"))
+    side(true, "a").join(side(false, "b"), "dim")
+      .withColumn("mean_shift", col("mean_b") - col("mean_a"))
+      .orderBy("dim")
+  }
+
   /** Symmetric per-dimension int8 scalar quantization — the standard
     * embedding-storage compression (4× over float32; PQ's cheaper
     * sibling): each dimension scales by its corpus max-|value| into

@@ -504,6 +504,29 @@ class SimilaritySpec extends SparkSpec {
     assert(again == mrl.collect().map(_.toString).toSeq)
   }
 
+  test("dim drift: sides partition the corpus; planted shift is recovered exactly") {
+    import spark.implicits._
+    // 4 vectors, dim 2: even side values {1.0, 3.0}, odd side shifted +10
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f)), (2L, Array(3.0f, 3.0f)),
+      (1L, Array(11.0f, 11.0f)), (3L, Array(13.0f, 13.0f))
+    ).toDF("vec_id", "embedding")
+    val d = Similarity.dimDrift(emb)
+      .select("dim", "n_a", "n_b", "mean_a", "mean_b", "mean_shift")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(d.map(_._1) == Seq(0L, 1L))
+    d.foreach { r =>
+      assert(r._2 == 2L && r._3 == 2L)
+      assert(r._4 == 2.0 && r._5 == 12.0 && r._6 == 10.0)
+    }
+    // real fixture: every dimension reports both sides, counts partition
+    val emb2 = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = Similarity.dimDrift(emb2)
+      .select("n_a", "n_b").as[(Long, Long)].collect()
+    val n = emb2.count()
+    assert(full.forall(r => r._1 + r._2 == n))
+  }
+
   test("hard negatives: never a cluster-mate; degenerate to brute force when nothing clusters") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").filter(col("vec_id") < 300)
