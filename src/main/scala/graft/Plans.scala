@@ -68,6 +68,13 @@ object Plans {
     "text_kn_score" -> "three bounded statistic tables (bigram, context, continuation) equi-join the occurrence stream; DECIMAL(38,0) products; no window anywhere",
     "pipeline_clean_audit" -> "the clean run's gate+cluster subplans reused; exact split is ONE sha256 hash agg (text never crosses that shuffle); report stitched by per-row equi-joins",
     "graph_labelprop" -> "per-round shape: labels ⋈ checkpointed symmetric edges on src + groupBy(dst) min — node-keyed exchanges only, supernode fan-in combined map-side",
+    "sim_hamming" -> "coarse pass scans only the 16-byte signature column (broadcast query signatures; XOR+popcount codegen'd); full vectors touched only for the candidates' id-keyed joins; both top-k stages bounded partial aggs",
+    "sim_hard_negatives" -> "broadcast queries × one corpus scan; cluster-label exclusion is an id-keyed equi-join; top-k is a bounded TopKAggregator partial agg — no window over the corpus",
+    "dedup_golden" -> "survivorship = per-(cluster,name) count agg + min-struct argmax per cluster, both map-side combinable; linkage/components are the graded paths upstream",
+    "pipeline_group_sample" -> "per-group top-k is a bounded TopKAggregator partial agg (k-row state) — NOT a per-group row_number window funneling a corpus-sized stratum through one task",
+    "sketch_hll_intersect" -> "three 64-register sketch folds (bounded state, map-side combined) + one-row broadcast exact count; slices scanned once each",
+    "q3_shipping_priority" -> "segment filter prunes customer BEFORE the joins; filtered dims broadcast; cents-exact agg; top-10 is TakeOrderedAndProject",
+    "q18_large_orders" -> "quantity agg over the FACT table alone (partial combine), HAVING filters before anything joins; only surviving keys meet orders/customer",
   )
 
   def main(args: Array[String]): Unit = {
