@@ -2314,6 +2314,51 @@ object OracleSql {
       |  FROM sm, unnest(range(1, len(ss) + 1)) AS r(i)
       |  WHERE ss[i] <> '')""".stripMargin
 
+  /** Per-document language-mixing profile (mirror of
+    * TextStats.languageMix over the planted-boundary corpus): marker
+    * argmax per sentence, modal language per document with
+    * (count desc, lang asc) ties. */
+  def langMix: String = {
+    val scoreCols = TextStats.LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(stoks, t -> t IN ($list))) AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = TextStats.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val pred = langs.reverse.foldLeft("'und'") { (els, lang) =>
+      s"CASE WHEN score_$lang = best AND best > 0 THEN '$lang' ELSE $els END"
+    }
+    s"""WITH $sentenceCte,
+       |st AS (
+       |  SELECT doc_id, list_transform(
+       |      list_filter(regexp_split_to_array(sentence, '[ \\t\\n\\x0B\\f\\r]+'),
+       |        t -> t <> ''),
+       |      $normTok) AS stoks
+       |  FROM s),
+       |scored AS (SELECT doc_id,
+       |    $scoreCols
+       |  FROM st),
+       |wb AS (SELECT *, $best AS best FROM scored),
+       |pl AS (
+       |  SELECT doc_id, $pred AS sent_lang, count(*)::BIGINT AS cnt
+       |  FROM wb GROUP BY 1, 2),
+       |modal AS (
+       |  SELECT doc_id, sent_lang,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY cnt DESC, sent_lang) AS rn,
+       |    cnt
+       |  FROM pl),
+       |agg AS (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_sentences,
+       |    count(*)::BIGINT AS n_langs
+       |  FROM pl GROUP BY 1)
+       |SELECT a.doc_id, a.n_sentences, a.n_langs,
+       |  m.sent_lang AS dominant_lang, m.cnt AS n_dominant,
+       |  (a.n_sentences - m.cnt)::DOUBLE / a.n_sentences::DOUBLE AS mix_ratio
+       |FROM agg a JOIN modal m ON m.doc_id = a.doc_id AND m.rn = 1
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   /** Cross-document boilerplate sentences (mirror of
     * TextStats.boilerplateSentences over the planted corpus). */
   def boilerplate(minDocs: Long, topK: Int): String =

@@ -798,6 +798,10 @@ object SparkEntry {
     // otherwise every document would be one sentence and the grade moot
     "text_sentences" -> ((s, d) =>
       TextStats.sentences(plantedSentenceDocs(Tables.documents(s, d)))),
+    // per-sentence langid folded to a doc-level mixing profile
+    // (code-switching detection; same planted boundaries as sentences)
+    "text_lang_mix" -> ((s, d) =>
+      TextStats.languageMix(plantedSentenceDocs(Tables.documents(s, d)))),
     // fuzzy entity resolution: content-derived blocking + levenshtein
     // verify (threshold boundary exercised both directions per block)
     "dedup_fuzzy" -> ((s, d) => ext.Entity.fuzzyPairs(Tables.documents(s, d))),
@@ -1656,6 +1660,7 @@ object SparkEntry {
          |  (n_tokens >= 10 AND stopword_ratio >= 0.01 AND digit_ratio <= 0.5) AS quality_ok
          |FROM r2 ORDER BY doc_id""".stripMargin,
     "text_langid" -> OracleSql.langId,
+    "text_lang_mix" -> OracleSql.langMix,
     "text_fingerprint" ->
       s"""SELECT doc_id, ${OracleSql.poly("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -867,6 +867,47 @@ object TextStats {
       .orderBy(idCol, "sent_idx")
   }
 
+  /** Per-document language-mixing profile — code-switching detection:
+    * classify each SENTENCE with the marker-lexicon scorer
+    * ([[languageId]]'s argmax, alphabetical ties) and fold per document:
+    * sentence count, distinct predicted languages, the modal dominant
+    * language (ties: count desc → lang asc, deterministic), its count,
+    * and the mixing ratio (share of sentences disagreeing with the
+    * dominant). A multilingual pipeline routes by DOMINANT language but
+    * weighs mixed documents differently — translation pairs, spam, and
+    * wrongly-glued crawl segments all surface as high mix. 'und' (no
+    * marker hit) is a real bucket, not noise. Documents with zero
+    * sentences (empty text) are absent, like [[sentences]].
+    *
+    * Scale shape: sentence explode + per-sentence projection scoring
+    * (no shuffle), then a (doc, lang)-keyed count and a doc-keyed
+    * min-struct argmax — the survivorship shape, map-side combinable. */
+  def languageMix(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val sents = sentences(docs, idCol, textCol).select(col(idCol), col("sentence"))
+    val toks = Tokenize.tokensArray(col("sentence"))
+    val scored = sents.select(
+      (col(idCol) +: LangMarkers.map { case (lang, words) =>
+        size(filter(toks, t => t.isin(words: _*))).cast("long").as(s"score_$lang")
+      }): _*)
+    val best = greatest(LangMarkers.map(m => col(s"score_${m._1}")): _*)
+    val pred = LangMarkers.map(_._1).reverse.foldLeft(lit("und")) { (els, lang) =>
+      when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(els)
+    }
+    scored.select(col(idCol), pred.as("sent_lang"))
+      .groupBy(col(idCol), col("sent_lang")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_sentences"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("cnt")).as("neg"), col("sent_lang").as("lang"))).as("__w"))
+      .select(col(idCol), col("n_sentences"), col("n_langs"),
+        col("__w.lang").as("dominant_lang"), (-col("__w.neg")).as("n_dominant"))
+      .withColumn("mix_ratio",
+        (col("n_sentences") - col("n_dominant")).cast("double")
+          / col("n_sentences").cast("double"))
+      .orderBy(idCol)
+  }
+
   /** Token-frequency drift between two corpus snapshots: the top-k
     * words by absolute change in relative frequency (parts-per-million)
     * — the ingest-cycle monitoring report that catches a source

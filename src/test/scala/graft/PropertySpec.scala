@@ -196,6 +196,30 @@ class PropertySpec extends SparkSpec {
     rep.foreach { case (id, _, oov, _) => assert(wider(id) <= oov) }
   }
 
+  test("language mix: code-switched doc profiled sentence by sentence") {
+    val docs = Seq(
+      // 3 sentences: en, en, fr -> dominant en (2/3), mix 1/3
+      (0L, "the cat is of to and. the dog is of. le chat et le chien est!"),
+      // pure en, one sentence
+      (1L, "the house of the king is to and."),
+      // marker-free noise -> 'und' bucket
+      (2L, "zzz qqq rrr."),
+      (3L, "") // empty: absent from the report
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextStats.languageMix(docs)
+      .as[(Long, Long, Long, String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 3L, 2L, "en", 2L, 1.0 / 3.0)))
+    assert(got(1L) == ((1L, 1L, 1L, "en", 1L, 0.0)))
+    assert(got(2L) == ((2L, 1L, 1L, "und", 1L, 0.0)))
+    assert(!got.contains(3L))
+    // modal tie (1 en + 1 fr sentence) breaks to the alphabetical lang
+    val tied = Seq((9L, "the cat is of to and. le chat et le chien est la!"))
+      .toDF("doc_id", "text")
+    val t = graft.ext.TextStats.languageMix(tied)
+      .as[(Long, Long, Long, String, Long, Double)].head()
+    assert(t._4 == "en" && t._5 == 1L && t._6 == 0.5)
+  }
+
   test("readability: hand-computed Flesch on planted text; zero-word docs score NULL") {
     val docs = Seq(
       // "the cat sat. it ran!" -> tokens: the,cat,sat,it,ran (5 words);
