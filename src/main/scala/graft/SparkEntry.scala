@@ -239,6 +239,18 @@ object SparkEntry {
       Relational.userActivityFullOuter(Tables.orders(s, d), Tables.events(s, d))),
     "q_sql_correlated" -> ((s, d) =>
       Relational.ordersAboveCustomerAvg(Tables.orders(s, d))),
+    // the SQL entry point WITH the injected custom Catalyst expressions:
+    // the exact surface a spark.sql.extensions deployment exposes
+    // (registerSql stays in sync with GraftExtensions' injections)
+    "q_sql_custom_fns" -> ((s, d) => {
+      graft.functions.registerSql(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_sqlv")
+      s.sql("""SELECT doc_id, poly_hash(text) AS h,
+              |  CAST(size(tokenize_text(text)) AS BIGINT) AS n_tokens,
+              |  CAST(size(token_ngrams(text, 2)) AS BIGINT) AS n_bigrams,
+              |  nfc_normalize(text) = text AS is_nfc
+              |FROM documents_sqlv ORDER BY doc_id""".stripMargin)
+    }),
     "q_window_range" -> ((s, d) =>
       Relational.trailingEventWindow(Tables.events(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventTypePivot(Tables.events(s, d))),
@@ -1224,6 +1236,15 @@ object SparkEntry {
         |FROM orders GROUP BY 1, 2 ORDER BY q, dom""".stripMargin,
     // engine-vs-engine on the IDENTICAL SQL string (spark.sql surface)
     "q_sql_correlated" -> Relational.CorrelatedSql,
+    "q_sql_custom_fns" ->
+      s"""WITH ${OracleSql.toksCte}
+         |SELECT d.doc_id, ${OracleSql.poly("d.text")} AS h,
+         |  len(t.toks)::BIGINT AS n_tokens,
+         |  CASE WHEN len(t.toks) >= 2 THEN len(t.toks) - 1 ELSE 0 END::BIGINT
+         |    AS n_bigrams,
+         |  nfc_normalize(d.text) = d.text AS is_nfc
+         |FROM documents d JOIN toks t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_window_range" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_trailing,
