@@ -563,6 +563,8 @@ object SparkEntry {
     "text_oov" -> ((s, d) => TextStats.oovReport(Tables.documents(s, d), 24)),
     // Flesch reading ease (vowel-group syllables, terminator-run sentences)
     "text_readability" -> ((s, d) => TextStats.readability(Tables.documents(s, d))),
+    // originality: share of a doc's distinct bigrams unique to it
+    "text_novelty" -> ((s, d) => TextStats.ngramNovelty(Tables.documents(s, d))),
     "text_encode" -> ((s, d) => TextStats.encodeDocumentsFlat(Tables.documents(s, d))),
     // span-level exact dedup: sub-document granularity (repeated 3-token
     // spans collapse to their first corpus occurrence)
@@ -1682,6 +1684,17 @@ object SparkEntry {
          |FROM r2 ORDER BY doc_id""".stripMargin,
     "text_langid" -> OracleSql.langId,
     "text_lang_mix" -> OracleSql.langMix,
+    "text_novelty" ->
+      s"""WITH ${OracleSql.toksCte},
+         |${OracleSql.ngramsCte(2)},
+         |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+         |df AS (SELECT g, count(*) AS df FROM dg GROUP BY g)
+         |SELECT dg.doc_id, count(*)::BIGINT AS n_grams,
+         |  sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+         |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM dg JOIN df USING (g)
+         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, ${OracleSql.poly("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,

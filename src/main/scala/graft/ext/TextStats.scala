@@ -867,6 +867,31 @@ object TextStats {
       .orderBy(idCol, "sent_idx")
   }
 
+  /** Per-document n-gram novelty: the share of a document's DISTINCT
+    * bigrams that appear in no other document — the cheap originality
+    * signal dual to the containment/dedup family (low novelty = mostly
+    * assembled from corpus-common phrasing; 1.0 = fully original
+    * phrasing). Zero-bigram documents are absent, like every bigram op.
+    *
+    * Scale shape: one distinct-(doc, gram) projection feeds both the
+    * gram-keyed document-frequency aggregate and the doc-keyed fold;
+    * the df attach is a gram-keyed equi-join — word-count economics
+    * throughout. */
+  def ngramNovelty(docs: DataFrame, n: Int = 2, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(array_distinct(graft.functions.token_ngrams(col(textCol), n))).as("g"))
+      .localCheckpoint(true) // feeds the df aggregate AND the per-doc fold
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_grams").cast("double"))
+      .orderBy(idCol)
+  }
+
   /** Per-document language-mixing profile — code-switching detection:
     * classify each SENTENCE with the marker-lexicon scorer
     * ([[languageId]]'s argmax, alphabetical ties) and fold per document:

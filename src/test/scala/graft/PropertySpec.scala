@@ -196,6 +196,25 @@ class PropertySpec extends SparkSpec {
     rep.foreach { case (id, _, oov, _) => assert(wider(id) <= oov) }
   }
 
+  test("ngram novelty: fully-shared and fully-original docs hit the bounds") {
+    val docs = Seq(
+      (0L, "a b c d"),        // bigrams ab,bc,cd
+      (1L, "a b c d"),        // identical: all shared -> novelty 0 for both
+      (2L, "x y z w")         // untouched by others -> novelty 1
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextStats.ngramNovelty(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 3L, 0L, 0.0)))
+    assert(got(1L) == ((1L, 3L, 0L, 0.0)))
+    assert(got(2L) == ((2L, 3L, 3L, 1.0)))
+    // repeated bigram inside ONE doc is still unique corpus-wide
+    // (novelty is over DISTINCT grams, df over docs)
+    val rep = Seq((5L, "p q p q")).toDF("doc_id", "text") // pq, qp, pq
+    val r = graft.ext.TextStats.ngramNovelty(rep)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((5L, 2L, 2L, 1.0)))
+  }
+
   test("language mix: code-switched doc profiled sentence by sentence") {
     val docs = Seq(
       // 3 sentences: en, en, fr -> dominant en (2/3), mix 1/3
