@@ -80,6 +80,44 @@ object OracleSql {
        |SELECT doc_id, $assemble AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash Hamming pairs (mirror of Dedup.simhashPairs): the same
+    * per-doc fingerprints, then EXACT all-pairs Hamming over distinct
+    * fingerprints (the oracle can afford n²; the engine's pigeonhole
+    * block join must reproduce it exactly — the hash-match IS the
+    * recall-completeness proof), expanded back to doc pairs. */
+  def simhashPairsSql(numBits: Int, maxDist: Int): String = {
+    val bitSums = (0 until numBits)
+      .map(i => s"sum(CASE WHEN (bh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val assemble = (0 until numBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+       |bhh AS (SELECT doc_id, ${poly("word")} AS bh FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM bhh GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $assemble AS simhash FROM bits),
+       |fps AS (SELECT simhash, list_sort(list(doc_id)) AS ids
+       |        FROM fp GROUP BY simhash),
+       |same AS (
+       |  SELECT u1.x AS a, u2.y AS b, 0 AS hamming
+       |  FROM fps, unnest(ids) AS u1(x), unnest(ids) AS u2(y)
+       |  WHERE u1.x < u2.y),
+       |cp AS (
+       |  SELECT x.ids AS ids_a, y.ids AS ids_b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM fps x JOIN fps y ON x.simhash < y.simhash
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxDist),
+       |crossx AS (
+       |  SELECT least(u1.x, u2.y) AS a, greatest(u1.x, u2.y) AS b, cp.hamming
+       |  FROM cp, unnest(ids_a) AS u1(x), unnest(ids_b) AS u2(y))
+       |SELECT a, b, CAST(hamming AS INTEGER) AS hamming FROM (
+       |  SELECT * FROM same UNION ALL SELECT * FROM crossx)
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** (doc_id, g) word n-gram rows, NON-distinct (mirror of
     * graft.functions.token_ngrams: documents shorter than `n` tokens
     * yield no grams). Composes after [[toksCte]] in the same WITH. */

@@ -331,6 +331,10 @@ object SparkEntry {
       Dedup.lshBandStats(Tables.documents(s, d), 3, 8, 4, Dedup.polyHash)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), 30, Dedup.polyHash)),
+    // pigeonhole block join for Hamming <= 3 pairs; the exact all-pairs
+    // oracle makes the hash-match a recall-completeness proof
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), 30, 3, Dedup.polyHash)),
     // maxDf: finite hot-shingle guard (skew + quality at web scale),
     // mirrored exactly by the oracle's df filter
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -1355,6 +1359,7 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.minhashFlat(8),
     "dedup_lsh_bands" -> OracleSql.lshBands(8, 4),
     "dedup_simhash" -> OracleSql.simhash(30),
+    "dedup_simhash_pairs" -> OracleSql.simhashPairsSql(30, 3),
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccardTop(50, maxDf = 1000L),
     "dedup_jaccard_prefix" -> OracleSql.ngramJaccardThreshold(0.8),
     "dedup_minhash_neardups" -> OracleSql.minhashNearDups(0.3),
