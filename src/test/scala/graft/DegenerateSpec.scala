@@ -52,6 +52,48 @@ class DegenerateSpec extends SparkSpec {
     assert(graft.ext.Incremental.extendHistory(emptyHist, emptyChanges, 1L).count() == 0)
   }
 
+  test("empty corpus: round-11 ops degrade sanely") {
+    import org.apache.spark.sql.functions.col
+    // evaluation family on an empty scored frame
+    val emptyScored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("score_scaled", LongType), StructField("is_pos", BooleanType))))
+    assert(graft.ext.Eval.rocTable(emptyScored).count() == 0)
+    val auc = graft.ext.Eval.aucReport(emptyScored)
+      .select("n_pos", "n_neg").as[(Option[Long], Option[Long])].head()
+    assert(auc == ((None, None)), "empty sweep: null counts, never a crash")
+    assert(graft.ext.Eval.liftTable(emptyScored).count() == 0)
+    // text/pipeline additions
+    assert(graft.ext.LmScore.kneserNeyScoreDocuments(empty).count() == 0)
+    assert(TrainingPipeline.cleanCorpusAudit(empty).count() == 0)
+    assert(TrainingPipeline.evalContamination(empty, empty).count() == 0)
+    assert(TrainingPipeline.weightedSamplePerGroup(
+      empty.withColumn("n_chars", org.apache.spark.sql.functions.lit(0L)), 3).count() == 0)
+    assert(TextStats.oovReport(empty).count() == 0)
+    assert(TextStats.readability(empty).count() == 0)
+    assert(TextStats.languageMix(empty).count() == 0)
+    assert(TextStats.ngramNovelty(empty).count() == 0)
+    assert(graft.ext.Entity.goldenRecords(empty).count() == 0)
+    assert(graft.ext.Graph.labelPropagation(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "w"), 3).count() == 0)
+    // LSH quality on an empty corpus: one all-null accounting row
+    // (sum over zero rows is null — the caller sees "nothing graded",
+    // never a fabricated zero), and no exception anywhere in the chain
+    val q = Dedup.lshQualityReport(empty)
+      .select("n_true", "n_cand", "n_hit")
+      .as[(Option[Long], Option[Long], Option[Long])].head()
+    assert(q == ((None, None, None)))
+    // similarity additions on an empty embedding table
+    val emptyEmb: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.hammingTopK(emptyEmb, Seq(0L), 3, 3).count() == 0)
+    assert(Similarity.hardNegatives(emptyEmb, Seq(0L), 3).count() == 0)
+    assert(Similarity.dimDrift(emptyEmb).count() == 0)
+  }
+
   test("null text rows are dropped, not fatal") {
     // tokenization drops the null row; per-doc stats carry null metrics
     assert(WordCount.wordCount(withNull).agg(
