@@ -27,7 +27,14 @@ object Bench {
     // footers and JIT all land here, so the timed passes below measure
     // steady-state per-query cost — the number that scales to a long-lived
     // cluster, not a cold single-shot JVM.
+    // Dev-only subset filter: SPARK_GRAFT_ONLY=q1,q2 runs just those
+    // queries (isolating a drift suspect from suite pressure). A filtered
+    // run writes BENCH_SUBSET.json, never BENCH_FULL.json — a partial
+    // record must not replace the committed full one.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
     }
@@ -155,7 +162,8 @@ object Bench {
       val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_ok":$nOk,"queries":$qs,"ok":$oks,"n_failed":${failed.size},"failed":$failedArr,"regressed":$regressedArr,"sf":"$sfDir"}"""
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // Printed line: fixed header + as many per-query entries as fit in the
