@@ -35,12 +35,37 @@ object Entity {
     * real manifest (constant expected block size). A fixed entity count
     * under 10× the data would grow blocks 10× and pairs 100× — the
     * scaling harness passes a corpus-proportional `entities` for
-    * exactly that reason. */
+    * exactly that reason.
+    *
+    * That discipline is ENFORCED, not just documented: before the
+    * self-join, one distributed count-per-block aggregation (top-5 via
+    * TakeOrdered — driver sees ≤5 rows regardless of block cardinality)
+    * feeds a loud `require`. A degenerate blocking key — one giant
+    * block from a boilerplate name, an empty digit extract, a fixed
+    * `entities` under corpus growth — fails fast naming the offending
+    * blocks and their sizes instead of silently going quadratic at
+    * 100×. `maxBlockSize` caps VERIFY PAIRS per block at
+    * maxBlockSize²/2 (default 10k rows → 50M levenshtein calls per
+    * block, the most one executor core should ever absorb). */
   def fuzzyPairs(docs: DataFrame, maxDist: Int = 2,
-                 idCol: String = "doc_id", entities: Long = 50L): DataFrame = {
+                 idCol: String = "doc_id", entities: Long = 50L,
+                 maxBlockSize: Long = 10000L): DataFrame = {
     val names = docs.select(col(idCol),
         syntheticName(col(idCol), entities).as("name"))
       .withColumn("block", regexp_extract(col("name"), "[0-9]+", 0))
+    val worst = names.groupBy(col("block")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc).limit(5).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1)))
+    worst.headOption.foreach { case (_, maxN) =>
+      require(maxN <= maxBlockSize,
+        s"fuzzyPairs: largest block holds $maxN candidates (> maxBlockSize=" +
+          s"$maxBlockSize) — the per-block verify is quadratic (~${BigInt(maxN) * maxN / 2} " +
+          "levenshtein pairs in that block alone). A block this hot means the " +
+          "blocking key is degenerate for this corpus (boilerplate name, empty " +
+          "digit extract, or a fixed `entities` that did not grow with the data). " +
+          "Largest blocks: " +
+          worst.map { case (b, n) => s"'$b'=$n" }.mkString(", "))
+    }
     names.as("l")
       .join(names.as("r"),
         col("l.block") === col("r.block") && col(s"l.$idCol") < col(s"r.$idCol"))

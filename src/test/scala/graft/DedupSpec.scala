@@ -279,6 +279,23 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r._5 == lev(r._3, r._4).toLong, s"${r._3} vs ${r._4}"))
   }
 
+  test("fuzzy entity pairs: degenerate blocking key fails loud, not quadratic") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // entities=1 collapses every row into ONE block ('0') — the exact
+    // silent-quadratic shape the guard exists for
+    val docs = (0L until 20L).toDF("doc_id").withColumn("text", lit("t"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Entity.fuzzyPairs(docs, entities = 1L, maxBlockSize = 10L)
+    }
+    assert(e.getMessage.contains("maxBlockSize"), e.getMessage)
+    assert(e.getMessage.contains("'0'=20"),
+      s"guard must name the offending block and its size: ${e.getMessage}")
+    // healthy blocking under the same cap sails through unchanged
+    val ok = graft.ext.Entity.fuzzyPairs(docs, entities = 10L, maxBlockSize = 10L)
+    assert(ok.count() > 0)
+  }
+
   test("LSH quality report: internally consistent, full recall with 64-band config") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
