@@ -2063,6 +2063,90 @@ object OracleSql {
        |FROM est ORDER BY true_count DESC, word""".stripMargin
   }
 
+  /** Shared CTE chain of the level-sampling quantile sketch (mirror of
+    * Sketches.quantileSketch's sampler): same pre-folded 31-bit id, same
+    * xorshift-finalized contract hash, same trailing-zero level, same
+    * smallest-fitting-level cut over the exact per-level histogram. */
+  private def qsKeptCtes(table: String, valueCol: String, idSql: String,
+                         capacity: Long): String = {
+    val tzCases = (0 until 31)
+      .map(r => s"WHEN (h & -h) = ${1L << r} THEN $r")
+      .mkString("\n         ")
+    s"""h0 AS (
+       |  SELECT $valueCol AS v, ($idSql) % 2147483648 AS i FROM $table),
+       |h1 AS (SELECT v, i, (i * 2654435761) % 2147483648 AS x FROM h0),
+       |h2 AS (SELECT v, i, xor(x, x // 65536) AS x FROM h1),
+       |h3 AS (SELECT v, i, (x * 2246822519) % 2147483648 AS x FROM h2),
+       |hh AS (SELECT v, i, xor(x, x // 8192) AS h FROM h3),
+       |lv AS (
+       |  SELECT v, i,
+       |    CASE WHEN h = 0 THEN 31
+       |         $tzCases
+       |    END AS lvl
+       |  FROM hh),
+       |cnt AS (SELECT lvl, count(*)::BIGINT AS n FROM lv GROUP BY 1),
+       |cut AS (
+       |  SELECT min(L)::BIGINT AS qs_level FROM (
+       |    SELECT g.L, coalesce(sum(c.n), 0)::BIGINT AS cum
+       |    FROM range(0, 32) g(L) LEFT JOIN cnt c ON c.lvl >= g.L
+       |    GROUP BY g.L) WHERE cum <= $capacity),
+       |kept AS (SELECT v, i FROM lv, cut WHERE lvl >= qs_level)""".stripMargin
+  }
+
+  /** Level-sampling quantile sketch (mirror of Sketches.quantileSketch):
+    * same integer ceil-divisions for target rank and kept index, same
+    * (value, hashed id) total order, same strictly-below exact-rank
+    * probe of each estimate. */
+  def quantileSketch(table: String, valueCol: String, idSql: String,
+                     quantilesPct: Seq[Int] = Seq(25, 50, 75, 95),
+                     capacity: Long = ext.Sketches.QsCapacity): String = {
+    val qList = quantilesPct.mkString(", ")
+    s"""WITH ${qsKeptCtes(table, valueCol, idSql, capacity)},
+       |idx AS (
+       |  SELECT v, row_number() OVER (ORDER BY v, i) ::BIGINT AS kidx FROM kept),
+       |nk AS (SELECT count(*)::BIGINT AS n_kept FROM kept),
+       |nt AS (SELECT count(*)::BIGINT AS n_total FROM $table),
+       |q AS (SELECT unnest([$qList])::BIGINT AS q_pct),
+       |t AS (
+       |  SELECT q_pct, n_total, qs_level AS level, n_kept,
+       |    (q_pct * n_total + 99) // 100 AS target_rank,
+       |    least(((q_pct * n_total + 99) // 100 + (1::BIGINT << qs_level) - 1)
+       |            // (1::BIGINT << qs_level),
+       |          n_kept) AS est_idx
+       |  FROM q, nt, cut, nk),
+       |e AS (
+       |  SELECT t.q_pct, t.n_total, t.level, t.n_kept, t.target_rank,
+       |    t.est_idx, idx.v AS est_value
+       |  FROM t JOIN idx ON t.est_idx = idx.kidx),
+       |r AS (
+       |  SELECT e.*,
+       |    (SELECT count(*) FROM $table WHERE $valueCol < e.est_value)::BIGINT + 1
+       |      AS est_rank
+       |  FROM e)
+       |SELECT q_pct, n_total, level, n_kept, target_rank, est_idx, est_value,
+       |  est_rank, abs(est_rank - target_rank)::BIGINT AS rank_err
+       |FROM r ORDER BY q_pct""".stripMargin
+  }
+
+  /** Quantile-sketch merge grade (mirror of Sketches.quantileSketchMerged,
+    * the hllMerged convention): the oracle derives the single-pass direct
+    * sketch ONLY and emits its state as both the merged and the direct
+    * column families — the engine's union-and-re-cut merge of the two
+    * half-corpus sketches must be lossless to hash-match. */
+  def quantileSketchMerged(table: String, valueCol: String, idSql: String,
+                           capacity: Long = ext.Sketches.QsCapacity): String =
+    s"""WITH ${qsKeptCtes(table, valueCol, idSql, capacity)},
+       |s AS (
+       |  SELECT count(*)::BIGINT AS n_kept, sum(v::DECIMAL(18,2)) AS sum_v,
+       |    min(v) AS min_v, max(v) AS max_v FROM kept)
+       |SELECT cut.qs_level AS level_merged, s.n_kept AS n_kept_merged,
+       |  s.sum_v AS sum_v_merged, s.min_v AS min_v_merged,
+       |  s.max_v AS max_v_merged,
+       |  cut.qs_level AS level_direct, s.n_kept AS n_kept_direct,
+       |  s.sum_v AS sum_v_direct, s.min_v AS min_v_direct,
+       |  s.max_v AS max_v_direct
+       |FROM cut, s""".stripMargin
+
   /** JL random projection (mirror of Similarity.randomProjection): the
     * SAME seeded ±1 sign matrix rendered as a VALUES literal (like the
     * LSH planes), same integer-domain entry, exact BIGINT sums. */

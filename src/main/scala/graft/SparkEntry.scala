@@ -235,6 +235,19 @@ object SparkEntry {
     // CMS with contract hashes: counter table + top-k probe, graded;
     // the never-undercount guarantee is visible per row (over_count >= 0)
     "sketch_cms" -> ((s, d) => ext.Sketches.cmsTokenCounts(Tables.documents(s, d))),
+    // level-sampling quantile sketch with the contract hash: the kept
+    // set is <= capacity rows by construction, the estimate's EXACT rank
+    // rides beside its target (the built-in approx_percentile above
+    // stays rows-only — its GK internals are private). Row id
+    // l_orderkey*8 + l_linenumber is collision-free (linenumber <= 7)
+    "sketch_quantile" -> ((s, d) =>
+      ext.Sketches.quantileSketch(Tables.lineitem(s, d), "l_extendedprice",
+        col("l_orderkey") * 8 + col("l_linenumber"))),
+    // quantile-sketch mergeability: two half-corpus sketches (id parity)
+    // unioned and re-cut must equal the single-pass direct sketch
+    "sketch_quantile_merge" -> ((s, d) =>
+      ext.Sketches.quantileSketchMerged(Tables.lineitem(s, d), "l_extendedprice",
+        col("l_orderkey") * 8 + col("l_linenumber"))),
     "q_outer_join" -> ((s, d) =>
       Relational.userActivityFullOuter(Tables.orders(s, d), Tables.events(s, d))),
     "q_sql_correlated" -> ((s, d) =>
@@ -2070,6 +2083,10 @@ object SparkEntry {
       "l_shipdate < TIMESTAMP '1997-01-01'",
       "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"),
     "sketch_cms" -> OracleSql.cmsTokenCounts(20),
+    "sketch_quantile" -> OracleSql.quantileSketch(
+      "lineitem", "l_extendedprice", "l_orderkey * 8 + l_linenumber"),
+    "sketch_quantile_merge" -> OracleSql.quantileSketchMerged(
+      "lineitem", "l_extendedprice", "l_orderkey * 8 + l_linenumber"),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)

@@ -170,6 +170,171 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Level-sampling quantile sketch with a contract hash
+  // ---------------------------------------------------------------------
+
+  /** Kept-set capacity of the quantile sketch. Rank error is
+    * O(N/√capacity) w.h.p. (the kept set is a uniform 2^-L sample with
+    * N/2^L ∈ (capacity/2, capacity]); 1024 gives ~3% rank error. */
+  val QsCapacity = 1024L
+
+  /** The contract hash for the quantile sampler: the row id pre-folded
+    * into 31 bits (so the multiply can never overflow a BIGINT under
+    * ANSI mode, whatever the id magnitude), then the same
+    * multiply–xorshift–multiply–xorshift finalizer as [[withHash31]]. */
+  private def withSamplerHash(df: DataFrame, id: Column): DataFrame =
+    df
+      .withColumn("__i", pmod(id.cast("long"), lit(2147483648L)))
+      .withColumn("__h0", (col("__i") * lit(2654435761L)) % lit(2147483648L))
+      .withColumn("__h1", col("__h0").bitwiseXOR(expr("__h0 div 65536")))
+      .withColumn("__h2", (col("__h1") * lit(2246822519L)) % lit(2147483648L))
+      .withColumn("__h", col("__h2").bitwiseXOR(expr("__h2 div 8192")))
+
+  /** Trailing-zero count of the 31-bit hash `h` (0-based; 31 for h = 0):
+    * the item's sampling LEVEL — geometric, so level ≥ L keeps each row
+    * with probability 2^-L. Same `h AND -h` isolation as [[rank25]]:
+    * no doubles, no engine-dependent log2 rounding. */
+  private def levelOf(h: Column): Column =
+    (0 until 31).foldLeft(when(h === 0L, lit(31L))) { (acc, r) =>
+      acc.when(h.bitwiseAND(-h) === (1L << r), lit(r.toLong))
+    }.otherwise(lit(-1L)) // unreachable: some bit of a non-zero h is set
+
+  /** Per-level histogram → the sampler cut: the smallest level L whose
+    * kept count (rows with level ≥ L) is ≤ capacity. Because L is chosen
+    * on the EXACT counts, the kept set is ≤ capacity rows by
+    * construction — not in expectation. One-row frame `(qs_level)`. */
+  private def samplerCut(leveled: DataFrame, capacity: Long): DataFrame = {
+    val counts = leveled.groupBy(col("__lvl")).agg(count(lit(1)).as("__n"))
+    val grid = leveled.sparkSession.range(0, 32).select(col("id").as("__L"))
+    grid.join(counts, col("__lvl") >= col("__L"), "left_outer")
+      .groupBy(col("__L")).agg(sum(coalesce(col("__n"), lit(0L))).as("__cum"))
+      .filter(col("__cum") <= capacity)
+      .agg(min(col("__L")).as("qs_level"))
+  }
+
+  /** Quantile sketch over `valueCol`, fully graded: one pass assigns
+    * every row a hash-determined sampling level (trailing zeros of the
+    * contract hash — geometric); the cut L is the smallest level whose
+    * population fits `capacity`; the ≤ capacity kept rows each stand for
+    * 2^L corpus rows, so the φ-quantile estimate is the kept value at
+    * index ceil(target_rank / 2^L). Deterministic end to end — same
+    * data, same sketch, any engine — which is what lets the estimate be
+    * HASH-graded, unlike `approx_percentile`'s private internals.
+    *
+    * Scale shape: the level histogram is a ≤ 32-row aggregate; the kept
+    * set is ≤ capacity rows (the one window below runs over that bounded
+    * frame, never the corpus); the exact-rank probe of each estimate is
+    * a broadcast of ≤ |quantiles| rows against one corpus scan. The
+    * graded row carries the sketch state (level, kept count) and the
+    * estimate's EXACT rank beside its target, so the sketch's rank error
+    * is visible in the output itself — the same
+    * estimate-next-to-truth convention as [[hllDistinct]]. */
+  def quantileSketch(df: DataFrame, valueCol: String, idExpr: Column,
+                     quantilesPct: Seq[Int] = Seq(25, 50, 75, 95),
+                     capacity: Long = QsCapacity): DataFrame = {
+    require(quantilesPct.nonEmpty && quantilesPct.forall(q => q >= 1 && q <= 100),
+      "quantile percentages must lie in [1, 100]")
+    val base = withSamplerHash(
+        df.select(col(valueCol).as("__v"), idExpr.as("__rid")), col("__rid"))
+      .withColumn("__lvl", levelOf(col("__h")))
+      .select(col("__v"), col("__i"), col("__lvl"))
+    val cut = samplerCut(base, capacity)
+    val kept = base.crossJoin(broadcast(cut))
+      .filter(col("__lvl") >= col("qs_level"))
+    // ≤ capacity rows: a single-partition sort here is the bounded-frame
+    // shape, not a corpus window (ties broken by the hashed id for a
+    // total, engine-portable order)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"), col("__i"))
+    val indexed = kept
+      .select(col("__v"), col("__i"), col("qs_level"))
+      .withColumn("__idx", row_number().over(w).cast("long"))
+    val stats = df.agg(count(lit(1)).as("n_total"))
+    val keptStats = indexed.groupBy(col("qs_level"))
+      .agg(count(lit(1)).as("n_kept"))
+    val qs = df.sparkSession.range(1)
+      .select(explode(array(quantilesPct.map(q => lit(q.toLong)): _*)).as("q_pct"))
+    // target rank and the kept index it maps to, all ceil-division in
+    // integers: t = ceil(q·N/100), idx = min(ceil(t/2^L), n_kept)
+    val targets = qs.crossJoin(broadcast(stats)).crossJoin(broadcast(keptStats))
+      .withColumn("target_rank", expr("(q_pct * n_total + 99) div 100"))
+      .withColumn("__w", expr("shiftleft(CAST(1 AS BIGINT), CAST(qs_level AS INT))"))
+      .withColumn("est_idx",
+        least(expr("(target_rank + __w - 1) div __w"), col("n_kept")))
+    val ests = targets.join(broadcast(indexed.select(col("__idx"), col("__v"))),
+        col("est_idx") === col("__idx"))
+      .select(col("q_pct"), col("n_total"), col("qs_level").as("level"),
+        col("n_kept"), col("target_rank"), col("est_idx"),
+        col("__v").as("est_value"))
+    // exact rank of each estimate: rows strictly below it, one corpus
+    // scan against the broadcast ≤|quantiles|-row estimate frame
+    df.select(col(valueCol).as("__cv")).crossJoin(broadcast(ests))
+      .groupBy(col("q_pct"), col("n_total"), col("level"), col("n_kept"),
+        col("target_rank"), col("est_idx"), col("est_value"))
+      .agg((sum(when(col("__cv") < col("est_value"), 1L).otherwise(0L))
+        + lit(1L)).as("est_rank"))
+      .withColumn("rank_err", abs(col("est_rank") - col("target_rank")))
+      .select(col("q_pct"), col("n_total"), col("level"), col("n_kept"),
+        col("target_rank"), col("est_idx"), col("est_value"),
+        col("est_rank"), col("rank_err"))
+      .orderBy(col("q_pct"))
+  }
+
+  /** Quantile-sketch MERGEABILITY under grade, the [[hllMerged]]
+    * convention: sketch two disjoint halves of the corpus independently
+    * (id parity), merge by unioning the kept sets and re-cutting at the
+    * smallest L ≥ max(L_a, L_b) whose union population fits — and emit
+    * the merged state beside the direct whole-corpus state. The merge is
+    * provably LOSSLESS: each half's cut L_g ≤ the direct cut L_d (half
+    * counts never exceed whole counts), so the union holds every corpus
+    * row at level ≥ L_d and the re-cut lands exactly on the direct kept
+    * set. The oracle derives the single-pass direct sketch only and
+    * emits it as both column families — any lossy merge hash-mismatches. */
+  def quantileSketchMerged(df: DataFrame, valueCol: String, idExpr: Column,
+                           capacity: Long = QsCapacity): DataFrame = {
+    val base = withSamplerHash(
+        df.select(col(valueCol).as("__v"), idExpr.as("__rid")), col("__rid"))
+      .withColumn("__lvl", levelOf(col("__h")))
+      .select(col("__v"), col("__i"), col("__lvl"))
+      .withColumn("__half", pmod(col("__i"), lit(2L)))
+      .localCheckpoint(true) // feeds both half sketches and the direct one
+    def cutOf(d: DataFrame): DataFrame = samplerCut(d, capacity)
+    val keptHalf = (h: Int) => {
+      val half = base.filter(col("__half") === h.toLong)
+      half.crossJoin(broadcast(cutOf(half).select(col("qs_level").as("__Lg"))))
+        .filter(col("__lvl") >= col("__Lg"))
+        .select(col("__v"), col("__i"), col("__lvl"), col("__Lg"))
+    }
+    val unioned = keptHalf(0).unionByName(keptHalf(1))
+    // re-cut over the union, constrained to L ≥ max(L_a, L_b): union
+    // level counts below that floor are incomplete by construction
+    val floorL = unioned.agg(max(col("__Lg")).as("__floor"))
+    val unionCounts = unioned.groupBy(col("__lvl")).agg(count(lit(1)).as("__n"))
+    val grid = df.sparkSession.range(0, 32).select(col("id").as("__L"))
+    val mergedCut = grid.crossJoin(broadcast(floorL))
+      .filter(col("__L") >= col("__floor"))
+      .join(unionCounts, col("__lvl") >= col("__L"), "left_outer")
+      .groupBy(col("__L")).agg(sum(coalesce(col("__n"), lit(0L))).as("__cum"))
+      .filter(col("__cum") <= capacity)
+      .agg(min(col("__L")).as("level_merged"))
+    // double sums are accumulation-order dependent — the checksum goes
+    // through DECIMAL(18,2) (exact for 2-decimal prices) on both engines
+    def summarize(kept: DataFrame, suffix: String): DataFrame =
+      kept.agg(count(lit(1)).as(s"n_kept_$suffix"),
+        sum(col("__v").cast("decimal(18,2)")).as(s"sum_v_$suffix"),
+        min(col("__v")).as(s"min_v_$suffix"),
+        max(col("__v")).as(s"max_v_$suffix"))
+    val merged = unioned.crossJoin(broadcast(mergedCut))
+      .filter(col("__lvl") >= col("level_merged"))
+    val directCut = cutOf(base)
+    val direct = base.crossJoin(broadcast(directCut))
+      .filter(col("__lvl") >= col("qs_level"))
+    mergedCut.crossJoin(broadcast(summarize(merged, "merged")))
+      .crossJoin(broadcast(directCut.select(col("qs_level").as("level_direct"))))
+      .crossJoin(broadcast(summarize(direct, "direct")))
+  }
+
+  // ---------------------------------------------------------------------
   // Count-min sketch with contract hashes
   // ---------------------------------------------------------------------
 

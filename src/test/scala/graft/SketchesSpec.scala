@@ -111,4 +111,62 @@ class SketchesSpec extends SparkSpec {
       .select(col("est_scaled")).as[Long].collect().sum
     assert(perGroup > est, "overlapping groups: summed estimates must exceed the union's")
   }
+
+  test("quantile sketch: kept set within capacity, ranks within the sampling error band") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // values are a shuffled permutation of 0..N-1 (value = bit-reversed
+    // id), so the true phi-quantile rank is exactly phi*N and the rank
+    // error is directly observable
+    val n = 20000L
+    val df = (0L until n).map(i => (i, java.lang.Long.reverse(i) >>> 16))
+      .toDF("id", "value") // >>> 16: keep the reversal within 48 bits
+    val out = graft.ext.Sketches
+      .quantileSketch(df, "value", col("id"), Seq(10, 25, 50, 75, 90, 99))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out.size == 6)
+    val capacity = graft.ext.Sketches.QsCapacity
+    out.foreach { case (q, nTotal, level, nKept, target, estIdx, _, estRank, err) =>
+      assert(nTotal == n)
+      assert(nKept <= capacity, s"q=$q: kept $nKept exceeds capacity — the cut failed")
+      assert(estIdx >= 1L && estIdx <= nKept)
+      assert(estRank >= 1L && estRank <= n)
+      // rank error of a 2^-L uniform sample: O(sqrt(N * 2^L)) w.h.p.;
+      // 6 sigma of the binomial bound — loose enough to be flake-free,
+      // tight enough that an off-by-a-bucket bug (error ~N/capacity*k)
+      // or a broken hash (error ~N) fails loudly
+      val bound = 6.0 * math.sqrt(n.toDouble * (1L << level).toDouble)
+      assert(err.toDouble <= bound,
+        s"q=$q: rank error $err exceeds the sampling band $bound (level $level)")
+    }
+    // the cut is the SMALLEST fitting level: one level lower must overflow
+    val level = out.head._3
+    if (level > 0) {
+      val oneLower = graft.ext.Sketches
+        .quantileSketch(df, "value", col("id"), Seq(50), capacity = capacity * 2)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()._3
+      assert(oneLower < level, "doubling capacity must admit a lower level")
+    }
+    // determinism: same data, same sketch, row for row
+    val again = graft.ext.Sketches
+      .quantileSketch(df, "value", col("id"), Seq(10, 25, 50, 75, 90, 99))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(again == out)
+  }
+
+  test("quantile sketch merge: union-and-recut of half sketches == direct sketch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (0L until 20000L).map(i => (i, java.lang.Long.reverse(i) >>> 16))
+      .toDF("id", "value")
+    val r = graft.ext.Sketches.quantileSketchMerged(df, "value", col("id"))
+      .collect().head
+    val get = (c: String) => r.get(r.fieldIndex(c))
+    Seq("level", "n_kept", "sum_v", "min_v", "max_v").foreach { c =>
+      assert(get(s"${c}_merged") == get(s"${c}_direct"),
+        s"$c: merged=${get(s"${c}_merged")} direct=${get(s"${c}_direct")} — merge lost rows")
+    }
+  }
 }
