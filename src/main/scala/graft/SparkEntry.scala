@@ -191,6 +191,10 @@ object SparkEntry {
     // the production foreachBatch→parquet sink path, graded: the landed
     // files (read back from disk) must hold exactly the batch key set
     "stream_sink" -> ((s, d) => streaming.EventsStream.dedupKeysSunk(s, d)),
+    // crash recovery under grade: kill the drain after batch 1's data
+    // write (torn write — no offset commit), restart from the checkpoint,
+    // grade the landed parquet — exactly-once through the production sink
+    "stream_recovery" -> ((s, d) => streaming.EventsStream.recoveredDedupLanded(s, d)),
     // late-data drop accounting: planted rows beyond the watermark must
     // be dropped and unfinalized windows withheld (see lateFixtureDir)
     "stream_late" -> ((s, d) => streaming.EventsStream.lateWindowCountsLanded(s, d)),
@@ -1109,6 +1113,12 @@ object SparkEntry {
     // same oracle through the parquet-sink path: the disk round-trip
     // must not change a single row
     "stream_sink" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    // same oracle through the kill-and-restart path: exactly-once means
+    // the recovered landing holds the batch answer, not one row more
+    // (torn-write replay) or less (lost offsets)
+    "stream_recovery" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     // late-data drop accounting: the landed result must be EXACTLY the

@@ -716,4 +716,93 @@ object EventsStream {
       .filter(col("rnk") <= k)
       .orderBy("hour_start", "rnk")
   }
+
+  // -------------------------------------------------------------------
+  // Crash recovery through the production sink (graded)
+  // -------------------------------------------------------------------
+
+  val recoverySchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  /** The events table staged as THREE single-file micro-batches
+    * (event_id mod 3, oldest-mtime first — the same forced-order staging
+    * as the late fixture), so an injected crash after batch 1 is a
+    * genuine mid-stream kill with committed work behind it and
+    * unprocessed work ahead. */
+  def recoveryFixtureDir(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(s"/tmp/graft_stream_recofix_${spark.sparkContext.applicationId}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val parts = (0 until 3).map(k => dir.resolve(s"batch$k.parquet"))
+    if (parts.forall(Files.exists(_))) return dir.toString
+    Files.createDirectories(dir)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val now = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (p, k) =>
+      stageSingleFile(ev.filter(pmod(col("event_id"), lit(3)) === k.toLong),
+        dir, p, now - (2 - k) * 60000L)
+    }
+    dir.toString
+  }
+
+  /** Graded query: EXACTLY-ONCE through a kill and restart of the
+    * production sink. The streaming exact-dedup runs over the three-batch
+    * fixture with a checkpoint; the first attempt's `foreachBatch` writes
+    * batch 1's data files and THEN throws — the torn-write window where
+    * data landed but the offset commit did not, the worst case for a
+    * naive append sink (replay would double batch 1's rows). The second
+    * attempt restarts from the SAME checkpoint: the engine replays the
+    * uncommitted batch (its dedup state restored to the pre-batch-1
+    * snapshot, so the replay emits byte-identical rows), the
+    * idempotent per-batch-id landing (`bid=<id>` dir, overwrite) heals
+    * the torn write, and the drain completes through batch 2.
+    *
+    * The graded claim is the landed parquet AFTER recovery == the batch
+    * distinct-key oracle: duplicated rows (lost state or non-idempotent
+    * sink), missing rows (lost offsets), or re-emitted keys all
+    * hash-mismatch. This is the lakehouse landing discipline at 100 TB —
+    * checkpointed offsets + state, batch-id-keyed idempotent writes —
+    * graded end to end, not asserted in prose. */
+  def recoveredDedupLanded(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    val base = Paths.get(
+      s"/tmp/graft_stream_recover_${spark.sparkContext.applicationId}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    if (Files.exists(base)) { // wipe the previous drain's checkpoint+landing
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("data").toString
+    val stream = spark.readStream.schema(recoverySchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(recoveryFixtureDir(spark, sfDir))
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def drain(crashAtBatch: Long): Unit = withStateParts(spark, DefaultDrainStateParts) {
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+          if (bid == crashAtBatch && !crashed.getAndSet(true))
+            throw new RuntimeException(
+              "graft: injected crash after the data write, before the offset commit")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+    drain(crashAtBatch = 1L) // first attempt dies mid-stream
+    require(crashed.get(),
+      "recovery fixture must stage enough batches for the injected crash to fire")
+    drain(crashAtBatch = -1L) // restart from the checkpoint, run to completion
+    spark.read.parquet(out)
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+  }
 }

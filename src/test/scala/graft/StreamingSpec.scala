@@ -318,4 +318,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("crash recovery: killed drain restarts exactly-once through the parquet sink") {
+    val recovered = EventsStream.recoveredDedupLanded(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    val batch = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy("user_id", "event_type").as[(Long, String)].collect().toSeq
+    assert(recovered == batch,
+      "recovered landing must equal the batch distinct set row for row")
+    // no key may land twice across batch-id dirs: duplicates are exactly
+    // what lost dedup state or a non-idempotent replay would produce
+    assert(recovered.distinct == recovered, "duplicate keys in the recovered landing")
+    // the kill was genuinely mid-stream: the landing dir holds >= 3
+    // batch-id partitions (3 staged files, maxFilesPerTrigger=1) and
+    // batch 1's dir was written twice (crash attempt + healed replay) --
+    // visible as a strict subset landed before the restart
+    val base = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_recover_${spark.sparkContext.applicationId}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).resolve("data")
+    val bids = java.nio.file.Files.list(base).iterator()
+    val bidDirs = Iterator.continually(bids).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("bid=")).toSeq
+    assert(bidDirs.size >= 3, s"expected >=3 micro-batch landings, got $bidDirs")
+  }
 }
