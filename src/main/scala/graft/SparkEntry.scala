@@ -609,6 +609,12 @@ object SparkEntry {
     // ---- extensions: multimodal columns ----
     "mm_features" -> ((s, d) =>
       Multimodal.featuresQuery(s, Tables.documents(s, d))),
+    // full baseline JPEG pipeline over REAL entropy-coded fixtures:
+    // Huffman decode -> dequant -> IDCT -> chroma upsample -> YCbCr->RGB;
+    // constant-color DC-only blocks decode exactly, so the means are the
+    // closed-form integer color round trip (both 4:4:4 and 4:2:0 graded)
+    "mm_jpeg_pixels" -> ((s, d) =>
+      Multimodal.jpegPixelsQuery(s, Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, d)))),
     // real decoded dims are small; maxDim=10 keeps the clamp branch live
@@ -1847,6 +1853,32 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT) ELSE (doc_id * 7) % 251 END AS mean_g,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT) ELSE (doc_id * 3) % 251 END AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin,
+    // the Jpeg color contract replayed in SQL: 16-bit fixed point with
+    // arithmetic-shift rounding. `(a + 2^24) // 65536 - 256` equals the
+    // arithmetic shift `a >> 16` for any a > -2^24 while keeping the
+    // numerator positive (SQL `//` semantics diverge on negatives)
+    "mm_jpeg_pixels" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+        |    CAST(doc_id % 11 + 3 AS BIGINT) AS height,
+        |    CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS chroma,
+        |    (doc_id * 13) % 251 AS r, (doc_id * 7) % 251 AS g, (doc_id * 3) % 251 AS b
+        |  FROM documents),
+        |ycc AS (
+        |  SELECT doc_id, width, height, chroma,
+        |    (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+        |    128 + ((-11059*r - 21709*g + 32768*b + 32768 + 16777216) // 65536) - 256 AS cb,
+        |    128 + ((32768*r - 27439*g - 5329*b + 32768 + 16777216) // 65536) - 256 AS cr
+        |  FROM c)
+        |SELECT doc_id AS media_id, width, height, chroma,
+        |  CAST(greatest(0, least(255,
+        |    y + ((91881*(cr-128) + 32768 + 16777216) // 65536) - 256)) AS BIGINT) AS mean_r,
+        |  CAST(greatest(0, least(255,
+        |    y - (((22554*(cb-128) + 46802*(cr-128) + 32768 + 16777216) // 65536) - 256))) AS BIGINT) AS mean_g,
+        |  CAST(greatest(0, least(255,
+        |    y + ((116131*(cb-128) + 32768 + 16777216) // 65536) - 256)) AS BIGINT) AS mean_b
+        |FROM ycc ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_offset
         |FROM documents, unnest(range(0, octet_length(encode(text)), 100)) AS u(o)

@@ -1,0 +1,559 @@
+package graft.ext
+
+/** Baseline sequential JPEG codec (ITU T.81 subset), self-contained.
+  *
+  * Scope: 8-bit baseline DCT, Huffman entropy coding, 1 or 3 components,
+  * sampling factors up to 2 (covers 4:4:4 and 4:2:0), no restart
+  * markers, no progressive scans — the shape of the overwhelming
+  * majority of crawl images. The encoder exists to plant REAL
+  * entropy-coded fixtures (and to round-trip-test the decoder); the
+  * decoder is general over anything the format subset allows: it reads
+  * quantization and Huffman tables from the stream (canonical-code
+  * reconstruction from the DHT bits/values lists), walks MCUs with
+  * per-component DC prediction, dequantizes, runs the IDCT and
+  * upsamples chroma by sampling-factor replication.
+  *
+  * Color contract (documented so a SQL oracle can replay it exactly, the
+  * same convention as the sketch contract hashes — 16-bit fixed point,
+  * arithmetic-shift rounding):
+  * {{{
+  *   y  =       (19595·r + 38470·g +  7471·b + 32768) >> 16
+  *   cb = 128 + ((−11059·r − 21709·g + 32768·b + 32768) >> 16)
+  *   cr = 128 + (( 32768·r − 27439·g −  5329·b + 32768) >> 16)
+  *   r' = clamp(y + (( 91881·(cr−128)                  + 32768) >> 16))
+  *   g' = clamp(y − (( 22554·(cb−128) + 46802·(cr−128) + 32768) >> 16))
+  *   b' = clamp(y + ((116131·(cb−128)                  + 32768) >> 16))
+  * }}}
+  * With the all-ones quantization tables the encoder writes, a
+  * constant-color image is DC-only and the decode is EXACT (the DCT of a
+  * constant block has one integer coefficient), so decoded channel means
+  * are a closed-form integer function of the input color — the graded
+  * surface. For general images the round trip is bounded, spec-pinned.
+  */
+object Jpeg {
+
+  def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    val y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    val cb = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+    val cr = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+    (clamp8(y), clamp8(cb), clamp8(cr))
+  }
+
+  def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val r = y + ((91881 * (cr - 128) + 32768) >> 16)
+    val g = y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+    val b = y + ((116131 * (cb - 128) + 32768) >> 16)
+    (clamp8(r), clamp8(g), clamp8(b))
+  }
+
+  /** Zigzag scan order, generated (not transcribed): walk the 8×8
+    * anti-diagonals, alternating direction. ZigZag(k) = raster index of
+    * the k-th coefficient in scan order. */
+  val ZigZag: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    for (s <- 0 until 15) {
+      val r0 = math.max(0, s - 7); val r1 = math.min(7, s)
+      val rows = if (s % 2 == 0) r1 to r0 by -1 else r0 to r1
+      for (r <- rows) { out(k) = r * 8 + (s - r); k += 1 }
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // Huffman tables: canonical codes from (bits-per-length, values)
+  // ---------------------------------------------------------------------
+
+  /** A Huffman table as the DHT segment carries it: `bits(l)` = number
+    * of codes of length l+1, `vals` = symbols in code order. */
+  final case class HuffSpec(bits: Array[Int], vals: Array[Int])
+
+  /** The codec's own tables (written to DHT, read back generically):
+    * DC — 12 category symbols, all length 4 (Kraft 12/16 < 1, the
+    * all-ones pattern stays unused as T.81 recommends); AC — all 162
+    * (run,size) symbols plus EOB/ZRL, all length 8 (162/256 < 1). Flat
+    * lengths are deliberately simple: the DECODER cannot assume them —
+    * it rebuilds canonical codes from whatever the DHT declares. */
+  val DcSpec: HuffSpec = HuffSpec(
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), (0 until 12).toArray)
+  val AcSpec: HuffSpec = HuffSpec(
+    Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0),
+    (0x00 +: (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size) :+ 0xF0)
+      .sorted.toArray)
+
+  /** symbol -> (code, length), canonical assignment. */
+  def encodeTable(spec: HuffSpec): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (l <- 1 to 16) {
+      for (_ <- 0 until spec.bits(l - 1)) {
+        out += spec.vals(k) -> ((code, l)); code += 1; k += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Canonical decoder state: per length, the smallest code, largest
+    * code (-1 when the length is unused) and index of its first value. */
+  final class HuffDecoder(spec: HuffSpec) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    private var code = 0; private var k = 0
+    for (l <- 1 to 16) {
+      if (spec.bits(l - 1) > 0) {
+        valPtr(l) = k; minCode(l) = code
+        code += spec.bits(l - 1); k += spec.bits(l - 1)
+        maxCode(l) = code - 1
+      }
+      code <<= 1
+    }
+    def decode(in: BitReader): Int = {
+      var c = 0; var l = 0
+      while (l < 16) {
+        c = (c << 1) | in.readBit(); l += 1
+        if (maxCode(l) >= c && minCode(l) <= c)
+          return spec.vals(valPtr(l) + c - minCode(l))
+      }
+      throw new IllegalStateException("jpeg: invalid Huffman code")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Scan bit IO (MSB first, 0xFF byte stuffing)
+  // ---------------------------------------------------------------------
+
+  final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var n = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1); n += 1
+        if (n == 8) {
+          out.write(cur)
+          if (cur == 0xFF) out.write(0x00) // stuff
+          cur = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the trailing partial byte with 1-bits (T.81 F.1.2.3). */
+    def finish(): Array[Byte] = {
+      if (n > 0) { cur = (cur << (8 - n)) | ((1 << (8 - n)) - 1); out.write(cur)
+        if (cur == 0xFF) out.write(0x00); cur = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  final class BitReader(p: Array[Byte], start: Int) {
+    private var pos = start
+    private var cur = 0; private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        if (pos >= p.length) throw new IllegalStateException("jpeg: scan truncated")
+        var b = p(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          if (pos >= p.length) throw new IllegalStateException("jpeg: scan truncated")
+          val m = p(pos) & 0xFF
+          if (m == 0x00) pos += 1 // stuffed literal 0xFF
+          else if (m == 0xD9) throw new IllegalStateException("jpeg: EOI inside scan")
+          else throw new IllegalStateException(f"jpeg: unexpected marker FF$m%02X in scan")
+        }
+        cur = b; n = 8
+      }
+      n -= 1
+      (cur >>> n) & 1
+    }
+    def readBits(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
+
+  /** DC/AC magnitude category: bit length of |v| (0 for v = 0). */
+  def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** The `size` extra bits carrying a signed value (T.81 F.1.2.1.3):
+    * negatives are stored as v + 2^size − 1. */
+  def signedBits(v: Int, size: Int): Int = if (v < 0) v + (1 << size) - 1 else v
+  def extendSigned(v: Int, size: Int): Int =
+    if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+
+  // ---------------------------------------------------------------------
+  // DCT
+  // ---------------------------------------------------------------------
+
+  private val Cos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+  private val C: Array[Double] = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Forward DCT of one level-shifted 8×8 block, rounded to integer
+    * coefficients (quantization divisor 1 — the all-ones tables). */
+  def fdct(block: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) { s += block(y * 8 + x) * Cos(x)(u) * Cos(y)(v); y += 1 }
+          x += 1
+        }
+        out(v * 8 + u) = math.round(0.25 * C(u) * C(v) * s).toInt
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Inverse DCT to level-shifted samples (caller adds 128 and clamps). */
+  def idct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) { s += C(u) * C(v) * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v); v += 1 }
+          u += 1
+        }
+        out(y * 8 + x) = math.round(0.25 * s).toInt
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // Encoder
+  // ---------------------------------------------------------------------
+
+  private def be16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write((v >>> 8) & 0xFF); o.write(v & 0xFF)
+  }
+  private def marker(o: java.io.ByteArrayOutputStream, m: Int): Unit = {
+    o.write(0xFF); o.write(m)
+  }
+
+  /** Encode an image as baseline sequential JPEG. `rgb(x, y)` returns
+    * packed 0xRRGGBB; `subsample420` selects 4:2:0 (2×2 luma blocks per
+    * MCU, chroma averaged 2×2) vs 4:4:4. Quantization tables are all
+    * ones — the fixture regime where constant blocks decode exactly. */
+  def encode(w: Int, h: Int, rgb: (Int, Int) => Int, subsample420: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val hmax = if (subsample420) 2 else 1
+    val mcuW = 8 * hmax; val mcuH = 8 * hmax
+    val mcuCols = (w + mcuW - 1) / mcuW
+    val mcuRows = (h + mcuH - 1) / mcuH
+    val lumaW = mcuCols * mcuW; val lumaH = mcuRows * mcuH
+    // edge-replicated full-res YCbCr planes
+    val yP = new Array[Int](lumaW * lumaH)
+    val cbF = new Array[Int](lumaW * lumaH)
+    val crF = new Array[Int](lumaW * lumaH)
+    var yy = 0
+    while (yy < lumaH) {
+      var xx = 0
+      while (xx < lumaW) {
+        val px = rgb(math.min(xx, w - 1), math.min(yy, h - 1))
+        val (y0, cb0, cr0) = rgbToYcc((px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
+        yP(yy * lumaW + xx) = y0; cbF(yy * lumaW + xx) = cb0; crF(yy * lumaW + xx) = cr0
+        xx += 1
+      }
+      yy += 1
+    }
+    val chromaW = lumaW / hmax; val chromaH = lumaH / hmax
+    def subsample(full: Array[Int]): Array[Int] =
+      if (!subsample420) full
+      else Array.tabulate(chromaW * chromaH) { i =>
+        val cx = (i % chromaW) * 2; val cy = (i / chromaW) * 2
+        (full(cy * lumaW + cx) + full(cy * lumaW + cx + 1) +
+          full((cy + 1) * lumaW + cx) + full((cy + 1) * lumaW + cx + 1) + 2) / 4
+      }
+    val cbP = subsample(cbF); val crP = subsample(crF)
+
+    val o = new java.io.ByteArrayOutputStream()
+    marker(o, 0xD8) // SOI
+    // DQT: two all-ones tables (zigzag order is the wire order)
+    for (tq <- 0 to 1) {
+      marker(o, 0xDB); be16(o, 2 + 65); o.write(tq)
+      var i = 0; while (i < 64) { o.write(1); i += 1 }
+    }
+    // SOF0
+    marker(o, 0xC0); be16(o, 8 + 3 * 3); o.write(8)
+    be16(o, h); be16(o, w); o.write(3)
+    o.write(1); o.write((hmax << 4) | hmax); o.write(0) // Y
+    o.write(2); o.write(0x11); o.write(1)               // Cb
+    o.write(3); o.write(0x11); o.write(1)               // Cr
+    // DHT: same specs for both table ids (still four declarations — the
+    // decoder must read all of them)
+    for ((cls, id, spec) <- Seq((0, 0, DcSpec), (1, 0, AcSpec), (0, 1, DcSpec), (1, 1, AcSpec))) {
+      marker(o, 0xC4); be16(o, 2 + 1 + 16 + spec.vals.length)
+      o.write((cls << 4) | id)
+      spec.bits.foreach(o.write)
+      spec.vals.foreach(o.write)
+    }
+    // SOS
+    marker(o, 0xDA); be16(o, 6 + 2 * 3); o.write(3)
+    o.write(1); o.write(0x00) // Y: DC 0 / AC 0
+    o.write(2); o.write(0x11) // Cb: DC 1 / AC 1
+    o.write(3); o.write(0x11)
+    o.write(0); o.write(63); o.write(0) // Ss, Se, Ah/Al
+
+    val dcEnc = encodeTable(DcSpec); val acEnc = encodeTable(AcSpec)
+    val bw = new BitWriter
+    def writeBlock(plane: Array[Int], planeW: Int, x0: Int, y0: Int, pred: Int): Int = {
+      val block = Array.tabulate(64)(i => plane(math.min(y0 + i / 8, (plane.length / planeW) - 1) * planeW
+        + math.min(x0 + i % 8, planeW - 1)) - 128)
+      val coef = fdct(block)
+      val dc = coef(0)
+      val diff = dc - pred
+      val t = category(diff)
+      val (dcCode, dcLen) = dcEnc(t)
+      bw.putBits(dcCode, dcLen); if (t > 0) bw.putBits(signedBits(diff, t), t)
+      // AC run-length over zigzag order. Baseline AC categories stop at
+      // size 10 (T.81 table limit), so with all-ones quantization an
+      // extreme coefficient is clamped to ±1023 — the same ceiling every
+      // baseline encoder lives under.
+      var run = 0; var k = 1
+      while (k < 64) {
+        val v0 = coef(ZigZag(k))
+        val v = if (v0 > 1023) 1023 else if (v0 < -1023) -1023 else v0
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { val (c, l) = acEnc(0xF0); bw.putBits(c, l); run -= 16 }
+          val s = category(v)
+          val (c, l) = acEnc((run << 4) | s)
+          bw.putBits(c, l); bw.putBits(signedBits(v, s), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = acEnc(0x00); bw.putBits(c, l) } // EOB
+      dc
+    }
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        var by = 0
+        while (by < hmax) {
+          var bx = 0
+          while (bx < hmax) {
+            dcY = writeBlock(yP, lumaW, (mx * hmax + bx) * 8, (my * hmax + by) * 8, dcY)
+            bx += 1
+          }
+          by += 1
+        }
+        dcCb = writeBlock(cbP, chromaW, mx * 8, my * 8, dcCb)
+        dcCr = writeBlock(crP, chromaW, mx * 8, my * 8, dcCr)
+        mx += 1
+      }
+      my += 1
+    }
+    val scan = bw.finish()
+    o.write(scan, 0, scan.length)
+    marker(o, 0xD9) // EOI
+    o.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Decoder
+  // ---------------------------------------------------------------------
+
+  final case class Component(id: Int, hi: Int, vi: Int, tq: Int,
+                             var dcTbl: Int = 0, var acTbl: Int = 0)
+  final case class Decoded(width: Int, height: Int, chroma: String, rgb: Array[Int])
+
+  /** Full baseline decode; None when the stream is not a supported
+    * baseline JPEG (progressive, restart intervals, arithmetic coding,
+    * >2 sampling factors, truncation, bad codes …) — callers degrade to
+    * the SOF dimension scan. */
+  def decode(p: Array[Byte]): Option[Decoded] = try {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcTbl = new Array[HuffSpec](4); val acTbl = new Array[HuffSpec](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var i = 2
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xFF) != 0xFF) return None
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xFF) == 0xFF) j += 1
+      if (j >= p.length) return None
+      val m = p(j) & 0xFF
+      if (m == 0xD9) return None // EOI before SOS
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i = j + 1 }
+      else {
+        if (j + 2 >= p.length) return None
+        val len = ((p(j + 1) & 0xFF) << 8) | (p(j + 2) & 0xFF)
+        val seg = j + 3; val segEnd = j + 1 + len
+        if (segEnd > p.length) return None
+        m match {
+          case 0xDB => // DQT (possibly several tables)
+            var k = seg
+            while (k < segEnd) {
+              val pq = (p(k) & 0xFF) >> 4; val tq = p(k) & 0x0F
+              if (pq != 0 || tq > 3) return None // 16-bit tables unsupported
+              qt(tq) = Array.tabulate(64)(z => p(k + 1 + z) & 0xFF)
+              k += 65
+            }
+          case 0xC4 => // DHT (possibly several tables)
+            var k = seg
+            while (k < segEnd) {
+              val cls = (p(k) & 0xFF) >> 4; val id = p(k) & 0x0F
+              if (cls > 1 || id > 3) return None
+              val bits = Array.tabulate(16)(z => p(k + 1 + z) & 0xFF)
+              val n = bits.sum
+              val vals = Array.tabulate(n)(z => p(k + 17 + z) & 0xFF)
+              val spec = HuffSpec(bits, vals)
+              if (cls == 0) dcTbl(id) = spec else acTbl(id) = spec
+              k += 17 + n
+            }
+          case 0xC0 => // baseline SOF
+            if ((p(seg) & 0xFF) != 8) return None
+            h = ((p(seg + 1) & 0xFF) << 8) | (p(seg + 2) & 0xFF)
+            w = ((p(seg + 3) & 0xFF) << 8) | (p(seg + 4) & 0xFF)
+            val nc = p(seg + 5) & 0xFF
+            if (w == 0 || h == 0 || (nc != 1 && nc != 3)) return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + 3 * c
+              Component(p(o) & 0xFF, (p(o + 1) & 0xFF) >> 4, p(o + 1) & 0x0F, p(o + 2) & 0xFF)
+            }
+            if (comps.exists(c => c.hi < 1 || c.hi > 2 || c.vi < 1 || c.vi > 2)) return None
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // non-baseline frame
+          case 0xDD =>
+            val ri = ((p(seg) & 0xFF) << 8) | (p(seg + 1) & 0xFF)
+            if (ri != 0) return None // restart intervals unsupported
+          case 0xDA => // SOS — entropy data follows
+            if (comps == null) return None
+            val nc = p(seg) & 0xFF
+            if (nc != comps.length) return None
+            var c = 0
+            while (c < nc) {
+              val id = p(seg + 1 + 2 * c) & 0xFF
+              val t = p(seg + 2 + 2 * c) & 0xFF
+              comps.find(_.id == id) match {
+                case Some(comp) => comp.dcTbl = t >> 4; comp.acTbl = t & 0x0F
+                case None => return None
+              }
+              c += 1
+            }
+            return decodeScan(p, segEnd, w, h, comps, qt, dcTbl, acTbl)
+          case _ => () // APPn / COM / others: skip
+        }
+        i = segEnd
+      }
+    }
+    None
+  } catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => None }
+
+  private def decodeScan(p: Array[Byte], scanStart: Int, w: Int, h: Int,
+                         comps: Array[Component], qt: Array[Array[Int]],
+                         dcSpecs: Array[HuffSpec], acSpecs: Array[HuffSpec]): Option[Decoded] = {
+    val hmax = comps.map(_.hi).max; val vmax = comps.map(_.vi).max
+    val mcuCols = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuRows = (h + 8 * vmax - 1) / (8 * vmax)
+    val planes = comps.map { c =>
+      new Array[Int](mcuCols * c.hi * 8 * mcuRows * c.vi * 8)
+    }
+    val planeW = comps.map(c => mcuCols * c.hi * 8)
+    if (comps.exists(c => dcSpecs(c.dcTbl) == null || acSpecs(c.acTbl) == null ||
+        qt(c.tq) == null)) return None
+    val dcDec = comps.map(c => new HuffDecoder(dcSpecs(c.dcTbl)))
+    val acDec = comps.map(c => new HuffDecoder(acSpecs(c.acTbl)))
+    val in = new BitReader(p, scanStart)
+    val pred = new Array[Int](comps.length)
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci); val q = qt(c.tq)
+          var by = 0
+          while (by < c.vi) {
+            var bx = 0
+            while (bx < c.hi) {
+              val coef = new Array[Int](64)
+              val t = dcDec(ci).decode(in)
+              if (t > 11) return None
+              pred(ci) += extendSigned(in.readBits(t), t)
+              coef(0) = pred(ci) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = acDec(ci).decode(in)
+                if (rs == 0x00) k = 64 // EOB
+                else if (rs == 0xF0) k += 16 // ZRL
+                else {
+                  k += rs >> 4
+                  val s = rs & 0x0F
+                  if (k > 63 || s == 0) return None
+                  coef(ZigZag(k)) = extendSigned(in.readBits(s), s) * q(k)
+                  k += 1
+                }
+              }
+              val samples = idct(coef)
+              val x0 = (mx * c.hi + bx) * 8; val y0 = (my * c.vi + by) * 8
+              var sy = 0
+              while (sy < 8) {
+                var sx = 0
+                while (sx < 8) {
+                  planes(ci)((y0 + sy) * planeW(ci) + x0 + sx) =
+                    clamp8(samples(sy * 8 + sx) + 128)
+                  sx += 1
+                }
+                sy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    // reassemble: nearest (replication) upsampling by sampling factor
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (comps.length == 1) {
+          val v = planes(0)(y * planeW(0) + x)
+          rgb(y * w + x) = (v << 16) | (v << 8) | v
+        } else {
+          def at(ci: Int): Int = {
+            val c = comps(ci)
+            planes(ci)((y * c.vi / vmax) * planeW(ci) + (x * c.hi / hmax))
+          }
+          val (r, g, b) = yccToRgb(at(0), at(1), at(2))
+          rgb(y * w + x) = (r << 16) | (g << 8) | b
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val chroma =
+      if (comps.length == 1) "gray"
+      else if (comps(0).hi == 2 && comps(0).vi == 2 && comps(1).hi == 1) "420"
+      else if (comps.forall(c => c.hi == 1 && c.vi == 1)) "444"
+      else s"${comps(0).hi}x${comps(0).vi}"
+    Some(Decoded(w, h, chroma, rgb))
+  }
+}

@@ -8,8 +8,9 @@ final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
 
 /** Features extracted from one asset by the decoder. Channel means are
   * exact integers for the synthetic fixtures (constant-channel images);
-  * -1 marks "not decoded" (JPEG entropy data needs a DCT pipeline that is
-  * out of scope — only its dimensions are parsed). */
+  * -1 marks "not decoded" (a JPEG the baseline pipeline in [[Jpeg]]
+  * cannot represent — progressive, or a scanless dimension shell —
+  * degrades to the SOF dimension walk). */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                                width: Long, height: Long, format: String,
                                mean_r: Long, mean_g: Long, mean_b: Long)
@@ -24,9 +25,11 @@ final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   *     channel order — full pixel decode with per-channel means.
   *   - PPM (P6 binary): ASCII header with `#` comment lines, maxval,
   *     then raw RGB triplets — full pixel decode.
-  *   - JPEG: marker-segment scan to the first SOF frame header (SOF0-15
-  *     minus DHT/JPG/DAC) for precision/height/width — the standard way
-  *     to get dimensions without an entropy decoder.
+  *   - JPEG: the FULL baseline pipeline ([[Jpeg]] — Huffman entropy
+  *     decode with tables rebuilt from the DHT, dequantize, IDCT,
+  *     sampling-factor chroma upsampling, YCbCr→RGB) for pixel stats;
+  *     streams outside the baseline subset (progressive, scanless
+  *     shells) degrade to the SOF marker-segment dimension scan.
   * Unknown magic bytes yield format="unknown" with -1 sentinels, never an
   * exception: at 100 TB a corrupt payload must degrade to a graded row,
   * not kill the stage.
@@ -260,11 +263,24 @@ object Multimodal {
   private def isSof(m: Int): Boolean =
     m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
 
-  /** Real JPEG dimension parse: walk marker segments (skipping by each
-    * segment's big-endian length) to the first SOF header; read
-    * precision, height, width. Pixel decode needs an entropy/DCT pipeline
-    * — out of scope; channel means are -1. */
+  /** JPEG decode: the full baseline pipeline first ([[Jpeg.decode]] —
+    * Huffman entropy decode, dequantize, IDCT, chroma upsampling,
+    * YCbCr→RGB), channel means over the real pixels. Streams the
+    * baseline decoder can't represent (progressive, no scan — like the
+    * dimension-only shell fixtures) degrade to the SOF marker walk
+    * below: dimensions parsed, means -1. */
   private def decodeJpeg(r: MediaRecord): MediaFeatures = {
+    Jpeg.decode(r.payload) match {
+      case Some(d) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        d.rgb.foreach { px =>
+          sr += (px >> 16) & 0xFF; sg += (px >> 8) & 0xFF; sb += px & 0xFF
+        }
+        val n = d.rgb.length.toLong
+        return MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          d.width.toLong, d.height.toLong, "jpeg", sr / n, sg / n, sb / n)
+      case None => ()
+    }
     val p = r.payload
     var i = 2 // past SOI
     while (i + 3 < p.length) {
@@ -348,6 +364,70 @@ object Multimodal {
       .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_copies"))
       .select("media_id", "payload_sha", "n_copies")
       .orderBy("media_id")
+
+  // ---------------------------------------------------------------------
+  // Full JPEG pixels: real entropy-coded fixtures through Jpeg.decode
+  // ---------------------------------------------------------------------
+
+  /** Decoded-pixel report of one JPEG asset; "unknown" chroma + -1
+    * sentinels for streams the baseline decoder rejects. */
+  final case class JpegPixels(media_id: Long, width: Long, height: Long,
+                              chroma: String, mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** 4:2:0 for odd ids, 4:4:4 for even — both subsampling paths (block
+    * geometry, chroma averaging, replication upsampling) stay graded. */
+  def fxJpeg420(id: Long): Boolean = floorMod(id, 2) == 1
+
+  /** A REAL baseline JPEG with an entropy-coded scan (DQT + SOF0 + DHT +
+    * SOS + Huffman/DCT data — not the dimension-only shell): constant
+    * color `(fxR, fxG, fxB)` at `fxW × fxH`. Constant blocks are DC-only
+    * under the all-ones quantization tables, so the decode is exact and
+    * the decoded means are the closed-form integer YCbCr round trip of
+    * the fixture color ([[Jpeg]] color contract) — SQL-replayable. */
+  def syntheticJpegScan(id: Long): Array[Byte] = {
+    val px = (fxR(id) << 16) | (fxG(id) << 8) | fxB(id)
+    Jpeg.encode(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id))
+  }
+
+  /** Media table of real entropy-coded JPEG payloads, one per doc id. */
+  def syntheticJpegTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRecord(id, "image", syntheticJpegScan(id), src)
+      })
+      .toDF()
+  }
+
+  /** Partition-wise full JPEG decode (same mapPartitions shape as every
+    * codec here): Huffman → dequant → IDCT → upsample → RGB, means over
+    * the true `w × h` crop. Undecodable bytes degrade to a graded
+    * "unknown" row, never an exception. */
+  def extractJpegPixels(media: DataFrame): Dataset[JpegPixels] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      Jpeg.decode(r.payload) match {
+        case Some(d) =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          d.rgb.foreach { px =>
+            sr += (px >> 16) & 0xFF; sg += (px >> 8) & 0xFF; sb += px & 0xFF
+          }
+          val n = d.rgb.length.toLong
+          JpegPixels(r.media_id, d.width.toLong, d.height.toLong, d.chroma,
+            sr / n, sg / n, sb / n)
+        case None =>
+          JpegPixels(r.media_id, -1L, -1L, "unknown", -1L, -1L, -1L)
+      }
+    })
+  }
+
+  /** Graded query: real JPEGs decoded end to end, means + subsampling
+    * mode against the closed-form oracle. */
+  def jpegPixelsQuery(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractJpegPixels(syntheticJpegTable(docs)).toDF().orderBy("media_id")
 
   // ---------------------------------------------------------------------
   // Audio: real WAV (RIFF) codec — header/chunk walk + PCM sample decode

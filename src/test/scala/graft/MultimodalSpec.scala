@@ -336,6 +336,108 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == Multimodal.PngHash(99L, -1L, -1L, -1L, -1L, ""))
   }
 
+  test("JPEG constant fixtures: full entropy decode is exact, both subsamplings") {
+    import graft.ext.{Jpeg, Multimodal}
+    for (id <- 0L until 40L) {
+      val bytes = Multimodal.syntheticJpegScan(id)
+      // a real scan: SOS present, well past the 58-byte dimension shell
+      assert(bytes.containsSlice(Array(0xFF.toByte, 0xDA.toByte)), s"id=$id: no SOS")
+      val d = Jpeg.decode(bytes).getOrElse(fail(s"id=$id: decode rejected own encoding"))
+      assert(d.width == Multimodal.fxW(id) && d.height == Multimodal.fxH(id))
+      assert(d.chroma == (if (Multimodal.fxJpeg420(id)) "420" else "444"))
+      // constant color -> DC-only blocks -> the decode is EXACTLY the
+      // integer YCbCr round trip of the fixture color, every pixel
+      val (y, cb, cr) = Jpeg.rgbToYcc(Multimodal.fxR(id), Multimodal.fxG(id), Multimodal.fxB(id))
+      val (er, eg, eb) = Jpeg.yccToRgb(y, cb, cr)
+      val expect = (er << 16) | (eg << 8) | eb
+      assert(d.rgb.forall(_ == expect),
+        s"id=$id: expected ${expect.toHexString}, got ${d.rgb.distinct.map(_.toHexString).mkString(",")}")
+    }
+  }
+
+  test("JPEG general images: full AC pipeline round-trips within the quantization band") {
+    import graft.ext.Jpeg
+    val rnd = new scala.util.Random(7)
+    for ((w, h, sub) <- Seq((24, 16, false), (17, 13, false), (32, 32, true), (19, 21, true))) {
+      val px = Array.fill(h, w)(rnd.nextInt(1 << 24))
+      // 4:2:0 averages chroma 2x2 (real information loss); hold chroma
+      // constant there so the bound stays a CODEC bound, not a
+      // subsampling bound. 4:4:4 keeps full random color.
+      val img: (Int, Int) => Int =
+        if (sub) { val (cb0, cr0) = (110, 150)
+          (x, y) => { val l = (px(y)(x) >> 16) & 0xFF
+            val (r, g, b) = Jpeg.yccToRgb(l, cb0, cr0); (r << 16) | (g << 8) | b }
+        } else (x, y) => px(y)(x)
+      val d = Jpeg.decode(Jpeg.encode(w, h, img, sub))
+        .getOrElse(fail(s"${w}x$h sub=$sub: decode failed"))
+      assert(d.width == w && d.height == h)
+      var maxErr = 0; var sumErr = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = img(x, y); val b = d.rgb(y * w + x)
+        for (sh <- Seq(16, 8, 0)) {
+          val e = math.abs(((a >> sh) & 0xFF) - ((b >> sh) & 0xFF))
+          maxErr = math.max(maxErr, e); sumErr += e
+        }
+      }
+      val meanErr = sumErr.toDouble / (w * h * 3)
+      // all-ones quantization: per-coefficient rounding error <= 0.5,
+      // worst-case spatial amplification ~8, plus +-2 from the two color
+      // conversions; 4:2:0 adds the near-constant-chroma residual (the
+      // test's rgb round trip leaves cb/cr within +-1 of constant, and
+      // the 2x2 average + 1.772x reconstruction amplifies it slightly).
+      // Observed maxima: 6 (444), 13 (420) — the fences catch codec
+      // bugs (a broken coefficient path errs by 50+), not rounding.
+      val fence = if (sub) 16 else 12
+      assert(maxErr <= fence, s"${w}x$h sub=$sub: max per-channel error $maxErr")
+      assert(meanErr <= 3.0, s"${w}x$h sub=$sub: mean error $meanErr")
+    }
+  }
+
+  test("JPEG re-encode invariance: decode -> encode -> decode is stable") {
+    import graft.ext.{Jpeg, Multimodal}
+    // constant fixtures: exactly stable (DC-only both times)
+    for (id <- Seq(2L, 7L, 12L, 33L)) {
+      val d1 = Jpeg.decode(Multimodal.syntheticJpegScan(id)).get
+      val d2 = Jpeg.decode(Jpeg.encode(d1.width, d1.height,
+        (x, y) => d1.rgb(y * d1.width + x), Multimodal.fxJpeg420(id))).get
+      assert(d2.rgb.sameElements(d1.rgb), s"id=$id: re-encode moved constant pixels")
+    }
+    // general image: bounded drift per round (the lossy step happened in
+    // round one; later rounds only re-round)
+    val rnd = new scala.util.Random(11)
+    val w = 24; val h = 16
+    val px = Array.fill(h * w)(rnd.nextInt(1 << 24))
+    val d1 = Jpeg.decode(Jpeg.encode(w, h, (x, y) => px(y * w + x), false)).get
+    val d2 = Jpeg.decode(Jpeg.encode(w, h, (x, y) => d1.rgb(y * w + x), false)).get
+    val drift = (0 until w * h).flatMap(i => Seq(16, 8, 0).map(s =>
+      math.abs(((d1.rgb(i) >> s) & 0xFF) - ((d2.rgb(i) >> s) & 0xFF)))).max
+    assert(drift <= 6, s"re-encode drift $drift")
+  }
+
+  test("JPEG aHash over decoded pixels: twins by content, malformed degrade") {
+    import graft.ext.{Jpeg, Multimodal}
+    // two byte-DIFFERENT encodings of the same pixels (444 vs the same
+    // constant color at 420) decode to identical images -> same aHash
+    def ahash(rgb: Array[Int], w: Int, h: Int): String = {
+      val lum = rgb.map { p =>
+        val (r, g, b) = (((p >> 16) & 0xFF), ((p >> 8) & 0xFF), (p & 0xFF))
+        (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+      }
+      val mean = lum.sum / lum.length
+      lum.map(v => if (v > mean) '1' else '0').mkString
+    }
+    val px = (200 << 16) | (40 << 8) | 90
+    val a = Jpeg.decode(Jpeg.encode(16, 16, (_, _) => px, false)).get
+    val b = Jpeg.decode(Jpeg.encode(16, 16, (_, _) => px, true)).get
+    assert(ahash(a.rgb, 16, 16) == ahash(b.rgb, 16, 16))
+    // malformed: truncated scan, flipped marker, dimension-only shell
+    val full = Jpeg.encode(16, 16, (_, _) => px, false)
+    assert(Jpeg.decode(full.take(full.length / 2)).isEmpty, "truncated scan must reject")
+    assert(Jpeg.decode(Multimodal.encodeJpegShell(9, 7)).isEmpty, "no-scan shell must reject")
+    val bad = full.clone(); bad(0) = 0x00
+    assert(Jpeg.decode(bad).isEmpty, "bad magic must reject")
+  }
+
   test("aHash dedup: byte-different twins group; sha256 provably cannot") {
     import graft.ext.Multimodal
     val ids = Seq((3L, "t", "s"), (4L, "t", "s"), (7L, "t", "s")).toDF("doc_id", "text", "source")
