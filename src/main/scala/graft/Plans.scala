@@ -74,6 +74,9 @@ object Plans {
     "pipeline_group_sample" -> "per-group top-k is a bounded TopKAggregator partial agg (k-row state) — NOT a per-group row_number window funneling a corpus-sized stratum through one task",
     "sketch_hll_intersect" -> "three 64-register sketch folds (bounded state, map-side combined) + one-row broadcast exact count; slices scanned once each",
     "q3_shipping_priority" -> "segment filter prunes customer BEFORE the joins; filtered dims broadcast; cents-exact agg; top-10 is TakeOrderedAndProject",
+    "sketch_quantile" -> "level histogram is a ≤32-row agg; the only window sorts the ≤capacity kept frame (cut guarantees the bound); estimate probes broadcast ≤|quantiles| rows against ONE corpus scan — no corpus-wide sort anywhere",
+    "sketch_quantile_merge" -> "each half folds to a ≤capacity kept set; the re-cut is a ≤32-row agg with a 1-row floor broadcast; every summary is a bounded agg — corpus scanned once per sketch, never joined to itself",
+    "mm_jpeg_pixels" -> "the full Huffman+IDCT decode runs inside mapPartitions over the payload scan; only fixed-width pixel stats cross the shuffle — payload bytes never leave the scan stage",
     "q18_large_orders" -> "quantity agg over the FACT table alone (partial combine), HAVING filters before anything joins; only surviving keys meet orders/customer",
   )
 
