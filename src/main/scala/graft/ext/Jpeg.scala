@@ -3,9 +3,11 @@ package graft.ext
 /** Baseline sequential JPEG codec (ITU T.81 subset), self-contained.
   *
   * Scope: 8-bit baseline DCT, Huffman entropy coding, 1 or 3 components,
-  * sampling factors up to 2 (covers 4:4:4 and 4:2:0), no restart
-  * markers, no progressive scans — the shape of the overwhelming
-  * majority of crawl images. The encoder exists to plant REAL
+  * sampling factors up to 2 (covers 4:4:4 and 4:2:0), DRI/RST0-7
+  * restart intervals (byte-aligned predictor resets — the
+  * error-resilience structure camera and web encoders emit), no
+  * progressive scans — the shape of the overwhelming majority of crawl
+  * images. The encoder exists to plant REAL
   * entropy-coded fixtures (and to round-trip-test the decoder); the
   * decoder is general over anything the format subset allows: it reads
   * quantization and Huffman tables from the stream (canonical-code
@@ -141,17 +143,29 @@ object Jpeg {
         i -= 1
       }
     }
-    /** Pad the trailing partial byte with 1-bits (T.81 F.1.2.3). */
-    def finish(): Array[Byte] = {
+    /** Pad the trailing partial byte with 1-bits (T.81 F.1.2.3); a pad
+      * byte that lands on 0xFF is stuffed like any data byte. */
+    def align(): Unit =
       if (n > 0) { cur = (cur << (8 - n)) | ((1 << (8 - n)) - 1); out.write(cur)
         if (cur == 0xFF) out.write(0x00); cur = 0; n = 0 }
-      out.toByteArray
-    }
+    /** Emit marker bytes verbatim (RSTn — markers are never stuffed).
+      * Callers must [[align]] first. */
+    def rawMarker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def finish(): Array[Byte] = { align(); out.toByteArray }
   }
 
   final class BitReader(p: Array[Byte], start: Int) {
     private var pos = start
     private var cur = 0; private var n = 0
+    /** Consume a restart marker at a byte-aligned boundary: drop the
+      * pad bits of the current byte, expect FF D0+m. */
+    def expectRst(m: Int): Boolean = {
+      n = 0 // discard pad bits
+      if (pos + 1 >= p.length) return false
+      val ok = (p(pos) & 0xFF) == 0xFF && (p(pos + 1) & 0xFF) == (0xD0 + m)
+      if (ok) pos += 2
+      ok
+    }
     def readBit(): Int = {
       if (n == 0) {
         if (pos >= p.length) throw new IllegalStateException("jpeg: scan truncated")
@@ -249,8 +263,12 @@ object Jpeg {
   /** Encode an image as baseline sequential JPEG. `rgb(x, y)` returns
     * packed 0xRRGGBB; `subsample420` selects 4:2:0 (2×2 luma blocks per
     * MCU, chroma averaged 2×2) vs 4:4:4. Quantization tables are all
-    * ones — the fixture regime where constant blocks decode exactly. */
-  def encode(w: Int, h: Int, rgb: (Int, Int) => Int, subsample420: Boolean): Array[Byte] = {
+    * ones — the fixture regime where constant blocks decode exactly.
+    * `restartInterval` > 0 plants a DRI segment and RST0-7 markers every
+    * that many MCUs (byte-aligned, DC predictors reset) — the
+    * error-resilience structure most camera/web encoders emit. */
+  def encode(w: Int, h: Int, rgb: (Int, Int) => Int, subsample420: Boolean,
+             restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
     val hmax = if (subsample420) 2 else 1
     val mcuW = 8 * hmax; val mcuH = 8 * hmax
@@ -303,6 +321,9 @@ object Jpeg {
       spec.bits.foreach(o.write)
       spec.vals.foreach(o.write)
     }
+    if (restartInterval > 0) { // DRI
+      marker(o, 0xDD); be16(o, 4); be16(o, restartInterval)
+    }
     // SOS
     marker(o, 0xDA); be16(o, 6 + 2 * 3); o.write(3)
     o.write(1); o.write(0x00) // Y: DC 0 / AC 0
@@ -343,6 +364,8 @@ object Jpeg {
       dc
     }
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcuSeq = 0; var rstSeq = 0
+    val totalMcus = mcuRows * mcuCols
     var my = 0
     while (my < mcuRows) {
       var mx = 0
@@ -358,6 +381,11 @@ object Jpeg {
         }
         dcCb = writeBlock(cbP, chromaW, mx * 8, my * 8, dcCb)
         dcCr = writeBlock(crP, chromaW, mx * 8, my * 8, dcCr)
+        mcuSeq += 1
+        if (restartInterval > 0 && mcuSeq % restartInterval == 0 && mcuSeq < totalMcus) {
+          bw.align(); bw.rawMarker(0xD0 + (rstSeq % 8)); rstSeq += 1
+          dcY = 0; dcCb = 0; dcCr = 0
+        }
         mx += 1
       }
       my += 1
@@ -386,6 +414,7 @@ object Jpeg {
     val dcTbl = new Array[HuffSpec](4); val acTbl = new Array[HuffSpec](4)
     var comps: Array[Component] = null
     var w = 0; var h = 0
+    var restartInterval = 0
     var i = 2
     while (i + 1 < p.length) {
       if ((p(i) & 0xFF) != 0xFF) return None
@@ -436,8 +465,7 @@ object Jpeg {
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
             return None // non-baseline frame
           case 0xDD =>
-            val ri = ((p(seg) & 0xFF) << 8) | (p(seg + 1) & 0xFF)
-            if (ri != 0) return None // restart intervals unsupported
+            restartInterval = ((p(seg) & 0xFF) << 8) | (p(seg + 1) & 0xFF)
           case 0xDA => // SOS — entropy data follows
             if (comps == null) return None
             val nc = p(seg) & 0xFF
@@ -452,7 +480,7 @@ object Jpeg {
               }
               c += 1
             }
-            return decodeScan(p, segEnd, w, h, comps, qt, dcTbl, acTbl)
+            return decodeScan(p, segEnd, w, h, comps, qt, dcTbl, acTbl, restartInterval)
           case _ => () // APPn / COM / others: skip
         }
         i = segEnd
@@ -463,7 +491,8 @@ object Jpeg {
 
   private def decodeScan(p: Array[Byte], scanStart: Int, w: Int, h: Int,
                          comps: Array[Component], qt: Array[Array[Int]],
-                         dcSpecs: Array[HuffSpec], acSpecs: Array[HuffSpec]): Option[Decoded] = {
+                         dcSpecs: Array[HuffSpec], acSpecs: Array[HuffSpec],
+                         restartInterval: Int): Option[Decoded] = {
     val hmax = comps.map(_.hi).max; val vmax = comps.map(_.vi).max
     val mcuCols = (w + 8 * hmax - 1) / (8 * hmax)
     val mcuRows = (h + 8 * vmax - 1) / (8 * vmax)
@@ -477,10 +506,16 @@ object Jpeg {
     val acDec = comps.map(c => new HuffDecoder(acSpecs(c.acTbl)))
     val in = new BitReader(p, scanStart)
     val pred = new Array[Int](comps.length)
+    var mcuSeq = 0; var rstSeq = 0
     var my = 0
     while (my < mcuRows) {
       var mx = 0
       while (mx < mcuCols) {
+        if (restartInterval > 0 && mcuSeq > 0 && mcuSeq % restartInterval == 0) {
+          if (!in.expectRst(rstSeq % 8)) return None
+          rstSeq += 1
+          java.util.Arrays.fill(pred, 0)
+        }
         var ci = 0
         while (ci < comps.length) {
           val c = comps(ci); val q = qt(c.tq)
@@ -524,6 +559,7 @@ object Jpeg {
           }
           ci += 1
         }
+        mcuSeq += 1
         mx += 1
       }
       my += 1

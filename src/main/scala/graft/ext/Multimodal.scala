@@ -378,6 +378,12 @@ object Multimodal {
     * geometry, chroma averaging, replication upsampling) stay graded. */
   def fxJpeg420(id: Long): Boolean = floorMod(id, 2) == 1
 
+  /** Every 5th fixture carries a DRI segment + RST0-7 markers every 2
+    * MCUs — pixels are identical, so the SAME closed-form oracle grades
+    * the restart-marker path (predictor resets, byte realignment) with
+    * no oracle change: a decoder that mishandles RST hash-mismatches. */
+  def fxJpegDri(id: Long): Int = if (floorMod(id, 5) == 0) 2 else 0
+
   /** A REAL baseline JPEG with an entropy-coded scan (DQT + SOF0 + DHT +
     * SOS + Huffman/DCT data — not the dimension-only shell): constant
     * color `(fxR, fxG, fxB)` at `fxW × fxH`. Constant blocks are DC-only
@@ -386,7 +392,7 @@ object Multimodal {
     * the fixture color ([[Jpeg]] color contract) — SQL-replayable. */
   def syntheticJpegScan(id: Long): Array[Byte] = {
     val px = (fxR(id) << 16) | (fxG(id) << 8) | fxB(id)
-    Jpeg.encode(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id))
+    Jpeg.encode(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id), fxJpegDri(id))
   }
 
   /** Media table of real entropy-coded JPEG payloads, one per doc id. */

