@@ -2128,6 +2128,73 @@ object OracleSql {
        |FROM r ORDER BY q_pct""".stripMargin
   }
 
+  /** Per-group level-sampling quantile sketch (mirror of
+    * Sketches.quantileSketchGrouped): identical sampler, cut chosen per
+    * group over exact per-group level histograms, group-partitioned
+    * row_number, per-group strictly-below exact-rank probe. */
+  def quantileSketchGrouped(table: String, groupCol: String, valueCol: String,
+                            idSql: String,
+                            quantilesPct: Seq[Int] = Seq(25, 50, 75, 95),
+                            capacity: Long = ext.Sketches.QsCapacity): String = {
+    val tzCases = (0 until 31)
+      .map(r => s"WHEN (h & -h) = ${1L << r} THEN $r")
+      .mkString("\n         ")
+    val qList = quantilesPct.mkString(", ")
+    s"""WITH h0 AS (
+       |  SELECT $groupCol AS grp, $valueCol AS v,
+       |    ($idSql) % 2147483648 AS i FROM $table),
+       |h1 AS (SELECT grp, v, i, (i * 2654435761) % 2147483648 AS x FROM h0),
+       |h2 AS (SELECT grp, v, i, xor(x, x // 65536) AS x FROM h1),
+       |h3 AS (SELECT grp, v, i, (x * 2246822519) % 2147483648 AS x FROM h2),
+       |hh AS (SELECT grp, v, i, xor(x, x // 8192) AS h FROM h3),
+       |lv AS (
+       |  SELECT grp, v, i,
+       |    CASE WHEN h = 0 THEN 31
+       |         $tzCases
+       |    END AS lvl
+       |  FROM hh),
+       |cnt AS (SELECT grp, lvl, count(*)::BIGINT AS n FROM lv GROUP BY 1, 2),
+       |cut AS (
+       |  SELECT grp, min(L)::BIGINT AS qs_level FROM (
+       |    SELECT g.grp, g.L, coalesce(sum(c.n), 0)::BIGINT AS cum
+       |    FROM (SELECT d.grp, t.L
+       |          FROM (SELECT DISTINCT grp FROM lv) d, range(0, 32) t(L)) g
+       |    LEFT JOIN cnt c ON c.grp = g.grp AND c.lvl >= g.L
+       |    GROUP BY g.grp, g.L) WHERE cum <= $capacity GROUP BY grp),
+       |kept AS (
+       |  SELECT lv.grp, v, i, qs_level FROM lv JOIN cut ON lv.grp = cut.grp
+       |  WHERE lvl >= qs_level),
+       |idx AS (
+       |  SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v, i)::BIGINT AS kidx
+       |  FROM kept),
+       |nk AS (SELECT grp, count(*)::BIGINT AS n_kept FROM kept GROUP BY 1),
+       |nt AS (SELECT $groupCol AS grp, count(*)::BIGINT AS n_total
+       |       FROM $table GROUP BY 1),
+       |q AS (SELECT unnest([$qList])::BIGINT AS q_pct),
+       |t AS (
+       |  SELECT nt.grp, q_pct, n_total, qs_level AS level, n_kept,
+       |    (q_pct * n_total + 99) // 100 AS target_rank,
+       |    least(((q_pct * n_total + 99) // 100 + (1::BIGINT << qs_level) - 1)
+       |            // (1::BIGINT << qs_level),
+       |          n_kept) AS est_idx
+       |  FROM nt JOIN nk USING (grp) JOIN cut USING (grp), q),
+       |e AS (
+       |  SELECT t.grp, t.q_pct, t.n_total, t.level, t.n_kept, t.target_rank,
+       |    t.est_idx, idx.v AS est_value
+       |  FROM t JOIN idx ON t.grp = idx.grp AND t.est_idx = idx.kidx),
+       |r AS (
+       |  SELECT e.*,
+       |    (SELECT count(*) FROM $table x
+       |     WHERE x.$groupCol = e.grp AND x.$valueCol < e.est_value)::BIGINT + 1
+       |      AS est_rank
+       |  FROM e)
+       |SELECT grp AS $groupCol, q_pct, n_total, level, n_kept, target_rank,
+       |  est_idx, est_value, est_rank,
+       |  abs(est_rank - target_rank)::BIGINT AS rank_err
+       |FROM r ORDER BY 1, 2""".stripMargin
+  }
+
   /** Quantile-sketch merge grade (mirror of Sketches.quantileSketchMerged,
     * the hllMerged convention): the oracle derives the single-pass direct
     * sketch ONLY and emits its state as both the merged and the direct

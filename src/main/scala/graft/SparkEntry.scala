@@ -252,6 +252,12 @@ object SparkEntry {
     "sketch_quantile_merge" -> ((s, d) =>
       ext.Sketches.quantileSketchMerged(Tables.lineitem(s, d), "l_extendedprice",
         col("l_orderkey") * 8 + col("l_linenumber"))),
+    // the production shape: one pass sketches EVERY group's quantiles;
+    // per-group cuts, group-partitioned kept-frame sort (bounded per
+    // group — no SinglePartition), group-keyed exact-rank probe
+    "sketch_quantile_grouped" -> ((s, d) =>
+      ext.Sketches.quantileSketchGrouped(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", col("l_orderkey") * 8 + col("l_linenumber"))),
     "q_outer_join" -> ((s, d) =>
       Relational.userActivityFullOuter(Tables.orders(s, d), Tables.events(s, d))),
     "q_sql_correlated" -> ((s, d) =>
@@ -2129,6 +2135,8 @@ object SparkEntry {
       "lineitem", "l_extendedprice", "l_orderkey * 8 + l_linenumber"),
     "sketch_quantile_merge" -> OracleSql.quantileSketchMerged(
       "lineitem", "l_extendedprice", "l_orderkey * 8 + l_linenumber"),
+    "sketch_quantile_grouped" -> OracleSql.quantileSketchGrouped(
+      "lineitem", "l_returnflag", "l_extendedprice", "l_orderkey * 8 + l_linenumber"),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)

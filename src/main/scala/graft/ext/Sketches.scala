@@ -280,6 +280,67 @@ object Sketches {
       .orderBy(col("q_pct"))
   }
 
+  /** Per-GROUP quantile sketch — the production shape: one pass over
+    * the corpus sketches every group simultaneously. Same contract
+    * sampler as [[quantileSketch]], but the cut is chosen PER GROUP
+    * (each group's kept set is ≤ capacity rows by construction), the
+    * kept-frame sort runs under `Window.partitionBy(group)` — bounded
+    * per group, distributed across groups, never a SinglePartition — and
+    * the exact-rank probe is a group-keyed equi-join (≤ |groups|·|q|
+    * estimate rows against one corpus scan). Graded row per
+    * (group, quantile), the same estimate-next-to-truth convention. */
+  def quantileSketchGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                            idExpr: Column,
+                            quantilesPct: Seq[Int] = Seq(25, 50, 75, 95),
+                            capacity: Long = QsCapacity): DataFrame = {
+    require(quantilesPct.nonEmpty && quantilesPct.forall(q => q >= 1 && q <= 100),
+      "quantile percentages must lie in [1, 100]")
+    val base = withSamplerHash(
+        df.select(col(groupCol).as("grp"), col(valueCol).as("__v"),
+          idExpr.as("__rid")), col("__rid"))
+      .withColumn("__lvl", levelOf(col("__h")))
+      .select(col("grp"), col("__v"), col("__i"), col("__lvl"))
+    val counts = base.groupBy(col("grp"), col("__lvl")).agg(count(lit(1)).as("__n"))
+    val grid = df.select(col(groupCol).as("grp")).distinct()
+      .select(col("grp"), explode(sequence(lit(0L), lit(31L))).as("__L"))
+    val cut = grid.join(counts,
+        grid("grp") === counts("grp") && col("__lvl") >= col("__L"), "left_outer")
+      .select(grid("grp"), col("__L"), col("__n"))
+      .groupBy(col("grp"), col("__L")).agg(sum(coalesce(col("__n"), lit(0L))).as("__cum"))
+      .filter(col("__cum") <= capacity)
+      .groupBy(col("grp")).agg(min(col("__L")).as("qs_level"))
+    val kept = base.join(cut, "grp").filter(col("__lvl") >= col("qs_level"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__v"), col("__i"))
+    val indexed = kept.select(col("grp"), col("__v"), col("__i"))
+      .withColumn("__idx", row_number().over(w).cast("long"))
+    val nt = df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_total"))
+    val nk = kept.groupBy(col("grp")).agg(count(lit(1)).as("n_kept"))
+    val qs = df.sparkSession.range(1)
+      .select(explode(array(quantilesPct.map(q => lit(q.toLong)): _*)).as("q_pct"))
+    val targets = nt.join(nk, "grp").join(cut, "grp").crossJoin(broadcast(qs))
+      .withColumn("target_rank", expr("(q_pct * n_total + 99) div 100"))
+      .withColumn("__w", expr("shiftleft(CAST(1 AS BIGINT), CAST(qs_level AS INT))"))
+      .withColumn("est_idx",
+        least(expr("(target_rank + __w - 1) div __w"), col("n_kept")))
+    val ests = targets.join(indexed.select(col("grp"), col("__idx"), col("__v")),
+        targets("grp") === indexed("grp") && col("est_idx") === col("__idx"))
+      .select(targets("grp"), col("q_pct"), col("n_total"),
+        col("qs_level").as("level"), col("n_kept"), col("target_rank"),
+        col("est_idx"), col("__v").as("est_value"))
+    df.select(col(groupCol).as("grp"), col(valueCol).as("__cv"))
+      .join(broadcast(ests), "grp")
+      .groupBy(col("grp"), col("q_pct"), col("n_total"), col("level"),
+        col("n_kept"), col("target_rank"), col("est_idx"), col("est_value"))
+      .agg((sum(when(col("__cv") < col("est_value"), 1L).otherwise(0L))
+        + lit(1L)).as("est_rank"))
+      .withColumn("rank_err", abs(col("est_rank") - col("target_rank")))
+      .select(col("grp").as(groupCol), col("q_pct"), col("n_total"), col("level"),
+        col("n_kept"), col("target_rank"), col("est_idx"), col("est_value"),
+        col("est_rank"), col("rank_err"))
+      .orderBy(col(groupCol), col("q_pct"))
+  }
+
   /** Quantile-sketch MERGEABILITY under grade, the [[hllMerged]]
     * convention: sketch two disjoint halves of the corpus independently
     * (id parity), merge by unioning the kept sets and re-cutting at the

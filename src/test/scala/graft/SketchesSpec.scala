@@ -156,6 +156,42 @@ class SketchesSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("grouped quantile sketch: per-group == independent sketches, distributed sort") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    import spark.implicits._
+    // three groups of very different sizes (cuts must differ per group)
+    val df = ((0L until 8000L).map(i => ("big", i, java.lang.Long.reverse(i) >>> 16)) ++
+        (8000L until 8800L).map(i => ("mid", i, i * 37 % 1000)) ++
+        (8800L until 8830L).map(i => ("tiny", i, i)))
+      .toDF("g", "id", "value")
+    val grouped = graft.ext.Sketches
+      .quantileSketchGrouped(df, "g", "value", col("id"), Seq(50, 90))
+    val got = grouped.select(concat_ws("|", col("g"), col("q_pct"), col("n_total"),
+        col("level"), col("n_kept"), col("target_rank"), col("est_idx"),
+        col("est_value"), col("est_rank"), col("rank_err")))
+      .as[String].collect().toSeq
+    // each group must equal its own single-group sketch, row for row
+    val want = Seq("big", "mid", "tiny").flatMap { g =>
+      graft.ext.Sketches
+        .quantileSketch(df.filter(col("g") === g), "value", col("id"), Seq(50, 90))
+        .select(concat_ws("|", org.apache.spark.sql.functions.lit(g), col("q_pct"),
+          col("n_total"), col("level"), col("n_kept"), col("target_rank"),
+          col("est_idx"), col("est_value"), col("est_rank"), col("rank_err")))
+        .as[String].collect().toSeq
+    }
+    assert(got.sorted == want.sorted,
+      s"grouped sketch diverges from per-group sketches:\n got=$got\nwant=$want")
+    // a small group keeps everything (level 0, kept == n)
+    val tiny = grouped.filter(col("g") === "tiny").select("level", "n_kept", "n_total")
+      .as[(Long, Long, Long)].head()
+    assert(tiny._1 == 0L && tiny._2 == tiny._3, s"tiny group must keep all rows: $tiny")
+    // the kept-frame sort is group-partitioned, never a global funnel
+    val plan = grouped.queryExecution.executedPlan.toString
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(!windows.exists(_.contains("SinglePartition")),
+      "grouped kept sort must partition by group")
+  }
+
   test("quantile sketch merge: union-and-recut of half sketches == direct sketch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
