@@ -94,6 +94,41 @@ class DegenerateSpec extends SparkSpec {
     assert(Similarity.dimDrift(emptyEmb).count() == 0)
   }
 
+  test("empty corpus: round-12 ops degrade sanely") {
+    import org.apache.spark.sql.functions.col
+    val emptyVals = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("value", LongType),
+        StructField("g", StringType))))
+    // quantile sketch family: zero rows -> zero graded rows, no crash
+    assert(graft.ext.Sketches
+      .quantileSketch(emptyVals, "value", col("id")).count() == 0)
+    assert(graft.ext.Sketches
+      .quantileSketchGrouped(emptyVals, "g", "value", col("id")).count() == 0)
+    // single row: every quantile lands on it, rank error 0
+    val one = Seq((1L, 42L, "g")).toDF("id", "value", "g")
+    val r = graft.ext.Sketches.quantileSketch(one, "value", col("id"), Seq(50))
+      .select("est_value", "est_rank", "rank_err").as[(Long, Long, Long)].head()
+    assert(r == ((42L, 1L, 0L)))
+    // JPEG decode of empty/garbage payloads: None, and the extraction
+    // degrades to the graded unknown row
+    assert(graft.ext.Jpeg.decode(Array.emptyByteArray).isEmpty)
+    assert(graft.ext.Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
+    val garbage = Seq((7L, "image", Array[Byte](0, 1, 2, 3), "s"))
+      .toDF("media_id", "kind", "payload", "source")
+    val jp = graft.ext.Multimodal.extractJpegPixels(garbage).head()
+    assert(jp.chroma == "unknown" && jp.width == -1L && jp.mean_r == -1L)
+    // 1x1 image: single MCU, both subsamplings, exact
+    for (sub <- Seq(false, true)) {
+      val d = graft.ext.Jpeg.decode(
+        graft.ext.Jpeg.encode(1, 1, (_, _) => 0x80FF20, sub)).get
+      assert(d.width == 1 && d.height == 1)
+      val (y, cb, cr) = graft.ext.Jpeg.rgbToYcc(0x80, 0xFF, 0x20)
+      val (er, eg, eb) = graft.ext.Jpeg.yccToRgb(y, cb, cr)
+      assert(d.rgb(0) == ((er << 16) | (eg << 8) | eb))
+    }
+  }
+
   test("null text rows are dropped, not fatal") {
     // tokenization drops the null row; per-doc stats carry null metrics
     assert(WordCount.wordCount(withNull).agg(
