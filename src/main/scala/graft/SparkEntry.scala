@@ -1868,22 +1868,23 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(doc_id % 13 + 4 AS BIGINT) AS width,
         |    CAST(doc_id % 11 + 3 AS BIGINT) AS height,
-        |    CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS chroma,
+        |    CASE WHEN doc_id % 7 = 3 THEN 'gray'
+        |         WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS chroma,
         |    (doc_id * 13) % 251 AS r, (doc_id * 7) % 251 AS g, (doc_id * 3) % 251 AS b
         |  FROM documents),
         |ycc AS (
-        |  SELECT doc_id, width, height, chroma,
+        |  SELECT doc_id, width, height, chroma, r,
         |    (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
         |    128 + ((-11059*r - 21709*g + 32768*b + 32768 + 16777216) // 65536) - 256 AS cb,
         |    128 + ((32768*r - 27439*g - 5329*b + 32768 + 16777216) // 65536) - 256 AS cr
         |  FROM c)
         |SELECT doc_id AS media_id, width, height, chroma,
-        |  CAST(greatest(0, least(255,
-        |    y + ((91881*(cr-128) + 32768 + 16777216) // 65536) - 256)) AS BIGINT) AS mean_r,
-        |  CAST(greatest(0, least(255,
-        |    y - (((22554*(cb-128) + 46802*(cr-128) + 32768 + 16777216) // 65536) - 256))) AS BIGINT) AS mean_g,
-        |  CAST(greatest(0, least(255,
-        |    y + ((116131*(cb-128) + 32768 + 16777216) // 65536) - 256)) AS BIGINT) AS mean_b
+        |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
+        |    y + ((91881*(cr-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_r,
+        |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
+        |    y - (((22554*(cb-128) + 46802*(cr-128) + 32768 + 16777216) // 65536) - 256))) END AS BIGINT) AS mean_g,
+        |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
+        |    y + ((116131*(cb-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_b
         |FROM ycc ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_offset

@@ -396,6 +396,79 @@ object Jpeg {
     o.toByteArray
   }
 
+  /** Encode a GRAYSCALE baseline JPEG (one component, no color
+    * conversion — `lum(x, y)` is the sample). The 1-component scan is
+    * its own decoder path (no chroma planes, no upsampling), graded via
+    * the gray fixtures: decoded pixels are exactly the luma for
+    * constant images. */
+  def encodeGray(w: Int, h: Int, lum: (Int, Int) => Int,
+                 restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val mcuCols = (w + 7) / 8; val mcuRows = (h + 7) / 8
+    val planeW = mcuCols * 8; val planeH = mcuRows * 8
+    val plane = Array.tabulate(planeW * planeH)(i =>
+      clamp8(lum(math.min(i % planeW, w - 1), math.min(i / planeW, h - 1))))
+    val o = new java.io.ByteArrayOutputStream()
+    marker(o, 0xD8)
+    marker(o, 0xDB); be16(o, 2 + 65); o.write(0)
+    (0 until 64).foreach(_ => o.write(1))
+    marker(o, 0xC0); be16(o, 8 + 3); o.write(8)
+    be16(o, h); be16(o, w); o.write(1)
+    o.write(1); o.write(0x11); o.write(0)
+    for ((cls, spec) <- Seq((0, DcSpec), (1, AcSpec))) {
+      marker(o, 0xC4); be16(o, 2 + 1 + 16 + spec.vals.length)
+      o.write(cls << 4)
+      spec.bits.foreach(o.write)
+      spec.vals.foreach(o.write)
+    }
+    if (restartInterval > 0) { marker(o, 0xDD); be16(o, 4); be16(o, restartInterval) }
+    marker(o, 0xDA); be16(o, 6 + 2); o.write(1)
+    o.write(1); o.write(0x00)
+    o.write(0); o.write(63); o.write(0)
+    val dcEnc = encodeTable(DcSpec); val acEnc = encodeTable(AcSpec)
+    val bw = new BitWriter
+    var pred = 0; var mcuSeq = 0; var rstSeq = 0
+    val totalMcus = mcuRows * mcuCols
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        val block = Array.tabulate(64)(i =>
+          plane((my * 8 + i / 8) * planeW + mx * 8 + i % 8) - 128)
+        val coef = fdct(block)
+        val diff = coef(0) - pred; pred = coef(0)
+        val t = category(diff)
+        val (dcCode, dcLen) = dcEnc(t)
+        bw.putBits(dcCode, dcLen); if (t > 0) bw.putBits(signedBits(diff, t), t)
+        var run = 0; var k = 1
+        while (k < 64) {
+          val v0 = coef(ZigZag(k))
+          val v = if (v0 > 1023) 1023 else if (v0 < -1023) -1023 else v0
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { val (c, l) = acEnc(0xF0); bw.putBits(c, l); run -= 16 }
+            val s = category(v)
+            val (c, l) = acEnc((run << 4) | s)
+            bw.putBits(c, l); bw.putBits(signedBits(v, s), s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c, l) = acEnc(0x00); bw.putBits(c, l) }
+        mcuSeq += 1
+        if (restartInterval > 0 && mcuSeq % restartInterval == 0 && mcuSeq < totalMcus) {
+          bw.align(); bw.rawMarker(0xD0 + (rstSeq % 8)); rstSeq += 1; pred = 0
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    val scan = bw.finish()
+    o.write(scan, 0, scan.length)
+    marker(o, 0xD9)
+    o.toByteArray
+  }
+
   // ---------------------------------------------------------------------
   // Decoder
   // ---------------------------------------------------------------------

@@ -384,16 +384,24 @@ object Multimodal {
     * no oracle change: a decoder that mishandles RST hash-mismatches. */
   def fxJpegDri(id: Long): Int = if (floorMod(id, 5) == 0) 2 else 0
 
+  /** Every 7th fixture (id ≡ 3 mod 7) is GRAYSCALE — the 1-component
+    * decode path (no chroma planes, no color conversion: decoded pixels
+    * ARE the luma, means all equal `fxR`). */
+  def fxJpegGray(id: Long): Boolean = floorMod(id, 7) == 3
+
   /** A REAL baseline JPEG with an entropy-coded scan (DQT + SOF0 + DHT +
     * SOS + Huffman/DCT data — not the dimension-only shell): constant
     * color `(fxR, fxG, fxB)` at `fxW × fxH`. Constant blocks are DC-only
     * under the all-ones quantization tables, so the decode is exact and
     * the decoded means are the closed-form integer YCbCr round trip of
     * the fixture color ([[Jpeg]] color contract) — SQL-replayable. */
-  def syntheticJpegScan(id: Long): Array[Byte] = {
-    val px = (fxR(id) << 16) | (fxG(id) << 8) | fxB(id)
-    Jpeg.encode(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id), fxJpegDri(id))
-  }
+  def syntheticJpegScan(id: Long): Array[Byte] =
+    if (fxJpegGray(id))
+      Jpeg.encodeGray(fxW(id), fxH(id), (_, _) => fxR(id), fxJpegDri(id))
+    else {
+      val px = (fxR(id) << 16) | (fxG(id) << 8) | fxB(id)
+      Jpeg.encode(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id), fxJpegDri(id))
+    }
 
   /** Media table of real entropy-coded JPEG payloads, one per doc id. */
   def syntheticJpegTable(docs: DataFrame): DataFrame = {

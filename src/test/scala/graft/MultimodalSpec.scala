@@ -344,12 +344,18 @@ class MultimodalSpec extends SparkSpec {
       assert(bytes.containsSlice(Array(0xFF.toByte, 0xDA.toByte)), s"id=$id: no SOS")
       val d = Jpeg.decode(bytes).getOrElse(fail(s"id=$id: decode rejected own encoding"))
       assert(d.width == Multimodal.fxW(id) && d.height == Multimodal.fxH(id))
-      assert(d.chroma == (if (Multimodal.fxJpeg420(id)) "420" else "444"))
+      assert(d.chroma == (if (Multimodal.fxJpegGray(id)) "gray"
+        else if (Multimodal.fxJpeg420(id)) "420" else "444"))
       // constant color -> DC-only blocks -> the decode is EXACTLY the
-      // integer YCbCr round trip of the fixture color, every pixel
-      val (y, cb, cr) = Jpeg.rgbToYcc(Multimodal.fxR(id), Multimodal.fxG(id), Multimodal.fxB(id))
-      val (er, eg, eb) = Jpeg.yccToRgb(y, cb, cr)
-      val expect = (er << 16) | (eg << 8) | eb
+      // integer YCbCr round trip of the fixture color (gray: the luma
+      // verbatim, no conversion in the 1-component path), every pixel
+      val expect = if (Multimodal.fxJpegGray(id)) {
+        val v = Multimodal.fxR(id); (v << 16) | (v << 8) | v
+      } else {
+        val (y, cb, cr) = Jpeg.rgbToYcc(Multimodal.fxR(id), Multimodal.fxG(id), Multimodal.fxB(id))
+        val (er, eg, eb) = Jpeg.yccToRgb(y, cb, cr)
+        (er << 16) | (eg << 8) | eb
+      }
       assert(d.rgb.forall(_ == expect),
         s"id=$id: expected ${expect.toHexString}, got ${d.rgb.distinct.map(_.toHexString).mkString(",")}")
     }
@@ -412,6 +418,28 @@ class MultimodalSpec extends SparkSpec {
     val drift = (0 until w * h).flatMap(i => Seq(16, 8, 0).map(s =>
       math.abs(((d1.rgb(i) >> s) & 0xFF) - ((d2.rgb(i) >> s) & 0xFF)))).max
     assert(drift <= 6, s"re-encode drift $drift")
+  }
+
+  test("JPEG grayscale: 1-component scan round-trips; no color conversion applied") {
+    import graft.ext.Jpeg
+    // constant: exact, pixels ARE the luma (no YCbCr in the path)
+    val dc = Jpeg.decode(Jpeg.encodeGray(13, 9, (_, _) => 177)).get
+    assert(dc.width == 13 && dc.height == 9 && dc.chroma == "gray")
+    assert(dc.rgb.forall(_ == ((177 << 16) | (177 << 8) | 177)))
+    // general random luma: full AC pipeline, tight bound (no color
+    // conversions in the chain -- DCT rounding only)
+    val rnd = new scala.util.Random(23)
+    val w = 21; val h = 17
+    val px = Array.fill(h * w)(rnd.nextInt(256))
+    val d = Jpeg.decode(Jpeg.encodeGray(w, h, (x, y) => px(y * w + x))).get
+    val maxErr = (0 until w * h).map(i => math.abs(px(i) - (d.rgb(i) & 0xFF))).max
+    assert(maxErr <= 8, s"gray round-trip error $maxErr")
+    assert(d.rgb.forall(p => ((p >> 16) & 0xFF) == (p & 0xFF)), "gray means r==g==b")
+    // gray + restart markers compose
+    val dr = Jpeg.decode(Jpeg.encodeGray(24, 24, (x, y) => px((y % 17) * 21 + x % 21),
+      restartInterval = 3)).get
+    val plain = Jpeg.decode(Jpeg.encodeGray(24, 24, (x, y) => px((y % 17) * 21 + x % 21))).get
+    assert(dr.rgb.sameElements(plain.rgb))
   }
 
   test("JPEG restart markers: RST stream decodes identically; corrupt RST rejects") {
