@@ -359,6 +359,54 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("quantile sketch == pure-Scala sampler model under any partitioning") {
+    // independent reimplementation of the contract: hash, trailing-zero
+    // level, smallest-fitting cut, (value, hashed-id) order, ceil-division
+    // index pick, strictly-below rank — then compared row for row
+    def model(rows: Seq[(Long, Long)], qs: Seq[Int], cap: Long)
+        : Seq[(Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      if (rows.isEmpty) return Seq.empty
+      def hash(id: Long): Long = {
+        val i = Math.floorMod(id, 2147483648L)
+        val h0 = (i * 2654435761L) % 2147483648L
+        val h1 = h0 ^ (h0 / 65536)
+        val h2 = (h1 * 2246822519L) % 2147483648L
+        h2 ^ (h2 / 8192)
+      }
+      def lvl(h: Long): Int = if (h == 0) 31 else java.lang.Long.numberOfTrailingZeros(h)
+      val staged = rows.map { case (id, v) =>
+        (v, Math.floorMod(id, 2147483648L), lvl(hash(id))) }
+      val cut = (0 to 31).find(l => staged.count(_._3 >= l) <= cap)
+      cut match {
+        case None => Seq.empty
+        case Some(l) =>
+          val kept = staged.filter(_._3 >= l).map(t => (t._1, t._2)).sorted
+          val n = rows.size.toLong
+          val w = 1L << l
+          qs.map { q =>
+            val t = (q * n + 99) / 100
+            val idx = math.min((t + w - 1) / w, kept.size.toLong)
+            val est = kept(idx.toInt - 1)._1
+            val rank = rows.count(_._2 < est) + 1L
+            (q.toLong, n, l.toLong, kept.size.toLong, t, idx, est, rank,
+              math.abs(rank - t))
+          }
+      }
+    }
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 1000000L), Gen.choose(0L, 40L)))
+    } yield rows.groupBy(_._1).map(_._2.head).toSeq // distinct ids
+    check("qsketch", Prop.forAll(gen, Gen.choose(1, 5)) { (rows, parts) =>
+      val df = rows.toDF("id", "value").repartition(parts)
+      val got = graft.ext.Sketches
+        .quantileSketch(df, "value", col("id"), Seq(25, 50, 75, 95), capacity = 8L)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq.sortBy(_._1)
+      got == model(rows, Seq(25, 50, 75, 95), 8L).sortBy(_._1)
+    })
+  }
+
   test("identical docs always share minhash signatures") {
     check("minhash-identical", Prop.forAll(doc.suchThat(_.trim.nonEmpty)) { t =>
       val df = Seq((0L, t, "a"), (1L, t, "b")).toDF("doc_id", "text", "source")
