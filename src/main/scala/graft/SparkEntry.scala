@@ -195,6 +195,10 @@ object SparkEntry {
     // write (torn write — no offset commit), restart from the checkpoint,
     // grade the landed parquet — exactly-once through the production sink
     "stream_recovery" -> ((s, d) => streaming.EventsStream.recoveredDedupLanded(s, d)),
+    // sketch-at-ingest: the quantile sketch maintained per micro-batch
+    // (state union raw batch, lossless re-cut); the final state must BE
+    // the single-pass sketch — graded by the same closed-form oracle
+    "stream_quantile" -> ((s, d) => streaming.EventsStream.quantileSketchStreamLanded(s, d)),
     // late-data drop accounting: planted rows beyond the watermark must
     // be dropped and unfinalized windows withheld (see lateFixtureDir)
     "stream_late" -> ((s, d) => streaming.EventsStream.lateWindowCountsLanded(s, d)),
@@ -2138,6 +2142,9 @@ object SparkEntry {
       "lineitem", "l_extendedprice", "l_orderkey * 8 + l_linenumber"),
     "sketch_quantile_grouped" -> OracleSql.quantileSketchGrouped(
       "lineitem", "l_returnflag", "l_extendedprice", "l_orderkey * 8 + l_linenumber"),
+    // the maintained-across-micro-batches sketch must equal the
+    // single-pass sketch of the whole table — same replay, zero slack
+    "stream_quantile" -> OracleSql.quantileSketch("events", "user_id", "event_id"),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)

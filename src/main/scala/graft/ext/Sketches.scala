@@ -192,12 +192,15 @@ object Sketches {
 
   /** Trailing-zero count of the 31-bit hash `h` (0-based; 31 for h = 0):
     * the item's sampling LEVEL — geometric, so level ≥ L keeps each row
-    * with probability 2^-L. Same `h AND -h` isolation as [[rank25]]:
-    * no doubles, no engine-dependent log2 rounding. */
+    * with probability 2^-L. Branch-free integer form: `h AND -h`
+    * isolates the lowest set bit (a power of two), and popcount of that
+    * minus one IS the trailing-zero count — no doubles, no
+    * engine-dependent log2 rounding, and codegen-friendly (the 31-case
+    * CASE chain this replaces blew janino's method limit inside
+    * micro-batch plans). */
   private def levelOf(h: Column): Column =
-    (0 until 31).foldLeft(when(h === 0L, lit(31L))) { (acc, r) =>
-      acc.when(h.bitwiseAND(-h) === (1L << r), lit(r.toLong))
-    }.otherwise(lit(-1L)) // unreachable: some bit of a non-zero h is set
+    when(h === 0L, lit(31L))
+      .otherwise(bit_count(h.bitwiseAND(-h) - lit(1L)).cast("long"))
 
   /** Per-level histogram → the sampler cut: the smallest level L whose
     * kept count (rows with level ≥ L) is ≤ capacity. Because L is chosen
@@ -269,6 +272,71 @@ object Sketches {
     // exact rank of each estimate: rows strictly below it, one corpus
     // scan against the broadcast ≤|quantiles|-row estimate frame
     df.select(col(valueCol).as("__cv")).crossJoin(broadcast(ests))
+      .groupBy(col("q_pct"), col("n_total"), col("level"), col("n_kept"),
+        col("target_rank"), col("est_idx"), col("est_value"))
+      .agg((sum(when(col("__cv") < col("est_value"), 1L).otherwise(0L))
+        + lit(1L)).as("est_rank"))
+      .withColumn("rank_err", abs(col("est_rank") - col("target_rank")))
+      .select(col("q_pct"), col("n_total"), col("level"), col("n_kept"),
+        col("target_rank"), col("est_idx"), col("est_value"),
+        col("est_rank"), col("rank_err"))
+      .orderBy(col("q_pct"))
+  }
+
+  /** The sampler staging exposed for INCREMENTAL maintainers: hash,
+    * trailing-zero level, fold to the (value, hashed id, level) frame. */
+  def stageLeveled(df: DataFrame, valueCol: String, idExpr: Column): DataFrame =
+    withSamplerHash(df.select(col(valueCol).as("__v"), idExpr.as("__rid")), col("__rid"))
+      .withColumn("__lvl", levelOf(col("__h")))
+      .select(col("__v"), col("__i"), col("__lvl"))
+
+  /** Incremental re-cut: given the current kept state (complete at
+    * levels ≥ `floorLevel`) unioned with a RAW staged batch (complete at
+    * every level — a level-0 sketch), pick the smallest L ≥ floorLevel
+    * whose population fits and filter to it. Because each micro-batch's
+    * raw rows carry all levels and the state is complete above its own
+    * floor, the union's counts at L ≥ floorLevel are the TRUE counts of
+    * everything seen — so the maintained state equals the single-pass
+    * sketch of the full stream at every step (the [[quantileSketchMerged]]
+    * argument, applied per batch). The level histogram collected here is
+    * ≤ 32 rows — driver-bounded like every codebook. */
+  def recut(union: DataFrame, floorLevel: Long,
+            capacity: Long = QsCapacity): (DataFrame, Long) = {
+    val counts = union.groupBy(col("__lvl")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val level = (floorLevel to 31L)
+      .find(l => (l to 31L).map(counts.getOrElse(_, 0L)).sum <= capacity)
+      .getOrElse(32L)
+    (union.filter(col("__lvl") >= level), level)
+  }
+
+  /** The graded report from MAINTAINED state (level and totals are
+    * literals here, not frames): same columns, same integer arithmetic
+    * as [[quantileSketch]] — a maintained state that equals the direct
+    * sketch produces a bit-identical report. */
+  def quantileReportFromState(kept: DataFrame, level: Long, nTotal: Long,
+                              corpusVals: DataFrame,
+                              quantilesPct: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v"), col("__i"))
+    val indexed = kept.select(col("__v"), col("__i"))
+      .withColumn("__idx", row_number().over(w).cast("long"))
+    val nKept = kept.count()
+    val width = 1L << level.toInt
+    val targets = quantilesPct.map { q =>
+      val t = (q * nTotal + 99) / 100
+      val idx = math.min((t + width - 1) / width, nKept)
+      (q.toLong, t, idx)
+    }
+    val spark = kept.sparkSession
+    import spark.implicits._
+    val ests = targets.toDF("q_pct", "target_rank", "est_idx")
+      .join(broadcast(indexed.select(col("__idx"), col("__v"))),
+        col("est_idx") === col("__idx"))
+      .select(col("q_pct"), lit(nTotal).as("n_total"), lit(level).as("level"),
+        lit(nKept).as("n_kept"), col("target_rank"), col("est_idx"),
+        col("__v").as("est_value"))
+    corpusVals.crossJoin(broadcast(ests))
       .groupBy(col("q_pct"), col("n_total"), col("level"), col("n_kept"),
         col("target_rank"), col("est_idx"), col("est_value"))
       .agg((sum(when(col("__cv") < col("est_value"), 1L).otherwise(0L))

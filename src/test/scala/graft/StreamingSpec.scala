@@ -319,6 +319,17 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("maintained quantile sketch across micro-batches == single-pass batch sketch") {
+    val got = EventsStream.quantileSketchStreamLanded(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val want = ext.Sketches.quantileSketch(
+        Tables.events(spark, dir), "user_id", col("event_id"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      s"per-batch union+recut drifted from the direct sketch:\n got=$got\nwant=$want")
+    assert(got.nonEmpty && got.forall(_._4 <= ext.Sketches.QsCapacity))
+  }
+
   test("crash recovery: killed drain restarts exactly-once through the parquet sink") {
     val recovered = EventsStream.recoveredDedupLanded(spark, dir)
       .as[(Long, String)].collect().toSeq
