@@ -77,6 +77,7 @@ object Plans {
     "sketch_quantile" -> "level histogram is a ≤32-row agg; the only window sorts the ≤capacity kept frame (cut guarantees the bound); estimate probes broadcast ≤|quantiles| rows against ONE corpus scan — no corpus-wide sort anywhere",
     "sketch_quantile_merge" -> "each half folds to a ≤capacity kept set; the re-cut is a ≤32-row agg with a 1-row floor broadcast; every summary is a bounded agg — corpus scanned once per sketch, never joined to itself",
     "mm_jpeg_pixels" -> "the full Huffman+IDCT decode runs inside mapPartitions over the payload scan; only fixed-width pixel stats cross the shuffle — payload bytes never leave the scan stage",
+    "sketch_quantile_grouped" -> "per-group cuts from group-keyed ≤32-level histograms; the kept sort is a Window PARTITIONED BY GROUP (bounded per group, distributed across groups — no SinglePartition); exact-rank probes are a group-keyed equi-join",
     "q18_large_orders" -> "quantity agg over the FACT table alone (partial combine), HAVING filters before anything joins; only surviving keys meet orders/customer",
   )
 
