@@ -2021,6 +2021,114 @@ object OracleSql {
        |FROM agg JOIN ex USING (grp) ORDER BY $groupCol""".stripMargin
   }
 
+  /** The shared 31-bit hash chain of the contract sketches, as DuckDB
+    * CTE stages ending in column `h` (mirror of Sketches.withHash31). */
+  private def hash31Ctes(src: String, keyed: String): String =
+    s"""h0 AS (SELECT $keyed FROM $src),
+       |h1 AS (SELECT * REPLACE (xor(v, v // 65536) AS v) FROM h0),
+       |h2 AS (SELECT * REPLACE ((v * 2246822519) % 2147483648 AS v) FROM h1),
+       |h AS (SELECT * REPLACE (xor(v, v // 8192) AS v) FROM h2)""".stripMargin
+
+  /** Contract-hash KMV/theta sketch (mirror of Sketches.thetaSketch):
+    * same 31-bit hash chain, k smallest DISTINCT hashes per group kept
+    * ascending, θ = kth minimum (M while undersized), same one-double
+    * estimate arithmetic. */
+  /** The direct per-group KMV CTE chain shared by [[thetaDistinct]] and
+    * [[thetaMerged]] (whose graded claim is merged == direct). Ends in
+    * `sk(grp, n_kept, state_csv, kth)` and `ex(grp, n_distinct_exact)`. */
+  private def thetaCtes(table: String, groupCol: String, keyCol: String,
+                        k: Int): String =
+    s"""${hash31Ctes(table,
+        s"$groupCol AS grp, ($keyCol * 2654435761) % 2147483648 AS v")},
+       |d AS (SELECT DISTINCT grp, v AS h FROM h),
+       |r AS (SELECT grp, h,
+       |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+       |sk AS (
+       |  SELECT grp, count(*)::BIGINT AS n_kept,
+       |    array_to_string(list(h ORDER BY h), ',') AS state_csv,
+       |    max(h)::BIGINT AS kth
+       |  FROM r WHERE rn <= $k GROUP BY grp),
+       |ex AS (SELECT $groupCol AS grp,
+       |         count(DISTINCT $keyCol)::BIGINT AS n_distinct_exact
+       |       FROM $table GROUP BY 1)""".stripMargin
+
+  private def thetaSelect(k: Int): String = {
+    val m = ext.Sketches.ThetaM
+    val numLit = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box((k - 1).toDouble * m.toDouble * 100.0))
+    s"""n_kept,
+       |  (CASE WHEN n_kept < $k THEN $m ELSE kth END)::BIGINT AS theta,
+       |  state_csv,
+       |  (CASE WHEN n_kept < $k THEN n_kept * 100
+       |        ELSE CAST(round($numLit / kth::DOUBLE) AS BIGINT)
+       |   END)::BIGINT AS est_scaled,
+       |  n_distinct_exact""".stripMargin
+  }
+
+  def thetaDistinct(table: String, groupCol: String, keyCol: String,
+                    k: Int = ext.Sketches.ThetaK): String =
+    s"""WITH ${thetaCtes(table, groupCol, keyCol, k)}
+       |SELECT sk.grp AS $groupCol, ${thetaSelect(k)}
+       |FROM sk JOIN ex USING (grp)
+       |ORDER BY $groupCol""".stripMargin
+
+  /** Mirror of Sketches.thetaMerged: the oracle computes the DIRECT
+    * single-pass per-group sketch (plus the subgroup count) — a lossy
+    * engine-side merge hash-mismatches against it. */
+  def thetaMerged(table: String, groupCol: String, subCol: String,
+                  keyCol: String, k: Int = ext.Sketches.ThetaK): String =
+    s"""WITH ${thetaCtes(table, groupCol, keyCol, k)},
+       |sub AS (SELECT $groupCol AS grp,
+       |          count(DISTINCT $subCol)::BIGINT AS n_subgroups
+       |        FROM $table GROUP BY 1)
+       |SELECT sk.grp AS $groupCol, n_subgroups, ${thetaSelect(k)}
+       |FROM sk JOIN ex USING (grp) JOIN sub USING (grp)
+       |ORDER BY $groupCol""".stripMargin
+
+  /** Mirror of Sketches.thetaOps: both slices sketched under the shared
+    * hash, re-truncated to the common θ = min(θ_A, θ_B), set algebra on
+    * the below-θ hash sets, estimates = count·M/θ, exact
+    * intersection/difference beside them. */
+  def thetaOps(table: String, keyCol: String, predA: String, predB: String,
+               k: Int = ext.Sketches.ThetaK): String = {
+    val m = ext.Sketches.ThetaM
+    val mLit = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(m.toDouble * 100.0))
+    def est(n: String) =
+      s"CAST(round(($n)::DOUBLE * $mLit / theta::DOUBLE) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT 'a' AS s, $keyCol AS key FROM $table WHERE $predA
+       |  UNION ALL
+       |  SELECT 'b', $keyCol FROM $table WHERE $predB),
+       |${hash31Ctes("base", "s, (key * 2654435761) % 2147483648 AS v")},
+       |d AS (SELECT DISTINCT s, v AS h FROM h),
+       |r AS (SELECT s, h,
+       |        row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM d),
+       |kk AS (SELECT s, h FROM r WHERE rn <= $k),
+       |th AS (SELECT s, (CASE WHEN count(*) < $k THEN $m ELSE max(h) END)::BIGINT
+       |         AS theta FROM kk GROUP BY s),
+       |t AS (SELECT min(theta)::BIGINT AS theta FROM th),
+       |ba AS (SELECT h FROM kk, t WHERE s = 'a' AND h < theta),
+       |bb AS (SELECT h FROM kk, t WHERE s = 'b' AND h < theta),
+       |na AS (SELECT count(*)::BIGINT AS n_a_below FROM ba),
+       |nb AS (SELECT count(*)::BIGINT AS n_b_below FROM bb),
+       |ni AS (SELECT count(*)::BIGINT AS n_inter FROM ba JOIN bb USING (h)),
+       |ex AS (SELECT
+       |    count(DISTINCT CASE WHEN ($predA) AND ($predB) THEN $keyCol END
+       |      )::BIGINT AS n_inter_exact,
+       |    count(DISTINCT CASE WHEN ($predA) AND NOT ($predB) THEN $keyCol END
+       |      )::BIGINT AS n_diff_exact
+       |  FROM $table)
+       |SELECT theta, n_a_below, n_b_below, n_inter,
+       |  (n_a_below + n_b_below - n_inter)::BIGINT AS n_union,
+       |  (n_a_below - n_inter)::BIGINT AS n_diff,
+       |  ${est("n_a_below + n_b_below - n_inter")} AS est_union_scaled,
+       |  ${est("n_inter")} AS est_inter_scaled,
+       |  ${est("n_a_below - n_inter")} AS est_diff_scaled,
+       |  n_inter_exact, n_diff_exact
+       |FROM t, na, nb, ni, ex""".stripMargin
+  }
+
   /** Contract-hash count-min sketch (mirror of Sketches.cmsTokenCounts):
     * same Horner token hash into 31 bits, same per-row multipliers and
     * xorshift finalizer, same d×w counter build and min-probe. */

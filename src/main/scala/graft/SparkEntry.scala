@@ -240,6 +240,26 @@ object SparkEntry {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))),
+    // KMV/theta sketch: the k smallest distinct contract hashes ARE the
+    // state (CSV-graded like the HLL registers); supports the direct set
+    // algebra HLL can't (see sketch_theta_ops)
+    "sketch_theta" -> ((s, d) =>
+      ext.Sketches.thetaSketch(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    // KMV mergeability: per-linestatus states refolded through the same
+    // bounded buffer must equal the direct per-group sketch (the oracle
+    // computes ONLY the direct one — a lossy merge hash-mismatches)
+    "sketch_theta_merge" -> ((s, d) =>
+      ext.Sketches.thetaMerged(Tables.lineitem(s, d), "l_returnflag",
+        "l_linestatus", "l_partkey")),
+    // theta set algebra: DIRECT union/intersection/difference estimates
+    // from the two bounded states below the common theta — never negative
+    // (unlike HLL inclusion-exclusion), and a difference estimate exists.
+    // Same overlapping date slices as sketch_hll_intersect
+    "sketch_theta_ops" -> ((s, d) =>
+      ext.Sketches.thetaOps(Tables.lineitem(s, d), "l_orderkey",
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))),
     // CMS with contract hashes: counter table + top-k probe, graded;
     // the never-undercount guarantee is visible per row (over_count >= 0)
     "sketch_cms" -> ((s, d) => ext.Sketches.cmsTokenCounts(Tables.documents(s, d))),
@@ -2133,6 +2153,12 @@ object SparkEntry {
     "sketch_hll" -> OracleSql.hllDistinct("lineitem", "l_returnflag", "l_partkey"),
     "sketch_hll_merge" -> OracleSql.hllMerged("lineitem", "l_returnflag", "l_partkey"),
     "sketch_hll_intersect" -> OracleSql.hllIntersect("lineitem", "l_orderkey",
+      "l_shipdate < TIMESTAMP '1997-01-01'",
+      "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"),
+    "sketch_theta" -> OracleSql.thetaDistinct("lineitem", "l_returnflag", "l_partkey"),
+    "sketch_theta_merge" -> OracleSql.thetaMerged("lineitem", "l_returnflag",
+      "l_linestatus", "l_partkey"),
+    "sketch_theta_ops" -> OracleSql.thetaOps("lineitem", "l_orderkey",
       "l_shipdate < TIMESTAMP '1997-01-01'",
       "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"),
     "sketch_cms" -> OracleSql.cmsTokenCounts(20),

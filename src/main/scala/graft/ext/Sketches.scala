@@ -530,4 +530,138 @@ object Sketches {
         (col("cms_count") - col("true_count")).as("over_count"))
       .orderBy(col("true_count").desc, col("word"))
   }
+
+  // ---------------------------------------------------------------------
+  // KMV ("theta") distinct sketch: bounded set algebra over hash minima
+  // ---------------------------------------------------------------------
+
+  /** Values kept per KMV sketch; relative error ≈ 1/√(k−2) ≈ 18%. */
+  val ThetaK = 32
+
+  /** Size of the contract-hash space: `__h` is uniform on [0, 2³¹). */
+  val ThetaM: Long = 1L << 31
+
+  private def thetaEstScaled(nKept: Column, theta: Column, k: Int): Column =
+    when(nKept < k, nKept * lit(100L)).otherwise(
+      round(lit((k - 1).toDouble * ThetaM.toDouble * 100.0) /
+        theta.cast("double")).cast("long"))
+
+  private def thetaProject(sk: DataFrame, k: Int): DataFrame =
+    sk.withColumn("n_kept", size(col("mins")).cast("long"))
+      .withColumn("theta",
+        when(col("n_kept") < k, lit(ThetaM))
+          .otherwise(element_at(col("mins"), k)))
+      .withColumn("state_csv",
+        concat_ws(",", transform(col("mins"), _.cast("string"))))
+      .withColumn("est_scaled", thetaEstScaled(col("n_kept"), col("theta"), k))
+
+  /** KMV distinct-count sketch per group, fully graded: the k smallest
+    * distinct contract hashes (the ENTIRE sketch state, as a CSV like
+    * the HLL register vector), the threshold θ = kth minimum, the
+    * estimate `round((k−1)·M/θ · 100)` — exact `n_kept·100` while the
+    * sketch still holds the whole hash set — and the exact distinct
+    * count beside it so the error is visible in the graded row.
+    *
+    * Why a second distinct sketch next to HLL: KMV states support DIRECT
+    * set algebra — intersection and difference estimates from the hashes
+    * below the common θ ([[thetaOps]]) — where HLL can only reach an
+    * intersection through inclusion–exclusion, compounding both sides'
+    * errors. The price is k values of state per group instead of m
+    * registers, still constant.
+    *
+    * Scale shape: ONE hash aggregation; the [[graft.core.BottomKDistinctAggregator]]
+    * buffer is ≤ k longs, so map-side partials ship ≤ k values per
+    * (partition, group) — keys never cross the shuffle, and the same
+    * fold IS the distributed merge ([[thetaMerged]] grades it). */
+  def thetaSketch(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = ThetaK): DataFrame = {
+    val bottomK = udaf(new graft.core.BottomKDistinctAggregator(k))
+    val sk = withHash31(df, keyCol)
+      .groupBy(col(groupCol)).agg(bottomK(col("__h")).as("mins"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_distinct_exact"))
+    thetaProject(sk, k)
+      .join(exact, groupCol)
+      .select(col(groupCol), col("n_kept"), col("theta"), col("state_csv"),
+        col("est_scaled"), col("n_distinct_exact"))
+      .orderBy(groupCol)
+  }
+
+  /** KMV MERGEABILITY under grade: sketch each `subCol` slice of a group
+    * independently, merge the per-slice states by refolding their kept
+    * hashes through the same bounded buffer, and emit the merged
+    * per-group sketch. The oracle derives the DIRECT single-pass
+    * per-group sketch only — the graded claim is that the merge is
+    * lossless (the k smallest distinct of a union are always inside the
+    * per-side k-smallest sets), so any buffer that drops or duplicates a
+    * minimum hash-mismatches. `n_subgroups` rides along to show the
+    * merge genuinely folded multiple states. */
+  def thetaMerged(df: DataFrame, groupCol: String, subCol: String,
+                  keyCol: String, k: Int = ThetaK): DataFrame = {
+    val bottomK = udaf(new graft.core.BottomKDistinctAggregator(k))
+    val perSub = withHash31(df, keyCol)
+      .groupBy(col(groupCol), col(subCol)).agg(bottomK(col("__h")).as("mins"))
+    val merged = perSub
+      .select(col(groupCol), explode(col("mins")).as("h"))
+      .groupBy(col(groupCol)).agg(bottomK(col("h")).as("mins"))
+    val subs = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(subCol)).as("n_subgroups"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_distinct_exact"))
+    thetaProject(merged, k)
+      .join(subs, groupCol).join(exact, groupCol)
+      .select(col(groupCol), col("n_subgroups"), col("n_kept"), col("theta"),
+        col("state_csv"), col("est_scaled"), col("n_distinct_exact"))
+      .orderBy(groupCol)
+  }
+
+  /** Theta-sketch set algebra — the operation KMV exists for: DIRECT
+    * union / intersection / difference estimates between two slices,
+    * from their two bounded states alone. Both sides sketch under the
+    * shared contract hash; θ = min(θ_A, θ_B) re-truncates each state to
+    * its hashes below θ (each side is then a uniform sample of its set
+    * at rate θ/M), and every estimate is `|below-θ set op| · M/θ`:
+    * unlike [[hllIntersect]]'s inclusion–exclusion, the intersection is
+    * counted directly — it can never go negative, and a difference
+    * estimate exists at all. One graded row: θ, the five below-θ
+    * cardinalities (a∪b, a∩b, a\b kept as exact integers), the three
+    * scaled estimates, and the exact intersection/difference counts
+    * beside them.
+    *
+    * Scale shape: two bounded aggregations over one scan each (the
+    * filters run map-side), then pure ≤k-element array algebra on a
+    * one-row frame — nothing after the partial aggregate depends on
+    * data size. */
+  def thetaOps(df: DataFrame, keyCol: String,
+               predA: Column, predB: Column, k: Int = ThetaK): DataFrame = {
+    val bottomK = udaf(new graft.core.BottomKDistinctAggregator(k))
+    def side(pred: Column, out: String): DataFrame =
+      thetaProject(
+        withHash31(df.filter(pred), keyCol).agg(bottomK(col("__h")).as("mins")), k)
+        .select(col("mins").as(s"mins_$out"), col("n_kept").as(s"n_kept_$out"),
+          col("theta").as(s"theta_$out"))
+    val exact = df.agg(
+      count_distinct(when(predA && predB, col(keyCol))).as("n_inter_exact"),
+      count_distinct(when(predA && !predB, col(keyCol))).as("n_diff_exact"))
+    def estOf(n: Column): Column =
+      round(n.cast("double") * lit(ThetaM.toDouble * 100.0) /
+        col("theta").cast("double")).cast("long")
+    side(predA, "a").crossJoin(broadcast(side(predB, "b")))
+      .withColumn("theta", least(col("theta_a"), col("theta_b")))
+      .withColumn("ba", filter(col("mins_a"), _ < col("theta")))
+      .withColumn("bb", filter(col("mins_b"), _ < col("theta")))
+      .withColumn("n_a_below", size(col("ba")).cast("long"))
+      .withColumn("n_b_below", size(col("bb")).cast("long"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ba"), col("bb"))).cast("long"))
+      .withColumn("n_union",
+        (col("n_a_below") + col("n_b_below") - col("n_inter")).cast("long"))
+      .withColumn("n_diff", (col("n_a_below") - col("n_inter")).cast("long"))
+      .select(col("theta"), col("n_a_below"), col("n_b_below"), col("n_inter"),
+        col("n_union"), col("n_diff"),
+        estOf(col("n_union")).as("est_union_scaled"),
+        estOf(col("n_inter")).as("est_inter_scaled"),
+        estOf(col("n_diff")).as("est_diff_scaled"))
+      .crossJoin(broadcast(exact))
+  }
 }

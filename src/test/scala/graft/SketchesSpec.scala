@@ -205,4 +205,85 @@ class SketchesSpec extends SparkSpec {
         s"$c: merged=${get(s"${c}_merged")} direct=${get(s"${c}_direct")} — merge lost rows")
     }
   }
+
+  test("theta sketch: exact below k, in the k=32 error band above, state sorted and bounded") {
+    import spark.implicits._
+    // small group: fewer distinct keys than k -> sketch IS the set, est exact
+    val small = (0L until 10L).map(k => (k, "s")).toDF("k", "g")
+    val sr = Sketches.thetaSketch(small, "g", "k")
+      .select("n_kept", "theta", "state_csv", "est_scaled", "n_distinct_exact")
+      .as[(Long, Long, String, Long, Long)].head()
+    assert(sr._1 == 10L && sr._2 == Sketches.ThetaM && sr._4 == 1000L && sr._5 == 10L)
+    // real table: state is exactly k ascending distinct hashes; 3 sigma
+    // at k=32 is ~3/sqrt(30) ~ 55%
+    val rows = Sketches.thetaSketch(Tables.lineitem(spark, sf), "l_returnflag", "l_partkey")
+      .select("l_returnflag", "n_kept", "theta", "state_csv", "est_scaled", "n_distinct_exact")
+      .as[(String, Long, Long, String, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq("A", "N", "R"))
+    for ((flag, nKept, theta, csv, estScaled, exact) <- rows) {
+      val mins = csv.split(",").map(_.toLong)
+      assert(nKept == Sketches.ThetaK && mins.length == Sketches.ThetaK, flag)
+      assert(mins.toSeq == mins.sorted.toSeq && mins.distinct.length == mins.length, flag)
+      assert(theta == mins.last, flag)
+      val est = estScaled / 100.0
+      assert(math.abs(est - exact) <= 0.55 * exact,
+        s"$flag: est $est vs exact $exact out of band")
+    }
+  }
+
+  test("theta sketch state is partitioning-invariant (the bounded merge is lossless)") {
+    val li = Tables.lineitem(spark, sf)
+    def states(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      Sketches.thetaSketch(df, "l_returnflag", "l_partkey")
+        .select("l_returnflag", "state_csv")
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    assert(states(li.repartition(1)) == states(li.repartition(13)))
+  }
+
+  test("theta merge: per-slice states refolded == direct sketch, overlapping slices") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // keys overlap across slices: a merge that double-counted or dropped
+    // a minimum would diverge from the direct sketch
+    val df = ((0L until 600L).map(k => (k, "g", "s1")) ++
+        (300L until 900L).map(k => (k, "g", "s2")) ++
+        (0L until 100L).map(k => (k, "g", "s3")))
+      .toDF("k", "g", "sub")
+    val merged = Sketches.thetaMerged(df, "g", "sub", "k")
+      .select("n_subgroups", "state_csv", "est_scaled")
+      .as[(Long, String, Long)].head()
+    val direct = Sketches.thetaSketch(df, "g", "k")
+      .select(col("state_csv"), col("est_scaled")).as[(String, Long)].head()
+    assert(merged._1 == 3L)
+    assert((merged._2, merged._3) == direct)
+  }
+
+  test("theta set algebra: self-intersection exact, disjoint slices, never negative") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = Tables.lineitem(spark, sf)
+    def opsRow(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val r = Sketches.thetaOps(li, "l_orderkey", a, b).collect().head
+      val get = (c: String) => r.getLong(r.fieldIndex(c))
+      get
+    }
+    // A ∩ A == A: identical predicates give identical below-theta sets
+    val self = opsRow(col("l_returnflag") === "R", col("l_returnflag") === "R")
+    assert(self("n_inter") == self("n_a_below"))
+    assert(self("n_diff") == 0L && self("est_diff_scaled") == 0L)
+    assert(self("n_diff_exact") == 0L)
+    // parity-disjoint keys: exact intersection empty; the DIRECT theta
+    // estimate stays >= 0 by construction (HLL's subtraction can't say that)
+    val disj = opsRow(col("l_orderkey") % 2 === 0, col("l_orderkey") % 2 === 1)
+    assert(disj("n_inter_exact") == 0L)
+    assert(disj("est_inter_scaled") >= 0L)
+    // the graded fixture slices genuinely overlap
+    val real = opsRow(
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    assert(real("n_inter_exact") > 0L && real("n_inter") > 0L)
+    // identities that must hold exactly on the below-theta sets
+    assert(real("n_union") == real("n_a_below") + real("n_b_below") - real("n_inter"))
+    assert(real("n_diff") == real("n_a_below") - real("n_inter"))
+  }
 }
