@@ -1507,6 +1507,66 @@ object OracleSql {
        |SELECT actual, pred, count(*) AS n FROM pred
        |GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
 
+  /** Cohen's kappa of the NB self-eval (mirror of Eval.kappaReport over
+    * naiveBayesPredict): confusion fold, full-outer marginal join (a
+    * never-predicted class still contributes its row marginal), products
+    * in wide integers (HUGEINT here, DECIMAL(38,0) in Spark), one final
+    * double ratio from the same exact integers. */
+  val nbKappa: String =
+    s"""WITH $nbScoreCtes,
+       |rn AS (
+       |  SELECT doc_id, cls, score_scaled,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_scaled DESC, cls) AS rn
+       |  FROM sc),
+       |pred AS (
+       |  SELECT r.doc_id, r.cls AS pred, d.lang AS actual
+       |  FROM rn r JOIN documents d USING (doc_id) WHERE rn = 1),
+       |conf AS (SELECT actual, pred, count(*)::BIGINT AS cnt
+       |         FROM pred GROUP BY 1, 2),
+       |rm AS (SELECT actual AS c, sum(cnt) AS row_n FROM conf GROUP BY 1),
+       |cm2 AS (SELECT pred AS c, sum(cnt) AS col_n FROM conf GROUP BY 1),
+       |marg AS (
+       |  SELECT coalesce(row_n, 0) AS row_n, coalesce(col_n, 0) AS col_n
+       |  FROM rm FULL JOIN cm2 USING (c)),
+       |src AS (SELECT sum(row_n * col_n) AS sum_rc FROM marg),
+       |tot AS (SELECT count(*) AS n,
+       |          sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS n_agree
+       |        FROM pred),
+       |kp AS (
+       |  SELECT n, n_agree, sum_rc,
+       |    n * n_agree - sum_rc AS kappa_num,
+       |    n * n - sum_rc AS kappa_den
+       |  FROM tot, src)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+       |  CAST(sum_rc AS DECIMAL(38,0)) AS sum_rc,
+       |  CAST(kappa_num AS DECIMAL(38,0)) AS kappa_num,
+       |  CAST(kappa_den AS DECIMAL(38,0)) AS kappa_den,
+       |  CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE) AS kappa
+       |FROM kp""".stripMargin
+
+  /** Reliability table + exact ECE of the k-NN vote classifier (mirror
+    * of Eval.knnCalibration over knnClassify): same vote-count bins,
+    * integer gap numerators, and the identical final divisions. */
+  def knnCalibration(maxQueryId: Long, k: Int): String =
+    s"""WITH knn AS (${knnClassify(maxQueryId, k).replace(" ORDER BY query_id", "")}),
+       |bins AS (
+       |  SELECT votes, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_correct
+       |  FROM knn GROUP BY 1),
+       |g AS (SELECT votes, n, n_correct,
+       |        abs($k * n_correct - votes * n)::BIGINT AS gap_num FROM bins),
+       |tot AS (SELECT sum(n)::BIGINT AS n_total,
+       |          sum(gap_num)::BIGINT AS ece_num FROM g)
+       |SELECT g.votes, g.n, g.n_correct, g.gap_num,
+       |  g.votes::DOUBLE / ${k.toDouble} AS conf,
+       |  g.n_correct::DOUBLE / g.n::DOUBLE AS acc,
+       |  t.n_total, t.ece_num,
+       |  ($k::BIGINT * t.n_total)::BIGINT AS ece_den,
+       |  t.ece_num::DOUBLE / ($k::BIGINT * t.n_total)::DOUBLE AS ece
+       |FROM g, tot t ORDER BY votes""".stripMargin
+
   /** Shared ROC CTE chain over the NB one-vs-rest scores for `posCls`
     * (mirror of Eval.rocTable): per-distinct-score class counts with
     * cumulative TP/FP in score-descending order. A null label falls

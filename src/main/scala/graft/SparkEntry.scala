@@ -810,6 +810,17 @@ object SparkEntry {
       ext.Eval.aucReport(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
     "text_nb_lift" -> ((s, d) =>
       ext.Eval.liftTable(ext.Eval.binaryNbScores(Tables.documents(s, d)), 10)),
+    // chance-corrected agreement of the NB self-eval: exact integer
+    // kappa numerator/denominator (DECIMAL(38,0) products), one final
+    // double ratio — the two-annotator agreement fold of a labeling
+    // pipeline, graded on predictions-vs-truth
+    "text_nb_kappa" -> ((s, d) =>
+      ext.Eval.kappaReport(ext.Classify.naiveBayesPredict(Tables.documents(s, d)))),
+    // calibration with an EXACT ECE: the kNN vote classifier's
+    // confidence is the rational votes/k, so every reliability-bin gap
+    // has an integer numerator (NB's softmax posterior would not grade)
+    "sim_knn_calibration" -> ((s, d) =>
+      ext.Eval.knnCalibration(Tables.embeddings(s, d), 0L until 500L, 5)),
     // iterative graph computation: integer-scaled PageRank over the
     // bigram co-occurrence graph, 5 fixed rounds
     "graph_pagerank" -> ((s, d) => ext.Graph.wordPageRank(Tables.documents(s, d), 5)),
@@ -2131,6 +2142,8 @@ object SparkEntry {
     "text_nb_roc" -> OracleSql.nbRoc("en"),
     "text_nb_auc" -> OracleSql.nbAuc("en"),
     "text_nb_lift" -> OracleSql.nbLift("en", 10),
+    "text_nb_kappa" -> OracleSql.nbKappa,
+    "sim_knn_calibration" -> OracleSql.knnCalibration(500, 5),
     "graph_pagerank" -> OracleSql.pageRank(5),
     "graph_labelprop" -> OracleSql.labelProp(4),
     "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),

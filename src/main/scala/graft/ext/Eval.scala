@@ -123,4 +123,82 @@ object Eval {
       .withColumn("auc",
         col("auc_num2").cast("double") / col("auc_den2").cast("double"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelings
+    * (here: a classifier's predictions vs the true labels; the same fold
+    * grades two annotators in a labeling pipeline). With n rows, observed
+    * agreement a and per-class marginals row_c/col_c:
+    * `kappa = (n·a − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)` — the
+    * standard (p_o − p_e)/(1 − p_e) cleared of denominators, so every
+    * intermediate is an exact integer. Products run in DECIMAL(38,0)
+    * (n² overflows a long past ~3·10⁹ rows — 100 TB territory) and the
+    * only double is the final ratio, from the same exact integers on
+    * both engines. One row: (n, n_agree, sum_rc, kappa_num, kappa_den,
+    * kappa).
+    *
+    * Scale shape: one |classes|²-bounded confusion aggregation, two
+    * |classes|-row marginal folds full-outer-joined on the class (a
+    * never-predicted class still contributes its row marginal), and a
+    * broadcast of three one-row frames — nothing after the first
+    * aggregate depends on corpus size. */
+  def kappaReport(pred: DataFrame, predCol: String = "pred",
+                  actualCol: String = "actual"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val conf = pred.groupBy(col(actualCol).as("a"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val rows = conf.groupBy(col("a").as("c")).agg(sum(col("cnt")).as("row_n"))
+    val cols = conf.groupBy(col("p").as("c")).agg(sum(col("cnt")).as("col_n"))
+    val marg = rows.join(cols, Seq("c"), "full_outer")
+      .select(coalesce(col("row_n"), lit(0L)).as("row_n"),
+        coalesce(col("col_n"), lit(0L)).as("col_n"))
+    val sumRc = marg.agg(
+      sum((col("row_n").cast(dec) * col("col_n").cast(dec)).cast(dec)).as("sum_rc"))
+    val tot = pred.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(when(col(predCol) === col(actualCol), 1L).otherwise(0L)).cast(dec).as("__a"))
+    tot.crossJoin(broadcast(sumRc))
+      .select(col("__n").cast("long").as("n"),
+        col("__a").cast("long").as("n_agree"),
+        col("sum_rc").cast(dec).as("sum_rc"),
+        (col("__n") * col("__a") - col("sum_rc")).cast(dec).as("kappa_num"),
+        (col("__n") * col("__n") - col("sum_rc")).cast(dec).as("kappa_den"))
+      .withColumn("kappa",
+        col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+  }
+
+  /** Reliability (calibration) table of the k-NN vote classifier, with
+    * an exact ECE — the calibration artifact the NB chain can't grade
+    * (its softmax posterior runs through engine-divergent exponentials)
+    * but the vote classifier can: its confidence IS the exact rational
+    * votes/k, so per vote-count bin the accuracy-vs-confidence gap
+    * `|acc − conf| = |k·n_correct − votes·n| / (k·n)` has an integer
+    * numerator, and `ECE = Σ_bins n·gap / N = Σ gap_num / (k·N)` is
+    * exact integers down to one final division. Each of the ≤ k rows:
+    * (votes, n, n_correct, gap_num, conf, acc) plus the one-row summary
+    * (n_total, ece_num, ece_den, ece) broadcast alongside.
+    *
+    * Scale shape: inherits [[Similarity.knnClassify]]'s broadcast-queries
+    * × one-corpus-scan retrieval (swap in the candidate-set overloads at
+    * corpus-scale query sets); the binning is a ≤ k-row aggregation. */
+  def knnCalibration(embeddings: DataFrame, queryIds: Seq[Long],
+                     k: Int = 5): DataFrame = {
+    val pred = Similarity.knnClassify(embeddings, queryIds, k)
+    val bins = pred.groupBy(col("votes")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+        .as("n_correct"))
+      .withColumn("gap_num",
+        abs(lit(k.toLong) * col("n_correct") - col("votes") * col("n")))
+    val tot = bins.agg(sum(col("n")).as("n_total"),
+      sum(col("gap_num")).as("ece_num"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("conf", col("votes").cast("double") / lit(k.toDouble))
+      .withColumn("acc", col("n_correct").cast("double") / col("n").cast("double"))
+      .withColumn("ece_den", lit(k.toLong) * col("n_total"))
+      .withColumn("ece",
+        col("ece_num").cast("double") / col("ece_den").cast("double"))
+      .select(col("votes"), col("n"), col("n_correct"), col("gap_num"),
+        col("conf"), col("acc"), col("n_total"), col("ece_num"),
+        col("ece_den"), col("ece"))
+      .orderBy("votes")
+  }
 }

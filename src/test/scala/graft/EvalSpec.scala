@@ -112,4 +112,79 @@ class EvalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
     assert(got == naive)
   }
+
+  private def kappaOf(rows: Seq[(String, String)]): (Long, Long, Double) = {
+    val r = Eval.kappaReport(rows.toDF("pred", "actual")).collect().head
+    (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("n_agree")),
+      r.getDouble(r.fieldIndex("kappa")))
+  }
+
+  test("kappa: perfect agreement = 1, hand-computed 2x2 case, constant rater") {
+    // perfect agreement, two classes
+    val perfect = kappaOf(Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b")))
+    assert(perfect == ((4L, 4L, 1.0)))
+    // the standard worked example: n=50, agree=20+15=35,
+    // marginals rows (25,25) cols (30,20) -> pe=(750+500)/2500=0.5,
+    // po=0.7 -> kappa = 0.2/0.5 = 0.4
+    val hand = kappaOf(
+      Seq.fill(20)(("a", "a")) ++ Seq.fill(10)(("a", "b")) ++
+        Seq.fill(5)(("b", "a")) ++ Seq.fill(15)(("b", "b")))
+    assert(hand._1 == 50L && hand._2 == 35L)
+    assert(math.abs(hand._3 - 0.4) < 1e-15, hand.toString)
+    // a constant predictor agrees only by chance: kappa exactly 0
+    // (n·a = 30·18? no: rows=(30),cols over... use closed form)
+    // pred always "a"; actual 3 a's, 2 b's: po=0.6, pe = (5*3+0*2)/25=0.6
+    val const = kappaOf(Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"), ("a", "b")))
+    assert(const._3 == 0.0, const.toString)
+  }
+
+  test("kappa: a never-predicted class still contributes its row marginal") {
+    // actual has class "c" but pred never says "c": the full-outer
+    // marginal join must keep row_n(c) with col_n(c)=0
+    val r = Eval.kappaReport(
+      Seq(("a", "a"), ("a", "c"), ("b", "b"), ("b", "c")).toDF("pred", "actual"))
+      .collect().head
+    // n=4, agree=2, rows: a=1,b=1,c=2; cols: a=2,b=2,c=0 -> sum_rc=1*2+1*2+2*0=4
+    assert(r.getDecimal(r.fieldIndex("sum_rc")).longValueExact() == 4L)
+    // kappa = (4*2-4)/(16-4) = 4/12
+    assert(r.getDouble(r.fieldIndex("kappa")) == 4.0 / 12.0)
+  }
+
+  test("knn calibration: ECE identities on the real table") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Eval.knnCalibration(emb, 0L until 500L, 5).collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 5)
+    val get = (r: org.apache.spark.sql.Row, c: String) => r.getLong(r.fieldIndex(c))
+    val nTotal = get(rows.head, "n_total")
+    assert(rows.map(get(_, "n")).sum == nTotal && nTotal == 500L)
+    // summary columns consistent across rows; ece_num is the gap sum
+    assert(rows.map(get(_, "ece_num")).distinct.size == 1)
+    assert(rows.map(get(_, "gap_num")).sum == get(rows.head, "ece_num"))
+    // ECE in [0,1]; per-bin |acc-conf| = gap_num/(k*n) reproduced by the doubles
+    for (r <- rows) {
+      val conf = r.getDouble(r.fieldIndex("conf"))
+      val acc = r.getDouble(r.fieldIndex("acc"))
+      assert(conf >= 0.0 && conf <= 1.0 && acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(math.abs(acc - conf) -
+        get(r, "gap_num").toDouble / (5.0 * get(r, "n"))) < 1e-12)
+    }
+    val ece = rows.head.getDouble(rows.head.fieldIndex("ece"))
+    assert(ece >= 0.0 && ece <= 1.0)
+  }
+
+  test("knn calibration: a perfectly calibrated fixture has ECE 0") {
+    // one clean cluster per label: every query's 5 neighbors share its
+    // label -> every bin is votes=5 with acc 1.0, conf 1.0
+    val emb = (0L until 60L).map { i =>
+      val lab = (i % 3).toInt
+      val v = Array.fill(4)(0f); v(lab) = 1f + (i / 3).toFloat * 1e-4f
+      (i, v, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Eval.knnCalibration(emb, 0L until 60L, 5).collect().toSeq
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("votes")) == 5L)
+    assert(r.getLong(r.fieldIndex("ece_num")) == 0L)
+    assert(r.getDouble(r.fieldIndex("ece")) == 0.0)
+  }
 }
