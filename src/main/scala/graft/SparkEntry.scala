@@ -127,6 +127,11 @@ object SparkEntry {
     // one-footer read silently loses it — spec-demonstrated)
     "src_schema_evolution" -> ((s, d) =>
       graft.sources.Ingest.schemaEvolutionRoundTrip(s, Tables.documents(s, d), d)),
+    // WARC (ISO 28500) round trip: Content-Length byte framing carries
+    // payloads salted with a version-line LOOKALIKE + CRLFs + unicode;
+    // warcinfo records interleaved that the reader must skip
+    "src_warc" -> ((s, d) =>
+      graft.sources.Warc.roundTrip(s, Tables.documents(s, d), d)),
     // Hive-partitioned lake layout: the lang predicate prunes at the
     // directory listing; content (incl. the path-carried partition
     // column) is the graded claim
@@ -1003,6 +1008,15 @@ object SparkEntry {
     "src_schema_evolution" ->
       """SELECT doc_id, text, n_chars,
         |  CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_warc" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example/' || doc_id AS url,
+        |  lang,
+        |  strlen(text || chr(13) || chr(10) || 'WARC/1.0'
+        |         || chr(13) || chr(10) || '☃é—')::BIGINT AS n_bytes,
+        |  text || chr(13) || chr(10) || 'WARC/1.0'
+        |    || chr(13) || chr(10) || '☃é—' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "lake_partition_prune" ->
       """SELECT doc_id, text, lang, source, n_chars

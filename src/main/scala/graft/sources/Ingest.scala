@@ -53,7 +53,7 @@ object Ingest {
     * write: repeated bench passes stay bounded at one copy, and the
     * applicationId component keeps concurrent sessions on the same sfDir
     * from clobbering each other. */
-  private def landingDir(spark: SparkSession, sfDir: String, format: String): String = {
+  private[sources] def landingDir(spark: SparkSession, sfDir: String, format: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val out = Paths.get(
       s"/tmp/graft_ingest_${spark.sparkContext.applicationId}_" +
