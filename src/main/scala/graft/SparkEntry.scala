@@ -668,6 +668,10 @@ object SparkEntry {
     // zlib inflate (Inflater), full scanline unfilter across all 5 filter
     // types, per-channel means for gray/RGB/RGBA
     "mm_png" -> ((s, d) => Multimodal.pngQuery(s, Tables.documents(s, d))),
+    // GIF through the real variable-width LZW decode (9->12-bit growth,
+    // interlace for odd ids); the positional checksum catches any
+    // deinterlace or row-order fault channel means are blind to
+    "mm_gif" -> ((s, d) => ext.Gif.gifQuery(s, Tables.documents(s, d))),
     // tEXt metadata round trip through the CRC-verified chunk walk
     "mm_png_text" -> ((s, d) => Multimodal.pngTextQuery(s, Tables.documents(s, d))),
     "sim_mips" -> ((s, d) =>
@@ -1977,6 +1981,30 @@ object SparkEntry {
     // closed-form because IDAT uses stored-block zlib framing:
     // 8 (sig) + 25 (IHDR) + 12 + [2 + 5 + raw + 4] (IDAT) + 12 (IEND)
     // = 68 + raw, raw = h * (1 + w * bpp).
+    // closed-form ground truth of the GIF fixtures: identity red channel
+    // recovers the palette index, so stats AND the positional checksum
+    // are pure SQL over the planted pattern
+    "mm_gif" ->
+      """WITH par AS (
+        |  SELECT doc_id, doc_id % 12 + 20 AS w, doc_id % 9 + 16 AS h,
+        |    doc_id % 2 = 1 AS il
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, il, u.x, v.y,
+        |    (3*u.x + 7*v.y + (doc_id*11) % 256) % 256 AS idx
+        |  FROM par, unnest(range(0, w)) AS u(x), unnest(range(0, h)) AS v(y)),
+        |s AS (
+        |  SELECT doc_id, w, h, il,
+        |    count(DISTINCT idx)::BIGINT AS n_colors,
+        |    sum((idx + 1) * (y*w + x + 1))::BIGINT AS checksum,
+        |    sum(idx)::BIGINT AS sr,
+        |    sum((idx*7) % 256)::BIGINT AS sg,
+        |    sum((idx*13) % 256)::BIGINT AS sb
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id AS media_id, w AS width, h AS height, il AS interlaced,
+        |  n_colors, checksum,
+        |  sr // (w*h) AS mean_r, sg // (w*h) AS mean_g, sb // (w*h) AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
     "mm_png" ->
       """WITH par AS (
         |  SELECT doc_id, doc_id % 12 + 5 AS w, doc_id % 9 + 4 AS h, doc_id % 3 AS m

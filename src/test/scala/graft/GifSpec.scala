@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.Gif
+
+/** GIF codec: LZW round trips across width growth, dictionary resets,
+  * KwKwK and flush boundaries; interlace; corrupt-byte degradation. */
+class GifSpec extends SparkSpec {
+
+  private def lcg(n: Int, seed: Long): Array[Int] = {
+    var s = seed
+    Array.fill(n) { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 33) & 0xFF).toInt }
+  }
+
+  private def roundTrip(ind: Array[Int]): Unit = {
+    val got = Gif.lzwDecode(8, Gif.lzwEncode(8, ind), ind.length)
+    assert(got.isDefined, s"decode failed for n=${ind.length}")
+    assert(got.get.toSeq == ind.toSeq, s"mismatch at n=${ind.length}")
+  }
+
+  test("LZW round trip: constant runs (KwKwK), alternating, single pixel") {
+    roundTrip(Array(7))
+    roundTrip(Array.fill(500)(42)) // immediate KwKwK chains
+    roundTrip(Array.tabulate(999)(i => i % 2))
+  }
+
+  test("LZW round trip across every small flush boundary and width bump") {
+    // the first width bump (9->10) happens after 255 dictionary adds;
+    // sweeping lengths crosses the flush-on-boundary edge the encoder
+    // mirrors explicitly
+    (1 to 48).foreach(n => roundTrip(lcg(n, n)))
+    (250 to 266).foreach(n => roundTrip(lcg(n, 1)))
+    (500 to 530 by 3).foreach(n => roundTrip(lcg(n, 2)))
+  }
+
+  test("LZW round trip through 12-bit growth AND dictionary reset") {
+    // 30k near-random symbols emit far more than 4096-258 phrases, so
+    // the encoder must clear and rebuild at least once
+    roundTrip(lcg(30000, 99))
+    // and a compressible-but-long input (structured pattern)
+    roundTrip(Array.tabulate(20000)(i => (3 * (i % 200) + 7 * (i / 200)) % 256))
+  }
+
+  test("interlaced image decodes to the same raster as the progressive one") {
+    val pal = Gif.FixturePalette
+    def img(il: Boolean) = Gif.encode(23, 17, il, pal, (x, y) => (5 * x + 11 * y) % 256)
+    val a = Gif.decode(img(false)).get
+    val b = Gif.decode(img(true)).get
+    assert(!a.interlaced && b.interlaced)
+    assert(a.indices.toSeq == b.indices.toSeq)
+    // interlace row order is a permutation of all rows, for odd and even h
+    assert(Gif.interlaceRows(17).sorted.toSeq == (0 until 17).toSeq)
+    assert(Gif.interlaceRows(16).sorted.toSeq == (0 until 16).toSeq)
+  }
+
+  test("corrupt bytes degrade to None / sentinel rows, never exceptions") {
+    val good = Gif.syntheticGif(5L)
+    assert(Gif.decode(good).isDefined)
+    assert(Gif.decode("NOTGIF".getBytes ++ good.drop(6)).isEmpty)
+    assert(Gif.decode(good.take(20)).isEmpty)
+    assert(Gif.decode(Array.emptyByteArray).isEmpty)
+    // truncated mid-LZW: framing intact but the stream can't finish
+    assert(Gif.decode(good.dropRight(40) ++ Array[Byte](0, 0x3B)).isEmpty)
+    val f = Gif.decodeFeatures(5L, good.take(20))
+    assert(f.width == -1L && f.checksum == -1L)
+  }
+
+  test("decoded features match the closed form the oracle computes") {
+    for (id <- Seq(0L, 1L, 7L, 13L)) {
+      val f = Gif.decodeFeatures(id, Gif.syntheticGif(id))
+      val (w, h) = (Gif.fxW(id), Gif.fxH(id))
+      val idxs = for (y <- 0 until h; x <- 0 until w) yield Gif.fxIdx(id, x, y)
+      assert(f.width == w && f.height == h && f.interlaced == Gif.fxInterlaced(id))
+      assert(f.n_colors == idxs.distinct.size)
+      assert(f.checksum == idxs.zipWithIndex.map { case (v, i) => (v + 1).toLong * (i + 1) }.sum)
+      assert(f.mean_r == idxs.map(_.toLong).sum / (w * h))
+      assert(f.mean_g == idxs.map(v => (v * 7 % 256).toLong).sum / (w * h))
+      assert(f.mean_b == idxs.map(v => (v * 13 % 256).toLong).sum / (w * h))
+    }
+  }
+}
