@@ -204,6 +204,10 @@ object SparkEntry {
     // (state union raw batch, lossless re-cut); the final state must BE
     // the single-pass sketch — graded by the same closed-form oracle
     "stream_quantile" -> ((s, d) => streaming.EventsStream.quantileSketchStreamLanded(s, d)),
+    // theta sketch maintained across micro-batches: lossless KMV merge
+    // means the final state IS the single-pass sketch — same oracle as
+    // the batch formula
+    "stream_theta" -> ((s, d) => streaming.EventsStream.thetaSketchStreamLanded(s, d)),
     // late-data drop accounting: planted rows beyond the watermark must
     // be dropped and unfinalized windows withheld (see lateFixtureDir)
     "stream_late" -> ((s, d) => streaming.EventsStream.lateWindowCountsLanded(s, d)),
@@ -2226,6 +2230,7 @@ object SparkEntry {
     // the maintained-across-micro-batches sketch must equal the
     // single-pass sketch of the whole table — same replay, zero slack
     "stream_quantile" -> OracleSql.quantileSketch("events", "user_id", "event_id"),
+    "stream_theta" -> OracleSql.thetaDistinct("events", "event_type", "event_id"),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)

@@ -21,7 +21,25 @@ final class BottomKDistinctAggregator(k: Int)
     extends Aggregator[Long, Vector[Long], Seq[Long]] {
   require(k >= 2, s"KMV needs k >= 2, got $k")
 
-  private def insert(b: Vector[Long], v: Long): Vector[Long] =
+  override def zero: Vector[Long] = Vector.empty
+
+  override def reduce(b: Vector[Long], a: Long): Vector[Long] =
+    BottomKDistinctAggregator.insert(k)(b, a)
+
+  override def merge(b1: Vector[Long], b2: Vector[Long]): Vector[Long] =
+    BottomKDistinctAggregator.merge(k)(b1, b2)
+
+  override def finish(r: Vector[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Vector[Long]] = ExpressionEncoder[Vector[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+object BottomKDistinctAggregator {
+
+  /** The one insert every path shares — the in-engine partial aggregate
+    * and the cross-micro-batch streaming fold run literally this. */
+  def insert(k: Int)(b: Vector[Long], v: Long): Vector[Long] =
     if (b.length == k && v >= b.last) b
     else if (b.contains(v)) b
     else {
@@ -29,15 +47,6 @@ final class BottomKDistinctAggregator(k: Int)
       if (grown.length > k) grown.take(k) else grown
     }
 
-  override def zero: Vector[Long] = Vector.empty
-
-  override def reduce(b: Vector[Long], a: Long): Vector[Long] = insert(b, a)
-
-  override def merge(b1: Vector[Long], b2: Vector[Long]): Vector[Long] =
-    b2.foldLeft(b1)(insert)
-
-  override def finish(r: Vector[Long]): Seq[Long] = r
-
-  override def bufferEncoder: Encoder[Vector[Long]] = ExpressionEncoder[Vector[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def merge(k: Int)(b1: Vector[Long], b2: Vector[Long]): Vector[Long] =
+    b2.foldLeft(b1)(insert(k))
 }

@@ -573,19 +573,35 @@ object Sketches {
     * buffer is ≤ k longs, so map-side partials ship ≤ k values per
     * (partition, group) — keys never cross the shuffle, and the same
     * fold IS the distributed merge ([[thetaMerged]] grades it). */
-  def thetaSketch(df: DataFrame, groupCol: String, keyCol: String,
-                  k: Int = ThetaK): DataFrame = {
+  /** The raw per-group KMV state: (groupCol, mins) with `mins` the ≤ k
+    * smallest distinct contract hashes, ascending — one bounded hash
+    * aggregation. Shared by [[thetaSketch]] and the streaming
+    * sketch-at-ingest fold (which collects the ≤ |groups|·k-value frame
+    * per micro-batch and merges driver-side through the same
+    * [[graft.core.BottomKDistinctAggregator]] insert). */
+  def thetaState(df: DataFrame, groupCol: String, keyCol: String,
+                 k: Int = ThetaK): DataFrame = {
     val bottomK = udaf(new graft.core.BottomKDistinctAggregator(k))
-    val sk = withHash31(df, keyCol)
+    withHash31(df, keyCol)
       .groupBy(col(groupCol)).agg(bottomK(col("__h")).as("mins"))
+  }
+
+  /** Project a (group, mins) state frame to the graded sketch report,
+    * joining the exact distinct counts from `df`. */
+  def thetaReportFromState(state: DataFrame, df: DataFrame, groupCol: String,
+                           keyCol: String, k: Int = ThetaK): DataFrame = {
     val exact = df.groupBy(col(groupCol))
       .agg(countDistinct(col(keyCol)).as("n_distinct_exact"))
-    thetaProject(sk, k)
+    thetaProject(state, k)
       .join(exact, groupCol)
       .select(col(groupCol), col("n_kept"), col("theta"), col("state_csv"),
         col("est_scaled"), col("n_distinct_exact"))
       .orderBy(groupCol)
   }
+
+  def thetaSketch(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = ThetaK): DataFrame =
+    thetaReportFromState(thetaState(df, groupCol, keyCol, k), df, groupCol, keyCol, k)
 
   /** KMV MERGEABILITY under grade: sketch each `subCol` slice of a group
     * independently, merge the per-slice states by refolding their kept

@@ -856,4 +856,47 @@ object EventsStream {
     graft.ext.Sketches.quantileReportFromState(kept, level, total,
       graft.Tables.events(spark, sfDir).select(col("user_id").as("__cv")))
   }
+
+  /** Sketch-at-ingest, theta flavor: the per-event-type KMV distinct
+    * sketch maintained ACROSS micro-batches. Each batch folds to its own
+    * ≤ |groups|·k-long state in the engine (the same bounded aggregation
+    * [[graft.ext.Sketches.thetaState]] the batch query runs), collects
+    * driver-side (k=32 longs per event type — codebook-sized, never the
+    * rows), and merges into the running state through literally the same
+    * `BottomKDistinctAggregator.insert` the in-engine partial aggregate
+    * uses. KMV merge is lossless (the k smallest distinct of a union
+    * live inside the per-side k-smallest sets), so the final state IS
+    * the single-pass sketch of the full stream — graded by the SAME
+    * closed-form oracle as the batch `sketch_theta` formula over the
+    * events table: any drift in the maintained state hash-mismatches. */
+  def thetaSketchStreamLanded(spark: SparkSession, sfDir: String,
+                              k: Int = graft.ext.Sketches.ThetaK): DataFrame = {
+    val dir = recoveryFixtureDir(spark, sfDir) // 3 single-file micro-batches
+    var state = Map.empty[String, Vector[Long]]
+    withStateParts(spark, DefaultDrainStateParts) {
+      val q = spark.readStream.schema(recoverySchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val rows = graft.ext.Sketches
+              .thetaState(batch, "event_type", "event_id", k).collect()
+            rows.foreach { r =>
+              val g = r.getString(0)
+              val mins = r.getSeq[Long](1).toVector
+              state = state.updated(g,
+                graft.core.BottomKDistinctAggregator.merge(k)(
+                  state.getOrElse(g, Vector.empty), mins))
+            }
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import spark.implicits._
+    val stateDf = state.toSeq.sortBy(_._1).toDF("event_type", "mins")
+    graft.ext.Sketches.thetaReportFromState(stateDf,
+      graft.Tables.events(spark, sfDir), "event_type", "event_id", k)
+  }
 }

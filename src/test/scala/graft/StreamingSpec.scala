@@ -330,6 +330,17 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._4 <= ext.Sketches.QsCapacity))
   }
 
+  test("maintained theta sketch across micro-batches == single-pass batch sketch") {
+    val got = EventsStream.thetaSketchStreamLanded(spark, dir)
+      .as[(String, Long, Long, String, Long, Long)].collect().toSeq
+    val want = ext.Sketches.thetaSketch(Tables.events(spark, dir),
+        "event_type", "event_id")
+      .as[(String, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == want,
+      s"cross-batch KMV fold drifted from the direct sketch:\n got=$got\nwant=$want")
+    assert(got.nonEmpty && got.forall(_._2 <= ext.Sketches.ThetaK))
+  }
+
   test("crash recovery: killed drain restarts exactly-once through the parquet sink") {
     val recovered = EventsStream.recoveredDedupLanded(spark, dir)
       .as[(Long, String)].collect().toSeq
