@@ -79,6 +79,8 @@ object Plans {
     "mm_jpeg_pixels" -> "the full Huffman+IDCT decode runs inside mapPartitions over the payload scan; only fixed-width pixel stats cross the shuffle — payload bytes never leave the scan stage",
     "sketch_quantile_grouped" -> "per-group cuts from group-keyed ≤32-level histograms; the kept sort is a Window PARTITIONED BY GROUP (bounded per group, distributed across groups — no SinglePartition); exact-rank probes are a group-keyed equi-join",
     "q18_large_orders" -> "quantity agg over the FACT table alone (partial combine), HAVING filters before anything joins; only surviving keys meet orders/customer",
+    "sketch_theta" -> "ONE bounded ObjectHashAggregate: ≤k-long KMV buffers combine map-side, only sketch states cross the exchange (keys never do); exact counts join per group",
+    "sketch_theta_ops" -> "two bounded slice folds (filters run map-side at the scan) + ≤k-element array algebra over one-row broadcast frames — nothing after the partial aggregates depends on data size",
   )
 
   def main(args: Array[String]): Unit = {
