@@ -70,7 +70,12 @@ object ScaleBench {
       // wall time tracks the emitted true-pair count (measured flat
       // per-pair cost — see SCALING.md), not distinct-fingerprints²
       "dedup_simhash_pairs" -> SparkEntry.queries("dedup_simhash_pairs"),
-      "pipeline_eval_contamination" -> SparkEntry.queries("pipeline_eval_contamination"))
+      "pipeline_eval_contamination" -> SparkEntry.queries("pipeline_eval_contamination"),
+      // late round-12 additions: the WARC write→parse round trip (I/O
+      // bound by design — the graded claim is flat per-byte cost) and
+      // the GIF LZW decode (pure per-row compute, no shuffle)
+      "src_warc" -> SparkEntry.queries("src_warc"),
+      "mm_gif" -> SparkEntry.queries("mm_gif"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
