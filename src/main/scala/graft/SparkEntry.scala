@@ -654,6 +654,10 @@ object SparkEntry {
     // closed-form integer color round trip (both 4:4:4 and 4:2:0 graded)
     "mm_jpeg_pixels" -> ((s, d) =>
       Multimodal.jpegPixelsQuery(s, Tables.documents(s, d))),
+    // PROGRESSIVE (SOF2) twin: multi-scan accumulation must land on the
+    // identical pixels; scan count grades the container walk (5/11)
+    "mm_jpeg_progressive" -> ((s, d) =>
+      Multimodal.jpegProgressiveQuery(s, Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, d)))),
     // real decoded dims are small; maxDim=10 keeps the clamp branch live
@@ -1936,6 +1940,33 @@ object SparkEntry {
         |    128 + ((32768*r - 27439*g - 5329*b + 32768 + 16777216) // 65536) - 256 AS cr
         |  FROM c)
         |SELECT doc_id AS media_id, width, height, chroma,
+        |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
+        |    y + ((91881*(cr-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_r,
+        |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
+        |    y - (((22554*(cb-128) + 46802*(cr-128) + 32768 + 16777216) // 65536) - 256))) END AS BIGINT) AS mean_g,
+        |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
+        |    y + ((116131*(cb-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_b
+        |FROM ycc ORDER BY media_id""".stripMargin,
+    // progressive twin: identical pixel oracle (the multi-scan
+    // accumulation must land on the same coefficients), plus the scan
+    // count of the fixture script (5 gray / 11 color)
+    "mm_jpeg_progressive" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+        |    CAST(doc_id % 11 + 3 AS BIGINT) AS height,
+        |    CASE WHEN doc_id % 7 = 3 THEN 'gray'
+        |         WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS chroma,
+        |    (doc_id * 13) % 251 AS r, (doc_id * 7) % 251 AS g, (doc_id * 3) % 251 AS b
+        |  FROM documents),
+        |ycc AS (
+        |  SELECT doc_id, width, height, chroma, r,
+        |    (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+        |    128 + ((-11059*r - 21709*g + 32768*b + 32768 + 16777216) // 65536) - 256 AS cb,
+        |    128 + ((32768*r - 27439*g - 5329*b + 32768 + 16777216) // 65536) - 256 AS cr
+        |  FROM c)
+        |SELECT doc_id AS media_id, width, height, chroma,
+        |  CAST(CASE WHEN chroma = 'gray' THEN 5 ELSE 11 END AS BIGINT) AS n_scans,
         |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
         |    y + ((91881*(cr-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_r,
         |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,

@@ -85,6 +85,17 @@ object Jpeg {
     (0x00 +: (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size) :+ 0xF0)
       .sorted.toArray)
 
+  /** AC table for PROGRESSIVE scans: the baseline AC alphabet plus the
+    * EOBn symbols (r<<4, r=1..14) that batch end-of-band runs across
+    * blocks — which the standard baseline table has no codes for. All
+    * 176 symbols at length 8 (176/256 < 1); the decoder rebuilds from
+    * the DHT and never assumes these lengths. */
+  val ProgAcSpec: HuffSpec = HuffSpec(
+    Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0),
+    ((0 to 14).map(_ << 4) ++ Seq(0xF0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size))
+      .sorted.toArray)
+
   /** symbol -> (code, length), canonical assignment. */
   def encodeTable(spec: HuffSpec): Map[Int, (Int, Int)] = {
     var code = 0; var k = 0
@@ -187,6 +198,10 @@ object Jpeg {
       while (i < len) { v = (v << 1) | readBit(); i += 1 }
       v
     }
+    /** Byte offset of the next unread scan byte, discarding pad bits of
+      * the current byte — a progressive container parser resumes its
+      * marker walk here after a scan's units are exhausted. */
+    def finishScan(): Int = { n = 0; pos }
   }
 
   /** DC/AC magnitude category: bit length of |v| (0 for v = 0). */
@@ -477,10 +492,11 @@ object Jpeg {
                              var dcTbl: Int = 0, var acTbl: Int = 0)
   final case class Decoded(width: Int, height: Int, chroma: String, rgb: Array[Int])
 
-  /** Full baseline decode; None when the stream is not a supported
-    * baseline JPEG (progressive, restart intervals, arithmetic coding,
-    * >2 sampling factors, truncation, bad codes …) — callers degrade to
-    * the SOF dimension scan. */
+  /** Full decode — baseline (SOF0) AND progressive (SOF2, spectral
+    * selection + successive approximation, multi-scan); None when the
+    * stream is outside the supported subset (arithmetic coding, >2
+    * sampling factors, progressive WITH restart intervals, truncation,
+    * bad codes …) — callers degrade to the SOF dimension scan. */
   def decode(p: Array[Byte]): Option[Decoded] = try {
     if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return None
     val qt = new Array[Array[Int]](4)
@@ -488,6 +504,14 @@ object Jpeg {
     var comps: Array[Component] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    // progressive state: per-component quantized-coefficient stores over
+    // the full MCU-padded block grid, accumulated across scans
+    var progressive = false
+    var stores: Array[Array[Array[Int]]] = null
+    var storeBw: Array[Int] = null
+    var mcuColsP = 0; var mcuRowsP = 0
+    var scansSeen = 0
+    var sosResume = -1
     var i = 2
     while (i + 1 < p.length) {
       if ((p(i) & 0xFF) != 0xFF) return None
@@ -495,7 +519,11 @@ object Jpeg {
       while (j < p.length && (p(j) & 0xFF) == 0xFF) j += 1
       if (j >= p.length) return None
       val m = p(j) & 0xFF
-      if (m == 0xD9) return None // EOI before SOS
+      if (m == 0xD9) { // EOI: progressive reconstructs here; baseline has returned at SOS
+        return if (progressive && scansSeen > 0)
+          reconstructProgressive(w, h, comps, qt, stores, storeBw, mcuRowsP)
+        else None
+      }
       if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i = j + 1 }
       else {
         if (j + 2 >= p.length) return None
@@ -523,7 +551,8 @@ object Jpeg {
               if (cls == 0) dcTbl(id) = spec else acTbl(id) = spec
               k += 17 + n
             }
-          case 0xC0 => // baseline SOF
+          case 0xC0 | 0xC2 => // baseline / progressive SOF
+            progressive = m == 0xC2
             if ((p(seg) & 0xFF) != 8) return None
             h = ((p(seg + 1) & 0xFF) << 8) | (p(seg + 2) & 0xFF)
             w = ((p(seg + 3) & 0xFF) << 8) | (p(seg + 4) & 0xFF)
@@ -534,29 +563,52 @@ object Jpeg {
               Component(p(o) & 0xFF, (p(o + 1) & 0xFF) >> 4, p(o + 1) & 0x0F, p(o + 2) & 0xFF)
             }
             if (comps.exists(c => c.hi < 1 || c.hi > 2 || c.vi < 1 || c.vi > 2)) return None
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // non-baseline frame
+            return None // unsupported frame type (arithmetic, lossless, …)
           case 0xDD =>
             restartInterval = ((p(seg) & 0xFF) << 8) | (p(seg + 1) & 0xFF)
           case 0xDA => // SOS — entropy data follows
             if (comps == null) return None
             val nc = p(seg) & 0xFF
-            if (nc != comps.length) return None
+            if (nc < 1 || nc > comps.length) return None
+            val scanIdx = new Array[Int](nc)
             var c = 0
             while (c < nc) {
               val id = p(seg + 1 + 2 * c) & 0xFF
               val t = p(seg + 2 + 2 * c) & 0xFF
-              comps.find(_.id == id) match {
-                case Some(comp) => comp.dcTbl = t >> 4; comp.acTbl = t & 0x0F
-                case None => return None
-              }
+              val idx = comps.indexWhere(_.id == id)
+              if (idx < 0) return None
+              comps(idx).dcTbl = t >> 4; comps(idx).acTbl = t & 0x0F
+              scanIdx(c) = idx
               c += 1
             }
-            return decodeScan(p, segEnd, w, h, comps, qt, dcTbl, acTbl, restartInterval)
+            if (!progressive) {
+              if (nc != comps.length) return None
+              return decodeScan(p, segEnd, w, h, comps, qt, dcTbl, acTbl, restartInterval)
+            }
+            // progressive scan: fold into the coefficient stores and
+            // resume the marker walk after the entropy data
+            if (restartInterval > 0) return None // DRI + progressive unsupported
+            if (stores == null) {
+              val hmax = comps.map(_.hi).max; val vmax = comps.map(_.vi).max
+              mcuColsP = (w + 8 * hmax - 1) / (8 * hmax)
+              mcuRowsP = (h + 8 * vmax - 1) / (8 * vmax)
+              storeBw = comps.map(c => mcuColsP * c.hi)
+              stores = comps.zipWithIndex.map { case (c, ci) =>
+                Array.fill(storeBw(ci) * mcuRowsP * c.vi)(new Array[Int](64))
+              }
+            }
+            val ss = p(seg + 1 + 2 * nc) & 0xFF
+            val se = p(seg + 2 + 2 * nc) & 0xFF
+            val ahal = p(seg + 3 + 2 * nc) & 0xFF
+            sosResume = progDecodeScan(p, segEnd, comps, scanIdx, stores, storeBw,
+              mcuColsP, mcuRowsP, w, h, ss, se, ahal >> 4, ahal & 0x0F, dcTbl, acTbl)
+            scansSeen += 1
           case _ => () // APPn / COM / others: skip
         }
-        i = segEnd
+        i = if (sosResume >= 0) sosResume else segEnd
+        sosResume = -1
       }
     }
     None
@@ -637,7 +689,16 @@ object Jpeg {
       }
       my += 1
     }
-    // reassemble: nearest (replication) upsampling by sampling factor
+    Some(assembleRgb(w, h, comps, planes, planeW))
+  }
+
+  /** Reassemble decoded sample planes into the RGB frame: nearest
+    * (replication) upsampling by sampling factor, fixed-point YCbCr →
+    * RGB, chroma-mode label. Shared by the baseline and progressive
+    * paths. */
+  private def assembleRgb(w: Int, h: Int, comps: Array[Component],
+                          planes: Array[Array[Int]], planeW: Array[Int]): Decoded = {
+    val hmax = comps.map(_.hi).max; val vmax = comps.map(_.vi).max
     val rgb = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -663,6 +724,454 @@ object Jpeg {
       else if (comps(0).hi == 2 && comps(0).vi == 2 && comps(1).hi == 1) "420"
       else if (comps.forall(c => c.hi == 1 && c.vi == 1)) "444"
       else s"${comps(0).hi}x${comps(0).vi}"
-    Some(Decoded(w, h, chroma, rgb))
+    Decoded(w, h, chroma, rgb)
+  }
+
+  // ---------------------------------------------------------------------
+  // Progressive (SOF2): multi-scan coefficient accumulation
+  // ---------------------------------------------------------------------
+
+  /** A component's block grid for a NON-interleaved scan: the component's
+    * own dimensions in 8×8 blocks — which can be SMALLER than the
+    * MCU-padded store grid (the classic progressive trap: a 20×20 4:2:0
+    * luma stores 4×4 blocks but single-component scans code only 3×3). */
+  private def cropGrid(w: Int, h: Int, c: Component, hmax: Int, vmax: Int): (Int, Int) =
+    (((w * c.hi + hmax - 1) / hmax + 7) / 8, ((h * c.vi + vmax - 1) / vmax + 7) / 8)
+
+  /** Decode ONE progressive scan into the coefficient stores; returns
+    * the byte offset where the container's marker walk resumes. DC
+    * scans (Ss=0): Huffman diffs shifted by Al on the first pass, one
+    * appended bit per block on refinement — both in interleaved MCU
+    * order (Ns>1) or the component's crop-grid raster (Ns=1). AC scans
+    * (always Ns=1): spectral band [Ss,Se] with EOBn run batching on the
+    * first pass; the refinement pass replays T.81 G.7 — correction bits
+    * for every nonzero-history coefficient crossed, ±1<<Al insertions,
+    * EOB runs whose trailing bits carry the run's buffered corrections. */
+  private def progDecodeScan(p: Array[Byte], scanStart: Int, comps: Array[Component],
+                             scanIdx: Array[Int], stores: Array[Array[Array[Int]]],
+                             storeBw: Array[Int], mcuCols: Int, mcuRows: Int,
+                             w: Int, h: Int, ss: Int, se: Int, ah: Int, al: Int,
+                             dcSpecs: Array[HuffSpec], acSpecs: Array[HuffSpec]): Int = {
+    val in = new BitReader(p, scanStart)
+    val hmax = comps.map(_.hi).max; val vmax = comps.map(_.vi).max
+    def fail(msg: String): Nothing = throw new IllegalStateException(s"jpeg: $msg")
+    if (ss == 0) {
+      if (se != 0) fail("DC scan with Se != 0")
+      // block visit order: interleaved MCU order, or crop raster for Ns=1
+      def forEachDcBlock(f: (Int, Array[Int]) => Unit): Unit =
+        if (scanIdx.length > 1) {
+          var my = 0
+          while (my < mcuRows) {
+            var mx = 0
+            while (mx < mcuCols) {
+              var si = 0
+              while (si < scanIdx.length) {
+                val ci = scanIdx(si); val c = comps(ci)
+                var by = 0
+                while (by < c.vi) {
+                  var bx = 0
+                  while (bx < c.hi) {
+                    f(si, stores(ci)((my * c.vi + by) * storeBw(ci) + mx * c.hi + bx))
+                    bx += 1
+                  }
+                  by += 1
+                }
+                si += 1
+              }
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          val ci = scanIdx(0)
+          val (cbw, cbh) = cropGrid(w, h, comps(ci), hmax, vmax)
+          var by = 0
+          while (by < cbh) {
+            var bx = 0
+            while (bx < cbw) { f(0, stores(ci)(by * storeBw(ci) + bx)); bx += 1 }
+            by += 1
+          }
+        }
+      if (ah == 0) {
+        val dcDec = scanIdx.map(ci => new HuffDecoder(dcSpecs(comps(ci).dcTbl)))
+        val pred = new Array[Int](scanIdx.length)
+        forEachDcBlock { (si, coef) =>
+          val t = dcDec(si).decode(in)
+          if (t > 11) fail("bad DC category")
+          pred(si) += extendSigned(in.readBits(t), t)
+          coef(0) = pred(si) << al
+        }
+      } else {
+        forEachDcBlock { (_, coef) => coef(0) |= in.readBit() << al }
+      }
+    } else {
+      if (scanIdx.length != 1) fail("interleaved AC scan")
+      if (se > 63 || ss > se) fail("bad spectral band")
+      val ci = scanIdx(0)
+      val acDec = new HuffDecoder(acSpecs(comps(ci).acTbl))
+      val (cbw, cbh) = cropGrid(w, h, comps(ci), hmax, vmax)
+      var eobrun = 0
+      var b = 0
+      while (b < cbw * cbh) {
+        val coef = stores(ci)((b / cbw) * storeBw(ci) + b % cbw)
+        if (ah == 0) { // first pass for this band
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = acDec.decode(in); val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += in.readBits(r)
+                  k = 64
+                }
+              } else {
+                k += r
+                if (k > se) fail("AC coefficient past band end")
+                coef(ZigZag(k)) = extendSigned(in.readBits(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else { // refinement pass (T.81 G.7 control flow)
+          val p1 = 1 << al; val m1 = -1 << al
+          def correct(pos: Int): Unit =
+            if (in.readBit() == 1 && (coef(pos) & p1) == 0)
+              coef(pos) += (if (coef(pos) >= 0) p1 else m1)
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = acDec.decode(in); var r = rs >> 4; val s = rs & 15
+              var newVal = 0
+              if (s != 0) {
+                if (s != 1) fail("refinement magnitude != 1")
+                newVal = if (in.readBit() == 1) p1 else m1
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += in.readBits(r)
+                brk = true
+              }
+              if (!brk) {
+                // advance over r zero-HISTORY coefficients, correcting
+                // nonzero-history ones crossed (one bit each)
+                var inner = true
+                while (inner && k <= se) {
+                  val pos = ZigZag(k)
+                  if (coef(pos) != 0) { correct(pos); k += 1 }
+                  else {
+                    r -= 1
+                    if (r < 0) inner = false else k += 1
+                  }
+                }
+                if (s != 0 && k <= se) coef(ZigZag(k)) = newVal
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) { // band remainder: corrections only
+            while (k <= se) {
+              val pos = ZigZag(k)
+              if (coef(pos) != 0) correct(pos)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        b += 1
+      }
+    }
+    in.finishScan()
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * assemble the frame (same plane/upsample/color tail as baseline). */
+  private def reconstructProgressive(w: Int, h: Int, comps: Array[Component],
+                                     qt: Array[Array[Int]],
+                                     stores: Array[Array[Array[Int]]],
+                                     storeBw: Array[Int],
+                                     mcuRows: Int): Option[Decoded] = {
+    if (comps.exists(c => qt(c.tq) == null)) return None
+    val planeW = storeBw.map(_ * 8)
+    val planes = comps.indices.map { ci =>
+      new Array[Int](planeW(ci) * mcuRows * comps(ci).vi * 8)
+    }.toArray
+    var ci = 0
+    while (ci < comps.length) {
+      val q = qt(comps(ci).tq)
+      val qNat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qNat(ZigZag(k)) = q(k); k += 1 }
+      val bw = storeBw(ci)
+      var b = 0
+      while (b < stores(ci).length) {
+        val coef = stores(ci)(b)
+        val deq = new Array[Int](64)
+        var z = 0
+        while (z < 64) { deq(z) = coef(z) * qNat(z); z += 1 }
+        val samples = idct(deq)
+        val x0 = (b % bw) * 8; val y0 = (b / bw) * 8
+        var sy = 0
+        while (sy < 8) {
+          var sx = 0
+          while (sx < 8) {
+            planes(ci)((y0 + sy) * planeW(ci) + x0 + sx) =
+              clamp8(samples(sy * 8 + sx) + 128)
+            sx += 1
+          }
+          sy += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
+    Some(assembleRgb(w, h, comps, planes, planeW))
+  }
+
+  // ---------------------------------------------------------------------
+  // Progressive (SOF2): encoder — plants the multi-scan fixtures
+  // ---------------------------------------------------------------------
+
+  /** FDCT every 8×8 block of an MCU-padded plane; blocks in raster
+    * order, coefficients in natural (row-major) order. */
+  private def planeCoefBlocks(plane: Array[Int], planeW: Int,
+                              blocksW: Int, blocksH: Int): Array[Array[Int]] =
+    Array.tabulate(blocksW * blocksH) { b =>
+      val x0 = (b % blocksW) * 8; val y0 = (b / blocksW) * 8
+      fdct(Array.tabulate(64)(i => plane((y0 + i / 8) * planeW + x0 + i % 8) - 128))
+    }
+
+  /** AC-scan run state for progressive emission. Two correction-bit
+    * regions, exactly T.81 G.1.2.3 / libjpeg's BE+BR split: `be` holds
+    * bits promoted from blocks that ENDED inside the pending EOB run
+    * (flushed with the EOBn symbol), `br` the current block's bits since
+    * its last emitted code (flushed right after that code). Collapsing
+    * them into one buffer misorders bits across run boundaries — the
+    * subtlest framing bug in a progressive encoder. */
+  private final class AcRunState(bw: BitWriter, acEnc: Map[Int, (Int, Int)]) {
+    private var eobrun = 0
+    private val be = new scala.collection.mutable.ArrayBuffer[Int]
+    private val br = new scala.collection.mutable.ArrayBuffer[Int]
+    def symbol(sym: Int): Unit = { val (c, l) = acEnc(sym); bw.putBits(c, l) }
+    def bufferCorr(bit: Int): Unit = br += bit
+    def flushBr(): Unit = { br.foreach(b => bw.putBits(b, 1)); br.clear() }
+    def emitPendingEob(): Unit = if (eobrun > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+      symbol(nbits << 4)
+      if (nbits > 0) bw.putBits(eobrun - (1 << nbits), nbits)
+      be.foreach(b => bw.putBits(b, 1)); be.clear()
+      eobrun = 0
+    }
+    def endBlockInEob(): Unit = {
+      eobrun += 1
+      be ++= br; br.clear()
+      if (eobrun == 16383) emitPendingEob() // table carries EOBn up to r=14
+    }
+    def brNonEmpty: Boolean = br.nonEmpty
+  }
+
+  private def emitAcFirstScan(bw: BitWriter, acEnc: Map[Int, (Int, Int)],
+                              blocks: IndexedSeq[Array[Int]],
+                              ss: Int, se: Int, al: Int): Unit = {
+    require(al >= 1, "fixture AC-first scans use Al >= 1 (keeps categories <= 10)")
+    val st = new AcRunState(bw, acEnc)
+    for (coef <- blocks) {
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val v = coef(ZigZag(k)) / (1 << al) // AC point transform truncates toward zero
+        if (v == 0) r += 1
+        else {
+          st.emitPendingEob()
+          while (r > 15) { st.symbol(0xF0); r -= 16 }
+          val s = category(v)
+          st.symbol((r << 4) | s)
+          bw.putBits(signedBits(v, s), s)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) st.endBlockInEob()
+    }
+    st.emitPendingEob()
+  }
+
+  private def emitAcRefineScan(bw: BitWriter, acEnc: Map[Int, (Int, Int)],
+                               blocks: IndexedSeq[Array[Int]],
+                               ss: Int, se: Int, al: Int): Unit = {
+    val st = new AcRunState(bw, acEnc)
+    val t = new Array[Int](64)
+    for (coef <- blocks) {
+      var eob = ss - 1
+      var k = ss
+      while (k <= se) {
+        val v = math.abs(coef(ZigZag(k))) >> al
+        t(k) = v
+        if (v == 1) eob = k // last NEWLY-significant position
+        k += 1
+      }
+      var r = 0
+      k = ss
+      while (k <= se) {
+        val temp = t(k)
+        if (temp == 0) r += 1
+        else {
+          // ZRLs only when a new-significant lies ahead; trailing zeros
+          // fold into the EOB run
+          while (r > 15 && k <= eob) {
+            st.emitPendingEob(); st.symbol(0xF0); r -= 16; st.flushBr()
+          }
+          if (temp > 1) st.bufferCorr(temp & 1) // history coef: correction bit
+          else {
+            st.emitPendingEob()
+            st.symbol((r << 4) | 1)
+            bw.putBits(if (coef(ZigZag(k)) < 0) 0 else 1, 1)
+            st.flushBr()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || st.brNonEmpty) st.endBlockInEob()
+    }
+    st.emitPendingEob()
+  }
+
+  /** The fixture scan script: DC first (Al=1, interleaved), per-comp AC
+    * first in two spectral bands (Al=1), DC refinement, per-comp AC
+    * refinement over the full band — every progressive mechanism (band
+    * split, both approximation passes, EOBn batching) in five (gray) or
+    * eleven (color) scans. */
+  private def writeProgressive(w: Int, h: Int,
+                               comps: Seq[(Int, Int, Int, Array[Array[Int]])],
+                               mcuCols: Int, mcuRows: Int): Array[Byte] = {
+    val hmax = comps.map(_._2).max; val vmax = comps.map(_._3).max
+    val o = new java.io.ByteArrayOutputStream()
+    marker(o, 0xD8)
+    marker(o, 0xDB); be16(o, 2 + 65); o.write(0)
+    (0 until 64).foreach(_ => o.write(1))
+    marker(o, 0xC2); be16(o, 8 + 3 * comps.size); o.write(8)
+    be16(o, h); be16(o, w); o.write(comps.size)
+    comps.foreach { case (id, hi, vi, _) =>
+      o.write(id); o.write((hi << 4) | vi); o.write(0)
+    }
+    for ((cls, spec) <- Seq((0, DcSpec), (1, ProgAcSpec))) {
+      marker(o, 0xC4); be16(o, 2 + 1 + 16 + spec.vals.length)
+      o.write(cls << 4)
+      spec.bits.foreach(o.write)
+      spec.vals.foreach(o.write)
+    }
+    val dcEnc = encodeTable(DcSpec); val acEnc = encodeTable(ProgAcSpec)
+    def sos(scanComps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+           (body: BitWriter => Unit): Unit = {
+      marker(o, 0xDA); be16(o, 6 + 2 * scanComps.size); o.write(scanComps.size)
+      scanComps.foreach { ci => o.write(comps(ci)._1); o.write(0x00) }
+      o.write(ss); o.write(se); o.write((ah << 4) | al)
+      val bw = new BitWriter
+      body(bw)
+      val bytes = bw.finish()
+      o.write(bytes, 0, bytes.length)
+    }
+    // DC blocks in interleaved MCU order (== crop raster when Ns=1)
+    val dcOrder: IndexedSeq[(Int, Array[Int])] = for {
+      my <- 0 until mcuRows; mx <- 0 until mcuCols
+      ci <- comps.indices
+      (_, hi, vi, blocks) = comps(ci)
+      by <- 0 until vi; bx <- 0 until hi
+    } yield (ci, blocks((my * vi + by) * (mcuCols * hi) + mx * hi + bx))
+    def cropBlocks(ci: Int): IndexedSeq[Array[Int]] = {
+      val (_, hi, vi, blocks) = comps(ci)
+      val cbw = ((w * hi + hmax - 1) / hmax + 7) / 8
+      val cbh = ((h * vi + vmax - 1) / vmax + 7) / 8
+      val storeBwC = mcuCols * hi
+      for (by <- 0 until cbh; bx <- 0 until cbw) yield blocks(by * storeBwC + bx)
+    }
+    sos(comps.indices, 0, 0, 0, 1) { bw =>
+      val pred = new Array[Int](comps.size)
+      dcOrder.foreach { case (ci, coef) =>
+        val v = coef(0) >> 1 // DC point transform: arithmetic shift
+        val diff = v - pred(ci); pred(ci) = v
+        val t = category(diff)
+        val (c, l) = dcEnc(t)
+        bw.putBits(c, l); if (t > 0) bw.putBits(signedBits(diff, t), t)
+      }
+    }
+    for (ci <- comps.indices) {
+      sos(Seq(ci), 1, 5, 0, 1)(bw => emitAcFirstScan(bw, acEnc, cropBlocks(ci), 1, 5, 1))
+      sos(Seq(ci), 6, 63, 0, 1)(bw => emitAcFirstScan(bw, acEnc, cropBlocks(ci), 6, 63, 1))
+    }
+    sos(comps.indices, 0, 0, 1, 0) { bw =>
+      dcOrder.foreach { case (_, coef) => bw.putBits(coef(0) & 1, 1) }
+    }
+    for (ci <- comps.indices) {
+      sos(Seq(ci), 1, 63, 1, 0)(bw => emitAcRefineScan(bw, acEnc, cropBlocks(ci), 1, 63, 0))
+    }
+    marker(o, 0xD9)
+    o.toByteArray
+  }
+
+  /** Encode a color progressive (SOF2) JPEG — same planes, quantization
+    * and subsampling as the baseline [[encode]], different scan wiring. */
+  def encodeProgressive(w: Int, h: Int, rgb: (Int, Int) => Int,
+                        subsample420: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val hmax = if (subsample420) 2 else 1
+    val mcuW = 8 * hmax; val mcuH = 8 * hmax
+    val mcuCols = (w + mcuW - 1) / mcuW
+    val mcuRows = (h + mcuH - 1) / mcuH
+    val lumaW = mcuCols * mcuW; val lumaH = mcuRows * mcuH
+    val yP = new Array[Int](lumaW * lumaH)
+    val cbF = new Array[Int](lumaW * lumaH)
+    val crF = new Array[Int](lumaW * lumaH)
+    var yy = 0
+    while (yy < lumaH) {
+      var xx = 0
+      while (xx < lumaW) {
+        val px = rgb(math.min(xx, w - 1), math.min(yy, h - 1))
+        val (y0, cb0, cr0) = rgbToYcc((px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
+        yP(yy * lumaW + xx) = y0; cbF(yy * lumaW + xx) = cb0; crF(yy * lumaW + xx) = cr0
+        xx += 1
+      }
+      yy += 1
+    }
+    val chromaW = lumaW / hmax; val chromaH = lumaH / hmax
+    def subsample(full: Array[Int]): Array[Int] =
+      if (!subsample420) full
+      else Array.tabulate(chromaW * chromaH) { i =>
+        val cx = (i % chromaW) * 2; val cy = (i / chromaW) * 2
+        (full(cy * lumaW + cx) + full(cy * lumaW + cx + 1) +
+          full((cy + 1) * lumaW + cx) + full((cy + 1) * lumaW + cx + 1) + 2) / 4
+      }
+    writeProgressive(w, h, Seq(
+      (1, hmax, hmax, planeCoefBlocks(yP, lumaW, mcuCols * hmax, mcuRows * hmax)),
+      (2, 1, 1, planeCoefBlocks(subsample(cbF), chromaW, mcuCols, mcuRows)),
+      (3, 1, 1, planeCoefBlocks(subsample(crF), chromaW, mcuCols, mcuRows))),
+      mcuCols, mcuRows)
+  }
+
+  /** Encode a GRAYSCALE progressive JPEG (non-interleaved DC scan). */
+  def encodeGrayProgressive(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
+    val mcuCols = (w + 7) / 8; val mcuRows = (h + 7) / 8
+    val planeW = mcuCols * 8; val planeH = mcuRows * 8
+    val plane = Array.tabulate(planeW * planeH)(i =>
+      clamp8(lum(math.min(i % planeW, w - 1), math.min(i / planeW, h - 1))))
+    writeProgressive(w, h,
+      Seq((1, 1, 1, planeCoefBlocks(plane, planeW, mcuCols, mcuRows))),
+      mcuCols, mcuRows)
+  }
+
+  /** Number of SOS markers in the stream. Entropy-coded data never
+    * contains FF followed by a non-zero, non-RST byte, so a flat byte
+    * walk over FF DA pairs is exact. */
+  def countScans(p: Array[Byte]): Int = {
+    var n = 0; var i = 0
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xFF) == 0xFF && (p(i + 1) & 0xFF) == 0xDA) n += 1
+      i += 1
+    }
+    n
   }
 }

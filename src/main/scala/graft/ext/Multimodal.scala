@@ -403,6 +403,48 @@ object Multimodal {
       Jpeg.encode(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id), fxJpegDri(id))
     }
 
+  /** PROGRESSIVE (SOF2) twin of [[syntheticJpegScan]]: same constant
+    * colors, same gray/444/420 rotation, but the multi-scan wiring —
+    * spectral band splits, successive-approximation DC+AC passes, EOBn
+    * run batching (every AC band of a constant image is one batched
+    * end-of-band run). Same closed-form pixel oracle, because the
+    * progressive accumulation must land on the identical coefficients. */
+  final case class JpegProgPixels(media_id: Long, width: Long, height: Long,
+                                  chroma: String, n_scans: Long,
+                                  mean_r: Long, mean_g: Long, mean_b: Long)
+
+  def syntheticJpegProgressive(id: Long): Array[Byte] =
+    if (fxJpegGray(id))
+      Jpeg.encodeGrayProgressive(fxW(id), fxH(id), (_, _) => fxR(id))
+    else {
+      val px = (fxR(id) << 16) | (fxG(id) << 8) | fxB(id)
+      Jpeg.encodeProgressive(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id))
+    }
+
+  /** Graded query: progressive fixtures through the SOF2 multi-scan
+    * decode; the scan count (5 gray / 11 color) grades the container
+    * walk itself. Partition-wise like every codec. */
+  def jpegProgressiveQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = syntheticJpegProgressive(id)
+        Jpeg.decode(payload) match {
+          case Some(d) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            d.rgb.foreach { px =>
+              sr += (px >> 16) & 0xFF; sg += (px >> 8) & 0xFF; sb += px & 0xFF
+            }
+            val n = d.rgb.length.toLong
+            JpegProgPixels(id, d.width.toLong, d.height.toLong, d.chroma,
+              Jpeg.countScans(payload).toLong, sr / n, sg / n, sb / n)
+          case None =>
+            JpegProgPixels(id, -1L, -1L, "unknown", -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF().orderBy("media_id")
+  }
+
   /** Media table of real entropy-coded JPEG payloads, one per doc id. */
   def syntheticJpegTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
