@@ -8,9 +8,10 @@ final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
 
 /** Features extracted from one asset by the decoder. Channel means are
   * exact integers for the synthetic fixtures (constant-channel images);
-  * -1 marks "not decoded" (a JPEG the baseline pipeline in [[Jpeg]]
-  * cannot represent — progressive, or a scanless dimension shell —
-  * degrades to the SOF dimension walk). */
+  * -1 marks "not decoded" (a JPEG outside the [[Jpeg]] pipeline's
+  * subset — arithmetic-coded, or a scanless dimension shell —
+  * degrades to the SOF dimension walk; baseline AND progressive
+  * streams decode fully). */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                                width: Long, height: Long, format: String,
                                mean_r: Long, mean_g: Long, mean_b: Long)
@@ -27,9 +28,10 @@ final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   *     then raw RGB triplets — full pixel decode.
   *   - JPEG: the FULL baseline pipeline ([[Jpeg]] — Huffman entropy
   *     decode with tables rebuilt from the DHT, dequantize, IDCT,
-  *     sampling-factor chroma upsampling, YCbCr→RGB) for pixel stats;
-  *     streams outside the baseline subset (progressive, scanless
-  *     shells) degrade to the SOF marker-segment dimension scan.
+  *     sampling-factor chroma upsampling, YCbCr→RGB; progressive SOF2
+  *     multi-scan accumulation) for pixel stats; streams outside the
+  *     supported subset (arithmetic-coded, scanless shells) degrade to
+  *     the SOF marker-segment dimension scan.
   * Unknown magic bytes yield format="unknown" with -1 sentinels, never an
   * exception: at 100 TB a corrupt payload must degrade to a graded row,
   * not kill the stage.
@@ -263,12 +265,12 @@ object Multimodal {
   private def isSof(m: Int): Boolean =
     m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
 
-  /** JPEG decode: the full baseline pipeline first ([[Jpeg.decode]] —
-    * Huffman entropy decode, dequantize, IDCT, chroma upsampling,
-    * YCbCr→RGB), channel means over the real pixels. Streams the
-    * baseline decoder can't represent (progressive, no scan — like the
-    * dimension-only shell fixtures) degrade to the SOF marker walk
-    * below: dimensions parsed, means -1. */
+  /** JPEG decode: the full pipeline first ([[Jpeg.decode]] — Huffman
+    * entropy decode, dequantize, IDCT, chroma upsampling, YCbCr→RGB;
+    * baseline and progressive both), channel means over the real
+    * pixels. Streams the decoder can't represent (arithmetic-coded, no
+    * scan — like the dimension-only shell fixtures) degrade to the SOF
+    * marker walk below: dimensions parsed, means -1. */
   private def decodeJpeg(r: MediaRecord): MediaFeatures = {
     Jpeg.decode(r.payload) match {
       case Some(d) =>
