@@ -660,6 +660,10 @@ object SparkEntry {
       Multimodal.jpegProgressiveQuery(s, Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, d)))),
+    // real ISO-BMFF container walk: box nesting, mvhd/tkhd headers,
+    // stts/stsz/stco sample tables; the checksum runs over sample bytes
+    // extracted VIA the table, proving the offset arithmetic
+    "mm_mp4_meta" -> ((s, d) => ext.Mp4.mp4Query(s, Tables.documents(s, d))),
     // real decoded dims are small; maxDim=10 keeps the clamp branch live
     "mm_resize" -> ((s, d) =>
       Multimodal.resizePlan(
@@ -1974,6 +1978,30 @@ object SparkEntry {
         |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
         |    y + ((116131*(cb-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_b
         |FROM ycc ORDER BY media_id""".stripMargin,
+    // closed-form ground truth of the MP4 fixtures: every graded field
+    // (incl. the positional sample-byte checksum) is a function of the id
+    "mm_mp4_meta" ->
+      """WITH par AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 5 + 1) * 64 AS BIGINT) AS width,
+        |    CAST((doc_id % 4 + 1) * 48 AS BIGINT) AS height,
+        |    CAST(doc_id % 7 + 2 AS BIGINT) AS n_samples,
+        |    CAST(doc_id % 11 + 5 AS BIGINT) AS slen,
+        |    CAST((doc_id % 7 + 2) * (doc_id % 6 + 1) * 40 AS BIGINT) AS duration_ms
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, duration_ms, width, height, n_samples, slen,
+        |    (doc_id * 31 + u.i * 7 + v.j) % 256 AS b,
+        |    u.i * slen + v.j + 1 AS pos
+        |  FROM par, unnest(range(0, n_samples)) AS u(i),
+        |       unnest(range(0, slen)) AS v(j)),
+        |s AS (
+        |  SELECT doc_id, duration_ms, width, height, n_samples, slen,
+        |    sum((b + 1) * pos)::BIGINT AS checksum
+        |  FROM px GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT doc_id AS media_id, duration_ms, width, height, n_samples,
+        |  (n_samples * slen)::BIGINT AS sample_bytes, checksum
+        |FROM s ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_offset
         |FROM documents, unnest(range(0, octet_length(encode(text)), 100)) AS u(o)
