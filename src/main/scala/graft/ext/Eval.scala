@@ -152,7 +152,8 @@ object Eval {
       .select(coalesce(col("row_n"), lit(0L)).as("row_n"),
         coalesce(col("col_n"), lit(0L)).as("col_n"))
     val sumRc = marg.agg(
-      sum((col("row_n").cast(dec) * col("col_n").cast(dec)).cast(dec)).as("sum_rc"))
+      coalesce(sum((col("row_n").cast(dec) * col("col_n").cast(dec)).cast(dec)),
+        lit(0).cast(dec)).as("sum_rc")) // empty input: zero, not null
     val tot = pred.agg(count(lit(1)).cast(dec).as("__n"),
       sum(when(col(predCol) === col(actualCol), 1L).otherwise(0L)).cast(dec).as("__a"))
     tot.crossJoin(broadcast(sumRc))

@@ -129,6 +129,43 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("empty/tiny inputs: late round-12 ops (theta, kappa, calibration, codecs) degrade sanely") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emptyKeys = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("g", StringType), StructField("k", LongType))))
+    // theta sketch: empty input -> zero graded rows; empty side in set ops
+    assert(graft.ext.Sketches.thetaSketch(emptyKeys, "g", "k").count() == 0)
+    assert(graft.ext.Sketches.thetaMerged(
+      emptyKeys.withColumn("sub", lit("s")), "g", "sub", "k").count() == 0)
+    val oneKey = Seq(("g", 5L)).toDF("g", "k")
+    val ops = graft.ext.Sketches.thetaOps(oneKey, "k",
+      col("k") > 100L, col("k") > 0L).collect().head
+    assert(ops.getLong(ops.fieldIndex("n_a_below")) == 0L)
+    assert(ops.getLong(ops.fieldIndex("n_inter")) == 0L)
+    assert(ops.getLong(ops.fieldIndex("n_inter_exact")) == 0L)
+    // single distinct key: sketch is the set, estimate exact
+    val single = graft.ext.Sketches.thetaSketch(oneKey, "g", "k").collect().head
+    assert(single.getLong(single.fieldIndex("n_kept")) == 1L)
+    assert(single.getLong(single.fieldIndex("est_scaled")) == 100L)
+    // kappa on an empty prediction frame: one row, zero denominators
+    val emptyPred = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("pred", StringType), StructField("actual", StringType))))
+    val kp = graft.ext.Eval.kappaReport(emptyPred).collect().head
+    assert(kp.getLong(kp.fieldIndex("n")) == 0L)
+    assert(kp.getDecimal(kp.fieldIndex("kappa_den")).longValueExact() == 0L)
+    // codec walkers on garbage: sentinel rows, never exceptions
+    assert(graft.ext.Gif.decodeFeatures(1L, Array[Byte](9, 9)).width == -1L)
+    assert(graft.ext.Mp4.features(1L, Array[Byte](9, 9)).width == -1L)
+    // WARC of an empty corpus: zero records land, reader yields empty
+    assert(graft.sources.Warc.parseRecords(Array.emptyByteArray).isEmpty)
+    // 1x1 progressive image decodes exactly like its baseline twin
+    val pb = graft.ext.Jpeg.decode(graft.ext.Jpeg.encode(1, 1, (_, _) => 0x336699, subsample420 = false)).get
+    val pp = graft.ext.Jpeg.decode(graft.ext.Jpeg.encodeProgressive(1, 1, (_, _) => 0x336699, subsample420 = false)).get
+    assert(pp.rgb.toSeq == pb.rgb.toSeq)
+  }
+
   test("null text rows are dropped, not fatal") {
     // tokenization drops the null row; per-doc stats carry null metrics
     assert(WordCount.wordCount(withNull).agg(
