@@ -1,13 +1,14 @@
 package graft.ext
 
-/** Baseline sequential JPEG codec (ITU T.81 subset), self-contained.
+/** JPEG codec (ITU T.81 subset), self-contained.
   *
-  * Scope: 8-bit baseline DCT, Huffman entropy coding, 1 or 3 components,
+  * Scope: 8-bit DCT, Huffman entropy coding, 1 or 3 components,
   * sampling factors up to 2 (covers 4:4:4 and 4:2:0), DRI/RST0-7
   * restart intervals (byte-aligned predictor resets — the
-  * error-resilience structure camera and web encoders emit), no
-  * progressive scans — the shape of the overwhelming majority of crawl
-  * images. The encoder exists to plant REAL
+  * error-resilience structure camera and web encoders emit), BASELINE
+  * sequential (SOF0) AND PROGRESSIVE (SOF2: spectral selection +
+  * successive approximation, multi-scan) — together the shape of
+  * essentially all crawl images. The encoder exists to plant REAL
   * entropy-coded fixtures (and to round-trip-test the decoder); the
   * decoder is general over anything the format subset allows: it reads
   * quantization and Huffman tables from the stream (canonical-code
@@ -589,7 +590,6 @@ object Jpeg {
             }
             // progressive scan: fold into the coefficient stores and
             // resume the marker walk after the entropy data
-            if (restartInterval > 0) return None // DRI + progressive unsupported
             if (stores == null) {
               val hmax = comps.map(_.hi).max; val vmax = comps.map(_.vi).max
               mcuColsP = (w + 8 * hmax - 1) / (8 * hmax)
@@ -603,7 +603,8 @@ object Jpeg {
             val se = p(seg + 2 + 2 * nc) & 0xFF
             val ahal = p(seg + 3 + 2 * nc) & 0xFF
             sosResume = progDecodeScan(p, segEnd, comps, scanIdx, stores, storeBw,
-              mcuColsP, mcuRowsP, w, h, ss, se, ahal >> 4, ahal & 0x0F, dcTbl, acTbl)
+              mcuColsP, mcuRowsP, w, h, ss, se, ahal >> 4, ahal & 0x0F,
+              dcTbl, acTbl, restartInterval)
             scansSeen += 1
           case _ => () // APPn / COM / others: skip
         }
@@ -751,19 +752,31 @@ object Jpeg {
                              scanIdx: Array[Int], stores: Array[Array[Array[Int]]],
                              storeBw: Array[Int], mcuCols: Int, mcuRows: Int,
                              w: Int, h: Int, ss: Int, se: Int, ah: Int, al: Int,
-                             dcSpecs: Array[HuffSpec], acSpecs: Array[HuffSpec]): Int = {
+                             dcSpecs: Array[HuffSpec], acSpecs: Array[HuffSpec],
+                             restartInterval: Int): Int = {
     val in = new BitReader(p, scanStart)
     val hmax = comps.map(_.hi).max; val vmax = comps.map(_.vi).max
     def fail(msg: String): Nothing = throw new IllegalStateException(s"jpeg: $msg")
+    // restart units: MCUs for the interleaved DC scan, crop blocks for
+    // every non-interleaved scan; DC predictors and the EOB run reset
+    var unitSeq = 0; var rstSeq = 0
+    def unitBoundary(reset: () => Unit): Unit = {
+      if (restartInterval > 0 && unitSeq > 0 && unitSeq % restartInterval == 0) {
+        if (!in.expectRst(rstSeq % 8)) fail("missing restart marker")
+        rstSeq += 1; reset()
+      }
+      unitSeq += 1
+    }
     if (ss == 0) {
       if (se != 0) fail("DC scan with Se != 0")
       // block visit order: interleaved MCU order, or crop raster for Ns=1
-      def forEachDcBlock(f: (Int, Array[Int]) => Unit): Unit =
+      def forEachDcBlock(onUnit: () => Unit)(f: (Int, Array[Int]) => Unit): Unit =
         if (scanIdx.length > 1) {
           var my = 0
           while (my < mcuRows) {
             var mx = 0
             while (mx < mcuCols) {
+              onUnit()
               var si = 0
               while (si < scanIdx.length) {
                 val ci = scanIdx(si); val c = comps(ci)
@@ -788,21 +801,25 @@ object Jpeg {
           var by = 0
           while (by < cbh) {
             var bx = 0
-            while (bx < cbw) { f(0, stores(ci)(by * storeBw(ci) + bx)); bx += 1 }
+            while (bx < cbw) {
+              onUnit(); f(0, stores(ci)(by * storeBw(ci) + bx)); bx += 1
+            }
             by += 1
           }
         }
       if (ah == 0) {
         val dcDec = scanIdx.map(ci => new HuffDecoder(dcSpecs(comps(ci).dcTbl)))
         val pred = new Array[Int](scanIdx.length)
-        forEachDcBlock { (si, coef) =>
+        forEachDcBlock(() => unitBoundary(() => java.util.Arrays.fill(pred, 0))) { (si, coef) =>
           val t = dcDec(si).decode(in)
           if (t > 11) fail("bad DC category")
           pred(si) += extendSigned(in.readBits(t), t)
           coef(0) = pred(si) << al
         }
       } else {
-        forEachDcBlock { (_, coef) => coef(0) |= in.readBit() << al }
+        forEachDcBlock(() => unitBoundary(() => ())) { (_, coef) =>
+          coef(0) |= in.readBit() << al
+        }
       }
     } else {
       if (scanIdx.length != 1) fail("interleaved AC scan")
@@ -813,6 +830,7 @@ object Jpeg {
       var eobrun = 0
       var b = 0
       while (b < cbw * cbh) {
+        unitBoundary(() => { eobrun = 0 })
         val coef = stores(ci)((b / cbw) * storeBw(ci) + b % cbw)
         if (ah == 0) { // first pass for this band
           if (eobrun > 0) eobrun -= 1
@@ -972,12 +990,25 @@ object Jpeg {
     def brNonEmpty: Boolean = br.nonEmpty
   }
 
+  /** Byte-align and plant RSTn at a restart boundary; AC scans must
+    * flush their pending EOB run (+ its buffered correction bits) FIRST
+    * — a run can never cross a restart. */
+  private final class RstEmitter(bw: BitWriter, ri: Int) {
+    private var seq = 0; private var rst = 0
+    def atBoundary(flush: () => Unit): Boolean =
+      if (ri > 0 && seq > 0 && seq % ri == 0) {
+        flush(); bw.align(); bw.rawMarker(0xD0 + rst % 8); rst += 1; seq += 1; true
+      } else { seq += 1; false }
+  }
+
   private def emitAcFirstScan(bw: BitWriter, acEnc: Map[Int, (Int, Int)],
                               blocks: IndexedSeq[Array[Int]],
-                              ss: Int, se: Int, al: Int): Unit = {
+                              ss: Int, se: Int, al: Int, ri: Int): Unit = {
     require(al >= 1, "fixture AC-first scans use Al >= 1 (keeps categories <= 10)")
     val st = new AcRunState(bw, acEnc)
+    val rste = new RstEmitter(bw, ri)
     for (coef <- blocks) {
+      rste.atBoundary(() => st.emitPendingEob())
       var r = 0
       var k = ss
       while (k <= se) {
@@ -1000,10 +1031,12 @@ object Jpeg {
 
   private def emitAcRefineScan(bw: BitWriter, acEnc: Map[Int, (Int, Int)],
                                blocks: IndexedSeq[Array[Int]],
-                               ss: Int, se: Int, al: Int): Unit = {
+                               ss: Int, se: Int, al: Int, ri: Int): Unit = {
     val st = new AcRunState(bw, acEnc)
+    val rste = new RstEmitter(bw, ri)
     val t = new Array[Int](64)
     for (coef <- blocks) {
+      rste.atBoundary(() => st.emitPendingEob())
       var eob = ss - 1
       var k = ss
       while (k <= se) {
@@ -1046,7 +1079,8 @@ object Jpeg {
     * eleven (color) scans. */
   private def writeProgressive(w: Int, h: Int,
                                comps: Seq[(Int, Int, Int, Array[Array[Int]])],
-                               mcuCols: Int, mcuRows: Int): Array[Byte] = {
+                               mcuCols: Int, mcuRows: Int,
+                               restartInterval: Int = 0): Array[Byte] = {
     val hmax = comps.map(_._2).max; val vmax = comps.map(_._3).max
     val o = new java.io.ByteArrayOutputStream()
     marker(o, 0xD8)
@@ -1063,6 +1097,7 @@ object Jpeg {
       spec.bits.foreach(o.write)
       spec.vals.foreach(o.write)
     }
+    if (restartInterval > 0) { marker(o, 0xDD); be16(o, 4); be16(o, restartInterval) }
     val dcEnc = encodeTable(DcSpec); val acEnc = encodeTable(ProgAcSpec)
     def sos(scanComps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
            (body: BitWriter => Unit): Unit = {
@@ -1074,13 +1109,6 @@ object Jpeg {
       val bytes = bw.finish()
       o.write(bytes, 0, bytes.length)
     }
-    // DC blocks in interleaved MCU order (== crop raster when Ns=1)
-    val dcOrder: IndexedSeq[(Int, Array[Int])] = for {
-      my <- 0 until mcuRows; mx <- 0 until mcuCols
-      ci <- comps.indices
-      (_, hi, vi, blocks) = comps(ci)
-      by <- 0 until vi; bx <- 0 until hi
-    } yield (ci, blocks((my * vi + by) * (mcuCols * hi) + mx * hi + bx))
     def cropBlocks(ci: Int): IndexedSeq[Array[Int]] = {
       val (_, hi, vi, blocks) = comps(ci)
       val cbw = ((w * hi + hmax - 1) / hmax + 7) / 8
@@ -1088,25 +1116,46 @@ object Jpeg {
       val storeBwC = mcuCols * hi
       for (by <- 0 until cbh; bx <- 0 until cbw) yield blocks(by * storeBwC + bx)
     }
+    // DC restart units: MCUs when interleaved (Ns>1), crop blocks for
+    // a single-component frame (where both grids coincide)
+    val dcUnits: IndexedSeq[IndexedSeq[(Int, Array[Int])]] =
+      if (comps.size > 1)
+        for (my <- 0 until mcuRows; mx <- 0 until mcuCols) yield (for {
+          ci <- comps.indices
+          (_, hi, vi, blocks) = comps(ci)
+          by <- 0 until vi; bx <- 0 until hi
+        } yield (ci, blocks((my * vi + by) * (mcuCols * hi) + mx * hi + bx)))
+      else cropBlocks(0).map(b => IndexedSeq((0, b)))
     sos(comps.indices, 0, 0, 0, 1) { bw =>
       val pred = new Array[Int](comps.size)
-      dcOrder.foreach { case (ci, coef) =>
-        val v = coef(0) >> 1 // DC point transform: arithmetic shift
-        val diff = v - pred(ci); pred(ci) = v
-        val t = category(diff)
-        val (c, l) = dcEnc(t)
-        bw.putBits(c, l); if (t > 0) bw.putBits(signedBits(diff, t), t)
+      val rste = new RstEmitter(bw, restartInterval)
+      dcUnits.foreach { unit =>
+        if (rste.atBoundary(() => ())) java.util.Arrays.fill(pred, 0)
+        unit.foreach { case (ci, coef) =>
+          val v = coef(0) >> 1 // DC point transform: arithmetic shift
+          val diff = v - pred(ci); pred(ci) = v
+          val t = category(diff)
+          val (c, l) = dcEnc(t)
+          bw.putBits(c, l); if (t > 0) bw.putBits(signedBits(diff, t), t)
+        }
       }
     }
     for (ci <- comps.indices) {
-      sos(Seq(ci), 1, 5, 0, 1)(bw => emitAcFirstScan(bw, acEnc, cropBlocks(ci), 1, 5, 1))
-      sos(Seq(ci), 6, 63, 0, 1)(bw => emitAcFirstScan(bw, acEnc, cropBlocks(ci), 6, 63, 1))
+      sos(Seq(ci), 1, 5, 0, 1)(bw =>
+        emitAcFirstScan(bw, acEnc, cropBlocks(ci), 1, 5, 1, restartInterval))
+      sos(Seq(ci), 6, 63, 0, 1)(bw =>
+        emitAcFirstScan(bw, acEnc, cropBlocks(ci), 6, 63, 1, restartInterval))
     }
     sos(comps.indices, 0, 0, 1, 0) { bw =>
-      dcOrder.foreach { case (_, coef) => bw.putBits(coef(0) & 1, 1) }
+      val rste = new RstEmitter(bw, restartInterval)
+      dcUnits.foreach { unit =>
+        rste.atBoundary(() => ())
+        unit.foreach { case (_, coef) => bw.putBits(coef(0) & 1, 1) }
+      }
     }
     for (ci <- comps.indices) {
-      sos(Seq(ci), 1, 63, 1, 0)(bw => emitAcRefineScan(bw, acEnc, cropBlocks(ci), 1, 63, 0))
+      sos(Seq(ci), 1, 63, 1, 0)(bw =>
+        emitAcRefineScan(bw, acEnc, cropBlocks(ci), 1, 63, 0, restartInterval))
     }
     marker(o, 0xD9)
     o.toByteArray
@@ -1115,7 +1164,8 @@ object Jpeg {
   /** Encode a color progressive (SOF2) JPEG — same planes, quantization
     * and subsampling as the baseline [[encode]], different scan wiring. */
   def encodeProgressive(w: Int, h: Int, rgb: (Int, Int) => Int,
-                        subsample420: Boolean): Array[Byte] = {
+                        subsample420: Boolean,
+                        restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
     val hmax = if (subsample420) 2 else 1
     val mcuW = 8 * hmax; val mcuH = 8 * hmax
@@ -1148,11 +1198,12 @@ object Jpeg {
       (1, hmax, hmax, planeCoefBlocks(yP, lumaW, mcuCols * hmax, mcuRows * hmax)),
       (2, 1, 1, planeCoefBlocks(subsample(cbF), chromaW, mcuCols, mcuRows)),
       (3, 1, 1, planeCoefBlocks(subsample(crF), chromaW, mcuCols, mcuRows))),
-      mcuCols, mcuRows)
+      mcuCols, mcuRows, restartInterval)
   }
 
   /** Encode a GRAYSCALE progressive JPEG (non-interleaved DC scan). */
-  def encodeGrayProgressive(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+  def encodeGrayProgressive(w: Int, h: Int, lum: (Int, Int) => Int,
+                            restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xFFFF && h <= 0xFFFF)
     val mcuCols = (w + 7) / 8; val mcuRows = (h + 7) / 8
     val planeW = mcuCols * 8; val planeH = mcuRows * 8
@@ -1160,7 +1211,7 @@ object Jpeg {
       clamp8(lum(math.min(i % planeW, w - 1), math.min(i / planeW, h - 1))))
     writeProgressive(w, h,
       Seq((1, 1, 1, planeCoefBlocks(plane, planeW, mcuCols, mcuRows))),
-      mcuCols, mcuRows)
+      mcuCols, mcuRows, restartInterval)
   }
 
   /** Number of SOS markers in the stream. Entropy-coded data never

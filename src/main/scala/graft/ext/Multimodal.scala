@@ -417,10 +417,10 @@ object Multimodal {
 
   def syntheticJpegProgressive(id: Long): Array[Byte] =
     if (fxJpegGray(id))
-      Jpeg.encodeGrayProgressive(fxW(id), fxH(id), (_, _) => fxR(id))
+      Jpeg.encodeGrayProgressive(fxW(id), fxH(id), (_, _) => fxR(id), fxJpegDri(id))
     else {
       val px = (fxR(id) << 16) | (fxG(id) << 8) | fxB(id)
-      Jpeg.encodeProgressive(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id))
+      Jpeg.encodeProgressive(fxW(id), fxH(id), (_, _) => px, fxJpeg420(id), fxJpegDri(id))
     }
 
   /** Graded query: progressive fixtures through the SOF2 multi-scan

@@ -66,6 +66,25 @@ class JpegProgressiveSpec extends SparkSpec {
     assert(Jpeg.countScans(Jpeg.encode(10, 10, gradient(7), subsample420 = false)) == 1)
   }
 
+  test("restart intervals in progressive scans: RSTn every Ri units in EVERY scan") {
+    // pixels must be identical with and without restarts, for both the
+    // interleaved DC scan (MCU units) and non-interleaved AC scans
+    // (crop-block units), gray and color, odd sizes
+    for ((w, h, seed, ri) <- Seq((17, 9, 1, 2), (20, 20, 2, 1), (33, 27, 3, 3))) {
+      val plain = Jpeg.decode(Jpeg.encodeProgressive(w, h, gradient(seed), subsample420 = true)).get
+      val rst = Jpeg.decode(Jpeg.encodeProgressive(w, h, gradient(seed), subsample420 = true, ri)).get
+      assert(rst.rgb.toSeq == plain.rgb.toSeq, s"420+DRI $w x $h ri=$ri diverged")
+      val gp = Jpeg.decode(Jpeg.encodeGrayProgressive(w, h, (x, y) => (x * 3 + y * 5 + seed) % 256)).get
+      val gr = Jpeg.decode(Jpeg.encodeGrayProgressive(w, h, (x, y) => (x * 3 + y * 5 + seed) % 256, ri)).get
+      assert(gr.rgb.toSeq == gp.rgb.toSeq, s"gray+DRI $w x $h ri=$ri diverged")
+    }
+    // the DRI stream genuinely contains restart markers
+    val s = Jpeg.encodeGrayProgressive(40, 33, (x, y) => x + y, 2)
+    val nRst = s.sliding(2).count(p => (p(0) & 0xFF) == 0xFF &&
+      (p(1) & 0xFF) >= 0xD0 && (p(1) & 0xFF) <= 0xD7)
+    assert(nRst > 5, s"expected many RSTn markers, found $nRst")
+  }
+
   test("corrupt progressive bytes degrade to None, never exceptions") {
     val good = Jpeg.encodeProgressive(24, 18, gradient(8), subsample420 = true)
     assert(Jpeg.decode(good).isDefined)
