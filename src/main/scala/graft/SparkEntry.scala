@@ -831,6 +831,11 @@ object SparkEntry {
       ext.Eval.aucReport(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
     "text_nb_lift" -> ((s, d) =>
       ext.Eval.liftTable(ext.Eval.binaryNbScores(Tables.documents(s, d)), 10)),
+    // multi-pattern blocklist scan: ONE Aho-Corasick pass per document
+    // finds every overlapping occurrence of every pattern (failure +
+    // output links), where the naive plan rescans the corpus per pattern
+    "text_blocklist" -> ((s, d) =>
+      ext.AhoCorasick.matchReport(Tables.documents(s, d))),
     // chance-corrected agreement of the NB self-eval: exact integer
     // kappa numerator/denominator (DECIMAL(38,0) products), one final
     // double ratio — the two-annotator agreement fold of a labeling
@@ -2247,6 +2252,19 @@ object SparkEntry {
     "text_nb_roc" -> OracleSql.nbRoc("en"),
     "text_nb_auc" -> OracleSql.nbAuc("en"),
     "text_nb_lift" -> OracleSql.nbLift("en", 10),
+    // brute force every-position substring compare == the automaton's
+    // overlapping-match semantics, including matches inside matches
+    "text_blocklist" ->
+      s"""WITH pats(pattern) AS (VALUES ${
+        ext.AhoCorasick.FixturePatterns.map(p => s"('$p')").mkString(", ")}),
+        |m AS (
+        |  SELECT d.doc_id, p.pattern, u.i
+        |  FROM documents d, pats p,
+        |    unnest(range(1, length(d.text) - length(p.pattern) + 2)) AS u(i)
+        |  WHERE substr(lower(d.text), i::INT, length(p.pattern)::INT) = p.pattern)
+        |SELECT doc_id, pattern, count(*)::BIGINT AS n_matches,
+        |  min(i)::BIGINT AS first_pos
+        |FROM m GROUP BY 1, 2 ORDER BY doc_id, pattern""".stripMargin,
     "text_nb_kappa" -> OracleSql.nbKappa,
     "sim_knn_calibration" -> OracleSql.knnCalibration(500, 5),
     "graph_pagerank" -> OracleSql.pageRank(5),
