@@ -1507,6 +1507,121 @@ object OracleSql {
        |SELECT actual, pred, count(*) AS n FROM pred
        |GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
 
+  /** Shared unigram-model CTE chain (mirror of Unigram.vocabulary):
+    * distinct words → weighted overlapping substrings → top-V pieces ∪
+    * all single chars → integer-scaled log probs over the selected
+    * total. Ends in `uwords(word, wc)` and
+    * `uvocab(piece, cnt, logp_scaled)`. */
+  private val unigramModelCtes: String = {
+    val mpl = ext.Unigram.MaxPieceLen
+    val top = ext.Unigram.VocabTop
+    s"""utok AS (
+       |  SELECT lower(regexp_replace(t, '[^\\p{L}\\p{N}]+', '', 'g')) AS word
+       |  FROM documents,
+       |    unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS u(t)
+       |  WHERE t <> ''),
+       |uwords AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS wc FROM utok WHERE word <> '' GROUP BY 1),
+       |upieces AS MATERIALIZED (
+       |  SELECT substr(w.word, i::INT, L::INT) AS piece, sum(w.wc)::BIGINT AS cnt
+       |  FROM uwords w,
+       |    unnest(range(1, least($mpl, length(w.word)) + 1)) AS ll(L),
+       |    unnest(range(1, length(w.word) - L + 2)) AS ii(i)
+       |  GROUP BY 1),
+       |utop AS (SELECT piece, cnt FROM upieces ORDER BY cnt DESC, piece LIMIT $top),
+       |uvocab0 AS MATERIALIZED (
+       |  SELECT DISTINCT piece, cnt FROM (
+       |    SELECT * FROM utop
+       |    UNION ALL
+       |    SELECT piece, cnt FROM upieces WHERE length(piece) = 1)),
+       |utot AS (SELECT sum(cnt)::BIGINT AS total FROM uvocab0),
+       |uvocab AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(round(ln(cnt::DOUBLE / total::DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS logp_scaled
+       |  FROM uvocab0, utot)""".stripMargin
+  }
+
+  def unigramVocab: String =
+    s"""WITH $unigramModelCtes
+       |SELECT piece, cnt, logp_scaled FROM uvocab ORDER BY piece""".stripMargin
+
+  /** The Viterbi DP + backtrace as unrolled CTE chains (the
+    * kmeans/pagerank unroll pattern): `d_i` holds the best score and
+    * backpointer at position i — argmax over the ≤ MaxPieceLen
+    * predecessors via the same integer tie-break key `tot·32 − j` the
+    * engine uses (keys are provably collision-free: equal keys force
+    * equal j) — and `bt_k` walks the pointers back, assembling the
+    * space-joined segmentation. */
+  private def unigramDpCtes: String = {
+    val mwl = ext.Unigram.MaxWordLen
+    val mpl = ext.Unigram.MaxPieceLen
+    def dCte(i: Int): String = {
+      val branches = (math.max(0, i - mpl) until i).map { j =>
+        val pieceLen = i - j
+        val prevJoin = if (j == 0) "" else s" JOIN d$j ON d$j.word = w.word"
+        val prevScore = if (j == 0) "0" else s"d$j.score"
+        s"""    SELECT w.word, $j AS j, ($prevScore + v.logp_scaled) AS tot
+           |    FROM swords w$prevJoin
+           |    JOIN uvocab v ON v.piece = substr(w.word, ${j + 1}, $pieceLen)
+           |    WHERE length(w.word) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""d$i AS MATERIALIZED (
+         |  SELECT word, arg_max(j, tot * 32 - j) AS bp,
+         |         arg_max(tot, tot * 32 - j) AS score
+         |  FROM (
+         |$branches
+         |  ) s GROUP BY word)""".stripMargin
+    }
+    val allDp = (1 to mwl)
+      .map(i => s"  SELECT word, $i AS i, bp, score FROM d$i")
+      .mkString("\n  UNION ALL\n")
+    def btCte(k: Int): String = {
+      val prev = if (k == 1) "bt0" else s"bt${k - 1}"
+      s"""bt$k AS MATERIALIZED (
+         |  SELECT b.word, b.wc,
+         |    CASE WHEN b.pos = 0 THEN 0 ELSE a.bp END AS pos,
+         |    CASE WHEN b.pos = 0 THEN b.acc
+         |         ELSE substr(b.word, a.bp + 1, b.pos - a.bp) ||
+         |              (CASE WHEN b.acc = '' THEN '' ELSE ' ' END) || b.acc
+         |    END AS acc,
+         |    CASE WHEN b.pos = 0 THEN b.np ELSE b.np + 1 END AS np
+         |  FROM $prev b LEFT JOIN alldp a ON a.word = b.word AND a.i = b.pos)""".stripMargin
+    }
+    s"""swords AS (SELECT word, wc FROM uwords WHERE length(word) <= $mwl),
+       |${(1 to mwl).map(dCte).mkString(",\n")},
+       |alldp AS MATERIALIZED (
+       |$allDp),
+       |bt0 AS (SELECT word, wc, length(word)::INT AS pos,
+       |          CAST('' AS VARCHAR) AS acc, 0 AS np FROM swords),
+       |${(1 to mwl).map(btCte).mkString(",\n")}""".stripMargin
+  }
+
+  def unigramEncode: String =
+    s"""WITH $unigramModelCtes,
+       |$unigramDpCtes
+       |SELECT b.word, b.wc, b.acc AS segmentation, b.np::BIGINT AS n_pieces,
+       |  d.score::BIGINT AS score_scaled
+       |FROM bt${ext.Unigram.MaxWordLen} b
+       |JOIN alldp d ON d.word = b.word AND d.i = length(b.word)
+       |ORDER BY b.word""".stripMargin
+
+  /** Mirror of Unigram.fertilityReport: per-word piece counts joined
+    * onto the language-tagged token stream, integer fertility. */
+  def unigramFertility: String =
+    s"""WITH $unigramModelCtes,
+       |$unigramDpCtes,
+       |ltok AS (
+       |  SELECT d.lang,
+       |    lower(regexp_replace(t, '[^\\p{L}\\p{N}]+', '', 'g')) AS word
+       |  FROM documents d,
+       |    unnest(regexp_split_to_array(d.text, '[ \\t\\n\\x0B\\f\\r]+')) AS u(t)
+       |  WHERE t <> '')
+       |SELECT l.lang, count(*)::BIGINT AS n_words, sum(b.np)::BIGINT AS n_pieces,
+       |  ((sum(b.np) * 1000) // count(*))::BIGINT AS fertility_scaled
+       |FROM ltok l JOIN bt${ext.Unigram.MaxWordLen} b ON b.word = l.word
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Cohen's kappa of the NB self-eval (mirror of Eval.kappaReport over
     * naiveBayesPredict): confusion fold, full-outer marginal join (a
     * never-predicted class still contributes its row marginal), products

@@ -831,6 +831,19 @@ object SparkEntry {
       ext.Eval.aucReport(ext.Eval.binaryNbScores(Tables.documents(s, d)))),
     "text_nb_lift" -> ((s, d) =>
       ext.Eval.liftTable(ext.Eval.binaryNbScores(Tables.documents(s, d)), 10)),
+    // unigram-LM (SentencePiece-style) tokenizer: frequency-derived
+    // piece vocabulary with integer-scaled log probs; every single char
+    // force-included (coverage guarantee)
+    "text_unigram_vocab" -> ((s, d) =>
+      ext.Unigram.vocabulary(Tables.documents(s, d))),
+    // exact Viterbi max-likelihood segmentation per distinct word; the
+    // oracle replays the DP as an unrolled CTE chain with the identical
+    // tie-break key
+    "text_unigram_encode" -> ((s, d) =>
+      ext.Unigram.encode(Tables.documents(s, d))),
+    // cross-tokenizer fertility row next to text_bpe_fertility
+    "text_unigram_fertility" -> ((s, d) =>
+      ext.Unigram.fertilityReport(Tables.documents(s, d))),
     // multi-pattern blocklist scan: ONE Aho-Corasick pass per document
     // finds every overlapping occurrence of every pattern (failure +
     // output links), where the naive plan rescans the corpus per pattern
@@ -2252,6 +2265,9 @@ object SparkEntry {
     "text_nb_roc" -> OracleSql.nbRoc("en"),
     "text_nb_auc" -> OracleSql.nbAuc("en"),
     "text_nb_lift" -> OracleSql.nbLift("en", 10),
+    "text_unigram_vocab" -> OracleSql.unigramVocab,
+    "text_unigram_encode" -> OracleSql.unigramEncode,
+    "text_unigram_fertility" -> OracleSql.unigramFertility,
     // brute force every-position substring compare == the automaton's
     // overlapping-match semantics, including matches inside matches
     "text_blocklist" ->
