@@ -75,7 +75,12 @@ object ScaleBench {
       // bound by design — the graded claim is flat per-byte cost) and
       // the GIF LZW decode (pure per-row compute, no shuffle)
       "src_warc" -> SparkEntry.queries("src_warc"),
-      "mm_gif" -> SparkEntry.queries("mm_gif"))
+      "mm_gif" -> SparkEntry.queries("mm_gif"),
+      // one-pass multi-pattern scan (linear per byte by design) and the
+      // unigram encode (distinct-word bounded: should stay FLAT as the
+      // corpus grows over a fixed vocabulary)
+      "text_blocklist" -> SparkEntry.queries("text_blocklist"),
+      "text_unigram_encode" -> SparkEntry.queries("text_unigram_encode"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
