@@ -127,6 +127,12 @@ object SparkEntry {
     // one-footer read silently loses it — spec-demonstrated)
     "src_schema_evolution" -> ((s, d) =>
       graft.sources.Ingest.schemaEvolutionRoundTrip(s, Tables.documents(s, d), d)),
+    // WebDataset-style tar shards: ustar headers with VERIFIED checksums,
+    // block-padded entries (ids % 17 == 0 planted at exact 512 multiples
+    // to pin the no-pad edge), adjacent <id>.json + <id>.txt sample pairs
+    // re-grouped by key; metadata through from_json
+    "src_tar" -> ((s, d) =>
+      graft.sources.Tar.roundTrip(s, Tables.documents(s, d), d)),
     // WARC (ISO 28500) round trip: Content-Length byte framing carries
     // payloads salted with a version-line LOOKALIKE + CRLFs + unicode;
     // warcinfo records interleaved that the reader must skip
@@ -1043,6 +1049,16 @@ object SparkEntry {
       """SELECT doc_id, text, n_chars,
         |  CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_tar" ->
+      """WITH padded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN text || repeat(' ', ((512 - strlen(text) % 512) % 512)::INT)
+        |         ELSE text END AS text,
+        |    lang, source
+        |  FROM documents)
+        |SELECT doc_id, text, lang, source, strlen(text)::BIGINT AS n_bytes
+        |FROM padded ORDER BY doc_id""".stripMargin,
     "src_warc" ->
       """SELECT doc_id,
         |  'https://' || source || '.example/' || doc_id AS url,
