@@ -127,6 +127,10 @@ object SparkEntry {
     // one-footer read silently loses it — spec-demonstrated)
     "src_schema_evolution" -> ((s, d) =>
       graft.sources.Ingest.schemaEvolutionRoundTrip(s, Tables.documents(s, d), d)),
+    // crawl politeness: RFC 9309 robots longest-match (allow wins ties)
+    // as a broadcast rule join + ONE integer-keyed argmax per path
+    "url_robots" -> ((s, d) =>
+      ext.Urls.robotsDecisions(Tables.documents(s, d))),
     // WebDataset-style tar shards: ustar headers with VERIFIED checksums,
     // block-padded entries (ids % 17 == 0 planted at exact 512 multiples
     // to pin the no-pad edge), adjacent <id>.json + <id>.txt sample pairs
@@ -1049,6 +1053,24 @@ object SparkEntry {
       """SELECT doc_id, text, n_chars,
         |  CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "url_robots" ->
+      s"""WITH rules(prefix, allow) AS (VALUES ${
+          ext.Urls.RobotRules.map { case (p, a) => s"('$p', $a)" }.mkString(", ")}),
+        |u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN '/private/pub/' || (doc_id % 7)
+        |         WHEN doc_id % 5 = 1 THEN '/private/cache/' || (doc_id % 7)
+        |         WHEN doc_id % 5 = 2 THEN '/search/' || (doc_id % 7)
+        |         WHEN doc_id % 5 = 3 THEN '/api/v2/open/' || (doc_id % 7)
+        |         ELSE '/articles/' || (doc_id % 7) END AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT u.doc_id, u.path, r.prefix, r.allow,
+        |    length(r.prefix) * 2 + r.allow AS key
+        |  FROM u JOIN rules r ON starts_with(u.path, r.prefix))
+        |SELECT doc_id, path, arg_max(prefix, key) AS matched_rule,
+        |  (arg_max(allow, key) = 1) AS allowed
+        |FROM m GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "src_tar" ->
       """WITH padded AS (
         |  SELECT doc_id,

@@ -59,6 +59,46 @@ object Urls {
           lit("&utm_source=feed&utm_campaign=x#top")))
   }
 
+  /** Robots-exclusion rule set (RFC 9309 semantics) for the graded
+    * fixture: path-prefix rules, LONGEST match wins, allow wins ties —
+    * including nested allow-inside-disallow pairs so the longest-match
+    * logic is load-bearing. allow is 0/1 so the winner key
+    * `len(prefix)·2 + allow` is a single integer argmax. */
+  val RobotRules: Seq[(String, Int)] = Seq(
+    ("/", 1), ("/private", 0), ("/private/pub", 1),
+    ("/search", 0), ("/api", 0), ("/api/v2/open", 1))
+
+  /** Deterministic crawl-frontier path per document, hitting every rule
+    * class: nested allow, plain disallow, deep allow-override, and the
+    * default-allow fallback. */
+  def syntheticPath(docId: Column): Column = {
+    val p = (docId % 7).cast("string")
+    when(docId % 5 === 0, concat(lit("/private/pub/"), p))
+      .when(docId % 5 === 1, concat(lit("/private/cache/"), p))
+      .when(docId % 5 === 2, concat(lit("/search/"), p))
+      .when(docId % 5 === 3, concat(lit("/api/v2/open/"), p))
+      .otherwise(concat(lit("/articles/"), p))
+  }
+
+  /** Graded query: the crawl-politeness gate. Every frontier path joins
+    * the broadcast rule table on prefix match; the RFC 9309 winner
+    * (longest rule, allow on ties) is ONE integer-keyed argmax — no
+    * window, no per-rule rescans. Rows: (doc_id, path, matched_rule,
+    * allowed). */
+  def robotsDecisions(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = RobotRules.toDF("prefix", "allow")
+    docs.select(col(idCol), syntheticPath(col(idCol)).as("path"))
+      .join(broadcast(rules), col("path").startsWith(col("prefix")))
+      .groupBy(col(idCol), col("path"))
+      .agg(max(struct((length(col("prefix")) * 2 + col("allow")).as("key"),
+        col("prefix"), col("allow"))).as("__w"))
+      .select(col(idCol), col("path"), col("__w.prefix").as("matched_rule"),
+        (col("__w.allow") === 1).as("allowed"))
+      .orderBy(idCol)
+  }
+
   /** Graded query: canonicalize every manifest URL and group — each row
     * carries its canonical form, the size of its canonical group and
     * the keep/drop decision (keep = smallest id of the group). */

@@ -388,4 +388,21 @@ class DedupSpec extends SparkSpec {
     assert(out(140L)._3 == out(0L)._3 && !out(140L)._5)
     assert(out(3L)._3 == "http://example.org/art/3?id=3" && out(3L)._4 == 1L)
   }
+
+  test("robots decisions: longest match wins, allow beats disallow on depth") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = graft.ext.Urls.robotsDecisions(docs)
+      .as[(Long, String, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    // /private/pub/...: nested allow overrides the /private disallow
+    assert(out(0L)._2.startsWith("/private/pub/"))
+    assert(out(0L)._3 == "/private/pub" && out(0L)._4)
+    // /private/cache/...: the /private disallow wins over the root allow
+    assert(out(1L)._3 == "/private" && !out(1L)._4)
+    // /search/...: plain disallow
+    assert(out(2L)._3 == "/search" && !out(2L)._4)
+    // /api/v2/open/...: deep allow override of /api
+    assert(out(3L)._3 == "/api/v2/open" && out(3L)._4)
+    // /articles/...: only the default-allow root rule matches
+    assert(out(4L)._3 == "/" && out(4L)._4)
+  }
 }
