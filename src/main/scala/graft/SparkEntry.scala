@@ -218,6 +218,9 @@ object SparkEntry {
     // means the final state IS the single-pass sketch — same oracle as
     // the batch formula
     "stream_theta" -> ((s, d) => streaming.EventsStream.thetaSketchStreamLanded(s, d)),
+    // HLL maintained across micro-batches: register-wise max is the
+    // lossless merge, so the final state IS the single-pass sketch
+    "stream_hll" -> ((s, d) => streaming.EventsStream.hllStreamLanded(s, d)),
     // late-data drop accounting: planted rows beyond the watermark must
     // be dropped and unfinalized windows withheld (see lateFixtureDir)
     "stream_late" -> ((s, d) => streaming.EventsStream.lateWindowCountsLanded(s, d)),
@@ -2362,6 +2365,7 @@ object SparkEntry {
     // single-pass sketch of the whole table — same replay, zero slack
     "stream_quantile" -> OracleSql.quantileSketch("events", "user_id", "event_id"),
     "stream_theta" -> OracleSql.thetaDistinct("events", "event_type", "event_id"),
+    "stream_hll" -> OracleSql.hllDistinct("events", "event_type", "event_id"),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror
     // the queries entry)

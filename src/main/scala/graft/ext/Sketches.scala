@@ -61,13 +61,24 @@ object Sketches {
     * Empty registers count as rank 0 (contributing 2^26 to S) — realized
     * by a grid join over all m registers, so groups that touch few
     * registers still produce the full-width sketch state a merge needs. */
-  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+  /** The raw per-(group, register) rank maxima — the whole HLL state,
+    * ≤ m rows per group. Shared by [[hllDistinct]] and the streaming
+    * sketch-at-ingest fold (which collects the bounded state per
+    * micro-batch and merges driver-side by the same register-wise max
+    * the in-engine partial aggregate runs). */
+  def hllRegisterMax(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val hashed = withHash31(df, keyCol)
     val reg = (col("__h") % HllM).as("register")
     val w = expr(s"__h div $HllM")
-    val ranked = hashed.select(col(groupCol), reg, rank25(w).as("rank"))
-    val regMax = ranked.groupBy(col(groupCol), col("register"))
+    hashed.select(col(groupCol), reg, rank25(w).as("rank"))
+      .groupBy(col(groupCol), col("register"))
       .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Project a (group, register, max_rank) state frame to the graded
+    * sketch report, joining exact distinct counts from `df`. */
+  def hllReportFromState(regMax: DataFrame, df: DataFrame,
+                         groupCol: String, keyCol: String): DataFrame = {
     // full m-register grid per group: absent registers carry rank 0
     val grid = df.select(col(groupCol)).distinct()
       .select(col(groupCol), explode(sequence(lit(0L), lit(HllM - 1L))).as("register"))
@@ -89,6 +100,9 @@ object Sketches {
         col("est_scaled"), col("n_distinct_exact"))
       .orderBy(groupCol)
   }
+
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllReportFromState(hllRegisterMax(df, groupCol, keyCol), df, groupCol, keyCol)
 
   /** HLL MERGEABILITY under grade — the property that makes sketches
     * worth having at 100 TB: every partition/group sketches

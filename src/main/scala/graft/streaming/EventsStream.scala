@@ -899,4 +899,41 @@ object EventsStream {
     graft.ext.Sketches.thetaReportFromState(stateDf,
       graft.Tables.events(spark, sfDir), "event_type", "event_id", k)
   }
+
+  /** Sketch-at-ingest, HLL flavor — the third member of the maintained-
+    * sketch trio (quantile, theta, HLL): per micro-batch the engine
+    * folds the batch to its bounded per-group register maxima (the same
+    * aggregation the batch query runs, ≤ m rows per event type); the
+    * state collects driver-side and merges by register-wise max — the
+    * identical lossless merge the in-engine partial aggregate performs —
+    * so the final state IS the single-pass sketch of the full stream,
+    * graded by the same closed-form oracle as the batch formula. */
+  def hllStreamLanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = recoveryFixtureDir(spark, sfDir) // 3 single-file micro-batches
+    var state = Map.empty[(String, Long), Long] // (group, register) -> max rank
+    withStateParts(spark, DefaultDrainStateParts) {
+      val q = spark.readStream.schema(recoverySchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val rows = graft.ext.Sketches
+              .hllRegisterMax(batch, "event_type", "event_id").collect()
+            rows.foreach { r =>
+              val key = (r.getString(0), r.getLong(1))
+              val rank = r.getLong(2)
+              state = state.updated(key, math.max(state.getOrElse(key, 0L), rank))
+            }
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import spark.implicits._
+    val stateDf = state.toSeq.map { case ((g, reg), r) => (g, reg, r) }
+      .toDF("event_type", "register", "max_rank")
+    graft.ext.Sketches.hllReportFromState(stateDf,
+      graft.Tables.events(spark, sfDir), "event_type", "event_id")
+  }
 }

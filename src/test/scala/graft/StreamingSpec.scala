@@ -341,6 +341,17 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 <= ext.Sketches.ThetaK))
   }
 
+  test("maintained HLL sketch across micro-batches == single-pass batch sketch") {
+    val got = EventsStream.hllStreamLanded(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val want = ext.Sketches.hllDistinct(Tables.events(spark, dir),
+        "event_type", "event_id")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      s"cross-batch register-max fold drifted from the direct sketch:\n got=$got\nwant=$want")
+    assert(got.nonEmpty)
+  }
+
   test("crash recovery: killed drain restarts exactly-once through the parquet sink") {
     val recovered = EventsStream.recoveredDedupLanded(spark, dir)
       .as[(Long, String)].collect().toSeq
