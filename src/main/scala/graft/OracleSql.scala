@@ -2304,6 +2304,57 @@ object OracleSql {
        |FROM t, na, nb, ni, ex""".stripMargin
   }
 
+  /** Contract-hash Bloom screen (mirror of Sketches.bloomScreen): same
+    * staged 31-bit hash, same per-hash multipliers + xorshift finalizer
+    * into m bits, same DISTINCT-bit filter state, row-wise 3-hit probe
+    * verdicts with exact membership beside them. */
+  def bloomScreen(table: String, keyCol: String, predA: String, predB: String,
+                  probes: Int = 50): String = {
+    val m = ext.Sketches.BloomM
+    val d = ext.Sketches.BloomD
+    def fin(v: String): String = {
+      val a = s"xor(($v), ($v) // 65536)"
+      val b = s"((($a) * 2246822519) % 2147483648)"
+      s"xor(($b), ($b) // 8192)"
+    }
+    val mults = ext.Sketches.BloomMults.zipWithIndex
+      .map { case (mu, i) => s"($i, ${mu}::BIGINT)" }.mkString(", ")
+    def hashChain(src: String, keyExpr: String, cols: String): String =
+      s"""SELECT $cols xor(h2v, h2v // 8192) AS hv FROM (
+         |    SELECT $cols (h1v * 2246822519) % 2147483648 AS h2v FROM (
+         |      SELECT $cols xor(h0v, h0v // 65536) AS h1v FROM (
+         |        SELECT $cols ($keyExpr * 2654435761) % 2147483648 AS h0v
+         |        FROM $src) t0) t1
+         |    ) t2""".stripMargin
+    s"""WITH ha AS (
+       |  ${hashChain(s"(SELECT $keyCol FROM $table WHERE $predA) sa", keyCol, "")}),
+       |bits AS (
+       |  SELECT DISTINCT ${fin(s"(hv * mult) % 2147483648")} % $m AS bit
+       |  FROM ha, (VALUES $mults) AS mlt(di, mult)),
+       |nb AS (SELECT count(*)::BIGINT AS n_bits_set FROM bits),
+       |ak AS (SELECT DISTINCT $keyCol AS key FROM $table WHERE $predA),
+       |na AS (SELECT count(*)::BIGINT AS n_a_distinct FROM ak),
+       |pk AS (SELECT DISTINCT $keyCol AS key FROM $table WHERE $predB
+       |       ORDER BY key LIMIT $probes),
+       |ph AS (
+       |  ${hashChain("pk", "key", "key,")}),
+       |ppos AS (
+       |  SELECT key, ${fin(s"(hv * mult) % 2147483648")} % $m AS bit
+       |  FROM ph, (VALUES $mults) AS mlt(di, mult)),
+       |phits AS (
+       |  SELECT p.key, count(*)::BIGINT AS hits
+       |  FROM ppos p JOIN bits USING (bit) GROUP BY 1)
+       |SELECT p.key,
+       |  coalesce(h.hits, 0) = $d AS might_contain,
+       |  (a.key IS NOT NULL) AS in_a,
+       |  (coalesce(h.hits, 0) = $d AND a.key IS NULL) AS is_fp,
+       |  nb.n_bits_set, na.n_a_distinct
+       |FROM pk p
+       |LEFT JOIN phits h ON h.key = p.key
+       |LEFT JOIN ak a ON a.key = p.key, nb, na
+       |ORDER BY p.key""".stripMargin
+  }
+
   /** Contract-hash count-min sketch (mirror of Sketches.cmsTokenCounts):
     * same Horner token hash into 31 bits, same per-row multipliers and
     * xorshift finalizer, same d×w counter build and min-probe. */

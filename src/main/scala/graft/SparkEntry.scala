@@ -262,6 +262,14 @@ object SparkEntry {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))),
+    // contract-hash Bloom screen: bit state + per-probe verdicts graded,
+    // the one-sided guarantee (in_a => might_contain) visible per row and
+    // false positives COUNTED; same date slices as the other sketch ops
+    "sketch_bloom" -> ((s, d) =>
+      ext.Sketches.bloomScreen(Tables.lineitem(s, d), "l_orderkey",
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))),
     // KMV/theta sketch: the k smallest distinct contract hashes ARE the
     // state (CSV-graded like the HLL registers); supports the direct set
     // algebra HLL can't (see sketch_theta_ops)
@@ -2346,6 +2354,9 @@ object SparkEntry {
     "sketch_hll" -> OracleSql.hllDistinct("lineitem", "l_returnflag", "l_partkey"),
     "sketch_hll_merge" -> OracleSql.hllMerged("lineitem", "l_returnflag", "l_partkey"),
     "sketch_hll_intersect" -> OracleSql.hllIntersect("lineitem", "l_orderkey",
+      "l_shipdate < TIMESTAMP '1997-01-01'",
+      "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"),
+    "sketch_bloom" -> OracleSql.bloomScreen("lineitem", "l_orderkey",
       "l_shipdate < TIMESTAMP '1997-01-01'",
       "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"),
     "sketch_theta" -> OracleSql.thetaDistinct("lineitem", "l_returnflag", "l_partkey"),

@@ -546,6 +546,59 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Bloom filter with CONTRACT hashes: graded membership screening
+  // ---------------------------------------------------------------------
+
+  /** Bloom bits (2^14) and hash count; at the fixture's load the FP
+    * rate is a visible double-digit percentage — the point of grading
+    * `is_fp` rows is that the sketch's one-sided error is ON DISPLAY. */
+  val BloomM = 16384
+  val BloomD = 3
+  val BloomMults: Seq[Long] = Seq(2654435761L, 40503L, 2246822519L)
+
+  private def bloomPositions(df: DataFrame, keyCol: String): DataFrame =
+    withHash31(df, keyCol)
+      .withColumn("d", explode(sequence(lit(0), lit(BloomD - 1))))
+      .withColumn("mult", element_at(array(BloomMults.map(lit): _*), col("d") + 1))
+      .withColumn("bit",
+        expr(s"${finalize31Sql("(__h * mult) % 2147483648L")} % $BloomM"))
+
+  /** Contract-hash Bloom membership screen — the routing sketch behind
+    * [[Incremental]]'s native-bloom ingest, here with ENGINE-SPECIFIED
+    * bit positions so the filter state and every verdict hash-grade:
+    * slice A's distinct keys set d=3 finalized bits each; `probes`-many
+    * smallest distinct slice-B keys are then screened. Per probe:
+    * (key, might_contain, in_a, is_fp) — no-false-negative is visible
+    * per row (in_a ⇒ might_contain), false positives are COUNTED — plus
+    * the filter's bit population and A's distinct count broadcast along.
+    *
+    * Scale shape: bit-set build is one distinct aggregation on ≤ m
+    * values (the partial-agg union IS the bloom merge); probes join the
+    * ≤ m-row bit set on the bit index — keys never cross the shuffle. */
+  def bloomScreen(df: DataFrame, keyCol: String,
+                  predA: Column, predB: Column, probes: Int = 50): DataFrame = {
+    val bits = bloomPositions(df.filter(predA), keyCol)
+      .select(col("bit")).distinct()
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val aKeys = df.filter(predA).select(col(keyCol).as("key")).distinct()
+    val nA = aKeys.agg(count(lit(1)).as("n_a_distinct"))
+    val probeKeys = df.filter(predB).select(col(keyCol).as("key")).distinct()
+      .orderBy("key").limit(probes)
+    val hits = bloomPositions(probeKeys, "key")
+      .join(bits, Seq("bit"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("__hits"))
+    probeKeys
+      .join(hits, Seq("key"), "left_outer")
+      .withColumn("might_contain", coalesce(col("__hits"), lit(0L)) === BloomD)
+      .join(aKeys.withColumn("in_a", lit(true)), Seq("key"), "left_outer")
+      .withColumn("in_a", coalesce(col("in_a"), lit(false)))
+      .withColumn("is_fp", col("might_contain") && !col("in_a"))
+      .select(col("key"), col("might_contain"), col("in_a"), col("is_fp"))
+      .crossJoin(broadcast(nBits)).crossJoin(broadcast(nA))
+      .orderBy("key")
+  }
+
+  // ---------------------------------------------------------------------
   // KMV ("theta") distinct sketch: bounded set algebra over hash minima
   // ---------------------------------------------------------------------
 

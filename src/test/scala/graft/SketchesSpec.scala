@@ -258,6 +258,32 @@ class SketchesSpec extends SparkSpec {
     assert((merged._2, merged._3) == direct)
   }
 
+  test("bloom screen: no false negatives, verdict algebra, bounded bit population") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = Tables.lineitem(spark, sf)
+    val rows = Sketches.bloomScreen(li, "l_orderkey",
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .as[(Long, Boolean, Boolean, Boolean, Long, Long)].collect().toSeq
+    assert(rows.size == 50)
+    for ((key, might, inA, isFp, nBits, nA) <- rows) {
+      // the one-sided guarantee: a member is NEVER screened out
+      assert(!inA || might, s"false negative on $key")
+      assert(isFp == (might && !inA), s"verdict algebra broken on $key")
+      assert(nBits > 0 && nBits <= math.min(Sketches.BloomM.toLong,
+        Sketches.BloomD.toLong * nA))
+    }
+    // overlapping slices: the probe set genuinely contains members
+    assert(rows.exists(_._3), "fixture must include true members")
+    assert(rows.exists(!_._3), "fixture must include non-members")
+    // self-screen: probing A against itself can have no FPs at all
+    val self = Sketches.bloomScreen(li, "l_orderkey",
+        col("l_returnflag") === "R", col("l_returnflag") === "R")
+      .as[(Long, Boolean, Boolean, Boolean, Long, Long)].collect().toSeq
+    assert(self.forall(r => r._2 && r._3 && !r._4))
+  }
+
   test("theta set algebra: self-intersection exact, disjoint slices, never negative") {
     import org.apache.spark.sql.functions.{col, lit}
     val li = Tables.lineitem(spark, sf)
