@@ -2355,6 +2355,38 @@ object OracleSql {
        |ORDER BY p.key""".stripMargin
   }
 
+  /** Mirror of Sketches.bloomMerged: the oracle computes the DIRECT
+    * single-pass bit set only — a lossy engine-side merge of the
+    * per-slice states hash-mismatches on population or checksum. */
+  def bloomMerged(table: String, keyCol: String, subCol: String,
+                  predA: String): String = {
+    val m = ext.Sketches.BloomM
+    def fin(v: String): String = {
+      val a = s"xor(($v), ($v) // 65536)"
+      val b = s"((($a) * 2246822519) % 2147483648)"
+      s"xor(($b), ($b) // 8192)"
+    }
+    val mults = ext.Sketches.BloomMults.zipWithIndex
+      .map { case (mu, i) => s"($i, ${mu}::BIGINT)" }.mkString(", ")
+    s"""WITH ha AS (
+       |  SELECT xor(h2v, h2v // 8192) AS hv FROM (
+       |    SELECT (h1v * 2246822519) % 2147483648 AS h2v FROM (
+       |      SELECT xor(h0v, h0v // 65536) AS h1v FROM (
+       |        SELECT ($keyCol * 2654435761) % 2147483648 AS h0v
+       |        FROM $table WHERE $predA) t0) t1) t2),
+       |bits AS (
+       |  SELECT DISTINCT ${fin(s"(hv * mult) % 2147483648")} % $m AS bit
+       |  FROM ha, (VALUES $mults) AS mlt(di, mult))
+       |SELECT
+       |  (SELECT count(DISTINCT $subCol) FROM $table WHERE $predA)::BIGINT
+       |    AS n_subsets,
+       |  count(*)::BIGINT AS n_bits_set,
+       |  sum(bit * bit)::BIGINT AS bits_checksum,
+       |  (SELECT count(DISTINCT $keyCol) FROM $table WHERE $predA)::BIGINT
+       |    AS n_a_distinct
+       |FROM bits""".stripMargin
+  }
+
   /** Contract-hash count-min sketch (mirror of Sketches.cmsTokenCounts):
     * same Horner token hash into 31 bits, same per-row multipliers and
     * xorshift finalizer, same d×w counter build and min-probe. */

@@ -270,6 +270,11 @@ object SparkEntry {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
         col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))),
+    // bloom mergeability: per-linestatus bit sets OR-merged must equal
+    // the direct single-pass filter (population + bit-set checksum)
+    "sketch_bloom_merge" -> ((s, d) =>
+      ext.Sketches.bloomMerged(Tables.lineitem(s, d), "l_orderkey", "l_linestatus",
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))),
     // KMV/theta sketch: the k smallest distinct contract hashes ARE the
     // state (CSV-graded like the HLL registers); supports the direct set
     // algebra HLL can't (see sketch_theta_ops)
@@ -2359,6 +2364,8 @@ object SparkEntry {
     "sketch_bloom" -> OracleSql.bloomScreen("lineitem", "l_orderkey",
       "l_shipdate < TIMESTAMP '1997-01-01'",
       "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"),
+    "sketch_bloom_merge" -> OracleSql.bloomMerged("lineitem", "l_orderkey",
+      "l_linestatus", "l_shipdate < TIMESTAMP '1997-01-01'"),
     "sketch_theta" -> OracleSql.thetaDistinct("lineitem", "l_returnflag", "l_partkey"),
     "sketch_theta_merge" -> OracleSql.thetaMerged("lineitem", "l_returnflag",
       "l_linestatus", "l_partkey"),

@@ -598,6 +598,29 @@ object Sketches {
       .orderBy("key")
   }
 
+  /** Bloom MERGEABILITY under grade, the [[hllMerged]]/[[thetaMerged]]
+    * convention: each `subCol` slice of the A-side builds its own
+    * distinct-bit state; the merge is the bitwise OR (set union of bit
+    * indexes) — provably lossless — and the graded one-row report
+    * carries the merged state's population and an integer bit-set
+    * checksum `Σ bit²` the oracle derives from the DIRECT single-pass
+    * filter only, so any lossy merge (intersection, re-hash, dropped
+    * slice) hash-mismatches. */
+  def bloomMerged(df: DataFrame, keyCol: String, subCol: String,
+                  predA: Column): DataFrame = {
+    val a = df.filter(predA)
+    val perSub = bloomPositions(a, keyCol)
+      .select(col(subCol), col("bit")).distinct()
+    val merged = perSub.select(col("bit")).distinct()
+    val stats = merged.agg(count(lit(1)).as("n_bits_set"),
+      sum(col("bit") * col("bit")).as("bits_checksum"))
+    val subs = a.agg(countDistinct(col(subCol)).as("n_subsets"),
+      countDistinct(col(keyCol)).as("n_a_distinct"))
+    stats.crossJoin(broadcast(subs))
+      .select(col("n_subsets"), col("n_bits_set"), col("bits_checksum"),
+        col("n_a_distinct"))
+  }
+
   // ---------------------------------------------------------------------
   // KMV ("theta") distinct sketch: bounded set algebra over hash minima
   // ---------------------------------------------------------------------

@@ -52,6 +52,27 @@ class GifSpec extends SparkSpec {
     assert(Gif.interlaceRows(16).sorted.toSeq == (0 until 16).toSeq)
   }
 
+  test("a local color table overrides the global one (hand-spliced stream)") {
+    // encode normally, then splice a 4-entry LCT into the image
+    // descriptor: same indices must now resolve through the local table
+    val pal = Gif.FixturePalette
+    val base = Gif.encode(6, 4, interlaced = false, pal, (x, y) => (x + y) % 4)
+    // descriptor = 0x2C + left/top zeros (a raw indexOf(0x2C) could land
+    // inside the color table)
+    val imgAt = base.indexOfSlice(Seq(0x2C, 0, 0, 0, 0).map(_.toByte))
+    assert(imgAt > 0)
+    val lct = Array.tabulate(4)(i => Array((10 * i).toByte, (20 * i).toByte, (30 * i).toByte)).flatten
+    val withLct = base.take(imgAt + 9) ++
+      Array[Byte]((0x80 | 0x01).toByte) ++ // LCT flag, size 2^2 = 4 entries
+      lct ++ base.drop(imgAt + 10)
+    val d = Gif.decode(withLct).get
+    assert(d.palette.length == 4)
+    assert(d.palette(1) == ((10 << 16) | (20 << 8) | 30))
+    // indices unchanged, colors resolved locally
+    val plain = Gif.decode(base).get
+    assert(d.indices.toSeq == plain.indices.toSeq)
+  }
+
   test("corrupt bytes degrade to None / sentinel rows, never exceptions") {
     val good = Gif.syntheticGif(5L)
     assert(Gif.decode(good).isDefined)
