@@ -81,6 +81,7 @@ object Plans {
     "q18_large_orders" -> "quantity agg over the FACT table alone (partial combine), HAVING filters before anything joins; only surviving keys meet orders/customer",
     "sketch_theta" -> "ONE bounded ObjectHashAggregate: ≤k-long KMV buffers combine map-side, only sketch states cross the exchange (keys never do); exact counts join per group",
     "text_unigram_fertility" -> "the Viterbi DP runs once per DISTINCT word (vocabulary-bounded frame, codebook-sized model broadcast); the corpus-scale token stream attaches via ONE word-keyed equi-join — per-token work never re-runs the DP",
+    "sketch_bloom" -> "bit-set build is a distinct aggregation on ≤ m values (the partial-agg union IS the bloom merge); probes meet the bounded bit set in an index-keyed join — keys never cross the shuffle",
     "sketch_theta_ops" -> "two bounded slice folds (filters run map-side at the scan) + ≤k-element array algebra over one-row broadcast frames — nothing after the partial aggregates depends on data size",
   )
 
