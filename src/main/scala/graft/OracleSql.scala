@@ -1654,9 +1654,9 @@ object OracleSql {
        |    n * n - sum_rc AS kappa_den
        |  FROM tot, src)
        |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
-       |  CAST(sum_rc AS DECIMAL(38,0)) AS sum_rc,
-       |  CAST(kappa_num AS DECIMAL(38,0)) AS kappa_num,
-       |  CAST(kappa_den AS DECIMAL(38,0)) AS kappa_den,
+       |  CAST(CAST(sum_rc AS HUGEINT) AS VARCHAR) AS sum_rc,
+       |  CAST(CAST(kappa_num AS HUGEINT) AS VARCHAR) AS kappa_num,
+       |  CAST(CAST(kappa_den AS HUGEINT) AS VARCHAR) AS kappa_den,
        |  CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE) AS kappa
        |FROM kp""".stripMargin
 
@@ -1735,15 +1735,17 @@ object OracleSql {
 
   /** One-row exact AUC report (mirror of Eval.aucReport): the doubled
     * Mann–Whitney count expanded to one aggregate pass over the ROC
-    * table; num2/den2 rendered as DECIMAL(38,0) on both engines, the
-    * ratio as the division of the same two exact-integer doubles. */
+    * table; num2/den2 computed in wide integers (HUGEINT here,
+    * DECIMAL(38,0) in Spark) but RENDERED as decimal strings — the one
+    * engine-neutral form for precision-38 integers — and the ratio as
+    * the division of the same two exact-integer doubles. */
   def nbAuc(posCls: String): String =
     s"""WITH ${nbRocCtes(posCls)}
        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
-       |  CAST(2*sum(n_pos)*sum(n_neg) - 2*sum(n_pos*cum_fp) + sum(n_pos*n_neg)
-       |       AS DECIMAL(38,0)) AS auc_num2,
-       |  CAST(2*sum(n_pos)*sum(n_neg) AS DECIMAL(38,0)) AS auc_den2,
+       |  CAST(CAST(2*sum(n_pos)*sum(n_neg) - 2*sum(n_pos*cum_fp) + sum(n_pos*n_neg)
+       |       AS HUGEINT) AS VARCHAR) AS auc_num2,
+       |  CAST(CAST(2*sum(n_pos)*sum(n_neg) AS HUGEINT) AS VARCHAR) AS auc_den2,
        |  CAST(2*sum(n_pos)*sum(n_neg) - 2*sum(n_pos*cum_fp) + sum(n_pos*n_neg)
        |       AS DOUBLE)
        |    / CAST(2*sum(n_pos)*sum(n_neg) AS DOUBLE) AS auc

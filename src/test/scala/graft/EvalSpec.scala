@@ -145,7 +145,7 @@ class EvalSpec extends SparkSpec {
       Seq(("a", "a"), ("a", "c"), ("b", "b"), ("b", "c")).toDF("pred", "actual"))
       .collect().head
     // n=4, agree=2, rows: a=1,b=1,c=2; cols: a=2,b=2,c=0 -> sum_rc=1*2+1*2+2*0=4
-    assert(r.getDecimal(r.fieldIndex("sum_rc")).longValueExact() == 4L)
+    assert(r.getString(r.fieldIndex("sum_rc")).toLong == 4L)
     // kappa = (4*2-4)/(16-4) = 4/12
     assert(r.getDouble(r.fieldIndex("kappa")) == 4.0 / 12.0)
   }
