@@ -13,6 +13,27 @@ import scala.util.control.NonFatal
   * is written to BENCH_FULL.json alongside.
   */
 object Bench {
+  /** Parse (sf, per-query seconds) out of a pin/previous-run JSON blob.
+    *
+    * Tolerates BOTH separator styles — the compact `":"` this object
+    * emits AND the `": "` a `json.dump` writes (the committed
+    * BENCH_BASELINE.json is produced that way): round 12's gate used
+    * whitespace-intolerant regexes and silently never armed against the
+    * very pin the round kept refreshing. Public so BenchGateSpec can
+    * assert the gate arms against the committed pin file itself. */
+  def parseBaseline(txt: String): (String, Map[String, Double]) = {
+    val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    val qs = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    val m = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(qs)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption).toMap
+    (sf, m)
+  }
+
+  /** 3-decimal seconds; Locale.ROOT keeps the decimal point a '.' under
+    * any JVM default locale — a comma would break strict json.loads. */
+  private def f3s(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -92,13 +113,13 @@ object Bench {
     val (prevSf, prev): (String, Map[String, Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(baselinePath)), java.nio.charset.StandardCharsets.UTF_8)
-      val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      val qs = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      val m = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qs)
-        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption).toMap
+      val (sf, m) = parseBaseline(txt)
       if (sf.isEmpty || m.isEmpty)
         System.err.println(s"[bench] regression gate DISABLED: baseline '$baselinePath' " +
           "has no parseable sf/queries fields (pre-gate format?)")
+      else
+        System.err.println(s"[bench] regression gate ARMED against '$baselinePath' " +
+          s"(sf '$sf', ${m.size} pinned queries)")
       (sf, m)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] regression gate DISABLED: cannot read baseline " +
@@ -151,6 +172,24 @@ object Bench {
     }
     if (regressed.nonEmpty)
       System.err.println(s"[bench] regressed >1.5x (+0.5s min-of-3) vs previous run: ${regressed.mkString(", ")}")
+    // New-query budget notice: a query with no pin can't regress, so an
+    // expensive NEWCOMER lands silently in the suite tail and only shows
+    // up at judging time (the round-12 sketch_quantile family arrived at
+    // 1.9-2.3s each, 3 of the top 20, unreviewed). Flag any unpinned
+    // query landing above the suite median so its pin is set consciously.
+    if (comparable && prev.nonEmpty) {
+      val times = results.filter(_._3).map(_._2).sorted
+      if (times.nonEmpty) {
+        val median = times(times.length / 2)
+        val overMedianNew = results.collect {
+          case (name, sec, ok) if ok && !prev.contains(name) && sec > median =>
+            s"$name (${f3s(sec)}s > median ${f3s(median)}s)"
+        }
+        if (overMedianNew.nonEmpty)
+          System.err.println("[bench] first-seen-over-median (new query, no pin, " +
+            s"above suite median): ${overMedianNew.mkString(", ")}")
+      }
+    }
 
     // Complete record (full precision + per-query ok) → BENCH_FULL.json.
     // "failed" is the SAME shape (name array) as the printed stdout line;
@@ -167,10 +206,8 @@ object Bench {
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // Printed line: fixed header + as many per-query entries as fit in the
-    // budget, most expensive first (3-decimal seconds). Locale.ROOT keeps
-    // the decimal point a '.' under any JVM default locale — a comma would
-    // break the driver's strict json.loads.
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // budget, most expensive first (3-decimal seconds).
+    def f3(v: Double): String = f3s(v)
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
