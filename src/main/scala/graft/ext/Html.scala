@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML→text extraction — the first operator of every crawl pipeline
+  * (the reference corpus starts at plain text; CommonCrawl does not).
+  *
+  * Strips script/style/comments wholesale, turns block-level tags into
+  * newline block separators, drops the remaining inline tags, decodes
+  * the common character entities, and normalizes whitespace — plus the
+  * per-block LINK DENSITY signal (anchor-text chars / block chars) that
+  * boilerplate classifiers key on: navigation chrome is mostly links,
+  * body prose is not.
+  *
+  * All regexes are RE2-compatible (inline `(?is)` flags, `\b`, lazy
+  * `.*?`; no lookarounds, no backreferences) so the DuckDB oracle runs
+  * the IDENTICAL patterns. Entity decode is a fixed replace chain with
+  * `&amp;` LAST — decoding it first would re-introduce `&lt;`/`&gt;`
+  * from double-escaped text.
+  *
+  * Scale shape: a pure per-document column pipeline — zero shuffle,
+  * zero UDFs, everything whole-stage-codegen'd `regexp_replace` /
+  * array lambdas; the block explode multiplies rows by a per-document
+  * constant (its block count), never by corpus size. At 100 TB this is
+  * embarrassingly parallel map work gated only by scan bandwidth.
+  */
+object Html {
+
+  /** `<script ...> ... </script>` wholesale (lazy across newlines) —
+    * FIRST, so `<`/`>`/`</p>` inside code can't leak into tag logic. */
+  val ScriptRe: String = "(?is)<script\\b[^>]*>.*?</script>"
+  val StyleRe: String = "(?is)<style\\b[^>]*>.*?</style>"
+  val CommentRe: String = "(?s)<!--.*?-->"
+
+  /** Open OR close tag of a block-level element → block separator.
+    * `title`/`head`/`body`/`html` ride along so head metadata lands in
+    * its own block instead of gluing onto the first heading. */
+  val BlockTagRe: String =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|br|hr|title|head|body|html|section|article|nav|footer|header)\\b[^>]*>"
+
+  /** Any remaining tag (anchors, inline em/b/span, unknowns). */
+  val AnyTagRe: String = "<[^>]*>"
+
+  /** Anchor with its inner HTML captured — group 1 is the link text
+    * (may itself contain inline tags; strip before counting). */
+  val AnchorRe: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** The fixed entity set both engines decode, in decode order.
+    * `&amp;` MUST stay last (see class doc). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def entityDecode(c: Column): Column =
+    Entities.foldLeft(c) { case (acc, (e, ch)) => regexp_replace(acc, e, ch) }
+
+  /** script/style/comment removal — the shared first stage. */
+  private def decommented(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      html, ScriptRe, ""), StyleRe, ""), CommentRe, "")
+
+  /** Block structure exposed: separators as newlines, inline tags and
+    * anchors still present (the block pass needs anchors in place). */
+  private def blockified(html: Column): Column =
+    regexp_replace(decommented(html), BlockTagRe, "\n")
+
+  /** Visible text of an HTML fragment: inline tags dropped, entities
+    * decoded, horizontal whitespace collapsed — NO newline handling
+    * (block callers own the separators). */
+  private def fragmentText(c: Column): Column =
+    regexp_replace(entityDecode(regexp_replace(c, AnyTagRe, "")), "[ \\t]+", " ")
+
+  /** Total decoded anchor-text chars of a fragment (0 when linkless). */
+  private def linkChars(c: Column): Column = coalesce(
+    aggregate(
+      transform(regexp_extract_all(c, lit(AnchorRe), lit(1)),
+        x => length(trim(fragmentText(x))).cast("long")),
+      lit(0L), (acc, x) => acc + x),
+    lit(0L))
+
+  /** Full extracted text: blocks separated by single newlines, each
+    * block trimmed, leading/trailing separators dropped. */
+  private def extractedText(html: Column): Column = {
+    val flat = fragmentText(blockified(html))
+    // spaces hugging a separator, then runs of separators, then ends
+    trim(regexp_replace(regexp_replace(flat, " *\\n *", "\n"), "\\n+", "\n"), "\n ")
+  }
+
+  /** Per-document extraction report: the cleaned text plus the
+    * doc-level link signal. One projection, zero shuffle (the trailing
+    * orderBy is presentation for the graded dump). */
+  def extract(docs: DataFrame, htmlCol: String = "html",
+              idCol: String = "doc_id"): DataFrame = {
+    val txt = extractedText(col(htmlCol))
+    val clean = decommented(col(htmlCol))
+    docs.select(
+        col(idCol),
+        txt.as("text"),
+        length(txt).cast("long").as("n_chars"),
+        when(length(txt) === 0, 0L)
+          .otherwise(size(split(txt, "\\n")).cast("long")).as("n_blocks"),
+        size(regexp_extract_all(clean, lit(AnchorRe), lit(0)))
+          .cast("long").as("n_links"),
+        linkChars(clean).as("link_chars"))
+      .withColumn("link_density_scaled",
+        expr("link_chars * 1000 div greatest(n_chars, 1)"))
+      .orderBy(idCol)
+  }
+
+  /** Per-block view with the link-density boilerplate signal: one row
+    * per non-empty block, `is_nav` when more than half the block's
+    * visible chars are anchor text (the classic navigation-chrome
+    * threshold). `block_id` is the block's 1-based position in the raw
+    * separator split — stable across engines, gaps where empty blocks
+    * were dropped. Explode multiplies by blocks-per-doc, not corpus. */
+  def blocks(docs: DataFrame, htmlCol: String = "html",
+             idCol: String = "doc_id"): DataFrame = {
+    val withRaw = docs.select(col(idCol),
+      posexplode(split(blockified(col(htmlCol)), "\\n")).as(Seq("pos", "raw")))
+    withRaw
+      .select(col(idCol), (col("pos") + 1).cast("long").as("block_id"),
+        trim(fragmentText(col("raw"))).as("block_text"),
+        linkChars(col("raw")).as("link_chars"))
+      .filter(length(col("block_text")) > 0)
+      .withColumn("n_chars", length(col("block_text")).cast("long"))
+      .withColumn("link_density_scaled",
+        expr("link_chars * 1000 div greatest(n_chars, 1)"))
+      .withColumn("is_nav", col("link_density_scaled") >= 500)
+      .select(idCol, "block_id", "block_text", "n_chars", "link_chars",
+        "link_density_scaled", "is_nav")
+      .orderBy(idCol, "block_id")
+  }
+
+  /** Deterministic HTML fixture planted around each document's text —
+    * the graded input for [[extract]]/[[blocks]] (TESTDATA has no HTML
+    * column; the planting is mirrored verbatim by the oracle CTE).
+    * Exercises: head metadata, style AND script bodies containing
+    * `<`/`>`/a fake `</p>`, a comment, every planted entity, nav
+    * chrome (pure-link div), an inline anchor with a nested inline
+    * tag, and `&amp;` planted INSIDE the corpus text. */
+  def htmlDocs(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("html", concat(
+      lit("<html><head><title>T"), col(idCol).cast("string"), lit("</title>"),
+      lit("<style type=\"text/css\">p { margin: 0; }</style>"),
+      lit("<script>if (a<b) { s = \"</p>\"; }</script>"),
+      lit("</head><body><!-- c"), col(idCol).cast("string"), lit(" -->"),
+      lit("<h1>Doc&#39;s &quot;h&quot; &lt;"), col(idCol).cast("string"),
+      lit("&gt;</h1><p>"),
+      regexp_replace(col(textCol), " and ", " &amp; "),
+      lit("</p><div><a href=\"/h\">Home</a> <a href=\"/n\">Next page</a></div>"),
+      lit("<p>Tail&nbsp;text <a href=\"/i\"><em>inline</em> link</a> end.</p>"),
+      lit("</body></html>")))
+}
