@@ -53,8 +53,9 @@ object SparkEntry {
     * delete-then-reinsert, fresh inserts; latest seq wins per id —
     * change rules are if/else-exclusive per seq so (id, seq) is unique
     * and the winner is order-independent). Mirrored by
-    * OracleSql.cdcFinalCte. */
-  private def cdcChanges(docs: DataFrame): DataFrame = {
+    * OracleSql.cdcFinalCte. `private[graft]` so specs exercise the REAL
+    * change log instead of a hand-copy that drifts. */
+  private[graft] def cdcChanges(docs: DataFrame): DataFrame = {
     val sNull = lit(null).cast("string")
     val c1del = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),

@@ -626,12 +626,21 @@ object EventsStream {
   /** CDC fixture for the streaming aggregate maintenance: the SAME
     * change log pipeline_cdc_apply / lake_incr_agg use, split into its
     * two sequence batches (one file per micro-batch, seq order =
-    * arrival order). */
+    * arrival order).
+    *
+    * The staged dir is keyed on a CONTENT hash of the change rows (an
+    * order-insensitive sum of per-row xxhash64), not just the session —
+    * two callers in one JVM with different change-sets must each stream
+    * their own data, never silently reuse the first caller's fixture. */
   def cdcBatchFixtureDir(spark: SparkSession, sfDir: String,
                          changes: DataFrame): String = {
     import java.nio.file.{Files, Paths}
+    val keyRow = changes
+      .select(xxhash64(changes.columns.sorted.map(col): _*).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)), count(lit(1))).head()
     val dir = Paths.get(s"/tmp/graft_stream_cdc_${spark.sparkContext.applicationId}_" +
-      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.Long.toHexString(keyRow.getLong(0)) + "_" + keyRow.getLong(1))
     val b1 = dir.resolve("seq1.parquet")
     val b2 = dir.resolve("seq2.parquet")
     if (Files.exists(b1) && Files.exists(b2)) return dir.toString

@@ -296,20 +296,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming IVM: per-batch maintained view == full recompute over merged base") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "source")
-    // the same shared CDC change log the batch queries use
-    val changes = {
-      val sNull = lit(null).cast("string")
-      val c1del = docs.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
-          sNull.as("text"), sNull.as("source"))
-      val c1up = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" rev1")).as("text"), col("source"))
-      val c2 = docs.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" rev2")).as("text"), col("source"))
-      c1del.unionByName(c1up).unionByName(c2)
-    }
+    // the REAL shared CDC change log the batch queries use (no hand-copy)
+    val changes = SparkEntry.cdcChanges(docs)
     val got = EventsStream.incrAggStreamLanded(spark, dir, docs, changes)
       .as[(String, Long, Long)].collect().toSeq
     val want = ext.Incremental.charAggregate(
@@ -317,6 +305,37 @@ class StreamingSpec extends SparkSpec {
       .orderBy("source").as[(String, Long, Long)].collect().toSeq
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("CDC fixture dirs are content-keyed: two change-sets in one session never collide") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val sNull = lit(null).cast("string")
+    def mkChanges(rev: String, m: Int): org.apache.spark.sql.DataFrame = {
+      val c1 = docs.filter(col("doc_id") % m === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(s" $rev")).as("text"), col("source"))
+      val c2 = docs.filter(col("doc_id") % (m + 1) === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("delete").as("op"),
+          sNull.as("text"), sNull.as("source"))
+      c1.unionByName(c2)
+    }
+    val a = mkChanges("alpha", 4)
+    val b = mkChanges("beta", 6)
+    val dirA = EventsStream.cdcBatchFixtureDir(spark, dir, a)
+    val dirB = EventsStream.cdcBatchFixtureDir(spark, dir, b)
+    assert(dirA != dirB, "different change-sets must stage to different dirs")
+    // each staged dir round-trips ITS OWN change rows, not the first caller's
+    def staged(d: String): Set[(Long, Long, String)] =
+      spark.read.parquet(s"$d/seq1.parquet", s"$d/seq2.parquet")
+        .select(col("doc_id"), col("seq"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, Long, String)].collect().toSet
+    def direct(c: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      c.select(col("doc_id"), col("seq"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, Long, String)].collect().toSet
+    assert(staged(dirA) == direct(a))
+    assert(staged(dirB) == direct(b))
+    // memoized re-invocation returns the same dir for the same content
+    assert(EventsStream.cdcBatchFixtureDir(spark, dir, a) == dirA)
   }
 
   test("maintained quantile sketch across micro-batches == single-pass batch sketch") {
