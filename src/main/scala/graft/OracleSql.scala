@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, TextStats}
+import graft.ext.{Dedup, Html, TextStats}
 
 /** DuckDB oracle-SQL builders for the extension queries. The SQL mirrors
   * the engine's arithmetic exactly (same rolling-hash fold, same seed
@@ -3085,4 +3085,99 @@ object OracleSql {
       |  sqrt((n::DOUBLE * sum_sq_scaled - sum_scaled::DOUBLE * sum_scaled::DOUBLE)
       |       / (n::DOUBLE * (n::DOUBLE - 1.0))) / 1000000.0 AS std
       |FROM a ORDER BY dim""".stripMargin
+
+  // ------------------------------------------------------- HTML extraction
+
+  /** Entity decode chain (mirror of Html.entityDecode — same fixed set,
+    * `&amp;` last). Plain `replace` (global, literal) == the engine's
+    * regexp_replace over these metachar-free patterns. */
+  private def htmlEntities(e: String): String =
+    Html.Entities.foldLeft(e) { case (acc, (ent, ch)) =>
+      s"replace($acc, '${sqlStr(ent)}', '${sqlStr(ch)}')" }
+
+  /** script/style/comment removal (mirror of Html.decommented; the
+    * regex constants are interpolated from the engine so they cannot
+    * drift — all RE2-safe by construction, see Html's class doc). */
+  private def htmlDecommented(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'${Html.ScriptRe}', '', 'g'), '${Html.StyleRe}', '', 'g'), " +
+      s"'${Html.CommentRe}', '', 'g')"
+
+  private def htmlBlockified(e: String): String =
+    s"regexp_replace(${htmlDecommented(e)}, '${Html.BlockTagRe}', chr(10), 'g')"
+
+  /** Visible text of a fragment (mirror of Html.fragmentText). */
+  private def htmlFragmentText(e: String): String =
+    s"regexp_replace(${htmlEntities(s"regexp_replace($e, '${Html.AnyTagRe}', '', 'g')")}, " +
+      "'[ \\t]+', ' ', 'g')"
+
+  /** Decoded anchor-text chars (mirror of Html.linkChars). list_sum of
+    * an empty list is NULL and of BIGINTs is HUGEINT — coalesce + cast. */
+  private def htmlLinkChars(e: String): String =
+    s"coalesce(CAST(list_sum(list_transform(" +
+      s"regexp_extract_all($e, '${Html.AnchorRe}', 1), " +
+      s"x -> length(trim(${htmlFragmentText("x")}))::BIGINT)) AS BIGINT), 0::BIGINT)"
+
+  /** Full extracted text (mirror of Html.extractedText). */
+  private def htmlExtractedText(e: String): String =
+    s"trim(regexp_replace(regexp_replace(${htmlFragmentText(htmlBlockified(e))}, " +
+      s"' *\\n *', chr(10), 'g'), '\\n+', chr(10), 'g'), chr(10) || ' ')"
+
+  /** The planted HTML column — MUST mirror Html.htmlDocs verbatim. */
+  private val htmlDocCte: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>T' || doc_id::VARCHAR || '</title>' ||
+      |    '<style type="text/css">p { margin: 0; }</style>' ||
+      |    '<script>if (a<b) { s = "</p>"; }</script>' ||
+      |    '</head><body><!-- c' || doc_id::VARCHAR || ' -->' ||
+      |    '<h1>Doc&#39;s &quot;h&quot; &lt;' || doc_id::VARCHAR || '&gt;</h1><p>' ||
+      |    regexp_replace(text, ' and ', ' &amp; ', 'g') ||
+      |    '</p><div><a href="/h">Home</a> <a href="/n">Next page</a></div>' ||
+      |    '<p>Tail&nbsp;text <a href="/i"><em>inline</em> link</a> end.</p>' ||
+      |    '</body></html>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** Mirror of Html.extract over the planted corpus. Integer division
+    * is `//` here, `div` on the Spark side (the known parity trap). */
+  val htmlExtract: String =
+    s"""WITH $htmlDocCte,
+       |x AS (
+       |  SELECT doc_id, ${htmlExtractedText("html")} AS text,
+       |    ${htmlDecommented("html")} AS clean
+       |  FROM h),
+       |r AS (
+       |  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+       |    CASE WHEN length(text) = 0 THEN 0::BIGINT
+       |         ELSE len(string_split(text, chr(10)))::BIGINT END AS n_blocks,
+       |    len(regexp_extract_all(clean, '${Html.AnchorRe}', 0))::BIGINT AS n_links,
+       |    ${htmlLinkChars("clean")} AS link_chars
+       |  FROM x)
+       |SELECT doc_id, text, n_chars, n_blocks, n_links, link_chars,
+       |  (link_chars * 1000) // greatest(n_chars, 1) AS link_density_scaled
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Html.blocks: 1-based position in the raw separator
+    * split, empty blocks dropped after visible-text trim. */
+  val htmlBlocks: String =
+    s"""WITH $htmlDocCte,
+       |p AS (
+       |  SELECT doc_id, string_split(${htmlBlockified("html")}, chr(10)) AS parts
+       |  FROM h),
+       |raw AS (
+       |  SELECT doc_id, i::BIGINT AS block_id, parts[i] AS raw
+       |  FROM p, unnest(range(1, len(parts) + 1)) AS r(i)),
+       |b AS (
+       |  SELECT doc_id, block_id,
+       |    trim(${htmlFragmentText("raw")}) AS block_text,
+       |    ${htmlLinkChars("raw")} AS link_chars
+       |  FROM raw),
+       |f AS (
+       |  SELECT doc_id, block_id, block_text,
+       |    length(block_text)::BIGINT AS n_chars, link_chars
+       |  FROM b WHERE length(block_text) > 0)
+       |SELECT doc_id, block_id, block_text, n_chars, link_chars,
+       |  (link_chars * 1000) // greatest(n_chars, 1) AS link_density_scaled,
+       |  (link_chars * 1000) // greatest(n_chars, 1) >= 500 AS is_nav
+       |FROM f ORDER BY doc_id, block_id""".stripMargin
 }

@@ -1008,6 +1008,20 @@ object SparkEntry {
     "pipeline_dsir" -> ((s, d) =>
       ext.Dsir.importanceSelect(Tables.documents(s, d), col("lang") === "en",
         nBuckets = 256, selectN = 200)),
+    // HTML→text extraction over HTML planted around every document's
+    // text (head metadata, script/style bodies carrying fake tags, a
+    // comment, every decoded entity, nav chrome, nested inline anchor)
+    // — the first operator of every crawl pipeline. Pure projection:
+    // zero shuffle before the presentation sort (PlanSpec-asserted)
+    "text_html_extract" -> ((s, d) =>
+      ext.Html.extract(ext.Html.htmlDocs(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    // per-block link-density view of the same corpus: `is_nav` where
+    // more than half the visible chars are anchor text (the classic
+    // navigation-chrome boilerplate signal)
+    "text_html_blocks" -> ((s, d) =>
+      ext.Html.blocks(ext.Html.htmlDocs(Tables.documents(s, d)))
+        .orderBy("doc_id", "block_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2601,5 +2615,7 @@ object SparkEntry {
         |  length(dt) AS n_decomposed, length(nfc_normalize(dt)) AS n_norm,
         |  length(nfc_normalize(dt)) < length(dt) AS composed
         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_html_extract" -> OracleSql.htmlExtract,
+    "text_html_blocks" -> OracleSql.htmlBlocks,
   )
 }

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * `&amp;` LAST — decoding it first would re-introduce `&lt;`/`&gt;`
   * from double-escaped text.
   *
-  * Scale shape: a pure per-document column pipeline — zero shuffle,
-  * zero UDFs, everything whole-stage-codegen'd `regexp_replace` /
-  * array lambdas; the block explode multiplies rows by a per-document
-  * constant (its block count), never by corpus size. At 100 TB this is
+  * Scale shape: a pure per-document column pipeline — zero shuffle
+  * (PlanSpec-asserted: no Exchange in either plan), zero UDFs,
+  * everything whole-stage-codegen'd `regexp_replace` / array lambdas;
+  * the block explode multiplies rows by a per-document constant (its
+  * block count), never by corpus size. At 100 TB this is
   * embarrassingly parallel map work gated only by scan bandwidth.
+  * Callers that need sorted output add their own orderBy (the graded
+  * dump does) — the operators themselves never shuffle.
   */
 object Html {
 
@@ -88,8 +91,7 @@ object Html {
   }
 
   /** Per-document extraction report: the cleaned text plus the
-    * doc-level link signal. One projection, zero shuffle (the trailing
-    * orderBy is presentation for the graded dump). */
+    * doc-level link signal. One projection, zero shuffle. */
   def extract(docs: DataFrame, htmlCol: String = "html",
               idCol: String = "doc_id"): DataFrame = {
     val txt = extractedText(col(htmlCol))
@@ -103,9 +105,11 @@ object Html {
         size(regexp_extract_all(clean, lit(AnchorRe), lit(0)))
           .cast("long").as("n_links"),
         linkChars(clean).as("link_chars"))
+      // Spark's infix `div` is integer division on longs; the DuckDB
+      // oracle MUST spell it `//` (DuckDB has no `div`) — do not copy
+      // this expression verbatim into the oracle.
       .withColumn("link_density_scaled",
         expr("link_chars * 1000 div greatest(n_chars, 1)"))
-      .orderBy(idCol)
   }
 
   /** Per-block view with the link-density boilerplate signal: one row
@@ -129,7 +133,6 @@ object Html {
       .withColumn("is_nav", col("link_density_scaled") >= 500)
       .select(idCol, "block_id", "block_text", "n_chars", "link_chars",
         "link_density_scaled", "is_nav")
-      .orderBy(idCol, "block_id")
   }
 
   /** Deterministic HTML fixture planted around each document's text —

@@ -49,6 +49,17 @@ class PlanSpec extends SparkSpec {
     assert(q("q_anti_join").contains("LeftAnti"))
   }
 
+  test("HTML extraction is a pure projection: zero Exchange in either plan") {
+    // pre-presentation-sort operators (the graded queries add orderBy)
+    val docs = Tables.documents(spark, sf)
+    val pe = plan(ext.Html.extract(ext.Html.htmlDocs(docs)))
+    val pb = plan(ext.Html.blocks(ext.Html.htmlDocs(docs)))
+    assert(!pe.contains("Exchange"), pe.takeRight(500))
+    assert(!pb.contains("Exchange"), pb.takeRight(500))
+    // the block explode is a Generate over the split, still shuffle-free
+    assert(pb.contains("Generate"), pb.takeRight(500))
+  }
+
   test("whole-stage codegen covers the tokenizer pipeline") {
     val df = SparkEntry.queries("wc_word_count")(spark, sf)
     df.collect() // finalize the adaptive plan
