@@ -143,6 +143,11 @@ object SparkEntry {
     // warcinfo records interleaved that the reader must skip
     "src_warc" -> ((s, d) =>
       graft.sources.Warc.roundTrip(s, Tables.documents(s, d), d)),
+    // production .warc.gz: the SAME salted records, each in its own
+    // RFC 1952 gzip member (CommonCrawl convention) — member walk,
+    // raw-Inflater body, CRC32 + ISIZE verified per member
+    "src_warc_gz" -> ((s, d) =>
+      graft.sources.Warc.roundTripGz(s, Tables.documents(s, d), d)),
     // Hive-partitioned lake layout: the lang predicate prunes at the
     // directory listing; content (incl. the path-carried partition
     // column) is the graded claim
@@ -1024,6 +1029,19 @@ object SparkEntry {
         .orderBy("doc_id", "block_id")),
   )
 
+  /** Shared WARC round-trip oracle: payload salt + framing are engine
+    * concerns; DuckDB recomputes the graded frame straight from parquet
+    * (used verbatim for both plain and gzip-member WARC). */
+  private val warcOracle: String =
+    """SELECT doc_id,
+      |  'https://' || source || '.example/' || doc_id AS url,
+      |  lang,
+      |  strlen(text || chr(13) || chr(10) || 'WARC/1.0'
+      |         || chr(13) || chr(10) || '☃é—')::BIGINT AS n_bytes,
+      |  text || chr(13) || chr(10) || 'WARC/1.0'
+      |    || chr(13) || chr(10) || '☃é—' AS text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "wc_word_count" ->
       s"""WITH tok AS ($tokSql)
@@ -1112,15 +1130,9 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, text, lang, source, strlen(text)::BIGINT AS n_bytes
         |FROM padded ORDER BY doc_id""".stripMargin,
-    "src_warc" ->
-      """SELECT doc_id,
-        |  'https://' || source || '.example/' || doc_id AS url,
-        |  lang,
-        |  strlen(text || chr(13) || chr(10) || 'WARC/1.0'
-        |         || chr(13) || chr(10) || '☃é—')::BIGINT AS n_bytes,
-        |  text || chr(13) || chr(10) || 'WARC/1.0'
-        |    || chr(13) || chr(10) || '☃é—' AS text
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_warc" -> warcOracle,
+    // identical logical content — compression is transparent to the frame
+    "src_warc_gz" -> warcOracle,
     "lake_partition_prune" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin,

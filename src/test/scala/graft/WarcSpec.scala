@@ -72,4 +72,55 @@ class WarcSpec extends SparkSpec {
     // the salt genuinely contains a version-line lookalike
     assert(Warc.PayloadSalt.contains("WARC/1.0"))
   }
+
+  test("gzip members: one record per member, boundaries honored, java-interoperable") {
+    val recA = Warc.recordBytes("response",
+      Seq("WARC-Target-URI" -> "https://a.example/1", "WARC-Graft-Lang" -> "en"),
+      "first ☃ body\r\nWARC/1.0\r\n".getBytes(UTF_8))
+    val recB = Warc.recordBytes("response",
+      Seq("WARC-Target-URI" -> "https://b.example/2", "WARC-Graft-Lang" -> "de"),
+      "second".getBytes(UTF_8))
+    val file = Warc.gzipMemberBytes(recA) ++ Warc.gzipMemberBytes(recB)
+    // member walk: exactly two members, each decoding to ITS record
+    val members = Warc.parseGzipMembers(file).toSeq
+    assert(members.length == 2)
+    assert(members(0).toSeq == recA.toSeq && members(1).toSeq == recB.toSeq)
+    // each member frames exactly one WARC record
+    assert(members.map(m => Warc.parseRecords(m).length) == Seq(1, 1))
+    // a standard gzip reader must accept our members (RFC 1952 conformance):
+    // GZIPInputStream decodes concatenated members to the concatenation
+    val gis = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(file))
+    assert(gis.readAllBytes().toSeq == (recA ++ recB).toSeq)
+  }
+
+  test("gzip members: corrupt/truncated members fail loudly, never truncate silently") {
+    val rec = Warc.recordBytes("response",
+      Seq("WARC-Target-URI" -> "https://a.example/1"), "abcdef".getBytes(UTF_8))
+    val member = Warc.gzipMemberBytes(rec)
+    // flipped trailer CRC byte
+    val badCrc = member.clone(); badCrc(member.length - 8) = (badCrc(member.length - 8) ^ 0xff).toByte
+    intercept[IllegalArgumentException] { Warc.parseGzipMembers(badCrc).toSeq }
+    // flipped ISIZE byte
+    val badSize = member.clone(); badSize(member.length - 1) = (badSize(member.length - 1) ^ 0x7f).toByte
+    intercept[IllegalArgumentException] { Warc.parseGzipMembers(badSize).toSeq }
+    // truncated mid-body
+    intercept[Exception] { Warc.parseGzipMembers(member.dropRight(12)).toSeq }
+    // garbage between members (bad magic)
+    intercept[IllegalArgumentException] {
+      Warc.parseGzipMembers(member ++ "junk".getBytes(UTF_8) ++ member).toSeq
+    }
+  }
+
+  test("distributed .warc.gz round trip matches the plain-WARC frame") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val gz = Warc.roundTripGz(spark, docs, "/root/testdata/sf0.001")
+      .select("doc_id", "url", "lang", "n_bytes", "text")
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    val plain = Warc.roundTrip(spark, docs, "/root/testdata/sf0.001")
+      .select("doc_id", "url", "lang", "n_bytes", "text")
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    assert(gz == plain)
+    assert(gz.nonEmpty)
+  }
 }
