@@ -148,6 +148,12 @@ object SparkEntry {
     // raw-Inflater body, CRC32 + ISIZE verified per member
     "src_warc_gz" -> ((s, d) =>
       graft.sources.Warc.roundTripGz(s, Tables.documents(s, d), d)),
+    // mixed-encoding ingest: the same salted content landed per-doc in
+    // five wire forms (UTF-8 ± BOM, UTF-16LE/BE, Latin-1); BOM sniff +
+    // strict-UTF-8-then-Latin-1 fallback must land identical UTF-8 text
+    // with a per-file (encoding, wire-bytes) report
+    "src_charset" -> ((s, d) =>
+      graft.sources.Charset.roundTrip(s, Tables.documents(s, d), d)),
     // Hive-partitioned lake layout: the lang predicate prunes at the
     // directory listing; content (incl. the path-carried partition
     // column) is the graded claim
@@ -1133,6 +1139,21 @@ object SparkEntry {
     "src_warc" -> warcOracle,
     // identical logical content — compression is transparent to the frame
     "src_warc_gz" -> warcOracle,
+    // per-doc wire-size arithmetic (BOM is file overhead, not the
+    // doc's): UTF-8 forms = strlen, UTF-16 = 2 × chars (all-BMP
+    // corpus), Latin-1 = codepoints (all < U+0100)
+    "src_charset" ->
+      """WITH s AS (
+        |  SELECT doc_id, text || ' protégé Ærø ß°' AS text FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+        |       WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+        |       ELSE 'latin-1' END AS encoding,
+        |  (CASE doc_id % 5 WHEN 2 THEN 2 * length(text) WHEN 3 THEN 2 * length(text)
+        |        WHEN 4 THEN length(text) ELSE strlen(text) END)::BIGINT AS n_bytes,
+        |  length(text)::BIGINT AS n_chars,
+        |  text
+        |FROM s ORDER BY doc_id""".stripMargin,
     "lake_partition_prune" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin,
