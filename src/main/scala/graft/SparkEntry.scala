@@ -696,6 +696,12 @@ object SparkEntry {
     // identical pixels; scan count grades the container walk (5/11)
     "mm_jpeg_progressive" -> ((s, d) =>
       Multimodal.jpegProgressiveQuery(s, Tables.documents(s, d))),
+    // EXIF/APP1 round trip through real JPEG bytes: TIFF IFD walk in
+    // BOTH byte orders (II even ids / MM odd), inline + spilled values,
+    // ASCII/SHORT/LONG/RATIONAL types — the most common image-metadata
+    // format, completing the family next to PNG tEXt / WAV INFO / MP4
+    "mm_jpeg_exif" -> ((s, d) =>
+      ext.Exif.jpegExifQuery(s, Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, d)))),
     // real ISO-BMFF container walk: box nesting, mvhd/tkhd headers,
@@ -2098,6 +2104,27 @@ object SparkEntry {
         |  CAST(CASE WHEN chroma = 'gray' THEN r ELSE greatest(0, least(255,
         |    y + ((116131*(cb-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_b
         |FROM ycc ORDER BY media_id""".stripMargin,
+    // closed-form ground truth of the EXIF fixtures: six IFD0 entries
+    // per asset, every value a function of the id (ASCII counts include
+    // the trailing NUL per the TIFF spec)
+    "mm_jpeg_exif" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+        |  FROM documents)
+        |SELECT doc_id AS media_id, byte_order, tag, ttype, n_values, value FROM (
+        |  SELECT doc_id, byte_order, 256::BIGINT AS tag, 4::BIGINT AS ttype,
+        |         1::BIGINT AS n_values, CAST(doc_id % 13 + 4 AS VARCHAR) AS value FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 271, 2, 6, 'graft' FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 272, 2,
+        |    length('cam-' || (doc_id % 100)) + 1, 'cam-' || (doc_id % 100) FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 274, 3, 1,
+        |    CAST(doc_id % 8 + 1 AS VARCHAR) FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 282, 5, 1,
+        |    (doc_id % 300 + 1) || '/25' FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 306, 2, 20,
+        |    '2026:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') FROM e)
+        |ORDER BY media_id, tag""".stripMargin,
     // closed-form ground truth of the MP4 fixtures: every graded field
     // (incl. the positional sample-byte checksum) is a function of the id
     "mm_mp4_meta" ->
