@@ -74,8 +74,16 @@ object Tables {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    // a directory-shaped table: probe the first part file's footer (one
+    // writer ⇒ uniform schema across parts); the reader can't open a dir
+    val f = new java.io.File(path)
+    val probe =
+      if (f.isDirectory)
+        f.listFiles().filter(p => p.isFile && p.getName.endsWith(".parquet"))
+          .map(_.getPath).sorted.headOption.getOrElse(path)
+      else path
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path), s.sessionState.newHadoopConf()))
+      new org.apache.hadoop.fs.Path(probe), s.sessionState.newHadoopConf()))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       import scala.jdk.CollectionConverters._

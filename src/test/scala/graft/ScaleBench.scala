@@ -80,7 +80,16 @@ object ScaleBench {
       // unigram encode (distinct-word bounded: should stay FLAT as the
       // corpus grows over a fixed vocabulary)
       "text_blocklist" -> SparkEntry.queries("text_blocklist"),
-      "text_unigram_encode" -> SparkEntry.queries("text_unigram_encode"))
+      "text_unigram_encode" -> SparkEntry.queries("text_unigram_encode"),
+      // round-14 additions, the sketch family: bounded-state claims —
+      // state is groups × capacity (quantile kept frame / bloom bits /
+      // KMV buffer) while the scanned rows grow, so growth must track
+      // the SCAN term, near-linear at worst, with no state blow-up.
+      // ScaleGen now upscales lineitem (fresh orderkeys, same groups +
+      // date slices) and events (fresh ids, same type domain) for these
+      "sketch_quantile_grouped" -> SparkEntry.queries("sketch_quantile_grouped"),
+      "sketch_bloom" -> SparkEntry.queries("sketch_bloom"),
+      "stream_theta" -> SparkEntry.queries("stream_theta"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }

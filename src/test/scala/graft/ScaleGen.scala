@@ -41,6 +41,8 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
     for (copies <- copiesList) {
       val dir = s"$outRoot/x$copies"
       val docCopies = (0 until copies).map { c =>
@@ -57,11 +59,37 @@ object ScaleGen {
             .as("embedding"),
           col("label"))
       }
+      // lineitem copies: fresh orderkeys (the sketch-family distinct
+      // domain grows linearly, as in a real growing fact table), prices
+      // nudged per copy so the quantile value space grows; group columns
+      // (returnflag/linestatus) and date slices UNCHANGED — bounded
+      // sketch state must stay groups × capacity while rows grow
+      val liCopies = (0 until copies).map { c =>
+        li.select(
+          (col("l_orderkey") + c.toLong * 100000000L).as("l_orderkey"),
+          (col("l_partkey") + c.toLong * 100000000L).as("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") + lit(c * 0.07)).as("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+      }
+      // events copies: fresh event/user ids, timestamps jittered inside
+      // the same range (copy-specific second offset — windows/sessions
+      // grow in population, not in span), event_type domain UNCHANGED
+      val evCopies = (0 until copies).map { c =>
+        ev.select(
+          (col("event_id") + c.toLong * 100000000L).as("event_id"),
+          (col("ts") + expr(s"make_interval(0, 0, 0, 0, 0, 0, ${c % 7})")).as("ts"),
+          (col("user_id") + c.toLong * 1000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
       def writeAll(parts: Seq[DataFrame], name: String): Unit =
         parts.reduce(_ unionByName _).repartition(4 * copies)
           .write.mode("overwrite").parquet(s"$dir/$name.parquet")
       writeAll(docCopies, "documents")
       writeAll(embCopies, "embeddings")
+      writeAll(liCopies, "lineitem")
+      writeAll(evCopies, "events")
       val n = spark.read.parquet(s"$dir/documents.parquet").count()
       val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
       println(s"[scalegen] x$copies -> $dir docs=$n emb=$ne")
