@@ -83,6 +83,11 @@ object Plans {
     "text_unigram_fertility" -> "the Viterbi DP runs once per DISTINCT word (vocabulary-bounded frame, codebook-sized model broadcast); the corpus-scale token stream attaches via ONE word-keyed equi-join — per-token work never re-runs the DP",
     "sketch_bloom" -> "bit-set build is a distinct aggregation on ≤ m values (the partial-agg union IS the bloom merge); probes meet the bounded bit set in an index-keyed join — keys never cross the shuffle",
     "sketch_theta_ops" -> "two bounded slice folds (filters run map-side at the scan) + ≤k-element array algebra over one-row broadcast frames — nothing after the partial aggregates depends on data size",
+    "text_html_extract" -> "pure per-document regexp projection — the ONLY exchange is the trailing presentation sort; extraction itself is shuffle-free map work (PlanSpec-asserted pre-sort)",
+    "text_html_blocks" -> "block explode is a Generate over the per-doc split (rows × blocks-per-doc, never × corpus); link-density math stays in the same projection — no exchange before the presentation sort",
+    "src_warc_gz" -> "gzip-member walk + record framing run inside mapPartitions over the binaryFile scan; only the fixed-width graded frame crosses the shuffle — compressed bytes never leave the scan stage",
+    "src_charset" -> "per-FILE sniff + decode inside the binaryFile scan (one detection per file, not per row); per-line framing is flatMap work — no exchange before the presentation sort",
+    "mm_jpeg_exif" -> "APP1/TIFF IFD walk inside mapPartitions over the payload scan; only (tag, value) rows cross the shuffle — JPEG bytes never leave the scan stage",
   )
 
   def main(args: Array[String]): Unit = {
