@@ -114,9 +114,17 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(baselinePath)), java.nio.charset.StandardCharsets.UTF_8)
       val (sf, m) = parseBaseline(txt)
+      // Truncation guard: the queries regex stops at the first '}', so a
+      // future nested-brace per-query format would silently shrink the
+      // map — cross-check against the baseline's own "n" count.
+      val declaredN = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
       if (sf.isEmpty || m.isEmpty)
         System.err.println(s"[bench] regression gate DISABLED: baseline '$baselinePath' " +
           "has no parseable sf/queries fields (pre-gate format?)")
+      else if (declaredN.exists(_ != m.size))
+        System.err.println(s"[bench] regression gate NOTICE: baseline '$baselinePath' " +
+          s"declares n=${declaredN.get} but ${m.size} queries parsed — possible " +
+          "truncation at a nested brace; gate arms on the parsed subset")
       else
         System.err.println(s"[bench] regression gate ARMED against '$baselinePath' " +
           s"(sf '$sf', ${m.size} pinned queries)")

@@ -30,6 +30,11 @@ class BenchGateSpec extends AnyFunSuite {
     // pinned names must be real registry names (catches truncated parses)
     val unknown = queries.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"pinned names not in registry: $unknown")
+    // the pin's own "n" must agree with the parsed map size — the
+    // truncation cross-check the gate prints a NOTICE for at runtime
+    val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    assert(n.contains(queries.size),
+      s"pin declares n=$n but ${queries.size} queries parsed — truncation?")
   }
 
   test("gate parses both separator styles identically") {
