@@ -1039,6 +1039,13 @@ object SparkEntry {
     "text_html_blocks" -> ((s, d) =>
       ext.Html.blocks(ext.Html.htmlDocs(Tables.documents(s, d)))
         .orderBy("doc_id", "block_id")),
+    // link extraction + URL resolution (the crawl-frontier feed):
+    // absolute / root-relative / directory-relative / protocol-relative
+    // / fragment-only hrefs resolved against each doc's base URL,
+    // fragments stripped, internal/external classified
+    "text_html_links" -> ((s, d) =>
+      ext.Html.links(ext.Html.htmlLinkDocs(Tables.documents(s, d)))
+        .orderBy("doc_id", "link_id")),
   )
 
   /** Shared WARC round-trip oracle: payload salt + framing are engine
@@ -2677,5 +2684,30 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
     "text_html_extract" -> OracleSql.htmlExtract,
     "text_html_blocks" -> OracleSql.htmlBlocks,
+    // closed-form resolution ground truth per anchor class
+    "text_html_links" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example/docs/d' || (doc_id % 20)
+        |      || '/page.html' AS base,
+        |    'https://' || source || '.example' AS origin,
+        |    'https://' || source || '.example/docs/d' || (doc_id % 20)
+        |      || '/' AS basedir,
+        |    source || '.example' AS bhost
+        |  FROM documents)
+        |SELECT doc_id, link_id, href, url, host, is_internal, anchor_text FROM (
+        |  SELECT doc_id, 1::BIGINT AS link_id,
+        |    'https://ext' || (doc_id % 7) || '.example/a' AS href,
+        |    'https://ext' || (doc_id % 7) || '.example/a' AS url,
+        |    'ext' || (doc_id % 7) || '.example' AS host,
+        |    FALSE AS is_internal, 'out bound' AS anchor_text FROM b
+        |  UNION ALL SELECT doc_id, 2, '/p/' || (doc_id % 50),
+        |    origin || '/p/' || (doc_id % 50), bhost, TRUE, 'root' FROM b
+        |  UNION ALL SELECT doc_id, 3, 'sub/' || (doc_id % 10) || '.html#sec',
+        |    basedir || 'sub/' || (doc_id % 10) || '.html', bhost, TRUE, 'rel' FROM b
+        |  UNION ALL SELECT doc_id, 4, '//cdn.example/r' || (doc_id % 3),
+        |    'https://cdn.example/r' || (doc_id % 3), 'cdn.example', FALSE, 'proto' FROM b
+        |  UNION ALL SELECT doc_id, 5, '#top', base, bhost, TRUE, 'frag' FROM b)
+        |ORDER BY doc_id, link_id""".stripMargin,
   )
 }

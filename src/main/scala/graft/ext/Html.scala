@@ -135,6 +135,72 @@ object Html {
         "link_density_scaled", "is_nav")
   }
 
+  /** Anchor with href captured: group 1 = the raw href (double-quoted
+    * form only — the form both fixtures emit), group 2 = inner HTML. */
+  val HrefRe: String = "(?is)<a\\b[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Link extraction + URL resolution — the crawl-frontier feed (the
+    * operator between [[extract]] and the `url_robots`/`dedup_urls`
+    * gates). One row per anchor, 1-based position, the href resolved
+    * against the document's base URL with the standard cases:
+    * absolute (`http://`/`https://`) kept; protocol-relative (`//h/p`)
+    * gets the base scheme; root-relative (`/p`) joins the base origin;
+    * fragment-only (`#x`) IS the base; anything else joins the base
+    * directory. Fragments are stripped from every resolved URL (a
+    * frontier keys on fetchable resources, not in-page anchors).
+    * `is_internal` = resolved host == base host. Pure per-row column
+    * work — zero shuffle before the presentation sort, same scale shape
+    * as [[extract]]. */
+  def links(docs: DataFrame, htmlCol: String = "html",
+            baseCol: String = "base_url", idCol: String = "doc_id"): DataFrame = {
+    val clean = decommented(col(htmlCol))
+    val pairs = arrays_zip(
+      regexp_extract_all(clean, lit(HrefRe), lit(1)),
+      regexp_extract_all(clean, lit(HrefRe), lit(2)))
+    val exploded = docs.select(col(idCol), col(baseCol),
+        posexplode(pairs).as(Seq("pos", "a")))
+      .select(col(idCol), col(baseCol),
+        (col("pos") + 1).cast("long").as("link_id"),
+        col("a").getField("0").as("href"),
+        trim(fragmentText(col("a").getField("1"))).as("anchor_text"))
+    val origin = regexp_extract(col(baseCol), "^(https?://[^/]+)", 1)
+    val baseDir = regexp_replace(col(baseCol), "/[^/]*$", "/")
+    val scheme = regexp_extract(col(baseCol), "^(https?):", 1)
+    val resolved =
+      when(col("href").rlike("^https?://"), col("href"))
+        .when(col("href").startsWith("//"), concat(scheme, lit(":"), col("href")))
+        .when(col("href").startsWith("/"), concat(origin, col("href")))
+        .when(col("href").startsWith("#"), col(baseCol))
+        .otherwise(concat(baseDir, col("href")))
+    val url = regexp_replace(resolved, "#.*$", "")
+    val host = regexp_extract(url, "^https?://([^/]+)", 1)
+    exploded
+      .withColumn("url", url)
+      .withColumn("host", host)
+      .withColumn("is_internal",
+        col("host") === regexp_extract(col(baseCol), "^https?://([^/]+)", 1))
+      .select(idCol, "link_id", "href", "url", "host", "is_internal", "anchor_text")
+  }
+
+  /** Deterministic link fixture: each document carries a base URL and
+    * anchors exercising every resolution case — absolute external,
+    * root-relative, directory-relative, protocol-relative, and
+    * fragment-only (with an inline tag in one anchor text). Mirrored
+    * verbatim by the oracle CTE; targets are closed-form in the id. */
+  def htmlLinkDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("base_url",
+        concat(lit("https://"), col("source"), lit(".example/docs/d"),
+          (col(idCol) % 20).cast("string"), lit("/page.html")))
+      .withColumn("html", concat(
+        lit("<html><body><p><a href=\"https://ext"), (col(idCol) % 7).cast("string"),
+        lit(".example/a\">out <em>bound</em></a> "),
+        lit("<a href=\"/p/"), (col(idCol) % 50).cast("string"), lit("\">root</a> "),
+        lit("<a href=\"sub/"), (col(idCol) % 10).cast("string"),
+        lit(".html#sec\">rel</a> "),
+        lit("<a href=\"//cdn.example/r"), (col(idCol) % 3).cast("string"),
+        lit("\">proto</a> "),
+        lit("<a href=\"#top\">frag</a></p></body></html>")))
+
   /** Deterministic HTML fixture planted around each document's text —
     * the graded input for [[extract]]/[[blocks]] (TESTDATA has no HTML
     * column; the planting is mirrored verbatim by the oracle CTE).

@@ -75,6 +75,38 @@ class HtmlSpec extends SparkSpec {
     assert(r == ((3L, 2L, 12L)), r)
   }
 
+  test("link resolution: every href class against a hand-resolved base") {
+    val base = "https://w.example/docs/d3/page.html"
+    val html = "<p><a href=\"https://x.example/abs#frag\">a</a>" +
+      "<a href=\"//cdn.example/c\">b</a>" +
+      "<a href=\"/root\">c</a>" +
+      "<a href=\"rel/r.html\">d</a>" +
+      "<a href=\"#top\">e</a></p>" +
+      "<script>var s = '<a href=\"/never\">x</a>';</script>" // stripped first
+    val rows = Html.links(Seq((1L, base, html)).toDF("doc_id", "base_url", "html"))
+      .orderBy("link_id")
+      .select("link_id", "href", "url", "host", "is_internal", "anchor_text")
+      .as[(Long, String, String, String, Boolean, String)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "https://x.example/abs#frag", "https://x.example/abs", "x.example", false, "a"),
+      (2L, "//cdn.example/c", "https://cdn.example/c", "cdn.example", false, "b"),
+      (3L, "/root", "https://w.example/root", "w.example", true, "c"),
+      (4L, "rel/r.html", "https://w.example/docs/d3/rel/r.html", "w.example", true, "d"),
+      (5L, "#top", base, "w.example", true, "e")), rows)
+  }
+
+  test("extracted frontier composes into URL canonicalization") {
+    // resolved links feed the same canonicalizer dedup_urls grades:
+    // tracking params and fragments must collapse variants together
+    val base = "https://w.example/a/page.html"
+    val html = "<a href=\"/x?utm_source=t\">1</a><a href=\"/x\">2</a>" +
+      "<a href=\"/x#sec\">3</a>"
+    val urls = Html.links(Seq((1L, base, html)).toDF("doc_id", "base_url", "html"))
+      .select(col("url"), ext.Urls.canonicalizeUrl(col("url")).as("canon"))
+      .as[(String, String)].collect().toSeq
+    assert(urls.map(_._2).distinct.size == 1, urls) // all three collapse
+  }
+
   test("extraction composes into the boilerplate strip stage") {
     // extract over the planted corpus, then re-run the CCNet-style
     // boilerplate strip on the EXTRACTED text: the planted nav chrome

@@ -54,10 +54,14 @@ class PlanSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val pe = plan(ext.Html.extract(ext.Html.htmlDocs(docs)))
     val pb = plan(ext.Html.blocks(ext.Html.htmlDocs(docs)))
+    val pl = plan(ext.Html.links(ext.Html.htmlLinkDocs(docs)))
     assert(!pe.contains("Exchange"), pe.takeRight(500))
     assert(!pb.contains("Exchange"), pb.takeRight(500))
-    // the block explode is a Generate over the split, still shuffle-free
+    assert(!pl.contains("Exchange"), pl.takeRight(500))
+    // the block/anchor explodes are Generates over per-doc arrays,
+    // still shuffle-free
     assert(pb.contains("Generate"), pb.takeRight(500))
+    assert(pl.contains("Generate"), pl.takeRight(500))
   }
 
   test("whole-stage codegen covers the tokenizer pipeline") {
