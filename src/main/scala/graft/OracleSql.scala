@@ -2357,6 +2357,40 @@ object OracleSql {
        |ORDER BY p.key""".stripMargin
   }
 
+  /** Per-group Bloom state report (mirror of Sketches.bloomBitsState +
+    * bloomReportFromState): the DIRECT single-pass distinct-bit set per
+    * group — population + Σ bit² checksum + exact distinct counts. Used
+    * as the stream_bloom oracle: the maintained drain's OR-merged state
+    * must equal this single-pass filter exactly. */
+  def bloomGroupedState(table: String, groupCol: String, keyCol: String): String = {
+    val m = ext.Sketches.BloomM
+    def fin(v: String): String = {
+      val a = s"xor(($v), ($v) // 65536)"
+      val b = s"((($a) * 2246822519) % 2147483648)"
+      s"xor(($b), ($b) // 8192)"
+    }
+    val mults = ext.Sketches.BloomMults.zipWithIndex
+      .map { case (mu, i) => s"($i, ${mu}::BIGINT)" }.mkString(", ")
+    s"""WITH dk AS (SELECT DISTINCT $groupCol AS g, $keyCol AS k FROM $table),
+       |h AS (
+       |  SELECT g, xor(h2v, h2v // 8192) AS hv FROM (
+       |    SELECT g, (h1v * 2246822519) % 2147483648 AS h2v FROM (
+       |      SELECT g, xor(h0v, h0v // 65536) AS h1v FROM (
+       |        SELECT g, (k * 2654435761) % 2147483648 AS h0v FROM dk) t0) t1) t2),
+       |bits AS (
+       |  SELECT DISTINCT g, ${fin("(hv * mult) % 2147483648")} % $m AS bit
+       |  FROM h, (VALUES $mults) AS mlt(di, mult)),
+       |st AS (
+       |  SELECT g, count(*)::BIGINT AS n_bits_set,
+       |    sum(bit * bit)::BIGINT AS bits_checksum
+       |  FROM bits GROUP BY g),
+       |ex AS (
+       |  SELECT $groupCol AS g, count(DISTINCT $keyCol)::BIGINT AS n_distinct_exact
+       |  FROM $table GROUP BY 1)
+       |SELECT st.g AS $groupCol, n_bits_set, bits_checksum, n_distinct_exact
+       |FROM st JOIN ex USING (g) ORDER BY $groupCol""".stripMargin
+  }
+
   /** Mirror of Sketches.bloomMerged: the oracle computes the DIRECT
     * single-pass bit set only — a lossy engine-side merge of the
     * per-slice states hash-mismatches on population or checksum. */

@@ -230,6 +230,11 @@ object SparkEntry {
     // means the final state IS the single-pass sketch — same oracle as
     // the batch formula
     "stream_theta" -> ((s, d) => streaming.EventsStream.thetaSketchStreamLanded(s, d)),
+    // sketch-at-ingest, Bloom flavor (the quartet's fourth member):
+    // per-batch distinct per-group bits OR-merge driver-side — the
+    // provably lossless bloom merge — so the drained state equals the
+    // single-pass filter, graded by the same closed-form oracle
+    "stream_bloom" -> ((s, d) => streaming.EventsStream.bloomStreamLanded(s, d)),
     // HLL maintained across micro-batches: register-wise max is the
     // lossless merge, so the final state IS the single-pass sketch
     "stream_hll" -> ((s, d) => streaming.EventsStream.hllStreamLanded(s, d)),
@@ -2465,6 +2470,7 @@ object SparkEntry {
     // single-pass sketch of the whole table — same replay, zero slack
     "stream_quantile" -> OracleSql.quantileSketch("events", "user_id", "event_id"),
     "stream_theta" -> OracleSql.thetaDistinct("events", "event_type", "event_id"),
+    "stream_bloom" -> OracleSql.bloomGroupedState("events", "event_type", "event_id"),
     "stream_hll" -> OracleSql.hllDistinct("events", "event_type", "event_id"),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror

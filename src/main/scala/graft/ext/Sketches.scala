@@ -598,6 +598,31 @@ object Sketches {
       .orderBy("key")
   }
 
+  /** Per-group Bloom bit state ([[bloomPositions]], grouped): the
+    * DISTINCT (group, bit) pairs — bounded by groups × m whatever the
+    * row count; the distinct aggregation's partial-agg union IS the
+    * bloom merge, so per-batch states OR together losslessly. */
+  def bloomBitsState(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    bloomPositions(df.select(col(groupCol), col(keyCol)), keyCol)
+      .select(col(groupCol), col("bit")).distinct()
+
+  /** Project (group, bit) states to the graded per-group report —
+    * population + the integer Σ bit² checksum (any dropped or phantom
+    * bit hash-mismatches) — with exact distinct counts joined from
+    * `df` so the filter's load is visible in the graded row. */
+  def bloomReportFromState(state: DataFrame, df: DataFrame,
+                           groupCol: String, keyCol: String): DataFrame = {
+    val stats = state.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bits_set"),
+        sum(col("bit") * col("bit")).as("bits_checksum"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_distinct_exact"))
+    stats.join(exact, groupCol)
+      .select(col(groupCol), col("n_bits_set"), col("bits_checksum"),
+        col("n_distinct_exact"))
+      .orderBy(groupCol)
+  }
+
   /** Bloom MERGEABILITY under grade, the [[hllMerged]]/[[thetaMerged]]
     * convention: each `subCol` slice of the A-side builds its own
     * distinct-bit state; the merge is the bitwise OR (set union of bit

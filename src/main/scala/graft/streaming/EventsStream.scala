@@ -945,4 +945,36 @@ object EventsStream {
     graft.ext.Sketches.hllReportFromState(stateDf,
       graft.Tables.events(spark, sfDir), "event_type", "event_id")
   }
+
+  /** Sketch-at-ingest, Bloom flavor — completing the maintained-sketch
+    * quartet (quantile, theta, HLL, Bloom): per micro-batch the engine
+    * folds the batch to its DISTINCT per-group bit positions (bounded
+    * by groups × m whatever the batch size); the state set-unions
+    * driver-side — the bitwise OR that IS the bloom merge, provably
+    * lossless — so the final state equals the single-pass filter of the
+    * full stream, graded by the same closed-form oracle as the batch
+    * formula over the events table. */
+  def bloomStreamLanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = recoveryFixtureDir(spark, sfDir) // 3 single-file micro-batches
+    var state = Set.empty[(String, Long)] // (group, bit)
+    withStateParts(spark, DefaultDrainStateParts) {
+      val q = spark.readStream.schema(recoverySchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.ext.Sketches.bloomBitsState(batch, "event_type", "event_id")
+              .collect()
+              .foreach(r => state += ((r.getString(0), r.getLong(1))))
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import spark.implicits._
+    val stateDf = state.toSeq.sorted.toDF("event_type", "bit")
+    graft.ext.Sketches.bloomReportFromState(stateDf,
+      graft.Tables.events(spark, sfDir), "event_type", "event_id")
+  }
 }

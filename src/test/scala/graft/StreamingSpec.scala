@@ -371,6 +371,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("maintained bloom bits across micro-batches == single-pass batch state") {
+    val got = EventsStream.bloomStreamLanded(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val events = Tables.events(spark, dir)
+    val want = ext.Sketches.bloomReportFromState(
+        ext.Sketches.bloomBitsState(events, "event_type", "event_id"),
+        events, "event_type", "event_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      s"cross-batch bit OR-merge drifted from the direct filter:\n got=$got\nwant=$want")
+    // state is bounded by m bits per group whatever the stream length
+    assert(got.nonEmpty && got.forall(_._2 <= ext.Sketches.BloomM))
+  }
+
   test("crash recovery: killed drain restarts exactly-once through the parquet sink") {
     val recovered = EventsStream.recoveredDedupLanded(spark, dir)
       .as[(Long, String)].collect().toSeq
