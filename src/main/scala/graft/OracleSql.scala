@@ -2357,6 +2357,52 @@ object OracleSql {
        |ORDER BY p.key""".stripMargin
   }
 
+  /** Numeric-key CMS probe report (mirror of Sketches.cmsState +
+    * cmsReportFromState, single-pass): counter table over key
+    * OCCURRENCES under the contract hash, top-K hottest keys probed.
+    * Used as the stream_cms oracle — the maintained drain's summed
+    * counter state must equal this single-pass table exactly. */
+  def cmsKeyCounts(table: String, keyCol: String, topK: Int = 20): String = {
+    val d = ext.Sketches.CmsD
+    val w = ext.Sketches.CmsW
+    def fin(v: String): String = {
+      val a = s"xor(($v), ($v) // 65536)"
+      val b = s"((($a) * 2246822519) % 2147483648)"
+      s"xor(($b), ($b) // 8192)"
+    }
+    val mults = ext.Sketches.CmsRowMults.zipWithIndex
+      .map { case (mu, i) => s"($i, ${mu}::BIGINT)" }.mkString(", ")
+    def hashChain(src: String, keyExpr: String, cols: String): String =
+      s"""SELECT $cols xor(h2v, h2v // 8192) AS hv FROM (
+         |    SELECT $cols (h1v * 2246822519) % 2147483648 AS h2v FROM (
+         |      SELECT $cols xor(h0v, h0v // 65536) AS h1v FROM (
+         |        SELECT $cols ($keyExpr * 2654435761) % 2147483648 AS h0v
+         |        FROM $src) t0) t1) t2""".stripMargin
+    s"""WITH h AS (
+       |  ${hashChain(table, keyCol, "")}),
+       |counters AS (
+       |  SELECT di AS row, ${fin("(hv * mult) % 2147483648")} % $w AS cell,
+       |    count(*)::BIGINT AS n
+       |  FROM h, (VALUES $mults) AS mlt(di, mult) GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT $keyCol AS key, count(*)::BIGINT AS true_count
+       |  FROM $table GROUP BY 1),
+       |probes AS (
+       |  SELECT key, true_count FROM exact
+       |  ORDER BY true_count DESC, key LIMIT $topK),
+       |ph AS (
+       |  ${hashChain("probes", "key", "key, true_count,")}),
+       |pcells AS (
+       |  SELECT key, true_count, di AS row,
+       |    ${fin("(hv * mult) % 2147483648")} % $w AS cell
+       |  FROM ph, (VALUES $mults) AS mlt(di, mult))
+       |SELECT p.key, min(c.n) AS cms_count, p.true_count,
+       |  min(c.n) - p.true_count AS over_count
+       |FROM pcells p JOIN counters c USING (row, cell)
+       |GROUP BY p.key, p.true_count
+       |ORDER BY p.true_count DESC, p.key""".stripMargin
+  }
+
   /** Per-group Bloom state report (mirror of Sketches.bloomBitsState +
     * bloomReportFromState): the DIRECT single-pass distinct-bit set per
     * group — population + Σ bit² checksum + exact distinct counts. Used

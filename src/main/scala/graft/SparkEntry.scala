@@ -235,6 +235,11 @@ object SparkEntry {
     // provably lossless bloom merge — so the drained state equals the
     // single-pass filter, graded by the same closed-form oracle
     "stream_bloom" -> ((s, d) => streaming.EventsStream.bloomStreamLanded(s, d)),
+    // sketch-at-ingest, CMS flavor (the quintet's fifth): counter
+    // tables ADD per cell — count sketches are linear — so the summed
+    // per-batch states equal the single-pass table; hottest-key probes
+    // graded with exact counts beside the estimates
+    "stream_cms" -> ((s, d) => streaming.EventsStream.cmsStreamLanded(s, d)),
     // HLL maintained across micro-batches: register-wise max is the
     // lossless merge, so the final state IS the single-pass sketch
     "stream_hll" -> ((s, d) => streaming.EventsStream.hllStreamLanded(s, d)),
@@ -2471,6 +2476,7 @@ object SparkEntry {
     "stream_quantile" -> OracleSql.quantileSketch("events", "user_id", "event_id"),
     "stream_theta" -> OracleSql.thetaDistinct("events", "event_type", "event_id"),
     "stream_bloom" -> OracleSql.bloomGroupedState("events", "event_type", "event_id"),
+    "stream_cms" -> OracleSql.cmsKeyCounts("events", "user_id"),
     "stream_hll" -> OracleSql.hllDistinct("events", "event_type", "event_id"),
     // snapped-integer k-means: exact arithmetic end-to-end, so the
     // unrolled Lloyd replay hash-matches (nlist and iters must mirror

@@ -545,6 +545,40 @@ object Sketches {
       .orderBy(col("true_count").desc, col("word"))
   }
 
+  /** CMS counter state over numeric-key OCCURRENCES (the contract-hash
+    * sibling of [[cmsTokenCounts]]'s counter build): (row, cell, n) —
+    * bounded d × w whatever the row count. Counter states merge by
+    * per-cell SUM: count sketches add losslessly, so per-batch states
+    * folded with + equal the single-pass table. */
+  def cmsState(df: DataFrame, keyCol: String): DataFrame =
+    withHash31(df.select(col(keyCol)), keyCol)
+      .withColumn("row", explode(sequence(lit(0), lit(CmsD - 1))))
+      .withColumn("mult", element_at(array(CmsRowMults.map(lit): _*), col("row") + 1))
+      .withColumn("cell",
+        expr(s"${finalize31Sql("(__h * mult) % 2147483648L")} % $CmsW"))
+      .groupBy(col("row"), col("cell")).agg(count(lit(1)).as("n"))
+
+  /** Probe a counter state with the top-K keys by exact occurrence
+    * count: (key, cms_count, true_count, over_count) — the
+    * never-undercount guarantee visible per row. */
+  def cmsReportFromState(state: DataFrame, df: DataFrame, keyCol: String,
+                         topK: Int = 20): DataFrame = {
+    val exact = df.select(col(keyCol).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("true_count"))
+    val probes = exact.orderBy(col("true_count").desc, col("key")).limit(topK)
+    val pcells = withHash31(probes, "key")
+      .withColumn("row", explode(sequence(lit(0), lit(CmsD - 1))))
+      .withColumn("mult", element_at(array(CmsRowMults.map(lit): _*), col("row") + 1))
+      .withColumn("cell",
+        expr(s"${finalize31Sql("(__h * mult) % 2147483648L")} % $CmsW"))
+    pcells.join(broadcast(state), Seq("row", "cell"))
+      .groupBy(col("key"), col("true_count"))
+      .agg(min(col("n")).as("cms_count"))
+      .select(col("key"), col("cms_count"), col("true_count"),
+        (col("cms_count") - col("true_count")).as("over_count"))
+      .orderBy(col("true_count").desc, col("key"))
+  }
+
   // ---------------------------------------------------------------------
   // Bloom filter with CONTRACT hashes: graded membership screening
   // ---------------------------------------------------------------------

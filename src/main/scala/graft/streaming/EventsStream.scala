@@ -977,4 +977,38 @@ object EventsStream {
     graft.ext.Sketches.bloomReportFromState(stateDf,
       graft.Tables.events(spark, sfDir), "event_type", "event_id")
   }
+
+  /** Sketch-at-ingest, CMS flavor — the maintained-sketch QUINTET's
+    * fifth member, and the one with the simplest merge of all: counter
+    * tables ADD (per-cell sum — count sketches are linear), so per-batch
+    * (row, cell, n) states folded with + equal the single-pass table.
+    * State is bounded d × w whatever the stream length; the report
+    * probes the top-K hottest keys with exact counts beside the
+    * estimates (never-undercount visible per row). */
+  def cmsStreamLanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = recoveryFixtureDir(spark, sfDir) // 3 single-file micro-batches
+    var state = Map.empty[(Int, Long), Long] // (row, cell) -> count
+    withStateParts(spark, DefaultDrainStateParts) {
+      val q = spark.readStream.schema(recoverySchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.ext.Sketches.cmsState(batch, "user_id").collect()
+              .foreach { r =>
+                val key = (r.getInt(0), r.getLong(1))
+                state = state.updated(key, state.getOrElse(key, 0L) + r.getLong(2))
+              }
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import spark.implicits._
+    val stateDf = state.toSeq.map { case ((row, cell), n) => (row, cell, n) }
+      .toDF("row", "cell", "n")
+    graft.ext.Sketches.cmsReportFromState(stateDf,
+      graft.Tables.events(spark, sfDir), "user_id")
+  }
 }

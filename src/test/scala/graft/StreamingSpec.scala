@@ -385,6 +385,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 <= ext.Sketches.BloomM))
   }
 
+  test("maintained CMS counters across micro-batches == single-pass batch table") {
+    val got = EventsStream.cmsStreamLanded(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val events = Tables.events(spark, dir)
+    val want = ext.Sketches.cmsReportFromState(
+        ext.Sketches.cmsState(events, "user_id"), events, "user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      s"cross-batch counter sums drifted from the direct table:\n got=$got\nwant=$want")
+    // the one-sided guarantee: estimates never undercount
+    assert(got.nonEmpty && got.forall(_._4 >= 0L))
+  }
+
   test("crash recovery: killed drain restarts exactly-once through the parquet sink") {
     val recovered = EventsStream.recoveredDedupLanded(spark, dir)
       .as[(Long, String)].collect().toSeq
