@@ -89,6 +89,7 @@ object Plans {
     "src_charset" -> "per-FILE sniff + decode inside the binaryFile scan (one detection per file, not per row); per-line framing is flatMap work — no exchange before the presentation sort",
     "mm_jpeg_exif" -> "APP1/TIFF IFD walk inside mapPartitions over the payload scan; only (tag, value) rows cross the shuffle — JPEG bytes never leave the scan stage",
     "text_html_links" -> "anchor explode is a Generate over per-doc arrays; href resolution is pure string projection — no exchange before the presentation sort",
+    "text_html_meta" -> "title/meta/canonical extraction is one regexp projection per document — zero exchange before the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

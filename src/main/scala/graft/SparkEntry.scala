@@ -1056,6 +1056,12 @@ object SparkEntry {
     "text_html_links" -> ((s, d) =>
       ext.Html.links(ext.Html.htmlLinkDocs(Tables.documents(s, d)))
         .orderBy("doc_id", "link_id")),
+    // head-metadata extraction (title / description / og:title /
+    // canonical): attribute order not assumed, fake title inside a
+    // script ignored, entities decoded, absence graded as empty string
+    "text_html_meta" -> ((s, d) =>
+      ext.Html.meta(ext.Html.htmlMetaDocs(Tables.documents(s, d)))
+        .orderBy("doc_id")),
   )
 
   /** Shared WARC round-trip oracle: payload salt + framing are engine
@@ -2721,5 +2727,15 @@ object SparkEntry {
         |    'https://cdn.example/r' || (doc_id % 3), 'cdn.example', FALSE, 'proto' FROM b
         |  UNION ALL SELECT doc_id, 5, '#top', base, bhost, TRUE, 'frag' FROM b)
         |ORDER BY doc_id, link_id""".stripMargin,
+    // closed-form head-metadata ground truth (entities decoded, every
+    // 9th doc's description absent = empty string)
+    "text_html_meta" ->
+      """SELECT doc_id,
+        |  'T&' || (doc_id % 100) || ' docs' AS title,
+        |  CASE WHEN doc_id % 9 = 0 THEN ''
+        |       ELSE 'Desc "' || (doc_id % 40) || '" here' END AS description,
+        |  'OG ' || (doc_id % 25) AS og_title,
+        |  'https://' || source || '.example/c/' || (doc_id % 20) AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

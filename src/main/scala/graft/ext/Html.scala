@@ -182,6 +182,50 @@ object Html {
       .select(idCol, "link_id", "href", "url", "host", "is_internal", "anchor_text")
   }
 
+  /** Head-metadata extraction — title, meta description, og:title,
+    * canonical link: the document identity a crawl indexes before it
+    * ever reads the body. Attribute ORDER is not assumed (the marker
+    * attribute is located anywhere in the tag, then `content=`/`href=`
+    * extracted from the matched tag — the fixture plants a content-first
+    * meta to prove it); script/style/comments are stripped FIRST so a
+    * fake `<title>` inside code cannot shadow the real one; entities
+    * decode in the values; absent elements land as empty strings (the
+    * graded absence). Pure projection, zero shuffle like [[extract]]. */
+  def meta(docs: DataFrame, htmlCol: String = "html",
+           idCol: String = "doc_id"): DataFrame = {
+    val clean = decommented(col(htmlCol))
+    def markedTag(tag: String, marker: String): Column =
+      regexp_extract(clean, s"(?is)<$tag\\b[^>]*$marker[^>]*>", 0)
+    def attr(tagC: Column, name: String): Column =
+      entityDecode(regexp_extract(tagC, s"(?is)$name=\"([^\"]*)\"", 1))
+    docs.select(col(idCol),
+      trim(entityDecode(regexp_extract(clean, "(?is)<title[^>]*>(.*?)</title>", 1)))
+        .as("title"),
+      attr(markedTag("meta", "name=\"description\""), "content").as("description"),
+      attr(markedTag("meta", "property=\"og:title\""), "content").as("og_title"),
+      attr(markedTag("link", "rel=\"canonical\""), "href").as("canonical"))
+  }
+
+  /** Deterministic head-metadata fixture: entity in the title, a
+    * CONTENT-FIRST description meta (attribute order must not matter),
+    * og:title, canonical link, a decoy keywords meta, and a fake
+    * `<title>` inside a script; every 9th doc omits the description
+    * (graded absence = empty string). */
+  def htmlMetaDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("html", concat(
+      lit("<html><head><title> T&amp;"), (col(idCol) % 100).cast("string"),
+      lit(" docs </title>"),
+      when(col(idCol) % 9 === 0, lit("")).otherwise(concat(
+        lit("<meta content=\"Desc &quot;"), (col(idCol) % 40).cast("string"),
+        lit("&quot; here\" name=\"description\">"))),
+      lit("<meta name=\"keywords\" content=\"skip me\">"),
+      lit("<meta property=\"og:title\" content=\"OG "),
+      (col(idCol) % 25).cast("string"), lit("\">"),
+      lit("<link rel=\"canonical\" href=\"https://"), col("source"),
+      lit(".example/c/"), (col(idCol) % 20).cast("string"), lit("\">"),
+      lit("</head><body><script>t = \"<title>fake</title>\";</script><p>"),
+      col("text"), lit("</p></body></html>")))
+
   /** Deterministic link fixture: each document carries a base URL and
     * anchors exercising every resolution case — absolute external,
     * root-relative, directory-relative, protocol-relative, and

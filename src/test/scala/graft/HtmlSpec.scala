@@ -95,6 +95,25 @@ class HtmlSpec extends SparkSpec {
       (5L, "#top", base, "w.example", true, "e")), rows)
   }
 
+  test("head metadata: attr order free, script-shadowed title ignored, absence empty") {
+    val html = "<html><head><title> A&amp;B </title>" +
+      "<meta content=\"d1\" name=\"description\">" + // content FIRST
+      "<meta name=\"keywords\" content=\"skip\">" +
+      "<meta property=\"og:title\" content=\"og&quot;x\">" +
+      "<link rel=\"canonical\" href=\"https://h.example/c\">" +
+      "</head><body><script>t=\"<title>fake</title>\";</script></body></html>"
+    val r = Html.meta(Seq((1L, html)).toDF("doc_id", "html"))
+      .select("title", "description", "og_title", "canonical")
+      .as[(String, String, String, String)].head()
+    assert(r == (("A&B", "d1", "og\"x", "https://h.example/c")), r)
+    // nothing in the head: all empty strings, never null
+    val empty = Html.meta(Seq((2L, "<html><body>x</body></html>"))
+      .toDF("doc_id", "html"))
+      .select("title", "description", "og_title", "canonical")
+      .as[(String, String, String, String)].head()
+    assert(empty == (("", "", "", "")))
+  }
+
   test("extracted frontier composes into URL canonicalization") {
     // resolved links feed the same canonicalizer dedup_urls grades:
     // tracking params and fragments must collapse variants together

@@ -55,9 +55,11 @@ class PlanSpec extends SparkSpec {
     val pe = plan(ext.Html.extract(ext.Html.htmlDocs(docs)))
     val pb = plan(ext.Html.blocks(ext.Html.htmlDocs(docs)))
     val pl = plan(ext.Html.links(ext.Html.htmlLinkDocs(docs)))
+    val pm = plan(ext.Html.meta(ext.Html.htmlMetaDocs(docs)))
     assert(!pe.contains("Exchange"), pe.takeRight(500))
     assert(!pb.contains("Exchange"), pb.takeRight(500))
     assert(!pl.contains("Exchange"), pl.takeRight(500))
+    assert(!pm.contains("Exchange"), pm.takeRight(500))
     // the block/anchor explodes are Generates over per-doc arrays,
     // still shuffle-free
     assert(pb.contains("Generate"), pb.takeRight(500))
