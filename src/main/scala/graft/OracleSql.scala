@@ -1597,6 +1597,96 @@ object OracleSql {
        |${(1 to mwl).map(btCte).mkString(",\n")}""".stripMargin
   }
 
+  /** WordPiece model CTEs (mirror of WordPiece.vocabulary): prefix
+    * candidates vs position-≥2 continuation candidates, top-K each by
+    * (cnt desc, piece asc), single-char INITIAL pieces force-included,
+    * continuation pieces in their `##` wire form. */
+  private val wpModelCtes: String = {
+    val mpl = ext.WordPiece.MaxPieceLen
+    s"""wptok AS (
+       |  SELECT lower(regexp_replace(t, '[^\\p{L}\\p{N}]+', '', 'g')) AS word
+       |  FROM documents,
+       |    unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS u(t)
+       |  WHERE t <> ''),
+       |wpwords AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS wc FROM wptok WHERE word <> '' GROUP BY 1),
+       |wppieces AS MATERIALIZED (
+       |  SELECT (i > 1) AS is_cont, substr(w.word, i::INT, L::INT) AS sub,
+       |    sum(w.wc)::BIGINT AS cnt
+       |  FROM wpwords w,
+       |    unnest(range(1, least($mpl, length(w.word)) + 1)) AS ll(L),
+       |    unnest(range(1, length(w.word) - L + 2)) AS ii(i)
+       |  GROUP BY 1, 2),
+       |wpinit AS (
+       |  SELECT sub, cnt FROM wppieces WHERE NOT is_cont
+       |  ORDER BY cnt DESC, sub LIMIT ${ext.WordPiece.InitTop}),
+       |wpinitv AS (
+       |  SELECT DISTINCT sub, cnt FROM (
+       |    SELECT * FROM wpinit
+       |    UNION ALL
+       |    SELECT sub, cnt FROM wppieces WHERE NOT is_cont AND length(sub) = 1)),
+       |wpcont AS (
+       |  SELECT sub, cnt FROM wppieces WHERE is_cont
+       |  ORDER BY cnt DESC, sub LIMIT ${ext.WordPiece.ContTop}),
+       |wpvocab AS MATERIALIZED (
+       |  SELECT sub AS piece, cnt, FALSE AS is_continuation FROM wpinitv
+       |  UNION ALL
+       |  SELECT '##' || sub, cnt, TRUE FROM wpcont)""".stripMargin
+  }
+
+  def wordpieceVocab: String =
+    s"""WITH $wpModelCtes
+       |SELECT piece, cnt, is_continuation FROM wpvocab ORDER BY piece""".stripMargin
+
+  /** Mirror of WordPiece.encode: best-piece length per (word, position)
+    * precomputed from the vocabulary, then the greedy walk unrolled
+    * [[ext.WordPiece.MaxWordLen]] steps (each step advances ≥ 1 char or
+    * marks the word UNK). */
+  def wordpieceEncode: String = {
+    val mpl = ext.WordPiece.MaxPieceLen
+    val mwl = ext.WordPiece.MaxWordLen
+    def gCte(k: Int): String = {
+      val prev = if (k == 1) "g0" else s"g${k - 1}"
+      s"""g$k AS MATERIALIZED (
+         |  SELECT g.word, g.wc,
+         |    CASE WHEN g.unk OR g.pos > length(g.word) THEN g.pos
+         |         WHEN b.len IS NULL THEN g.pos
+         |         ELSE g.pos + b.len END AS pos,
+         |    CASE WHEN g.unk OR g.pos > length(g.word) OR b.len IS NULL THEN g.acc
+         |         ELSE g.acc || (CASE WHEN g.acc = '' THEN '' ELSE ' ' END) ||
+         |              (CASE WHEN g.pos = 1 THEN '' ELSE '##' END) ||
+         |              substr(g.word, g.pos::INT, b.len::INT) END AS acc,
+         |    CASE WHEN g.unk OR g.pos > length(g.word) OR b.len IS NULL THEN g.np
+         |         ELSE g.np + 1 END AS np,
+         |    CASE WHEN g.unk THEN TRUE
+         |         WHEN g.pos <= length(g.word) AND b.len IS NULL THEN TRUE
+         |         ELSE FALSE END AS unk
+         |  FROM $prev g LEFT JOIN wpbest b ON b.word = g.word AND b.pos = g.pos)""".stripMargin
+    }
+    s"""WITH $wpModelCtes,
+       |swp AS (SELECT word, wc FROM wpwords WHERE length(word) <= $mwl),
+       |wpcand AS (
+       |  SELECT w.word, ii.i AS pos, ll.L AS len,
+       |    CASE WHEN ii.i = 1 THEN substr(w.word, 1, ll.L::INT)
+       |         ELSE '##' || substr(w.word, ii.i::INT, ll.L::INT) END AS form
+       |  FROM swp w,
+       |    unnest(range(1, length(w.word) + 1)) AS ii(i),
+       |    unnest(range(1, $mpl + 1)) AS ll(L)
+       |  WHERE ii.i + ll.L - 1 <= length(w.word)),
+       |wpbest AS MATERIALIZED (
+       |  SELECT c.word, c.pos, max(c.len) AS len
+       |  FROM wpcand c JOIN wpvocab v ON v.piece = c.form
+       |  GROUP BY 1, 2),
+       |g0 AS (SELECT word, wc, 1::BIGINT AS pos, CAST('' AS VARCHAR) AS acc,
+       |         0::BIGINT AS np, FALSE AS unk FROM swp),
+       |${(1 to mwl).map(gCte).mkString(",\n")}
+       |SELECT g.word, g.wc,
+       |  CASE WHEN g.unk THEN '${ext.WordPiece.Unk}' ELSE g.acc END AS segmentation,
+       |  (CASE WHEN g.unk THEN 1 ELSE g.np END)::BIGINT AS n_pieces,
+       |  g.unk AS is_unk
+       |FROM g$mwl g ORDER BY g.word""".stripMargin
+  }
+
   def unigramEncode: String =
     s"""WITH $unigramModelCtes,
        |$unigramDpCtes

@@ -898,6 +898,16 @@ object SparkEntry {
     // cross-tokenizer fertility row next to text_bpe_fertility
     "text_unigram_fertility" -> ((s, d) =>
       ext.Unigram.fertilityReport(Tables.documents(s, d))),
+    // WordPiece (BERT lineage), the THIRD subword family: prefix vs
+    // ##-continuation vocabulary, single-char initials force-included,
+    // NO forced continuation singles (the [UNK] path stays reachable)
+    "text_wordpiece_vocab" -> ((s, d) =>
+      ext.WordPiece.vocabulary(Tables.documents(s, d))),
+    // greedy LONGEST-match-first segmentation (observably different
+    // from Viterbi: a long first piece can strand the tail -> [UNK]);
+    // oracle replays the walk as best-piece table + unrolled steps
+    "text_wordpiece_encode" -> ((s, d) =>
+      ext.WordPiece.encode(Tables.documents(s, d))),
     // multi-pattern blocklist scan: ONE Aho-Corasick pass per document
     // finds every overlapping occurrence of every pattern (failure +
     // output links), where the naive plan rescans the corpus per pattern
@@ -2420,6 +2430,8 @@ object SparkEntry {
     "text_unigram_vocab" -> OracleSql.unigramVocab,
     "text_unigram_encode" -> OracleSql.unigramEncode,
     "text_unigram_fertility" -> OracleSql.unigramFertility,
+    "text_wordpiece_vocab" -> OracleSql.wordpieceVocab,
+    "text_wordpiece_encode" -> OracleSql.wordpieceEncode,
     // brute force every-position substring compare == the automaton's
     // overlapping-match semantics, including matches inside matches
     "text_blocklist" ->
