@@ -119,6 +119,11 @@ object SparkEntry {
       graft.sources.Ingest.csvRoundTrip(s, Tables.documents(s, d), d)),
     "src_jsonl" -> ((s, d) =>
       graft.sources.Ingest.jsonlRoundTrip(s, Tables.documents(s, d), d)),
+    // ORC round trip over the same adversarial frame, with a selective
+    // predicate that must reach the ORC scan pushed (stripe-skipping is
+    // the format's 100-TB point; PlanSpec asserts PushedFilters)
+    "src_orc" -> ((s, d) =>
+      graft.sources.Ingest.orcRoundTrip(s, Tables.documents(s, d), d)),
     // dead-letter routing: PERMISSIVE parse of a batch with planted
     // corrupt lines; quarantine keeps the raw payload for replay
     "src_dead_letter" -> ((s, d) =>
@@ -1123,6 +1128,14 @@ object SparkEntry {
         |  n_chars,
         |  n_chars / 4.0 AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the ORC twin: identical frame, the graded filter applied in SQL
+    "src_orc" ->
+      """SELECT doc_id, text,
+        |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
+        |  nullif(lang, 'es') AS lang_or_null,
+        |  n_chars,
+        |  n_chars / 4.0 AS score
+        |FROM documents WHERE n_chars >= 120 ORDER BY doc_id""".stripMargin,
     // closed-form routing truth: %7==3 rows are quarantined with their
     // exact raw line; everything else parses clean
     "src_dead_letter" ->

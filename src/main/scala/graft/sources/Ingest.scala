@@ -137,6 +137,22 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  /** ORC round trip — the columnar sibling of the parquet lake (the
+    * format half of Hive-lineage warehouses still speak): the same
+    * adversarial frame (embedded quotes/newlines/unicode, a null-bearing
+    * column, doubles) written as ORC and read back under the explicit
+    * schema, with a selective predicate that must reach the ORC scan as
+    * a pushed filter (PlanSpec-asserted — ORC carries min/max stripe
+    * stats exactly so scans can skip stripes at 100 TB). */
+  def orcRoundTrip(spark: SparkSession, docs: DataFrame, sfDir: String,
+                   minChars: Long = 120L): DataFrame = {
+    val path = landingDir(spark, sfDir, "orc")
+    adversarialFrame(docs).repartition(4).write.orc(path)
+    spark.read.schema(roundTripSchema).orc(path)
+      .filter(col("n_chars") >= minChars)
+      .orderBy("doc_id")
+  }
+
   /** Schema evolution across ingest generations: an early batch landed
     * WITHOUT the `lang` column (v1 schema), a later batch WITH it (v2) —
     * the standard shape of a long-lived table whose producer grew a

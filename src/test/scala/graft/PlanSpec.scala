@@ -49,6 +49,13 @@ class PlanSpec extends SparkSpec {
     assert(q("q_anti_join").contains("LeftAnti"))
   }
 
+  test("ORC round trip pushes the selective predicate into the ORC scan") {
+    val df = SparkEntry.queries("src_orc")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(n_chars,120)"), p.takeRight(900))
+  }
+
   test("HTML extraction is a pure projection: zero Exchange in either plan") {
     // pre-presentation-sort operators (the graded queries add orderBy)
     val docs = Tables.documents(spark, sf)
