@@ -1641,8 +1641,9 @@ object OracleSql {
   /** Mirror of WordPiece.encode: best-piece length per (word, position)
     * precomputed from the vocabulary, then the greedy walk unrolled
     * [[ext.WordPiece.MaxWordLen]] steps (each step advances ≥ 1 char or
-    * marks the word UNK). */
-  def wordpieceEncode: String = {
+    * marks the word UNK). `wpWalkCtes` is the shared body; the final
+    * per-word frame lives in g{MaxWordLen}. */
+  private def wpWalkCtes: String = {
     val mpl = ext.WordPiece.MaxPieceLen
     val mwl = ext.WordPiece.MaxWordLen
     def gCte(k: Int): String = {
@@ -1663,7 +1664,7 @@ object OracleSql {
          |         ELSE FALSE END AS unk
          |  FROM $prev g LEFT JOIN wpbest b ON b.word = g.word AND b.pos = g.pos)""".stripMargin
     }
-    s"""WITH $wpModelCtes,
+    s"""$wpModelCtes,
        |swp AS (SELECT word, wc FROM wpwords WHERE length(word) <= $mwl),
        |wpcand AS (
        |  SELECT w.word, ii.i AS pos, ll.L AS len,
@@ -1679,12 +1680,38 @@ object OracleSql {
        |  GROUP BY 1, 2),
        |g0 AS (SELECT word, wc, 1::BIGINT AS pos, CAST('' AS VARCHAR) AS acc,
        |         0::BIGINT AS np, FALSE AS unk FROM swp),
-       |${(1 to mwl).map(gCte).mkString(",\n")}
+       |${(1 to mwl).map(gCte).mkString(",\n")}""".stripMargin
+  }
+
+  def wordpieceEncode: String = {
+    val mwl = ext.WordPiece.MaxWordLen
+    s"""WITH $wpWalkCtes
        |SELECT g.word, g.wc,
        |  CASE WHEN g.unk THEN '${ext.WordPiece.Unk}' ELSE g.acc END AS segmentation,
        |  (CASE WHEN g.unk THEN 1 ELSE g.np END)::BIGINT AS n_pieces,
        |  g.unk AS is_unk
        |FROM g$mwl g ORDER BY g.word""".stripMargin
+  }
+
+  /** Mirror of WordPiece.fertilityReport: per-word greedy piece counts
+    * ([UNK] contributes 1, as the single token it becomes) joined onto
+    * the language-tagged token stream, integer fertility. */
+  def wordpieceFertility: String = {
+    val mwl = ext.WordPiece.MaxWordLen
+    s"""WITH $wpWalkCtes,
+       |wpenc AS (
+       |  SELECT word, (CASE WHEN unk THEN 1 ELSE np END)::BIGINT AS np
+       |  FROM g$mwl),
+       |ltok AS (
+       |  SELECT d.lang,
+       |    lower(regexp_replace(t, '[^\\p{L}\\p{N}]+', '', 'g')) AS word
+       |  FROM documents d,
+       |    unnest(regexp_split_to_array(d.text, '[ \\t\\n\\x0B\\f\\r]+')) AS u(t)
+       |  WHERE t <> '')
+       |SELECT l.lang, count(*)::BIGINT AS n_words, sum(e.np)::BIGINT AS n_pieces,
+       |  ((sum(e.np) * 1000) // count(*))::BIGINT AS fertility_scaled
+       |FROM ltok l JOIN wpenc e ON e.word = l.word
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   def unigramEncode: String =

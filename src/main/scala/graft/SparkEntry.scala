@@ -913,6 +913,10 @@ object SparkEntry {
     // oracle replays the walk as best-piece table + unrolled steps
     "text_wordpiece_encode" -> ((s, d) =>
       ext.WordPiece.encode(Tables.documents(s, d))),
+    // the third cross-tokenizer fertility row (BPE / unigram /
+    // WordPiece over the same corpus; [UNK] counts as its 1 token)
+    "text_wordpiece_fertility" -> ((s, d) =>
+      ext.WordPiece.fertilityReport(Tables.documents(s, d))),
     // multi-pattern blocklist scan: ONE Aho-Corasick pass per document
     // finds every overlapping occurrence of every pattern (failure +
     // output links), where the naive plan rescans the corpus per pattern
@@ -2445,6 +2449,7 @@ object SparkEntry {
     "text_unigram_fertility" -> OracleSql.unigramFertility,
     "text_wordpiece_vocab" -> OracleSql.wordpieceVocab,
     "text_wordpiece_encode" -> OracleSql.wordpieceEncode,
+    "text_wordpiece_fertility" -> OracleSql.wordpieceFertility,
     // brute force every-position substring compare == the automaton's
     // overlapping-match semantics, including matches inside matches
     "text_blocklist" ->

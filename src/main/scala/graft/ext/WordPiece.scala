@@ -115,4 +115,21 @@ object WordPiece {
       .toDF("word", "wc", "segmentation", "n_pieces", "is_unk")
       .orderBy("word")
   }
+
+  /** Subwords-per-word fertility by language — the third row of the
+    * cross-tokenizer comparison next to [[Bpe.fertilityReport]] and
+    * [[Unigram.fertilityReport]]; an `[UNK]` word contributes 1 (the
+    * single token it becomes). One word-keyed join onto the token
+    * stream — per-token work never re-runs the greedy scan. */
+  def fertilityReport(docs: DataFrame): DataFrame = {
+    val enc = encode(docs).select(col("word"), col("n_pieces"))
+    graft.text.Tokenize.tokenize(docs, "text", "lang")
+      .filter(col("word") =!= "" && length(col("word")) <= MaxWordLen)
+      .join(enc, "word")
+      .groupBy(col("doc").as("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("fertility_scaled", expr("(n_pieces * 1000) div n_words"))
+      .select("lang", "n_words", "n_pieces", "fertility_scaled")
+      .orderBy("lang")
+  }
 }
