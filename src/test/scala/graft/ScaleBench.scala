@@ -89,7 +89,17 @@ object ScaleBench {
       // date slices) and events (fresh ids, same type domain) for these
       "sketch_quantile_grouped" -> SparkEntry.queries("sketch_quantile_grouped"),
       "sketch_bloom" -> SparkEntry.queries("sketch_bloom"),
-      "stream_theta" -> SparkEntry.queries("stream_theta"))
+      "stream_theta" -> SparkEntry.queries("stream_theta"),
+      // round-14 surface: the HTML block explode (rows × blocks-per-doc,
+      // linear by design), the gzip WARC and charset round trips
+      // (Θ(bytes) I/O like src_warc), the EXIF walk (per-row compute
+      // like mm_gif), and the WordPiece greedy encode (distinct-word
+      // bounded — should stay FLAT like text_unigram_encode)
+      "text_html_blocks" -> SparkEntry.queries("text_html_blocks"),
+      "src_warc_gz" -> SparkEntry.queries("src_warc_gz"),
+      "src_charset" -> SparkEntry.queries("src_charset"),
+      "mm_jpeg_exif" -> SparkEntry.queries("mm_jpeg_exif"),
+      "text_wordpiece_encode" -> SparkEntry.queries("text_wordpiece_encode"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
