@@ -401,14 +401,16 @@ object OracleSql {
 
   /** Shared clean-pipeline CTE prefix (quality gate → near-dup clusters
     * over the qualified set), ending in
-    * `clusters(doc_id, cluster_id)`. Consumed by [[pipelineCleanCorpus]]
-    * and [[pipelineCleanAudit]]. */
-  private def cleanClusterCtes(threshold: Double): String =
+    * `clusters(doc_id, cluster_id)`. Consumed by [[pipelineCleanCorpus]],
+    * [[pipelineCleanAudit]] and (over the extracted-crawl CTE)
+    * [[pipelineCrawlCorpus]]. */
+  private def cleanClusterCtes(threshold: Double,
+                               src: String = "documents"): String =
     s"""qtoks AS (
        |  SELECT doc_id, list_transform(
        |           list_filter($wsSplit, t -> t <> ''),
        |           $normTok) AS toks
-       |  FROM documents),
+       |  FROM $src),
        |qstats AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
        |    len(list_filter(toks, t -> t IN ($stopwordList)))::BIGINT AS n_stop,
        |    len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$')))::BIGINT AS n_digit
@@ -417,7 +419,7 @@ object OracleSql {
        |  WHERE n_tokens >= 10
        |    AND CAST(n_stop AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) >= 0.01
        |    AND CAST(n_digit AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) <= 0.5),
-       |qualified AS (SELECT d.* FROM documents d JOIN qids q USING (doc_id)),
+       |qualified AS (SELECT d.* FROM $src d JOIN qids q USING (doc_id)),
        |${clusterLabelCtes("qualified", threshold)},
        |clusters AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id
        |  FROM qualified q LEFT JOIN labels l ON l.id = q.doc_id)""".stripMargin
@@ -428,6 +430,22 @@ object OracleSql {
     s"""WITH RECURSIVE ${cleanClusterCtes(threshold)},
        |keep AS (SELECT min(doc_id) AS doc_id FROM clusters GROUP BY cluster_id)
        |SELECT q.doc_id, q.lang, q.source FROM qualified q JOIN keep USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** pipeline_crawl_corpus oracle: the full crawl-to-corpus chain — the
+    * planted HTML extracted to text (the [[htmlExtract]] chain), then
+    * the SAME quality gate → near-dup clusters → keep-one pipeline the
+    * clean-corpus run executes, now over the EXTRACTED text. */
+  def pipelineCrawlCorpus(threshold: Double): String =
+    s"""WITH RECURSIVE $htmlDocCte,
+       |crawl AS (
+       |  SELECT h.doc_id, ${htmlExtractedText("h.html")} AS text,
+       |    d.lang, d.source
+       |  FROM h JOIN documents d USING (doc_id)),
+       |${cleanClusterCtes(threshold, "crawl")},
+       |keep AS (SELECT min(doc_id) AS doc_id FROM clusters GROUP BY cluster_id)
+       |SELECT q.doc_id, q.lang, q.source, length(q.text)::BIGINT AS n_chars
+       |FROM qualified q JOIN keep USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** pipeline_clean_audit oracle (mirror of

@@ -483,6 +483,19 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, d) =>
       ext.TrainingPipeline.cleanCorpus(Tables.documents(s, d), 0.3, baseHash = Dedup.polyHash)
         .select("doc_id", "lang", "source")),
+    // the full crawl-to-corpus chain in ONE declarative plan: planted
+    // HTML -> extraction -> the same quality gate -> near-dup clusters
+    // -> keep-one pipeline, now over the EXTRACTED text (shared nav
+    // chrome rides into every doc and must not fuse unrelated docs)
+    "pipeline_crawl_corpus" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val crawl = ext.Html.extract(ext.Html.htmlDocs(base))
+        .select(col("doc_id"), col("text"))
+        .join(base.select("doc_id", "lang", "source"), Seq("doc_id"))
+      ext.TrainingPipeline.cleanCorpus(crawl, 0.3, baseHash = Dedup.polyHash)
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
     // leakage-safe variant: split buckets hash the near-dup CLUSTER id
@@ -1913,6 +1926,7 @@ object SparkEntry {
         |  CAST(sum(cents) AS DOUBLE)/100.0 AS value_sum
         |FROM w GROUP BY ws_ms, event_type ORDER BY ws_ms, event_type""".stripMargin,
     "pipeline_clean_corpus" -> OracleSql.pipelineCleanCorpus(0.3),
+    "pipeline_crawl_corpus" -> OracleSql.pipelineCrawlCorpus(0.3),
     "pipeline_clean_audit" -> OracleSql.pipelineCleanAudit(0.3),
     "sim_topk" -> OracleSql.simTopK(8, 5),
     "sim_knn_classify" -> OracleSql.knnClassify(8, 5),
