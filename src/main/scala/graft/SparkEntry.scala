@@ -949,6 +949,11 @@ object SparkEntry {
     // iterative graph computation: integer-scaled PageRank over the
     // bigram co-occurrence graph, 5 fixed rounds
     "graph_pagerank" -> ((s, d) => ext.Graph.wordPageRank(Tables.documents(s, d), 5)),
+    // recursive-hierarchy resolution WITHOUT recursive SQL: pointer
+    // jumping squares the ancestor pointer per round — O(log depth)
+    // node-keyed self-joins; roots are algebraic fixed points. The
+    // oracle is DuckDB's literal WITH RECURSIVE over the same tree
+    "graph_hierarchy" -> ((s, d) => ext.Graph.docHierarchy(Tables.documents(s, d))),
     // k-hop min-label propagation (bounded-round component labeling)
     "graph_labelprop" -> ((s, d) =>
       ext.Graph.wordLabelPropagation(Tables.documents(s, d), 4)),
@@ -2480,6 +2485,17 @@ object SparkEntry {
     "text_nb_kappa" -> OracleSql.nbKappa,
     "sim_knn_calibration" -> OracleSql.knnCalibration(500, 5),
     "graph_pagerank" -> OracleSql.pageRank(5),
+    "graph_hierarchy" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id < 3 THEN NULL ELSE doc_id // 2 END AS parent
+        |  FROM documents),
+        |walk(id, root_id, depth) AS (
+        |  SELECT id, id, 0 FROM nodes WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT n.id, w.root_id, w.depth + 1
+        |  FROM nodes n JOIN walk w ON w.id = n.parent)
+        |SELECT id, root_id, depth::BIGINT AS depth FROM walk ORDER BY id""".stripMargin,
     "graph_labelprop" -> OracleSql.labelProp(4),
     "pipeline_weighted_sample" -> OracleSql.weightedSample(100, "graft"),
     "pipeline_group_sample" -> OracleSql.weightedSamplePerGroup(20, "graft"),

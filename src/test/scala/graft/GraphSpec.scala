@@ -192,4 +192,28 @@ class GraphSpec extends SparkSpec {
     assert(ones == Seq(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")).sorted ||
       ones.toSet == Set(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")))
   }
+
+  test("pointer jumping resolves (root, depth) exactly, incl. chains deeper than one round") {
+    // a pure 100-deep CHAIN: node i's parent is i-1, node 0 the root —
+    // depth 100 needs ceil(log2(101)) = 7 doubling rounds
+    val chain = (0L to 100L).map(i =>
+      (i, if (i == 0) None else Some(i - 1))).toDF("id", "parent")
+    val got = Graph.hierarchyResolve(chain, rounds = 7)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.forall(_._2 == 0L)) // every node resolves to the single root
+    assert(got.map(_._3) == (0L to 100L)) // depth == position in the chain
+    // 6 rounds (reach 64) must UNDER-resolve the tail — proves the
+    // rounds actually do the work
+    val short = Graph.hierarchyResolve(chain, rounds = 6)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(short.last._2 != 0L || short.last._3 < 100L)
+    // the planted corpus hierarchy: hand-check a few nodes
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val h = Graph.docHierarchy(docs).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h(0L) == ((0L, 0L)) && h(1L) == ((1L, 0L)) && h(2L) == ((2L, 0L)))
+    assert(h(3L) == ((1L, 1L)))   // 3 -> 1
+    assert(h(5L) == ((2L, 1L)))   // 5 -> 2
+    assert(h(499L) == ((1L, 8L))) // 499->249->124->62->31->15->7->3->1
+  }
 }
