@@ -666,6 +666,20 @@ object SparkEntry {
     // deterministic id-derived footers (phone, IPv4, card run, email)
     // are injected first — identical string ops in the oracle — and the
     // scrubber must remove and account for every one
+    // checksum-VALIDATED card scrubbing: a 16-digit run is planted per
+    // doc whose Luhn validity falls deterministically out of the id;
+    // only valid runs mask, a too-short 12-digit run never matches —
+    // the over-fire a regex-only card pass cannot avoid
+    "text_luhn_scrub" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        lit(" pay 4"),
+        lpad(((id * 7919) % 100000000000000L).cast("string"), 14, "0"),
+        (id % 10).cast("string"),
+        lit(" ref 123456789012 x"))
+      ext.TextStats.luhnScrub(
+        Tables.documents(s, d).withColumn("text", planted))
+    }),
     "text_scrub_pii" -> ((s, d) => {
       val id = col("doc_id")
       val footer = concat(
@@ -1660,6 +1674,33 @@ object SparkEntry {
     "dedup_lsh_quality" -> OracleSql.lshQuality(0.8),
     "text_scrub" -> OracleSql.textScrub,
     "text_scrub_pii" -> OracleSql.textScrubPii,
+    // identical planting + Luhn fold in list arithmetic
+    "text_luhn_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || ' pay 4'
+        |    || lpad(((doc_id * 7919) % 100000000000000)::VARCHAR, 14, '0')
+        |    || (doc_id % 10)::VARCHAR || ' ref 123456789012 x' AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    regexp_extract_all(t, '(^|[^0-9])([0-9]{13,19})([^0-9]|$)', 2) AS cands
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id, t, cands,
+        |    list_filter(cands, c ->
+        |      list_reduce(list_prepend(0, list_transform(range(1, length(c) + 1),
+        |        i -> CASE WHEN i % 2 = 0 THEN
+        |               CASE WHEN 2 * (substr(c, (length(c) - i + 1)::INT, 1)::INT) > 9
+        |                    THEN 2 * (substr(c, (length(c) - i + 1)::INT, 1)::INT) - 9
+        |                    ELSE 2 * (substr(c, (length(c) - i + 1)::INT, 1)::INT) END
+        |             ELSE substr(c, (length(c) - i + 1)::INT, 1)::INT END)),
+        |        (a, x) -> a + x) % 10 = 0) AS valid
+        |  FROM c)
+        |SELECT doc_id, len(cands)::BIGINT AS n_candidates,
+        |  len(valid)::BIGINT AS n_valid,
+        |  list_reduce(list_prepend(t, valid),
+        |    (acc, c) -> replace(acc, c, '<CARD>')) AS clean_text
+        |FROM v ORDER BY doc_id""".stripMargin,
     "text_tfidf_pairs" -> OracleSql.tfIdfCosinePairs(50, 1000L),
     "pipeline_split" -> OracleSql.assignSplits(98, 1),
     "pipeline_split_safe" -> OracleSql.assignSplitsByCluster(98, 1, 0.3),

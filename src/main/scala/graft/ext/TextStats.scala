@@ -347,6 +347,46 @@ object TextStats {
       .orderBy(idCol)
   }
 
+  /** Luhn validity of a digit string `c` (SQL fragment usable inside a
+    * higher-order lambda): fold right-to-left, doubling every second
+    * digit (−9 when > 9), valid iff the sum ≡ 0 (mod 10). Written as a
+    * position fold over `sequence`, not a `split('')` (whose trailing
+    * empty token would throw under ANSI casts). The DuckDB oracle runs
+    * the identical arithmetic via list_transform/list_reduce. */
+  val LuhnValidSql: String =
+    """aggregate(transform(sequence(1, length(c)), i ->
+      |  CASE WHEN i % 2 = 0 THEN
+      |    IF(2 * CAST(substring(c, length(c) - i + 1, 1) AS INT) > 9,
+      |       2 * CAST(substring(c, length(c) - i + 1, 1) AS INT) - 9,
+      |       2 * CAST(substring(c, length(c) - i + 1, 1) AS INT))
+      |  ELSE CAST(substring(c, length(c) - i + 1, 1) AS INT) END),
+      |0, (a, x) -> a + x) % 10 = 0""".stripMargin
+
+  /** Boundary-guarded 13–19-digit candidate run (group 2). A bare
+    * `[0-9]{13,19}` would match the 19-digit PREFIX of a longer run —
+    * the classic scrubber false positive; RE2 has no lookbehind, so the
+    * boundary is an explicit group. */
+  val LuhnCandRe: String = "(^|[^0-9])([0-9]{13,19})([^0-9]|$)"
+
+  /** Checksum-VALIDATED card scrubbing — the step a regex-only PII pass
+    * ([[scrubPii]]'s `CardRe`) cannot express: 13–19-digit runs are only
+    * masked when they pass the Luhn check, so invoice/tracking numbers
+    * survive while real card numbers never do. Candidates, validations
+    * and the fold-replace are all per-document higher-order column
+    * expressions — zero shuffle before the presentation sort. */
+  def luhnScrub(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__cands",
+        expr(s"regexp_extract_all(__t, '$LuhnCandRe', 2)"))
+      .withColumn("__valid", expr(s"filter(__cands, c -> $LuhnValidSql)"))
+      .select(col(idCol),
+        size(col("__cands")).cast("long").as("n_candidates"),
+        size(col("__valid")).cast("long").as("n_valid"),
+        expr("aggregate(__valid, __t, (acc, c) -> replace(acc, c, '<CARD>'))")
+          .as("clean_text"))
+      .orderBy(idCol)
+
   /** Highest multiplicity of any element in the array: sort, then fold a
     * (prev, run, best) state over the runs. Per-row and shuffle-free by
     * design — an interpreted higher-order fold over one document's grams

@@ -189,6 +189,28 @@ class PipelineSpec extends SparkSpec {
       col("n_cards") =!= 0 || col("n_phones") =!= 0).count() == 0)
   }
 
+  test("luhnScrub masks only checksum-valid runs; boundaries and lengths guarded") {
+    val df = Seq(
+      // 4111111111111111 is the canonical Luhn-VALID 16-digit test number
+      (1L, "pay 4111111111111111 now", "s"),
+      // one digit off: candidate but NOT valid -> survives unmasked
+      (2L, "pay 4111111111111112 now", "s"),
+      // 12 digits: too short to be a candidate at all
+      (3L, "ref 411111111111 kept", "s"),
+      // 20-digit run: the boundary guard must not mask its 19-digit prefix
+      (4L, "trace 41111111111111111111 kept", "s"),
+      // two candidates, one valid each way
+      (5L, "a 4111111111111111 b 4111111111111112 c", "s")
+    ).toDF("doc_id", "text", "source")
+    val byId = graft.ext.TextStats.luhnScrub(df)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 1L, 1L, "pay <CARD> now")))
+    assert(byId(2L) == ((2L, 1L, 0L, "pay 4111111111111112 now")))
+    assert(byId(3L) == ((3L, 0L, 0L, "ref 411111111111 kept")))
+    assert(byId(4L) == ((4L, 0L, 0L, "trace 41111111111111111111 kept")))
+    assert(byId(5L) == ((5L, 2L, 1L, "a <CARD> b 4111111111111112 c")))
+  }
+
   test("stratified sample fills the per-stratum quota deterministically") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = TrainingPipeline.stratifiedSample(docs, "lang", 7)
