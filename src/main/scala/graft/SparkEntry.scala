@@ -1038,6 +1038,12 @@ object SparkEntry {
     // dedup pass (case/www/port/fragment/utm/trailing-slash variants
     // collapse; real query params survive)
     "dedup_urls" -> ((s, d) => ext.Urls.urlDedup(Tables.documents(s, d))),
+    // sitemap XML parsing (the OTHER crawl-control file next to
+    // robots.txt): loc entity-decode, optional lastmod, priority as
+    // exact permille, commented-out and loc-less entries dropped
+    "url_sitemap" -> ((s, d) =>
+      ext.Urls.sitemapEntries(ext.Urls.sitemapDocs(Tables.documents(s, d)))
+        .orderBy("doc_id", "entry_id")),
     // CCNet-style line-level dedup: sentences repeated across >= 2
     // distinct documents (headers/footers/banners), worst first
     "text_boilerplate" -> ((s, d) =>
@@ -1196,6 +1202,24 @@ object SparkEntry {
       """SELECT doc_id, text, n_chars,
         |  CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form sitemap ground truth: entry_id gaps where the
+    // loc-less entry was skipped; no-match lastmod = '' (regexp_extract
+    // convention both engines share); priority in exact permille
+    "url_sitemap" ->
+      """SELECT doc_id, entry_id, loc, lastmod, priority_permille FROM (
+        |  SELECT doc_id, 1::BIGINT AS entry_id,
+        |    'https://' || source || '.example/p/' || (doc_id % 50)
+        |      || '?a=1&b=2' AS loc,
+        |    '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS lastmod,
+        |    ((doc_id % 10) * 100)::BIGINT AS priority_permille
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 2,
+        |    'https://' || source || '.example/q/' || (doc_id % 20), '', 500
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 4,
+        |    'https://cdn.example/r/' || (doc_id % 7), '', 1000
+        |  FROM documents)
+        |ORDER BY doc_id, entry_id""".stripMargin,
     "url_robots" ->
       s"""WITH rules(prefix, allow) AS (VALUES ${
           ext.Urls.RobotRules.map { case (p, a) => s"('$p', $a)" }.mkString(", ")}),

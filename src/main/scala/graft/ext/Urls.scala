@@ -99,6 +99,60 @@ object Urls {
       .orderBy(idCol)
   }
 
+  /** Sitemap (sitemaps.org XML) parsing — the OTHER crawl-control file
+    * next to robots.txt: per feed, `<url>` entries with `<loc>` (entity-
+    * decoded — `&amp;` is mandatory XML escaping inside a URL), optional
+    * `<lastmod>`, optional `<priority>` (landed as an exact integer
+    * permille — 0.8 is not a double here). XML comments strip FIRST so
+    * a commented-out entry can't leak; entries missing `<loc>` are
+    * skipped (the spec marks them invalid). Regexes are RE2-safe like
+    * the HTML family's, so the oracle runs them verbatim; pure per-feed
+    * projection + per-entry Generate, zero shuffle before the
+    * presentation sort. */
+  val SitemapCommentRe: String = "(?s)<!--.*?-->"
+  val SitemapUrlRe: String = "(?is)<url>(.*?)</url>"
+
+  private def tagText(entry: Column, tag: String): Column =
+    regexp_extract(entry, s"(?is)<$tag>(.*?)</$tag>", 1)
+
+  def sitemapEntries(feeds: DataFrame, xmlCol: String = "sitemap_xml",
+                     idCol: String = "doc_id"): DataFrame = {
+    feeds.select(col(idCol),
+        posexplode(expr(
+          s"regexp_extract_all(regexp_replace($xmlCol, '$SitemapCommentRe', ''), " +
+            s"'$SitemapUrlRe', 1)")).as(Seq("pos", "entry")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("entry_id"),
+        Html.entityDecode(tagText(col("entry"), "loc")).as("loc"),
+        tagText(col("entry"), "lastmod").as("lastmod"),
+        coalesce(
+          when(tagText(col("entry"), "priority") === "", lit(null))
+            .otherwise((tagText(col("entry"), "priority").cast("decimal(6,3)") * 1000)
+              .cast("long")),
+          lit(500L)).as("priority_permille"))
+      .filter(col("loc") =!= "")
+  }
+
+  /** Deterministic sitemap fixture: three entries per feed (absolute
+    * locs with a mandatory `&amp;` escape, varying lastmod, an explicit
+    * priority on one, the default 0.5 on another) plus a commented-out
+    * entry and a loc-less entry that must both vanish. */
+  def sitemapDocs(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("sitemap_xml", concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>https://"), col("source"), lit(".example/p/"),
+      (col(idCol) % 50).cast("string"), lit("?a=1&amp;b=2</loc>"),
+      lit("<lastmod>2026-01-"),
+      lpad(((col(idCol) % 28) + 1).cast("string"), 2, "0"),
+      lit("</lastmod><priority>0."), (col(idCol) % 10).cast("string"),
+      lit("</priority></url>"),
+      lit("<!-- <url><loc>https://never.example/x</loc></url> -->"),
+      lit("<url><loc>https://"), col("source"), lit(".example/q/"),
+      (col(idCol) % 20).cast("string"), lit("</loc></url>"),
+      lit("<url><lastmod>2026-02-01</lastmod></url>"), // loc-less: skipped
+      lit("<url><loc>https://cdn.example/r/"), (col(idCol) % 7).cast("string"),
+      lit("</loc><priority>1.0</priority></url>"),
+      lit("</urlset>")))
+
   /** Graded query: canonicalize every manifest URL and group — each row
     * carries its canonical form, the size of its canonical group and
     * the keep/drop decision (keep = smallest id of the group). */

@@ -405,4 +405,24 @@ class DedupSpec extends SparkSpec {
     // /articles/...: only the default-allow root rule matches
     assert(out(4L)._3 == "/" && out(4L)._4)
   }
+
+  test("sitemap parse: comments vanish, loc-less skipped with gap, entities, priorities") {
+    import spark.implicits._
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a.example/x?p=1&amp;q=2</loc>" +
+      "<lastmod>2026-03-04</lastmod><priority>0.8</priority></url>" +
+      "<!-- <url><loc>https://never.example/c</loc></url> -->" +
+      "<url><lastmod>2026-01-01</lastmod></url>" + // loc-less: skipped
+      "<url><loc>https://a.example/y</loc></url>" + // defaults
+      "</urlset>"
+    val rows = graft.ext.Urls.sitemapEntries(
+        Seq((7L, xml)).toDF("doc_id", "sitemap_xml"))
+      .orderBy("entry_id")
+      .select("entry_id", "loc", "lastmod", "priority_permille")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "https://a.example/x?p=1&q=2", "2026-03-04", 800L),
+      // entry 2 was the loc-less one -> entry_id 3 proves the gap
+      (3L, "https://a.example/y", "", 500L)), rows)
+  }
 }
