@@ -99,7 +99,17 @@ object ScaleBench {
       "src_warc_gz" -> SparkEntry.queries("src_warc_gz"),
       "src_charset" -> SparkEntry.queries("src_charset"),
       "mm_jpeg_exif" -> SparkEntry.queries("mm_jpeg_exif"),
-      "text_wordpiece_encode" -> SparkEntry.queries("text_wordpiece_encode"))
+      "text_wordpiece_encode" -> SparkEntry.queries("text_wordpiece_encode"),
+      // late round-14: the crawl-to-corpus composition (extract + clean
+      // chain — its growth must track the clean-corpus components), the
+      // pointer-jumped hierarchy (O(log depth) rounds — depth grows by
+      // ~log of the scale factor, so wall time should stay FLAT), and
+      // the two new maintained-sketch drains (bounded state like
+      // stream_theta)
+      "pipeline_crawl_corpus" -> SparkEntry.queries("pipeline_crawl_corpus"),
+      "graph_hierarchy" -> SparkEntry.queries("graph_hierarchy"),
+      "stream_bloom" -> SparkEntry.queries("stream_bloom"),
+      "stream_cms" -> SparkEntry.queries("stream_cms"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
