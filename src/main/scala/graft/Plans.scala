@@ -90,6 +90,11 @@ object Plans {
     "mm_jpeg_exif" -> "APP1/TIFF IFD walk inside mapPartitions over the payload scan; only (tag, value) rows cross the shuffle — JPEG bytes never leave the scan stage",
     "text_html_links" -> "anchor explode is a Generate over per-doc arrays; href resolution is pure string projection — no exchange before the presentation sort",
     "text_html_meta" -> "title/meta/canonical extraction is one regexp projection per document — zero exchange before the presentation sort",
+    "src_orc" -> "the selective predicate reaches the ORC scan as a PushedFilter (stripe-stat skipping at scale); the round trip is scan-shaped, no shuffle before the presentation sort",
+    "text_luhn_scrub" -> "candidates, Luhn validation and the fold-replace are higher-order column expressions in one projection — zero shuffle before the presentation sort",
+    "url_sitemap" -> "per-feed entry explode is a Generate; loc/lastmod/priority extraction stays in the same projection — no exchange before the presentation sort",
+    "graph_hierarchy" -> "pointer jumping: 6 node-keyed self-joins (each round checkpointed flat) resolve depth ≤ 64 — no SinglePartition, no per-row recursion, frame stays one row per node",
+    "pipeline_crawl_corpus" -> "extraction is map work feeding the checkpointed qualified set; the clean chain reuses the audited band-equi-join + component paths — no new shuffle shape",
   )
 
   def main(args: Array[String]): Unit = {
