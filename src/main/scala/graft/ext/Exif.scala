@@ -44,13 +44,6 @@ object Exif {
     case Longs(vs) => vs.length
     case _: Rational => 1
   }
-  private def byteSize(v: Value): Int = v match {
-    case Ascii(s) => s.length + 1
-    case Shorts(vs) => 2 * vs.length
-    case Longs(vs) => 4 * vs.length
-    case _: Rational => 8
-  }
-
   /** Serialize one value in the given byte order. */
   private def valueBytes(v: Value, le: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
