@@ -95,6 +95,7 @@ object Plans {
     "url_sitemap" -> "per-feed entry explode is a Generate; loc/lastmod/priority extraction stays in the same projection — no exchange before the presentation sort",
     "graph_hierarchy" -> "pointer jumping: 6 node-keyed self-joins (each round checkpointed flat) resolve depth ≤ 64 — no SinglePartition, no per-row recursion, frame stays one row per node",
     "pipeline_crawl_corpus" -> "extraction is map work feeding the checkpointed qualified set; the clean chain reuses the audited band-equi-join + component paths — no new shuffle shape",
+    "q_moments" -> "one hash aggregation with map-side partials; four integer power sums per group cross the exchange, the DECIMAL(38,0) moment algebra is post-agg projection",
   )
 
   def main(args: Array[String]): Unit = {
