@@ -99,6 +99,8 @@ object Exif {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xE1)
     val len = 2 + ExifHeader.length + tiff.length
+    require(len <= 0xFFFF,
+      s"APP1 payload $len bytes exceeds the 16-bit segment length field")
     out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
     out.write(ExifHeader); out.write(tiff)
     out.toByteArray
@@ -192,8 +194,6 @@ object Exif {
       k += 1
     }
     Some((if (le) "II" else "MM", tags.result()))
-  } match {
-    case s => s
   }
 
   /** EXIF of a JPEG payload, or None (no APP1 / corrupt IFD). */

@@ -200,9 +200,14 @@ object Graph {
     for (_ <- 1 to rounds) {
       val g = f.select(col("id").as("gid"), col("ptr").as("gptr"),
         col("steps").as("gsteps"))
-      val next = f.join(g, f("ptr") === g("gid"))
-        .select(f("id"), col("gptr").as("ptr"),
-          (f("steps") + col("gsteps")).as("steps"))
+      // LEFT join: a ptr whose target node is absent from the input (a
+      // dangling parent reference) is treated as a fixed point — the
+      // node resolves to (root_id = the dangling ptr, depth = steps so
+      // far) instead of silently vanishing from the frame, which an
+      // inner join would do on any referentially-incomplete node table.
+      val next = f.join(g, f("ptr") === g("gid"), "left")
+        .select(f("id"), coalesce(col("gptr"), f("ptr")).as("ptr"),
+          (f("steps") + coalesce(col("gsteps"), lit(0L))).as("steps"))
         .localCheckpoint(true)
       org.apache.spark.sql.graft.bridge.freeCheckpoint(lastCp)
       lastCp = next

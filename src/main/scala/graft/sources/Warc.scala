@@ -208,12 +208,22 @@ object Warc {
     val flg = bytes(pos + 3) & 0xff
     pos += 10
     if ((flg & 4) != 0) { // FEXTRA
+      require(pos + 2 <= bytes.length, s"truncated gzip FEXTRA length at byte $pos")
       val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
       pos += 2 + xlen
+      require(pos <= bytes.length, s"truncated gzip FEXTRA field at byte $pos")
     }
-    if ((flg & 8) != 0) { while (bytes(pos) != 0) pos += 1; pos += 1 } // FNAME
-    if ((flg & 16) != 0) { while (bytes(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
-    if ((flg & 2) != 0) pos += 2 // FHCRC
+    def skipNulTerminated(field: String): Unit = { // FNAME / FCOMMENT
+      while (pos < bytes.length && bytes(pos) != 0) pos += 1
+      require(pos < bytes.length, s"truncated gzip $field at byte $pos")
+      pos += 1
+    }
+    if ((flg & 8) != 0) skipNulTerminated("FNAME")
+    if ((flg & 16) != 0) skipNulTerminated("FCOMMENT")
+    if ((flg & 2) != 0) { // FHCRC
+      pos += 2
+      require(pos <= bytes.length, s"truncated gzip FHCRC at byte $pos")
+    }
     val inf = new java.util.zip.Inflater(true)
     inf.setInput(bytes, pos, bytes.length - pos)
     val out = new java.io.ByteArrayOutputStream(8192)

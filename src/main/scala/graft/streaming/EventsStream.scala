@@ -629,15 +629,22 @@ object EventsStream {
     * arrival order).
     *
     * The staged dir is keyed on a CONTENT hash of the change rows (an
-    * order-insensitive sum of per-row xxhash64), not just the session —
-    * two callers in one JVM with different change-sets must each stream
-    * their own data, never silently reuse the first caller's fixture. */
+    * order-insensitive SUM + XOR of per-row xxhash64, plus the count),
+    * not just the session — two callers in one JVM with different
+    * change-sets must each stream their own data, never silently reuse
+    * the first caller's fixture. XOR alone self-cancels duplicated row
+    * pairs; the sum component perturbs the key for those too. */
   def cdcBatchFixtureDir(spark: SparkSession, sfDir: String,
                          changes: DataFrame): String = {
     import java.nio.file.{Files, Paths}
     val keyRow = changes
       .select(xxhash64(changes.columns.sorted.map(col): _*).as("h"))
-      .agg(coalesce(expr("bit_xor(h)"), lit(0L)), count(lit(1))).head()
+      .agg(xxhash64(
+        coalesce(expr("bit_xor(h)"), lit(0L)),
+        // decimal sum: order-insensitive and overflow-proof under ANSI
+        // (a long sum of xxhash64 values overflows almost immediately)
+        coalesce(sum(col("h").cast("decimal(30,0)")), lit(0)).cast("string"),
+        count(lit(1))), count(lit(1))).head()
     val dir = Paths.get(s"/tmp/graft_stream_cdc_${spark.sparkContext.applicationId}_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.lang.Long.toHexString(keyRow.getLong(0)) + "_" + keyRow.getLong(1))

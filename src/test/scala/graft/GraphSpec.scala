@@ -216,4 +216,20 @@ class GraphSpec extends SparkSpec {
     assert(h(5L) == ((2L, 1L)))   // 5 -> 2
     assert(h(499L) == ((1L, 8L))) // 499->249->124->62->31->15->7->3->1
   }
+
+  test("hierarchyResolve treats dangling parents as fixed points, never drops rows") {
+    // 10 -> 20 -> 99 where 99 is NOT a node in the input (a
+    // referentially-incomplete table). An inner-join formulation drops
+    // 10 and 20 from the frame entirely; the contract is that they
+    // resolve to the dangling ancestor with the depth walked so far.
+    val nodes = Seq(
+      (10L, Some(20L)), (20L, Some(99L)), (1L, None: Option[Long]))
+      .toDF("id", "parent")
+    val got = Graph.hierarchyResolve(nodes, rounds = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 3)             // every input row survives
+    assert(got(1L) == ((1L, 0L)))     // real root: its own fixed point
+    assert(got(20L) == ((99L, 1L)))   // one hop to the dangling ancestor
+    assert(got(10L) == ((99L, 2L)))   // two hops, through 20
+  }
 }

@@ -107,7 +107,23 @@ object ScaleBench {
       // the two new maintained-sketch drains (bounded state like
       // stream_theta)
       "pipeline_crawl_corpus" -> SparkEntry.queries("pipeline_crawl_corpus"),
-      "graph_hierarchy" -> SparkEntry.queries("graph_hierarchy"),
+      // graph_hierarchy CANNOT reuse the SparkEntry query on upscaled
+      // dirs: docHierarchy plants parent = doc_id div 2, and ScaleGen's
+      // +c*1e8 id offset makes every copy>=1 parent land in the id gap
+      // (the frame would collapse to dangling fixed points after round
+      // 1 and the measurement would time a 1x workload). Remap the
+      // planting PER COPY (copy = id div 1e8, base = id mod 1e8,
+      // parent = copy*1e8 + base div 2) so each copy is a self-contained
+      // replica of the sf0.1 hierarchy and the frame truly grows.
+      "graph_hierarchy" -> ((s: SparkSession, dir: String) => {
+        val off = 100000000L
+        val nodes = Tables.documents(s, dir).select(
+          col("doc_id").as("id"),
+          when(pmod(col("doc_id"), lit(off)) < 3, lit(null).cast("long"))
+            .otherwise(col("doc_id") - pmod(col("doc_id"), lit(off)) +
+              expr(s"(doc_id % $off) div 2")).as("parent"))
+        graft.ext.Graph.hierarchyResolve(nodes).orderBy("id")
+      }),
       "stream_bloom" -> SparkEntry.queries("stream_bloom"),
       "stream_cms" -> SparkEntry.queries("stream_cms"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
