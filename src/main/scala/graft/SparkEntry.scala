@@ -501,6 +501,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars"))
     }),
+    // the frontier side of the same crawl: extracted links + sitemap
+    // entries -> canonicalize -> robots gate ON THE CANONICAL PATH ->
+    // dedup into the fetch frontier (a robots-blocked sitemap entry
+    // must vanish; a cased/www/port/tracking-divergent link pair must
+    // collapse to one frontier row)
+    "pipeline_crawl_frontier" -> ((s, d) =>
+      ext.Frontier.crawlFrontier(Tables.documents(s, d))),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
     // leakage-safe variant: split buckets hash the near-dup CLUSTER id
@@ -1243,6 +1250,66 @@ object SparkEntry {
         |SELECT doc_id, path, arg_max(prefix, key) AS matched_rule,
         |  (arg_max(allow, key) = 1) AS allowed
         |FROM m GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // frontier chain ground truth, closed-form: one row per planted
+    // anchor/sitemap entry with its POST-canonicalization URL and path
+    // (the fixture's divergent forms all collapse here — that IS the
+    // claim under grade), gated by the same rules CTE as url_robots,
+    // then deduped per canonical URL
+    "pipeline_crawl_frontier" ->
+      s"""WITH cand(doc_id, canonical_url, path, via_sitemap) AS (
+        |  SELECT doc_id, 'https://ext' || (doc_id % 7) || '.example/a',
+        |    '/a', 0 FROM documents
+        |  UNION ALL SELECT doc_id, 'https://ext' || (doc_id % 7) || '.example/a',
+        |    '/a', 0 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/p/' || (doc_id % 50),
+        |    '/p/' || (doc_id % 50), 0 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/search/' || (doc_id % 7),
+        |    '/search/' || (doc_id % 7), 0 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/private/pub/' || (doc_id % 7),
+        |    '/private/pub/' || (doc_id % 7), 0 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/private/cache/' || (doc_id % 7),
+        |    '/private/cache/' || (doc_id % 7), 0 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/docs/d' || (doc_id % 20)
+        |      || '/sub/' || (doc_id % 10) || '.html',
+        |    '/docs/d' || (doc_id % 20) || '/sub/' || (doc_id % 10) || '.html',
+        |    0 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/q/' || (doc_id % 20),
+        |    '/q/' || (doc_id % 20), 0 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/q/' || (doc_id % 20),
+        |    '/q/' || (doc_id % 20), 1 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/search/s' || (doc_id % 9),
+        |    '/search/s' || (doc_id % 9), 1 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/api/v2/open/' || (doc_id % 7),
+        |    '/api/v2/open/' || (doc_id % 7), 1 FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'https://' || source || '.example/api/private/x' || (doc_id % 4),
+        |    '/api/private/x' || (doc_id % 4), 1 FROM documents),
+        |rules(prefix, allow) AS (VALUES ${
+          ext.Urls.RobotRules.map { case (p, a) => s"('$p', $a)" }.mkString(", ")}),
+        |gate AS (
+        |  SELECT p.path,
+        |    arg_max(r.prefix, length(r.prefix) * 2 + r.allow) AS matched_rule,
+        |    (arg_max(r.allow, length(r.prefix) * 2 + r.allow) = 1) AS allowed
+        |  FROM (SELECT DISTINCT path FROM cand) p
+        |  JOIN rules r ON starts_with(p.path, r.prefix)
+        |  GROUP BY 1)
+        |SELECT c.canonical_url, c.path, g.matched_rule,
+        |  min(c.doc_id) AS first_doc, count(*)::BIGINT AS n_refs,
+        |  bool_or(c.via_sitemap = 0) AS from_link,
+        |  bool_or(c.via_sitemap = 1) AS from_sitemap
+        |FROM cand c JOIN gate g ON c.path = g.path
+        |WHERE g.allowed
+        |GROUP BY 1, 2, 3
+        |ORDER BY canonical_url""".stripMargin,
     "src_tar" ->
       """WITH padded AS (
         |  SELECT doc_id,

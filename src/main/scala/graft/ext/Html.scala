@@ -166,14 +166,14 @@ object Html {
     val origin = regexp_extract(col(baseCol), "^(https?://[^/]+)", 1)
     val baseDir = regexp_replace(col(baseCol), "/[^/]*$", "/")
     val scheme = regexp_extract(col(baseCol), "^(https?):", 1)
-    val resolved =
-      when(col("href").rlike("^https?://"), col("href"))
+    val resolved = // scheme match case-insensitive: RFC 3986 §3.1
+      when(col("href").rlike("(?i)^https?://"), col("href"))
         .when(col("href").startsWith("//"), concat(scheme, lit(":"), col("href")))
         .when(col("href").startsWith("/"), concat(origin, col("href")))
         .when(col("href").startsWith("#"), col(baseCol))
         .otherwise(concat(baseDir, col("href")))
     val url = regexp_replace(resolved, "#.*$", "")
-    val host = regexp_extract(url, "^https?://([^/]+)", 1)
+    val host = regexp_extract(url, "(?i)^https?://([^/]+)", 1)
     exploded
       .withColumn("url", url)
       .withColumn("host", host)

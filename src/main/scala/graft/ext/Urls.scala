@@ -80,6 +80,24 @@ object Urls {
       .otherwise(concat(lit("/articles/"), p))
   }
 
+  /** The RFC 9309 winner (longest rule, allow on ties) as a CLOSED-FORM
+    * when-chain over the static rule set: rules sorted by the same
+    * integer key `len(prefix)·2 + allow` descending, first prefix match
+    * wins. Semantically identical to [[robotsDecisions]]' broadcast-join
+    * argmax (spec-asserted) but a pure per-row expression — no join, no
+    * shuffle, stays inside whole-stage codegen; the right form when the
+    * gate sits inside a longer chain. Returns struct(prefix, allow);
+    * null only for strings that match no rule (non-paths — every
+    * `/`-rooted path matches the root rule). */
+  def robotsRuleExpr(path: Column): Column = {
+    val ordered = RobotRules.sortBy { case (p, a) => -(p.length * 2 + a) }
+    ordered.foldLeft(lit(null)
+        .cast("struct<prefix:string,allow:int>")) { case (acc, (p, a)) =>
+      coalesce(acc, when(path.startsWith(p),
+        struct(lit(p).as("prefix"), lit(a).as("allow"))))
+    }
+  }
+
   /** Graded query: the crawl-politeness gate. Every frontier path joins
     * the broadcast rule table on prefix match; the RFC 9309 winner
     * (longest rule, allow on ties) is ONE integer-keyed argmax — no

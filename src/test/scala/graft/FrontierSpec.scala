@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Frontier, Urls}
+
+/** The frontier-side crawl composition: links + sitemap →
+  * canonicalize → robots gate on the CANONICAL path → frontier dedup.
+  * The planted hazards (robots-blocked sitemap entry, a
+  * canonicalization-divergent link pair) are asserted here; the full
+  * frame is hash-graded against the DuckDB oracle. */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val frontier = Frontier.crawlFrontier(docs).cache()
+
+  test("robots-blocked sitemap entries never reach the frontier") {
+    // the fixture plants /search/s{id%9} in every sitemap and
+    // /search/{id%7} as a link; the /search disallow must gate BOTH
+    // sides — a sitemap is a hint, not a robots override
+    assert(frontier.filter(col("path").startsWith("/search")).count() == 0)
+    // and the blocked /private/cache and /api/private plants too
+    assert(frontier.filter(col("path").startsWith("/private/cache")).count() == 0)
+    assert(frontier.filter(col("path").startsWith("/api/private")).count() == 0)
+  }
+
+  test("nested allow-overrides survive the gate via longest-match") {
+    val pub = frontier.filter(col("path").startsWith("/private/pub"))
+    assert(pub.count() > 0)
+    assert(pub.select("matched_rule").distinct().as[String].collect()
+      .toSeq == Seq("/private/pub"))
+    val api = frontier.filter(col("path").startsWith("/api/v2/open"))
+    assert(api.count() > 0)
+    // the sitemap's www + utm_medium form landed canonicalized
+    assert(api.filter(col("canonical_url").contains("www.") ||
+      col("canonical_url").contains("utm_")).count() == 0)
+  }
+
+  test("canonicalization-divergent link pair collapses to one frontier row") {
+    // every doc plants HTTPS://WWW.Ext{k}.EXAMPLE:443/a/ AND
+    // https://ext{k}.example/a — same resource, one frontier row, both
+    // references counted
+    val dup = frontier.filter(col("path") === "/a")
+      .select("canonical_url", "n_refs").as[(String, Long)].collect()
+    assert(dup.nonEmpty && dup.forall(_._1.matches("https://ext\\d\\.example/a")))
+    val nDocs = docs.count()
+    assert(dup.map(_._2).sum == 2 * nDocs) // both forms of every doc counted
+  }
+
+  test("cross-source collision: the link /q/.../ and sitemap /q/... merge") {
+    val q = frontier.filter(col("path").startsWith("/q/"))
+    assert(q.count() > 0)
+    val flags = q.select("from_link", "from_sitemap")
+      .as[(Boolean, Boolean)].collect()
+    assert(flags.forall { case (l, s) => l && s })
+  }
+
+  test("robotsRuleExpr agrees with the broadcast-argmax robotsDecisions") {
+    // same winner on every synthetic frontier path — the closed-form
+    // when-chain and the graded join formulation are one semantics
+    val viaJoin = Urls.robotsDecisions(docs)
+      .select(col("path"), col("matched_rule"), col("allowed"))
+    val viaExpr = docs
+      .select(Urls.syntheticPath(col("doc_id")).as("path"))
+      .select(col("path"), Urls.robotsRuleExpr(col("path")).as("r"))
+      .select(col("path"), col("r.prefix").as("matched_rule"),
+        (col("r.allow") === 1).as("allowed"))
+      .distinct()
+    assert(viaJoin.distinct().exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.exceptAll(viaJoin.distinct()).count() == 0)
+  }
+
+  test("uppercase-scheme absolute hrefs resolve absolute (RFC 3986 §3.1)") {
+    val links = ext.Html.links(
+      Seq((1L, "https://a.example/d/page.html",
+        "<a href=\"HTTPS://B.Example/x\">t</a>"))
+        .toDF("doc_id", "base_url", "html"))
+    val url = links.select("url").as[String].head()
+    assert(url == "HTTPS://B.Example/x") // verbatim, NOT base-joined
+    assert(Seq(url).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"))).as[String].head() ==
+      "https://b.example/x")
+  }
+}

@@ -344,4 +344,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.takeRight(800))
   }
+
+  test("crawl frontier: no SinglePartition stage, no window, gate is an expression not a join") {
+    val p = q("pipeline_crawl_frontier")
+    // the only shuffles: the canonical-url hash agg + the presentation
+    // range sort — never a single-partition collapse
+    assert(!p.contains("SinglePartition"), p.takeRight(800))
+    // the robots longest-match winner is a closed-form when-chain, so
+    // the whole chain plans with NO join of any kind and no window
+    assert(!p.contains("Window"), p.takeRight(800))
+    assert(!p.contains("Join"), p.takeRight(800))
+    // frontier dedup is a real partial+final hash aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.takeRight(800))
+    assert(p.contains("hashpartitioning"), p.takeRight(800))
+  }
 }
