@@ -124,6 +124,13 @@ object SparkEntry {
     // the format's 100-TB point; PlanSpec asserts PushedFilters)
     "src_orc" -> ((s, d) =>
       graft.sources.Ingest.orcRoundTrip(s, Tables.documents(s, d), d)),
+    // Avro OCF round trip (real DataFileReader/Writer, deflate blocks,
+    // union nulls; reader-schema projection spec'd) — this distribution
+    // has no spark-avro DataSource, so the reader is the binaryFile +
+    // per-file decode shape like WARC/tar; OCF has no per-block column
+    // stats, so the ORC-twin filter applies post-decode by design
+    "src_avro" -> ((s, d) =>
+      graft.sources.Avro.roundTrip(s, Tables.documents(s, d), d)),
     // dead-letter routing: PERMISSIVE parse of a batch with planted
     // corrupt lines; quarantine keeps the raw payload for replay
     "src_dead_letter" -> ((s, d) =>
@@ -1184,6 +1191,15 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the ORC twin: identical frame, the graded filter applied in SQL
     "src_orc" ->
+      """SELECT doc_id, text,
+        |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
+        |  nullif(lang, 'es') AS lang_or_null,
+        |  n_chars,
+        |  n_chars / 4.0 AS score
+        |FROM documents WHERE n_chars >= 120 ORDER BY doc_id""".stripMargin,
+    // the Avro twin: identical frame and filter (post-decode — OCF has
+    // no stats to push into)
+    "src_avro" ->
       """SELECT doc_id, text,
         |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
         |  nullif(lang, 'es') AS lang_or_null,
