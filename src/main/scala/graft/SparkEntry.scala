@@ -1346,11 +1346,13 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id, text || ' protégé Ærø ß°' AS text FROM documents)
         |SELECT doc_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+        |  CASE doc_id % 7 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
         |       WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
-        |       ELSE 'latin-1' END AS encoding,
-        |  (CASE doc_id % 5 WHEN 2 THEN 2 * length(text) WHEN 3 THEN 2 * length(text)
-        |        WHEN 4 THEN length(text) ELSE strlen(text) END)::BIGINT AS n_bytes,
+        |       WHEN 4 THEN 'latin-1'
+        |       WHEN 5 THEN 'utf-16le-nobom' ELSE 'utf-16be-nobom' END AS encoding,
+        |  (CASE WHEN doc_id % 7 IN (2, 3, 5, 6) THEN 2 * length(text)
+        |        WHEN doc_id % 7 = 4 THEN length(text)
+        |        ELSE strlen(text) END)::BIGINT AS n_bytes,
         |  length(text)::BIGINT AS n_chars,
         |  text
         |FROM s ORDER BY doc_id""".stripMargin,

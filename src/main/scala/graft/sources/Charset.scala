@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   *   1. BOM: `EF BB BF` → UTF-8, `FF FE` → UTF-16LE, `FE FF` → UTF-16BE
   *      (the UTF-8 BOM is checked first — it cannot collide with the
   *      16-bit marks).
-  *   2. No BOM: strict UTF-8 decode (malformed bytes REPORT, not
+  *   2. No BOM: the NUL-parity sniff for BOM-LESS UTF-16 (zeros
+  *      one-sided at odd offsets → LE, even → BE) — without it that
+  *      wire form would land as NUL-riddled Latin-1 mojibake, silently;
+  *   3. then strict UTF-8 decode (malformed bytes REPORT, not
   *      replace); on failure, Latin-1 — the only 8-bit map where every
   *      byte sequence is valid, so the fallback can never throw.
   *
   * The graded fixture encodes the SAME logical content (corpus text +
   * a Latin-1-encodable non-ASCII salt — `protégé`-class accents whose
-  * lone `0xE9` bytes are invalid UTF-8) through all five wire forms,
+  * lone `0xE9` bytes are invalid UTF-8) through all seven wire forms,
   * batched as one file per (partition × encoding) with one
   * `id<TAB>text` line per document and the BOM at file level — the
   * shape mixed corpora actually arrive in (mid-size uniformly-encoded
@@ -41,11 +44,12 @@ object Charset {
   val Salt = " protégé Ærø ß°"
 
   val Encodings: Seq[String] =
-    Seq("utf-8", "utf-8-bom", "utf-16le", "utf-16be", "latin-1")
+    Seq("utf-8", "utf-8-bom", "utf-16le", "utf-16be", "latin-1",
+      "utf-16le-nobom", "utf-16be-nobom")
 
   /** Deterministic wire encoding per document (mirrored by the oracle's
-    * doc_id % 5 CASE). */
-  def encodingOf(docId: Long): String = Encodings(((docId % 5) + 5).toInt % 5)
+    * doc_id % 7 CASE). */
+  def encodingOf(docId: Long): String = Encodings(((docId % 7) + 7).toInt % 7)
 
   /** Encode text for the wire, BOM included where the form carries one. */
   def encodeBytes(text: String, encoding: String): Array[Byte] = encoding match {
@@ -57,6 +61,8 @@ object Charset {
     case "utf-16be" =>
       Array(0xFE.toByte, 0xFF.toByte) ++ text.getBytes(StandardCharsets.UTF_16BE)
     case "latin-1" => text.getBytes(StandardCharsets.ISO_8859_1)
+    case "utf-16le-nobom" => text.getBytes(StandardCharsets.UTF_16LE)
+    case "utf-16be-nobom" => text.getBytes(StandardCharsets.UTF_16BE)
     case other => throw new IllegalArgumentException(s"unknown encoding $other")
   }
 
@@ -68,11 +74,39 @@ object Charset {
       .decode(java.nio.ByteBuffer.wrap(bytes, from, bytes.length - from))
       .toString
 
+  /** NUL-parity sniff for BOM-LESS UTF-16 — the one wire form the BOM +
+    * strict-UTF-8 stages cannot see: without this check a BOM-less
+    * UTF-16 export falls through to the Latin-1 branch and lands as
+    * NUL-riddled mojibake, SILENTLY (the only wrong-text path that
+    * neither throws nor mismatches a checksum). Latin-script UTF-16
+    * puts a 0x00 high byte on (nearly) every code unit, so over the
+    * first `window` bytes: NULs concentrated at ODD offsets → LE, at
+    * EVEN offsets → BE — required to be one-sided (>1/4 of that parity
+    * class NUL, ZERO in the other) so no UTF-8/Latin-1 text (which has
+    * no NULs at all) or genuinely binary payload can trip it.
+    * Deliberately out of scope: BOM-less UTF-16 of NUL-free scripts
+    * (e.g. pure CJK, every high byte nonzero) — indistinguishable from
+    * binary without a statistical language model. */
+  private def sniffBomlessUtf16(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 4 || bytes.length % 2 != 0) return None
+    val n = math.min(bytes.length, 64) & ~1
+    var evenNul = 0; var oddNul = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0) { if (i % 2 == 0) evenNul += 1 else oddNul += 1 }
+      i += 1
+    }
+    val quorum = n / 8 // >1/4 of the 16-bit units in the window
+    if (oddNul > quorum && evenNul == 0) Some("utf-16le-nobom")
+    else if (evenNul > quorum && oddNul == 0) Some("utf-16be-nobom")
+    else None
+  }
+
   /** Sniff + decode: returns (detected encoding, UTF-8 text). BOM bytes
     * are consumed by detection, never leaked into the text. BOM-marked
-    * files decode STRICTLY (a declared encoding that doesn't decode is
-    * corrupt data — loud, not mojibake); only the no-BOM path falls
-    * back. */
+    * and NUL-pattern-detected files decode STRICTLY (a declared or
+    * detected encoding that doesn't decode is corrupt data — loud, not
+    * mojibake); only the final no-signal path falls back to Latin-1. */
   def sniffDecode(bytes: Array[Byte]): (String, String) = {
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xEF &&
         (bytes(1) & 0xff) == 0xBB && (bytes(2) & 0xff) == 0xBF)
@@ -81,17 +115,21 @@ object Charset {
       ("utf-16le", strictDecode(bytes, 2, StandardCharsets.UTF_16LE))
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF)
       ("utf-16be", strictDecode(bytes, 2, StandardCharsets.UTF_16BE))
-    else try ("utf-8", strictDecode(bytes, 0, StandardCharsets.UTF_8))
-    catch { case _: CharacterCodingException =>
-      ("latin-1", new String(bytes, StandardCharsets.ISO_8859_1))
+    else sniffBomlessUtf16(bytes) match {
+      case Some(enc) => (enc, strictDecode(bytes, 0, charsetOf(enc)))
+      case None =>
+        try ("utf-8", strictDecode(bytes, 0, StandardCharsets.UTF_8))
+        catch { case _: CharacterCodingException =>
+          ("latin-1", new String(bytes, StandardCharsets.ISO_8859_1))
+        }
     }
   }
 
   /** The byte charset of a wire form (BOM handled separately). */
   def charsetOf(encoding: String): java.nio.charset.Charset = encoding match {
     case "utf-8" | "utf-8-bom" => StandardCharsets.UTF_8
-    case "utf-16le" => StandardCharsets.UTF_16LE
-    case "utf-16be" => StandardCharsets.UTF_16BE
+    case "utf-16le" | "utf-16le-nobom" => StandardCharsets.UTF_16LE
+    case "utf-16be" | "utf-16be-nobom" => StandardCharsets.UTF_16BE
     case "latin-1" => StandardCharsets.ISO_8859_1
     case other => throw new IllegalArgumentException(s"unknown encoding $other")
   }

@@ -39,6 +39,30 @@ class CharsetSpec extends SparkSpec {
     assert(Charset.sniffDecode(Array.emptyByteArray) == (("utf-8", "")))
   }
 
+  test("BOM-less UTF-16 is caught by the NUL-parity sniff, never lands as Latin-1") {
+    val le = sample.getBytes(StandardCharsets.UTF_16LE)
+    val be = sample.getBytes(StandardCharsets.UTF_16BE)
+    assert(Charset.sniffDecode(le) == (("utf-16le-nobom", sample)))
+    assert(Charset.sniffDecode(be) == (("utf-16be-nobom", sample)))
+    // guards: the sniff must be one-sided and even-length —
+    // a NUL-free Latin-1 body stays Latin-1
+    assert(Charset.sniffDecode(sample.getBytes(StandardCharsets.ISO_8859_1))._1 == "latin-1")
+    // NULs on BOTH parities (binary-ish payload): NOT detected as
+    // UTF-16 — it falls through to the strict-UTF-8 stage (NUL is a
+    // valid UTF-8 code point, so it lands as utf-8 with NULs intact)
+    val both = Array[Byte](0, 'a', 0, 0, 'b', 0, 0, 'a', 0, 0, 'b', 0)
+    assert(Charset.sniffDecode(both)._1 == "utf-8")
+    // odd total length cannot be UTF-16: not detected (the é high
+    // byte makes the UTF-8 stage fail too → Latin-1, not utf-16)
+    assert(Charset.sniffDecode(le :+ 'x'.toByte)._1 == "latin-1")
+    // a detected-but-corrupt body (dangling surrogate) fails LOUDLY:
+    // the detection is a declaration, same policy as a BOM
+    val surrogate = Array[Byte]('a', 0, 0x41, 0xD8.toByte, 'b', 0, 'c', 0, 'd', 0)
+    intercept[java.nio.charset.CharacterCodingException] {
+      Charset.sniffDecode(surrogate)
+    }
+  }
+
   test("BOM-marked files with corrupt bodies fail loudly, not as mojibake") {
     // break é's continuation byte: 0xC3 0xA9 → 0xC3 0x41, invalid UTF-8
     val bad = Charset.encodeBytes(sample, "utf-8-bom")
@@ -63,7 +87,7 @@ class CharsetSpec extends SparkSpec {
           salted.length.toLong, salted)
       }
     assert(got == want)
-    // all five encodings genuinely exercised
+    // all seven encodings genuinely exercised
     assert(got.map(_._2).distinct.toSet == Charset.Encodings.toSet)
   }
 }
