@@ -242,6 +242,9 @@ object Gif {
         case 0x2C =>
           u16(); u16()
           val w = u16(); val h = u16()
+          // allocation-bomb guard: flipped dimension bytes must not
+          // demand a multi-GB raster — degrade, never allocate blind
+          if (w.toLong * h > 64000000L) return None
           val ipacked = u8()
           val interlaced = (ipacked & 0x40) != 0
           if ((ipacked & 0x80) != 0) { // local color table wins

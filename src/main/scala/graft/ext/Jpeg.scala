@@ -559,6 +559,10 @@ object Jpeg {
             w = ((p(seg + 3) & 0xFF) << 8) | (p(seg + 4) & 0xFF)
             val nc = p(seg + 5) & 0xFF
             if (w == 0 || h == 0 || (nc != 1 && nc != 3)) return None
+            // allocation-bomb guard: a flipped dimension byte must not
+            // demand a multi-GB pixel store — beyond 64 MP is not a
+            // crawl image, degrade (None) before any grid allocation
+            if (w.toLong * h > 64000000L) return None
             comps = Array.tabulate(nc) { c =>
               val o = seg + 6 + 3 * c
               Component(p(o) & 0xFF, (p(o + 1) & 0xFF) >> 4, p(o + 1) & 0x0F, p(o + 2) & 0xFF)
