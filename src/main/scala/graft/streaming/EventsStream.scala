@@ -823,6 +823,90 @@ object EventsStream {
   }
 
   // -------------------------------------------------------------------
+  // Checkpoint schema evolution (spec-pinned contract)
+  // -------------------------------------------------------------------
+
+  private val evolveSchemaV1 = org.apache.spark.sql.types.StructType.fromDDL(
+    "user_id BIGINT, event_type STRING")
+  private[graft] val evolveSchemaV2 = org.apache.spark.sql.types.StructType.fromDDL(
+    "user_id BIGINT, event_type STRING, value DOUBLE")
+
+  private[graft] def evolveBase(spark: SparkSession, sfDir: String,
+                                wipe: Boolean): java.nio.file.Path = {
+    import java.nio.file.{Files, Path, Paths}
+    val base = Paths.get(
+      s"/tmp/graft_stream_evolve_${spark.sparkContext.applicationId}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    if (wipe && Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(base.resolve("src"))
+    base
+  }
+
+  /** One checkpointed dedup drain over the evolution fixture dir, read
+    * under the given (possibly widened) schema, keyed on `keys`. */
+  private[graft] def evolveDrain(spark: SparkSession, base: java.nio.file.Path,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 keys: Seq[String]): Unit =
+    withStateParts(spark, DefaultDrainStateParts) {
+      val out = base.resolve("data").toString
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base.resolve("src").toString)
+        .select(keys.map(col): _*)
+        .dropDuplicates(keys)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/bid=$bid")
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** Checkpoint SCHEMA EVOLUTION — the other restart failure mode a
+    * long-lived drain meets (the sibling of the crash/restart above):
+    * the SOURCE grew a column between runs. The contract, spec-pinned
+    * by StreamingSpec:
+    *
+    *  - ADDITIVE source evolution with the dedup key set UNCHANGED
+    *    RECOVERS: generation 1 (user_id, event_type) drains under the
+    *    v1 read schema; the fixture then lands a generation-2 file
+    *    carrying a new `value` column; the restarted drain reads under
+    *    the WIDENED schema against the SAME checkpoint — offsets are
+    *    file-positional so nothing replays, and the dedup state row
+    *    (the projected key columns) is unchanged, so keys already seen
+    *    in generation 1 never re-land;
+    *  - a restart that changes the STATE row (the spec's loud sibling:
+    *    dedup keys now include `value`) must FAIL with the engine's
+    *    state-schema incompatibility error — never silently mix states.
+    *
+    * Scale shape: identical to the production drain — per-batch-id
+    * idempotent landings, state bounded by the distinct key set. */
+  def schemaEvolvedDedupLanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = evolveBase(spark, sfDir, wipe = true)
+    val src = base.resolve("src")
+    val ev = graft.Tables.events(spark, sfDir)
+    val now = System.currentTimeMillis()
+    stageSingleFile(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0L)
+        .select(col("user_id"), col("event_type")),
+      src, src.resolve("gen1.parquet"), now - 60000L)
+    evolveDrain(spark, base, evolveSchemaV1, Seq("user_id", "event_type"))
+    stageSingleFile(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1L)
+        .select(col("user_id"), col("event_type"), col("value")),
+      src, src.resolve("gen2.parquet"), now)
+    evolveDrain(spark, base, evolveSchemaV2, Seq("user_id", "event_type"))
+    spark.read.parquet(base.resolve("data").toString)
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // -------------------------------------------------------------------
   // Incrementally maintained quantile sketch (graded)
   // -------------------------------------------------------------------
 

@@ -398,6 +398,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._4 >= 0L))
   }
 
+  test("checkpoint schema evolution: additive column recovers; key change fails loudly") {
+    // additive path: gen1 drains under v1, gen2 lands with a new value
+    // column, the restart reads the widened schema against the SAME
+    // checkpoint — dedup state survives, nothing replays, no key twice
+    val landed = EventsStream.schemaEvolvedDedupLanded(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    val batch = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy("user_id", "event_type").as[(Long, String)].collect().toSeq
+    assert(landed == batch,
+      "evolved landing must equal the batch distinct set row for row")
+    assert(landed.distinct == landed,
+      "a key landed twice: dedup state was lost across the schema change")
+    // both generations genuinely landed as separate micro-batches
+    val base = EventsStream.evolveBase(spark, dir, wipe = false)
+    val bids = java.nio.file.Files.list(base.resolve("data")).iterator()
+    val bidDirs = Iterator.continually(bids).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("bid=")).toSeq
+    assert(bidDirs.size >= 2, s"expected >=2 micro-batch landings, got $bidDirs")
+    // loud sibling: restarting with the dedup key set WIDENED (value
+    // now part of the state row) against the same checkpoint must fail
+    // with the state-schema incompatibility error, not mix states. A
+    // generation-3 file is staged first — with no new input the restart
+    // never loads state and the incompatibility would go undetected
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value")).limit(50)
+      .coalesce(1).write.mode("append").parquet(base.resolve("src").toString)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventsStream.evolveDrain(spark, base, EventsStream.evolveSchemaV2,
+        Seq("user_id", "event_type", "value"))
+    }
+    val msg = (e.getMessage + " " +
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" ")).toLowerCase
+    assert(msg.contains("schema") || msg.contains("state"),
+      s"expected a state-schema incompatibility, got: ${e.getMessage.take(300)}")
+  }
+
   test("crash recovery: killed drain restarts exactly-once through the parquet sink") {
     val recovered = EventsStream.recoveredDedupLanded(spark, dir)
       .as[(Long, String)].collect().toSeq
