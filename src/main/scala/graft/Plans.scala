@@ -96,6 +96,8 @@ object Plans {
     "graph_hierarchy" -> "pointer jumping: 6 node-keyed self-joins (each round checkpointed flat) resolve depth ≤ 64 — no SinglePartition, no per-row recursion, frame stays one row per node",
     "pipeline_crawl_corpus" -> "extraction is map work feeding the checkpointed qualified set; the clean chain reuses the audited band-equi-join + component paths — no new shuffle shape",
     "q_moments" -> "one hash aggregation with map-side partials; four integer power sums per group cross the exchange, the DECIMAL(38,0) moment algebra is post-agg projection",
+    "pipeline_crawl_frontier" -> "links + sitemap are per-row projections; the robots gate is a closed-form when-chain (NO join of any kind in the plan); the only shuffle is the canonical-url frontier hash agg — no SinglePartition, no window",
+    "src_avro" -> "binaryFile scan → per-container decode (one task per file); OCF carries no column stats so the filter applies post-decode — scan-shaped, no shuffle before the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

@@ -125,19 +125,40 @@ object ScaleBench {
         graft.ext.Graph.hierarchyResolve(nodes).orderBy("id")
       }),
       "stream_bloom" -> SparkEntry.queries("stream_bloom"),
-      "stream_cms" -> SparkEntry.queries("stream_cms"))
+      "stream_cms" -> SparkEntry.queries("stream_cms"),
+      // round-15: higher central moments (one grouped agg over
+      // lineitem), the HTML extraction/link/meta projections, sitemap
+      // parse, Luhn scrub (all per-row folds that must measure flat-to-
+      // linear), the frontier composition (one canonical-url hash agg
+      // on top of per-row work), and the Avro container round trip
+      // (Θ(bytes) like the other write→parse sources)
+      "q_moments" -> SparkEntry.queries("q_moments"),
+      "text_html_extract" -> SparkEntry.queries("text_html_extract"),
+      "text_html_links" -> SparkEntry.queries("text_html_links"),
+      "text_html_meta" -> SparkEntry.queries("text_html_meta"),
+      "url_sitemap" -> SparkEntry.queries("url_sitemap"),
+      "text_luhn_scrub" -> SparkEntry.queries("text_luhn_scrub"),
+      "pipeline_crawl_frontier" -> SparkEntry.queries("pipeline_crawl_frontier"),
+      "src_avro" -> SparkEntry.queries("src_avro"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
     for (copies <- copiesList) {
       val dir = s"$root/x$copies"
       for ((name, fn) <- chosen) {
-        // warm-up run, then timed reps; min strips background noise
+        // warm-up run, then timed reps; min strips background noise.
+        // The action is toRdd.count(), NOT count(): under count() the
+        // optimizer PRUNES every column the aggregate doesn't need, so
+        // a projection-only query (HTML extraction, Luhn scrub, …)
+        // would time a doc_id scan + sort instead of its real per-row
+        // work. toRdd materializes the final UnsafeRows — all columns
+        // computed — with no driver collect.
+        def drive(): Unit = fn(spark, dir).queryExecution.toRdd.count()
         try {
-          fn(spark, dir).count()
+          drive()
           val secs = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            fn(spark, dir).count()
+            drive()
             (System.nanoTime() - t0) / 1e9
           }
           println(f"[scale] $name%-24s x$copies%-3d min=${secs.min}%8.3f  runs=${secs.map(s => f"$s%.3f").mkString(",")}")
