@@ -515,6 +515,11 @@ object SparkEntry {
     // collapse to one frontier row)
     "pipeline_crawl_frontier" -> ((s, d) =>
       ext.Frontier.crawlFrontier(Tables.documents(s, d))),
+    // politeness scheduling over the deduped frontier: per-host FIFO
+    // waves of at most 2 fetches (one host-partitioned window — spreads
+    // at crawl scale; never a global sort)
+    "url_politeness" -> ((s, d) =>
+      ext.Frontier.politenessWaves(Tables.documents(s, d))),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
     // leakage-safe variant: split buckets hash the near-dup CLUSTER id
@@ -1143,6 +1148,58 @@ object SparkEntry {
   /** Shared WARC round-trip oracle: payload salt + framing are engine
     * concerns; DuckDB recomputes the graded frame straight from parquet
     * (used verbatim for both plain and gzip-member WARC). */
+  /** Shared frontier ground-truth CTEs (cand + rules + gate): one row
+    * per planted anchor/sitemap entry with its POST-canonicalization
+    * URL and path, gated by the same rules table as url_robots. Used by
+    * both pipeline_crawl_frontier and url_politeness. */
+  private val frontierCandSql: String =
+    s"""cand(doc_id, canonical_url, path, via_sitemap) AS (
+      |  SELECT doc_id, 'https://ext' || (doc_id % 7) || '.example/a',
+      |    '/a', 0 FROM documents
+      |  UNION ALL SELECT doc_id, 'https://ext' || (doc_id % 7) || '.example/a',
+      |    '/a', 0 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/p/' || (doc_id % 50),
+      |    '/p/' || (doc_id % 50), 0 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/search/' || (doc_id % 7),
+      |    '/search/' || (doc_id % 7), 0 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/private/pub/' || (doc_id % 7),
+      |    '/private/pub/' || (doc_id % 7), 0 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/private/cache/' || (doc_id % 7),
+      |    '/private/cache/' || (doc_id % 7), 0 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/docs/d' || (doc_id % 20) ||
+      |      '/sub/' || (doc_id % 10) || '.html',
+      |    '/docs/d' || (doc_id % 20) || '/sub/' || (doc_id % 10) || '.html',
+      |    0 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/q/' || (doc_id % 20),
+      |    '/q/' || (doc_id % 20), 0 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/q/' || (doc_id % 20),
+      |    '/q/' || (doc_id % 20), 1 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/search/s' || (doc_id % 9),
+      |    '/search/s' || (doc_id % 9), 1 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/api/v2/open/' || (doc_id % 7),
+      |    '/api/v2/open/' || (doc_id % 7), 1 FROM documents
+      |  UNION ALL SELECT doc_id,
+      |    'https://' || source || '.example/api/private/x' || (doc_id % 4),
+      |    '/api/private/x' || (doc_id % 4), 1 FROM documents),
+      |rules(prefix, allow) AS (VALUES ${
+        ext.Urls.RobotRules.map { case (p, a) => s"('$p', $a)" }.mkString(", ")}),
+      |gate AS (
+      |  SELECT p.path,
+      |    arg_max(r.prefix, length(r.prefix) * 2 + r.allow) AS matched_rule,
+      |    (arg_max(r.allow, length(r.prefix) * 2 + r.allow) = 1) AS allowed
+      |  FROM (SELECT DISTINCT path FROM cand) p
+      |  JOIN rules r ON starts_with(p.path, r.prefix)
+      |  GROUP BY 1)""".stripMargin
+
   private val warcOracle: String =
     """SELECT doc_id,
       |  'https://' || source || '.example/' || doc_id AS url,
@@ -1272,52 +1329,7 @@ object SparkEntry {
     // claim under grade), gated by the same rules CTE as url_robots,
     // then deduped per canonical URL
     "pipeline_crawl_frontier" ->
-      s"""WITH cand(doc_id, canonical_url, path, via_sitemap) AS (
-        |  SELECT doc_id, 'https://ext' || (doc_id % 7) || '.example/a',
-        |    '/a', 0 FROM documents
-        |  UNION ALL SELECT doc_id, 'https://ext' || (doc_id % 7) || '.example/a',
-        |    '/a', 0 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/p/' || (doc_id % 50),
-        |    '/p/' || (doc_id % 50), 0 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/search/' || (doc_id % 7),
-        |    '/search/' || (doc_id % 7), 0 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/private/pub/' || (doc_id % 7),
-        |    '/private/pub/' || (doc_id % 7), 0 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/private/cache/' || (doc_id % 7),
-        |    '/private/cache/' || (doc_id % 7), 0 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/docs/d' || (doc_id % 20)
-        |      || '/sub/' || (doc_id % 10) || '.html',
-        |    '/docs/d' || (doc_id % 20) || '/sub/' || (doc_id % 10) || '.html',
-        |    0 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/q/' || (doc_id % 20),
-        |    '/q/' || (doc_id % 20), 0 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/q/' || (doc_id % 20),
-        |    '/q/' || (doc_id % 20), 1 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/search/s' || (doc_id % 9),
-        |    '/search/s' || (doc_id % 9), 1 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/api/v2/open/' || (doc_id % 7),
-        |    '/api/v2/open/' || (doc_id % 7), 1 FROM documents
-        |  UNION ALL SELECT doc_id,
-        |    'https://' || source || '.example/api/private/x' || (doc_id % 4),
-        |    '/api/private/x' || (doc_id % 4), 1 FROM documents),
-        |rules(prefix, allow) AS (VALUES ${
-          ext.Urls.RobotRules.map { case (p, a) => s"('$p', $a)" }.mkString(", ")}),
-        |gate AS (
-        |  SELECT p.path,
-        |    arg_max(r.prefix, length(r.prefix) * 2 + r.allow) AS matched_rule,
-        |    (arg_max(r.allow, length(r.prefix) * 2 + r.allow) = 1) AS allowed
-        |  FROM (SELECT DISTINCT path FROM cand) p
-        |  JOIN rules r ON starts_with(p.path, r.prefix)
-        |  GROUP BY 1)
+      s"""WITH $frontierCandSql
         |SELECT c.canonical_url, c.path, g.matched_rule,
         |  min(c.doc_id) AS first_doc, count(*)::BIGINT AS n_refs,
         |  bool_or(c.via_sitemap = 0) AS from_link,
@@ -1326,6 +1338,25 @@ object SparkEntry {
         |WHERE g.allowed
         |GROUP BY 1, 2, 3
         |ORDER BY canonical_url""".stripMargin,
+    // politeness waves over the deduped frontier: per-host FIFO by
+    // (first_doc, canonical_url), wave = (rank-1) div slots
+    "url_politeness" ->
+      s"""WITH $frontierCandSql,
+        |frontier AS (
+        |  SELECT c.canonical_url, min(c.doc_id) AS first_doc
+        |  FROM cand c JOIN gate g ON c.path = g.path
+        |  WHERE g.allowed GROUP BY 1),
+        |hosted AS (
+        |  SELECT canonical_url,
+        |    regexp_extract(canonical_url, '^https?://([^/]+)', 1) AS host,
+        |    first_doc
+        |  FROM frontier)
+        |SELECT canonical_url, host, first_doc,
+        |  row_number() OVER (PARTITION BY host
+        |    ORDER BY first_doc, canonical_url)::BIGINT AS slot,
+        |  ((row_number() OVER (PARTITION BY host
+        |    ORDER BY first_doc, canonical_url) - 1) // 2)::BIGINT AS wave
+        |FROM hosted ORDER BY canonical_url""".stripMargin,
     "src_tar" ->
       """WITH padded AS (
         |  SELECT doc_id,

@@ -110,4 +110,31 @@ object Frontier {
         max(col("via_sitemap") === 1L).as("from_sitemap"))
       .orderBy("canonical_url")
   }
+
+  /** Politeness scheduling over the deduped frontier — the step between
+    * "what may we fetch" and "when": a crawler must not hammer one
+    * host, so fetches are issued in WAVES of at most `perHostSlots`
+    * URLs per host. Deterministic queue discipline: per host, URLs
+    * rank by (first_doc, canonical_url) — earliest-discovered first,
+    * URL as the total-order tie-break — and wave = (rank−1) div slots.
+    *
+    * Scale shape: ONE window partitioned by host (host-keyed exchange —
+    * high-cardinality at crawl scale, so it spreads; never a global
+    * sort or SinglePartition: PlanSpec-asserted). The wave arithmetic
+    * is a projection. Rows: (canonical_url, host, first_doc, slot,
+    * wave). */
+  def politenessWaves(docs: DataFrame, perHostSlots: Int = 2,
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frontier = crawlFrontier(docs, idCol)
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^https?://([^/]+)", 1))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("first_doc"), col("canonical_url"))
+    frontier
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("wave", expr(s"(slot - 1) div $perHostSlots"))
+      .select("canonical_url", "host", "first_doc", "slot", "wave")
+      .orderBy("canonical_url")
+  }
 }

@@ -70,6 +70,28 @@ class FrontierSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaJoin.distinct()).count() == 0)
   }
 
+  test("politeness waves: per-host FIFO, bounded wave occupancy, frontier-complete") {
+    val waves = Frontier.politenessWaves(docs, perHostSlots = 2)
+      .select("canonical_url", "host", "first_doc", "slot", "wave")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // every allowed frontier URL is scheduled exactly once
+    assert(waves.map(_._1).sorted ==
+      frontier.select("canonical_url").as[String].collect().toSeq.sorted)
+    // per host: slots are 1..n contiguous, FIFO by (first_doc, url),
+    // and no wave holds more than perHostSlots fetches
+    for ((host, rows) <- waves.groupBy(_._2)) {
+      val bysSlot = rows.sortBy(_._4)
+      assert(bysSlot.map(_._4) == (1L to rows.size.toLong),
+        s"$host slots not contiguous")
+      assert(bysSlot == rows.sortBy(r => (r._3, r._1)),
+        s"$host not FIFO by (first_doc, canonical_url)")
+      assert(rows.groupBy(_._5).values.forall(_.size <= 2),
+        s"$host overfilled a wave")
+      assert(bysSlot.map(_._5) == bysSlot.map(r => (r._4 - 1) / 2),
+        s"$host wave arithmetic drifted")
+    }
+  }
+
   test("uppercase-scheme absolute hrefs resolve absolute (RFC 3986 §3.1)") {
     val links = ext.Html.links(
       Seq((1L, "https://a.example/d/page.html",

@@ -358,4 +358,11 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.takeRight(800))
     assert(p.contains("hashpartitioning"), p.takeRight(800))
   }
+
+  test("politeness waves: host-partitioned window, no SinglePartition") {
+    val p = q("url_politeness")
+    assert(p.contains("Window"), p.takeRight(500))
+    assert(p.contains("hashpartitioning(host"), p.takeRight(800))
+    assert(!p.contains("SinglePartition"), p.takeRight(800))
+  }
 }
