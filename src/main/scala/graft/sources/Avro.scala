@@ -50,9 +50,21 @@ object Avro {
       |{"name":"doc_id","type":"long"},
       |{"name":"n_chars","type":"long"}]}""".stripMargin
 
-  /** Land the adversarial frame as deflate-coded OCF, one container per
-    * partition, sync interval forced small so every file carries many
-    * blocks (the real block-walk is what the reader exercises). */
+  /** The codec a partition's container uses — a REAL mixed-codec lake
+    * (deflate, snappy, zstandard, and an uncompressed member): codec is
+    * per-file metadata in OCF, so one table legitimately spans codec
+    * generations and the reader must take each file as it comes. */
+  def codecOf(pid: Int): CodecFactory = pid % 4 match {
+    case 0 => CodecFactory.deflateCodec(6)
+    case 1 => CodecFactory.snappyCodec()
+    case 2 => CodecFactory.zstandardCodec(3)
+    case _ => CodecFactory.nullCodec()
+  }
+
+  /** Land the adversarial frame as OCF, one container per partition,
+    * codec rotating per partition ([[codecOf]]), sync interval forced
+    * small so every file carries many blocks (the real block-walk is
+    * what the reader exercises). */
   def writeCorpus(spark: SparkSession, docs: DataFrame, sfDir: String): String = {
     val dir = Ingest.landingDir(spark, sfDir, "avro")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -64,7 +76,7 @@ object Avro {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val path = java.nio.file.Paths.get(dir, f"part-$pid%05d.avro")
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-          .setCodec(CodecFactory.deflateCodec(6))
+          .setCodec(codecOf(pid))
           .setSyncInterval(1 << 12)
         w.create(schema, path.toFile)
         try rows.foreach { r =>

@@ -31,19 +31,25 @@ class AvroSpec extends SparkSpec {
     assert(full.exceptAll(proj).count() == 0)
   }
 
-  test("containers carry multiple deflate blocks (the sync-interval walk is real)") {
-    val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .filter(_.toString.endsWith(".avro")).findFirst().get()
-    val bytes = java.nio.file.Files.readAllBytes(f)
-    val r = new org.apache.avro.file.DataFileReader(
-      new org.apache.avro.file.SeekableByteArrayInput(bytes),
-      new org.apache.avro.generic.GenericDatumReader[
-        org.apache.avro.generic.GenericRecord]())
-    assert(r.getMetaString("avro.codec") == "deflate")
-    var blocks = 0L
-    while (r.hasNext) { blocks += 1; r.nextBlock() }
-    r.close()
-    assert(blocks >= 2, s"expected a multi-block container, got $blocks")
+  test("containers span all four codecs and carry multiple blocks each") {
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".avro")).iterator()
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    while (files.hasNext) {
+      val bytes = java.nio.file.Files.readAllBytes(files.next())
+      val r = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.file.SeekableByteArrayInput(bytes),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val codec = Option(r.getMetaString("avro.codec")).getOrElse("null")
+      var blocks = 0L
+      while (r.hasNext) { blocks += 1; r.nextBlock() }
+      r.close()
+      assert(blocks >= 2, s"$codec container not multi-block ($blocks)")
+      seen(codec) = seen.getOrElse(codec, 0L) + 1
+    }
+    // the mixed-codec lake is real: every codec class landed at least once
+    assert(seen.keySet == Set("deflate", "snappy", "zstandard", "null"), seen)
   }
 
   test("truncation: avro core is silent, validateContainer is loud") {
