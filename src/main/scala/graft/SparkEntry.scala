@@ -520,6 +520,11 @@ object SparkEntry {
     // at crawl scale; never a global sort)
     "url_politeness" -> ((s, d) =>
       ext.Frontier.politenessWaves(Tables.documents(s, d))),
+    // the frontier MAINTAINED across micro-batches: the same candidate
+    // projection per wave, dropDuplicates state as the seen-set — a URL
+    // re-announced by a later wave never re-lands
+    "stream_frontier" -> ((s, d) =>
+      streaming.EventsStream.frontierStreamLanded(s, d)),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
     // leakage-safe variant: split buckets hash the near-dup CLUSTER id
@@ -1337,6 +1342,14 @@ object SparkEntry {
         |FROM cand c JOIN gate g ON c.path = g.path
         |WHERE g.allowed
         |GROUP BY 1, 2, 3
+        |ORDER BY canonical_url""".stripMargin,
+    // streamed frontier: the landed union across micro-batches must be
+    // exactly the batch frontier's distinct gated set
+    "stream_frontier" ->
+      s"""WITH $frontierCandSql
+        |SELECT DISTINCT c.canonical_url, c.path, g.matched_rule
+        |FROM cand c JOIN gate g ON c.path = g.path
+        |WHERE g.allowed
         |ORDER BY canonical_url""".stripMargin,
     // politeness waves over the deduped frontier: per-host FIFO by
     // (first_doc, canonical_url), wave = (rank-1) div slots

@@ -85,6 +85,22 @@ object Frontier {
     when(p === "", lit("/")).otherwise(p)
   }
 
+  /** The pre-dedup candidate stream: links + sitemap entries,
+    * canonicalized and robots-gated — every stage a per-row projection
+    * (Generate + when-chain, no join/agg), so the SAME derivation runs
+    * unchanged over a STREAMING frame (the maintained-frontier drain).
+    * Rows: (idCol, url, via_sitemap, canonical_url, path, __rule). */
+  def candidates(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val links = Html.links(frontierLinkDocs(docs, idCol), idCol = idCol)
+      .select(col(idCol), col("url"), lit(0L).as("via_sitemap"))
+    val sitemap = Urls.sitemapEntries(frontierSitemapDocs(docs, idCol), idCol = idCol)
+      .select(col(idCol), col("loc").as("url"), lit(1L).as("via_sitemap"))
+    links.unionByName(sitemap)
+      .withColumn("canonical_url", Urls.canonicalizeUrl(col("url")))
+      .withColumn("path", pathOf(col("canonical_url")))
+      .withColumn("__rule", Urls.robotsRuleExpr(col("path")))
+  }
+
   /** The graded chain: [[Html.links]] → [[Urls.canonicalizeUrl]] →
     * [[Urls.robotsRuleExpr]] gate on the canonical path → sitemap union
     * ([[Urls.sitemapEntries]], same gate) → frontier dedup (one row per
@@ -93,15 +109,8 @@ object Frontier {
     * (canonical_url, path, matched_rule, first_doc, n_refs,
     *  from_link, from_sitemap). */
   def crawlFrontier(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val links = Html.links(frontierLinkDocs(docs, idCol), idCol = idCol)
-      .select(col(idCol), col("url"), lit(0L).as("via_sitemap"))
-    val sitemap = Urls.sitemapEntries(frontierSitemapDocs(docs, idCol), idCol = idCol)
-      .select(col(idCol), col("loc").as("url"), lit(1L).as("via_sitemap"))
-    val cand = links.unionByName(sitemap)
-      .withColumn("canonical_url", Urls.canonicalizeUrl(col("url")))
-      .withColumn("path", pathOf(col("canonical_url")))
-      .withColumn("__rule", Urls.robotsRuleExpr(col("path")))
-    cand.filter(col("__rule.allow") === 1)
+    candidates(docs, idCol)
+      .filter(col("__rule.allow") === 1)
       .groupBy(col("canonical_url"), col("path"),
         col("__rule.prefix").as("matched_rule"))
       .agg(min(col(idCol)).as("first_doc"),

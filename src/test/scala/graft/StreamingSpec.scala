@@ -398,6 +398,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._4 >= 0L))
   }
 
+  test("maintained frontier: seen-set suppresses re-announced URLs across waves") {
+    val landed = EventsStream.frontierStreamLanded(spark, dir)
+      .as[(String, String, String)].collect().toSeq
+    val docs = Tables.documents(spark, dir)
+    val batchFrontier = ext.Frontier.crawlFrontier(docs)
+      .select("canonical_url", "path", "matched_rule")
+      .as[(String, String, String)].collect().toSeq
+    assert(landed == batchFrontier.sortBy(_._1),
+      "streamed frontier must equal the batch frontier's gated set")
+    assert(landed.distinct == landed, "a canonical URL landed twice")
+    // the cross-batch suppression is real: wave 1 (odd docs) re-announces
+    // shared targets (ext-hosts, /p, /q…), so its landing must be a
+    // STRICT subset of its own candidate set
+    val base = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_frontier_${spark.sparkContext.applicationId}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val wave1Landed = spark.read.parquet(base.resolve("data/bid=1").toString).count()
+    val wave1Cands = ext.Frontier
+      .candidates(docs.filter(col("doc_id") % 2 === 1).select("doc_id", "source"))
+      .filter(col("__rule.allow") === 1)
+      .select("canonical_url").distinct().count()
+    assert(wave1Landed < wave1Cands,
+      s"wave 1 landed $wave1Landed of $wave1Cands candidates — nothing was suppressed")
+    assert(wave1Landed > 0, "wave 1 must still contribute its novel URLs")
+  }
+
   test("checkpoint schema evolution: additive column recovers; key change fails loudly") {
     // additive path: gen1 drains under v1, gen2 lands with a new value
     // column, the restart reads the widened schema against the SAME
