@@ -144,6 +144,11 @@ object SparkEntry {
     // as a broadcast rule join + ONE integer-keyed argmax per path
     "url_robots" -> ((s, d) =>
       ext.Urls.robotsDecisions(Tables.documents(s, d))),
+    // the gate driven by PARSED per-host robots.txt policies: group
+    // selection (exact agent beats *, groups never merge), per-source
+    // rule sets, no-match defaults to allow
+    "url_robots_parsed" -> ((s, d) =>
+      ext.Urls.robotsParsedDecisions(Tables.documents(s, d))),
     // WebDataset-style tar shards: ustar headers with VERIFIED checksums,
     // block-padded entries (ids % 17 == 0 planted at exact 512 multiples
     // to pin the no-pad edge), adjacent <id>.json + <id>.txt sample pairs
@@ -1343,6 +1348,37 @@ object SparkEntry {
         |WHERE g.allowed
         |GROUP BY 1, 2, 3
         |ORDER BY canonical_url""".stripMargin,
+    // parsed per-host robots ground truth: the CLOSED-FORM rule sets the
+    // planted robots.txt bodies parse to (the graftbot group only — the
+    // otherbot decoy and the * group's /private must not leak), left
+    // join + argmax, no-match rows default allow with matched_rule ''
+    "url_robots_parsed" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, '/search' AS prefix, 0 AS allow FROM srcs
+        |  UNION ALL SELECT source, '/search/archive', 1 FROM srcs
+        |  UNION ALL SELECT source, '/api', 0 FROM srcs
+        |  UNION ALL SELECT source, '/api/v2/open', 1 FROM srcs
+        |  UNION ALL SELECT source, '/q', 0 FROM srcs
+        |    WHERE regexp_extract(source, '([0-9]+)', 1)::INT % 3 = 0),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 6 = 0 THEN '/search/archive/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 1 THEN '/search/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 2 THEN '/api/v2/open/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 3 THEN '/q/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 4 THEN '/private/' || (doc_id % 7)
+        |         ELSE '/articles/' || (doc_id % 7) END AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT u.doc_id, u.source, u.path, r.prefix, r.allow,
+        |    length(r.prefix) * 2 + r.allow AS key
+        |  FROM u LEFT JOIN rules r
+        |    ON u.source = r.source AND starts_with(u.path, r.prefix))
+        |SELECT doc_id, source, path,
+        |  coalesce(arg_max(prefix, key), '') AS matched_rule,
+        |  coalesce(arg_max(allow, key) = 1, true) AS allowed
+        |FROM m GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     // streamed frontier: the landed union across micro-batches must be
     // exactly the batch frontier's distinct gated set
     "stream_frontier" ->

@@ -171,6 +171,128 @@ object Urls {
       lit("</loc><priority>1.0</priority></url>"),
       lit("</urlset>")))
 
+  // ------------------------------------------------------ robots.txt parsing
+
+  /** Parse a robots.txt BODY for one user agent (RFC 9309 §2.2): lines
+    * split, `#` comments stripped, directive names case-insensitive;
+    * consecutive `User-agent` lines open a group whose rules run until
+    * the next group; the agent's effective group is the MOST SPECIFIC
+    * match — its exact name beats `*`, and groups NEVER merge (the
+    * classic crawler mistake is folding the `*` group into the named
+    * one; the fixture plants a `*`-only rule that must NOT apply).
+    * Empty `Disallow:` means allow-all (contributes no rule). Non-group
+    * lines (`Sitemap:`, `Crawl-delay:`, unknown) are ignored. Returns
+    * (path-prefix, allow 0/1) rules — prefix semantics, the form the
+    * longest-match gate consumes; `*`/`$` pattern rules are out of
+    * scope (documented boundary — the overwhelming majority of real
+    * rules are plain prefixes). */
+  def parseRobots(txt: String, agent: String): Seq[(String, Int)] = {
+    final case class Group(agents: Seq[String], rules: Seq[(String, Int)])
+    val groups = Seq.newBuilder[Group]
+    var agents = Seq.empty[String]
+    var rules = Seq.newBuilder[(String, Int)]
+    var inAgents = false // consecutive User-agent lines share one group
+    def closeGroup(): Unit =
+      if (agents.nonEmpty) { groups += Group(agents, rules.result()) }
+    for (raw <- txt.split("\n", -1)) {
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val name = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        name match {
+          case "user-agent" =>
+            if (!inAgents) { closeGroup(); agents = Nil; rules = Seq.newBuilder }
+            agents :+= value.toLowerCase
+            inAgents = true
+          case "allow" | "disallow" =>
+            inAgents = false
+            if (value.nonEmpty) rules += ((value, if (name == "allow") 1 else 0))
+          case _ => inAgents = false // Sitemap:, Crawl-delay:, unknown
+        }
+      }
+    }
+    closeGroup()
+    val all = groups.result()
+    val mine = agent.toLowerCase
+    all.find(_.agents.contains(mine))          // exact-name group wins
+      .orElse(all.find(_.agents.contains("*"))) // else the * group
+      .map(_.rules).getOrElse(Nil)             // no group: allow-all
+  }
+
+  /** Deterministic per-SOURCE robots.txt fixture (host = source.example)
+    * exercising every parse hazard: a decoy `otherbot` disallow-all
+    * group, the graftbot group with nested allow-overrides, case-mixed
+    * directive names, comments, an empty Disallow, a Sitemap line, and
+    * a `*` group whose `/private` rule must NOT leak into graftbot's
+    * decisions (groups never merge). Sources with digit % 3 == 0 add a
+    * `Disallow: /q` — per-host policies genuinely differ. */
+  def robotsTxtOf(source: Column): Column = {
+    val n = regexp_extract(source, "([0-9]+)", 1).cast("int")
+    concat(
+      lit("# crawl policy for "), source, lit("\n"),
+      lit("User-agent: otherbot\nDisallow: /\n\n"),
+      lit("User-Agent: graftbot\n"),
+      lit("disallow: /search\n"),
+      lit("Allow: /search/archive\n"),
+      lit("Disallow: /api # trailing comment\n"),
+      lit("ALLOW: /api/v2/open\n"),
+      when(pmod(n, lit(3)) === 0, lit("Disallow: /q\n")).otherwise(lit("")),
+      lit("Disallow:\n"), // empty: allow-all, contributes no rule
+      lit("Sitemap: https://example.com/sitemap.xml\n\n"),
+      lit("User-agent: *\nDisallow: /private\n"))
+  }
+
+  /** Per-host frontier path (a superset of [[syntheticPath]]'s classes,
+    * plus /q and /search/archive rows so the per-source rule and the
+    * nested allow both fire). */
+  def hostPath(docId: Column): Column = {
+    val p = (docId % 7).cast("string")
+    when(docId % 6 === 0, concat(lit("/search/archive/"), p))
+      .when(docId % 6 === 1, concat(lit("/search/"), p))
+      .when(docId % 6 === 2, concat(lit("/api/v2/open/"), p))
+      .when(docId % 6 === 3, concat(lit("/q/"), p))
+      .when(docId % 6 === 4, concat(lit("/private/"), p))
+      .otherwise(concat(lit("/articles/"), p))
+  }
+
+  /** Graded query: the robots gate driven by PARSED per-host policies —
+    * each source's robots.txt body parses to its own rule set (a frame,
+    * one row per (source, prefix, allow)), frontier paths join their
+    * OWN host's rules, and the RFC 9309 longest-match argmax decides;
+    * paths matching NO rule default to allow with matched_rule ''
+    * (RFC: no match → allow — note graftbot's group has no `/private`
+    * rule, so `/private/...` is ALLOWED here; the `*` group must not
+    * leak). Scale shape: the rule frame is one flatMap over DISTINCT
+    * sources (hosts × rules, tiny next to the corpus — broadcast side),
+    * the gate one equi-join on source + the integer argmax; no window.
+    * Rows: (doc_id, source, path, matched_rule, allowed). */
+  def robotsParsedDecisions(docs: DataFrame, agent: String = "graftbot",
+                            idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleRows = docs.select(col("source")).distinct()
+      .withColumn("robots_txt", robotsTxtOf(col("source")))
+      .as[(String, String)]
+      .flatMap { case (src, txt) =>
+        parseRobots(txt, agent).map { case (p, a) => (src, p, a) }
+      }
+      .toDF("source", "prefix", "allow")
+    val paths = docs.select(col(idCol), col("source"),
+      hostPath(col(idCol)).as("path"))
+    paths
+      .join(broadcast(ruleRows),
+        paths("source") === ruleRows("source") &&
+          col("path").startsWith(col("prefix")), "left")
+      .groupBy(col(idCol), paths("source"), col("path"))
+      .agg(max(struct((length(col("prefix")) * 2 + col("allow")).as("key"),
+        col("prefix"), col("allow"))).as("__w"))
+      .select(col(idCol), col("source"), col("path"),
+        coalesce(col("__w.prefix"), lit("")).as("matched_rule"),
+        coalesce(col("__w.allow") === 1, lit(true)).as("allowed"))
+      .orderBy(idCol)
+  }
+
   /** Graded query: canonicalize every manifest URL and group — each row
     * carries its canonical form, the size of its canonical group and
     * the keep/drop decision (keep = smallest id of the group). */

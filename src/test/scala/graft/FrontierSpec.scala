@@ -92,6 +92,60 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("robots.txt parse: group selection, no-merge, case, comments, empty disallow") {
+    val txt =
+      """# policy
+        |User-agent: otherbot
+        |Disallow: /
+        |
+        |User-Agent: graftbot
+        |User-agent: graftbot-img
+        |disallow: /search
+        |Allow: /search/archive
+        |Disallow: /api # trailing comment
+        |Disallow:
+        |Sitemap: https://x.example/s.xml
+        |
+        |User-agent: *
+        |Disallow: /private
+        |""".stripMargin
+    // exact-name group wins; its rules only (never merged with *)
+    assert(Urls.parseRobots(txt, "graftbot") ==
+      Seq(("/search", 0), ("/search/archive", 1), ("/api", 0)))
+    // consecutive User-agent lines share ONE group
+    assert(Urls.parseRobots(txt, "graftbot-img") ==
+      Urls.parseRobots(txt, "graftbot"))
+    // agent matching is case-insensitive
+    assert(Urls.parseRobots(txt, "GraftBot") ==
+      Urls.parseRobots(txt, "graftbot"))
+    // unknown agent falls to the * group — NOT to otherbot's
+    assert(Urls.parseRobots(txt, "strangebot") == Seq(("/private", 0)))
+    // the decoy group is reachable by its own name
+    assert(Urls.parseRobots(txt, "otherbot") == Seq(("/", 0)))
+    // no groups at all: allow-all
+    assert(Urls.parseRobots("Sitemap: https://x/s.xml", "graftbot") == Nil)
+    // a named group with zero rules is still SELECTED (allow-all),
+    // shielding the agent from the * group
+    val shielded = "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    assert(Urls.parseRobots(shielded, "graftbot") == Nil)
+  }
+
+  test("parsed robots gate: * group never leaks into the named group's decisions") {
+    val got = Urls.robotsParsedDecisions(docs)
+      .select("doc_id", "path", "matched_rule", "allowed")
+      .as[(Long, String, String, Boolean)].collect()
+    // /private paths: graftbot's group has NO /private rule, so RFC
+    // no-match default-allow applies — the * group must not leak
+    val priv = got.filter(_._2.startsWith("/private"))
+    assert(priv.nonEmpty && priv.forall(r => r._3 == "" && r._4))
+    // nested allow fires through the parsed rules
+    val arch = got.filter(_._2.startsWith("/search/archive"))
+    assert(arch.nonEmpty && arch.forall(r => r._3 == "/search/archive" && r._4))
+    val search = got.filter(r => r._2.startsWith("/search/") &&
+      !r._2.startsWith("/search/archive"))
+    assert(search.nonEmpty && search.forall(r => r._3 == "/search" && !r._4))
+  }
+
   test("uppercase-scheme absolute hrefs resolve absolute (RFC 3986 §3.1)") {
     val links = ext.Html.links(
       Seq((1L, "https://a.example/d/page.html",
