@@ -149,6 +149,11 @@ object SparkEntry {
     // rule sets, no-match defaults to allow
     "url_robots_parsed" -> ((s, d) =>
       ext.Urls.robotsParsedDecisions(Tables.documents(s, d))),
+    // RFC 9309 §2.2.3 pattern rules (* wildcards, $ end anchor): rules
+    // ride the broadcast join as compiled regexes; same octet-length
+    // argmax, so literal and wildcard rules rank on one scale
+    "url_robots_wildcard" -> ((s, d) =>
+      ext.Urls.robotsWildcardDecisions(Tables.documents(s, d))),
     // WebDataset-style tar shards: ustar headers with VERIFIED checksums,
     // block-padded entries (ids % 17 == 0 planted at exact 512 multiples
     // to pin the no-pad edge), adjacent <id>.json + <id>.txt sample pairs
@@ -1379,6 +1384,26 @@ object SparkEntry {
         |  coalesce(arg_max(prefix, key), '') AS matched_rule,
         |  coalesce(arg_max(allow, key) = 1, true) AS allowed
         |FROM m GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // wildcard-rule ground truth, fully closed-form per path class:
+    // the anchored .json$ block, the un-anchored .bak escape, the
+    // wildcard allow out-ranking the literal /api, the plain /tmp
+    // block, and the literal-only /api catch
+    "url_robots_wildcard" ->
+      """SELECT doc_id, path, matched_rule, allowed FROM (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/files/f' || (doc_id % 7) || '.json'
+        |      WHEN 1 THEN '/files/f' || (doc_id % 7) || '.json.bak'
+        |      WHEN 2 THEN '/api/v' || (doc_id % 7) || '/open/x'
+        |      WHEN 3 THEN '/tmp/t' || (doc_id % 7)
+        |      ELSE '/api/v' || (doc_id % 7) || '/closed' END AS path,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/*.json$' WHEN 1 THEN ''
+        |      WHEN 2 THEN '/api/*/open' WHEN 3 THEN '/tmp'
+        |      ELSE '/api' END AS matched_rule,
+        |    (doc_id % 5 IN (1, 2)) AS allowed
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // streamed frontier: the landed union across micro-batches must be
     // exactly the batch frontier's distinct gated set
     "stream_frontier" ->

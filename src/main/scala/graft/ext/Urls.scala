@@ -293,6 +293,70 @@ object Urls {
       .orderBy(idCol)
   }
 
+  /** RFC 9309 §2.2.3 PATTERN rules — the `*`/`$` forms the prefix gate
+    * above declares out of scope, closed here: `*` matches any octet
+    * sequence, a TRAILING `$` anchors the rule to the path end, and a
+    * rule without `$` is a prefix match. Translation to an RE2-safe
+    * regex: every regex metacharacter escaped, `*` → `.*`, `^` anchor
+    * always, `$` only when the rule ends with it. Precedence stays "most
+    * octets of the RULE, allow wins ties" — the same integer key, so
+    * literal and wildcard rules rank on one scale. */
+  def robotsPatternRegex(rule: String): String = {
+    val (body, anchored) =
+      if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()+-?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
+  }
+
+  /** The wildcard-rule fixture: an end-anchored extension block, a
+    * mid-rule `*`, and a LITERAL rule that the wildcard allow must
+    * out-rank on `/api/…/open` paths (cross-kind precedence). */
+  val WildcardRules: Seq[(String, Int)] = Seq(
+    ("/*.json$", 0), ("/api/*/open", 1), ("/api", 0), ("/tmp", 0))
+
+  /** Deterministic path fixture for the pattern gate: a `.json` path the
+    * anchored rule blocks, a `.json.bak` path it must NOT block (the
+    * `$` is load-bearing), an `/api/…/open` path where the wildcard
+    * allow out-ranks the literal `/api` disallow, a plain `/tmp` block,
+    * and an `/api/…/closed` path only the literal rule catches. */
+  def wildcardPath(docId: Column): Column = {
+    val p = (docId % 7).cast("string")
+    when(docId % 5 === 0, concat(lit("/files/f"), p, lit(".json")))
+      .when(docId % 5 === 1, concat(lit("/files/f"), p, lit(".json.bak")))
+      .when(docId % 5 === 2, concat(lit("/api/v"), p, lit("/open/x")))
+      .when(docId % 5 === 3, concat(lit("/tmp/t"), p))
+      .otherwise(concat(lit("/api/v"), p, lit("/closed")))
+  }
+
+  /** Graded query: the robots gate under PATTERN rules — each rule rides
+    * the join as its compiled regex (tiny broadcast side; the regex
+    * evaluates per candidate pair), the argmax key is unchanged
+    * (rule-octet length ·2 + allow), no-match defaults to allow.
+    * Rows: (doc_id, path, matched_rule, allowed). */
+  def robotsWildcardDecisions(docs: DataFrame,
+                              idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = WildcardRules
+      .map { case (r, a) => (r, robotsPatternRegex(r), a, r.length * 2 + a) }
+      .toDF("rule", "rx", "allow", "key")
+    val paths = docs.select(col(idCol), wildcardPath(col(idCol)).as("path"))
+    paths
+      .join(broadcast(rules), expr("path rlike rx"), "left")
+      .groupBy(col(idCol), col("path"))
+      .agg(max(struct(col("key"), col("rule"), col("allow"))).as("__w"))
+      .select(col(idCol), col("path"),
+        coalesce(col("__w.rule"), lit("")).as("matched_rule"),
+        coalesce(col("__w.allow") === 1, lit(true)).as("allowed"))
+      .orderBy(idCol)
+  }
+
   /** Graded query: canonicalize every manifest URL and group — each row
     * carries its canonical form, the size of its canonical group and
     * the keep/drop decision (keep = smallest id of the group). */

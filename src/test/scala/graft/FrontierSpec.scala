@@ -146,6 +146,24 @@ class FrontierSpec extends SparkSpec {
     assert(search.nonEmpty && search.forall(r => r._3 == "/search" && !r._4))
   }
 
+  test("robots pattern translation: *, $, metacharacter escaping") {
+    assert(Urls.robotsPatternRegex("/*.json$") == "^/.*\\.json$")
+    assert(Urls.robotsPatternRegex("/api/*/open") == "^/api/.*/open")
+    assert(Urls.robotsPatternRegex("/tmp") == "^/tmp")
+    // a path that IS regex-hostile must be escaped, not interpreted
+    assert(Urls.robotsPatternRegex("/a+b(c)?") == "^/a\\+b\\(c\\)\\?")
+    // $ mid-rule is literal (only a trailing $ anchors)
+    assert(Urls.robotsPatternRegex("/x$y") == "^/x\\$y")
+    // behavioral checks
+    def m(rule: String, path: String): Boolean =
+      java.util.regex.Pattern.compile(Urls.robotsPatternRegex(rule))
+        .matcher(path).find()
+    assert(m("/*.json$", "/files/a.json"))
+    assert(!m("/*.json$", "/files/a.json.bak")) // the anchor is load-bearing
+    assert(m("/api/*/open", "/api/v3/open/x"))  // prefix semantics w/o $
+    assert(!m("/api/*/open", "/api/v3/closed"))
+  }
+
   test("uppercase-scheme absolute hrefs resolve absolute (RFC 3986 §3.1)") {
     val links = ext.Html.links(
       Seq((1L, "https://a.example/d/page.html",
