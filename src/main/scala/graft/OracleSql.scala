@@ -1244,6 +1244,31 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Byte-level encode ([[graft.ext.ByteBpe.encodeCorpus]] mirror): the
+    * byte chain over the salted corpus, then the same encode join —
+    * tokens of the salted text, the byte-family word regex. */
+  def byteBpeEncode(merges: Int, batch: Int = graft.ext.Bpe.DefaultBatch): String = {
+    val scans = (merges + batch - 1) / batch
+    s"""${byteBpeChain(merges, batch)},
+       |tokpos AS (
+       |  SELECT doc_id, toks[i] AS word, i AS tok_no
+       |  FROM toks, unnest(range(1, len(toks) + 1)) AS t(i)
+       |  WHERE regexp_matches(toks[i], '^[a-zé0-9ï]+$$')),
+       |enc AS (
+       |  SELECT t.doc_id, t.tok_no, array_to_string(s.l, ' ') AS seg,
+       |    array_length(s.l)::BIGINT AS ns
+       |  FROM tokpos t JOIN S$scans s ON t.word = s.word),
+       |eagg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ns)::BIGINT AS n_subwords,
+       |    string_agg(seg, ' ' ORDER BY tok_no) AS segmented
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(a.n_subwords, 0)::BIGINT AS n_subwords,
+       |  coalesce(a.segmented, '') AS segmented
+       |FROM documents d LEFT JOIN eagg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Fit-once / encode-any-batch deployment shape (mirror of
     * `Bpe.fit(documents).encode(derived)`): the FULL trainer replay on
     * `documents` (same [[bpeChain]] as the other BPE oracles), then the
@@ -1311,7 +1336,30 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  private def bpeChain(merges: Int, batch: Int): String = {
+  private def bpeChain(merges: Int, batch: Int): String =
+    s"""WITH RECURSIVE $toksCte,
+       |tok AS MATERIALIZED (SELECT unnest(toks) AS word FROM toks),
+       |S0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |              list_append(string_split_regex(word, ''), '_') AS l
+       |       FROM tok WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+       |${bpeRoundCtes(merges, batch)}""".stripMargin
+
+  /** The byte-level chain ([[graft.ext.ByteBpe]] mirror): the corpus is
+    * salted with the multi-byte words, S0's symbols are the word's
+    * UTF-8 bytes as two-digit lowercase hex, and the merge rounds are
+    * the IDENTICAL machinery (symbols stay inside `[a-z0-9_]+`). */
+  private def byteBpeChain(merges: Int, batch: Int): String =
+    s"""WITH RECURSIVE bdocs AS (
+       |  SELECT doc_id, text || ' protégé cafés naïve' AS text FROM documents),
+       |${toksCteFor("bdocs", "toks")},
+       |tok AS MATERIALIZED (SELECT unnest(toks) AS word FROM toks),
+       |S0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |  list_append(list_transform(range(1, strlen(word) + 1),
+       |    i -> lower(substr(hex(encode(word)), 2 * i - 1, 2))), '_') AS l
+       |  FROM tok WHERE regexp_matches(word, '^[a-zé0-9ï]+$$') GROUP BY word),
+       |${bpeRoundCtes(merges, batch)}""".stripMargin
+
+  private def bpeRoundCtes(merges: Int, batch: Int): String = {
     val scans = (merges + batch - 1) / batch
     val k = graft.ext.Bpe.OverscanFactor * batch
     // every non-recursive CTE is MATERIALIZED: DuckDB otherwise inlines
@@ -1357,12 +1405,7 @@ object OracleSql {
          |  FROM R$r WHERE i <= array_length(l)),
          |S$r AS MATERIALIZED (SELECT word, freq, acc AS l FROM R$r WHERE i = array_length(l) + 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE $toksCte,
-       |tok AS MATERIALIZED (SELECT unnest(toks) AS word FROM toks),
-       |S0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
-       |              list_append(string_split_regex(word, ''), '_') AS l
-       |       FROM tok WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
-       |$roundCtes""".stripMargin
+    roundCtes
   }
 
   /** Span-level exact dedup (mirror of Dedup.spanDedup): the window

@@ -410,6 +410,9 @@ object SparkEntry {
     "text_bpe" -> ((s, d) => ext.Bpe.mergeTable(Tables.documents(s, d), 8)),
     "text_bpe_vocab" -> ((s, d) => ext.Bpe.subwordFrequencies(Tables.documents(s, d), 8)),
     "text_bpe_encode" -> ((s, d) => ext.Bpe.encodeCorpus(Tables.documents(s, d), 8)),
+    // byte-level BPE (GPT lineage — the 4th subword family): UTF-8
+    // bytes as hex symbols, multi-byte salt words split across symbols
+    "text_bbpe_encode" -> ((s, d) => ext.ByteBpe.encodeCorpus(Tables.documents(s, d), 8)),
     // tokenizer fertility per language (subwords per word under the
     // trained vocabulary) — the cross-lingual tokenizer-quality report
     "text_bpe_fertility" -> ((s, d) =>
@@ -2097,6 +2100,7 @@ object SparkEntry {
     "text_bpe" -> OracleSql.bpeMerges(8),
     "text_bpe_vocab" -> OracleSql.bpeSubwords(8),
     "text_bpe_encode" -> OracleSql.bpeEncode(8),
+    "text_bbpe_encode" -> OracleSql.byteBpeEncode(8),
     "text_bpe_fertility" ->
       s"""WITH enc AS (
          |${OracleSql.bpeEncode(8)}),

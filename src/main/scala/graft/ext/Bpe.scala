@@ -233,10 +233,18 @@ object Bpe {
   }
 
   def train(docs: DataFrame, merges: Int,
-            batch: Int = DefaultBatch): (Seq[Merge], DataFrame) = {
+            batch: Int = DefaultBatch): (Seq[Merge], DataFrame) =
+    trainFrom(initialWords(docs), merges, batch)
+
+  /** [[train]] from an arbitrary (word, freq, l) table — the hook the
+    * byte-level family ([[ByteBpe]]) enters through: the merge loop is
+    * symbol-agnostic as long as symbols match `[a-z0-9_]+` (the
+    * applyMerges key-separator contract). */
+  private[ext] def trainFrom(words0: DataFrame, merges: Int,
+                             batch: Int): (Seq[Merge], DataFrame) = {
     require(merges >= 1, "need at least one merge")
     require(batch >= 1, "batch must be >= 1")
-    var words = initialWords(docs).localCheckpoint(true)
+    var words = words0.localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     val scans = (merges + batch - 1) / batch
     val k = OverscanFactor * batch
@@ -344,12 +352,13 @@ object Bpe {
     * corpus token stream equi-joins a (word, l) segmentation table, then
     * one doc-keyed aggregation rebuilds each document's subword stream
     * in token order. */
-  private def encodeSegmented(docs: DataFrame, words: DataFrame): DataFrame = {
+  private[ext] def encodeSegmented(docs: DataFrame, words: DataFrame,
+                                   wordRe: String = "^[a-z0-9]+$"): DataFrame = {
     val seg = words.select(col("word"), array_join(col("l"), " ").as("seg"),
       size(col("l")).cast("long").as("ns"))
     val toks = docs.select(col("doc_id"),
         posexplode(graft.text.Tokenize.tokensArray(col("text"))).as(Seq("tok_no", "word")))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .filter(col("word").rlike(wordRe))
     val enc = toks.join(seg, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("ns")).as("n_subwords"),

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BYTE-LEVEL BPE — the fourth production subword family (GPT-2/GPT-3
+  * lineage) next to character BPE, unigram-LM, and WordPiece. The
+  * defining move: the initial alphabet is the word's UTF-8 BYTES, not
+  * its characters, so (a) there is no out-of-alphabet symbol — every
+  * string tokenizes — and (b) a multi-byte character starts life SPLIT
+  * ACROSS symbols (é = c3 + a9) and only becomes one token if the data
+  * earns the merge. GPT-2 maps bytes to printable unicode; here bytes
+  * render as two-digit lowercase hex, which keeps every symbol inside
+  * the `[a-z0-9_]+` universe the shared merge machinery's pair-key
+  * separator contract requires — same trainer, same greedy disjoint
+  * batches, same encode join ([[Bpe]] internals, entered via
+  * `trainFrom`).
+  *
+  * The graded corpus is salted with accented words (protégé, cafés,
+  * naïve) so the multi-byte path is live: their é/ï arrive as real
+  * two-symbol (c3, a9)/(c3, af) splits in every document.
+  *
+  * Scale shape: identical to [[Bpe]] — ceil(merges/batch) scans of the
+  * distinct-word table to train, then ONE equi-join of the corpus token
+  * stream against the vocab-sized segmentation table. */
+object ByteBpe {
+
+  /** The multi-byte salt (mirrored by the oracle's `||` literal). */
+  val Salt = " protégé cafés naïve"
+
+  /** Trainer/encoder word universe: lowercase ASCII alphanumerics plus
+    * the salt's accented letters (the tokenizer keeps `\p{L}`, so the
+    * accents survive into the word stream). Mirrored verbatim by the
+    * oracle regex. */
+  val WordRe = "^[a-z0-9éï]+$"
+
+  def saltedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"), lit(Salt)))
+
+  /** The word's UTF-8 bytes as two-digit lowercase hex symbols. */
+  def byteSymbols(word: Column): Column =
+    expr("transform(sequence(1, octet_length(word)), " +
+      "i -> lower(substring(hex(encode(word, 'utf-8')), 2 * i - 1, 2)))")
+
+  /** (word, freq, byte-symbol-array + end mark) over the salted corpus. */
+  def initialWords(docs: DataFrame): DataFrame =
+    graft.apps.WordCount.wordCount(docs)
+      .filter(col("word").rlike(WordRe))
+      .select(col("word"), col("cnt").cast("long").as("freq"),
+        concat(byteSymbols(col("word")), array(lit(Bpe.EndMark))).as("l"))
+
+  /** Graded query: byte-level train + encode over the salted corpus —
+    * same output shape as `text_bpe_encode` (doc_id, n_tokens,
+    * n_subwords, segmented), the segments now hex byte runs. */
+  def encodeCorpus(docs: DataFrame, merges: Int,
+                   batch: Int = Bpe.DefaultBatch): DataFrame = {
+    val salted = saltedDocs(docs)
+    val (_, words) = Bpe.trainFrom(initialWords(salted), merges, batch)
+    Bpe.encodeSegmented(salted, words, WordRe)
+  }
+
+  /** The learned merge table over the salted corpus (byte symbols). */
+  def mergeTable(docs: DataFrame, merges: Int,
+                 batch: Int = Bpe.DefaultBatch): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (m, trainedWords) = Bpe.trainFrom(initialWords(saltedDocs(docs)), merges, batch)
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(trainedWords)
+    m.toDF().orderBy("rnd")
+  }
+}
