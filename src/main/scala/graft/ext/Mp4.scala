@@ -61,9 +61,27 @@ object Mp4 {
     * stco))))) + mdat. `sample(i)` gives each sample's bytes; stco is
     * patched to the true mdat payload offset after moov is sized. */
   def encode(widthPx: Int, heightPx: Int, timescale: Long, durationTs: Long,
-             samples: IndexedSeq[Array[Byte]]): Array[Byte] = {
+             samples: IndexedSeq[Array[Byte]],
+             chunkSizes: Seq[Int] = Nil): Array[Byte] = {
     val n = samples.length
     require(n > 0 && durationTs >= n, "fixture: at least one sample, integral deltas")
+    // chunk layout: samples partition into stco chunks (default: one).
+    // Multi-chunk files carry a 3-byte garbage gap BETWEEN chunks inside
+    // mdat — legal (mdat bytes outside the sample table are meaningless)
+    // and load-bearing: a reader that assumes samples sit consecutively
+    // from the first chunk offset reads the gap and fails the checksum.
+    val chunks = if (chunkSizes.isEmpty) Seq(n) else chunkSizes
+    require(chunks.sum == n && chunks.forall(_ > 0), "fixture: bad chunking")
+    val Gap = Array[Byte](0xEE.toByte, 0xBB.toByte, 0xEE.toByte)
+    val chunkSamples: Seq[IndexedSeq[Array[Byte]]] = {
+      val it = samples.iterator
+      chunks.map(k => IndexedSeq.fill(k)(it.next()))
+    }
+    // stsc run-length compression: a new entry only when spc changes
+    val stscEntries = chunks.zipWithIndex
+      .foldLeft(Vector.empty[(Int, Int)]) { case (acc, (spc, c)) =>
+        if (acc.nonEmpty && acc.last._2 == spc) acc else acc :+ ((c + 1, spc))
+      }
     val delta = durationTs / n
     val ftyp = box("ftyp") { o =>
       o.write("isom".getBytes("US-ASCII")); u32(o, 512L)
@@ -118,14 +136,23 @@ object Mp4 {
                 u32(o, 1); u32(o, n.toLong); u32(o, delta)
               })
               st.write(fullBox("stsc") { o =>
-                u32(o, 1); u32(o, 1); u32(o, n.toLong); u32(o, 1)
+                u32(o, stscEntries.length.toLong)
+                stscEntries.foreach { case (first, spc) =>
+                  u32(o, first.toLong); u32(o, spc.toLong); u32(o, 1)
+                }
               })
               st.write(fullBox("stsz") { o =>
                 u32(o, 0); u32(o, n.toLong)
                 samples.foreach(s => u32(o, s.length.toLong))
               })
               st.write(fullBox("stco") { o =>
-                u32(o, 1); u32(o, mdatPayloadOffset)
+                u32(o, chunks.length.toLong)
+                var off = mdatPayloadOffset
+                chunkSamples.zipWithIndex.foreach { case (cs, c) =>
+                  if (c > 0) off += Gap.length // the inter-chunk garbage
+                  u32(o, off)
+                  off += cs.map(_.length.toLong).sum
+                }
               })
             })
           })
@@ -138,7 +165,12 @@ object Mp4 {
     val out = new java.io.ByteArrayOutputStream()
     out.write(ftyp)
     out.write(moovWith(mdatPayloadOffset))
-    out.write(box("mdat")(o => samples.foreach(o.write)))
+    out.write(box("mdat") { o =>
+      chunkSamples.zipWithIndex.foreach { case (cs, c) =>
+        if (c > 0) o.write(Gap)
+        cs.foreach(o.write)
+      }
+    })
     out.toByteArray
   }
 
@@ -200,13 +232,34 @@ object Mp4 {
       if (uniform != 0) uniform else rdU32(stszS + 12 + 4 * i)
     }
     val (stcoS, _) = child(stbl, "stco").getOrElse(return None)
-    if (rdU32(stcoS + 4) != 1) return None // single-chunk fixtures
-    val chunk = rdU32(stcoS + 8)
+    val nChunks = rdU32(stcoS + 4).toInt
+    if (nChunks <= 0 || nChunks > (p.length >> 2)) return None
+    val chunkOff = Array.tabulate(nChunks)(k => rdU32(stcoS + 8 + 4 * k))
+    // stsc: run-length (first_chunk, samples_per_chunk) entries — the
+    // samples-per-chunk of chunk c is the entry with the greatest
+    // first_chunk <= c (ISO 14496-12 §8.7.4)
+    val (stscS, _) = child(stbl, "stsc").getOrElse(return None)
+    val nStsc = rdU32(stscS + 4).toInt
+    if (nStsc <= 0 || nStsc > nChunks) return None
+    val stscFirst = Array.tabulate(nStsc)(e => rdU32(stscS + 8 + 12 * e).toInt)
+    val stscSpc = Array.tabulate(nStsc)(e => rdU32(stscS + 12 + 12 * e).toInt)
+    if (stscFirst(0) != 1) return None
     val offsets = new Array[Long](nSamples)
-    var acc = chunk
     var i = 0
-    while (i < nSamples) { offsets(i) = acc; acc += sizes(i); i += 1 }
-    if (chunk < mdatS || acc > mdatE) return None // table must live inside mdat
+    var e = 0
+    var c = 1
+    while (c <= nChunks && i < nSamples) {
+      while (e + 1 < nStsc && stscFirst(e + 1) <= c) e += 1
+      var acc = chunkOff(c - 1)
+      if (acc < mdatS) return None
+      var k = 0
+      while (k < stscSpc(e) && i < nSamples) {
+        offsets(i) = acc; acc += sizes(i); i += 1; k += 1
+      }
+      if (acc > mdatE) return None // chunk must live inside mdat
+      c += 1
+    }
+    if (i != nSamples) return None // stsc/stco cover fewer samples than stsz
     Some(Mp4Meta(timescale, durationTs, width, height, offsets, sizes,
       mdatS.toLong, (mdatE - mdatS).toLong))
   } catch {
@@ -224,10 +277,23 @@ object Mp4 {
   def fxDurationMs(id: Long): Long = fxSamples(id).toLong * (floorMod(id, 6) + 1L) * 40L
   def fxByte(id: Long, i: Int, j: Int): Int = floorMod(id * 31 + i * 7 + j, 256).toInt
 
+  /** Multi-chunk layout for every 3rd fixture: a 1-sample head chunk,
+    * then chunks of 2 (the tail chunk may be short) — exercises stsc
+    * run selection AND the inter-chunk garbage gap the encoder plants.
+    * Other ids keep the single-chunk layout, so both paths stay graded
+    * under the SAME closed-form oracle (the checksum is layout-free). */
+  def fxChunks(id: Long): Seq[Int] = {
+    val n = fxSamples(id)
+    if (floorMod(id, 3) != 0) Seq(n)
+    else Seq(1) ++ Seq.fill((n - 1) / 2)(2) ++
+      (if ((n - 1) % 2 == 1) Seq(1) else Nil)
+  }
+
   def syntheticMp4(id: Long): Array[Byte] =
     encode(fxWidth(id), fxHeight(id), 1000L, fxDurationMs(id),
       IndexedSeq.tabulate(fxSamples(id))(i =>
-        Array.tabulate(fxSampleLen(id))(j => fxByte(id, i, j).toByte)))
+        Array.tabulate(fxSampleLen(id))(j => fxByte(id, i, j).toByte)),
+      fxChunks(id))
 
   final case class Mp4Features(media_id: Long, duration_ms: Long, width: Long,
                                height: Long, n_samples: Long, sample_bytes: Long,

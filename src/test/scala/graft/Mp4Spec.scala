@@ -66,4 +66,37 @@ class Mp4Spec extends SparkSpec {
       assert(f.checksum == want)
     }
   }
+
+  test("multi-chunk stsc walk: layout-invariant features, gaps never read") {
+    // id 6: 8 samples in chunks (1,2,2,2,1) with planted 0xEE.. garbage
+    // between chunks; id 7: same construction single-chunk. Features
+    // must be identical functions of the SAMPLES, whatever the layout.
+    val samples = IndexedSeq.tabulate(8)(i =>
+      Array.tabulate(6)(j => ((i * 7 + j) % 256).toByte))
+    val single = Mp4.encode(64, 48, 1000L, 800L, samples)
+    val multi = Mp4.encode(64, 48, 1000L, 800L, samples, Seq(1, 2, 2, 2, 1))
+    assert(multi.length > single.length) // the gaps are really in there
+    val fs = Mp4.features(1L, single)
+    val fm = Mp4.features(1L, multi)
+    assert(fm == fs.copy(media_id = 1L),
+      "multi-chunk decode diverged from single-chunk on identical samples")
+    // a garbage gap byte never contributes: flipping a gap byte must not
+    // move the checksum (flipping a SAMPLE byte must)
+    val gapAt = multi.length - 1 - multi.reverse.indexOf(0xBB.toByte)
+    val flippedGap = multi.clone(); flippedGap(gapAt) = 0x11
+    assert(Mp4.features(1L, flippedGap) == fm)
+    val m = Mp4.parse(multi).get
+    val flippedSample = multi.clone()
+    flippedSample(m.sampleOffsets(3).toInt) =
+      (flippedSample(m.sampleOffsets(3).toInt) ^ 0x40).toByte
+    assert(Mp4.features(1L, flippedSample).checksum != fm.checksum)
+    // the run-length stsc really selected varying chunk sizes: sample 0
+    // alone in chunk 0, samples 1-2 contiguous, but 0 and 1 are NOT
+    // (the gap sits between them)
+    assert(m.sampleOffsets(2) == m.sampleOffsets(1) + 6)
+    assert(m.sampleOffsets(1) > m.sampleOffsets(0) + 6)
+    // the graded fixture family really exercises both layouts
+    assert(Mp4.fxChunks(6L).length > 1 && Mp4.fxChunks(7L).length == 1)
+    assert(Mp4.fxChunks(6L).sum == Mp4.fxSamples(6L))
+  }
 }
