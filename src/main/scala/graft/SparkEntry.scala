@@ -2577,8 +2577,23 @@ object SparkEntry {
         |FROM s ORDER BY media_id""".stripMargin,
     "mm_png" ->
       """WITH par AS (
-        |  SELECT doc_id, doc_id % 12 + 5 AS w, doc_id % 9 + 4 AS h, doc_id % 3 AS m
+        |  SELECT doc_id, doc_id % 12 + 5 AS w, doc_id % 9 + 4 AS h, doc_id % 3 AS m,
+        |    (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS bpp
         |  FROM documents),
+        |-- Adam7 pass geometry; every 7th asset is interlaced, so its
+        |-- raw scanline stream is the per-pass sum, not h*(1+w*bpp)
+        |adam7(x0, y0, dx, dy) AS (VALUES
+        |  (0,0,8,8),(4,0,8,8),(0,4,4,8),(2,0,4,4),(0,2,2,4),(1,0,2,2),(0,1,1,2)),
+        |rawlen AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN (
+        |      SELECT sum(CASE WHEN p.w > a.x0 AND p.h > a.y0
+        |        THEN ((p.h - a.y0 + a.dy - 1) // a.dy)
+        |           * (1 + ((p.w - a.x0 + a.dx - 1) // a.dx) * p.bpp)
+        |        ELSE 0 END)
+        |      FROM adam7 a)
+        |    ELSE h * (1 + w * bpp) END AS raw_len
+        |  FROM par p),
         |px AS (
         |  SELECT doc_id, w, h, m, u.x, v.y
         |  FROM par, unnest(range(0, w)) AS u(x), unnest(range(0, h)) AS v(y)),
@@ -2590,7 +2605,7 @@ object SparkEntry {
         |    sum((3*x + 7*y + (doc_id*5) % 256) % 256)::BIGINT AS s3
         |  FROM px GROUP BY 1, 2, 3, 4)
         |SELECT doc_id AS media_id,
-        |  68 + h * (1 + w * (CASE m WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)) AS n_bytes,
+        |  (68 + (SELECT raw_len FROM rawlen r WHERE r.doc_id = s.doc_id))::BIGINT AS n_bytes,
         |  w AS width, h AS height,
         |  CASE m WHEN 0 THEN 'gray' WHEN 1 THEN 'rgb' ELSE 'rgba' END AS color_type,
         |  s0 // (w*h) AS mean_r,

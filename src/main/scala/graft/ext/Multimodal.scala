@@ -787,38 +787,65 @@ object Multimodal {
     * uses the stored-block zlib wrapper (size closed-form for the
     * oracle); `deflate=true` uses a real compressing Deflater (spec
     * cross-check — same pixels, different bytes). */
+  /** Adam7 pass geometry: (x origin, y origin, x step, y step) — PNG
+    * §4.5.  A pass is EMPTY when the image is too small to reach its
+    * origin (small fixtures exercise that edge). */
+  private[graft] val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def adam7Dim(full: Int, origin: Int, step: Int): Int =
+    if (full <= origin) 0 else (full - origin + step - 1) / step
+
   def encodePng(w: Int, h: Int, colorType: Int, pixel: (Int, Int, Int) => Int,
                 filterFor: Int => Int, deflate: Boolean,
-                texts: Seq[(String, String)] = Nil): Array[Byte] = {
+                texts: Seq[(String, String)] = Nil,
+                interlace: Boolean = false): Array[Byte] = {
     val bpp = pngBpp(colorType)
     require(bpp > 0, s"unsupported color type $colorType")
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
-    val prev = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
-    var y = 0
-    while (y < h) {
-      var i = 0
-      while (i < stride) { cur(i) = pixel(i % bpp, i / bpp, y).toByte; i += 1 }
-      val f = filterFor(y)
-      val rowOff = y * (1 + stride)
-      raw(rowOff) = f.toByte
-      i = 0
-      while (i < stride) {
-        val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
-        val b = prev(i) & 0xFF
-        val c = if (i >= bpp) prev(i - bpp) & 0xFF else 0
-        raw(rowOff + 1 + i) = (((cur(i) & 0xFF) - pngPredict(f, a, b, c)) & 0xFF).toByte
-        i += 1
+    // raw scanline stream: one sub-image per Adam7 pass when interlaced
+    // (each pass filters independently — prev row resets per pass), the
+    // single full-frame pass otherwise. filterFor is keyed on a GLOBAL
+    // row counter across passes so interlaced fixtures still sweep all
+    // five filter types deterministically.
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var rowNo = 0
+    def writePass(x0: Int, y0: Int, dx: Int, dy: Int): Unit = {
+      val pw = adam7Dim(w, x0, dx); val ph = adam7Dim(h, y0, dy)
+      if (pw == 0 || ph == 0) return
+      val stride = pw * bpp
+      val prev = new Array[Byte](stride)
+      val cur = new Array[Byte](stride)
+      var iy = 0
+      while (iy < ph) {
+        var i = 0
+        while (i < stride) {
+          cur(i) = pixel(i % bpp, x0 + (i / bpp) * dx, y0 + iy * dy).toByte
+          i += 1
+        }
+        val f = filterFor(rowNo); rowNo += 1
+        rawOut.write(f)
+        i = 0
+        while (i < stride) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+          val b = prev(i) & 0xFF
+          val c = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+          rawOut.write(((cur(i) & 0xFF) - pngPredict(f, a, b, c)) & 0xFF)
+          i += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        iy += 1
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
+    if (interlace) Adam7.foreach { case (x0, y0, dx, dy) => writePass(x0, y0, dx, dy) }
+    else writePass(0, 0, 1, 1)
+    val raw = rawOut.toByteArray
     val out = new java.io.ByteArrayOutputStream(raw.length + 128)
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
     val ihdr = new java.io.ByteArrayOutputStream(13)
     writeBe32(ihdr, w); writeBe32(ihdr, h)
-    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
+    ihdr.write(if (interlace) 1 else 0)
     pngChunk(out, "IHDR", ihdr.toByteArray)
     // tEXt chunks (keyword NUL text, Latin-1) between IHDR and IDAT, the
     // canonical placement; CRC'd like every chunk
@@ -855,7 +882,10 @@ object Multimodal {
   def syntheticPng(id: Long): Array[Byte] =
     encodePng(fxPngW(id), fxPngH(id), fxPngColorType(id),
       (c, x, y) => fxPngVal(id, c, x, y),
-      y => floorMod(y + id, 5).toInt, deflate = false)
+      y => floorMod(y + id, 5).toInt, deflate = false,
+      // every 7th asset is Adam7-interlaced: both wire layouts stay
+      // graded under the SAME closed-form pixel oracle (layout-free)
+      interlace = floorMod(id, 7) == 3)
 
   /** Media table of real PNG payloads, one per document id. */
   def syntheticPngTable(docs: DataFrame): DataFrame = {
@@ -951,7 +981,7 @@ object Multimodal {
           (p(5) & 0xFF) != 0x0A || (p(6) & 0xFF) != 0x1A || (p(7) & 0xFF) != 0x0A)
         return None
       var i = 8
-      var w = -1; var h = -1; var ct = -1
+      var w = -1; var h = -1; var ct = -1; var interlaced = false
       var sawIhdr = false; var sawIend = false
       val idat = new java.io.ByteArrayOutputStream()
       while (!sawIend && i + 12 <= p.length) {
@@ -967,8 +997,9 @@ object Multimodal {
             w = be32(p, i + 8); h = be32(p, i + 12)
             val bitDepth = p(i + 16) & 0xFF
             ct = p(i + 17) & 0xFF
-            val interlace = p(i + 20) & 0xFF
-            if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 || pngBpp(ct) < 0)
+            interlaced = (p(i + 20) & 0xFF) == 1
+            if (w <= 0 || h <= 0 || bitDepth != 8 ||
+                (p(i + 20) & 0xFF) > 1 || pngBpp(ct) < 0)
               return None
             sawIhdr = true
           case "IDAT" => if (!sawIhdr) return None else idat.write(p, i + 8, len)
@@ -980,7 +1011,21 @@ object Multimodal {
       if (!sawIend || !sawIhdr || idat.size == 0) return None
       val bpp = pngBpp(ct)
       val stride = w * bpp
-      val rawLen = h.toLong * (1L + stride)
+      // the decompressed scanline stream: one sub-image per Adam7 pass
+      // when interlaced (each pass its own width and filter history),
+      // the single full pass otherwise
+      val passes: Seq[(Int, Int, Int, Int)] =
+        if (interlaced) Adam7 else Seq((0, 0, 1, 1))
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        (adam7Dim(w, x0, dx), adam7Dim(h, y0, dy))
+      }
+      val rawLen = passes.indices.map { k =>
+        val (pw, ph) = passDims(k)
+        // a pass empty in EITHER dimension emits nothing — not even
+        // filter bytes (a zero-width pass still has ph "rows" by the
+        // dimension formula, but no scanlines on the wire)
+        if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + pw.toLong * bpp)
+      }.sum
       if (rawLen > (64L << 20)) return None // > 64 MiB decoded: reject, don't OOM
       val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
@@ -995,24 +1040,38 @@ object Multimodal {
       inf.end()
       if (!complete) return None
       val px = new Array[Byte](h * stride)
-      val prev = new Array[Byte](stride)
-      val cur = new Array[Byte](stride)
-      var y = 0
-      while (y < h) {
-        val rowOff = y * (1 + stride)
-        val f = raw(rowOff) & 0xFF
-        if (f > 4) return None
-        var j = 0
-        while (j < stride) {
-          val a = if (j >= bpp) cur(j - bpp) & 0xFF else 0
-          val b = prev(j) & 0xFF
-          val c = if (j >= bpp) prev(j - bpp) & 0xFF else 0
-          cur(j) = (((raw(rowOff + 1 + j) & 0xFF) + pngPredict(f, a, b, c)) & 0xFF).toByte
-          j += 1
+      var rawOff = 0
+      passes.indices.foreach { k =>
+        val (x0, y0, dx, dy) = passes(k)
+        val (pw, ph) = passDims(k)
+        if (pw > 0 && ph > 0) {
+          val pstride = pw * bpp
+          val prev = new Array[Byte](pstride)
+          val cur = new Array[Byte](pstride)
+          var iy = 0
+          while (iy < ph) {
+            val f = raw(rawOff) & 0xFF
+            if (f > 4) return None
+            var j = 0
+            while (j < pstride) {
+              val a = if (j >= bpp) cur(j - bpp) & 0xFF else 0
+              val b = prev(j) & 0xFF
+              val c = if (j >= bpp) prev(j - bpp) & 0xFF else 0
+              cur(j) = (((raw(rawOff + 1 + j) & 0xFF) + pngPredict(f, a, b, c)) & 0xFF).toByte
+              j += 1
+            }
+            // scatter the pass row into the full-frame raster
+            var ix = 0
+            while (ix < pw) {
+              System.arraycopy(cur, ix * bpp, px,
+                ((y0 + iy * dy) * w + (x0 + ix * dx)) * bpp, bpp)
+              ix += 1
+            }
+            System.arraycopy(cur, 0, prev, 0, pstride)
+            rawOff += 1 + pstride
+            iy += 1
+          }
         }
-        System.arraycopy(cur, 0, px, y * stride, stride)
-        System.arraycopy(cur, 0, prev, 0, stride)
-        y += 1
       }
       Some((w, h, ct, bpp, px))
     } catch { case scala.util.control.NonFatal(_) => None }

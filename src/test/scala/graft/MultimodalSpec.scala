@@ -179,7 +179,17 @@ class MultimodalSpec extends SparkSpec {
       case _ => (mean(0), mean(1), mean(2), mean(3))
     }
     val name = ct match { case 0 => "gray"; case 2 => "rgb"; case _ => "rgba" }
-    (68L + h.toLong * (1 + w * bpp), w.toLong, h.toLong, name, mr, mg, mb, ma)
+    // every 7th fixture is Adam7-interlaced: its raw scanline stream is
+    // the per-pass sum (one filter byte per PASS row, pass-local widths)
+    val rawLen =
+      if (java.lang.Math.floorMod(id, 7) == 3)
+        Multimodal.Adam7.map { case (x0, y0, dx, dy) =>
+          val pw = if (w <= x0) 0 else (w - x0 + dx - 1) / dx
+          val ph = if (h <= y0) 0 else (h - y0 + dy - 1) / dy
+          ph.toLong * (1 + pw.toLong * bpp)
+        }.sum
+      else h.toLong * (1 + w * bpp)
+    (68L + rawLen, w.toLong, h.toLong, name, mr, mg, mb, ma)
   }
 
   test("PNG round-trip: fixtures decode to closed-form truth across all filters and color types") {
@@ -218,6 +228,38 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.decodePng(pngRec(1L, bytes))
     assert(f.color_type == "gray" && f.width == 2 && f.height == 2)
     assert(f.mean_r == (10 + 20 + 30 + 45) / 4 && f.mean_a == -1L)
+  }
+
+  test("PNG Adam7: interlaced wire bytes, identical pixels, empty passes") {
+    // same pixel formula through both wire layouts — decoded features
+    // must agree exactly; the byte streams must NOT (interlace adds
+    // per-pass filter bytes and reorders everything)
+    for (id <- Seq(0L, 4L, 11L, 25L)) {
+      val plain = Multimodal.encodePng(
+        Multimodal.fxPngW(id), Multimodal.fxPngH(id), Multimodal.fxPngColorType(id),
+        (c, x, y) => Multimodal.fxPngVal(id, c, x, y),
+        y => java.lang.Math.floorMod(y + id, 5).toInt, deflate = false)
+      val inter = Multimodal.encodePng(
+        Multimodal.fxPngW(id), Multimodal.fxPngH(id), Multimodal.fxPngColorType(id),
+        (c, x, y) => Multimodal.fxPngVal(id, c, x, y),
+        y => java.lang.Math.floorMod(y + id, 5).toInt, deflate = false,
+        interlace = true)
+      assert(!java.util.Arrays.equals(plain, inter), s"id=$id")
+      val fp = Multimodal.decodePng(pngRec(id, plain))
+      val fi = Multimodal.decodePng(pngRec(id, inter))
+      assert(fi.copy(n_bytes = fp.n_bytes) == fp, s"id=$id interlace diverged")
+    }
+    // a 1x1 image leaves six of the seven passes EMPTY (only pass 1 has
+    // a pixel) — the walk must produce exactly that one pixel
+    val tiny = Multimodal.encodePng(1, 1, 0, (_, _, _) => 42,
+      _ => 0, deflate = false, interlace = true)
+    val ft = Multimodal.decodePng(pngRec(9L, tiny))
+    assert((ft.width, ft.height, ft.mean_r) == ((1L, 1L, 42L)))
+    // 2x2: passes 1,6,7 carry (1 + 1 + 2) pixels, the rest empty
+    val two = Multimodal.encodePng(2, 2, 0,
+      (_, x, y) => 10 * (2 * y + x + 1), _ => 0, deflate = false, interlace = true)
+    val f2 = Multimodal.decodePng(pngRec(9L, two))
+    assert((f2.width, f2.height, f2.mean_r) == ((2L, 2L, 25L))) // (10+20+30+40)/4
   }
 
   test("PNG gray+alpha (color type 4) decodes both channels") {
