@@ -2536,13 +2536,20 @@ object SparkEntry {
     // doc_id (constant-amplitude PCM s16le), so any chunk-walk / byte-
     // order / sign-extension fault in the decoder hash-mismatches.
     // n_bytes = RIFF(12) + fmt(24) + LIST(18) + data hdr(8) + frames*ch*2.
+    // bit depth cycles 16/8/24 (doc_id % 3); the stored amplitude is
+    // ranged per depth — 8-bit fits the signed byte, 24-bit exceeds 16
+    // bits so a truncating decoder is caught
     "mm_audio" ->
       """SELECT doc_id AS media_id,
-        |  62 + (50 + doc_id % 100) * (1 + doc_id % 2) * 2 AS n_bytes,
+        |  62 + (50 + doc_id % 100) * (1 + doc_id % 2)
+        |     * (CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 3 END) AS n_bytes,
         |  8000 + (doc_id % 3) * 4000 AS sample_rate,
         |  1 + doc_id % 2 AS n_channels,
+        |  CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 24 END AS bit_depth,
         |  50 + doc_id % 100 AS n_frames,
-        |  (doc_id * 37) % 1000 AS mean_abs
+        |  CASE doc_id % 3 WHEN 0 THEN (doc_id * 37) % 1000
+        |       WHEN 1 THEN ((doc_id * 37) % 1000) % 120
+        |       ELSE ((doc_id * 37) % 1000) * 1000 + 7 END AS mean_abs
         |FROM documents ORDER BY media_id""".stripMargin,
     // PNG ground truth: fixture pixels are the gradient (3x + 7y + off_c)
     // mod 256, so the oracle recomputes the exact per-channel sums pixel

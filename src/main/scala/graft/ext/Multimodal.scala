@@ -493,18 +493,25 @@ object Multimodal {
 
   /** Features of one PCM WAV asset; -1 sentinels for undecodable bytes. */
   final case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Long,
-                                 n_channels: Long, n_frames: Long, mean_abs: Long)
+                                 n_channels: Long, bit_depth: Long,
+                                 n_frames: Long, mean_abs: Long)
 
   def fxSampleRate(id: Long): Int = 8000 + floorMod(id, 3).toInt * 4000
   def fxChannels(id: Long): Int = 1 + floorMod(id, 2).toInt
   def fxFrames(id: Long): Int = 50 + floorMod(id, 100).toInt
   def fxAmplitude(id: Long): Int = floorMod(id * 37, 1000).toInt
 
-  /** Encode a real PCM s16le WAV: RIFF header, fmt chunk, a skippable
-    * LIST metadata chunk (so the decoder's chunk walk is exercised), data
-    * chunk of constant-amplitude samples. Total = 62 + frames*ch*2. */
-  def encodeWav(sampleRate: Int, channels: Int, frames: Int, amplitude: Int): Array[Byte] = {
-    val dataBytes = frames * channels * 2
+  /** Encode a real PCM WAV at 8, 16 or 24 bits per sample: RIFF header,
+    * fmt chunk, a skippable LIST metadata chunk (so the decoder's chunk
+    * walk is exercised), data chunk of constant-amplitude samples.
+    * Wire forms per the RIFF/WAVE spec: 8-bit is UNSIGNED with a 128
+    * bias, 16/24-bit are signed little-endian. Total =
+    * 62 + frames*ch*(bits/8). */
+  def encodeWav(sampleRate: Int, channels: Int, frames: Int, amplitude: Int,
+                bits: Int = 16): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24, s"unsupported bit depth $bits")
+    val bps = bits / 8
+    val dataBytes = frames * channels * bps
     val total = 62 + dataBytes
     val p = new Array[Byte](total)
     var i = 0
@@ -516,18 +523,43 @@ object Multimodal {
     }
     ascii("RIFF"); u32(total - 8); ascii("WAVE")
     ascii("fmt "); u32(16); u16(1); u16(channels); u32(sampleRate)
-    u32(sampleRate * channels * 2); u16(channels * 2); u16(16)
+    u32(sampleRate * channels * bps); u16(channels * bps); u16(bits)
     ascii("LIST"); u32(10); ascii("INFOgraft!")
     ascii("data"); u32(dataBytes)
     var n = 0
-    while (n < frames * channels) { u16(amplitude & 0xFFFF); n += 1 }
+    while (n < frames * channels) {
+      bits match {
+        case 8  => p(i) = ((amplitude + 128) & 0xFF).toByte; i += 1
+        case 16 => u16(amplitude & 0xFFFF)
+        case _  =>
+          p(i) = amplitude.toByte; p(i + 1) = (amplitude >>> 8).toByte
+          p(i + 2) = (amplitude >>> 16).toByte; i += 3
+      }
+      n += 1
+    }
     p
+  }
+
+  /** Bit depth per fixture id: the three PCM widths real corpora mix
+    * (16-bit the common case, 8-bit legacy telephony, 24-bit studio). */
+  def fxBits(id: Long): Int = floorMod(id, 3) match {
+    case 0 => 16; case 1 => 8; case _ => 24
+  }
+
+  /** The stored amplitude per id, ranged to its bit depth: 8-bit must
+    * fit the signed byte, 24-bit deliberately EXCEEDS 16 bits so a
+    * decoder that truncates to s16 is caught. */
+  def fxStoredAmp(id: Long): Int = fxBits(id) match {
+    case 8  => fxAmplitude(id) % 120
+    case 16 => fxAmplitude(id)
+    case _  => fxAmplitude(id) * 1000 + 7
   }
 
   /** The synthetic audio payload for one id: a real PCM WAV whose ground
     * truth is closed-form in the id. */
   def syntheticWav(id: Long): Array[Byte] =
-    encodeWav(fxSampleRate(id), fxChannels(id), fxFrames(id), fxAmplitude(id))
+    encodeWav(fxSampleRate(id), fxChannels(id), fxFrames(id),
+      fxStoredAmp(id), fxBits(id))
 
   /** [[encodeWav]] plus a REAL RIFF LIST/INFO metadata chunk — fourcc
     * sub-chunks with NUL-terminated Latin-1 text, even-padded, between
@@ -641,7 +673,7 @@ object Multimodal {
   }
 
   private def audioUnknown(r: MediaRecord): AudioFeatures =
-    AudioFeatures(r.media_id, r.payload.length.toLong, -1L, -1L, -1L, -1L)
+    AudioFeatures(r.media_id, r.payload.length.toLong, -1L, -1L, -1L, -1L, -1L)
 
   /** Real WAV decode: RIFF/WAVE magic, chunk walk with even-byte padding,
     * fmt parse (PCM s16 only), signed-16 little-endian sample decode with
@@ -668,15 +700,24 @@ object Multimodal {
             if (len < 16) return audioUnknown(r)
             val audioFormat = u16(body)
             ch = u16(body + 2); sr = u32(body + 4); bits = u16(body + 14)
-            fmtOk = audioFormat == 1 && bits == 16 && ch > 0
+            fmtOk = audioFormat == 1 &&
+              (bits == 8 || bits == 16 || bits == 24) && ch > 0
           case "data" =>
             if (!fmtOk) return audioUnknown(r) // data before a valid fmt
-            val nSamples = len / 2
+            val bps = bits / 8
+            val nSamples = len / bps
             if (nSamples % ch != 0) return audioUnknown(r)
             var sum = 0L; var n = 0L
             while (n < nSamples) {
-              val v = (u16(body + (n * 2).toInt) << 16) >> 16 // sign-extend s16
-              sum += math.abs(v); n += 1
+              val o = body + (n * bps).toInt
+              val v = bits match {
+                case 8  => (p(o) & 0xFF) - 128 // unsigned, 128 bias
+                case 16 => (u16(o) << 16) >> 16 // sign-extend s16
+                case _  => // s24le sign-extended
+                  (((p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+                    ((p(o + 2) & 0xFF) << 16)) << 8) >> 8
+              }
+              sum += math.abs(v.toLong); n += 1
             }
             frames = nSamples / ch
             meanAbs = if (nSamples == 0) 0L else sum / nSamples
@@ -685,7 +726,8 @@ object Multimodal {
         i = body + len.toInt + (len.toInt & 1) // chunks pad to even length
       }
       if (!fmtOk || frames < 0) audioUnknown(r)
-      else AudioFeatures(r.media_id, p.length.toLong, sr, ch.toLong, frames, meanAbs)
+      else AudioFeatures(r.media_id, p.length.toLong, sr, ch.toLong, bits.toLong,
+        frames, meanAbs)
     } catch { case _: RuntimeException => audioUnknown(r) }
   }
 

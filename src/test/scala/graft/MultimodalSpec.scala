@@ -132,11 +132,14 @@ class MultimodalSpec extends SparkSpec {
       val f = Multimodal.decodeWav(graft.ext.MediaRecord(id, "audio", Multimodal.syntheticWav(id), "s"))
       assert(f.sample_rate == Multimodal.fxSampleRate(id), s"id=$id")
       assert(f.n_channels == Multimodal.fxChannels(id) && f.n_frames == Multimodal.fxFrames(id), s"id=$id")
-      assert(f.mean_abs == Multimodal.fxAmplitude(id), s"id=$id")
+      // the amplitude round-trips at the fixture's own bit depth — the
+      // 24-bit ids' values exceed 16 bits, catching a truncating decode
+      assert(f.bit_depth == Multimodal.fxBits(id), s"id=$id")
+      assert(f.mean_abs == Multimodal.fxStoredAmp(id), s"id=$id")
     }
     val f = Multimodal.extractAudioFeatures(Multimodal.syntheticAudioTable(docs.repartition(5)))
       .collect().map(x => x.media_id -> x).toMap
-    assert(f(2L).sample_rate == Multimodal.fxSampleRate(2L) && f(3L).mean_abs == Multimodal.fxAmplitude(3L))
+    assert(f(2L).sample_rate == Multimodal.fxSampleRate(2L) && f(3L).mean_abs == Multimodal.fxStoredAmp(3L))
   }
 
   test("frame sampling explodes one row per stride offset") {
@@ -320,9 +323,12 @@ class MultimodalSpec extends SparkSpec {
       "INAM" -> s"clip-7-${Multimodal.fxSampleRate(7L)}hz",
       "IART" -> "graft engine")))
     // the PCM decoder must read IDENTICAL audio features through the
-    // metadata (LIST/INFO is a skippable chunk, padding included)
+    // metadata (LIST/INFO is a skippable chunk, padding included) — the
+    // tagged fixture family is 16-bit, so compare against a 16-bit plain
+    // encode (syntheticWav(7) itself is an 8-bit fixture now)
     val plain = Multimodal.decodeWav(graft.ext.MediaRecord(7L, "audio",
-      Multimodal.syntheticWav(7L), "s"))
+      Multimodal.encodeWav(Multimodal.fxSampleRate(7L), Multimodal.fxChannels(7L),
+        Multimodal.fxFrames(7L), Multimodal.fxAmplitude(7L)), "s"))
     val texty = Multimodal.decodeWav(graft.ext.MediaRecord(7L, "audio", tagged, "s"))
     assert(texty.copy(n_bytes = plain.n_bytes) == plain)
     // the untagged fixture's LIST filler is NOT a parseable INFO block
