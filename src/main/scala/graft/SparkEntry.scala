@@ -812,6 +812,10 @@ object SparkEntry {
     // interlace for odd ids); the positional checksum catches any
     // deinterlace or row-order fault channel means are blind to
     "mm_gif" -> ((s, d) => ext.Gif.gifQuery(s, Tables.documents(s, d))),
+    // animated GIF: every image block decoded (GCE delays, NETSCAPE
+    // loop count), cross-frame positional checksum — dropped/reordered/
+    // double-decoded frames scramble it
+    "mm_gif_anim" -> ((s, d) => ext.Gif.gifAnimQuery(s, Tables.documents(s, d))),
     // tEXt metadata round trip through the CRC-verified chunk walk
     "mm_png_text" -> ((s, d) => Multimodal.pngTextQuery(s, Tables.documents(s, d))),
     "sim_mips" -> ((s, d) =>
@@ -2536,6 +2540,29 @@ object SparkEntry {
     // doc_id (constant-amplitude PCM s16le), so any chunk-walk / byte-
     // order / sign-extension fault in the decoder hash-mismatches.
     // n_bytes = RIFF(12) + fmt(24) + LIST(18) + data hdr(8) + frames*ch*2.
+    // animated ground truth: per-frame pixel formula summed across the
+    // frame-offset positional weights; total delay in closed form
+    // (sum of (f+1)*10 + id%7 over nf frames)
+    "mm_gif_anim" ->
+      """WITH par AS (
+        |  SELECT doc_id, doc_id % 12 + 20 AS w, doc_id % 9 + 16 AS h,
+        |    doc_id % 4 + 2 AS nf, doc_id % 3 AS loops, doc_id % 7 AS dk
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, t.f, u.x, v.y
+        |  FROM par, unnest(range(0, nf)) AS t(f),
+        |       unnest(range(0, w)) AS u(x), unnest(range(0, h)) AS v(y)),
+        |ck AS (
+        |  SELECT doc_id,
+        |    sum(((3*x + 7*y + doc_id*11 + f*5) % 256 + 1)
+        |        * (f*w*h + y*w + x + 1))::BIGINT AS checksum
+        |  FROM px GROUP BY 1)
+        |SELECT p.doc_id AS media_id, p.nf::BIGINT AS n_frames,
+        |  p.loops::BIGINT AS loops,
+        |  (5 * p.nf * (p.nf + 1) + p.nf * p.dk)::BIGINT AS total_delay_cs,
+        |  c.checksum
+        |FROM par p JOIN ck c ON p.doc_id = c.doc_id
+        |ORDER BY media_id""".stripMargin,
     // bit depth cycles 16/8/24 (doc_id % 3); the stored amplitude is
     // ranged per depth — 8-bit fits the signed byte, 24-bit exceeds 16
     // bits so a truncating decoder is caught

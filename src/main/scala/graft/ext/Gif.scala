@@ -184,7 +184,15 @@ object Gif {
     val comment = s"graft $w x $h".getBytes("US-ASCII")
     out.write(0x21); out.write(0xFE)
     out.write(comment.length); out.write(comment); out.write(0)
-    // image descriptor
+    // image descriptor + compressed raster
+    writeImageBlock(out, w, h, interlaced, idx)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  private def writeImageBlock(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
+                              interlaced: Boolean, idx: (Int, Int) => Int): Unit = {
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write(0x2C)
     u16(0); u16(0); u16(w); u16(h)
     out.write(if (interlaced) 0x40 else 0x00)
@@ -202,19 +210,59 @@ object Gif {
       o += n
     }
     out.write(0) // sub-block terminator
-    out.write(0x3B) // trailer
+  }
+
+  /** Encode an ANIMATED GIF89a: NETSCAPE 2.0 loop-count application
+    * extension, then per frame a Graphic Control Extension carrying its
+    * centisecond delay followed by its (optionally interlaced) image
+    * block. Frames are full-canvas (compositing/disposal is the
+    * documented out-of-scope boundary — see [[decodeAnimation]]). */
+  def encodeAnimated(w: Int, h: Int, palette: Array[Int], loops: Int,
+                     frames: Seq[(Int, Boolean, (Int, Int) => Int)]): Array[Byte] = {
+    require(palette.length == 256 && frames.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7); out.write(0); out.write(0)
+    palette.foreach { p =>
+      out.write((p >> 16) & 0xFF); out.write((p >> 8) & 0xFF); out.write(p & 0xFF)
+    }
+    out.write(0x21); out.write(0xFF); out.write(11) // application extension
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(loops); out.write(0)
+    frames.foreach { case (delayCs, interlaced, idx) =>
+      out.write(0x21); out.write(0xF9); out.write(4) // GCE
+      out.write(0); u16(delayCs); out.write(0); out.write(0)
+      writeImageBlock(out, w, h, interlaced, idx)
+    }
+    out.write(0x3B)
     out.toByteArray
   }
 
   final case class Decoded(width: Int, height: Int, interlaced: Boolean,
                            indices: Array[Int], palette: Array[Int])
 
-  /** Full decode of the first image in a GIF87a/89a stream: header +
-    * logical screen, global color table, extension skipping, image
-    * descriptor (local table honored if present), sub-block
-    * reassembly, LZW decode, deinterlace. None on any malformed
-    * byte — a corrupt crawl payload must grade, not throw. */
-  def decode(bytes: Array[Byte]): Option[Decoded] = try {
+  /** One animation frame: the decoded raster plus the Graphic Control
+    * Extension delay (centiseconds) that preceded it (0 when none). */
+  final case class Frame(width: Int, height: Int, interlaced: Boolean,
+                         delayCs: Int, indices: Array[Int], palette: Array[Int])
+
+  /** A decoded GIF stream: every image block in order, plus the
+    * NETSCAPE 2.0 loop count (-1 when the extension is absent; 0 on the
+    * wire means loop forever). Frames are decoded as INDEPENDENT
+    * full rasters — canvas compositing/disposal across partial-canvas
+    * frames is the documented out-of-scope boundary (the fixtures are
+    * full-canvas, the overwhelmingly common shape for ML thumbnails). */
+  final case class Animation(frames: Seq[Frame], loops: Int)
+
+  /** Full decode of a GIF87a/89a stream: header + logical screen,
+    * global color table, extension walk (GCE delays captured, NETSCAPE
+    * loop count parsed, the rest skipped), every image descriptor
+    * (local table honored if present), sub-block reassembly, LZW
+    * decode, deinterlace. None on any malformed byte — a corrupt crawl
+    * payload must grade, not throw. */
+  def decodeAnimation(bytes: Array[Byte]): Option[Animation] = try {
     if (bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -233,12 +281,34 @@ object Gif {
       }
       pos += 3 * n
     }
-    while (pos < bytes.length) {
+    val frames = Seq.newBuilder[Frame]
+    var nFrames = 0
+    var pendingDelay = 0
+    var loops = -1
+    var sawTrailer = false
+    while (pos < bytes.length && !sawTrailer) {
       u8() match {
         case 0x21 => // extension: label, then sub-blocks to a 0 terminator
-          u8()
-          var n = u8()
-          while (n != 0) { pos += n; n = u8() }
+          val label = u8()
+          if (label == 0xF9) { // Graphic Control Extension
+            if (u8() != 4) return None
+            u8() // packed (disposal method — compositing out of scope)
+            pendingDelay = u16()
+            u8() // transparent color index
+            if (u8() != 0) return None
+          } else if (label == 0xFF) { // application extension
+            val n = u8()
+            val app = new String(bytes, pos, n, "US-ASCII"); pos += n
+            var m = u8()
+            while (m != 0) {
+              if (app.startsWith("NETSCAPE") && m == 3 && (bytes(pos) & 0xFF) == 1)
+                loops = (bytes(pos + 1) & 0xFF) | ((bytes(pos + 2) & 0xFF) << 8)
+              pos += m; m = u8()
+            }
+          } else {
+            var n = u8()
+            while (n != 0) { pos += n; n = u8() }
+          }
         case 0x2C =>
           u16(); u16()
           val w = u16(); val h = u16()
@@ -247,15 +317,16 @@ object Gif {
           if (w.toLong * h > 64000000L) return None
           val ipacked = u8()
           val interlaced = (ipacked & 0x40) != 0
+          var framePalette = palette
           if ((ipacked & 0x80) != 0) { // local color table wins
             val n = 2 << (ipacked & 7)
-            palette = Array.tabulate(n) { i =>
+            framePalette = Array.tabulate(n) { i =>
               ((bytes(pos + 3 * i) & 0xFF) << 16) | ((bytes(pos + 3 * i + 1) & 0xFF) << 8) |
                 (bytes(pos + 3 * i + 2) & 0xFF)
             }
             pos += 3 * n
           }
-          if (palette == null || w <= 0 || h <= 0) return None
+          if (framePalette == null || w <= 0 || h <= 0) return None
           val minCode = u8()
           if (minCode < 2 || minCode > 11) return None
           val stream = new java.io.ByteArrayOutputStream()
@@ -265,7 +336,7 @@ object Gif {
             case Some(ind) if ind.length == w * h => ind
             case _ => return None
           }
-          if (transmitted.exists(_ >= palette.length)) return None
+          if (transmitted.exists(_ >= framePalette.length)) return None
           val indices =
             if (!interlaced) transmitted
             else {
@@ -278,13 +349,23 @@ object Gif {
               }
               raster
             }
-          return Some(Decoded(w, h, interlaced, indices, palette))
-        case 0x3B => return None // trailer before any image
+          frames += Frame(w, h, interlaced, pendingDelay, indices, framePalette)
+          nFrames += 1
+          pendingDelay = 0
+        case 0x3B => sawTrailer = true
         case _ => return None
       }
     }
-    None
+    if (nFrames == 0) None else Some(Animation(frames.result(), loops))
   } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** First-frame view (the still-image contract the single-image
+    * queries grade). */
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    decodeAnimation(bytes).map { a =>
+      val f = a.frames.head
+      Decoded(f.width, f.height, f.interlaced, f.indices, f.palette)
+    }
 
   // ------------------------------------------------------------------
   // fixtures + graded query
@@ -339,6 +420,58 @@ object Gif {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => decodeFeatures(id, syntheticGif(id))))
+      .toDF().orderBy("media_id")
+  }
+
+  // ------------------------------------------------ animation fixtures
+
+  def fxAnimFrames(id: Long): Int = floorMod(id, 4).toInt + 2
+  def fxAnimDelay(id: Long, f: Int): Int = (f + 1) * 10 + floorMod(id, 7).toInt
+  def fxAnimLoops(id: Long): Int = floorMod(id, 3).toInt
+  def fxAnimIdx(id: Long, f: Int, x: Int, y: Int): Int =
+    floorMod(3 * x + 7 * y + id * 11 + f * 5, 256).toInt
+
+  /** Animated fixture: 2–5 full-canvas frames, per-frame delays and
+    * alternating interlace, NETSCAPE loop count — closed-form in the
+    * id, mirrored by the oracle. */
+  def syntheticGifAnim(id: Long): Array[Byte] =
+    encodeAnimated(fxW(id), fxH(id), FixturePalette, fxAnimLoops(id),
+      Seq.tabulate(fxAnimFrames(id))(f =>
+        (fxAnimDelay(id, f), floorMod(id + f, 2) == 1,
+          (x: Int, y: Int) => fxAnimIdx(id, f, x, y))))
+
+  final case class GifAnimFeatures(media_id: Long, n_frames: Long, loops: Long,
+                                   total_delay_cs: Long, checksum: Long)
+
+  /** Per-animation features: frame count, loop count, total duration,
+    * and a positional checksum running ACROSS frames (frame f's pixel i
+    * weighs at position f·w·h + i + 1) — a decoder that drops, reorders
+    * or double-decodes any frame scrambles it. */
+  def animFeatures(id: Long, payload: Array[Byte]): GifAnimFeatures =
+    decodeAnimation(payload) match {
+      case None => GifAnimFeatures(id, -1L, -1L, -1L, -1L)
+      case Some(a) =>
+        var ck = 0L
+        var base = 0L
+        a.frames.foreach { fr =>
+          val n = fr.width * fr.height
+          var i = 0
+          while (i < n) {
+            val r = (fr.palette(fr.indices(i)) >> 16) & 0xFF
+            ck += (r + 1).toLong * (base + i + 1)
+            i += 1
+          }
+          base += n
+        }
+        GifAnimFeatures(id, a.frames.length.toLong, a.loops.toLong,
+          a.frames.map(_.delayCs.toLong).sum, ck)
+    }
+
+  /** End-to-end animated-GIF query, partition-wise like every codec. */
+  def gifAnimQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => animFeatures(id, syntheticGifAnim(id))))
       .toDF().orderBy("media_id")
   }
 }

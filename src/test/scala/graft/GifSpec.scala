@@ -98,4 +98,30 @@ class GifSpec extends SparkSpec {
       assert(f.mean_b == idxs.map(v => (v * 13 % 256).toLong).sum / (w * h))
     }
   }
+
+  test("animation: every frame decoded, delays and loop count parsed, first-frame view intact") {
+    for (id <- Seq(2L, 5L, 11L)) {
+      val bytes = Gif.syntheticGifAnim(id)
+      val a = Gif.decodeAnimation(bytes).get
+      assert(a.frames.length == Gif.fxAnimFrames(id), s"id=$id")
+      assert(a.loops == Gif.fxAnimLoops(id), s"id=$id")
+      assert(a.frames.zipWithIndex.forall { case (fr, f) =>
+        fr.delayCs == Gif.fxAnimDelay(id, f)
+      }, s"id=$id")
+      // frames decode independently to their own pixel formulas — the
+      // interlace alternates per frame and must not bleed across
+      for ((fr, f) <- a.frames.zipWithIndex; probe <- Seq((0, 0), (3, 2))) {
+        val (x, y) = probe
+        assert(fr.indices(y * fr.width + x) == Gif.fxAnimIdx(id, f, x, y),
+          s"id=$id frame=$f at $probe")
+      }
+      // decode() (the still-image contract) sees exactly frame 0
+      val still = Gif.decode(bytes).get
+      assert(still.indices.sameElements(a.frames.head.indices))
+    }
+    // a single-image GIF (no GCE delay, no NETSCAPE): 1 frame, loops -1
+    val single = Gif.decodeAnimation(Gif.syntheticGif(4L)).get
+    assert(single.frames.length == 1 && single.loops == -1)
+    assert(single.frames.head.delayCs == 0)
+  }
 }
