@@ -2476,18 +2476,29 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
         |  FROM documents)
-        |SELECT doc_id AS media_id, byte_order, tag, ttype, n_values, value FROM (
-        |  SELECT doc_id, byte_order, 256::BIGINT AS tag, 4::BIGINT AS ttype,
-        |         1::BIGINT AS n_values, CAST(doc_id % 13 + 4 AS VARCHAR) AS value FROM e
-        |  UNION ALL SELECT doc_id, byte_order, 271, 2, 6, 'graft' FROM e
-        |  UNION ALL SELECT doc_id, byte_order, 272, 2,
+        |SELECT doc_id AS media_id, byte_order, ifd, tag, ttype, n_values, value FROM (
+        |  SELECT doc_id, byte_order, 'ifd0' AS ifd, 256::BIGINT AS tag,
+        |         4::BIGINT AS ttype, 1::BIGINT AS n_values,
+        |         CAST(doc_id % 13 + 4 AS VARCHAR) AS value FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 'ifd0', 271, 2, 6, 'graft' FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 'ifd0', 272, 2,
         |    length('cam-' || (doc_id % 100)) + 1, 'cam-' || (doc_id % 100) FROM e
-        |  UNION ALL SELECT doc_id, byte_order, 274, 3, 1,
+        |  UNION ALL SELECT doc_id, byte_order, 'ifd0', 274, 3, 1,
         |    CAST(doc_id % 8 + 1 AS VARCHAR) FROM e
-        |  UNION ALL SELECT doc_id, byte_order, 282, 5, 1,
+        |  UNION ALL SELECT doc_id, byte_order, 'ifd0', 282, 5, 1,
         |    (doc_id % 300 + 1) || '/25' FROM e
-        |  UNION ALL SELECT doc_id, byte_order, 306, 2, 20,
-        |    '2026:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') FROM e)
+        |  UNION ALL SELECT doc_id, byte_order, 'ifd0', 306, 2, 20,
+        |    '2026:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') FROM e
+        |  -- the Exif sub-IFD behind the 0x8769 pointer (the pointer
+        |  -- entry itself is structural and never lands as a row)
+        |  UNION ALL SELECT doc_id, byte_order, 'exif', 33434, 5, 1,
+        |    '1/' || (doc_id % 250 + 1) FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 'exif', 33437, 5, 1,
+        |    (doc_id % 60 + 10) || '/10' FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 'exif', 34855, 3, 1,
+        |    CAST(100 + (doc_id % 8) * 50 AS VARCHAR) FROM e
+        |  UNION ALL SELECT doc_id, byte_order, 'exif', 42036, 2,
+        |    length('lens-' || (doc_id % 30)) + 1, 'lens-' || (doc_id % 30) FROM e)
         |ORDER BY media_id, tag""".stripMargin,
     // closed-form ground truth of the MP4 fixtures: every graded field
     // (incl. the positional sample-byte checksum) is a function of the id

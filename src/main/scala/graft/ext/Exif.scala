@@ -62,10 +62,13 @@ object Exif {
     out.toByteArray
   }
 
-  /** Build the TIFF block (header + IFD0 + value area). Entries are
-    * written in ascending tag order as TIFF requires. */
-  def tiffBytes(littleEndian: Boolean, entries: Seq[Entry]): Array[Byte] = {
-    val es = entries.sortBy(_.tag)
+  /** The Exif-IFD pointer tag (TIFF/EP 0x8769): IFD0 carries it as a
+    * LONG whose value is the absolute offset of the Exif SUB-IFD —
+    * where cameras put most capture metadata. */
+  val ExifIfdPointer = 0x8769
+
+  def tiffBytes(littleEndian: Boolean, entries: Seq[Entry],
+                subEntries: Seq[Entry] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def p16(x: Int): Unit =
       if (littleEndian) { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
@@ -73,29 +76,44 @@ object Exif {
     def p32(x: Long): Unit =
       if (littleEndian) (0 to 3).foreach(i => out.write(((x >> (8 * i)) & 0xFF).toInt))
       else (3 to 0 by -1).foreach(i => out.write(((x >> (8 * i)) & 0xFF).toInt))
+    def spillLen(es: Seq[Entry]): Int =
+      es.map(e => valueBytes(e.value, littleEndian).length).filter(_ > 4).sum
+    // IFD0 entry set: the caller's tags plus (when a sub-IFD exists)
+    // the 0x8769 pointer, in ascending tag order as TIFF requires
+    val sub = subEntries.sortBy(_.tag)
+    val subOffset = // IFD0 starts at 8; sub-IFD follows IFD0's spill area
+      if (sub.isEmpty) 0L
+      else 8L + 2 + 12 * (entries.length + 1) + 4 + spillLen(entries)
+    val es = (if (sub.isEmpty) entries
+              else entries :+ Entry(ExifIfdPointer, Longs(Seq(subOffset))))
+      .sortBy(_.tag)
     // header: byte-order mark, 42, IFD0 at offset 8
     out.write(if (littleEndian) 'I' else 'M'); out.write(if (littleEndian) 'I' else 'M')
     p16(42); p32(8L)
-    // IFD0: count, entries, next-IFD = 0, then the spill value area
-    p16(es.length)
-    var spill = 8 + 2 + 12 * es.length + 4
-    val area = new java.io.ByteArrayOutputStream()
-    es.foreach { e =>
-      p16(e.tag); p16(typeOf(e.value)); p32(countOf(e.value).toLong)
-      val vb = valueBytes(e.value, littleEndian)
-      if (vb.length <= 4) { out.write(vb); (vb.length until 4).foreach(_ => out.write(0)) }
-      else { p32(spill.toLong); area.write(vb); spill += vb.length }
+    def writeIfd(ifdEs: Seq[Entry], ifdStart: Int): Unit = {
+      p16(ifdEs.length)
+      var spill = ifdStart + 2 + 12 * ifdEs.length + 4
+      val area = new java.io.ByteArrayOutputStream()
+      ifdEs.foreach { e =>
+        p16(e.tag); p16(typeOf(e.value)); p32(countOf(e.value).toLong)
+        val vb = valueBytes(e.value, littleEndian)
+        if (vb.length <= 4) { out.write(vb); (vb.length until 4).foreach(_ => out.write(0)) }
+        else { p32(spill.toLong); area.write(vb); spill += vb.length }
+      }
+      p32(0L)
+      out.write(area.toByteArray)
     }
-    p32(0L)
-    out.write(area.toByteArray)
+    writeIfd(es, 8)
+    if (sub.nonEmpty) writeIfd(sub, subOffset.toInt)
     out.toByteArray
   }
 
   private val ExifHeader = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
 
   /** The full APP1 segment (marker + length + Exif header + TIFF). */
-  def app1Bytes(littleEndian: Boolean, entries: Seq[Entry]): Array[Byte] = {
-    val tiff = tiffBytes(littleEndian, entries)
+  def app1Bytes(littleEndian: Boolean, entries: Seq[Entry],
+                subEntries: Seq[Entry] = Nil): Array[Byte] = {
+    val tiff = tiffBytes(littleEndian, entries, subEntries)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xE1)
     val len = 2 + ExifHeader.length + tiff.length
@@ -113,10 +131,12 @@ object Exif {
     jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
 
-  /** One parsed IFD0 entry: the tag, its TIFF type code, value count,
-    * and the canonical string rendering (ASCII verbatim sans NUL;
-    * integers comma-joined decimal; rationals `num/den`). */
-  final case class ExifTag(tag: Int, ttype: Int, n_values: Long, value: String)
+  /** One parsed IFD entry: which IFD it came from ("ifd0" / "exif"),
+    * the tag, its TIFF type code, value count, and the canonical string
+    * rendering (ASCII verbatim sans NUL; integers comma-joined decimal;
+    * rationals `num/den`). */
+  final case class ExifTag(ifd: String, tag: Int, ttype: Int,
+                           n_values: Long, value: String)
 
   /** Locate the Exif APP1 segment via the marker walk (same framing
     * rules as [[Jpeg.decode]]: skip fill bytes, length-framed segments,
@@ -146,8 +166,12 @@ object Exif {
     None
   }
 
-  /** Parse a TIFF block's IFD0. Returns (byte order "II"/"MM", tags) or
-    * None on structural corruption. */
+  /** Parse a TIFF block: IFD0, then (when IFD0 carries the 0x8769
+    * pointer) the Exif SUB-IFD — one level, the TIFF/EP shape real
+    * cameras write (GPS/Interop pointers would walk the same way). The
+    * pointer entry itself is structural and is NOT emitted as a tag.
+    * Returns (byte order "II"/"MM", tags) or None on structural
+    * corruption. */
   def parseTiff(t: Array[Byte]): Option[(String, Seq[ExifTag])] = {
     if (t.length < 8) return None
     val le =
@@ -161,39 +185,53 @@ object Exif {
       if (le) (0 to 3).map(i => (t(at + i) & 0xFFL) << (8 * i)).sum
       else (0 to 3).map(i => (t(at + i) & 0xFFL) << (8 * (3 - i))).sum
     if (u16(2) != 42) return None
-    val ifd = u32(4)
-    if (ifd < 8 || ifd + 2 > t.length) return None
-    val n = u16(ifd.toInt)
-    val base = ifd.toInt + 2
-    if (base + 12 * n + 4 > t.length) return None
     val tags = Seq.newBuilder[ExifTag]
-    var k = 0
-    while (k < n) {
-      val e = base + 12 * k
-      val tag = u16(e); val typ = u16(e + 2); val count = u32(e + 4)
-      val size = typ match {
-        case 2 => count; case 3 => 2 * count; case 4 => 4 * count; case 5 => 8 * count
-        case _ => -1L // unknown type: skip the entry, keep the walk
-      }
-      if (size >= 0) {
-        if (count > 0xFFFF) return None // insane count: structural corruption
-        val at = if (size <= 4) e + 8 else {
-          val off = u32(e + 8)
-          if (off + size > t.length) return None // offset overruns the block
-          off.toInt
+    // walk one IFD; returns Some(subIfdPointer or 0) or None on corruption
+    def walkIfd(ifdAt: Long, label: String): Option[Long] = {
+      if (ifdAt < 8 || ifdAt + 2 > t.length) return None
+      val n = u16(ifdAt.toInt)
+      val base = ifdAt.toInt + 2
+      if (base + 12 * n + 4 > t.length) return None
+      var subPtr = 0L
+      var k = 0
+      while (k < n) {
+        val e = base + 12 * k
+        val tag = u16(e); val typ = u16(e + 2); val count = u32(e + 4)
+        if (tag == ExifIfdPointer && typ == 4 && count == 1 && label == "ifd0") {
+          subPtr = u32(e + 8) // structural pointer, not a graded tag
+        } else {
+          val size = typ match {
+            case 2 => count; case 3 => 2 * count; case 4 => 4 * count; case 5 => 8 * count
+            case _ => -1L // unknown type: skip the entry, keep the walk
+          }
+          if (size >= 0) {
+            if (count > 0xFFFF) return None // insane count: structural corruption
+            val at = if (size <= 4) e + 8 else {
+              val off = u32(e + 8)
+              if (off + size > t.length) return None // offset overruns the block
+              off.toInt
+            }
+            val value = typ match {
+              case 2 => new String(t, at, count.toInt, US_ASCII).stripSuffix("\u0000")
+              case 3 => (0 until count.toInt).map(i => u16(at + 2 * i)).mkString(",")
+              case 4 => (0 until count.toInt).map(i => u32(at + 4 * i)).mkString(",")
+              case 5 => (0 until count.toInt)
+                .map(i => s"${u32(at + 8 * i)}/${u32(at + 8 * i + 4)}").mkString(",")
+            }
+            tags += ExifTag(label, tag, typ, count, value)
+          }
         }
-        val value = typ match {
-          case 2 => new String(t, at, count.toInt, US_ASCII).stripSuffix("\u0000")
-          case 3 => (0 until count.toInt).map(i => u16(at + 2 * i)).mkString(",")
-          case 4 => (0 until count.toInt).map(i => u32(at + 4 * i)).mkString(",")
-          case 5 => (0 until count.toInt)
-            .map(i => s"${u32(at + 8 * i)}/${u32(at + 8 * i + 4)}").mkString(",")
-        }
-        tags += ExifTag(tag, typ, count, value)
+        k += 1
       }
-      k += 1
+      Some(subPtr)
     }
-    Some((if (le) "II" else "MM", tags.result()))
+    walkIfd(u32(4), "ifd0") match {
+      case None => None
+      case Some(0L) => Some((if (le) "II" else "MM", tags.result()))
+      case Some(sub) =>
+        if (walkIfd(sub, "exif").isEmpty) None
+        else Some((if (le) "II" else "MM", tags.result()))
+    }
   }
 
   /** EXIF of a JPEG payload, or None (no APP1 / corrupt IFD). */
@@ -221,15 +259,26 @@ object Exif {
     Entry(0x011A, Rational(floorMod(id, 300) + 1, 25)),
     Entry(0x0132, Ascii(f"2026:01:01 00:00:${floorMod(id, 60)}%02d")))
 
+  /** Closed-form Exif SUB-IFD per id: the capture metadata cameras put
+    * behind the 0x8769 pointer — ExposureTime and FNumber (RATIONAL),
+    * ISO (SHORT), and a spilled-ASCII LensModel. */
+  def fxSubEntries(id: Long): Seq[Entry] = Seq(
+    Entry(0x829A, Rational(1, floorMod(id, 250) + 1)),
+    Entry(0x829D, Rational(floorMod(id, 60) + 10, 10)),
+    Entry(0x8827, Shorts(Seq(100 + floorMod(id, 8).toInt * 50))),
+    Entry(0xA434, Ascii(s"lens-${floorMod(id, 30)}")))
+
   /** The REAL baseline-JPEG fixture with its EXIF planted after SOI —
-    * the full camera-file shape (metadata + entropy-coded scan). */
+    * the full camera-file shape (metadata + entropy-coded scan),
+    * IFD0 plus the pointed-to Exif sub-IFD. */
   def syntheticJpegWithExif(id: Long): Array[Byte] =
     withApp1(Multimodal.syntheticJpegScan(id),
-      app1Bytes(fxLittleEndian(id), fxEntries(id)))
+      app1Bytes(fxLittleEndian(id), fxEntries(id), fxSubEntries(id)))
 
   /** Graded query: EXIF round trip through real JPEG bytes — one row
-    * per IFD0 entry, byte order carried per asset. Partition-wise
-    * flatMap like every media decode. */
+    * per entry of BOTH IFDs (ifd0 and the pointed-to exif sub-IFD),
+    * byte order carried per asset. Partition-wise flatMap like every
+    * media decode. */
   def jpegExifQuery(spark: org.apache.spark.sql.SparkSession,
                     docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -237,10 +286,10 @@ object Exif {
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         parseExif(syntheticJpegWithExif(id)).iterator.flatMap { case (bo, tags) =>
-          tags.map(t => (id, bo, t.tag.toLong, t.ttype.toLong, t.n_values, t.value))
+          tags.map(t => (id, bo, t.ifd, t.tag.toLong, t.ttype.toLong, t.n_values, t.value))
         }
       })
-      .toDF("media_id", "byte_order", "tag", "ttype", "n_values", "value")
+      .toDF("media_id", "byte_order", "ifd", "tag", "ttype", "n_values", "value")
       .orderBy("media_id", "tag")
   }
 }

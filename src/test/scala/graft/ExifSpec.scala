@@ -69,7 +69,13 @@ class ExifSpec extends SparkSpec {
     val withExif = Exif.syntheticJpegWithExif(id)
     assert(Exif.parseExif(plain).isEmpty) // no APP1 in the plain fixture
     val (bo, tags) = Exif.parseExif(withExif).get
-    assert(bo == "MM" && tags.length == 6) // id 7 is odd → Motorola
+    // id 7 is odd → Motorola; 6 IFD0 tags + 4 sub-IFD tags (the 0x8769
+    // pointer is structural — it is followed, never emitted as a row)
+    assert(bo == "MM" && tags.length == 10)
+    assert(tags.count(_.ifd == "ifd0") == 6 && tags.count(_.ifd == "exif") == 4)
+    assert(!tags.exists(_.tag == Exif.ExifIfdPointer))
+    assert(tags.find(_.tag == 0x8827).get.value == "450") // ISO, in the sub-IFD
+    assert(tags.find(_.tag == 0x829A).get.value == "1/8") // ExposureTime
     // the decoder must still decode pixels identically around the APP1
     val a = Jpeg.decode(plain).get; val b = Jpeg.decode(withExif).get
     assert(a.width == b.width && a.height == b.height && a.rgb.toSeq == b.rgb.toSeq)
