@@ -98,6 +98,10 @@ object Plans {
     "q_moments" -> "one hash aggregation with map-side partials; four integer power sums per group cross the exchange, the DECIMAL(38,0) moment algebra is post-agg projection",
     "pipeline_crawl_frontier" -> "links + sitemap are per-row projections; the robots gate is a closed-form when-chain (NO join of any kind in the plan); the only shuffle is the canonical-url frontier hash agg — no SinglePartition, no window",
     "src_avro" -> "binaryFile scan → per-container decode (one task per file); OCF carries no column stats so the filter applies post-decode — scan-shaped, no shuffle before the presentation sort",
+    "url_politeness" -> "frontier agg feeds ONE host-partitioned window (hashpartitioning(host) — spreads at crawl scale, no SinglePartition); wave arithmetic is projection",
+    "url_robots_parsed" -> "per-host rule frame (flatMap over DISTINCT sources) broadcasts into the left prefix-join; RFC winner is the integer-keyed argmax aggregation, no window",
+    "url_robots_wildcard" -> "compiled-regex rules broadcast into the left pattern-join; same octet-length argmax — literal and wildcard rules rank on one scale",
+    "text_bbpe_encode" -> "byte-hex word table trains in ceil(merges/batch) scans; encode is ONE equi-join of the token stream against the vocab-sized segmentation table, order recovered in the doc-keyed agg",
   )
 
   def main(args: Array[String]): Unit = {

@@ -139,7 +139,18 @@ object ScaleBench {
       "url_sitemap" -> SparkEntry.queries("url_sitemap"),
       "text_luhn_scrub" -> SparkEntry.queries("text_luhn_scrub"),
       "pipeline_crawl_frontier" -> SparkEntry.queries("pipeline_crawl_frontier"),
-      "src_avro" -> SparkEntry.queries("src_avro"))
+      "src_avro" -> SparkEntry.queries("src_avro"),
+      // late round-15: the politeness window (host-keyed), the streamed
+      // frontier drain (seen-set state = distinct canonical URLs), the
+      // parsed/wildcard robots gates (per-row), byte-level BPE (distinct-
+      // word bounded like the other subword families), animated GIF
+      // (per-row multi-frame decode)
+      "url_politeness" -> SparkEntry.queries("url_politeness"),
+      "stream_frontier" -> SparkEntry.queries("stream_frontier"),
+      "url_robots_parsed" -> SparkEntry.queries("url_robots_parsed"),
+      "url_robots_wildcard" -> SparkEntry.queries("url_robots_wildcard"),
+      "text_bbpe_encode" -> SparkEntry.queries("text_bbpe_encode"),
+      "mm_gif_anim" -> SparkEntry.queries("mm_gif_anim"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
