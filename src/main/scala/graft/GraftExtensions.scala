@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, NfcNormalize, PolyHash, TokenShingles, TokenizeText}
+import graft.functions.{DotProduct, NfcNormalize, NfkcNormalize, PolyHash, TokenShingles, TokenizeText}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction(fn("nfc_normalize", classOf[NfcNormalize],
       exprs => NfcNormalize(exprs.head)))
+    e.injectFunction(fn("nfkc_normalize", classOf[NfkcNormalize],
+      exprs => NfkcNormalize(exprs.head)))
   }
 }

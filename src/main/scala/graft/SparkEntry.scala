@@ -1132,6 +1132,11 @@ object SparkEntry {
     // compose back, shrinking the codepoint count to the original
     "text_normalize" -> ((s, d) =>
       TextStats.normalizeReport(Tables.documents(s, d))),
+    // NFKC compatibility fold (ligatures, fullwidth forms, roman
+    // numerals, unit signs — what NFC deliberately leaves alone): the
+    // salt's image is a known constant, so the claim is closed-form
+    "text_nfkc" -> ((s, d) =>
+      TextStats.nfkcReport(Tables.documents(s, d))),
     // DSIR importance resampling: hashed unigram+bigram log-ratio
     // weights against the English-target distribution, top-N selection
     // via the two-phase global rank
@@ -3111,6 +3116,16 @@ object SparkEntry {
         |  length(dt) AS n_decomposed, length(nfc_normalize(dt)) AS n_norm,
         |  length(nfc_normalize(dt)) < length(dt) AS composed
         |FROM d ORDER BY doc_id""".stripMargin,
+    // DuckDB has no NFKC; the planted compatibility salt's image is a
+    // known constant (ﬁ→fi, fullwidth→ASCII, Ⅻ→XII, ㎞→km, e+́→é), and
+    // the ASCII corpus text is NFKC-invariant — so the normalized text
+    // is literally text || the image. Salt = 19 code points, image 22.
+    "text_nfkc" ->
+      """SELECT doc_id,
+        |  text || ' file?3 XII km Hello é' AS norm_text,
+        |  (length(text) + 19)::BIGINT AS n_in,
+        |  (length(text) + 22)::BIGINT AS n_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_html_extract" -> OracleSql.htmlExtract,
     "text_html_blocks" -> OracleSql.htmlBlocks,
     // closed-form resolution ground truth per anchor class

@@ -1083,4 +1083,27 @@ object TextStats {
         col("n_norm"), col("composed"))
       .orderBy(idCol)
   }
+
+  /** NFKC salt: a ligature (ﬁ), fullwidth punctuation/digit/letters, a
+    * roman numeral, a unit sign, and a decomposed é — every
+    * compatibility class NFKC must fold, each with a KNOWN constant
+    * image (the oracle concatenates the image literally; DuckDB has no
+    * NFKC to call). 19 code points in, 22 out. */
+  val NfkcSalt: String =
+    " \uFB01le\uFF1F\uFF13 \u216B \u339E \uFF28\uFF45\uFF4C\uFF4C\uFF4F e\u0301"
+
+  /** Graded query: NFKC compatibility normalization over the salted
+    * corpus — the corpus text is ASCII (NFKC-invariant), so the
+    * normalized text is exactly `text ++ NFKC(salt)`, closed-form. Pure
+    * per-row codegen expression, zero shuffle. */
+  def nfkcReport(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val salted = concat(col(textCol), lit(NfkcSalt))
+    docs.select(col(idCol),
+        graft.functions.nfkc_normalize(salted).as("norm_text"),
+        length(salted).cast("long").as("n_in"))
+      .withColumn("n_out", length(col("norm_text")).cast("long"))
+      .select(col(idCol), col("norm_text"), col("n_in"), col("n_out"))
+      .orderBy(idCol)
+  }
 }

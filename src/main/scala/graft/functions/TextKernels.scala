@@ -144,6 +144,14 @@ object TextKernels {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  /** NFKC compatibility normalization; same identity fast path. */
+  def nfkc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFKC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+  }
+
   def shingles(u: UTF8String, k: Int): ArrayData = {
     val toks = tokenListU(u)
     val seen = new java.util.LinkedHashSet[String]()
@@ -188,6 +196,24 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** Column expression: Unicode NFKC COMPATIBILITY normalization — what
+  * NFC deliberately leaves alone: ligatures decompose (U+FB01 -> "fi"),
+  * fullwidth/halfwidth forms fold to ASCII (the CJK-adjacent web's
+  * punctuation and digits), roman numerals and unit signs expand
+  * (U+216B -> "XII", U+339E -> "km"), and canonical composition still
+  * applies. THE text-cleanup pass of multilingual training pipelines —
+  * fullwidth "３" and ASCII "3" must be one token. Same allocation-free
+  * fast path as NFC for already-normalized (ASCII-dominant) text. */
+case class NfkcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfkc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfkc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
     copy(child = newChild)
 }
 

@@ -35,6 +35,11 @@ package object functions {
   def nfc_normalize(c: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
 
+  /** Codegen'd Unicode NFKC compatibility normalization (see
+    * [[NfkcNormalize]]). */
+  def nfkc_normalize(c: Column): Column =
+    ExpressionUtils.column(NfkcNormalize(ExpressionUtils.expression(c)))
+
   /** O(1) membership of a string column in a literal key set (see
     * [[InLiteralSet]]). */
   def in_literal_set(c: Column, keys: Seq[String]): Column =
@@ -58,5 +63,7 @@ package object functions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfkc_normalize", exprs => NfkcNormalize(exprs.head), "built-in")
   }
 }

@@ -64,6 +64,35 @@ class FunctionsSpec extends SparkSpec {
       == "\u00e9")
   }
 
+  test("nfkc_normalize: compatibility folds NFC leaves alone; identity fast path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(s: String): String =
+      graft.functions.TextKernels.nfkc(UTF8String.fromString(s)).toString
+    assert(k("\ufb01le") == "file")          // ligature \ufb01
+    assert(k("\uff13\uff1f") == "3?")        // fullwidth digit + punctuation
+    assert(k("\u216b") == "XII")             // roman numeral
+    assert(k("\u339e") == "km")              // unit sign
+    assert(k("\uff28\uff45\uff4c\uff4c\uff4f") == "Hello") // fullwidth letters
+    assert(k("e\u0301") == "\u00e9") // canonical composition still applies
+    // NFC must leave all of those ALONE \u2014 the two forms are different ops
+    def c(s: String): String =
+      graft.functions.TextKernels.nfc(UTF8String.fromString(s)).toString
+    assert(c("\ufb01le") == "\ufb01le" && c("\uff13") == "\uff13" &&
+      c("\u339e") == "\u339e")
+    // already-NFKC input returns the SAME object (no allocation)
+    val ascii = UTF8String.fromString("plain ascii 123")
+    assert(graft.functions.TextKernels.nfkc(ascii) eq ascii)
+    // SQL + extension registration
+    graft.functions.registerSql(spark)
+    assert(spark.sql("SELECT nfkc_normalize('\uff13\ufb01') AS n").as[String].head()
+      == "3fi")
+    // null-safe through a real codegen plan
+    val out = Seq(Some("\uff41bc"), None).toDF("s")
+      .select(graft.functions.nfkc_normalize(col("s")).as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("abc"), None))
+  }
+
   test("dot_product == sequential zip_with/aggregate fold, bit-identical") {
     val df = Seq((Array(0.1, 0.2, 0.3, 1e-17), Array(3.0, 2.0, 1.0, 1.0)))
       .toDF("a", "b")
