@@ -413,6 +413,9 @@ object SparkEntry {
     // byte-level BPE (GPT lineage — the 4th subword family): UTF-8
     // bytes as hex symbols, multi-byte salt words split across symbols
     "text_bbpe_encode" -> ((s, d) => ext.ByteBpe.encodeCorpus(Tables.documents(s, d), 8)),
+    // losslessness of the byte pipeline: decode(encode(x)) == the exact
+    // in-universe token stream, graded against tokens derived directly
+    "text_bbpe_decode" -> ((s, d) => ext.ByteBpe.decodeCorpus(Tables.documents(s, d), 8)),
     // tokenizer fertility per language (subwords per word under the
     // trained vocabulary) — the cross-lingual tokenizer-quality report
     "text_bpe_fertility" -> ((s, d) =>
@@ -2110,6 +2113,20 @@ object SparkEntry {
     "text_bpe_vocab" -> OracleSql.bpeSubwords(8),
     "text_bpe_encode" -> OracleSql.bpeEncode(8),
     "text_bbpe_encode" -> OracleSql.byteBpeEncode(8),
+    // the decode twin never needs the trainer: ground truth is the
+    // in-universe token stream straight from the salted text
+    "text_bbpe_decode" ->
+      """WITH bdocs AS (
+        |  SELECT doc_id, text || ' protégé cafés naïve' AS text FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_transform(
+        |           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''),
+        |           x -> lower(regexp_replace(x, '[^\p{L}\p{N}]+', '', 'g'))) AS toks
+        |  FROM bdocs)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(toks, x -> regexp_matches(x, '^[a-zé0-9ï]+$')), ' ')
+        |    AS decoded
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_bpe_fertility" ->
       s"""WITH enc AS (
          |${OracleSql.bpeEncode(8)}),

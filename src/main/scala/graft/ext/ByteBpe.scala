@@ -59,6 +59,25 @@ object ByteBpe {
     Bpe.encodeSegmented(salted, words, WordRe)
   }
 
+  /** Graded query: LOSSLESSNESS of the whole byte pipeline — the
+    * encoded stream decodes back to the exact in-universe token stream.
+    * Reconstruction is pure column work: strip the spaces (symbol
+    * boundaries are not byte boundaries once merged), split on the end
+    * marks, hex-decode each word's byte run, rejoin. Any fault anywhere
+    * in tokenize → byte-split → merge → encode-join → order-recovery
+    * breaks the equality. */
+  def decodeCorpus(docs: DataFrame, merges: Int,
+                   batch: Int = Bpe.DefaultBatch): DataFrame =
+    encodeCorpus(docs, merges, batch)
+      .select(col("doc_id"),
+        array_join(
+          transform(
+            filter(split(regexp_replace(col("segmented"), " ", ""),
+              Bpe.EndMark), h => h =!= ""),
+            h => decode(unhex(h), "UTF-8")),
+          " ").as("decoded"))
+      .orderBy("doc_id")
+
   /** The learned merge table over the salted corpus (byte symbols). */
   def mergeTable(docs: DataFrame, merges: Int,
                  batch: Int = Bpe.DefaultBatch): DataFrame = {
