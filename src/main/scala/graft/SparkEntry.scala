@@ -119,6 +119,14 @@ object SparkEntry {
       graft.sources.Ingest.csvRoundTrip(s, Tables.documents(s, d), d)),
     "src_jsonl" -> ((s, d) =>
       graft.sources.Ingest.jsonlRoundTrip(s, Tables.documents(s, d), d)),
+    // gzip-coded JSONL shards (the .json.gz wire shape 100-TB corpora
+    // ship; gzip unsplittable -> shard sizing IS the parallelism knob)
+    "src_jsonl_gz" -> ((s, d) =>
+      graft.sources.Ingest.jsonlGzRoundTrip(s, Tables.documents(s, d), d)),
+    // whole-file JSON arrays (API dumps): multiLine parse, one document
+    // per file, records spanning real newlines
+    "src_json_multiline" -> ((s, d) =>
+      graft.sources.Ingest.jsonMultilineRoundTrip(s, Tables.documents(s, d), d)),
     // ORC round trip over the same adversarial frame, with a selective
     // predicate that must reach the ORC scan pushed (stripe-skipping is
     // the format's 100-TB point; PlanSpec asserts PushedFilters)
@@ -1307,6 +1315,21 @@ object SparkEntry {
         |  END AS raw
         |FROM documents ORDER BY raw""".stripMargin,
     "src_jsonl" ->
+      """SELECT doc_id, text,
+        |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
+        |  nullif(lang, 'es') AS lang_or_null,
+        |  n_chars,
+        |  n_chars / 4.0 AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // compression and array framing are transparent to the frame
+    "src_jsonl_gz" ->
+      """SELECT doc_id, text,
+        |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
+        |  nullif(lang, 'es') AS lang_or_null,
+        |  n_chars,
+        |  n_chars / 4.0 AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_json_multiline" ->
       """SELECT doc_id, text,
         |  'q"' || substr(text, 1, 10) || '",' || chr(10) || lang || 'é—☃' AS tricky,
         |  nullif(lang, 'es') AS lang_or_null,

@@ -193,4 +193,64 @@ object Ingest {
       .json(path)
       .orderBy("doc_id")
   }
+
+  /** GZIP-compressed JSONL round trip — the wire shape 100-TB text
+    * corpora actually ship (per-shard .json.gz): the WRITE lands
+    * gzip-coded shards via the output codec, the read decompresses by
+    * file extension. The scale caveat is the point and is documented
+    * here deliberately: gzip is NOT splittable, so one shard = one task
+    * whatever its size — shard sizing (many mid-size files) is the
+    * parallelism knob, exactly how this writer lands 4 shards. Framing
+    * adversarial content is the same JSONL escape grammar. */
+  def jsonlGzRoundTrip(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val path = landingDir(spark, sfDir, "jsonlgz")
+    adversarialFrame(docs)
+      .repartition(4)
+      .write.option("compression", "gzip").json(path)
+    val files = new java.io.File(path).listFiles()
+    require(files != null && files.exists(_.getName.endsWith(".json.gz")),
+      "landing must be .json.gz shards")
+    spark.read.schema(roundTripSchema)
+      .option("mode", "FAILFAST")
+      .json(path)
+      .orderBy("doc_id")
+  }
+
+  /** MULTI-LINE JSON round trip — whole-file JSON ARRAYS (the API-dump
+    * wire shape: one `[ {...}, {...} ]` document per file, records
+    * spanning lines), NOT line-delimited. Spark must parse each file as
+    * ONE document (`multiLine`), so like gzip the file is the unit of
+    * parallelism — the writer lands one array per partition for
+    * exactly that reason. Pretty-printed with real newlines inside the
+    * array so a line-based reader cannot fake it. */
+  def jsonMultilineRoundTrip(spark: SparkSession, docs: DataFrame,
+                             sfDir: String): DataFrame = {
+    val path = landingDir(spark, sfDir, "jsonarr")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    adversarialFrame(docs)
+      .repartition(4, col("doc_id"))
+      .toJSON
+      .foreachPartition { (rows: Iterator[String]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val target = java.nio.file.Paths.get(path, f"part-$pid%05d.json")
+        val w = java.nio.file.Files.newBufferedWriter(target)
+        try {
+          w.write("[\n")
+          var first = true
+          rows.foreach { r =>
+            if (!first) w.write(",\n")
+            // break each record across TWO lines (after the opening
+            // brace) — a line-based JSONL reader then sees invalid JSON
+            // on every line; only a true multiLine parse recovers
+            w.write("  {\n    "); w.write(r.substring(1))
+            first = false
+          }
+          w.write("\n]\n")
+        } finally w.close()
+      }
+    spark.read.schema(roundTripSchema)
+      .option("multiLine", "true")
+      .json(path)
+      .orderBy("doc_id")
+  }
 }

@@ -45,6 +45,36 @@ class IngestSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("gzip JSONL: really gzip on disk, lossless through the codec") {
+    val got = asTuples(Ingest.jsonlGzRoundTrip(spark, gnarly, "/tmp/ingest_spec_jgz"))
+    assert(got == asTuples(Ingest.adversarialFrame(gnarly)))
+    // the shards really are gzip (magic bytes), not plain text renamed
+    val dir = new java.io.File(
+      s"/tmp/graft_ingest_${spark.sparkContext.applicationId}_" +
+        "_tmp_ingest_spec_jgz/jsonlgz")
+    val shard = dir.listFiles().filter(_.getName.endsWith(".json.gz")).head
+    val head = java.nio.file.Files.readAllBytes(shard.toPath).take(2)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+  }
+
+  test("multiLine JSON arrays: one document per file, records span real newlines") {
+    val got = asTuples(Ingest.jsonMultilineRoundTrip(spark, gnarly, "/tmp/ingest_spec_jarr"))
+    assert(got == asTuples(Ingest.adversarialFrame(gnarly)))
+    val dir = new java.io.File(
+      s"/tmp/graft_ingest_${spark.sparkContext.applicationId}_" +
+        "_tmp_ingest_spec_jarr/jsonarr")
+    val f = dir.listFiles().filter(_.getName.endsWith(".json")).head
+    val body = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(body.trim.startsWith("[") && body.trim.endsWith("]"))
+    assert(body.count(_ == '\n') > 2, "records must span real newlines")
+    // a line-based reader CANNOT parse this shape: the default (JSONL)
+    // read of the same dir must not reproduce the frame
+    val lineRead = spark.read.schema(Ingest.roundTripSchema)
+      .json(dir.toString)
+    assert(lineRead.filter(col("doc_id").isNotNull).count() <
+      Ingest.adversarialFrame(gnarly).count())
+  }
+
   test("reads use the explicit schema, not inference") {
     val back = Ingest.csvRoundTrip(spark, gnarly, "/tmp/ingest_spec_schema")
     assert(back.schema == Ingest.roundTripSchema)
