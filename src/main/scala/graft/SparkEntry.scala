@@ -549,6 +549,11 @@ object SparkEntry {
     // re-announced by a later wave never re-lands
     "stream_frontier" -> ((s, d) =>
       streaming.EventsStream.frontierStreamLanded(s, d)),
+    // one full crawl CYCLE: wave-1 frontier -> fetch -> extract ->
+    // gate -> wave-2 minus the wave-1 seen-set (self-links die, the
+    // blocked deeper link dies, the hub link collapses to one row)
+    "pipeline_crawl_cycle" -> ((s, d) =>
+      ext.Frontier.crawlCycle(Tables.documents(s, d))),
     "pipeline_split" -> ((s, d) =>
       ext.TrainingPipeline.assignSplits(Tables.documents(s, d))),
     // leakage-safe variant: split buckets hash the near-dup CLUSTER id
@@ -1442,6 +1447,26 @@ object SparkEntry {
         |    (doc_id % 5 IN (1, 2)) AS allowed
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // wave-2 ground truth: each wave-1 page contributes its unique
+    // /next deeper link (n_refs 1); the hub link collapses to one row
+    // referenced by the whole wave-1 population; the blocked and self
+    // links never appear
+    "pipeline_crawl_cycle" ->
+      s"""WITH $frontierCandSql,
+        |wave1 AS (
+        |  SELECT c.canonical_url, c.path,
+        |    regexp_extract(c.canonical_url, '^https?://([^/]+)', 1) AS host
+        |  FROM cand c JOIN gate g ON c.path = g.path
+        |  WHERE g.allowed
+        |  GROUP BY 1, 2, 3)
+        |SELECT canonical_url, path, matched_rule, n_refs FROM (
+        |  SELECT 'https://' || host || '/next' || path AS canonical_url,
+        |    '/next' || path AS path, '/' AS matched_rule, 1::BIGINT AS n_refs
+        |  FROM wave1
+        |  UNION ALL
+        |  SELECT 'https://hub.example/home', '/home', '/',
+        |    count(*)::BIGINT FROM wave1)
+        |ORDER BY canonical_url""".stripMargin,
     // streamed frontier: the landed union across micro-batches must be
     // exactly the batch frontier's distinct gated set
     "stream_frontier" ->

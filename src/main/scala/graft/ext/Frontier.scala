@@ -120,6 +120,55 @@ object Frontier {
       .orderBy("canonical_url")
   }
 
+  /** Closed-form FETCHED page for one frontier URL (the "fetch" stage
+    * of the crawl loop): a deeper same-host link (`/next` + path), a
+    * robots-BLOCKED link, the cross-page hub link every page carries,
+    * and a SELF link back to the fetched URL (the classic loop trap —
+    * wave 2 must drop it against the wave-1 seen-set). */
+  def fetchedHtml(canonicalUrl: Column, path: Column): Column = concat(
+    lit("<html><body><p>fetched "), path, lit("</p>"),
+    lit("<a href=\"/next"), path, lit("\">deeper</a> "),
+    lit("<a href=\"/search/again\">blocked</a> "),
+    lit("<a href=\"https://hub.example/home\">hub</a> "),
+    lit("<a href=\""), canonicalUrl, lit("\">self</a>"),
+    lit("</body></html>"))
+
+  /** The full crawl LOOP, one cycle in one declarative plan: the wave-1
+    * frontier (the graded `pipeline_crawl_frontier` chain) → FETCH
+    * (closed-form page per allowed URL) → link extraction against each
+    * page's own base URL → canonicalize → the SAME robots gate → wave-2
+    * dedup MINUS the wave-1 seen-set (a left anti join — the batch form
+    * of `stream_frontier`'s dropDuplicates state). The loop hazards
+    * under grade: a self-link must die against the seen-set, the
+    * blocked deeper link at the gate, and the hub link every page
+    * carries must collapse to ONE wave-2 row whose n_refs is the whole
+    * wave-1 population.
+    *
+    * Scale shape: wave 1's agg + one anti-join on the canonical URL +
+    * wave 2's agg — all keyed on the high-cardinality URL; the fetch
+    * and extraction stages are per-row projections. */
+  def crawlCycle(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val wave1 = crawlFrontier(docs, idCol)
+      .select(col("canonical_url"), col("path"))
+    val pages = wave1
+      .withColumn("page_id", xxhash64(col("canonical_url")))
+      .withColumn("base_url", col("canonical_url"))
+      .withColumn("html", fetchedHtml(col("canonical_url"), col("path")))
+    val cand2 = Html.links(pages, htmlCol = "html", baseCol = "base_url",
+        idCol = "page_id")
+      .select(col("url"))
+      .withColumn("canonical_url", Urls.canonicalizeUrl(col("url")))
+      .withColumn("path", pathOf(col("canonical_url")))
+      .withColumn("__rule", Urls.robotsRuleExpr(col("path")))
+      .filter(col("__rule.allow") === 1)
+    cand2
+      .join(wave1.select(col("canonical_url")), Seq("canonical_url"), "left_anti")
+      .groupBy(col("canonical_url"), col("path"),
+        col("__rule.prefix").as("matched_rule"))
+      .agg(count(lit(1)).as("n_refs"))
+      .orderBy("canonical_url")
+  }
+
   /** Politeness scheduling over the deduped frontier — the step between
     * "what may we fetch" and "when": a crawler must not hammer one
     * host, so fetches are issued in WAVES of at most `perHostSlots`

@@ -146,6 +146,25 @@ class FrontierSpec extends SparkSpec {
     assert(search.nonEmpty && search.forall(r => r._3 == "/search" && !r._4))
   }
 
+  test("crawl cycle: self-links die at the seen-set, blocked links at the gate, hub collapses") {
+    val wave1 = frontier.select("canonical_url").as[String].collect().toSet
+    val wave2 = Frontier.crawlCycle(docs)
+      .select("canonical_url", "path", "n_refs")
+      .as[(String, String, Long)].collect().toSeq
+    // no wave-2 URL was already fetched in wave 1 (the self-link trap)
+    assert(wave2.forall(r => !wave1.contains(r._1)))
+    // the blocked deeper link never appears
+    assert(!wave2.exists(_._2.startsWith("/search")))
+    // every page's unique deeper link survives with exactly one referrer
+    val nexts = wave2.filter(_._2.startsWith("/next"))
+    assert(nexts.size == wave1.size && nexts.forall(_._3 == 1L))
+    // the hub link every page carries collapses to ONE row whose
+    // referrer count is the whole wave-1 population
+    val hub = wave2.filter(_._1 == "https://hub.example/home")
+    assert(hub.size == 1 && hub.head._3 == wave1.size.toLong)
+    assert(wave2.size == wave1.size + 1)
+  }
+
   test("robots pattern translation: *, $, metacharacter escaping") {
     assert(Urls.robotsPatternRegex("/*.json$") == "^/.*\\.json$")
     assert(Urls.robotsPatternRegex("/api/*/open") == "^/api/.*/open")
