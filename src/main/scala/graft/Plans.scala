@@ -102,6 +102,8 @@ object Plans {
     "url_robots_parsed" -> "per-host rule frame (flatMap over DISTINCT sources) broadcasts into the left prefix-join; RFC winner is the integer-keyed argmax aggregation, no window",
     "url_robots_wildcard" -> "compiled-regex rules broadcast into the left pattern-join; same octet-length argmax — literal and wildcard rules rank on one scale",
     "text_bbpe_encode" -> "byte-hex word table trains in ceil(merges/batch) scans; encode is ONE equi-join of the token stream against the vocab-sized segmentation table, order recovered in the doc-keyed agg",
+    "pipeline_crawl_cycle" -> "wave-1 agg → per-page fetch/extract projections → ONE left anti join on the canonical URL (the seen-set) → wave-2 hash agg; no window, no cartesian, everything URL-keyed",
+    "text_nfkc" -> "one codegen'd NFKC expression in a pure projection — zero shuffle before the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

@@ -150,7 +150,16 @@ object ScaleBench {
       "url_robots_parsed" -> SparkEntry.queries("url_robots_parsed"),
       "url_robots_wildcard" -> SparkEntry.queries("url_robots_wildcard"),
       "text_bbpe_encode" -> SparkEntry.queries("text_bbpe_encode"),
-      "mm_gif_anim" -> SparkEntry.queries("mm_gif_anim"))
+      "mm_gif_anim" -> SparkEntry.queries("mm_gif_anim"),
+      // final round-15 batch: NFKC fold + bbpe decode (per-row), the
+      // JSON wire shapes (Θ(bytes) round trips), the crawl cycle (two
+      // url-keyed aggs + one anti-join), GIF compositing (per-row)
+      "text_nfkc" -> SparkEntry.queries("text_nfkc"),
+      "text_bbpe_decode" -> SparkEntry.queries("text_bbpe_decode"),
+      "src_jsonl_gz" -> SparkEntry.queries("src_jsonl_gz"),
+      "src_json_multiline" -> SparkEntry.queries("src_json_multiline"),
+      "pipeline_crawl_cycle" -> SparkEntry.queries("pipeline_crawl_cycle"),
+      "mm_gif_composite" -> SparkEntry.queries("mm_gif_composite"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
