@@ -29,7 +29,8 @@ object Tar {
 
   /** One ustar entry as raw bytes: header block (name, octal size,
     * verified checksum, ustar magic) + content padded to the block. */
-  def entryBytes(name: String, content: Array[Byte]): Array[Byte] = {
+  def entryBytes(name: String, content: Array[Byte],
+                 typeflag: Char = '0'): Array[Byte] = {
     require(name.getBytes(UTF_8).length < 100, s"name too long: $name")
     val header = new Array[Byte](Block)
     def put(off: Int, s: String): Unit = {
@@ -43,7 +44,7 @@ object Tar {
     put(124, f"${content.length}%011o\u0000") // size, 11-digit octal
     put(136, "00000000000\u0000") // mtime (fixed: determinism)
     java.util.Arrays.fill(header, 148, 156, ' '.toByte) // chksum spaces
-    header(156) = '0' // typeflag: regular file
+    header(156) = typeflag.toByte
     put(257, "ustar\u0000" + "00") // magic + version
     val sum = header.map(_ & 0xFF).sum
     put(148, f"$sum%06o\u0000 ")
@@ -54,6 +55,51 @@ object Tar {
     out
   }
 
+  /** One pax record `"N key=value\n"` where N is the DECIMAL byte
+    * length of the whole record including N itself, the space, and the
+    * newline (POSIX.1-2001 §pax) — self-referential, so the length is
+    * found by fixpoint. */
+  def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n".getBytes(UTF_8)
+    var len = body.length + 1 // at least one length digit
+    while (String.valueOf(len).length + body.length != len)
+      len = String.valueOf(len).length + body.length
+    (String.valueOf(len).getBytes(UTF_8) ++ body)
+  }
+
+  /** A pax EXTENDED-HEADER entry (typeflag 'x'): its content is the
+    * rendered records; it modifies the NEXT entry only. Python's
+    * tarfile has written this format by default since 3.8, so real
+    * WebDataset shards carry these. */
+  def paxEntryBytes(records: Seq[(String, String)]): Array[Byte] =
+    entryBytes("PaxHeaders.0/override",
+      records.flatMap { case (k, v) => paxRecord(k, v) }.toArray, 'x')
+
+  /** Parse a pax extended-header payload into its records — LOUD on a
+    * malformed length or a record without `=` (engine-written
+    * fixtures; a crawl reader would quarantine the shard). */
+  def parsePaxRecords(content: Array[Byte]): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var pos = 0
+    while (pos < content.length) {
+      val sp = content.indexOf(' '.toByte, pos)
+      require(sp > pos, s"pax record missing length at byte $pos")
+      val lenStr = new String(content, pos, sp - pos, UTF_8)
+      require(lenStr.forall(_.isDigit), s"bad pax length '$lenStr' at $pos")
+      val len = lenStr.toInt
+      require(len > sp - pos + 2 && pos + len <= content.length,
+        s"pax record overruns at byte $pos")
+      require(content(pos + len - 1) == '\n',
+        s"pax record not newline-terminated at byte $pos")
+      val body = new String(content, sp + 1, pos + len - 1 - (sp + 1), UTF_8)
+      val eq = body.indexOf('=')
+      require(eq > 0, s"pax record without '=' at byte $pos")
+      out += ((body.substring(0, eq), body.substring(eq + 1)))
+      pos += len
+    }
+    out.result()
+  }
+
   final case class TarEntry(name: String, content: Array[Byte])
 
   /** Walk a tar's entries, VERIFYING each header checksum; stops at the
@@ -62,6 +108,7 @@ object Tar {
   def parseEntries(bytes: Array[Byte]): Iterator[TarEntry] = new Iterator[TarEntry] {
     private var pos = 0
     private var nextE: TarEntry = _
+    private var pendingPath: String = _
     advance()
     private def octal(off: Int, len: Int): Long = {
       val s = new String(bytes, pos + off, len, UTF_8)
@@ -91,8 +138,27 @@ object Tar {
         val size = octal(124, 12).toInt
         require(pos + Block + size <= bytes.length, s"entry overruns file at $pos")
         val content = java.util.Arrays.copyOfRange(bytes, pos + Block, pos + Block + size)
+        val typeflag = bytes(pos + 156) & 0xFF
         pos += Block + (size + Block - 1) / Block * Block
-        nextE = TarEntry(name, content)
+        typeflag match {
+          case '0' | 0 => // regular file: the pax path override (if any) wins
+            nextE = TarEntry(
+              if (pendingPath != null) pendingPath else name, content)
+            pendingPath = null
+          case 'x' => // pax extended header: applies to the NEXT entry
+            parsePaxRecords(content).foreach {
+              case ("path", v) => pendingPath = v
+              case _ => () // mtime/atime/charset…: not graded surface
+            }
+            advance()
+          case 'g' => // pax GLOBAL header: parsed for well-formedness, skipped
+            parsePaxRecords(content)
+            advance()
+          case '5' => advance() // directory entry: no content, skip
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported tar typeflag '${other.toChar}' at entry '$name'")
+        }
       }
     }
     override def hasNext: Boolean = nextE != null
@@ -129,7 +195,18 @@ object Tar {
             val id = r.getLong(0)
             val json = s"""{"lang":"${r.getString(2)}","source":"${r.getString(3)}"}"""
             out.write(entryBytes(s"$id.json", json.getBytes(UTF_8)))
-            out.write(entryBytes(s"$id.txt", r.getString(1).getBytes(UTF_8)))
+            // every 13th sample's payload rides a pax LONG NAME (the
+            // >100-byte path ustar cannot hold — Python tarfile's
+            // default format); the ustar header carries a truncated
+            // DECOY name whose extension is wrong, so a reader that
+            // ignores the pax override loses the text and mismatches
+            if (id % 13 == 0) {
+              val longPath = "wds/" + ("n" * 110) + s"/$id.txt"
+              out.write(paxEntryBytes(Seq("path" -> longPath)))
+              out.write(entryBytes(s"$id.tmp", r.getString(1).getBytes(UTF_8)))
+            } else {
+              out.write(entryBytes(s"$id.txt", r.getString(1).getBytes(UTF_8)))
+            }
           }
           out.write(new Array[Byte](2 * Block)) // terminator
         } finally out.close()
@@ -148,9 +225,12 @@ object Tar {
     spark.read.format("binaryFile").load(s"$dir/*.tar")
       .select(col("content")).as[Array[Byte]]
       .mapPartitions(_.flatMap { bytes =>
-        parseEntries(bytes).toSeq.groupBy(_.name.takeWhile(_ != '.')).iterator
+        // sample key/extension come from the BASENAME (pax long names
+        // carry directories; WebDataset keys are basenames)
+        def base(n: String): String = n.substring(n.lastIndexOf('/') + 1)
+        parseEntries(bytes).toSeq.groupBy(e => base(e.name).takeWhile(_ != '.')).iterator
           .map { case (key, entries) =>
-            val byExt = entries.map(e => e.name.dropWhile(_ != '.') -> e.content).toMap
+            val byExt = entries.map(e => base(e.name).dropWhile(_ != '.') -> e.content).toMap
             val txt = byExt.getOrElse(".txt", Array.emptyByteArray)
             (key.toLong, new String(txt, UTF_8), txt.length.toLong,
               new String(byExt.getOrElse(".json", Array.emptyByteArray), UTF_8))

@@ -59,4 +59,60 @@ class TarSpec extends SparkSpec {
       }
     }
   }
+
+  test("pax extended headers: path override applies, records self-frame, globals skip") {
+    // the self-referential length fixpoint: record length includes its
+    // own digits ("20 path=/x/y.txt\n" is 17+len-digits bytes)
+    val rec = Tar.paxRecord("path", "/x/y.txt")
+    val s = new String(rec, UTF_8)
+    assert(s.endsWith("\n") && s.split(" ", 2)(0).toInt == rec.length)
+    assert(Tar.parsePaxRecords(rec) == Seq("path" -> "/x/y.txt"))
+    // a 'x' entry renames ONLY the next entry; the decoy ustar name dies
+    val longPath = "deep/" + ("d" * 120) + "/42.txt"
+    val tar = Tar.paxEntryBytes(Seq("path" -> longPath, "mtime" -> "0")) ++
+      Tar.entryBytes("42.tmp", "hello".getBytes(UTF_8)) ++
+      Tar.entryBytes("43.txt", "world".getBytes(UTF_8)) ++
+      new Array[Byte](1024)
+    val es = Tar.parseEntries(tar).toSeq
+    assert(es.map(_.name) == Seq(longPath, "43.txt"))
+    assert(es.map(e => new String(e.content, UTF_8)) == Seq("hello", "world"))
+    // a GLOBAL pax header ('g') parses for well-formedness and skips
+    val g = Tar.entryBytes("pax_global", Tar.paxRecord("comment", "x"), 'g') ++
+      Tar.entryBytes("7.txt", "z".getBytes(UTF_8)) ++ new Array[Byte](1024)
+    assert(Tar.parseEntries(g).toSeq.map(_.name) == Seq("7.txt"))
+    // directories skip; unknown typeflags are LOUD
+    val d = Tar.entryBytes("dir/", Array.emptyByteArray, '5') ++
+      Tar.entryBytes("8.txt", "q".getBytes(UTF_8)) ++ new Array[Byte](1024)
+    assert(Tar.parseEntries(d).toSeq.map(_.name) == Seq("8.txt"))
+    val bad = Tar.entryBytes("9.lnk", Array.emptyByteArray, '2') ++
+      new Array[Byte](1024)
+    val e = intercept[IllegalArgumentException](Tar.parseEntries(bad).toSeq)
+    assert(e.getMessage.contains("typeflag"))
+    // malformed pax record lengths are LOUD
+    val corrupt = Tar.entryBytes("PaxHeaders.0/x", "999 path=/a\n".getBytes(UTF_8), 'x') ++
+      Tar.entryBytes("1.txt", "t".getBytes(UTF_8), '0') ++ new Array[Byte](1024)
+    intercept[IllegalArgumentException](Tar.parseEntries(corrupt).toSeq)
+  }
+
+  test("interop: commons-compress reads our pax shards identically") {
+    // a THIRD-PARTY tar implementation must see the same entries —
+    // names (pax override applied), contents, order
+    val longPath = "wds/" + ("m" * 105) + "/5.txt"
+    val tar = Tar.entryBytes("5.json", """{"k":1}""".getBytes(UTF_8)) ++
+      Tar.paxEntryBytes(Seq("path" -> longPath)) ++
+      Tar.entryBytes("5.tmp", "payload".getBytes(UTF_8)) ++
+      Tar.entryBytes("6.txt", "tail".getBytes(UTF_8)) ++
+      new Array[Byte](1024)
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.ByteArrayInputStream(tar))
+    val theirs = Iterator.continually(tin.getNextEntry)
+      .takeWhile(_ != null)
+      .map(e => e.getName -> new String(tin.readAllBytes(), UTF_8))
+      .toSeq
+    tin.close()
+    val ours = Tar.parseEntries(tar).toSeq
+      .map(e => e.name -> new String(e.content, UTF_8))
+    assert(theirs == ours)
+    assert(ours.map(_._1) == Seq("5.json", longPath, "6.txt"))
+  }
 }
