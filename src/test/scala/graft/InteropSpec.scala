@@ -61,6 +61,32 @@ class InteropSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO decodes our baseline JPEGs within IDCT tolerance of our decoder") {
+    // JPEG decode is not bit-exact across decoders (IDCT rounding,
+    // chroma upsampling filters differ) — but two correct decoders of
+    // the SAME file must agree within a few counts per channel
+    for (id <- Seq(0L, 1L, 3L, 5L, 7L)) { // gray/444/420 × DRI variants
+      val bytes = Multimodal.syntheticJpegScan(id)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"id=$id: ImageIO rejected the JPEG")
+      val ours = graft.ext.Jpeg.decode(bytes).get
+      assert(img.getWidth == ours.width && img.getHeight == ours.height, s"id=$id dims")
+      // raw raster samples (getRGB color-converts gray through sRGB):
+      // 1-band gray compares against our red; 3-band against all three
+      val raster = img.getRaster
+      var worst = 0
+      for (y <- 0 until ours.height; x <- 0 until ours.width) {
+        val b = ours.rgb(y * ours.width + x)
+        val shifts = if (raster.getNumBands == 1) Seq(16) else Seq(16, 8, 0)
+        shifts.zipWithIndex.foreach { case (shift, band) =>
+          val d = math.abs(raster.getSample(x, y, band) - ((b >> shift) & 0xFF))
+          if (d > worst) worst = d
+        }
+      }
+      assert(worst <= 8, s"id=$id: decoders diverge by $worst counts")
+    }
+  }
+
   test("javax.sound reads our WAVs: format header and frame count per bit depth") {
     for (id <- Seq(0L, 1L, 2L, 7L, 11L)) { // all three depths
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
