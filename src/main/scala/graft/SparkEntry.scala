@@ -162,6 +162,11 @@ object SparkEntry {
     // argmax, so literal and wildcard rules rank on one scale
     "url_robots_wildcard" -> ((s, d) =>
       ext.Urls.robotsWildcardDecisions(Tables.documents(s, d))),
+    // parsed Crawl-delay drives the per-wave budget: slots = 3 - delay,
+    // delays from each source's own selected group, paths gated by the
+    // parsed rules, FIFO per source
+    "url_politeness_delay" -> ((s, d) =>
+      ext.Urls.politenessByDelay(Tables.documents(s, d))),
     // WebDataset-style tar shards: ustar headers with VERIFIED checksums,
     // block-padded entries (ids % 17 == 0 planted at exact 512 multiples
     // to pin the no-pad edge), adjacent <id>.json + <id>.txt sample pairs
@@ -1431,6 +1436,43 @@ object SparkEntry {
         |  coalesce(arg_max(prefix, key), '') AS matched_rule,
         |  coalesce(arg_max(allow, key) = 1, true) AS allowed
         |FROM m GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // delay-driven scheduling ground truth: the same parsed-rules CTEs,
+    // allowed rows ranked FIFO per source, slots = 3 - (1 + digit%2)
+    "url_politeness_delay" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, '/search' AS prefix, 0 AS allow FROM srcs
+        |  UNION ALL SELECT source, '/search/archive', 1 FROM srcs
+        |  UNION ALL SELECT source, '/api', 0 FROM srcs
+        |  UNION ALL SELECT source, '/api/v2/open', 1 FROM srcs
+        |  UNION ALL SELECT source, '/q', 0 FROM srcs
+        |    WHERE regexp_extract(source, '([0-9]+)', 1)::INT % 3 = 0),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 6 = 0 THEN '/search/archive/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 1 THEN '/search/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 2 THEN '/api/v2/open/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 3 THEN '/q/' || (doc_id % 7)
+        |         WHEN doc_id % 6 = 4 THEN '/private/' || (doc_id % 7)
+        |         ELSE '/articles/' || (doc_id % 7) END AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT u.doc_id, u.source, u.path, r.allow,
+        |    length(r.prefix) * 2 + r.allow AS key
+        |  FROM u LEFT JOIN rules r
+        |    ON u.source = r.source AND starts_with(u.path, r.prefix)),
+        |gated AS (
+        |  SELECT doc_id, source, path,
+        |    coalesce(arg_max(allow, key) = 1, true) AS allowed
+        |  FROM m GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id, source, path,
+        |        (2 - regexp_extract(source, '([0-9]+)', 1)::INT % 2)::BIGINT AS slots
+        |      FROM gated WHERE allowed)
+        |SELECT doc_id, source, path, slots,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id, path)::BIGINT AS slot,
+        |  ((row_number() OVER (PARTITION BY source ORDER BY doc_id, path) - 1)
+        |    // slots)::BIGINT AS wave
+        |FROM a ORDER BY doc_id""".stripMargin,
     // wildcard-rule ground truth, fully closed-form per path class:
     // the anchored .json$ block, the un-anchored .bak escape, the
     // wildcard allow out-ranking the literal /api, the plain /tmp

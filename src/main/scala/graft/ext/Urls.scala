@@ -186,14 +186,29 @@ object Urls {
     * longest-match gate consumes; `*`/`$` pattern rules are out of
     * scope (documented boundary — the overwhelming majority of real
     * rules are plain prefixes). */
-  def parseRobots(txt: String, agent: String): Seq[(String, Int)] = {
-    final case class Group(agents: Seq[String], rules: Seq[(String, Int)])
+  def parseRobots(txt: String, agent: String): Seq[(String, Int)] =
+    parseRobotsGroup(txt, agent)._1
+
+  /** Crawl-delay (seconds) of the agent's selected group, if any —
+    * same group-selection semantics as the rules (the decoy group's
+    * delay must not leak). Non-numeric values are ignored (the
+    * tolerant reading real crawlers use for this non-RFC directive). */
+  def parseCrawlDelay(txt: String, agent: String): Option[Int] =
+    parseRobotsGroup(txt, agent)._2
+
+  /** The selected group's (rules, crawl-delay) — see [[parseRobots]]
+    * for the group-selection semantics. */
+  def parseRobotsGroup(txt: String,
+                       agent: String): (Seq[(String, Int)], Option[Int]) = {
+    final case class Group(agents: Seq[String], rules: Seq[(String, Int)],
+                           delay: Option[Int])
     val groups = Seq.newBuilder[Group]
     var agents = Seq.empty[String]
     var rules = Seq.newBuilder[(String, Int)]
+    var delay: Option[Int] = None
     var inAgents = false // consecutive User-agent lines share one group
     def closeGroup(): Unit =
-      if (agents.nonEmpty) { groups += Group(agents, rules.result()) }
+      if (agents.nonEmpty) { groups += Group(agents, rules.result(), delay) }
     for (raw <- txt.split("\n", -1)) {
       val line = raw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
@@ -202,22 +217,27 @@ object Urls {
         val value = line.substring(colon + 1).trim
         name match {
           case "user-agent" =>
-            if (!inAgents) { closeGroup(); agents = Nil; rules = Seq.newBuilder }
+            if (!inAgents) {
+              closeGroup(); agents = Nil; rules = Seq.newBuilder; delay = None
+            }
             agents :+= value.toLowerCase
             inAgents = true
           case "allow" | "disallow" =>
             inAgents = false
             if (value.nonEmpty) rules += ((value, if (name == "allow") 1 else 0))
-          case _ => inAgents = false // Sitemap:, Crawl-delay:, unknown
+          case "crawl-delay" =>
+            inAgents = false
+            if (value.nonEmpty && value.forall(_.isDigit)) delay = Some(value.toInt)
+          case _ => inAgents = false // Sitemap:, unknown
         }
       }
     }
     closeGroup()
     val all = groups.result()
     val mine = agent.toLowerCase
-    all.find(_.agents.contains(mine))          // exact-name group wins
+    val g = all.find(_.agents.contains(mine))   // exact-name group wins
       .orElse(all.find(_.agents.contains("*"))) // else the * group
-      .map(_.rules).getOrElse(Nil)             // no group: allow-all
+    (g.map(_.rules).getOrElse(Nil), g.flatMap(_.delay))
   }
 
   /** Deterministic per-SOURCE robots.txt fixture (host = source.example)
@@ -231,8 +251,9 @@ object Urls {
     val n = regexp_extract(source, "([0-9]+)", 1).cast("int")
     concat(
       lit("# crawl policy for "), source, lit("\n"),
-      lit("User-agent: otherbot\nDisallow: /\n\n"),
+      lit("User-agent: otherbot\nDisallow: /\nCrawl-delay: 99\n\n"),
       lit("User-Agent: graftbot\n"),
+      concat(lit("Crawl-delay: "), (pmod(n, lit(2)) + 1).cast("string"), lit("\n")),
       lit("disallow: /search\n"),
       lit("Allow: /search/archive\n"),
       lit("Disallow: /api # trailing comment\n"),
@@ -354,6 +375,40 @@ object Urls {
       .select(col(idCol), col("path"),
         coalesce(col("__w.rule"), lit("")).as("matched_rule"),
         coalesce(col("__w.allow") === 1, lit(true)).as("allowed"))
+      .orderBy(idCol)
+  }
+
+  /** Graded query: politeness scheduling driven by the PARSED
+    * Crawl-delay — the composition that ties the robots parser to the
+    * wave scheduler: each source's delay (from ITS OWN robots.txt's
+    * selected group — the decoy group's delay must not leak) sets the
+    * per-wave budget (slots = 3 − delay: a 1-second host takes two
+    * fetches per wave, a 2-second host one), the PARSED per-host rules
+    * gate which paths are fetchable at all, and allowed paths rank FIFO
+    * per source. One host-partitioned window over the gated frame plus
+    * a broadcast of the host-bounded delay table. Rows:
+    * (doc_id, source, path, slots, slot, wave). */
+  def politenessByDelay(docs: DataFrame, agent: String = "graftbot",
+                        idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val delays = docs.select(col("source")).distinct()
+      .withColumn("robots_txt", robotsTxtOf(col("source")))
+      .as[(String, String)]
+      .map { case (src, txt) =>
+        (src, 3L - parseCrawlDelay(txt, agent).getOrElse(1))
+      }
+      .toDF("source", "slots")
+    val allowed = robotsParsedDecisions(docs, agent, idCol)
+      .filter(col("allowed"))
+      .select(col(idCol), col("source"), col("path"))
+    val w = Window.partitionBy(col("source")).orderBy(col(idCol), col("path"))
+    allowed.join(broadcast(delays), Seq("source"))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("wave", expr("(slot - 1) div slots"))
+      .select(col(idCol), col("source"), col("path"), col("slots"),
+        col("slot"), col("wave"))
       .orderBy(idCol)
   }
 

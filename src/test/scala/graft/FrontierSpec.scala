@@ -183,6 +183,33 @@ class FrontierSpec extends SparkSpec {
     assert(!m("/api/*/open", "/api/v3/closed"))
   }
 
+  test("crawl-delay: selected group's value only; drives the wave budget") {
+    val txt = "User-agent: otherbot\nCrawl-delay: 99\nDisallow: /\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 7\n"
+    assert(Urls.parseCrawlDelay(txt, "graftbot").contains(2)) // not 99, not 7
+    assert(Urls.parseCrawlDelay(txt, "strangebot").contains(7)) // * group
+    assert(Urls.parseCrawlDelay("User-agent: g\nDisallow: /", "g").isEmpty)
+    // non-numeric delays are tolerated and ignored
+    assert(Urls.parseCrawlDelay("User-agent: g\nCrawl-delay: fast\n", "g").isEmpty)
+    // the composed schedule: per source, slots = 3 - parsed delay, FIFO,
+    // no wave overfilled, and only parsed-gate-allowed paths scheduled
+    val sched = Urls.politenessByDelay(docs)
+      .select("source", "path", "slots", "slot", "wave")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(sched.nonEmpty)
+    for ((src, rows) <- sched.groupBy(_._1)) {
+      val digit = src.replaceAll("[^0-9]", "").toInt
+      val slots = 2L - digit % 2
+      assert(rows.forall(_._3 == slots), s"$src slots")
+      val ordered = rows.sortBy(_._4)
+      assert(ordered.map(_._4) == (1L to rows.size.toLong), s"$src slots contiguous")
+      assert(rows.groupBy(_._5).values.forall(_.size <= slots), s"$src overfilled")
+    }
+    assert(!sched.exists(r => r._2.startsWith("/search/") &&
+      !r._2.startsWith("/search/archive")))
+  }
+
   test("uppercase-scheme absolute hrefs resolve absolute (RFC 3986 §3.1)") {
     val links = ext.Html.links(
       Seq((1L, "https://a.example/d/page.html",
