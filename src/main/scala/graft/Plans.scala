@@ -104,6 +104,7 @@ object Plans {
     "text_bbpe_encode" -> "byte-hex word table trains in ceil(merges/batch) scans; encode is ONE equi-join of the token stream against the vocab-sized segmentation table, order recovered in the doc-keyed agg",
     "pipeline_crawl_cycle" -> "wave-1 agg → per-page fetch/extract projections → ONE left anti join on the canonical URL (the seen-set) → wave-2 hash agg; no window, no cartesian, everything URL-keyed",
     "text_nfkc" -> "one codegen'd NFKC expression in a pure projection — zero shuffle before the presentation sort",
+    "url_politeness_delay" -> "parsed per-host rules gate + broadcast host-bounded delay table + ONE source-partitioned window; no SinglePartition, wave arithmetic is projection",
   )
 
   def main(args: Array[String]): Unit = {
