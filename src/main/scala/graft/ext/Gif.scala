@@ -417,6 +417,10 @@ object Gif {
           // allocation-bomb guard: flipped dimension bytes must not
           // demand a multi-GB raster — degrade, never allocate blind
           if (w.toLong * h > 64000000L) return None
+          // GIF89a §20: the image rect must lie inside the logical
+          // screen; a hostile rect would index outside the compositing
+          // canvas downstream — degrade here, inside the None contract
+          if (left + w > screenW || top + h > screenH) return None
           val ipacked = u8()
           val interlaced = (ipacked & 0x40) != 0
           var framePalette = palette

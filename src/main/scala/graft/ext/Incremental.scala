@@ -167,9 +167,17 @@ object Incremental {
     // the gap — and as-of reconstruction inside the gap would resurrect
     // it. The rank table is one row per snapshot (driver-scale); its
     // global row_number window is over that tiny frame, not the corpus.
-    val granks = versions.select(col(verCol)).distinct()
-      .withColumn("__gr", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(verCol))))
+    // The rank is computed as a triangle self-join over the tiny frame
+    // (count of versions ≤ mine — a P×P join over P snapshot rows,
+    // driver-scale) rather than a global row_number window, so Spark's
+    // "no partition defined → single partition" WARN never fires and a
+    // REAL accidental global window elsewhere stays visible in bench
+    // logs.
+    val vdist = versions.select(col(verCol)).distinct()
+    val granks = vdist.as("a")
+      .join(vdist.select(col(verCol).as("__v2")).as("b"),
+        col("__v2") <= col(verCol))
+      .groupBy(col(verCol)).agg(count(lit(1)).as("__gr"))
     // Same-vs-changed is decided on (xxhash64(text), length(text)), never
     // on the text itself — the whole point of the hashed history is that
     // no snapshot is re-read. A 64-bit collision ALONE is therefore

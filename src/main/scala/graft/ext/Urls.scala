@@ -235,9 +235,15 @@ object Urls {
     closeGroup()
     val all = groups.result()
     val mine = agent.toLowerCase
-    val g = all.find(_.agents.contains(mine))   // exact-name group wins
-      .orElse(all.find(_.agents.contains("*"))) // else the * group
-    (g.map(_.rules).getOrElse(Nil), g.flatMap(_.delay))
+    // RFC 9309 §2.2.1: rules from ALL groups naming the same agent
+    // combine into one rule set (a robots.txt may split an agent's
+    // policy across non-adjacent groups); only when NO group names the
+    // agent does the * group apply — and then again every * group.
+    // Crawl-delay (non-RFC) is taken from the first matching group that
+    // defines one, deterministically.
+    val exact = all.filter(_.agents.contains(mine))
+    val chosen = if (exact.nonEmpty) exact else all.filter(_.agents.contains("*"))
+    (chosen.flatMap(_.rules), chosen.flatMap(_.delay).headOption)
   }
 
   /** Deterministic per-SOURCE robots.txt fixture (host = source.example)
@@ -245,7 +251,8 @@ object Urls {
     * group, the graftbot group with nested allow-overrides, case-mixed
     * directive names, comments, an empty Disallow, a Sitemap line, and
     * a `*` group whose `/private` rule must NOT leak into graftbot's
-    * decisions (groups never merge). Sources with digit % 3 == 0 add a
+    * decisions (the * group applies only when no group names the
+    * agent, RFC 9309 §2.2.1). Sources with digit % 3 == 0 add a
     * `Disallow: /q` — per-host policies genuinely differ. */
   def robotsTxtOf(source: Column): Column = {
     val n = regexp_extract(source, "([0-9]+)", 1).cast("int")

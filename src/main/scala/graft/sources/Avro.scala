@@ -82,7 +82,12 @@ object Avro {
         try rows.foreach { r =>
           val rec = new GenericData.Record(schema)
           rec.put("doc_id", r.getLong(0))
-          rec.put("text", if (r.isNullAt(1)) "" else r.getString(1))
+          // the Avro field is a non-null string: a null text must fail
+          // HERE, not be coerced silently and diverge from the ORC/JSONL
+          // twins at grade time
+          require(!r.isNullAt(1), s"null text for doc_id ${r.getLong(0)}: " +
+            "the avro schema declares text non-null")
+          rec.put("text", r.getString(1))
           rec.put("tricky", r.getString(2))
           rec.put("lang_or_null", if (r.isNullAt(3)) null else r.getString(3))
           rec.put("n_chars", r.getLong(4))
@@ -161,6 +166,11 @@ object Avro {
           validateContainer(bytes)
           val r = new DataFileReader(new SeekableByteArrayInput(bytes),
             new GenericDatumReader[GenericRecord](null, readerSchema))
+          // a downstream limit/take/task-failure may abandon the
+          // iterator mid-stream; the completion listener guarantees the
+          // reader (and its decompressor buffers) still close
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => r.close()))
           new Iterator[(Long, String, String, Option[String], Long, Double)] {
             def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
             def next(): (Long, String, String, Option[String], Long, Double) = {
@@ -189,6 +199,8 @@ object Avro {
           validateContainer(bytes)
           val r = new DataFileReader(new SeekableByteArrayInput(bytes),
             new GenericDatumReader[GenericRecord](null, readerSchema))
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => r.close()))
           new Iterator[(Long, Long)] {
             def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
             def next(): (Long, Long) = {

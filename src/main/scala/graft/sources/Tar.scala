@@ -153,8 +153,16 @@ object Tar {
             advance()
           case 'g' => // pax GLOBAL header: parsed for well-formedness, skipped
             parsePaxRecords(content)
+            // a pax 'x' override binds to the IMMEDIATELY following
+            // entry; an intervening global header consumes it rather
+            // than letting it leak onto a later unrelated file
+            pendingPath = null
             advance()
-          case '5' => advance() // directory entry: no content, skip
+          case '5' => // directory entry: no content, skip — but it DOES
+            // consume a pending pax path override (pax semantics: the
+            // override applies to the next entry of any type)
+            pendingPath = null
+            advance()
           case other =>
             throw new IllegalArgumentException(
               s"unsupported tar typeflag '${other.toChar}' at entry '$name'")
