@@ -863,6 +863,20 @@ object SparkEntry {
     // preservation, the one thing compaction must never change
     "lake_compact" -> ((s, d) =>
       ext.Lake.compactRoundTrip(s, Tables.documents(s, d), d)),
+    // transactional table: appends + file-pruned copy-on-write delete +
+    // compaction, every state change one atomic commit in the mini
+    // commit log; graded on the final snapshot content
+    "lake_txn" -> ((s, d) => ext.LakeTxn.txnQuery(s, Tables.documents(s, d), d)),
+    // time travel: the same life cycle read AT VERSION 1 — removes only
+    // unpin, so the pre-delete/pre-compaction corpus must still read
+    "lake_time_travel" -> ((s, d) =>
+      ext.LakeTxn.timeTravelQuery(s, Tables.documents(s, d), d)),
+    // the commit log ITSELF as a frame: per-version add/remove/row
+    // counts against a closed-form oracle (deterministic file counts)
+    "lake_txn_log" -> ((s, d) => ext.LakeTxn.logQuery(s, Tables.documents(s, d), d)),
+    // one MERGE commit with updates+inserts+deletes applied file-pruned
+    // copy-on-write through the log — the CDC apply at lake scale
+    "lake_txn_cdc" -> ((s, d) => ext.LakeTxn.cdcQuery(s, Tables.documents(s, d), d)),
     "pipeline_domain_cap" -> ((s, d) =>
       ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -2856,6 +2870,36 @@ object SparkEntry {
     "lake_compact" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // final snapshot after append+append, CoW delete of 'de', compaction
+    "lake_txn" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang <> 'de' ORDER BY doc_id""".stripMargin,
+    // version 1 (both appends, pre-delete/pre-compaction): full corpus
+    "lake_time_travel" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // deterministic log shape: two repartition(2) appends then a
+    // coalesce-to-1 compaction that removes all four files
+    "lake_txn_log" ->
+      """SELECT 0::BIGINT AS version, 2::BIGINT AS n_adds, 0::BIGINT AS n_removes,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT AS rows_added
+        |UNION ALL SELECT 1::BIGINT, 2::BIGINT, 0::BIGINT,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)::BIGINT
+        |UNION ALL SELECT 2::BIGINT, 1::BIGINT, 4::BIGINT,
+        |  (SELECT count(*) FROM documents)::BIGINT
+        |ORDER BY version""".stripMargin,
+    // MERGE result: updates (lang→'xx' on %7, minus the deleted class),
+    // inserts (+1000000 ids, lang 'new'), deletes (%5=4)
+    "lake_txn_cdc" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'new', source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_domain_cap" ->
       """SELECT doc_id, source, n_chars, rank_in_domain FROM (
         |  SELECT doc_id, source, n_chars,

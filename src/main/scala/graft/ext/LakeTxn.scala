@@ -1,0 +1,352 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transactional lake table: a mini commit log over plain parquet files.
+  *
+  * The reference has no persistent table format at all (its chunk store
+  * is transient pickle blobs, `KeyValueStore.py:22-25`); this is the
+  * missing piece between "a directory of parquet" and what a 100-TB
+  * pipeline actually runs: ATOMIC multi-file commits, snapshot
+  * isolation, and time travel — the Delta/Iceberg shape, reduced to its
+  * load-bearing core.
+  *
+  * Layout (all under one table root):
+  * {{{
+  *   data/<batch>-<i>.parquet       immutable data files (never edited)
+  *   _graft_log/<v 020d>.json       commit v: one action per line
+  * }}}
+  *
+  * A commit file is JSON lines, `{"a":"add","f":"data/x.parquet",
+  * "rows":N}` / `{"a":"remove","f":"data/x.parquet"}`. The table state
+  * at version v is the fold of actions of commits 0..v: adds insert
+  * into the live set, removes delete from it. Data files are immutable
+  * and never deleted by a commit — a remove only unpins, so EVERY past
+  * snapshot keeps reading (time travel); physical deletion is a
+  * separate vacuum concern, deliberately out of scope.
+  *
+  * Atomicity: a commit becomes visible in ONE filesystem rename — the
+  * body is fully written to a dot-temp name (readers ignore dot files)
+  * and renamed to its final `%020d.json` name. A compaction or CDC
+  * rewrite stages all its data files FIRST (staged files are invisible:
+  * readers only open files the log pins), then publishes the
+  * remove+add pair as one commit file — a reader either sees the whole
+  * rewrite or none of it (LakeTxnSpec stages a compaction and proves
+  * the old snapshot still reads). Version claims are serialized
+  * in-JVM per table root; a multi-writer deployment swaps this for a
+  * log store with put-if-absent (HDFS rename-no-overwrite / object
+  * store conditional put) — the documented Delta LogStore contract.
+  *
+  * Scale shape: the log is driver-scale metadata (one small file per
+  * commit, folded on the driver — Θ(commits) with tiny bodies); data
+  * reads stay fully distributed parquet scans with pushdown/pruning
+  * intact because `read` hands Spark a plain file list. The CDC apply
+  * is file-pruned copy-on-write: only files that actually CONTAIN a
+  * changed key are rewritten (found via `input_file_name` + a broadcast
+  * semi-join against the change keys), so a small change batch against
+  * a 100-TB table rewrites a handful of files, not the table.
+  */
+object LakeTxn {
+
+  final case class Action(add: Boolean, file: String, rows: Long)
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  private val LogDirName = "_graft_log"
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def logDir(table: String) = new Path(table, LogDirName)
+
+  private def commitFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+
+  // ------------------------------------------------------------------
+  // log read side
+  // ------------------------------------------------------------------
+
+  /** Committed versions, ascending. Dot-temp (staged) files are never
+    * versions — only a published rename makes a commit exist. */
+  def listVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  private val ActionRe =
+    """\{"a":"(add|remove)","f":"([^"]+)"(?:,"rows":(\d+))?\}""".r
+
+  /** Parse one commit's action lines. Malformed lines fail loudly — a
+    * corrupt log must never silently drop a remove (double-count). */
+  def readCommit(spark: SparkSession, table: String, v: Long): Seq[Action] = {
+    val p = commitFile(table, v)
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, UTF_8)
+    } finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty).map {
+      case ActionRe(a, f, rows) =>
+        Action(a == "add", f, if (rows == null) 0L else rows.toLong)
+      case bad => throw new IllegalArgumentException(
+        s"corrupt commit $v of $table: unparseable action line '$bad'")
+    }
+  }
+
+  /** The live file set at `asOf` (default: latest): fold adds/removes
+    * of commits 0..asOf in order. Driver-scale — Θ(commits). */
+  def snapshot(spark: SparkSession, table: String,
+               asOf: Option[Long] = None): Snapshot = {
+    val all = listVersions(spark, table)
+    val vs = asOf.fold(all)(a => all.filter(_ <= a))
+    require(vs.nonEmpty,
+      s"no committed snapshot in $table" + asOf.fold("")(a => s" at version <= $a"))
+    val live = new scala.collection.mutable.LinkedHashSet[String]
+    for (v <- vs; act <- readCommit(spark, table, v))
+      if (act.add) live += act.file else live -= act.file
+    Snapshot(vs.last, live.toSeq)
+  }
+
+  /** Snapshot read — latest by default, or time travel to `asOf`. The
+    * result is a plain distributed parquet scan over the pinned file
+    * list (pushdown/pruning untouched). */
+  def read(spark: SparkSession, table: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, asOf)
+    require(snap.files.nonEmpty, s"snapshot ${snap.version} of $table is empty")
+    spark.read.parquet(snap.files.map(f => s"$table/$f"): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // write side
+  // ------------------------------------------------------------------
+
+  private def rowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Stage `df` as immutable data files under `data/` and return their
+    * (relative path, row count) pairs. Staged files are INVISIBLE until
+    * some commit pins them — row counts come from the parquet footers,
+    * never a data scan. */
+  private[graft] def stage(spark: SparkSession, df: DataFrame,
+                           table: String): Seq[(String, Long)] = {
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val tmp = new Path(root, s".stage-$batch")
+    df.write.parquet(tmp.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val parts = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val rels = parts.zipWithIndex.map { case (s, i) =>
+      val rel = s"data/$batch-$i.parquet"
+      require(fs.rename(s.getPath, new Path(root, rel)),
+        s"failed to stage ${s.getPath} as $rel")
+      rel
+    }.toSeq
+    fs.delete(tmp, true)
+    rels.map(rel => (rel, rowCount(spark, new Path(root, rel))))
+  }
+
+  /** Publish `adds`/`removes` as the next commit. The body is written
+    * to a dot-temp file and RENAMED into the log — one atomic
+    * visibility event. Returns the committed version. */
+  def commit(spark: SparkSession, table: String,
+             adds: Seq[(String, Long)], removes: Seq[String]): Long = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+    val lock = commitLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      val v = listVersions(spark, table).lastOption.map(_ + 1).getOrElse(0L)
+      publish(spark, table, v, adds, removes)
+      v
+    }
+  }
+
+  /** The rename-publish itself (exposed for LakeTxnSpec's staged
+    * half-commit test). Fails if version `v` already exists — the
+    * optimistic-concurrency conflict a caller retries. */
+  private[graft] def publish(spark: SparkSession, table: String, v: Long,
+                             adds: Seq[(String, Long)],
+                             removes: Seq[String]): Unit = {
+    val dest = commitFile(table, v)
+    val fs = fsOf(spark, dest)
+    fs.mkdirs(dest.getParent)
+    require(!fs.exists(dest), s"commit conflict: version $v already exists")
+    val body = (adds.map { case (f, r) => s"""{"a":"add","f":"$f","rows":$r}""" } ++
+      removes.map(f => s"""{"a":"remove","f":"$f"}""")).mkString("\n")
+    val tmp = new Path(dest.getParent,
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    require(fs.rename(tmp, dest), s"atomic publish of commit $v failed")
+  }
+
+  /** Append `df` to the table as one commit (the ingest primitive). */
+  def appendCommit(spark: SparkSession, df: DataFrame, table: String): Long =
+    commit(spark, table, stage(spark, df, table), Nil)
+
+  /** Compaction THROUGH the log: stage the bin-packed rewrite of every
+    * live file, then publish remove(old)+add(new) as one atomic commit.
+    * A concurrent reader sees either the old file set or the new one —
+    * never both, never neither (content is identical either way). Old
+    * snapshots keep reading the old files. */
+  def compactCommit(spark: SparkSession, table: String,
+                    targetBytes: Long): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val snap = snapshot(spark, table)
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val packed = spark.read.parquet(snap.files.map(f => s"$table/$f"): _*)
+      .coalesce(nOut) // pure bin-packing: no shuffle, see Lake.compact
+    commit(spark, table, stage(spark, packed, table), snap.files)
+  }
+
+  /** File-pruned copy-on-write MERGE through the log — the CDC apply.
+    *
+    * `changes` carries the table's columns plus `__op` ∈
+    * {upsert, delete}; `keyCol` is the merge key. Only live files that
+    * actually CONTAIN a changed key are rewritten: surviving rows of
+    * those files (anti-join on the key) union the upsert rows (which
+    * covers updates AND brand-new keys) become the staged replacement,
+    * and remove(affected)+add(new) publishes as one commit. Files
+    * without a changed key are untouched — at 100 TB a small change
+    * batch rewrites a handful of files, not the table. The change-key
+    * frame is broadcast (a CDC batch is small next to the table); the
+    * affected-file list is driver-scale (file names). */
+  def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
+                   keyCol: String, opCol: String = "__op"): Long = {
+    val snap = snapshot(spark, table)
+    val base = read(spark, table).withColumn("__file", input_file_name())
+    val cols = base.columns.filterNot(_ == "__file").toSeq
+    val keys = changes.select(col(keyCol)).distinct()
+    // data files live flat under data/ — map absolute scan paths back
+    // to the log's relative form by file name
+    val affectedNames = base
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0))
+      .map(a => a.substring(a.lastIndexOf('/') + 1)).toSet
+    val affected = snap.files.filter(f =>
+      affectedNames.contains(f.substring(f.lastIndexOf('/') + 1)))
+    val survivors =
+      if (affected.isEmpty) spark.read.parquet(snap.files.map(f => s"$table/$f"): _*).limit(0)
+      else spark.read.parquet(affected.map(f => s"$table/$f"): _*)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    val replacement = survivors.select(cols.map(col): _*)
+      .unionByName(upserts.select(cols.map(col): _*))
+    commit(spark, table, stage(spark, replacement, table), affected)
+  }
+
+  // ------------------------------------------------------------------
+  // graded queries
+  // ------------------------------------------------------------------
+
+  private[graft] def freshTable(spark: SparkSession, sfDir: String,
+                                name: String): String = {
+    val p = new Path(s"/tmp/graft_txn_${spark.sparkContext.applicationId}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + s"_$name")
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    p.toString
+  }
+
+  private def docCols(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** lake_txn: the full transactional life cycle — two appends
+    * (partitioned by lang so the later delete prunes files), a
+    * file-pruned copy-on-write DELETE of lang='de', then a compaction —
+    * every state change an atomic commit. Graded on the final snapshot
+    * content: a reader that ignores removes double-counts through the
+    * compaction; one that misses the delete resurrects 'de'. */
+  def txnQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "txn")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2, col("lang")), t)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2, col("lang")), t)
+    val dels = d.filter(col("lang") === "de").withColumn("__op", lit("delete"))
+    applyChanges(spark, t, dels, "doc_id")
+    compactCommit(spark, t, Long.MaxValue / 4)
+    read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_time_travel: same life cycle, read AT VERSION 1 (after both
+    * appends, before the delete and the compaction) — the full corpus.
+    * Proves removes only unpin: the rewrites at v2/v3 must not corrupt
+    * the v1 file set. */
+  def timeTravelQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "tt")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2, col("lang")), t)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2, col("lang")), t)
+    val dels = d.filter(col("lang") === "de").withColumn("__op", lit("delete"))
+    applyChanges(spark, t, dels, "doc_id")
+    compactCommit(spark, t, Long.MaxValue / 4)
+    read(spark, t, asOf = Some(1L)).orderBy("doc_id")
+  }
+
+  /** lake_txn_log: the commit log ITSELF as a frame — per version the
+    * add/remove counts and rows added, against a closed-form oracle
+    * (deterministic file counts: round-robin repartition(2) appends,
+    * coalesce-to-1 compaction). Grades the log structure the readers
+    * trust. */
+  def logQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = freshTable(spark, sfDir, "log")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2), t)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2), t)
+    compactCommit(spark, t, Long.MaxValue / 4)
+    listVersions(spark, t).map { v =>
+      val acts = readCommit(spark, t, v)
+      (v, acts.count(_.add).toLong, acts.count(!_.add).toLong,
+        acts.filter(_.add).map(_.rows).sum)
+    }.toDF("version", "n_adds", "n_removes", "rows_added").orderBy("version")
+  }
+
+  /** lake_txn_cdc: one MERGE commit carrying all three change kinds —
+    * updates (lang → 'xx' for doc_id % 7 = 0), inserts (new keys
+    * doc_id + 1000000 for doc_id % 13 = 0, lang 'new'), deletes
+    * (doc_id % 5 = 4) — applied file-pruned copy-on-write through the
+    * log. Change sets are key-disjoint (updates exclude the deleted
+    * residue class) so the merge is order-free. */
+  def cdcQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "cdc")
+    val d = docCols(docs)
+    appendCommit(spark, d.repartition(4), t)
+    val updates = d.filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4)
+      .withColumn("lang", lit("xx")).withColumn("__op", lit("upsert"))
+    val inserts = d.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("lang", lit("new")).withColumn("__op", lit("upsert"))
+    val deletes = d.filter(col("doc_id") % 5 === 4)
+      .withColumn("__op", lit("delete"))
+    applyChanges(spark, t, updates.unionByName(inserts).unionByName(deletes), "doc_id")
+    read(spark, t).orderBy("doc_id")
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.LakeTxn
+
+/** The transactional commit log's contracts: snapshot isolation (a
+  * staged-but-unpublished compaction is invisible), atomic cut-over,
+  * time travel across destructive rewrites, file-pruned copy-on-write,
+  * and optimistic version-claim conflicts. */
+class LakeTxnSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      s"/tmp/graft_txnspec_${name}_${System.nanoTime()}")
+    p.toString
+  }
+
+  private def mkDocs(ids: Range, lang: String): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"text $i", lang, s"src${i % 3}", (10 + i).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def contents(df: DataFrame): Seq[String] =
+    df.orderBy("doc_id").collect().map(_.mkString("|")).toSeq
+
+  test("append commits accumulate; snapshot content equals the union") {
+    val t = freshDir("append")
+    val a = mkDocs(0 until 40, "en")
+    val b = mkDocs(40 until 70, "fr")
+    val v0 = LakeTxn.appendCommit(spark, a.repartition(2), t)
+    val v1 = LakeTxn.appendCommit(spark, b.repartition(2), t)
+    assert(v0 == 0L && v1 == 1L)
+    assert(contents(LakeTxn.read(spark, t)) === contents(a.unionByName(b)))
+    // time travel to v0 sees only the first batch
+    assert(contents(LakeTxn.read(spark, t, Some(0L))) === contents(a))
+  }
+
+  test("a staged, unpublished compaction is invisible; the publish is atomic") {
+    val t = freshDir("halfcommit")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 50, "en").repartition(2), t)
+    LakeTxn.appendCommit(spark, mkDocs(50 until 80, "de").repartition(2), t)
+    val before = contents(LakeTxn.read(spark, t))
+    val oldSnap = LakeTxn.snapshot(spark, t)
+    assert(oldSnap.files.size == 4)
+
+    // stage the compaction's data files WITHOUT publishing the commit —
+    // the half-committed state a crashed compactor leaves behind
+    val packed = LakeTxn.read(spark, t).coalesce(1)
+    val staged = LakeTxn.stage(spark, packed, t)
+    assert(staged.size == 1)
+    // reader still sees the OLD snapshot: staged files are unpinned
+    assert(LakeTxn.snapshot(spark, t).files === oldSnap.files)
+    assert(contents(LakeTxn.read(spark, t)) === before)
+
+    // now publish remove(old)+add(new) as ONE commit: content identical,
+    // file set cut over atomically
+    LakeTxn.publish(spark, t, oldSnap.version + 1, staged, oldSnap.files)
+    val after = LakeTxn.snapshot(spark, t)
+    assert(after.files === staged.map(_._1))
+    assert(contents(LakeTxn.read(spark, t)) === before)
+    // and the OLD snapshot still reads — removes only unpin
+    assert(LakeTxn.snapshot(spark, t, Some(oldSnap.version)).files === oldSnap.files)
+    assert(contents(LakeTxn.read(spark, t, Some(oldSnap.version))) === before)
+  }
+
+  test("copy-on-write merge rewrites ONLY files containing changed keys") {
+    val t = freshDir("prune")
+    // two commits with disjoint key ranges -> disjoint file sets
+    LakeTxn.appendCommit(spark, mkDocs(0 until 50, "en").coalesce(1), t)
+    LakeTxn.appendCommit(spark, mkDocs(100 until 150, "fr").coalesce(1), t)
+    val snap = LakeTxn.snapshot(spark, t)
+    assert(snap.files.size == 2)
+    val untouched = snap.files.head // the 0..49 file
+
+    // change batch touches only the second file's keys
+    val changes = mkDocs(120 until 125, "xx")
+      .withColumn("__op", lit("upsert"))
+      .unionByName(mkDocs(140 until 142, "fr").withColumn("__op", lit("delete")))
+    val v = LakeTxn.applyChanges(spark, t, changes, "doc_id")
+
+    val acts = LakeTxn.readCommit(spark, t, v)
+    val removed = acts.filterNot(_.add).map(_.file)
+    assert(removed === Seq(snap.files(1)), s"pruning failed: removed $removed")
+    assert(LakeTxn.snapshot(spark, t).files.contains(untouched))
+
+    val expect = mkDocs(0 until 50, "en")
+      .unionByName(mkDocs(100 until 120, "fr"))
+      .unionByName(mkDocs(120 until 125, "xx"))
+      .unionByName(mkDocs(125 until 140, "fr"))
+      .unionByName(mkDocs(142 until 150, "fr"))
+    assert(contents(LakeTxn.read(spark, t)) === contents(expect))
+  }
+
+  test("pure-insert merge touches no existing file") {
+    val t = freshDir("insert")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 30, "en").coalesce(1), t)
+    val base = LakeTxn.snapshot(spark, t)
+    val inserts = mkDocs(1000 until 1010, "new").withColumn("__op", lit("upsert"))
+    val v = LakeTxn.applyChanges(spark, t, inserts, "doc_id")
+    val acts = LakeTxn.readCommit(spark, t, v)
+    assert(acts.forall(_.add), "a pure insert must remove nothing")
+    assert(LakeTxn.snapshot(spark, t).files.toSet.intersect(base.files.toSet)
+      === base.files.toSet)
+    assert(contents(LakeTxn.read(spark, t)) ===
+      contents(mkDocs(0 until 30, "en").unionByName(mkDocs(1000 until 1010, "new"))))
+  }
+
+  test("version claims conflict: same version cannot publish twice") {
+    val t = freshDir("conflict")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)
+    val staged = LakeTxn.stage(spark, mkDocs(10 until 20, "fr").coalesce(1), t)
+    LakeTxn.publish(spark, t, 1L, staged, Nil)
+    val again = LakeTxn.stage(spark, mkDocs(20 until 30, "de").coalesce(1), t)
+    intercept[IllegalArgumentException] {
+      LakeTxn.publish(spark, t, 1L, again, Nil)
+    }
+    // the loser retries through commit() and lands at the next version
+    val v = LakeTxn.commit(spark, t, again, Nil)
+    assert(v == 2L)
+  }
+
+  test("concurrent committers serialize to distinct consecutive versions") {
+    val t = freshDir("concurrent")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = LakeTxn.appendCommit(
+            spark, mkDocs(100 * (i + 1) until 100 * (i + 1) + 5, "xx").coalesce(1), t)
+        })
+      }
+      val versions = futs.map(_.get()).sorted
+      assert(versions === Seq(1L, 2L, 3L, 4L))
+    } finally pool.shutdown()
+    assert(LakeTxn.read(spark, t).count() == 30)
+  }
+
+  test("snapshot reads keep parquet pushdown intact") {
+    val t = freshDir("pushdown")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 100, "en").repartition(2), t)
+    val plan = LakeTxn.read(spark, t).filter(col("doc_id") === 7L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(doc_id)"), plan.takeRight(800))
+  }
+
+  test("corrupt action lines fail loudly, never silently drop a remove") {
+    val t = freshDir("corrupt")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)
+    val log = java.nio.file.Paths.get(t, "_graft_log",
+      f"${1L}%020d.json")
+    java.nio.file.Files.write(log,
+      """{"a":"remove","f":"data/x.parquet"""".getBytes("UTF-8")) // truncated
+    intercept[IllegalArgumentException] {
+      LakeTxn.snapshot(spark, t)
+    }
+  }
+}
