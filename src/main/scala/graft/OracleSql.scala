@@ -1429,6 +1429,25 @@ object OracleSql {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Naive all-window ground truth of the suffix-array duplicate spans
+    * (mirror of Dedup.suffixDuplicateSpans): every position whose
+    * L-token window occurs ≥ 2 times anywhere, consecutive starts
+    * merged gaps-and-islands into maximal spans. */
+  def suffixDuplicateSpans(l: Int): String =
+    s"""WITH $toksCte,
+       |pos AS (
+       |  SELECT doc_id, i AS p, array_to_string(toks[(i+1):(i+$l)], ' ') AS gram
+       |  FROM toks, unnest(range(0, greatest(len(toks)-$l+1, 0))) AS u(i)),
+       |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM dp)
+       |SELECT doc_id, min(p)::BIGINT AS span_start,
+       |  (max(p) - min(p) + $l)::BIGINT AS span_len
+       |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
+
   /** Character-distribution entropy (mirror of TextStats.charEntropy):
     * same integer-scaled ln terms, one final double division. */
   val charEntropy: String =

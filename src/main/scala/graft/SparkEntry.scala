@@ -772,6 +772,11 @@ object SparkEntry {
     // span-level exact dedup: sub-document granularity (repeated 3-token
     // spans collapse to their first corpus occurrence)
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d), 3)),
+    // exact-substring duplicate spans via the distributed suffix-array
+    // prefix-doubling sort — catches duplicates straddling dedup_spans'
+    // quantized windows; maximal merged spans of duplicated 8-grams
+    "dedup_suffix" -> ((s, d) =>
+      Dedup.suffixDuplicateSpans(Tables.documents(s, d), 8)),
     "text_entropy" -> ((s, d) => TextStats.charEntropy(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) =>
       ext.TrainingPipeline.shuffleShardsAuto(Tables.documents(s, d), rowsPerShard = 64)),
@@ -1967,6 +1972,10 @@ object SparkEntry {
         |GROUP BY w ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
     // ---- extensions ----
     "dedup_spans" -> OracleSql.spanDedup(3),
+    // naive all-window oracle: every duplicated 8-gram start, merged
+    // gaps-and-islands into maximal spans — the ground truth the
+    // suffix-array construction must land on exactly
+    "dedup_suffix" -> OracleSql.suffixDuplicateSpans(8),
     "text_entropy" -> OracleSql.charEntropy,
     "pipeline_shuffle" -> OracleSql.shuffleShardsAuto(64, "graft"),
     // ranked on the bigram-LM quality signal (lmq = avg scaled logp)

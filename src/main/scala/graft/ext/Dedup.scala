@@ -762,4 +762,120 @@ object Dedup {
         greatest(col("x"), col("y")).as("b"), col("hamming"))
     same.unionByName(cross).orderBy("a", "b")
   }
+
+  // ------------------------------------------------------------------
+  // suffix-array exact-substring dedup (prefix doubling)
+  // ------------------------------------------------------------------
+
+  /** Order-preserving dense rank 1..K over the DISTINCT rows of `keys`,
+    * sorted by `sortCols` — the per-round sort of the distributed
+    * suffix-array construction. Two-phase so no global window ever
+    * forms: range-repartition on the sort key, per-partition
+    * `row_number`, then a broadcast of |partitions| offsets (the same
+    * machinery as the vocabulary ranking / packSequences prefix sum). */
+  private[graft] def orderedDenseRank(keys: DataFrame, sortCols: Seq[Column],
+                                      rankCol: String): DataFrame = {
+    val nParts = math.max(2,
+      keys.sparkSession.sessionState.conf.numShufflePartitions / 4)
+    val local = keys.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    val sizes = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val offs = sizes.as("x")
+      .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** Token positions annotated with the lexicographic rank of their
+    * `windowTokens`-token forward window, built by Manber–Myers prefix
+    * doubling: rank_1 is the dense rank of the token itself, and
+    * rank_2h(p) is the dense rank of the pair (rank_h(p), rank_h(p+h)),
+    * doubling until h ≥ windowTokens. ⌈log₂ L⌉ rounds, each a constant
+    * number of LINEAR shuffles (one self-join on (doc, pos±h), one
+    * distinct over pairs, one range-sort rank of the class table) —
+    * the distributed suffix-array sort, never an n² stage and never a
+    * global single-partition window. Suffixes do not cross document
+    * boundaries: out-of-range positions rank 0, below every real rank,
+    * exactly the sentinel of the classic construction.
+    *
+    * Returns (idCol, pos LONG, n_toks LONG, rank LONG): equal ranks ⇔
+    * equal L-token windows (padding included for tail positions), and
+    * rank order = lexicographic window order — SuffixDedupSpec pins
+    * both properties.
+    */
+  def suffixWindowRanks(docs: DataFrame, windowTokens: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val toks = docs
+      .select(col(idCol), Tokenize.tokensArray(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_toks"),
+        posexplode(col("__toks")).as(Seq("pos", "__tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("n_toks"), col("__tok"))
+    val vocabRanks = orderedDenseRank(
+      toks.select(col("__tok")).distinct(), Seq(col("__tok")), "__r")
+    var ranked = toks.join(vocabRanks, "__tok")
+      .select(col(idCol), col("pos"), col("n_toks"), col("__r").as("rank"))
+    var h = 1L
+    while (h < windowTokens) {
+      val right = ranked.select(col(idCol).as("__id2"),
+        (col("pos") - h).as("__p2"), col("rank").as("__r2"))
+      val paired = ranked
+        .join(right, col(idCol) === col("__id2") && col("pos") === col("__p2"), "left")
+        .select(col(idCol), col("pos"), col("n_toks"),
+          col("rank").as("__r1"), coalesce(col("__r2"), lit(0L)).as("__r2"))
+      val classes = orderedDenseRank(
+        paired.select(col("__r1"), col("__r2")).distinct(),
+        Seq(col("__r1"), col("__r2")), "__nr")
+      ranked = paired.join(classes, Seq("__r1", "__r2"))
+        .select(col(idCol), col("pos"), col("n_toks"), col("__nr").as("rank"))
+      h *= 2
+    }
+    ranked
+  }
+
+  /** Exact-substring duplicate spans via the suffix-array ranks — the
+    * real artifact of Lee et al. 2021 that [[spanDedup]] only
+    * quantizes: every position whose L-token window occurs ≥ 2 times
+    * ANYWHERE in the corpus (cross- or within-document) is duplicate-
+    * covered, and consecutive covered starts merge into maximal spans.
+    * A duplicate straddling two of spanDedup's fixed windows — which
+    * the quantized form provably misses — is caught here
+    * (SuffixDedupSpec plants one).
+    *
+    * Scale shape: duplicate detection is one count per rank class
+    * (map-side combinable; the hot boilerplate class reduces per
+    * partition before the shuffle), and span merging is
+    * gaps-and-islands under per-DOCUMENT windows — millions of tiny
+    * windows, no global sort.
+    *
+    * @return (doc_id, span_start, span_len) per maximal duplicate span,
+    *         token units, span_len ≥ windowTokens
+    */
+  def suffixDuplicateSpans(docs: DataFrame, windowTokens: Int = 8,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val l = windowTokens
+    val full = suffixWindowRanks(docs, l, textCol, idCol)
+      .filter(col("pos") <= col("n_toks") - l)
+    val dupClasses = full.groupBy(col("rank"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select(col("rank"))
+    val covered = full.join(dupClasses, "rank").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    covered
+      .withColumn("__isl", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + l).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+      .orderBy(idCol, "span_start")
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.Dedup
+
+/** Suffix-array exact-substring dedup: prefix-doubling rank contracts
+  * (equality ⇔ window equality, order = lexicographic), brute-force
+  * span equality, and the motivating counter-example — a duplicate
+  * straddling two of spanDedup's quantized windows that only the
+  * suffix-array form catches. */
+class SuffixDedupSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def tokensOf(text: String): Seq[String] =
+    text.split("\\s+").toSeq.filter(_.nonEmpty)
+      .map(_.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", ""))
+
+  /** Naive ground truth: merged runs of duplicated l-gram starts. */
+  private def bruteSpans(rows: Seq[(Long, String)], l: Int): Seq[(Long, Long, Long)] = {
+    val grams = for {
+      (id, text) <- rows
+      toks = tokensOf(text)
+      p <- 0 to toks.length - l
+    } yield (id, p.toLong, toks.slice(p, p + l).mkString(" "))
+    val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val covered = grams.filter(g => dup(g._3)).map(g => (g._1, g._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    covered.toSeq.flatMap { case (id, starts) =>
+      val runs = starts.foldLeft(Vector.empty[Vector[Long]]) { (acc, p) =>
+        if (acc.nonEmpty && acc.last.last == p - 1) acc.init :+ (acc.last :+ p)
+        else acc :+ Vector(p)
+      }
+      runs.map(r => (id, r.head, r.last - r.head + l))
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("spans equal the naive all-window ground truth") {
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "a quick brown fox jumps over the lazy cat instead",
+      3L -> "repeat me now repeat me now repeat me now done",
+      4L -> "completely unrelated text with no shared phrases at all",
+      5L -> "the quick brown fox jumps over the lazy dog tomorrow")
+    val got = Dedup.suffixDuplicateSpans(docsOf(rows: _*), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === bruteSpans(rows, 4))
+    assert(got.nonEmpty)
+  }
+
+  test("a duplicate straddling two quantized windows: spanDedup misses, suffix catches") {
+    val rows = Seq(
+      10L -> "alpha beta shareda shareb sharec shared omega psi",
+      11L -> "shareda shareb sharec shared xray yankee")
+    val docs = docsOf(rows: _*)
+    // spanDedup(3): doc 10 cuts [alpha beta shareda][shareb sharec shared]
+    // [omega psi]; doc 11 cuts [shareda shareb sharec][shared xray yankee].
+    // No 3-token span text repeats, so NOTHING is deduplicated:
+    val quantized = Dedup.spanDedup(docs, 3).collect()
+    assert(quantized.forall(r => r.getAs[Long]("n_kept") == r.getAs[Long]("n_spans")),
+      "the quantized form should (provably) miss the straddling duplicate")
+    // the suffix-array form reports the shared 4-gram in BOTH documents
+    val spans = Dedup.suffixDuplicateSpans(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((10L, 2L, 4L), (11L, 0L, 4L)))
+  }
+
+  test("within-document repetition is duplicate-covered too") {
+    val rows = Seq(20L -> "intro p q r s middle p q r s outro")
+    val spans = Dedup.suffixDuplicateSpans(docsOf(rows: _*), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((20L, 1L, 4L), (20L, 6L, 4L)))
+  }
+
+  test("prefix-doubling ranks: equality iff window equality, order lexicographic") {
+    val l = 4
+    val rows = Seq(
+      30L -> "b a c a b a c d",
+      31L -> "a b a c a",
+      32L -> "c d b a")
+    val ranked = Dedup.suffixWindowRanks(docsOf(rows: _*), l)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("rank"))).toMap
+    // windows padded with "" (the rank-0 sentinel sorts below every token)
+    val windows = (for {
+      (id, text) <- rows
+      toks = tokensOf(text)
+      p <- toks.indices
+    } yield ((id, p.toLong), toks.slice(p, p + l).padTo(l, ""))).toMap
+    assert(ranked.keySet === windows.keySet)
+    for (k1 <- windows.keys; k2 <- windows.keys) {
+      val (w1, w2) = (windows(k1), windows(k2))
+      val (r1, r2) = (ranked(k1), ranked(k2))
+      assert((r1 == r2) == (w1 == w2), s"$k1=$w1 rank $r1 vs $k2=$w2 rank $r2")
+      val lex = Ordering.Implicits.seqOrdering[Seq, String].compare(w1, w2)
+      assert(math.signum(lex.toLong) == math.signum(r1 - r2) || lex == 0,
+        s"order violated: $w1($r1) vs $w2($r2)")
+    }
+    // ranks are dense from 1
+    val distinct = ranked.values.toSet
+    assert(distinct === (1L to distinct.size.toLong).toSet)
+  }
+}
