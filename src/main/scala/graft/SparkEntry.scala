@@ -818,6 +818,11 @@ object SparkEntry {
     // stts/stsz/stco sample tables; the checksum runs over sample bytes
     // extracted VIA the table, proving the offset arithmetic
     "mm_mp4_meta" -> ((s, d) => ext.Mp4.mp4Query(s, Tables.documents(s, d))),
+    // video frame extraction: MJPEG samples located via the stsc/stco/
+    // stsz walk, each decoded as a full baseline JPEG — per-frame means
+    // against the closed-form YCbCr round trip
+    "mm_mp4_frames" -> ((s, d) =>
+      ext.Mp4.mjpegFramesQuery(s, Tables.documents(s, d))),
     // real decoded dims are small; maxDim=10 keeps the clamp branch live
     "mm_resize" -> ((s, d) =>
       Multimodal.resizePlan(
@@ -2667,6 +2672,33 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(o AS BIGINT) AS frame_offset
         |FROM documents, unnest(range(0, octet_length(encode(text)), 100)) AS u(o)
         |ORDER BY media_id, frame_offset""".stripMargin,
+    // closed-form ground truth of the MJPEG-in-MP4 frames: per (id,
+    // frame) constant colors through the same integer YCbCr round trip
+    // as mm_jpeg_pixels (gray ids decode to the luma directly)
+    "mm_mp4_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, i,
+        |    CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+        |    CAST(doc_id % 11 + 3 AS BIGINT) AS height,
+        |    (doc_id % 7 = 3) AS gray,
+        |    (doc_id * 13 + i * 17) % 251 AS r,
+        |    (doc_id * 7 + i * 29) % 251 AS g,
+        |    (doc_id * 3 + i * 5) % 251 AS b
+        |  FROM documents, unnest(range(0, doc_id % 5 + 2)) AS u(i)),
+        |ycc AS (
+        |  SELECT doc_id, i, width, height, gray, r,
+        |    (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+        |    128 + ((-11059*r - 21709*g + 32768*b + 32768 + 16777216) // 65536) - 256 AS cb,
+        |    128 + ((32768*r - 27439*g - 5329*b + 32768 + 16777216) // 65536) - 256 AS cr
+        |  FROM f)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no, width, height,
+        |  CAST(CASE WHEN gray THEN r ELSE greatest(0, least(255,
+        |    y + ((91881*(cr-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_r,
+        |  CAST(CASE WHEN gray THEN r ELSE greatest(0, least(255,
+        |    y - (((22554*(cb-128) + 46802*(cr-128) + 32768 + 16777216) // 65536) - 256))) END AS BIGINT) AS mean_g,
+        |  CAST(CASE WHEN gray THEN r ELSE greatest(0, least(255,
+        |    y + ((116131*(cb-128) + 32768 + 16777216) // 65536) - 256)) END AS BIGINT) AS mean_b
+        |FROM ycc ORDER BY media_id, frame_no""".stripMargin,
     "mm_resize" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

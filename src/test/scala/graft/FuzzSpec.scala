@@ -90,6 +90,11 @@ class FuzzSpec extends SparkSpec {
     degradeNeverThrows("mp4", Ids.map(Mp4.syntheticMp4))(Mp4.parse)
   }
 
+  test("fuzz: MJPEG-in-MP4 frame extraction never throws") {
+    degradeNeverThrows("mjpeg-mp4", Ids.map(Mp4.syntheticMjpegMp4))(
+      p => Mp4.mjpegFrames(0L, p))
+  }
+
   test("fuzz: WAV decode never throws") {
     degradeNeverThrows("wav",
       Ids.map(Multimodal.syntheticWav) ++

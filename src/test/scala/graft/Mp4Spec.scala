@@ -99,4 +99,59 @@ class Mp4Spec extends SparkSpec {
     assert(Mp4.fxChunks(6L).length > 1 && Mp4.fxChunks(7L).length == 1)
     assert(Mp4.fxChunks(6L).sum == Mp4.fxSamples(6L))
   }
+
+  test("mjpeg frames: per-frame means match the integer YCbCr round trip") {
+    // 3 is the gray id, 1 exercises 4:2:0, 0/6 4:4:4 (6 multi-chunk)
+    for (id <- Seq(0L, 1L, 3L, 6L)) {
+      val frames = Mp4.mjpegFrames(id, Mp4.syntheticMjpegMp4(id))
+      assert(frames.length == Mp4.fxFrameCount(id))
+      frames.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_no == i.toLong && f.width > 0 && f.height > 0)
+        val r = Mp4.fxFrameR(id, i)
+        if (Mp4.fxMjpegGray(id))
+          assert((f.mean_r, f.mean_g, f.mean_b) == ((r.toLong, r.toLong, r.toLong)))
+        else {
+          val (g, b) = (Mp4.fxFrameG(id, i), Mp4.fxFrameB(id, i))
+          val (y, cb, cr) = graft.ext.Jpeg.rgbToYcc(r, g, b)
+          val want = graft.ext.Jpeg.yccToRgb(y, cb, cr)
+          assert((f.mean_r, f.mean_g, f.mean_b) ==
+            ((want._1.toLong, want._2.toLong, want._3.toLong)))
+        }
+      }
+    }
+  }
+
+  test("mjpeg frames: a corrupt sample degrades alone, siblings still decode") {
+    val id = 4L // 4 frames, single chunk, color
+    val good = Mp4.syntheticMjpegMp4(id)
+    val m = Mp4.parse(good).get
+    val bad = good.clone()
+    // destroy frame 1's SOI marker: that sample can no longer decode
+    bad(m.sampleOffsets(1).toInt) = 0x00
+    val frames = Mp4.mjpegFrames(id, bad)
+    assert(frames.length == Mp4.fxFrameCount(id))
+    assert(frames(1).mean_r == -1L && frames(1).width == -1L)
+    val goodFrames = Mp4.mjpegFrames(id, good)
+    assert(frames.zipWithIndex.filter(_._2 != 1).map(_._1) ===
+      goodFrames.zipWithIndex.filter(_._2 != 1).map(_._1))
+    // corrupt CONTAINER -> one sentinel row, never a throw
+    assert(Mp4.mjpegFrames(id, good.take(30)) ===
+      Seq(Mp4.MjpegFrame(id, -1L, -1L, -1L, -1L, -1L, -1L)))
+  }
+
+  test("mjpeg frames: multi-chunk layout decodes the same frames as single-chunk") {
+    // id 6 is multi-chunk; rebuild the same samples single-chunk and
+    // require identical frame rows — the gap bytes never reach the
+    // JPEG decoder
+    val id = 6L
+    val n = Mp4.fxFrameCount(id)
+    val w = graft.ext.Multimodal.fxW(id); val h = graft.ext.Multimodal.fxH(id)
+    val samples = IndexedSeq.tabulate(n) { i =>
+      val px = (Mp4.fxFrameR(id, i) << 16) | (Mp4.fxFrameG(id, i) << 8) | Mp4.fxFrameB(id, i)
+      graft.ext.Jpeg.encode(w, h, (_, _) => px, Mp4.fxMjpeg420(id), 0)
+    }
+    val single = Mp4.encode(w, h, 1000L, n.toLong * 40L, samples, Seq(n))
+    assert(Mp4.mjpegFrames(id, Mp4.syntheticMjpegMp4(id)) ===
+      Mp4.mjpegFrames(id, single))
+  }
 }
