@@ -429,6 +429,11 @@ object SparkEntry {
     // losslessness of the byte pipeline: decode(encode(x)) == the exact
     // in-universe token stream, graded against tokens derived directly
     "text_bbpe_decode" -> ((s, d) => ext.ByteBpe.decodeCorpus(Tables.documents(s, d), 8)),
+    // GPT-2-style category-aware pre-tokenizer (lookahead-free form):
+    // contractions, letter/number/punct runs with one leading space,
+    // whitespace runs — the split byte-BPE consumes upstream
+    "text_bbpe_pretok" -> ((s, d) =>
+      ext.ByteBpe.pretokCorpus(Tables.documents(s, d))),
     // tokenizer fertility per language (subwords per word under the
     // trained vocabulary) — the cross-lingual tokenizer-quality report
     "text_bpe_fertility" -> ((s, d) =>
@@ -2249,6 +2254,16 @@ object SparkEntry {
         |  array_to_string(list_filter(toks, x -> regexp_matches(x, '^[a-zé0-9ï]+$')), ' ')
         |    AS decoded
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the IDENTICAL RE2 pattern string Spark runs (single quotes
+    // doubled for SQL); leading spaces are part of the token
+    "text_bbpe_pretok" ->
+      """WITH p AS (
+        |  SELECT doc_id, regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+')
+        |    AS pts FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pt_no, pts[i+1] AS pretoken
+        |FROM p, unnest(range(0, len(pts))) AS u(i)
+        |ORDER BY doc_id, pt_no""".stripMargin,
     "text_bpe_fertility" ->
       s"""WITH enc AS (
          |${OracleSql.bpeEncode(8)}),

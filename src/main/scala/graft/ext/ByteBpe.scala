@@ -78,6 +78,39 @@ object ByteBpe {
           " ").as("decoded"))
       .orderBy("doc_id")
 
+  /** GPT-2-style category-aware PRE-tokenizer pattern, in the
+    * lookahead-free form both Java regex (Spark) and RE2 (the DuckDB
+    * oracle) execute identically: contraction suffixes first, then
+    * letter runs / number runs / punctuation runs each absorbing ONE
+    * leading space, then whitespace runs. The upstream GPT-2 pattern's
+    * final `\s+(?!\S)` branch needs lookahead (not in RE2); dropping it
+    * only changes where a MULTI-space run splits (all spaces stay one
+    * token here instead of donating the last to the next word) — a
+    * divergence the spec pins explicitly. Whitespace is the explicit
+    * `[ \t\n\x0B\f\r]` class because Java's `\s` includes \x0B and
+    * RE2's does not — the one place the two engines' shorthands
+    * disagree. */
+  val PretokRe: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
+
+  /** All pretokens of `text`, in order, spaces preserved (a leading
+    * space is PART of the token — the GPT-lineage convention that makes
+    * byte-BPE lossless without a separate whitespace channel).
+    * Codegen'd `regexp_extract_all`, no UDF. */
+  def pretokenize(text: Column): Column =
+    regexp_extract_all(text, lit(PretokRe), lit(0))
+
+  /** Graded query: the pre-tokenizer stream itself — (doc_id, pt_no,
+    * pretoken) with exact leading-space bytes, against the same RE2
+    * pattern run by DuckDB. */
+  def pretokCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(pretokenize(col("text"))).as(Seq("pt_no", "pretoken")))
+      .select(col("doc_id"), col("pt_no").cast("long").as("pt_no"),
+        col("pretoken"))
+      .orderBy("doc_id", "pt_no")
+
   /** The learned merge table over the salted corpus (byte symbols). */
   def mergeTable(docs: DataFrame, merges: Int,
                  batch: Int = Bpe.DefaultBatch): DataFrame = {

@@ -57,4 +57,34 @@ class ByteBpeSpec extends SparkSpec {
       assert(syms.forall(_.matches("[a-f0-9_]+")), syms.take(5).mkString(","))
     }
   }
+
+  test("pretokenizer: contractions split, leading spaces attach, categories break") {
+    def pretoks(s: String): Seq[String] =
+      Seq((1L, s)).toDF("doc_id", "text")
+        .select(ByteBpe.pretokenize(col("text")).as("p"))
+        .collect().head.getSeq[String](0)
+    assert(pretoks("don't stop") === Seq("don", "'t", " stop"))
+    assert(pretoks("we'll we've I'm you're he's it'd") ===
+      Seq("we", "'ll", " we", "'ve", " I", "'m", " you", "'re",
+        " he", "'s", " it", "'d"))
+    // category breaks: letters|numbers|punct are separate runs
+    assert(pretoks("abc123 done") === Seq("abc", "123", " done"))
+    assert(pretoks("x, y!") === Seq("x", ",", " y", "!"))
+    // ONE leading space attaches to the following run (GPT convention);
+    // a MULTI-space run stays one whitespace token — the documented
+    // lookahead-free divergence from upstream GPT-2
+    assert(pretoks("hi !") === Seq("hi", " !"))
+    assert(pretoks("a   b") === Seq("a", "   ", "b"))
+    // losslessness: concatenating pretokens reproduces the text exactly
+    val texts = Seq("don't  stop, won't\tgo 42x", " leading", "trailing  ",
+      "protégé café 中文 mixed")
+    for (t <- texts) assert(pretoks(t).mkString("") === t)
+  }
+
+  test("pretok query shape: ordinal positions, spaces preserved") {
+    val docs = Seq((7L, "don't go"), (8L, "")).toDF("doc_id", "text")
+    val got = ByteBpe.pretokCorpus(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq((7L, 0L, "don"), (7L, 1L, "'t"), (7L, 2L, " go")))
+  }
 }
