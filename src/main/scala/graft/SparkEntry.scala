@@ -878,6 +878,18 @@ object SparkEntry {
     // preservation, the one thing compaction must never change
     "lake_compact" -> ((s, d) =>
       ext.Lake.compactRoundTrip(s, Tables.documents(s, d), d)),
+    // range-partitioned sorted write; a selective band read back through
+    // the per-file min/max manifest (footer stats) — 1-D data skipping
+    "lake_sorted_write" -> ((s, d) =>
+      ext.Lake.sortedWriteRoundTrip(s, Tables.orders(s, d), d)),
+    // GLOBAL total order via RangePartitioning (sampled bounds, never a
+    // single-partition sort) — the write-side sibling grades the files,
+    // this grades the order itself
+    "q_global_sort" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        Relational.cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderstatus"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))),
     // transactional table: appends + file-pruned copy-on-write delete +
     // compaction, every state change one atomic commit in the mini
     // commit log; graded on the final snapshot content
@@ -2926,6 +2938,17 @@ object SparkEntry {
     "lake_compact" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // pruning must never change the answer: the oracle is the plain band
+    "lake_sorted_write" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) BETWEEN 1000000 AND 3000000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_global_sort" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderstatus
+        |FROM orders ORDER BY price_cents DESC, o_orderkey""".stripMargin,
     // final snapshot after append+append, CoW delete of 'de', compaction
     "lake_txn" ->
       """SELECT doc_id, text, lang, source, n_chars

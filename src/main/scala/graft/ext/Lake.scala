@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 
 /** Bucketed-table lake layout: the co-located-join machinery.
   *
@@ -127,6 +127,90 @@ object Lake {
       .filter(col("lang").isin("en", "de"))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Sorted write + per-file min/max pruning: the 1-D sibling of the
+  // z-order path (ext/Zorder), for single-key range workloads.
+  // ---------------------------------------------------------------------
+
+  /** One data file's key range, read back from its parquet footer. */
+  final case class FileRange(file: String, lo: Long, hi: Long, rows: Long)
+
+  /** Range-partitioned, per-file-sorted write + the min/max manifest.
+    *
+    * `repartitionByRange` samples the sort key and hands each output
+    * task a disjoint key band (RangePartitioning — never a global
+    * single-partition sort); `sortWithinPartitions` orders rows inside
+    * each band so every file is fully sorted and its footer stats are
+    * TIGHT. The manifest is read back from the parquet footers
+    * themselves (no data scan, no side state) — exactly the min/max a
+    * lakehouse data-skipping index stores per file. At 100 TB this is
+    * what makes `WHERE key BETWEEN lo AND hi` scan k files instead of
+    * all of them. */
+  def sortedWrite(spark: SparkSession, df: DataFrame, dir: String,
+                  sortCol: String, nFiles: Int): Seq[FileRange] = {
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val blocks = rd.getFooter.getBlocks
+          var lo = Long.MaxValue; var hi = Long.MinValue; var rows = 0L
+          blocks.forEach { b =>
+            rows += b.getRowCount
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == sortCol) {
+                val s = c.getStatistics
+                lo = math.min(lo, s.genericGetMin.asInstanceOf[java.lang.Long])
+                hi = math.max(hi, s.genericGetMax.asInstanceOf[java.lang.Long])
+              }
+            }
+          }
+          require(rows == 0 || lo <= hi, s"no footer stats for $sortCol in ${st.getPath}")
+          FileRange(st.getPath.toString, lo, hi, rows)
+        } finally rd.close()
+      }.toSeq.filter(_.rows > 0)
+  }
+
+  /** Manifest-pruned range read: only files whose [lo, hi] overlaps the
+    * predicate band are opened at all (the residual filter still runs —
+    * file ranges overlap the band's EDGES). Returns the frame and the
+    * number of files actually scanned, so the spec can assert k < N. */
+  def prunedRead(spark: SparkSession, manifest: Seq[FileRange], sortCol: String,
+                 lo: Long, hi: Long): (DataFrame, Int) = {
+    val hit = manifest.filter(f => f.hi >= lo && f.lo <= hi)
+    require(hit.nonEmpty, s"no file overlaps [$lo, $hi]")
+    (spark.read.parquet(hit.map(_.file): _*)
+      .filter(col(sortCol) >= lo && col(sortCol) <= hi), hit.size)
+  }
+
+  /** Graded query: write orders range-sorted by price into 8 files,
+    * read a selective price band back THROUGH the manifest pruning —
+    * graded on content (the one thing pruning must never change);
+    * LakeSpec asserts the skip count itself, which sampling-derived
+    * band boundaries keep out of closed form. */
+  def sortedWriteRoundTrip(spark: SparkSession, orders: DataFrame,
+                           sfDir: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_sorted_${spark.sparkContext.applicationId}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(base)) fs.delete(base, true)
+    val priced = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderstatus"))
+    val manifest = sortedWrite(spark, priced, base.toString, "price_cents", 8)
+    val (df, _) = prunedRead(spark, manifest, "price_cents", 1000000L, 3000000L)
+    df.orderBy("o_orderkey")
   }
 
   /** Graded query: fragment the documents table into 64 tiny files (a

@@ -149,6 +149,35 @@ class LakeTxnSpec extends SparkSpec {
       plan.contains("IsNotNull(doc_id)"), plan.takeRight(800))
   }
 
+  test("sorted write: manifest prunes files; content survives exactly") {
+    import spark.implicits._
+    val dir = freshDir("sorted")
+    val df = (0 until 4000).map(i => ((i * 2654435761L) % 100000L, i.toLong))
+      .toDF("k", "v")
+    val manifest = ext.Lake.sortedWrite(spark, df, dir, "k", 8)
+    assert(manifest.size == 8)
+    // range bands are disjoint across files (sorted by name = key order)
+    manifest.sliding(2).foreach {
+      case Seq(a, b) => assert(a.hi <= b.lo, s"$a overlaps $b")
+      case _ =>
+    }
+    assert(manifest.map(_.rows).sum == 4000L)
+    // a narrow band scans strictly fewer files than the table holds
+    val (pruned, scanned) = ext.Lake.prunedRead(spark, manifest, "k", 10000L, 20000L)
+    assert(scanned < 8, s"no pruning: scanned $scanned of 8")
+    val want = df.filter(col("k") >= 10000L && col("k") <= 20000L)
+      .orderBy("k", "v").collect().toSeq
+    assert(pruned.orderBy("k", "v").collect().toSeq === want)
+  }
+
+  test("q_global_sort plans RangePartitioning, never a single-partition sort") {
+    val df = SparkEntry.queries("q_global_sort")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("rangepartitioning"), plan.takeRight(1200))
+    assert(!plan.contains("SinglePartition"), plan.takeRight(1200))
+  }
+
   test("corrupt action lines fail loudly, never silently drop a remove") {
     val t = freshDir("corrupt")
     LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)
