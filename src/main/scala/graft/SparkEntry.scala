@@ -838,6 +838,10 @@ object SparkEntry {
     // real WAV (RIFF) audio decode over real encoded fixtures — the audio
     // face of the multimodal codec (chunk walk, PCM s16le sample decode)
     "mm_audio" -> ((s, d) => Multimodal.audioQuery(s, Tables.documents(s, d))),
+    // spectral features: multi-tone PCM across all three bit depths,
+    // integer-contract DFT (shared sine LUT) at planted + empty bins
+    "mm_audio_tones" -> ((s, d) =>
+      Multimodal.audioTonesQuery(s, Tables.documents(s, d))),
     // RIFF LIST/INFO metadata round trip — the audio sibling of mm_png_text
     "mm_wav_info" -> ((s, d) => Multimodal.wavInfoQuery(s, Tables.documents(s, d))),
     // real PNG decode over real encoded fixtures: CRC-verified chunk walk,
@@ -2814,6 +2818,45 @@ object SparkEntry {
         |       WHEN 1 THEN ((doc_id * 37) % 1000) % 120
         |       ELSE ((doc_id * 37) % 1000) * 1000 + 7 END AS mean_abs
         |FROM documents ORDER BY media_id""".stripMargin,
+    // integer-contract DFT replay: same 96-entry scaled sine table,
+    // same half-away rndDiv sample synthesis, same re/im accumulation;
+    // the one double step (round(sqrt(re^2+im^2))) is IEEE-deterministic
+    "mm_audio_tones" ->
+      (s"""WITH lutc AS (SELECT [${ext.Multimodal.SinLut.mkString(", ")}]::BIGINT[] AS lut),
+         |par AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 24 END AS bits,
+         |    2 + doc_id % 2 AS ntones
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, ntones,
+         |    CASE bits WHEN 8 THEN 30 WHEN 16 THEN 9000 ELSE 200000 END AS b
+         |  FROM par),
+         |tones AS (
+         |  SELECT doc_id, 1 + 3*t + doc_id % 7 AS kt, b - t*b//4 AS amp
+         |  FROM base, unnest(range(0, ntones)) AS u(t)),
+         |samp AS (
+         |  SELECT doc_id, n,
+         |    sum(CASE WHEN amp*lut[((kt*n) % 96) + 1] >= 0
+         |             THEN (amp*lut[((kt*n) % 96) + 1] + 500000) // 1000000
+         |             ELSE -((-(amp*lut[((kt*n) % 96) + 1]) + 500000) // 1000000)
+         |        END)::BIGINT AS x
+         |  FROM tones, lutc, unnest(range(0, 96)) AS v(n)
+         |  GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT DISTINCT doc_id, kt AS k FROM tones
+         |  UNION SELECT doc_id, 23 FROM base),
+         |dft AS (
+         |  SELECT p.doc_id, p.k,
+         |    sum(s.x * lut[((p.k*s.n + 24) % 96) + 1])::BIGINT AS re_scaled,
+         |    (-sum(s.x * lut[((p.k*s.n) % 96) + 1]))::BIGINT AS im_scaled
+         |  FROM probes p JOIN samp s ON p.doc_id = s.doc_id, lutc
+         |  GROUP BY 1, 2)
+         |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS bin, re_scaled, im_scaled,
+         |  CAST(round(sqrt(CAST(re_scaled AS DOUBLE)*re_scaled
+         |                  + CAST(im_scaled AS DOUBLE)*im_scaled)) AS BIGINT)
+         |    AS magnitude
+         |FROM dft ORDER BY media_id, bin""").stripMargin,
     // PNG ground truth: fixture pixels are the gradient (3x + 7y + off_c)
     // mod 256, so the oracle recomputes the exact per-channel sums pixel
     // by pixel — a decoder that mis-reverses any scanline filter (the

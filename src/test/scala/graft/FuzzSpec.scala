@@ -95,10 +95,16 @@ class FuzzSpec extends SparkSpec {
       p => Mp4.mjpegFrames(0L, p))
   }
 
+  test("fuzz: tone-WAV DFT analysis never throws") {
+    degradeNeverThrows("tone-wav", Ids.map(Multimodal.syntheticToneWav))(
+      p => Multimodal.toneBins(0L, p))
+  }
+
   test("fuzz: WAV decode never throws") {
     degradeNeverThrows("wav",
       Ids.map(Multimodal.syntheticWav) ++
-        Ids.map(Multimodal.syntheticWavWithInfo))(
+        Ids.map(Multimodal.syntheticWavWithInfo) ++
+        Ids.map(Multimodal.syntheticToneWav))(
       b => Multimodal.decodeWav(MediaRecord(1L, "audio", b, "s")))
   }
 

@@ -556,4 +556,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._5 == 2L && !out(4L)._6, "twin 4 grouped, dropped")
     assert(out(7L)._5 == 1L && out(7L)._6, "unrelated image alone")
   }
+
+  test("tone DFT: planted bins resonate near A·N/2, the empty bin stays silent") {
+    // ids 0/1/2 rotate 16/8/24-bit depths; all three graded
+    for (id <- Seq(0L, 1L, 2L, 5L, 7L)) {
+      val bins = Multimodal.toneBins(id, Multimodal.syntheticToneWav(id))
+      assert(bins.length == Multimodal.fxToneCount(id) + 1)
+      val byBin = bins.map(b => b.bin -> b).toMap
+      for (t <- 0 until Multimodal.fxToneCount(id)) {
+        val k = Multimodal.fxToneBin(id, t).toLong
+        val expect = Multimodal.fxToneAmp(id, t) * 48L * 1000000L
+        val got = byBin(k).magnitude
+        // LUT + sample rounding keeps the planted-bin response within
+        // a small fraction of the ideal A·(N/2) resonance
+        assert(math.abs(got - expect) <= expect / 100 + 96L * 1000000L,
+          s"id=$id bin=$k got=$got expect~$expect")
+      }
+      // the never-planted probe bin carries only rounding residue: well
+      // below the weakest planted tone AND inside the analytic bound
+      // (per-sample quantization ≤ 0.5 → |Σ e·twiddle| ≤ 96·0.5·10⁶)
+      val silent = byBin(Multimodal.ToneEmptyBin.toLong).magnitude
+      val weakest = (0 until Multimodal.fxToneCount(id))
+        .map(t => byBin(Multimodal.fxToneBin(id, t).toLong).magnitude).min
+      assert(silent * 10 < weakest, s"id=$id empty=$silent weakest=$weakest")
+      assert(silent <= 96L * 500000L + 96L * 1000000L / 2,
+        s"id=$id empty=$silent exceeds the rounding-residue bound")
+    }
+  }
+
+  test("tone WAV: per-sample round trip is exact across all bit depths") {
+    for (id <- Seq(0L, 1L, 2L)) {
+      val xs = Multimodal.decodeWavSamples(Multimodal.syntheticToneWav(id)).get
+      assert(xs.toSeq === (0 until Multimodal.ToneFrames).map(Multimodal.toneSample(id, _)))
+    }
+    assert(Multimodal.decodeWavSamples("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.toneBins(9L, Array[Byte](1, 2, 3)) ===
+      Seq(Multimodal.ToneBin(9L, -1L, -1L, -1L, -1L)))
+  }
 }
