@@ -105,6 +105,14 @@ object Plans {
     "pipeline_crawl_cycle" -> "wave-1 agg → per-page fetch/extract projections → ONE left anti join on the canonical URL (the seen-set) → wave-2 hash agg; no window, no cartesian, everything URL-keyed",
     "text_nfkc" -> "one codegen'd NFKC expression in a pure projection — zero shuffle before the presentation sort",
     "url_politeness_delay" -> "parsed per-host rules gate + broadcast host-bounded delay table + ONE source-partitioned window; no SinglePartition, wave arithmetic is projection",
+    "dedup_suffix" -> "prefix doubling: ⌈log L⌉ rounds of (pos±h self-join + pair-class distinct + range-exchange rank with pid-keyed window) — all linear shuffles; dup classes are one map-side-combinable count agg; span merge is doc-keyed windows, no SinglePartition anywhere",
+    "lake_txn" -> "snapshot read is a plain multi-file parquet scan (pushdown intact — the commit log is driver-scale metadata); the only exchange is the presentation sort",
+    "lake_txn_cdc" -> "file-pruned CoW merge: change keys BROADCAST into the semi-join (find affected files) and the anti-join (drop old rows); only affected files rescan for the rewrite — the unaffected corpus never moves",
+    "q_global_sort" -> "global total order via rangepartitioning with sampled bounds — the sort distributes across 32 partitions, no SinglePartition stage",
+    "lake_sorted_write" -> "range exchange + within-partition sort at WRITE time buys tight per-file footer stats; the read side is a manifest-pruned file list with the band filter pushed to the scan",
+    "text_bbpe_pretok" -> "one codegen'd regexp_extract_all projection + Generate (posexplode) — zero shuffle before the presentation sort",
+    "mm_mp4_frames" -> "stsc/stco/stsz walk + per-frame JPEG decode inside mapPartitions over the payload scan; only fixed-width frame stats cross the shuffle — video bytes never leave the scan stage",
+    "mm_audio_tones" -> "RIFF walk + PCM decode + integer DFT inside mapPartitions; only (bin, re, im, magnitude) rows cross the shuffle — audio bytes never leave the scan stage",
   )
 
   def main(args: Array[String]): Unit = {

@@ -820,8 +820,14 @@ object Dedup {
         col("n_toks"), col("__tok"))
     val vocabRanks = orderedDenseRank(
       toks.select(col("__tok")).distinct(), Seq(col("__tok")), "__r")
+    // Each round is CHECKPOINTED flat (same O(1)-generations rotation as
+    // Graph.pageRank): `paired` feeds BOTH the class table and the final
+    // join, so an unbroken lineage would double the live subtree every
+    // round — 2^rounds plan copies by the last doubling. The superseded
+    // checkpoints are freed once the round's result has materialized.
     var ranked = toks.join(vocabRanks, "__tok")
       .select(col(idCol), col("pos"), col("n_toks"), col("__r").as("rank"))
+      .localCheckpoint(true)
     var h = 1L
     while (h < windowTokens) {
       val right = ranked.select(col(idCol).as("__id2"),
@@ -830,11 +836,16 @@ object Dedup {
         .join(right, col(idCol) === col("__id2") && col("pos") === col("__p2"), "left")
         .select(col(idCol), col("pos"), col("n_toks"),
           col("rank").as("__r1"), coalesce(col("__r2"), lit(0L)).as("__r2"))
+        .localCheckpoint(true)
       val classes = orderedDenseRank(
         paired.select(col("__r1"), col("__r2")).distinct(),
         Seq(col("__r1"), col("__r2")), "__nr")
-      ranked = paired.join(classes, Seq("__r1", "__r2"))
+      val next = paired.join(classes, Seq("__r1", "__r2"))
         .select(col(idCol), col("pos"), col("n_toks"), col("__nr").as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(ranked)
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(paired)
+      ranked = next
       h *= 2
     }
     ranked

@@ -159,7 +159,22 @@ object ScaleBench {
       "src_jsonl_gz" -> SparkEntry.queries("src_jsonl_gz"),
       "src_json_multiline" -> SparkEntry.queries("src_json_multiline"),
       "pipeline_crawl_cycle" -> SparkEntry.queries("pipeline_crawl_cycle"),
-      "mm_gif_composite" -> SparkEntry.queries("mm_gif_composite"))
+      "mm_gif_composite" -> SparkEntry.queries("mm_gif_composite"),
+      // round-16: the suffix-array prefix doubling (⌈log L⌉ rounds of
+      // linear shuffles — the growth term is tokens per round), the
+      // transactional cycle and the file-pruned CoW merge (rewrite ∝
+      // affected bytes + driver-scale log), global sort
+      // (rangepartitioning, ~linear in rows), sorted write + manifest
+      // pruning (write-bound), MJPEG frame extraction / tone DFT /
+      // GPT-2 pretok (per-row compute)
+      "dedup_suffix" -> SparkEntry.queries("dedup_suffix"),
+      "lake_txn" -> SparkEntry.queries("lake_txn"),
+      "lake_txn_cdc" -> SparkEntry.queries("lake_txn_cdc"),
+      "q_global_sort" -> SparkEntry.queries("q_global_sort"),
+      "lake_sorted_write" -> SparkEntry.queries("lake_sorted_write"),
+      "mm_mp4_frames" -> SparkEntry.queries("mm_mp4_frames"),
+      "mm_audio_tones" -> SparkEntry.queries("mm_audio_tones"),
+      "text_bbpe_pretok" -> SparkEntry.queries("text_bbpe_pretok"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }

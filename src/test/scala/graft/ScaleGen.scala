@@ -83,6 +83,18 @@ object ScaleGen {
           (col("user_id") + c.toLong * 1000000L).as("user_id"),
           col("event_type"), col("value"), col("props"))
       }
+      // orders copies (round-16, for the global-sort / sorted-write
+      // rows): fresh order+cust keys, prices nudged per copy so the
+      // range partitioner's sampled key space genuinely grows
+      val ord = Tables.orders(spark, sfDir)
+      val ordCopies = (0 until copies).map { c =>
+        ord.select(
+          (col("o_orderkey") + c.toLong * 100000000L).as("o_orderkey"),
+          (col("o_custkey") + c.toLong * 100000000L).as("o_custkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") + lit(c * 0.07)).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      }
       def writeAll(parts: Seq[DataFrame], name: String): Unit =
         parts.reduce(_ unionByName _).repartition(4 * copies)
           .write.mode("overwrite").parquet(s"$dir/$name.parquet")
@@ -90,6 +102,7 @@ object ScaleGen {
       writeAll(embCopies, "embeddings")
       writeAll(liCopies, "lineitem")
       writeAll(evCopies, "events")
+      writeAll(ordCopies, "orders")
       val n = spark.read.parquet(s"$dir/documents.parquet").count()
       val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
       println(s"[scalegen] x$copies -> $dir docs=$n emb=$ne")
