@@ -908,6 +908,16 @@ object SparkEntry {
     // one MERGE commit with updates+inserts+deletes applied file-pruned
     // copy-on-write through the log — the CDC apply at lake scale
     "lake_txn_cdc" -> ((s, d) => ext.LakeTxn.cdcQuery(s, Tables.documents(s, d), d)),
+    // retention-bounded physical deletion: vacuum keeps only the latest
+    // snapshot's files; live content must be byte-identical
+    "lake_vacuum" -> ((s, d) => ext.LakeTxn.vacuumQuery(s, Tables.documents(s, d), d)),
+    // log checkpoint: the read folds checkpoint + Δ commits, O(Δ) not
+    // O(table lifetime) — content identical to the full fold
+    "lake_txn_checkpoint" -> ((s, d) =>
+      ext.LakeTxn.checkpointQuery(s, Tables.documents(s, d), d)),
+    // streaming micro-batches committing exactly-once into the txn log
+    // (idempotence markers); the landed table read back through the log
+    "stream_lake_txn" -> ((s, d) => ext.LakeTxn.streamIngestQuery(s, d)),
     "pipeline_domain_cap" -> ((s, d) =>
       ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -3010,6 +3020,18 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, 1::BIGINT, 4::BIGINT,
         |  (SELECT count(*) FROM documents)::BIGINT
         |ORDER BY version""".stripMargin,
+    // vacuum must never change live content: same oracle as lake_txn
+    "lake_vacuum" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang <> 'de' ORDER BY doc_id""".stripMargin,
+    // the checkpointed fold lands on the same final content
+    "lake_txn_checkpoint" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang <> 'de' ORDER BY doc_id""".stripMargin,
+    // exactly-once landed stream = the batch projection
+    "stream_lake_txn" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
     // MERGE result: updates (lang→'xx' on %7, minus the deleted class),
     // inserts (+1000000 ids, lang 'new'), deletes (%5=4)
     "lake_txn_cdc" ->

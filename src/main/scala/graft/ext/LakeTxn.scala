@@ -72,54 +72,118 @@ object LakeTxn {
   // ------------------------------------------------------------------
 
   /** Committed versions, ascending. Dot-temp (staged) files are never
-    * versions — only a published rename makes a commit exist. */
+    * versions — only a published rename makes a commit exist; checkpoint
+    * summaries are not versions either. */
   def listVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).iterator
       .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
+        !n.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  /** Checkpointed versions, ascending (see [[checkpointLog]]). */
+  def listCheckpoints(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".checkpoint.json") && !n.startsWith("."))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
       .toSeq.sorted
   }
 
   private val ActionRe =
     """\{"a":"(add|remove)","f":"([^"]+)"(?:,"rows":(\d+))?\}""".r
+  private val TxnRe =
+    """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
 
-  /** Parse one commit's action lines. Malformed lines fail loudly — a
-    * corrupt log must never silently drop a remove (double-count). */
-  def readCommit(spark: SparkSession, table: String, v: Long): Seq[Action] = {
-    val p = commitFile(table, v)
-    val fs = fsOf(spark, p)
+  private def readFileText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
-    val body = try {
+    try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       new String(out.toByteArray, UTF_8)
     } finally in.close()
-    body.split("\n").toSeq.filter(_.nonEmpty).map {
-      case ActionRe(a, f, rows) =>
-        Action(a == "add", f, if (rows == null) 0L else rows.toLong)
-      case bad => throw new IllegalArgumentException(
-        s"corrupt commit $v of $table: unparseable action line '$bad'")
-    }
   }
 
-  /** The live file set at `asOf` (default: latest): fold adds/removes
-    * of commits 0..asOf in order. Driver-scale — Θ(commits). */
+  private def parseActions(table: String, what: String,
+                           body: String): (Seq[Action], Seq[(String, Long)]) = {
+    val acts = Seq.newBuilder[Action]
+    val txns = Seq.newBuilder[(String, Long)]
+    body.split("\n").iterator.filter(_.nonEmpty).foreach {
+      case ActionRe(a, f, rows) =>
+        acts += Action(a == "add", f, if (rows == null) 0L else rows.toLong)
+      case TxnRe(app, id) => txns += ((app, id.toLong))
+      case bad => throw new IllegalArgumentException(
+        s"corrupt $what of $table: unparseable action line '$bad'")
+    }
+    (acts.result(), txns.result())
+  }
+
+  /** Parse one commit's action lines (idempotence markers skipped).
+    * Malformed lines fail loudly — a corrupt log must never silently
+    * drop a remove (double-count). */
+  def readCommit(spark: SparkSession, table: String, v: Long): Seq[Action] = {
+    val p = commitFile(table, v)
+    parseActions(table, s"commit $v", readFileText(fsOf(spark, p), p))._1
+  }
+
+  /** The (app, batchId) idempotence markers of one commit. */
+  def readTxnMarkers(spark: SparkSession, table: String,
+                     v: Long): Seq[(String, Long)] = {
+    val p = commitFile(table, v)
+    parseActions(table, s"commit $v", readFileText(fsOf(spark, p), p))._2
+  }
+
+  /** The live file set at `asOf` (default: latest). The fold starts
+    * from the newest CHECKPOINT ≤ asOf when one exists (see
+    * [[checkpointLog]]) and replays only the commits after it —
+    * Θ(commits since checkpoint), not Θ(table lifetime). Driver-scale
+    * either way. */
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): Snapshot = {
     val all = listVersions(spark, table)
     val vs = asOf.fold(all)(a => all.filter(_ <= a))
     require(vs.nonEmpty,
       s"no committed snapshot in $table" + asOf.fold("")(a => s" at version <= $a"))
+    val cp = listCheckpoints(spark, table).filter(_ <= vs.last).lastOption
     val live = new scala.collection.mutable.LinkedHashSet[String]
-    for (v <- vs; act <- readCommit(spark, table, v))
+    cp.foreach { cv =>
+      val p = new Path(logDir(table), f"$cv%020d.checkpoint.json")
+      parseActions(table, s"checkpoint $cv", readFileText(fsOf(spark, p), p))
+        ._1.foreach(a => if (a.add) live += a.file)
+    }
+    for (v <- vs if cp.forall(v > _); act <- readCommit(spark, table, v))
       if (act.add) live += act.file else live -= act.file
     Snapshot(vs.last, live.toSeq)
+  }
+
+  /** Write a checkpoint summarizing the CURRENT snapshot: the full live
+    * file set at the latest version, atomically published as
+    * `<v>.checkpoint.json`. Readers then fold only the commits AFTER it
+    * — the Delta checkpoint-parquet idea reduced to its load-bearing
+    * core, keeping snapshot() O(Δ) as the log grows into the thousands
+    * of commits a streaming ingest produces. Returns the checkpointed
+    * version. */
+  def checkpointLog(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table)
+    val dest = new Path(logDir(table), f"${snap.version}%020d.checkpoint.json")
+    val fs = fsOf(spark, dest)
+    val body = snap.files.map(f => s"""{"a":"add","f":"$f"}""").mkString("\n")
+    val tmp = new Path(dest.getParent,
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    require(fs.rename(tmp, dest), s"atomic checkpoint publish failed at $dest")
+    snap.version
   }
 
   /** Snapshot read — latest by default, or time travel to `asOf`. The
@@ -188,13 +252,14 @@ object LakeTxn {
     * optimistic-concurrency conflict a caller retries. */
   private[graft] def publish(spark: SparkSession, table: String, v: Long,
                              adds: Seq[(String, Long)],
-                             removes: Seq[String]): Unit = {
+                             removes: Seq[String],
+                             extraLines: Seq[String] = Nil): Unit = {
     val dest = commitFile(table, v)
     val fs = fsOf(spark, dest)
     fs.mkdirs(dest.getParent)
     require(!fs.exists(dest), s"commit conflict: version $v already exists")
     val body = (adds.map { case (f, r) => s"""{"a":"add","f":"$f","rows":$r}""" } ++
-      removes.map(f => s"""{"a":"remove","f":"$f"}""")).mkString("\n")
+      removes.map(f => s"""{"a":"remove","f":"$f"}""") ++ extraLines).mkString("\n")
     val tmp = new Path(dest.getParent,
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -205,6 +270,63 @@ object LakeTxn {
   /** Append `df` to the table as one commit (the ingest primitive). */
   def appendCommit(spark: SparkSession, df: DataFrame, table: String): Long =
     commit(spark, table, stage(spark, df, table), Nil)
+
+  /** All (app, batchId) idempotence markers committed so far. */
+  def committedBatchIds(spark: SparkSession, table: String): Set[(String, Long)] =
+    listVersions(spark, table)
+      .flatMap(v => readTxnMarkers(spark, table, v)).toSet
+
+  /** EXACTLY-ONCE micro-batch append: the commit carries an
+    * `{"a":"txn","app":…,"id":batchId}` marker, and a REPLAYED epoch
+    * (failure/restart re-delivery from a streaming checkpoint) finds
+    * its id already committed and skips — the commit log doubles as
+    * the sink's transaction log, which is precisely how a lakehouse
+    * streaming sink gets exactly-once on top of its commit protocol.
+    * Staging runs OUTSIDE the claim lock (it is the expensive part);
+    * the marker check + publish are atomic under it. A crash between
+    * stage and publish leaks only unpinned files (invisible to readers,
+    * reclaimed by [[vacuum]]); the retry commits once. Returns the
+    * version, or -1 if the batch was already committed. */
+  def appendBatchCommit(spark: SparkSession, df: DataFrame, table: String,
+                        app: String, batchId: Long): Long = {
+    if (committedBatchIds(spark, table).contains((app, batchId))) return -1L
+    val adds = stage(spark, df, table)
+    val lock = commitLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      if (committedBatchIds(spark, table).contains((app, batchId))) -1L
+      else {
+        val v = listVersions(spark, table).lastOption.map(_ + 1).getOrElse(0L)
+        publish(spark, table, v, adds, Nil,
+          extraLines = Seq(s"""{"a":"txn","app":"$app","id":$batchId}"""))
+        v
+      }
+    }
+  }
+
+  /** What one vacuum pass did. */
+  final case class VacuumStats(examined: Int, deleted: Int)
+
+  /** Physically delete data files referenced by NO retained snapshot
+    * (the newest `retainLast` versions). This is the one operation that
+    * trades history for storage: time travel OLDER than the retention
+    * horizon stops working, by design — commits themselves stay, so the
+    * log remains an audit trail. Live data is untouched because the
+    * latest snapshot is always retained. */
+  def vacuum(spark: SparkSession, table: String, retainLast: Int): VacuumStats = {
+    require(retainLast >= 1, "must retain at least the latest snapshot")
+    val vs = listVersions(spark, table)
+    val retained = vs.takeRight(retainLast)
+    val referenced = retained
+      .flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    val dataDir = new Path(table, "data")
+    val fs = fsOf(spark, dataDir)
+    if (!fs.exists(dataDir)) return VacuumStats(0, 0)
+    val all = fs.listStatus(dataDir).filter(_.isFile)
+      .map(s => s"data/${s.getPath.getName}")
+    val dead = all.filterNot(referenced)
+    dead.foreach(f => fs.delete(new Path(table, f), false))
+    VacuumStats(all.length, dead.length)
+  }
 
   /** Compaction THROUGH the log: stage the bin-packed rewrite of every
     * live file, then publish remove(old)+add(new) as one atomic commit.
@@ -327,6 +449,58 @@ object LakeTxn {
       (v, acts.count(_.add).toLong, acts.count(!_.add).toLong,
         acts.filter(_.add).map(_.rows).sum)
     }.toDF("version", "n_adds", "n_removes", "rows_added").orderBy("version")
+  }
+
+  /** lake_vacuum: the full transactional life cycle, then vacuum
+    * retaining ONLY the latest snapshot — live content must be
+    * untouched (the one thing vacuum must never change; the history
+    * trade-off is spec-pinned). */
+  def vacuumQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "vac")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2, col("lang")), t)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2, col("lang")), t)
+    val dels = d.filter(col("lang") === "de").withColumn("__op", lit("delete"))
+    applyChanges(spark, t, dels, "doc_id")
+    compactCommit(spark, t, Long.MaxValue / 4)
+    vacuum(spark, t, retainLast = 1)
+    read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_txn_checkpoint: appends → CHECKPOINT → more commits → the
+    * read folds from the checkpoint plus only the commits after it
+    * (LakeTxnSpec pins the equality with the full fold); graded on the
+    * final content like every lake query. */
+  def checkpointQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "ckpt")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2, col("lang")), t)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2, col("lang")), t)
+    checkpointLog(spark, t)
+    val dels = d.filter(col("lang") === "de").withColumn("__op", lit("delete"))
+    applyChanges(spark, t, dels, "doc_id")
+    compactCommit(spark, t, Long.MaxValue / 4)
+    read(spark, t).orderBy("doc_id")
+  }
+
+  /** stream_lake_txn: Structured Streaming micro-batches committing
+    * into the txn log through [[appendBatchCommit]] — every epoch one
+    * atomic commit with an idempotence marker (exactly-once under
+    * replay, spec-pinned), the landed table read back THROUGH the log.
+    * The lakehouse streaming-sink shape end to end. */
+  def streamIngestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "stream")
+    val events = graft.streaming.EventsStream.readEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = events.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        appendBatchCommit(spark, batch, t, app = "stream_lake_txn",
+          batchId = epochId): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    read(spark, t).orderBy("event_id")
   }
 
   /** lake_txn_cdc: one MERGE commit carrying all three change kinds —

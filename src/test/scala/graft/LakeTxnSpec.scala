@@ -149,6 +149,84 @@ class LakeTxnSpec extends SparkSpec {
       plan.contains("IsNotNull(doc_id)"), plan.takeRight(800))
   }
 
+  test("vacuum deletes only unretained files; live reads survive, old versions fail") {
+    val t = freshDir("vacuum")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 40, "en").repartition(2), t)
+    LakeTxn.appendCommit(spark, mkDocs(40 until 60, "fr").repartition(2), t)
+    val before = contents(LakeTxn.read(spark, t))
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4) // v2: removes 4, adds 1
+    val stats = LakeTxn.vacuum(spark, t, retainLast = 1)
+    // the four pre-compaction files die; the compacted file survives
+    assert(stats.examined == 5 && stats.deleted == 4, stats.toString)
+    assert(contents(LakeTxn.read(spark, t)) === before)
+    // time travel behind the retention horizon now fails (files gone)
+    intercept[Exception] {
+      LakeTxn.read(spark, t, Some(0L)).collect()
+    }
+    // the log itself remains an audit trail
+    assert(LakeTxn.listVersions(spark, t) === Seq(0L, 1L, 2L))
+  }
+
+  test("vacuum with retainLast=2 keeps both retained snapshots readable") {
+    val t = freshDir("vacuum2")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 30, "en").coalesce(1), t)
+    LakeTxn.appendCommit(spark, mkDocs(30 until 50, "fr").coalesce(1), t)
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4)
+    LakeTxn.vacuum(spark, t, retainLast = 2)
+    // v1 (pre-compaction) and v2 both read; v1's files were referenced
+    assert(contents(LakeTxn.read(spark, t, Some(1L))) ===
+      contents(LakeTxn.read(spark, t)))
+  }
+
+  test("log checkpoint: the checkpointed fold equals the full fold") {
+    val t = freshDir("ckpt")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 30, "en").repartition(2), t)
+    LakeTxn.appendCommit(spark, mkDocs(30 until 50, "fr").repartition(2), t)
+    val cv = LakeTxn.checkpointLog(spark, t)
+    assert(cv == 1L)
+    // commits after the checkpoint still apply through it
+    val changes = mkDocs(10 until 12, "xx").withColumn("__op", lit("upsert"))
+    LakeTxn.applyChanges(spark, t, changes, "doc_id")
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4)
+    val expect = mkDocs(0 until 10, "en")
+      .unionByName(mkDocs(10 until 12, "xx"))
+      .unionByName(mkDocs(12 until 30, "en"))
+      .unionByName(mkDocs(30 until 50, "fr"))
+    assert(contents(LakeTxn.read(spark, t)) === contents(expect))
+    // snapshot at the checkpoint version itself and BEFORE it both work
+    assert(LakeTxn.snapshot(spark, t, Some(1L)).files.size == 4)
+    assert(contents(LakeTxn.read(spark, t, Some(0L))) ===
+      contents(mkDocs(0 until 30, "en")))
+    // a second checkpoint at the head supersedes the first for new reads
+    val cv2 = LakeTxn.checkpointLog(spark, t)
+    assert(cv2 == 3L)
+    assert(contents(LakeTxn.read(spark, t)) === contents(expect))
+    assert(LakeTxn.listCheckpoints(spark, t) === Seq(1L, 3L))
+  }
+
+  test("exactly-once batch append: a replayed epoch is skipped") {
+    val t = freshDir("xonce")
+    val v0 = LakeTxn.appendBatchCommit(spark,
+      mkDocs(0 until 20, "en").coalesce(1), t, "ingest", 0L)
+    val v1 = LakeTxn.appendBatchCommit(spark,
+      mkDocs(20 until 30, "fr").coalesce(1), t, "ingest", 1L)
+    assert(v0 == 0L && v1 == 1L)
+    val before = contents(LakeTxn.read(spark, t))
+    // replay epoch 0 (a restart re-delivering from its checkpoint):
+    // skipped — no new version, content unchanged
+    val replay = LakeTxn.appendBatchCommit(spark,
+      mkDocs(0 until 20, "en").coalesce(1), t, "ingest", 0L)
+    assert(replay == -1L)
+    assert(LakeTxn.listVersions(spark, t) === Seq(0L, 1L))
+    assert(contents(LakeTxn.read(spark, t)) === before)
+    // a DIFFERENT app's epoch 0 is its own transaction
+    val other = LakeTxn.appendBatchCommit(spark,
+      mkDocs(100 until 105, "de").coalesce(1), t, "other", 0L)
+    assert(other == 2L)
+    assert(LakeTxn.committedBatchIds(spark, t) ===
+      Set(("ingest", 0L), ("ingest", 1L), ("other", 0L)))
+  }
+
   test("sorted write: manifest prunes files; content survives exactly") {
     import spark.implicits._
     val dir = freshDir("sorted")
