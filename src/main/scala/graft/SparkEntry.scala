@@ -842,6 +842,10 @@ object SparkEntry {
     // integer-contract DFT (shared sine LUT) at planted + empty bins
     "mm_audio_tones" -> ((s, d) =>
       Multimodal.audioTonesQuery(s, Tables.documents(s, d))),
+    // windowed DFT frames over a NON-stationary signal (tones shift one
+    // bin between windows) — the energy must move frame to frame
+    "mm_audio_spectrogram" -> ((s, d) =>
+      Multimodal.audioSpectrogramQuery(s, Tables.documents(s, d))),
     // RIFF LIST/INFO metadata round trip — the audio sibling of mm_png_text
     "mm_wav_info" -> ((s, d) => Multimodal.wavInfoQuery(s, Tables.documents(s, d))),
     // real PNG decode over real encoded fixtures: CRC-verified chunk walk,
@@ -911,6 +915,9 @@ object SparkEntry {
     // retention-bounded physical deletion: vacuum keeps only the latest
     // snapshot's files; live content must be byte-identical
     "lake_vacuum" -> ((s, d) => ext.LakeTxn.vacuumQuery(s, Tables.documents(s, d), d)),
+    // change data feed OUT of the lake: time travel + content-hash diff
+    // between two committed versions (added/changed/removed/unchanged)
+    "lake_txn_cdf" -> ((s, d) => ext.LakeTxn.cdfQuery(s, Tables.documents(s, d), d)),
     // log checkpoint: the read folds checkpoint + Δ commits, O(Δ) not
     // O(table lifetime) — content identical to the full fold
     "lake_txn_checkpoint" -> ((s, d) =>
@@ -2986,6 +2993,49 @@ object SparkEntry {
         |  sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS revenue_cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // same integer contract as mm_audio_tones, with the window dimension:
+    // generation shifts the tone bins by the window index, analysis
+    // probes {k, k+1, empty} per window
+    "mm_audio_spectrogram" ->
+      (s"""WITH lutc AS (SELECT [${ext.Multimodal.SinLut.mkString(", ")}]::BIGINT[] AS lut),
+         |par AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 24 END AS bits,
+         |    2 + doc_id % 2 AS ntones
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, ntones,
+         |    CASE bits WHEN 8 THEN 30 WHEN 16 THEN 9000 ELSE 200000 END AS b
+         |  FROM par),
+         |tones AS (
+         |  SELECT doc_id, 1 + 3*t + doc_id % 7 AS kt, b - t*b//4 AS amp
+         |  FROM base, unnest(range(0, ntones)) AS u(t)),
+         |samp AS (
+         |  SELECT doc_id, wnd, m,
+         |    sum(CASE WHEN amp*lut[(((kt+wnd)*m) % 96) + 1] >= 0
+         |             THEN (amp*lut[(((kt+wnd)*m) % 96) + 1] + 500000) // 1000000
+         |             ELSE -((-(amp*lut[(((kt+wnd)*m) % 96) + 1]) + 500000) // 1000000)
+         |        END)::BIGINT AS x
+         |  FROM tones, lutc, unnest(range(0, 2)) AS ww(wnd),
+         |       unnest(range(0, 96)) AS vv(m)
+         |  GROUP BY 1, 2, 3),
+         |probes AS (
+         |  SELECT DISTINCT doc_id, k FROM (
+         |    SELECT doc_id, kt AS k FROM tones
+         |    UNION ALL SELECT doc_id, kt + 1 FROM tones
+         |    UNION ALL SELECT doc_id, 23 FROM base)),
+         |dft AS (
+         |  SELECT s.doc_id, s.wnd, p.k,
+         |    sum(s.x * lut[((p.k*s.m + 24) % 96) + 1])::BIGINT AS re_scaled,
+         |    (-sum(s.x * lut[((p.k*s.m) % 96) + 1]))::BIGINT AS im_scaled
+         |  FROM probes p JOIN samp s ON p.doc_id = s.doc_id, lutc
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id AS media_id, CAST(wnd AS BIGINT) AS win,
+         |  CAST(k AS BIGINT) AS bin, re_scaled, im_scaled,
+         |  CAST(round(sqrt(CAST(re_scaled AS DOUBLE)*re_scaled
+         |                  + CAST(im_scaled AS DOUBLE)*im_scaled)) AS BIGINT)
+         |    AS magnitude
+         |FROM dft ORDER BY media_id, win, bin""").stripMargin,
     // compaction changes the LAYOUT, never the answer: the oracle is the
     // plain projection
     "lake_compact" ->
@@ -3020,6 +3070,18 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, 1::BIGINT, 4::BIGINT,
         |  (SELECT count(*) FROM documents)::BIGINT
         |ORDER BY version""".stripMargin,
+    // the feed's ground truth: deletes win over edits in the overlap
+    // class (the MERGE excluded them); inserts are the +1000000 keys
+    "lake_txn_cdf" ->
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 4 THEN 'removed'
+        |         WHEN doc_id % 7 = 0 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 13 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // vacuum must never change live content: same oracle as lake_txn
     "lake_vacuum" ->
       """SELECT doc_id, text, lang, source, n_chars

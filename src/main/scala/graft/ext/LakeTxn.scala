@@ -503,6 +503,28 @@ object LakeTxn {
     read(spark, t).orderBy("event_id")
   }
 
+  /** lake_txn_cdf: the CHANGE DATA FEED read OUT of the lake — the
+    * row-level diff between two committed versions, computed by time
+    * travel + content-hash full-outer diff ([[Incremental.snapshotDiff]]
+    * composed over the txn log). v1's MERGE edits text (so the hash
+    * diff sees 'changed'), inserts new keys, deletes a residue class;
+    * the feed reports added/changed/removed/unchanged per key. */
+  def cdfQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "cdf")
+    val d = docCols(docs)
+    appendCommit(spark, d.repartition(4), t)
+    val updates = d.filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .withColumn("__op", lit("upsert"))
+    val inserts = d.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("__op", lit("upsert"))
+    val deletes = d.filter(col("doc_id") % 5 === 4)
+      .withColumn("__op", lit("delete"))
+    applyChanges(spark, t, updates.unionByName(inserts).unionByName(deletes), "doc_id")
+    Incremental.snapshotDiff(read(spark, t, Some(0L)), read(spark, t))
+  }
+
   /** lake_txn_cdc: one MERGE commit carrying all three change kinds —
     * updates (lang → 'xx' for doc_id % 7 = 0), inserts (new keys
     * doc_id + 1000000 for doc_id % 13 = 0, lang 'new'), deletes

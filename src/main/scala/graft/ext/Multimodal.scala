@@ -917,6 +917,74 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // Spectrogram: WINDOWED DFT frames over a non-stationary signal — the
+  // tones SHIFT one bin between the two 96-sample windows, and the
+  // analysis must show the energy moving (window 0 resonates at k, 1 at
+  // k+1). Same integer contract as the single-shot tones.
+  // ---------------------------------------------------------------------
+
+  val SpectroWindows = 2
+
+  /** Sample n of the non-stationary signal: window w = n/96 plays the
+    * tone set shifted by w bins. */
+  def spectroSample(id: Long, n: Int): Int = {
+    val w = n / ToneFrames; val m = n % ToneFrames
+    var x = 0L
+    var t = 0
+    while (t < fxToneCount(id)) {
+      x += rndDiv(fxToneAmp(id, t) *
+        sinQ((fxToneBin(id, t) + w).toLong * m), 1000000L)
+      t += 1
+    }
+    x.toInt
+  }
+
+  def syntheticSpectroWav(id: Long): Array[Byte] =
+    encodeWavSamples(fxSampleRate(id),
+      Array.tabulate(SpectroWindows * ToneFrames)(spectroSample(id, _)),
+      fxBits(id))
+
+  final case class SpectroBin(media_id: Long, win: Long, bin: Long,
+                              re_scaled: Long, im_scaled: Long, magnitude: Long)
+
+  /** Windowed DFT frames: per window, the same integer re/im
+    * accumulation over that window's 96 samples, probed at every
+    * planted bin of BOTH windows plus the empty bin — so each frame
+    * shows where the energy is AND where it is not. */
+  def spectroBins(id: Long, p: Array[Byte]): Seq[SpectroBin] =
+    decodeWavSamples(p) match {
+      case None => Seq(SpectroBin(id, -1L, -1L, -1L, -1L, -1L))
+      case Some(xs) =>
+        val probes = ((0 until fxToneCount(id))
+          .flatMap(t => Seq(fxToneBin(id, t), fxToneBin(id, t) + 1)) :+
+          ToneEmptyBin).distinct.sorted
+        for {
+          w <- 0 until SpectroWindows
+          k <- probes
+        } yield {
+          var re = 0L; var im = 0L
+          var m = 0
+          while (m < ToneFrames) {
+            val x = xs(w * ToneFrames + m)
+            re += x * cosQ(k.toLong * m)
+            im -= x * sinQ(k.toLong * m)
+            m += 1
+          }
+          val mag = math.round(math.sqrt(re.toDouble * re + im.toDouble * im))
+          SpectroBin(id, w.toLong, k.toLong, re, im, mag)
+        }
+    }
+
+  /** Graded query: the spectrogram frames — (media, window, bin) grid
+    * of integer-contract DFT magnitudes over the shifting-tone signal. */
+  def audioSpectrogramQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id => spectroBins(id, syntheticSpectroWav(id))))
+      .toDF().orderBy("media_id", "win", "bin")
+  }
+
+  // ---------------------------------------------------------------------
   // PNG: real codec — chunk walk with CRC-32 verification, zlib inflate
   // (java.util.zip.Inflater), full scanline unfilter (None/Sub/Up/
   // Average/Paeth), per-channel pixel means for gray / gray+alpha / RGB /

@@ -98,6 +98,8 @@ class FuzzSpec extends SparkSpec {
   test("fuzz: tone-WAV DFT analysis never throws") {
     degradeNeverThrows("tone-wav", Ids.map(Multimodal.syntheticToneWav))(
       p => Multimodal.toneBins(0L, p))
+    degradeNeverThrows("spectro-wav", Ids.map(Multimodal.syntheticSpectroWav))(
+      p => Multimodal.spectroBins(0L, p))
   }
 
   test("fuzz: WAV decode never throws") {

@@ -584,6 +584,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("spectrogram: energy moves with the shifting tones, frame to frame") {
+    for (id <- Seq(0L, 1L, 2L, 6L)) {
+      val bins = Multimodal.spectroBins(id, Multimodal.syntheticSpectroWav(id))
+      val byKey = bins.map(b => (b.win, b.bin) -> b.magnitude).toMap
+      for (t <- 0 until Multimodal.fxToneCount(id)) {
+        val k = Multimodal.fxToneBin(id, t).toLong
+        // window 0 resonates at k and is near-silent at k+1; window 1
+        // the reverse — the spectrogram's defining property
+        assert(byKey((0L, k)) > 10 * byKey((0L, k + 1)),
+          s"id=$id w0 k=$k: ${byKey((0L, k))} !>> ${byKey((0L, k + 1))}")
+        assert(byKey((1L, k + 1)) > 10 * byKey((1L, k)),
+          s"id=$id w1 k=${k + 1}: ${byKey((1L, k + 1))} !>> ${byKey((1L, k))}")
+      }
+      // the empty bin stays silent in BOTH frames
+      assert(byKey((0L, 23L)) <= 96L * 1500000L &&
+        byKey((1L, 23L)) <= 96L * 1500000L)
+    }
+    // corrupt payload -> one sentinel row
+    assert(Multimodal.spectroBins(5L, Array[Byte](9)) ===
+      Seq(Multimodal.SpectroBin(5L, -1L, -1L, -1L, -1L, -1L)))
+  }
+
   test("tone WAV: per-sample round trip is exact across all bit depths") {
     for (id <- Seq(0L, 1L, 2L)) {
       val xs = Multimodal.decodeWavSamples(Multimodal.syntheticToneWav(id)).get
