@@ -113,6 +113,8 @@ object Plans {
     "text_bbpe_pretok" -> "one codegen'd regexp_extract_all projection + Generate (posexplode) — zero shuffle before the presentation sort",
     "mm_mp4_frames" -> "stsc/stco/stsz walk + per-frame JPEG decode inside mapPartitions over the payload scan; only fixed-width frame stats cross the shuffle — video bytes never leave the scan stage",
     "mm_audio_tones" -> "RIFF walk + PCM decode + integer DFT inside mapPartitions; only (bin, re, im, magnitude) rows cross the shuffle — audio bytes never leave the scan stage",
+    "lake_txn_cdf" -> "change data feed = ONE full-outer equi-join of two snapshot scans on the key (text reduced to sha256 AT the scan — content never crosses the shuffle); status is post-join projection",
+    "mm_audio_spectrogram" -> "windowed integer DFT inside mapPartitions (fixed 192-sample clips); only the (window, bin) grid rows cross the shuffle",
   )
 
   def main(args: Array[String]): Unit = {

@@ -39,8 +39,23 @@ object EventsStream {
     val stageDir = Paths.get(
       s"/tmp/graft_stream_${src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9]", "_")}")
     Files.createDirectories(stageDir)
-    val link = stageDir.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
+    // drop dangling links left by an earlier GENERATION of a rewritten
+    // table (Files.exists follows the link; delete removes the link)
+    Files.list(stageDir).forEach(l => if (!Files.exists(l)) Files.delete(l))
+    if (Files.isDirectory(src)) {
+      // a directory-shaped table (Spark-written): the file stream source
+      // does NOT recurse into a symlinked subdirectory — a dir symlink
+      // silently yields an EMPTY stream. Stage each data file flat.
+      Files.list(src)
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val link = stageDir.resolve(f.getFileName)
+          if (!Files.exists(link)) Files.createSymbolicLink(link, f.toAbsolutePath)
+        }
+    } else {
+      val link = stageDir.resolve("events.parquet")
+      if (!Files.exists(link)) Files.createSymbolicLink(link, src.toAbsolutePath)
+    }
     val (raw, nanos) = graft.Tables.rawEventsWithNanosFlag(spark, sfDir)
     graft.Tables.normalizeTs(
       spark.readStream.schema(raw.schema).parquet(stageDir.toString),

@@ -174,7 +174,17 @@ object ScaleBench {
       "lake_sorted_write" -> SparkEntry.queries("lake_sorted_write"),
       "mm_mp4_frames" -> SparkEntry.queries("mm_mp4_frames"),
       "mm_audio_tones" -> SparkEntry.queries("mm_audio_tones"),
-      "text_bbpe_pretok" -> SparkEntry.queries("text_bbpe_pretok"))
+      "text_bbpe_pretok" -> SparkEntry.queries("text_bbpe_pretok"),
+      // late round-16: vacuum + checkpointed-fold cycles (fixed commit
+      // count, data term = the rewrite scans), the CDF diff (one
+      // full-outer hash join), the exactly-once streamed ingest (per-
+      // batch commit machinery + the landed read), the spectrogram
+      // (per-row integer DFT over fixed 192-sample clips)
+      "lake_vacuum" -> SparkEntry.queries("lake_vacuum"),
+      "lake_txn_checkpoint" -> SparkEntry.queries("lake_txn_checkpoint"),
+      "lake_txn_cdf" -> SparkEntry.queries("lake_txn_cdf"),
+      "stream_lake_txn" -> SparkEntry.queries("stream_lake_txn"),
+      "mm_audio_spectrogram" -> SparkEntry.queries("mm_audio_spectrogram"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
