@@ -1448,6 +1448,34 @@ object OracleSql {
        |  (max(p) - min(p) + $l)::BIGINT AS span_len
        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
 
+  /** Naive cross-corpus ground truth of the suffix contamination
+    * (mirror of Dedup.suffixCrossContamination over the derived eval
+    * set): eval L-gram starts whose gram occurs in TRAIN, merged
+    * gaps-and-islands. */
+  def suffixCrossContamination(l: Int): String =
+    s"""WITH $toksCte,
+       |ev AS (
+       |  SELECT doc_id + 5000000 AS doc_id, substring(text, 1, 80) AS text
+       |  FROM documents WHERE doc_id % 17 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, 'zqxeval ' || doc_id || ' wholly novel benchmark prompt'
+       |  FROM documents WHERE doc_id % 17 = 5),
+       |${toksCteFor("ev", "etoks")},
+       |tg AS (
+       |  SELECT DISTINCT array_to_string(toks[(i+1):(i+$l)], ' ') AS gram
+       |  FROM toks, unnest(range(0, greatest(len(toks)-$l+1, 0))) AS u(i)),
+       |eg AS (
+       |  SELECT doc_id, i AS p, array_to_string(toks[(i+1):(i+$l)], ' ') AS gram
+       |  FROM etoks, unnest(range(0, greatest(len(toks)-$l+1, 0))) AS u(i)),
+       |hit AS (SELECT doc_id, p FROM eg JOIN tg USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM hit)
+       |SELECT doc_id, min(p)::BIGINT AS span_start,
+       |  (max(p) - min(p) + $l)::BIGINT AS span_len
+       |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
+
   /** Character-distribution entropy (mirror of TextStats.charEntropy):
     * same integer-scaled ln terms, one final double division. */
   val charEntropy: String =

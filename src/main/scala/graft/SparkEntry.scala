@@ -782,6 +782,21 @@ object SparkEntry {
     // quantized windows; maximal merged spans of duplicated 8-grams
     "dedup_suffix" -> ((s, d) =>
       Dedup.suffixDuplicateSpans(Tables.documents(s, d), 8)),
+    // cross-corpus exact-substring CONTAMINATION (the Lee et al.
+    // decontamination shape): eval docs (derived — leaked prefixes for
+    // %17=0, guaranteed-novel text for %17=5) scanned for spans whose
+    // every 8-gram also occurs in TRAIN; eval-only repetition not counted
+    "dedup_suffix_cross" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val leaked = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          substring(col("text"), 1, 80).as("text"))
+      val novel = docs.filter(col("doc_id") % 17 === 5)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(lit("zqxeval "), col("doc_id").cast("string"),
+            lit(" wholly novel benchmark prompt")).as("text"))
+      Dedup.suffixCrossContamination(docs, leaked.unionByName(novel), 8)
+    }),
     "text_entropy" -> ((s, d) => TextStats.charEntropy(Tables.documents(s, d))),
     "pipeline_shuffle" -> ((s, d) =>
       ext.TrainingPipeline.shuffleShardsAuto(Tables.documents(s, d), rowsPerShard = 64)),
@@ -2019,6 +2034,8 @@ object SparkEntry {
     // gaps-and-islands into maximal spans — the ground truth the
     // suffix-array construction must land on exactly
     "dedup_suffix" -> OracleSql.suffixDuplicateSpans(8),
+    // naive cross-corpus oracle: eval grams join DISTINCT train grams
+    "dedup_suffix_cross" -> OracleSql.suffixCrossContamination(8),
     "text_entropy" -> OracleSql.charEntropy,
     "pipeline_shuffle" -> OracleSql.shuffleShardsAuto(64, "graft"),
     // ranked on the bigram-LM quality signal (lmq = avg scaled logp)

@@ -851,6 +851,46 @@ object Dedup {
     ranked
   }
 
+  /** CROSS-CORPUS exact-substring contamination via the same
+    * suffix-array ranks: for each EVAL document, the maximal spans
+    * whose every L-token window also occurs somewhere in TRAIN — the
+    * decontamination artifact of Lee et al. (a benchmark answer leaked
+    * into the training set shows up as a long exact overlap, wherever
+    * it sits inside the eval prompt). Both corpora rank in ONE
+    * prefix-doubling pass over the union (ids must be disjoint); a
+    * window is contaminated iff its rank class contains a TRAIN
+    * position — eval-only repetition does NOT count.
+    *
+    * @return (doc_id, span_start, span_len) per maximal contaminated
+    *         span of an eval document
+    */
+  def suffixCrossContamination(train: DataFrame, eval: DataFrame,
+                               windowTokens: Int = 8,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val l = windowTokens
+    val union = train.select(col(idCol), col(textCol))
+      .unionByName(eval.select(col(idCol), col(textCol)))
+    val origins = train.select(col(idCol), lit(0).as("__origin"))
+      .unionByName(eval.select(col(idCol), lit(1).as("__origin")))
+    val full = suffixWindowRanks(union, l, textCol, idCol)
+      .filter(col("pos") <= col("n_toks") - l)
+      .join(origins, idCol)
+    val trainClasses = full.filter(col("__origin") === 0)
+      .select(col("rank")).distinct()
+    val covered = full.filter(col("__origin") === 1)
+      .join(trainClasses, "rank")
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    covered
+      .withColumn("__isl", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + l).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+      .orderBy(idCol, "span_start")
+  }
+
   /** Exact-substring duplicate spans via the suffix-array ranks — the
     * real artifact of Lee et al. 2021 that [[spanDedup]] only
     * quantizes: every position whose L-token window occurs ≥ 2 times

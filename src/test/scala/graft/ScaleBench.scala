@@ -184,7 +184,10 @@ object ScaleBench {
       "lake_txn_checkpoint" -> SparkEntry.queries("lake_txn_checkpoint"),
       "lake_txn_cdf" -> SparkEntry.queries("lake_txn_cdf"),
       "stream_lake_txn" -> SparkEntry.queries("stream_lake_txn"),
-      "mm_audio_spectrogram" -> SparkEntry.queries("mm_audio_spectrogram"))
+      "mm_audio_spectrogram" -> SparkEntry.queries("mm_audio_spectrogram"),
+      // cross-corpus suffix contamination: one prefix-doubling pass over
+      // the union; the eval side is corpus-proportional (%17 classes)
+      "dedup_suffix_cross" -> SparkEntry.queries("dedup_suffix_cross"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -76,6 +76,23 @@ class SuffixDedupSpec extends SparkSpec {
     assert(spans === Set((20L, 1L, 4L), (20L, 6L, 4L)))
   }
 
+  test("cross-corpus contamination: train leaks flagged, eval-only repeats not counted") {
+    val train = docsOf(
+      1L -> "the secret benchmark answer is forty two exactly here",
+      2L -> "unrelated training prose about other things entirely now")
+    val eval = docsOf(
+      // leaked: carries a 8-token run straight from train doc 1
+      100L -> "prompt says the secret benchmark answer is forty two exactly here thanks",
+      // clean: novel text, but with an INTERNAL repeat (eval-only
+      // repetition must NOT count as contamination)
+      101L -> "alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta")
+    val spans = Dedup.suffixCrossContamination(train, eval, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 100: windows at eval positions 2..3 ("the secret ... here")
+    // both occur in train doc 1 -> one merged span of length 9
+    assert(spans === Seq((100L, 2L, 9L)))
+  }
+
   test("prefix-doubling ranks: equality iff window equality, order lexicographic") {
     val l = 4
     val rows = Seq(
