@@ -115,6 +115,7 @@ object Plans {
     "mm_audio_tones" -> "RIFF walk + PCM decode + integer DFT inside mapPartitions; only (bin, re, im, magnitude) rows cross the shuffle — audio bytes never leave the scan stage",
     "lake_txn_cdf" -> "change data feed = ONE full-outer equi-join of two snapshot scans on the key (text reduced to sha256 AT the scan — content never crosses the shuffle); status is post-join projection",
     "mm_audio_spectrogram" -> "windowed integer DFT inside mapPartitions (fixed 192-sample clips); only the (window, bin) grid rows cross the shuffle",
+    "dedup_suffix_cross" -> "one prefix-doubling pass over train∪eval (checkpointed rounds); contamination = rank-class semi-join against the train side — no text ever re-compared, no CartesianProduct",
   )
 
   def main(args: Array[String]): Unit = {
