@@ -795,7 +795,12 @@ object Dedup {
     * `windowTokens`-token forward window, built by Manber–Myers prefix
     * doubling: rank_1 is the dense rank of the token itself, and
     * rank_2h(p) is the dense rank of the pair (rank_h(p), rank_h(p+h)),
-    * doubling until h ≥ windowTokens. ⌈log₂ L⌉ rounds, each a constant
+    * doubling while 2h ≤ L; a non-power-of-two L finishes with the
+    * classic OVERLAPPING combine (rank_h(p), rank_h(p+L−h)) — the two
+    * h-windows cover [p, p+L) exactly, the overlap region is already
+    * tie-broken by the first rank, so equality AND lexicographic order
+    * hold for the true L-window, never the next power of two (a padded
+    * tail must not split equal L-grams). ⌈log₂ L⌉ rounds, each a constant
     * number of LINEAR shuffles (one self-join on (doc, pos±h), one
     * distinct over pairs, one range-sort rank of the class table) —
     * the distributed suffix-array sort, never an n² stage and never a
@@ -830,8 +835,13 @@ object Dedup {
       .localCheckpoint(true)
     var h = 1L
     while (h < windowTokens) {
+      // covered-so-far is h; the next combine extends by step = min(h,
+      // L−h): pure doubling until h > L/2, then ONE overlapping final
+      // combine that lands exactly on L (the window [p, p+h) ∪
+      // [p+step, p+step+h) = [p, p+L) when step = L−h ≤ h)
+      val step = math.min(h, windowTokens - h)
       val right = ranked.select(col(idCol).as("__id2"),
-        (col("pos") - h).as("__p2"), col("rank").as("__r2"))
+        (col("pos") - step).as("__p2"), col("rank").as("__r2"))
       val paired = ranked
         .join(right, col(idCol) === col("__id2") && col("pos") === col("__p2"), "left")
         .select(col(idCol), col("pos"), col("n_toks"),
@@ -846,7 +856,7 @@ object Dedup {
       org.apache.spark.sql.graft.bridge.freeCheckpoint(ranked)
       org.apache.spark.sql.graft.bridge.freeCheckpoint(paired)
       ranked = next
-      h *= 2
+      h += step
     }
     ranked
   }

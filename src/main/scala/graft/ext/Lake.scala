@@ -170,12 +170,26 @@ object Lake {
             b.getColumns.forEach { c =>
               if (c.getPath.toDotString == sortCol) {
                 val s = c.getStatistics
-                lo = math.min(lo, s.genericGetMin.asInstanceOf[java.lang.Long])
-                hi = math.max(hi, s.genericGetMax.asInstanceOf[java.lang.Long])
+                // a block with absent/empty stats (e.g. all-null column)
+                // contributes nothing; a non-INT64 sort column fails
+                // LOUDLY instead of a bare ClassCastException
+                if (s != null && !s.isEmpty && s.hasNonNullValue) {
+                  (s.genericGetMin, s.genericGetMax) match {
+                    case (mn: java.lang.Long, mx: java.lang.Long) =>
+                      lo = math.min(lo, mn)
+                      hi = math.max(hi, mx)
+                    case (mn, _) => throw new IllegalArgumentException(
+                      s"sortedWrite supports INT64 sort columns only; " +
+                        s"'$sortCol' footer stats are ${mn.getClass.getName} " +
+                        s"in ${st.getPath}")
+                  }
+                }
               }
             }
           }
-          require(rows == 0 || lo <= hi, s"no footer stats for $sortCol in ${st.getPath}")
+          require(rows == 0 || lo <= hi,
+            s"no usable footer stats for '$sortCol' in ${st.getPath} " +
+              s"($rows rows, no block carried non-null min/max)")
           FileRange(st.getPath.toString, lo, hi, rows)
         } finally rd.close()
       }.toSeq.filter(_.rows > 0)

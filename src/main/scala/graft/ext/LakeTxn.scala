@@ -71,18 +71,20 @@ object LakeTxn {
   // log read side
   // ------------------------------------------------------------------
 
+  private val VersionName = """^(\d{20})\.json$""".r
+  private val CheckpointName = """^(\d{20})\.checkpoint\.json$""".r
+
   /** Committed versions, ascending. Dot-temp (staged) files are never
     * versions — only a published rename makes a commit exist; checkpoint
-    * summaries are not versions either. */
+    * summaries and the vacuum-horizon marker are not versions either
+    * (only exact `%020d.json` names count). */
   def listVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).iterator
       .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
-        !n.endsWith(".checkpoint.json"))
-      .map(_.stripSuffix(".json").toLong)
+      .collect { case VersionName(v) => v.toLong }
       .toSeq.sorted
   }
 
@@ -93,8 +95,7 @@ object LakeTxn {
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).iterator
       .map(_.getPath.getName)
-      .filter(n => n.endsWith(".checkpoint.json") && !n.startsWith("."))
-      .map(_.stripSuffix(".checkpoint.json").toLong)
+      .collect { case CheckpointName(v) => v.toLong }
       .toSeq.sorted
   }
 
@@ -154,6 +155,12 @@ object LakeTxn {
     val vs = asOf.fold(all)(a => all.filter(_ <= a))
     require(vs.nonEmpty,
       s"no committed snapshot in $table" + asOf.fold("")(a => s" at version <= $a"))
+    // plan-time retention gate: a version below the vacuum horizon may
+    // have lost files — refuse HERE, loudly, never mid-scan FileNotFound
+    vacuumHorizon(spark, table).foreach(h => require(vs.last >= h,
+      s"version ${vs.last} of $table predates the vacuum retention " +
+        s"horizon $h: its files may have been deleted (time travel " +
+        s"older than the last vacuum's retained window is gone by design)"))
     val cp = listCheckpoints(spark, table).filter(_ <= vs.last).lastOption
     val live = new scala.collection.mutable.LinkedHashSet[String]
     cp.foreach { cv =>
@@ -303,29 +310,90 @@ object LakeTxn {
     }
   }
 
-  /** What one vacuum pass did. */
-  final case class VacuumStats(examined: Int, deleted: Int)
+  /** What one vacuum pass did. `orphansSkipped` counts unpublished
+    * files left alone because they were younger than the grace period
+    * (possibly mid-stage by a live writer). */
+  final case class VacuumStats(examined: Int, deleted: Int, orphansSkipped: Int)
+
+  private def horizonFile(table: String) = new Path(logDir(table), "_vacuum.json")
+  private val HorizonRe = """\{"horizon":(\d+)\}""".r
+
+  /** The vacuum retention horizon: the OLDEST version whose files are
+    * guaranteed present (None before the first vacuum — all history
+    * reads). Published atomically by [[vacuum]]; [[snapshot]] refuses
+    * time travel below it at PLAN time, so a too-old read fails loudly
+    * up front instead of mid-scan on a FileNotFound. */
+  def vacuumHorizon(spark: SparkSession, table: String): Option[Long] = {
+    val p = horizonFile(table)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else readFileText(fs, p).trim match {
+      case HorizonRe(h) => Some(h.toLong)
+      case bad => throw new IllegalArgumentException(
+        s"corrupt vacuum horizon marker of $table: '$bad'")
+    }
+  }
 
   /** Physically delete data files referenced by NO retained snapshot
     * (the newest `retainLast` versions). This is the one operation that
     * trades history for storage: time travel OLDER than the retention
-    * horizon stops working, by design — commits themselves stay, so the
-    * log remains an audit trail. Live data is untouched because the
-    * latest snapshot is always retained. */
-  def vacuum(spark: SparkSession, table: String, retainLast: Int): VacuumStats = {
+    * horizon stops working, BY CONTRACT — the horizon is published to
+    * the log FIRST (atomic rename), so readers below it are refused at
+    * plan time rather than crashing mid-scan; commits themselves stay,
+    * so the log remains an audit trail. Live data is untouched because
+    * the latest snapshot is always retained.
+    *
+    * Two safety classes of deletable file:
+    *  - PUBLISHED then unpinned (appears in some commit's adds, no
+    *    retained snapshot holds it): delete immediately — no writer can
+    *    still be mid-flight on it, the log already owns its life cycle.
+    *  - ORPHAN (never appears in any commit — a crashed stage, or a
+    *    LIVE writer between stage and publish, which deliberately runs
+    *    outside the commit path): delete only when older than
+    *    `orphanGraceMs`, the Delta-style modification-time retention
+    *    window that keeps vacuum from corrupting an in-flight commit. */
+  def vacuum(spark: SparkSession, table: String, retainLast: Int,
+             orphanGraceMs: Long = 15 * 60 * 1000L): VacuumStats = {
     require(retainLast >= 1, "must retain at least the latest snapshot")
     val vs = listVersions(spark, table)
-    val retained = vs.takeRight(retainLast)
+    // a retainLast LARGER than a previous vacuum's cannot resurrect
+    // history: versions below the standing horizon may already have
+    // lost files, so only horizon-readable retained versions pin
+    val priorHorizon = vacuumHorizon(spark, table).getOrElse(Long.MinValue)
+    val retained = vs.takeRight(retainLast).filter(_ >= priorHorizon)
+    require(retained.nonEmpty, s"no retained version of $table is readable " +
+      s"above the standing vacuum horizon $priorHorizon")
     val referenced = retained
       .flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    val everPublished = vs
+      .flatMap(v => readCommit(spark, table, v)).filter(_.add).map(_.file).toSet
     val dataDir = new Path(table, "data")
     val fs = fsOf(spark, dataDir)
-    if (!fs.exists(dataDir)) return VacuumStats(0, 0)
-    val all = fs.listStatus(dataDir).filter(_.isFile)
-      .map(s => s"data/${s.getPath.getName}")
-    val dead = all.filterNot(referenced)
-    dead.foreach(f => fs.delete(new Path(table, f), false))
-    VacuumStats(all.length, dead.length)
+    if (!fs.exists(dataDir)) return VacuumStats(0, 0, 0)
+    // publish the new horizon BEFORE any delete: a crash in between
+    // leaves a stricter gate over intact files — safe in that order only
+    val newHorizon = retained.head // >= priorHorizon by the filter above
+    val dest = horizonFile(table)
+    val tmp = new Path(dest.getParent,
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(s"""{"horizon":$newHorizon}""".getBytes(UTF_8)) finally out.close()
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"atomic horizon publish failed at $dest")
+    val now = System.currentTimeMillis()
+    val statuses = fs.listStatus(dataDir).filter(_.isFile)
+    var deleted = 0
+    var skipped = 0
+    statuses.foreach { st =>
+      val rel = s"data/${st.getPath.getName}"
+      if (!referenced(rel)) {
+        if (everPublished(rel) || now - st.getModificationTime > orphanGraceMs) {
+          fs.delete(st.getPath, false)
+          deleted += 1
+        } else skipped += 1
+      }
+    }
+    VacuumStats(statuses.length, deleted, skipped)
   }
 
   /** Compaction THROUGH the log: stage the bin-packed rewrite of every

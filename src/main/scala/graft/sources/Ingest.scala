@@ -58,10 +58,7 @@ object Ingest {
     val out = Paths.get(
       s"/tmp/graft_ingest_${spark.sparkContext.applicationId}_" +
         s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$format")
-    if (Files.exists(out)) {
-      Files.walk(out).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-    }
+    graft.Dirs.deleteRecursively(out)
     out.toString
   }
 

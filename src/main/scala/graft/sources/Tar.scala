@@ -153,10 +153,9 @@ object Tar {
             advance()
           case 'g' => // pax GLOBAL header: parsed for well-formedness, skipped
             parsePaxRecords(content)
-            // a pax 'x' override binds to the IMMEDIATELY following
-            // entry; an intervening global header consumes it rather
-            // than letting it leak onto a later unrelated file
-            pendingPath = null
+            // a pax 'x' override binds to the next FILE entry (POSIX pax,
+            // libarchive, GNU tar all agree); an intervening 'g' metadata
+            // record passes a pending override through untouched
             advance()
           case '5' => // directory entry: no content, skip — but it DOES
             // consume a pending pax path override (pax semantics: the

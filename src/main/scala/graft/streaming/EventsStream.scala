@@ -40,15 +40,18 @@ object EventsStream {
       s"/tmp/graft_stream_${src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9]", "_")}")
     Files.createDirectories(stageDir)
     // drop dangling links left by an earlier GENERATION of a rewritten
-    // table (Files.exists follows the link; delete removes the link)
-    Files.list(stageDir).forEach(l => if (!Files.exists(l)) Files.delete(l))
+    // table (Files.exists follows the link; delete removes the link);
+    // listings materialize via Dirs so the directory handle is closed
+    // BEFORE any delete runs (and never leaks per stream start)
+    graft.Dirs.children(stageDir)
+      .foreach(l => if (!Files.exists(l)) Files.delete(l))
     if (Files.isDirectory(src)) {
       // a directory-shaped table (Spark-written): the file stream source
       // does NOT recurse into a symlinked subdirectory — a dir symlink
       // silently yields an EMPTY stream. Stage each data file flat.
-      Files.list(src)
+      graft.Dirs.children(src)
         .filter(f => f.getFileName.toString.endsWith(".parquet"))
-        .forEach { f =>
+        .foreach { f =>
           val link = stageDir.resolve(f.getFileName)
           if (!Files.exists(link)) Files.createSymbolicLink(link, f.toAbsolutePath)
         }
@@ -219,10 +222,7 @@ object EventsStream {
     val out = Paths.get(
       s"/tmp/graft_stream_sink_${spark.sparkContext.applicationId}_" +
         s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/dedup")
-    if (Files.exists(out)) { // wipe the PREVIOUS drain's landing
-      Files.walk(out).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-    }
+    graft.Dirs.deleteRecursively(out) // wipe the PREVIOUS drain's landing
     drainToParquet(spark,
       readEvents(spark, sfDir).dropDuplicates("user_id", "event_type")
         .select(col("user_id"), col("event_type")), out.toString)
@@ -320,11 +320,11 @@ object EventsStream {
     import java.nio.file.Files
     val tmp = dir.resolve(s"_stage_${target.getFileName}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val part = graft.Dirs.children(tmp)
+      .find(p => p.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
     Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => Files.delete(p))
+    graft.Dirs.deleteRecursively(tmp)
     Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
@@ -802,10 +802,7 @@ object EventsStream {
     val base = Paths.get(
       s"/tmp/graft_stream_recover_${spark.sparkContext.applicationId}_" +
         sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    if (Files.exists(base)) { // wipe the previous drain's checkpoint+landing
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-    }
+    graft.Dirs.deleteRecursively(base) // wipe the previous drain's checkpoint+landing
     val ckpt = base.resolve("ckpt").toString
     val out = base.resolve("data").toString
     val stream = spark.readStream.schema(recoverySchema)
@@ -852,10 +849,7 @@ object EventsStream {
     val base = Paths.get(
       s"/tmp/graft_stream_evolve_${spark.sparkContext.applicationId}_" +
         sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    if (wipe && Files.exists(base)) {
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-    }
+    if (wipe) graft.Dirs.deleteRecursively(base)
     Files.createDirectories(base.resolve("src"))
     base
   }
@@ -947,10 +941,7 @@ object EventsStream {
     val base = Paths.get(
       s"/tmp/graft_stream_frontier_${spark.sparkContext.applicationId}_" +
         sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    if (Files.exists(base)) {
-      Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-    }
+    graft.Dirs.deleteRecursively(base)
     val src = base.resolve("src")
     Files.createDirectories(src)
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "source")

@@ -256,6 +256,51 @@ class LakeTxnSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.takeRight(1200))
   }
 
+
+  test("vacuum grace: a freshly staged (unpublished) file survives; old orphans die") {
+    val t = freshDir("grace")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)
+    // simulate an in-flight writer: staged data files, NOT yet committed
+    val staged = LakeTxn.stage(spark, mkDocs(10 until 20, "en").coalesce(1), t)
+    assert(staged.nonEmpty)
+    val s1 = LakeTxn.vacuum(spark, t, retainLast = 1) // default grace
+    assert(s1.deleted == 0 && s1.orphansSkipped == staged.size, s1.toString)
+    // the delayed publish still lands intact — no lost update
+    val v = LakeTxn.commit(spark, t, staged, Nil)
+    assert(contents(LakeTxn.read(spark, t, Some(v))) ===
+      contents(mkDocs(0 until 20, "en")))
+    // a crashed stage (never published) IS reclaimed once past the grace
+    val leaked = LakeTxn.stage(spark, mkDocs(90 until 95, "en").coalesce(1), t)
+    val s2 = LakeTxn.vacuum(spark, t, retainLast = 1, orphanGraceMs = -1L)
+    assert(s2.deleted == leaked.size && s2.orphansSkipped == 0, s2.toString)
+    assert(contents(LakeTxn.read(spark, t)) === contents(mkDocs(0 until 20, "en")))
+  }
+
+  test("vacuum horizon: below-horizon time travel fails at PLAN time, boundary reads fully") {
+    val t = freshDir("horizon")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t) // v0
+    LakeTxn.appendCommit(spark, mkDocs(10 until 20, "fr").coalesce(1), t) // v1
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4) // v2
+    LakeTxn.vacuum(spark, t, retainLast = 2)
+    assert(LakeTxn.vacuumHorizon(spark, t) === Some(1L))
+    // the horizon boundary version reads FULLY (v1 files all retained)
+    assert(contents(LakeTxn.read(spark, t, Some(1L))) ===
+      contents(mkDocs(0 until 20, "en").limit(0)
+        .unionByName(mkDocs(0 until 10, "en")).unionByName(mkDocs(10 until 20, "fr"))))
+    // below it: refused while BUILDING the plan, never a mid-scan error
+    val e = intercept[IllegalArgumentException] {
+      LakeTxn.read(spark, t, Some(0L))
+    }
+    assert(e.getMessage.contains("vacuum retention horizon"), e.getMessage)
+    // a LARGER retainLast later cannot resurrect vacuumed history
+    LakeTxn.appendCommit(spark, mkDocs(20 until 25, "de").coalesce(1), t) // v3
+    LakeTxn.vacuum(spark, t, retainLast = 10)
+    assert(LakeTxn.vacuumHorizon(spark, t) === Some(1L)) // still gated at 1
+    assert(intercept[IllegalArgumentException] {
+      LakeTxn.read(spark, t, Some(0L))
+    }.getMessage.contains("horizon"))
+  }
+
   test("corrupt action lines fail loudly, never silently drop a remove") {
     val t = freshDir("corrupt")
     LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)

@@ -76,6 +76,38 @@ class SuffixDedupSpec extends SparkSpec {
     assert(spans === Set((20L, 1L, 4L), (20L, 6L, 4L)))
   }
 
+
+  test("non-power-of-two windows: equal L-grams with diverging padded tails still match") {
+    // the two 5-gram copies sit at different distances from their doc
+    // ends, so the NEXT-POWER-OF-2 (8-token) padded windows differ — a
+    // doubling that overshoots L would rank them apart and miss the dup
+    val rows = Seq(
+      30L -> "p1 c1 c2 c3 c4 c5",                  // 5-gram at pos 1, 0 tokens after
+      31L -> "c1 c2 c3 c4 c5 t1 t2 t3 t4 t5 t6")   // same 5-gram at pos 0, 6 after
+    for (l <- Seq(3, 5, 6, 7)) {
+      val got = Dedup.suffixDuplicateSpans(docsOf(rows: _*), l)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === bruteSpans(rows, l), s"window L=$l")
+    }
+    val spans5 = Dedup.suffixDuplicateSpans(docsOf(rows: _*), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans5 === Set((30L, 1L, 5L), (31L, 0L, 5L)))
+  }
+
+  test("non-power-of-two rank order stays lexicographic on the true L-window") {
+    val rows = Seq(
+      40L -> "b x y z q extra tail tokens here",
+      41L -> "a x y z q")
+    val ranks = Dedup.suffixWindowRanks(docsOf(rows: _*), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byKey = ranks.map { case (id, pos, rk) => (id, pos) -> rk }.toMap
+    // shared 4-gram "x y z q": doc 40 continues with "extra", doc 41 ends
+    // (sentinel) — the shorter window must rank strictly BELOW the longer
+    assert(byKey((41L, 1L)) < byKey((40L, 1L)))
+    // and "a ..." < "b ..." on the first token
+    assert(byKey((41L, 0L)) < byKey((40L, 0L)))
+  }
+
   test("cross-corpus contamination: train leaks flagged, eval-only repeats not counted") {
     val train = docsOf(
       1L -> "the secret benchmark answer is forty two exactly here",

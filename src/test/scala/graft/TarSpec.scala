@@ -94,6 +94,27 @@ class TarSpec extends SparkSpec {
     intercept[IllegalArgumentException](Tar.parseEntries(corrupt).toSeq)
   }
 
+  test("a global 'g' header between 'x' and its file passes the override through") {
+    // POSIX pax: an 'x' record applies to the next FILE entry; an
+    // intervening 'g' metadata record must not consume it (libarchive
+    // and GNU tar agree) — real archives ship exactly this layout
+    val longPath = "deep/" + ("n" * 110) + "/55.txt"
+    val tar = Tar.paxEntryBytes(Seq("path" -> longPath)) ++
+      Tar.entryBytes("pax_global", Tar.paxRecord("comment", "vendor"), 'g') ++
+      Tar.entryBytes("55.tmp", "payload".getBytes(UTF_8)) ++
+      Tar.entryBytes("56.txt", "after".getBytes(UTF_8)) ++
+      new Array[Byte](1024)
+    val es = Tar.parseEntries(tar).toSeq
+    assert(es.map(_.name) == Seq(longPath, "56.txt"))
+    assert(new String(es.head.content, UTF_8) == "payload")
+    // a directory entry still CONSUMES the pending override
+    val viaDir = Tar.paxEntryBytes(Seq("path" -> longPath)) ++
+      Tar.entryBytes("dir/", Array.emptyByteArray, '5') ++
+      Tar.entryBytes("57.txt", "x".getBytes(UTF_8)) ++
+      new Array[Byte](1024)
+    assert(Tar.parseEntries(viaDir).toSeq.map(_.name) == Seq("57.txt"))
+  }
+
   test("interop: commons-compress reads our pax shards identically") {
     // a THIRD-PARTY tar implementation must see the same entries —
     // names (pax override applied), contents, order
