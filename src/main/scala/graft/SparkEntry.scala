@@ -940,6 +940,16 @@ object SparkEntry {
     // streaming micro-batches committing exactly-once into the txn log
     // (idempotence markers); the landed table read back through the log
     "stream_lake_txn" -> ((s, d) => ext.LakeTxn.streamIngestQuery(s, d)),
+    // TWO writer threads racing append commits through the put-if-absent
+    // protocol (no lock; losers re-claim at the new head), then an
+    // optimistic compaction — a lost update drops a batch from the result
+    "lake_txn_concurrent" -> ((s, d) =>
+      ext.LakeTxn.concurrentQuery(s, Tables.documents(s, d), d)),
+    // per-file min/max recorded IN the commit log at write time; the
+    // selective band read prunes the file list from the log alone (zero
+    // footer opens — the spec corrupts skipped files and still reads)
+    "lake_txn_skipping" -> ((s, d) =>
+      ext.LakeTxn.skippingQuery(s, Tables.orders(s, d), d)),
     "pipeline_domain_cap" -> ((s, d) =>
       ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -3111,6 +3121,19 @@ object SparkEntry {
     "stream_lake_txn" ->
       """SELECT event_id, user_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    // racing writers must lose nothing: the union of all four batches
+    // is exactly the corpus, whatever the commit interleaving was
+    "lake_txn_concurrent" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // log-stat pruning must change nothing but the files opened: the
+    // oracle is the plain band filter (same band as lake_sorted_write)
+    "lake_txn_skipping" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) BETWEEN 1000000 AND 3000000
+        |ORDER BY o_orderkey""".stripMargin,
     // MERGE result: updates (lang→'xx' on %7, minus the deleted class),
     // inserts (+1000000 ids, lang 'new'), deletes (%5=4)
     "lake_txn_cdc" ->

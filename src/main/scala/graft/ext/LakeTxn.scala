@@ -36,10 +36,14 @@ import org.apache.spark.sql.functions._
   * readers only open files the log pins), then publishes the
   * remove+add pair as one commit file — a reader either sees the whole
   * rewrite or none of it (LakeTxnSpec stages a compaction and proves
-  * the old snapshot still reads). Version claims are serialized
-  * in-JVM per table root; a multi-writer deployment swaps this for a
-  * log store with put-if-absent (HDFS rename-no-overwrite / object
-  * store conditional put) — the documented Delta LogStore contract.
+  * the old snapshot still reads). Version claims are the REAL
+  * multi-writer protocol: put-if-absent commit files (a POSIX hard
+  * link locally — atomic EEXIST, no check-then-act window;
+  * rename-no-overwrite on HDFS-contract stores), the loser re-reads
+  * the log, re-validates its base (a copy-on-write rewrite whose base
+  * files an interleaved commit removed ABORTS rather than resurrecting
+  * deleted data; appends always retry), and claims the new head — the
+  * Delta LogStore + WriteSerializable conflict contract.
   *
   * Scale shape: the log is driver-scale metadata (one small file per
   * commit, folded on the driver — Θ(commits) with tiny bodies); data
@@ -52,12 +56,22 @@ import org.apache.spark.sql.functions._
   */
 object LakeTxn {
 
-  final case class Action(add: Boolean, file: String, rows: Long)
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** One commit-log action. An add may carry per-file MIN/MAX of one
+    * declared clustering column (`statsCol`/`lo`/`hi`) — the log-level
+    * data-skipping stats a lakehouse records at write time so a
+    * selective read prunes the file list from METADATA alone, zero
+    * parquet footer opens (Delta's `stats` field, reduced to the
+    * load-bearing 1-D core). `statsCol == null` means no stats. */
+  final case class Action(add: Boolean, file: String, rows: Long,
+                          statsCol: String = null, lo: Long = 0L, hi: Long = 0L)
+
+  /** A pinned snapshot: the live ADD actions (file + rows + optional
+    * skipping stats) at one version. */
+  final case class Snapshot(version: Long, adds: Seq[Action]) {
+    def files: Seq[String] = adds.map(_.file)
+  }
 
   private val LogDirName = "_graft_log"
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -100,9 +114,18 @@ object LakeTxn {
   }
 
   private val ActionRe =
-    """\{"a":"(add|remove)","f":"([^"]+)"(?:,"rows":(\d+))?\}""".r
+    ("""\{"a":"(add|remove)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
+      """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?\}""").r
   private val TxnRe =
     """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
+
+  private def actionJson(a: Action): String =
+    if (a.add) {
+      val stats =
+        if (a.statsCol != null) s""","c":"${a.statsCol}","min":${a.lo},"max":${a.hi}"""
+        else ""
+      s"""{"a":"add","f":"${a.file}","rows":${a.rows}$stats}"""
+    } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -120,8 +143,11 @@ object LakeTxn {
     val acts = Seq.newBuilder[Action]
     val txns = Seq.newBuilder[(String, Long)]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows) =>
-        acts += Action(a == "add", f, if (rows == null) 0L else rows.toLong)
+      case ActionRe(a, f, rows, c, mn, mx) =>
+        acts += Action(a == "add", f, if (rows == null) 0L else rows.toLong,
+          statsCol = c,
+          lo = if (mn == null) 0L else mn.toLong,
+          hi = if (mx == null) 0L else mx.toLong)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case bad => throw new IllegalArgumentException(
         s"corrupt $what of $table: unparseable action line '$bad'")
@@ -162,15 +188,15 @@ object LakeTxn {
         s"horizon $h: its files may have been deleted (time travel " +
         s"older than the last vacuum's retained window is gone by design)"))
     val cp = listCheckpoints(spark, table).filter(_ <= vs.last).lastOption
-    val live = new scala.collection.mutable.LinkedHashSet[String]
+    val live = new scala.collection.mutable.LinkedHashMap[String, Action]
     cp.foreach { cv =>
       val p = new Path(logDir(table), f"$cv%020d.checkpoint.json")
       parseActions(table, s"checkpoint $cv", readFileText(fsOf(spark, p), p))
-        ._1.foreach(a => if (a.add) live += a.file)
+        ._1.foreach(a => if (a.add) live += a.file -> a)
     }
     for (v <- vs if cp.forall(v > _); act <- readCommit(spark, table, v))
-      if (act.add) live += act.file else live -= act.file
-    Snapshot(vs.last, live.toSeq)
+      if (act.add) live += act.file -> act else live -= act.file
+    Snapshot(vs.last, live.values.toSeq)
   }
 
   /** Write a checkpoint summarizing the CURRENT snapshot: the full live
@@ -184,7 +210,9 @@ object LakeTxn {
     val snap = snapshot(spark, table)
     val dest = new Path(logDir(table), f"${snap.version}%020d.checkpoint.json")
     val fs = fsOf(spark, dest)
-    val body = snap.files.map(f => s"""{"a":"add","f":"$f"}""").mkString("\n")
+    // full actions, not bare file names: row counts and skipping stats
+    // must survive a checkpointed fold
+    val body = snap.adds.map(actionJson).mkString("\n")
     val tmp = new Path(dest.getParent,
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -207,19 +235,51 @@ object LakeTxn {
   // write side
   // ------------------------------------------------------------------
 
-  private def rowCount(spark: SparkSession, p: Path): Long = {
+  /** Row count — and, when `statsCol` is non-null, its INT64 min/max —
+    * from one staged file's parquet FOOTER (never a data scan): the
+    * write-time skipping stats recorded into the add action. Blocks
+    * with absent/empty/all-null stats contribute nothing; a file whose
+    * every block lacks stats fails loudly rather than recording a lie. */
+  private def footerAction(spark: SparkSession, root: Path, rel: String,
+                           statsCol: String): Action = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(p, spark.sessionState.newHadoopConf())
+      .fromPath(new Path(root, rel), spark.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val rows = r.getRecordCount
+      if (statsCol == null) Action(add = true, rel, rows)
+      else {
+        var lo = Long.MaxValue; var hi = Long.MinValue
+        r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == statsCol) {
+              val s = c.getStatistics
+              if (s != null && !s.isEmpty && s.hasNonNullValue) {
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    lo = math.min(lo, mn); hi = math.max(hi, mx)
+                  case (mn, _) => throw new IllegalArgumentException(
+                    s"log stats support INT64 columns only; '$statsCol' " +
+                      s"footer stats are ${mn.getClass.getName} in $rel")
+                }
+              }
+            }
+          }
+        }
+        require(rows == 0 || lo <= hi,
+          s"no usable footer stats for '$statsCol' in $rel")
+        Action(add = true, rel, rows, statsCol = statsCol, lo = lo, hi = hi)
+      }
+    } finally r.close()
   }
 
   /** Stage `df` as immutable data files under `data/` and return their
-    * (relative path, row count) pairs. Staged files are INVISIBLE until
-    * some commit pins them — row counts come from the parquet footers,
-    * never a data scan. */
+    * add actions (relative path + footer row count; per-file min/max of
+    * `statsCol` when given — the log-level data-skipping record).
+    * Staged files are INVISIBLE until some commit pins them. */
   private[graft] def stage(spark: SparkSession, df: DataFrame,
-                           table: String): Seq[(String, Long)] = {
+                           table: String,
+                           statsCol: String = null): Seq[Action] = {
     val root = new Path(table)
     val fs = fsOf(spark, root)
     val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
@@ -237,46 +297,141 @@ object LakeTxn {
       rel
     }.toSeq
     fs.delete(tmp, true)
-    rels.map(rel => (rel, rowCount(spark, new Path(root, rel))))
+    rels.map(rel => footerAction(spark, root, rel, statsCol))
   }
 
-  /** Publish `adds`/`removes` as the next commit. The body is written
-    * to a dot-temp file and RENAMED into the log — one atomic
-    * visibility event. Returns the committed version. */
-  def commit(spark: SparkSession, table: String,
-             adds: Seq[(String, Long)], removes: Seq[String]): Long = {
-    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
-    val lock = commitLocks.computeIfAbsent(table, _ => new Object)
-    lock.synchronized {
-      val v = listVersions(spark, table).lastOption.map(_ + 1).getOrElse(0L)
-      publish(spark, table, v, adds, removes)
-      v
-    }
-  }
+  /** A losing optimistic commit whose base was invalidated: an
+    * interleaved commit already removed files this rewrite unpins, so a
+    * blind re-publish would resurrect deleted data. The caller must
+    * recompute against the new snapshot. */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
-  /** The rename-publish itself (exposed for LakeTxnSpec's staged
-    * half-commit test). Fails if version `v` already exists — the
-    * optimistic-concurrency conflict a caller retries. */
-  private[graft] def publish(spark: SparkSession, table: String, v: Long,
-                             adds: Seq[(String, Long)],
-                             removes: Seq[String],
-                             extraLines: Seq[String] = Nil): Unit = {
+  /** PUT-IF-ABSENT of one commit file — the real multi-writer log-store
+    * primitive (the Delta LogStore contract). The body is fully written
+    * to a dot-temp name first; the claim itself is:
+    *  - local filesystems: a POSIX hard link (`link(2)` fails atomically
+    *    with EEXIST — no check-then-act window, unlike HDFS-style
+    *    `rename` which plain `File.renameTo` maps to an OVERWRITING
+    *    `rename(2)` locally);
+    *  - everything else: rename-no-overwrite, the documented contract of
+    *    HDFS (namenode-atomic) and conditional-put object stores.
+    * Returns false iff version `v` was already claimed — the loser
+    * re-reads the log, re-validates, and retries at the new head. */
+  private[graft] def tryPublish(spark: SparkSession, table: String, v: Long,
+                                adds: Seq[Action],
+                                removes: Seq[String],
+                                extraLines: Seq[String] = Nil): Boolean = {
     val dest = commitFile(table, v)
     val fs = fsOf(spark, dest)
     fs.mkdirs(dest.getParent)
-    require(!fs.exists(dest), s"commit conflict: version $v already exists")
-    val body = (adds.map { case (f, r) => s"""{"a":"add","f":"$f","rows":$r}""" } ++
+    val body = (adds.map(actionJson) ++
       removes.map(f => s"""{"a":"remove","f":"$f"}""") ++ extraLines).mkString("\n")
     val tmp = new Path(dest.getParent,
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(UTF_8)) finally out.close()
-    require(fs.rename(tmp, dest), s"atomic publish of commit $v failed")
+    if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
+      val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val claimed =
+        try { java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath), nioTmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      fs.delete(tmp, false)
+      claimed
+    } else {
+      val claimed = !fs.exists(dest) && fs.rename(tmp, dest)
+      if (!claimed) fs.delete(tmp, false)
+      claimed
+    }
   }
+
+  /** tryPublish-or-throw (exposed for LakeTxnSpec's staged half-commit
+    * and collision-injection tests). */
+  private[graft] def publish(spark: SparkSession, table: String, v: Long,
+                             adds: Seq[Action],
+                             removes: Seq[String],
+                             extraLines: Seq[String] = Nil): Unit =
+    require(tryPublish(spark, table, v, adds, removes, extraLines),
+      s"commit conflict: version $v already exists")
+
+  /** OPTIMISTIC multi-writer commit against the snapshot the caller
+    * computed at `readVersion`: claim head+1 via [[tryPublish]]; a loser
+    * re-reads the log and re-validates before retrying. Validation is
+    * the Delta WriteSerializable file-level contract:
+    *  - pure appends (`removes` empty) commute with everything — always
+    *    safe to retry at the new head;
+    *  - a copy-on-write rewrite (`removes` non-empty) aborts with
+    *    [[CommitConflictException]] if any interleaved commit already
+    *    removed one of its base files (re-publishing would resurrect
+    *    data a concurrent compaction/merge deleted); interleaved
+    *    APPENDS pass — they touch no file this rewrite read.
+    * Never an unbounded spin: each loop either claims the next version
+    * or observes a strictly newer head written by someone else. */
+  def commitAt(spark: SparkSession, table: String, readVersion: Long,
+               adds: Seq[Action], removes: Seq[String],
+               extraLines: Seq[String] = Nil,
+               maxAttempts: Int = 100): Long = {
+    require(adds.nonEmpty || removes.nonEmpty || extraLines.nonEmpty, "empty commit")
+    val removeSet = removes.toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
+      if (removeSet.nonEmpty && latest > readVersion) {
+        val clashed = (readVersion + 1 to latest).flatMap(v =>
+          readCommit(spark, table, v)).filter(a => !a.add && removeSet(a.file))
+        if (clashed.nonEmpty) throw new CommitConflictException(
+          s"copy-on-write conflict in $table: base file(s) " +
+            s"${clashed.map(_.file).mkString(", ")} were removed by a commit " +
+            s"after read version $readVersion — recompute against version $latest")
+      }
+      if (tryPublish(spark, table, latest + 1, adds, removes, extraLines))
+        return latest + 1
+      attempt += 1
+    }
+    throw new CommitConflictException(
+      s"gave up claiming a version in $table after $maxAttempts attempts")
+  }
+
+  /** Append-shaped commit at the current head (removes allowed when the
+    * caller holds the latest snapshot — [[commitAt]] is the form that
+    * carries the read version for real conflict detection). */
+  def commit(spark: SparkSession, table: String,
+             adds: Seq[Action], removes: Seq[String]): Long =
+    commitAt(spark, table,
+      listVersions(spark, table).lastOption.getOrElse(-1L), adds, removes)
 
   /** Append `df` to the table as one commit (the ingest primitive). */
   def appendCommit(spark: SparkSession, df: DataFrame, table: String): Long =
     commit(spark, table, stage(spark, df, table), Nil)
+
+  /** Append with per-file min/max of `statsCol` recorded IN the add
+    * actions (from the staged files' footers, one metadata read per
+    * file at write time) — what lets [[readPruned]] skip files from the
+    * log alone. */
+  def appendCommitStats(spark: SparkSession, df: DataFrame, table: String,
+                        statsCol: String): Long =
+    commit(spark, table, stage(spark, df, table, statsCol), Nil)
+
+  /** Data-skipping read: prune the snapshot's file list to those whose
+    * LOG-recorded [lo, hi] of `statsCol` overlaps [bandLo, bandHi] —
+    * ZERO parquet footer opens for the decision (a skipped file is
+    * never touched at all; at 100 TB the planning cost is the driver
+    * folding small JSON, not N object-store reads). Files with no
+    * recorded stats for `statsCol` are kept conservatively. The
+    * residual band filter still runs (file ranges overlap the band's
+    * edges) and pushes down into the kept scans. Returns (frame,
+    * files scanned, files total) so specs can assert the skip. */
+  def readPruned(spark: SparkSession, table: String, statsCol: String,
+                 bandLo: Long, bandHi: Long,
+                 asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val snap = snapshot(spark, table, asOf)
+    val hit = snap.adds.filter(a =>
+      a.statsCol != statsCol || (a.hi >= bandLo && a.lo <= bandHi))
+    require(hit.nonEmpty, s"no file of $table overlaps [$bandLo, $bandHi]")
+    val df = spark.read.parquet(hit.map(a => s"$table/${a.file}"): _*)
+      .filter(col(statsCol) >= bandLo && col(statsCol) <= bandHi)
+    (df, hit.size, snap.adds.size)
+  }
 
   /** All (app, batchId) idempotence markers committed so far. */
   def committedBatchIds(spark: SparkSession, table: String): Set[(String, Long)] =
@@ -289,25 +444,29 @@ object LakeTxn {
     * its id already committed and skips — the commit log doubles as
     * the sink's transaction log, which is precisely how a lakehouse
     * streaming sink gets exactly-once on top of its commit protocol.
-    * Staging runs OUTSIDE the claim lock (it is the expensive part);
-    * the marker check + publish are atomic under it. A crash between
-    * stage and publish leaks only unpinned files (invisible to readers,
-    * reclaimed by [[vacuum]]); the retry commits once. Returns the
+    * Staging runs before the claim (it is the expensive part); the
+    * marker re-check happens on EVERY claim attempt, so two replayed
+    * epochs racing the same id resolve through put-if-absent: whoever
+    * claims the version wins, the loser re-reads the log, sees the
+    * marker, and skips. A crash (or lost race) between stage and
+    * publish leaks only unpinned files — invisible to readers,
+    * reclaimed by [[vacuum]] after its grace window. Returns the
     * version, or -1 if the batch was already committed. */
   def appendBatchCommit(spark: SparkSession, df: DataFrame, table: String,
                         app: String, batchId: Long): Long = {
     if (committedBatchIds(spark, table).contains((app, batchId))) return -1L
     val adds = stage(spark, df, table)
-    val lock = commitLocks.computeIfAbsent(table, _ => new Object)
-    lock.synchronized {
-      if (committedBatchIds(spark, table).contains((app, batchId))) -1L
-      else {
-        val v = listVersions(spark, table).lastOption.map(_ + 1).getOrElse(0L)
-        publish(spark, table, v, adds, Nil,
-          extraLines = Seq(s"""{"a":"txn","app":"$app","id":$batchId}"""))
-        v
-      }
+    val marker = s"""{"a":"txn","app":"$app","id":$batchId}"""
+    var attempt = 0
+    while (attempt < 100) {
+      if (committedBatchIds(spark, table).contains((app, batchId))) return -1L
+      val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
+      if (tryPublish(spark, table, latest + 1, adds, Nil, Seq(marker)))
+        return latest + 1
+      attempt += 1
     }
+    throw new CommitConflictException(
+      s"gave up claiming a version in $table for ($app, $batchId)")
   }
 
   /** What one vacuum pass did. `orphansSkipped` counts unpublished
@@ -411,7 +570,9 @@ object LakeTxn {
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val packed = spark.read.parquet(snap.files.map(f => s"$table/$f"): _*)
       .coalesce(nOut) // pure bin-packing: no shuffle, see Lake.compact
-    commit(spark, table, stage(spark, packed, table), snap.files)
+    // the read version rides into the commit: an interleaved rewrite of
+    // any packed file aborts this compaction instead of resurrecting it
+    commitAt(spark, table, snap.version, stage(spark, packed, table), snap.files)
   }
 
   /** File-pruned copy-on-write MERGE through the log — the CDC apply.
@@ -448,7 +609,10 @@ object LakeTxn {
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
     val replacement = survivors.select(cols.map(col): _*)
       .unionByName(upserts.select(cols.map(col): _*))
-    commit(spark, table, stage(spark, replacement, table), affected)
+    // optimistic CoW: carries the snapshot version it was computed from;
+    // a conflicting interleaved rewrite of an affected file ABORTS the
+    // merge (CommitConflictException) — never a silent lost update
+    commitAt(spark, table, snap.version, stage(spark, replacement, table), affected)
   }
 
   // ------------------------------------------------------------------
@@ -591,6 +755,50 @@ object LakeTxn {
       .withColumn("__op", lit("delete"))
     applyChanges(spark, t, updates.unionByName(inserts).unionByName(deletes), "doc_id")
     Incremental.snapshotDiff(read(spark, t, Some(0L)), read(spark, t))
+  }
+
+  /** lake_txn_concurrent: TWO writer threads interleaving append
+    * commits through the put-if-absent protocol — no lock anywhere; a
+    * loser's claim fails atomically (hard-link EEXIST), it re-reads the
+    * log head and retries. Three batches race over two threads from a
+    * shared base, then a compaction commits through the same optimistic
+    * path. Graded on the final content: a lost update (two writers
+    * claiming one version, one body silently overwritten) drops a
+    * batch; the oracle is the full corpus. */
+  def concurrentQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "conc")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 4 === 0).repartition(2), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1L to 3L).map { r =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            appendCommit(spark, d.filter(col("doc_id") % 4 === r), t)
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    compactCommit(spark, t, Long.MaxValue / 4)
+    read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_txn_skipping: per-file min/max recorded in the commit log at
+    * write time (range-partitioned sorted appends → tight disjoint
+    * ranges), then a selective band read that prunes the file list from
+    * the LOG alone — zero footer opens; LakeTxnSpec corrupts the
+    * skipped files on disk and the read still succeeds, the proof they
+    * are never touched. Graded on content: pruning must change nothing
+    * but the files opened. */
+  def skippingQuery(spark: SparkSession, orders: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "skip")
+    val priced = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderstatus"))
+    appendCommitStats(spark,
+      priced.repartitionByRange(8, col("price_cents"))
+        .sortWithinPartitions("price_cents"), t, "price_cents")
+    val (df, _, _) = readPruned(spark, t, "price_cents", 1000000L, 3000000L)
+    df.orderBy("o_orderkey")
   }
 
   /** lake_txn_cdc: one MERGE commit carrying all three change kinds —

@@ -59,7 +59,7 @@ class LakeTxnSpec extends SparkSpec {
     // file set cut over atomically
     LakeTxn.publish(spark, t, oldSnap.version + 1, staged, oldSnap.files)
     val after = LakeTxn.snapshot(spark, t)
-    assert(after.files === staged.map(_._1))
+    assert(after.files === staged.map(_.file))
     assert(contents(LakeTxn.read(spark, t)) === before)
     // and the OLD snapshot still reads — removes only unpin
     assert(LakeTxn.snapshot(spark, t, Some(oldSnap.version)).files === oldSnap.files)
@@ -299,6 +299,100 @@ class LakeTxnSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       LakeTxn.read(spark, t, Some(0L))
     }.getMessage.contains("horizon"))
+  }
+
+
+  test("put-if-absent: a claimed version rejects the loser atomically; retry lands next") {
+    val t = freshDir("pia")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t) // v0
+    val mine = LakeTxn.stage(spark, mkDocs(10 until 20, "fr").coalesce(1), t)
+    // interloper wins version 1 between my head read and my claim
+    val theirs = LakeTxn.stage(spark, mkDocs(20 until 30, "de").coalesce(1), t)
+    assert(LakeTxn.tryPublish(spark, t, 1L, theirs, Nil))
+    // my claim at the same version FAILS (hard-link EEXIST), body intact
+    assert(!LakeTxn.tryPublish(spark, t, 1L, mine, Nil))
+    assert(LakeTxn.readCommit(spark, t, 1L).map(_.file) === theirs.map(_.file))
+    // the optimistic retry lands at the new head — NO lost update
+    val v = LakeTxn.commit(spark, t, mine, Nil)
+    assert(v == 2L)
+    assert(contents(LakeTxn.read(spark, t)) === contents(mkDocs(0 until 30, "en")
+      .limit(0).unionByName(mkDocs(0 until 10, "en"))
+      .unionByName(mkDocs(20 until 30, "de")).unionByName(mkDocs(10 until 20, "fr"))))
+  }
+
+  test("conflicting CoW rewrite aborts instead of resurrecting removed files") {
+    val t = freshDir("cowabort")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 20, "en").coalesce(1), t) // v0
+    // writer A computes a rewrite against v0 (slow path: stage first)
+    val snapA = LakeTxn.snapshot(spark, t)
+    val replacementA = LakeTxn.stage(spark,
+      mkDocs(0 until 20, "en").filter(col("doc_id") =!= 3L).coalesce(1), t)
+    // writer B lands a compaction FIRST — it removes A's base file
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4) // v1
+    // A's commit must ABORT: its removes were already removed at v1
+    val e = intercept[LakeTxn.CommitConflictException] {
+      LakeTxn.commitAt(spark, t, snapA.version, replacementA, snapA.files)
+    }
+    assert(e.getMessage.contains("copy-on-write conflict"), e.getMessage)
+    // table state is B's — nothing resurrected, nothing lost
+    assert(contents(LakeTxn.read(spark, t)) === contents(mkDocs(0 until 20, "en")))
+    assert(LakeTxn.listVersions(spark, t) === Seq(0L, 1L))
+  }
+
+  test("interleaved APPENDS commute with a CoW rewrite: retry succeeds") {
+    val t = freshDir("cowok")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 20, "en").coalesce(1), t) // v0
+    val snapA = LakeTxn.snapshot(spark, t)
+    val replacementA = LakeTxn.stage(spark,
+      mkDocs(0 until 20, "en").filter(col("doc_id") =!= 3L).coalesce(1), t)
+    // an interleaved APPEND takes v1 — touches none of A's base files
+    LakeTxn.appendCommit(spark, mkDocs(50 until 55, "fr").coalesce(1), t)
+    val v = LakeTxn.commitAt(spark, t, snapA.version, replacementA, snapA.files)
+    assert(v == 2L)
+    assert(contents(LakeTxn.read(spark, t)) ===
+      contents(mkDocs(0 until 20, "en").filter(col("doc_id") =!= 3L)
+        .unionByName(mkDocs(50 until 55, "fr"))))
+  }
+
+  test("log-stats skipping: pruned files are NEVER opened (corruption-proof)") {
+    import org.apache.spark.sql.functions.col
+    val t = freshDir("skip")
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, i * 17L % 9973L)).toDF("k", "v")
+    LakeTxn.appendCommitStats(spark,
+      df.repartitionByRange(8, col("k")).sortWithinPartitions("k"), t, "k")
+    val snap = LakeTxn.snapshot(spark, t)
+    assert(snap.adds.forall(a => a.statsCol == "k" && a.lo <= a.hi))
+    val (pruned, scanned, total) = LakeTxn.readPruned(spark, t, "k", 500L, 999L)
+    assert(total == 8 && scanned < total, s"$scanned of $total")
+    // smoking gun: corrupt every SKIPPED file on disk — the read still
+    // succeeds because pruning decided from the log alone
+    val keep = LakeTxn.readPruned(spark, t, "k", 500L, 999L)._1 // fresh plan
+    val kept = snap.adds.filter(a => a.hi >= 500L && a.lo <= 999L).map(_.file).toSet
+    snap.adds.filterNot(a => kept(a.file)).foreach { a =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(t, a.file),
+        "garbage".getBytes("UTF-8"))
+    }
+    val got = keep.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (500L to 999L).map(i => (i, i * 17L % 9973L)))
+    assert(pruned != null)
+  }
+
+  test("skipping stats survive a log checkpoint") {
+    val t = freshDir("skipckpt")
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "s")
+    LakeTxn.appendCommitStats(spark,
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), t, "k")
+    LakeTxn.appendCommitStats(spark,
+      (1000L until 2000L).map(i => (i, s"r$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"), t, "k")
+    LakeTxn.checkpointLog(spark, t)
+    LakeTxn.appendCommitStats(spark,
+      (2000L until 2500L).map(i => (i, s"r$i")).toDF("k", "s").coalesce(1), t, "k")
+    val (df2, scanned, total) = LakeTxn.readPruned(spark, t, "k", 100L, 199L)
+    assert(total == 9 && scanned == 1, s"$scanned of $total")
+    assert(df2.count() == 100L)
   }
 
   test("corrupt action lines fail loudly, never silently drop a remove") {
