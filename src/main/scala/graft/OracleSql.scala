@@ -1448,6 +1448,41 @@ object OracleSql {
        |  (max(p) - min(p) + $l)::BIGINT AS span_len
        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
 
+  /** Naive exact-LCP ground truth (mirror of Dedup.suffixLcpReport):
+    * all suffixes sorted lexicographically, each position's longest
+    * duplicate = max common prefix with its order neighbors, per doc
+    * the max with the smallest start. The lambda finds the first
+    * token mismatch position; no mismatch ⇒ the shorter length
+    * (list_position returns 0, not NULL, on a miss — nullif guards). */
+  val suffixLcpReport: String =
+    s"""WITH $toksCte,
+       |pos AS (
+       |  SELECT doc_id, i AS p, toks[(i+1):] AS s
+       |  FROM toks, unnest(range(0, len(toks))) AS u(i)),
+       |ord AS (
+       |  SELECT doc_id, p, s,
+       |    lag(s)  OVER (ORDER BY s, doc_id, p) AS prv,
+       |    lead(s) OVER (ORDER BY s, doc_id, p) AS nxt
+       |  FROM pos),
+       |lc AS (
+       |  SELECT doc_id, p,
+       |    greatest(
+       |      CASE WHEN prv IS NULL THEN 0 ELSE coalesce(
+       |        nullif(list_position(list_transform(range(1, least(len(s), len(prv))+1),
+       |          k -> s[k] = prv[k]), false), 0) - 1,
+       |        least(len(s), len(prv))) END,
+       |      CASE WHEN nxt IS NULL THEN 0 ELSE coalesce(
+       |        nullif(list_position(list_transform(range(1, least(len(s), len(nxt))+1),
+       |          k -> s[k] = nxt[k]), false), 0) - 1,
+       |        least(len(s), len(nxt))) END)::BIGINT AS dup_len
+       |  FROM ord),
+       |rep AS (SELECT doc_id, max(dup_len) AS lcp_len FROM lc GROUP BY doc_id)
+       |SELECT l.doc_id, min(l.p)::BIGINT AS lcp_start, r.lcp_len::BIGINT AS lcp_len
+       |FROM lc l JOIN rep r ON l.doc_id = r.doc_id AND l.dup_len = r.lcp_len
+       |WHERE r.lcp_len >= 1
+       |GROUP BY l.doc_id, r.lcp_len
+       |ORDER BY l.doc_id""".stripMargin
+
   /** Naive cross-corpus ground truth of the suffix contamination
     * (mirror of Dedup.suffixCrossContamination over the derived eval
     * set): eval L-gram starts whose gram occurs in TRAIN, merged

@@ -782,6 +782,12 @@ object SparkEntry {
     // quantized windows; maximal merged spans of duplicated 8-grams
     "dedup_suffix" -> ((s, d) =>
       Dedup.suffixDuplicateSpans(Tables.documents(s, d), 8)),
+    // EXACT longest-duplicate-substring per doc (token length + smallest
+    // start) via the full prefix-doubling ladder + rank-table LCP
+    // descent — the un-quantized Lee et al. report dedup_suffix rounds
+    // to L-gram granularity
+    "dedup_suffix_lcp" -> ((s, d) =>
+      Dedup.suffixLcpReport(Tables.documents(s, d))),
     // cross-corpus exact-substring CONTAMINATION (the Lee et al.
     // decontamination shape): eval docs (derived — leaked prefixes for
     // %17=0, guaranteed-novel text for %17=5) scanned for spans whose
@@ -2044,6 +2050,11 @@ object SparkEntry {
     // gaps-and-islands into maximal spans — the ground truth the
     // suffix-array construction must land on exactly
     "dedup_suffix" -> OracleSql.suffixDuplicateSpans(8),
+    // naive exact ground truth: per position the max common token
+    // prefix with its lexicographic suffix-order neighbors (the
+    // adjacency argument makes that the global max), per doc the max
+    // with smallest start — un-quantized, any length
+    "dedup_suffix_lcp" -> OracleSql.suffixLcpReport,
     // naive cross-corpus oracle: eval grams join DISTINCT train grams
     "dedup_suffix_cross" -> OracleSql.suffixCrossContamination(8),
     "text_entropy" -> OracleSql.charEntropy,

@@ -791,6 +791,59 @@ object Dedup {
       .drop("__pid", "__lr", "__off")
   }
 
+  /** One prefix-doubling combine round: re-rank every position by the
+    * pair (rank(p), rank(p+offset)). Two strategies, chosen per round:
+    *  - NUMERIC (free): when the incoming ranks are dense with K
+    *    classes and K(K+2) fits a long (K < 3 037 000 498 — comfortably
+    *    beyond any realistic class count, but checked, so a
+    *    trillion-token corpus falls back to the exact path instead of
+    *    overflowing), the combined rank is the order-preserving product
+    *    r1·(K+1)+r2 — a projection, ZERO extra shuffles. The output is
+    *    order- and equality-correct but not dense, so the NEXT round
+    *    must densify.
+    *  - DENSIFY: distinct pairs + the two-phase range rank — the full
+    *    sort, restoring density (and the per-round class count).
+    * Alternating halves the expensive sorts of the ladder: the classic
+    * suffix-array radix trick, expressed relationally. Returns the
+    * checkpointed frame plus Some(classCount) iff the output is dense.
+    * The caller owns freeing superseded generations. */
+  private def combineRanks(ranked: DataFrame, offset: Long, idCol: String,
+                           denseClasses: Option[Long],
+                           forceDense: Boolean): (DataFrame, Option[Long]) = {
+    val right = ranked.select(col(idCol).as("__id2"),
+      (col("pos") - offset).as("__p2"), col("rank").as("__r2"))
+    val paired0 = ranked
+      .join(right, col(idCol) === col("__id2") && col("pos") === col("__p2"), "left")
+      .select(col(idCol), col("pos"), col("n_toks"),
+        col("rank").as("__r1"), coalesce(col("__r2"), lit(0L)).as("__r2"))
+    denseClasses match {
+      case Some(k) if !forceDense && k < 3037000498L =>
+        val b = k + 1
+        val next = paired0
+          .select(col(idCol), col("pos"), col("n_toks"),
+            (col("__r1") * b + col("__r2")).as("rank"))
+          .localCheckpoint(true)
+        (next, None)
+      case _ =>
+        // paired feeds BOTH the class table and the final join — without
+        // a checkpoint the live subtree doubles per round (2^rounds plan
+        // copies by the last doubling)
+        val paired = paired0.localCheckpoint(true)
+        val classes = orderedDenseRank(
+          paired.select(col("__r1"), col("__r2")).distinct(),
+          Seq(col("__r1"), col("__r2")), "__nr")
+        val next = paired.join(classes, Seq("__r1", "__r2"))
+          .select(col(idCol), col("pos"), col("n_toks"), col("__nr").as("rank"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.graft.bridge.freeCheckpoint(paired)
+        val k = next.agg(max(col("rank"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        (next, Some(k))
+    }
+  }
+
   /** Token positions annotated with the lexicographic rank of their
     * `windowTokens`-token forward window, built by Manber–Myers prefix
     * doubling: rank_1 is the dense rank of the token itself, and
@@ -833,32 +886,186 @@ object Dedup {
     var ranked = toks.join(vocabRanks, "__tok")
       .select(col(idCol), col("pos"), col("n_toks"), col("__r").as("rank"))
       .localCheckpoint(true)
+    var denseK: Option[Long] = Some(ranked.agg(max(col("rank"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    })
     var h = 1L
     while (h < windowTokens) {
       // covered-so-far is h; the next combine extends by step = min(h,
       // L−h): pure doubling until h > L/2, then ONE overlapping final
       // combine that lands exactly on L (the window [p, p+h) ∪
-      // [p+step, p+step+h) = [p, p+L) when step = L−h ≤ h)
+      // [p+step, p+step+h) = [p, p+L) when step = L−h ≤ h).
+      // Rounds alternate numeric/densify (see combineRanks); the FINAL
+      // round is forced dense — the declared output contract.
       val step = math.min(h, windowTokens - h)
-      val right = ranked.select(col(idCol).as("__id2"),
-        (col("pos") - step).as("__p2"), col("rank").as("__r2"))
-      val paired = ranked
-        .join(right, col(idCol) === col("__id2") && col("pos") === col("__p2"), "left")
-        .select(col(idCol), col("pos"), col("n_toks"),
-          col("rank").as("__r1"), coalesce(col("__r2"), lit(0L)).as("__r2"))
-        .localCheckpoint(true)
-      val classes = orderedDenseRank(
-        paired.select(col("__r1"), col("__r2")).distinct(),
-        Seq(col("__r1"), col("__r2")), "__nr")
-      val next = paired.join(classes, Seq("__r1", "__r2"))
-        .select(col(idCol), col("pos"), col("n_toks"), col("__nr").as("rank"))
-        .localCheckpoint(true)
+      val (next, k) = combineRanks(ranked, step, idCol, denseK,
+        forceDense = h + step >= windowTokens)
       org.apache.spark.sql.graft.bridge.freeCheckpoint(ranked)
-      org.apache.spark.sql.graft.bridge.freeCheckpoint(paired)
       ranked = next
+      denseK = k
       h += step
     }
     ranked
+  }
+
+  /** FULL-suffix rank tables at every doubling level h = 1, 2, 4, …,
+    * 2^⌈log₂ maxLen⌉ — the complete Manber–Myers ladder, retained
+    * per level (each a checkpointed (id, pos, n_toks, rank) frame)
+    * because exact-LCP computation descends it. The top level ranks
+    * whole suffixes: equal top ranks ⇔ equal suffixes (sentinel
+    * padding aligns only when the suffixes are identical), and rank
+    * order is lexicographic with a shorter prefix first.
+    *
+    * Space shape: ⌈log₂ maxLen⌉ + 1 retained frames of |tokens| rows —
+    * the classic O(n log n) suffix-array space, each frame a
+    * distributed checkpoint, freed by the caller when the descent has
+    * materialized. Returns (levels DESCENDING by h, max token count). */
+  private[graft] def suffixLevelRanks(docs: DataFrame,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id")
+      : (List[(Long, DataFrame)], Long) = {
+    val toks = docs
+      .select(col(idCol), Tokenize.tokensArray(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_toks"),
+        posexplode(col("__toks")).as(Seq("pos", "__tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("n_toks"), col("__tok"))
+    val vocabRanks = orderedDenseRank(
+      toks.select(col("__tok")).distinct(), Seq(col("__tok")), "__r")
+    var ranked = toks.join(vocabRanks, "__tok")
+      .select(col(idCol), col("pos"), col("n_toks"), col("__r").as("rank"))
+      .localCheckpoint(true)
+    val maxLen = ranked.agg(max(col("n_toks"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    var levels: List[(Long, DataFrame)] = List((1L, ranked))
+    var h = 1L
+    var denseK: Option[Long] = Some(ranked.agg(max(col("rank"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    })
+    var lastDense = denseK.get
+    var converged = false
+    while (h < maxLen && !converged) {
+      // levels are RETAINED (the LCP descent reads every one); rounds
+      // alternate numeric/densify per combineRanks — numeric levels are
+      // equality- and order-correct, all the descent needs
+      val (next, k) = combineRanks(ranked, h, idCol, denseK, forceDense = false)
+      ranked = next
+      h *= 2
+      levels = (h, next) :: levels
+      // FIXPOINT early exit, checked on densified rounds: if the class
+      // count did not grow since the previous densified level, no class
+      // split anywhere in between (refinement with equal counts is
+      // equality), so every surviving tie is an identical-suffix pair
+      // and further rounds are provably no-ops. The descent's top-level
+      // "equal ⇒ identical" credit relies on exactly this property.
+      k.foreach { kk =>
+        converged = kk == lastDense
+        lastDense = kk
+      }
+      denseK = k
+    }
+    (levels, maxLen)
+  }
+
+  /** EXACT longest-duplicate-substring report — the true Lee et al.
+    * artifact that [[suffixDuplicateSpans]] quantizes to L-token
+    * granularity: per document, the exact token length of the longest
+    * substring that also occurs ANYWHERE else in the corpus (other
+    * position, same or another document), and the smallest start
+    * achieving it.
+    *
+    * Algorithm: full suffix order from the prefix-doubling ladder, then
+    * the classic rank-table LCP descent — adjacent suffixes in the
+    * order compare their rank at each level h (largest first): equal
+    * h-ranks at offset lcp ⇒ lcp += h and both advance. Any LCP value
+    * is a sum of distinct powers of two, so the descent is exact; the
+    * final `least(lcp, remaining_a, remaining_b)` collapses the
+    * sentinel-aligned case (fully equal suffixes) to the true common
+    * length. A position's longest duplicate is the max LCP with its
+    * order-neighbors (the suffix-array adjacency argument: the nearest
+    * suffixes in lexicographic order share the longest prefixes).
+    *
+    * Scale shape: every stage is a LINEAR shuffle — the order index is
+    * the two-phase range rank (never a global window), adjacency is a
+    * self-join on index+1, and the descent is 2·|levels| keyed joins of
+    * |tokens|-row frames in ONE linear lineage (a single eager
+    * checkpoint at the end; each round references its predecessor
+    * exactly once, so there is no 2^rounds fan-out to cut). The ladder
+    * itself exits at the refinement FIXPOINT — once a doubling splits
+    * no class, every surviving tie is an identical-suffix pair, so the
+    * tail rounds are provably no-ops. No n² stage anywhere.
+    *
+    * @return (doc_id, lcp_start, lcp_len): per doc with any duplicated
+    *         token, the exact longest duplicated span (ties → smallest
+    *         start), token units
+    */
+  def suffixLcpReport(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val (levels, maxLen) = suffixLevelRanks(docs, textCol, idCol)
+    val full = levels.head._2
+    val sa = orderedDenseRank(
+      full.select(col(idCol), col("pos"), col("n_toks"), col("rank")),
+      Seq(col("rank"), col(idCol), col("pos")), "__sa")
+      .localCheckpoint(true)
+    val a = sa.select(col(idCol).as("__ida"), col("pos").as("__pa"),
+      col("n_toks").as("__na"), (col("__sa") + 1).as("__nx"))
+    val b = sa.select(col(idCol).as("__idb"), col("pos").as("__pb"),
+      col("n_toks").as("__nb"), col("__sa").as("__nx"))
+    var pairs = a.join(b, "__nx")
+      .select(col("__ida"), col("__pa"), col("__na"),
+        col("__idb"), col("__pb"), col("__nb"))
+      .withColumn("__lcp", lit(0L))
+    // the descent lineage is LINEAR (each round references the previous
+    // pairs exactly once, plus checkpointed level frames), so no
+    // per-round checkpoint is needed — one eager checkpoint at the end
+    // materializes the whole 2·|levels|-join chain, after which the
+    // ladder can be released
+    for (((h, lvl), idx) <- levels.zipWithIndex) { // descending h
+      val l1 = lvl.select(col(idCol).as("__ida"), col("pos").as("__qa"),
+        col("rank").as("__ra"))
+      val l2 = lvl.select(col(idCol).as("__idb"), col("pos").as("__qb"),
+        col("rank").as("__rb"))
+      // at the TOP level, equality means the suffixes are IDENTICAL to
+      // their ends (h ≥ maxLen, or the fixpoint argument when the
+      // ladder exited early) — credit the whole remaining length and
+      // let the final cap land on min(remaining); lower levels credit
+      // exactly their window length
+      val credit = if (idx == 0) maxLen else h
+      pairs = pairs
+        .withColumn("__qa", col("__pa") + col("__lcp"))
+        .withColumn("__qb", col("__pb") + col("__lcp"))
+        .join(l1, Seq("__ida", "__qa"), "left")
+        .join(l2, Seq("__idb", "__qb"), "left")
+        .withColumn("__lcp",
+          when(col("__ra").isNotNull && col("__rb").isNotNull &&
+            col("__ra") === col("__rb"), col("__lcp") + credit)
+            .otherwise(col("__lcp")))
+        .drop("__qa", "__qb", "__ra", "__rb")
+    }
+    pairs = pairs.localCheckpoint(true)
+    // the descent is done — release the retained ladder and the order
+    levels.foreach { case (_, lvl) =>
+      org.apache.spark.sql.graft.bridge.freeCheckpoint(lvl) }
+    org.apache.spark.sql.graft.bridge.freeCheckpoint(sa)
+    val exact = pairs.withColumn("__lcp",
+      least(col("__lcp"), col("__na") - col("__pa"), col("__nb") - col("__pb")))
+    val perPos = exact
+      .select(col("__ida").as(idCol), col("__pa").as("pos"), col("__lcp"))
+      .unionByName(exact
+        .select(col("__idb").as(idCol), col("__pb").as("pos"), col("__lcp")))
+      .groupBy(col(idCol), col("pos"))
+      .agg(max(col("__lcp")).as("dup_len"))
+    // per-doc argmax with smallest start: struct-max, no window
+    perPos.filter(col("dup_len") >= 1)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("dup_len"), (-col("pos")).as("negpos"))).as("__m"))
+      .select(col(idCol), (-col("__m.negpos")).as("lcp_start"),
+        col("__m.dup_len").as("lcp_len"))
+      .orderBy(idCol)
   }
 
   /** CROSS-CORPUS exact-substring contamination via the same

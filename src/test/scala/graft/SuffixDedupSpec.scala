@@ -108,6 +108,64 @@ class SuffixDedupSpec extends SparkSpec {
     assert(byKey((41L, 0L)) < byKey((40L, 0L)))
   }
 
+
+  /** Naive exact ground truth for the LCP report: per position, the max
+    * common token prefix with ANY other corpus position; per doc, the
+    * max with smallest start. */
+  private def bruteLcpReport(rows: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+    val sufs = for {
+      (id, text) <- rows
+      toks = tokensOf(text)
+      p <- toks.indices
+    } yield (id, p.toLong, toks.drop(p))
+    def cp(a: Seq[String], b: Seq[String]): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val per = sufs.map { case (id, p, s) =>
+      val best = sufs.iterator.filter(o => (o._1, o._2) != (id, p))
+        .map(o => cp(s, o._3)).maxOption.getOrElse(0L)
+      (id, p, best)
+    }
+    per.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val m = ps.map(_._3).max
+      if (m >= 1) Some((id, ps.filter(_._3 == m).map(_._2).min, m)) else None
+    }.sortBy(_._1)
+  }
+
+  test("exact LCP report equals the naive all-pairs ground truth") {
+    val rows = Seq(
+      60L -> "the quick brown fox jumps over the lazy dog today",
+      61L -> "a quick brown fox jumps over the lazy cat instead",
+      62L -> "repeat me now repeat me now done",
+      63L -> "only unique words appear here nowhere else ever",
+      64L -> "fox jumps over the lazy dog today was the end")
+    val got = Dedup.suffixLcpReport(docsOf(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === bruteLcpReport(rows))
+    assert(got.nonEmpty)
+  }
+
+  test("one token below the window: quantized L=8 sees nothing, the LCP report says 7") {
+    val rows = Seq(
+      70L -> "u1 u2 s1 s2 s3 s4 s5 s6 s7 u3 u4",
+      71L -> "v1 s1 s2 s3 s4 s5 s6 s7 v2 v3 v4")
+    val docs = docsOf(rows: _*)
+    // no duplicated 8-gram exists — the quantized form is provably blind
+    assert(Dedup.suffixDuplicateSpans(docs, 8).collect().isEmpty)
+    val got = Dedup.suffixLcpReport(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((70L, 2L, 7L), (71L, 1L, 7L)))
+  }
+
+  test("LCP report tie-break: smallest start among equal-length maxima") {
+    val rows = Seq(
+      80L -> "x1 a b x2 a b x3",
+      81L -> "fully distinct filler tokens qq ww ee rr")
+    // doc 80: "a b" duplicated at starts 1 and 4 (len 2) — report start 1
+    val got = Dedup.suffixLcpReport(docsOf(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((80L, 1L, 2L)))
+  }
+
   test("cross-corpus contamination: train leaks flagged, eval-only repeats not counted") {
     val train = docsOf(
       1L -> "the secret benchmark answer is forty two exactly here",
