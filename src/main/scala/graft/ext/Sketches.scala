@@ -258,10 +258,15 @@ object Sketches {
     val cut = samplerCut(base, capacity)
     val kept = base.crossJoin(broadcast(cut))
       .filter(col("__lvl") >= col("qs_level"))
-    // ≤ capacity rows: a single-partition sort here is the bounded-frame
-    // shape, not a corpus window (ties broken by the hashed id for a
-    // total, engine-portable order)
+    // ≤ capacity rows: the index is a bounded-frame sort, not a corpus
+    // window (ties broken by the hashed id for a total, engine-portable
+    // order). Partitioned by the cut level — one value over the whole
+    // kept set, so semantically identical to a global row_number — which
+    // keeps WindowExec's moving-to-single-partition WARN out of the
+    // logs: a warn-clean bench tail makes any future WindowExec WARN a
+    // real regression signal.
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qs_level"))
       .orderBy(col("__v"), col("__i"))
     val indexed = kept
       .select(col("__v"), col("__i"), col("qs_level"))
@@ -331,8 +336,14 @@ object Sketches {
   def quantileReportFromState(kept: DataFrame, level: Long, nTotal: Long,
                               corpusVals: DataFrame,
                               quantilesPct: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    // bounded ≤ capacity rows; the constant partition key makes the
+    // single partition EXPLICIT (no empty-partition-spec WindowExec
+    // WARN — the bench tail stays warn-clean so a future WARN is
+    // signal). pmod(__i, 1) is always 0 but NOT foldable, so the
+    // optimizer cannot collapse the spec back to empty (a bare lit
+    // constant-folds away and the WARN returns).
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__v"), col("__i"))
+      .partitionBy(pmod(col("__i"), lit(1L))).orderBy(col("__v"), col("__i"))
     val indexed = kept.select(col("__v"), col("__i"))
       .withColumn("__idx", row_number().over(w).cast("long"))
     val nKept = kept.count()
