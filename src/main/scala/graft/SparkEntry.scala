@@ -476,6 +476,19 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    // the SAME join without the manual salt, handed to Spark's own AQE
+    // skew splitter under scoped runtime settings (aggressive advisory/
+    // threshold bytes, restored after the eager bounded run) — the
+    // runtime re-planner and the declarative salted path must agree
+    "q_skew_join_aqe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+      rel.SkewJoin.aqeSkewJoinAgg(s, li, ord, "l_orderkey", joined =>
+        joined.groupBy("o_orderpriority")
+          .agg(sum(Relational.cents(col("l_extendedprice"))).as("revenue_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"))
+    }),
     "ii_postings_str" -> ((s, d) => InvertedIndex.postingsString(Tables.documents(s, d))),
     // ---- extensions: deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exactKeepIds(Tables.documents(s, d))),
@@ -2280,6 +2293,14 @@ object SparkEntry {
     // the skew machinery must be invisible in the result: the oracle is
     // the plain join
     "q_skew_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // AQE's runtime skew splitting must be invisible in the result too:
+    // the identical plain-join oracle
+    "q_skew_join_aqe" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(*) AS n

@@ -48,4 +48,55 @@ object SkewJoin {
     val hotJoined = saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
     cold.unionByName(hotJoined)
   }
+
+  /** AQE-skew session settings: aggressive enough that the runtime
+    * splitter engages at test scale (a partition is skewed when larger
+    * than the median AND the byte threshold; split into advisory-sized
+    * chunks), with broadcast off so the join actually shuffles. */
+  private val AqeSkewConf = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Execute `build`'s frame EAGERLY under scoped session settings,
+    * restoring every key afterwards (set-and-leak would silently
+    * re-plan every later query in the session — the aggressive
+    * advisory/threshold bytes here must never escape). Returns the
+    * collected rows re-wrapped as a local frame plus the FINAL adaptive
+    * plan string (isFinalPlan=true), which is what the spec greps for
+    * the skew=true marker. */
+  private[graft] def runWithAqeSkew(spark: org.apache.spark.sql.SparkSession)
+                                   (build: => DataFrame): (DataFrame, String) = {
+    val conf = spark.conf
+    val saved = AqeSkewConf.map { case (k, _) => k -> conf.getOption(k) }
+    AqeSkewConf.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val df = build
+      val rows = df.collect() // bounded: every caller aggregates first
+      val plan = df.queryExecution.executedPlan.toString
+      val out = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+      (out, plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  /** The q_skew_join query WITHOUT the manual two-path salt: a plain
+    * shuffle join handed to Spark's own AQE skew splitter
+    * (OptimizeSkewedJoin) under scoped runtime settings — the
+    * cross-validation that the declarative salted operator and the
+    * runtime re-planner agree on the same oracle. The manual path stays
+    * the one that covers AGGREGATION skew, which the AQE join splitter
+    * does not. The aggregate is bounded (one row per order priority),
+    * so the eager scoped run collects a handful of rows. */
+  def aqeSkewJoinAgg(spark: org.apache.spark.sql.SparkSession,
+                     big: DataFrame, small: DataFrame, key: String,
+                     aggCols: DataFrame => DataFrame): DataFrame =
+    runWithAqeSkew(spark) { aggCols(big.join(small, Seq(key))) }._1
 }

@@ -61,4 +61,57 @@ class SkewJoinSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("AQE skew splitter fires on a planted-skew shuffle join and changes nothing") {
+    // one key carries ~95% of the bytes (incompressible sha2 payload so
+    // the skewed shuffle partition clears the scoped byte thresholds);
+    // the small side is key-unique so the join is size-preserving. The
+    // aggregate groups on a DIFFERENT key than the join: grouping on
+    // the join key would let the final agg reuse the join's hash
+    // partitioning, and OptimizeSkewedJoin (correctly) refuses to split
+    // a partition some downstream operator still requires intact.
+    val wide = ((0 until 20000).map(i => ("hot", i.toLong)) ++
+      (0 until 500).map(i => (s"c${i % 50}", i.toLong)))
+      .toDF("k", "row_id")
+      .withColumn("pad", sha2(col("row_id").cast("string"), 256))
+    val dims = (Seq("hot") ++ (0 until 50).map(i => s"c$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "dim")
+    val (got, plan) = SkewJoin.runWithAqeSkew(spark) {
+      wide.join(dims, Seq("k"))
+        .groupBy(pmod(col("row_id"), lit(10L)).as("g"))
+        .agg(count(lit(1)).as("n"), sum("dim").as("s"),
+          sum(length(col("pad"))).as("b"))
+        .orderBy("g")
+    }
+    // OptimizeSkewedJoin actually split the skewed partition: the final
+    // adaptive plan carries the skew=true sort-merge join marker
+    assert(plan.contains("isFinalPlan=true"), plan.take(300))
+    assert(plan.contains("skew=true"), plan.take(2000))
+    val want = wide.join(dims, Seq("k"))
+      .groupBy(pmod(col("row_id"), lit(10L)).as("g"))
+      .agg(count(lit(1)).as("n"), sum("dim").as("s"),
+        sum(length(col("pad"))).as("b"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq === want)
+  }
+
+  test("the scoped AQE settings are restored after the run (leak guard)") {
+    val before = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    SkewJoin.runWithAqeSkew(spark) {
+      Seq(("a", 1L)).toDF("k", "v").groupBy("k").agg(sum("v").as("s"))
+    }
+    assert(spark.conf.getOption(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes") === before)
+    assert(spark.conf.getOption(
+      "spark.sql.autoBroadcastJoinThreshold") !== Some("-1"))
+  }
+
+  test("declared q_skew_join_aqe equals the manual salted path's aggregate") {
+    val d = "/root/testdata/sf0.001"
+    val aqe = SparkEntry.queries("q_skew_join_aqe")(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    val manual = SparkEntry.queries("q_skew_join")(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(aqe == manual)
+  }
 }
