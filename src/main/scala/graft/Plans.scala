@@ -116,6 +116,10 @@ object Plans {
     "lake_txn_cdf" -> "change data feed = ONE full-outer equi-join of two snapshot scans on the key (text reduced to sha256 AT the scan — content never crosses the shuffle); status is post-join projection",
     "mm_audio_spectrogram" -> "windowed integer DFT inside mapPartitions (fixed 192-sample clips); only the (window, bin) grid rows cross the shuffle",
     "dedup_suffix_cross" -> "one prefix-doubling pass over train∪eval (checkpointed rounds); contamination = rank-class semi-join against the train side — no text ever re-compared, no CartesianProduct",
+    "dedup_suffix_lcp" -> "full ladder (alternating free numeric combines with densify sorts, fixpoint exit) + LCP descent as ONE linear join chain over (id,pos)-keyed lookups; suffix order via the two-phase range rank; per-doc argmax is a max-struct agg — no window over the corpus, no SinglePartition",
+    "lake_txn_concurrent" -> "append content is plain staged parquet scans; the racing claims are driver-side put-if-absent metadata (hard-link EEXIST) — the data plan is identical to lake_txn's, one multi-file scan + presentation sort",
+    "lake_txn_skipping" -> "the band read prunes the file list from LOG-recorded min/max (zero footer opens at plan time); the residual band filter reaches the kept scans as PushedFilters",
+    "q_skew_join_aqe" -> "plain shuffle join under scoped AQE-skew settings: OptimizeSkewedJoin splits oversized partitions at runtime (spec-pinned skew=true marker); result identical to the manual salted path",
   )
 
   def main(args: Array[String]): Unit = {

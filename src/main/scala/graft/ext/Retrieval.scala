@@ -34,11 +34,16 @@ object Retrieval {
                  idCol: String = "doc_id"): DataFrame = {
     require(kEach > 0 && k > 0 && rrfK >= 0, "k, kEach must be positive; rrfK non-negative")
     // the window re-ranks the ALREADY-LIMITED kEach-row BM25 result: a
-    // SinglePartition sort over ≤ kEach rows, bounded by construction
-    // (never the corpus — TextStats.bm25 does the corpus-scale top-k)
+    // single-partition sort over ≤ kEach rows, bounded by construction
+    // (never the corpus — TextStats.bm25 does the corpus-scale top-k).
+    // The partition key is a non-foldable constant-zero expression: it
+    // makes the bounded single partition EXPLICIT so WindowExec's
+    // empty-spec WARN stays out of the bench tail (a bare literal would
+    // constant-fold back to an empty spec).
     val lex = TextStats.bm25(docs, terms, kEach, idCol = idCol)
       .select(col(idCol), row_number().over(
           org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col(idCol), lit(1L)))
             .orderBy(col("score_scaled").desc, col(idCol)))
         .cast("long").as("lex_rank"))
     val sem = Similarity.bruteForceTopK(embeddings, Seq(queryVecId), kEach)

@@ -187,7 +187,17 @@ object ScaleBench {
       "mm_audio_spectrogram" -> SparkEntry.queries("mm_audio_spectrogram"),
       // cross-corpus suffix contamination: one prefix-doubling pass over
       // the union; the eval side is corpus-proportional (%17 classes)
-      "dedup_suffix_cross" -> SparkEntry.queries("dedup_suffix_cross"))
+      "dedup_suffix_cross" -> SparkEntry.queries("dedup_suffix_cross"),
+      // round-17: the exact-LCP report (full ladder + descent — the
+      // growth term is tokens × log maxLen, maxLen fixed here, so the
+      // claim is ~linear in tokens), the racing-writer append cycle and
+      // the log-stats pruned read (commit machinery fixed; data term =
+      // the append scans / the kept-files scan), and the AQE-skew
+      // cross-validation (one shuffle join + bounded agg, scoped confs)
+      "dedup_suffix_lcp" -> SparkEntry.queries("dedup_suffix_lcp"),
+      "lake_txn_concurrent" -> SparkEntry.queries("lake_txn_concurrent"),
+      "lake_txn_skipping" -> SparkEntry.queries("lake_txn_skipping"),
+      "q_skew_join_aqe" -> SparkEntry.queries("q_skew_join_aqe"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
