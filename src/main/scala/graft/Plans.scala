@@ -120,6 +120,7 @@ object Plans {
     "lake_txn_concurrent" -> "append content is plain staged parquet scans; the racing claims are driver-side put-if-absent metadata (hard-link EEXIST) — the data plan is identical to lake_txn's, one multi-file scan + presentation sort",
     "lake_txn_skipping" -> "the band read prunes the file list from LOG-recorded min/max (zero footer opens at plan time); the residual band filter reaches the kept scans as PushedFilters",
     "q_skew_join_aqe" -> "plain shuffle join under scoped AQE-skew settings: OptimizeSkewedJoin splits oversized partitions at runtime (spec-pinned skew=true marker); result identical to the manual salted path",
+    "lake_txn_dv" -> "merge-on-read: the data scan keeps its pushdown; live deletion vectors broadcast into ONE LeftAnti hash join on (file basename, row position) — zero data files rewritten by the delete",
   )
 
   def main(args: Array[String]): Unit = {

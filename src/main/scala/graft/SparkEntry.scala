@@ -969,6 +969,12 @@ object SparkEntry {
     // footer opens — the spec corrupts skipped files and still reads)
     "lake_txn_skipping" -> ((s, d) =>
       ext.LakeTxn.skippingQuery(s, Tables.orders(s, d), d)),
+    // MERGE-ON-READ delete: deletion vectors (file basename + row
+    // position, from _metadata.row_index) tombstone rows in ONE commit
+    // with zero data files rewritten; the read anti-joins them away —
+    // the write-cheap half of the delete trade-off next to the CoW path
+    "lake_txn_dv" -> ((s, d) =>
+      ext.LakeTxn.dvQuery(s, Tables.documents(s, d), d)),
     "pipeline_domain_cap" -> ((s, d) =>
       ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -3158,6 +3164,13 @@ object SparkEntry {
     "lake_txn_concurrent" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // merge-on-read must equal the plain anti-filter: drop 'de' and the
+    // second vector's residue class
+    "lake_txn_dv" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |WHERE lang <> 'de' AND doc_id % 31 <> 7
+        |ORDER BY doc_id""".stripMargin,
     // log-stat pruning must change nothing but the files opened: the
     // oracle is the plain band filter (same band as lake_sorted_write)
     "lake_txn_skipping" ->

@@ -61,13 +61,20 @@ object LakeTxn {
     * data-skipping stats a lakehouse records at write time so a
     * selective read prunes the file list from METADATA alone, zero
     * parquet footer opens (Delta's `stats` field, reduced to the
-    * load-bearing 1-D core). `statsCol == null` means no stats. */
+    * load-bearing 1-D core). `statsCol == null` means no stats.
+    * `dv = true` marks a DELETION-VECTOR add: the file is a parquet of
+    * (file basename, row position) pairs under `dv/` that a
+    * merge-on-read scan anti-joins away — Delta DVs / Iceberg
+    * positional deletes, reduced to a commit-level vector. */
   final case class Action(add: Boolean, file: String, rows: Long,
-                          statsCol: String = null, lo: Long = 0L, hi: Long = 0L)
+                          statsCol: String = null, lo: Long = 0L, hi: Long = 0L,
+                          dv: Boolean = false)
 
-  /** A pinned snapshot: the live ADD actions (file + rows + optional
-    * skipping stats) at one version. */
-  final case class Snapshot(version: Long, adds: Seq[Action]) {
+  /** A pinned snapshot: the live DATA add actions (file + rows +
+    * optional skipping stats) plus the live deletion vectors at one
+    * version. */
+  final case class Snapshot(version: Long, adds: Seq[Action],
+                            dvs: Seq[Action] = Nil) {
     def files: Seq[String] = adds.map(_.file)
   }
 
@@ -114,7 +121,7 @@ object LakeTxn {
   }
 
   private val ActionRe =
-    ("""\{"a":"(add|remove)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
+    ("""\{"a":"(add|remove|dv)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?\}""").r
   private val TxnRe =
     """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
@@ -124,7 +131,8 @@ object LakeTxn {
       val stats =
         if (a.statsCol != null) s""","c":"${a.statsCol}","min":${a.lo},"max":${a.hi}"""
         else ""
-      s"""{"a":"add","f":"${a.file}","rows":${a.rows}$stats}"""
+      val kind = if (a.dv) "dv" else "add"
+      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
@@ -144,10 +152,11 @@ object LakeTxn {
     val txns = Seq.newBuilder[(String, Long)]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
       case ActionRe(a, f, rows, c, mn, mx) =>
-        acts += Action(a == "add", f, if (rows == null) 0L else rows.toLong,
+        acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
-          hi = if (mx == null) 0L else mx.toLong)
+          hi = if (mx == null) 0L else mx.toLong,
+          dv = a == "dv")
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case bad => throw new IllegalArgumentException(
         s"corrupt $what of $table: unparseable action line '$bad'")
@@ -189,14 +198,18 @@ object LakeTxn {
         s"older than the last vacuum's retained window is gone by design)"))
     val cp = listCheckpoints(spark, table).filter(_ <= vs.last).lastOption
     val live = new scala.collection.mutable.LinkedHashMap[String, Action]
+    val liveDv = new scala.collection.mutable.LinkedHashMap[String, Action]
+    def fold(a: Action): Unit =
+      if (a.add) { if (a.dv) liveDv += a.file -> a else live += a.file -> a }
+      else { live -= a.file; liveDv -= a.file } // paths disjoint (data/ vs dv/)
     cp.foreach { cv =>
       val p = new Path(logDir(table), f"$cv%020d.checkpoint.json")
       parseActions(table, s"checkpoint $cv", readFileText(fsOf(spark, p), p))
-        ._1.foreach(a => if (a.add) live += a.file -> a)
+        ._1.foreach(a => if (a.add) fold(a))
     }
     for (v <- vs if cp.forall(v > _); act <- readCommit(spark, table, v))
-      if (act.add) live += act.file -> act else live -= act.file
-    Snapshot(vs.last, live.values.toSeq)
+      fold(act)
+    Snapshot(vs.last, live.values.toSeq, liveDv.values.toSeq)
   }
 
   /** Write a checkpoint summarizing the CURRENT snapshot: the full live
@@ -210,9 +223,9 @@ object LakeTxn {
     val snap = snapshot(spark, table)
     val dest = new Path(logDir(table), f"${snap.version}%020d.checkpoint.json")
     val fs = fsOf(spark, dest)
-    // full actions, not bare file names: row counts and skipping stats
-    // must survive a checkpointed fold
-    val body = snap.adds.map(actionJson).mkString("\n")
+    // full actions, not bare file names: row counts, skipping stats and
+    // deletion vectors must survive a checkpointed fold
+    val body = (snap.adds ++ snap.dvs).map(actionJson).mkString("\n")
     val tmp = new Path(dest.getParent,
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -221,14 +234,40 @@ object LakeTxn {
     snap.version
   }
 
+  /** The MERGE-ON-READ scan of a snapshot's pinned files: a plain
+    * distributed parquet scan when no deletion vector is live;
+    * otherwise the scan (with `_metadata` file/position columns) anti-
+    * joins the broadcast-scale union of live DVs on (file basename,
+    * row position) — deleted rows melt away at read time without any
+    * data file having been rewritten. User predicates still push down
+    * to the data scan; the DV side is small by the MoR contract (big
+    * deletes should compact, which purges DVs). */
+  private def scanWithDvs(spark: SparkSession, table: String,
+                          snap: Snapshot, files: Seq[String]): DataFrame = {
+    val plain = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    if (snap.dvs.isEmpty) plain
+    else {
+      val dv = spark.read.parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
+        .select(col("__dv_file"), col("__dv_pos"))
+      val cols = plain.columns.toSeq
+      plain
+        .withColumn("__dv_file",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
   /** Snapshot read — latest by default, or time travel to `asOf`. The
-    * result is a plain distributed parquet scan over the pinned file
-    * list (pushdown/pruning untouched). */
+    * result is a distributed parquet scan over the pinned file list
+    * (pushdown/pruning untouched), merge-on-read filtered through any
+    * live deletion vectors. */
   def read(spark: SparkSession, table: String,
            asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, asOf)
     require(snap.files.nonEmpty, s"snapshot ${snap.version} of $table is empty")
-    spark.read.parquet(snap.files.map(f => s"$table/$f"): _*)
+    scanWithDvs(spark, table, snap, snap.files)
   }
 
   // ------------------------------------------------------------------
@@ -279,25 +318,26 @@ object LakeTxn {
     * Staged files are INVISIBLE until some commit pins them. */
   private[graft] def stage(spark: SparkSession, df: DataFrame,
                            table: String,
-                           statsCol: String = null): Seq[Action] = {
+                           statsCol: String = null,
+                           dir: String = "data"): Seq[Action] = {
     val root = new Path(table)
     val fs = fsOf(spark, root)
     val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val tmp = new Path(root, s".stage-$batch")
     df.write.parquet(tmp.toString)
-    val dataDir = new Path(root, "data")
-    fs.mkdirs(dataDir)
+    fs.mkdirs(new Path(root, dir))
     val parts = fs.listStatus(tmp)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
     val rels = parts.zipWithIndex.map { case (s, i) =>
-      val rel = s"data/$batch-$i.parquet"
+      val rel = s"$dir/$batch-$i.parquet"
       require(fs.rename(s.getPath, new Path(root, rel)),
         s"failed to stage ${s.getPath} as $rel")
       rel
     }.toSeq
     fs.delete(tmp, true)
-    rels.map(rel => footerAction(spark, root, rel, statsCol))
+    rels.map(rel => footerAction(spark, root, rel, statsCol)
+      .copy(dv = dir == "dv"))
   }
 
   /** A losing optimistic commit whose base was invalidated: an
@@ -428,9 +468,49 @@ object LakeTxn {
     val hit = snap.adds.filter(a =>
       a.statsCol != statsCol || (a.hi >= bandLo && a.lo <= bandHi))
     require(hit.nonEmpty, s"no file of $table overlaps [$bandLo, $bandHi]")
-    val df = spark.read.parquet(hit.map(a => s"$table/${a.file}"): _*)
+    val df = scanWithDvs(spark, table, snap, hit.map(_.file))
       .filter(col(statsCol) >= bandLo && col(statsCol) <= bandHi)
     (df, hit.size, snap.adds.size)
+  }
+
+  /** MERGE-ON-READ DELETE: rows matching `cond` are tombstoned by a
+    * deletion vector — a parquet of (file basename, row position) pairs
+    * staged under `dv/` and pinned by ONE atomic commit — with ZERO
+    * data files rewritten (LakeTxnSpec pins the unchanged file set).
+    * This is the write-cheap half of the delete trade-off the
+    * copy-on-write [[applyChanges]] path prices the other way: DV
+    * deletes cost Θ(matched rows) at write and one small anti-join per
+    * read; CoW costs a rewrite at write and nothing at read. A
+    * compaction purges live DVs by materializing the merge (remove
+    * data + DV files, add the packed rewrite). Positions come from the
+    * scan's `_metadata.row_index`, the stable within-file row ordinal.
+    * Already-deleted rows never re-enter a vector (the candidate scan
+    * is itself merge-on-read). Returns the committed version, or -1 if
+    * nothing matched. */
+  def deleteWhereMor(spark: SparkSession, table: String, cond: org.apache.spark.sql.Column): Long = {
+    val snap = snapshot(spark, table)
+    val doomed = scanWithDvsMeta(spark, table, snap, snap.files)
+      .filter(cond)
+      .select(col("__dv_file"), col("__dv_pos"))
+    if (doomed.isEmpty) return -1L
+    val dvAdds = stage(spark, doomed.repartition(1), table, dir = "dv")
+    commitAt(spark, table, snap.version, dvAdds, Nil)
+  }
+
+  /** The merge-on-read scan KEEPING the (__dv_file, __dv_pos) metadata
+    * columns — what [[deleteWhereMor]] reads positions from. */
+  private def scanWithDvsMeta(spark: SparkSession, table: String,
+                              snap: Snapshot, files: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("__dv_file",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    if (snap.dvs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
+        .select(col("__dv_file"), col("__dv_pos"))
+      base.join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
   }
 
   /** All (app, batchId) idempotence markers committed so far. */
@@ -522,8 +602,10 @@ object LakeTxn {
     val retained = vs.takeRight(retainLast).filter(_ >= priorHorizon)
     require(retained.nonEmpty, s"no retained version of $table is readable " +
       s"above the standing vacuum horizon $priorHorizon")
-    val referenced = retained
-      .flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    val referenced = retained.flatMap { v =>
+      val s = snapshot(spark, table, Some(v))
+      s.files ++ s.dvs.map(_.file) // deletion vectors are pinned files too
+    }.toSet
     val everPublished = vs
       .flatMap(v => readCommit(spark, table, v)).filter(_.add).map(_.file).toSet
     val dataDir = new Path(table, "data")
@@ -540,11 +622,15 @@ object LakeTxn {
     fs.delete(dest, false)
     require(fs.rename(tmp, dest), s"atomic horizon publish failed at $dest")
     val now = System.currentTimeMillis()
-    val statuses = fs.listStatus(dataDir).filter(_.isFile)
+    val dvDir = new Path(table, "dv")
+    val statuses =
+      fs.listStatus(dataDir).filter(_.isFile).map(("data", _)) ++
+        (if (fs.exists(dvDir)) fs.listStatus(dvDir).filter(_.isFile).map(("dv", _))
+         else Array.empty[(String, org.apache.hadoop.fs.FileStatus)])
     var deleted = 0
     var skipped = 0
-    statuses.foreach { st =>
-      val rel = s"data/${st.getPath.getName}"
+    statuses.foreach { case (dir, st) =>
+      val rel = s"$dir/${st.getPath.getName}"
       if (!referenced(rel)) {
         if (everPublished(rel) || now - st.getModificationTime > orphanGraceMs) {
           fs.delete(st.getPath, false)
@@ -568,11 +654,15 @@ object LakeTxn {
     val fs = fsOf(spark, root)
     val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val packed = spark.read.parquet(snap.files.map(f => s"$table/$f"): _*)
+    // merge-on-read applied at the pack: the rewrite MATERIALIZES any
+    // live deletion vectors, so the commit also removes (purges) them —
+    // compaction is how DV debt gets paid down
+    val packed = scanWithDvs(spark, table, snap, snap.files)
       .coalesce(nOut) // pure bin-packing: no shuffle, see Lake.compact
     // the read version rides into the commit: an interleaved rewrite of
     // any packed file aborts this compaction instead of resurrecting it
-    commitAt(spark, table, snap.version, stage(spark, packed, table), snap.files)
+    commitAt(spark, table, snap.version, stage(spark, packed, table),
+      snap.files ++ snap.dvs.map(_.file))
   }
 
   /** File-pruned copy-on-write MERGE through the log — the CDC apply.
@@ -590,21 +680,22 @@ object LakeTxn {
   def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
                    keyCol: String, opCol: String = "__op"): Long = {
     val snap = snapshot(spark, table)
-    val base = read(spark, table).withColumn("__file", input_file_name())
-    val cols = base.columns.filterNot(_ == "__file").toSeq
+    // the base scan is merge-on-read (live deletion vectors applied) and
+    // carries the file basename from _metadata — input_file_name() would
+    // be undefined after the DV anti-join
+    val base = scanWithDvsMeta(spark, table, snap, snap.files)
+    val cols = base.columns.filterNot(c => c == "__dv_file" || c == "__dv_pos").toSeq
     val keys = changes.select(col(keyCol)).distinct()
-    // data files live flat under data/ — map absolute scan paths back
-    // to the log's relative form by file name
     val affectedNames = base
       .join(broadcast(keys), Seq(keyCol), "left_semi")
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0))
-      .map(a => a.substring(a.lastIndexOf('/') + 1)).toSet
+      .select(col("__dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet
     val affected = snap.files.filter(f =>
       affectedNames.contains(f.substring(f.lastIndexOf('/') + 1)))
     val survivors =
-      if (affected.isEmpty) spark.read.parquet(snap.files.map(f => s"$table/$f"): _*).limit(0)
-      else spark.read.parquet(affected.map(f => s"$table/$f"): _*)
+      if (affected.isEmpty)
+        scanWithDvs(spark, table, snap, snap.files).limit(0)
+      else scanWithDvs(spark, table, snap, affected)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
     val replacement = survivors.select(cols.map(col): _*)
@@ -799,6 +890,24 @@ object LakeTxn {
         .sortWithinPartitions("price_cents"), t, "price_cents")
     val (df, _, _) = readPruned(spark, t, "price_cents", 1000000L, 3000000L)
     df.orderBy("o_orderkey")
+  }
+
+  /** lake_txn_dv: the SAME delete as lake_txn, merge-on-read — two
+    * appends, then lang='de' tombstoned by a deletion vector (ONE
+    * commit, ZERO data files rewritten — LakeTxnSpec pins the unchanged
+    * file set), then a second DV delete (doc_id % 31 = 7) stacking on
+    * the first, read back through the DV anti-join. Same content
+    * contract as the CoW path minus the extra residue class: a reader
+    * that drops the vectors resurrects 'de'; one that misapplies
+    * positions deletes the wrong rows — both hash-mismatch. */
+  def dvQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "dv")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2, col("lang")), t)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2, col("lang")), t)
+    deleteWhereMor(spark, t, col("lang") === "de")
+    deleteWhereMor(spark, t, col("doc_id") % 31 === 7)
+    read(spark, t).orderBy("doc_id")
   }
 
   /** lake_txn_cdc: one MERGE commit carrying all three change kinds —

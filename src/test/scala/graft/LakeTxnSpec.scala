@@ -395,6 +395,97 @@ class LakeTxnSpec extends SparkSpec {
     assert(df2.count() == 100L)
   }
 
+
+  test("DV delete: zero data files rewritten; read applies the vector; time travel ignores it") {
+    val t = freshDir("dv")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 40, "en").repartition(2), t)
+    LakeTxn.appendCommit(spark, mkDocs(40 until 60, "de").repartition(2), t)
+    val before = LakeTxn.snapshot(spark, t)
+    val v = LakeTxn.deleteWhereMor(spark, t, col("lang") === "de")
+    val after = LakeTxn.snapshot(spark, t)
+    // merge-on-read: the data file set is UNCHANGED — only a vector landed
+    assert(after.files === before.files)
+    assert(after.dvs.size == 1 && after.dvs.head.file.startsWith("dv/"))
+    assert(after.dvs.head.rows == 20L)
+    assert(contents(LakeTxn.read(spark, t)) === contents(mkDocs(0 until 40, "en")))
+    // time travel BEFORE the vector still sees the full corpus
+    assert(contents(LakeTxn.read(spark, t, Some(v - 1))) ===
+      contents(mkDocs(0 until 40, "en").unionByName(mkDocs(40 until 60, "de"))))
+    // an empty delete commits nothing
+    assert(LakeTxn.deleteWhereMor(spark, t, col("lang") === "zz") == -1L)
+    assert(LakeTxn.listVersions(spark, t).size == 3)
+  }
+
+  test("stacked DVs never re-tombstone: the second vector counts only live rows") {
+    val t = freshDir("dvstack")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 30, "en").coalesce(1), t)
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") < 10)
+    // overlap: doc_id < 20 includes the 10 already-deleted rows
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") < 20)
+    val snap = LakeTxn.snapshot(spark, t)
+    assert(snap.dvs.map(_.rows) === Seq(10L, 10L), snap.dvs.toString)
+    assert(contents(LakeTxn.read(spark, t)) === contents(mkDocs(20 until 30, "en")))
+  }
+
+  test("compaction materializes and PURGES deletion vectors; vacuum reclaims them") {
+    val t = freshDir("dvcompact")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 30, "en").repartition(2), t)
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") % 3 === 0)
+    val want = contents(LakeTxn.read(spark, t))
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4)
+    val snap = LakeTxn.snapshot(spark, t)
+    assert(snap.dvs.isEmpty, "compaction must purge the vectors")
+    assert(contents(LakeTxn.read(spark, t)) === want)
+    // the unpinned vector file is vacuumable once no retained snapshot holds it
+    val stats = LakeTxn.vacuum(spark, t, retainLast = 1)
+    val fs = java.nio.file.Paths.get(t, "dv")
+    assert(!java.nio.file.Files.exists(fs) ||
+      graft.Dirs.children(fs).isEmpty, "vacuum must reclaim purged vectors")
+    assert(stats.deleted >= 1)
+    assert(contents(LakeTxn.read(spark, t)) === want)
+  }
+
+  test("CoW merge over a DV'd table applies vectors first and keeps them for untouched files") {
+    val t = freshDir("dvcow")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 20, "en").coalesce(1), t)
+    LakeTxn.appendCommit(spark, mkDocs(20 until 40, "fr").coalesce(1), t)
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") === 5L || col("doc_id") === 25L)
+    // upsert touches ONLY the fr file; the en file's vector must survive
+    val ch = mkDocs(30 until 32, "xx").withColumn("__op", lit("upsert"))
+    LakeTxn.applyChanges(spark, t, ch, "doc_id")
+    val expect = mkDocs(0 until 20, "en").filter(col("doc_id") =!= 5L)
+      .unionByName(mkDocs(20 until 40, "fr")
+        .filter(col("doc_id") =!= 25L && (col("doc_id") < 30 || col("doc_id") >= 32)))
+      .unionByName(mkDocs(30 until 32, "xx"))
+    assert(contents(LakeTxn.read(spark, t)) === contents(expect))
+    // the vector is still live (it guards the untouched en file)
+    assert(LakeTxn.snapshot(spark, t).dvs.nonEmpty)
+  }
+
+  test("deletion vectors survive a log checkpoint") {
+    val t = freshDir("dvckpt")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 25, "en").coalesce(1), t)
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") % 5 === 0)
+    LakeTxn.checkpointLog(spark, t)
+    LakeTxn.appendCommit(spark, mkDocs(100 until 105, "fr").coalesce(1), t)
+    assert(contents(LakeTxn.read(spark, t)) ===
+      contents(mkDocs(0 until 25, "en").filter(col("doc_id") % 5 =!= 0)
+        .unionByName(mkDocs(100 until 105, "fr"))))
+  }
+
+  test("DV read keeps pushdown on the data scan and broadcasts the vector") {
+    val t = freshDir("dvplan")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 50, "en").repartition(2), t)
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") % 7 === 0)
+    val plan = LakeTxn.read(spark, t).filter(col("doc_id") > 25L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(doc_id,25)"),
+      plan.takeRight(900))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.takeRight(900))
+  }
+
   test("corrupt action lines fail loudly, never silently drop a remove") {
     val t = freshDir("corrupt")
     LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)

@@ -197,7 +197,10 @@ object ScaleBench {
       "dedup_suffix_lcp" -> SparkEntry.queries("dedup_suffix_lcp"),
       "lake_txn_concurrent" -> SparkEntry.queries("lake_txn_concurrent"),
       "lake_txn_skipping" -> SparkEntry.queries("lake_txn_skipping"),
-      "q_skew_join_aqe" -> SparkEntry.queries("q_skew_join_aqe"))
+      "q_skew_join_aqe" -> SparkEntry.queries("q_skew_join_aqe"),
+      // merge-on-read DV delete: vector build Θ(matched rows), read =
+      // scan + broadcast anti-join — growth must track the scans
+      "lake_txn_dv" -> SparkEntry.queries("lake_txn_dv"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
