@@ -121,6 +121,7 @@ object Plans {
     "lake_txn_skipping" -> "the band read prunes the file list from LOG-recorded min/max (zero footer opens at plan time); the residual band filter reaches the kept scans as PushedFilters",
     "q_skew_join_aqe" -> "plain shuffle join under scoped AQE-skew settings: OptimizeSkewedJoin splits oversized partitions at runtime (spec-pinned skew=true marker); result identical to the manual salted path",
     "lake_txn_dv" -> "merge-on-read: the data scan keeps its pushdown; live deletion vectors broadcast into ONE LeftAnti hash join on (file basename, row position) — zero data files rewritten by the delete",
+    "lake_txn_evolve" -> "schema-on-log read: ONE multi-file scan under the DECLARED log schema (pre-evolution files null-fill the new column inside the scan — no union, no per-generation subplans); the only exchange is the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

@@ -975,6 +975,11 @@ object SparkEntry {
     // the write-cheap half of the delete trade-off next to the CoW path
     "lake_txn_dv" -> ((s, d) =>
       ext.LakeTxn.dvQuery(s, Tables.documents(s, d), d)),
+    // schema evolution through the log: a new column arrives with its
+    // data in ONE commit (schema-on-log); pre-evolution files null-fill
+    // it at read time — zero rewrites, zero footer merging
+    "lake_txn_evolve" -> ((s, d) =>
+      ext.LakeTxn.evolveQuery(s, Tables.documents(s, d), d)),
     "pipeline_domain_cap" -> ((s, d) =>
       ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -3164,6 +3169,15 @@ object SparkEntry {
     "lake_txn_concurrent" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // evolution must equal the union with explicit null backfill, in
+    // declared column order
+    "lake_txn_evolve" ->
+      """SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS BIGINT) AS quality
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars, n_chars % 7 AS quality
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
     // merge-on-read must equal the plain anti-filter: drop 'de' and the
     // second vector's residue class
     "lake_txn_dv" ->

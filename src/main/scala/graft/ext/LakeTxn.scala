@@ -65,16 +65,22 @@ object LakeTxn {
     * `dv = true` marks a DELETION-VECTOR add: the file is a parquet of
     * (file basename, row position) pairs under `dv/` that a
     * merge-on-read scan anti-joins away — Delta DVs / Iceberg
-    * positional deletes, reduced to a commit-level vector. */
+    * positional deletes, reduced to a commit-level vector.
+    * `schema = true` marks a SCHEMA add: the file (under `meta/`) holds
+    * the table schema as StructType JSON; the LATEST one governs reads
+    * (schema-on-log, the Delta metaData action — readers never merge
+    * footers to discover columns). */
   final case class Action(add: Boolean, file: String, rows: Long,
                           statsCol: String = null, lo: Long = 0L, hi: Long = 0L,
-                          dv: Boolean = false)
+                          dv: Boolean = false, schema: Boolean = false)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
-    * optional skipping stats) plus the live deletion vectors at one
-    * version. */
+    * optional skipping stats), the live deletion vectors, and the
+    * governing schema file (None = pre-evolution table, schema comes
+    * from the parquet files themselves) at one version. */
   final case class Snapshot(version: Long, adds: Seq[Action],
-                            dvs: Seq[Action] = Nil) {
+                            dvs: Seq[Action] = Nil,
+                            schemaFile: Option[String] = None) {
     def files: Seq[String] = adds.map(_.file)
   }
 
@@ -121,7 +127,7 @@ object LakeTxn {
   }
 
   private val ActionRe =
-    ("""\{"a":"(add|remove|dv)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
+    ("""\{"a":"(add|remove|dv|schema)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?\}""").r
   private val TxnRe =
     """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
@@ -131,7 +137,7 @@ object LakeTxn {
       val stats =
         if (a.statsCol != null) s""","c":"${a.statsCol}","min":${a.lo},"max":${a.hi}"""
         else ""
-      val kind = if (a.dv) "dv" else "add"
+      val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
       s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
@@ -156,7 +162,7 @@ object LakeTxn {
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
           hi = if (mx == null) 0L else mx.toLong,
-          dv = a == "dv")
+          dv = a == "dv", schema = a == "schema")
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case bad => throw new IllegalArgumentException(
         s"corrupt $what of $table: unparseable action line '$bad'")
@@ -199,8 +205,13 @@ object LakeTxn {
     val cp = listCheckpoints(spark, table).filter(_ <= vs.last).lastOption
     val live = new scala.collection.mutable.LinkedHashMap[String, Action]
     val liveDv = new scala.collection.mutable.LinkedHashMap[String, Action]
+    var schemaFile: Option[String] = None
     def fold(a: Action): Unit =
-      if (a.add) { if (a.dv) liveDv += a.file -> a else live += a.file -> a }
+      if (a.add) {
+        if (a.dv) liveDv += a.file -> a
+        else if (a.schema) schemaFile = Some(a.file) // latest governs
+        else live += a.file -> a
+      }
       else { live -= a.file; liveDv -= a.file } // paths disjoint (data/ vs dv/)
     cp.foreach { cv =>
       val p = new Path(logDir(table), f"$cv%020d.checkpoint.json")
@@ -209,7 +220,7 @@ object LakeTxn {
     }
     for (v <- vs if cp.forall(v > _); act <- readCommit(spark, table, v))
       fold(act)
-    Snapshot(vs.last, live.values.toSeq, liveDv.values.toSeq)
+    Snapshot(vs.last, live.values.toSeq, liveDv.values.toSeq, schemaFile)
   }
 
   /** Write a checkpoint summarizing the CURRENT snapshot: the full live
@@ -223,9 +234,12 @@ object LakeTxn {
     val snap = snapshot(spark, table)
     val dest = new Path(logDir(table), f"${snap.version}%020d.checkpoint.json")
     val fs = fsOf(spark, dest)
-    // full actions, not bare file names: row counts, skipping stats and
-    // deletion vectors must survive a checkpointed fold
-    val body = (snap.adds ++ snap.dvs).map(actionJson).mkString("\n")
+    // full actions, not bare file names: row counts, skipping stats,
+    // deletion vectors AND the governing schema must survive a
+    // checkpointed fold
+    val body = (snap.adds ++ snap.dvs ++
+      snap.schemaFile.map(f => Action(add = true, f, 0L, schema = true)).toSeq)
+      .map(actionJson).mkString("\n")
     val tmp = new Path(dest.getParent,
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -242,9 +256,22 @@ object LakeTxn {
     * data file having been rewritten. User predicates still push down
     * to the data scan; the DV side is small by the MoR contract (big
     * deletes should compact, which purges DVs). */
+  /** The file scan under the snapshot's GOVERNING schema: when a schema
+    * action is pinned, the read declares it (files lacking a column
+    * null-fill it — evolution without rewrites, zero footer merging);
+    * otherwise the plain parquet-inferred schema rules. */
+  private def baseScan(spark: SparkSession, table: String,
+                       snap: Snapshot, files: Seq[String]): DataFrame = {
+    val paths = files.map(f => s"$table/$f")
+    tableSchema(spark, table, snap) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   private def scanWithDvs(spark: SparkSession, table: String,
                           snap: Snapshot, files: Seq[String]): DataFrame = {
-    val plain = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val plain = baseScan(spark, table, snap, files)
     if (snap.dvs.isEmpty) plain
     else {
       val dv = spark.read.parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
@@ -473,6 +500,78 @@ object LakeTxn {
     (df, hit.size, snap.adds.size)
   }
 
+  // ------------------------------------------------------------------
+  // schema evolution (schema-on-log)
+  // ------------------------------------------------------------------
+
+  /** The governing schema of a snapshot, read from its pinned schema
+    * file (None = pre-evolution table: the parquet files' own schema
+    * rules, the original behavior). */
+  def tableSchema(spark: SparkSession, table: String,
+                  snap: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    snap.schemaFile.map { f =>
+      val p = new Path(table, f)
+      org.apache.spark.sql.types.DataType.fromJson(readFileText(fsOf(spark, p), p))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Atomically land a schema JSON under `meta/` and return its schema
+    * add action (pinned by the caller's commit). */
+  private def stageSchema(spark: SparkSession, table: String,
+                          st: org.apache.spark.sql.types.StructType): Action = {
+    val rel = s"meta/${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}.json"
+    val dest = new Path(table, rel)
+    val fs = fsOf(spark, dest)
+    fs.mkdirs(dest.getParent)
+    val tmp = new Path(dest.getParent,
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(st.json.getBytes(UTF_8)) finally out.close()
+    require(fs.rename(tmp, dest), s"atomic schema stage failed at $dest")
+    Action(add = true, rel, 0L, schema = true)
+  }
+
+  /** SCHEMA-EVOLVING append: `df` may carry columns the table has never
+    * seen — they join the table schema as nullable tail columns, and
+    * every OLD file's rows read them back as NULL (the parquet reader
+    * null-fills requested columns a file lacks, so no rewrite happens;
+    * Delta's mergeSchema). `df` may also OMIT existing columns (they
+    * land as NULL). A column whose TYPE disagrees with the table fails
+    * loudly — silent coercion corrupts a lake. The new schema file and
+    * the data files pin in ONE atomic commit; reads of OLD versions
+    * keep their own governing schema (time travel shows the table as it
+    * was). */
+  def appendCommitEvolve(spark: SparkSession, df: DataFrame, table: String): Long = {
+    import org.apache.spark.sql.types.StructField
+    val vs = listVersions(spark, table)
+    val base: Seq[StructField] =
+      if (vs.isEmpty) Nil
+      else {
+        val snap = snapshot(spark, table)
+        tableSchema(spark, table, snap)
+          .map(_.fields.toSeq)
+          .getOrElse(scanWithDvs(spark, table, snap, snap.files).schema.fields.toSeq)
+      }
+    val byName = base.map(f => f.name -> f).toMap
+    df.schema.fields.foreach { f =>
+      byName.get(f.name).foreach { b =>
+        require(b.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}' from " +
+            s"${b.dataType.simpleString} to ${f.dataType.simpleString} — " +
+            s"rewrite the table instead")
+      }
+    }
+    val newTail = df.schema.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    val unified = org.apache.spark.sql.types.StructType(base ++ newTail)
+    val aligned = df.select(unified.fields.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+    val adds = stage(spark, aligned, table)
+    val schemaAct = stageSchema(spark, table, unified)
+    commitAt(spark, table, vs.lastOption.getOrElse(-1L), adds :+ schemaAct, Nil)
+  }
+
   /** MERGE-ON-READ DELETE: rows matching `cond` are tombstoned by a
     * deletion vector — a parquet of (file basename, row position) pairs
     * staged under `dv/` and pinned by ONE atomic commit — with ZERO
@@ -501,7 +600,7 @@ object LakeTxn {
     * columns — what [[deleteWhereMor]] reads positions from. */
   private def scanWithDvsMeta(spark: SparkSession, table: String,
                               snap: Snapshot, files: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val base = baseScan(spark, table, snap, files)
       .withColumn("__dv_file",
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__dv_pos", col("_metadata.row_index"))
@@ -604,7 +703,8 @@ object LakeTxn {
       s"above the standing vacuum horizon $priorHorizon")
     val referenced = retained.flatMap { v =>
       val s = snapshot(spark, table, Some(v))
-      s.files ++ s.dvs.map(_.file) // deletion vectors are pinned files too
+      // deletion vectors and schema files are pinned files too
+      s.files ++ s.dvs.map(_.file) ++ s.schemaFile.toSeq
     }.toSet
     val everPublished = vs
       .flatMap(v => readCommit(spark, table, v)).filter(_.add).map(_.file).toSet
@@ -622,11 +722,14 @@ object LakeTxn {
     fs.delete(dest, false)
     require(fs.rename(tmp, dest), s"atomic horizon publish failed at $dest")
     val now = System.currentTimeMillis()
-    val dvDir = new Path(table, "dv")
+    def dirFiles(name: String): Array[(String, org.apache.hadoop.fs.FileStatus)] = {
+      val d = new Path(table, name)
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).map((name, _))
+      else Array.empty
+    }
     val statuses =
       fs.listStatus(dataDir).filter(_.isFile).map(("data", _)) ++
-        (if (fs.exists(dvDir)) fs.listStatus(dvDir).filter(_.isFile).map(("dv", _))
-         else Array.empty[(String, org.apache.hadoop.fs.FileStatus)])
+        dirFiles("dv") ++ dirFiles("meta")
     var deleted = 0
     var skipped = 0
     statuses.foreach { case (dir, st) =>
@@ -907,6 +1010,23 @@ object LakeTxn {
     appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2, col("lang")), t)
     deleteWhereMor(spark, t, col("lang") === "de")
     deleteWhereMor(spark, t, col("doc_id") % 31 === 7)
+    read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_txn_evolve: SCHEMA EVOLUTION through the log — the first
+    * append sets the base schema, the second arrives with a brand-new
+    * `quality` column (schema-on-log: the new StructType pins in the
+    * SAME commit as the data, and every pre-evolution file null-fills
+    * the column at read time — zero rewrites, zero footer merging).
+    * Graded on the unified read: wrong column order, a dropped null
+    * backfill, or a silently coerced type all hash-mismatch. */
+  def evolveQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "evolve")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2), t)
+    appendCommitEvolve(spark,
+      d.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", col("n_chars") % 7), t)
     read(spark, t).orderBy("doc_id")
   }
 

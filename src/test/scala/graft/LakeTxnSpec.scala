@@ -486,6 +486,51 @@ class LakeTxnSpec extends SparkSpec {
       plan.takeRight(900))
   }
 
+
+  test("schema evolution: null backfill, old-version schema, loud type conflict") {
+    val t = freshDir("evolve")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t) // v0
+    LakeTxn.appendCommitEvolve(spark,
+      mkDocs(10 until 20, "fr").withColumn("quality", col("doc_id") * 2), t) // v1
+    val now = LakeTxn.read(spark, t)
+    assert(now.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars", "quality"))
+    val rows = now.orderBy("doc_id").collect()
+    assert(rows.take(10).forall(_.isNullAt(5)), "old rows must null-fill")
+    assert(rows.drop(10).forall(r => r.getLong(5) == r.getLong(0) * 2))
+    // time travel BEFORE the evolution shows the table as it was
+    assert(LakeTxn.read(spark, t, Some(0L)).columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    // a type change is refused loudly, never coerced
+    val e = intercept[IllegalArgumentException] {
+      LakeTxn.appendCommitEvolve(spark,
+        mkDocs(20 until 25, "de").withColumn("quality", lit("high")), t)
+    }
+    assert(e.getMessage.contains("cannot change column 'quality'"), e.getMessage)
+    // the failed attempt staged files but committed nothing
+    assert(LakeTxn.listVersions(spark, t) === Seq(0L, 1L))
+  }
+
+  test("schema evolution: omitted columns null-fill, second evolution stacks, checkpoint survives") {
+    val t = freshDir("evolve2")
+    LakeTxn.appendCommitEvolve(spark, mkDocs(0 until 5, "en"), t) // v0 sets base
+    // second batch OMITS lang/source/n_chars and ADDS score
+    import spark.implicits._
+    val partial = Seq((100L, "tail text", 9L)).toDF("doc_id", "text", "score")
+    LakeTxn.appendCommitEvolve(spark, partial, t) // v1
+    LakeTxn.checkpointLog(spark, t)
+    LakeTxn.appendCommit(spark, // plain append through the evolved schema
+      mkDocs(200 until 202, "fr").withColumn("score", lit(1L)), t) // v2
+    val got = LakeTxn.read(spark, t).orderBy("doc_id")
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars", "score"))
+    val r100 = got.filter(col("doc_id") === 100L).collect().head
+    assert(r100.isNullAt(2) && r100.isNullAt(3) && r100.isNullAt(4))
+    assert(r100.getLong(5) == 9L)
+    assert(got.filter(col("doc_id") < 100).collect().forall(_.isNullAt(5)))
+    assert(got.count() == 8L)
+  }
+
   test("corrupt action lines fail loudly, never silently drop a remove") {
     val t = freshDir("corrupt")
     LakeTxn.appendCommit(spark, mkDocs(0 until 10, "en").coalesce(1), t)

@@ -200,7 +200,10 @@ object ScaleBench {
       "q_skew_join_aqe" -> SparkEntry.queries("q_skew_join_aqe"),
       // merge-on-read DV delete: vector build Θ(matched rows), read =
       // scan + broadcast anti-join — growth must track the scans
-      "lake_txn_dv" -> SparkEntry.queries("lake_txn_dv"))
+      "lake_txn_dv" -> SparkEntry.queries("lake_txn_dv"),
+      // schema-on-log evolution: commit machinery fixed, data term =
+      // the two append scans under the declared schema
+      "lake_txn_evolve" -> SparkEntry.queries("lake_txn_evolve"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
