@@ -122,6 +122,9 @@ object Plans {
     "q_skew_join_aqe" -> "plain shuffle join under scoped AQE-skew settings: OptimizeSkewedJoin splits oversized partitions at runtime (spec-pinned skew=true marker); result identical to the manual salted path",
     "lake_txn_dv" -> "merge-on-read: the data scan keeps its pushdown; live deletion vectors broadcast into ONE LeftAnti hash join on (file basename, row position) — zero data files rewritten by the delete",
     "lake_txn_evolve" -> "schema-on-log read: ONE multi-file scan under the DECLARED log schema (pre-evolution files null-fill the new column inside the scan — no union, no per-generation subplans); the only exchange is the presentation sort",
+    "stream_lake_source" -> "DataSource V2 MicroBatchStream over the commit log (offsets = versions); the final read is the complete-mode memory state — the per-batch plan is a projected V2 file scan, no shuffle beyond the streaming aggregation",
+    "lake_txn_zorder" -> "z-clustered write (range exchange on the Morton value + within-partition sort); the box read prunes the file list from LOG-recorded 2-D min/max (zero footer opens) with the residual box filter pushed to the kept scans",
+    "lake_txn_bloom" -> "point-lookup read prunes the file list from LOG-recorded per-file bloom filters (driver-side membership test, zero file opens); the pushed-down IN filter makes the kept scans exact",
   )
 
   def main(args: Array[String]): Unit = {

@@ -980,6 +980,28 @@ object SparkEntry {
     // it at read time — zero rewrites, zero footer merging
     "lake_txn_evolve" -> ((s, d) =>
       ext.LakeTxn.evolveQuery(s, Tables.documents(s, d), d)),
+    // the lake tailed AS A STREAM: a DataSource V2 MicroBatchStream
+    // whose offsets are log versions — four append commits delivered
+    // one per micro-batch across TWO AvailableNow passes sharing a
+    // checkpoint (the second resumes from the recorded offset)
+    "stream_lake_source" -> ((s, d) => sources.LakeStream.streamSourceQuery(s, d)),
+    // z-order clustered append: per-file min/max of BOTH curve
+    // dimensions in the log; a 2-D box answered with zero footer opens
+    "lake_txn_zorder" -> ((s, d) =>
+      ext.LakeTxn.zorderQuery(s, Tables.orders(s, d), d)),
+    // per-file bloom filters in the add actions: a 40-key point-lookup
+    // batch opens only files whose filter might hold some probe
+    "lake_txn_bloom" -> ((s, d) =>
+      ext.LakeTxn.bloomQuery(s, Tables.documents(s, d), d)),
+    // OPTIMIZE ZORDER: unclustered appends re-clustered copy-on-write;
+    // the box read then prunes from the log-recorded 2-D stats
+    "lake_optimize_zorder" -> ((s, d) =>
+      ext.LakeTxn.optimizeZorderQuery(s, Tables.orders(s, d), d)),
+    // lake → transform → lake, exactly-once END TO END: the V2 source
+    // tails per-commit, each epoch lands as one marked commit, and a
+    // full fresh-checkpoint replay is skipped by the markers
+    "stream_lake_pipeline" -> ((s, d) =>
+      sources.LakeStream.streamPipelineQuery(s, d)),
     "pipeline_domain_cap" -> ((s, d) =>
       ext.TrainingPipeline.domainCap(Tables.documents(s, d), 40)),
     "q_heavy_hitters" -> ((s, d) =>
@@ -3184,6 +3206,48 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents
         |WHERE lang <> 'de' AND doc_id % 31 <> 7
+        |ORDER BY doc_id""".stripMargin,
+    // the streamed aggregate must equal the batch aggregate over the
+    // whole corpus: a lost commit, a double-delivered replay, or a
+    // restart that re-reads history would all corrupt some group
+    "stream_lake_source" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // 2-D pruning must change nothing but the files opened: the oracle
+    // is the plain box filter
+    "lake_txn_zorder" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 1 AND 300
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT)
+        |    BETWEEN 1000000 AND 3000000
+        |ORDER BY o_orderkey""".stripMargin,
+    // the optimized layout must change nothing but the files opened:
+    // same box-filter oracle shape as lake_txn_zorder, different box
+    "lake_optimize_zorder" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 500 AND 900
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT)
+        |    BETWEEN 2000000 AND 5000000
+        |ORDER BY o_orderkey""".stripMargin,
+    // exactly-once through the full replay: one copy of every non-'de'
+    // row, transformed — a double-landed epoch would duplicate rows
+    "stream_lake_pipeline" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  sha256(text) AS text_sha
+        |FROM documents WHERE lang <> 'de' ORDER BY doc_id""".stripMargin,
+    // bloom pruning is exact after the pushed-down IN filter: the
+    // oracle is the plain key-set lookup (keys = multiples of 97
+    // below 40*97)
+    "lake_txn_bloom" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id % 97 = 0 AND doc_id BETWEEN 0 AND 3783
         |ORDER BY doc_id""".stripMargin,
     // log-stat pruning must change nothing but the files opened: the
     // oracle is the plain band filter (same band as lake_sorted_write)

@@ -72,7 +72,9 @@ object LakeTxn {
     * footers to discover columns). */
   final case class Action(add: Boolean, file: String, rows: Long,
                           statsCol: String = null, lo: Long = 0L, hi: Long = 0L,
-                          dv: Boolean = false, schema: Boolean = false)
+                          dv: Boolean = false, schema: Boolean = false,
+                          statsCol2: String = null, lo2: Long = 0L, hi2: Long = 0L,
+                          bloomCol: String = null, bloom: String = null)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
     * optional skipping stats), the live deletion vectors, and the
@@ -128,7 +130,9 @@ object LakeTxn {
 
   private val ActionRe =
     ("""\{"a":"(add|remove|dv|schema)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
-      """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?\}""").r
+      """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?""" +
+      """(?:,"c2":"([^"]+)","min2":(-?\d+),"max2":(-?\d+))?""" +
+      """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?\}""").r
   private val TxnRe =
     """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
 
@@ -137,8 +141,14 @@ object LakeTxn {
       val stats =
         if (a.statsCol != null) s""","c":"${a.statsCol}","min":${a.lo},"max":${a.hi}"""
         else ""
+      val stats2 =
+        if (a.statsCol2 != null) s""","c2":"${a.statsCol2}","min2":${a.lo2},"max2":${a.hi2}"""
+        else ""
+      val bl =
+        if (a.bloomCol != null) s""","bc":"${a.bloomCol}","bloom":"${a.bloom}""""
+        else ""
       val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
-      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats}"""
+      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats$stats2$bl}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
@@ -157,12 +167,16 @@ object LakeTxn {
     val acts = Seq.newBuilder[Action]
     val txns = Seq.newBuilder[(String, Long)]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows, c, mn, mx) =>
+      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
           hi = if (mx == null) 0L else mx.toLong,
-          dv = a == "dv", schema = a == "schema")
+          dv = a == "dv", schema = a == "schema",
+          statsCol2 = c2,
+          lo2 = if (mn2 == null) 0L else mn2.toLong,
+          hi2 = if (mx2 == null) 0L else mx2.toLong,
+          bloomCol = bc, bloom = bl)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case bad => throw new IllegalArgumentException(
         s"corrupt $what of $table: unparseable action line '$bad'")
@@ -307,7 +321,7 @@ object LakeTxn {
     * with absent/empty/all-null stats contribute nothing; a file whose
     * every block lacks stats fails loudly rather than recording a lie. */
   private def footerAction(spark: SparkSession, root: Path, rel: String,
-                           statsCol: String): Action = {
+                           statsCol: String, statsCol2: String = null): Action = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new Path(root, rel), spark.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -315,26 +329,32 @@ object LakeTxn {
       val rows = r.getRecordCount
       if (statsCol == null) Action(add = true, rel, rows)
       else {
-        var lo = Long.MaxValue; var hi = Long.MinValue
+        val want = Seq(statsCol) ++ Option(statsCol2).toSeq
+        val lo = Array.fill(want.size)(Long.MaxValue)
+        val hi = Array.fill(want.size)(Long.MinValue)
         r.getFooter.getBlocks.forEach { b =>
           b.getColumns.forEach { c =>
-            if (c.getPath.toDotString == statsCol) {
+            val k = want.indexOf(c.getPath.toDotString)
+            if (k >= 0) {
               val s = c.getStatistics
               if (s != null && !s.isEmpty && s.hasNonNullValue) {
                 (s.genericGetMin, s.genericGetMax) match {
                   case (mn: java.lang.Long, mx: java.lang.Long) =>
-                    lo = math.min(lo, mn); hi = math.max(hi, mx)
+                    lo(k) = math.min(lo(k), mn); hi(k) = math.max(hi(k), mx)
                   case (mn, _) => throw new IllegalArgumentException(
-                    s"log stats support INT64 columns only; '$statsCol' " +
+                    s"log stats support INT64 columns only; '${want(k)}' " +
                       s"footer stats are ${mn.getClass.getName} in $rel")
                 }
               }
             }
           }
         }
-        require(rows == 0 || lo <= hi,
-          s"no usable footer stats for '$statsCol' in $rel")
-        Action(add = true, rel, rows, statsCol = statsCol, lo = lo, hi = hi)
+        want.indices.foreach(k => require(rows == 0 || lo(k) <= hi(k),
+          s"no usable footer stats for '${want(k)}' in $rel"))
+        val one = Action(add = true, rel, rows, statsCol = statsCol,
+          lo = lo(0), hi = hi(0))
+        if (statsCol2 == null) one
+        else one.copy(statsCol2 = statsCol2, lo2 = lo(1), hi2 = hi(1))
       }
     } finally r.close()
   }
@@ -346,7 +366,8 @@ object LakeTxn {
   private[graft] def stage(spark: SparkSession, df: DataFrame,
                            table: String,
                            statsCol: String = null,
-                           dir: String = "data"): Seq[Action] = {
+                           dir: String = "data",
+                           statsCol2: String = null): Seq[Action] = {
     val root = new Path(table)
     val fs = fsOf(spark, root)
     val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
@@ -363,7 +384,7 @@ object LakeTxn {
       rel
     }.toSeq
     fs.delete(tmp, true)
-    rels.map(rel => footerAction(spark, root, rel, statsCol)
+    rels.map(rel => footerAction(spark, root, rel, statsCol, statsCol2)
       .copy(dv = dir == "dv"))
   }
 
@@ -498,6 +519,176 @@ object LakeTxn {
     val df = scanWithDvs(spark, table, snap, hit.map(_.file))
       .filter(col(statsCol) >= bandLo && col(statsCol) <= bandHi)
     (df, hit.size, snap.adds.size)
+  }
+
+  // ------------------------------------------------------------------
+  // multi-dimensional skipping: z-order clustering recorded in the log
+  // ------------------------------------------------------------------
+
+  /** Z-ORDER clustered append: rows are range-partitioned and sorted on
+    * the Morton interleave of (`xCol`, `yCol`) ([[Zorder.zInterleave]]),
+    * and the add actions record per-file min/max of BOTH natural
+    * columns. Because the curve keeps both dimensions locally tight,
+    * a band predicate on EITHER column prunes the file list from the
+    * log alone — the property a linear sort only gives its one sort key
+    * (LakeSkipSpec pins exactly that separation). This is Delta/
+    * Iceberg's `OPTIMIZE ZORDER BY`, expressed as a clustered write
+    * into the commit log. `files` bounds the layout (range exchange —
+    * never a single-partition sort). */
+  private def zCluster(df: DataFrame, xCol: String, yCol: String,
+                       files: Int, bits: Int): DataFrame =
+    Zorder.zValues(df, col(xCol), col(yCol), bits)
+      .repartitionByRange(files, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+      .drop("zvalue")
+
+  def appendCommitZorder(spark: SparkSession, df: DataFrame, table: String,
+                         xCol: String, yCol: String,
+                         files: Int, bits: Int = 16): Long =
+    commit(spark, table, stage(spark, zCluster(df, xCol, yCol, files, bits),
+      table, statsCol = xCol, statsCol2 = yCol), Nil)
+
+  /** OPTIMIZE ZORDER: copy-on-write re-cluster of the CURRENT snapshot
+    * on the Morton curve of (`xCol`, `yCol`) — the layout maintenance
+    * command that turns an accreted pile of unclustered appends into a
+    * 2-D-prunable table (Delta's `OPTIMIZE … ZORDER BY`). Any live
+    * deletion vectors are MATERIALIZED by the rewrite and purged by the
+    * same commit (like [[compactCommit]]); the caller's read version
+    * rides into the commit, so a conflicting interleaved rewrite aborts
+    * instead of resurrecting removed files; time travel keeps the old
+    * layout readable. */
+  def optimizeZorder(spark: SparkSession, table: String,
+                     xCol: String, yCol: String,
+                     files: Int, bits: Int = 16): Long = {
+    val snap = snapshot(spark, table)
+    val z = zCluster(scanWithDvs(spark, table, snap, snap.files),
+      xCol, yCol, files, bits)
+    commitAt(spark, table, snap.version,
+      stage(spark, z, table, statsCol = xCol, statsCol2 = yCol),
+      snap.files ++ snap.dvs.map(_.file))
+  }
+
+  /** 2-D data-skipping read: keep only files whose log-recorded ranges
+    * overlap BOTH bands (either band may be unbounded via Long.Min/Max).
+    * Zero footer opens; files without recorded stats for a column are
+    * kept conservatively; the residual filter pushes down into the kept
+    * scans. Returns (frame, files scanned, files total). */
+  def readPruned2(spark: SparkSession, table: String,
+                  c1: String, lo1: Long, hi1: Long,
+                  c2: String, lo2: Long, hi2: Long,
+                  asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    def overlaps(a: Action): Boolean = {
+      val ok1 = if (a.statsCol == c1) a.hi >= lo1 && a.lo <= hi1
+                else if (a.statsCol2 == c1) a.hi2 >= lo1 && a.lo2 <= hi1
+                else true
+      val ok2 = if (a.statsCol == c2) a.hi >= lo2 && a.lo <= hi2
+                else if (a.statsCol2 == c2) a.hi2 >= lo2 && a.lo2 <= hi2
+                else true
+      ok1 && ok2
+    }
+    val snap = snapshot(spark, table, asOf)
+    val hit = snap.adds.filter(overlaps)
+    // nothing overlaps: keep one file anyway (schema carrier; the box
+    // filter returns nothing) — an empty box is a result, not an error
+    val keep = if (hit.nonEmpty) hit else snap.adds.take(1)
+    val df = scanWithDvs(spark, table, snap, keep.map(_.file))
+      .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
+        col(c2) >= lo2 && col(c2) <= hi2)
+    (df, keep.size, snap.adds.size)
+  }
+
+  // ------------------------------------------------------------------
+  // point-lookup skipping: per-file bloom filters recorded in the log
+  // ------------------------------------------------------------------
+
+  /** Bloom geometry: m bits (power of two) and k probes per key. 8192
+    * bits / 6 probes holds ~600 keys per file at <1% false positives —
+    * and the whole filter is 1 KiB of base64 in the add action, still
+    * driver-scale metadata at millions of files. */
+  private val BloomBits = 8192
+  private val BloomK = 6
+
+  /** The k probe positions of one 64-bit key hash (double hashing:
+    * h2 derived by the golden-ratio mix, both halves already avalanched
+    * by xxhash64). Positions are identical on the write side (executor
+    * aggregation) and the read side (driver membership test). */
+  private[graft] def bloomBits(h: Long): Array[Int] = {
+    val h2 = h * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+    Array.tabulate(BloomK)(i =>
+      (((h + i * h2) >>> 13) & (BloomBits - 1)).toInt)
+  }
+
+  /** Spark's xxhash64 of one long, evaluated driver-side — bit-for-bit
+    * the executor expression, so read-side membership tests agree with
+    * the write-side aggregation by construction. */
+  private[graft] def xx64(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L)
+      .eval(null).asInstanceOf[Long]
+
+  /** Append with a per-file BLOOM FILTER of `keyCol` (INT64) recorded in
+    * the add actions: one distributed pass over the staged files folds
+    * each file's key hashes into an 8192-bit filter (partial aggregation
+    * — the merge is a bitwise OR), and the filters travel as ~1 KiB of
+    * base64 in the log. [[readBloomKeys]] then answers point lookups
+    * opening only files whose filter MIGHT contain a probe key — the
+    * log-level analogue of parquet's column bloom filters, but decided
+    * without touching the files at all. */
+  def appendCommitBloom(spark: SparkSession, df: DataFrame, table: String,
+                        keyCol: String): Long = {
+    val adds = stage(spark, df, table)
+    val paths = adds.map(a => s"$table/${a.file}")
+    val words = BloomBits / 64
+    val perFile = spark.read.parquet(paths: _*)
+      .select(substring_index(col("_metadata.file_path"), "/", -1).as("__f"),
+        xxhash64(col(keyCol)).as("__h"))
+      .as[(String, Long)](org.apache.spark.sql.Encoders.product[(String, Long)])
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val bits = new Array[Long](words)
+        it.foreach { case (_, h) =>
+          bloomBits(h).foreach(p => bits(p >> 6) |= 1L << (p & 63))
+        }
+        val bb = java.nio.ByteBuffer.allocate(words * 8)
+        bits.foreach(bb.putLong)
+        (f, java.util.Base64.getEncoder.encodeToString(bb.array()))
+      }(org.apache.spark.sql.Encoders.product[(String, String)])
+      .collect().toMap // ≤ one small row per staged file — driver-scale
+    val withBloom = adds.map { a =>
+      val base = a.file.substring(a.file.lastIndexOf('/') + 1)
+      a.copy(bloomCol = keyCol,
+        bloom = perFile.getOrElse(base,
+          java.util.Base64.getEncoder.encodeToString(new Array[Byte](words * 8))))
+    }
+    commit(spark, table, withBloom, Nil)
+  }
+
+  private def bloomMightContain(b64: String, h: Long): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bits = Array.fill(bytes.length / 8)(bb.getLong)
+    bloomBits(h).forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)
+  }
+
+  /** Point-lookup read: open only files whose log-recorded bloom filter
+    * might contain SOME probe key (no filter for `keyCol` → kept
+    * conservatively; a bloom can false-positive but never false-negative,
+    * so the result is exact once the pushed-down IN filter runs).
+    * Returns (frame, files scanned, files total). */
+  def readBloomKeys(spark: SparkSession, table: String, keyCol: String,
+                    keys: Seq[Long],
+                    asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "need at least one probe key")
+    val hashes = keys.map(xx64)
+    val snap = snapshot(spark, table, asOf)
+    val hit = snap.adds.filter(a =>
+      a.bloomCol != keyCol || hashes.exists(bloomMightContain(a.bloom, _)))
+    // all filters reject: keep one file anyway (schema carrier; the IN
+    // filter returns nothing) — still a 1-of-N prune, never a special case
+    val keep = if (hit.nonEmpty) hit else snap.adds.take(1)
+    val df = scanWithDvs(spark, table, snap, keep.map(_.file))
+      .filter(col(keyCol).isin(keys: _*))
+    (df, keep.size, snap.adds.size)
   }
 
   // ------------------------------------------------------------------
@@ -1049,5 +1240,57 @@ object LakeTxn {
       .withColumn("__op", lit("delete"))
     applyChanges(spark, t, updates.unionByName(inserts).unionByName(deletes), "doc_id")
     read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_txn_zorder: a Z-ORDER clustered append — per-file min/max of
+    * BOTH curve dimensions recorded in the log — answering a 2-D box
+    * predicate through [[readPruned2]] with zero footer opens. Graded
+    * on the box content (pruning that dropped a matching file would
+    * lose rows; LakeSkipSpec pins that BOTH single-dimension bands
+    * actually prune, the property a linear sort cannot give). */
+  def zorderQuery(spark: SparkSession, orders: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "zorder")
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      graft.rel.Relational.cents(col("o_totalprice")).as("price_cents"))
+    appendCommitZorder(spark, o, t, "o_custkey", "price_cents", files = 16)
+    val (df, _, _) = readPruned2(spark, t,
+      "o_custkey", 1L, 300L, "price_cents", 1000000L, 3000000L)
+    df.orderBy("o_orderkey")
+  }
+
+  /** lake_optimize_zorder: three UNCLUSTERED stat-less appends (the
+    * accreted-ingest shape), then OPTIMIZE ZORDER re-clusters the whole
+    * table copy-on-write — the box read afterwards prunes from the
+    * log-recorded 2-D stats (LakeSkipSpec pins the before/after file
+    * counts and that time travel keeps the pre-optimize layout). Graded
+    * on the box content. */
+  def optimizeZorderQuery(spark: SparkSession, orders: DataFrame,
+                          sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "optz")
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      graft.rel.Relational.cents(col("o_totalprice")).as("price_cents"))
+    for (r <- 0 until 3)
+      appendCommit(spark, o.filter(col("o_orderkey") % 3 === r).repartition(4), t)
+    optimizeZorder(spark, t, "o_custkey", "price_cents", files = 16)
+    val (df, _, _) = readPruned2(spark, t,
+      "o_custkey", 500L, 900L, "price_cents", 2000000L, 5000000L)
+    df.orderBy("o_orderkey")
+  }
+
+  /** lake_txn_bloom: appends carrying per-file BLOOM FILTERS of doc_id
+    * in their add actions; a 40-key point-lookup batch reads only files
+    * whose filter might hold some probe (LakeSkipSpec corrupts the
+    * skipped files to prove they are never opened and exhaustively
+    * checks the no-false-negative contract). Graded on the lookup
+    * content — a filter that false-negatived would drop a row. */
+  def bloomQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "bloom")
+    val d = docCols(docs)
+    for (r <- 0 until 3)
+      appendCommitBloom(spark, d.filter(col("doc_id") % 3 === r).repartition(4), t,
+        keyCol = "doc_id")
+    val keys = (0L until 40L).map(_ * 97L)
+    val (df, _, _) = readBloomKeys(spark, t, "doc_id", keys)
+    df.orderBy("doc_id")
   }
 }

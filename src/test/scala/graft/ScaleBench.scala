@@ -203,7 +203,15 @@ object ScaleBench {
       "lake_txn_dv" -> SparkEntry.queries("lake_txn_dv"),
       // schema-on-log evolution: commit machinery fixed, data term =
       // the two append scans under the declared schema
-      "lake_txn_evolve" -> SparkEntry.queries("lake_txn_evolve"))
+      "lake_txn_evolve" -> SparkEntry.queries("lake_txn_evolve"),
+      // the V2 streaming tail (per-commit micro-batches: fixed trigger
+      // machinery + data term = the delivered file scans), the
+      // z-clustered write + 2-D log-pruned box read (write dominates:
+      // one range exchange on the Morton value), and the bloom append
+      // (stage + one hash pass over the staged files) + point lookups
+      "stream_lake_source" -> SparkEntry.queries("stream_lake_source"),
+      "lake_txn_zorder" -> SparkEntry.queries("lake_txn_zorder"),
+      "lake_txn_bloom" -> SparkEntry.queries("lake_txn_bloom"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
