@@ -125,6 +125,9 @@ object Plans {
     "stream_lake_source" -> "DataSource V2 MicroBatchStream over the commit log (offsets = versions); the final read is the complete-mode memory state — the per-batch plan is a projected V2 file scan, no shuffle beyond the streaming aggregation",
     "lake_txn_zorder" -> "z-clustered write (range exchange on the Morton value + within-partition sort); the box read prunes the file list from LOG-recorded 2-D min/max (zero footer opens) with the residual box filter pushed to the kept scans",
     "lake_txn_bloom" -> "point-lookup read prunes the file list from LOG-recorded per-file bloom filters (driver-side membership test, zero file opens); the pushed-down IN filter makes the kept scans exact",
+    "lake_optimize_zorder" -> "OPTIMIZE ZORDER is a copy-on-write re-cluster (scan + range exchange on the Morton value + sorted write); the box read afterwards prunes from log-recorded 2-D stats like lake_txn_zorder",
+    "stream_lake_pipeline" -> "V2 source tail -> per-epoch transform -> one marked commit per epoch into table B; the graded read is B's plain snapshot scan + presentation sort (exactly-once lives in the commit markers, not the plan)",
+    "lake_txn_partition" -> "partition-pruned read: the file list filters on LOG-recorded partition values (no directory listing); per-value scans union with the partition column reinjected as literals — the filter is metadata, not a plan operator",
   )
 
   def main(args: Array[String]): Unit = {

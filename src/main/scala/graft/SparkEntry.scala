@@ -993,6 +993,10 @@ object SparkEntry {
     // batch opens only files whose filter might hold some probe
     "lake_txn_bloom" -> ((s, d) =>
       ext.LakeTxn.bloomQuery(s, Tables.documents(s, d), d)),
+    // hive-partitioned appends: partition values live only in the log
+    // (files lack the column); the read prunes and reinjects from it
+    "lake_txn_partition" -> ((s, d) =>
+      ext.LakeTxn.partitionQuery(s, Tables.documents(s, d), d)),
     // OPTIMIZE ZORDER: unclustered appends re-clustered copy-on-write;
     // the box read then prunes from the log-recorded 2-D stats
     "lake_optimize_zorder" -> ((s, d) =>
@@ -3225,6 +3229,12 @@ object SparkEntry {
         |  AND CAST(round(o_totalprice * 100) AS BIGINT)
         |    BETWEEN 1000000 AND 3000000
         |ORDER BY o_orderkey""".stripMargin,
+    // partition pruning must change nothing but the files opened; the
+    // reinjected column must equal the one partitionBy removed
+    "lake_txn_partition" ->
+      """SELECT doc_id, text, source, n_chars, lang
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
     // the optimized layout must change nothing but the files opened:
     // same box-filter oracle shape as lake_txn_zorder, different box
     "lake_optimize_zorder" ->

@@ -74,7 +74,8 @@ object LakeTxn {
                           statsCol: String = null, lo: Long = 0L, hi: Long = 0L,
                           dv: Boolean = false, schema: Boolean = false,
                           statsCol2: String = null, lo2: Long = 0L, hi2: Long = 0L,
-                          bloomCol: String = null, bloom: String = null)
+                          bloomCol: String = null, bloom: String = null,
+                          pvCol: String = null, pvValue: String = null)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
     * optional skipping stats), the live deletion vectors, and the
@@ -132,7 +133,8 @@ object LakeTxn {
     ("""\{"a":"(add|remove|dv|schema)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"c2":"([^"]+)","min2":(-?\d+),"max2":(-?\d+))?""" +
-      """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?\}""").r
+      """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?""" +
+      """(?:,"pc":"([^"]+)","pv":"([^"]*)")?\}""").r
   private val TxnRe =
     """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
 
@@ -147,8 +149,11 @@ object LakeTxn {
       val bl =
         if (a.bloomCol != null) s""","bc":"${a.bloomCol}","bloom":"${a.bloom}""""
         else ""
+      val pv =
+        if (a.pvCol != null) s""","pc":"${a.pvCol}","pv":"${a.pvValue}""""
+        else ""
       val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
-      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats$stats2$bl}"""
+      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats$stats2$bl$pv}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
@@ -167,7 +172,7 @@ object LakeTxn {
     val acts = Seq.newBuilder[Action]
     val txns = Seq.newBuilder[(String, Long)]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl) =>
+      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl, pc, pvv) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
@@ -176,7 +181,7 @@ object LakeTxn {
           statsCol2 = c2,
           lo2 = if (mn2 == null) 0L else mn2.toLong,
           hi2 = if (mx2 == null) 0L else mx2.toLong,
-          bloomCol = bc, bloom = bl)
+          bloomCol = bc, bloom = bl, pvCol = pc, pvValue = pvv)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case bad => throw new IllegalArgumentException(
         s"corrupt $what of $table: unparseable action line '$bad'")
@@ -688,6 +693,91 @@ object LakeTxn {
     val keep = if (hit.nonEmpty) hit else snap.adds.take(1)
     val df = scanWithDvs(spark, table, snap, keep.map(_.file))
       .filter(col(keyCol).isin(keys: _*))
+    (df, keep.size, snap.adds.size)
+  }
+
+  // ------------------------------------------------------------------
+  // partition values recorded in the log (hive-style, listing-free)
+  // ------------------------------------------------------------------
+
+  /** PARTITIONED append: `df` is written `partitionBy(partCol)` — the
+    * partition column physically LEAVES the data files (hive layout) and
+    * lives only in the add actions (`"pc"/"pv"`), exactly Delta's
+    * partitionValues field. Reads reconstruct the column from the log
+    * as a per-file literal, and [[readPartitions]] prunes the file list
+    * from the log alone — no directory listing, no footer opens, which
+    * is THE most common skipping form on a partitioned 100-TB table.
+    * String partition columns only (the hive-path value is a string;
+    * re-typing it would invite silent coercion bugs). */
+  def appendCommitPartitioned(spark: SparkSession, df: DataFrame, table: String,
+                              partCol: String): Long = {
+    require(df.schema(partCol).dataType == org.apache.spark.sql.types.StringType,
+      s"partition column '$partCol' must be STRING (hive path values are strings)")
+    require(!df.schema(partCol).nullable ||
+      df.filter(col(partCol).isNull).isEmpty,
+      s"partition column '$partCol' must not contain NULLs")
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val tmp = new Path(root, s".stage-$batch")
+    df.write.partitionBy(partCol).parquet(tmp.toString)
+    fs.mkdirs(new Path(root, "data"))
+    val PartDir = (java.util.regex.Pattern.quote(partCol) + "=(.*)").r
+    var i = 0
+    val adds = Seq.newBuilder[Action]
+    fs.listStatus(tmp).filter(_.isDirectory).sortBy(_.getPath.getName).foreach { d =>
+      // undo Spark's hive-path escaping (%XX per escaped char; plain
+      // URLDecoder would also eat '+', which hive paths do NOT escape)
+      def unescape(s: String): String =
+        "%([0-9A-Fa-f]{2})".r.replaceAllIn(s, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            Integer.parseInt(m.group(1), 16).toChar.toString))
+      val value = d.getPath.getName match {
+        case PartDir(v) => unescape(v)
+        case other => throw new IllegalStateException(
+          s"unexpected staging entry '$other' (wanted $partCol=<value>)")
+      }
+      fs.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).foreach { s =>
+          val rel = s"data/$batch-$i.parquet"
+          require(fs.rename(s.getPath, new Path(root, rel)),
+            s"failed to stage ${s.getPath} as $rel")
+          adds += footerAction(spark, root, rel, null)
+            .copy(pvCol = partCol, pvValue = value)
+          i += 1
+        }
+    }
+    fs.delete(tmp, true)
+    val staged = adds.result()
+    require(staged.nonEmpty, "empty partitioned append")
+    commit(spark, table, staged, Nil)
+  }
+
+  /** Partition-pruned read: keep only files whose log-recorded partition
+    * value is in `values` (files without a recorded value for `partCol`
+    * are kept conservatively) and REINJECT the partition column from the
+    * log as a per-file literal — the files themselves do not contain it.
+    * Column order follows the file schema with `partCol` appended, the
+    * hive convention. Returns (frame, files scanned, files total). */
+  def readPartitions(spark: SparkSession, table: String, partCol: String,
+                     values: Seq[String],
+                     asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val snap = snapshot(spark, table, asOf)
+    require(snap.dvs.isEmpty,
+      "partitioned reads do not compose with deletion vectors yet")
+    val hit = snap.adds.filter(a =>
+      a.pvCol != partCol || values.contains(a.pvValue))
+    val keep = if (hit.nonEmpty) hit else snap.adds.take(1)
+    val byValue = keep.groupBy(a =>
+      if (a.pvCol == partCol) a.pvValue else null)
+    val parts = byValue.toSeq.sortBy(p => Option(p._1)).map { case (value, acts) =>
+      val scan = baseScan(spark, table, snap, acts.map(_.file))
+      if (value == null) scan // pre-partitioning file: column is inside
+      else scan.withColumn(partCol, lit(value))
+    }
+    val df = parts.reduce(_ unionByName _)
+      .filter(col(partCol).isin(values: _*))
     (df, keep.size, snap.adds.size)
   }
 
@@ -1275,6 +1365,21 @@ object LakeTxn {
     val (df, _, _) = readPruned2(spark, t,
       "o_custkey", 500L, 900L, "price_cents", 2000000L, 5000000L)
     df.orderBy("o_orderkey")
+  }
+
+  /** lake_txn_partition: hive-partitioned appends whose partition VALUES
+    * live only in the log (the data files physically lack the lang
+    * column); a two-partition read prunes the file list from the log
+    * alone and reinjects the column as per-file literals (LakePartSpec
+    * corrupts the other partitions' files to prove they are never
+    * opened). Graded on the two-partition content. */
+  def partitionQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "part")
+    val d = docCols(docs)
+    appendCommitPartitioned(spark, d.filter(col("doc_id") % 2 === 0), t, "lang")
+    appendCommitPartitioned(spark, d.filter(col("doc_id") % 2 === 1), t, "lang")
+    val (df, _, _) = readPartitions(spark, t, "lang", Seq("en", "fr"))
+    df.orderBy("doc_id")
   }
 
   /** lake_txn_bloom: appends carrying per-file BLOOM FILTERS of doc_id

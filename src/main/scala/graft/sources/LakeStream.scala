@@ -57,10 +57,12 @@ import graft.ext.LakeTxn
   *    table's vacuum horizon fails loudly when planned (the files may
   *    be physically gone) — never a mid-scan FileNotFound.
   *
-  * Options: `maxVersionsPerBatch` (admission control — at most that
-  * many commits per micro-batch, the maxFilesPerTrigger analogue),
-  * `startingVersion` (first version to deliver; default 0 = the whole
-  * table), `ignoreDeletes` (see above).
+  * Options: `maxVersionsPerBatch` (at most that many commits per
+  * micro-batch), `maxRowsPerBatch`/`maxFilesPerBatch` (Spark
+  * `ReadMaxRows`/`ReadMaxFiles` admission control, decided from the
+  * log-recorded per-file row counts — commits never split, at least
+  * one commit always admits), `startingVersion` (first version to
+  * deliver; default 0 = the whole table), `ignoreDeletes` (see above).
   *
   * Executor side: each input partition is ONE pinned parquet file read
   * through a projected parquet-column reader — `setRequestedSchema`
@@ -110,7 +112,11 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
               Option(options.get("maxVersionsPerBatch")).map(_.toLong),
             startingVersion =
               Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-            ignoreDeletes = options.getBoolean("ignoreDeletes", false))
+            ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+            maxRowsPerBatch =
+              Option(options.get("maxRowsPerBatch")).map(_.toLong),
+            maxFilesPerBatch =
+              Option(options.get("maxFilesPerBatch")).map(_.toInt))
       }
     }
 }
@@ -131,7 +137,9 @@ object LakeOffset {
 final class LakeMicroBatchStream(table: String, schema: StructType,
                                  maxVersionsPerBatch: Option[Long],
                                  startingVersion: Long,
-                                 ignoreDeletes: Boolean)
+                                 ignoreDeletes: Boolean,
+                                 maxRowsPerBatch: Option[Long] = None,
+                                 maxFilesPerBatch: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -152,17 +160,56 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
   override def latestOffset(): Offset =
     LakeOffset(LakeTxn.listVersions(spark, table).lastOption.getOrElse(startingVersion - 1))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxRowsPerBatch.map(ReadLimit.maxRows).toSeq ++
+      maxFilesPerBatch.map(ReadLimit.maxFiles).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
-  /** Admission-controlled latest: at most `maxVersionsPerBatch` commits
-    * beyond `start` enter one micro-batch (commits are the unit — a
-    * commit is atomic, so it is never split across batches), capped at
-    * the AvailableNow pin when one is set. */
+  /** The (maxRows, maxFiles) caps a ReadLimit encodes. */
+  private def caps(l: ReadLimit): (Long, Long) = l match {
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      (r.maxRows(), Long.MaxValue)
+    case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+      (Long.MaxValue, f.maxFiles().toLong)
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(caps).reduce((a, b) =>
+        (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _ => (Long.MaxValue, Long.MaxValue)
+  }
+
+  /** Admission-controlled latest. Commits are the unit — a commit is
+    * atomic, so it is never split across batches. Three caps compose:
+    * at most `maxVersionsPerBatch` commits beyond `start`, at most
+    * maxRows/maxFiles of log-recorded data volume (walked from the
+    * driver-scale commit bodies — at least ONE commit always admits,
+    * the standard at-least-one-unit contract), and the AvailableNow
+    * pin when one is set. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startV = start.asInstanceOf[LakeOffset].version
     val live = LakeTxn.listVersions(spark, table).lastOption.getOrElse(startV)
-    val head = availableNowCap.fold(live)(math.min(live, _))
-    LakeOffset(maxVersionsPerBatch.fold(head)(m => math.min(head, startV + m)))
+    val head0 = availableNowCap.fold(live)(math.min(live, _))
+    val headV = maxVersionsPerBatch.fold(head0)(m => math.min(head0, startV + m))
+    val (mr, mf) = caps(limit)
+    if (mr == Long.MaxValue && mf == Long.MaxValue) LakeOffset(headV)
+    else {
+      var v = startV
+      var rows = 0L
+      var files = 0L
+      var full = false
+      while (!full && v < headV) {
+        val acts = LakeTxn.readCommit(spark, table, v + 1)
+          .filter(a => a.add && !a.dv && !a.schema)
+        val r = acts.map(_.rows).sum
+        if (v > startV && (rows + r > mr || files + acts.size > mf)) full = true
+        else { rows += r; files += acts.size; v += 1 }
+      }
+      LakeOffset(v)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

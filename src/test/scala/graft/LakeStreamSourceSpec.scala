@@ -136,6 +136,26 @@ class LakeStreamSourceSpec extends SparkSpec {
     assert(thin.count() === 18L)
   }
 
+  test("maxRowsPerBatch / maxFilesPerBatch admission: commits pack until the cap") {
+    val t = freshDir("limits")
+    for (r <- 0 until 4)
+      LakeTxn.appendCommit(spark, mkDocs(r * 10 until (r + 1) * 10, "en")
+        .repartition(1), t)
+    // 10 rows per commit; 25-row cap packs two commits per batch
+    val (_, rowBatches) = runAvailableNow(t, s"$t/_cr",
+      Map("maxRowsPerBatch" -> "25"))
+    assert(rowBatches === 2, s"25-row cap over 4x10 rows must give 2 batches")
+    // 1 file per commit; 1-file cap gives one commit per batch
+    val (all, fileBatches) = runAvailableNow(t, s"$t/_cf",
+      Map("maxFilesPerBatch" -> "1"))
+    assert(fileBatches === 4)
+    assert(all.count() === 40L)
+    // a cap SMALLER than one commit still admits that commit (at-least-one)
+    val (tiny, tinyBatches) = runAvailableNow(t, s"$t/_ct",
+      Map("maxRowsPerBatch" -> "3"))
+    assert(tiny.count() === 40L && tinyBatches === 4)
+  }
+
   test("lake->lake pipeline: a fresh-checkpoint full replay lands nothing twice") {
     val src = freshDir("pipesrc")
     val dst = freshDir("pipedst")

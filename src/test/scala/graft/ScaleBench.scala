@@ -211,7 +211,16 @@ object ScaleBench {
       // (stage + one hash pass over the staged files) + point lookups
       "stream_lake_source" -> SparkEntry.queries("stream_lake_source"),
       "lake_txn_zorder" -> SparkEntry.queries("lake_txn_zorder"),
-      "lake_txn_bloom" -> SparkEntry.queries("lake_txn_bloom"))
+      "lake_txn_bloom" -> SparkEntry.queries("lake_txn_bloom"),
+      // OPTIMIZE ZORDER (the CoW re-cluster dominates: scan + range
+      // exchange + sorted write) and the exactly-once lake->lake
+      // pipeline (two full AvailableNow replays; data term = the
+      // delivered scans + per-epoch commits)
+      "lake_optimize_zorder" -> SparkEntry.queries("lake_optimize_zorder"),
+      "stream_lake_pipeline" -> SparkEntry.queries("stream_lake_pipeline"),
+      // partitioned appends: the write fans out per partition value; the
+      // read is a pruned per-value union — both corpus-proportional
+      "lake_txn_partition" -> SparkEntry.queries("lake_txn_partition"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
