@@ -128,6 +128,7 @@ object Plans {
     "lake_optimize_zorder" -> "OPTIMIZE ZORDER is a copy-on-write re-cluster (scan + range exchange on the Morton value + sorted write); the box read afterwards prunes from log-recorded 2-D stats like lake_txn_zorder",
     "stream_lake_pipeline" -> "V2 source tail -> per-epoch transform -> one marked commit per epoch into table B; the graded read is B's plain snapshot scan + presentation sort (exactly-once lives in the commit markers, not the plan)",
     "lake_txn_partition" -> "partition-pruned read: the file list filters on LOG-recorded partition values (no directory listing); per-value scans union with the partition column reinjected as literals — the filter is metadata, not a plan operator",
+    "lake_txn_constraint" -> "CHECK enforcement is one filter-isEmpty job per constraint BEFORE staging (the Delta invariant shape); the graded read is the plain snapshot scan + presentation sort — the poisoned batch never enters any plan",
   )
 
   def main(args: Array[String]): Unit = {

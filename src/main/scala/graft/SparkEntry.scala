@@ -993,6 +993,10 @@ object SparkEntry {
     // batch opens only files whose filter might hold some probe
     "lake_txn_bloom" -> ((s, d) =>
       ext.LakeTxn.bloomQuery(s, Tables.documents(s, d), d)),
+    // CHECK constraints through the log: a conforming append lands, a
+    // violating one aborts before anything stages
+    "lake_txn_constraint" -> ((s, d) =>
+      ext.LakeTxn.constraintQuery(s, Tables.documents(s, d), d)),
     // hive-partitioned appends: partition values live only in the log
     // (files lack the column); the read prunes and reinjects from it
     "lake_txn_partition" -> ((s, d) =>
@@ -3229,6 +3233,11 @@ object SparkEntry {
         |  AND CAST(round(o_totalprice * 100) AS BIGINT)
         |    BETWEEN 1000000 AND 3000000
         |ORDER BY o_orderkey""".stripMargin,
+    // the poisoned batch must never land: final content is exactly the
+    // two conforming appends (the whole corpus)
+    "lake_txn_constraint" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // partition pruning must change nothing but the files opened; the
     // reinjected column must equal the one partitionBy removed
     "lake_txn_partition" ->

@@ -78,14 +78,25 @@ object LakeTxn {
                           pvCol: String = null, pvValue: String = null)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
-    * optional skipping stats), the live deletion vectors, and the
+    * optional skipping stats), the live deletion vectors, the
     * governing schema file (None = pre-evolution table, schema comes
-    * from the parquet files themselves) at one version. */
+    * from the parquet files themselves), the live CHECK constraints
+    * and the protocol gate at one version. */
   final case class Snapshot(version: Long, adds: Seq[Action],
                             dvs: Seq[Action] = Nil,
-                            schemaFile: Option[String] = None) {
+                            schemaFile: Option[String] = None,
+                            constraints: Map[String, String] = Map.empty,
+                            protocol: (Int, Int) = (1, 1)) {
     def files: Seq[String] = adds.map(_.file)
   }
+
+  /** The protocol versions this engine implements. A table whose gate
+    * exceeds them is refused loudly (reads at snapshot time, writes at
+    * commit time) — the Delta protocol-versioning contract that stops
+    * an old engine from silently misreading a table written with
+    * features it does not know. */
+  val SupportedReaderVersion = 1
+  val SupportedWriterVersion = 1
 
   private val LogDirName = "_graft_log"
 
@@ -167,10 +178,30 @@ object LakeTxn {
     } finally in.close()
   }
 
+  /** Table-governance actions riding in commit bodies next to the file
+    * actions: CHECK constraints (expr base64-wrapped — SQL text may
+    * contain quotes) and the reader/writer PROTOCOL gate. */
+  sealed trait Gov
+  final case class GovConstraint(name: String, expr: String) extends Gov
+  final case class GovUnconstraint(name: String) extends Gov
+  final case class GovProtocol(reader: Int, writer: Int) extends Gov
+
+  private val ConstraintRe =
+    """\{"a":"constraint","name":"([^"]+)","expr64":"([A-Za-z0-9+/=]+)"\}""".r
+  private val UnconstraintRe = """\{"a":"unconstraint","name":"([^"]+)"\}""".r
+  private val ProtocolRe = """\{"a":"protocol","r":(\d+),"w":(\d+)\}""".r
+
+  private[graft] def constraintLine(name: String, expr: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"), s"constraint name '$name' must be [A-Za-z0-9_]+")
+    val b64 = java.util.Base64.getEncoder.encodeToString(expr.getBytes(UTF_8))
+    s"""{"a":"constraint","name":"$name","expr64":"$b64"}"""
+  }
+
   private def parseActions(table: String, what: String,
-                           body: String): (Seq[Action], Seq[(String, Long)]) = {
+                           body: String): (Seq[Action], Seq[(String, Long)], Seq[Gov]) = {
     val acts = Seq.newBuilder[Action]
     val txns = Seq.newBuilder[(String, Long)]
+    val govs = Seq.newBuilder[Gov]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
       case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl, pc, pvv) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
@@ -183,10 +214,20 @@ object LakeTxn {
           hi2 = if (mx2 == null) 0L else mx2.toLong,
           bloomCol = bc, bloom = bl, pvCol = pc, pvValue = pvv)
       case TxnRe(app, id) => txns += ((app, id.toLong))
+      case ConstraintRe(name, b64) => govs += GovConstraint(name,
+        new String(java.util.Base64.getDecoder.decode(b64), UTF_8))
+      case UnconstraintRe(name) => govs += GovUnconstraint(name)
+      case ProtocolRe(r, w) => govs += GovProtocol(r.toInt, w.toInt)
       case bad => throw new IllegalArgumentException(
         s"corrupt $what of $table: unparseable action line '$bad'")
     }
-    (acts.result(), txns.result())
+    (acts.result(), txns.result(), govs.result())
+  }
+
+  /** The governance actions of one commit. */
+  def readGov(spark: SparkSession, table: String, v: Long): Seq[Gov] = {
+    val p = commitFile(table, v)
+    parseActions(table, s"commit $v", readFileText(fsOf(spark, p), p))._3
   }
 
   /** Parse one commit's action lines (idempotence markers skipped).
@@ -225,6 +266,8 @@ object LakeTxn {
     val live = new scala.collection.mutable.LinkedHashMap[String, Action]
     val liveDv = new scala.collection.mutable.LinkedHashMap[String, Action]
     var schemaFile: Option[String] = None
+    val constraints = new scala.collection.mutable.LinkedHashMap[String, String]
+    var protocol = (1, 1)
     def fold(a: Action): Unit =
       if (a.add) {
         if (a.dv) liveDv += a.file -> a
@@ -232,14 +275,30 @@ object LakeTxn {
         else live += a.file -> a
       }
       else { live -= a.file; liveDv -= a.file } // paths disjoint (data/ vs dv/)
+    def foldGov(g: Gov): Unit = g match {
+      case GovConstraint(n, e) => constraints += n -> e
+      case GovUnconstraint(n) => constraints -= n
+      case GovProtocol(r, w) => protocol = (r, w)
+    }
     cp.foreach { cv =>
       val p = new Path(logDir(table), f"$cv%020d.checkpoint.json")
-      parseActions(table, s"checkpoint $cv", readFileText(fsOf(spark, p), p))
-        ._1.foreach(a => if (a.add) fold(a))
+      val (acts, _, govs) =
+        parseActions(table, s"checkpoint $cv", readFileText(fsOf(spark, p), p))
+      acts.foreach(a => if (a.add) fold(a))
+      govs.foreach(foldGov)
     }
-    for (v <- vs if cp.forall(v > _); act <- readCommit(spark, table, v))
-      fold(act)
-    Snapshot(vs.last, live.values.toSeq, liveDv.values.toSeq, schemaFile)
+    for (v <- vs if cp.forall(v > _)) {
+      val p = commitFile(table, v)
+      val (acts, _, govs) =
+        parseActions(table, s"commit $v", readFileText(fsOf(spark, p), p))
+      acts.foreach(fold)
+      govs.foreach(foldGov)
+    }
+    require(protocol._1 <= SupportedReaderVersion,
+      s"$table requires reader protocol version ${protocol._1}; this engine " +
+        s"implements $SupportedReaderVersion — refusing rather than misreading")
+    Snapshot(vs.last, live.values.toSeq, liveDv.values.toSeq, schemaFile,
+      constraints.toMap, protocol)
   }
 
   /** Write a checkpoint summarizing the CURRENT snapshot: the full live
@@ -254,11 +313,16 @@ object LakeTxn {
     val dest = new Path(logDir(table), f"${snap.version}%020d.checkpoint.json")
     val fs = fsOf(spark, dest)
     // full actions, not bare file names: row counts, skipping stats,
-    // deletion vectors AND the governing schema must survive a
-    // checkpointed fold
-    val body = (snap.adds ++ snap.dvs ++
+    // deletion vectors, the governing schema AND the governance state
+    // (constraints, protocol) must survive a checkpointed fold
+    val govLines =
+      snap.constraints.map { case (n, e) => constraintLine(n, e) }.toSeq ++
+        (if (snap.protocol != (1, 1))
+          Seq(s"""{"a":"protocol","r":${snap.protocol._1},"w":${snap.protocol._2}}""")
+        else Nil)
+    val body = ((snap.adds ++ snap.dvs ++
       snap.schemaFile.map(f => Action(add = true, f, 0L, schema = true)).toSeq)
-      .map(actionJson).mkString("\n")
+      .map(actionJson) ++ govLines).mkString("\n")
     val tmp = new Path(dest.getParent,
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -368,11 +432,31 @@ object LakeTxn {
     * add actions (relative path + footer row count; per-file min/max of
     * `statsCol` when given — the log-level data-skipping record).
     * Staged files are INVISIBLE until some commit pins them. */
+  /** A write whose rows violate a live CHECK constraint. Thrown BEFORE
+    * any file is written — a violating batch leaves no trace. */
+  final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
+  /** Enforce the snapshot's CHECK constraints on a batch about to stage
+    * (SQL CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL passes). One filter-count job per constraint; the
+    * Delta invariant-check shape. */
+  private def enforceConstraints(spark: SparkSession, df: DataFrame,
+                                 table: String): Unit = {
+    if (listVersions(spark, table).isEmpty) return
+    snapshot(spark, table).constraints.foreach { case (name, e) =>
+      val bad = df.filter(not(coalesce(expr(e).cast("boolean"), lit(true))))
+      if (!bad.isEmpty) throw new ConstraintViolationException(
+        s"CHECK constraint '$name' ($e) violated by the batch being " +
+          s"written to $table — nothing was staged or committed")
+    }
+  }
+
   private[graft] def stage(spark: SparkSession, df: DataFrame,
                            table: String,
                            statsCol: String = null,
                            dir: String = "data",
                            statsCol2: String = null): Seq[Action] = {
+    if (dir == "data") enforceConstraints(spark, df, table)
     val root = new Path(table)
     val fs = fsOf(spark, root)
     val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
@@ -465,6 +549,7 @@ object LakeTxn {
                extraLines: Seq[String] = Nil,
                maxAttempts: Int = 100): Long = {
     require(adds.nonEmpty || removes.nonEmpty || extraLines.nonEmpty, "empty commit")
+    checkWriterProtocol(spark, table)
     val removeSet = removes.toSet
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -483,6 +568,54 @@ object LakeTxn {
     }
     throw new CommitConflictException(
       s"gave up claiming a version in $table after $maxAttempts attempts")
+  }
+
+  /** Refuse writes against a table whose writer protocol exceeds this
+    * engine's ([[SupportedWriterVersion]]) — the half of the gate that
+    * protects FUTURE readers from commits authored without knowledge of
+    * the table's required features. */
+  private def checkWriterProtocol(spark: SparkSession, table: String): Unit =
+    if (listVersions(spark, table).nonEmpty) {
+      val w = snapshot(spark, table).protocol._2
+      require(w <= SupportedWriterVersion,
+        s"$table requires writer protocol version $w; this engine " +
+          s"implements $SupportedWriterVersion — refusing to commit")
+    }
+
+  /** Register a CHECK constraint: the EXISTING table must already
+    * satisfy it (a constraint that is born violated is a lie), then the
+    * constraint line commits and every later write enforces it. */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, sqlExpr: String): Long = {
+    val vs = listVersions(spark, table)
+    if (vs.nonEmpty) {
+      val bad = read(spark, table)
+        .filter(not(coalesce(expr(sqlExpr).cast("boolean"), lit(true))))
+      if (!bad.isEmpty) throw new ConstraintViolationException(
+        s"cannot add CHECK constraint '$name' ($sqlExpr) to $table: " +
+          s"existing rows violate it")
+    }
+    commitAt(spark, table, vs.lastOption.getOrElse(-1L), Nil, Nil,
+      Seq(constraintLine(name, sqlExpr)))
+  }
+
+  /** Drop a CHECK constraint by name. */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Long =
+    commitAt(spark, table,
+      listVersions(spark, table).lastOption.getOrElse(-1L), Nil, Nil,
+      Seq(s"""{"a":"unconstraint","name":"$name"}"""))
+
+  /** Raise the table's protocol gate. Downgrades are refused (a gate
+    * exists to be monotone); raising PAST this engine's own writer
+    * version is allowed — that is precisely how a table gets fenced
+    * off from engines too old for it (including this one). */
+  def setProtocol(spark: SparkSession, table: String,
+                  reader: Int, writer: Int): Long = {
+    val snap = snapshot(spark, table)
+    require(reader >= snap.protocol._1 && writer >= snap.protocol._2,
+      s"protocol downgrade refused: table at ${snap.protocol}, asked ($reader, $writer)")
+    commitAt(spark, table, snap.version, Nil, Nil,
+      Seq(s"""{"a":"protocol","r":$reader,"w":$writer}"""))
   }
 
   /** Append-shaped commit at the current head (removes allowed when the
@@ -639,26 +772,46 @@ object LakeTxn {
     * opening only files whose filter MIGHT contain a probe key — the
     * log-level analogue of parquet's column bloom filters, but decided
     * without touching the files at all. */
+  /** Typed bloom-fold aggregator: zero = empty bitset, reduce = set the
+    * key's probe bits, merge = bitwise OR. Being an Aggregator (not
+    * mapGroups) buys MAP-SIDE partial aggregation — the shuffle carries
+    * one ~1 KiB bitset per (partition, file), not one row per key. */
+  private class BloomFold extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Long], Array[Byte]] {
+    def zero: Array[Long] = new Array[Long](BloomBits / 64)
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      bloomBits(h).foreach(p => b(p >> 6) |= 1L << (p & 63)); b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    def finish(b: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+      b.foreach(bb.putLong)
+      bb.array()
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   def appendCommitBloom(spark: SparkSession, df: DataFrame, table: String,
                         keyCol: String): Long = {
     val adds = stage(spark, df, table)
     val paths = adds.map(a => s"$table/${a.file}")
     val words = BloomBits / 64
+    val fold = udaf(new BloomFold,
+      org.apache.spark.sql.Encoders.scalaLong)
     val perFile = spark.read.parquet(paths: _*)
       .select(substring_index(col("_metadata.file_path"), "/", -1).as("__f"),
         xxhash64(col(keyCol)).as("__h"))
-      .as[(String, Long)](org.apache.spark.sql.Encoders.product[(String, Long)])
-      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
-      .mapGroups { (f, it) =>
-        val bits = new Array[Long](words)
-        it.foreach { case (_, h) =>
-          bloomBits(h).foreach(p => bits(p >> 6) |= 1L << (p & 63))
-        }
-        val bb = java.nio.ByteBuffer.allocate(words * 8)
-        bits.foreach(bb.putLong)
-        (f, java.util.Base64.getEncoder.encodeToString(bb.array()))
-      }(org.apache.spark.sql.Encoders.product[(String, String)])
-      .collect().toMap // ≤ one small row per staged file — driver-scale
+      .groupBy("__f") // partial agg: bitsets OR map-side, files-scale shuffle
+      .agg(fold(col("__h")).as("__bloom"))
+      .collect() // ≤ one ~1 KiB row per staged file — driver-scale
+      .map(r => r.getString(0) ->
+        java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1)))
+      .toMap
     val withBloom = adds.map { a =>
       val base = a.file.substring(a.file.lastIndexOf('/') + 1)
       a.copy(bloomCol = keyCol,
@@ -915,6 +1068,7 @@ object LakeTxn {
   def appendBatchCommit(spark: SparkSession, df: DataFrame, table: String,
                         app: String, batchId: Long): Long = {
     if (committedBatchIds(spark, table).contains((app, batchId))) return -1L
+    checkWriterProtocol(spark, table)
     val adds = stage(spark, df, table)
     val marker = s"""{"a":"txn","app":"$app","id":$batchId}"""
     var attempt = 0
@@ -1380,6 +1534,29 @@ object LakeTxn {
     appendCommitPartitioned(spark, d.filter(col("doc_id") % 2 === 1), t, "lang")
     val (df, _, _) = readPartitions(spark, t, "lang", Seq("en", "fr"))
     df.orderBy("doc_id")
+  }
+
+  /** lake_txn_constraint: a CHECK constraint registered on a live table
+    * (existing data validated first), a conforming append landing, and
+    * a VIOLATING append aborting before anything stages — graded on the
+    * final content: broken enforcement would land the poisoned batch
+    * (negative n_chars) and hash-mismatch. Only the specific
+    * ConstraintViolationException is absorbed; anything else fails the
+    * query. */
+  def constraintQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "constraint")
+    val d = docCols(docs)
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 0).repartition(2), t)
+    addConstraint(spark, t, "chars_nonneg", "n_chars >= 0 AND lang IS NOT NULL")
+    appendCommit(spark, d.filter(col("doc_id") % 2 === 1).repartition(2), t)
+    val poisoned = d.filter(col("doc_id") % 97 === 3)
+      .withColumn("n_chars", lit(-1L))
+    try {
+      appendCommit(spark, poisoned, t)
+      throw new IllegalStateException(
+        "constraint enforcement is broken: the poisoned batch landed")
+    } catch { case _: ConstraintViolationException => () }
+    read(spark, t).orderBy("doc_id")
   }
 
   /** lake_txn_bloom: appends carrying per-file BLOOM FILTERS of doc_id

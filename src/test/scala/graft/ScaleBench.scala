@@ -220,7 +220,10 @@ object ScaleBench {
       "stream_lake_pipeline" -> SparkEntry.queries("stream_lake_pipeline"),
       // partitioned appends: the write fans out per partition value; the
       // read is a pruned per-value union — both corpus-proportional
-      "lake_txn_partition" -> SparkEntry.queries("lake_txn_partition"))
+      "lake_txn_partition" -> SparkEntry.queries("lake_txn_partition"),
+      // CHECK enforcement: one filter pass per constraint per append —
+      // the cost term is corpus-proportional scans
+      "lake_txn_constraint" -> SparkEntry.queries("lake_txn_constraint"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
