@@ -342,32 +342,46 @@ object LakeTxn {
   /** The file scan under the snapshot's GOVERNING schema: when a schema
     * action is pinned, the read declares it (files lacking a column
     * null-fill it — evolution without rewrites, zero footer merging);
-    * otherwise the plain parquet-inferred schema rules. */
+    * otherwise the plain parquet-inferred schema rules. PARTITION-AWARE:
+    * files whose add action carries a partition value scan WITHOUT that
+    * column (it physically isn't in them) and get it reinjected as a
+    * per-group literal, so EVERY reader — plain reads, compaction,
+    * CDC merges, optimize, deletes — sees the full logical schema, not
+    * just [[readPartitions]]. `withMeta` attaches the (__dv_file,
+    * __dv_pos) key columns INSIDE each group scan (hidden `_metadata`
+    * does not survive a union). */
   private def baseScan(spark: SparkSession, table: String,
-                       snap: Snapshot, files: Seq[String]): DataFrame = {
-    val paths = files.map(f => s"$table/$f")
-    tableSchema(spark, table, snap) match {
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+                       snap: Snapshot, files: Seq[String],
+                       withMeta: Boolean = false): DataFrame = {
+    val byFile = snap.adds.map(a => a.file -> a).toMap
+    val acts = files.map(f => byFile.getOrElse(f, Action(add = true, f, 0L)))
+    val declared = tableSchema(spark, table, snap)
+    val groups = acts.groupBy(a => (Option(a.pvCol), Option(a.pvValue)))
+      .toSeq.sortBy(_._1)
+    val scans = groups.map { case ((pcO, pvO), as) =>
+      val paths = as.map(a => s"$table/${a.file}")
+      val schemaForScan = declared.map(st => pcO.fold(st)(pc =>
+        org.apache.spark.sql.types.StructType(st.fields.filterNot(_.name == pc))))
+      val plain = schemaForScan match {
+        case Some(st) => spark.read.schema(st).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      val withM =
+        if (!withMeta) plain
+        else plain
+          .withColumn("__dv_file",
+            substring_index(col("_metadata.file_path"), "/", -1))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+      pcO.fold(withM)(pc => withM.withColumn(pc, lit(pvO.get)))
     }
+    scans.reduce(_ unionByName _)
   }
 
   private def scanWithDvs(spark: SparkSession, table: String,
-                          snap: Snapshot, files: Seq[String]): DataFrame = {
-    val plain = baseScan(spark, table, snap, files)
-    if (snap.dvs.isEmpty) plain
-    else {
-      val dv = spark.read.parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
-        .select(col("__dv_file"), col("__dv_pos"))
-      val cols = plain.columns.toSeq
-      plain
-        .withColumn("__dv_file",
-          substring_index(col("_metadata.file_path"), "/", -1))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(broadcast(dv), Seq("__dv_file", "__dv_pos"), "left_anti")
-        .select(cols.map(col): _*)
-    }
-  }
+                          snap: Snapshot, files: Seq[String]): DataFrame =
+    if (snap.dvs.isEmpty) baseScan(spark, table, snap, files)
+    else scanWithDvsMeta(spark, table, snap, files)
+      .drop("__dv_file", "__dv_pos")
 
   /** Snapshot read — latest by default, or time travel to `asOf`. The
     * result is a distributed parquet scan over the pinned file list
@@ -869,6 +883,7 @@ object LakeTxn {
     require(!df.schema(partCol).nullable ||
       df.filter(col(partCol).isNull).isEmpty,
       s"partition column '$partCol' must not contain NULLs")
+    enforceConstraints(spark, df, table) // custom staging path: enforce here
     val root = new Path(table)
     val fs = fsOf(spark, root)
     val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
@@ -917,19 +932,12 @@ object LakeTxn {
                      values: Seq[String],
                      asOf: Option[Long] = None): (DataFrame, Int, Int) = {
     val snap = snapshot(spark, table, asOf)
-    require(snap.dvs.isEmpty,
-      "partitioned reads do not compose with deletion vectors yet")
     val hit = snap.adds.filter(a =>
       a.pvCol != partCol || values.contains(a.pvValue))
     val keep = if (hit.nonEmpty) hit else snap.adds.take(1)
-    val byValue = keep.groupBy(a =>
-      if (a.pvCol == partCol) a.pvValue else null)
-    val parts = byValue.toSeq.sortBy(p => Option(p._1)).map { case (value, acts) =>
-      val scan = baseScan(spark, table, snap, acts.map(_.file))
-      if (value == null) scan // pre-partitioning file: column is inside
-      else scan.withColumn(partCol, lit(value))
-    }
-    val df = parts.reduce(_ unionByName _)
+    // the base scan is partition-aware (reinjects recorded values) and
+    // merge-on-read; this function only contributes the log-side prune
+    val df = scanWithDvs(spark, table, snap, keep.map(_.file))
       .filter(col(partCol).isin(values: _*))
     (df, keep.size, snap.adds.size)
   }
@@ -1034,10 +1042,7 @@ object LakeTxn {
     * columns — what [[deleteWhereMor]] reads positions from. */
   private def scanWithDvsMeta(spark: SparkSession, table: String,
                               snap: Snapshot, files: Seq[String]): DataFrame = {
-    val base = baseScan(spark, table, snap, files)
-      .withColumn("__dv_file",
-        substring_index(col("_metadata.file_path"), "/", -1))
-      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val base = baseScan(spark, table, snap, files, withMeta = true)
     if (snap.dvs.isEmpty) base
     else {
       val dv = spark.read.parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)

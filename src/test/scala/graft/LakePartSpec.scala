@@ -83,6 +83,36 @@ class LakePartSpec extends SparkSpec {
       Seq("en us"))
   }
 
+  test("every reader is partition-aware: plain read, DV delete, compaction keep the column") {
+    val t = freshDir("compose")
+    val d = mkDocs(0 until 60, i => Seq("en", "fr", "de")(i % 3))
+    LakeTxn.appendCommitPartitioned(spark, d, t, "lang")
+    // a PLAIN read reconstructs the column the files physically lack
+    val r0 = LakeTxn.read(spark, t)
+    assert(r0.columns.contains("lang"))
+    assert(r0.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("en" -> 20L, "fr" -> 20L, "de" -> 20L))
+    // a merge-on-read DELETE can key on the partition column itself
+    LakeTxn.deleteWhereMor(spark, t, col("lang") === "de")
+    assert(LakeTxn.read(spark, t).count() === 40L)
+    // compaction materializes both the vectors AND the partition values
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4)
+    val r1 = LakeTxn.read(spark, t)
+    assert(r1.count() === 40L)
+    assert(r1.select("lang").distinct().collect().map(_.getString(0)).sorted
+      === Array("en", "fr"))
+    // post-compaction files carry the column INLINE: a partition read
+    // keeps them conservatively and still answers exactly
+    val (en, _, _) = LakeTxn.readPartitions(spark, t, "lang", Seq("en"))
+    assert(en.count() === 20L)
+    // the partitioned append path enforces CHECK constraints too
+    LakeTxn.addConstraint(spark, t, "pos", "n_chars >= 0")
+    intercept[LakeTxn.ConstraintViolationException](
+      LakeTxn.appendCommitPartitioned(spark,
+        mkDocs(60 until 70, _ => "en").withColumn("n_chars", lit(-1L)), t, "lang"))
+  }
+
   test("non-string and NULL partition columns fail loudly") {
     val t = freshDir("bad")
     import spark.implicits._
