@@ -993,6 +993,9 @@ object SparkEntry {
     // batch opens only files whose filter might hold some probe
     "lake_txn_bloom" -> ((s, d) =>
       ext.LakeTxn.bloomQuery(s, Tables.documents(s, d), d)),
+    // the connector's BATCH half: Catalyst-pushed filters prune the
+    // file list from the log's recorded 2-D stats inside the V2 scan
+    "lake_v2_batch" -> ((s, d) => sources.LakeStream.v2BatchQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3232,6 +3235,16 @@ object SparkEntry {
         |WHERE o_custkey BETWEEN 1 AND 300
         |  AND CAST(round(o_totalprice * 100) AS BIGINT)
         |    BETWEEN 1000000 AND 3000000
+        |ORDER BY o_orderkey""".stripMargin,
+    // connector pruning must change nothing but the files opened: the
+    // oracle is the plain box filter
+    "lake_v2_batch" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 50 AND 250
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT)
+        |    BETWEEN 1500000 AND 4000000
         |ORDER BY o_orderkey""".stripMargin,
     // the poisoned batch must never land: final content is exactly the
     // two conforming appends (the whole corpus)

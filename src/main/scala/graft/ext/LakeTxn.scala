@@ -835,6 +835,11 @@ object LakeTxn {
     commit(spark, table, withBloom, Nil)
   }
 
+  /** Key-level bloom membership (hashes with the write-side xxhash64) —
+    * exposed for the V2 connector's pushed-filter pruning. */
+  private[graft] def bloomMightContainKey(b64: String, key: Long): Boolean =
+    bloomMightContain(b64, xx64(key))
+
   private def bloomMightContain(b64: String, h: Long): Boolean = {
     val bytes = java.util.Base64.getDecoder.decode(b64)
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -1181,6 +1186,17 @@ object LakeTxn {
         } else skipped += 1
       }
     }
+    // crashed staging DIRECTORIES (.stage-*): invisible to readers but a
+    // storage leak forever — reclaim past the same grace window a live
+    // writer gets for its unpublished files
+    fs.listStatus(new Path(table))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+      .foreach { s =>
+        if (now - s.getModificationTime > orphanGraceMs) {
+          fs.delete(s.getPath, true)
+          deleted += 1
+        } else skipped += 1
+      }
     VacuumStats(statuses.length, deleted, skipped)
   }
 

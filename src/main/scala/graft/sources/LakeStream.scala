@@ -17,10 +17,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -84,8 +84,22 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LakeTxn.read(SparkSession.active, path(options)).schema
+  /** Schema from the LOG when evolution governs, else from ONE live
+    * footer (the parquet contract — never a directory-wide schema
+    * merge), with partition columns that live only in the log appended
+    * as nullable strings. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val t = path(options)
+    val snap = LakeTxn.snapshot(spark, t,
+      Option(options.get("versionAsOf")).map(_.toLong))
+    require(snap.adds.nonEmpty, s"snapshot ${snap.version} of $t is empty")
+    val base = LakeTxn.tableSchema(spark, t, snap).getOrElse(
+      spark.read.parquet(s"$t/${snap.adds.head.file}").schema)
+    val pvCols = snap.adds.flatMap(a => Option(a.pvCol)).distinct
+      .filterNot(base.fieldNames.contains)
+    pvCols.foldLeft(base)((st, pc) => st.add(pc, StringType, nullable = true))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
@@ -99,15 +113,30 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
   override def name(): String = s"graft-lake `$tablePath`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pruneColumns(s: StructType): Unit = required = s
+
+      /** ALL filters stay in the plan as residuals (the return value):
+        * the connector uses them ADVISORILY, to prune the file list
+        * from the log — the parquet-stats contract. `pushedFilters()`
+        * reports the ones the prune consults, which the plan shows. */
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        pushed = fs; fs
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
-        override def description(): String = name()
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"graft-lake `$tablePath` pushed=[${pushed.mkString(", ")}]"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new LakeMicroBatchStream(tablePath, tableSchema,
+          new LakeMicroBatchStream(tablePath, required,
             maxVersionsPerBatch =
               Option(options.get("maxVersionsPerBatch")).map(_.toLong),
             startingVersion =
@@ -117,8 +146,101 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
               Option(options.get("maxRowsPerBatch")).map(_.toLong),
             maxFilesPerBatch =
               Option(options.get("maxFilesPerBatch")).map(_.toInt))
+        override def toBatch(): Batch =
+          new LakeBatch(tablePath, required, pushed,
+            Option(options.get("versionAsOf")).map(_.toLong))
       }
     }
+}
+
+/** Conservative per-file admission of Catalyst-pushed filters against
+  * the LOG-recorded metadata of one add action: INT64 min/max bands
+  * (both z-order dimensions), bloom membership for equality/IN, and
+  * partition values. Unknown filter shapes or columns admit the file —
+  * pruning may only ever SKIP files that provably hold no matching
+  * row. */
+private[sources] object LakePrune {
+  import org.apache.spark.sql.sources._
+  import graft.ext.LakeTxn.Action
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Long => Some(n)
+    case n: Int => Some(n.toLong)
+    case n: Short => Some(n.toLong)
+    case n: Byte => Some(n.toLong)
+    case _ => None
+  }
+
+  private def asLongs(vs: Array[Any]): Option[Seq[Long]] = {
+    val ls = vs.flatMap(asLong)
+    if (ls.length == vs.length) Some(ls.toSeq) else None
+  }
+
+  /** The [lo, hi] band the log records for `col` on this file, if any. */
+  private def band(a: Action, col: String): Option[(Long, Long)] =
+    if (a.statsCol == col) Some((a.lo, a.hi))
+    else if (a.statsCol2 == col) Some((a.lo2, a.hi2))
+    else None
+
+  private def bloomHit(a: Action, col: String, v: Any): Boolean =
+    if (a.bloomCol != col) true
+    else asLong(v).forall(l => LakeTxn.bloomMightContainKey(a.bloom, l))
+
+  private def pvHit(a: Action, col: String, v: Any): Boolean =
+    if (a.pvCol != col) true
+    else v match { case s: String => a.pvValue == s; case _ => true }
+
+  def allows(a: Action, f: Filter): Boolean = f match {
+    case And(l, r) => allows(a, l) && allows(a, r)
+    case Or(l, r) => allows(a, l) || allows(a, r)
+    case EqualTo(c, v) =>
+      band(a, c).forall(b => asLong(v).forall(l => l >= b._1 && l <= b._2)) &&
+        bloomHit(a, c, v) && pvHit(a, c, v)
+    case In(c, vs) =>
+      band(a, c).forall(b => asLongs(vs).forall(_.exists(l =>
+        l >= b._1 && l <= b._2))) &&
+        (a.bloomCol != c || asLongs(vs).forall(_.exists(l =>
+          LakeTxn.bloomMightContainKey(a.bloom, l)))) &&
+        (a.pvCol != c || vs.exists {
+          case s: String => a.pvValue == s
+          case _ => true
+        })
+    case GreaterThan(c, v) =>
+      band(a, c).forall(b => asLong(v).forall(l => b._2 > l))
+    case GreaterThanOrEqual(c, v) =>
+      band(a, c).forall(b => asLong(v).forall(l => b._2 >= l))
+    case LessThan(c, v) =>
+      band(a, c).forall(b => asLong(v).forall(l => b._1 < l))
+    case LessThanOrEqual(c, v) =>
+      band(a, c).forall(b => asLong(v).forall(l => b._1 <= l))
+    case _ => true
+  }
+}
+
+/** Batch read of the lake through the V2 connector: ONE driver-side
+  * snapshot fold plans the file list, pushed filters prune it from the
+  * log metadata alone (stats bands, bloom filters, partition values —
+  * zero data-file opens for the decision), and the same projected
+  * column reader serves the rows with partition values injected.
+  * Deletion-vector'd tables are refused loudly (compact first, or read
+  * through [[LakeTxn.read]]) — a silently un-deleted read would be
+  * corruption. `versionAsOf` time-travels. */
+final class LakeBatch(table: String, schema: StructType,
+                      pushed: Array[Filter],
+                      versionAsOf: Option[Long]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val snap = LakeTxn.snapshot(spark, table, versionAsOf)
+    require(snap.dvs.isEmpty,
+      s"$table has live deletion vectors; the V2 batch path cannot apply " +
+        s"them — compact the table (purges vectors) or read through LakeTxn.read")
+    val kept0 = snap.adds.filter(a => pushed.forall(LakePrune.allows(a, _)))
+    val kept = if (kept0.nonEmpty) kept0 else snap.adds.take(1) // schema carrier
+    kept.map(a => LakeInputPartition(s"$table/${a.file}", a.rows,
+      a.pvCol, a.pvValue): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(schema.json)
 }
 
 /** Offset = highest delivered log version. */
@@ -236,7 +358,8 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
         throw new IllegalStateException(
           s"commit $v of $table deletes rows; set ignoreDeletes=true to " +
             s"skip tombstones (already-delivered rows stay delivered)")
-      dataAdds.foreach(a => parts += LakeInputPartition(s"$table/${a.file}", a.rows))
+      dataAdds.foreach(a => parts += LakeInputPartition(s"$table/${a.file}", a.rows,
+        a.pvCol, a.pvValue))
     }
     parts.result()
   }
@@ -248,13 +371,20 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-final case class LakeInputPartition(absPath: String, rows: Long) extends InputPartition
+/** One pinned file; `pvCol`/`pvValue` carry the log-recorded partition
+  * value when the file was written `partitionBy` (the column is
+  * physically absent from it — the reader must INJECT the value, not
+  * null-fill). */
+final case class LakeInputPartition(absPath: String, rows: Long,
+                                    pvCol: String = null,
+                                    pvValue: String = null) extends InputPartition
 
 final class LakeReaderFactory(schemaJson: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeInputPartition]
     new LakeFileReader(p.absPath,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      p.pvCol, p.pvValue)
   }
 }
 
@@ -264,13 +394,21 @@ final class LakeReaderFactory(schemaJson: String) extends PartitionReaderFactory
   * under an evolved stream schema) null-fills; a column the file has
   * but the schema doesn't (post-evolution file under a pinned older
   * stream schema) is never read at all. */
-final class LakeFileReader(absPath: String, schema: StructType)
+final class LakeFileReader(absPath: String, schema: StructType,
+                           pvCol: String = null, pvValue: String = null)
     extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(absPath), new Configuration()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val kept = schema.fields.filter(f => fileSchema.containsField(f.name))
+  // the log-recorded partition value, injected as a constant (the file
+  // physically lacks the column; null-filling it would be silent data
+  // corruption — partition columns are STRING by the write contract)
+  private val pvConst: UTF8String =
+    if (pvValue == null) null else UTF8String.fromString(pvValue)
+  private val pvIdx: Int =
+    if (pvCol == null) -1 else schema.fieldNames.indexOf(pvCol)
   private val projection = new MessageType(fileSchema.getName,
     kept.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
       .toList.asJava: java.util.List[org.apache.parquet.schema.Type])
@@ -343,7 +481,7 @@ final class LakeFileReader(absPath: String, schema: StructType)
     var i = 0
     while (i < schema.length) {
       val fn = extract(i)
-      if (fn == null) row.update(i, null)
+      if (fn == null) row.update(i, if (i == pvIdx) pvConst else null)
       else {
         val j = projIdx(i)
         if (g.getFieldRepetitionCount(j) == 0) row.update(i, null)
@@ -436,5 +574,24 @@ object LakeStream {
     run(s"$src/_ckpt1")
     run(s"$src/_ckpt2") // fresh checkpoint: every epoch re-delivers; markers skip
     LakeTxn.read(spark, dst).orderBy("doc_id")
+  }
+
+  /** lake_v2_batch: the BATCH half of the connector — a z-clustered
+    * table read through `spark.read.format("graft-lake")` with a 2-D
+    * box predicate; Catalyst pushes the filters into the scan builder
+    * and the connector prunes the file list from the LOG's recorded
+    * stats (LakeV2BatchSpec proves skipped files are never opened by
+    * corrupting them). Graded on the box content — pruning that
+    * dropped a matching file would lose rows. */
+  def v2BatchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "v2batch")
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.rel.Relational.cents(col("o_totalprice")).as("price_cents"))
+    LakeTxn.appendCommitZorder(spark, o, t, "o_custkey", "price_cents", files = 16)
+    spark.read.format("graft-lake").load(t)
+      .filter(col("o_custkey").between(50, 250) &&
+        col("price_cents").between(1500000L, 4000000L))
+      .orderBy("o_orderkey")
   }
 }

@@ -96,6 +96,21 @@ class LakeGovSpec extends SparkSpec {
     assert(LakeTxn.read(spark, t).count() === 10L)
   }
 
+  test("vacuum reclaims crashed staging directories past the grace window") {
+    val t = freshDir("stagedir")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10).repartition(1), t)
+    val crashed = java.nio.file.Paths.get(t, ".stage-deadbeef")
+    java.nio.file.Files.createDirectories(crashed)
+    java.nio.file.Files.writeString(crashed.resolve("part-0"), "junk")
+    // fresh: inside the grace window, a live writer may own it
+    LakeTxn.vacuum(spark, t, retainLast = 1)
+    assert(java.nio.file.Files.exists(crashed))
+    // past the grace window it is a leak — reclaimed recursively
+    LakeTxn.vacuum(spark, t, retainLast = 1, orphanGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(crashed))
+    assert(LakeTxn.read(spark, t).count() === 10L)
+  }
+
   test("protocol survives a checkpoint") {
     val t = freshDir("ckproto")
     LakeTxn.appendCommit(spark, mkDocs(0 until 10).repartition(1), t)

@@ -136,6 +136,26 @@ class LakeStreamSourceSpec extends SparkSpec {
     assert(thin.count() === 18L)
   }
 
+  test("a partitioned table streams with the partition column INJECTED, not null-filled") {
+    val t = freshDir("part")
+    import spark.implicits._
+    val d = (0 until 30).map(i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "fr", s"src${i % 3}", (10 + i).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    LakeTxn.appendCommitPartitioned(spark, d, t, "lang")
+    val (got, _) = runAvailableNow(t, s"$t/_ckpt")
+    assert(got.columns.contains("lang"))
+    assert(got.filter(col("lang").isNull).count() === 0L,
+      "a null-filled partition column is silent corruption")
+    assert(got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("en" -> 15L, "fr" -> 15L))
+    // content exactness incl. the reconstructed column
+    val want = d.orderBy("doc_id").select("doc_id", "lang").collect().map(_.mkString("|"))
+    assert(got.orderBy("doc_id").select("doc_id", "lang").collect()
+      .map(_.mkString("|")) === want)
+  }
+
   test("maxRowsPerBatch / maxFilesPerBatch admission: commits pack until the cap") {
     val t = freshDir("limits")
     for (r <- 0 until 4)

@@ -223,7 +223,10 @@ object ScaleBench {
       "lake_txn_partition" -> SparkEntry.queries("lake_txn_partition"),
       // CHECK enforcement: one filter pass per constraint per append —
       // the cost term is corpus-proportional scans
-      "lake_txn_constraint" -> SparkEntry.queries("lake_txn_constraint"))
+      "lake_txn_constraint" -> SparkEntry.queries("lake_txn_constraint"),
+      // the V2 batch connector: z-clustered write + log-pruned box read
+      // through pushed filters (write dominates, like lake_txn_zorder)
+      "lake_v2_batch" -> SparkEntry.queries("lake_v2_batch"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
