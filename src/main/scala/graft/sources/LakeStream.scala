@@ -221,23 +221,43 @@ private[sources] object LakePrune {
   * snapshot fold plans the file list, pushed filters prune it from the
   * log metadata alone (stats bands, bloom filters, partition values —
   * zero data-file opens for the decision), and the same projected
-  * column reader serves the rows with partition values injected.
-  * Deletion-vector'd tables are refused loudly (compact first, or read
-  * through [[LakeTxn.read]]) — a silently un-deleted read would be
-  * corruption. `versionAsOf` time-travels. */
+  * column reader serves the rows with partition values injected and
+  * any live DELETION VECTORS applied merge-on-read: the vectors (small
+  * by the MoR contract — big deletes should compact) load once on the
+  * driver and each reader skips its file's tombstoned row positions.
+  * `versionAsOf` time-travels, vectors included. */
 final class LakeBatch(table: String, schema: StructType,
                       pushed: Array[Filter],
                       versionAsOf: Option[Long]) extends Batch {
+  /** Driver-side guard: a vector set past this is no longer "small
+    * metadata" — the table owes a compaction, refuse rather than ship
+    * an unbounded tombstone list into every task. */
+  private val MaxDvPositions = 10_000_000L
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val snap = LakeTxn.snapshot(spark, table, versionAsOf)
-    require(snap.dvs.isEmpty,
-      s"$table has live deletion vectors; the V2 batch path cannot apply " +
-        s"them — compact the table (purges vectors) or read through LakeTxn.read")
+    val deletedByFile: Map[String, Array[Long]] =
+      if (snap.dvs.isEmpty) Map.empty
+      else {
+        val rows = spark.read
+          .parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
+          .select(col("__dv_file"), col("__dv_pos"))
+        val n = rows.count()
+        require(n <= MaxDvPositions,
+          s"$table carries $n deletion-vector positions (> $MaxDvPositions): " +
+            s"compact the table (purges vectors) before a V2 batch read")
+        rows.collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+      }
     val kept0 = snap.adds.filter(a => pushed.forall(LakePrune.allows(a, _)))
     val kept = if (kept0.nonEmpty) kept0 else snap.adds.take(1) // schema carrier
-    kept.map(a => LakeInputPartition(s"$table/${a.file}", a.rows,
-      a.pvCol, a.pvValue): InputPartition).toArray
+    kept.map { a =>
+      val base = a.file.substring(a.file.lastIndexOf('/') + 1)
+      LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
+        deletedByFile.getOrElse(base, Array.emptyLongArray)): InputPartition
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(schema.json)
@@ -374,17 +394,20 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
 /** One pinned file; `pvCol`/`pvValue` carry the log-recorded partition
   * value when the file was written `partitionBy` (the column is
   * physically absent from it — the reader must INJECT the value, not
-  * null-fill). */
+  * null-fill); `deleted` is the file's sorted tombstoned row positions
+  * from the live deletion vectors (empty = none). */
 final case class LakeInputPartition(absPath: String, rows: Long,
                                     pvCol: String = null,
-                                    pvValue: String = null) extends InputPartition
+                                    pvValue: String = null,
+                                    deleted: Array[Long] = Array.emptyLongArray)
+    extends InputPartition
 
 final class LakeReaderFactory(schemaJson: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeInputPartition]
     new LakeFileReader(p.absPath,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      p.pvCol, p.pvValue)
+      p.pvCol, p.pvValue, p.deleted)
   }
 }
 
@@ -395,7 +418,8 @@ final class LakeReaderFactory(schemaJson: String) extends PartitionReaderFactory
   * but the schema doesn't (post-evolution file under a pinned older
   * stream schema) is never read at all. */
 final class LakeFileReader(absPath: String, schema: StructType,
-                           pvCol: String = null, pvValue: String = null)
+                           pvCol: String = null, pvValue: String = null,
+                           deleted: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
@@ -471,26 +495,39 @@ final class LakeFileReader(absPath: String, schema: StructType,
     }
   }
 
+  // within-file ordinal of the last consumed row + cursor into the
+  // sorted tombstone list (merge-on-read: deleted ordinals melt away)
+  private var rowOrdinal = -1L
+  private var delPtr = 0
+
   override def next(): Boolean = {
-    if (rowsLeftInGroup == 0 && !nextRowGroup()) return false
-    rowsLeftInGroup -= 1
-    val row = new GenericInternalRow(schema.length)
-    // a projection-empty read (e.g. count(*) over pre-evolution files)
-    // still yields the row-group's row count of all-null rows
-    val g = if (kept.nonEmpty) recordReader.read() else null
-    var i = 0
-    while (i < schema.length) {
-      val fn = extract(i)
-      if (fn == null) row.update(i, if (i == pvIdx) pvConst else null)
-      else {
-        val j = projIdx(i)
-        if (g.getFieldRepetitionCount(j) == 0) row.update(i, null)
-        else row.update(i, fn(g, j))
+    while (true) {
+      if (rowsLeftInGroup == 0 && !nextRowGroup()) return false
+      rowsLeftInGroup -= 1
+      rowOrdinal += 1
+      // a projection-empty read (e.g. count(*) over pre-evolution files)
+      // still yields the row-group's row count of all-null rows
+      val g = if (kept.nonEmpty) recordReader.read() else null
+      if (delPtr < deleted.length && deleted(delPtr) == rowOrdinal) {
+        delPtr += 1 // tombstoned: consume and skip
+      } else {
+        val row = new GenericInternalRow(schema.length)
+        var i = 0
+        while (i < schema.length) {
+          val fn = extract(i)
+          if (fn == null) row.update(i, if (i == pvIdx) pvConst else null)
+          else {
+            val j = projIdx(i)
+            if (g.getFieldRepetitionCount(j) == 0) row.update(i, null)
+            else row.update(i, fn(g, j))
+          }
+          i += 1
+        }
+        current = row
+        return true
       }
-      i += 1
     }
-    current = row
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current

@@ -114,7 +114,7 @@ class LakeV2BatchSpec extends SparkSpec {
     assert(got.filter(col("lang").isNull).count() === 0L)
   }
 
-  test("versionAsOf time-travels through the connector; DV'd tables refuse loudly") {
+  test("versionAsOf time-travels; deletion vectors apply merge-on-read in the readers") {
     val t = freshDir("tt")
     import spark.implicits._
     val d = (0L until 40L).map(i => (i, s"t$i", 10 + i))
@@ -124,10 +124,24 @@ class LakeV2BatchSpec extends SparkSpec {
     assert(spark.read.format("graft-lake").option("versionAsOf", "0")
       .load(t).count() === 20L)
     assert(spark.read.format("graft-lake").load(t).count() === 40L)
-    LakeTxn.deleteWhereMor(spark, t, col("doc_id") === 3L)
-    val e = intercept[Exception](
-      spark.read.format("graft-lake").load(t).count())
-    assert(e.getMessage.contains("deletion vectors"))
+    // tombstone a residue class across both files: the connector's
+    // readers skip exactly those positions, no file rewritten
+    val dvV = LakeTxn.deleteWhereMor(spark, t, col("doc_id") % 5 === 3)
+    val got = spark.read.format("graft-lake").load(t)
+    assert(got.count() === 32L)
+    assert(got.filter(col("doc_id") % 5 === 3).count() === 0L)
+    // content equality with the reference reader
+    assert(got.orderBy("doc_id").collect().map(_.mkString("|")).toSeq ===
+      LakeTxn.read(spark, t).orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
+    // stacked vector: a second delete composes
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") === 0L)
+    assert(spark.read.format("graft-lake").load(t).count() === 31L)
+    // time travel BEFORE the first delete sees everything
+    assert(spark.read.format("graft-lake")
+      .option("versionAsOf", (dvV - 1).toString).load(t).count() === 40L)
+    // compaction purges the vectors; the connector reads the plain pack
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4)
+    assert(spark.read.format("graft-lake").load(t).count() === 31L)
   }
 
   test("column pruning reaches the reader (narrow select over a wide table)") {
