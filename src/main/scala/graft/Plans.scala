@@ -130,6 +130,7 @@ object Plans {
     "lake_txn_partition" -> "partition-pruned read: the file list filters on LOG-recorded partition values (no directory listing); per-value scans union with the partition column reinjected as literals — the filter is metadata, not a plan operator",
     "lake_txn_constraint" -> "CHECK enforcement is one filter-isEmpty job per constraint BEFORE staging (the Delta invariant shape); the graded read is the plain snapshot scan + presentation sort — the poisoned batch never enters any plan",
     "lake_v2_batch" -> "the V2 BatchScan shows the pushed filters in its description; file pruning happened at plan time from log stats (driver metadata), the residual box filter runs in the kept readers — no exchange before the presentation sort",
+    "lake_v2_write" -> "the graded read is the reference reader's plain multi-file scan + presentation sort; the connector write itself is per-task staging + ONE driver-side atomic log commit (no exchange introduced by the write)",
   )
 
   def main(args: Array[String]): Unit = {

@@ -996,6 +996,9 @@ object SparkEntry {
     // the connector's BATCH half: Catalyst-pushed filters prune the
     // file list from the log's recorded 2-D stats inside the V2 scan
     "lake_v2_batch" -> ((s, d) => sources.LakeStream.v2BatchQuery(s, d)),
+    // the connector's WRITE half: per-task staging, one atomic log
+    // commit per write, constraints + protocol gates apply
+    "lake_v2_write" -> ((s, d) => sources.LakeStream.v2WriteQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3246,6 +3249,11 @@ object SparkEntry {
         |  AND CAST(round(o_totalprice * 100) AS BIGINT)
         |    BETWEEN 1500000 AND 4000000
         |ORDER BY o_orderkey""".stripMargin,
+    // a lost task commit, double-published speculative attempt, or
+    // dropped column would corrupt the content: oracle = whole corpus
+    "lake_v2_write" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the poisoned batch must never land: final content is exactly the
     // two conforming appends (the whole corpus)
     "lake_txn_constraint" ->

@@ -491,6 +491,42 @@ object LakeTxn {
       .copy(dv = dir == "dv"))
   }
 
+  /** Publish files a V2 writer staged, as ONE atomic commit: CHECK
+    * constraints are enforced against the staged content first (a
+    * violating write deletes its staged files and aborts — nothing
+    * pins), then the files rename into `data/` with footer row counts
+    * recorded. The V2 connector's write-side commit. */
+  private[graft] def commitStagedV2(spark: SparkSession, table: String,
+                                    staged: Seq[String]): Long = {
+    require(staged.nonEmpty, "empty V2 write: no staged files")
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    if (listVersions(spark, table).nonEmpty) {
+      val cs = snapshot(spark, table).constraints
+      if (cs.nonEmpty) {
+        val df = spark.read.parquet(staged.map(s => new Path(root, s).toString): _*)
+        cs.foreach { case (name, e) =>
+          val bad = df.filter(not(coalesce(expr(e).cast("boolean"), lit(true))))
+          if (!bad.isEmpty) {
+            staged.foreach(s => fs.delete(new Path(root, s), false))
+            throw new ConstraintViolationException(
+              s"CHECK constraint '$name' ($e) violated by the V2 write to " +
+                s"$table — staged files deleted, nothing committed")
+          }
+        }
+      }
+    }
+    val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    fs.mkdirs(new Path(root, "data"))
+    val adds = staged.zipWithIndex.map { case (s, i) =>
+      val rel = s"data/$batch-$i.parquet"
+      require(fs.rename(new Path(root, s), new Path(root, rel)),
+        s"failed to publish staged $s as $rel")
+      footerAction(spark, root, rel, null)
+    }
+    commit(spark, table, adds, Nil)
+  }
+
   /** A losing optimistic commit whose base was invalidated: an
     * interleaved commit already removed files this rewrite unpins, so a
     * blind re-publish would resurrect deleted data. The caller must

@@ -15,7 +15,8 @@ import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -109,11 +110,28 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
 }
 
 final class LakeStreamTable(tablePath: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-lake `$tablePath`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** APPEND writes through the connector: executors stage parquet under
+    * a dot-dir (invisible to readers), the driver publishes ONE atomic
+    * log commit of exactly the task-committed files (speculative losers
+    * never publish — the commit coordinator admits one attempt per
+    * partition, and stragglers die with the stage dir). Writes append
+    * to EXISTING tables — bootstrap the first commit through
+    * LakeTxn.appendCommit, which pins the schema reads validate
+    * against. CHECK constraints and the writer protocol gate apply. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch(): BatchWrite =
+          new LakeBatchWrite(tablePath, info.schema(), info.queryId())
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -534,6 +552,128 @@ final class LakeFileReader(absPath: String, schema: StructType,
   override def close(): Unit = reader.close()
 }
 
+final case class LakeWriteCommit(files: Seq[String]) extends WriterCommitMessage
+
+/** The driver half of the V2 write: collect the task-committed staged
+  * files and publish them through [[LakeTxn]] as one atomic commit
+  * (constraints enforced, writer protocol gate applied); abort deletes
+  * the stage dir wholesale. */
+final class LakeBatchWrite(table: String, schema: StructType, queryId: String)
+    extends BatchWrite {
+  private val stageDir = s".stage-v2w-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(table, stageDir, schema.json)
+
+  private def dropStage(): Unit = {
+    val p = new Path(table, stageDir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(p, true): Unit
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
+    try LakeTxn.commitStagedV2(SparkSession.active, table, staged)
+    finally dropStage() // losers' and stragglers' leftovers die with it
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = dropStage()
+}
+
+final class LakeWriterFactory(table: String, stageDir: String, schemaJson: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(table, stageDir,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId)
+}
+
+/** The executor half: rows of one partition → one staged parquet file
+  * (example Group API over a MessageType derived from the write schema
+  * — the same atomic-type contract the read side enforces). */
+final class LakeDataWriter(table: String, stageDir: String, schema: StructType,
+                           partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types => PTypes}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private val rel = s"$stageDir/part-$partitionId-$taskId.parquet"
+
+  private val messageType: MessageType = {
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(PTypes.optional(INT64).named(f.name))
+        case IntegerType => b.addField(PTypes.optional(INT32).named(f.name))
+        case ShortType => b.addField(PTypes.optional(INT32)
+          .as(LTA.intType(16, true)).named(f.name))
+        case ByteType => b.addField(PTypes.optional(INT32)
+          .as(LTA.intType(8, true)).named(f.name))
+        case DoubleType => b.addField(PTypes.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(PTypes.optional(FLOAT).named(f.name))
+        case BooleanType => b.addField(PTypes.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(PTypes.optional(BINARY)
+          .as(LTA.stringType()).named(f.name))
+        case BinaryType => b.addField(PTypes.optional(BINARY).named(f.name))
+        case DateType => b.addField(PTypes.optional(INT32)
+          .as(LTA.dateType()).named(f.name))
+        case TimestampType => b.addField(PTypes.optional(INT64)
+          .as(LTA.timestampType(true, LTA.TimeUnit.MICROS)).named(f.name))
+        case dt => throw new IllegalArgumentException(
+          s"graft-lake writes atomic columns only; '${f.name}' is ${dt.simpleString}")
+      }
+    }
+    b.named("graft")
+  }
+
+  private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+    .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+      new Path(table, rel), new org.apache.hadoop.conf.Configuration()))
+    .withType(messageType)
+    .build()
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
+  private var closed = false
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType | TimestampType => g.add(i, row.getLong(i))
+        case IntegerType | DateType => g.add(i, row.getInt(i))
+        case ShortType => g.add(i, row.getShort(i).toInt)
+        case ByteType => g.add(i, row.getByte(i).toInt)
+        case DoubleType => g.add(i, row.getDouble(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(i,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
+        case dt => throw new IllegalArgumentException(dt.simpleString)
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    close()
+    LakeWriteCommit(Seq(rel))
+  }
+
+  override def abort(): Unit = {
+    close()
+    val p = new Path(table, rel)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(p, false): Unit
+  }
+
+  override def close(): Unit =
+    if (!closed) { closed = true; writer.close() }
+}
+
 /** The graded query + helpers. */
 object LakeStream {
 
@@ -611,6 +751,25 @@ object LakeStream {
     run(s"$src/_ckpt1")
     run(s"$src/_ckpt2") // fresh checkpoint: every epoch re-delivers; markers skip
     LakeTxn.read(spark, dst).orderBy("doc_id")
+  }
+
+  /** lake_v2_write: the WRITE half of the connector —
+    * `df.write.format("graft-lake").mode("append")` staging per task
+    * and publishing ONE atomic log commit per write; a bootstrap
+    * append pins the schema, two connector writes land the rest, and
+    * the graded read goes through the reference reader (a lost task
+    * commit, a double-published speculative attempt, or a dropped
+    * column would all corrupt the content). */
+  def v2WriteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "v2write")
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    LakeTxn.appendCommit(spark, d.filter(col("doc_id") % 3 === 0).repartition(2), t)
+    d.filter(col("doc_id") % 3 === 1).repartition(2)
+      .write.format("graft-lake").mode("append").save(t)
+    d.filter(col("doc_id") % 3 === 2).repartition(2)
+      .write.format("graft-lake").mode("append").save(t)
+    LakeTxn.read(spark, t).orderBy("doc_id")
   }
 
   /** lake_v2_batch: the BATCH half of the connector — a z-clustered

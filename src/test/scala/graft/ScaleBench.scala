@@ -226,7 +226,10 @@ object ScaleBench {
       "lake_txn_constraint" -> SparkEntry.queries("lake_txn_constraint"),
       // the V2 batch connector: z-clustered write + log-pruned box read
       // through pushed filters (write dominates, like lake_txn_zorder)
-      "lake_v2_batch" -> SparkEntry.queries("lake_v2_batch"))
+      "lake_v2_batch" -> SparkEntry.queries("lake_v2_batch"),
+      // the V2 write path: per-task Group-API staging + one atomic
+      // commit per write — the data term is the two connector writes
+      "lake_v2_write" -> SparkEntry.queries("lake_v2_write"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
