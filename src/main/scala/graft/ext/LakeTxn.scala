@@ -145,7 +145,7 @@ object LakeTxn {
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"c2":"([^"]+)","min2":(-?\d+),"max2":(-?\d+))?""" +
       """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?""" +
-      """(?:,"pc":"([^"]+)","pv":"([^"]*)")?\}""").r
+      """(?:,"pc":"([^"]+)","pv(64)?":"([^"]*)")?\}""").r
   private val TxnRe =
     """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
 
@@ -160,9 +160,20 @@ object LakeTxn {
       val bl =
         if (a.bloomCol != null) s""","bc":"${a.bloomCol}","bloom":"${a.bloom}""""
         else ""
+      // the VALUE is arbitrary user data (spark's hive-path unescape can
+      // restore '"' or '\n') — base64-wrap it like expr64 does for
+      // constraint exprs, so a hostile value can never break the line
+      // format and brick every later parseActions; the COLUMN name comes
+      // from a DataFrame schema, but validate it anyway
       val pv =
-        if (a.pvCol != null) s""","pc":"${a.pvCol}","pv":"${a.pvValue}""""
-        else ""
+        if (a.pvCol == null) ""
+        else {
+          require(!a.pvCol.exists(ch => ch == '"' || ch == '\\' || ch < ' '),
+            s"partition column name '${a.pvCol}' contains JSON-breaking characters")
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(a.pvValue.getBytes(UTF_8))
+          s""","pc":"${a.pvCol}","pv64":"$b64""""
+        }
       val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
       s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats$stats2$bl$pv}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
@@ -203,7 +214,7 @@ object LakeTxn {
     val txns = Seq.newBuilder[(String, Long)]
     val govs = Seq.newBuilder[Gov]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl, pc, pvv) =>
+      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl, pc, pv64, pvv) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
@@ -212,7 +223,15 @@ object LakeTxn {
           statsCol2 = c2,
           lo2 = if (mn2 == null) 0L else mn2.toLong,
           hi2 = if (mx2 == null) 0L else mx2.toLong,
-          bloomCol = bc, bloom = bl, pvCol = pc, pvValue = pvv)
+          bloomCol = bc, bloom = bl, pvCol = pc,
+          // "pv64" is the current base64-wrapped form; bare "pv" survives
+          // for logs written before the wrapping (values were then
+          // restricted to JSON-safe characters by construction)
+          pvValue =
+            if (pvv == null) null
+            else if (pv64 != null)
+              new String(java.util.Base64.getDecoder.decode(pvv), UTF_8)
+            else pvv)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case ConstraintRe(name, b64) => govs += GovConstraint(name,
         new String(java.util.Base64.getDecoder.decode(b64), UTF_8))
@@ -649,11 +668,15 @@ object LakeTxn {
       Seq(constraintLine(name, sqlExpr)))
   }
 
-  /** Drop a CHECK constraint by name. */
-  def dropConstraint(spark: SparkSession, table: String, name: String): Long =
+  /** Drop a CHECK constraint by name (validated like [[constraintLine]]
+    * — an unvalidated name would inject into the JSON log line). */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
     commitAt(spark, table,
       listVersions(spark, table).lastOption.getOrElse(-1L), Nil, Nil,
       Seq(s"""{"a":"unconstraint","name":"$name"}"""))
+  }
 
   /** Raise the table's protocol gate. Downgrades are refused (a gate
     * exists to be monotone); raising PAST this engine's own writer
@@ -848,6 +871,14 @@ object LakeTxn {
 
   def appendCommitBloom(spark: SparkSession, df: DataFrame, table: String,
                         keyCol: String): Long = {
+    // INT64 only, enforced loudly: for a narrower integer column the
+    // write side would hash 4-byte values while the read side hashes a
+    // Long literal — disagreeing hashes make the bloom FALSE-NEGATIVE,
+    // which silently prunes files that contain matching rows
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.LongType,
+      s"bloom key column '$keyCol' must be BIGINT (is " +
+        s"${df.schema(keyCol).dataType.simpleString}): xxhash64 of a " +
+        s"narrower type disagrees with the Long-keyed membership test")
     val adds = stage(spark, df, table)
     val paths = adds.map(a => s"$table/${a.file}")
     val words = BloomBits / 64
@@ -921,9 +952,12 @@ object LakeTxn {
                               partCol: String): Long = {
     require(df.schema(partCol).dataType == org.apache.spark.sql.types.StringType,
       s"partition column '$partCol' must be STRING (hive path values are strings)")
-    require(!df.schema(partCol).nullable ||
-      df.filter(col(partCol).isNull).isEmpty,
-      s"partition column '$partCol' must not contain NULLs")
+    // NULL and '' both land in the __HIVE_DEFAULT_PARTITION__ directory:
+    // the log would record that sentinel as the value and reads would
+    // reinject it — silent corruption, so both are refused up front
+    require(df.filter(col(partCol).isNull || col(partCol) === "").isEmpty,
+      s"partition column '$partCol' must not contain NULLs or empty " +
+        s"strings (hive maps both to the __HIVE_DEFAULT_PARTITION__ sentinel)")
     enforceConstraints(spark, df, table) // custom staging path: enforce here
     val root = new Path(table)
     val fs = fsOf(spark, root)

@@ -25,6 +25,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.ext.LakeTxn
 
@@ -200,9 +201,16 @@ private[sources] object LakePrune {
     else if (a.statsCol2 == col) Some((a.lo2, a.hi2))
     else None
 
+  /** Bloom filters are written over BIGINT keys only (xxhash64 of the
+    * Long); a filter value of any OTHER runtime type would have hashed
+    * differently on the write side, so widening it here could false-
+    * negative — admit instead. */
   private def bloomHit(a: Action, col: String, v: Any): Boolean =
     if (a.bloomCol != col) true
-    else asLong(v).forall(l => LakeTxn.bloomMightContainKey(a.bloom, l))
+    else v match {
+      case l: Long => LakeTxn.bloomMightContainKey(a.bloom, l)
+      case _ => true
+    }
 
   private def pvHit(a: Action, col: String, v: Any): Boolean =
     if (a.pvCol != col) true
@@ -217,8 +225,10 @@ private[sources] object LakePrune {
     case In(c, vs) =>
       band(a, c).forall(b => asLongs(vs).forall(_.exists(l =>
         l >= b._1 && l <= b._2))) &&
-        (a.bloomCol != c || asLongs(vs).forall(_.exists(l =>
-          LakeTxn.bloomMightContainKey(a.bloom, l)))) &&
+        (a.bloomCol != c || vs.exists {
+          case l: Long => LakeTxn.bloomMightContainKey(a.bloom, l)
+          case _ => true // non-Long value: hashed differently at write, admit
+        }) &&
         (a.pvCol != c || vs.exists {
           case s: String => a.pvValue == s
           case _ => true
@@ -232,6 +242,150 @@ private[sources] object LakePrune {
     case LessThanOrEqual(c, v) =>
       band(a, c).forall(b => asLong(v).forall(l => b._1 <= l))
     case _ => true
+  }
+}
+
+/** Spark pushed filters → a parquet `FilterPredicate` for ROW-GROUP
+  * pruning inside the V2 reader — the parquet-native second skipping
+  * tier under the log-level file pruning: a file the log admits may
+  * still skip most of its row groups from footer min/max + dictionary
+  * pages. Typing comes from the SPARK schema (the lake's write contract
+  * fixes the physical parquet type per Spark type for both the V2
+  * writer and staged Spark writes). Unconvertible shapes → None —
+  * conservative by construction: Spark always re-applies the full
+  * filter as a residual, so pruning may only SKIP provably-empty
+  * groups, never decide membership. */
+private[sources] object LakeParquetFilters {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+  import org.apache.spark.sql.sources._
+
+  def predicate(schema: StructType, fs: Array[Filter]): Option[FilterPredicate] =
+    fs.flatMap(convert(schema, _)) match {
+      case Array() => None
+      case ps => Some(ps.reduce(FilterApi.and))
+    }
+
+  private def dtOf(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  private type Cmp = Option[FilterPredicate]
+
+  /** One comparison, dispatched on (spark type, op). INT32-backed types
+    * (int/short/byte/date) compare through intColumn; timestamps and
+    * binary are skipped (rebase/ordering subtleties are not worth a
+    * prune). */
+  private def cmp(dt: DataType, c: String, v: Any, op: String): Cmp = {
+    def intVal: Option[java.lang.Integer] = v match {
+      case i: java.lang.Integer => Some(i)
+      case s: java.lang.Short => Some(s.intValue)
+      case b: java.lang.Byte => Some(b.intValue)
+      case _ => None
+    }
+    (dt, op) match {
+      case (LongType, _) => v match {
+        case l: java.lang.Long => Some(op match {
+          case "eq" => FilterApi.eq(FilterApi.longColumn(c), l)
+          case "gt" => FilterApi.gt(FilterApi.longColumn(c), l)
+          case "gtEq" => FilterApi.gtEq(FilterApi.longColumn(c), l)
+          case "lt" => FilterApi.lt(FilterApi.longColumn(c), l)
+          case "ltEq" => FilterApi.ltEq(FilterApi.longColumn(c), l)
+        })
+        case _ => None
+      }
+      case (IntegerType | ShortType | ByteType, _) => intVal.map(i => op match {
+        case "eq" => FilterApi.eq(FilterApi.intColumn(c), i)
+        case "gt" => FilterApi.gt(FilterApi.intColumn(c), i)
+        case "gtEq" => FilterApi.gtEq(FilterApi.intColumn(c), i)
+        case "lt" => FilterApi.lt(FilterApi.intColumn(c), i)
+        case "ltEq" => FilterApi.ltEq(FilterApi.intColumn(c), i)
+      })
+      case (DoubleType, _) => v match {
+        case d: java.lang.Double => Some(op match {
+          case "eq" => FilterApi.eq(FilterApi.doubleColumn(c), d)
+          case "gt" => FilterApi.gt(FilterApi.doubleColumn(c), d)
+          case "gtEq" => FilterApi.gtEq(FilterApi.doubleColumn(c), d)
+          case "lt" => FilterApi.lt(FilterApi.doubleColumn(c), d)
+          case "ltEq" => FilterApi.ltEq(FilterApi.doubleColumn(c), d)
+        })
+        case _ => None
+      }
+      case (FloatType, _) => v match {
+        case f: java.lang.Float => Some(op match {
+          case "eq" => FilterApi.eq(FilterApi.floatColumn(c), f)
+          case "gt" => FilterApi.gt(FilterApi.floatColumn(c), f)
+          case "gtEq" => FilterApi.gtEq(FilterApi.floatColumn(c), f)
+          case "lt" => FilterApi.lt(FilterApi.floatColumn(c), f)
+          case "ltEq" => FilterApi.ltEq(FilterApi.floatColumn(c), f)
+        })
+        case _ => None
+      }
+      case (StringType, _) => v match {
+        case s: String =>
+          val b = Binary.fromString(s)
+          Some(op match {
+            case "eq" => FilterApi.eq(FilterApi.binaryColumn(c), b)
+            case "gt" => FilterApi.gt(FilterApi.binaryColumn(c), b)
+            case "gtEq" => FilterApi.gtEq(FilterApi.binaryColumn(c), b)
+            case "lt" => FilterApi.lt(FilterApi.binaryColumn(c), b)
+            case "ltEq" => FilterApi.ltEq(FilterApi.binaryColumn(c), b)
+          })
+        case _ => None
+      }
+      case (BooleanType, "eq") => v match {
+        case b: java.lang.Boolean => Some(FilterApi.eq(FilterApi.booleanColumn(c), b))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Typed IS (NOT) NULL: eq/notEq against a typed null. */
+  private def nullCmp(dt: DataType, c: String, isNull: Boolean): Cmp = dt match {
+    case LongType =>
+      Some(if (isNull) FilterApi.eq(FilterApi.longColumn(c), null: java.lang.Long)
+      else FilterApi.notEq(FilterApi.longColumn(c), null: java.lang.Long))
+    case IntegerType | ShortType | ByteType | DateType =>
+      Some(if (isNull) FilterApi.eq(FilterApi.intColumn(c), null: java.lang.Integer)
+      else FilterApi.notEq(FilterApi.intColumn(c), null: java.lang.Integer))
+    case DoubleType =>
+      Some(if (isNull) FilterApi.eq(FilterApi.doubleColumn(c), null: java.lang.Double)
+      else FilterApi.notEq(FilterApi.doubleColumn(c), null: java.lang.Double))
+    case StringType =>
+      Some(if (isNull) FilterApi.eq(FilterApi.binaryColumn(c), null: Binary)
+      else FilterApi.notEq(FilterApi.binaryColumn(c), null: Binary))
+    case _ => None
+  }
+
+  private val InChainCap = 20
+
+  private[sources] def convert(schema: StructType, f: Filter): Cmp = f match {
+    // And may conservatively keep EITHER side: a surviving group must
+    // satisfy both, so pruning on one alone only admits extra groups
+    case And(l, r) => (convert(schema, l), convert(schema, r)) match {
+      case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    // Or needs BOTH sides — dropping one would prune groups the other
+    // side might match
+    case Or(l, r) => for (a <- convert(schema, l); b <- convert(schema, r))
+      yield FilterApi.or(a, b)
+    case EqualTo(c, v) => dtOf(schema, c).flatMap(cmp(_, c, v, "eq"))
+    case GreaterThan(c, v) => dtOf(schema, c).flatMap(cmp(_, c, v, "gt"))
+    case GreaterThanOrEqual(c, v) => dtOf(schema, c).flatMap(cmp(_, c, v, "gtEq"))
+    case LessThan(c, v) => dtOf(schema, c).flatMap(cmp(_, c, v, "lt"))
+    case LessThanOrEqual(c, v) => dtOf(schema, c).flatMap(cmp(_, c, v, "ltEq"))
+    case IsNull(c) => dtOf(schema, c).flatMap(nullCmp(_, c, isNull = true))
+    case IsNotNull(c) => dtOf(schema, c).flatMap(nullCmp(_, c, isNull = false))
+    // null elements of an IN can never match a row — skipping them is
+    // exact, not just conservative
+    case In(c, vs) if vs.nonEmpty && vs.length <= InChainCap =>
+      dtOf(schema, c).flatMap { dt =>
+        val parts = vs.filter(_ != null).flatMap(cmp(dt, c, _, "eq"))
+        if (parts.isEmpty || parts.length != vs.count(_ != null)) None
+        else Some(parts.reduce(FilterApi.or))
+      }
+    case _ => None
   }
 }
 
@@ -252,7 +406,10 @@ final class LakeBatch(table: String, schema: StructType,
     * an unbounded tombstone list into every task. */
   private val MaxDvPositions = 10_000_000L
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** ONE pinned plan per Batch instance (lazy val): repeated
+    * planInputPartitions/createReaderFactory calls must agree on the
+    * file list AND on the row-vs-columnar decision. */
+  private lazy val parts: Array[LakeInputPartition] = {
     val spark = SparkSession.active
     val snap = LakeTxn.snapshot(spark, table, versionAsOf)
     val deletedByFile: Map[String, Array[Long]] =
@@ -270,15 +427,40 @@ final class LakeBatch(table: String, schema: StructType,
           .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
       }
     val kept0 = snap.adds.filter(a => pushed.forall(LakePrune.allows(a, _)))
-    val kept = if (kept0.nonEmpty) kept0 else snap.adds.take(1) // schema carrier
+    val kept =
+      if (kept0.nonEmpty || snap.adds.isEmpty) kept0
+      else snap.adds.take(1) // schema carrier
     kept.map { a =>
       val base = a.file.substring(a.file.lastIndexOf('/') + 1)
       LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
-        deletedByFile.getOrElse(base, Array.emptyLongArray)): InputPartition
+        deletedByFile.getOrElse(base, Array.emptyLongArray))
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(schema.json)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.toArray[InputPartition]
+
+  /** COLUMNAR when every planned partition can emit the scan schema as
+    * vectorized batches: no deletion vector (merge-on-read skipping is
+    * row-cursor logic), and any log-recorded partition value lands in
+    * the batch tail (`initBatch` appends partition columns LAST — a
+    * mid-schema value would reorder columns). Spark refuses mixed
+    * row/columnar partitions in one scan, so the decision is
+    * scan-level. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val vectorizable = schema.fields.forall(f =>
+      LakeColumnarReader.atomicOk(f.dataType))
+    val columnar = vectorizable && parts.forall { p =>
+      p.deleted.isEmpty && (p.pvValue == null || {
+        val i = schema.fieldNames.indexOf(p.pvCol)
+        i == -1 || i == schema.length - 1
+      })
+    }
+    new LakeReaderFactory(schema.json,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()),
+      columnar, pushed)
+  }
 }
 
 /** Offset = highest delivered log version. */
@@ -403,7 +585,8 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(schema.json)
+    new LakeReaderFactory(schema.json,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
 
   override def commit(end: Offset): Unit = () // log retention is vacuum's concern
   override def stop(): Unit = ()
@@ -420,13 +603,107 @@ final case class LakeInputPartition(absPath: String, rows: Long,
                                     deleted: Array[Long] = Array.emptyLongArray)
     extends InputPartition
 
-final class LakeReaderFactory(schemaJson: String) extends PartitionReaderFactory {
+/** `conf` is the DRIVER's session Hadoop configuration shipped to the
+  * executors ([[SerializableConfiguration]]) — a bare `new
+  * Configuration()` would drop `spark.hadoop.*` settings and filesystem
+  * credentials, which works on local FS and breaks on any configured
+  * object store. `columnar` routes every partition through the
+  * vectorized batch reader (the caller guarantees all partitions
+  * qualify — Spark refuses mixed modes); `pushed` feeds row-group
+  * pruning inside the columnar reader. */
+final class LakeReaderFactory(schemaJson: String,
+                              conf: SerializableConfiguration,
+                              columnar: Boolean = false,
+                              pushed: Array[Filter] = Array.empty)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[LakeInputPartition]
+    new LakeColumnarReader(p.absPath,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      p.pvCol, p.pvValue, pushed, conf.value)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeInputPartition]
     new LakeFileReader(p.absPath,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      p.pvCol, p.pvValue, p.deleted)
+      p.pvCol, p.pvValue, p.deleted, conf.value)
   }
+}
+
+object LakeColumnarReader {
+  /** The lake's atomic-type surface — exactly what both the row reader
+    * and the vectorized reader decode. */
+  def atomicOk(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+}
+
+/** One pinned parquet file → `ColumnarBatch`es through Spark's own
+  * `VectorizedParquetRecordReader` — the whole-stage-codegen-friendly
+  * read path (the scan feeds batches straight into codegen via a
+  * ColumnarToRow transition instead of materializing one object row
+  * per record). Pushed filters become a parquet `FilterPredicate`
+  * ([[LakeParquetFilters]]), so surviving files still skip row groups
+  * from footer min/max, dictionary pages, and column indexes — the
+  * second pruning tier under the log-level file skipping. A
+  * log-recorded partition value is injected by `initBatch` as a
+  * constant vector (the file physically lacks the column); a column an
+  * old file lacks under an evolved schema null-fills inside the
+  * vectorized reader. */
+final class LakeColumnarReader(absPath: String, schema: StructType,
+                               pvCol: String, pvValue: String,
+                               pushed: Array[Filter],
+                               hadoopConf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val conf = new Configuration(hadoopConf)
+  private val hasPv =
+    pvValue != null && pvCol != null && schema.fieldNames.contains(pvCol)
+  // the requested spark schema: everything except an injected partition
+  // column (which the file physically lacks and initBatch appends LAST)
+  private val requested =
+    if (hasPv) StructType(schema.fields.filterNot(_.name == pvCol)) else schema
+  conf.set("parquet.read.support.class",
+    "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+  conf.set("org.apache.spark.sql.parquet.row.requested_schema", requested.json)
+  conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+  conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+  conf.setBoolean("spark.sql.caseSensitive", false)
+  conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+  conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+  LakeParquetFilters.predicate(requested, pushed).foreach(p =>
+    org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
+
+  // the lake writes CORRECTED-mode dates and TIMESTAMP_MICROS only
+  // (no legacy-rebase files, no INT96), so no rebase ever applies
+  private val reader =
+    new VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      false, 4096)
+  private val p = new Path(absPath)
+  private val len = p.getFileSystem(conf).getFileStatus(p).getLen
+  reader.initialize(
+    new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String]),
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+      new org.apache.hadoop.mapreduce.TaskAttemptID()))
+  if (hasPv)
+    reader.initBatch(StructType(Seq(StructField(pvCol, StringType, nullable = true))),
+      new GenericInternalRow(Array[Any](UTF8String.fromString(pvValue))))
+  else
+    reader.initBatch(new StructType(), new GenericInternalRow(0))
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.resultBatch()
+  override def close(): Unit = reader.close()
 }
 
 /** One pinned parquet file → InternalRows of the stream schema, with
@@ -437,11 +714,12 @@ final class LakeReaderFactory(schemaJson: String) extends PartitionReaderFactory
   * stream schema) is never read at all. */
 final class LakeFileReader(absPath: String, schema: StructType,
                            pvCol: String = null, pvValue: String = null,
-                           deleted: Array[Long] = Array.emptyLongArray)
+                           deleted: Array[Long] = Array.emptyLongArray,
+                           hadoopConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(absPath), new Configuration()))
+    HadoopInputFile.fromPath(new Path(absPath), hadoopConf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val kept = schema.fields.filter(f => fileSchema.containsField(f.name))
   // the log-recorded partition value, injected as a constant (the file
@@ -563,11 +841,13 @@ final class LakeBatchWrite(table: String, schema: StructType, queryId: String)
   private val stageDir = s".stage-v2w-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeWriterFactory(table, stageDir, schema.json)
+    new LakeWriterFactory(table, stageDir, schema.json,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 
   private def dropStage(): Unit = {
     val p = new Path(table, stageDir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     fs.delete(p, true): Unit
   }
 
@@ -580,18 +860,21 @@ final class LakeBatchWrite(table: String, schema: StructType, queryId: String)
   override def abort(messages: Array[WriterCommitMessage]): Unit = dropStage()
 }
 
-final class LakeWriterFactory(table: String, stageDir: String, schemaJson: String)
+final class LakeWriterFactory(table: String, stageDir: String, schemaJson: String,
+                              conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(table, stageDir,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId)
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId,
+      conf.value)
 }
 
 /** The executor half: rows of one partition → one staged parquet file
   * (example Group API over a MessageType derived from the write schema
   * — the same atomic-type contract the read side enforces). */
 final class LakeDataWriter(table: String, stageDir: String, schema: StructType,
-                           partitionId: Int, taskId: Long)
+                           partitionId: Int, taskId: Long,
+                           hadoopConf: Configuration = new Configuration())
     extends DataWriter[InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types => PTypes}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -627,7 +910,7 @@ final class LakeDataWriter(table: String, stageDir: String, schema: StructType,
 
   private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
     .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-      new Path(table, rel), new org.apache.hadoop.conf.Configuration()))
+      new Path(table, rel), hadoopConf))
     .withType(messageType)
     .build()
   private val factory =
@@ -666,8 +949,7 @@ final class LakeDataWriter(table: String, stageDir: String, schema: StructType,
   override def abort(): Unit = {
     close()
     val p = new Path(table, rel)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .delete(p, false): Unit
+    p.getFileSystem(hadoopConf).delete(p, false): Unit
   }
 
   override def close(): Unit =

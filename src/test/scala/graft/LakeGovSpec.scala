@@ -73,6 +73,15 @@ class LakeGovSpec extends SparkSpec {
     assert(LakeTxn.read(spark, t).count() === 25L)
   }
 
+  test("dropConstraint validates the name (no JSON injection into the log)") {
+    val t = freshDir("dropinj")
+    LakeTxn.appendCommit(spark, mkDocs(0 until 10).repartition(1), t)
+    LakeTxn.addConstraint(spark, t, "pos", "n_chars >= 0")
+    assertThrows[IllegalArgumentException](
+      LakeTxn.dropConstraint(spark, t, """x","evil":"y"""))
+    assert(LakeTxn.snapshot(spark, t).constraints.keySet === Set("pos"))
+  }
+
   test("reader protocol gate: too-new tables are refused at snapshot; time travel below the upgrade still reads") {
     val t = freshDir("rproto")
     LakeTxn.appendCommit(spark, mkDocs(0 until 10).repartition(1), t)

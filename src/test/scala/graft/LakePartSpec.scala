@@ -113,6 +113,30 @@ class LakePartSpec extends SparkSpec {
         mkDocs(60 until 70, _ => "en").withColumn("n_chars", lit(-1L)), t, "lang"))
   }
 
+  test("JSON-hostile partition values ('\"', newline, backslash) round-trip") {
+    // spark's hive-path escaping turns '"' and '\n' into %22/%0A; the
+    // unescape restores them, and the log line must survive that —
+    // an unescaped value would brick every later parseActions
+    val t = freshDir("hostile")
+    val langs = Vector("a\"b", "c\nd", "e\\f")
+    LakeTxn.appendCommitPartitioned(spark,
+      mkDocs(0 until 30, i => langs(i % 3)), t, "lang")
+    val snap = LakeTxn.snapshot(spark, t) // parseActions must not throw
+    assert(snap.adds.map(_.pvValue).distinct.sorted === langs.sorted)
+    LakeTxn.checkpointLog(spark, t) // and survive a checkpoint round-trip
+    val (got, _, _) = LakeTxn.readPartitions(spark, t, "lang", Seq("a\"b"))
+    assert(got.count() === 10L)
+    assert(got.select("lang").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("a\"b"))
+  }
+
+  test("empty-string partition values are refused (hive default-partition sentinel)") {
+    val t = freshDir("empty")
+    assertThrows[IllegalArgumentException](
+      LakeTxn.appendCommitPartitioned(spark,
+        mkDocs(0 until 10, i => if (i % 2 == 0) "en" else ""), t, "lang"))
+  }
+
   test("non-string and NULL partition columns fail loudly") {
     val t = freshDir("bad")
     import spark.implicits._

@@ -197,6 +197,15 @@ class LakeSkipSpec extends SparkSpec {
     assert(again.collect().map(_.getLong(0)).toSeq === Seq(17L))
   }
 
+  test("bloom on a non-BIGINT key is refused (narrower hash would false-negative)") {
+    val t = freshDir("bloomint")
+    import spark.implicits._
+    val ints = (0 until 50).map(i => (i, s"t$i")).toDF("k", "text") // k: INT
+    val e = intercept[IllegalArgumentException](
+      LakeTxn.appendCommitBloom(spark, ints, t, keyCol = "k"))
+    assert(e.getMessage.contains("BIGINT"))
+  }
+
   test("bloom membership is write/read consistent and round-trips the log") {
     val t = freshDir("bloomrt")
     import spark.implicits._

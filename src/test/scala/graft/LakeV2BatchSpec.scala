@@ -144,6 +144,100 @@ class LakeV2BatchSpec extends SparkSpec {
     assert(spark.read.format("graft-lake").load(t).count() === 31L)
   }
 
+  test("the batch scan is COLUMNAR (vectorized) and matches the row reader exactly") {
+    val t = freshDir("vec")
+    import spark.implicits._
+    val d = (0L until 500L).map(i =>
+      (i, s"text $i", if (i % 7 == 0) null else s"src${i % 3}",
+        i.toDouble / 3, i % 2 == 0))
+      .toDF("doc_id", "text", "source", "score", "flag")
+    LakeTxn.appendCommit(spark, d.repartition(3), t)
+    val df = spark.read.format("graft-lake").load(t)
+    // a DV-free atomic-schema scan must take the vectorized path: the
+    // executed plan shows the ColumnarToRow transition above the scan
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan.take(800))
+    assert(df.orderBy("doc_id").collect().map(_.mkString("|")).toSeq ===
+      LakeTxn.read(spark, t).orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
+    // a deletion vector demotes the scan to the row reader (merge-on-read
+    // needs a row cursor) — and content still matches the reference
+    LakeTxn.deleteWhereMor(spark, t, col("doc_id") % 5 === 3)
+    val dv = spark.read.format("graft-lake").load(t)
+    dv.collect(): Unit
+    assert(!dv.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(dv.orderBy("doc_id").collect().map(_.mkString("|")).toSeq ===
+      LakeTxn.read(spark, t).orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
+  }
+
+  test("columnar scan injects partition values and null-fills evolved columns") {
+    val t = freshDir("vecpv")
+    import spark.implicits._
+    val d = (0 until 60).map(i =>
+      (i.toLong, s"text $i", Seq("en", "fr", "de")(i % 3)))
+      .toDF("doc_id", "text", "lang")
+    LakeTxn.appendCommitPartitioned(spark, d, t, "lang")
+    val df = spark.read.format("graft-lake").load(t) // lang appended LAST
+    df.collect(): Unit
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "pv-last scans should stay columnar")
+    assert(df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("en" -> 20L, "fr" -> 20L, "de" -> 20L))
+    // schema evolution: files written before the 'quality' column existed
+    // null-fill it INSIDE the vectorized reader
+    val t2 = freshDir("vecevo")
+    val base = (0L until 30L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    LakeTxn.appendCommit(spark, base.repartition(1), t2)
+    LakeTxn.appendCommitEvolve(spark,
+      (30L until 60L).map(i => (i, s"t$i", i % 7)).toDF("doc_id", "text", "quality"),
+      t2)
+    val evo = spark.read.format("graft-lake").load(t2)
+    evo.collect(): Unit
+    assert(evo.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(evo.filter(col("quality").isNull).count() === 30L)
+    assert(evo.orderBy("doc_id").collect().map(_.mkString("|")).toSeq ===
+      LakeTxn.read(spark, t2).orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
+  }
+
+  test("row-group pruning: a selective band decodes k of N groups, hash unchanged") {
+    val t = freshDir("rg")
+    import spark.implicits._
+    // small row groups: one sorted file with MANY groups, so footer
+    // min/max can prune below file granularity
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prior = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      val d = (0L until 200000L).map(i => (i, i * 3 + 1))
+        .toDF("k", "v")
+      LakeTxn.appendCommit(spark, d.repartitionByRange(1, col("k"))
+        .sortWithinPartitions("k"), t)
+    } finally {
+      if (prior == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prior)
+    }
+    val file = LakeTxn.snapshot(spark, t).adds.head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$t/${file.file}"),
+        spark.sessionState.newHadoopConf())).getFooter
+    val nGroups = footer.getBlocks.size()
+    assert(nGroups >= 8, s"need many row groups to prove pruning, got $nGroups")
+    // a narrow band over the sorted key: the reader must decode only the
+    // overlapping groups — observable as the SCAN's output rows (emitted
+    // before Spark's residual filter) ≪ the file's total rows
+    val band = spark.read.format("graft-lake").load(t)
+      .filter(col("k").between(1000L, 2000L))
+    val got = band.collect()
+    assert(got.length === 1001)
+    assert(got.map(_.getLong(1)).sum === (1000L to 2000L).map(_ * 3 + 1).sum)
+    val scanRows = band.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows < 200000L / 4,
+      s"row-group pruning should decode a fraction of the file, got $scanRows")
+  }
+
   test("column pruning reaches the reader (narrow select over a wide table)") {
     val t = freshDir("prune")
     import spark.implicits._
