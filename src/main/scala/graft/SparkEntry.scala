@@ -999,6 +999,9 @@ object SparkEntry {
     // the connector's WRITE half: per-task staging, one atomic log
     // commit per write, constraints + protocol gates apply
     "lake_v2_write" -> ((s, d) => sources.LakeStream.v2WriteQuery(s, d)),
+    // the SQL DDL surface: CREATE/INSERT/ALTER ADD COLUMN/SELECT in
+    // pure SQL through the V2 TableCatalog resolving over the log
+    "lake_sql_ddl" -> ((s, d) => sources.GraftLakeCatalog.sqlDdlQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3254,6 +3257,17 @@ object SparkEntry {
     "lake_v2_write" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the SQL catalog journey: two parity inserts union to the corpus
+    // (quality null-backfilled by the ALTER), plus the post-evolution
+    // insert carrying it — a lost insert or bad backfill hash-mismatches
+    "lake_sql_ddl" ->
+      """SELECT doc_id, lang, source, n_chars, CAST(NULL AS BIGINT) AS quality
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars,
+        |  n_chars % 7 AS quality
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin,
     // the poisoned batch must never land: final content is exactly the
     // two conforming appends (the whole corpus)
     "lake_txn_constraint" ->

@@ -1032,9 +1032,35 @@ object LakeTxn {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
 
+  /** CREATE an empty table: commit 0 carries ONLY the governing schema
+    * action — the catalog's DDL shape (a table exists the moment its
+    * schema is committed; data arrives through later appends). */
+  def createTable(spark: SparkSession, table: String,
+                  schema: org.apache.spark.sql.types.StructType): Long = {
+    require(listVersions(spark, table).isEmpty,
+      s"$table already has a commit log — createTable is for NEW tables")
+    require(schema.nonEmpty, s"cannot create $table with an empty schema")
+    commitAt(spark, table, -1L, Seq(stageSchema(spark, table, schema)), Nil)
+  }
+
+  /** Evolve the governing schema WITHOUT data (ALTER TABLE ADD COLUMN):
+    * the new nullable tail column joins the schema-on-log; every
+    * existing file null-fills it at read time. */
+  def addColumn(spark: SparkSession, table: String,
+                name: String, dt: org.apache.spark.sql.types.DataType): Long = {
+    val snap = snapshot(spark, table)
+    val base = tableSchema(spark, table, snap).getOrElse(
+      scanWithDvs(spark, table, snap, snap.files).schema)
+    require(!base.fieldNames.contains(name),
+      s"column '$name' already exists in $table")
+    val unified = base.add(name, dt, nullable = true)
+    commitAt(spark, table, snap.version,
+      Seq(stageSchema(spark, table, unified)), Nil)
+  }
+
   /** Atomically land a schema JSON under `meta/` and return its schema
     * add action (pinned by the caller's commit). */
-  private def stageSchema(spark: SparkSession, table: String,
+  private[graft] def stageSchema(spark: SparkSession, table: String,
                           st: org.apache.spark.sql.types.StructType): Action = {
     val rel = s"meta/${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}.json"
     val dest = new Path(table, rel)

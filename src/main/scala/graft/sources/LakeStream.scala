@@ -90,23 +90,33 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
     * footer (the parquet contract — never a directory-wide schema
     * merge), with partition columns that live only in the log appended
     * as nullable strings. */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val spark = SparkSession.active
-    val t = path(options)
-    val snap = LakeTxn.snapshot(spark, t,
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LakeStreamSource.tableSchemaOf(SparkSession.active, path(options),
       Option(options.get("versionAsOf")).map(_.toLong))
-    require(snap.adds.nonEmpty, s"snapshot ${snap.version} of $t is empty")
-    val base = LakeTxn.tableSchema(spark, t, snap).getOrElse(
-      spark.read.parquet(s"$t/${snap.adds.head.file}").schema)
-    val pvCols = snap.adds.flatMap(a => Option(a.pvCol)).distinct
-      .filterNot(base.fieldNames.contains)
-    pvCols.foldLeft(base)((st, pc) => st.add(pc, StringType, nullable = true))
-  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new LakeStreamTable(path(opts), schema)
+  }
+}
+
+object LakeStreamSource {
+  /** The logical schema of a lake table: the governing schema-on-log
+    * when one is pinned (which is how a just-created EMPTY catalog
+    * table has a schema at all), else one live footer, plus any
+    * log-only partition columns appended as nullable strings. */
+  private[sources] def tableSchemaOf(spark: SparkSession, t: String,
+                                     versionAsOf: Option[Long] = None): StructType = {
+    val snap = LakeTxn.snapshot(spark, t, versionAsOf)
+    val base = LakeTxn.tableSchema(spark, t, snap).getOrElse {
+      require(snap.adds.nonEmpty,
+        s"snapshot ${snap.version} of $t is empty and carries no schema")
+      spark.read.parquet(s"$t/${snap.adds.head.file}").schema
+    }
+    val pvCols = snap.adds.flatMap(a => Option(a.pvCol)).distinct
+      .filterNot(base.fieldNames.contains)
+    pvCols.foldLeft(base)((st, pc) => st.add(pc, StringType, nullable = true))
   }
 }
 

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.LakeTxn
+
+/** The V2 TableCatalog over the lake: SQL DDL/DML resolving through the
+  * commit log — CREATE/ALTER/DROP/RENAME TABLE, INSERT INTO, SELECT,
+  * CTAS, saveAsTable, with CHECK constraints and the protocol gate
+  * enforced through the SQL path exactly like the programmatic one. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val dir = s"/tmp/graft_cat_${System.nanoTime()}"
+    spark.conf.set("spark.sql.catalog.glake", classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glake.warehouse", dir)
+    spark.sql("CREATE NAMESPACE glake.db")
+    dir
+  }
+
+  private def tPath(name: String): String = s"$wh/db/$name"
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trip through pure SQL") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.docs (doc_id BIGINT, text STRING, n_chars BIGINT) USING `graft-lake`")
+    // an empty table is queryable the moment its schema commits
+    assert(spark.sql("SELECT * FROM glake.db.docs").count() === 0L)
+    import spark.implicits._
+    (0L until 40L).map(i => (i, s"text $i", 10 + i))
+      .toDF("doc_id", "text", "n_chars").createOrReplaceTempView("src_docs")
+    spark.sql("INSERT INTO glake.db.docs SELECT * FROM src_docs WHERE doc_id % 2 = 0")
+    spark.sql("INSERT INTO glake.db.docs SELECT * FROM src_docs WHERE doc_id % 2 = 1")
+    // two inserts = two commits; content exact through SQL AND the log
+    assert(spark.sql("SELECT sum(n_chars) FROM glake.db.docs").head.getLong(0)
+      === (0L until 40L).map(10 + _).sum)
+    assert(spark.table("glake.db.docs").count() === 40L)
+    assert(LakeTxn.read(spark, tPath("docs")).count() === 40L)
+    assert(LakeTxn.listVersions(spark, tPath("docs")).size === 3) // create + 2
+    assert(spark.sql("SHOW TABLES IN glake.db").collect()
+      .map(_.getString(1)).contains("docs"))
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves schema-on-log; old rows null-fill") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.evo (k BIGINT, v STRING) USING `graft-lake`")
+    spark.sql("INSERT INTO glake.db.evo VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE glake.db.evo ADD COLUMN quality BIGINT")
+    spark.sql("INSERT INTO glake.db.evo VALUES (3, 'c', 7)")
+    val rows = spark.sql(
+      "SELECT k, v, quality FROM glake.db.evo ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ===
+      Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 7L)))
+    // drops/renames are table rewrites on a lake: refused loudly
+    intercept[Exception](spark.sql("ALTER TABLE glake.db.evo DROP COLUMN v"))
+  }
+
+  test("CTAS and saveAsTable land as schema commit + appends") {
+    wh: Unit
+    import spark.implicits._
+    (0L until 20L).map(i => (i, i * 2)).toDF("a", "b")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE glake.db.ctas USING `graft-lake` AS SELECT * FROM ctas_src")
+    assert(spark.table("glake.db.ctas").agg(sum("b")).head.getLong(0) ===
+      (0L until 20L).map(_ * 2).sum)
+    (20L until 30L).map(i => (i, i * 2)).toDF("a", "b")
+      .write.mode("append").saveAsTable("glake.db.ctas")
+    assert(spark.table("glake.db.ctas").count() === 30L)
+  }
+
+  test("CHECK constraints and the protocol gate bite through SQL INSERT") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.gated (k BIGINT, n BIGINT) USING `graft-lake`")
+    spark.sql("INSERT INTO glake.db.gated VALUES (1, 5)")
+    LakeTxn.addConstraint(spark, tPath("gated"), "n_pos", "n >= 0")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO glake.db.gated VALUES (2, -1)"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[LakeTxn.ConstraintViolationException]),
+      s"wanted a constraint violation, got $e")
+    // nothing landed, nothing staged
+    assert(spark.table("glake.db.gated").count() === 1L)
+    spark.sql("INSERT INTO glake.db.gated VALUES (3, 0)")
+    assert(spark.table("glake.db.gated").count() === 2L)
+    // writer protocol fence: a too-new table refuses SQL writes
+    LakeTxn.setProtocol(spark, tPath("gated"), reader = 1, writer = 99)
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO glake.db.gated VALUES (4, 1)"))
+    assert(chain(e2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("writer protocol")), s"got $e2")
+  }
+
+  test("DROP / RENAME / listTables; unsupported shapes are refused loudly") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.tmp1 (k BIGINT) USING `graft-lake`")
+    spark.sql("INSERT INTO glake.db.tmp1 VALUES (42)")
+    spark.sql("ALTER TABLE glake.db.tmp1 RENAME TO db.tmp2")
+    assert(spark.table("glake.db.tmp2").head.getLong(0) === 42L)
+    assert(!spark.catalog.tableExists("glake.db.tmp1"))
+    spark.sql("DROP TABLE glake.db.tmp2")
+    assert(spark.sql("SHOW TABLES IN glake.db").collect()
+      .forall(r => r.getString(1) != "tmp2"))
+    // partitioned CREATE and LOCATION have no catalog story: refuse
+    intercept[Exception](spark.sql(
+      "CREATE TABLE glake.db.bad (k BIGINT, p STRING) USING `graft-lake` PARTITIONED BY (p)"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE glake.db.bad2 (k BIGINT) USING `graft-lake` LOCATION '/tmp/elsewhere'"))
+    // a nested type is refused at CREATE (atomic-column contract)
+    intercept[Exception](spark.sql(
+      "CREATE TABLE glake.db.bad3 (k BIGINT, m MAP<STRING, BIGINT>) USING `graft-lake`"))
+  }
+
+  test("the catalog read path is the V2 connector: columnar scan + log pruning") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.scan (k BIGINT, v BIGINT) USING `graft-lake`")
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, i * 3)).toDF("k", "v")
+      .createOrReplaceTempView("scan_src")
+    spark.sql("INSERT INTO glake.db.scan SELECT * FROM scan_src")
+    val df = spark.sql("SELECT k, v FROM glake.db.scan WHERE k BETWEEN 10 AND 20")
+    assert(df.collect().map(_.getLong(1)).sum === (10L to 20L).map(_ * 3).sum)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+}
