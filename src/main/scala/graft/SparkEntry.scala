@@ -1002,6 +1002,10 @@ object SparkEntry {
     // the SQL DDL surface: CREATE/INSERT/ALTER ADD COLUMN/SELECT in
     // pure SQL through the V2 TableCatalog resolving over the log
     "lake_sql_ddl" -> ((s, d) => sources.GraftLakeCatalog.sqlDdlQuery(s, d)),
+    // the NATIVE exactly-once streaming sink: writeStream lands each
+    // epoch as one marker-keyed commit; a full fresh-checkpoint replay
+    // re-delivers every epoch and the markers skip them all
+    "stream_lake_sink" -> ((s, d) => sources.LakeStream.streamSinkQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3257,6 +3261,11 @@ object SparkEntry {
     "lake_v2_write" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the native sink must land each row exactly once through a full
+    // epoch replay: oracle = the filtered corpus
+    "stream_lake_sink" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE lang <> 'fr' ORDER BY doc_id""".stripMargin,
     // the SQL catalog journey: two parity inserts union to the corpus
     // (quality null-backfilled by the ALTER), plus the post-evolution
     // insert carrying it — a lost insert or bad backfill hash-mismatches

@@ -514,12 +514,28 @@ object LakeTxn {
     * constraints are enforced against the staged content first (a
     * violating write deletes its staged files and aborts — nothing
     * pins), then the files rename into `data/` with footer row counts
-    * recorded. The V2 connector's write-side commit. */
+    * recorded. The V2 connector's write-side commit.
+    *
+    * `marker` makes the commit an EXACTLY-ONCE streaming epoch: the
+    * commit carries the `(app, batchId)` txn line, a replayed epoch
+    * finds its marker already committed and skips (staged files
+    * deleted, -1 returned), and two replays racing the same id resolve
+    * through the put-if-absent claim — exactly
+    * [[appendBatchCommit]]'s contract, driven by the native V2
+    * streaming sink instead of foreachBatch. */
   private[graft] def commitStagedV2(spark: SparkSession, table: String,
-                                    staged: Seq[String]): Long = {
+                                    staged: Seq[String],
+                                    marker: Option[(String, Long)] = None): Long = {
     require(staged.nonEmpty, "empty V2 write: no staged files")
     val root = new Path(table)
     val fs = fsOf(spark, root)
+    def dropStaged(): Unit =
+      staged.foreach(s => fs.delete(new Path(root, s), false))
+    if (marker.exists(m => committedBatchIds(spark, table).contains(m))) {
+      dropStaged() // replayed epoch: already landed, nothing to do
+      return -1L
+    }
+    checkWriterProtocol(spark, table)
     if (listVersions(spark, table).nonEmpty) {
       val cs = snapshot(spark, table).constraints
       if (cs.nonEmpty) {
@@ -527,7 +543,7 @@ object LakeTxn {
         cs.foreach { case (name, e) =>
           val bad = df.filter(not(coalesce(expr(e).cast("boolean"), lit(true))))
           if (!bad.isEmpty) {
-            staged.foreach(s => fs.delete(new Path(root, s), false))
+            dropStaged()
             throw new ConstraintViolationException(
               s"CHECK constraint '$name' ($e) violated by the V2 write to " +
                 s"$table — staged files deleted, nothing committed")
@@ -543,7 +559,24 @@ object LakeTxn {
         s"failed to publish staged $s as $rel")
       footerAction(spark, root, rel, null)
     }
-    commit(spark, table, adds, Nil)
+    marker match {
+      case None => commit(spark, table, adds, Nil)
+      case Some((app, id)) =>
+        // the marker re-check runs on EVERY claim attempt: a racing
+        // replay that won leaves its marker, this one skips (its
+        // published-but-unpinned files are invisible, vacuumed later)
+        var attempt = 0
+        while (attempt < 100) {
+          if (committedBatchIds(spark, table).contains((app, id))) return -1L
+          val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
+          if (tryPublish(spark, table, latest + 1, adds, Nil,
+            Seq(s"""{"a":"txn","app":"$app","id":$id}""")))
+            return latest + 1
+          attempt += 1
+        }
+        throw new CommitConflictException(
+          s"gave up claiming a version in $table for ($app, $id)")
+    }
   }
 
   /** A losing optimistic commit whose base was invalidated: an
@@ -657,7 +690,9 @@ object LakeTxn {
   def addConstraint(spark: SparkSession, table: String,
                     name: String, sqlExpr: String): Long = {
     val vs = listVersions(spark, table)
-    if (vs.nonEmpty) {
+    // an EMPTY table (schema-only, catalog-created) satisfies any
+    // constraint trivially — only data-bearing snapshots validate
+    if (vs.nonEmpty && snapshot(spark, table).files.nonEmpty) {
       val bad = read(spark, table)
         .filter(not(coalesce(expr(sqlExpr).cast("boolean"), lit(true))))
       if (!bad.isEmpty) throw new ConstraintViolationException(

@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -126,7 +127,8 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   /** APPEND writes through the connector: executors stage parquet under
     * a dot-dir (invisible to readers), the driver publishes ONE atomic
@@ -141,6 +143,18 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
       override def build(): Write = new Write {
         override def toBatch(): BatchWrite =
           new LakeBatchWrite(tablePath, info.schema(), info.queryId())
+        /** The EXACTLY-ONCE streaming sink: each epoch publishes as one
+          * atomic commit carrying an `(app, epochId)` idempotence
+          * marker, so replayed epochs (failure recovery, or a full
+          * re-run from a fresh checkpoint under the same `txnAppId`)
+          * skip instead of doubling rows. `app` defaults to the
+          * streaming query id (per-checkpoint exactly-once, the
+          * standard sink contract); set `txnAppId` for a stable
+          * cross-checkpoint identity — the Delta txnAppId shape. */
+        override def toStreaming(): StreamingWrite =
+          new LakeStreamingWrite(tablePath, info.schema(),
+            Option(info.options.get("txnAppId")).getOrElse(info.queryId()),
+            info.queryId())
       }
     }
 
@@ -879,17 +893,61 @@ final class LakeWriterFactory(table: String, stageDir: String, schemaJson: Strin
       conf.value)
 }
 
+/** The driver half of the STREAMING sink: one stage dir per query
+  * (files suffixed by epoch), each epoch's task-committed files
+  * published through [[LakeTxn.commitStagedV2]] with the
+  * `(app, epochId)` marker — replays skip, so the sink is exactly-once
+  * on top of the commit protocol. An epoch that produced no rows
+  * commits nothing (re-delivery of nothing needs no marker). */
+final class LakeStreamingWrite(table: String, schema: StructType,
+                               appId: String, queryId: String)
+    extends StreamingWrite {
+  private val stageDir = s".stage-v2s-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LakeStreamingWriterFactory(table, stageDir, schema.json,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
+    if (staged.nonEmpty)
+      LakeTxn.commitStagedV2(SparkSession.active, table, staged,
+        marker = Some((appId, epochId))): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+    messages.collect { case m: LakeWriteCommit => m.files }.flatten
+      .foreach(f => fs.delete(new Path(table, f), false))
+  }
+}
+
+final class LakeStreamingWriterFactory(table: String, stageDir: String,
+                                       schemaJson: String,
+                                       conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(table, stageDir,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId,
+      conf.value, suffix = s"-e$epochId")
+}
+
 /** The executor half: rows of one partition → one staged parquet file
   * (example Group API over a MessageType derived from the write schema
   * — the same atomic-type contract the read side enforces). */
 final class LakeDataWriter(table: String, stageDir: String, schema: StructType,
                            partitionId: Int, taskId: Long,
-                           hadoopConf: Configuration = new Configuration())
+                           hadoopConf: Configuration = new Configuration(),
+                           suffix: String = "")
     extends DataWriter[InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types => PTypes}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-  private val rel = s"$stageDir/part-$partitionId-$taskId.parquet"
+  private val rel = s"$stageDir/part-$partitionId-$taskId$suffix.parquet"
 
   private val messageType: MessageType = {
     val b = PTypes.buildMessage()
@@ -1038,6 +1096,43 @@ object LakeStream {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      q.awaitTermination()
+    }
+    run(s"$src/_ckpt1")
+    run(s"$src/_ckpt2") // fresh checkpoint: every epoch re-delivers; markers skip
+    LakeTxn.read(spark, dst).orderBy("doc_id")
+  }
+
+  /** stream_lake_sink: the NATIVE streaming sink — `writeStream
+    * .format("graft-lake")` lands each epoch as one atomic commit
+    * through [[LakeStreamingWrite]], marker-keyed by the stable
+    * `txnAppId`. The stream runs once (three commits tailed per-epoch
+    * into the destination), then AGAIN from a FRESH checkpoint — full
+    * re-delivery of every epoch, the harshest replay there is: the
+    * markers skip all of them, so the destination holds each row
+    * exactly once. A sink without the marker protocol would double
+    * every row; graded on the destination's content. The destination
+    * is born via [[LakeTxn.createTable]] (schema-first DDL), so the
+    * whole journey is catalog-shaped: CREATE, stream-in, read. */
+  def streamSinkQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = LakeTxn.freshTable(spark, sfDir, "sinksrc")
+    val dst = LakeTxn.freshTable(spark, sfDir, "sinkdst")
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    for (r <- 0 to 2)
+      LakeTxn.appendCommit(spark, d.filter(col("doc_id") % 3 === r).repartition(2), src)
+    LakeTxn.createTable(spark, dst, d.schema)
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", 1)
+        .load(src)
+        .filter(col("lang") =!= "fr")
+        .writeStream.outputMode("append")
+        .format("graft-lake")
+        .option("txnAppId", "stream_lake_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
       q.awaitTermination()
     }
     run(s"$src/_ckpt1")
