@@ -1006,6 +1006,9 @@ object SparkEntry {
     // epoch as one marker-keyed commit; a full fresh-checkpoint replay
     // re-delivers every epoch and the markers skip them all
     "stream_lake_sink" -> ((s, d) => sources.LakeStream.streamSinkQuery(s, d)),
+    // mode("overwrite") through the connector: one atomic
+    // remove-all+add commit, then an append on top
+    "lake_v2_overwrite" -> ((s, d) => sources.LakeStream.v2OverwriteQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3261,6 +3264,16 @@ object SparkEntry {
     "lake_v2_write" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the overwrite must replace EXACTLY the old content (a missed
+    // remove double-counts; a half-applied replace mixes); the final
+    // append stacks on top
+    "lake_v2_overwrite" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang <> 'de'
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang = 'de' AND doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin,
     // the native sink must land each row exactly once through a full
     // epoch replay: oracle = the filtered corpus
     "stream_lake_sink" ->

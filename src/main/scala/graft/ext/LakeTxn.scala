@@ -579,6 +579,89 @@ object LakeTxn {
     }
   }
 
+  /** OVERWRITE through the V2 connector: ONE atomic commit that removes
+    * the doomed file set and adds the staged replacement. Two scopes:
+    *  - `scope = None`: truncate-and-append (`mode("overwrite")`) —
+    *    every live data file AND deletion vector unpins; the governing
+    *    schema and constraints survive (they are not data).
+    *  - `scope = Some((col, values))`: partition-scoped replaceWhere —
+    *    only files whose LOG-recorded partition value of `col` is in
+    *    `values` unpin. Every live file must carry a partition value
+    *    for `col` (file-level replacement is only exact on a
+    *    partitioned table), and the staged rows must all fall inside
+    *    the scope (Delta's replaceWhere validation). Single-value
+    *    scopes stamp the replacement files with that partition value,
+    *    preserving the partitioned-table invariant.
+    *
+    * Conflict contract is STRICT for overwrites: any commit interleaved
+    * after `readVersion` (even a pure append — its rows would be
+    * silently erased by the blind remove-all) aborts with
+    * [[CommitConflictException]]; staged files are deleted on abort. */
+  private[graft] def overwriteStagedV2(spark: SparkSession, table: String,
+                                       staged: Seq[String], readVersion: Long,
+                                       scope: Option[(String, Seq[String])]): Long = {
+    require(staged.nonEmpty, "empty V2 overwrite: no staged files")
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    def dropStaged(): Unit =
+      staged.foreach(s => fs.delete(new Path(root, s), false))
+    try {
+      if (listVersions(spark, table).isEmpty) {
+        // overwriting a table that does not exist yet IS the bootstrap
+        require(scope.isEmpty, "scoped overwrite of a nonexistent table")
+        return commitStagedV2(spark, table, staged)
+      }
+      checkWriterProtocol(spark, table)
+      val snap = snapshot(spark, table, Some(readVersion).filter(_ >= 0))
+      val stagedDf =
+        spark.read.parquet(staged.map(s => new Path(root, s).toString): _*)
+      snap.constraints.foreach { case (name, e) =>
+        val bad = stagedDf.filter(not(coalesce(expr(e).cast("boolean"), lit(true))))
+        if (!bad.isEmpty) throw new ConstraintViolationException(
+          s"CHECK constraint '$name' ($e) violated by the overwrite of " +
+            s"$table — staged files deleted, nothing committed")
+      }
+      val (removes, stampPv) = scope match {
+        case None => (snap.files ++ snap.dvs.map(_.file), None)
+        case Some((pc, values)) =>
+          val unpartitioned = snap.adds.filter(_.pvCol != pc)
+          require(unpartitioned.isEmpty,
+            s"scoped overwrite of $table needs every live file partitioned " +
+              s"by '$pc'; ${unpartitioned.size} file(s) are not — file-level " +
+              s"replacement would be inexact")
+          val outside = stagedDf.filter(col(pc).isNull || !col(pc).isin(values: _*))
+          if (!outside.isEmpty) throw new ConstraintViolationException(
+            s"overwrite scope $pc IN (${values.mkString(", ")}) of $table: " +
+              s"the replacement rows reach outside the scope — nothing committed")
+          (snap.adds.filter(a => values.contains(a.pvValue)).map(_.file),
+            if (values.size == 1) Some((pc, values.head)) else None)
+      }
+      val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      fs.mkdirs(new Path(root, "data"))
+      val adds = staged.zipWithIndex.map { case (s, i) =>
+        val rel = s"data/$batch-$i.parquet"
+        require(fs.rename(new Path(root, s), new Path(root, rel)),
+          s"failed to publish staged $s as $rel")
+        val act = footerAction(spark, root, rel, null)
+        stampPv.fold(act) { case (pc, v) => act.copy(pvCol = pc, pvValue = v) }
+      }
+      val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
+      if (latest != readVersion || !tryPublish(spark, table, readVersion + 1,
+        adds, removes)) {
+        // the replacement files are published-but-unpinned: delete them
+        // here (they are known and invisible) rather than leak to vacuum
+        adds.foreach(a => fs.delete(new Path(root, a.file), false))
+        throw new CommitConflictException(
+          s"overwrite conflict in $table: the table advanced past read " +
+            s"version $readVersion while the overwrite ran — a blind " +
+            s"remove-all would erase the interleaved commit's rows; recompute")
+      }
+      readVersion + 1
+    } catch {
+      case t: Throwable => dropStaged(); throw t
+    }
+  }
+
   /** A losing optimistic commit whose base was invalidated: an
     * interleaved commit already removed files this rewrite unpins, so a
     * blind re-publish would resurrect deleted data. The caller must

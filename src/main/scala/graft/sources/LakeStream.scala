@@ -128,7 +128,8 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** APPEND writes through the connector: executors stage parquet under
     * a dot-dir (invisible to readers), the driver publishes ONE atomic
@@ -139,10 +140,58 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
     * LakeTxn.appendCommit, which pins the schema reads validate
     * against. CHECK constraints and the writer protocol gate apply. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = append; Some(None) = truncate-all; Some(Some(scope)) =
+      // partition-scoped replace
+      private var replace: Option[Option[(String, Seq[String])]] = None
+
+      /** `mode("overwrite")` arrives as overwrite([AlwaysTrue]) via the
+        * default truncate(); a `replaceWhere`/`replaceWhereValues`
+        * option pair narrows it to a partition scope (the Delta
+        * replaceWhere shape on the path API). A real filter array
+        * (catalog `writeTo(...).overwrite(cond)`) must be equality/IN
+        * on ONE column — the only shape file-level replacement can
+        * honor exactly. */
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, In, IsNotNull, Or}
+        val material = filters.filterNot(f =>
+          f.isInstanceOf[AlwaysTrue] || f.isInstanceOf[IsNotNull])
+        def flat(f: Filter): Seq[(String, String)] = f match {
+          case EqualTo(c, v: String) => Seq((c, v))
+          case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+            vs.map(v => (c, v.asInstanceOf[String])).toSeq
+          case Or(l, r) => flat(l) ++ flat(r)
+          case other => throw new IllegalArgumentException(
+            s"graft-lake overwrite supports equality/IN scopes on one " +
+              s"string partition column (got $other)")
+        }
+        replace = Some {
+          if (material.isEmpty) {
+            val rwCol = info.options.get("replaceWhere")
+            val rwVals = info.options.get("replaceWhereValues")
+            require((rwCol == null) == (rwVals == null),
+              "replaceWhere and replaceWhereValues come together")
+            if (rwCol == null) None
+            else Some((rwCol, rwVals.split(",").map(_.trim).toSeq))
+          } else {
+            val pairs = material.toSeq.flatMap(flat)
+            val cols = pairs.map(_._1).distinct
+            require(cols.size == 1,
+              s"overwrite scope must target ONE column (got ${cols.mkString(", ")})")
+            Some((cols.head, pairs.map(_._2).distinct))
+          }
+        }
+        this
+      }
+
       override def build(): Write = new Write {
-        override def toBatch(): BatchWrite =
-          new LakeBatchWrite(tablePath, info.schema(), info.queryId())
+        override def toBatch(): BatchWrite = replace match {
+          case None =>
+            new LakeBatchWrite(tablePath, info.schema(), info.queryId())
+          case Some(scope) =>
+            new LakeOverwriteBatchWrite(tablePath, info.schema(),
+              info.queryId(), scope)
+        }
         /** The EXACTLY-ONCE streaming sink: each epoch publishes as one
           * atomic commit carrying an `(app, epochId)` idempotence
           * marker, so replayed epochs (failure recovery, or a full
@@ -151,10 +200,14 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
           * streaming query id (per-checkpoint exactly-once, the
           * standard sink contract); set `txnAppId` for a stable
           * cross-checkpoint identity — the Delta txnAppId shape. */
-        override def toStreaming(): StreamingWrite =
+        override def toStreaming(): StreamingWrite = {
+          require(replace.isEmpty,
+            "graft-lake streams append-only (no complete/truncate mode): " +
+              "an overwriting stream would erase delivered history per epoch")
           new LakeStreamingWrite(tablePath, info.schema(),
             Option(info.options.get("txnAppId")).getOrElse(info.queryId()),
             info.queryId())
+        }
       }
     }
 
@@ -893,6 +946,40 @@ final class LakeWriterFactory(table: String, stageDir: String, schemaJson: Strin
       conf.value)
 }
 
+/** The driver half of an OVERWRITE: the read version pins at JOB START
+  * (construction — the base state the replacement was computed
+  * against); [[LakeTxn.overwriteStagedV2]] publishes remove+add as one
+  * atomic commit and aborts on ANY interleaved commit — an append that
+  * raced in would otherwise be silently erased by the remove-all. */
+final class LakeOverwriteBatchWrite(table: String, schema: StructType,
+                                    queryId: String,
+                                    scope: Option[(String, Seq[String])])
+    extends BatchWrite {
+  private val readVersion =
+    LakeTxn.listVersions(SparkSession.active, table).lastOption.getOrElse(-1L)
+  private val stageDir = s".stage-v2o-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(table, stageDir, schema.json,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  private def dropStage(): Unit = {
+    val p = new Path(table, stageDir)
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(p, true): Unit
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
+    try LakeTxn.overwriteStagedV2(SparkSession.active, table, staged,
+      readVersion, scope): Unit
+    finally dropStage()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = dropStage()
+}
+
 /** The driver half of the STREAMING sink: one stage dir per query
   * (files suffixed by epoch), each epoch's task-committed files
   * published through [[LakeTxn.commitStagedV2]] with the
@@ -1155,6 +1242,25 @@ object LakeStream {
     d.filter(col("doc_id") % 3 === 1).repartition(2)
       .write.format("graft-lake").mode("append").save(t)
     d.filter(col("doc_id") % 3 === 2).repartition(2)
+      .write.format("graft-lake").mode("append").save(t)
+    LakeTxn.read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_v2_overwrite: `mode("overwrite")` through the connector —
+    * ONE atomic remove-all+add commit replaces the table content (the
+    * bootstrap corpus shrinks to the non-'de' corpus), then a plain
+    * append lands on top; graded on the final content. A reader that
+    * saw the overwrite half-applied (old+new mixed), or an overwrite
+    * that missed a remove, double-counts and hash-mismatches; time
+    * travel to the pre-overwrite version still reads (spec-pinned). */
+  def v2OverwriteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "v2ow")
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    LakeTxn.appendCommit(spark, d.repartition(2), t)
+    d.filter(col("lang") =!= "de").repartition(2)
+      .write.format("graft-lake").mode("overwrite").save(t)
+    d.filter(col("lang") === "de" && col("doc_id") % 13 === 0).repartition(1)
       .write.format("graft-lake").mode("append").save(t)
     LakeTxn.read(spark, t).orderBy("doc_id")
   }
