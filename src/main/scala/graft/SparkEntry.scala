@@ -1009,6 +1009,9 @@ object SparkEntry {
     // mode("overwrite") through the connector: one atomic
     // remove-all+add commit, then an append on top
     "lake_v2_overwrite" -> ((s, d) => sources.LakeStream.v2OverwriteQuery(s, d)),
+    // the n-column stats map: IS NOT NULL + band predicates prune the
+    // file list from log-recorded nullCount/min/max, zero footer opens
+    "lake_multi_stats" -> ((s, d) => sources.LakeStream.multiStatsQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3264,6 +3267,17 @@ object SparkEntry {
     "lake_v2_write" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // null-count + band pruning must change nothing but the files
+    // opened: the oracle is the plain filter (IS NOT NULL = the promo
+    // residue class by construction)
+    "lake_multi_stats" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS promo_cents
+        |FROM orders
+        |WHERE o_custkey % 4 = 0
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT) <= 3000000
+        |ORDER BY o_orderkey""".stripMargin,
     // the overwrite must replace EXACTLY the old content (a missed
     // remove double-counts; a half-applied replace mixes); the final
     // append stacks on top

@@ -75,7 +75,8 @@ object LakeTxn {
                           dv: Boolean = false, schema: Boolean = false,
                           statsCol2: String = null, lo2: Long = 0L, hi2: Long = 0L,
                           bloomCol: String = null, bloom: String = null,
-                          pvCol: String = null, pvValue: String = null)
+                          pvCol: String = null, pvValue: String = null,
+                          sx: String = null)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
     * optional skipping stats), the live deletion vectors, the
@@ -145,6 +146,7 @@ object LakeTxn {
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"c2":"([^"]+)","min2":(-?\d+),"max2":(-?\d+))?""" +
       """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?""" +
+      """(?:,"sx":"([A-Za-z0-9+/=]+)")?""" +
       """(?:,"pc":"([^"]+)","pv(64)?":"([^"]*)")?\}""").r
   private val TxnRe =
     """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
@@ -160,6 +162,7 @@ object LakeTxn {
       val bl =
         if (a.bloomCol != null) s""","bc":"${a.bloomCol}","bloom":"${a.bloom}""""
         else ""
+      val sxs = if (a.sx != null) s""","sx":"${a.sx}"""" else ""
       // the VALUE is arbitrary user data (spark's hive-path unescape can
       // restore '"' or '\n') — base64-wrap it like expr64 does for
       // constraint exprs, so a hostile value can never break the line
@@ -175,7 +178,7 @@ object LakeTxn {
           s""","pc":"${a.pvCol}","pv64":"$b64""""
         }
       val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
-      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats$stats2$bl$pv}"""
+      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats$stats2$bl$sxs$pv}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
@@ -214,7 +217,7 @@ object LakeTxn {
     val txns = Seq.newBuilder[(String, Long)]
     val govs = Seq.newBuilder[Gov]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl, pc, pv64, pvv) =>
+      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl, sxs, pc, pv64, pvv) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
@@ -231,7 +234,8 @@ object LakeTxn {
             if (pvv == null) null
             else if (pv64 != null)
               new String(java.util.Base64.getDecoder.decode(pvv), UTF_8)
-            else pvv)
+            else pvv,
+          sx = sxs)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case ConstraintRe(name, b64) => govs += GovConstraint(name,
         new String(java.util.Base64.getDecoder.decode(b64), UTF_8))
@@ -828,6 +832,84 @@ object LakeTxn {
   def appendCommitStats(spark: SparkSession, df: DataFrame, table: String,
                         statsCol: String): Long =
     commit(spark, table, stage(spark, df, table, statsCol), Nil)
+
+  // ------------------------------------------------------------------
+  // n-column stats map: per-file min/max + nullCount in the log
+  // ------------------------------------------------------------------
+
+  /** Compact wire form of the n-column stats map, base64-wrapped into
+    * the add action's `"sx"` field: `{"col":[lo,hi,nullCount],...}`.
+    * `lo > hi` is the no-band sentinel (column not INT64, or all-null);
+    * `nullCount = -1` means unknown (a block without null accounting).
+    * Real engines record exactly this per column (Delta's stats JSON);
+    * it is what IsNull/IsNotNull pruning and multi-column band pruning
+    * read — still pure driver-scale log metadata. */
+  private[graft] def encodeSx(m: Seq[(String, (Long, Long, Long))]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      m.map { case (c, (lo, hi, nn)) =>
+        require(!c.exists(ch => ch == '"' || ch == '\\' || ch < ' '),
+          s"stats column name '$c' contains JSON-breaking characters")
+        s""""$c":[$lo,$hi,$nn]"""
+      }.mkString("{", ",", "}").getBytes(UTF_8))
+
+  private val SxEntryRe = """"([^"]+)":\[(-?\d+),(-?\d+),(-?\d+)\]""".r
+
+  private[graft] def decodeSx(sx: String): Map[String, (Long, Long, Long)] =
+    if (sx == null) Map.empty
+    else SxEntryRe.findAllMatchIn(
+      new String(java.util.Base64.getDecoder.decode(sx), UTF_8))
+      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong))).toMap
+
+  /** One footer read → the stats map of `cols` for one staged file:
+    * INT64 columns get [min, max]; every atomic column gets its
+    * nullCount (summed across blocks; -1 if any block lacks null
+    * accounting — unknown admits conservatively on the read side). */
+  private def footerSx(spark: SparkSession, root: Path, rel: String,
+                       cols: Seq[String]): Seq[(String, (Long, Long, Long))] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(root, rel), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val lo = collection.mutable.Map(cols.map(_ -> Long.MaxValue): _*)
+      val hi = collection.mutable.Map(cols.map(_ -> Long.MinValue): _*)
+      val nn = collection.mutable.Map(cols.map(_ -> 0L): _*)
+      r.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (lo.contains(name)) {
+            val s = c.getStatistics
+            if (s == null || !s.isNumNullsSet) nn(name) = -1L
+            else if (nn(name) >= 0) nn(name) += s.getNumNulls
+            if (s != null && !s.isEmpty && s.hasNonNullValue) {
+              (s.genericGetMin, s.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  lo(name) = math.min(lo(name), mn)
+                  hi(name) = math.max(hi(name), mx)
+                case _ => () // non-INT64: nullCount only, band sentinel stays
+              }
+            }
+          }
+        }
+      }
+      cols.map(c => c -> ((lo(c), hi(c), nn(c))))
+    } finally r.close()
+  }
+
+  /** Append with an N-COLUMN stats map recorded in each add action:
+    * per-file [min, max] for every INT64 column in `cols` plus a
+    * nullCount for each — the general form of [[appendCommitStats]]
+    * that lets the V2 connector prune on ANY of the columns, including
+    * `IS NULL` / `IS NOT NULL` predicates, from the log alone. */
+  def appendCommitStatsMulti(spark: SparkSession, df: DataFrame, table: String,
+                             cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "need at least one stats column")
+    cols.foreach(c => require(df.columns.contains(c), s"no column '$c'"))
+    val root = new Path(table)
+    val adds = stage(spark, df, table).map(a =>
+      a.copy(sx = encodeSx(footerSx(spark, root, a.file, cols))))
+    commit(spark, table, adds, Nil)
+  }
 
   /** Data-skipping read: prune the snapshot's file list to those whose
     * LOG-recorded [lo, hi] of `statsCol` overlaps [bandLo, bandHi] —

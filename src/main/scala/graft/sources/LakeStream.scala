@@ -251,13 +251,23 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
 
 /** Conservative per-file admission of Catalyst-pushed filters against
   * the LOG-recorded metadata of one add action: INT64 min/max bands
-  * (both z-order dimensions), bloom membership for equality/IN, and
-  * partition values. Unknown filter shapes or columns admit the file —
-  * pruning may only ever SKIP files that provably hold no matching
-  * row. */
+  * (the z-order dimensions AND every column of the n-column stats
+  * map), nullCount for IS (NOT) NULL, bloom membership for
+  * equality/IN, and partition values. Unknown filter shapes or columns
+  * admit the file — pruning may only ever SKIP files that provably
+  * hold no matching row. */
 private[sources] object LakePrune {
   import org.apache.spark.sql.sources._
   import graft.ext.LakeTxn.Action
+
+  /** col -> (lo, hi, nullCount); see [[LakeTxn.encodeSx]]. */
+  private type Sx = Map[String, (Long, Long, Long)]
+
+  /** Parse the stats map ONCE per file, then check every filter. */
+  def allowsAll(a: Action, fs: Array[Filter]): Boolean = {
+    val sx: Sx = graft.ext.LakeTxn.decodeSx(a.sx)
+    fs.forall(allows(a, sx, _))
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case n: Long => Some(n)
@@ -272,11 +282,12 @@ private[sources] object LakePrune {
     if (ls.length == vs.length) Some(ls.toSeq) else None
   }
 
-  /** The [lo, hi] band the log records for `col` on this file, if any. */
-  private def band(a: Action, col: String): Option[(Long, Long)] =
+  /** The [lo, hi] band the log records for `col` on this file, if any
+    * (1-D/2-D stats columns, else the stats map; `lo > hi` = no band). */
+  private def band(a: Action, sx: Sx, col: String): Option[(Long, Long)] =
     if (a.statsCol == col) Some((a.lo, a.hi))
     else if (a.statsCol2 == col) Some((a.lo2, a.hi2))
-    else None
+    else sx.get(col).collect { case (lo, hi, _) if lo <= hi => (lo, hi) }
 
   /** Bloom filters are written over BIGINT keys only (xxhash64 of the
     * Long); a filter value of any OTHER runtime type would have hashed
@@ -293,14 +304,14 @@ private[sources] object LakePrune {
     if (a.pvCol != col) true
     else v match { case s: String => a.pvValue == s; case _ => true }
 
-  def allows(a: Action, f: Filter): Boolean = f match {
-    case And(l, r) => allows(a, l) && allows(a, r)
-    case Or(l, r) => allows(a, l) || allows(a, r)
+  private def allows(a: Action, sx: Sx, f: Filter): Boolean = f match {
+    case And(l, r) => allows(a, sx, l) && allows(a, sx, r)
+    case Or(l, r) => allows(a, sx, l) || allows(a, sx, r)
     case EqualTo(c, v) =>
-      band(a, c).forall(b => asLong(v).forall(l => l >= b._1 && l <= b._2)) &&
+      band(a, sx, c).forall(b => asLong(v).forall(l => l >= b._1 && l <= b._2)) &&
         bloomHit(a, c, v) && pvHit(a, c, v)
     case In(c, vs) =>
-      band(a, c).forall(b => asLongs(vs).forall(_.exists(l =>
+      band(a, sx, c).forall(b => asLongs(vs).forall(_.exists(l =>
         l >= b._1 && l <= b._2))) &&
         (a.bloomCol != c || vs.exists {
           case l: Long => LakeTxn.bloomMightContainKey(a.bloom, l)
@@ -311,13 +322,20 @@ private[sources] object LakePrune {
           case _ => true
         })
     case GreaterThan(c, v) =>
-      band(a, c).forall(b => asLong(v).forall(l => b._2 > l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._2 > l))
     case GreaterThanOrEqual(c, v) =>
-      band(a, c).forall(b => asLong(v).forall(l => b._2 >= l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._2 >= l))
     case LessThan(c, v) =>
-      band(a, c).forall(b => asLong(v).forall(l => b._1 < l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._1 < l))
     case LessThanOrEqual(c, v) =>
-      band(a, c).forall(b => asLong(v).forall(l => b._1 <= l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._1 <= l))
+    // nullCount pruning from the stats map: a file with zero nulls in c
+    // holds no IS NULL row; one that is ALL nulls holds no IS NOT NULL
+    // row. -1 (unknown) admits both ways.
+    case IsNull(c) =>
+      sx.get(c).forall { case (_, _, nn) => nn != 0L }
+    case IsNotNull(c) =>
+      sx.get(c).forall { case (_, _, nn) => nn == -1L || nn < a.rows }
     case _ => true
   }
 }
@@ -503,7 +521,7 @@ final class LakeBatch(table: String, schema: StructType,
           .groupBy(_.getString(0))
           .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
       }
-    val kept0 = snap.adds.filter(a => pushed.forall(LakePrune.allows(a, _)))
+    val kept0 = snap.adds.filter(a => LakePrune.allowsAll(a, pushed))
     val kept =
       if (kept0.nonEmpty || snap.adds.isEmpty) kept0
       else snap.adds.take(1) // schema carrier
@@ -1263,6 +1281,29 @@ object LakeStream {
     d.filter(col("lang") === "de" && col("doc_id") % 13 === 0).repartition(1)
       .write.format("graft-lake").mode("append").save(t)
     LakeTxn.read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_multi_stats: the N-COLUMN stats map — one append records
+    * per-file [min,max] AND nullCount for three columns; the batch read
+    * pushes `promo_cents IS NOT NULL AND price_cents <= band` and the
+    * connector prunes the file list from the log alone: the all-null
+    * promo files (nulls range-cluster to the front) drop on nullCount,
+    * the rest on the price band (LakeMultiStatsSpec corrupts pruned
+    * files to prove they are never opened). Graded on the surviving
+    * content — pruning that dropped a matching file would lose rows. */
+  def multiStatsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "mstats")
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.rel.Relational.cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("promo_cents",
+        when(col("o_custkey") % 4 === 0, col("price_cents")))
+    LakeTxn.appendCommitStatsMulti(spark,
+      o.repartitionByRange(8, col("promo_cents"), col("o_orderkey")),
+      t, Seq("o_custkey", "price_cents", "promo_cents"))
+    spark.read.format("graft-lake").load(t)
+      .filter(col("promo_cents").isNotNull && col("price_cents") <= 3000000L)
+      .orderBy("o_orderkey")
   }
 
   /** lake_v2_batch: the BATCH half of the connector — a z-clustered
