@@ -129,8 +129,12 @@ object Plans {
     "stream_lake_pipeline" -> "V2 source tail -> per-epoch transform -> one marked commit per epoch into table B; the graded read is B's plain snapshot scan + presentation sort (exactly-once lives in the commit markers, not the plan)",
     "lake_txn_partition" -> "partition-pruned read: the file list filters on LOG-recorded partition values (no directory listing); per-value scans union with the partition column reinjected as literals — the filter is metadata, not a plan operator",
     "lake_txn_constraint" -> "CHECK enforcement is one filter-isEmpty job per constraint BEFORE staging (the Delta invariant shape); the graded read is the plain snapshot scan + presentation sort — the poisoned batch never enters any plan",
-    "lake_v2_batch" -> "the V2 BatchScan shows the pushed filters in its description; file pruning happened at plan time from log stats (driver metadata), the residual box filter runs in the kept readers — no exchange before the presentation sort",
+    "lake_v2_batch" -> "the V2 BatchScan shows the pushed filters in its description and feeds ColumnarToRow (vectorized reader); file pruning happened at plan time from log stats (driver metadata), surviving files skip row groups from footer min/max inside the reader, and the residual box filter runs codegen'd — no exchange before the presentation sort",
     "lake_v2_write" -> "the graded read is the reference reader's plain multi-file scan + presentation sort; the connector write itself is per-task staging + ONE driver-side atomic log commit (no exchange introduced by the write)",
+    "lake_sql_ddl" -> "pure-SQL catalog journey: the SELECT resolves through the TableCatalog to the V2 BatchScan (ColumnarToRow above the vectorized reader); INSERTs are AppendData into the same connector; evolution is log metadata, not a plan operator",
+    "stream_lake_sink" -> "V2 source tail -> per-epoch NATIVE StreamingWrite (one marked commit per epoch, no foreachBatch); the graded read is the destination's plain snapshot scan + presentation sort — exactly-once lives in the commit markers",
+    "lake_v2_overwrite" -> "the overwrite is ONE atomic remove-all+add commit (driver metadata, no plan operator); the graded read is a plain multi-file scan + presentation sort over the replaced-then-appended snapshot",
+    "lake_multi_stats" -> "IS NOT NULL + band predicates push into the V2 scan and prune the file list from the LOG's n-column stats map (nullCount + min/max, zero footer opens); the kept files decode vectorized with the residual filter re-applied",
   )
 
   def main(args: Array[String]): Unit = {

@@ -141,6 +141,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       LakeStreamSource.tableSchemaOf(spark, p.toString))
   }
 
+  /** SQL time travel: `SELECT ... FROM cat.db.t VERSION AS OF v` — a
+    * read-only handle pinned to log version v, under THAT version's
+    * governing schema (pre-evolution history shows its own columns). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-lake versions are log version numbers (got '$version')")
+    }
+    new LakeStreamTable(p.toString,
+      LakeStreamSource.tableSchemaOf(spark, p.toString, Some(v)), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {

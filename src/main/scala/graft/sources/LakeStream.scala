@@ -121,9 +121,14 @@ object LakeStreamSource {
   }
 }
 
-final class LakeStreamTable(tablePath: String, tableSchema: StructType)
+/** `pinnedVersion` (catalog `VERSION AS OF` time travel) pins every
+  * batch scan of this Table handle to that log version; writes against
+  * a pinned handle are refused — history is read-only. */
+final class LakeStreamTable(tablePath: String, tableSchema: StructType,
+                            pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft-lake `$tablePath`"
+  override def name(): String = s"graft-lake `$tablePath`" +
+    pinnedVersion.fold("")(v => s" @v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
@@ -139,7 +144,9 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
     * to EXISTING tables — bootstrap the first commit through
     * LakeTxn.appendCommit, which pins the schema reads validate
     * against. CHECK constraints and the writer protocol gate apply. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to $name: a VERSION AS OF handle is read-only history")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // None = append; Some(None) = truncate-all; Some(Some(scope)) =
       // partition-scoped replace
@@ -210,6 +217,7 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
         }
       }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -231,7 +239,10 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
         override def readSchema(): StructType = required
         override def description(): String =
           s"graft-lake `$tablePath` pushed=[${pushed.mkString(", ")}]"
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          require(pinnedVersion.isEmpty,
+            s"cannot stream from $name: a VERSION AS OF handle is static " +
+              s"history (use startingVersion to begin a tail mid-log)")
           new LakeMicroBatchStream(tablePath, required,
             maxVersionsPerBatch =
               Option(options.get("maxVersionsPerBatch")).map(_.toLong),
@@ -242,9 +253,11 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType)
               Option(options.get("maxRowsPerBatch")).map(_.toLong),
             maxFilesPerBatch =
               Option(options.get("maxFilesPerBatch")).map(_.toInt))
+        }
         override def toBatch(): Batch =
           new LakeBatch(tablePath, required, pushed,
-            Option(options.get("versionAsOf")).map(_.toLong))
+            pinnedVersion.orElse(
+              Option(options.get("versionAsOf")).map(_.toLong)))
       }
     }
 }

@@ -111,6 +111,26 @@ class GraftCatalogSpec extends SparkSpec {
       "CREATE TABLE glake.db.bad3 (k BIGINT, m MAP<STRING, BIGINT>) USING `graft-lake`"))
   }
 
+  test("SQL time travel: VERSION AS OF reads history under its own schema; read-only") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.tt (k BIGINT, v STRING) USING `graft-lake`")
+    spark.sql("INSERT INTO glake.db.tt VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("ALTER TABLE glake.db.tt ADD COLUMN q BIGINT")        // v2
+    spark.sql("INSERT INTO glake.db.tt VALUES (3, 'c', 9)")         // v3
+    assert(spark.sql("SELECT * FROM glake.db.tt").count() === 3L)
+    // v1 history: pre-evolution schema (no q column), pre-insert rows
+    val v1 = spark.sql("SELECT * FROM glake.db.tt VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("k", "v"))
+    assert(v1.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // the pinned handle refuses writes
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO glake.db.tt VERSION AS OF 1 VALUES (9, 'x')"))
+    assert(e != null)
+    // a nonsense version string is refused loudly
+    intercept[Exception](spark.sql(
+      "SELECT * FROM glake.db.tt VERSION AS OF 'abc'").collect())
+  }
+
   test("the catalog read path is the V2 connector: columnar scan + log pruning") {
     wh: Unit
     spark.sql("CREATE TABLE glake.db.scan (k BIGINT, v BIGINT) USING `graft-lake`")

@@ -229,7 +229,17 @@ object ScaleBench {
       "lake_v2_batch" -> SparkEntry.queries("lake_v2_batch"),
       // the V2 write path: per-task Group-API staging + one atomic
       // commit per write — the data term is the two connector writes
-      "lake_v2_write" -> SparkEntry.queries("lake_v2_write"))
+      "lake_v2_write" -> SparkEntry.queries("lake_v2_write"),
+      // round-18 additions: the pure-SQL catalog journey (three INSERT
+      // scans + one columnar SELECT; DDL is driver metadata), the
+      // native streaming sink (two AvailableNow drains, the second a
+      // full marker-skipped replay), the truncate-overwrite (scan +
+      // stage + one remove-all+add commit), and the n-column stats
+      // append (one footer read per staged file + the pruned band read)
+      "lake_sql_ddl" -> SparkEntry.queries("lake_sql_ddl"),
+      "stream_lake_sink" -> SparkEntry.queries("stream_lake_sink"),
+      "lake_v2_overwrite" -> SparkEntry.queries("lake_v2_overwrite"),
+      "lake_multi_stats" -> SparkEntry.queries("lake_multi_stats"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
