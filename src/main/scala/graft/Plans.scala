@@ -135,6 +135,7 @@ object Plans {
     "stream_lake_sink" -> "V2 source tail -> per-epoch NATIVE StreamingWrite (one marked commit per epoch, no foreachBatch); the graded read is the destination's plain snapshot scan + presentation sort — exactly-once lives in the commit markers",
     "lake_v2_overwrite" -> "the overwrite is ONE atomic remove-all+add commit (driver metadata, no plan operator); the graded read is a plain multi-file scan + presentation sort over the replaced-then-appended snapshot",
     "lake_multi_stats" -> "IS NOT NULL + band predicates push into the V2 scan and prune the file list from the LOG's n-column stats map (nullCount + min/max, zero footer opens); the kept files decode vectorized with the residual filter re-applied",
+    "lake_agg_pushdown" -> "COMPLETE aggregate pushdown: the whole COUNT/MIN/MAX block collapses into a one-row metadata scan ('answered from log' in the scan description) — counts fold add-action rows and nullCounts, extremes fold the exact per-file INT64 bands; zero data file opens at any table size",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1012,6 +1012,9 @@ object SparkEntry {
     // the n-column stats map: IS NOT NULL + band predicates prune the
     // file list from log-recorded nullCount/min/max, zero footer opens
     "lake_multi_stats" -> ((s, d) => sources.LakeStream.multiStatsQuery(s, d)),
+    // complete aggregate pushdown: COUNT/MIN/MAX answered from the log
+    // alone (one-row metadata scan, zero data file opens)
+    "lake_agg_pushdown" -> ((s, d) => sources.LakeStream.aggPushdownQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3267,6 +3270,16 @@ object SparkEntry {
     "lake_v2_write" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the log-answered aggregate must equal the computed one exactly:
+    // counts from rows/nullCounts, extremes from exact footer bands
+    "lake_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN o_custkey % 4 = 0 THEN 1 END) AS BIGINT) AS n_promo,
+        |  CAST(min(o_custkey) AS BIGINT) AS min_cust,
+        |  CAST(max(o_custkey) AS BIGINT) AS max_cust,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_price,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_price
+        |FROM orders""".stripMargin,
     // null-count + band pruning must change nothing but the files
     // opened: the oracle is the plain filter (IS NOT NULL = the promo
     // residue class by construction)

@@ -427,9 +427,15 @@ object LakeTxn {
     * with absent/empty/all-null stats contribute nothing; a file whose
     * every block lacks stats fails loudly rather than recording a lie. */
   private def footerAction(spark: SparkSession, root: Path, rel: String,
-                           statsCol: String, statsCol2: String = null): Action = {
+                           statsCol: String, statsCol2: String = null): Action =
+    footerActionConf(spark.sessionState.newHadoopConf(), root.toString, rel,
+      statsCol, statsCol2)
+
+  private def footerActionConf(conf: org.apache.hadoop.conf.Configuration,
+                               root: String, rel: String,
+                               statsCol: String, statsCol2: String): Action = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(root, rel), spark.sessionState.newHadoopConf())
+      .fromPath(new Path(root, rel), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val rows = r.getRecordCount
@@ -464,6 +470,31 @@ object LakeTxn {
       }
     } finally r.close()
   }
+
+  /** Small batches read footers on the driver (a Spark job has fixed
+    * overhead); above this, the reads distribute. */
+  private val DriverFooterCap = 16
+
+  /** Footer actions for MANY files in one distributed pass. A driver
+    * loop serializes N object-store footer reads — at 10k staged files
+    * × ~50 ms per round trip that is minutes of driver stall; executors
+    * fetch them in parallel instead (order preserved: `parallelize`
+    * keeps element order through collect). Each read is metadata-only
+    * (the footer, not the data). */
+  private def footerActions(spark: SparkSession, root: Path, rels: Seq[String],
+                            statsCol: String = null,
+                            statsCol2: String = null): Seq[Action] =
+    if (rels.size <= DriverFooterCap)
+      rels.map(footerAction(spark, root, _, statsCol, statsCol2))
+    else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val rootStr = root.toString
+      spark.sparkContext
+        .parallelize(rels, math.min(rels.size, 64))
+        .map(rel => footerActionConf(conf.value, rootStr, rel, statsCol, statsCol2))
+        .collect().toSeq
+    }
 
   /** Stage `df` as immutable data files under `data/` and return their
     * add actions (relative path + footer row count; per-file min/max of
@@ -510,8 +541,8 @@ object LakeTxn {
       rel
     }.toSeq
     fs.delete(tmp, true)
-    rels.map(rel => footerAction(spark, root, rel, statsCol, statsCol2)
-      .copy(dv = dir == "dv"))
+    footerActions(spark, root, rels, statsCol, statsCol2)
+      .map(_.copy(dv = dir == "dv"))
   }
 
   /** Publish files a V2 writer staged, as ONE atomic commit: CHECK
@@ -557,12 +588,13 @@ object LakeTxn {
     }
     val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     fs.mkdirs(new Path(root, "data"))
-    val adds = staged.zipWithIndex.map { case (s, i) =>
+    val rels = staged.zipWithIndex.map { case (s, i) =>
       val rel = s"data/$batch-$i.parquet"
       require(fs.rename(new Path(root, s), new Path(root, rel)),
         s"failed to publish staged $s as $rel")
-      footerAction(spark, root, rel, null)
+      rel
     }
+    val adds = footerActions(spark, root, rels)
     marker match {
       case None => commit(spark, table, adds, Nil)
       case Some((app, id)) =>
@@ -642,13 +674,14 @@ object LakeTxn {
       }
       val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       fs.mkdirs(new Path(root, "data"))
-      val adds = staged.zipWithIndex.map { case (s, i) =>
+      val rels = staged.zipWithIndex.map { case (s, i) =>
         val rel = s"data/$batch-$i.parquet"
         require(fs.rename(new Path(root, s), new Path(root, rel)),
           s"failed to publish staged $s as $rel")
-        val act = footerAction(spark, root, rel, null)
-        stampPv.fold(act) { case (pc, v) => act.copy(pvCol = pc, pvValue = v) }
+        rel
       }
+      val adds = footerActions(spark, root, rels).map(act =>
+        stampPv.fold(act) { case (pc, v) => act.copy(pvCol = pc, pvValue = v) })
       val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
       if (latest != readVersion || !tryPublish(spark, table, readVersion + 1,
         adds, removes)) {
@@ -865,10 +898,11 @@ object LakeTxn {
     * INT64 columns get [min, max]; every atomic column gets its
     * nullCount (summed across blocks; -1 if any block lacks null
     * accounting — unknown admits conservatively on the read side). */
-  private def footerSx(spark: SparkSession, root: Path, rel: String,
+  private def footerSx(conf: org.apache.hadoop.conf.Configuration,
+                       root: String, rel: String,
                        cols: Seq[String]): Seq[(String, (Long, Long, Long))] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(root, rel), spark.sessionState.newHadoopConf())
+      .fromPath(new Path(root, rel), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val lo = collection.mutable.Map(cols.map(_ -> Long.MaxValue): _*)
@@ -905,10 +939,19 @@ object LakeTxn {
                              cols: Seq[String]): Long = {
     require(cols.nonEmpty, "need at least one stats column")
     cols.foreach(c => require(df.columns.contains(c), s"no column '$c'"))
-    val root = new Path(table)
-    val adds = stage(spark, df, table).map(a =>
-      a.copy(sx = encodeSx(footerSx(spark, root, a.file, cols))))
-    commit(spark, table, adds, Nil)
+    val staged = stage(spark, df, table)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    // like footerActions: driver loop for small batches, one distributed
+    // metadata pass above the cap (order preserved through collect)
+    val sxs: Seq[String] =
+      if (staged.size <= DriverFooterCap)
+        staged.map(a => encodeSx(footerSx(conf.value, table, a.file, cols)))
+      else spark.sparkContext
+        .parallelize(staged.map(_.file), math.min(staged.size, 64))
+        .map(rel => encodeSx(footerSx(conf.value, table, rel, cols)))
+        .collect().toSeq
+    commit(spark, table, staged.lazyZip(sxs).map((a, s) => a.copy(sx = s)), Nil)
   }
 
   /** Data-skipping read: prune the snapshot's file list to those whose

@@ -220,9 +220,12 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = tableSchema
       private var pushed: Array[Filter] = Array.empty
+      private def effectiveVersion: Option[Long] =
+        pinnedVersion.orElse(Option(options.get("versionAsOf")).map(_.toLong))
 
       override def pruneColumns(s: StructType): Unit = required = s
 
@@ -235,7 +238,102 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
       }
       override def pushedFilters(): Array[Filter] = pushed
 
-      override def build(): Scan = new Scan {
+      /** Global COUNT/MIN/MAX answered from the LOG alone — zero data
+        * file opens (the metadata-only aggregate every lakehouse
+        * serves): COUNT(*) = Σ add rows; COUNT(col) = Σ rows − Σ
+        * nullCount when every file records one; MIN/MAX(col) fold the
+        * exact per-file INT64 footer bands (all-null files contribute
+        * nothing — provably all-null only). Refused (→ the normal
+        * distributed plan) whenever anything could lie: group-bys,
+        * residual filters, live deletion vectors (a vector may
+        * tombstone the extreme row), distinct, any file without the
+        * needed stat. Complete pushdown: the scan emits the ONE final
+        * row. */
+      private var aggAnswer: Option[(StructType, Array[Any], String)] = None
+
+      private def tryAnswer(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+          Option[(StructType, Array[Any], String)] = {
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+        val spark = SparkSession.active
+        val snap = LakeTxn.snapshot(spark, tablePath, effectiveVersion)
+        if (snap.dvs.nonEmpty) return None
+        val sxs = snap.adds.map(a => a -> LakeTxn.decodeSx(a.sx)).toMap
+        def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+          e match {
+            case nr: NamedReference if nr.fieldNames.length == 1 =>
+              Some(nr.fieldNames.head)
+            case _ => None
+          }
+        /** (lo, hi) of one file for col, or None-contributing (empty /
+          * provably all-null), or unanswerable. */
+        def fileBand(a: LakeTxn.Action, c: String): Either[Unit, Option[(Long, Long)]] =
+          if (a.rows == 0L) Right(None)
+          else if (a.statsCol == c) Right(Some((a.lo, a.hi)))
+          else if (a.statsCol2 == c) Right(Some((a.lo2, a.hi2)))
+          else sxs(a).get(c) match {
+            case Some((lo, hi, _)) if lo <= hi => Right(Some((lo, hi)))
+            case Some((_, _, nn)) if nn == a.rows => Right(None) // all-null
+            case _ => Left(())
+          }
+        def extremum(c: String, wantMin: Boolean): Option[Any] = {
+          val bands = snap.adds.map(fileBand(_, c))
+          if (bands.exists(_.isLeft)) None
+          else {
+            val bs = bands.collect { case Right(Some(b)) => b }
+            Some(if (bs.isEmpty) null
+            else if (wantMin) Long.box(bs.map(_._1).min)
+            else Long.box(bs.map(_._2).max))
+          }
+        }
+        val rowsTotal = snap.adds.map(_.rows).sum
+        val answered = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            Some(("count(*)", LongType, false, Long.box(rowsTotal)))
+          case cnt: Count if !cnt.isDistinct =>
+            colOf(cnt.column).flatMap { c =>
+              val nns = snap.adds.map(a =>
+                if (a.rows == 0L) Some(0L)
+                else sxs(a).get(c).collect { case (_, _, nn) if nn >= 0 => nn })
+              if (nns.exists(_.isEmpty)) None
+              else Some((s"count($c)", LongType, false,
+                Long.box(rowsTotal - nns.flatten.sum)))
+            }
+          case m: Min => colOf(m.column).flatMap(c =>
+            extremum(c, wantMin = true).map(v => (s"min($c)", LongType, true, v)))
+          case m: Max => colOf(m.column).flatMap(c =>
+            extremum(c, wantMin = false).map(v => (s"max($c)", LongType, true, v)))
+          case _ => None
+        }
+        if (answered.exists(_.isEmpty)) None
+        else {
+          val flat = answered.flatten
+          Some((StructType(flat.map(f => StructField(f._1, f._2, f._3))),
+            flat.map(_._4).toArray,
+            flat.map(_._1).mkString(", ")))
+        }
+      }
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        aggAnswer = tryAnswer(agg)
+        aggAnswer.isDefined
+      }
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        if (aggAnswer.isEmpty) aggAnswer = tryAnswer(agg)
+        aggAnswer.isDefined
+      }
+
+      override def build(): Scan = aggAnswer match {
+        case Some((aggSchema, values, desc)) =>
+          new LakeAggScan(tablePath, aggSchema, values, desc)
+        case None => buildFileScan()
+      }
+
+      private def buildFileScan(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String =
           s"graft-lake `$tablePath` pushed=[${pushed.mkString(", ")}]"
@@ -255,12 +353,38 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
               Option(options.get("maxFilesPerBatch")).map(_.toInt))
         }
         override def toBatch(): Batch =
-          new LakeBatch(tablePath, required, pushed,
-            pinnedVersion.orElse(
-              Option(options.get("versionAsOf")).map(_.toLong)))
+          new LakeBatch(tablePath, required, pushed, effectiveVersion)
       }
     }
 }
+
+/** A fully log-answered aggregate: ONE partition whose reader emits the
+  * single final row computed at plan time from commit metadata — the
+  * scan never opens a data file (LakeAggPushdownSpec corrupts every
+  * file and the answer still stands). */
+final class LakeAggScan(table: String, aggSchema: StructType,
+                        values: Array[Any], desc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-lake `$table` aggregates answered from log: [$desc]"
+  override def toBatch(): Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = new GenericInternalRow(
+            p.asInstanceOf[LakeAggPartition].values.clone())
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class LakeAggPartition(values: Array[Any]) extends InputPartition
 
 /** Conservative per-file admission of Catalyst-pushed filters against
   * the LOG-recorded metadata of one add action: INT64 min/max bands
@@ -1317,6 +1441,31 @@ object LakeStream {
     spark.read.format("graft-lake").load(t)
       .filter(col("promo_cents").isNotNull && col("price_cents") <= 3000000L)
       .orderBy("o_orderkey")
+  }
+
+  /** lake_agg_pushdown: global COUNT(*)/COUNT(col)/MIN/MAX answered
+    * from the LOG alone — complete aggregate pushdown into the V2 scan
+    * (the plan is a one-row metadata scan, `answered from log` in its
+    * description; LakeAggPushdownSpec corrupts every data file and the
+    * answer still stands). At 100 TB this is the difference between a
+    * full-table scan and a driver-side log fold. Graded on the values:
+    * a miscounted null, a band folded wrong, or a missed file all
+    * mismatch. */
+  def aggPushdownQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "aggpd")
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.rel.Relational.cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("promo_cents",
+        when(col("o_custkey") % 4 === 0, col("price_cents")))
+    for (r <- 0 to 1)
+      LakeTxn.appendCommitStatsMulti(spark,
+        o.filter(col("o_orderkey") % 2 === r).repartition(3), t,
+        Seq("o_orderkey", "o_custkey", "price_cents", "promo_cents"))
+    spark.read.format("graft-lake").load(t)
+      .agg(count(lit(1)).as("n_rows"), count(col("promo_cents")).as("n_promo"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("price_cents").as("min_price"), max("price_cents").as("max_price"))
   }
 
   /** lake_v2_batch: the BATCH half of the connector — a z-clustered

@@ -239,7 +239,10 @@ object ScaleBench {
       "lake_sql_ddl" -> SparkEntry.queries("lake_sql_ddl"),
       "stream_lake_sink" -> SparkEntry.queries("stream_lake_sink"),
       "lake_v2_overwrite" -> SparkEntry.queries("lake_v2_overwrite"),
-      "lake_multi_stats" -> SparkEntry.queries("lake_multi_stats"))
+      "lake_multi_stats" -> SparkEntry.queries("lake_multi_stats"),
+      // the log-answered aggregate: the build (two stats appends) is the
+      // data term; the aggregate itself is a one-row metadata scan
+      "lake_agg_pushdown" -> SparkEntry.queries("lake_agg_pushdown"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
