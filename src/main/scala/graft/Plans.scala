@@ -136,6 +136,7 @@ object Plans {
     "lake_v2_overwrite" -> "the overwrite is ONE atomic remove-all+add commit (driver metadata, no plan operator); the graded read is a plain multi-file scan + presentation sort over the replaced-then-appended snapshot",
     "lake_multi_stats" -> "IS NOT NULL + band predicates push into the V2 scan and prune the file list from the LOG's n-column stats map (nullCount + min/max, zero footer opens); the kept files decode vectorized with the residual filter re-applied",
     "lake_agg_pushdown" -> "COMPLETE aggregate pushdown: the whole COUNT/MIN/MAX block collapses into a one-row metadata scan ('answered from log' in the scan description) — counts fold add-action rows and nullCounts, extremes fold the exact per-file INT64 bands; zero data file opens at any table size",
+    "lake_stats_join" -> "LOG-REPORTED scan statistics (SupportsReportStatistics folding add-action bytes/rows, post-prune) let Catalyst AUTO-broadcast the lake dim against the orders fact with no hint — BroadcastHashJoin in the plan where an unknown-size V2 table would have shuffled both sides",
   )
 
   def main(args: Array[String]): Unit = {

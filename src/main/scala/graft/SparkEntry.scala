@@ -1015,6 +1015,9 @@ object SparkEntry {
     // complete aggregate pushdown: COUNT/MIN/MAX answered from the log
     // alone (one-row metadata scan, zero data file opens)
     "lake_agg_pushdown" -> ((s, d) => sources.LakeStream.aggPushdownQuery(s, d)),
+    // log-reported stats drive join planning: the lake dim
+    // auto-broadcasts against the fact with no hint
+    "lake_stats_join" -> ((s, d) => sources.LakeStream.statsJoinQuery(s, d)),
     // CHECK constraints through the log: a conforming append lands, a
     // violating one aborts before anything stages
     "lake_txn_constraint" -> ((s, d) =>
@@ -3270,6 +3273,13 @@ object SparkEntry {
     "lake_v2_write" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the auto-broadcast join must equal the plain join exactly (stats
+    // change the plan, never the content)
+    "lake_stats_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the log-answered aggregate must equal the computed one exactly:
     // counts from rows/nullCounts, extremes from exact footer bands
     "lake_agg_pushdown" ->

@@ -76,7 +76,7 @@ object LakeTxn {
                           statsCol2: String = null, lo2: Long = 0L, hi2: Long = 0L,
                           bloomCol: String = null, bloom: String = null,
                           pvCol: String = null, pvValue: String = null,
-                          sx: String = null)
+                          sx: String = null, bytes: Long = -1L)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
     * optional skipping stats), the live deletion vectors, the
@@ -142,7 +142,7 @@ object LakeTxn {
   }
 
   private val ActionRe =
-    ("""\{"a":"(add|remove|dv|schema)","f":"([^"]+)"(?:,"rows":(\d+))?""" +
+    ("""\{"a":"(add|remove|dv|schema)","f":"([^"]+)"(?:,"rows":(\d+))?(?:,"b":(\d+))?""" +
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"c2":"([^"]+)","min2":(-?\d+),"max2":(-?\d+))?""" +
       """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?""" +
@@ -178,7 +178,8 @@ object LakeTxn {
           s""","pc":"${a.pvCol}","pv64":"$b64""""
         }
       val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
-      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$stats$stats2$bl$sxs$pv}"""
+      val by = if (a.bytes >= 0) s""","b":${a.bytes}""" else ""
+      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$by$stats$stats2$bl$sxs$pv}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
@@ -217,7 +218,7 @@ object LakeTxn {
     val txns = Seq.newBuilder[(String, Long)]
     val govs = Seq.newBuilder[Gov]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows, c, mn, mx, c2, mn2, mx2, bc, bl, sxs, pc, pv64, pvv) =>
+      case ActionRe(a, f, rows, by, c, mn, mx, c2, mn2, mx2, bc, bl, sxs, pc, pv64, pvv) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
@@ -235,7 +236,7 @@ object LakeTxn {
             else if (pv64 != null)
               new String(java.util.Base64.getDecoder.decode(pvv), UTF_8)
             else pvv,
-          sx = sxs)
+          sx = sxs, bytes = if (by == null) -1L else by.toLong)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case ConstraintRe(name, b64) => govs += GovConstraint(name,
         new String(java.util.Base64.getDecoder.decode(b64), UTF_8))
@@ -439,7 +440,8 @@ object LakeTxn {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val rows = r.getRecordCount
-      if (statsCol == null) Action(add = true, rel, rows)
+      val bytes = in.getLength // file size: the log-level stats planners read
+      if (statsCol == null) Action(add = true, rel, rows, bytes = bytes)
       else {
         val want = Seq(statsCol) ++ Option(statsCol2).toSeq
         val lo = Array.fill(want.size)(Long.MaxValue)
@@ -464,7 +466,7 @@ object LakeTxn {
         want.indices.foreach(k => require(rows == 0 || lo(k) <= hi(k),
           s"no usable footer stats for '${want(k)}' in $rel"))
         val one = Action(add = true, rel, rows, statsCol = statsCol,
-          lo = lo(0), hi = hi(0))
+          lo = lo(0), hi = hi(0), bytes = bytes)
         if (statsCol2 == null) one
         else one.copy(statsCol2 = statsCol2, lo2 = lo(1), hi2 = hi(1))
       }

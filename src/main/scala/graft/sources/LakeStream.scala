@@ -221,9 +221,21 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var required: StructType = tableSchema
       private var pushed: Array[Filter] = Array.empty
+      private var limitRows: Option[Int] = None
+
+      /** PARTIAL limit pushdown (Spark keeps its own limit — always
+        * safe): the batch plans only a file-list PREFIX covering the
+        * limit from log row counts, so `LIMIT 10` on a million-file
+        * table reads one file. File pruning applies only when nothing
+        * else filters rows (no residual filters, no deletion vectors —
+        * checked at plan time). */
+      override def pushLimit(limit: Int): Boolean = {
+        limitRows = Some(limit); true
+      }
       private def effectiveVersion: Option[Long] =
         pinnedVersion.orElse(Option(options.get("versionAsOf")).map(_.toLong))
 
@@ -333,10 +345,34 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
         case None => buildFileScan()
       }
 
-      private def buildFileScan(): Scan = new Scan {
+      private def buildFileScan(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
         override def description(): String =
           s"graft-lake `$tablePath` pushed=[${pushed.mkString(", ")}]"
+
+        /** Table statistics from the LOG (post-prune): row counts and
+          * file bytes fold from the add actions Catalyst's pushed
+          * filters admit — so a small lake table AUTO-BROADCASTS in
+          * joins without a hint, and a selective scan advertises its
+          * pruned size, not the table's. Files from pre-bytes logs
+          * estimate as rows × schema width (conservative). */
+        override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+          val spark = SparkSession.active
+          val snap = LakeTxn.snapshot(spark, tablePath, effectiveVersion)
+          val kept = snap.adds.filter(a => LakePrune.allowsAll(a, pushed))
+          val dvRows = snap.dvs.map(_.rows).sum
+          val rows = math.max(0L, kept.map(_.rows).sum - dvRows)
+          val rowWidth = math.max(1L, required.defaultSize.toLong)
+          val bytes = kept.map(a =>
+            if (a.bytes >= 0) a.bytes else a.rows * rowWidth).sum
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(math.max(1L, bytes))
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.of(rows)
+          }
+        }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           require(pinnedVersion.isEmpty,
             s"cannot stream from $name: a VERSION AS OF handle is static " +
@@ -353,7 +389,7 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
               Option(options.get("maxFilesPerBatch")).map(_.toInt))
         }
         override def toBatch(): Batch =
-          new LakeBatch(tablePath, required, pushed, effectiveVersion)
+          new LakeBatch(tablePath, required, pushed, effectiveVersion, limitRows)
       }
     }
 }
@@ -632,7 +668,8 @@ private[sources] object LakeParquetFilters {
   * `versionAsOf` time-travels, vectors included. */
 final class LakeBatch(table: String, schema: StructType,
                       pushed: Array[Filter],
-                      versionAsOf: Option[Long]) extends Batch {
+                      versionAsOf: Option[Long],
+                      limitRows: Option[Int] = None) extends Batch {
   /** Driver-side guard: a vector set past this is no longer "small
     * metadata" — the table owes a compaction, refuse rather than ship
     * an unbounded tombstone list into every task. */
@@ -659,9 +696,19 @@ final class LakeBatch(table: String, schema: StructType,
           .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
       }
     val kept0 = snap.adds.filter(a => LakePrune.allowsAll(a, pushed))
-    val kept =
+    val kept1 =
       if (kept0.nonEmpty || snap.adds.isEmpty) kept0
       else snap.adds.take(1) // schema carrier
+    // pushed LIMIT: a file-list prefix covering the limit suffices —
+    // but only when every planned row survives to the limit operator
+    // (no residual filters, no tombstones); Spark re-applies the limit
+    // either way (partial pushdown), so this is pure pruning
+    val kept = limitRows match {
+      case Some(n) if pushed.isEmpty && deletedByFile.isEmpty =>
+        val cumBefore = kept1.scanLeft(0L)(_ + _.rows)
+        kept1.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
+      case _ => kept1
+    }
     kept.map { a =>
       val base = a.file.substring(a.file.lastIndexOf('/') + 1)
       LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
@@ -1441,6 +1488,30 @@ object LakeStream {
     spark.read.format("graft-lake").load(t)
       .filter(col("promo_cents").isNotNull && col("price_cents") <= 3000000L)
       .orderBy("o_orderkey")
+  }
+
+  /** lake_stats_join: LOG-REPORTED statistics driving join planning —
+    * the customer dim lives in the lake, the connector's
+    * `SupportsReportStatistics` advertises its true (small) size from
+    * add-action bytes, and Catalyst AUTO-broadcasts it against the
+    * orders fact with NO hint anywhere (LakeStatsReportSpec pins the
+    * BroadcastHashJoin). Without reported stats a V2 table defaults to
+    * "unknown = huge" and the join would shuffle both sides — at 100 TB
+    * the difference between moving 100 TB and moving 10 MB. Graded on
+    * the join content. */
+  def statsJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "statsjoin")
+    val c = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    LakeTxn.appendCommit(spark, c.repartition(2), t)
+    graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        graft.rel.Relational.cents(col("o_totalprice")).as("price_cents"))
+      .join(spark.read.format("graft-lake").load(t),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("sum_cents"))
+      .orderBy("c_mktsegment")
   }
 
   /** lake_agg_pushdown: global COUNT(*)/COUNT(col)/MIN/MAX answered

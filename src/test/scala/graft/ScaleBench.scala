@@ -242,7 +242,10 @@ object ScaleBench {
       "lake_multi_stats" -> SparkEntry.queries("lake_multi_stats"),
       // the log-answered aggregate: the build (two stats appends) is the
       // data term; the aggregate itself is a one-row metadata scan
-      "lake_agg_pushdown" -> SparkEntry.queries("lake_agg_pushdown"))
+      "lake_agg_pushdown" -> SparkEntry.queries("lake_agg_pushdown"),
+      // the stats-driven broadcast join: the dim append + the fact scan
+      // are the data terms; the broadcast stays dim-sized at any scale
+      "lake_stats_join" -> SparkEntry.queries("lake_stats_join"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -95,6 +95,16 @@ object ScaleGen {
           (col("o_totalprice") + lit(c * 0.07)).as("o_totalprice"),
           col("o_orderdate"), col("o_orderpriority"))
       }
+      // customer copies (round-18, for the stats-broadcast join): cust
+      // keys shifted in lockstep with the orders copies so every scaled
+      // order still joins a scaled customer
+      val cust = Tables.customer(spark, sfDir)
+      val custCopies = (0 until copies).map { c =>
+        cust.select(
+          (col("c_custkey") + c.toLong * 100000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      }
       def writeAll(parts: Seq[DataFrame], name: String): Unit =
         parts.reduce(_ unionByName _).repartition(4 * copies)
           .write.mode("overwrite").parquet(s"$dir/$name.parquet")
@@ -103,6 +113,7 @@ object ScaleGen {
       writeAll(liCopies, "lineitem")
       writeAll(evCopies, "events")
       writeAll(ordCopies, "orders")
+      writeAll(custCopies, "customer")
       val n = spark.read.parquet(s"$dir/documents.parquet").count()
       val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
       println(s"[scalegen] x$copies -> $dir docs=$n emb=$ne")
