@@ -137,6 +137,7 @@ object Plans {
     "lake_multi_stats" -> "IS NOT NULL + band predicates push into the V2 scan and prune the file list from the LOG's n-column stats map (nullCount + min/max, zero footer opens); the kept files decode vectorized with the residual filter re-applied",
     "lake_agg_pushdown" -> "COMPLETE aggregate pushdown: the whole COUNT/MIN/MAX block collapses into a one-row metadata scan ('answered from log' in the scan description) — counts fold add-action rows and nullCounts, extremes fold the exact per-file INT64 bands; zero data file opens at any table size",
     "lake_stats_join" -> "LOG-REPORTED scan statistics (SupportsReportStatistics folding add-action bytes/rows, post-prune) let Catalyst AUTO-broadcast the lake dim against the orders fact with no hint — BroadcastHashJoin in the plan where an unknown-size V2 table would have shuffled both sides",
+    "lake_sql_delete" -> "SQL DELETE resolves to SupportsDelete -> one merge-on-read deletion-vector commit per statement (zero data files rewritten); the SELECT is the V2 scan with the broadcast DV anti-join applied in the readers — delete cost is Θ(matched rows), not Θ(table)",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1002,6 +1002,9 @@ object SparkEntry {
     // the SQL DDL surface: CREATE/INSERT/ALTER ADD COLUMN/SELECT in
     // pure SQL through the V2 TableCatalog resolving over the log
     "lake_sql_ddl" -> ((s, d) => sources.GraftLakeCatalog.sqlDdlQuery(s, d)),
+    // SQL DELETE FROM through the catalog: merge-on-read DV commits,
+    // zero data files rewritten, the SELECT sees exactly the survivors
+    "lake_sql_delete" -> ((s, d) => sources.GraftLakeCatalog.sqlDeleteQuery(s, d)),
     // the NATIVE exactly-once streaming sink: writeStream lands each
     // epoch as one marker-keyed commit; a full fresh-checkpoint replay
     // re-delivers every epoch and the markers skip them all
@@ -3316,6 +3319,13 @@ object SparkEntry {
     "stream_lake_sink" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang <> 'fr' ORDER BY doc_id""".stripMargin,
+    // SQL deletes must remove EXACTLY the matching rows: oracle = the
+    // double anti-filter
+    "lake_sql_delete" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE lang <> 'de' AND NOT (lang = 'en' AND n_chars > 900)
+        |ORDER BY doc_id""".stripMargin,
     // the SQL catalog journey: two parity inserts union to the corpus
     // (quality null-backfilled by the ALTER), plus the post-evolution
     // insert carrying it — a lost insert or bad backfill hash-mismatches

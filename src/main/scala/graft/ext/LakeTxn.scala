@@ -1376,12 +1376,27 @@ object LakeTxn {
     * nothing matched. */
   def deleteWhereMor(spark: SparkSession, table: String, cond: org.apache.spark.sql.Column): Long = {
     val snap = snapshot(spark, table)
+    if (snap.files.isEmpty) return -1L // empty table: nothing to tombstone
     val doomed = scanWithDvsMeta(spark, table, snap, snap.files)
       .filter(cond)
       .select(col("__dv_file"), col("__dv_pos"))
     if (doomed.isEmpty) return -1L
     val dvAdds = stage(spark, doomed.repartition(1), table, dir = "dv")
     commitAt(spark, table, snap.version, dvAdds, Nil)
+  }
+
+  /** TRUNCATE: one atomic commit unpinning every live data file and
+    * deletion vector. Governance (schema, constraints, protocol) is not
+    * data and survives; time travel keeps the pre-truncate snapshots;
+    * an append interleaved after the snapshot read survives (it was
+    * never in the truncated set — the WriteSerializable append rule).
+    * Returns the committed version, or the current one if already
+    * empty. */
+  def truncateTable(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table)
+    if (snap.files.isEmpty && snap.dvs.isEmpty) return snap.version
+    commitAt(spark, table, snap.version, Nil,
+      snap.files ++ snap.dvs.map(_.file))
   }
 
   /** The merge-on-read scan KEEPING the (__dv_file, __dv_pos) metadata

@@ -81,6 +81,30 @@ object GraftLakeCatalog {
     spark.sql(s"SELECT doc_id, lang, source, n_chars, quality " +
       s"FROM $cat.db.docs ORDER BY doc_id")
   }
+
+  /** lake_sql_delete: SQL `DELETE FROM` through the catalog — two
+    * deletes land as merge-on-read deletion-vector commits (zero data
+    * files rewritten; the V2 read anti-joins the tombstones), then the
+    * SELECT sees exactly the survivors. A delete that dropped the wrong
+    * rows, resurrected tombstoned ones, or rewrote files out from under
+    * the log all hash-mismatch. */
+  def sqlDeleteQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqldel")
+    val cat = s"glaked${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      s"source STRING, n_chars BIGINT) USING `graft-lake`")
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqldel_docs")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqldel_docs")
+    spark.sql(s"DELETE FROM $cat.db.docs WHERE lang = 'de'")
+    spark.sql(s"DELETE FROM $cat.db.docs WHERE lang = 'en' AND n_chars > 900")
+    spark.sql(s"SELECT doc_id, lang, source, n_chars " +
+      s"FROM $cat.db.docs ORDER BY doc_id")
+  }
 }
 
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {

@@ -124,11 +124,73 @@ object LakeStreamSource {
 /** `pinnedVersion` (catalog `VERSION AS OF` time travel) pins every
   * batch scan of this Table handle to that log version; writes against
   * a pinned handle are refused — history is read-only. */
+/** Pushed source filters → a Spark `Column` predicate (exact, not
+  * conservative — a DELETE must remove precisely the matching rows).
+  * `None` = not translatable, the caller must refuse. */
+private[sources] object LakeFilterColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.sources._
+
+  def apply(f: Filter): Option[Column] = f match {
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case And(l, r) => for (a <- apply(l); b <- apply(r)) yield a && b
+    case Or(l, r) => for (a <- apply(l); b <- apply(r)) yield a || b
+    case Not(x) => apply(x).map(!_)
+    case _ => None
+  }
+}
+
 final class LakeStreamTable(tablePath: String, tableSchema: StructType,
                             pinnedVersion: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-lake `$tablePath`" +
     pinnedVersion.fold("")(v => s" @v$v")
+
+  /** SQL `DELETE FROM ... WHERE <translatable predicate>` — a
+    * merge-on-read deletion-vector commit ([[LakeTxn.deleteWhereMor]]):
+    * zero data files rewritten, one atomic commit, read-side anti-join.
+    * An untranslatable condition is refused at analysis
+    * (`canDeleteWhere`) — Spark reports it rather than half-deleting.
+    * `DELETE WHERE true` and SQL `TRUNCATE TABLE` unpin everything in
+    * one commit instead of tombstoning every row. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(LakeFilterColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"cannot DELETE from $name: a VERSION AS OF handle is read-only history")
+    val spark = SparkSession.active
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      LakeTxn.truncateTable(spark, tablePath): Unit
+    else {
+      val cond = filters.map(f => LakeFilterColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE condition not translatable to a source filter: $f")))
+        .reduce(_ && _)
+      LakeTxn.deleteWhereMor(spark, tablePath, cond): Unit
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"cannot TRUNCATE $name: a VERSION AS OF handle is read-only history")
+    LakeTxn.truncateTable(SparkSession.active, tablePath)
+    true
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,

@@ -131,6 +131,40 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT * FROM glake.db.tt VERSION AS OF 'abc'").collect())
   }
 
+  test("SQL DELETE is a DV commit (no rewrites); TRUNCATE unpins everything") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.del (k BIGINT, lang STRING) USING `graft-lake`")
+    import spark.implicits._
+    (0L until 60L).map(i => (i, Seq("en", "fr", "de")(i.toInt % 3)))
+      .toDF("k", "lang").createOrReplaceTempView("del_src")
+    spark.sql("INSERT INTO glake.db.del SELECT * FROM del_src")
+    val t = tPath("del")
+    val filesBefore = LakeTxn.snapshot(spark, t).files.toSet
+    spark.sql("DELETE FROM glake.db.del WHERE lang = 'de'")
+    // zero data files rewritten: the delete is a deletion-vector commit
+    val snap = LakeTxn.snapshot(spark, t)
+    assert(snap.files.toSet === filesBefore)
+    assert(snap.dvs.nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM glake.db.del").head.getLong(0) === 40L)
+    assert(spark.sql("SELECT count(*) FROM glake.db.del WHERE lang = 'de'")
+      .head.getLong(0) === 0L)
+    // a second delete stacks; survivors exact
+    spark.sql("DELETE FROM glake.db.del WHERE k < 10")
+    assert(spark.table("glake.db.del").collect().map(_.getLong(0)).sorted.toSeq
+      === (10L until 60L).filter(_ % 3 != 2))
+    // DELETE of nothing is a no-op commit-wise
+    val vBefore = LakeTxn.listVersions(spark, t).last
+    spark.sql("DELETE FROM glake.db.del WHERE k > 1000000")
+    assert(LakeTxn.listVersions(spark, t).last === vBefore)
+    // TRUNCATE TABLE: one commit, empty table, history intact
+    spark.sql("TRUNCATE TABLE glake.db.del")
+    assert(spark.sql("SELECT count(*) FROM glake.db.del").head.getLong(0) === 0L)
+    assert(LakeTxn.read(spark, t, asOf = Some(vBefore)).count() > 0L)
+    // the table still accepts inserts after truncation
+    spark.sql("INSERT INTO glake.db.del VALUES (999, 'en')")
+    assert(spark.table("glake.db.del").count() === 1L)
+  }
+
   test("the catalog read path is the V2 connector: columnar scan + log pruning") {
     wh: Unit
     spark.sql("CREATE TABLE glake.db.scan (k BIGINT, v BIGINT) USING `graft-lake`")

@@ -245,7 +245,10 @@ object ScaleBench {
       "lake_agg_pushdown" -> SparkEntry.queries("lake_agg_pushdown"),
       // the stats-driven broadcast join: the dim append + the fact scan
       // are the data terms; the broadcast stays dim-sized at any scale
-      "lake_stats_join" -> SparkEntry.queries("lake_stats_join"))
+      "lake_stats_join" -> SparkEntry.queries("lake_stats_join"),
+      // SQL deletes: DV build is Θ(matched rows); the survivor read is
+      // the scan + broadcast anti-join — both corpus-proportional
+      "lake_sql_delete" -> SparkEntry.queries("lake_sql_delete"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
