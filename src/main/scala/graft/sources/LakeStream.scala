@@ -782,21 +782,15 @@ final class LakeBatch(table: String, schema: StructType,
     parts.toArray[InputPartition]
 
   /** COLUMNAR when every planned partition can emit the scan schema as
-    * vectorized batches: no deletion vector (merge-on-read skipping is
-    * row-cursor logic), and any log-recorded partition value lands in
-    * the batch tail (`initBatch` appends partition columns LAST — a
-    * mid-schema value would reorder columns). Spark refuses mixed
-    * row/columnar partitions in one scan, so the decision is
-    * scan-level. */
+    * vectorized batches: atomic types and no deletion vector
+    * (merge-on-read skipping is row-cursor logic). Injected partition
+    * values at any schema position are fine — the reader reorders its
+    * vector pointers. Spark refuses mixed row/columnar partitions in
+    * one scan, so the decision is scan-level. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val vectorizable = schema.fields.forall(f =>
       LakeColumnarReader.atomicOk(f.dataType))
-    val columnar = vectorizable && parts.forall { p =>
-      p.deleted.isEmpty && (p.pvValue == null || {
-        val i = schema.fieldNames.indexOf(p.pvCol)
-        i == -1 || i == schema.length - 1
-      })
-    }
+    val columnar = vectorizable && parts.forall(_.deleted.isEmpty)
     new LakeReaderFactory(schema.json,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
@@ -925,9 +919,14 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
     parts.result()
   }
 
+  /** Streamed micro-batches decode COLUMNAR too (atomic schemas only):
+    * stream partitions never carry deletion vectors (delete commits are
+    * refused or skipped at plan time), and injected partition values at
+    * any position are handled by the reader's vector reordering. */
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(schema.json,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      columnar = schema.fields.forall(f => LakeColumnarReader.atomicOk(f.dataType)))
 
   override def commit(end: Offset): Unit = () // log retention is vacuum's concern
   override def stop(): Unit = ()
@@ -1041,9 +1040,28 @@ final class LakeColumnarReader(absPath: String, schema: StructType,
     reader.initBatch(new StructType(), new GenericInternalRow(0))
   reader.enableReturningBatches()
 
+  // `initBatch` appends the injected partition column LAST; when the
+  // scan schema wants it elsewhere, REORDER the column-vector pointers
+  // once (no data copies — a ColumnarBatch is just an array of vector
+  // references) so the emitted batch matches the scan schema exactly
+  private val pvIdx = if (hasPv) schema.fieldNames.indexOf(pvCol) else -1
+  private lazy val reordered: org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val base = reader.resultBatch()
+    val cols = Array.tabulate(schema.length) { i =>
+      if (i == pvIdx) base.column(requested.length) // the appended pv vector
+      else base.column(requested.fieldNames.indexOf(schema.fields(i).name))
+    }
+    new org.apache.spark.sql.vectorized.ColumnarBatch(cols, 0)
+  }
+  private val needReorder = hasPv && pvIdx != schema.length - 1
+
   override def next(): Boolean = reader.nextBatch()
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    reader.resultBatch()
+    if (!needReorder) reader.resultBatch()
+    else {
+      reordered.setNumRows(reader.resultBatch().numRows())
+      reordered
+    }
   override def close(): Unit = reader.close()
 }
 

@@ -200,6 +200,29 @@ class LakeV2BatchSpec extends SparkSpec {
       LakeTxn.read(spark, t2).orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
   }
 
+  test("a MID-schema partition value stays columnar (vector reordering, no copies)") {
+    val t = freshDir("vecmid")
+    import spark.implicits._
+    // lang sits at position 1 of 3: the injected vector must be
+    // reordered into the middle, not appended
+    val d = (0 until 60).map(i =>
+      (i.toLong, Seq("en", "fr", "de")(i % 3), s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    LakeTxn.appendCommit(spark, d.filter(col("doc_id") < 12).repartition(1), t)
+    LakeTxn.appendCommitPartitioned(spark, d.filter(col("doc_id") >= 12), t, "lang")
+    val df = spark.read.format("graft-lake").load(t)
+    assert(df.columns.toSeq === Seq("doc_id", "lang", "text"))
+    df.collect(): Unit
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.orderBy("doc_id").collect().map(_.mkString("|")).toSeq ===
+      d.orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
+    // pruning to (lang, text) puts the injected vector FIRST
+    val thin = spark.read.format("graft-lake").load(t).select("lang", "text")
+      .orderBy("text")
+    assert(thin.collect().map(_.mkString("|")).toSeq ===
+      d.select("lang", "text").orderBy("text").collect().map(_.mkString("|")).toSeq)
+  }
+
   test("row-group pruning: a selective band decodes k of N groups, hash unchanged") {
     val t = freshDir("rg")
     import spark.implicits._
