@@ -138,6 +138,7 @@ object Plans {
     "lake_agg_pushdown" -> "COMPLETE aggregate pushdown: the whole COUNT/MIN/MAX block collapses into a one-row metadata scan ('answered from log' in the scan description) — counts fold add-action rows and nullCounts, extremes fold the exact per-file INT64 bands; zero data file opens at any table size",
     "lake_stats_join" -> "LOG-REPORTED scan statistics (SupportsReportStatistics folding add-action bytes/rows, post-prune) let Catalyst AUTO-broadcast the lake dim against the orders fact with no hint — BroadcastHashJoin in the plan where an unknown-size V2 table would have shuffled both sides",
     "lake_sql_delete" -> "SQL DELETE resolves to SupportsDelete -> one merge-on-read deletion-vector commit per statement (zero data files rewritten); the SELECT is the V2 scan with the broadcast DV anti-join applied in the readers — delete cost is Θ(matched rows), not Θ(table)",
+    "lake_sql_call" -> "CALL cat.system.merge/checkpoint/compact/vacuum: each procedure is the corresponding LakeTxn commit (file-pruned CoW merge, checkpointed fold, bin-pack, retention delete) returning a one-row LocalScan; the graded SELECT is the final snapshot's plain scan + presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

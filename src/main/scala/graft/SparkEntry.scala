@@ -1005,6 +1005,9 @@ object SparkEntry {
     // SQL DELETE FROM through the catalog: merge-on-read DV commits,
     // zero data files rewritten, the SELECT sees exactly the survivors
     "lake_sql_delete" -> ((s, d) => sources.GraftLakeCatalog.sqlDeleteQuery(s, d)),
+    // the SQL maintenance surface: CALL cat.system.{merge, checkpoint,
+    // compact, vacuum} running the lake's state changes from pure SQL
+    "lake_sql_call" -> ((s, d) => sources.GraftLakeCatalog.sqlCallQuery(s, d)),
     // the NATIVE exactly-once streaming sink: writeStream lands each
     // epoch as one marker-keyed commit; a full fresh-checkpoint replay
     // re-delivers every epoch and the markers skip them all
@@ -3319,6 +3322,18 @@ object SparkEntry {
     "stream_lake_sink" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang <> 'fr' ORDER BY doc_id""".stripMargin,
+    // the CALL journey must land the CDC merge exactly and keep content
+    // byte-identical through checkpoint + compact + vacuum
+    "lake_sql_call" ->
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // SQL deletes must remove EXACTLY the matching rows: oracle = the
     // double anti-filter
     "lake_sql_delete" ->

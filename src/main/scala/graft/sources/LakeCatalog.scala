@@ -6,10 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ext.LakeTxn
@@ -105,9 +108,48 @@ object GraftLakeCatalog {
     spark.sql(s"SELECT doc_id, lang, source, n_chars " +
       s"FROM $cat.db.docs ORDER BY doc_id")
   }
+
+  /** lake_sql_call: the MAINTENANCE surface in pure SQL — `CALL
+    * cat.system.merge` applies a CDC view copy-on-write (updates +
+    * inserts + deletes in one commit), then `checkpoint`, `compact`
+    * and `vacuum` run as CALLs; the SELECT reads the final snapshot.
+    * Graded on the content: a merge that lost a change kind, a
+    * compaction that dropped rows, or a vacuum that deleted live files
+    * all hash-mismatch. */
+  def sqlCallQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlcall")
+    val cat = s"glakec${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      s"source STRING, n_chars BIGINT) USING `graft-lake`")
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlcall_docs")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqlcall_docs WHERE doc_id % 2 = 0")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqlcall_docs WHERE doc_id % 2 = 1")
+    spark.sql(
+      """SELECT doc_id, 'xx' AS lang, source, n_chars, 'upsert' AS __op
+        |FROM sqlcall_docs WHERE doc_id % 7 = 0 AND doc_id % 5 <> 4
+        |UNION ALL
+        |SELECT doc_id + 1000000, 'new', source, n_chars, 'upsert'
+        |FROM sqlcall_docs WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars, 'delete'
+        |FROM sqlcall_docs WHERE doc_id % 5 = 4""".stripMargin)
+      .createOrReplaceTempView("sqlcall_changes")
+    spark.sql(s"CALL $cat.system.merge('db.docs', 'sqlcall_changes', 'doc_id')")
+    spark.sql(s"CALL $cat.system.checkpoint('db.docs')")
+    spark.sql(s"CALL $cat.system.compact('db.docs')")
+    spark.sql(s"CALL $cat.system.vacuum('db.docs')")
+    spark.sql(s"SELECT doc_id, lang, source, n_chars " +
+      s"FROM $cat.db.docs ORDER BY doc_id")
+  }
 }
 
-class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -239,6 +281,131 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(nsPath(newIdent.namespace)))
       throw new NoSuchNamespaceException(newIdent.namespace)
     require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ------------------------------------------------------------------
+  // stored procedures: the SQL maintenance surface (CALL cat.system.*)
+  // ------------------------------------------------------------------
+
+  /** 'db.table' → the table's path under this warehouse (must exist). */
+  private[sources] def resolveTable(dbDotTable: String): String = {
+    val parts = dbDotTable.split("\\.")
+    require(parts.length == 2,
+      s"procedures take a 'db.table' name (got '$dbDotTable')")
+    val p = tablePath(Identifier.of(Array(parts(0)), parts(1)))
+    require(isTable(p), s"no graft-lake table at $p")
+    p.toString
+  }
+
+  /** One IN parameter. */
+  private def in(n: String, dt: org.apache.spark.sql.types.DataType,
+                 default: String = null): ProcedureParameter = {
+    val b = ProcedureParameter.in(n, dt)
+    if (default != null) b.defaultValue(default)
+    b.build()
+  }
+
+  /** A procedure whose side effect runs in `body` and whose result is
+    * ONE summary row (served through the same one-row metadata scan the
+    * aggregate pushdown uses). CALL-site contract: args arrive in
+    * declared parameter order, defaults filled by Spark. */
+  private abstract class LakeProc(procName: String,
+                                  ps: Array[ProcedureParameter],
+                                  out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft-lake $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps
+    override def isDeterministic: Boolean = false
+    protected def run(args: InternalRow): Array[Any]
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // procedure output rides as a LocalScan (the one shape the CALL
+      // command accepts): one summary row, driver-local
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(run(input))
+      java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = s"graft-lake $procName result"
+      }).iterator()
+    }
+  }
+
+  private def vOut = StructType(Seq(StructField("version", LongType, nullable = false)))
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  /** The maintenance/state-change commands a lakehouse exposes as SQL
+    * (`CALL cat.system.<proc>(...)`): every one is the corresponding
+    * [[LakeTxn]] commit, returning the committed version (or counts).
+    * `merge` takes its change set from a VIEW name — the SQL spelling
+    * of the file-pruned copy-on-write CDC apply. */
+  private val procedures: Map[String, LakeProc] = Seq[LakeProc](
+    new LakeProc("checkpoint", Array(in("table", StringType)), vOut) {
+      def run(a: InternalRow) =
+        Array(Long.box(LakeTxn.checkpointLog(spark, resolveTable(str(a, 0)))))
+    },
+    new LakeProc("compact",
+      Array(in("table", StringType),
+        in("target_bytes", LongType, (Long.MaxValue / 4).toString)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(
+        LakeTxn.compactCommit(spark, resolveTable(str(a, 0)), a.getLong(1))))
+    },
+    new LakeProc("vacuum",
+      Array(in("table", StringType),
+        in("retain_last", LongType, "1"),
+        in("grace_ms", LongType, (15 * 60 * 1000L).toString)),
+      StructType(Seq(StructField("examined", LongType, nullable = false),
+        StructField("deleted", LongType, nullable = false),
+        StructField("orphans_skipped", LongType, nullable = false)))) {
+      def run(a: InternalRow) = {
+        val s = LakeTxn.vacuum(spark, resolveTable(str(a, 0)),
+          a.getLong(1).toInt, a.getLong(2))
+        Array(Long.box(s.examined.toLong), Long.box(s.deleted.toLong),
+          Long.box(s.orphansSkipped.toLong))
+      }
+    },
+    new LakeProc("optimize_zorder",
+      Array(in("table", StringType), in("col1", StringType),
+        in("col2", StringType), in("files", LongType, "16")), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.optimizeZorder(spark,
+        resolveTable(str(a, 0)), str(a, 1), str(a, 2), a.getLong(3).toInt)))
+    },
+    new LakeProc("merge",
+      Array(in("table", StringType), in("source_view", StringType),
+        in("key_col", StringType)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.applyChanges(spark,
+        resolveTable(str(a, 0)), spark.table(str(a, 1)), str(a, 2))))
+    },
+    new LakeProc("add_constraint",
+      Array(in("table", StringType), in("name", StringType),
+        in("expr", StringType)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.addConstraint(spark,
+        resolveTable(str(a, 0)), str(a, 1), str(a, 2))))
+    },
+    new LakeProc("drop_constraint",
+      Array(in("table", StringType), in("name", StringType)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.dropConstraint(spark,
+        resolveTable(str(a, 0)), str(a, 1))))
+    },
+    new LakeProc("set_protocol",
+      Array(in("table", StringType), in("reader", LongType),
+        in("writer", LongType)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.setProtocol(spark,
+        resolveTable(str(a, 0)), a.getLong(1).toInt, a.getLong(2).toInt)))
+    }).map(p => p.name() -> p).toMap
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft-lake procedures live in the 'system' namespace (got $ident)")
+    procedures.getOrElse(ident.name,
+      throw new IllegalArgumentException(
+        s"no procedure '${ident.name}' (have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
   }
 
   // ------------------------------------------------------------------

@@ -165,6 +165,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("glake.db.del").count() === 1L)
   }
 
+  test("stored procedures: CALL glake.system.* runs lake maintenance in SQL") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.proc (k BIGINT, lang STRING, n BIGINT) USING `graft-lake`")
+    import spark.implicits._
+    (0L until 40L).map(i => (i, Seq("en", "fr")(i.toInt % 2), 10 + i))
+      .toDF("k", "lang", "n").createOrReplaceTempView("proc_src")
+    spark.sql("INSERT INTO glake.db.proc SELECT * FROM proc_src WHERE k % 2 = 0")
+    spark.sql("INSERT INTO glake.db.proc SELECT * FROM proc_src WHERE k % 2 = 1")
+    val t = tPath("proc")
+    // checkpoint returns the checkpointed version as a result row
+    val ck = spark.sql("CALL glake.system.checkpoint('db.proc')").collect()
+    assert(ck.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(LakeTxn.listCheckpoints(spark, t) === Seq(2L))
+    // merge: the change set rides in as a VIEW (CDC through SQL)
+    (0L until 5L).map(i => (i, "xx", 999L, "upsert"))
+      .toDF("k", "lang", "n", "__op").createOrReplaceTempView("proc_changes")
+    spark.sql("CALL glake.system.merge('db.proc', 'proc_changes', 'k')")
+    assert(spark.sql("SELECT count(*) FROM glake.db.proc WHERE lang = 'xx'")
+      .head.getLong(0) === 5L)
+    // compact packs the accreted files; content unchanged
+    val before = spark.table("glake.db.proc").collect().map(_.mkString("|")).sorted
+    spark.sql("CALL glake.system.compact('db.proc')")
+    assert(LakeTxn.snapshot(spark, t).files.size === 1)
+    assert(spark.table("glake.db.proc").collect().map(_.mkString("|")).sorted
+      === before)
+    // vacuum with defaults (retain_last = 1): live content untouched
+    val vac = spark.sql("CALL glake.system.vacuum('db.proc')").collect().head
+    assert(vac.getLong(1) > 0L, s"vacuum should delete unpinned files: $vac")
+    assert(spark.table("glake.db.proc").count() === 40L)
+    // constraints through CALL: a violating INSERT now refuses
+    spark.sql("CALL glake.system.add_constraint('db.proc', 'n_pos', 'n >= 0')")
+    intercept[Exception](spark.sql("INSERT INTO glake.db.proc VALUES (99, 'en', -1)"))
+    spark.sql("CALL glake.system.drop_constraint('db.proc', 'n_pos')")
+    spark.sql("INSERT INTO glake.db.proc VALUES (99, 'en', -1)")
+    assert(spark.table("glake.db.proc").count() === 41L)
+    // unknown procedures are refused loudly
+    intercept[Exception](spark.sql("CALL glake.system.explode('db.proc')"))
+  }
+
   test("the catalog read path is the V2 connector: columnar scan + log pruning") {
     wh: Unit
     spark.sql("CREATE TABLE glake.db.scan (k BIGINT, v BIGINT) USING `graft-lake`")

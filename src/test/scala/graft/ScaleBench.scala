@@ -248,7 +248,10 @@ object ScaleBench {
       "lake_stats_join" -> SparkEntry.queries("lake_stats_join"),
       // SQL deletes: DV build is Θ(matched rows); the survivor read is
       // the scan + broadcast anti-join — both corpus-proportional
-      "lake_sql_delete" -> SparkEntry.queries("lake_sql_delete"))
+      "lake_sql_delete" -> SparkEntry.queries("lake_sql_delete"),
+      // the CALL journey: CoW merge + checkpoint + compact + vacuum —
+      // the merge rewrite and the compaction scan are the data terms
+      "lake_sql_call" -> SparkEntry.queries("lake_sql_call"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
