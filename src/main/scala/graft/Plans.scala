@@ -139,6 +139,8 @@ object Plans {
     "lake_stats_join" -> "LOG-REPORTED scan statistics (SupportsReportStatistics folding add-action bytes/rows, post-prune) let Catalyst AUTO-broadcast the lake dim against the orders fact with no hint — BroadcastHashJoin in the plan where an unknown-size V2 table would have shuffled both sides",
     "lake_sql_delete" -> "SQL DELETE resolves to SupportsDelete -> one merge-on-read deletion-vector commit per statement (zero data files rewritten); the SELECT is the V2 scan with the broadcast DV anti-join applied in the readers — delete cost is Θ(matched rows), not Θ(table)",
     "lake_sql_call" -> "CALL cat.system.merge/checkpoint/compact/vacuum: each procedure is the corresponding LakeTxn commit (file-pruned CoW merge, checkpointed fold, bin-pack, retention delete) returning a one-row LocalScan; the graded SELECT is the final snapshot's plain scan + presentation sort",
+    "lake_sql_update" -> "SQL UPDATE plans as a group-based copy-on-write: a runtime group-filter subquery collects matching _file values, the rewrite scan reads ONLY those files (rows + injected _file), and the replace commit removes exactly them — conflict-checked at the scan's read version",
+    "lake_sql_merge" -> "native MERGE INTO through the same row-level operation: source joins the group-filtered rewrite scan, matched-delete/update + not-matched-insert land as ONE atomic replace commit (the third surface over the CDC contract after applyChanges and CALL merge)",
   )
 
   def main(args: Array[String]): Unit = {

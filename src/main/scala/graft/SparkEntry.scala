@@ -1008,6 +1008,12 @@ object SparkEntry {
     // the SQL maintenance surface: CALL cat.system.{merge, checkpoint,
     // compact, vacuum} running the lake's state changes from pure SQL
     "lake_sql_call" -> ((s, d) => sources.GraftLakeCatalog.sqlCallQuery(s, d)),
+    // SQL UPDATE as group-based copy-on-write: the runtime group filter
+    // rewrites only matching files; sequential updates compound
+    "lake_sql_update" -> ((s, d) => sources.GraftLakeCatalog.sqlUpdateQuery(s, d)),
+    // native MERGE INTO: matched-delete/update + not-matched-insert in
+    // one atomic row-level commit
+    "lake_sql_merge" -> ((s, d) => sources.GraftLakeCatalog.sqlMergeQuery(s, d)),
     // the NATIVE exactly-once streaming sink: writeStream lands each
     // epoch as one marker-keyed commit; a full fresh-checkpoint replay
     // re-delivers every epoch and the markers skip them all
@@ -3322,6 +3328,28 @@ object SparkEntry {
     "stream_lake_sink" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE lang <> 'fr' ORDER BY doc_id""".stripMargin,
+    // two compounding UPDATEs: the second reads the first's commit
+    "lake_sql_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN n2 > 1500 THEN 'xl' ELSE lang END AS lang,
+        |  source, n2 AS n_chars
+        |FROM (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n2
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // the native MERGE must land the same CDC result as the procedure
+    // and the programmatic apply (three surfaces, one contract)
+    "lake_sql_merge" ->
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // the CALL journey must land the CDC merge exactly and keep content
     // byte-identical through checkpoint + compact + vacuum
     "lake_sql_call" ->

@@ -617,6 +617,50 @@ object LakeTxn {
     }
   }
 
+  /** REPLACE-DATA commit for SQL row-level operations (UPDATE/MERGE/
+    * rewrite-DELETE): the staged rewritten rows publish as ONE atomic
+    * commit removing exactly `removes` — the files the rewrite scan
+    * planned at `readVersion`. Conflict contract is [[commitAt]]'s
+    * WriteSerializable: an interleaved rewrite of any replaced file
+    * aborts (never a silent lost update), interleaved appends commute.
+    * CHECK constraints validate the staged content first; a
+    * delete-everything rewrite may stage nothing (pure remove). */
+  private[graft] def replaceFilesCommit(spark: SparkSession, table: String,
+                                        staged: Seq[String], readVersion: Long,
+                                        removes: Seq[String]): Long = {
+    require(staged.nonEmpty || removes.nonEmpty, "empty replace-data commit")
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    def dropStaged(): Unit =
+      staged.foreach(s => fs.delete(new Path(root, s), false))
+    try {
+      checkWriterProtocol(spark, table)
+      if (staged.nonEmpty) {
+        val cs = snapshot(spark, table).constraints
+        if (cs.nonEmpty) {
+          val df = spark.read.parquet(staged.map(s => new Path(root, s).toString): _*)
+          cs.foreach { case (name, e) =>
+            val bad = df.filter(not(coalesce(expr(e).cast("boolean"), lit(true))))
+            if (!bad.isEmpty) throw new ConstraintViolationException(
+              s"CHECK constraint '$name' ($e) violated by the rewrite of " +
+                s"$table — staged files deleted, nothing committed")
+          }
+        }
+      }
+      val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      fs.mkdirs(new Path(root, "data"))
+      val rels = staged.zipWithIndex.map { case (s, i) =>
+        val rel = s"data/$batch-$i.parquet"
+        require(fs.rename(new Path(root, s), new Path(root, rel)),
+          s"failed to publish staged $s as $rel")
+        rel
+      }
+      commitAt(spark, table, readVersion, footerActions(spark, root, rels), removes)
+    } catch {
+      case t: Throwable => dropStaged(); throw t
+    }
+  }
+
   /** OVERWRITE through the V2 connector: ONE atomic commit that removes
     * the doomed file set and adds the staged replacement. Two scopes:
     *  - `scope = None`: truncate-and-append (`mode("overwrite")`) —

@@ -109,6 +109,68 @@ object GraftLakeCatalog {
       s"FROM $cat.db.docs ORDER BY doc_id")
   }
 
+  /** lake_sql_update: SQL `UPDATE` as a group-based copy-on-write
+    * row-level operation — the runtime group filter rewrites only files
+    * holding a match (LakeRowLevelSpec pins the surviving file set),
+    * and two sequential updates COMPOUND (the second reads the first's
+    * commit). Graded on the final content: a lost update, a
+    * half-applied rewrite, or a resurrected pre-update row all
+    * hash-mismatch. */
+  def sqlUpdateQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlupd")
+    val cat = s"glakeu${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      s"source STRING, n_chars BIGINT) USING `graft-lake`")
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlupd_docs")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqlupd_docs")
+    spark.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 1000 WHERE lang = 'en'")
+    spark.sql(s"UPDATE $cat.db.docs SET lang = 'xl' WHERE n_chars > 1500")
+    spark.sql(s"SELECT doc_id, lang, source, n_chars " +
+      s"FROM $cat.db.docs ORDER BY doc_id")
+  }
+
+  /** lake_sql_merge: native SQL `MERGE INTO` — matched-delete,
+    * matched-update and not-matched-insert in ONE atomic copy-on-write
+    * commit through the row-level operation (the same CDC shape the
+    * `merge` procedure and `applyChanges` serve, graded through the
+    * third surface: the MERGE keyword itself). */
+  def sqlMergeQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlmrg")
+    val cat = s"glakem${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+      s"source STRING, n_chars BIGINT) USING `graft-lake`")
+    graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlmrg_docs")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqlmrg_docs")
+    spark.sql(
+      """SELECT doc_id, 'xx' AS lang, source, n_chars, 'u' AS op
+        |FROM sqlmrg_docs WHERE doc_id % 7 = 0 AND doc_id % 5 <> 4
+        |UNION ALL
+        |SELECT doc_id + 1000000, 'new', source, n_chars, 'u'
+        |FROM sqlmrg_docs WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars, 'd'
+        |FROM sqlmrg_docs WHERE doc_id % 5 = 4""".stripMargin)
+      .createOrReplaceTempView("sqlmrg_changes")
+    spark.sql(
+      s"""MERGE INTO $cat.db.docs t USING sqlmrg_changes s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET lang = s.lang
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+         |  VALUES (s.doc_id, s.lang, s.source, s.n_chars)""".stripMargin)
+    spark.sql(s"SELECT doc_id, lang, source, n_chars " +
+      s"FROM $cat.db.docs ORDER BY doc_id")
+  }
+
   /** lake_sql_call: the MAINTENANCE surface in pure SQL — `CALL
     * cat.system.merge` applies a CDC view copy-on-write (updates +
     * inserts + deletes in one commit), then `checkpoint`, `compact`

@@ -156,9 +156,44 @@ private[sources] object LakeFilterColumn {
 final class LakeStreamTable(tablePath: String, tableSchema: StructType,
                             pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-lake `$tablePath`" +
     pinnedVersion.fold("")(v => s" @v$v")
+
+  /** `_file` — the table-relative path of the row's file, injected by
+    * the readers as a per-partition constant: the group identity
+    * row-level operations (UPDATE/MERGE) coordinate on, and a plain
+    * `SELECT _file, ...` debugging surface. Not preserved into writes
+    * (a rewritten row gets a NEW file). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "table-relative path of the file the row lives in"
+      override def metadataInJSON(): String =
+        """{"__preserve_on_delete": false, "__preserve_on_update": false, "__preserve_on_reinsert": false}"""
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` (and untranslatable `DELETE`s) as
+    * GROUP-BASED copy-on-write: Spark plans the rewrite, this operation
+    * supplies (a) a scan that serves full rows plus `_file` and accepts
+    * the runtime group filter — only files that might hold a match are
+    * read — and (b) a write that atomically replaces EXACTLY the
+    * scanned files with the rewritten rows, conflict-checked against
+    * the scan's read version. Translatable DELETEs still collapse to
+    * the metadata deletion-vector path (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable + [[canDeleteWhere]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot ${info.command} $name: a VERSION AS OF handle is read-only history")
+    () => new LakeRowLevelOperation(tablePath, tableSchema, info.command)
+  }
 
   /** SQL `DELETE FROM ... WHERE <translatable predicate>` — a
     * merge-on-read deletion-vector commit ([[LakeTxn.deleteWhereMor]]):
@@ -774,7 +809,7 @@ final class LakeBatch(table: String, schema: StructType,
     kept.map { a =>
       val base = a.file.substring(a.file.lastIndexOf('/') + 1)
       LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
-        deletedByFile.getOrElse(base, Array.emptyLongArray))
+        deletedByFile.getOrElse(base, Array.emptyLongArray), relFile = a.file)
     }.toArray
   }
 
@@ -914,7 +949,7 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
           s"commit $v of $table deletes rows; set ignoreDeletes=true to " +
             s"skip tombstones (already-delivered rows stay delivered)")
       dataAdds.foreach(a => parts += LakeInputPartition(s"$table/${a.file}", a.rows,
-        a.pvCol, a.pvValue))
+        a.pvCol, a.pvValue, relFile = a.file))
     }
     parts.result()
   }
@@ -936,12 +971,24 @@ final class LakeMicroBatchStream(table: String, schema: StructType,
   * value when the file was written `partitionBy` (the column is
   * physically absent from it — the reader must INJECT the value, not
   * null-fill); `deleted` is the file's sorted tombstoned row positions
-  * from the live deletion vectors (empty = none). */
+  * from the live deletion vectors (empty = none); `relFile` is the
+  * file's table-relative path, injected as the `_file` METADATA column
+  * when the scan requests it (the group identity row-level operations
+  * coordinate on). */
 final case class LakeInputPartition(absPath: String, rows: Long,
                                     pvCol: String = null,
                                     pvValue: String = null,
-                                    deleted: Array[Long] = Array.emptyLongArray)
-    extends InputPartition
+                                    deleted: Array[Long] = Array.emptyLongArray,
+                                    relFile: String = null)
+    extends InputPartition {
+  /** The constant columns this partition's reader must inject for a
+    * given scan schema: the partition value and/or `_file`. */
+  def injectedFor(schema: StructType): Seq[(String, String)] =
+    (if (pvCol != null && pvValue != null && schema.fieldNames.contains(pvCol))
+      Seq(pvCol -> pvValue) else Nil) ++
+      (if (relFile != null && schema.fieldNames.contains("_file"))
+        Seq("_file" -> relFile) else Nil)
+}
 
 /** `conf` is the DRIVER's session Hadoop configuration shipped to the
   * executors ([[SerializableConfiguration]]) — a bare `new
@@ -961,16 +1008,16 @@ final class LakeReaderFactory(schemaJson: String,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[LakeInputPartition]
-    new LakeColumnarReader(p.absPath,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      p.pvCol, p.pvValue, pushed, conf.value)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new LakeColumnarReader(p.absPath, schema, p.injectedFor(schema),
+      pushed, conf.value)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakeInputPartition]
-    new LakeFileReader(p.absPath,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      p.pvCol, p.pvValue, p.deleted, conf.value)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new LakeFileReader(p.absPath, schema, p.injectedFor(schema),
+      p.deleted, conf.value)
   }
 }
 
@@ -998,19 +1045,19 @@ object LakeColumnarReader {
   * old file lacks under an evolved schema null-fills inside the
   * vectorized reader. */
 final class LakeColumnarReader(absPath: String, schema: StructType,
-                               pvCol: String, pvValue: String,
+                               injected: Seq[(String, String)],
                                pushed: Array[Filter],
                                hadoopConf: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
   private val conf = new Configuration(hadoopConf)
-  private val hasPv =
-    pvValue != null && pvCol != null && schema.fieldNames.contains(pvCol)
-  // the requested spark schema: everything except an injected partition
-  // column (which the file physically lacks and initBatch appends LAST)
+  private val injNames = injected.map(_._1)
+  // the requested spark schema: everything except the injected constant
+  // columns (partition value, `_file`) — the file physically lacks them
+  // and initBatch appends them LAST
   private val requested =
-    if (hasPv) StructType(schema.fields.filterNot(_.name == pvCol)) else schema
+    StructType(schema.fields.filterNot(f => injNames.contains(f.name)))
   conf.set("parquet.read.support.class",
     "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
   conf.set("org.apache.spark.sql.parquet.row.requested_schema", requested.json)
@@ -1033,27 +1080,29 @@ final class LakeColumnarReader(absPath: String, schema: StructType,
     new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String]),
     new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
       new org.apache.hadoop.mapreduce.TaskAttemptID()))
-  if (hasPv)
-    reader.initBatch(StructType(Seq(StructField(pvCol, StringType, nullable = true))),
-      new GenericInternalRow(Array[Any](UTF8String.fromString(pvValue))))
-  else
-    reader.initBatch(new StructType(), new GenericInternalRow(0))
+  reader.initBatch(
+    StructType(injected.map { case (n, _) =>
+      StructField(n, StringType, nullable = true) }),
+    new GenericInternalRow(
+      injected.map(kv => UTF8String.fromString(kv._2): Any).toArray))
   reader.enableReturningBatches()
 
-  // `initBatch` appends the injected partition column LAST; when the
-  // scan schema wants it elsewhere, REORDER the column-vector pointers
-  // once (no data copies — a ColumnarBatch is just an array of vector
-  // references) so the emitted batch matches the scan schema exactly
-  private val pvIdx = if (hasPv) schema.fieldNames.indexOf(pvCol) else -1
+  // `initBatch` appends the injected constant columns LAST; when the
+  // scan schema wants them elsewhere, REORDER the column-vector
+  // pointers once (no data copies — a ColumnarBatch is just an array
+  // of vector references) so the emitted batch matches the scan schema
   private lazy val reordered: org.apache.spark.sql.vectorized.ColumnarBatch = {
     val base = reader.resultBatch()
     val cols = Array.tabulate(schema.length) { i =>
-      if (i == pvIdx) base.column(requested.length) // the appended pv vector
-      else base.column(requested.fieldNames.indexOf(schema.fields(i).name))
+      val n = schema.fields(i).name
+      val k = injNames.indexOf(n)
+      if (k >= 0) base.column(requested.length + k) // an appended constant
+      else base.column(requested.fieldNames.indexOf(n))
     }
     new org.apache.spark.sql.vectorized.ColumnarBatch(cols, 0)
   }
-  private val needReorder = hasPv && pvIdx != schema.length - 1
+  private val needReorder = injected.nonEmpty &&
+    !schema.fieldNames.endsWith(injNames)
 
   override def next(): Boolean = reader.nextBatch()
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
@@ -1072,7 +1121,7 @@ final class LakeColumnarReader(absPath: String, schema: StructType,
   * but the schema doesn't (post-evolution file under a pinned older
   * stream schema) is never read at all. */
 final class LakeFileReader(absPath: String, schema: StructType,
-                           pvCol: String = null, pvValue: String = null,
+                           injected: Seq[(String, String)] = Nil,
                            deleted: Array[Long] = Array.emptyLongArray,
                            hadoopConf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
@@ -1081,13 +1130,11 @@ final class LakeFileReader(absPath: String, schema: StructType,
     HadoopInputFile.fromPath(new Path(absPath), hadoopConf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val kept = schema.fields.filter(f => fileSchema.containsField(f.name))
-  // the log-recorded partition value, injected as a constant (the file
-  // physically lacks the column; null-filling it would be silent data
-  // corruption — partition columns are STRING by the write contract)
-  private val pvConst: UTF8String =
-    if (pvValue == null) null else UTF8String.fromString(pvValue)
-  private val pvIdx: Int =
-    if (pvCol == null) -1 else schema.fieldNames.indexOf(pvCol)
+  // the injected constants (log-recorded partition value, `_file`): the
+  // file physically lacks these columns; null-filling them would be
+  // silent data corruption — both are STRING by contract
+  private val injConst: Map[String, UTF8String] =
+    injected.map { case (n, v) => n -> UTF8String.fromString(v) }.toMap
   private val projection = new MessageType(fileSchema.getName,
     kept.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
       .toList.asJava: java.util.List[org.apache.parquet.schema.Type])
@@ -1170,7 +1217,8 @@ final class LakeFileReader(absPath: String, schema: StructType,
         var i = 0
         while (i < schema.length) {
           val fn = extract(i)
-          if (fn == null) row.update(i, if (i == pvIdx) pvConst else null)
+          if (fn == null)
+            row.update(i, injConst.getOrElse(schema.fields(i).name, null))
           else {
             val j = projIdx(i)
             if (g.getFieldRepetitionCount(j) == 0) row.update(i, null)
@@ -1187,6 +1235,157 @@ final class LakeFileReader(absPath: String, schema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** One SQL row-level command (UPDATE / MERGE / rewrite-DELETE) as a
+  * copy-on-write group operation. The INSTANCE is the coordination
+  * channel Spark's contract provides: the scan records which files it
+  * planned (post runtime-group-filter) and at which log version; the
+  * write replaces exactly those files in one conflict-checked atomic
+  * commit. */
+final class LakeRowLevelOperation(table: String, tableSchema: StructType,
+                                  cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  @volatile private[sources] var scannedFiles: Seq[String] = Nil
+  @volatile private[sources] var readVersion: Long = -1L
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-lake $cmd (copy-on-write)"
+
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType =
+        tableSchema.add("_file", StringType, nullable = false)
+      override def pruneColumns(s: StructType): Unit = required = s
+      override def build(): Scan =
+        new LakeRowLevelScan(LakeRowLevelOperation.this, table, required)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch(): BatchWrite =
+          new LakeReplaceDataWrite(table, info.schema(), info.queryId(),
+            LakeRowLevelOperation.this)
+      }
+    }
+}
+
+/** The rewrite-side scan: full rows + the `_file` group column, runtime
+  * group filtering on `_file` (the subquery Spark runs with the command
+  * condition prunes the files the rewrite must touch), deletion vectors
+  * applied in the readers (a rewrite must not resurrect tombstoned
+  * rows). Planning records (files, version) into the operation for the
+  * write's atomic replace. */
+final class LakeRowLevelScan(op: LakeRowLevelOperation, table: String,
+                             schema: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-lake `$table` row-level ${op.command} scan"
+  override def toBatch(): Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  /** Accepts `_file IN (...)` / `_file = ...` from Spark's group-filter
+    * subquery; anything else is ignored (keeping every file is always
+    * correct — unmatched rows are rewritten unchanged). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.flatMap { p =>
+      val refs = p.references()
+      if (refs.length == 1 && refs(0).fieldNames().sameElements(Array("_file")) &&
+        (p.name() == "IN" || p.name() == "=")) {
+        val vals = p.children().collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value)
+        }
+        if (vals.nonEmpty) Some(vals.toSet) else None
+      } else None
+    }
+    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+  }
+
+  /** The SNAPSHOT pins once (all plannings and the write agree on one
+    * version); the partition list recomputes per call because Spark
+    * re-plans AFTER delivering the runtime filter — a cached pre-filter
+    * list would silently rewrite the whole table. */
+  private lazy val base: (LakeTxn.Snapshot, Map[String, Array[Long]]) = {
+    val spark = SparkSession.active
+    val snap = LakeTxn.snapshot(spark, table)
+    val deletedByFile: Map[String, Array[Long]] =
+      if (snap.dvs.isEmpty) Map.empty
+      else spark.read.parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
+        .select(col("__dv_file"), col("__dv_pos"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+    (snap, deletedByFile)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (snap, deletedByFile) = base
+    val kept = runtimeKeep.fold(snap.adds)(fs =>
+      snap.adds.filter(a => fs.contains(a.file)))
+    op.scannedFiles = kept.map(_.file)
+    op.readVersion = snap.version
+    kept.map { a =>
+      val b = a.file.substring(a.file.lastIndexOf('/') + 1)
+      LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
+        deletedByFile.getOrElse(b, Array.emptyLongArray),
+        relFile = a.file): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val columnar = schema.fields.forall(f =>
+      LakeColumnarReader.atomicOk(f.dataType)) && base._2.isEmpty
+    new LakeReaderFactory(schema.json,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()), columnar)
+  }
+}
+
+/** The replace-data write: staged rewritten rows publish as ONE atomic
+  * commit that removes exactly the files the operation's scan planned —
+  * [[graft.ext.LakeTxn.replaceFilesCommit]] aborts on conflicting
+  * interleaved rewrites of those files (appends commute). */
+final class LakeReplaceDataWrite(table: String, schema: StructType,
+                                 queryId: String, op: LakeRowLevelOperation)
+    extends BatchWrite {
+  private val stageDir = s".stage-v2r-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(table, stageDir, schema.json,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  private def dropStage(): Unit = {
+    val p = new Path(table, stageDir)
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(p, true): Unit
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
+    try LakeTxn.replaceFilesCommit(SparkSession.active, table, staged,
+      op.readVersion, op.scannedFiles): Unit
+    finally dropStage()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = dropStage()
 }
 
 final case class LakeWriteCommit(files: Seq[String]) extends WriterCommitMessage

@@ -251,7 +251,11 @@ object ScaleBench {
       "lake_sql_delete" -> SparkEntry.queries("lake_sql_delete"),
       // the CALL journey: CoW merge + checkpoint + compact + vacuum —
       // the merge rewrite and the compaction scan are the data terms
-      "lake_sql_call" -> SparkEntry.queries("lake_sql_call"))
+      "lake_sql_call" -> SparkEntry.queries("lake_sql_call"),
+      // SQL UPDATE / MERGE: group-filtered CoW rewrites — the insert
+      // scan and the rewritten-file scans are the data terms
+      "lake_sql_update" -> SparkEntry.queries("lake_sql_update"),
+      "lake_sql_merge" -> SparkEntry.queries("lake_sql_merge"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
