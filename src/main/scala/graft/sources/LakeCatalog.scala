@@ -367,9 +367,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     b.build()
   }
 
-  /** A procedure whose side effect runs in `body` and whose result is
-    * ONE summary row (served through the same one-row metadata scan the
-    * aggregate pushdown uses). CALL-site contract: args arrive in
+  /** A procedure whose side effect (if any) runs in `rows` and whose
+    * result is a driver-local row set (served as a `LocalScan`, the one
+    * shape the CALL command accepts — usually one summary row, the
+    * commit log for `history`). CALL-site contract: args arrive in
     * declared parameter order, defaults filled by Spark. */
   private abstract class LakeProc(procName: String,
                                   ps: Array[ProcedureParameter],
@@ -381,14 +382,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     override def parameters(): Array[ProcedureParameter] = ps
     override def isDeterministic: Boolean = false
     protected def run(args: InternalRow): Array[Any]
+    protected def rows(args: InternalRow): Seq[Array[Any]] = Seq(run(args))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      // procedure output rides as a LocalScan (the one shape the CALL
-      // command accepts): one summary row, driver-local
-      val row = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(run(input))
+      val rs = rows(input).map(vs =>
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vs): InternalRow).toArray
       java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = out
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = rs
         override def description(): String = s"graft-lake $procName result"
       }).iterator()
     }
@@ -455,6 +456,36 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         in("writer", LongType)), vOut) {
       def run(a: InternalRow) = Array(Long.box(LakeTxn.setProtocol(spark,
         resolveTable(str(a, 0)), a.getLong(1).toInt, a.getLong(2).toInt)))
+    },
+    // the audit surface: the commit log ITSELF as rows — per version
+    // the add/remove/DV/schema/marker counts and rows added (the
+    // DESCRIBE HISTORY shape, straight off the driver-scale log fold)
+    new LakeProc("history", Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_adds", LongType, nullable = false),
+        StructField("n_removes", LongType, nullable = false),
+        StructField("n_dvs", LongType, nullable = false),
+        StructField("n_schema", LongType, nullable = false),
+        StructField("n_markers", LongType, nullable = false),
+        StructField("rows_added", LongType, nullable = false)))) {
+      def run(a: InternalRow) =
+        throw new IllegalStateException("history serves rows(), not run()")
+      override def rows(a: InternalRow): Seq[Array[Any]] = {
+        val t = resolveTable(str(a, 0))
+        LakeTxn.listVersions(spark, t).map { v =>
+          val acts = LakeTxn.readCommit(spark, t, v)
+          val markers = LakeTxn.readTxnMarkers(spark, t, v)
+          Array[Any](Long.box(v),
+            Long.box(acts.count(x => x.add && !x.dv && !x.schema).toLong),
+            Long.box(acts.count(!_.add).toLong),
+            Long.box(acts.count(x => x.add && x.dv).toLong),
+            Long.box(acts.count(x => x.add && x.schema).toLong),
+            Long.box(markers.size.toLong),
+            Long.box(acts.filter(x => x.add && !x.dv && !x.schema)
+              .map(_.rows).sum))
+        }
+      }
     }).map(p => p.name() -> p).toMap
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

@@ -204,6 +204,22 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("CALL glake.system.explode('db.proc')"))
   }
 
+  test("CALL glake.system.history returns the commit log as rows") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.hist (k BIGINT) USING `graft-lake`")
+    spark.sql("INSERT INTO glake.db.hist VALUES (1), (2)")
+    spark.sql("INSERT INTO glake.db.hist VALUES (3)")
+    spark.sql("DELETE FROM glake.db.hist WHERE k = 1") // a DV commit
+    val h = spark.sql("CALL glake.system.history('db.hist')").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))).sortBy(_._1)
+    assert(h.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(h(0)._5 === 1L, "commit 0 carries the schema action")
+    assert(h(1)._6 === 2L && h(2)._6 === 1L, "rows added per insert")
+    assert(h(3)._4 === 1L, "the delete is a deletion-vector add")
+    assert(h.map(_._3).sum === 0L, "no removes anywhere")
+  }
+
   test("the catalog read path is the V2 connector: columnar scan + log pruning") {
     wh: Unit
     spark.sql("CREATE TABLE glake.db.scan (k BIGINT, v BIGINT) USING `graft-lake`")
