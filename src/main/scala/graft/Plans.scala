@@ -141,6 +141,12 @@ object Plans {
     "lake_sql_call" -> "CALL cat.system.merge/checkpoint/compact/vacuum: each procedure is the corresponding LakeTxn commit (file-pruned CoW merge, checkpointed fold, bin-pack, retention delete) returning a one-row LocalScan; the graded SELECT is the final snapshot's plain scan + presentation sort",
     "lake_sql_update" -> "SQL UPDATE plans as a group-based copy-on-write: a runtime group-filter subquery collects matching _file values, the rewrite scan reads ONLY those files (rows + injected _file), and the replace commit removes exactly them — conflict-checked at the scan's read version",
     "lake_sql_merge" -> "native MERGE INTO through the same row-level operation: source joins the group-filtered rewrite scan, matched-delete/update + not-matched-insert land as ONE atomic replace commit (the third surface over the CDC contract after applyChanges and CALL merge)",
+    "lake_v2_batch_dv" -> "merge-on-read COLUMNAR: a deletion vector no longer demotes the scan — ColumnarToRow stays above the vectorized reader, each decoded batch compacted against the file's sorted tombstone ordinals (row-group pruning off for DV'd files only, keeping ordinals sequential); file pruning from log stats unchanged",
+    "lake_string_stats" -> "truncated UTF-8 string bands in the log's stats map: the pushed text-range predicate prunes the file list from per-file [minPrefix, maxBound] under binary UTF-8 order (32-cp truncation, upper bound incremented) — zero footer opens; the kept files decode vectorized with the residual filter re-applied",
+    "lake_sql_update_mor" -> "CALL update_where is the write-cheap UPDATE: ONE commit carrying a deletion vector (tombstoned matches) + appended rewritten rows, ZERO data files removed — Θ(matched rows) write cost against any table size; the graded SELECT pays the columnar DV mask until compaction",
+    "lake_sql_partitioned" -> "pure-SQL partitioned table: INSERT splits one staged file per partition value (the column physically absent, its value in the add action), and the SELECT's IN-filter prunes the file list from log partition values — no directory listing, no footer opens; kept scans reinject the value as a constant vector",
+    "lake_sql_time_travel" -> "VERSION AS OF pins the scan's snapshot fold at plan time (driver-scale log read); the plan is the ordinary V2 vectorized scan over the pinned file list — history costs what the log costs, and below-horizon reads refuse before any file opens",
+    "stream_lake_catalog" -> "readStream.table resolves the catalog to the SAME V2 MicroBatchStream as the path API (offsets = log versions, one commit per batch); the graded read is the complete-mode memory state — restart-resume is checkpoint offsets, not plan shape",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1014,6 +1014,28 @@ object SparkEntry {
     // native MERGE INTO: matched-delete/update + not-matched-insert in
     // one atomic row-level commit
     "lake_sql_merge" -> ((s, d) => sources.GraftLakeCatalog.sqlMergeQuery(s, d)),
+    // MERGE-ON-READ update via CALL update_where: adds + deletion
+    // vector only, zero data files removed (asserted in the query)
+    "lake_sql_update_mor" -> ((s, d) =>
+      sources.GraftLakeCatalog.sqlUpdateMorQuery(s, d)),
+    // CREATE TABLE ... PARTITIONED BY in pure SQL: per-value staged
+    // files lacking the column, log-pruned partition reads
+    "lake_sql_partitioned" -> ((s, d) =>
+      sources.GraftLakeCatalog.sqlPartitionedQuery(s, d)),
+    // SELECT ... VERSION AS OF through the SQL parser, incl. the
+    // below-vacuum-horizon refusal through SQL
+    "lake_sql_time_travel" -> ((s, d) =>
+      sources.GraftLakeCatalog.sqlTimeTravelQuery(s, d)),
+    // readStream.table through the catalog: same micro-batch stream as
+    // the path API, restart-resume over one checkpoint
+    "stream_lake_catalog" -> ((s, d) =>
+      sources.GraftLakeCatalog.streamCatalogQuery(s, d)),
+    // merge-on-read COLUMNAR: a DV'd z-table stays on the vectorized
+    // reader, each batch compacted against the tombstone ordinals
+    "lake_v2_batch_dv" -> ((s, d) => sources.LakeStream.v2BatchDvQuery(s, d)),
+    // truncated UTF-8 string bands in the stats map: text predicates
+    // (the crawl-corpus shape) prune the file list from the log alone
+    "lake_string_stats" -> ((s, d) => sources.LakeStream.stringStatsQuery(s, d)),
     // the NATIVE exactly-once streaming sink: writeStream lands each
     // epoch as one marker-keyed commit; a full fresh-checkpoint replay
     // re-delivers every epoch and the markers skip them all
@@ -3337,6 +3359,51 @@ object SparkEntry {
         |  SELECT doc_id, lang, source,
         |    CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n2
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // the merge-on-read update must land the SAME final content as the
+    // copy-on-write SQL UPDATE (one oracle, two write paths)
+    "lake_sql_update_mor" ->
+      """SELECT doc_id,
+        |  CASE WHEN n2 > 1500 THEN 'xl' ELSE lang END AS lang,
+        |  source, n2 AS n_chars
+        |FROM (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n2
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // partition pruning through pure SQL must change nothing but the
+    // files opened; the reinjected column must equal the declared one
+    "lake_sql_partitioned" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
+    // VERSION AS OF 2 = both inserts, before the DELETE: full corpus
+    "lake_sql_time_travel" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the catalog-resolved stream must equal the batch aggregate over
+    // the whole corpus, same contract as stream_lake_source
+    "stream_lake_catalog" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // columnar merge-on-read must equal the plain box filter minus the
+    // tombstoned residue class
+    "lake_v2_batch_dv" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 50 AND 250
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT)
+        |    BETWEEN 1500000 AND 4000000
+        |  AND o_orderkey % 10 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
+    // string-band pruning must change nothing but the files opened:
+    // the oracle is the plain text-range filter
+    "lake_string_stats" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE lang >= 'fr'
         |ORDER BY doc_id""".stripMargin,
     // the native MERGE must land the same CDC result as the procedure
     // and the programmatic apply (three surfaces, one contract)

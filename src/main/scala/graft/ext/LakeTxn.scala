@@ -141,15 +141,28 @@ object LakeTxn {
       .toSeq.sorted
   }
 
+  /** Wire-format evolution contract: NEW fields are appended AFTER the
+    * existing ones in [[actionJson]], and the trailing
+    * unknown-field-tolerant tail below lets an engine of THIS build or
+    * later skip fields it does not know (instead of dying with a
+    * generic 'corrupt commit'). Tolerance is for ADVISORY fields only
+    * (stats, sizes — ignoring them is merely less efficient); a field a
+    * reader MUST understand to read correctly ships with a reader
+    * protocol bump, which gates old engines with the purpose-built
+    * message ([[SupportedReaderVersion]]). Unknown action KINDS stay
+    * fatal — an unrecognized line could be a remove-like action whose
+    * loss silently double-counts. */
+  private val UnknownFieldTail =
+    """(?:,"[A-Za-z0-9_]+":(?:"[^"]*"|-?\d+|true|false))*"""
   private val ActionRe =
     ("""\{"a":"(add|remove|dv|schema)","f":"([^"]+)"(?:,"rows":(\d+))?(?:,"b":(\d+))?""" +
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"c2":"([^"]+)","min2":(-?\d+),"max2":(-?\d+))?""" +
       """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?""" +
       """(?:,"sx":"([A-Za-z0-9+/=]+)")?""" +
-      """(?:,"pc":"([^"]+)","pv(64)?":"([^"]*)")?\}""").r
+      """(?:,"pc":"([^"]+)","pv(64)?":"([^"]*)")?""" + UnknownFieldTail + """\}""").r
   private val TxnRe =
-    """\{"a":"txn","app":"([^"]+)","id":(\d+)\}""".r
+    ("""\{"a":"txn","app":"([^"]+)","id":(\d+)""" + UnknownFieldTail + """\}""").r
 
   private def actionJson(a: Action): String =
     if (a.add) {
@@ -202,9 +215,12 @@ object LakeTxn {
   final case class GovProtocol(reader: Int, writer: Int) extends Gov
 
   private val ConstraintRe =
-    """\{"a":"constraint","name":"([^"]+)","expr64":"([A-Za-z0-9+/=]+)"\}""".r
-  private val UnconstraintRe = """\{"a":"unconstraint","name":"([^"]+)"\}""".r
-  private val ProtocolRe = """\{"a":"protocol","r":(\d+),"w":(\d+)\}""".r
+    ("""\{"a":"constraint","name":"([^"]+)","expr64":"([A-Za-z0-9+/=]+)"""" +
+      UnknownFieldTail + """\}""").r
+  private val UnconstraintRe =
+    ("""\{"a":"unconstraint","name":"([^"]+)"""" + UnknownFieldTail + """\}""").r
+  private val ProtocolRe =
+    ("""\{"a":"protocol","r":(\d+),"w":(\d+)""" + UnknownFieldTail + """\}""").r
 
   private[graft] def constraintLine(name: String, expr: String): String = {
     require(name.matches("[A-Za-z0-9_]+"), s"constraint name '$name' must be [A-Za-z0-9_]+")
@@ -446,12 +462,19 @@ object LakeTxn {
         val want = Seq(statsCol) ++ Option(statsCol2).toSeq
         val lo = Array.fill(want.size)(Long.MaxValue)
         val hi = Array.fill(want.size)(Long.MinValue)
+        // every non-empty block must contribute its min/max: a block
+        // with rows but absent stats silently excluded from the band
+        // would let pruning skip a file that holds matching rows —
+        // fail loudly instead of recording a narrowed (lying) band
+        val complete = Array.fill(want.size)(true)
         r.getFooter.getBlocks.forEach { b =>
           b.getColumns.forEach { c =>
             val k = want.indexOf(c.getPath.toDotString)
             if (k >= 0) {
               val s = c.getStatistics
-              if (s != null && !s.isEmpty && s.hasNonNullValue) {
+              if (s == null || s.isEmpty) {
+                if (b.getRowCount > 0) complete(k) = false
+              } else if (s.hasNonNullValue) {
                 (s.genericGetMin, s.genericGetMax) match {
                   case (mn: java.lang.Long, mx: java.lang.Long) =>
                     lo(k) = math.min(lo(k), mn); hi(k) = math.max(hi(k), mx)
@@ -459,11 +482,15 @@ object LakeTxn {
                     s"log stats support INT64 columns only; '${want(k)}' " +
                       s"footer stats are ${mn.getClass.getName} in $rel")
                 }
+              } else if (b.getRowCount > 0 &&
+                (!s.isNumNullsSet || s.getNumNulls != b.getRowCount)) {
+                complete(k) = false // not provably all-null: unknown values
               }
             }
           }
         }
-        want.indices.foreach(k => require(rows == 0 || lo(k) <= hi(k),
+        want.indices.foreach(k => require(
+          rows == 0 || (complete(k) && lo(k) <= hi(k)),
           s"no usable footer stats for '${want(k)}' in $rel"))
         val one = Action(add = true, rel, rows, statsCol = statsCol,
           lo = lo(0), hi = hi(0), bytes = bytes)
@@ -562,7 +589,9 @@ object LakeTxn {
     * streaming sink instead of foreachBatch. */
   private[graft] def commitStagedV2(spark: SparkSession, table: String,
                                     staged: Seq[String],
-                                    marker: Option[(String, Long)] = None): Long = {
+                                    marker: Option[(String, Long)] = None,
+                                    pvCol: String = null,
+                                    pvByFile: Map[String, String] = Map.empty): Long = {
     require(staged.nonEmpty, "empty V2 write: no staged files")
     val root = new Path(table)
     val fs = fsOf(spark, root)
@@ -596,7 +625,18 @@ object LakeTxn {
         s"failed to publish staged $s as $rel")
       rel
     }
-    val adds = footerActions(spark, root, rels)
+    // partitioned-table writes stamp each add action with the file's
+    // partition value (the column is physically absent from the file) —
+    // positional: rels(i) came from staged(i)
+    val adds = footerActions(spark, root, rels).zip(staged).map {
+      case (act, orig) =>
+        if (pvCol == null) act
+        else act.copy(pvCol = pvCol,
+          pvValue = pvByFile.getOrElse(orig,
+            throw new IllegalStateException(
+              s"staged file $orig of partitioned $table carries no " +
+                s"partition value")))
+    }
     marker match {
       case None => commit(spark, table, adds, Nil)
       case Some((app, id)) =>
@@ -625,6 +665,26 @@ object LakeTxn {
     * aborts (never a silent lost update), interleaved appends commute.
     * CHECK constraints validate the staged content first; a
     * delete-everything rewrite may stage nothing (pure remove). */
+  /** DV files whose EVERY referenced data-file basename is in
+    * `removedBase`: once those data files unpin, such a vector is dead
+    * weight that keeps `snap.dvs` nonEmpty forever — permanently
+    * demoting aggregate pushdown and inflating every later scan's DV
+    * work. Reading each vector is a driver-scale parquet read (vectors
+    * are small by the MoR contract); a vector still referencing ANY
+    * surviving file stays, its tombstones are live. */
+  private def dvsFullyCovered(spark: SparkSession, table: String,
+                              dvs: Seq[Action],
+                              removedBase: Set[String]): Seq[String] =
+    if (dvs.isEmpty || removedBase.isEmpty) Nil
+    else dvs.filter { a =>
+      val refs = spark.read.parquet(s"$table/${a.file}")
+        .select("__dv_file").distinct().collect().map(_.getString(0))
+      refs.nonEmpty && refs.forall(removedBase)
+    }.map(_.file)
+
+  private def baseName(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
   private[graft] def replaceFilesCommit(spark: SparkSession, table: String,
                                         staged: Seq[String], readVersion: Long,
                                         removes: Seq[String]): Long = {
@@ -635,18 +695,21 @@ object LakeTxn {
       staged.foreach(s => fs.delete(new Path(root, s), false))
     try {
       checkWriterProtocol(spark, table)
-      if (staged.nonEmpty) {
-        val cs = snapshot(spark, table).constraints
-        if (cs.nonEmpty) {
-          val df = spark.read.parquet(staged.map(s => new Path(root, s).toString): _*)
-          cs.foreach { case (name, e) =>
-            val bad = df.filter(not(coalesce(expr(e).cast("boolean"), lit(true))))
-            if (!bad.isEmpty) throw new ConstraintViolationException(
-              s"CHECK constraint '$name' ($e) violated by the rewrite of " +
-                s"$table — staged files deleted, nothing committed")
-          }
+      val snap = snapshot(spark, table)
+      if (staged.nonEmpty && snap.constraints.nonEmpty) {
+        val df = spark.read.parquet(staged.map(s => new Path(root, s).toString): _*)
+        snap.constraints.foreach { case (name, e) =>
+          val bad = df.filter(not(coalesce(expr(e).cast("boolean"), lit(true))))
+          if (!bad.isEmpty) throw new ConstraintViolationException(
+            s"CHECK constraint '$name' ($e) violated by the rewrite of " +
+              s"$table — staged files deleted, nothing committed")
         }
       }
+      // a rewrite MATERIALIZES the deletion vectors its scan applied:
+      // vectors referencing only replaced files also unpin (leaving
+      // them would disable pushdown/columnar paths forever)
+      val deadDvs = dvsFullyCovered(spark, table, snap.dvs,
+        removes.map(baseName).toSet)
       val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       fs.mkdirs(new Path(root, "data"))
       val rels = staged.zipWithIndex.map { case (s, i) =>
@@ -655,7 +718,8 @@ object LakeTxn {
           s"failed to publish staged $s as $rel")
         rel
       }
-      commitAt(spark, table, readVersion, footerActions(spark, root, rels), removes)
+      commitAt(spark, table, readVersion, footerActions(spark, root, rels),
+        removes ++ deadDvs)
     } catch {
       case t: Throwable => dropStaged(); throw t
     }
@@ -715,7 +779,10 @@ object LakeTxn {
           if (!outside.isEmpty) throw new ConstraintViolationException(
             s"overwrite scope $pc IN (${values.mkString(", ")}) of $table: " +
               s"the replacement rows reach outside the scope — nothing committed")
-          (snap.adds.filter(a => values.contains(a.pvValue)).map(_.file),
+          val doomed = snap.adds.filter(a => values.contains(a.pvValue)).map(_.file)
+          // vectors referencing only replaced files also unpin
+          (doomed ++ dvsFullyCovered(spark, table, snap.dvs,
+            doomed.map(baseName).toSet),
             if (values.size == 1) Some((pc, values.head)) else None)
       }
       val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
@@ -802,33 +869,78 @@ object LakeTxn {
   /** OPTIMISTIC multi-writer commit against the snapshot the caller
     * computed at `readVersion`: claim head+1 via [[tryPublish]]; a loser
     * re-reads the log and re-validates before retrying. Validation is
-    * the Delta WriteSerializable file-level contract:
-    *  - pure appends (`removes` empty) commute with everything — always
-    *    safe to retry at the new head;
+    * the Delta WriteSerializable contract:
+    *  - pure appends (`removes` empty, no metadata) commute with
+    *    everything — always safe to retry at the new head;
     *  - a copy-on-write rewrite (`removes` non-empty) aborts with
     *    [[CommitConflictException]] if any interleaved commit already
     *    removed one of its base files (re-publishing would resurrect
-    *    data a concurrent compaction/merge deleted); interleaved
-    *    APPENDS pass — they touch no file this rewrite read.
+    *    data a concurrent compaction/merge deleted), OR added a
+    *    deletion vector (the rewrite's content was computed without the
+    *    new tombstones — publishing would resurrect them); interleaved
+    *    plain APPENDS pass — they touch no file this rewrite read;
+    *  - `readDeps` names files whose CONTENT this commit depends on
+    *    without removing them (a merge-on-read tombstone references row
+    *    positions of the file it read): an interleaved removal of any
+    *    aborts — the positions would point into a file a rewrite
+    *    already replaced;
+    *  - a METADATA commit (schema action, constraint, protocol) aborts
+    *    if any interleaved metadata commit landed: two concurrent ALTER
+    *    TABLEs both compute from the same base, and last-writer-wins
+    *    would silently drop the other's change (the lost-update the
+    *    file-level check cannot see). Callers retry by recomputing —
+    *    [[addColumn]] et al. do.
     * Never an unbounded spin: each loop either claims the next version
     * or observes a strictly newer head written by someone else. */
   def commitAt(spark: SparkSession, table: String, readVersion: Long,
                adds: Seq[Action], removes: Seq[String],
                extraLines: Seq[String] = Nil,
-               maxAttempts: Int = 100): Long = {
+               maxAttempts: Int = 100,
+               readDeps: Seq[String] = Nil): Long = {
     require(adds.nonEmpty || removes.nonEmpty || extraLines.nonEmpty, "empty commit")
     checkWriterProtocol(spark, table)
     val removeSet = removes.toSet
+    val readDepSet = readDeps.toSet
+    val metaCommit = adds.exists(_.schema) || extraLines.exists(l =>
+      l.startsWith("""{"a":"constraint"""") ||
+        l.startsWith("""{"a":"unconstraint"""") ||
+        l.startsWith("""{"a":"protocol""""))
     var attempt = 0
     while (attempt < maxAttempts) {
       val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
-      if (removeSet.nonEmpty && latest > readVersion) {
-        val clashed = (readVersion + 1 to latest).flatMap(v =>
-          readCommit(spark, table, v)).filter(a => !a.add && removeSet(a.file))
-        if (clashed.nonEmpty) throw new CommitConflictException(
-          s"copy-on-write conflict in $table: base file(s) " +
-            s"${clashed.map(_.file).mkString(", ")} were removed by a commit " +
-            s"after read version $readVersion — recompute against version $latest")
+      if (latest > readVersion &&
+        (removeSet.nonEmpty || readDepSet.nonEmpty || metaCommit)) {
+        val parsed = (readVersion + 1 to latest).map { v =>
+          val p = commitFile(table, v)
+          parseActions(table, s"commit $v", readFileText(fsOf(spark, p), p))
+        }
+        val interActs = parsed.flatMap(_._1)
+        val interRemoves = interActs.filter(!_.add).map(_.file).toSet
+        if (removeSet.nonEmpty) {
+          val clashed = interRemoves.intersect(removeSet)
+          if (clashed.nonEmpty) throw new CommitConflictException(
+            s"copy-on-write conflict in $table: base file(s) " +
+              s"${clashed.mkString(", ")} were removed by a commit " +
+              s"after read version $readVersion — recompute against version $latest")
+          if (interActs.exists(a => a.add && a.dv))
+            throw new CommitConflictException(
+              s"rewrite conflict in $table: a deletion vector committed " +
+                s"after read version $readVersion — this rewrite was computed " +
+                s"without its tombstones and would resurrect them; recompute")
+        }
+        if (readDepSet.nonEmpty) {
+          val gone = interRemoves.intersect(readDepSet)
+          if (gone.nonEmpty) throw new CommitConflictException(
+            s"merge-on-read conflict in $table: file(s) ${gone.mkString(", ")} " +
+              s"this commit's tombstone positions reference were removed by a " +
+              s"commit after read version $readVersion — recompute")
+        }
+        if (metaCommit &&
+          (interActs.exists(_.schema) || parsed.exists(_._3.nonEmpty)))
+          throw new CommitConflictException(
+            s"metadata conflict in $table: a schema/governance commit landed " +
+              s"after read version $readVersion — recompute this metadata " +
+              s"change against version $latest")
       }
       if (tryPublish(spark, table, latest + 1, adds, removes, extraLines))
         return latest + 1
@@ -836,6 +948,23 @@ object LakeTxn {
     }
     throw new CommitConflictException(
       s"gave up claiming a version in $table after $maxAttempts attempts")
+  }
+
+  /** Retry a metadata change whose [[commitAt]] hit a metadata conflict:
+    * the body recomputes from a fresh snapshot each attempt (the
+    * lost-update-free way to race two ALTER TABLEs). */
+  private def retryOnConflict[T](what: String, attempts: Int = 5)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          left -= 1
+          if (left == 0) throw new CommitConflictException(
+            s"$what kept conflicting after $attempts recomputes: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Refuse writes against a table whose writer protocol exceeds this
@@ -854,29 +983,32 @@ object LakeTxn {
     * satisfy it (a constraint that is born violated is a lie), then the
     * constraint line commits and every later write enforces it. */
   def addConstraint(spark: SparkSession, table: String,
-                    name: String, sqlExpr: String): Long = {
-    val vs = listVersions(spark, table)
-    // an EMPTY table (schema-only, catalog-created) satisfies any
-    // constraint trivially — only data-bearing snapshots validate
-    if (vs.nonEmpty && snapshot(spark, table).files.nonEmpty) {
-      val bad = read(spark, table)
-        .filter(not(coalesce(expr(sqlExpr).cast("boolean"), lit(true))))
-      if (!bad.isEmpty) throw new ConstraintViolationException(
-        s"cannot add CHECK constraint '$name' ($sqlExpr) to $table: " +
-          s"existing rows violate it")
+                    name: String, sqlExpr: String): Long =
+    retryOnConflict(s"ADD CONSTRAINT $name on $table") {
+      val vs = listVersions(spark, table)
+      // an EMPTY table (schema-only, catalog-created) satisfies any
+      // constraint trivially — only data-bearing snapshots validate
+      if (vs.nonEmpty && snapshot(spark, table).files.nonEmpty) {
+        val bad = read(spark, table)
+          .filter(not(coalesce(expr(sqlExpr).cast("boolean"), lit(true))))
+        if (!bad.isEmpty) throw new ConstraintViolationException(
+          s"cannot add CHECK constraint '$name' ($sqlExpr) to $table: " +
+            s"existing rows violate it")
+      }
+      commitAt(spark, table, vs.lastOption.getOrElse(-1L), Nil, Nil,
+        Seq(constraintLine(name, sqlExpr)))
     }
-    commitAt(spark, table, vs.lastOption.getOrElse(-1L), Nil, Nil,
-      Seq(constraintLine(name, sqlExpr)))
-  }
 
   /** Drop a CHECK constraint by name (validated like [[constraintLine]]
     * — an unvalidated name would inject into the JSON log line). */
   def dropConstraint(spark: SparkSession, table: String, name: String): Long = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name '$name' must be [A-Za-z0-9_]+")
-    commitAt(spark, table,
-      listVersions(spark, table).lastOption.getOrElse(-1L), Nil, Nil,
-      Seq(s"""{"a":"unconstraint","name":"$name"}"""))
+    retryOnConflict(s"DROP CONSTRAINT $name on $table") {
+      commitAt(spark, table,
+        listVersions(spark, table).lastOption.getOrElse(-1L), Nil, Nil,
+        Seq(s"""{"a":"unconstraint","name":"$name"}"""))
+    }
   }
 
   /** Raise the table's protocol gate. Downgrades are refused (a gate
@@ -884,13 +1016,14 @@ object LakeTxn {
     * version is allowed — that is precisely how a table gets fenced
     * off from engines too old for it (including this one). */
   def setProtocol(spark: SparkSession, table: String,
-                  reader: Int, writer: Int): Long = {
-    val snap = snapshot(spark, table)
-    require(reader >= snap.protocol._1 && writer >= snap.protocol._2,
-      s"protocol downgrade refused: table at ${snap.protocol}, asked ($reader, $writer)")
-    commitAt(spark, table, snap.version, Nil, Nil,
-      Seq(s"""{"a":"protocol","r":$reader,"w":$writer}"""))
-  }
+                  reader: Int, writer: Int): Long =
+    retryOnConflict(s"SET PROTOCOL ($reader, $writer) on $table") {
+      val snap = snapshot(spark, table)
+      require(reader >= snap.protocol._1 && writer >= snap.protocol._2,
+        s"protocol downgrade refused: table at ${snap.protocol}, asked ($reader, $writer)")
+      commitAt(spark, table, snap.version, Nil, Nil,
+        Seq(s"""{"a":"protocol","r":$reader,"w":$writer}"""))
+    }
 
   /** Append-shaped commit at the current head (removes allowed when the
     * caller holds the latest snapshot — [[commitAt]] is the form that
@@ -916,44 +1049,157 @@ object LakeTxn {
   // n-column stats map: per-file min/max + nullCount in the log
   // ------------------------------------------------------------------
 
+  /** One column's log-recorded skipping stats: an INT64 [lo, hi] band,
+    * a truncated-UTF-8 STRING band, or no band (sentinel) — each with a
+    * nullCount (-1 = unknown). */
+  private[graft] sealed trait SxBand { def nn: Long }
+  private[graft] final case class SxInt(lo: Long, hi: Long, nn: Long) extends SxBand
+  private[graft] final case class SxStr(lo: String, hi: String, nn: Long) extends SxBand
+
+  /** The no-band form (column neither INT64 nor string, all-null, or
+    * incomplete block stats): `lo > hi`, nullCount still rides. */
+  private[graft] def sxNoBand(nn: Long): SxBand = SxInt(1L, 0L, nn)
+
   /** Compact wire form of the n-column stats map, base64-wrapped into
-    * the add action's `"sx"` field: `{"col":[lo,hi,nullCount],...}`.
-    * `lo > hi` is the no-band sentinel (column not INT64, or all-null);
-    * `nullCount = -1` means unknown (a block without null accounting).
-    * Real engines record exactly this per column (Delta's stats JSON);
-    * it is what IsNull/IsNotNull pruning and multi-column band pruning
-    * read — still pure driver-scale log metadata. */
+    * the add action's `"sx"` field: `{"col":[lo,hi,nullCount],...}` for
+    * INT64 bands, `{"col":["b64lo","b64hi",nullCount],...}` for
+    * truncated string bands (values base64-wrapped — arbitrary user
+    * text must never break the line format). `lo > hi` is the no-band
+    * sentinel; `nullCount = -1` means unknown (a block without null
+    * accounting). Real engines record exactly this per column (Delta's
+    * stats JSON, incl. its 32-char string truncation convention); it is
+    * what IsNull/IsNotNull pruning and multi-column band pruning read —
+    * still pure driver-scale log metadata. Old engines parse string
+    * entries as no-band (the numeric regex skips them) and admit
+    * conservatively — no protocol bump needed. */
   private[graft] def encodeSx(m: Seq[(String, (Long, Long, Long))]): String =
+    encodeSxBands(m.map { case (c, (lo, hi, nn)) => c -> SxInt(lo, hi, nn) })
+
+  private[graft] def encodeSxBands(m: Seq[(String, SxBand)]): String =
     java.util.Base64.getEncoder.encodeToString(
-      m.map { case (c, (lo, hi, nn)) =>
+      m.map { case (c, band) =>
         require(!c.exists(ch => ch == '"' || ch == '\\' || ch < ' '),
           s"stats column name '$c' contains JSON-breaking characters")
-        s""""$c":[$lo,$hi,$nn]"""
+        band match {
+          case SxInt(lo, hi, nn) => s""""$c":[$lo,$hi,$nn]"""
+          case SxStr(lo, hi, nn) =>
+            val e = java.util.Base64.getEncoder
+            s""""$c":["${e.encodeToString(lo.getBytes(UTF_8))}",""" +
+              s""""${e.encodeToString(hi.getBytes(UTF_8))}",$nn]"""
+        }
       }.mkString("{", ",", "}").getBytes(UTF_8))
 
   private val SxEntryRe = """"([^"]+)":\[(-?\d+),(-?\d+),(-?\d+)\]""".r
+  private val SxStrEntryRe =
+    """"([^"]+)":\["([A-Za-z0-9+/=]*)","([A-Za-z0-9+/=]*)",(-?\d+)\]""".r
 
+  /** The INT64 view: string-band entries surface as no-band sentinels
+    * carrying their real nullCount (so IS (NOT) NULL pruning still
+    * works on text columns through this view). */
   private[graft] def decodeSx(sx: String): Map[String, (Long, Long, Long)] =
     if (sx == null) Map.empty
-    else SxEntryRe.findAllMatchIn(
-      new String(java.util.Base64.getDecoder.decode(sx), UTF_8))
-      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong))).toMap
+    else {
+      val body = new String(java.util.Base64.getDecoder.decode(sx), UTF_8)
+      val ints = SxEntryRe.findAllMatchIn(body)
+        .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
+          m.group(4).toLong)))
+      val strs = SxStrEntryRe.findAllMatchIn(body)
+        .map(m => m.group(1) -> ((1L, 0L, m.group(4).toLong)))
+      (strs ++ ints).toMap
+    }
+
+  /** The STRING-band view: col -> (minPrefix, maxBound) where minPrefix
+    * is a lower bound and maxBound an upper bound under binary UTF-8
+    * order (truncation-safe by construction, see [[footerSx]]). */
+  private[graft] def decodeSxStr(sx: String): Map[String, (String, String)] =
+    if (sx == null) Map.empty
+    else {
+      val d = java.util.Base64.getDecoder
+      SxStrEntryRe.findAllMatchIn(
+        new String(d.decode(sx), UTF_8))
+        .map(m => m.group(1) -> ((new String(d.decode(m.group(2)), UTF_8),
+          new String(d.decode(m.group(3)), UTF_8)))).toMap
+    }
+
+  /** Spark/parquet string order is binary UTF-8 (= code-point order) —
+    * NOT Java String's UTF-16 code-unit order, which sorts supplementary
+    * characters differently. All string-band comparisons go through
+    * this. */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Delta's 32-char truncation convention, code-point-safe. */
+  private val SxStrPrefixCp = 32
+
+  private def cpPrefix(s: String, n: Int): String = {
+    var i = 0
+    var cps = 0
+    while (i < s.length && cps < n) {
+      i = s.offsetByCodePoints(i, 1)
+      cps += 1
+    }
+    s.substring(0, i)
+  }
+
+  /** A ≤-bound of `s`: its 32-code-point prefix (a prefix sorts ≤ the
+    * full string in binary UTF-8 order). */
+  private[graft] def sxStrLower(s: String): String = cpPrefix(s, SxStrPrefixCp)
+
+  /** A ≥-bound of `s`: `s` itself when short enough (exact), else the
+    * 32-cp prefix with its last code point incremented (skipping the
+    * surrogate gap) — every string extending the prefix sorts below it.
+    * None when no such bound exists (prefix all U+10FFFF). */
+  private[graft] def sxStrUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= SxStrPrefixCp) return Some(s)
+    val p = cpPrefix(s, SxStrPrefixCp)
+    val cps = p.codePoints().toArray
+    var k = cps.length - 1
+    while (k >= 0 && cps(k) >= Character.MAX_CODE_POINT) k -= 1
+    if (k < 0) None
+    else {
+      val next = if (cps(k) == Character.MIN_SURROGATE - 1)
+        Character.MIN_SUPPLEMENTARY_CODE_POINT // skip the surrogate gap
+      else cps(k) + 1
+      Some(new String(cps.take(k), 0, k) + new String(Character.toChars(next)))
+    }
+  }
 
   /** One footer read → the stats map of `cols` for one staged file:
-    * INT64 columns get [min, max]; every atomic column gets its
+    * INT64 columns get an exact [min, max] band, STRING columns a
+    * truncated band (lower = 32-cp prefix of the min, upper = the exact
+    * max or its incremented 32-cp prefix); every atomic column gets its
     * nullCount (summed across blocks; -1 if any block lacks null
-    * accounting — unknown admits conservatively on the read side). */
+    * accounting — unknown admits conservatively on the read side).
+    * COMPLETENESS: a band is recorded only when EVERY non-empty block
+    * contributed its min/max (a block with rows but absent/empty stats
+    * would silently fall out of the band and pruning could skip a file
+    * that holds matching rows — emit the no-band sentinel instead);
+    * provably all-null blocks contribute nothing by design. */
   private def footerSx(conf: org.apache.hadoop.conf.Configuration,
                        root: String, rel: String,
-                       cols: Seq[String]): Seq[(String, (Long, Long, Long))] = {
+                       cols: Seq[String]): Seq[(String, SxBand)] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new Path(root, rel), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val lo = collection.mutable.Map(cols.map(_ -> Long.MaxValue): _*)
       val hi = collection.mutable.Map(cols.map(_ -> Long.MinValue): _*)
+      val slo = collection.mutable.Map[String, String]()
+      val shi = collection.mutable.Map[String, String]()
       val nn = collection.mutable.Map(cols.map(_ -> 0L): _*)
+      val complete = collection.mutable.Map(cols.map(_ -> true): _*)
+      // string bands only for string-annotated BINARY columns (raw
+      // binary ordering is not the stats contract)
+      val schema = r.getFooter.getFileMetaData.getSchema
+      val isStr = cols.map(c => c -> (schema.containsField(c) && {
+        val t = schema.getType(schema.getFieldIndex(c))
+        t.isPrimitive &&
+          t.asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY &&
+          t.getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+      })).toMap
       r.getFooter.getBlocks.forEach { b =>
         b.getColumns.forEach { c =>
           val name = c.getPath.toDotString
@@ -961,18 +1207,43 @@ object LakeTxn {
             val s = c.getStatistics
             if (s == null || !s.isNumNullsSet) nn(name) = -1L
             else if (nn(name) >= 0) nn(name) += s.getNumNulls
-            if (s != null && !s.isEmpty && s.hasNonNullValue) {
+            if (s == null || s.isEmpty) {
+              // rows present but values unaccounted: the band would lie
+              if (b.getRowCount > 0) complete(name) = false
+            } else if (s.hasNonNullValue) {
               (s.genericGetMin, s.genericGetMax) match {
                 case (mn: java.lang.Long, mx: java.lang.Long) =>
                   lo(name) = math.min(lo(name), mn)
                   hi(name) = math.max(hi(name), mx)
-                case _ => () // non-INT64: nullCount only, band sentinel stays
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary) if isStr(name) =>
+                  val mns = new String(mn.getBytes, UTF_8)
+                  val mxs = new String(mx.getBytes, UTF_8)
+                  if (!slo.contains(name) || utf8Cmp(mns, slo(name)) < 0)
+                    slo(name) = mns
+                  if (!shi.contains(name) || utf8Cmp(mxs, shi(name)) > 0)
+                    shi(name) = mxs
+                case _ =>
+                  // non-INT64, non-string: nullCount only, no band
+                  complete(name) = false
               }
-            }
+            } else if (!s.isNumNullsSet || s.getNumNulls != b.getRowCount) {
+              // no non-null value AND not provably all-null: unknown
+              if (b.getRowCount > 0) complete(name) = false
+            } // else: provably all-null block, contributes nothing
           }
         }
       }
-      cols.map(c => c -> ((lo(c), hi(c), nn(c))))
+      cols.map { c =>
+        c -> (if (!complete(c)) sxNoBand(nn(c))
+        else if (lo(c) <= hi(c)) SxInt(lo(c), hi(c), nn(c))
+        else if (slo.contains(c))
+          sxStrUpper(shi(c)) match {
+            case Some(up) => SxStr(sxStrLower(slo(c)), up, nn(c))
+            case None => sxNoBand(nn(c))
+          }
+        else sxNoBand(nn(c))) // all-null or typeless: no band
+      }
     } finally r.close()
   }
 
@@ -992,10 +1263,10 @@ object LakeTxn {
     // metadata pass above the cap (order preserved through collect)
     val sxs: Seq[String] =
       if (staged.size <= DriverFooterCap)
-        staged.map(a => encodeSx(footerSx(conf.value, table, a.file, cols)))
+        staged.map(a => encodeSxBands(footerSx(conf.value, table, a.file, cols)))
       else spark.sparkContext
         .parallelize(staged.map(_.file), math.min(staged.size, 64))
-        .map(rel => encodeSx(footerSx(conf.value, table, rel, cols)))
+        .map(rel => encodeSxBands(footerSx(conf.value, table, rel, cols)))
         .collect().toSeq
     commit(spark, table, staged.lazyZip(sxs).map((a, s) => a.copy(sx = s)), Nil)
   }
@@ -1336,16 +1607,17 @@ object LakeTxn {
     * the new nullable tail column joins the schema-on-log; every
     * existing file null-fills it at read time. */
   def addColumn(spark: SparkSession, table: String,
-                name: String, dt: org.apache.spark.sql.types.DataType): Long = {
-    val snap = snapshot(spark, table)
-    val base = tableSchema(spark, table, snap).getOrElse(
-      scanWithDvs(spark, table, snap, snap.files).schema)
-    require(!base.fieldNames.contains(name),
-      s"column '$name' already exists in $table")
-    val unified = base.add(name, dt, nullable = true)
-    commitAt(spark, table, snap.version,
-      Seq(stageSchema(spark, table, unified)), Nil)
-  }
+                name: String, dt: org.apache.spark.sql.types.DataType): Long =
+    retryOnConflict(s"ADD COLUMN $name on $table") {
+      val snap = snapshot(spark, table)
+      val base = tableSchema(spark, table, snap).getOrElse(
+        scanWithDvs(spark, table, snap, snap.files).schema)
+      require(!base.fieldNames.contains(name),
+        s"column '$name' already exists in $table")
+      val unified = base.add(name, dt, nullable = true)
+      commitAt(spark, table, snap.version,
+        Seq(stageSchema(spark, table, unified)), Nil)
+    }
 
   /** Atomically land a schema JSON under `meta/` and return its schema
     * add action (pinned by the caller's commit). */
@@ -1426,7 +1698,48 @@ object LakeTxn {
       .select(col("__dv_file"), col("__dv_pos"))
     if (doomed.isEmpty) return -1L
     val dvAdds = stage(spark, doomed.repartition(1), table, dir = "dv")
-    commitAt(spark, table, snap.version, dvAdds, Nil)
+    // readDeps = the files the positions reference: a compaction that
+    // interleaved would have replaced them, and these tombstones would
+    // point into files no reader opens — a silently lost delete
+    commitAt(spark, table, snap.version, dvAdds, Nil, readDeps = snap.files)
+  }
+
+  /** MERGE-ON-READ UPDATE: rows matching `cond` are tombstoned by a
+    * deletion vector AND their rewritten versions append — in ONE
+    * atomic commit with ZERO data files removed (adds + DV only). This
+    * is the write-cheap half of the update trade-off the copy-on-write
+    * SQL UPDATE path prices the other way: a point update against a
+    * 100-TB table costs Θ(matched rows), not a rewrite of every file
+    * holding a match; reads pay the DV anti-join until a compaction
+    * materializes the debt. `sets` assigns columns left to right
+    * (later assignments see earlier ones, the SQL SET contract).
+    * Conflict contract: an interleaved removal of any file the
+    * tombstone positions reference aborts ([[commitAt]] readDeps).
+    * Returns the committed version, or -1 if nothing matched. */
+  def updateMorWhere(spark: SparkSession, table: String,
+                     cond: org.apache.spark.sql.Column,
+                     sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    val snap = snapshot(spark, table)
+    if (snap.files.isEmpty) return -1L
+    val base = scanWithDvsMeta(spark, table, snap, snap.files)
+    sets.foreach { case (c, _) =>
+      require(base.columns.contains(c), s"no column '$c' in $table") }
+    val matched = base.filter(cond)
+    // one scan feeds both halves: cache avoids re-reading the table
+    // (matched is small by the point-update contract)
+    matched.cache()
+    try {
+      if (matched.isEmpty) return -1L
+      val positions = matched.select(col("__dv_file"), col("__dv_pos"))
+      val rewritten = sets.foldLeft(matched) { case (df, (c, v)) =>
+        df.withColumn(c, v)
+      }.drop("__dv_file", "__dv_pos")
+      val dvAdds = stage(spark, positions.repartition(1), table, dir = "dv")
+      val dataAdds = stage(spark, rewritten, table)
+      commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
+        readDeps = snap.files)
+    } finally matched.unpersist()
   }
 
   /** TRUNCATE: one atomic commit unpinning every live data file and
@@ -1661,8 +1974,13 @@ object LakeTxn {
       .unionByName(upserts.select(cols.map(col): _*))
     // optimistic CoW: carries the snapshot version it was computed from;
     // a conflicting interleaved rewrite of an affected file ABORTS the
-    // merge (CommitConflictException) — never a silent lost update
-    commitAt(spark, table, snap.version, stage(spark, replacement, table), affected)
+    // merge (CommitConflictException) — never a silent lost update.
+    // Deletion vectors referencing only replaced files unpin too (the
+    // rewrite materialized them; leaving them would demote every later
+    // scan's pushdown/columnar path forever)
+    commitAt(spark, table, snap.version, stage(spark, replacement, table),
+      affected ++ dvsFullyCovered(spark, table, snap.dvs,
+        affected.map(baseName).toSet))
   }
 
   // ------------------------------------------------------------------

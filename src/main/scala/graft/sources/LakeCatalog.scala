@@ -47,13 +47,35 @@ import graft.ext.LakeTxn
   *
   * At 100 TB the catalog costs what the log costs: resolution is one
   * directory existence check; planning stays the driver-scale snapshot
-  * fold. Not supported (loudly): custom `LOCATION` (a managed catalog
-  * has no metastore to remember external paths in), partitioned
-  * `CREATE TABLE` (partitioned ingest goes through
-  * [[LakeTxn.appendCommitPartitioned]]), column drops/renames/retypes
-  * (a lake rewrite, not a metadata edit).
+  * fold. `CREATE TABLE ... PARTITIONED BY (col)` takes one identity-
+  * transform STRING column, marked in the governing schema's field
+  * metadata: INSERTs split per value with the column physically absent
+  * from the files (hive layout, values in the add actions), and reads
+  * prune partitions from the log alone. Not supported (loudly): custom
+  * `LOCATION` (a managed catalog has no metastore to remember external
+  * paths in), column drops/renames/retypes (a lake rewrite, not a
+  * metadata edit).
   */
 object GraftLakeCatalog {
+
+  /** Register a nonce-named catalog over `wh`, run `body`, then UNSET
+    * the two conf keys — repeated bench/verify runs in one session must
+    * not accrete session conf entries (the nonce name itself sidesteps
+    * Spark's per-name catalog-instance cache, which would otherwise pin
+    * the first run's warehouse). Unsetting after `body` is safe: the
+    * returned frame's plan holds resolved Table instances, not catalog
+    * lookups. */
+  private def withNonceCatalog(spark: SparkSession, wh: String, prefix: String)
+      (body: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cat = s"$prefix${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
 
   /** lake_sql_ddl: the catalog journey in PURE SQL — CREATE NAMESPACE,
     * CREATE TABLE (commit 0 = schema only), two INSERT INTO commits,
@@ -65,9 +87,7 @@ object GraftLakeCatalog {
     * per-name catalog-instance cache (the warehouse moves per run). */
   def sqlDdlQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     val wh = LakeTxn.freshTable(spark, sfDir, "sqlddl")
-    val cat = s"glake${System.nanoTime()}"
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    withNonceCatalog(spark, wh, "glake") { cat =>
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
       s"source STRING, n_chars BIGINT) USING `graft-lake`")
@@ -83,6 +103,7 @@ object GraftLakeCatalog {
       s"source, n_chars, n_chars % 7 FROM sqlddl_docs WHERE doc_id % 13 = 0")
     spark.sql(s"SELECT doc_id, lang, source, n_chars, quality " +
       s"FROM $cat.db.docs ORDER BY doc_id")
+    }
   }
 
   /** lake_sql_delete: SQL `DELETE FROM` through the catalog — two
@@ -93,9 +114,7 @@ object GraftLakeCatalog {
     * the log all hash-mismatch. */
   def sqlDeleteQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     val wh = LakeTxn.freshTable(spark, sfDir, "sqldel")
-    val cat = s"glaked${System.nanoTime()}"
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    withNonceCatalog(spark, wh, "glaked") { cat =>
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
       s"source STRING, n_chars BIGINT) USING `graft-lake`")
@@ -107,6 +126,7 @@ object GraftLakeCatalog {
     spark.sql(s"DELETE FROM $cat.db.docs WHERE lang = 'en' AND n_chars > 900")
     spark.sql(s"SELECT doc_id, lang, source, n_chars " +
       s"FROM $cat.db.docs ORDER BY doc_id")
+    }
   }
 
   /** lake_sql_update: SQL `UPDATE` as a group-based copy-on-write
@@ -118,9 +138,7 @@ object GraftLakeCatalog {
     * hash-mismatch. */
   def sqlUpdateQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     val wh = LakeTxn.freshTable(spark, sfDir, "sqlupd")
-    val cat = s"glakeu${System.nanoTime()}"
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    withNonceCatalog(spark, wh, "glakeu") { cat =>
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
       s"source STRING, n_chars BIGINT) USING `graft-lake`")
@@ -132,6 +150,7 @@ object GraftLakeCatalog {
     spark.sql(s"UPDATE $cat.db.docs SET lang = 'xl' WHERE n_chars > 1500")
     spark.sql(s"SELECT doc_id, lang, source, n_chars " +
       s"FROM $cat.db.docs ORDER BY doc_id")
+    }
   }
 
   /** lake_sql_merge: native SQL `MERGE INTO` — matched-delete,
@@ -141,9 +160,7 @@ object GraftLakeCatalog {
     * third surface: the MERGE keyword itself). */
   def sqlMergeQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     val wh = LakeTxn.freshTable(spark, sfDir, "sqlmrg")
-    val cat = s"glakem${System.nanoTime()}"
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    withNonceCatalog(spark, wh, "glakem") { cat =>
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
       s"source STRING, n_chars BIGINT) USING `graft-lake`")
@@ -169,6 +186,7 @@ object GraftLakeCatalog {
          |  VALUES (s.doc_id, s.lang, s.source, s.n_chars)""".stripMargin)
     spark.sql(s"SELECT doc_id, lang, source, n_chars " +
       s"FROM $cat.db.docs ORDER BY doc_id")
+    }
   }
 
   /** lake_sql_call: the MAINTENANCE surface in pure SQL — `CALL
@@ -180,9 +198,7 @@ object GraftLakeCatalog {
     * all hash-mismatch. */
   def sqlCallQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     val wh = LakeTxn.freshTable(spark, sfDir, "sqlcall")
-    val cat = s"glakec${System.nanoTime()}"
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    withNonceCatalog(spark, wh, "glakec") { cat =>
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
       s"source STRING, n_chars BIGINT) USING `graft-lake`")
@@ -207,6 +223,156 @@ object GraftLakeCatalog {
     spark.sql(s"CALL $cat.system.vacuum('db.docs')")
     spark.sql(s"SELECT doc_id, lang, source, n_chars " +
       s"FROM $cat.db.docs ORDER BY doc_id")
+    }
+  }
+
+  /** lake_sql_update_mor: the MERGE-ON-READ update — the same two
+    * compounding updates as `lake_sql_update` (one oracle, two engines'
+    * worth of write paths), applied via `CALL cat.system.update_where`:
+    * each commit tombstones the matched rows with a deletion vector and
+    * appends their rewritten versions, ZERO data files removed (the
+    * query itself asserts the commit shape — adds + DV only). The
+    * write-cheap half of the update trade-off: a point update against a
+    * 100-TB table costs Θ(matched rows), not a file rewrite; the graded
+    * read pays the DV mask until a compaction materializes the debt. */
+  def sqlUpdateMorQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlupdmor")
+    withNonceCatalog(spark, wh, "glakeum") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+        s"source STRING, n_chars BIGINT) USING `graft-lake`")
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .createOrReplaceTempView("sqlupdmor_docs")
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqlupdmor_docs")
+      val v1 = spark.sql(s"CALL $cat.system.update_where('db.docs', " +
+        s"'lang = ''en''', 'n_chars', 'n_chars + 1000')").head.getLong(0)
+      val v2 = spark.sql(s"CALL $cat.system.update_where('db.docs', " +
+        s"'n_chars > 1500', 'lang', '''xl''')").head.getLong(0)
+      val t = s"$wh/db/docs"
+      Seq(v1, v2).foreach { v =>
+        val acts = LakeTxn.readCommit(spark, t, v)
+        require(acts.forall(_.add) && acts.exists(_.dv) &&
+          acts.exists(a => a.add && !a.dv && !a.schema),
+          s"merge-on-read UPDATE commit $v of $t must be adds + deletion " +
+            s"vector with zero removed data files")
+      }
+      spark.sql(s"SELECT doc_id, lang, source, n_chars " +
+        s"FROM $cat.db.docs ORDER BY doc_id")
+    }
+  }
+
+  /** lake_sql_partitioned: hive-shaped partitioning in PURE SQL —
+    * `CREATE TABLE ... PARTITIONED BY (lang)`, two INSERTs whose files
+    * physically LACK the lang column (one staged file per value, the
+    * value riding the add action), and a SELECT whose `lang IN (...)`
+    * prunes the file list from the log alone (LakeSqlPartSpec corrupts
+    * the other partitions' files to prove they are never opened).
+    * Graded on the two-partition content: a dropped partition value, a
+    * misrouted row, or a bad reinjection all hash-mismatch. */
+  def sqlPartitionedQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlpart")
+    withNonceCatalog(spark, wh, "glakep") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        s"lang STRING, source STRING, n_chars BIGINT) USING `graft-lake` " +
+        s"PARTITIONED BY (lang)")
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("sqlpart_docs")
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+        s"source, n_chars FROM sqlpart_docs WHERE doc_id % 2 = 0")
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+        s"source, n_chars FROM sqlpart_docs WHERE doc_id % 2 = 1")
+      spark.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM $cat.db.docs WHERE lang IN ('en', 'fr') ORDER BY doc_id")
+    }
+  }
+
+  /** lake_sql_time_travel: `SELECT ... VERSION AS OF k` through the SQL
+    * parser — the graded read pins version 2 (both inserts, before the
+    * DELETE), under that version's governing schema; a sacrificial twin
+    * table proves the OTHER half of the contract through SQL too:
+    * time travel below the vacuum retention horizon is refused at plan
+    * time with the purpose-built message, never a mid-scan
+    * FileNotFound. */
+  def sqlTimeTravelQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqltt")
+    withNonceCatalog(spark, wh, "glaket") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        s"lang STRING, source STRING, n_chars BIGINT) USING `graft-lake`")
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("sqltt_docs")
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqltt_docs WHERE doc_id % 2 = 0")
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqltt_docs WHERE doc_id % 2 = 1")
+      spark.sql(s"DELETE FROM $cat.db.docs WHERE lang = 'de'")
+      // the sacrificial twin: vacuum publishes a horizon at its latest
+      // version, then SQL time travel below it must refuse loudly
+      spark.sql(s"CREATE TABLE $cat.db.docs2 (doc_id BIGINT) USING `graft-lake`")
+      spark.sql(s"INSERT INTO $cat.db.docs2 SELECT doc_id FROM sqltt_docs WHERE doc_id % 2 = 0")
+      spark.sql(s"INSERT INTO $cat.db.docs2 SELECT doc_id FROM sqltt_docs WHERE doc_id % 2 = 1")
+      spark.sql(s"CALL $cat.system.vacuum('db.docs2', 1, 0)").collect()
+      val refused =
+        try { spark.sql(s"SELECT * FROM $cat.db.docs2 VERSION AS OF 1").collect(); false }
+        catch { case e: Throwable =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(t => String.valueOf(t.getMessage)
+              .contains("vacuum retention horizon"))
+        }
+      require(refused,
+        "SQL time travel below the vacuum horizon must refuse at plan time")
+      spark.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM $cat.db.docs VERSION AS OF 2 ORDER BY doc_id")
+    }
+  }
+
+  /** stream_lake_catalog: the lake tailed as a stream THROUGH THE
+    * CATALOG — `spark.readStream.table("cat.db.t")` resolves the same
+    * V2 table and plans the same micro-batch stream the path API
+    * serves. Three INSERT commits drain one-per-batch into a
+    * complete-mode aggregate; a FOURTH insert lands after the stream
+    * stopped and a second pass over the SAME checkpoint resumes from
+    * the recorded offset (restart-resume through catalog resolution).
+    * Final state = the whole-corpus aggregate — a lost or re-delivered
+    * commit corrupts some group. */
+  def streamCatalogQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "streamcat")
+    withNonceCatalog(spark, wh, "glakesc") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, lang STRING, " +
+        s"source STRING, n_chars BIGINT) USING `graft-lake`")
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .createOrReplaceTempView("streamcat_docs")
+      for (r <- 0 to 2)
+        spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM streamcat_docs " +
+          s"WHERE doc_id % 4 = $r")
+      val ckpt = s"$wh/_ckpt"
+      val mem = "lake_stream_cat_" +
+        spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      def runPass(): Unit = {
+        import org.apache.spark.sql.functions.{count, lit, sum}
+        val q = spark.readStream
+          .option("maxVersionsPerBatch", 1)
+          .table(s"$cat.db.docs")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum("doc_id").as("sum_ids"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(mem)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runPass()
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM streamcat_docs " +
+        s"WHERE doc_id % 4 = 3")
+      runPass()
+      spark.table(mem).orderBy("lang")
+    }
   }
 }
 
@@ -286,9 +452,27 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-lake catalog tables are unpartitioned at CREATE time — " +
-        "partitioned ingest goes through LakeTxn.appendCommitPartitioned")
+    // PARTITIONED BY (col): one identity transform on a declared STRING
+    // column. The partition column is marked in the governing schema's
+    // field METADATA (no log-format change — old engines read these
+    // tables untouched); writes split per value and stamp each add
+    // action, reads prune from the log and reinject the value.
+    require(partitions.length <= 1,
+      "graft-lake tables take at most ONE partition column " +
+        s"(got ${partitions.length})")
+    val pvc = partitions.headOption.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"graft-lake partitioning is a single identity transform on a " +
+          s"top-level column (got $t)")
+      val c = t.references()(0).fieldNames()(0)
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the table schema")
+      require(schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"partition column '$c' must be STRING (hive path values are " +
+          s"strings; is ${schema(c).dataType.simpleString})")
+      c
+    }
     val unsupported = properties.keySet.asScala
       .filterNot(k => k == TableCatalog.PROP_PROVIDER ||
         k == TableCatalog.PROP_COMMENT || k == TableCatalog.PROP_OWNER ||
@@ -303,8 +487,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     if (!fs.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
-    LakeTxn.createTable(spark, p.toString, schema)
-    new LakeStreamTable(p.toString, schema)
+    val stamped = pvc.fold(schema)(pc => StructType(schema.fields.map(f =>
+      if (f.name == pc) f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putBoolean(LakeStreamTable.PvMetaKey, true).build())
+      else f)))
+    LakeTxn.createTable(spark, p.toString, stamped)
+    new LakeStreamTable(p.toString, stamped)
   }
 
   /** ADD COLUMN only — everything else on a lake is a rewrite, not a
@@ -439,6 +629,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         in("key_col", StringType)), vOut) {
       def run(a: InternalRow) = Array(Long.box(LakeTxn.applyChanges(spark,
         resolveTable(str(a, 0)), spark.table(str(a, 1)), str(a, 2))))
+    },
+    // the MERGE-ON-READ update: tombstone matched rows via a deletion
+    // vector + append their rewritten versions, ONE commit, ZERO data
+    // files removed — the write-cheap UPDATE a 100-TB table with point
+    // updates needs (the SQL UPDATE keyword stays copy-on-write)
+    new LakeProc("update_where",
+      Array(in("table", StringType), in("condition", StringType),
+        in("set_col", StringType), in("set_expr", StringType)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.updateMorWhere(spark,
+        resolveTable(str(a, 0)),
+        org.apache.spark.sql.functions.expr(str(a, 1)),
+        Seq(str(a, 2) -> org.apache.spark.sql.functions.expr(str(a, 3))))))
     },
     new LakeProc("add_constraint",
       Array(in("table", StringType), in("name", StringType),

@@ -121,6 +121,21 @@ object LakeStreamSource {
   }
 }
 
+object LakeStreamTable {
+  /** StructField-metadata marker of the table's partition column. Riding
+    * the governing schema JSON keeps the log wire format UNCHANGED (old
+    * engines read partitioned tables fine — they just write files that
+    * carry the column physically, which the readers also handle), the
+    * reason this needs no protocol bump. */
+  val PvMetaKey = "graft.pv"
+
+  /** The schema-declared partition column, if any (single identity
+    * transform — the one shape file-level operations can honor exactly). */
+  def pvColOf(schema: StructType): Option[String] =
+    schema.fields.find(f => f.metadata.contains(PvMetaKey) &&
+      f.metadata.getBoolean(PvMetaKey)).map(_.name)
+}
+
 /** `pinnedVersion` (catalog `VERSION AS OF` time travel) pins every
   * batch scan of this Table handle to that log version; writes against
   * a pinned handle are refused — history is read-only. */
@@ -227,6 +242,17 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
     true
   }
   override def schema(): StructType = tableSchema
+
+  /** Identity partitioning on the schema-declared partition column: the
+    * SQL surface (`SHOW CREATE`, the writer distribution hints) sees
+    * the table as partitioned; the files physically lack the column
+    * (its values live only in the log's add actions). */
+  override def partitioning(): Array[Transform] =
+    LakeStreamTable.pvColOf(tableSchema)
+      .map(pc => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(pc): Transform)
+      .toArray
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -289,10 +315,15 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
       }
 
       override def build(): Write = new Write {
+        private val pvc = LakeStreamTable.pvColOf(tableSchema)
         override def toBatch(): BatchWrite = replace match {
           case None =>
-            new LakeBatchWrite(tablePath, info.schema(), info.queryId())
+            new LakeBatchWrite(tablePath, info.schema(), info.queryId(), pvc)
           case Some(scope) =>
+            require(pvc.isEmpty,
+              s"overwrite of the PARTITIONED table $name goes through the " +
+                s"path API's replaceWhere (exact partition-scoped replace), " +
+                s"not the V2 truncate-and-append writer")
             new LakeOverwriteBatchWrite(tablePath, info.schema(),
               info.queryId(), scope)
         }
@@ -310,7 +341,7 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
               "an overwriting stream would erase delivered history per epoch")
           new LakeStreamingWrite(tablePath, info.schema(),
             Option(info.options.get("txnAppId")).getOrElse(info.queryId()),
-            info.queryId())
+            info.queryId(), pvc)
         }
       }
     }
@@ -526,17 +557,20 @@ final case class LakeAggPartition(values: Array[Any]) extends InputPartition
   * equality/IN, and partition values. Unknown filter shapes or columns
   * admit the file — pruning may only ever SKIP files that provably
   * hold no matching row. */
-private[sources] object LakePrune {
+private[graft] object LakePrune {
   import org.apache.spark.sql.sources._
   import graft.ext.LakeTxn.Action
 
   /** col -> (lo, hi, nullCount); see [[LakeTxn.encodeSx]]. */
   private type Sx = Map[String, (Long, Long, Long)]
+  /** col -> (minPrefix, maxBound) truncated UTF-8 string band. */
+  private type SxS = Map[String, (String, String)]
 
   /** Parse the stats map ONCE per file, then check every filter. */
   def allowsAll(a: Action, fs: Array[Filter]): Boolean = {
     val sx: Sx = graft.ext.LakeTxn.decodeSx(a.sx)
-    fs.forall(allows(a, sx, _))
+    val sxs: SxS = graft.ext.LakeTxn.decodeSxStr(a.sx)
+    fs.forall(allows(a, sx, sxs, _))
   }
 
   private def asLong(v: Any): Option[Long] = v match {
@@ -574,15 +608,35 @@ private[sources] object LakePrune {
     if (a.pvCol != col) true
     else v match { case s: String => a.pvValue == s; case _ => true }
 
-  private def allows(a: Action, sx: Sx, f: Filter): Boolean = f match {
-    case And(l, r) => allows(a, sx, l) && allows(a, sx, r)
-    case Or(l, r) => allows(a, sx, l) || allows(a, sx, r)
+  /** String-band admission under binary UTF-8 order. The recorded band
+    * is (lower bound ≤ real min, upper bound ≥ real max) — truncation-
+    * safe by construction, so every check below only ever SKIPS files
+    * provably outside the predicate. Non-string filter values admit. */
+  private def strOk(sxs: SxS, c: String, v: Any, op: String): Boolean =
+    (sxs.get(c), v) match {
+      case (Some((lo, hi)), s: String) =>
+        import graft.ext.LakeTxn.utf8Cmp
+        op match {
+          case "eq" => utf8Cmp(s, lo) >= 0 && utf8Cmp(s, hi) <= 0
+          case "gt" => utf8Cmp(hi, s) > 0
+          case "gtEq" => utf8Cmp(hi, s) >= 0
+          case "lt" => utf8Cmp(lo, s) < 0
+          case "ltEq" => utf8Cmp(lo, s) <= 0
+          case _ => true
+        }
+      case _ => true
+    }
+
+  private def allows(a: Action, sx: Sx, sxs: SxS, f: Filter): Boolean = f match {
+    case And(l, r) => allows(a, sx, sxs, l) && allows(a, sx, sxs, r)
+    case Or(l, r) => allows(a, sx, sxs, l) || allows(a, sx, sxs, r)
     case EqualTo(c, v) =>
       band(a, sx, c).forall(b => asLong(v).forall(l => l >= b._1 && l <= b._2)) &&
-        bloomHit(a, c, v) && pvHit(a, c, v)
+        strOk(sxs, c, v, "eq") && bloomHit(a, c, v) && pvHit(a, c, v)
     case In(c, vs) =>
       band(a, sx, c).forall(b => asLongs(vs).forall(_.exists(l =>
         l >= b._1 && l <= b._2))) &&
+        (!sxs.contains(c) || vs.exists(strOk(sxs, c, _, "eq"))) &&
         (a.bloomCol != c || vs.exists {
           case l: Long => LakeTxn.bloomMightContainKey(a.bloom, l)
           case _ => true // non-Long value: hashed differently at write, admit
@@ -592,13 +646,20 @@ private[sources] object LakePrune {
           case _ => true
         })
     case GreaterThan(c, v) =>
-      band(a, sx, c).forall(b => asLong(v).forall(l => b._2 > l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._2 > l)) &&
+        strOk(sxs, c, v, "gt")
     case GreaterThanOrEqual(c, v) =>
-      band(a, sx, c).forall(b => asLong(v).forall(l => b._2 >= l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._2 >= l)) &&
+        strOk(sxs, c, v, "gtEq")
     case LessThan(c, v) =>
-      band(a, sx, c).forall(b => asLong(v).forall(l => b._1 < l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._1 < l)) &&
+        strOk(sxs, c, v, "lt")
     case LessThanOrEqual(c, v) =>
-      band(a, sx, c).forall(b => asLong(v).forall(l => b._1 <= l))
+      band(a, sx, c).forall(b => asLong(v).forall(l => b._1 <= l)) &&
+        strOk(sxs, c, v, "ltEq")
+    case StringStartsWith(c, v) =>
+      // rows matching `v*` sort in [v, upper(v)): the band must reach v
+      strOk(sxs, c, v, "gtEq")
     // nullCount pruning from the stats map: a file with zero nulls in c
     // holds no IS NULL row; one that is ALL nulls holds no IS NOT NULL
     // row. -1 (unknown) admits both ways.
@@ -754,6 +815,38 @@ private[sources] object LakeParquetFilters {
   }
 }
 
+/** The ONE driver-side deletion-vector loader every scan path shares.
+  * Loading collects every live tombstone position to the driver, so it
+  * is guarded: a vector set past [[MaxDvPositions]] is no longer "small
+  * metadata" — the table owes a compaction, refuse loudly rather than
+  * ship an unbounded tombstone list into every task (or OOM the driver
+  * mid-UPDATE). */
+private[graft] object LakeDv {
+  val MaxDvPositions = 10_000_000L
+
+  /** file basename -> sorted tombstoned row positions of the snapshot's
+    * live deletion vectors (empty map when none). `maxPositions` is
+    * parameterized only so specs can prove the guard without staging
+    * ten million tombstones. */
+  def load(spark: SparkSession, table: String, snap: LakeTxn.Snapshot,
+           maxPositions: Long = MaxDvPositions): Map[String, Array[Long]] =
+    if (snap.dvs.isEmpty) Map.empty
+    else {
+      val rows = spark.read
+        .parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
+        .select(col("__dv_file"), col("__dv_pos"))
+      val n = rows.count()
+      require(n <= maxPositions,
+        s"$table carries $n deletion-vector positions (> $maxPositions): " +
+          s"compact the table (purges vectors) before scanning")
+      // distinct: stacked vectors may tombstone one row twice, and the
+      // array-cursor readers consume exactly one entry per ordinal
+      rows.collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
+    }
+}
+
 /** Batch read of the lake through the V2 connector: ONE driver-side
   * snapshot fold plans the file list, pushed filters prune it from the
   * log metadata alone (stats bands, bloom filters, partition values —
@@ -761,37 +854,20 @@ private[sources] object LakeParquetFilters {
   * column reader serves the rows with partition values injected and
   * any live DELETION VECTORS applied merge-on-read: the vectors (small
   * by the MoR contract — big deletes should compact) load once on the
-  * driver and each reader skips its file's tombstoned row positions.
-  * `versionAsOf` time-travels, vectors included. */
+  * driver through the guarded [[LakeDv]] loader and each reader skips
+  * its file's tombstoned row positions. `versionAsOf` time-travels,
+  * vectors included. */
 final class LakeBatch(table: String, schema: StructType,
                       pushed: Array[Filter],
                       versionAsOf: Option[Long],
                       limitRows: Option[Int] = None) extends Batch {
-  /** Driver-side guard: a vector set past this is no longer "small
-    * metadata" — the table owes a compaction, refuse rather than ship
-    * an unbounded tombstone list into every task. */
-  private val MaxDvPositions = 10_000_000L
-
   /** ONE pinned plan per Batch instance (lazy val): repeated
     * planInputPartitions/createReaderFactory calls must agree on the
     * file list AND on the row-vs-columnar decision. */
   private lazy val parts: Array[LakeInputPartition] = {
     val spark = SparkSession.active
     val snap = LakeTxn.snapshot(spark, table, versionAsOf)
-    val deletedByFile: Map[String, Array[Long]] =
-      if (snap.dvs.isEmpty) Map.empty
-      else {
-        val rows = spark.read
-          .parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
-          .select(col("__dv_file"), col("__dv_pos"))
-        val n = rows.count()
-        require(n <= MaxDvPositions,
-          s"$table carries $n deletion-vector positions (> $MaxDvPositions): " +
-            s"compact the table (purges vectors) before a V2 batch read")
-        rows.collect()
-          .groupBy(_.getString(0))
-          .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
-      }
+    val deletedByFile = LakeDv.load(spark, table, snap)
     val kept0 = snap.adds.filter(a => LakePrune.allowsAll(a, pushed))
     val kept1 =
       if (kept0.nonEmpty || snap.adds.isEmpty) kept0
@@ -817,15 +893,16 @@ final class LakeBatch(table: String, schema: StructType,
     parts.toArray[InputPartition]
 
   /** COLUMNAR when every planned partition can emit the scan schema as
-    * vectorized batches: atomic types and no deletion vector
-    * (merge-on-read skipping is row-cursor logic). Injected partition
+    * vectorized batches: atomic types — INCLUDING files with live
+    * deletion vectors, whose sorted tombstone positions the columnar
+    * reader masks out of each decoded batch (vectorized parquet decode
+    * kept; one compaction copy per DV'd batch). Injected partition
     * values at any schema position are fine — the reader reorders its
     * vector pointers. Spark refuses mixed row/columnar partitions in
     * one scan, so the decision is scan-level. */
   override def createReaderFactory(): PartitionReaderFactory = {
-    val vectorizable = schema.fields.forall(f =>
+    val columnar = schema.fields.forall(f =>
       LakeColumnarReader.atomicOk(f.dataType))
-    val columnar = vectorizable && parts.forall(_.deleted.isEmpty)
     new LakeReaderFactory(schema.json,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
@@ -1010,7 +1087,7 @@ final class LakeReaderFactory(schemaJson: String,
     val p = partition.asInstanceOf[LakeInputPartition]
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new LakeColumnarReader(p.absPath, schema, p.injectedFor(schema),
-      pushed, conf.value)
+      pushed, conf.value, p.deleted)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1043,13 +1120,25 @@ object LakeColumnarReader {
   * log-recorded partition value is injected by `initBatch` as a
   * constant vector (the file physically lacks the column); a column an
   * old file lacks under an evolved schema null-fills inside the
-  * vectorized reader. */
+  * vectorized reader.
+  *
+  * MERGE-ON-READ, columnar: when the partition carries live deletion-
+  * vector positions (`deleted`, sorted within-file row ordinals), each
+  * decoded batch is COMPACTED into fresh on-heap vectors with the
+  * tombstoned ordinals dropped — parquet decode stays vectorized and
+  * the scan stays columnar end to end (one copy per DV'd batch, the
+  * price of not demoting the whole scan to row readers). Row-group
+  * pruning is disabled for DV'd files ONLY: a skipped group would
+  * desync the sequential row ordinals the positions are keyed on. */
 final class LakeColumnarReader(absPath: String, schema: StructType,
                                injected: Seq[(String, String)],
                                pushed: Array[Filter],
-                               hadoopConf: Configuration)
+                               hadoopConf: Configuration,
+                               deleted: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
   private val conf = new Configuration(hadoopConf)
   private val injNames = injected.map(_._1)
@@ -1066,8 +1155,9 @@ final class LakeColumnarReader(absPath: String, schema: StructType,
   conf.setBoolean("spark.sql.caseSensitive", false)
   conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
   conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-  LakeParquetFilters.predicate(requested, pushed).foreach(p =>
-    org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
+  if (deleted.isEmpty)
+    LakeParquetFilters.predicate(requested, pushed).foreach(p =>
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, p))
 
   // the lake writes CORRECTED-mode dates and TIMESTAMP_MICROS only
   // (no legacy-rebase files, no INT96), so no rebase ever applies
@@ -1104,13 +1194,75 @@ final class LakeColumnarReader(absPath: String, schema: StructType,
   private val needReorder = injected.nonEmpty &&
     !schema.fieldNames.endsWith(injNames)
 
-  override def next(): Boolean = reader.nextBatch()
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+  private def decoded: ColumnarBatch =
     if (!needReorder) reader.resultBatch()
     else {
       reordered.setNumRows(reader.resultBatch().numRows())
       reordered
     }
+
+  // -- merge-on-read masking state (used only when `deleted` nonEmpty) --
+  // survivors append into reusable on-heap vectors; the within-file row
+  // ordinal advances sequentially because row-group pruning is off
+  private lazy val maskedCols: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(4096, schema)
+  private lazy val masked: ColumnarBatch =
+    new ColumnarBatch(maskedCols.asInstanceOf[Array[ColumnVector]], 0)
+  private var rowOrdinal = 0L
+  private var delPtr = 0
+
+  /** Compact `src` into [[masked]], dropping tombstoned ordinals. */
+  private def maskBatch(src: ColumnarBatch): ColumnarBatch = {
+    maskedCols.foreach(_.reset())
+    val n = src.numRows()
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      if (delPtr < deleted.length && deleted(delPtr) == rowOrdinal) delPtr += 1
+      else {
+        var c = 0
+        while (c < maskedCols.length) {
+          val sv = src.column(c)
+          val dv = maskedCols(c)
+          if (sv.isNullAt(i)) dv.appendNull()
+          else schema.fields(c).dataType match {
+            case BooleanType => dv.appendBoolean(sv.getBoolean(i))
+            case ByteType => dv.appendByte(sv.getByte(i))
+            case ShortType => dv.appendShort(sv.getShort(i))
+            case IntegerType | DateType => dv.appendInt(sv.getInt(i))
+            case LongType | TimestampType => dv.appendLong(sv.getLong(i))
+            case FloatType => dv.appendFloat(sv.getFloat(i))
+            case DoubleType => dv.appendDouble(sv.getDouble(i))
+            case StringType =>
+              val b = sv.getUTF8String(i).getBytes
+              dv.appendByteArray(b, 0, b.length)
+            case BinaryType =>
+              val b = sv.getBinary(i)
+              dv.appendByteArray(b, 0, b.length)
+            case other => throw new IllegalStateException(
+              s"unmaskable column type ${other.simpleString}")
+          }
+          c += 1
+        }
+        kept += 1
+      }
+      rowOrdinal += 1
+      i += 1
+    }
+    masked.setNumRows(kept)
+    masked
+  }
+
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean =
+    if (deleted.isEmpty) reader.nextBatch()
+    else if (!reader.nextBatch()) false
+    else { current = maskBatch(decoded); true }
+
+  override def get(): ColumnarBatch =
+    if (deleted.isEmpty) decoded else current
+
   override def close(): Unit = reader.close()
 }
 
@@ -1325,14 +1477,10 @@ final class LakeRowLevelScan(op: LakeRowLevelOperation, table: String,
   private lazy val base: (LakeTxn.Snapshot, Map[String, Array[Long]]) = {
     val spark = SparkSession.active
     val snap = LakeTxn.snapshot(spark, table)
-    val deletedByFile: Map[String, Array[Long]] =
-      if (snap.dvs.isEmpty) Map.empty
-      else spark.read.parquet(snap.dvs.map(a => s"$table/${a.file}"): _*)
-        .select(col("__dv_file"), col("__dv_pos"))
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
-    (snap, deletedByFile)
+    // the guarded loader (shared with LakeBatch): a heavily-tombstoned
+    // table fails loudly with the compact-first message instead of
+    // OOMing the driver mid-UPDATE/MERGE
+    (snap, LakeDv.load(spark, table, snap))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1351,7 +1499,7 @@ final class LakeRowLevelScan(op: LakeRowLevelOperation, table: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val columnar = schema.fields.forall(f =>
-      LakeColumnarReader.atomicOk(f.dataType)) && base._2.isEmpty
+      LakeColumnarReader.atomicOk(f.dataType))
     new LakeReaderFactory(schema.json,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()), columnar)
@@ -1388,20 +1536,28 @@ final class LakeReplaceDataWrite(table: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = dropStage()
 }
 
-final case class LakeWriteCommit(files: Seq[String]) extends WriterCommitMessage
+/** `pvs` aligns with `files`: the log-recorded partition value of each
+  * staged file when the table is partitioned (empty otherwise). */
+final case class LakeWriteCommit(files: Seq[String], pvs: Seq[String] = Nil)
+    extends WriterCommitMessage
 
 /** The driver half of the V2 write: collect the task-committed staged
   * files and publish them through [[LakeTxn]] as one atomic commit
   * (constraints enforced, writer protocol gate applied); abort deletes
-  * the stage dir wholesale. */
-final class LakeBatchWrite(table: String, schema: StructType, queryId: String)
+  * the stage dir wholesale. On a PARTITIONED table each staged file
+  * holds one partition value's rows (the column physically absent) and
+  * the commit stamps `pvCol`/`pvValue` per add action — pure-SQL
+  * `INSERT INTO` lands hive-shaped partitioned data with log-based
+  * pruning, no directory listing anywhere. */
+final class LakeBatchWrite(table: String, schema: StructType, queryId: String,
+                           pvCol: Option[String] = None)
     extends BatchWrite {
   private val stageDir = s".stage-v2w-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(table, stageDir, schema.json,
       new SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), pvCol)
 
   private def dropStage(): Unit = {
     val p = new Path(table, stageDir)
@@ -1410,8 +1566,11 @@ final class LakeBatchWrite(table: String, schema: StructType, queryId: String)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
-    try LakeTxn.commitStagedV2(SparkSession.active, table, staged)
+    val ms = messages.collect { case m: LakeWriteCommit => m }
+    val staged = ms.flatMap(_.files).toSeq
+    val pvByFile = ms.flatMap(m => m.files.zip(m.pvs)).toMap
+    try LakeTxn.commitStagedV2(SparkSession.active, table, staged,
+      pvCol = pvCol.orNull, pvByFile = pvByFile)
     finally dropStage() // losers' and stragglers' leftovers die with it
   }
 
@@ -1419,12 +1578,13 @@ final class LakeBatchWrite(table: String, schema: StructType, queryId: String)
 }
 
 final class LakeWriterFactory(table: String, stageDir: String, schemaJson: String,
-                              conf: SerializableConfiguration)
+                              conf: SerializableConfiguration,
+                              pvCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(table, stageDir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId,
-      conf.value)
+      conf.value, pvCol = pvCol)
 }
 
 /** The driver half of an OVERWRITE: the read version pins at JOB START
@@ -1468,7 +1628,8 @@ final class LakeOverwriteBatchWrite(table: String, schema: StructType,
   * on top of the commit protocol. An epoch that produced no rows
   * commits nothing (re-delivery of nothing needs no marker). */
 final class LakeStreamingWrite(table: String, schema: StructType,
-                               appId: String, queryId: String)
+                               appId: String, queryId: String,
+                               pvCol: Option[String] = None)
     extends StreamingWrite {
   private val stageDir = s".stage-v2s-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
 
@@ -1476,13 +1637,16 @@ final class LakeStreamingWrite(table: String, schema: StructType,
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(table, stageDir, schema.json,
       new SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), pvCol)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
+    val ms = messages.collect { case m: LakeWriteCommit => m }
+    val staged = ms.flatMap(_.files).toSeq
+    val pvByFile = ms.flatMap(m => m.files.zip(m.pvs)).toMap
     if (staged.nonEmpty)
       LakeTxn.commitStagedV2(SparkSession.active, table, staged,
-        marker = Some((appId, epochId))): Unit
+        marker = Some((appId, epochId)),
+        pvCol = pvCol.orNull, pvByFile = pvByFile): Unit
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1495,31 +1659,46 @@ final class LakeStreamingWrite(table: String, schema: StructType,
 
 final class LakeStreamingWriterFactory(table: String, stageDir: String,
                                        schemaJson: String,
-                                       conf: SerializableConfiguration)
+                                       conf: SerializableConfiguration,
+                                       pvCol: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(table, stageDir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], partitionId, taskId,
-      conf.value, suffix = s"-e$epochId")
+      conf.value, suffix = s"-e$epochId", pvCol = pvCol)
 }
 
 /** The executor half: rows of one partition → one staged parquet file
   * (example Group API over a MessageType derived from the write schema
-  * — the same atomic-type contract the read side enforces). */
+  * — the same atomic-type contract the read side enforces). On a
+  * PARTITIONED table (`pvCol` set) rows split into one staged file per
+  * partition VALUE seen by this task, the column physically absent from
+  * the files (hive layout; values ride the commit's add actions) —
+  * NULL/empty values are refused up front, the
+  * `__HIVE_DEFAULT_PARTITION__` corruption guard. */
 final class LakeDataWriter(table: String, stageDir: String, schema: StructType,
                            partitionId: Int, taskId: Long,
                            hadoopConf: Configuration = new Configuration(),
-                           suffix: String = "")
+                           suffix: String = "",
+                           pvCol: Option[String] = None)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types => PTypes}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-  private val rel = s"$stageDir/part-$partitionId-$taskId$suffix.parquet"
+  private val pcIdx = pvCol.fold(-1)(pc => schema.fieldIndex(pc))
+  pvCol.foreach(pc => require(schema(pc).dataType == StringType,
+    s"partition column '$pc' must be STRING (is " +
+      s"${schema(pc).dataType.simpleString})"))
+  /** What the files physically carry: everything but the partition col. */
+  private val writeSchema =
+    pvCol.fold(schema)(pc => StructType(schema.fields.filterNot(_.name == pc)))
+  /** writeSchema ordinal -> incoming row ordinal. */
+  private val srcIdx: Array[Int] = writeSchema.fields.map(f => schema.fieldIndex(f.name))
 
   private val messageType: MessageType = {
     val b = PTypes.buildMessage()
-    schema.fields.foreach { f =>
+    writeSchema.fields.foreach { f =>
       f.dataType match {
         case LongType => b.addField(PTypes.optional(INT64).named(f.name))
         case IntegerType => b.addField(PTypes.optional(INT32).named(f.name))
@@ -1544,52 +1723,76 @@ final class LakeDataWriter(table: String, stageDir: String, schema: StructType,
     b.named("graft")
   }
 
-  private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-    .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-      new Path(table, rel), hadoopConf))
-    .withType(messageType)
-    .build()
   private val factory =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
   private var closed = false
 
+  /** One open staged file per partition value ("" = unpartitioned, where
+    * the single file opens eagerly so an empty task still commits its
+    * 0-row file — the pre-partitioning behavior). */
+  private val open = scala.collection.mutable.LinkedHashMap[
+    String, (org.apache.parquet.hadoop.ParquetWriter[Group], String)]()
+
+  private def writerFor(pv: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
+    open.getOrElseUpdate(pv, {
+      val rel = s"$stageDir/part-$partitionId-$taskId$suffix-${open.size}.parquet"
+      (org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new Path(table, rel), hadoopConf))
+        .withType(messageType)
+        .build(), rel)
+    })._1
+
+  if (pcIdx < 0) writerFor("")
+
   override def write(row: InternalRow): Unit = {
+    val pv =
+      if (pcIdx < 0) ""
+      else {
+        require(!row.isNullAt(pcIdx) && row.getUTF8String(pcIdx).numChars() > 0,
+          s"partition column '${pvCol.get}' must not be NULL or empty " +
+            s"(hive maps both to the __HIVE_DEFAULT_PARTITION__ sentinel)")
+        row.getUTF8String(pcIdx).toString
+      }
     val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType | TimestampType => g.add(i, row.getLong(i))
-        case IntegerType | DateType => g.add(i, row.getInt(i))
-        case ShortType => g.add(i, row.getShort(i).toInt)
-        case ByteType => g.add(i, row.getByte(i).toInt)
-        case DoubleType => g.add(i, row.getDouble(i))
-        case FloatType => g.add(i, row.getFloat(i))
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case StringType => g.add(i,
+    var j = 0
+    while (j < writeSchema.length) {
+      val i = srcIdx(j)
+      if (!row.isNullAt(i)) writeSchema.fields(j).dataType match {
+        case LongType | TimestampType => g.add(j, row.getLong(i))
+        case IntegerType | DateType => g.add(j, row.getInt(i))
+        case ShortType => g.add(j, row.getShort(i).toInt)
+        case ByteType => g.add(j, row.getByte(i).toInt)
+        case DoubleType => g.add(j, row.getDouble(i))
+        case FloatType => g.add(j, row.getFloat(i))
+        case BooleanType => g.add(j, row.getBoolean(i))
+        case StringType => g.add(j,
           org.apache.parquet.io.api.Binary.fromConstantByteArray(
             row.getUTF8String(i).getBytes))
-        case BinaryType => g.add(i,
+        case BinaryType => g.add(j,
           org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
         case dt => throw new IllegalArgumentException(dt.simpleString)
       }
-      i += 1
+      j += 1
     }
-    writer.write(g)
+    writerFor(pv).write(g)
   }
 
   override def commit(): WriterCommitMessage = {
     close()
-    LakeWriteCommit(Seq(rel))
+    LakeWriteCommit(open.values.map(_._2).toSeq,
+      if (pcIdx < 0) Nil else open.keys.toSeq)
   }
 
   override def abort(): Unit = {
     close()
-    val p = new Path(table, rel)
-    p.getFileSystem(hadoopConf).delete(p, false): Unit
+    val fs = new Path(table).getFileSystem(hadoopConf)
+    open.values.foreach { case (_, rel) =>
+      fs.delete(new Path(table, rel), false): Unit }
   }
 
   override def close(): Unit =
-    if (!closed) { closed = true; writer.close() }
+    if (!closed) { closed = true; open.values.foreach(_._1.close()) }
 }
 
 /** The graded query + helpers. */
@@ -1835,5 +2038,46 @@ object LakeStream {
       .filter(col("o_custkey").between(50, 250) &&
         col("price_cents").between(1500000L, 4000000L))
       .orderBy("o_orderkey")
+  }
+
+  /** lake_v2_batch_dv: the MERGE-ON-READ columnar read — the same
+    * z-clustered box scan as lake_v2_batch with a deletion vector live
+    * on every file (doc-ordinal tombstones from a MoR DELETE): the scan
+    * stays COLUMNAR (LakeV2BatchSpec pins ColumnarToRow in the plan),
+    * each decoded batch compacted in place of a row-reader demotion.
+    * Graded on the box-minus-deleted content: a masked wrong ordinal, a
+    * resurrected tombstone, or a dropped survivor all hash-mismatch. */
+  def v2BatchDvQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "v2dv")
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.rel.Relational.cents(col("o_totalprice")).as("price_cents"))
+    LakeTxn.appendCommitZorder(spark, o, t, "o_custkey", "price_cents", files = 16)
+    LakeTxn.deleteWhereMor(spark, t, col("o_orderkey") % 10 === 3)
+    spark.read.format("graft-lake").load(t)
+      .filter(col("o_custkey").between(50, 250) &&
+        col("price_cents").between(1500000L, 4000000L))
+      .orderBy("o_orderkey")
+  }
+
+  /** lake_string_stats: TRUNCATED STRING BANDS in the log's stats map —
+    * the dominant filters of a crawl corpus are text (lang, source,
+    * url), and INT64-only stats never prune them. A range-clustered
+    * append records per-file UTF-8 [min, max] bands (32-code-point
+    * truncation, upper bound incremented — Delta's convention); the V2
+    * read pushes `lang >= 'fr'` and the connector prunes the de/en/es
+    * files from the LOG alone (LakeStringStatsSpec corrupts them to
+    * prove zero footer opens, checkpoint round-trip included). Graded
+    * on the surviving content. */
+  def stringStatsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = LakeTxn.freshTable(spark, sfDir, "sstats")
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    LakeTxn.appendCommitStatsMulti(spark,
+      d.repartitionByRange(8, col("lang"), col("doc_id")), t,
+      Seq("lang", "source", "doc_id"))
+    spark.read.format("graft-lake").load(t)
+      .filter(col("lang") >= "fr")
+      .orderBy("doc_id")
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.LakeTxn
+
+/** Partitioned tables through the pure-SQL surface: `CREATE TABLE ...
+  * PARTITIONED BY (col)` marks the column in the governing schema's
+  * field metadata, INSERTs split one staged file per value with the
+  * column physically absent (values ride the add actions), and reads
+  * prune partitions from the log alone — corruption-proof. */
+class LakeSqlPartSpec extends SparkSpec {
+
+  private lazy val (cat, wh) = {
+    val dir = s"/tmp/graft_sqlpart_${System.nanoTime()}"
+    val c = s"glakesp${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.warehouse", dir)
+    spark.sql(s"CREATE NAMESPACE $c.db")
+    (c, dir)
+  }
+
+  import spark.implicits._
+
+  test("CREATE PARTITIONED BY + INSERT: per-value files lacking the column, values in the log") {
+    spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, lang STRING, v STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    (0L until 60L).map(i => (i, Seq("en", "fr", "de")((i % 3).toInt), s"t$i"))
+      .toDF("k", "lang", "v").createOrReplaceTempView("lsp_src")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT * FROM lsp_src WHERE k % 2 = 0")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT * FROM lsp_src WHERE k % 2 = 1")
+    val tp = s"$wh/db/p"
+    val snap = LakeTxn.snapshot(spark, tp)
+    // every add action is stamped; the files physically lack the column
+    assert(snap.adds.nonEmpty)
+    assert(snap.adds.forall(_.pvCol == "lang"))
+    assert(snap.adds.map(_.pvValue).toSet === Set("en", "fr", "de"))
+    snap.adds.foreach { a =>
+      val cols = spark.read.parquet(s"$tp/${a.file}").columns.toSet
+      assert(cols === Set("k", "v"), s"${a.file} must not carry lang")
+    }
+    // partitioning surfaces through the catalog
+    assert(spark.sql(s"DESCRIBE TABLE $cat.db.p").collect()
+      .exists(_.getString(0).contains("Part")))
+    // full content with the value reinjected mid-schema
+    val got = spark.sql(s"SELECT k, lang, v FROM $cat.db.p ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === (0L until 60L).map(i =>
+      (i, Seq("en", "fr", "de")((i % 3).toInt), s"t$i")))
+  }
+
+  test("partition pruning from the log: other partitions' files are never opened") {
+    spark.sql(s"CREATE TABLE $cat.db.pr (k BIGINT, lang STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    (0L until 90L).map(i => (i, Seq("en", "fr", "de")((i % 3).toInt)))
+      .toDF("k", "lang").createOrReplaceTempView("lspr_src")
+    spark.sql(s"INSERT INTO $cat.db.pr SELECT * FROM lspr_src")
+    val tp = s"$wh/db/pr"
+    val snap = LakeTxn.snapshot(spark, tp)
+    // corrupt every file that is not the 'en' partition
+    val keep = snap.adds.filter(_.pvValue == "en").map(_.file).toSet
+    val dir = java.nio.file.Paths.get(tp, "data")
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (!p.getFileName.toString.endsWith(".crc") &&
+        !keep.contains(s"data/${p.getFileName}"))
+        java.nio.file.Files.write(p, Array.fill[Byte](64)(0x5A)): Unit
+    }
+    val got = spark.sql(s"SELECT k FROM $cat.db.pr WHERE lang = 'en' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (0L until 90L).filter(_ % 3 == 0))
+  }
+
+  test("NULL/empty partition values are refused; overwrite and multi-column partitioning too") {
+    spark.sql(s"CREATE TABLE $cat.db.pn (k BIGINT, lang STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    Seq((1L, "en"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "lang").createOrReplaceTempView("lspn_src")
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.db.pn SELECT * FROM lspn_src"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => String.valueOf(t.getMessage)
+        .contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(spark.table(s"$cat.db.pn").count() === 0L, "nothing may land")
+    // V2 overwrite of a partitioned table is refused (replaceWhere is
+    // the exact path); INSERT OVERWRITE goes through it
+    intercept[Exception](
+      spark.sql(s"INSERT OVERWRITE $cat.db.pn VALUES (1, 'en')"))
+    // more than one partition column is refused at CREATE
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.p2 (k BIGINT, a STRING, b STRING) " +
+        s"USING `graft-lake` PARTITIONED BY (a, b)"))
+    // a non-string partition column is refused at CREATE
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.p3 (k BIGINT, a STRING) " +
+        s"USING `graft-lake` PARTITIONED BY (k)"))
+  }
+
+  test("partitioned tables interop: DELETE, UPDATE and time travel still work") {
+    spark.sql(s"CREATE TABLE $cat.db.pi (k BIGINT, lang STRING, n BIGINT) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    (0L until 40L).map(i => (i, Seq("en", "fr")((i % 2).toInt), i * 10))
+      .toDF("k", "lang", "n").createOrReplaceTempView("lspi_src")
+    spark.sql(s"INSERT INTO $cat.db.pi SELECT * FROM lspi_src")
+    spark.sql(s"DELETE FROM $cat.db.pi WHERE k % 4 = 1")
+    spark.sql(s"UPDATE $cat.db.pi SET n = n + 1 WHERE lang = 'fr'")
+    val got = spark.sql(s"SELECT k, lang, n FROM $cat.db.pi ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = (0L until 40L).filterNot(_ % 4 == 1).map { i =>
+      val fr = i % 2 == 1
+      (i, if (fr) "fr" else "en", i * 10 + (if (fr) 1 else 0))
+    }
+    assert(got === want)
+    // time travel to the insert-only version sees everything
+    assert(spark.sql(s"SELECT * FROM $cat.db.pi VERSION AS OF 1").count() === 40L)
+  }
+}

@@ -160,12 +160,15 @@ class LakeV2BatchSpec extends SparkSpec {
     assert(plan.contains("ColumnarToRow"), plan.take(800))
     assert(df.orderBy("doc_id").collect().map(_.mkString("|")).toSeq ===
       LakeTxn.read(spark, t).orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
-    // a deletion vector demotes the scan to the row reader (merge-on-read
-    // needs a row cursor) — and content still matches the reference
+    // a deletion vector KEEPS the scan columnar (merge-on-read masking
+    // compacts each decoded batch) — and content still matches the
+    // reference reader's anti-join exactly
     LakeTxn.deleteWhereMor(spark, t, col("doc_id") % 5 === 3)
     val dv = spark.read.format("graft-lake").load(t)
     dv.collect(): Unit
-    assert(!dv.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(dv.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a DV'd scan must stay on the vectorized reader (masked batches)")
+    assert(dv.count() === 400L)
     assert(dv.orderBy("doc_id").collect().map(_.mkString("|")).toSeq ===
       LakeTxn.read(spark, t).orderBy("doc_id").collect().map(_.mkString("|")).toSeq)
   }
