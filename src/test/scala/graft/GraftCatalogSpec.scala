@@ -101,9 +101,13 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE glake.db.tmp2")
     assert(spark.sql("SHOW TABLES IN glake.db").collect()
       .forall(r => r.getString(1) != "tmp2"))
-    // partitioned CREATE and LOCATION have no catalog story: refuse
+    // single-string-column partitioned CREATE is SUPPORTED (round 19,
+    // LakeSqlPartSpec); multi-column partitioning and LOCATION refuse
+    spark.sql(
+      "CREATE TABLE glake.db.part_ok (k BIGINT, p STRING) USING `graft-lake` PARTITIONED BY (p)")
+    spark.sql("DROP TABLE glake.db.part_ok")
     intercept[Exception](spark.sql(
-      "CREATE TABLE glake.db.bad (k BIGINT, p STRING) USING `graft-lake` PARTITIONED BY (p)"))
+      "CREATE TABLE glake.db.bad (k BIGINT, p STRING, q STRING) USING `graft-lake` PARTITIONED BY (p, q)"))
     intercept[Exception](spark.sql(
       s"CREATE TABLE glake.db.bad2 (k BIGINT) USING `graft-lake` LOCATION '/tmp/elsewhere'"))
     // a nested type is refused at CREATE (atomic-column contract)

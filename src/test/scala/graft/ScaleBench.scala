@@ -255,7 +255,21 @@ object ScaleBench {
       // SQL UPDATE / MERGE: group-filtered CoW rewrites — the insert
       // scan and the rewritten-file scans are the data terms
       "lake_sql_update" -> SparkEntry.queries("lake_sql_update"),
-      "lake_sql_merge" -> SparkEntry.queries("lake_sql_merge"))
+      "lake_sql_merge" -> SparkEntry.queries("lake_sql_merge"),
+      // round-19 additions: the merge-on-read UPDATE (DV build + matched
+      // rewrite append — Θ(matched rows), corpus-proportional here since
+      // the matches are a fixed fraction), the partitioned SQL journey
+      // (per-value staged writes + the pruned two-partition read), the
+      // string-band append (one footer pass) + pruned text read, the
+      // DV'd columnar box read (z-write dominates + per-batch masking),
+      // SQL time travel (two insert scans + the pinned-version read),
+      // and the catalog-resolved stream (per-commit micro-batches)
+      "lake_sql_update_mor" -> SparkEntry.queries("lake_sql_update_mor"),
+      "lake_sql_partitioned" -> SparkEntry.queries("lake_sql_partitioned"),
+      "lake_string_stats" -> SparkEntry.queries("lake_string_stats"),
+      "lake_v2_batch_dv" -> SparkEntry.queries("lake_v2_batch_dv"),
+      "lake_sql_time_travel" -> SparkEntry.queries("lake_sql_time_travel"),
+      "stream_lake_catalog" -> SparkEntry.queries("stream_lake_catalog"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
