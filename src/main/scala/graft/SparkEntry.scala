@@ -1022,6 +1022,10 @@ object SparkEntry {
     // files lacking the column, log-pruned partition reads
     "lake_sql_partitioned" -> ((s, d) =>
       sources.GraftLakeCatalog.sqlPartitionedQuery(s, d)),
+    // INSERT OVERWRITE ... PARTITION: one atomic scoped remove+add
+    // commit rebuilds exactly the named partition
+    "lake_sql_insert_overwrite" -> ((s, d) =>
+      sources.GraftLakeCatalog.sqlInsertOverwriteQuery(s, d)),
     // SELECT ... VERSION AS OF through the SQL parser, incl. the
     // below-vacuum-horizon refusal through SQL
     "lake_sql_time_travel" -> ((s, d) =>
@@ -3376,6 +3380,17 @@ object SparkEntry {
     "lake_sql_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE lang IN ('en', 'fr')
+        |ORDER BY doc_id""".stripMargin,
+    // the partition rebuild must replace EXACTLY the 'en' partition:
+    // everything else untouched, the replacement rows verbatim
+    "lake_sql_insert_overwrite" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE lang <> 'en'
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 'en' AS lang, source,
+        |    n_chars + 5 AS n_chars
+        |  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
     // VERSION AS OF 2 = both inserts, before the DELETE: full corpus
     "lake_sql_time_travel" ->

@@ -743,9 +743,16 @@ object LakeTxn {
     * after `readVersion` (even a pure append — its rows would be
     * silently erased by the blind remove-all) aborts with
     * [[CommitConflictException]]; staged files are deleted on abort. */
+  /** `pvByFile` (staged rel → partition value) arrives from the
+    * partition-splitting writer on PARTITIONED tables: the staged files
+    * physically lack the scope column, so scope validation checks the
+    * writer-recorded values and each published add action stamps its
+    * own value — the hive `INSERT OVERWRITE ... PARTITION (pc='v')`
+    * shape on the commit log. */
   private[graft] def overwriteStagedV2(spark: SparkSession, table: String,
                                        staged: Seq[String], readVersion: Long,
-                                       scope: Option[(String, Seq[String])]): Long = {
+                                       scope: Option[(String, Seq[String])],
+                                       pvByFile: Map[String, String] = Map.empty): Long = {
     require(staged.nonEmpty, "empty V2 overwrite: no staged files")
     val root = new Path(table)
     val fs = fsOf(spark, root)
@@ -775,10 +782,25 @@ object LakeTxn {
             s"scoped overwrite of $table needs every live file partitioned " +
               s"by '$pc'; ${unpartitioned.size} file(s) are not — file-level " +
               s"replacement would be inexact")
-          val outside = stagedDf.filter(col(pc).isNull || !col(pc).isin(values: _*))
-          if (!outside.isEmpty) throw new ConstraintViolationException(
-            s"overwrite scope $pc IN (${values.mkString(", ")}) of $table: " +
-              s"the replacement rows reach outside the scope — nothing committed")
+          if (pvByFile.nonEmpty) {
+            // partition-split staged files: the writer recorded each
+            // file's value; rows outside the scope cannot exist in a
+            // file whose value is in it
+            val missing = staged.filterNot(pvByFile.contains)
+            require(missing.isEmpty,
+              s"staged file(s) ${missing.mkString(", ")} carry no partition value")
+            val outside = staged.filterNot(s => values.contains(pvByFile(s)))
+            if (outside.nonEmpty) throw new ConstraintViolationException(
+              s"overwrite scope $pc IN (${values.mkString(", ")}) of $table: " +
+                s"replacement rows land in partition(s) " +
+                s"${outside.map(pvByFile).distinct.mkString(", ")} outside the " +
+                s"scope — nothing committed")
+          } else {
+            val outside = stagedDf.filter(col(pc).isNull || !col(pc).isin(values: _*))
+            if (!outside.isEmpty) throw new ConstraintViolationException(
+              s"overwrite scope $pc IN (${values.mkString(", ")}) of $table: " +
+                s"the replacement rows reach outside the scope — nothing committed")
+          }
           val doomed = snap.adds.filter(a => values.contains(a.pvValue)).map(_.file)
           // vectors referencing only replaced files also unpin
           (doomed ++ dvsFullyCovered(spark, table, snap.dvs,
@@ -793,8 +815,13 @@ object LakeTxn {
           s"failed to publish staged $s as $rel")
         rel
       }
-      val adds = footerActions(spark, root, rels).map(act =>
-        stampPv.fold(act) { case (pc, v) => act.copy(pvCol = pc, pvValue = v) })
+      val adds = footerActions(spark, root, rels).zip(staged).map {
+        case (act, orig) =>
+          if (pvByFile.nonEmpty)
+            act.copy(pvCol = scope.get._1, pvValue = pvByFile(orig))
+          else stampPv.fold(act) { case (pc, v) =>
+            act.copy(pvCol = pc, pvValue = v) }
+      }
       val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
       if (latest != readVersion || !tryPublish(spark, table, readVersion + 1,
         adds, removes)) {

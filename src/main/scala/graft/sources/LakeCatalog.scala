@@ -289,6 +289,34 @@ object GraftLakeCatalog {
     }
   }
 
+  /** lake_sql_insert_overwrite: the hive partition-rebuild shape in
+    * pure SQL — `INSERT OVERWRITE ... PARTITION (lang = 'en')` replaces
+    * EXACTLY the 'en' partition's files (one atomic remove+add commit,
+    * scope-validated against the writer-recorded partition values,
+    * conflict-checked at the read version) while every other partition
+    * is untouched. Graded on the full content: an overwrite that leaked
+    * outside its partition, missed a doomed file, or dropped the
+    * replacement all hash-mismatch. */
+  def sqlInsertOverwriteQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlio")
+    withNonceCatalog(spark, wh, "glakeio") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        s"lang STRING, source STRING, n_chars BIGINT) USING `graft-lake` " +
+        s"PARTITIONED BY (lang)")
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("sqlio_docs")
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, text, lang, " +
+        s"source, n_chars FROM sqlio_docs")
+      spark.sql(s"INSERT OVERWRITE $cat.db.docs PARTITION (lang = 'en') " +
+        s"SELECT doc_id + 2000000, text, source, n_chars + 5 " +
+        s"FROM sqlio_docs WHERE lang = 'en' AND doc_id % 2 = 0")
+      spark.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM $cat.db.docs ORDER BY doc_id")
+    }
+  }
+
   /** lake_sql_time_travel: `SELECT ... VERSION AS OF k` through the SQL
     * parser — the graded read pins version 2 (both inserts, before the
     * DELETE), under that version's governing schema; a sacrificial twin
@@ -658,6 +686,37 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         in("writer", LongType)), vOut) {
       def run(a: InternalRow) = Array(Long.box(LakeTxn.setProtocol(spark,
         resolveTable(str(a, 0)), a.getLong(1).toInt, a.getLong(2).toInt)))
+    },
+    // the snapshot audit surface: one row of table detail straight off
+    // the driver-scale log fold (the DESCRIBE DETAIL shape) — what an
+    // operator checks before deciding to compact/vacuum/checkpoint
+    new LakeProc("describe_detail", Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_bytes", LongType, nullable = false),
+        StructField("n_dvs", LongType, nullable = false),
+        StructField("n_constraints", LongType, nullable = false),
+        StructField("reader_version", LongType, nullable = false),
+        StructField("writer_version", LongType, nullable = false),
+        StructField("partition_col", StringType, nullable = true)))) {
+      def run(a: InternalRow) = {
+        val t = resolveTable(str(a, 0))
+        val snap = LakeTxn.snapshot(spark, t)
+        val pvc = LakeTxn.tableSchema(spark, t, snap)
+          .flatMap(LakeStreamTable.pvColOf)
+          .orElse(snap.adds.flatMap(x => Option(x.pvCol)).headOption)
+        Array(Long.box(snap.version),
+          Long.box(snap.adds.size.toLong),
+          Long.box(snap.adds.map(_.rows).sum),
+          Long.box(snap.adds.map(x => math.max(0L, x.bytes)).sum),
+          Long.box(snap.dvs.size.toLong),
+          Long.box(snap.constraints.size.toLong),
+          Long.box(snap.protocol._1.toLong),
+          Long.box(snap.protocol._2.toLong),
+          pvc.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull)
+      }
     },
     // the audit surface: the commit log ITSELF as rows — per version
     // the add/remove/DV/schema/marker counts and rows added (the

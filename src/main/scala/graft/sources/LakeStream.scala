@@ -283,11 +283,15 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
         * on ONE column — the only shape file-level replacement can
         * honor exactly. */
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, In, IsNotNull, Or}
+        import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, In, IsNotNull, Or}
         val material = filters.filterNot(f =>
           f.isInstanceOf[AlwaysTrue] || f.isInstanceOf[IsNotNull])
         def flat(f: Filter): Seq[(String, String)] = f match {
           case EqualTo(c, v: String) => Seq((c, v))
+          // static INSERT OVERWRITE ... PARTITION (c='v') arrives
+          // null-safe; partition values are never null by contract,
+          // so the scope is the same equality
+          case EqualNullSafe(c, v: String) => Seq((c, v))
           case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
             vs.map(v => (c, v.asInstanceOf[String])).toSeq
           case Or(l, r) => flat(l) ++ flat(r)
@@ -315,17 +319,46 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
       }
 
       override def build(): Write = new Write {
-        private val pvc = LakeStreamTable.pvColOf(tableSchema)
+        // the partition column from THIS handle's schema metadata, or —
+        // path-API writes construct the Table from the QUERY's schema
+        // (no metadata) — from the log's governing schema, so a
+        // writeStream/df.write into a partitioned table still splits
+        private val pvc = LakeStreamTable.pvColOf(tableSchema).orElse {
+          val spark = SparkSession.active
+          if (LakeTxn.listVersions(spark, tablePath).isEmpty) None
+          else LakeTxn.tableSchema(spark, tablePath,
+            LakeTxn.snapshot(spark, tablePath))
+            .flatMap(LakeStreamTable.pvColOf)
+        }
+        pvc.foreach(pc => require(info.schema().fieldNames.contains(pc),
+          s"a write into the PARTITIONED table $name must carry its " +
+            s"partition column '$pc'"))
         override def toBatch(): BatchWrite = replace match {
           case None =>
             new LakeBatchWrite(tablePath, info.schema(), info.queryId(), pvc)
-          case Some(scope) =>
-            require(pvc.isEmpty,
-              s"overwrite of the PARTITIONED table $name goes through the " +
-                s"path API's replaceWhere (exact partition-scoped replace), " +
-                s"not the V2 truncate-and-append writer")
-            new LakeOverwriteBatchWrite(tablePath, info.schema(),
-              info.queryId(), scope)
+          case Some(scope) => pvc match {
+            case None =>
+              new LakeOverwriteBatchWrite(tablePath, info.schema(),
+                info.queryId(), scope)
+            case Some(pc) =>
+              // partitioned tables overwrite PARTITIONS, exactly —
+              // `INSERT OVERWRITE ... PARTITION (pc='v')` arrives as an
+              // equality scope on pc; a blind truncate-and-append (plain
+              // INSERT OVERWRITE / mode("overwrite")) is refused: it
+              // would erase partitions the replacement never names
+              val sc = scope.getOrElse(throw new IllegalArgumentException(
+                s"overwrite of the PARTITIONED table $name must target " +
+                  s"the partition column '$pc' (INSERT OVERWRITE ... " +
+                  s"PARTITION ($pc='v'), or writeTo.overwrite($pc = 'v')); " +
+                  s"a blind truncate-and-append would erase every other " +
+                  s"partition"))
+              require(sc._1 == pc,
+                s"overwrite scope of $name must be on its partition " +
+                  s"column '$pc' (got '${sc._1}'): file-level replacement " +
+                  s"is only exact along the partitioning")
+              new LakeOverwriteBatchWrite(tablePath, info.schema(),
+                info.queryId(), Some(sc), Some(pc))
+          }
         }
         /** The EXACTLY-ONCE streaming sink: each epoch publishes as one
           * atomic commit carrying an `(app, epochId)` idempotence
@@ -1594,7 +1627,8 @@ final class LakeWriterFactory(table: String, stageDir: String, schemaJson: Strin
   * raced in would otherwise be silently erased by the remove-all. */
 final class LakeOverwriteBatchWrite(table: String, schema: StructType,
                                     queryId: String,
-                                    scope: Option[(String, Seq[String])])
+                                    scope: Option[(String, Seq[String])],
+                                    pvCol: Option[String] = None)
     extends BatchWrite {
   private val readVersion =
     LakeTxn.listVersions(SparkSession.active, table).lastOption.getOrElse(-1L)
@@ -1603,7 +1637,7 @@ final class LakeOverwriteBatchWrite(table: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(table, stageDir, schema.json,
       new SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), pvCol)
 
   private def dropStage(): Unit = {
     val p = new Path(table, stageDir)
@@ -1612,9 +1646,11 @@ final class LakeOverwriteBatchWrite(table: String, schema: StructType,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
+    val ms = messages.collect { case m: LakeWriteCommit => m }
+    val staged = ms.flatMap(_.files).toSeq
+    val pvByFile = ms.flatMap(m => m.files.zip(m.pvs)).toMap
     try LakeTxn.overwriteStagedV2(SparkSession.active, table, staged,
-      readVersion, scope): Unit
+      readVersion, scope, pvByFile): Unit
     finally dropStage()
   }
 

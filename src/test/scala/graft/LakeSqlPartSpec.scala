@@ -96,6 +96,97 @@ class LakeSqlPartSpec extends SparkSpec {
         s"USING `graft-lake` PARTITIONED BY (k)"))
   }
 
+  test("INSERT OVERWRITE PARTITION rebuilds exactly the named partition") {
+    spark.sql(s"CREATE TABLE $cat.db.po (k BIGINT, lang STRING, v STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    (0L until 60L).map(i => (i, Seq("en", "fr", "de")((i % 3).toInt), s"t$i"))
+      .toDF("k", "lang", "v").createOrReplaceTempView("lspo_src")
+    spark.sql(s"INSERT INTO $cat.db.po SELECT * FROM lspo_src")
+    val tp = s"$wh/db/po"
+    val before = LakeTxn.snapshot(spark, tp)
+    spark.sql(s"INSERT OVERWRITE $cat.db.po PARTITION (lang = 'en') " +
+      s"SELECT k + 1000, concat(v, '!') FROM lspo_src WHERE lang = 'en' AND k < 30")
+    val after = LakeTxn.snapshot(spark, tp)
+    // other partitions' files are byte-identical survivors
+    val keptBefore = before.adds.filter(_.pvValue != "en").map(_.file).toSet
+    assert(after.adds.filter(_.pvValue != "en").map(_.file).toSet === keptBefore)
+    // the new 'en' files are stamped and physically lack the column
+    val newEn = after.adds.filter(_.pvValue == "en")
+    assert(newEn.nonEmpty && newEn.forall(_.pvCol == "lang"))
+    newEn.foreach(a => assert(
+      spark.read.parquet(s"$tp/${a.file}").columns.toSet === Set("k", "v")))
+    val got = spark.sql(s"SELECT k, lang, v FROM $cat.db.po ORDER BY k, lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val want = ((0L until 60L).filterNot(_ % 3 == 0)
+      .map(i => (i, Seq("en", "fr", "de")((i % 3).toInt), s"t$i")) ++
+      (0L until 30L).filter(_ % 3 == 0).map(i => (i + 1000, "en", s"t$i!")))
+      .sortBy(t => (t._1, t._2))
+    assert(got === want)
+    // the rebuild is ONE commit: removes the old 'en' files + adds
+    val acts = LakeTxn.readCommit(spark, tp,
+      LakeTxn.listVersions(spark, tp).last)
+    assert(acts.exists(!_.add) && acts.exists(_.add))
+    assert(acts.filter(!_.add).map(_.file).toSet ===
+      before.adds.filter(_.pvValue == "en").map(_.file).toSet)
+  }
+
+  test("INSERT OVERWRITE of a different partition's rows than named is refused; nothing commits") {
+    spark.sql(s"CREATE TABLE $cat.db.poleak (k BIGINT, lang STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.db.poleak VALUES (1, 'en'), (2, 'fr')")
+    val tp = s"$wh/db/poleak"
+    val v = LakeTxn.listVersions(spark, tp).last
+    // static-partition INSERT OVERWRITE pins lang='en' as a constant, so
+    // a leak cannot even be expressed through PARTITION(...); the V2
+    // writeTo API can express it — the scope validation refuses
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = intercept[Exception] {
+      Seq((9L, "de")).toDF("k", "lang")
+        .writeTo(s"$cat.db.poleak").overwrite(col("lang") === lit("en"))
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => String.valueOf(t.getMessage).contains("outside the")))
+    assert(LakeTxn.listVersions(spark, tp).last === v, "nothing may commit")
+    assert(spark.table(s"$cat.db.poleak").count() === 2L)
+  }
+
+  test("the NATIVE streaming sink splits per partition value into a partitioned table") {
+    spark.sql(s"CREATE TABLE $cat.db.ps (k BIGINT, lang STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    val srcT = s"$wh/db/_streamsrc"
+    val d = (0L until 40L).map(i => (i, Seq("en", "fr")((i % 2).toInt)))
+      .toDF("k", "lang")
+    LakeTxn.appendCommit(spark, d.repartition(2), srcT)
+    val tp = s"$wh/db/ps"
+    val q = spark.readStream.format("graft-lake").load(srcT)
+      .writeStream.outputMode("append")
+      .format("graft-lake")
+      .option("checkpointLocation", s"$wh/_psckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(tp)
+    q.awaitTermination()
+    val snap = LakeTxn.snapshot(spark, tp)
+    assert(snap.adds.nonEmpty && snap.adds.forall(_.pvCol == "lang"))
+    assert(snap.adds.map(_.pvValue).toSet === Set("en", "fr"))
+    snap.adds.foreach(a => assert(
+      spark.read.parquet(s"$tp/${a.file}").columns.toSet === Set("k")))
+    assert(spark.table(s"$cat.db.ps").count() === 40L)
+  }
+
+  test("CALL describe_detail reports the snapshot off the log fold") {
+    spark.sql(s"CREATE TABLE $cat.db.dd (k BIGINT, lang STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.db.dd VALUES (1, 'en'), (2, 'fr'), (3, 'en')")
+    spark.sql(s"DELETE FROM $cat.db.dd WHERE k < 2")
+    val r = spark.sql(s"CALL $cat.system.describe_detail('db.dd')").head
+    assert(r.getLong(1) >= 1L, "n_files")
+    assert(r.getLong(2) === 3L, "n_rows (pre-DV physical rows)")
+    assert(r.getLong(3) > 0L, "n_bytes")
+    assert(r.getLong(4) === 1L, "n_dvs")
+    assert(r.getLong(6) === 1L && r.getLong(7) === 1L, "protocol")
+    assert(r.getString(8) === "lang", "partition_col")
+  }
+
   test("partitioned tables interop: DELETE, UPDATE and time travel still work") {
     spark.sql(s"CREATE TABLE $cat.db.pi (k BIGINT, lang STRING, n BIGINT) " +
       s"USING `graft-lake` PARTITIONED BY (lang)")

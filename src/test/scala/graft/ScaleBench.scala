@@ -269,7 +269,10 @@ object ScaleBench {
       "lake_string_stats" -> SparkEntry.queries("lake_string_stats"),
       "lake_v2_batch_dv" -> SparkEntry.queries("lake_v2_batch_dv"),
       "lake_sql_time_travel" -> SparkEntry.queries("lake_sql_time_travel"),
-      "stream_lake_catalog" -> SparkEntry.queries("stream_lake_catalog"))
+      "stream_lake_catalog" -> SparkEntry.queries("stream_lake_catalog"),
+      // the partition rebuild: full INSERT + scoped remove+add of one
+      // partition — both terms corpus-proportional scans/writes
+      "lake_sql_insert_overwrite" -> SparkEntry.queries("lake_sql_insert_overwrite"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
