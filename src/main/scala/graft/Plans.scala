@@ -148,6 +148,7 @@ object Plans {
     "lake_sql_time_travel" -> "VERSION AS OF pins the scan's snapshot fold at plan time (driver-scale log read); the plan is the ordinary V2 vectorized scan over the pinned file list — history costs what the log costs, and below-horizon reads refuse before any file opens",
     "stream_lake_catalog" -> "readStream.table resolves the catalog to the SAME V2 MicroBatchStream as the path API (offsets = log versions, one commit per batch); the graded read is the complete-mode memory state — restart-resume is checkpoint offsets, not plan shape",
     "lake_sql_insert_overwrite" -> "INSERT OVERWRITE ... PARTITION (pc='v') is ONE atomic scoped remove+add commit: the replacement stages per-value files (the column physically absent), scope-validates against the writer-recorded values, and removes exactly the named partition's files — every other partition's files are untouched survivors; the graded read is the plain partition-aware scan + presentation sort",
+    "lake_txn_cdc_mor" -> "the MERGE-ON-READ CDC apply (Delta's low-shuffle-merge shape): matched keys tombstone via a deletion vector (broadcast key semi-join over the MoR scan), upserts append — ONE commit, ZERO data files removed, Θ(changes) write cost at any table size; the graded read is the DV-masked columnar scan + presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

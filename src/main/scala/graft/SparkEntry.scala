@@ -1018,6 +1018,10 @@ object SparkEntry {
     // vector only, zero data files removed (asserted in the query)
     "lake_sql_update_mor" -> ((s, d) =>
       sources.GraftLakeCatalog.sqlUpdateMorQuery(s, d)),
+    // MERGE-ON-READ CDC apply: the lake_txn_cdc batch as tombstones +
+    // appends in one commit, zero data files removed
+    "lake_txn_cdc_mor" -> ((s, d) =>
+      ext.LakeTxn.cdcMorQuery(s, Tables.documents(s, d), d)),
     // CREATE TABLE ... PARTITIONED BY in pure SQL: per-value staged
     // files lacking the column, log-pruned partition reads
     "lake_sql_partitioned" -> ((s, d) =>
@@ -3508,6 +3512,18 @@ object SparkEntry {
     // MERGE result: updates (lang→'xx' on %7, minus the deleted class),
     // inserts (+1000000 ids, lang 'new'), deletes (%5=4)
     "lake_txn_cdc" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'new', source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    // the merge-on-read CDC apply must land the SAME final content as
+    // the copy-on-write one (one oracle, two write engines)
+    "lake_txn_cdc_mor" ->
       """SELECT * FROM (
         |  SELECT doc_id, text,
         |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,

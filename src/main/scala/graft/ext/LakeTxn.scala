@@ -2010,6 +2010,38 @@ object LakeTxn {
         affected.map(baseName).toSet))
   }
 
+  /** MERGE-ON-READ CDC apply — the write-cheap twin of [[applyChanges]]
+    * (Delta's low-shuffle merge shape): matched keys TOMBSTONE via a
+    * deletion vector and the upsert rows (updates AND brand-new keys)
+    * APPEND, in ONE atomic commit with ZERO data files removed — a
+    * small change batch against a 100-TB table costs Θ(matched rows),
+    * not a rewrite of every file holding a match; reads pay the DV mask
+    * until a compaction materializes the debt. Same semantics as the
+    * copy-on-write path: `changes` carries the table's columns plus
+    * `__op` ∈ {upsert, delete}, keyed by `keyCol`. Conflict contract:
+    * an interleaved removal of ANY read file aborts (readDeps — the
+    * tombstone positions reference them). Returns the committed
+    * version, or -1 if the batch changes nothing. */
+  def applyChangesMor(spark: SparkSession, table: String, changes: DataFrame,
+                      keyCol: String, opCol: String = "__op"): Long = {
+    val snap = snapshot(spark, table)
+    if (snap.files.isEmpty) return -1L
+    val base = scanWithDvsMeta(spark, table, snap, snap.files)
+    val cols = base.columns.filterNot(c => c == "__dv_file" || c == "__dv_pos").toSeq
+    val keys = changes.select(col(keyCol)).distinct()
+    val positions = base.join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(col("__dv_file"), col("__dv_pos"))
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+      .select(cols.map(col): _*)
+    val dvAdds =
+      if (positions.isEmpty) Nil
+      else stage(spark, positions.repartition(1), table, dir = "dv")
+    val dataAdds = if (upserts.isEmpty) Nil else stage(spark, upserts, table)
+    if (dvAdds.isEmpty && dataAdds.isEmpty) return -1L
+    commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
+      readDeps = snap.files)
+  }
+
   // ------------------------------------------------------------------
   // graded queries
   // ------------------------------------------------------------------
@@ -2249,6 +2281,34 @@ object LakeTxn {
     val deletes = d.filter(col("doc_id") % 5 === 4)
       .withColumn("__op", lit("delete"))
     applyChanges(spark, t, updates.unionByName(inserts).unionByName(deletes), "doc_id")
+    read(spark, t).orderBy("doc_id")
+  }
+
+  /** lake_txn_cdc_mor: the SAME one-commit CDC batch as lake_txn_cdc
+    * (updates + inserts + deletes, one oracle, two write engines),
+    * applied MERGE-ON-READ through [[applyChangesMor]]: matched keys
+    * tombstone via a deletion vector, upserts append, ZERO data files
+    * removed (asserted in-query on the commit). The read pays the DV
+    * mask — a wrong position, a resurrected match, or a dropped upsert
+    * all hash-mismatch. */
+  def cdcMorQuery(spark: SparkSession, docs: DataFrame, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir, "cdcmor")
+    val d = docCols(docs)
+    appendCommit(spark, d.repartition(4), t)
+    val updates = d.filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4)
+      .withColumn("lang", lit("xx")).withColumn("__op", lit("upsert"))
+    val inserts = d.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("lang", lit("new")).withColumn("__op", lit("upsert"))
+    val deletes = d.filter(col("doc_id") % 5 === 4)
+      .withColumn("__op", lit("delete"))
+    val v = applyChangesMor(spark, t,
+      updates.unionByName(inserts).unionByName(deletes), "doc_id")
+    val acts = readCommit(spark, t, v)
+    require(acts.forall(_.add) && acts.exists(_.dv) &&
+      acts.exists(a => a.add && !a.dv && !a.schema),
+      s"merge-on-read CDC commit $v must be adds + deletion vector with " +
+        s"zero removed data files")
     read(spark, t).orderBy("doc_id")
   }
 

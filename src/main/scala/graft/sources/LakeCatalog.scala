@@ -658,6 +658,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       def run(a: InternalRow) = Array(Long.box(LakeTxn.applyChanges(spark,
         resolveTable(str(a, 0)), spark.table(str(a, 1)), str(a, 2))))
     },
+    // the MERGE-ON-READ CDC apply: matched keys tombstone via a
+    // deletion vector, upserts append — one commit, zero data files
+    // removed (Delta's low-shuffle-merge shape; `merge` stays CoW)
+    new LakeProc("merge_mor",
+      Array(in("table", StringType), in("source_view", StringType),
+        in("key_col", StringType)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.applyChangesMor(spark,
+        resolveTable(str(a, 0)), spark.table(str(a, 1)), str(a, 2))))
+    },
     // the MERGE-ON-READ update: tombstone matched rows via a deletion
     // vector + append their rewritten versions, ONE commit, ZERO data
     // files removed — the write-cheap UPDATE a 100-TB table with point

@@ -413,15 +413,18 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
 
       /** Global COUNT/MIN/MAX answered from the LOG alone — zero data
         * file opens (the metadata-only aggregate every lakehouse
-        * serves): COUNT(*) = Σ add rows; COUNT(col) = Σ rows − Σ
-        * nullCount when every file records one; MIN/MAX(col) fold the
-        * exact per-file INT64 footer bands (all-null files contribute
-        * nothing — provably all-null only). Refused (→ the normal
-        * distributed plan) whenever anything could lie: group-bys,
-        * residual filters, live deletion vectors (a vector may
-        * tombstone the extreme row), distinct, any file without the
-        * needed stat. Complete pushdown: the scan emits the ONE final
-        * row. */
+        * serves): COUNT(*) = Σ add rows − Σ deletion-vector rows (a
+        * tombstone is one (file, position) pair, never duplicated — the
+        * MoR writers' candidate scans are themselves merge-on-read);
+        * COUNT(col) = Σ rows − Σ nullCount when every file records one;
+        * MIN/MAX(col) fold the exact per-file INT64 footer bands
+        * (all-null files contribute nothing — provably all-null only).
+        * Refused (→ the normal distributed plan) whenever anything
+        * could lie: group-bys, residual filters, distinct, any file
+        * without the needed stat — and, for everything EXCEPT COUNT(*),
+        * live deletion vectors (a vector may tombstone the extreme row
+        * or an unknown mix of nulls). Complete pushdown: the scan emits
+        * the ONE final row. */
       private var aggAnswer: Option[(StructType, Array[Any], String)] = None
 
       private def tryAnswer(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
@@ -431,7 +434,11 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
         if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
         val spark = SparkSession.active
         val snap = LakeTxn.snapshot(spark, tablePath, effectiveVersion)
-        if (snap.dvs.nonEmpty) return None
+        // tombstones make every per-file stat a potential lie EXCEPT the
+        // global row count, which the log knows exactly
+        if (snap.dvs.nonEmpty &&
+          !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return None
+        val dvRows = snap.dvs.map(_.rows).sum
         val sxs = snap.adds.map(a => a -> LakeTxn.decodeSx(a.sx)).toMap
         def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
           e match {
@@ -463,7 +470,7 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
         val rowsTotal = snap.adds.map(_.rows).sum
         val answered = agg.aggregateExpressions.toSeq.map {
           case _: CountStar =>
-            Some(("count(*)", LongType, false, Long.box(rowsTotal)))
+            Some(("count(*)", LongType, false, Long.box(rowsTotal - dvRows)))
           case cnt: Count if !cnt.isDistinct =>
             colOf(cnt.column).flatMap { c =>
               val nns = snap.adds.map(a =>

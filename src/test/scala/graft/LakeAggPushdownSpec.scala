@@ -110,4 +110,18 @@ class LakeAggPushdownSpec extends SparkSpec {
     assert(!plain.queryExecution.executedPlan.toString.contains("answered from log"))
     assert(plain.collect().head.getLong(0) === 0L)
   }
+
+  test("COUNT(*) alone stays log-answered on a tombstoned table (rows minus DV rows)") {
+    val t = freshDir("dvcount")
+    build(t)
+    LakeTxn.deleteWhereMor(spark, t, col("k") % 4 === 1L)
+    LakeTxn.deleteWhereMor(spark, t, col("k") === 0L) // stacked vector
+    val n = spark.read.format("graft-lake").load(t).agg(count(lit(1)).as("n"))
+    n.collect(): Unit
+    assert(n.queryExecution.executedPlan.toString.contains("answered from log"),
+      "the global row count is exactly known from adds minus DV rows")
+    assert(n.collect().head.getLong(0) === 100L - 25L - 1L)
+    assert(n.collect().head.getLong(0) ===
+      LakeTxn.read(spark, t).count(), "must equal the MoR read")
+  }
 }

@@ -80,6 +80,43 @@ class LakeMorColumnarSpec extends SparkSpec {
       Seq("n" -> lit(0L))) === -1L)
   }
 
+  test("applyChangesMor lands the CoW merge's exact content as adds + DV, zero removes") {
+    val base = (0L until 80L).map(i => (i, Seq("a", "b")(i.toInt % 2), i * 2))
+      .toDF("k", "tag", "n")
+    val changes = (0L until 80L by 9L).map(i => (i, "upd", -1L, "upsert"))
+      .toDF("k", "tag", "n", "__op")
+      .union(Seq((500L, "new", 7L, "upsert")).toDF("k", "tag", "n", "__op"))
+      .union((0L until 80L by 13L).map(i => (i, "", 0L, "delete"))
+        .toDF("k", "tag", "n", "__op"))
+    // the copy-on-write reference result
+    val tCow = freshDir("morcow")
+    LakeTxn.appendCommit(spark, base.repartition(3), tCow)
+    LakeTxn.applyChanges(spark, tCow, changes, "k")
+    val want = LakeTxn.read(spark, tCow).orderBy("k")
+      .collect().map(_.mkString("|")).toSeq
+    // the merge-on-read twin
+    val tMor = freshDir("mormor")
+    LakeTxn.appendCommit(spark, base.repartition(3), tMor)
+    val v = LakeTxn.applyChangesMor(spark, tMor, changes, "k")
+    val acts = LakeTxn.readCommit(spark, tMor, v)
+    assert(acts.forall(_.add) && acts.exists(_.dv) &&
+      acts.exists(a => a.add && !a.dv && !a.schema))
+    assert(LakeTxn.read(spark, tMor).orderBy("k")
+      .collect().map(_.mkString("|")).toSeq === want)
+    // a second MoR batch compounds (stacked vectors, appended upserts)
+    val v2 = LakeTxn.applyChangesMor(spark, tMor,
+      Seq((500L, "new2", 8L, "upsert"), (2L, "", 0L, "delete"))
+        .toDF("k", "tag", "n", "__op"), "k")
+    assert(v2 === v + 1)
+    val after = LakeTxn.read(spark, tMor)
+    assert(after.filter(col("k") === 500L).collect()
+      .map(_.getString(1)).toSeq === Seq("new2"))
+    assert(after.filter(col("k") === 2L).isEmpty)
+    // a no-op batch commits nothing
+    assert(LakeTxn.applyChangesMor(spark, tMor,
+      Seq((-1L, "", 0L, "delete")).toDF("k", "tag", "n", "__op"), "k") === -1L)
+  }
+
   test("MoR commits abort when an interleaved rewrite removed a referenced file (readDeps)") {
     val t = freshDir("dep")
     val d = (0L until 50L).map(i => (i, s"t$i")).toDF("k", "v")

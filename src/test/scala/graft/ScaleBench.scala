@@ -272,7 +272,11 @@ object ScaleBench {
       "stream_lake_catalog" -> SparkEntry.queries("stream_lake_catalog"),
       // the partition rebuild: full INSERT + scoped remove+add of one
       // partition — both terms corpus-proportional scans/writes
-      "lake_sql_insert_overwrite" -> SparkEntry.queries("lake_sql_insert_overwrite"))
+      "lake_sql_insert_overwrite" -> SparkEntry.queries("lake_sql_insert_overwrite"),
+      // the MoR CDC apply: DV build + upsert append are Θ(changes),
+      // the MoR read is the scan + mask — all corpus-proportional here
+      // because the change batch is a fixed corpus fraction
+      "lake_txn_cdc_mor" -> SparkEntry.queries("lake_txn_cdc_mor"))
     // SCALE_ONLY=a,b,c restricts to a subset (incremental re-measures)
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
     val chosen = qs.filter { case (n, _) => only.forall(_.contains(n)) }
