@@ -130,6 +130,24 @@ object LakeTxn {
       .toSeq.sorted
   }
 
+  /** The newest version whose commit file was PUBLISHED at or before
+    * `tsMillis` — `TIMESTAMP AS OF` resolution (commit mtimes are the
+    * publish times: the atomic rename stamps them). Refused when the
+    * table's first commit is later than the asked time — there was no
+    * table to read then. Driver-scale: one file status per commit. */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+                         tsMillis: Long): Long = {
+    val vs = listVersions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val fs = fsOf(spark, logDir(table))
+    val at = vs.filter(v =>
+      fs.getFileStatus(commitFile(table, v)).getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"$table has no commit at or before timestamp $tsMillis " +
+        s"(the table's first commit is younger than the asked time)")
+    at.last
+  }
+
   /** Checkpointed versions, ascending (see [[checkpointLog]]). */
   def listCheckpoints(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)

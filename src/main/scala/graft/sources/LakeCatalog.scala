@@ -477,6 +477,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       LakeStreamSource.tableSchemaOf(spark, p.toString, Some(v)), Some(v))
   }
 
+  /** SQL `TIMESTAMP AS OF ts` — resolved against commit PUBLISH times
+    * (the atomic rename's mtime) to the newest version at or before
+    * `micros`, then served exactly like `VERSION AS OF` (read-only
+    * pinned handle under that version's governing schema). */
+  override def loadTable(ident: Identifier, micros: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = LakeTxn.versionAtTimestamp(spark, p.toString, micros / 1000L)
+    new LakeStreamTable(p.toString,
+      LakeStreamSource.tableSchemaOf(spark, p.toString, Some(v)), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
@@ -657,6 +669,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         in("key_col", StringType)), vOut) {
       def run(a: InternalRow) = Array(Long.box(LakeTxn.applyChanges(spark,
         resolveTable(str(a, 0)), spark.table(str(a, 1)), str(a, 2))))
+    },
+    // the MERGE-ON-READ delete for predicates `DELETE FROM` cannot
+    // translate to source filters (modulo, UDF-ish conditions route to
+    // the CoW rewrite): arbitrary-Column tombstoning, zero rewrites
+    new LakeProc("delete_where",
+      Array(in("table", StringType), in("condition", StringType)), vOut) {
+      def run(a: InternalRow) = Array(Long.box(LakeTxn.deleteWhereMor(spark,
+        resolveTable(str(a, 0)),
+        org.apache.spark.sql.functions.expr(str(a, 1)))))
     },
     // the MERGE-ON-READ CDC apply: matched keys tombstone via a
     // deletion vector, upserts append — one commit, zero data files

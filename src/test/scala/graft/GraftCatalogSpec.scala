@@ -115,6 +115,45 @@ class GraftCatalogSpec extends SparkSpec {
       "CREATE TABLE glake.db.bad3 (k BIGINT, m MAP<STRING, BIGINT>) USING `graft-lake`"))
   }
 
+  test("SQL TIMESTAMP AS OF resolves commit publish times; too-early refuses") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.tt2 (k BIGINT) USING `graft-lake`")
+    spark.sql("INSERT INTO glake.db.tt2 VALUES (1), (2)")
+    Thread.sleep(1100) // commit mtimes need a clear gap at FS resolution
+    val mid = java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO glake.db.tt2 VALUES (3)")
+    assert(spark.sql(
+      s"SELECT * FROM glake.db.tt2 TIMESTAMP AS OF '$mid'").count() === 2L)
+    // now (or later) sees everything
+    val now = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1000)
+    assert(spark.sql(
+      s"SELECT * FROM glake.db.tt2 TIMESTAMP AS OF '$now'").count() === 3L)
+    // a timestamp before the table existed refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM glake.db.tt2 TIMESTAMP AS OF '2001-01-01 00:00:00'").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => String.valueOf(t.getMessage)
+        .contains("no commit at or before")))
+  }
+
+  test("CALL delete_where tombstones untranslatable predicates merge-on-read") {
+    wh: Unit
+    spark.sql("CREATE TABLE glake.db.dw (k BIGINT) USING `graft-lake`")
+    import spark.implicits._
+    (0L until 30L).toDF("k").createOrReplaceTempView("dw_src")
+    spark.sql("INSERT INTO glake.db.dw SELECT * FROM dw_src")
+    // `k % 3 = 1` is not source-translatable: DELETE FROM would route to
+    // the copy-on-write rewrite; the CALL tombstones instead
+    val v = spark.sql("CALL glake.system.delete_where('db.dw', 'k % 3 = 1')")
+      .head.getLong(0)
+    val acts = LakeTxn.readCommit(spark, tPath("dw"), v)
+    assert(acts.forall(_.add) && acts.exists(_.dv),
+      "a delete_where commit is a deletion vector, zero rewrites")
+    assert(spark.table("glake.db.dw").count() === 20L)
+    assert(spark.sql("SELECT * FROM glake.db.dw WHERE k % 3 = 1").count() === 0L)
+  }
+
   test("SQL time travel: VERSION AS OF reads history under its own schema; read-only") {
     wh: Unit
     spark.sql("CREATE TABLE glake.db.tt (k BIGINT, v STRING) USING `graft-lake`")

@@ -173,6 +173,27 @@ class LakeSqlPartSpec extends SparkSpec {
     assert(spark.table(s"$cat.db.ps").count() === 40L)
   }
 
+  test("streaming FROM a partitioned table reinjects values per micro-batch") {
+    spark.sql(s"CREATE TABLE $cat.db.pstr (k BIGINT, lang STRING) " +
+      s"USING `graft-lake` PARTITIONED BY (lang)")
+    (0L until 30L).map(i => (i, Seq("en", "fr")((i % 2).toInt)))
+      .toDF("k", "lang").createOrReplaceTempView("lspstr_src")
+    spark.sql(s"INSERT INTO $cat.db.pstr SELECT * FROM lspstr_src WHERE k < 15")
+    spark.sql(s"INSERT INTO $cat.db.pstr SELECT * FROM lspstr_src WHERE k >= 15")
+    val mem = s"lspstr_${System.nanoTime()}"
+    val q = spark.readStream.option("maxVersionsPerBatch", 1)
+      .table(s"$cat.db.pstr")
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(mem)
+      .option("checkpointLocation", s"$wh/_pstrckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(mem).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("en" -> 15L, "fr" -> 15L))
+  }
+
   test("CALL describe_detail reports the snapshot off the log fold") {
     spark.sql(s"CREATE TABLE $cat.db.dd (k BIGINT, lang STRING) " +
       s"USING `graft-lake` PARTITIONED BY (lang)")
