@@ -703,9 +703,15 @@ object LakeTxn {
   private def baseName(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
+  /** `pvCol`/`pvByFile`: on PARTITIONED tables the rewrite's staged
+    * files come per partition value with the column physically absent —
+    * each published add stamps its value, keeping the hive invariant
+    * through UPDATE/MERGE. */
   private[graft] def replaceFilesCommit(spark: SparkSession, table: String,
                                         staged: Seq[String], readVersion: Long,
-                                        removes: Seq[String]): Long = {
+                                        removes: Seq[String],
+                                        pvCol: String = null,
+                                        pvByFile: Map[String, String] = Map.empty): Long = {
     require(staged.nonEmpty || removes.nonEmpty, "empty replace-data commit")
     val root = new Path(table)
     val fs = fsOf(spark, root)
@@ -736,8 +742,16 @@ object LakeTxn {
           s"failed to publish staged $s as $rel")
         rel
       }
-      commitAt(spark, table, readVersion, footerActions(spark, root, rels),
-        removes ++ deadDvs)
+      val adds = footerActions(spark, root, rels).zip(staged).map {
+        case (act, orig) =>
+          if (pvCol == null) act
+          else act.copy(pvCol = pvCol,
+            pvValue = pvByFile.getOrElse(orig,
+              throw new IllegalStateException(
+                s"staged rewrite file $orig of partitioned $table carries " +
+                  s"no partition value")))
+      }
+      commitAt(spark, table, readVersion, adds, removes ++ deadDvs)
     } catch {
       case t: Throwable => dropStaged(); throw t
     }

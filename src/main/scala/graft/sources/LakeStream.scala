@@ -1464,7 +1464,10 @@ final class LakeRowLevelOperation(table: String, tableSchema: StructType,
       override def build(): Write = new Write {
         override def toBatch(): BatchWrite =
           new LakeReplaceDataWrite(table, info.schema(), info.queryId(),
-            LakeRowLevelOperation.this)
+            LakeRowLevelOperation.this,
+            // rewritten rows of a PARTITIONED table keep the hive shape:
+            // per-value staged files, the column only in the add actions
+            LakeStreamTable.pvColOf(tableSchema))
       }
     }
 }
@@ -1551,14 +1554,15 @@ final class LakeRowLevelScan(op: LakeRowLevelOperation, table: String,
   * [[graft.ext.LakeTxn.replaceFilesCommit]] aborts on conflicting
   * interleaved rewrites of those files (appends commute). */
 final class LakeReplaceDataWrite(table: String, schema: StructType,
-                                 queryId: String, op: LakeRowLevelOperation)
+                                 queryId: String, op: LakeRowLevelOperation,
+                                 pvCol: Option[String] = None)
     extends BatchWrite {
   private val stageDir = s".stage-v2r-${queryId.replaceAll("[^A-Za-z0-9]", "")}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(table, stageDir, schema.json,
       new SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), pvCol)
 
   private def dropStage(): Unit = {
     val p = new Path(table, stageDir)
@@ -1567,9 +1571,12 @@ final class LakeReplaceDataWrite(table: String, schema: StructType,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case m: LakeWriteCommit => m.files }.flatten.toSeq
+    val ms = messages.collect { case m: LakeWriteCommit => m }
+    val staged = ms.flatMap(_.files).toSeq
+    val pvByFile = ms.flatMap(m => m.files.zip(m.pvs)).toMap
     try LakeTxn.replaceFilesCommit(SparkSession.active, table, staged,
-      op.readVersion, op.scannedFiles): Unit
+      op.readVersion, op.scannedFiles,
+      pvCol = pvCol.orNull, pvByFile = pvByFile): Unit
     finally dropStage()
   }
 

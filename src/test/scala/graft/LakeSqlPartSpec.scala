@@ -225,5 +225,18 @@ class LakeSqlPartSpec extends SparkSpec {
     assert(got === want)
     // time travel to the insert-only version sees everything
     assert(spark.sql(s"SELECT * FROM $cat.db.pi VERSION AS OF 1").count() === 40L)
+    // the UPDATE's rewritten files keep the hive invariant: per-value
+    // files, column only in the log — so a partition rebuild STILL works
+    val snap = LakeTxn.snapshot(spark, s"$wh/db/pi")
+    assert(snap.adds.forall(_.pvCol == "lang"),
+      "rewritten files must stay partition-stamped")
+    snap.adds.foreach(a => assert(
+      spark.read.parquet(s"$wh/db/pi/${a.file}").columns.toSet === Set("k", "n")))
+    spark.sql(s"INSERT OVERWRITE $cat.db.pi PARTITION (lang = 'en') " +
+      s"SELECT 999, 0 FROM (VALUES (1)) t(x)")
+    assert(spark.sql(s"SELECT k FROM $cat.db.pi WHERE lang = 'en'")
+      .collect().map(_.getLong(0)).toSeq === Seq(999L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pi WHERE lang = 'fr'")
+      .head.getLong(0) === want.count(_._2 == "fr"))
   }
 }
