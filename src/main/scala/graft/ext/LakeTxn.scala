@@ -99,6 +99,36 @@ object LakeTxn {
   val SupportedReaderVersion = 1
   val SupportedWriterVersion = 1
 
+  /** The TOMBSTONE BUDGET: the most live deletion-vector positions a
+    * table may carry. Readers collect the live vectors to the driver
+    * (small-metadata by the MoR contract), so the merge-on-read WRITERS
+    * refuse to push a table past this — failing the write loudly beats
+    * wedging every later scan until a compaction. Compaction and
+    * copy-on-write rewrites purge vectors and free the budget. */
+  private[graft] val MaxDvPositions = 10_000_000L
+
+  /** Enforce the budget for a MoR write adding `dvAdds` tombstones on
+    * top of `snap`'s live vectors; on violation the staged files are
+    * deleted and the write aborts with the recovery paths named. */
+  private def guardDvBudget(spark: SparkSession, table: String,
+                            snap: Snapshot, dvAdds: Seq[Action],
+                            alsoStaged: Seq[Action] = Nil,
+                            maxPositions: Long = MaxDvPositions): Unit = {
+    val total = snap.dvs.map(_.rows).sum + dvAdds.map(_.rows).sum
+    if (total > maxPositions) {
+      val root = new Path(table)
+      val fs = fsOf(spark, root)
+      (dvAdds ++ alsoStaged).foreach(a =>
+        fs.delete(new Path(root, a.file), false))
+      throw new IllegalArgumentException(
+        s"merge-on-read write refused: $table would carry $total live " +
+          s"deletion-vector positions (> $maxPositions) — every later scan " +
+          s"would pay (and the V2 reader refuse) that tombstone list; " +
+          s"compact the table (purges vectors) or use the copy-on-write " +
+          s"path for deletes/updates this large")
+    }
+  }
+
   private val LogDirName = "_graft_log"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -1749,7 +1779,9 @@ object LakeTxn {
     * Already-deleted rows never re-enter a vector (the candidate scan
     * is itself merge-on-read). Returns the committed version, or -1 if
     * nothing matched. */
-  def deleteWhereMor(spark: SparkSession, table: String, cond: org.apache.spark.sql.Column): Long = {
+  def deleteWhereMor(spark: SparkSession, table: String,
+                     cond: org.apache.spark.sql.Column,
+                     maxDvPositions: Long = MaxDvPositions): Long = {
     val snap = snapshot(spark, table)
     if (snap.files.isEmpty) return -1L // empty table: nothing to tombstone
     val doomed = scanWithDvsMeta(spark, table, snap, snap.files)
@@ -1757,6 +1789,7 @@ object LakeTxn {
       .select(col("__dv_file"), col("__dv_pos"))
     if (doomed.isEmpty) return -1L
     val dvAdds = stage(spark, doomed.repartition(1), table, dir = "dv")
+    guardDvBudget(spark, table, snap, dvAdds, maxPositions = maxDvPositions)
     // readDeps = the files the positions reference: a compaction that
     // interleaved would have replaced them, and these tombstones would
     // point into files no reader opens — a silently lost delete
@@ -1777,7 +1810,8 @@ object LakeTxn {
     * Returns the committed version, or -1 if nothing matched. */
   def updateMorWhere(spark: SparkSession, table: String,
                      cond: org.apache.spark.sql.Column,
-                     sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+                     sets: Seq[(String, org.apache.spark.sql.Column)],
+                     maxDvPositions: Long = MaxDvPositions): Long = {
     require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
     val snap = snapshot(spark, table)
     if (snap.files.isEmpty) return -1L
@@ -1796,6 +1830,8 @@ object LakeTxn {
       }.drop("__dv_file", "__dv_pos")
       val dvAdds = stage(spark, positions.repartition(1), table, dir = "dv")
       val dataAdds = stage(spark, rewritten, table)
+      guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
+        maxPositions = maxDvPositions)
       commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
         readDeps = snap.files)
     } finally matched.unpersist()
@@ -2055,7 +2091,8 @@ object LakeTxn {
     * tombstone positions reference them). Returns the committed
     * version, or -1 if the batch changes nothing. */
   def applyChangesMor(spark: SparkSession, table: String, changes: DataFrame,
-                      keyCol: String, opCol: String = "__op"): Long = {
+                      keyCol: String, opCol: String = "__op",
+                      maxDvPositions: Long = MaxDvPositions): Long = {
     val snap = snapshot(spark, table)
     if (snap.files.isEmpty) return -1L
     val base = scanWithDvsMeta(spark, table, snap, snap.files)
@@ -2070,6 +2107,8 @@ object LakeTxn {
       else stage(spark, positions.repartition(1), table, dir = "dv")
     val dataAdds = if (upserts.isEmpty) Nil else stage(spark, upserts, table)
     if (dvAdds.isEmpty && dataAdds.isEmpty) return -1L
+    guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
+      maxPositions = maxDvPositions)
     commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
       readDeps = snap.files)
   }

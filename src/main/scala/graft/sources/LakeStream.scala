@@ -862,7 +862,10 @@ private[sources] object LakeParquetFilters {
   * ship an unbounded tombstone list into every task (or OOM the driver
   * mid-UPDATE). */
 private[graft] object LakeDv {
-  val MaxDvPositions = 10_000_000L
+  /** One shared budget with the write side ([[LakeTxn.MaxDvPositions]]):
+    * the MoR writers refuse to push a table past it, so this read-side
+    * guard is the backstop for tables written by other means. */
+  val MaxDvPositions = LakeTxn.MaxDvPositions
 
   /** file basename -> sorted tombstoned row positions of the snapshot's
     * live deletion vectors (empty map when none). `maxPositions` is

@@ -80,6 +80,31 @@ class LakeMorColumnarSpec extends SparkSpec {
       Seq("n" -> lit(0L))) === -1L)
   }
 
+  test("MoR writers refuse to push a table past the tombstone budget; nothing commits") {
+    val t = freshDir("budget")
+    val d = (0L until 200L).map(i => (i, s"t$i")).toDF("k", "v")
+    LakeTxn.appendCommit(spark, d.repartition(2), t)
+    LakeTxn.deleteWhereMor(spark, t, col("k") < 8L) // 8 live tombstones
+    val v = LakeTxn.listVersions(spark, t).last
+    // the next delete would carry 8 + 96 tombstones > the (test) budget
+    val e = intercept[IllegalArgumentException](
+      LakeTxn.deleteWhereMor(spark, t, col("k") % 2 === 0L, maxDvPositions = 100L))
+    assert(e.getMessage.contains("compact the table"))
+    assert(LakeTxn.listVersions(spark, t).last === v, "nothing may commit")
+    // same budget on the MoR update and CDC apply
+    intercept[IllegalArgumentException](LakeTxn.updateMorWhere(spark, t,
+      col("k") >= 0L, Seq("v" -> lit("x")), maxDvPositions = 100L))
+    intercept[IllegalArgumentException](LakeTxn.applyChangesMor(spark, t,
+      d.withColumn("__op", lit("delete")), "k", maxDvPositions = 100L))
+    assert(LakeTxn.listVersions(spark, t).last === v)
+    // content intact, and a compaction frees the budget
+    assert(LakeTxn.read(spark, t).count() === 192L)
+    LakeTxn.compactCommit(spark, t, Long.MaxValue / 4)
+    assert(LakeTxn.deleteWhereMor(spark, t, col("k") % 2 === 0L,
+      maxDvPositions = 100L) > 0L)
+    assert(LakeTxn.read(spark, t).count() === 96L)
+  }
+
   test("applyChangesMor lands the CoW merge's exact content as adds + DV, zero removes") {
     val base = (0L until 80L).map(i => (i, Seq("a", "b")(i.toInt % 2), i * 2))
       .toDF("k", "tag", "n")
