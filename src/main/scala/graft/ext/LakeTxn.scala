@@ -76,7 +76,8 @@ object LakeTxn {
                           statsCol2: String = null, lo2: Long = 0L, hi2: Long = 0L,
                           bloomCol: String = null, bloom: String = null,
                           pvCol: String = null, pvValue: String = null,
-                          sx: String = null, bytes: Long = -1L)
+                          sx: String = null, bytes: Long = -1L,
+                          refs: String = null)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
     * optional skipping stats), the live deletion vectors, the
@@ -160,22 +161,48 @@ object LakeTxn {
       .toSeq.sorted
   }
 
-  /** The newest version whose commit file was PUBLISHED at or before
-    * `tsMillis` — `TIMESTAMP AS OF` resolution (commit mtimes are the
-    * publish times: the atomic rename stamps them). Refused when the
-    * table's first commit is later than the asked time — there was no
-    * table to read then. Driver-scale: one file status per commit. */
+  private val InCommitTsRe = """"tsMs":(\d+)""".r
+
+  /** The IN-COMMIT publish timestamp of one commit, when its writer
+    * stamped one (`"tsMs"` on the first action line — [[tryPublish]]);
+    * None for pre-stamp logs. Safe as a raw-text scan: the quoted key
+    * cannot appear inside any base64 payload and user text is always
+    * base64-wrapped. */
+  def commitTimestamp(spark: SparkSession, table: String,
+                      v: Long): Option[Long] = {
+    val p = commitFile(table, v)
+    InCommitTsRe.findFirstMatchIn(readFileText(fsOf(spark, p), p))
+      .map(_.group(1).toLong)
+  }
+
+  /** The newest version PUBLISHED at or before `tsMillis` —
+    * `TIMESTAMP AS OF` resolution. Each commit's publish time is its
+    * IN-COMMIT stamp when present (travel answers then survive a log
+    * copy/rsync/restore, which rewrites every mtime), falling back to
+    * the commit file's mtime for pre-stamp logs; the sequence is
+    * clamped monotonically non-decreasing (a wall-clock step backwards
+    * between two writers must not make a LATER version resolve before
+    * an earlier one — Delta's ICT monotonicity rule, applied at read
+    * time). Refused when the table's first commit is later than the
+    * asked time — there was no table to read then. Driver-scale: one
+    * small read per commit. */
   def versionAtTimestamp(spark: SparkSession, table: String,
                          tsMillis: Long): Long = {
     val vs = listVersions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val fs = fsOf(spark, logDir(table))
-    val at = vs.filter(v =>
-      fs.getFileStatus(commitFile(table, v)).getModificationTime <= tsMillis)
+    var prev = Long.MinValue
+    val stamped = vs.map { v =>
+      val raw = commitTimestamp(spark, table, v).getOrElse(
+        fs.getFileStatus(commitFile(table, v)).getModificationTime)
+      prev = math.max(prev, raw)
+      (v, prev)
+    }
+    val at = stamped.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"$table has no commit at or before timestamp $tsMillis " +
         s"(the table's first commit is younger than the asked time)")
-    at.last
+    at.last._1
   }
 
   /** Checkpointed versions, ascending (see [[checkpointLog]]). */
@@ -199,16 +226,22 @@ object LakeTxn {
     * protocol bump, which gates old engines with the purpose-built
     * message ([[SupportedReaderVersion]]). Unknown action KINDS stay
     * fatal — an unrecognized line could be a remove-like action whose
-    * loss silently double-counts. */
+    * loss silently double-counts. Tolerated value shapes: strings WITH
+    * escapes (a future advisory note containing `\"` must not brick
+    * the parse), numbers (incl. fractions), booleans, null, and FLAT
+    * objects/arrays (advisory structures nest at most one level by
+    * wire-format contract — a deeper advisory payload must be
+    * base64-wrapped the way `sx`/`pv64`/`dr` are). */
   private val UnknownFieldTail =
-    """(?:,"[A-Za-z0-9_]+":(?:"[^"]*"|-?\d+|true|false))*"""
+    """(?:,"[A-Za-z0-9_]+":(?:"(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?|true|false|null|\{[^{}]*\}|\[[^\[\]]*\]))*"""
   private val ActionRe =
     ("""\{"a":"(add|remove|dv|schema)","f":"([^"]+)"(?:,"rows":(\d+))?(?:,"b":(\d+))?""" +
       """(?:,"c":"([^"]+)","min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"c2":"([^"]+)","min2":(-?\d+),"max2":(-?\d+))?""" +
       """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?""" +
       """(?:,"sx":"([A-Za-z0-9+/=]+)")?""" +
-      """(?:,"pc":"([^"]+)","pv(64)?":"([^"]*)")?""" + UnknownFieldTail + """\}""").r
+      """(?:,"pc":"([^"]+)","pv(64)?":"([^"]*)")?""" +
+      """(?:,"dr":"([A-Za-z0-9+/=]*)")?""" + UnknownFieldTail + """\}""").r
   private val TxnRe =
     ("""\{"a":"txn","app":"([^"]+)","id":(\d+)""" + UnknownFieldTail + """\}""").r
 
@@ -240,7 +273,8 @@ object LakeTxn {
         }
       val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
       val by = if (a.bytes >= 0) s""","b":${a.bytes}""" else ""
-      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$by$stats$stats2$bl$sxs$pv}"""
+      val dr = if (a.refs != null) s""","dr":"${a.refs}"""" else ""
+      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$by$stats$stats2$bl$sxs$pv$dr}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
@@ -282,7 +316,7 @@ object LakeTxn {
     val txns = Seq.newBuilder[(String, Long)]
     val govs = Seq.newBuilder[Gov]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows, by, c, mn, mx, c2, mn2, mx2, bc, bl, sxs, pc, pv64, pvv) =>
+      case ActionRe(a, f, rows, by, c, mn, mx, c2, mn2, mx2, bc, bl, sxs, pc, pv64, pvv, dr) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
@@ -300,7 +334,8 @@ object LakeTxn {
             else if (pv64 != null)
               new String(java.util.Base64.getDecoder.decode(pvv), UTF_8)
             else pvv,
-          sx = sxs, bytes = if (by == null) -1L else by.toLong)
+          sx = sxs, bytes = if (by == null) -1L else by.toLong,
+          refs = dr)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case ConstraintRe(name, b64) => govs += GovConstraint(name,
         new String(java.util.Base64.getDecoder.decode(b64), UTF_8))
@@ -622,6 +657,41 @@ object LakeTxn {
       .map(_.copy(dv = dir == "dv"))
   }
 
+  /** Wire form of a deletion vector's REFERENCED data-file basenames
+    * (`"dr"`, base64 of the newline-joined sorted list): the log-only
+    * record of which files a vector's positions point into. Two uses,
+    * both metadata-only: [[commitAt]] conflicts two concurrent DV
+    * commits that touch a shared file (a lost delete / double tombstone
+    * otherwise), and the COUNT(*) pushdown verifies from the log alone
+    * that no live vector carries STALE positions (a partially-covered
+    * vector surviving a rewrite references removed files — subtracting
+    * its raw cardinality would undercount). Advisory field: an engine
+    * without it still reads correctly (the content path keys positions
+    * by live basename), it just refuses the metadata fast paths. */
+  private[graft] def encodeDvRefs(basenames: Seq[String]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      basenames.distinct.sorted.mkString("\n").getBytes(UTF_8))
+
+  /** The referenced basenames of a DV add, when recorded (None for
+    * vectors written before the `"dr"` field or by foreign engines —
+    * callers must treat unknown refs conservatively). */
+  private[graft] def decodeDvRefs(a: Action): Option[Seq[String]] =
+    Option(a.refs).map(r =>
+      new String(java.util.Base64.getDecoder.decode(r), UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty))
+
+  /** Stage a (__dv_file, __dv_pos) frame as deletion-vector files and
+    * stamp each add action with its referenced basenames — one
+    * driver-scale metadata read per staged vector (vectors are small by
+    * the MoR contract). Every DV this engine writes carries refs. */
+  private def stageDv(spark: SparkSession, positions: DataFrame,
+                      table: String): Seq[Action] =
+    stage(spark, positions, table, dir = "dv").map { a =>
+      val refs = spark.read.parquet(s"$table/${a.file}")
+        .select("__dv_file").distinct().collect().map(_.getString(0)).toSeq
+      a.copy(refs = encodeDvRefs(refs))
+    }
+
   /** Publish files a V2 writer staged, as ONE atomic commit: CHECK
     * constraints are enforced against the staged content first (a
     * violating write deletes its staged files and aborts — nothing
@@ -725,12 +795,15 @@ object LakeTxn {
                               removedBase: Set[String]): Seq[String] =
     if (dvs.isEmpty || removedBase.isEmpty) Nil
     else dvs.filter { a =>
-      val refs = spark.read.parquet(s"$table/${a.file}")
-        .select("__dv_file").distinct().collect().map(_.getString(0))
+      // log-only fast path when the add action recorded its refs; the
+      // parquet read survives for pre-`dr` logs
+      val refs = decodeDvRefs(a).getOrElse(
+        spark.read.parquet(s"$table/${a.file}")
+          .select("__dv_file").distinct().collect().map(_.getString(0)).toSeq)
       refs.nonEmpty && refs.forall(removedBase)
     }.map(_.file)
 
-  private def baseName(rel: String): String =
+  private[graft] def baseName(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
   /** `pvCol`/`pvByFile`: on PARTITIONED tables the rewrite's staged
@@ -925,8 +998,21 @@ object LakeTxn {
     val dest = commitFile(table, v)
     val fs = fsOf(spark, dest)
     fs.mkdirs(dest.getParent)
-    val body = (adds.map(actionJson) ++
-      removes.map(f => s"""{"a":"remove","f":"$f"}""") ++ extraLines).mkString("\n")
+    // IN-COMMIT publish timestamp (Delta's in-commit-timestamp shape):
+    // stamped as an ADVISORY field on the first action line — inside
+    // the tolerated unknown-field tail, so engines without it parse the
+    // commit unchanged — making TIMESTAMP AS OF survive a log
+    // copy/rsync/restore, which silently rewrites every file mtime.
+    // Resolution falls back to mtime for pre-stamp logs.
+    val lines = adds.map(actionJson) ++
+      removes.map(f => s"""{"a":"remove","f":"$f"}""") ++ extraLines
+    val stamped = lines match {
+      case head +: tail if head.endsWith("}") =>
+        (head.dropRight(1) +
+          s""","tsMs":${System.currentTimeMillis()}}""") +: tail
+      case other => other
+    }
+    val body = stamped.mkString("\n")
     val tmp = new Path(dest.getParent,
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
@@ -973,6 +1059,21 @@ object LakeTxn {
     *    positions of the file it read): an interleaved removal of any
     *    aborts — the positions would point into a file a rewrite
     *    already replaced;
+    *  - a DELETION-VECTOR commit aborts if an interleaved commit added
+    *    a vector referencing ANY of the same data files (refs from the
+    *    `"dr"` field; unknown refs on either side abort conservatively):
+    *    two MoR writers from one snapshot would otherwise both land —
+    *    overlapping predicates double-tombstone a row (undercounting
+    *    the log-answered COUNT(*)) and an update racing a delete
+    *    re-appends a row the delete tombstoned (a lost delete). The
+    *    loser recomputes from the fresh head, where the MoR scan
+    *    already excludes the winner's tombstones — naturally
+    *    duplicate-free. Vectors on DISJOINT files commute;
+    *  - a DV commit landing at a head that moved also re-checks the
+    *    TOMBSTONE BUDGET against the fresh snapshot (`dvBudget`):
+    *    without this, two concurrent MoR writers each under budget at
+    *    their own read version jointly push the table past it and wedge
+    *    every later scan at the read-side guard;
     *  - a METADATA commit (schema action, constraint, protocol) aborts
     *    if any interleaved metadata commit landed: two concurrent ALTER
     *    TABLEs both compute from the same base, and last-writer-wins
@@ -985,11 +1086,13 @@ object LakeTxn {
                adds: Seq[Action], removes: Seq[String],
                extraLines: Seq[String] = Nil,
                maxAttempts: Int = 100,
-               readDeps: Seq[String] = Nil): Long = {
+               readDeps: Seq[String] = Nil,
+               dvBudget: Long = MaxDvPositions): Long = {
     require(adds.nonEmpty || removes.nonEmpty || extraLines.nonEmpty, "empty commit")
     checkWriterProtocol(spark, table)
     val removeSet = removes.toSet
     val readDepSet = readDeps.toSet
+    val ourDvs = adds.filter(a => a.add && a.dv)
     val metaCommit = adds.exists(_.schema) || extraLines.exists(l =>
       l.startsWith("""{"a":"constraint"""") ||
         l.startsWith("""{"a":"unconstraint"""") ||
@@ -998,7 +1101,8 @@ object LakeTxn {
     while (attempt < maxAttempts) {
       val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
       if (latest > readVersion &&
-        (removeSet.nonEmpty || readDepSet.nonEmpty || metaCommit)) {
+        (removeSet.nonEmpty || readDepSet.nonEmpty || metaCommit ||
+          ourDvs.nonEmpty)) {
         val parsed = (readVersion + 1 to latest).map { v =>
           val p = commitFile(table, v)
           parseActions(table, s"commit $v", readFileText(fsOf(spark, p), p))
@@ -1023,6 +1127,33 @@ object LakeTxn {
             s"merge-on-read conflict in $table: file(s) ${gone.mkString(", ")} " +
               s"this commit's tombstone positions reference were removed by a " +
               s"commit after read version $readVersion — recompute")
+        }
+        if (ourDvs.nonEmpty) {
+          val interDvs = interActs.filter(a => a.add && a.dv)
+          if (interDvs.nonEmpty) {
+            val ours = ourDvs.map(decodeDvRefs)
+            val theirs = interDvs.map(decodeDvRefs)
+            val shared = (ours.exists(_.isEmpty) || theirs.exists(_.isEmpty)) ||
+              { val mine = ours.flatten.flatten.toSet
+                theirs.flatten.flatten.exists(mine) }
+            if (shared) throw new CommitConflictException(
+              s"deletion-vector conflict in $table: a vector committed after " +
+                s"read version $readVersion references the same data file(s) " +
+                s"this commit tombstones — both were computed from snapshots " +
+                s"without the other's tombstones (double tombstone / lost " +
+                s"delete); recompute against version $latest")
+          }
+          // budget re-check at the MOVED head: the writer's guard ran
+          // against its own read version, but interleaved MoR commits
+          // may already have spent the tombstone budget
+          val headDvRows = snapshot(spark, table).dvs.map(_.rows).sum
+          val total = headDvRows + ourDvs.map(_.rows).sum
+          if (total > dvBudget) throw new IllegalArgumentException(
+            s"merge-on-read write refused at commit time: $table would carry " +
+              s"$total live deletion-vector positions (> $dvBudget) after " +
+              s"commits that interleaved past read version $readVersion — " +
+              s"compact the table (purges vectors) or use the copy-on-write " +
+              s"path for deletes/updates this large")
         }
         if (metaCommit &&
           (interActs.exists(_.schema) || parsed.exists(_._3.nonEmpty)))
@@ -1599,6 +1730,17 @@ object LakeTxn {
     * re-typing it would invite silent coercion bugs). */
   def appendCommitPartitioned(spark: SparkSession, df: DataFrame, table: String,
                               partCol: String): Long = {
+    val staged = stagePartitionedData(spark, df, table, partCol)
+    require(staged.nonEmpty, "empty partitioned append")
+    commit(spark, table, staged, Nil)
+  }
+
+  /** Stage `df` hive-split per partition value (the column physically
+    * leaves the files; each add action stamps its value) — the staging
+    * half of [[appendCommitPartitioned]], shared with the MoR writers
+    * so UPDATE/CDC on a partitioned table keeps the invariant. */
+  private def stagePartitionedData(spark: SparkSession, df: DataFrame,
+                                   table: String, partCol: String): Seq[Action] = {
     require(df.schema(partCol).dataType == org.apache.spark.sql.types.StringType,
       s"partition column '$partCol' must be STRING (hive path values are strings)")
     // NULL and '' both land in the __HIVE_DEFAULT_PARTITION__ directory:
@@ -1641,10 +1783,32 @@ object LakeTxn {
         }
     }
     fs.delete(tmp, true)
-    val staged = adds.result()
-    require(staged.nonEmpty, "empty partitioned append")
-    commit(spark, table, staged, Nil)
+    adds.result()
   }
+
+  /** The single partition column governing EVERY live data file, when
+    * the table is uniformly hive-partitioned (the invariant
+    * `INSERT OVERWRITE ... PARTITION` relies on); None for
+    * unpartitioned or mixed tables. */
+  private def uniformPvCol(snap: Snapshot): Option[String] =
+    snap.adds.map(a => Option(a.pvCol)).distinct match {
+      case Seq(Some(pc)) => Some(pc)
+      case _ => None
+    }
+
+  /** Stage data rows the way the TABLE is laid out: hive-split with
+    * stamped partition values on a uniformly partitioned table, plain
+    * staging otherwise — what keeps the MoR writers' appended files
+    * from silently breaking the partitioned-table invariant (which
+    * would both lose log partition pruning for those files and make
+    * every later scoped overwrite refuse). */
+  private def stageDataLike(spark: SparkSession, df: DataFrame, table: String,
+                            snap: Snapshot): Seq[Action] =
+    uniformPvCol(snap) match {
+      case Some(pc) if df.columns.contains(pc) =>
+        stagePartitionedData(spark, df, table, pc)
+      case _ => stage(spark, df, table)
+    }
 
   /** Partition-pruned read: keep only files whose log-recorded partition
     * value is in `values` (files without a recorded value for `partCol`
@@ -1777,23 +1941,45 @@ object LakeTxn {
     * data + DV files, add the packed rewrite). Positions come from the
     * scan's `_metadata.row_index`, the stable within-file row ordinal.
     * Already-deleted rows never re-enter a vector (the candidate scan
-    * is itself merge-on-read). Returns the committed version, or -1 if
-    * nothing matched. */
+    * is itself merge-on-read). A [[CommitConflictException]] (an
+    * interleaved rewrite, or a concurrent DV on a shared file) RETRIES
+    * by recomputing from the fresh snapshot — whose MoR scan already
+    * excludes the winner's tombstones, so the retry is duplicate-free
+    * by construction. Returns the committed version, or -1 if nothing
+    * matched. */
   def deleteWhereMor(spark: SparkSession, table: String,
                      cond: org.apache.spark.sql.Column,
-                     maxDvPositions: Long = MaxDvPositions): Long = {
-    val snap = snapshot(spark, table)
-    if (snap.files.isEmpty) return -1L // empty table: nothing to tombstone
-    val doomed = scanWithDvsMeta(spark, table, snap, snap.files)
-      .filter(cond)
-      .select(col("__dv_file"), col("__dv_pos"))
-    if (doomed.isEmpty) return -1L
-    val dvAdds = stage(spark, doomed.repartition(1), table, dir = "dv")
-    guardDvBudget(spark, table, snap, dvAdds, maxPositions = maxDvPositions)
-    // readDeps = the files the positions reference: a compaction that
-    // interleaved would have replaced them, and these tombstones would
-    // point into files no reader opens — a silently lost delete
-    commitAt(spark, table, snap.version, dvAdds, Nil, readDeps = snap.files)
+                     maxDvPositions: Long = MaxDvPositions): Long =
+    retryOnConflict(s"merge-on-read DELETE on $table") {
+      val snap = snapshot(spark, table)
+      if (snap.files.isEmpty) -1L // empty table: nothing to tombstone
+      else {
+        val doomed = scanWithDvsMeta(spark, table, snap, snap.files)
+          .filter(cond)
+          .select(col("__dv_file"), col("__dv_pos"))
+        if (doomed.isEmpty) -1L
+        else {
+          val dvAdds = stageDv(spark, doomed.repartition(1), table)
+          guardDvBudget(spark, table, snap, dvAdds, maxPositions = maxDvPositions)
+          // readDeps = the files the positions reference: a compaction
+          // that interleaved would have replaced them, and these
+          // tombstones would point into files no reader opens — a
+          // silently lost delete
+          try commitAt(spark, table, snap.version, dvAdds, Nil,
+            readDeps = snap.files, dvBudget = maxDvPositions)
+          catch { case t: Throwable => dropAdds(spark, table, dvAdds); throw t }
+        }
+      }
+    }
+
+  /** Delete published-but-unpinned files after a failed commit attempt
+    * (a conflict retry restages from scratch; nothing should leak to
+    * vacuum when the paths are known). Idempotent. */
+  private def dropAdds(spark: SparkSession, table: String,
+                       adds: Seq[Action]): Unit = {
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    adds.foreach(a => fs.delete(new Path(root, a.file), false))
   }
 
   /** MERGE-ON-READ UPDATE: rows matching `cond` are tombstoned by a
@@ -1806,35 +1992,48 @@ object LakeTxn {
     * materializes the debt. `sets` assigns columns left to right
     * (later assignments see earlier ones, the SQL SET contract).
     * Conflict contract: an interleaved removal of any file the
-    * tombstone positions reference aborts ([[commitAt]] readDeps).
-    * Returns the committed version, or -1 if nothing matched. */
+    * tombstone positions reference, or a concurrent vector on a shared
+    * file, RETRIES by recomputing from the fresh snapshot ([[commitAt]]
+    * readDeps + DV-vs-DV rules). On a hive-PARTITIONED table the
+    * rewritten rows stage split per partition value with their add
+    * actions stamped — the partitioned-table invariant survives MoR
+    * updates just as it does copy-on-write rewrites. Returns the
+    * committed version, or -1 if nothing matched. */
   def updateMorWhere(spark: SparkSession, table: String,
                      cond: org.apache.spark.sql.Column,
                      sets: Seq[(String, org.apache.spark.sql.Column)],
                      maxDvPositions: Long = MaxDvPositions): Long = {
     require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
-    val snap = snapshot(spark, table)
-    if (snap.files.isEmpty) return -1L
-    val base = scanWithDvsMeta(spark, table, snap, snap.files)
-    sets.foreach { case (c, _) =>
-      require(base.columns.contains(c), s"no column '$c' in $table") }
-    val matched = base.filter(cond)
-    // one scan feeds both halves: cache avoids re-reading the table
-    // (matched is small by the point-update contract)
-    matched.cache()
-    try {
-      if (matched.isEmpty) return -1L
-      val positions = matched.select(col("__dv_file"), col("__dv_pos"))
-      val rewritten = sets.foldLeft(matched) { case (df, (c, v)) =>
-        df.withColumn(c, v)
-      }.drop("__dv_file", "__dv_pos")
-      val dvAdds = stage(spark, positions.repartition(1), table, dir = "dv")
-      val dataAdds = stage(spark, rewritten, table)
-      guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
-        maxPositions = maxDvPositions)
-      commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
-        readDeps = snap.files)
-    } finally matched.unpersist()
+    retryOnConflict(s"merge-on-read UPDATE on $table") {
+      val snap = snapshot(spark, table)
+      if (snap.files.isEmpty) -1L
+      else {
+        val base = scanWithDvsMeta(spark, table, snap, snap.files)
+        sets.foreach { case (c, _) =>
+          require(base.columns.contains(c), s"no column '$c' in $table") }
+        val matched = base.filter(cond)
+        // one scan feeds both halves: cache avoids re-reading the table
+        // (matched is small by the point-update contract)
+        matched.cache()
+        try {
+          if (matched.isEmpty) -1L
+          else {
+            val positions = matched.select(col("__dv_file"), col("__dv_pos"))
+            val rewritten = sets.foldLeft(matched) { case (df, (c, v)) =>
+              df.withColumn(c, v)
+            }.drop("__dv_file", "__dv_pos")
+            val dvAdds = stageDv(spark, positions.repartition(1), table)
+            val dataAdds = stageDataLike(spark, rewritten, table, snap)
+            guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
+              maxPositions = maxDvPositions)
+            try commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
+              readDeps = snap.files, dvBudget = maxDvPositions)
+            catch { case t: Throwable =>
+              dropAdds(spark, table, dvAdds ++ dataAdds); throw t }
+          }
+        } finally matched.unpersist()
+      }
+    }
   }
 
   /** TRUNCATE: one atomic commit unpinning every live data file and
@@ -2087,31 +2286,45 @@ object LakeTxn {
     * until a compaction materializes the debt. Same semantics as the
     * copy-on-write path: `changes` carries the table's columns plus
     * `__op` ∈ {upsert, delete}, keyed by `keyCol`. Conflict contract:
-    * an interleaved removal of ANY read file aborts (readDeps — the
-    * tombstone positions reference them). Returns the committed
-    * version, or -1 if the batch changes nothing. */
+    * an interleaved removal of ANY read file, or a concurrent vector on
+    * a shared file, RETRIES by recomputing from the fresh snapshot
+    * (readDeps + DV-vs-DV rules — the retry's MoR scan excludes the
+    * winner's tombstones, so it is duplicate-free). On a hive-
+    * PARTITIONED table the upsert rows stage split per partition value
+    * with stamped add actions, keeping the partitioned-table invariant.
+    * Returns the committed version, or -1 if the batch changes
+    * nothing. */
   def applyChangesMor(spark: SparkSession, table: String, changes: DataFrame,
                       keyCol: String, opCol: String = "__op",
-                      maxDvPositions: Long = MaxDvPositions): Long = {
-    val snap = snapshot(spark, table)
-    if (snap.files.isEmpty) return -1L
-    val base = scanWithDvsMeta(spark, table, snap, snap.files)
-    val cols = base.columns.filterNot(c => c == "__dv_file" || c == "__dv_pos").toSeq
-    val keys = changes.select(col(keyCol)).distinct()
-    val positions = base.join(broadcast(keys), Seq(keyCol), "left_semi")
-      .select(col("__dv_file"), col("__dv_pos"))
-    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
-      .select(cols.map(col): _*)
-    val dvAdds =
-      if (positions.isEmpty) Nil
-      else stage(spark, positions.repartition(1), table, dir = "dv")
-    val dataAdds = if (upserts.isEmpty) Nil else stage(spark, upserts, table)
-    if (dvAdds.isEmpty && dataAdds.isEmpty) return -1L
-    guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
-      maxPositions = maxDvPositions)
-    commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
-      readDeps = snap.files)
-  }
+                      maxDvPositions: Long = MaxDvPositions): Long =
+    retryOnConflict(s"merge-on-read CDC apply on $table") {
+      val snap = snapshot(spark, table)
+      if (snap.files.isEmpty) -1L
+      else {
+        val base = scanWithDvsMeta(spark, table, snap, snap.files)
+        val cols = base.columns.filterNot(c => c == "__dv_file" || c == "__dv_pos").toSeq
+        val keys = changes.select(col(keyCol)).distinct()
+        val positions = base.join(broadcast(keys), Seq(keyCol), "left_semi")
+          .select(col("__dv_file"), col("__dv_pos"))
+        val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+          .select(cols.map(col): _*)
+        val dvAdds =
+          if (positions.isEmpty) Nil
+          else stageDv(spark, positions.repartition(1), table)
+        val dataAdds =
+          if (upserts.isEmpty) Nil
+          else stageDataLike(spark, upserts, table, snap)
+        if (dvAdds.isEmpty && dataAdds.isEmpty) -1L
+        else {
+          guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
+            maxPositions = maxDvPositions)
+          try commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
+            readDeps = snap.files, dvBudget = maxDvPositions)
+          catch { case t: Throwable =>
+            dropAdds(spark, table, dvAdds ++ dataAdds); throw t }
+        }
+      }
+    }
 
   // ------------------------------------------------------------------
   // graded queries

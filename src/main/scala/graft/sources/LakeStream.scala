@@ -413,17 +413,22 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
 
       /** Global COUNT/MIN/MAX answered from the LOG alone — zero data
         * file opens (the metadata-only aggregate every lakehouse
-        * serves): COUNT(*) = Σ add rows − Σ deletion-vector rows (a
-        * tombstone is one (file, position) pair, never duplicated — the
-        * MoR writers' candidate scans are themselves merge-on-read);
-        * COUNT(col) = Σ rows − Σ nullCount when every file records one;
-        * MIN/MAX(col) fold the exact per-file INT64 footer bands
-        * (all-null files contribute nothing — provably all-null only).
-        * Refused (→ the normal distributed plan) whenever anything
-        * could lie: group-bys, residual filters, distinct, any file
-        * without the needed stat — and, for everything EXCEPT COUNT(*),
-        * live deletion vectors (a vector may tombstone the extreme row
-        * or an unknown mix of nulls). Complete pushdown: the scan emits
+        * serves): COUNT(*) = Σ add rows − tombstones; COUNT(col) =
+        * Σ rows − Σ nullCount when every file records one; MIN/MAX(col)
+        * fold the exact per-file INT64 footer bands (all-null files
+        * contribute nothing — provably all-null only). The tombstone
+        * term is Σ raw DV cardinalities ONLY when the log can prove it
+        * exact — every live vector records its referenced basenames
+        * (`"dr"`), all of them live, pairwise disjoint (stacked or
+        * stale vectors could double-count or count positions into
+        * removed files); otherwise the vectors load through the guarded
+        * [[LakeDv]] driver loader, which dedups stacked positions and
+        * drops stale basenames — still zero DATA file opens. Refused
+        * (→ the normal distributed plan) whenever anything could lie:
+        * group-bys, residual filters, distinct, any file without the
+        * needed stat — and, for everything EXCEPT COUNT(*), live
+        * deletion vectors (a vector may tombstone the extreme row or
+        * an unknown mix of nulls). Complete pushdown: the scan emits
         * the ONE final row. */
       private var aggAnswer: Option[(StructType, Array[Any], String)] = None
 
@@ -438,7 +443,7 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
         // global row count, which the log knows exactly
         if (snap.dvs.nonEmpty &&
           !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return None
-        val dvRows = snap.dvs.map(_.rows).sum
+        val dvRows = LakeDv.exactTombstones(spark, tablePath, snap)
         val sxs = snap.adds.map(a => a -> LakeTxn.decodeSx(a.sx)).toMap
         def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
           e match {
@@ -524,12 +529,20 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
           * filters admit — so a small lake table AUTO-BROADCASTS in
           * joins without a hint, and a selective scan advertises its
           * pruned size, not the table's. Files from pre-bytes logs
-          * estimate as rows × schema width (conservative). */
+          * estimate as rows × schema width (conservative). Tombstones
+          * subtract only when the log PROVES the raw sum exact against
+          * the kept files ([[LakeDv.rawRowsExact]] — refs recorded,
+          * live, disjoint); a stacked/stale/refs-less vector set
+          * subtracts nothing, over-estimating, which only errs on the
+          * safe side of a broadcast decision. */
         override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
           val spark = SparkSession.active
           val snap = LakeTxn.snapshot(spark, tablePath, effectiveVersion)
           val kept = snap.adds.filter(a => LakePrune.allowsAll(a, pushed))
-          val dvRows = snap.dvs.map(_.rows).sum
+          val keptBase = kept.map(a => LakeTxn.baseName(a.file)).toSet
+          val dvRows =
+            if (LakeDv.rawRowsExact(snap, keptBase)) snap.dvs.map(_.rows).sum
+            else 0L
           val rows = math.max(0L, kept.map(_.rows).sum - dvRows)
           val rowWidth = math.max(1L, required.defaultSize.toLong)
           val bytes = kept.map(a =>
@@ -887,6 +900,39 @@ private[graft] object LakeDv {
       rows.collect()
         .groupBy(_.getString(0))
         .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
+    }
+
+  /** True when Σ raw DV cardinalities provably equals the live
+    * tombstone count from the LOG alone: every live vector records its
+    * referenced basenames (`"dr"`), every referenced basename is a
+    * live data file, and no basename is referenced by two vectors.
+    * Without this, a stacked pair of vectors could tombstone one
+    * (file, position) twice, and a partially-covered vector surviving a
+    * rewrite carries STALE positions into removed files — either way
+    * Σ rows over-counts and a pushed COUNT(*) would silently
+    * undercount. Our own writers always qualify after sequential
+    * single-file deletes; stacked/stale shapes take the load path. */
+  def rawRowsExact(snap: LakeTxn.Snapshot, liveBase: Set[String]): Boolean = {
+    val refs = snap.dvs.map(LakeTxn.decodeDvRefs)
+    refs.forall(_.isDefined) && {
+      val all = refs.flatten.flatten
+      all.forall(liveBase) && all.size == all.distinct.size
+    }
+  }
+
+  /** The EXACT number of live tombstoned rows of `snap`: the raw log
+    * sum when [[rawRowsExact]] proves it; otherwise ONE guarded
+    * driver-scale vector load (dedups stacked positions, drops stale
+    * basenames) — still zero DATA-file opens either way. */
+  def exactTombstones(spark: SparkSession, table: String,
+                      snap: LakeTxn.Snapshot): Long =
+    if (snap.dvs.isEmpty) 0L
+    else {
+      val liveBase = snap.adds.map(a => LakeTxn.baseName(a.file)).toSet
+      if (rawRowsExact(snap, liveBase)) snap.dvs.map(_.rows).sum
+      else load(spark, table, snap)
+        .filter { case (b, _) => liveBase(b) }
+        .map(_._2.length.toLong).sum
     }
 }
 
