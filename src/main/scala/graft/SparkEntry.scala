@@ -1034,6 +1034,10 @@ object SparkEntry {
     // below-vacuum-horizon refusal through SQL
     "lake_sql_time_travel" -> ((s, d) =>
       sources.GraftLakeCatalog.sqlTimeTravelQuery(s, d)),
+    // the change data feed in pure SQL: CALL table_changes(from, to)
+    // returns the row-level diff between two committed versions
+    "lake_sql_cdf" -> ((s, d) =>
+      sources.GraftLakeCatalog.sqlCdfQuery(s, d)),
     // readStream.table through the catalog: same micro-batch stream as
     // the path API, restart-resume over one checkpoint
     "stream_lake_catalog" -> ((s, d) =>
@@ -3249,6 +3253,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 13 = 0)
         |ORDER BY doc_id""".stripMargin,
+    // the SQL feed shares lake_txn_cdf's ground truth, keys surfaced
+    // under the procedure's generic `key` column
+    "lake_sql_cdf" ->
+      """SELECT * FROM (
+        |  SELECT doc_id AS key,
+        |    CASE WHEN doc_id % 5 = 4 THEN 'removed'
+        |         WHEN doc_id % 7 = 0 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 13 = 0)
+        |ORDER BY key""".stripMargin,
     // vacuum must never change live content: same oracle as lake_txn
     "lake_vacuum" ->
       """SELECT doc_id, text, lang, source, n_chars

@@ -402,6 +402,43 @@ object GraftLakeCatalog {
       spark.table(mem).orderBy("lang")
     }
   }
+
+  /** lake_sql_cdf: the CHANGE DATA FEED in PURE SQL — the same change
+    * batch as lake_txn_cdf (edits + inserts + deletes in one MERGE
+    * commit via `CALL merge`), then `CALL cat.system.table_changes(
+    * 'db.docs', 1, 2)` returns the row-level diff between the
+    * post-insert and post-merge versions straight through the
+    * procedure surface. Same ground truth as the programmatic feed
+    * (keys aliased to the procedure's generic `key` column): a lost
+    * change kind, a misclassified edit, or a phantom row all
+    * hash-mismatch. */
+  def sqlCdfQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlcdf")
+    withNonceCatalog(spark, wh, "glakecdf") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING, " +
+        s"lang STRING, source STRING, n_chars BIGINT) USING `graft-lake`")
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("sqlcdf_docs")
+      spark.sql(s"INSERT INTO $cat.db.docs SELECT * FROM sqlcdf_docs")
+      spark.sql(
+        """SELECT doc_id, concat(text, ' v2') AS text, lang, source,
+          |  n_chars, 'upsert' AS __op
+          |FROM sqlcdf_docs WHERE doc_id % 7 = 0 AND doc_id % 5 <> 4
+          |UNION ALL
+          |SELECT doc_id + 1000000, text, lang, source, n_chars, 'upsert'
+          |FROM sqlcdf_docs WHERE doc_id % 13 = 0
+          |UNION ALL
+          |SELECT doc_id, text, lang, source, n_chars, 'delete'
+          |FROM sqlcdf_docs WHERE doc_id % 5 = 4""".stripMargin)
+        .createOrReplaceTempView("sqlcdf_changes")
+      spark.sql(s"CALL $cat.system.merge('db.docs', 'sqlcdf_changes', 'doc_id')")
+      // version 1 = after the INSERT, version 2 = after the MERGE
+      // (version 0 is the CREATE TABLE schema commit)
+      spark.sql(s"CALL $cat.system.table_changes('db.docs', 1, 2)")
+    }
+  }
 }
 
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
@@ -776,6 +813,40 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             Long.box(acts.filter(x => x.add && !x.dv && !x.schema)
               .map(_.rows).sum))
         }
+      }
+    },
+    // the CHANGE DATA FEED read in pure SQL: the row-level diff between
+    // two committed versions (added/changed/removed/unchanged per key),
+    // computed by time travel + content-hash full-outer diff — the SQL
+    // spelling of the programmatic cdf path. CALL results serve through
+    // a LocalScan (driver-local rows by the command's contract), so
+    // this surface is for OPERATOR-scale diffs — the distributed path
+    // for a 100-TB feed remains Incremental.snapshotDiff over two
+    // version reads, or the streaming lake source's per-commit tail.
+    new LakeProc("table_changes",
+      Array(in("table", StringType), in("from_version", LongType),
+        in("to_version", LongType),
+        in("key_col", StringType, "'doc_id'"),
+        in("hash_col", StringType, "'text'")),
+      StructType(Seq(
+        StructField("key", LongType, nullable = true),
+        StructField("status", StringType, nullable = false)))) {
+      def run(a: InternalRow) =
+        throw new IllegalStateException("table_changes serves rows(), not run()")
+      override def rows(a: InternalRow): Seq[Array[Any]] = {
+        val t = resolveTable(str(a, 0))
+        val kc = str(a, 3)
+        val hc = str(a, 4)
+        val diff = graft.ext.Incremental.snapshotDiff(
+          LakeTxn.read(spark, t, Some(a.getLong(1))),
+          LakeTxn.read(spark, t, Some(a.getLong(2))),
+          textCol = hc, idCol = kc)
+        require(diff.schema(kc).dataType == LongType,
+          s"table_changes keys on a BIGINT column (got '$kc': " +
+            s"${diff.schema(kc).dataType.simpleString})")
+        diff.collect().toSeq.map(r => Array[Any](
+          if (r.isNullAt(0)) null else Long.box(r.getLong(0)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))))
       }
     }).map(p => p.name() -> p).toMap
 
