@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Deduplication suite for large text corpora: exact, MinHash+LSH,
   * SimHash, and exact n-gram Jaccard.
   *
@@ -264,18 +266,18 @@ object Dedup {
     // `groups` feeds FOUR consumers (rep semi-join, the a/b pair
     // expansions, the within-group pairs) — materialize it once or each
     // re-runs the corpus-wide sha2 groupBy (measured ~0.7s of the
-    // pipeline_clean_corpus residual at sf0.1). localCheckpoint is the
-    // local-mode form; a cluster deployment would use a reliable
-    // checkpoint dir.
+    // pipeline_clean_corpus residual at sf0.1). pinCheckpoint picks the
+    // strategy: local blocks by default, a reliable checkpoint under
+    // spark.graft.checkpointDir on a cluster (Checkpoints.pin).
     val groups = docs.groupBy(sha2(col(textCol), 256).as("__h"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), min(col(idCol)).as("rep"))
       .select("ids", "rep")
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val reps = docs.join(groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
     // the rep shingle set feeds BOTH the signature/banding chain and the
     // exact-Jaccard verify — materialize it once (also flattens the
     // lineage the clustering loop above this op iterates over)
-    val sh = shingleRows(reps, k, textCol, idCol).localCheckpoint(true)
+    val sh = shingleRows(reps, k, textCol, idCol).pinCheckpoint()
     val sig = minhashAggFromShingles(sh, numHashes, baseHash, idCol)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
     val cands = candidatesFromSignatures(sig, bands, idCol)
@@ -327,9 +329,10 @@ object Dedup {
     // materialize the pair list once and truncate its (potentially huge)
     // minhash lineage — iterative plans over cached-but-deep lineage are a
     // classic Spark trap (cache lookup misses re-run the whole pipeline
-    // per round). localCheckpoint is the local-mode form; a cluster
-    // deployment would use a reliable checkpoint dir.
-    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    // per round). pinCheckpoint picks local blocks by
+    // default or a reliable checkpoint under spark.graft.checkpointDir
+    // on a cluster (Checkpoints.pin).
+    val p = pairs.select(col("a"), col("b")).pinCheckpoint()
     // Small-graph fast path: a post-LSH near-dup pair list is usually
     // TINY relative to the corpus (hundreds of pairs at sf0.1; the graded
     // composites each paid 3 shuffle joins + a checkpoint + a count PER
@@ -368,7 +371,7 @@ object Dedup {
     // propagation only touches edge-incident nodes; everything else is
     // trivially its own singleton cluster and joins back at the end
     var labels = edges.select(col("src").as(idCol)).distinct()
-      .select(col(idCol), col(idCol).as("cluster_id")).localCheckpoint(true)
+      .select(col(idCol), col(idCol).as("cluster_id")).pinCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -398,7 +401,7 @@ object Dedup {
           .select(col(idCol), col("old"),
             coalesce(col("__hop"), col("mid")).as("cluster_id"))
       }
-      val next = jumped.localCheckpoint(true)
+      val next = jumped.pinCheckpoint()
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       // free the superseded generation's blocks now that `next` is
       // materialized: live storage stays O(1) label generations instead
@@ -578,7 +581,7 @@ object Dedup {
     val filtered = (if (maxDf == Long.MaxValue) sh else {
       val df = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
       sh.join(df.filter(col("df") <= maxDf), "sh_h").select(col(idCol), col("sh_h"))
-    }).localCheckpoint(true) // feeds ordering, prefixes, AND verify — compute once
+    }).pinCheckpoint() // feeds ordering, prefixes, AND verify — compute once
     val dfs = filtered.groupBy("sh_h").agg(count(lit(1)).as("df"))
     // per-doc rarest-first ordering; prefix length relaxed by 1e-9 so a
     // float ceil landing one above the true rational can only ADD a slot
@@ -627,8 +630,8 @@ object Dedup {
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // each side's shingles feed both the signature chain and the verify
     // join — materialize once per side
-    val shC = shingleRows(corpus, k, textCol, idCol).localCheckpoint(true)
-    val shB = shingleRows(batch, k, textCol, idCol).localCheckpoint(true)
+    val shC = shingleRows(corpus, k, textCol, idCol).pinCheckpoint()
+    val shB = shingleRows(batch, k, textCol, idCol).pinCheckpoint()
     def bandSide(sh: DataFrame, out: String) = {
       val sig = minhashAggFromShingles(sh, numHashes, baseHash, idCol)
         .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
@@ -822,19 +825,19 @@ object Dedup {
         val next = paired0
           .select(col(idCol), col("pos"), col("n_toks"),
             (col("__r1") * b + col("__r2")).as("rank"))
-          .localCheckpoint(true)
+          .pinCheckpoint()
         (next, None)
       case _ =>
         // paired feeds BOTH the class table and the final join — without
         // a checkpoint the live subtree doubles per round (2^rounds plan
         // copies by the last doubling)
-        val paired = paired0.localCheckpoint(true)
+        val paired = paired0.pinCheckpoint()
         val classes = orderedDenseRank(
           paired.select(col("__r1"), col("__r2")).distinct(),
           Seq(col("__r1"), col("__r2")), "__nr")
         val next = paired.join(classes, Seq("__r1", "__r2"))
           .select(col(idCol), col("pos"), col("n_toks"), col("__nr").as("rank"))
-          .localCheckpoint(true)
+          .pinCheckpoint()
         org.apache.spark.sql.graft.bridge.freeCheckpoint(paired)
         val k = next.agg(max(col("rank"))).head() match {
           case r if r.isNullAt(0) => 0L
@@ -885,7 +888,7 @@ object Dedup {
     // checkpoints are freed once the round's result has materialized.
     var ranked = toks.join(vocabRanks, "__tok")
       .select(col(idCol), col("pos"), col("n_toks"), col("__r").as("rank"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     var denseK: Option[Long] = Some(ranked.agg(max(col("rank"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
@@ -935,7 +938,7 @@ object Dedup {
       toks.select(col("__tok")).distinct(), Seq(col("__tok")), "__r")
     var ranked = toks.join(vocabRanks, "__tok")
       .select(col(idCol), col("pos"), col("n_toks"), col("__r").as("rank"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val maxLen = ranked.agg(max(col("n_toks"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
@@ -1010,7 +1013,7 @@ object Dedup {
     val sa = orderedDenseRank(
       full.select(col(idCol), col("pos"), col("n_toks"), col("rank")),
       Seq(col("rank"), col(idCol), col("pos")), "__sa")
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val a = sa.select(col(idCol).as("__ida"), col("pos").as("__pa"),
       col("n_toks").as("__na"), (col("__sa") + 1).as("__nx"))
     val b = sa.select(col(idCol).as("__idb"), col("pos").as("__pb"),
@@ -1046,7 +1049,7 @@ object Dedup {
             .otherwise(col("__lcp")))
         .drop("__qa", "__qb", "__ra", "__rb")
     }
-    pairs = pairs.localCheckpoint(true)
+    pairs = pairs.pinCheckpoint()
     // the descent is done — release the retained ladder and the order
     levels.foreach { case (_, lvl) =>
       org.apache.spark.sql.graft.bridge.freeCheckpoint(lvl) }

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Iterative link-analysis over a token co-occurrence graph — PageRank as
   * the representative distributed graph computation (the same join-
   * aggregate round shape serves label propagation, HITS, or any
@@ -14,7 +16,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: each round is ONE equi-join (ranks ⋈ edges on `src`) and
   * ONE `groupBy(dst)` sum — node-keyed shuffles only, never an all-pairs
   * form; this is the canonical cluster PageRank. Edges (with their
-  * precomputed out-weight) are materialized once via `localCheckpoint` so
+  * precomputed out-weight) are materialized once via `Checkpoints.pin`
+  * (local blocks by default; a reliable checkpoint dir under
+  * `spark.graft.checkpointDir` for cluster fault-tolerance) so
   * the token stream is scanned a single time no matter how many rounds
   * run, and the rank vector the rounds iterate over is one row per node.
   * The iteration count is FIXED (no convergence `count()` per round), so
@@ -55,10 +59,10 @@ object Graph {
     // One materialization: rounds re-read block-manager rows, not the
     // token stream; also cuts the per-round lineage (the Dedup.clusters
     // convention for iterative plans).
-    val edgesW = edges.join(outW, "src").localCheckpoint()
+    val edgesW = edges.join(outW, "src").pinCheckpoint(eager = false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().pinCheckpoint(eager = false)
     val n = nodes.count() // driver scalar: node count (metadata-scale)
     if (n == 0) // empty edge set: empty result with the right shape
       return nodes.select(col("node"), lit(0L).as("rank_scaled"))
@@ -84,7 +88,7 @@ object Graph {
       // never `ranks` itself, keeps the shared nodes/edgesW checkpoints
       // that appear in the rank plan's leaves untouched).
       if (i % 10 == 0 && i < iters) {
-        val cp = ranks.localCheckpoint(true)
+        val cp = ranks.pinCheckpoint()
         if (lastRanksCp != null) org.apache.spark.sql.graft.bridge.freeCheckpoint(lastRanksCp)
         lastRanksCp = cp
         ranks = cp
@@ -148,10 +152,10 @@ object Graph {
     // both directions for propagation; one materialization feeds every round
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .pinCheckpoint(eager = false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().pinCheckpoint(eager = false)
     var labels = nodes.select(col("node"), col("node").as("label"))
     var lastCp: DataFrame = null
     for (i <- 1 to iters) {
@@ -162,7 +166,7 @@ object Graph {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // same O(1)-generations checkpoint rotation as pageRank
       if (i % 10 == 0 && i < iters) {
-        val cp = labels.localCheckpoint(true)
+        val cp = labels.pinCheckpoint()
         if (lastCp != null) org.apache.spark.sql.graft.bridge.freeCheckpoint(lastCp)
         lastCp = cp
         labels = cp
@@ -195,7 +199,7 @@ object Graph {
     var f = nodes.select(col("id"),
         coalesce(col("parent"), col("id")).as("ptr"),
         when(col("parent").isNull, 0L).otherwise(1L).as("steps"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     var lastCp = f
     for (_ <- 1 to rounds) {
       val g = f.select(col("id").as("gid"), col("ptr").as("gptr"),
@@ -208,7 +212,7 @@ object Graph {
       val next = f.join(g, f("ptr") === g("gid"), "left")
         .select(f("id"), coalesce(col("gptr"), f("ptr")).as("ptr"),
           (f("steps") + coalesce(col("gsteps"), lit(0L))).as("steps"))
-        .localCheckpoint(true)
+        .pinCheckpoint()
       org.apache.spark.sql.graft.bridge.freeCheckpoint(lastCp)
       lastCp = next
       f = next
@@ -290,7 +294,7 @@ object Graph {
     * agreement IS the correctness argument).
     * Columns: (node, n_triangles), top `k` by count desc, node asc. */
   def triangleCounts(edges: DataFrame, k: Int = 20): DataFrame = {
-    val und = undirectedEdges(edges).localCheckpoint(true)
+    val und = undirectedEdges(edges).pinCheckpoint()
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     // rank = (degree, node); orient low -> high. Carrying the dst rank
@@ -304,7 +308,7 @@ object Graph {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddst")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddst").as("ddst"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     // `und` fed degrees + orientation, both now folded into `oriented`'s
     // materialized blocks — release it rather than pinning a dead
     // generation per invocation (the result plan reads only `oriented`)
