@@ -1038,6 +1038,11 @@ object SparkEntry {
     // returns the row-level diff between two committed versions
     "lake_sql_cdf" -> ((s, d) =>
       sources.GraftLakeCatalog.sqlCdfQuery(s, d)),
+    // bucketed tables through the TRANSACTIONAL connector: bucket ids
+    // in the log, KeyGroupedPartitioning reported, storage-partitioned
+    // join with zero join-key Exchange (asserted in-query)
+    "lake_txn_bucket_join" -> ((s, d) =>
+      sources.GraftLakeCatalog.sqlBucketJoinQuery(s, d)),
     // readStream.table through the catalog: same micro-batch stream as
     // the path API, restart-resume over one checkpoint
     "stream_lake_catalog" -> ((s, d) =>
@@ -3253,6 +3258,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 13 = 0)
         |ORDER BY doc_id""".stripMargin,
+    // the transactional bucketed join shares the path-based bucketed
+    // join's ground truth — one oracle, two layouts
+    "lake_txn_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the SQL feed shares lake_txn_cdf's ground truth, keys surfaced
     // under the procedure's generic `key` column
     "lake_sql_cdf" ->

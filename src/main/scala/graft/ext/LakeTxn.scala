@@ -77,7 +77,8 @@ object LakeTxn {
                           bloomCol: String = null, bloom: String = null,
                           pvCol: String = null, pvValue: String = null,
                           sx: String = null, bytes: Long = -1L,
-                          refs: String = null)
+                          refs: String = null,
+                          bkCol: String = null, bkN: Long = 0L, bkId: Long = -1L)
 
   /** A pinned snapshot: the live DATA add actions (file + rows +
     * optional skipping stats), the live deletion vectors, the
@@ -241,7 +242,9 @@ object LakeTxn {
       """(?:,"bc":"([^"]+)","bloom":"([A-Za-z0-9+/=]+)")?""" +
       """(?:,"sx":"([A-Za-z0-9+/=]+)")?""" +
       """(?:,"pc":"([^"]+)","pv(64)?":"([^"]*)")?""" +
-      """(?:,"dr":"([A-Za-z0-9+/=]*)")?""" + UnknownFieldTail + """\}""").r
+      """(?:,"dr":"([A-Za-z0-9+/=]*)")?""" +
+      """(?:,"bkc":"([^"]+)","bkn":(\d+),"bki":(\d+))?""" +
+      UnknownFieldTail + """\}""").r
   private val TxnRe =
     ("""\{"a":"txn","app":"([^"]+)","id":(\d+)""" + UnknownFieldTail + """\}""").r
 
@@ -274,7 +277,14 @@ object LakeTxn {
       val kind = if (a.dv) "dv" else if (a.schema) "schema" else "add"
       val by = if (a.bytes >= 0) s""","b":${a.bytes}""" else ""
       val dr = if (a.refs != null) s""","dr":"${a.refs}"""" else ""
-      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$by$stats$stats2$bl$sxs$pv$dr}"""
+      val bk =
+        if (a.bkCol == null) ""
+        else {
+          require(!a.bkCol.exists(ch => ch == '"' || ch == '\\' || ch < ' '),
+            s"bucket column name '${a.bkCol}' contains JSON-breaking characters")
+          s""","bkc":"${a.bkCol}","bkn":${a.bkN},"bki":${a.bkId}"""
+        }
+      s"""{"a":"$kind","f":"${a.file}","rows":${a.rows}$by$stats$stats2$bl$sxs$pv$dr$bk}"""
     } else s"""{"a":"remove","f":"${a.file}"}"""
 
   private def readFileText(fs: FileSystem, p: Path): String = {
@@ -316,7 +326,8 @@ object LakeTxn {
     val txns = Seq.newBuilder[(String, Long)]
     val govs = Seq.newBuilder[Gov]
     body.split("\n").iterator.filter(_.nonEmpty).foreach {
-      case ActionRe(a, f, rows, by, c, mn, mx, c2, mn2, mx2, bc, bl, sxs, pc, pv64, pvv, dr) =>
+      case ActionRe(a, f, rows, by, c, mn, mx, c2, mn2, mx2, bc, bl, sxs, pc, pv64, pvv,
+                    dr, bkc, bkn, bki) =>
         acts += Action(a != "remove", f, if (rows == null) 0L else rows.toLong,
           statsCol = c,
           lo = if (mn == null) 0L else mn.toLong,
@@ -335,7 +346,9 @@ object LakeTxn {
               new String(java.util.Base64.getDecoder.decode(pvv), UTF_8)
             else pvv,
           sx = sxs, bytes = if (by == null) -1L else by.toLong,
-          refs = dr)
+          refs = dr, bkCol = bkc,
+          bkN = if (bkn == null) 0L else bkn.toLong,
+          bkId = if (bki == null) -1L else bki.toLong)
       case TxnRe(app, id) => txns += ((app, id.toLong))
       case ConstraintRe(name, b64) => govs += GovConstraint(name,
         new String(java.util.Base64.getDecoder.decode(b64), UTF_8))
@@ -1713,6 +1726,81 @@ object LakeTxn {
     val df = scanWithDvs(spark, table, snap, keep.map(_.file))
       .filter(col(keyCol).isin(keys: _*))
     (df, keep.size, snap.adds.size)
+  }
+
+  // ------------------------------------------------------------------
+  // bucket layout recorded in the log (storage-partitioned joins)
+  // ------------------------------------------------------------------
+
+  /** The engine's bucket function over BIGINT keys: Spark's Murmur3
+    * (seed 42 — exactly `hash(col)` for a LongType) floor-modded by n.
+    * Evaluated bit-identically on the WRITE side (the staging
+    * expression below), by the catalog's V2 FUNCTION (storage-
+    * partitioned-join resolution), and in specs — the identity of this
+    * function across writers IS the co-location contract. */
+  private[graft] def bucketId(key: Long, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(key, 42)
+    ((h % n) + n) % n
+  }
+
+  /** BUCKETED append: rows hash-route to `nBuckets` buckets by
+    * `pmod(hash(key), n)` and stage one file per non-empty bucket with
+    * the bucket id stamped on its add action (`"bkc"/"bkn"/"bki"`,
+    * advisory fields — non-bucket-aware engines read the table
+    * unchanged, they just shuffle when joining). The V2 scan of a
+    * uniformly bucketed table then reports
+    * `KeyGroupedPartitioning(bucket(n, key))`, and two lake tables
+    * bucketed the same way JOIN WITH ZERO EXCHANGE (Spark's
+    * storage-partitioned join aligns equal bucket ids) — at 100 TB the
+    * fact-fact join's shuffle is paid ONCE at write time and amortized
+    * over every later join on the key. BIGINT NOT NULL keys only,
+    * enforced loudly: a narrower type or a NULL would hash differently
+    * than the join-time bucket function and silently mis-collocate. */
+  def appendCommitBucketed(spark: SparkSession, df: DataFrame, table: String,
+                           keyCol: String, nBuckets: Int): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.LongType,
+      s"bucket key '$keyCol' must be BIGINT (is " +
+        s"${df.schema(keyCol).dataType.simpleString}): the write-side hash " +
+        s"and the join-time bucket function must agree bit-for-bit")
+    require(df.filter(col(keyCol).isNull).isEmpty,
+      s"bucket key '$keyCol' must not contain NULLs (a null row has no bucket)")
+    enforceConstraints(spark, df, table) // custom staging path: enforce here
+    val root = new Path(table)
+    val fs = fsOf(spark, root)
+    val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val tmp = new Path(root, s".stage-$batch")
+    // repartition BY the bucket value: every bucket's rows land in one
+    // task, so the hive staging writes exactly one file per non-empty
+    // bucket; the synthetic __bucket column physically leaves the files
+    df.withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(tmp.toString)
+    fs.mkdirs(new Path(root, "data"))
+    val BucketDir = """__bucket=(\d+)""".r
+    var i = 0
+    val adds = Seq.newBuilder[Action]
+    fs.listStatus(tmp).filter(_.isDirectory).sortBy(_.getPath.getName).foreach { d =>
+      val id = d.getPath.getName match {
+        case BucketDir(v) => v.toInt
+        case other => throw new IllegalStateException(
+          s"unexpected staging entry '$other' (wanted __bucket=<id>)")
+      }
+      fs.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).foreach { s =>
+          val rel = s"data/$batch-$i.parquet"
+          require(fs.rename(s.getPath, new Path(root, rel)),
+            s"failed to stage ${s.getPath} as $rel")
+          adds += footerAction(spark, root, rel, null)
+            .copy(bkCol = keyCol, bkN = nBuckets.toLong, bkId = id.toLong)
+          i += 1
+        }
+    }
+    fs.delete(tmp, true)
+    val staged = adds.result()
+    require(staged.nonEmpty, "empty bucketed append")
+    commit(spark, table, staged, Nil)
   }
 
   // ------------------------------------------------------------------

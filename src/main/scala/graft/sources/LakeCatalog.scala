@@ -439,10 +439,105 @@ object GraftLakeCatalog {
       spark.sql(s"CALL $cat.system.table_changes('db.docs', 1, 2)")
     }
   }
+
+  /** lake_txn_bucket_join: the co-located fact join THROUGH the
+    * transactional connector — both tables land bucket-stamped in the
+    * commit log (`appendCommitBucketed`: one file per bucket,
+    * `pmod(hash(key), 8)`), the catalog's V2 `bucket` function
+    * completes the storage-partitioned-join handshake, and the two
+    * scans join with NO join-key Exchange (asserted in-query: a
+    * shuffle on either key means the write-once bucketing bought
+    * nothing — at 100 TB that shuffle is the dominant cost this layout
+    * exists to delete). Same oracle as the path-based
+    * `lake_bucket_join` — one ground truth, two engines. */
+  def sqlBucketJoinQuery(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = LakeTxn.freshTable(spark, sfDir, "sqlbkt")
+    withNonceCatalog(spark, wh, "glakebj") { cat =>
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        spark.sql(s"CREATE TABLE $cat.db.bo (o_orderkey BIGINT, " +
+          s"o_custkey BIGINT, o_totalprice DOUBLE) USING `graft-lake`")
+        spark.sql(s"CREATE TABLE $cat.db.bc (c_custkey BIGINT, " +
+          s"c_mktsegment STRING) USING `graft-lake`")
+        LakeTxn.appendCommitBucketed(spark,
+          graft.Tables.orders(spark, sfDir)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          s"$wh/db/bo", "o_custkey", nBuckets = 8)
+        LakeTxn.appendCommitBucketed(spark,
+          graft.Tables.customer(spark, sfDir)
+            .select("c_custkey", "c_mktsegment"),
+          s"$wh/db/bc", "c_custkey", nBuckets = 8)
+        val joined = spark.table(s"$cat.db.bo").hint("merge")
+          .join(spark.table(s"$cat.db.bc"),
+            col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("hashpartitioning(o_custkey") &&
+          !plan.contains("hashpartitioning(c_custkey"),
+          s"bucketed lake join planned a join-key exchange:\n${plan.take(2000)}")
+        joined.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(graft.rel.Relational.cents(col("o_totalprice"))).as("revenue_cents"))
+          .orderBy("c_mktsegment")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+}
+
+/** The catalog's ONE V2 function: `bucket(n, key)` — the bound form of
+  * the bucket transform a bucketed lake scan reports. Spark's
+  * storage-partitioned join resolves the transform through the table's
+  * FunctionCatalog and matches the two sides by `canonicalName`, so
+  * exposing this is what turns two same-bucketed lake scans into a
+  * zero-Exchange join. Evaluation is bit-identical to the write side
+  * ([[LakeTxn.bucketId]]). */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft-lake bucket(n, key): pmod(murmur3(key), n) over BIGINT keys"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(1).dataType == LongType,
+      s"bucket binds (INT n, BIGINT key); got ${inputType.simpleString}")
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+        Array(org.apache.spark.sql.types.IntegerType, LongType)
+      override def resultType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft-lake.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer =
+        Integer.valueOf(LakeTxn.bucketId(input.getLong(1), input.getInt(0)))
+    }
+  }
 }
 
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The SPJ handshake ([[GraftBucketFunction]]): Spark resolves a
+    * reported bucket transform via `loadFunction(Identifier([], name))`
+    * against the scan's owning catalog. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new IllegalArgumentException(
+      s"no function '${ident.name}' (graft-lake exposes: bucket)")
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -519,10 +519,19 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
       }
 
       private def buildFileScan(): Scan = new Scan
-          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
         override def readSchema(): StructType = required
         override def description(): String =
           s"graft-lake `$tablePath` pushed=[${pushed.mkString(", ")}]"
+
+        /** ONE batch per scan: `outputPartitioning` and
+          * `planInputPartitions` must describe the same plan. */
+        private lazy val batch =
+          new LakeBatch(tablePath, required, pushed, effectiveVersion, limitRows)
+
+        override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+          batch.reportedPartitioning
 
         /** Table statistics from the LOG (post-prune): row counts and
           * file bytes fold from the add actions Catalyst's pushed
@@ -569,8 +578,7 @@ final class LakeStreamTable(tablePath: String, tableSchema: StructType,
             maxFilesPerBatch =
               Option(options.get("maxFilesPerBatch")).map(_.toInt))
         }
-        override def toBatch(): Batch =
-          new LakeBatch(tablePath, required, pushed, effectiveVersion, limitRows)
+        override def toBatch(): Batch = batch
       }
     }
 }
@@ -953,7 +961,7 @@ final class LakeBatch(table: String, schema: StructType,
   /** ONE pinned plan per Batch instance (lazy val): repeated
     * planInputPartitions/createReaderFactory calls must agree on the
     * file list AND on the row-vs-columnar decision. */
-  private lazy val parts: Array[LakeInputPartition] = {
+  private lazy val planned: (Array[LakeInputPartition], Option[(String, Int)]) = {
     val spark = SparkSession.active
     val snap = LakeTxn.snapshot(spark, table, versionAsOf)
     val deletedByFile = LakeDv.load(spark, table, snap)
@@ -971,15 +979,56 @@ final class LakeBatch(table: String, schema: StructType,
         kept1.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
       case _ => kept1
     }
-    kept.map { a =>
+    // UNIFORM bucket layout over the kept files (every file stamped
+    // with the same (key, n) and a bucket id, the key still in the
+    // scan schema, no pushed limit — a bucket prefix is not a row
+    // prefix): the scan can then report KeyGroupedPartitioning and a
+    // same-bucketed join plans with zero Exchange
+    val spec: Option[(String, Int)] =
+      kept.map(a => Option(a.bkCol)).distinct match {
+        case Seq(Some(c))
+          if kept.forall(a => a.bkId >= 0) &&
+            kept.map(_.bkN).distinct.sizeIs == 1 &&
+            schema.fieldNames.contains(c) && limitRows.isEmpty =>
+          Some((c, kept.head.bkN.toInt))
+        case _ => None
+      }
+    (kept.map { a =>
       val base = a.file.substring(a.file.lastIndexOf('/') + 1)
       LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
-        deletedByFile.getOrElse(base, Array.emptyLongArray), relFile = a.file)
-    }.toArray
+        deletedByFile.getOrElse(base, Array.emptyLongArray), relFile = a.file,
+        bkId = a.bkId)
+    }.toArray, spec)
   }
 
+  private lazy val parts: Array[LakeInputPartition] = planned._1
+
+  /** Bucket-id-grouped partitions when the kept layout is uniformly
+    * bucketed (one InputPartition per bucket, `HasPartitionKey` = the
+    * id); None → per-file partitions. */
+  private lazy val grouped: Option[Array[LakeBucketPartition]] =
+    planned._2.map { _ =>
+      parts.groupBy(_.bkId).toSeq.sortBy(_._1)
+        .map { case (id, fs) => LakeBucketPartition(fs, id.toInt) }.toArray
+    }
+
+  /** What the scan advertises through `SupportsReportPartitioning`:
+    * `KeyGroupedPartitioning(bucket(n, key))` over the bucket groups
+    * when uniformly bucketed (the storage-partitioned-join handshake),
+    * else unknown. */
+  private[sources] def reportedPartitioning: org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    planned._2 match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          grouped.get.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(parts.length)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    parts.toArray[InputPartition]
+    grouped.map(_.toArray[InputPartition])
+      .getOrElse(parts.toArray[InputPartition])
 
   /** COLUMNAR when every planned partition can emit the scan schema as
     * vectorized batches: atomic types — INCLUDING files with live
@@ -1145,7 +1194,8 @@ final case class LakeInputPartition(absPath: String, rows: Long,
                                     pvCol: String = null,
                                     pvValue: String = null,
                                     deleted: Array[Long] = Array.emptyLongArray,
-                                    relFile: String = null)
+                                    relFile: String = null,
+                                    bkId: Long = -1L)
     extends InputPartition {
   /** The constant columns this partition's reader must inject for a
     * given scan schema: the partition value and/or `_file`. */
@@ -1154,6 +1204,20 @@ final case class LakeInputPartition(absPath: String, rows: Long,
       Seq(pvCol -> pvValue) else Nil) ++
       (if (relFile != null && schema.fieldNames.contains("_file"))
         Seq("_file" -> relFile) else Nil)
+}
+
+/** ONE BUCKET of a bucketed lake table: all the bucket's files as one
+  * input partition, keyed by the bucket id — the `HasPartitionKey`
+  * contract `KeyGroupedPartitioning` grouping requires. Spark's
+  * storage-partitioned join aligns two scans' partitions by these key
+  * rows, which is what lets two same-bucketed tables join with zero
+  * Exchange. */
+final case class LakeBucketPartition(files: Array[LakeInputPartition],
+                                     bucketId: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
 }
 
 /** `conf` is the DRIVER's session Hadoop configuration shipped to the
@@ -1171,20 +1235,52 @@ final class LakeReaderFactory(schemaJson: String,
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
-  override def createColumnarReader(
-      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[LakeInputPartition]
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new LakeColumnarReader(p.absPath, schema, p.injectedFor(schema),
-      pushed, conf.value, p.deleted)
+  /** Sequential concatenation of per-file readers — a bucket partition
+    * is its files read back to back (readers open lazily: one file's
+    * resources live at a time). */
+  private final class ConcatReader[T](files: Array[LakeInputPartition],
+                                      mk: LakeInputPartition => PartitionReader[T])
+      extends PartitionReader[T] {
+    private var i = -1
+    private var cur: PartitionReader[T] = null
+    override def next(): Boolean = {
+      while (true) {
+        if (cur != null) {
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        i += 1
+        if (i >= files.length) return false
+        cur = mk(files(i))
+      }
+      false // unreachable
+    }
+    override def get(): T = cur.get()
+    override def close(): Unit = if (cur != null) { cur.close(); cur = null }
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LakeInputPartition]
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new LakeFileReader(p.absPath, schema, p.injectedFor(schema),
-      p.deleted, conf.value)
-  }
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case b: LakeBucketPartition =>
+        new ConcatReader(b.files, createColumnarReader)
+      case _ =>
+        val p = partition.asInstanceOf[LakeInputPartition]
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        new LakeColumnarReader(p.absPath, schema, p.injectedFor(schema),
+          pushed, conf.value, p.deleted)
+    }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case b: LakeBucketPartition =>
+        new ConcatReader(b.files, createReader)
+      case _ =>
+        val p = partition.asInstanceOf[LakeInputPartition]
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        new LakeFileReader(p.absPath, schema, p.injectedFor(schema),
+          p.deleted, conf.value)
+    }
 }
 
 object LakeColumnarReader {
