@@ -149,6 +149,8 @@ object Plans {
     "stream_lake_catalog" -> "readStream.table resolves the catalog to the SAME V2 MicroBatchStream as the path API (offsets = log versions, one commit per batch); the graded read is the complete-mode memory state — restart-resume is checkpoint offsets, not plan shape",
     "lake_sql_insert_overwrite" -> "INSERT OVERWRITE ... PARTITION (pc='v') is ONE atomic scoped remove+add commit: the replacement stages per-value files (the column physically absent), scope-validates against the writer-recorded values, and removes exactly the named partition's files — every other partition's files are untouched survivors; the graded read is the plain partition-aware scan + presentation sort",
     "lake_txn_cdc_mor" -> "the MERGE-ON-READ CDC apply (Delta's low-shuffle-merge shape): matched keys tombstone via a deletion vector (broadcast key semi-join over the MoR scan), upserts append — ONE commit, ZERO data files removed, Θ(changes) write cost at any table size; the graded read is the DV-masked columnar scan + presentation sort",
+    "lake_txn_bucket_join" -> "storage-partitioned join through the log: both scans report KeyGroupedPartitioning(bucket(8, key)) from log-recorded bucket ids, the catalog's V2 bucket function completes the handshake, and the SortMergeJoin runs with NO Exchange on either join key — the write-once shuffle the bucketed layout exists to amortize",
+    "lake_sql_cdf" -> "CALL table_changes(from, to): the diff computes as ONE full-outer equi-join of two pinned snapshot scans on the key (text reduced to sha256 at the scan), served through the procedure's LocalScan — driver-local rows by the CALL contract, the distributed path stays snapshotDiff",
   )
 
   def main(args: Array[String]): Unit = {
