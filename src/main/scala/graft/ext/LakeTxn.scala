@@ -796,25 +796,43 @@ object LakeTxn {
     * aborts (never a silent lost update), interleaved appends commute.
     * CHECK constraints validate the staged content first; a
     * delete-everything rewrite may stage nothing (pure remove). */
-  /** DV files whose EVERY referenced data-file basename is in
-    * `removedBase`: once those data files unpin, such a vector is dead
-    * weight that keeps `snap.dvs` nonEmpty forever — permanently
-    * demoting aggregate pushdown and inflating every later scan's DV
-    * work. Reading each vector is a driver-scale parquet read (vectors
-    * are small by the MoR contract); a vector still referencing ANY
-    * surviving file stays, its tombstones are live. */
-  private def dvsFullyCovered(spark: SparkSession, table: String,
-                              dvs: Seq[Action],
-                              removedBase: Set[String]): Seq[String] =
-    if (dvs.isEmpty || removedBase.isEmpty) Nil
-    else dvs.filter { a =>
-      // log-only fast path when the add action recorded its refs; the
-      // parquet read survives for pre-`dr` logs
-      val refs = decodeDvRefs(a).getOrElse(
-        spark.read.parquet(s"$table/${a.file}")
-          .select("__dv_file").distinct().collect().map(_.getString(0)).toSeq)
-      refs.nonEmpty && refs.forall(removedBase)
-    }.map(_.file)
+  /** Deletion-vector bookkeeping for a commit removing `removedBase`:
+    * a vector referencing ONLY removed files unpins (the rewrite
+    * materialized its tombstones — keeping it would demote aggregate
+    * pushdown and inflate every later scan forever), and a PARTIALLY-
+    * covered vector SHRINKS — its surviving positions restage as a
+    * fresh vector (refs updated) and the stale original unpins — so NO
+    * live vector ever references a removed file. That keeps the
+    * log-only exactness invariant (`LakeDv.rawRowsExact`) alive across
+    * copy-on-write rewrites: the pushed COUNT(*) stays on the raw-sum
+    * fast path and no reader ever carries stale positions. Refs come
+    * from the log when recorded (`"dr"`); reading a vector is a
+    * driver-scale parquet read (small by the MoR contract). Returns
+    * (shrunk vector adds, vector removes) for the SAME atomic commit. */
+  private def rewriteDvs(spark: SparkSession, table: String,
+                         dvs: Seq[Action],
+                         removedBase: Set[String]): (Seq[Action], Seq[String]) =
+    if (dvs.isEmpty || removedBase.isEmpty) (Nil, Nil)
+    else {
+      val adds = Seq.newBuilder[Action]
+      val removes = Seq.newBuilder[String]
+      dvs.foreach { a =>
+        val refs = decodeDvRefs(a).getOrElse(
+          spark.read.parquet(s"$table/${a.file}")
+            .select("__dv_file").distinct().collect().map(_.getString(0)).toSeq)
+        if (refs.exists(removedBase)) {
+          removes += a.file
+          val surviving = refs.filterNot(removedBase)
+          if (surviving.nonEmpty)
+            adds ++= stageDv(spark,
+              spark.read.parquet(s"$table/${a.file}")
+                .filter(col("__dv_file").isin(surviving: _*))
+                .select(col("__dv_file"), col("__dv_pos"))
+                .repartition(1), table)
+        }
+      }
+      (adds.result(), removes.result())
+    }
 
   private[graft] def baseName(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
@@ -846,9 +864,9 @@ object LakeTxn {
         }
       }
       // a rewrite MATERIALIZES the deletion vectors its scan applied:
-      // vectors referencing only replaced files also unpin (leaving
-      // them would disable pushdown/columnar paths forever)
-      val deadDvs = dvsFullyCovered(spark, table, snap.dvs,
+      // fully-covered vectors unpin, partially-covered ones shrink —
+      // after this commit no live vector references a removed file
+      val (dvAdds, dvRemoves) = rewriteDvs(spark, table, snap.dvs,
         removes.map(baseName).toSet)
       val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       fs.mkdirs(new Path(root, "data"))
@@ -867,7 +885,9 @@ object LakeTxn {
                 s"staged rewrite file $orig of partitioned $table carries " +
                   s"no partition value")))
       }
-      commitAt(spark, table, readVersion, adds, removes ++ deadDvs)
+      try commitAt(spark, table, readVersion, adds ++ dvAdds,
+        removes ++ dvRemoves)
+      catch { case t: Throwable => dropAdds(spark, table, dvAdds); throw t }
     } catch {
       case t: Throwable => dropStaged(); throw t
     }
@@ -922,8 +942,9 @@ object LakeTxn {
           s"CHECK constraint '$name' ($e) violated by the overwrite of " +
             s"$table — staged files deleted, nothing committed")
       }
-      val (removes, stampPv) = scope match {
-        case None => (snap.files ++ snap.dvs.map(_.file), None)
+      val (removes, shrunkDvs, stampPv) = scope match {
+        case None =>
+          (snap.files ++ snap.dvs.map(_.file), Seq.empty[Action], None)
         case Some((pc, values)) =>
           val unpartitioned = snap.adds.filter(_.pvCol != pc)
           require(unpartitioned.isEmpty,
@@ -950,9 +971,10 @@ object LakeTxn {
                 s"the replacement rows reach outside the scope — nothing committed")
           }
           val doomed = snap.adds.filter(a => values.contains(a.pvValue)).map(_.file)
-          // vectors referencing only replaced files also unpin
-          (doomed ++ dvsFullyCovered(spark, table, snap.dvs,
-            doomed.map(baseName).toSet),
+          // fully-covered vectors unpin, partially-covered ones shrink
+          val (dvAdds, dvRemoves) = rewriteDvs(spark, table, snap.dvs,
+            doomed.map(baseName).toSet)
+          (doomed ++ dvRemoves, dvAdds,
             if (values.size == 1) Some((pc, values.head)) else None)
       }
       val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
@@ -972,10 +994,10 @@ object LakeTxn {
       }
       val latest = listVersions(spark, table).lastOption.getOrElse(-1L)
       if (latest != readVersion || !tryPublish(spark, table, readVersion + 1,
-        adds, removes)) {
+        adds ++ shrunkDvs, removes)) {
         // the replacement files are published-but-unpinned: delete them
         // here (they are known and invisible) rather than leak to vacuum
-        adds.foreach(a => fs.delete(new Path(root, a.file), false))
+        (adds ++ shrunkDvs).foreach(a => fs.delete(new Path(root, a.file), false))
         throw new CommitConflictException(
           s"overwrite conflict in $table: the table advanced past read " +
             s"version $readVersion while the overwrite ran — a blind " +
@@ -1158,8 +1180,10 @@ object LakeTxn {
           }
           // budget re-check at the MOVED head: the writer's guard ran
           // against its own read version, but interleaved MoR commits
-          // may already have spent the tombstone budget
-          val headDvRows = snapshot(spark, table).dvs.map(_.rows).sum
+          // may already have spent the tombstone budget. Vectors THIS
+          // commit unpins (a rewrite's shrink/purge) do not count.
+          val headDvRows = snapshot(spark, table).dvs
+            .filterNot(a => removeSet.contains(a.file)).map(_.rows).sum
           val total = headDvRows + ourDvs.map(_.rows).sum
           if (total > dvBudget) throw new IllegalArgumentException(
             s"merge-on-read write refused at commit time: $table would carry " +
@@ -2357,12 +2381,17 @@ object LakeTxn {
     // optimistic CoW: carries the snapshot version it was computed from;
     // a conflicting interleaved rewrite of an affected file ABORTS the
     // merge (CommitConflictException) — never a silent lost update.
-    // Deletion vectors referencing only replaced files unpin too (the
-    // rewrite materialized them; leaving them would demote every later
-    // scan's pushdown/columnar path forever)
-    commitAt(spark, table, snap.version, stage(spark, replacement, table),
-      affected ++ dvsFullyCovered(spark, table, snap.dvs,
-        affected.map(baseName).toSet))
+    // Fully-covered deletion vectors unpin and partially-covered ones
+    // shrink in the same commit (the rewrite materialized their
+    // tombstones for the replaced files; a stale vector would demote
+    // pushdown and undercount the log-answered COUNT(*))
+    val (dvAdds, dvRemoves) = rewriteDvs(spark, table, snap.dvs,
+      affected.map(baseName).toSet)
+    val dataAdds = stage(spark, replacement, table)
+    try commitAt(spark, table, snap.version, dataAdds ++ dvAdds,
+      affected ++ dvRemoves)
+    catch { case t: Throwable =>
+      dropAdds(spark, table, dataAdds ++ dvAdds); throw t }
   }
 
   /** MERGE-ON-READ CDC apply — the write-cheap twin of [[applyChanges]]

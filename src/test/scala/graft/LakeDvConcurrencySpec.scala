@@ -151,22 +151,55 @@ class LakeDvConcurrencySpec extends SparkSpec {
     assert(snap.dvs.map(_.rows).sum === 50L)
   }
 
-  test("COUNT(*) stays exact when a rewrite strands stale DV positions") {
-    val t = freshDir("stale")
+  test("a rewrite SHRINKS a partially-covered vector (COUNT(*) stays on the fast path)") {
+    val t = freshDir("shrink")
     build2(t)
-    // one vector spanning BOTH files (repartition(1) in the writer)
+    // one vector spanning BOTH files (repartition(1) in the writer):
+    // k = 3,13,...,93 — 5 positions in each file
     LakeTxn.deleteWhereMor(spark, t, col("k") % 10 === 3L)
     assert(LakeTxn.snapshot(spark, t).dvs.size === 1)
     // copy-on-write upsert touching ONLY file A (k = 5 lives there):
-    // A is replaced, the vector survives (it still references B) and
-    // now carries 5 STALE positions into the removed A
+    // A is replaced, so the vector's A positions are stale — the same
+    // commit must shrink it down to its surviving B positions
     import spark.implicits._
     val changes = Seq((5L, 99999L, "upsert")).toDF("k", "v", "__op")
     LakeTxn.applyChanges(spark, t, changes, "k")
     val snap = LakeTxn.snapshot(spark, t)
-    assert(snap.dvs.size === 1, "the partially-covered vector must survive")
+    assert(snap.dvs.size === 1 && snap.dvs.head.rows === 5L,
+      "the partially-covered vector must shrink to its surviving positions")
+    val liveBase = snap.adds.map(a => LakeTxn.baseName(a.file)).toSet
+    assert(LakeTxn.decodeDvRefs(snap.dvs.head).exists(_.forall(liveBase)),
+      "no live vector may reference a removed file after the rewrite")
+    assert(LakeDv.rawRowsExact(snap, liveBase),
+      "shrinking must restore the raw-sum fast path")
+    val expected = LakeTxn.read(spark, t).count()
+    assert(expected === 90L)
+    val (n, plan) = pushedCount(t)
+    assert(plan.contains("answered from log"), plan.take(400))
+    assert(n === expected)
+  }
+
+  test("COUNT(*) stays exact over a FOREIGN log whose rewrite stranded stale positions") {
+    val t = freshDir("stale")
+    build2(t)
+    LakeTxn.deleteWhereMor(spark, t, col("k") % 10 === 3L)
+    val snap0 = LakeTxn.snapshot(spark, t)
+    assert(snap0.dvs.size === 1)
+    // simulate an engine WITHOUT the shrink discipline: replace file A
+    // (its 5 tombstoned rows materialized away, k=5 rewritten) but
+    // leave the vector whole — its A positions are now stale
+    val fileA = snap0.files.head
+    import spark.implicits._
+    val rewrittenA = spark.read.parquet(s"$t/$fileA")
+      .withColumn("v", when(col("k") === 5L, 99999L).otherwise(col("v")))
+      .filter(col("k") % 10 =!= 3L)
+    val staged = LakeTxn.stage(spark, rewrittenA.repartition(1), t)
+    LakeTxn.publish(spark, t, snap0.version + 1, staged, Seq(fileA))
+    val snap = LakeTxn.snapshot(spark, t)
+    assert(snap.dvs.size === 1 && snap.dvs.head.rows === 10L,
+      "the foreign rewrite leaves the whole vector live")
     // raw sums would lie: Σ adds = 95, Σ dv rows = 10, but only B's 5
-    // tombstones are live → the true count is 90
+    // tombstones reference live files → the true count is 90
     val expected = LakeTxn.read(spark, t).count()
     assert(expected === 90L)
     val (n, plan) = pushedCount(t)
