@@ -2,9 +2,10 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 
-/** The checkpoint strategy behind every ITERATIVE operator (PageRank,
-  * pointer-jumped components, the suffix-array ladder, BPE merges):
-  * each round pins its state so the next round's lineage stays flat.
+/** The checkpoint strategy behind the iterative and multi-consumer
+  * operators (PageRank, pointer-jumped components, the suffix-array
+  * ladder, LSH chains, streaming per-batch folds): each round pins its
+  * state so the next round's lineage stays flat.
   *
   * Two implementations, chosen per session by configuration:
   *  - default: `localCheckpoint(eager)` — executor block-manager
@@ -24,19 +25,26 @@ import org.apache.spark.sql.DataFrame
   *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have
   *    Spark delete them as references drop).
   *
-  * Session-conf keyed (not SparkContext-global) so concurrent suites /
-  * queries in one JVM choose independently. */
+  * The STRATEGY is session-conf keyed, but the reliable DIRECTORY is
+  * `SparkContext.setCheckpointDir` — GLOBAL to the JVM by Spark's own
+  * design. Sessions sharing one context must therefore point at the
+  * same scratch root (each `setCheckpointDir` call namespaces itself
+  * under a fresh UUID subdir, so writes never collide; what is shared
+  * is the root's lifetime — do not delete it while any session's
+  * pinned state is live). */
 object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"
+
+  /** The conf value the context's checkpoint dir was last set FROM —
+    * exact string equality, not substring: `/tmp/ckpt` changing to
+    * `/tmp/ck` must re-point the context. */
+  private val lastSetFrom = new java.util.concurrent.atomic.AtomicReference[String](null)
 
   def pin(df: DataFrame, eager: Boolean = true): DataFrame =
     df.sparkSession.conf.getOption(ConfKey) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir is mkdirs + assignment — cheap and
-        // idempotent; re-assert per pin so a conf change mid-session
-        // takes effect
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+        if (lastSetFrom.getAndSet(dir) != dir || sc.getCheckpointDir.isEmpty)
           sc.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

@@ -4,6 +4,8 @@ import graft.apps.WordCount
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Distributed BPE (byte-pair-encoding) tokenizer training — the step
   * that turns a cleaned corpus into the subword vocabulary a model
   * trains with (Sennrich et al. 2016).
@@ -191,7 +193,7 @@ object Bpe {
         cur = cur.withColumn("l", applyMerges(col("l"), rules))
         sinceCp += 1
         if (sinceCp == SegmentCheckpointEvery) {
-          val cp = cur.localCheckpoint(true)
+          val cp = cur.pinCheckpoint()
           if (lastCp != null) org.apache.spark.sql.graft.bridge.freeCheckpoint(lastCp)
           lastCp = cp
           cur = cp
@@ -244,7 +246,7 @@ object Bpe {
                              batch: Int): (Seq[Merge], DataFrame) = {
     require(merges >= 1, "need at least one merge")
     require(batch >= 1, "batch must be >= 1")
-    var words = words0.localCheckpoint(true)
+    var words = words0.pinCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     val scans = (merges + batch - 1) / batch
     val k = OverscanFactor * batch
@@ -266,7 +268,7 @@ object Bpe {
         // (plain Dataset.unpersist cannot release checkpoint blocks —
         // see bridge.freeCheckpoint)
         val next = words.withColumn("l",
-          applyMerges(col("l"), picked.map(p => (p._1, p._2)))).localCheckpoint(true)
+          applyMerges(col("l"), picked.map(p => (p._1, p._2)))).pinCheckpoint()
         org.apache.spark.sql.graft.bridge.freeCheckpoint(words)
         words = next
       }

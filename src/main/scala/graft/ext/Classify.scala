@@ -5,6 +5,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Multinomial Naive Bayes document classifier — the classic distributed
   * text classifier (language ID, quality tiers, topic routing), trained
   * and applied entirely as DataFrame aggregations. The reference engine's
@@ -50,7 +52,7 @@ object Classify {
     // normalizers, and the scoring join all branch off them) so the
     // corpus is tokenized a single time, not once per consumer.
     val cw = toks.groupBy("cls", "word").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     // Two driver scalars, both metadata-scale (one long each): |V| and N.
     val vocab = cw.select("word").distinct().count()
     val nDocsTotal = docs.count()
@@ -61,7 +63,7 @@ object Classify {
       lnS(col("t") + lit(vocab)).as("norm_scaled"))
     // Document term vectors (hash-keyed; the raw text never re-shuffles).
     val dtf = toks.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     // Every document scores, including zero-token ones (n_tokens = 0 →
     // score degenerates to the class prior, argmax = max-prior class).
     val dlen = docs.select(col(idCol))

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Data Selection with Importance Resampling (DSIR): score every raw
   * document by how much more likely its hashed-n-gram bag is under a
   * target-domain distribution than under the raw-corpus distribution,
@@ -77,7 +79,7 @@ object Dsir {
     // never re-hashing the corpus
     val perDocBucket = hashed.groupBy(col(idCol), col("is_target"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val bucketHist = perDocBucket.groupBy(col("bucket"))
       .agg(sum(col("n")).as("cr"),
         sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Classifier evaluation at corpus scale — the ROC curve and exact AUC of
   * a binary scorer, the graded quality report a pipeline needs before it
   * trusts a model-based filter (language detector, quality classifier) to
@@ -58,7 +60,7 @@ object Eval {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__ltp", sum(col("n_pos")).over(localW))
       .withColumn("__lfp", sum(col("n_neg")).over(localW))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val sizes = local.groupBy(col("__pid"))
       .agg(sum(col("n_pos")).as("__p"), sum(col("n_neg")).as("__n"))
     val offsets = sizes.as("x")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints.Pinnable
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.BinaryType
 
@@ -273,7 +275,7 @@ object Incremental {
           col("valid_to").cast("string"),
           lit(s" for $idCol="), col(idCol).cast("string"),
           lit(s" — newVersion $newVersion must be past every recorded run"))).cast("boolean")))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
       .otherwise(raise_error(concat(
         lit(s"extendHistory: illegal $opCol value '"),

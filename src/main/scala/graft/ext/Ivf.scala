@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** IVF-style approximate nearest neighbor: partition the corpus into
   * `nlist` Voronoi cells around k-means centroids, then search only the
   * `nprobe` cells nearest each query.
@@ -37,7 +39,7 @@ object Ivf {
                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] =
     trainCentroidsOn(embeddings
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint(true), nlist, iters, idCol)
+      .pinCheckpoint(), nlist, iters, idCol)
 
   /** Lloyd rounds over an ALREADY-MATERIALIZED (idCol, v: array<double>)
     * frame — callers that hold a checkpointed normalized corpus (the
@@ -214,7 +216,7 @@ object Ivf {
   private[ext] def snappedAssignment(embeddings: DataFrame, nlist: Int, iters: Int,
                                      idCol: String, vecCol: String): DataFrame = {
     val vecs = embeddings.select(col(idCol), snapVec(col(vecCol)).as("w"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     requireExactBound(vecs)
     val centroids = trainCentroidsSnapped(vecs, nlist, iters, idCol)
     // training is done with the checkpointed projection; the returned
@@ -258,7 +260,7 @@ object Ivf {
                      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = embeddings.select(col(idCol), snapVec(col(vecCol)).as("w"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     requireExactBound(vecs)
     val centroids = trainCentroidsSnapped(vecs, nlist, iters, idCol)
     org.apache.spark.sql.graft.bridge.freeCheckpoint(vecs)

@@ -162,17 +162,35 @@ object LakeTxn {
       .toSeq.sorted
   }
 
-  private val InCommitTsRe = """"tsMs":(\d+)""".r
+  /** Anchored to the END of the first line: [[tryPublish]] always
+    * stamps `,"tsMs":N` as the LAST field before the closing brace, so
+    * a foreign advisory object that happens to contain a `tsMs` key
+    * (which the widened unknown-field tolerance legitimizes) can never
+    * be mistaken for the publish stamp — an embedded object's digits
+    * are followed by `}}`, never by a lone line-final `}`. */
+  private val InCommitTsRe = ""","tsMs":(\d+)\}$""".r
+
+  /** The FIRST LINE of a file (capped — the stamp is always on line
+    * one by wire contract, so resolution never reads a whole
+    * many-thousand-action commit body). */
+  private def readFirstLine(fs: FileSystem, p: Path,
+                            cap: Int = 1 << 16): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var b = in.read()
+      while (b >= 0 && b != '\n' && out.size < cap) { out.write(b); b = in.read() }
+      new String(out.toByteArray, UTF_8)
+    } finally in.close()
+  }
 
   /** The IN-COMMIT publish timestamp of one commit, when its writer
-    * stamped one (`"tsMs"` on the first action line — [[tryPublish]]);
-    * None for pre-stamp logs. Safe as a raw-text scan: the quoted key
-    * cannot appear inside any base64 payload and user text is always
-    * base64-wrapped. */
+    * stamped one (`"tsMs"` closing the first action line —
+    * [[tryPublish]]); None for pre-stamp logs. */
   def commitTimestamp(spark: SparkSession, table: String,
                       v: Long): Option[Long] = {
     val p = commitFile(table, v)
-    InCommitTsRe.findFirstMatchIn(readFileText(fsOf(spark, p), p))
+    InCommitTsRe.findFirstMatchIn(readFirstLine(fsOf(spark, p), p))
       .map(_.group(1).toLong)
   }
 
@@ -180,26 +198,38 @@ object LakeTxn {
     * `TIMESTAMP AS OF` resolution. Each commit's publish time is its
     * IN-COMMIT stamp when present (travel answers then survive a log
     * copy/rsync/restore, which rewrites every mtime), falling back to
-    * the commit file's mtime for pre-stamp logs; the sequence is
-    * clamped monotonically non-decreasing (a wall-clock step backwards
-    * between two writers must not make a LATER version resolve before
-    * an earlier one — Delta's ICT monotonicity rule, applied at read
-    * time). Refused when the table's first commit is later than the
-    * asked time — there was no table to read then. Driver-scale: one
-    * small read per commit. */
+    * the commit file's mtime for pre-stamp commits — CAPPED by the
+    * earliest stamp of any LATER commit, so a restored pre-stamp
+    * prefix (whose mtimes jump to copy time) cannot poison the stamped
+    * suffix's answers. The sequence then clamps monotonically
+    * non-decreasing (a wall-clock step backwards between two writers
+    * must not make a LATER version resolve before an earlier one —
+    * Delta's ICT monotonicity rule, applied at read time). Refused
+    * when the table's first commit is later than the asked time —
+    * there was no table to read then. Driver-scale: one first-line
+    * read per commit. */
   def versionAtTimestamp(spark: SparkSession, table: String,
                          tsMillis: Long): Long = {
     val vs = listVersions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val fs = fsOf(spark, logDir(table))
+    val raw = vs.map(v => (v, commitTimestamp(spark, table, v)))
+    // suffix-min of the stamps: each mtime-derived entry caps at one
+    // tick BEFORE the earliest later stamp, so a restored pre-stamp
+    // prefix collapses to "just before the stamped suffix" instead of
+    // poisoning it (valid mtimes sit below the cap and stay exact)
+    val capAfter = raw.scanRight(Long.MaxValue) {
+      case ((_, st), acc) => math.min(st.getOrElse(Long.MaxValue), acc)
+    }.tail
     var prev = Long.MinValue
-    val stamped = vs.map { v =>
-      val raw = commitTimestamp(spark, table, v).getOrElse(
-        fs.getFileStatus(commitFile(table, v)).getModificationTime)
-      prev = math.max(prev, raw)
+    val eff = raw.zip(capAfter).map { case ((v, st), cap) =>
+      val bound = if (cap == Long.MaxValue) cap else cap - 1
+      val t = st.getOrElse(math.min(bound,
+        fs.getFileStatus(commitFile(table, v)).getModificationTime))
+      prev = math.max(prev, t)
       (v, prev)
     }
-    val at = stamped.filter(_._2 <= tsMillis)
+    val at = eff.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"$table has no commit at or before timestamp $tsMillis " +
         s"(the table's first commit is younger than the asked time)")
@@ -849,8 +879,11 @@ object LakeTxn {
     require(staged.nonEmpty || removes.nonEmpty, "empty replace-data commit")
     val root = new Path(table)
     val fs = fsOf(spark, root)
-    def dropStaged(): Unit =
+    var shrunk: Seq[Action] = Nil // tracked for cleanup on ANY failure
+    def dropStaged(): Unit = {
       staged.foreach(s => fs.delete(new Path(root, s), false))
+      dropAdds(spark, table, shrunk)
+    }
     try {
       checkWriterProtocol(spark, table)
       val snap = snapshot(spark, table)
@@ -868,6 +901,7 @@ object LakeTxn {
       // after this commit no live vector references a removed file
       val (dvAdds, dvRemoves) = rewriteDvs(spark, table, snap.dvs,
         removes.map(baseName).toSet)
+      shrunk = dvAdds
       val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       fs.mkdirs(new Path(root, "data"))
       val rels = staged.zipWithIndex.map { case (s, i) =>
@@ -885,9 +919,8 @@ object LakeTxn {
                 s"staged rewrite file $orig of partitioned $table carries " +
                   s"no partition value")))
       }
-      try commitAt(spark, table, readVersion, adds ++ dvAdds,
+      commitAt(spark, table, readVersion, adds ++ dvAdds,
         removes ++ dvRemoves)
-      catch { case t: Throwable => dropAdds(spark, table, dvAdds); throw t }
     } catch {
       case t: Throwable => dropStaged(); throw t
     }
@@ -924,8 +957,11 @@ object LakeTxn {
     require(staged.nonEmpty, "empty V2 overwrite: no staged files")
     val root = new Path(table)
     val fs = fsOf(spark, root)
-    def dropStaged(): Unit =
+    var shrunkTracked: Seq[Action] = Nil // cleanup on ANY failure
+    def dropStaged(): Unit = {
       staged.foreach(s => fs.delete(new Path(root, s), false))
+      dropAdds(spark, table, shrunkTracked)
+    }
     try {
       if (listVersions(spark, table).isEmpty) {
         // overwriting a table that does not exist yet IS the bootstrap
@@ -977,6 +1013,7 @@ object LakeTxn {
           (doomed ++ dvRemoves, dvAdds,
             if (values.size == 1) Some((pc, values.head)) else None)
       }
+      shrunkTracked = shrunkDvs
       val batch = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       fs.mkdirs(new Path(root, "data"))
       val rels = staged.zipWithIndex.map { case (s, i) =>
@@ -1782,13 +1819,26 @@ object LakeTxn {
     * than the join-time bucket function and silently mis-collocate. */
   def appendCommitBucketed(spark: SparkSession, df: DataFrame, table: String,
                            keyCol: String, nBuckets: Int): Long = {
+    val staged = stageBucketedData(spark, df, table, keyCol, nBuckets)
+    require(staged.nonEmpty, "empty bucketed append")
+    commit(spark, table, staged, Nil)
+  }
+
+  /** Stage `df` bucket-split with stamped add actions — the staging
+    * half of [[appendCommitBucketed]], shared with the MoR writers so
+    * UPDATE/CDC on a bucketed table keeps the layout (and its
+    * zero-Exchange joins) instead of silently demoting it. NULL keys
+    * fail INSIDE the write expression (one pass, race-free even for
+    * non-deterministic inputs — a driver pre-scan could pass while the
+    * write's own evaluation still produces a NULL). */
+  private def stageBucketedData(spark: SparkSession, df: DataFrame,
+                                table: String, keyCol: String,
+                                nBuckets: Int): Seq[Action] = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(df.schema(keyCol).dataType == org.apache.spark.sql.types.LongType,
       s"bucket key '$keyCol' must be BIGINT (is " +
         s"${df.schema(keyCol).dataType.simpleString}): the write-side hash " +
         s"and the join-time bucket function must agree bit-for-bit")
-    require(df.filter(col(keyCol).isNull).isEmpty,
-      s"bucket key '$keyCol' must not contain NULLs (a null row has no bucket)")
     enforceConstraints(spark, df, table) // custom staging path: enforce here
     val root = new Path(table)
     val fs = fsOf(spark, root)
@@ -1797,7 +1847,11 @@ object LakeTxn {
     // repartition BY the bucket value: every bucket's rows land in one
     // task, so the hive staging writes exactly one file per non-empty
     // bucket; the synthetic __bucket column physically leaves the files
-    df.withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+    df.withColumn("__bucket",
+        when(col(keyCol).isNull,
+          raise_error(lit(s"bucket key '$keyCol' must not contain NULLs " +
+            s"(a null row has no bucket)")).cast("int"))
+          .otherwise(pmod(hash(col(keyCol)), lit(nBuckets))))
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(tmp.toString)
     fs.mkdirs(new Path(root, "data"))
@@ -1822,10 +1876,18 @@ object LakeTxn {
         }
     }
     fs.delete(tmp, true)
-    val staged = adds.result()
-    require(staged.nonEmpty, "empty bucketed append")
-    commit(spark, table, staged, Nil)
+    adds.result()
   }
+
+  /** The single (key, n) bucket layout governing EVERY live data file,
+    * when the table is uniformly bucketed; None for unbucketed or
+    * mixed tables. */
+  private def uniformBucket(snap: Snapshot): Option[(String, Int)] =
+    snap.adds.map(a => (Option(a.bkCol), a.bkN)).distinct match {
+      case Seq((Some(c), n)) if snap.adds.forall(_.bkId >= 0) =>
+        Some((c, n.toInt))
+      case _ => None
+    }
 
   // ------------------------------------------------------------------
   // partition values recorded in the log (hive-style, listing-free)
@@ -1909,17 +1971,23 @@ object LakeTxn {
     }
 
   /** Stage data rows the way the TABLE is laid out: hive-split with
-    * stamped partition values on a uniformly partitioned table, plain
+    * stamped partition values on a uniformly partitioned table,
+    * bucket-split with stamped ids on a uniformly bucketed one, plain
     * staging otherwise — what keeps the MoR writers' appended files
-    * from silently breaking the partitioned-table invariant (which
-    * would both lose log partition pruning for those files and make
-    * every later scoped overwrite refuse). */
+    * from silently breaking either layout invariant (a partitioned
+    * table would lose log pruning and refuse later scoped overwrites;
+    * a bucketed table would silently demote every later join back to
+    * a full shuffle). */
   private def stageDataLike(spark: SparkSession, df: DataFrame, table: String,
                             snap: Snapshot): Seq[Action] =
     uniformPvCol(snap) match {
       case Some(pc) if df.columns.contains(pc) =>
         stagePartitionedData(spark, df, table, pc)
-      case _ => stage(spark, df, table)
+      case _ => uniformBucket(snap) match {
+        case Some((key, n)) if df.columns.contains(key) =>
+          stageBucketedData(spark, df, table, key, n)
+        case _ => stage(spark, df, table)
+      }
     }
 
   /** Partition-pruned read: keep only files whose log-recorded partition
@@ -2135,13 +2203,16 @@ object LakeTxn {
               df.withColumn(c, v)
             }.drop("__dv_file", "__dv_pos")
             val dvAdds = stageDv(spark, positions.repartition(1), table)
-            val dataAdds = stageDataLike(spark, rewritten, table, snap)
-            guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
-              maxPositions = maxDvPositions)
-            try commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
-              readDeps = snap.files, dvBudget = maxDvPositions)
-            catch { case t: Throwable =>
-              dropAdds(spark, table, dvAdds ++ dataAdds); throw t }
+            try {
+              val dataAdds = stageDataLike(spark, rewritten, table, snap)
+              guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
+                maxPositions = maxDvPositions)
+              try commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
+                readDeps = snap.files, dvBudget = maxDvPositions)
+              catch { case t: Throwable =>
+                dropAdds(spark, table, dataAdds); throw t }
+            } catch { case t: Throwable =>
+              dropAdds(spark, table, dvAdds); throw t }
           }
         } finally matched.unpersist()
       }
@@ -2387,11 +2458,12 @@ object LakeTxn {
     // pushdown and undercount the log-answered COUNT(*))
     val (dvAdds, dvRemoves) = rewriteDvs(spark, table, snap.dvs,
       affected.map(baseName).toSet)
-    val dataAdds = stage(spark, replacement, table)
-    try commitAt(spark, table, snap.version, dataAdds ++ dvAdds,
-      affected ++ dvRemoves)
-    catch { case t: Throwable =>
-      dropAdds(spark, table, dataAdds ++ dvAdds); throw t }
+    try {
+      val dataAdds = stage(spark, replacement, table)
+      try commitAt(spark, table, snap.version, dataAdds ++ dvAdds,
+        affected ++ dvRemoves)
+      catch { case t: Throwable => dropAdds(spark, table, dataAdds); throw t }
+    } catch { case t: Throwable => dropAdds(spark, table, dvAdds); throw t }
   }
 
   /** MERGE-ON-READ CDC apply — the write-cheap twin of [[applyChanges]]
@@ -2428,18 +2500,21 @@ object LakeTxn {
         val dvAdds =
           if (positions.isEmpty) Nil
           else stageDv(spark, positions.repartition(1), table)
-        val dataAdds =
-          if (upserts.isEmpty) Nil
-          else stageDataLike(spark, upserts, table, snap)
-        if (dvAdds.isEmpty && dataAdds.isEmpty) -1L
-        else {
-          guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
-            maxPositions = maxDvPositions)
-          try commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
-            readDeps = snap.files, dvBudget = maxDvPositions)
-          catch { case t: Throwable =>
-            dropAdds(spark, table, dvAdds ++ dataAdds); throw t }
-        }
+        try {
+          val dataAdds =
+            if (upserts.isEmpty) Nil
+            else stageDataLike(spark, upserts, table, snap)
+          if (dvAdds.isEmpty && dataAdds.isEmpty) -1L
+          else {
+            guardDvBudget(spark, table, snap, dvAdds, alsoStaged = dataAdds,
+              maxPositions = maxDvPositions)
+            try commitAt(spark, table, snap.version, dvAdds ++ dataAdds, Nil,
+              readDeps = snap.files, dvBudget = maxDvPositions)
+            catch { case t: Throwable =>
+              dropAdds(spark, table, dataAdds); throw t }
+          }
+        } catch { case t: Throwable =>
+          dropAdds(spark, table, dvAdds); throw t }
       }
     }
 

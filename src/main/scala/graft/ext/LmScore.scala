@@ -4,6 +4,8 @@ import graft.text.Tokenize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Bigram language-model document scoring — the CCNet-style quality
   * signal: train add-one-smoothed bigram statistics on the corpus itself,
   * then score each document by its total log-likelihood
@@ -68,7 +70,7 @@ object LmScore {
     val bi = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .withColumn("a", split(col("g"), " ").getItem(0))
       .withColumn("b", split(col("g"), " ").getItem(1))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val ctx = bi.groupBy("a").agg(sum(col("c")).as("ca"), count(lit(1)).as("n1a"))
     val cont = bi.groupBy("b").agg(count(lit(1)).as("n1w"))
     val nTypes = bi.count() // the one driver scalar: N₁₊(··)

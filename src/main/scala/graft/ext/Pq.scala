@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Product quantization (PQ) for approximate nearest neighbor: split the
   * embedding dimension into `m` subspaces, k-means each subspace into
   * `ksub` centroids (the codebooks), and store every corpus vector as `m`
@@ -48,7 +50,7 @@ object Pq {
         explode(array((0 until m).map(s =>
           struct(lit(s).as("s"), slice(v, s * w + 1, w).as("sub"))): _*)).as("x"))
       .select(col("id"), col("x.s").as("s"), col("x.sub").as("sub"))
-      .localCheckpoint(true) // scanned once per round; flat lineage across rounds
+      .pinCheckpoint() // scanned once per round; flat lineage across rounds
     // seeds are the ksub lowest-id documents' sub-vectors — the same set
     // for every subspace, so ONE no-shuffle TakeOrdered over the original
     // table (sliced driver-side) replaces a corpus-wide window sorted on
@@ -128,7 +130,7 @@ object Pq {
         explode(array((0 until m).map(s =>
           struct(lit(s).as("s"), slice(snapped, s * w + 1, w).as("sub"))): _*)).as("x"))
       .select(col("id"), col("x.s").as("s"), col("x.sub").as("sub"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     Ivf.requireExactBound(subs.select(col("sub").as("w")))
     val seedRows = embeddings.select(col(idCol).as("id"), snapped.as("wv"))
       .orderBy("id").limit(ksub).collect()

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
   * Two paths:
@@ -575,7 +577,7 @@ object Similarity {
       .withColumn("__rinv", lit(1.0) / sqrt(col(s"n2_$out")))
       .withColumn("vhat", transform(col(s"v_$out"), x => x * col("__rinv")))
       .drop("__rinv")
-      .localCheckpoint(true) // reused by training, assignment and join sides
+      .pinCheckpoint() // reused by training, assignment and join sides
 
   /** Per-cell radius max ‖v̂ − c_cell‖ over an assigned (cell, vhat)
     * frame — one aggregation, nlist rows to the driver. */
@@ -910,7 +912,7 @@ object Similarity {
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col(idCol), col("dim"),
         round(col("v").cast("double") * 1e6).cast("long").as("__s"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val scales = s.groupBy("dim").agg(max(abs(col("__s"))).as("__maxabs"))
     val code = when(col("__maxabs") === 0L, lit(0L)).otherwise(
       round(col("__s").cast("double") * 127.0 / col("__maxabs").cast("double"))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** Text-analysis operators for training-data pipelines: token statistics,
   * quality scoring, language identification, document fingerprinting, and
   * TF-IDF.
@@ -172,7 +174,7 @@ object TextStats {
     // join must observe the same range-partitioner boundaries (the sampler
     // is seeded per RDD instantiation — correctness may not hinge on
     // exchange-reuse kicking in)
-    val local = localRankedVocab(docs, textCol).localCheckpoint(true)
+    val local = localRankedVocab(docs, textCol).pinCheckpoint()
     val sizes = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offsets = sizes.as("x")
       .join(sizes.as("y"), col("y.__pid") < col("x.__pid"), "left")
@@ -628,10 +630,10 @@ object TextStats {
                       textCol: String = "text"): DataFrame = {
     val bi = docs.select(explode(graft.functions.token_ngrams(col(textCol), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cab"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val uni = docs.select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val totals = uni.agg(sum(col("c")).as("w_total"))
       .crossJoin(bi.agg(sum(col("cab")).as("b_total")))
     // tokens never contain spaces (the tokenizer strips non-letter/number
@@ -671,7 +673,7 @@ object TextStats {
     val counts = docs
       .select(explode(Tokenize.tokensArray(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val total = counts.agg(sum(col("cnt")).as("__total"))
     counts.crossJoin(broadcast(total))
       .filter(col("cnt") * 1000 >= col("__total") * permille)
@@ -921,7 +923,7 @@ object TextStats {
                    idCol: String = "doc_id"): DataFrame = {
     val grams = docs.select(col(idCol),
         explode(array_distinct(graft.functions.token_ngrams(col(textCol), n))).as("g"))
-      .localCheckpoint(true) // feeds the df aggregate AND the per-doc fold
+      .pinCheckpoint() // feeds the df aggregate AND the per-doc fold
     val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(df, "g")
       .groupBy(col(idCol))

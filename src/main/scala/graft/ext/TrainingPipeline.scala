@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.Pinnable
+
 /** The end-to-end corpus-cleaning composite a pre-training data pipeline
   * runs: quality gate → exact dedup → near-dup clustering with
   * keep-one-per-cluster → cleaned corpus + per-stage accounting.
@@ -34,7 +36,7 @@ object TrainingPipeline {
     // recomputed per consumer, and so the clustering loop starts from flat
     // lineage. (localCheckpoint is the local-mode form; a cluster
     // deployment would use a reliable checkpoint dir.)
-    val qualified = docs.join(qualityGateIds(docs, minTokens), "doc_id").localCheckpoint(true)
+    val qualified = docs.join(qualityGateIds(docs, minTokens), "doc_id").pinCheckpoint()
     val keep = Dedup.nearDupKeepIds(qualified, nearDupThreshold, baseHash)
     qualified.join(keep, "doc_id").orderBy("doc_id")
   }
@@ -61,7 +63,7 @@ object TrainingPipeline {
                        minTokens: Int = 10,
                        baseHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column
                          = Dedup.xxHash): DataFrame = {
-    val qualified = docs.join(qualityGateIds(docs, minTokens), "doc_id").localCheckpoint(true)
+    val qualified = docs.join(qualityGateIds(docs, minTokens), "doc_id").pinCheckpoint()
     val clusters = Dedup.nearDupClusters(qualified, nearDupThreshold, baseHash)
     val reps = clusters.groupBy("cluster_id").agg(min(col("doc_id")).as("kept_id"))
     val clusterRep = clusters.join(reps, "cluster_id").select("doc_id", "kept_id")
@@ -278,7 +280,7 @@ object TrainingPipeline {
     // materialize ONCE: the offsets branch and the final projection must
     // observe the same range-partitioner boundaries (sampled per RDD
     // instantiation)
-    val local = localCumsum(base, idCol, nParts).localCheckpoint(true)
+    val local = localCumsum(base, idCol, nParts).pinCheckpoint()
     withGlobalCumsum(local)
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))
       // `div` is long division (Spark's `/` on longs is DOUBLE division);
@@ -533,9 +535,9 @@ object TrainingPipeline {
     val total = docs.count()
     // four counting actions share the gate — materialize it once
     val quality = TextStats.qualityScores(docs).filter(col("quality_ok"))
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id").pinCheckpoint()
     val nQuality = quality.count()
-    val qualified = docs.join(quality, "doc_id").localCheckpoint(true)
+    val qualified = docs.join(quality, "doc_id").pinCheckpoint()
     val nExact = Dedup.exactKeepIds(qualified).count()
     val nFinal = Dedup.nearDupKeepIds(qualified, nearDupThreshold).count()
     Seq((total, nQuality, nExact, nFinal,
@@ -710,7 +712,7 @@ object TrainingPipeline {
     // materialize once: the offsets branch and the final projection must
     // observe the same sampled range boundaries (the packSequences rule)
     val local = localCumsum(base, Seq(col("q_permille").desc, col(idCol).asc), nParts)
-      .localCheckpoint(true)
+      .pinCheckpoint()
     withGlobalCumsum(local)
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col("n_tokens"), col("q_permille"), col("cum_tokens"))
@@ -832,7 +834,7 @@ object TrainingPipeline {
     val base = scored.select(col(idCol), col("score"))
       .withColumn("n_tokens", lit(1L)) // prefix-sum of 1s == global rank
     val local = localCumsum(base, Seq(col("score").desc, col(idCol).asc), nParts)
-      .localCheckpoint(true)
+      .pinCheckpoint()
     withGlobalCumsum(local).select(col(idCol), col("cum_tokens").as("rank"))
   }
 
@@ -848,7 +850,7 @@ object TrainingPipeline {
     * (groupCol, idCol, grp_rank). */
   private[graft] def groupRank(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
     // offsets + projection must see ONE partitioner sample -> checkpoint
-    val local = groupRankLocal(df, groupCol, idCol).localCheckpoint(true)
+    val local = groupRankLocal(df, groupCol, idCol).pinCheckpoint()
     val sizes = local.groupBy(col("__pid"), col(groupCol))
       .agg(count(lit(1)).as("__n"))
     val offsets = sizes.as("x")
@@ -939,7 +941,7 @@ object TrainingPipeline {
     val base = scored.select(col(idCol), col("score"))
       .withColumn("n_tokens", lit(1L)) // prefix-sum of 1s == global rank
     val local = localCumsum(base, Seq(col("score").desc, col(idCol).asc), nParts)
-      .localCheckpoint(true)
+      .pinCheckpoint()
     val total = local.agg(sum(col("n_tokens")).as("__n"))
     withGlobalCumsum(local)
       .crossJoin(broadcast(total))

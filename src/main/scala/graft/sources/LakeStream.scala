@@ -994,7 +994,7 @@ final class LakeBatch(table: String, schema: StructType,
         case _ => None
       }
     (kept.map { a =>
-      val base = a.file.substring(a.file.lastIndexOf('/') + 1)
+      val base = LakeTxn.baseName(a.file)
       LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
         deletedByFile.getOrElse(base, Array.emptyLongArray), relFile = a.file,
         bkId = a.bkId)
@@ -1678,7 +1678,7 @@ final class LakeRowLevelScan(op: LakeRowLevelOperation, table: String,
     op.scannedFiles = kept.map(_.file)
     op.readVersion = snap.version
     kept.map { a =>
-      val b = a.file.substring(a.file.lastIndexOf('/') + 1)
+      val b = LakeTxn.baseName(a.file)
       LakeInputPartition(s"$table/${a.file}", a.rows, a.pvCol, a.pvValue,
         deletedByFile.getOrElse(b, Array.emptyLongArray),
         relFile = a.file): InputPartition

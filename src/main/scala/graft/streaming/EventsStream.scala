@@ -3,6 +3,8 @@ package graft.streaming
 import graft.rel.Relational
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints.Pinnable
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -625,7 +627,7 @@ object EventsStream {
           val v = batch.agg(max(col("version"))).head().getLong(0)
           val next = graft.ext.Incremental
             .extendHistory(history, batch.drop("version"), v)
-            .localCheckpoint(true) // eager: the fold is SEQUENCED per batch
+            .pinCheckpoint() // eager: the fold is SEQUENCED per batch
           if (dead != null) dead.unpersist()
           dead = history
           history = next
@@ -689,8 +691,8 @@ object EventsStream {
   def incrAggStreamLanded(spark: SparkSession, sfDir: String,
                           base0: DataFrame, changes: DataFrame): DataFrame = {
     val dir = cdcBatchFixtureDir(spark, sfDir, changes)
-    var base = base0.localCheckpoint(true)
-    var agg = graft.ext.Incremental.charAggregate(base).localCheckpoint(true)
+    var base = base0.pinCheckpoint()
+    var agg = graft.ext.Incremental.charAggregate(base).pinCheckpoint()
     var dead: Seq[DataFrame] = Nil
     withStateParts(spark, DefaultDrainStateParts) {
       val q = spark.readStream.schema(cdcChangeSchema)
@@ -703,10 +705,10 @@ object EventsStream {
             // resolution inside maintainAggregate is trivially per-row
             val nextAgg = graft.ext.Incremental
               .maintainAggregate(base, agg, batch)
-              .localCheckpoint(true)
+              .pinCheckpoint()
             val nextBase = graft.ext.Incremental
               .applyChanges(base, batch, Seq("text", "source"))
-              .localCheckpoint(true)
+              .pinCheckpoint()
             dead.foreach(_.unpersist())
             dead = Seq(base, agg)
             base = nextBase
@@ -1011,7 +1013,7 @@ object EventsStream {
               .stageLeveled(batch, "user_id", col("event_id"))
             val (next, nextLevel) = graft.ext.Sketches
               .recut(kept.unionByName(staged), level, capacity)
-            val pinned = next.localCheckpoint(true)
+            val pinned = next.pinCheckpoint()
             dead.foreach(_.unpersist())
             dead = Seq(kept)
             kept = pinned

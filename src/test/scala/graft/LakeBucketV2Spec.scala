@@ -125,9 +125,51 @@ class LakeBucketV2Spec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](
       LakeTxn.appendCommitBucketed(spark, narrow, t, "k", 4))
     assert(e1.getMessage.contains("must be BIGINT"))
+    // NULLs fail INSIDE the write expression (one pass, race-free even
+    // for non-deterministic inputs) — the job aborts, nothing commits
     val nulled = Seq((Some(1L), 1L), (None, 2L)).toDF("k", "v")
-    val e2 = intercept[IllegalArgumentException](
+    val e2 = intercept[Throwable](
       LakeTxn.appendCommitBucketed(spark, nulled, t, "k", 4))
-    assert(e2.getMessage.contains("NULL"))
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("must not contain NULLs")),
+      e2.toString)
+    assert(LakeTxn.listVersions(spark, t).size === 1, // just the CREATE
+      "a refused bucketed append must commit nothing")
+  }
+
+  test("MoR UPDATE and CDC keep the bucket layout (join stays exchange-free)") {
+    val t = s"$wh/db/morb"
+    spark.sql("CREATE TABLE gbkt.db.morb (k BIGINT, v BIGINT) USING `graft-lake`")
+    LakeTxn.appendCommitBucketed(spark, rows(0 until 200, even = true), t, "k", 8)
+    // a MoR update appends rewritten rows: they must stage bucket-split
+    // and stamped, or every later join silently pays the full shuffle
+    LakeTxn.updateMorWhere(spark, t, col("k") % 7 === 0,
+      Seq("v" -> (col("v") + 100000L)))
+    import spark.implicits._
+    val changes = Seq((1000L, 5L, "upsert"), (3L, 0L, "delete"))
+      .toDF("k", "v", "__op")
+    LakeTxn.applyChangesMor(spark, t, changes, "k")
+    val snap = LakeTxn.snapshot(spark, t)
+    assert(snap.adds.forall(a => a.bkCol == "k" && a.bkN == 8L && a.bkId >= 0),
+      snap.adds.filter(_.bkCol == null).map(_.file).mkString(", "))
+    // content correct through the bucket partitions + DV mask
+    val df = spark.table("gbkt.db.morb")
+    assert(df.count() === 200L) // -1 delete +1 insert
+    assert(df.filter(col("k") === 3L).count() === 0L)
+    assert(df.filter(col("v") >= 100000L).count() ===
+      (0 until 200).count(i => i % 7 == 0 && i != 1000))
+    // and the zero-Exchange join survives the row-level operations
+    val tb = s"$wh/db/morb2"
+    spark.sql("CREATE TABLE gbkt.db.morb2 (k BIGINT, v BIGINT) USING `graft-lake`")
+    LakeTxn.appendCommitBucketed(spark, rows(0 until 200, even = false), tb, "k", 8)
+    withSpj {
+      val joined = spark.table("gbkt.db.morb").hint("merge")
+        .join(spark.table("gbkt.db.morb2"), "k")
+      val plan = joined.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        plan.takeRight(1500))
+      assert(joined.count() === 199L) // k=3 deleted, k=1000 has no right match
+    }
   }
 }

@@ -63,6 +63,31 @@ class LakeTimestampSpec extends SparkSpec {
       Some(LakeTxn.versionAtTimestamp(spark, t2, ts1))).count() === 20L)
   }
 
+  test("a restored PRE-STAMP prefix cannot poison the stamped suffix's answers") {
+    val t = freshDir("mixed")
+    build3(t)
+    // strip the stamp from commit 0 — simulating a log whose prefix was
+    // written before in-commit timestamps existed
+    val v0 = java.nio.file.Paths.get(t, "_graft_log", f"${0L}%020d.json")
+    val body = new String(java.nio.file.Files.readAllBytes(v0), UTF_8)
+    java.nio.file.Files.write(v0,
+      body.replaceAll(""","tsMs":\d+\}""", "}").getBytes(UTF_8))
+    assert(LakeTxn.commitTimestamp(spark, t, 0L).isEmpty)
+    val ts1 = LakeTxn.commitTimestamp(spark, t, 1L).get
+    val ts2 = LakeTxn.commitTimestamp(spark, t, 2L).get
+    // "restore" the log: commit 0's mtime jumps far PAST the suffix's
+    // stamps (the copy). Without the suffix-stamp cap, the monotonic
+    // clamp would push versions 1-2 up to that mtime and every original
+    // ask would refuse.
+    Thread.sleep(10)
+    java.nio.file.Files.setLastModifiedTime(v0,
+      java.nio.file.attribute.FileTime.fromMillis(ts2 + 1000000L))
+    assert(LakeTxn.versionAtTimestamp(spark, t, ts1) === 1L)
+    assert(LakeTxn.versionAtTimestamp(spark, t, ts2) === 2L)
+    assert(LakeTxn.versionAtTimestamp(spark, t, ts1 - 1) === 0L,
+      "the un-stamped prefix resolves at (or before) the suffix's first stamp")
+  }
+
   test("a wall-clock step backwards clamps monotonically at resolution") {
     val t = freshDir("clock")
     build3(t)
